@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational coverage suite over the testdata star schema.
+  *
+  * The reference (SURVEY.md §2.8) contains only one join and no
+  * window/rollup/set operations — Spark supplies them all as built-ins.
+  * These queries exercise that surface so the engine demonstrably answers
+  * the full relational vocabulary a user of the reference could ask for,
+  * each with a DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout (see SparkEntry):
+  *   - double sums go through decimal(38,10): both engines convert a double
+  *     to decimal via its shortest decimal representation, so exact decimal
+  *     summation yields identical results regardless of row order; final
+  *     cast back to double for a stable output type.
+  *   - no round() on doubles: Spark rounds the shortest-repr BigDecimal
+  *     (0.175 -> 0.18) while DuckDB rounds the true binary value
+  *     (0.175 -> 0.17). Use round2() = floor(x*100+0.5)/100 instead —
+  *     floor of the same double is engine-independent.
+  *   - top-k/rank queries carry an explicit total tie-break.
+  *
+  * Scale notes: every aggregate here map-side combines before its shuffle;
+  * dimension joins broadcast the small side; top-k is
+  * TakeOrderedAndProject (per-partition heaps, no global sort).
+  */
+object Relational {
+
+  private val dec = DecimalType(38, 10)
+
+  /** Deterministic HALF_UP-on-the-double 2-decimal rounding (see above). */
+  def round2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + 0.5) / 100.0
+
+  /** Exact sum of a double expression, returned as double. */
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+
+  /** TPC-H Q1-style pricing summary: scan-heavy agg with pushed-down
+    * filter; partial aggregation keeps the shuffle at |groups| rows. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    // price/discount/tax are 2-decimal quantities: cast each INPUT to
+    // decimal(12,2) and multiply in decimal so the product is exact
+    // (decimal(38,6) worst case) — a double triple-product rounds
+    // differently per engine in the 10th decimal.
+    val d2 = DecimalType(12, 2)
+    val price = col("l_extendedprice").cast(d2)
+    val disc = (lit(1) - col("l_discount")).cast(d2)
+    val tax = (lit(1) + col("l_tax")).cast(d2)
+    lineitem
+      .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum(price * disc).cast("double").as("sum_disc_price"),
+        sum(price * disc * tax).cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Multi-way dim join: region -> nation -> customer -> orders, revenue by
+    * nation. region/nation broadcast; orders (the big side) never moves
+    * until the final small groupBy. */
+  def revenueByNation(orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("order_cnt"))
+
+  /** Left-semi: customers having at least one high-value order. */
+  def bigSpenders(customer: DataFrame, orders: DataFrame, threshold: Double = 450000.0): DataFrame =
+    customer
+      .join(orders.where(col("o_totalprice") > threshold),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** Left-anti: segment counts of customers with no high-value order. */
+  def quietSegments(customer: DataFrame, orders: DataFrame, threshold: Double = 450000.0): DataFrame =
+    customer
+      .join(orders.where(col("o_totalprice") > threshold),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cust_cnt"))
+
+  /** Window function: each customer's single largest order. */
+  def topOrderPerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus): subtotals + grand total. */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** Exact distinct aggregation (single row). */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(concat_ws("~", col("l_returnflag"), col("l_linestatus"))).as("n_flag_status"),
+      count(lit(1)).as("n_rows"))
+
+  /** Set operations: heavy-quantity lineitem parts vs large parts. */
+  def setOps(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val a = lineitem.where(col("l_quantity") >= 48).select(col("l_partkey").as("key")).distinct()
+    val b = part.where(col("p_size") >= 40).select(col("p_partkey").as("key")).distinct()
+    val mk = (name: String, df: DataFrame) => df.agg(count(lit(1)).as("cnt")).select(lit(name).as("op"), col("cnt"))
+    mk("intersect", a.intersect(b))
+      .unionAll(mk("except", a.except(b)))
+      .unionAll(mk("union", a.union(b).distinct()))
+  }
+
+  /** Grouped top-k: 3 most active users per event_type (explicit tie-break
+    * on user_id so the result is a deterministic set). */
+  def topUsersPerEventType(events: DataFrame, k: Int = 3): DataFrame = {
+    val counts = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+    counts.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** As-of join (no Spark built-in): for every 'error' event, the most
+    * recent strictly-earlier 'click' timestamp of the same user.
+    *
+    * Spark-first plan: instead of a per-row lookup (the naive correlated
+    * subquery) or a range cross-join, tag both event kinds, sort once per
+    * user partition, and carry the last click timestamp forward with a
+    * window frame ending one row before the current row. One shuffle on
+    * user_id, O(n log n) in the partition sort, no explosion — this is the
+    * plan that survives 100 TB (a user's history fits a partition; if a
+    * single user were skewed, salt the window by day first).
+    */
+  def lastClickBeforeError(events: DataFrame): DataFrame = {
+    val relevant = events
+      .where(col("event_type").isin("error", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    relevant
+      .withColumn("prev_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "error")
+      .select(
+        col("event_id"), col("user_id"),
+        date_trunc("millisecond", col("ts")).as("ts_ms"),
+        date_trunc("millisecond", col("prev_click_ts")).as("prev_click_ts_ms"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the building
+  * blocks of a large-scale training-data pipeline (token counting, quality
+  * scoring, language ID, fingerprinting). All pure column expressions:
+  * no UDFs, no shuffles except the caller's own aggregations, so at 100 TB
+  * these run entirely inside whole-stage codegen at scan speed.
+  *
+  * Cross-engine notes (DuckDB oracle):
+  *   - tokenization = regexp split on \s+ after trim; empty text -> 0.
+  *   - ratios are double divisions of exact integer counts (deterministic).
+  *   - the fingerprint is a polynomial rolling hash with an explicit
+  *     modulus, expressible in both engines (Spark `aggregate` HOF /
+  *     DuckDB `list_reduce`); no engine-specific hash() anywhere near an
+  *     oracle-checked result.
+  */
+object TextAnalysis {
+
+  private val ws = "\\s+"
+
+  /** Whitespace tokens of a trimmed text column (empty -> empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), ws))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Per-document token statistics. */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      col("source"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      // total token chars / token count — exact ints, then one division
+      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / greatest(size(toks), lit(1))).as("avg_token_len"))
+  }
+
+  /** Quality heuristics: stopword ratio, alpha ratio, digit/punct counts.
+    * The stopword list matches the synthetic vocabulary (TESTDATA docs are
+    * word-soup over an English-ish vocab). */
+  val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = greatest(size(toks), lit(1))
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords)))
+    val digits = length(regexp_replace(col("text"), "[^0-9]", ""))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      stopHits.as("stop_hits"),
+      (stopHits.cast("double") / nTok).as("stop_ratio"),
+      digits.as("n_digits"),
+      (alpha.cast("double") / greatest(length(col("text")), lit(1))).as("alpha_ratio"))
+  }
+
+  /** Language-ID by marker-word voting: count hits from per-language marker
+    * sets, pick the max (deterministic preference order en > de > fr on
+    * ties). A real system uses char-n-gram models; the *shape* — a scan
+    * with a few regexp counts and a case — is identical and that is what
+    * scales. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  private def hits(text: Column, words: Seq[String]): Column = {
+    val pat = words.mkString("\\b(", "|", ")\\b")
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  def langId(documents: DataFrame): DataFrame = {
+    val en = hits(col("text"), markers("en"))
+    val de = hits(col("text"), markers("de"))
+    val fr = hits(col("text"), markers("fr"))
+    documents.select(col("doc_id"), en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"),
+      when(en >= de && en >= fr, "en")
+        .when(de >= fr, "de")
+        .otherwise("fr").as("lang_guess"))
+  }
+
+  /** Polynomial rolling-hash document fingerprint over tokens:
+    * acc' = (acc*31 + len(tok)*131 + ascii(tok[0])) mod 1e9+7.
+    * Engine-neutral (no builtin hash), collision-adequate for grouping
+    * near-identical normalized docs; used as the cheap exact-dup key. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => (acc * 31L + length(t).cast("long") * 131L + ascii(substring(t, 1, 1)).cast("long")) % 1000000007L)
+
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), fingerprint(col("text")).as("fp"), length(col("text")).as("n_chars"))
+}
