@@ -128,7 +128,12 @@ object SparkEntry {
   // ------------------------------------------------------------ oracles
 
   private val decSum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(38,10))) AS DOUBLE)"
-  private val toks = "regexp_split_to_array(TRIM(text), '\\s+')"
+  // Tokenizer oracle: guard blank text — DuckDB regexp_split_to_array('')
+  // returns [''] (1 token) where Spark-side TextAnalysis.tokens returns []
+  // (0 tokens). The CASE makes both engines agree on empty/whitespace-only
+  // documents (ADVICE.md round 1, low #3).
+  private val toks =
+    "(CASE WHEN TRIM(text)='' THEN []::VARCHAR[] ELSE regexp_split_to_array(TRIM(text), '\\s+') END)"
 
   def oracleSql: Map[String, String] = Map(
     "q01_cdc_parse" ->

@@ -1,0 +1,326 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text-dedup / similarity hot paths.
+  *
+  * Round-1 profiling showed the higher-order-function formulations
+  * (`transform`/`aggregate` lambdas) dominating the bench: every lambda
+  * application is an interpreted Catalyst eval, so a 32-permutation MinHash
+  * over a few hundred shingles costs ~10^4 interpreted expression
+  * evaluations *per row* (q25 = 312 s of a 345 s total at sf0.1). These
+  * expressions do the same math in tight JIT-compiled loops — one virtual
+  * call per row from generated code (`ctx.addReferenceObj`), so the
+  * surrounding operators stay inside whole-stage codegen and the per-row
+  * work runs at native speed. At the 100 TB design point these run at
+  * parquet-scan speed; the interpreted HOFs would be the job.
+  *
+  * All hashing is xxhash64 with Spark's default seed 42 (same family the
+  * SQL `xxhash64` function uses), so results are deterministic across
+  * sessions and partitionings. None of these feed a cross-engine oracle —
+  * planted-fixture ScalaTests pin their semantics instead.
+  */
+object Exprs {
+  private[expr] val Seed = 42L
+
+  private[expr] def hashUtf8(s: UTF8String): Long =
+    XxHash64Function.hash(s, StringType, Seed)
+
+  private[expr] def hashLong(v: Long): Long =
+    XxHash64Function.hash(v, LongType, Seed)
+
+  /** Lower-cased whitespace tokens; empty/blank text => zero tokens
+    * (mirrors graft.ops.TextAnalysis.tokens + lower). */
+  private[expr] def tokensOf(text: UTF8String): Array[String] = {
+    val t = text.toString.trim
+    if (t.isEmpty) Array.empty[String]
+    else t.toLowerCase.split("\\s+")
+  }
+
+  // ------------------------------------------------------------ wrappers
+
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
+
+  def minhashSig(hashes: Column, k: Int = 32): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(hashes), k))
+
+  def simhash64(text: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(vec), planes))
+}
+
+/** Distinct xxhash64 values of the word `n`-gram shingles of a text column
+  * (single pass: tokenize, roll the n-gram window, hash the space-joined
+  * shingle, dedup). Texts with fewer than `n` tokens produce the single
+  * shingle of all their tokens — including "" for blank text — matching the
+  * HOF formulation it replaces (see ops/Dedup.scala round-1 history). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = Exprs.tokensOf(text)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length < n) {
+      seen.add(Exprs.hashUtf8(UTF8String.fromString(toks.mkString(" "))))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(Exprs.hashUtf8(UTF8String.fromString(sb.toString)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** k-element MinHash signature over an array<long> of shingle hashes
+  * (Broder '97 min-wise hashing with affine permutations
+  * h_i(x) = (a_i*x + b_i) mod (2^61-1); same parameters as round 1's
+  * Column formulation). One pass over the shingles, k minima updated per
+  * element — k*|shingles| fused multiply-mods in a JIT loop. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "signature length must be >= 1")
+
+  private val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
+  @transient private lazy val as: Array[Long] =
+    (1 to k).map(i => 2L * i * 1103515245L + 12345L | 1L).toArray
+  @transient private lazy val bs: Array[Long] =
+    (1 to k).map(i => i * 134775813L + 1L).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  def compute(hashes: ArrayData): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val m = hashes.numElements()
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = java.lang.Math.floorMod(h * as(j) + bs(j), P)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhasher", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash (Charikar '02) over lower-cased whitespace tokens: bit b
+  * of the signature is the sign of the sum over tokens of
+  * (+1 if bit b of xxhash64(token) else -1). Blank text => 0L. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  def compute(text: UTF8String): Long = {
+    val toks = Exprs.tokensOf(text)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = Exprs.hashUtf8(UTF8String.fromString(toks(i)))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhasher", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Numeric-array element reader shared by the vector expressions: arrays of
+  * float or double, null elements read as 0.0. */
+private[expr] trait VectorReader {
+  protected def elemAt(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (arr.isNullAt(i)) 0.0
+    else if (isFloat) arr.getFloat(i).toDouble
+    else arr.getDouble(i)
+
+  protected def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** Cosine similarity of two numeric vectors in one pass (dot product and
+  * both norms accumulated together); NULL when either norm is zero or the
+  * lengths differ. Sequential index-order accumulation in double, so the
+  * result is deterministic and matches an equivalent sequential oracle. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with VectorReader {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  @transient private lazy val leftIsFloat = isFloatArray(left.dataType)
+  @transient private lazy val rightIsFloat = isFloatArray(right.dataType)
+
+  /** @return java.lang.Double or null (zero vector / length mismatch) */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements()
+    if (na != b.numElements()) return null
+    var dot = 0.0; var n1 = 0.0; var n2 = 0.0
+    var i = 0
+    while (i < na) {
+      val x = elemAt(a, i, leftIsFloat)
+      val y = elemAt(b, i, rightIsFloat)
+      dot += x * y; n1 += x * x; n2 += y * y
+      i += 1
+    }
+    if (n1 == 0.0 || n2 == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(n1) * math.sqrt(n2)))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cos", this, classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |java.lang.Double ${ev.value}_r = $ref.compute($a, $b);
+       |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `planes`-bit hyperplane-LSH bucket (Charikar '02 random projections):
+  * bit p = sign(v . plane_p). Plane components are derived from an integer
+  * mix of (p, j) — xxhash64(p*1000003 + j) scaled into [-1, 1) — so the
+  * planes are reproducible everywhere with zero data movement and no
+  * driver-side state (the round-1 Column version needed a driver `.first()`
+  * to learn the dimension; here it comes from each row's own array). The
+  * per-dimension plane matrix is memoized per expression instance. */
+case class HyperplaneBucket(child: Expression, planes: Int) extends UnaryExpression with VectorReader {
+  require(planes >= 1 && planes <= 63, "planes must be in [1, 63]")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  @transient private lazy val childIsFloat = isFloatArray(child.dataType)
+  @transient private var cachedDim: Int = -1
+  @transient private var cachedPlanes: Array[Array[Double]] = _
+
+  private def planeMatrix(dim: Int): Array[Array[Double]] = {
+    if (cachedDim != dim) {
+      val m = Array.ofDim[Double](planes, dim)
+      var p = 0
+      while (p < planes) {
+        var j = 0
+        while (j < dim) {
+          val mixed = Exprs.hashLong(p.toLong * 1000003L + j)
+          m(p)(j) = ((mixed >>> 11).toDouble / 4503599627370496.0) * 2.0 - 1.0
+          j += 1
+        }
+        p += 1
+      }
+      cachedPlanes = m
+      cachedDim = dim
+    }
+    cachedPlanes
+  }
+
+  def compute(vec: ArrayData): Long = {
+    val dim = vec.numElements()
+    if (dim == 0) return 0L
+    val m = planeMatrix(dim)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val plane = m(p)
+      var proj = 0.0
+      var j = 0
+      while (j < dim) {
+        proj += elemAt(vec, j, childIsFloat) * plane(j)
+        j += 1
+      }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketer", this, classOf[HyperplaneBucket].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}

@@ -56,20 +56,29 @@ object Parse {
     * events. Mirrors app.py:44-53: binary→string cast is the caller's
     * concern (Kafka `value` → `cast("string")`); here we parse, coalesce
     * the two envelope shapes, cast, and filter `event_id IS NOT NULL`.
+    *
+    * The parse sits behind a Generate node (`inline(array(from_json(…)))`)
+    * on purpose: CollapseProject inlines plain projection aliases into
+    * every downstream reference, which duplicated the `from_json` once per
+    * extracted field (5+ full JSON parses per row — measured 2x-13x slower
+    * end-to-end). A Generate is a collapse barrier, so the envelope is
+    * parsed exactly once per row and the per-field work downstream is
+    * attribute access on the parsed struct. A malformed row parses to a
+    * NULL struct => all-NULL fields => dropped by the event_id filter,
+    * exactly like the reference's non-ANSI casts.
     */
   def cdcEvents(raw: DataFrame, jsonCol: String = "json"): DataFrame = {
-    val env = raw.withColumn("_env", from_json(col(jsonCol), envelopeSchema))
-    def f(field: String): Column =
-      coalesce(col(s"_env.payload.after.$field"), col(s"_env.after.$field"))
+    val env = raw.select(inline(array(from_json(col(jsonCol), envelopeSchema))))
+    val a = coalesce(col("payload.after"), col("after"))
     env.select(
-        f("id").cast(LongType).as("event_id"),
-        f("content_id").cast(StringType).as("content_id"),
-        f("user_id").cast(StringType).as("user_id"),
-        f("event_type").as("event_type"),
-        to_timestamp(f("event_ts")).as("event_ts"),
-        f("duration_ms").cast(IntegerType).as("duration_ms"),
-        f("device").as("device"),
-        f("raw_payload").as("raw")
+        a.getField("id").cast(LongType).as("event_id"),
+        a.getField("content_id").cast(StringType).as("content_id"),
+        a.getField("user_id").cast(StringType).as("user_id"),
+        a.getField("event_type").as("event_type"),
+        to_timestamp(a.getField("event_ts")).as("event_ts"),
+        a.getField("duration_ms").cast(IntegerType).as("duration_ms"),
+        a.getField("device").as("device"),
+        a.getField("raw_payload").as("raw")
       )
       .where(col("event_id").isNotNull)
   }

@@ -1,23 +1,49 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each
 SparkEntry.oracleSql in DuckDB over the same testdata parquet and compare
-with the Verify parquet dump (columns sorted by name, rows sorted, values
-compared exactly; floats compared bit-exactly unless --tol)."""
+with the Verify parquet dump.
+
+Alignment: columns sorted by name; rows sorted by the NON-float columns
+only (floats are excluded from the sort key so a tiny cross-engine float
+divergence cannot reorder the two sides differently and cascade into
+spurious mismatches). Float values compare exactly by default; pass
+--tol EPS for relative-epsilon comparison.
+"""
 import json, sys, glob, math
 import duckdb
 
 def canon(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in idx))
+    out = [tuple(r[i] for i in idx) for r in rows]
+    ordered_cols = [cols[i] for i in idx]
+    if out:
+        nonfloat = [i for i in range(len(ordered_cols))
+                    if not any(isinstance(r[i], float) for r in out)]
+    else:
+        nonfloat = []
     def key(t):
-        return tuple((v is None, str(v)) for v in t)
-    return sorted(out, key=key), [cols[i] for i in idx]
+        return tuple((t[i] is None, str(t[i])) for i in nonfloat)
+    return sorted(out, key=key), ordered_cols
+
+def values_eq(a, b, tol):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        if a == b:
+            return True
+        return tol > 0 and abs(a - b) <= tol * max(abs(a), abs(b), 1e-300)
+    return a == b
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tol = 0.0
+    for a in sys.argv[1:]:
+        if a.startswith("--tol"):
+            tol = float(a.split("=", 1)[1]) if "=" in a else 1e-9
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -39,10 +65,7 @@ def main():
         bad = 0
         for sr, dr in zip(s_rows, d_rows):
             for c, (a, b) in zip(s_cols, zip(sr, dr)):
-                eq = (a == b) or (a is None and b is None)
-                if not eq and isinstance(a, float) and isinstance(b, float):
-                    eq = (math.isnan(a) and math.isnan(b)) or a == b
-                if not eq:
+                if not values_eq(a, b, tol):
                     if bad < 3:
                         print(f"  {name}.{c}: spark={a!r} duck={b!r}")
                     bad += 1
