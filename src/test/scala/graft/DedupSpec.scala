@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Planted-duplicate scenarios for the dedup operators — the correctness
+  * story the DuckDB oracle cannot cover (engine-specific hashing). */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact: survivor is min doc_id, dup_cnt counts the group") {
+    val d = docs(
+      (10L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"),
+      (7L, "alpha beta gamma"),
+      (5L, "something else"),
+      (6L, "")) // empty text forms its own group
+    val got = Dedup.exact(d).orderBy("doc_id")
+      .as[(Long, Long)].collect().toList
+    assert(got == List((3L, 3L), (5L, 1L), (6L, 1L)))
+  }
+
+  test("exact: same length, different text are NOT merged (128-bit key)") {
+    val d = docs((1L, "aaaa"), (2L, "bbbb"), (3L, "cccc"))
+    assert(Dedup.exact(d).count() == 3)
+  }
+
+  private val base = (1 to 120).map(i => s"tok$i").mkString(" ")
+  private val near = (1 to 120).map(i => if (i == 60) "CHANGED" else s"tok$i").mkString(" ")
+  private val far = (500 to 620).map(i => s"zzz$i").mkString(" ")
+
+  test("minhashDuplicates finds the planted near-pair and nothing else") {
+    val d = docs((1L, base), (2L, near), (3L, far), (4L, base))
+    val pairs = Dedup.minhashDuplicates(d, tau = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"missing planted near-dup pair, got $pairs")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)), "exact dup must also pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("minhashSurvivors keeps min-id representative and unrelated docs") {
+    val d = docs((1L, base), (2L, near), (3L, far), (4L, base))
+    val survivors = Dedup.minhashSurvivors(d, tau = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L), s"got $survivors")
+  }
+
+  test("minhash jaccard value is the exact shingle jaccard") {
+    val d = docs((1L, base), (2L, near))
+    val j = Dedup.minhashDuplicates(d, tau = 0.1)
+      .select("jaccard").as[Double].head()
+    // 118 shared trigrams of 120; changed word breaks 3 trigrams
+    val shBase = 118; val broken = 3
+    val expect = (shBase - broken + 1 - 1).toDouble / (shBase + broken + broken)
+    // compute directly instead: |A ∩ B| / |A ∪ B| over trigram sets
+    val a = base.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val b = near.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val exact = (a & b).size.toDouble / (a | b).size
+    assert(math.abs(j - exact) < 1e-12, s"got $j expect $exact (sanity $expect)")
+  }
+
+  test("minhash bucket cap drops degenerate buckets") {
+    // 50 identical docs: every band bucket has 50 members; cap=10 => no pairs
+    val d = (1L to 50L).map(i => (i, base)).toDF("doc_id", "text")
+    val sigs = Dedup.signatures(d)
+    assert(Dedup.minhashCandidates(sigs, maxBucket = 10).count() == 0)
+    assert(Dedup.minhashCandidates(sigs, maxBucket = 100).count() == 50L * 49 / 2)
+  }
+
+  test("simhashDuplicates: planted near-pair found with exact hamming, unrelated absent") {
+    val d = docs((1L, base), (2L, near), (3L, far))
+    val got = Dedup.simhashDuplicates(d, maxHamming = 8)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(got.exists(r => r._1 == 1L && r._2 == 2L), s"got ${got.toList}")
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L))
+    val ham = got.find(r => r._1 == 1L && r._2 == 2L).get._3
+    assert(ham >= 0 && ham <= 8)
+  }
+
+  test("embeddingDuplicates: near-identical vectors pair, orthogonal do not") {
+    val v1 = Array.tabulate(16)(i => math.cos(i).toFloat)
+    val v2 = v1.clone(); v2(0) = v2(0) + 0.01f       // ~same direction
+    val v3 = Array.tabulate(16)(i => (if (i % 2 == 0) 1f else -1f) * math.sin(i + 3).toFloat)
+    val d = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingDuplicates(d, minCos = 0.99, planes = 4)
+      .select("vec_a_id", "vec_b_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"got $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

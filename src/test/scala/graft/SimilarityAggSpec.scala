@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Similarity, Aggregate}
+
+class SimilarityAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+
+  test("bruteForceKnn: hand-checkable neighbor order, self excluded") {
+    val d = vecs(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0f, 1f)))       // farthest from 0
+    val got = Similarity.bruteForceKnn(d.where($"vec_id" === 0), d, k = 3)
+      .orderBy("rank").select("nid").as[Long].collect().toList
+    assert(got == List(1L, 2L, 3L))
+  }
+
+  test("lshKnn returns ranked same-bucket neighbors consistent with exact cosine") {
+    // clustered vectors so bucket sharing is likely within a cluster
+    val cluster1 = (0L to 4L).map(i => (i, Array.tabulate(8)(j => (math.cos(j) + i * 1e-3).toFloat)))
+    val cluster2 = (10L to 14L).map(i => (i, Array.tabulate(8)(j => (-math.cos(2 * j) + (i - 10) * 1e-3).toFloat)))
+    val d = vecs((cluster1 ++ cluster2): _*)
+    val got = Similarity.lshKnn(d.where($"vec_id" === 0), d, k = 3, planes = 2)
+    val rows = got.orderBy("rank").collect()
+    assert(rows.nonEmpty, "query must find same-bucket neighbors")
+    // ranks are 1..n without gaps and sims are non-increasing
+    val sims = rows.map(_.getAs[Double]("sim"))
+    assert(sims.sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+    assert(rows.map(_.getAs[Int]("rank")).toList == (1 to rows.length).toList)
+  }
+
+  test("slidingCount keeps only the trailing window relative to max ts") {
+    val d = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 7L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), 7L),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), 8L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = Aggregate.slidingCount(d, "user_id", "ts", windowMinutes = 10)
+      .orderBy("content_id").as[(String, Long)].collect().toList
+    // window = [00:01:00, 00:11:00]: events 2,3 for user 7; event 4 for user 8
+    assert(got == List(("7", 2L), ("8", 1L)))
+  }
+
+  test("leaderboard: ordered by count desc then key, limited to k") {
+    val d = (1 to 10).map(i => (i.toLong, (i % 3).toLong)).toDF("event_id", "user_id")
+    val got = Aggregate.leaderboard(d, "user_id", k = 2).as[(String, Long)].collect().toList
+    // user 1 -> 4 events (1,4,7,10); users 0,2 -> 3 each; tie broken by key asc
+    assert(got == List(("1", 4L), ("0", 3L)))
+  }
+}
