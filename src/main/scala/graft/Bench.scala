@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup outside the timers: JVM/codegen/parquet-reader init otherwise
+    // lands entirely on whichever query happens to run first.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     // noop sink: evaluates EVERY output column distributedly (count() would
     // let Catalyst prune unreferenced projections and under-measure).
     val results = SparkEntry.queries.map { case (name, fn) =>

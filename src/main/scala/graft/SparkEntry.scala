@@ -122,7 +122,18 @@ object SparkEntry {
     "q28_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshKnn(emb.where(col("vec_id") < 5), emb, k = 5, planes = 6)
-    })
+    }),
+    "q29_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d).where(col("doc_id") < 60), n = 2, minJaccard = 0.05)),
+    "q30_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairsExact(Tables.embeddings(s, d).where(col("vec_id") < 200), minCos = 0.35)),
+    // --- multimodal plumbing (binary media + typed metadata; decode STUB) ---
+    "q31_multimodal_meta" -> ((s, d) =>
+      Multimodal.metadata(Multimodal.assets(Tables.documents(s, d)))),
+    "q32_frame_sample" -> ((s, d) =>
+      Multimodal.frameSamples(Multimodal.assets(Tables.documents(s, d)), everyMs = 1000)),
+    "q33_media_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(s, Multimodal.assets(Tables.documents(s, d))))
   )
 
   // ------------------------------------------------------------ oracles
@@ -273,9 +284,49 @@ object SparkEntry {
         |c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
         |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) sim FROM q, c WHERE qid != nid),
         |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rank FROM s)
-        |SELECT qid, nid, rank FROM r WHERE rank <= 5""".stripMargin
-    // q25_minhash_survivors / q26_simhash_sig / q28_ann_lsh intentionally
-    // have no oracle (engine-specific hashing / approximate results);
+        |SELECT qid, nid, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q29_ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+         |         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) sh
+         |  FROM (SELECT doc_id,
+         |        CASE WHEN TRIM(text)='' THEN []::VARCHAR[]
+         |             ELSE regexp_split_to_array(TRIM(lower(text)), '\\s+') END tk
+         |        FROM documents WHERE doc_id < 60))
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(a.sh || b.sh)) jaccard
+         |  FROM t a, t b WHERE a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.05""".stripMargin,
+    "q30_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ve
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id vec_a, b.vec_id vec_b,
+        |  FLOOR(list_cosine_similarity(a.ve, b.ve) * 1000 + 0.5) / 1000.0 cos
+        |FROM v a, v b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.ve, b.ve) >= 0.35""".stripMargin,
+    "q31_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) n,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END mt
+        |  FROM documents)
+        |SELECT doc_id asset_id, mt media_type, n n_bytes,
+        |  CASE WHEN mt <> 'audio' THEN n % 640 + 16 END width,
+        |  CASE WHEN mt <> 'audio' THEN (n * 7) % 480 + 16 END height,
+        |  CASE WHEN mt = 'audio' THEN 16000 END sample_rate,
+        |  CASE WHEN mt <> 'image' THEN (n * 13) % 60000 + 1000 END duration_ms
+        |FROM m""".stripMargin,
+    "q32_frame_sample" ->
+      """WITH m AS (SELECT doc_id asset_id,
+        |    (octet_length(CAST(text AS BLOB)) * 13) % 60000 + 1000 duration_ms
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT asset_id, duration_ms, offset_ms // 1000 frame_idx, offset_ms
+        |FROM (SELECT asset_id, duration_ms,
+        |        unnest(range(0, duration_ms + 1, 1000)) offset_ms FROM m)""".stripMargin
+    // q25_minhash_survivors / q26_simhash_sig / q28_ann_lsh /
+    // q33_media_features intentionally have no oracle (engine-specific
+    // hashing / approximate results / mapPartitions stub codec);
     // ScalaTest covers their semantics with planted fixtures.
   )
 }

@@ -133,6 +133,34 @@ object Dedup {
     documents.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Exact n-gram jaccard between document pairs sharing at least one
+    * shingle — the ground truth the MinHash path approximates, in the
+    * inverted-index shape: explode distinct shingles, equi-join postings on
+    * the shingle, count co-occurrences (= |A ∩ B|), and derive
+    * jaccard = c / (|A| + |B| - c). No cartesian product and no per-pair
+    * array intersections: the joins/aggregations are all equi-keyed, so the
+    * same plan scales to a cluster (caveat at 100 TB: cap document
+    * frequency of hot shingles before the self-join — a shingle in k docs
+    * emits k^2 pair rows; stopword-like shingles should be dropped the way
+    * search engines drop them from inverted indexes). */
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 2,
+                        minJaccard: Double = 0.05): DataFrame = {
+    val sh = documents.select(col("doc_id"),
+      array_distinct(shingles(col("text"), n)).as("sh"))
+      .persist() // reused by postings (twice) + sizes; tiny relative to docs
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val postings = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    postings.as("l").join(postings.as("r"),
+        col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash signature (Charikar '02), codegen'd single pass over

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: media as
+  * opaque `binary` columns with typed metadata, decode / feature-extract /
+  * frame-sample as distributed batch transforms.
+  *
+  * The Spark-side architecture is the real thing — schema, partitioning,
+  * batched mapPartitions shape (what a pandas_udf/mapInPandas does in
+  * PySpark, expressed natively in Scala) — while the codec itself is a
+  * clearly-marked DETERMINISTIC STUB: this container has no image/audio
+  * libraries, so `decodeFeatures` computes a byte-histogram "embedding"
+  * and `metadata` derives dimensions arithmetically from the byte length.
+  * Swapping the stub for a JNI/ffmpeg/ImageIO call changes one function
+  * and nothing about the distributed plan.
+  *
+  * Scale notes: media bytes never shuffle — every transform here is a
+  * narrow map over the scan (metadata/frames are pure projections; feature
+  * extraction is mapPartitions with batched iteration, no state). Outputs
+  * carry asset_id so joins back to metadata are key-only shuffles.
+  */
+object Multimodal {
+
+  /** Wrap the documents table as a media-asset table: the text bytes stand
+    * in for an encoded media payload (UTF-8 binary), media_type cycles
+    * image/audio/video deterministically. */
+  def assets(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("asset_id"),
+      col("text").cast("binary").as("media"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"))
+
+  /** Typed metadata "decoded" from the payload — STUB decode: all fields
+    * are deterministic integer arithmetic on the byte length, so the
+    * result is DuckDB-oracle-checkable. Field shape mirrors a real
+    * image/audio/video header probe (null where the modality lacks the
+    * field, like nullable Parquet columns from a real prober). */
+  def metadata(assets: DataFrame): DataFrame = {
+    val n = length(col("media")) // byte length of the binary payload
+    assets.select(
+      col("asset_id"),
+      col("media_type"),
+      n.as("n_bytes"),
+      when(col("media_type") =!= "audio", n % 640 + 16).as("width"),
+      when(col("media_type") =!= "audio", (n * 7) % 480 + 16).as("height"),
+      when(col("media_type") === "audio", 16000).as("sample_rate"),
+      when(col("media_type") =!= "image", (n * 13) % 60000 + 1000).as("duration_ms"))
+  }
+
+  /** Frame sampling for video assets: one row per sampled frame offset.
+    * A narrow generate (explode of a per-row sequence) — no shuffle; at
+    * scale the row explosion factor is duration/interval, bounded by the
+    * CASE cap. */
+  def frameSamples(assets: DataFrame, everyMs: Int = 1000): DataFrame =
+    metadata(assets)
+      .where(col("media_type") === "video")
+      .select(col("asset_id"), col("duration_ms"),
+        posexplode(sequence(lit(0), col("duration_ms"), lit(everyMs))))
+      .toDF("asset_id", "duration_ms", "frame_idx", "offset_ms")
+
+  /** Batched feature extraction over the binary payload — the mapInPandas
+    * shape: iterate the partition in fixed-size batches (what Arrow record
+    * batches are to a pandas UDF), run the "codec" per batch, emit rows.
+    *
+    * STUB CODEC: a 16-bin byte histogram normalized to unit L1 — stands in
+    * for decode+embed. Deterministic, partitioning-independent. */
+  def decodeFeatures(spark: SparkSession, assets: DataFrame,
+                     batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select(col("asset_id").cast("long"), col("media"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "codec call" per batch, like a pandas UDF receiving a
+          // record batch; the stub is per-asset but the shape is batched
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val hist = new Array[Float](16)
+            var i = 0
+            while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+            val total = math.max(bytes.length, 1).toFloat
+            var j = 0
+            while (j < 16) { hist(j) /= total; j += 1 }
+            Row(id, hist.toSeq)
+          }
+        }
+      }(enc)
+  }
+}

@@ -44,6 +44,22 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Exact near-duplicate pairs over a (SMALL) vector set: all pairs with
+    * cosine >= minCos, similarity emitted floor-rounded to 3 decimals
+    * (engine-independent rounding — see ops/Relational round2 note). The
+    * quadratic all-pairs form is the oracle ground truth; the scale path
+    * is Dedup.embeddingDuplicates (hyperplane-LSH candidates + exact
+    * verify). */
+  def nearDupPairsExact(embeddings: DataFrame, minCos: Double = 0.35,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("l").join(v.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"),
+        cosine(col("l.v"), col("r.v")).as("c"))
+      .where(col("c") >= minCos)
+      .select(col("vec_a"), col("vec_b"), (floor(col("c") * 1000 + 0.5) / 1000.0).as("cos"))
+  }
+
   /** `planes`-bit LSH bucket of a vector: bit p = sign(v . plane_p).
     * Deterministic pseudo-random hyperplanes derived per (plane, component)
     * from an integer mix — reproducible across sessions with zero data

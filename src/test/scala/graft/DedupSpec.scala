@@ -69,6 +69,21 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.minhashCandidates(sigs, maxBucket = 100).count() == 50L * 49 / 2)
   }
 
+  test("ngramJaccardPairs equals hand-computed bigram jaccard") {
+    val d = docs(
+      (1L, "a b c d"),          // bigrams: ab, bc, cd
+      (2L, "a b c e"),          // bigrams: ab, bc, ce -> inter 2, union 4 -> 0.5
+      (3L, "x y"),              // bigram: xy -> no overlap
+      (4L, "a b"))              // bigram: ab -> inter 1 with d1 (union 3), d2 (union 3)
+    val got = Dedup.ngramJaccardPairs(d, n = 2, minJaccard = 0.0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got((1L, 2L)) == 0.5)
+    assert(got((1L, 4L)) == 1.0 / 3)
+    assert(got((2L, 4L)) == 1.0 / 3)
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhashDuplicates: planted near-pair found with exact hamming, unrelated absent") {
     val d = docs((1L, base), (2L, near), (3L, far))
     val got = Dedup.simhashDuplicates(d, maxHamming = 8)
