@@ -133,7 +133,16 @@ object SparkEntry {
     "q32_frame_sample" -> ((s, d) =>
       Multimodal.frameSamples(Multimodal.assets(Tables.documents(s, d)), everyMs = 1000)),
     "q33_media_features" -> ((s, d) =>
-      Multimodal.decodeFeatures(s, Multimodal.assets(Tables.documents(s, d))))
+      Multimodal.decodeFeatures(s, Multimodal.assets(Tables.documents(s, d)))),
+    "q34_bpe_tokens" -> ((s, d) =>
+      TextAnalysis.bpeStats(Tables.documents(s, d))),
+    "q35_sessions" -> ((s, d) =>
+      Sessionize.sessions(Tables.events(s, d), "user_id", "ts", gapMinutes = 60)),
+    "q36_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.fitCentroids(emb, nlist = 8)
+      Similarity.ivfKnn(emb.where(col("vec_id") < 5), emb, centroids, k = 5, nprobe = 3)
+    })
   )
 
   // ------------------------------------------------------------ oracles
@@ -323,10 +332,34 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT asset_id, duration_ms, offset_ms // 1000 frame_idx, offset_ms
         |FROM (SELECT asset_id, duration_ms,
-        |        unnest(range(0, duration_ms + 1, 1000)) offset_ms FROM m)""".stripMargin
+        |        unnest(range(0, duration_ms + 1, 1000)) offset_ms FROM m)""".stripMargin,
+    "q34_bpe_tokens" ->
+      """SELECT doc_id,
+        |  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) n_bpe,
+        |  LEN(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) n_uniq,
+        |  LEN(regexp_extract_all(text, '[A-Za-z]+')) n_word,
+        |  LEN(regexp_extract_all(text, '[0-9]+')) n_num,
+        |  LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) n_punct
+        |FROM documents""".stripMargin,
+    "q35_sessions" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) tsu,
+        |             epoch_us(date_trunc('microseconds', ts)) us FROM events),
+        |b AS (SELECT user_id, event_id, tsu, us,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                  > 3600000000 THEN 1 ELSE 0 END bnd
+        |      FROM e),
+        |s AS (SELECT user_id, tsu,
+        |        SUM(bnd) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING) session_idx
+        |      FROM b)
+        |SELECT user_id, session_idx, COUNT(*) n_events,
+        |  MIN(tsu) session_start, MAX(tsu) session_end,
+        |  (epoch_us(MAX(tsu)) - epoch_us(MIN(tsu))) / 1000000.0 duration_s
+        |FROM s GROUP BY user_id, session_idx""".stripMargin
     // q25_minhash_survivors / q26_simhash_sig / q28_ann_lsh /
-    // q33_media_features intentionally have no oracle (engine-specific
-    // hashing / approximate results / mapPartitions stub codec);
-    // ScalaTest covers their semantics with planted fixtures.
+    // q33_media_features / q36_ann_ivf intentionally have no oracle
+    // (engine-specific hashing / approximate results / stub codec /
+    // kmeans-dependent recall); ScalaTest covers their semantics with
+    // planted fixtures and recall bounds.
   )
 }

@@ -59,6 +59,9 @@ object Exprs {
 
   def hyperplaneBucket(vec: Column, planes: Int): Column =
     ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(vec), planes))
+
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    ExpressionUtils.column(NearestCentroids(ExpressionUtils.expression(vec), centroids, nprobe))
 }
 
 /** Distinct xxhash64 values of the word `n`-gram shingles of a text column
@@ -322,5 +325,68 @@ case class HyperplaneBucket(child: Expression, planes: Int) extends UnaryExpress
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** IDs of the `nprobe` nearest centroids (squared-L2) for a vector — the
+  * IVF coarse-quantizer assignment, evaluated per row in a JIT loop
+  * against a centroid matrix shipped inside the plan (nlist x dim doubles,
+  * a few KB — the same data a broadcast would carry, without a join).
+  * Output is ordered nearest-first; nprobe=1 gives the owning list. */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+  extends UnaryExpression with VectorReader {
+  require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.size)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val childIsFloat = isFloatArray(child.dataType)
+  @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  def compute(vec: ArrayData): ArrayData = {
+    val dim = vec.numElements()
+    val nlist = cents.length
+    val d2 = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val cent = cents(c)
+      val n = math.min(dim, cent.length)
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val d = elemAt(vec, j, childIsFloat) - cent(j)
+        s += d * d
+        j += 1
+      }
+      d2(c) = s
+      c += 1
+    }
+    // selection of nprobe smallest (nlist is small — tens to thousands)
+    val out = new Array[Int](nprobe)
+    val used = new Array[Boolean](nlist)
+    var p = 0
+    while (p < nprobe) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < nlist) {
+        if (!used(i) && d2(i) < bestD) { bestD = d2(i); best = i }
+        i += 1
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivf", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
 }

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization: split each user's event stream into sessions separated
+  * by inactivity gaps > `gapMinutes`.
+  *
+  * Batch form (here): the classic lag/cumsum window formulation —
+  * session boundary where ts - lag(ts) > gap, session index = running sum
+  * of boundaries, then one aggregate per (user, session). Two shuffles
+  * (window partition + final group), both keyed on user_id so at scale
+  * they reuse one hash partitioning (Exchange reuse); fully
+  * SQL-expressible, so this one is DuckDB-oracle-checked.
+  *
+  * Streaming form: graft.streaming.Sessionize uses
+  * flatMapGroupsWithState + event-time timeout — same output, incremental
+  * state; StreamingSpec asserts stream == batch.
+  *
+  * Timestamps compare in microseconds (unix_micros) — the exact precision
+  * Spark carries; the oracle truncates its nanosecond source the same way
+  * (FIXTURES.md gotcha).
+  */
+object Sessionize {
+
+  def sessions(events: DataFrame, keyCol: String = "user_id", tsCol: String = "ts",
+               gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(us, col("event_id"))
+    val boundary = when(us - lag(us, 1).over(w) > gapUs, 1).otherwise(0)
+    events
+      .withColumn("_b", boundary)
+      .withColumn("session_idx", sum(col("_b")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+      .withColumn("duration_s",
+        (unix_micros(col("session_end")) - unix_micros(col("session_start"))) / lit(1000000.0))
+  }
+}

@@ -71,6 +71,45 @@ object Similarity {
   def withBucket(df: DataFrame, vecCol: String, planes: Int = 12): DataFrame =
     df.withColumn("bucket", lshBucket(col(vecCol), planes))
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Train the IVF coarse quantizer: k-means centroids over (a sample of)
+    * the corpus. At 100 TB you fit on a ~1M-row sample — the quantizer
+    * quality barely moves past that; here the corpus is small enough to
+    * fit on everything. Deterministic via fixed seed. */
+  def fitCentroids(corpus: DataFrame, nlist: Int, vecCol: String = "embedding",
+                   seed: Long = 42L, maxIter: Int = 10): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(feats)
+      .clusterCenters.map(_.toArray)
+  }
+
+  /** IVF-Flat approximate top-k: corpus vectors are assigned to their
+    * nearest centroid's inverted list (a codegen'd per-row expression — no
+    * shuffle, no broadcast join); each query probes its `nprobe` nearest
+    * lists and ranks those candidates exactly. Scan cost ~ nprobe/nlist of
+    * the corpus; recall grows with nprobe. The classic IVF trade-off
+    * (Jégou et al., and every FAISS deployment) expressed as two equi-joins
+    * Catalyst already knows how to schedule. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, centroids: Array[Array[Double]],
+             k: Int = 5, nprobe: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.map(_.toSeq).toSeq
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("list_id", Exprs.nearestCentroids(col("nvec"), cents, 1).getItem(0))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("list_id", explode(Exprs.nearestCentroids(col("qvec"), cents, nprobe))))
+    val scored = c.join(q, Seq("list_id"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
   /** Approximate top-k: exact ranking restricted to same-bucket candidates.
     * Lower `planes` => bigger buckets => higher recall & cost. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int = 5, planes: Int = 8,

@@ -87,6 +87,27 @@ object TextAnalysis {
         .otherwise("fr").as("lang_guess"))
   }
 
+  /** BPE-ish subword tokenization by regex (the GPT-2-style pre-tokenizer
+    * shape: letter runs | digit runs | single punctuation, whitespace
+    * dropped) — the token-counting pass a training-data pipeline runs to
+    * budget documents. Pure regexp_extract_all: codegen'd, scan-speed,
+    * reproducible in any RE2/Java-regex engine, hence DuckDB-oracled. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeStats(documents: DataFrame): DataFrame = {
+    val toks = bpeTokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_bpe"),
+      size(array_distinct(toks)).as("n_uniq"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_word"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"))
+  }
+
   /** Polynomial rolling-hash document fingerprint over tokens:
     * acc' = (acc*31 + len(tok)*131 + ascii(tok[0])) mod 1e9+7.
     * Engine-neutral (no builtin hash), collision-adequate for grouping

@@ -33,6 +33,25 @@ class SimilarityAggSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Int]("rank")).toList == (1 to rows.length).toList)
   }
 
+  test("ivfKnn: well-formed ranks; full-probe IVF equals brute force") {
+    val d = vecs((0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => (math.sin(i * 0.7 + j) * (1 + (i % 5) * 0.1)).toFloat))): _*)
+    val centroids = graft.ops.Similarity.fitCentroids(d, nlist = 4)
+    assert(centroids.length == 4 && centroids.forall(_.length == 8))
+    val queries = d.where($"vec_id" < 3)
+    // nprobe = nlist => every list probed => identical to exact knn
+    val full = graft.ops.Similarity.ivfKnn(queries, d, centroids, k = 5, nprobe = 4)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = graft.ops.Similarity.bruteForceKnn(queries, d, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == exact, "nprobe=nlist must reduce to exact search")
+    // partial probe: ranks contiguous from 1, results subset of same-probe space
+    val part = graft.ops.Similarity.ivfKnn(queries, d, centroids, k = 5, nprobe = 2)
+      .orderBy("qid", "rank").collect()
+    val byQ = part.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.values.forall(rs => rs.map(_.getAs[Int]("rank")).toList == (1 to rs.length).toList))
+  }
+
   test("slidingCount keeps only the trailing window relative to max ts") {
     val d = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
