@@ -142,7 +142,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val centroids = Similarity.fitCentroids(emb, nlist = 8)
       Similarity.ivfKnn(emb.where(col("vec_id") < 5), emb, centroids, k = 5, nprobe = 3)
-    })
+    }),
+    "q37_quantiles" -> ((s, d) =>
+      Relational.quantiles(Tables.lineitem(s, d))),
+    "q38_cube" -> ((s, d) =>
+      Relational.cubeSummary(Tables.lineitem(s, d))),
+    // SQL-text interface: the IDENTICAL string runs on Spark and DuckDB
+    "q39_sql_shipping_priority" -> ((s, d) =>
+      Sql.run(s, d, Sql.shippingPriority))
   )
 
   // ------------------------------------------------------------ oracles
@@ -355,7 +362,16 @@ object SparkEntry {
         |SELECT user_id, session_idx, COUNT(*) n_events,
         |  MIN(tsu) session_start, MAX(tsu) session_end,
         |  (epoch_us(MAX(tsu)) - epoch_us(MIN(tsu))) / 1000000.0 duration_s
-        |FROM s GROUP BY user_id, session_idx""".stripMargin
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "q37_quantiles" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
+      s"""SELECT l_returnflag, CAST($p AS DOUBLE) p,
+         |  FLOOR(quantile_cont(l_extendedprice, $p) * 100 + 0.5) / 100.0 q
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+    "q38_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) cnt, ${decSum("l_quantity")} sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q39_sql_shipping_priority" -> ops.Sql.shippingPriority
     // q25_minhash_survivors / q26_simhash_sig / q28_ann_lsh /
     // q33_media_features / q36_ann_ivf intentionally have no oracle
     // (engine-specific hashing / approximate results / stub codec /

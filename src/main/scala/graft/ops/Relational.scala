@@ -138,6 +138,33 @@ object Relational {
       .select(col("r.op").as("op"), col("r.cnt").as("cnt"))
   }
 
+  /** Exact interpolated quantiles (R-7 / quantile_cont semantics — what
+    * both Spark `percentile` and DuckDB `quantile_cont` implement) of the
+    * extended price per return flag, floor-rounded for engine-independent
+    * float output. Exact percentile sorts per group — the scale story is
+    * approx_percentile (t-digest) which trades the sort for a mergeable
+    * sketch; this is the oracle-able exact form. */
+  def quantiles(lineitem: DataFrame,
+                ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"),
+        array(ps.map(lit): _*)).as("qs"))
+      .select(col("l_returnflag"),
+        posexplode(col("qs")).as(Seq("pos", "q")))
+      .select(col("l_returnflag"),
+        element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+        (floor(col("q") * 100 + 0.5) / 100.0).as("q"))
+
+  /** CUBE aggregation over (returnflag, linestatus): all 2^2 grouping
+    * combinations in one pass (Expand + single aggregate — the same
+    * shuffle count as a plain groupBy, with 4x the map-side rows). */
+  def cubeSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+
   /** Grouped top-k: 3 most active users per event_type (explicit tie-break
     * on user_id so the result is a deterministic set). */
   def topUsersPerEventType(events: DataFrame, k: Int = 3): DataFrame = {

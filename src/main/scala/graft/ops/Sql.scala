@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.Tables
+
+/** ANSI-SQL text interface: the testdata star schema registered as temp
+  * views so `spark.sql(...)` works against the same tables the DataFrame
+  * operators read. Queries written in the shared dialect (ANSI constructs
+  * both Spark and DuckDB parse) run BYTE-IDENTICAL on both engines — the
+  * strongest form of the oracle check, exercising Spark's SQL parser,
+  * analyzer and Catalyst end-to-end rather than just the DataFrame DSL. */
+object Sql {
+
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { t =>
+      (t match {
+        case "events" => Tables.events(spark, sfDir) // ns->us ts normalization
+        case _ => Tables.load(spark, sfDir, t)
+      }).createOrReplaceTempView(t)
+    }
+
+  def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(sql)
+  }
+
+  /** TPC-H Q3-shaped shipping-priority query, in the shared dialect —
+    * 3-table join, date-range filters, decimal-exact revenue, top-10. */
+  val shippingPriority: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+}
