@@ -155,12 +155,12 @@ object SparkEntry {
   // ------------------------------------------------------------ oracles
 
   private val decSum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(38,10))) AS DOUBLE)"
-  // Tokenizer oracle: guard blank text — DuckDB regexp_split_to_array('')
-  // returns [''] (1 token) where Spark-side TextAnalysis.tokens returns []
-  // (0 tokens). The CASE makes both engines agree on empty/whitespace-only
-  // documents (ADVICE.md round 1, low #3).
+  // Tokenizer oracle: split on \s+ then drop empty fragments — mirrors
+  // TextAnalysis.tokens exactly, including blank text => [] and tab/newline
+  // padding (SQL TRIM strips only spaces, so a trim-based formulation
+  // produced phantom empty tokens; found by PropertySpec round 2).
   private val toks =
-    "(CASE WHEN TRIM(text)='' THEN []::VARCHAR[] ELSE regexp_split_to_array(TRIM(text), '\\s+') END)"
+    "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
 
   def oracleSql: Map[String, String] = Map(
     "q01_cdc_parse" ->
@@ -307,8 +307,7 @@ object SparkEntry {
          |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
          |         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) sh
          |  FROM (SELECT doc_id,
-         |        CASE WHEN TRIM(text)='' THEN []::VARCHAR[]
-         |             ELSE regexp_split_to_array(TRIM(lower(text)), '\\s+') END tk
+         |        list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') tk
          |        FROM documents WHERE doc_id < 60))
          |SELECT doc_a, doc_b, jaccard FROM (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b,

@@ -115,33 +115,41 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** k-element MinHash signature over an array<long> of shingle hashes
-  * (Broder '97 min-wise hashing with affine permutations
-  * h_i(x) = (a_i*x + b_i) mod (2^61-1); same parameters as round 1's
-  * Column formulation). One pass over the shingles, k minima updated per
-  * element — k*|shingles| fused multiply-mods in a JIT loop. */
+  * (Broder '97 min-wise hashing). Each "permutation" j is a strong 64-bit
+  * mix of (h XOR phi*j) — the splitmix64 finalizer (Steele et al. '14 /
+  * Vigna, public domain) — rather than an affine (a*h+b) mod P map: the
+  * affine form is ORDER-PRESERVING whenever a*h fits below the modulus, so
+  * for small/clustered hash values every permutation picks the same
+  * argmin and the signature degenerates (caught by PropertySpec's
+  * jaccard-agreement property: non-identical sets agreed on 0/64
+  * positions). One pass over the shingles, k mixes per element in a JIT
+  * loop; minima compared as unsigned. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, "signature length must be >= 1")
 
-  private val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
-  @transient private lazy val as: Array[Long] =
-    (1 to k).map(i => 2L * i * 1103515245L + 12345L | 1L).toArray
-  @transient private lazy val bs: Array[Long] =
-    (1 to k).map(i => i * 134775813L + 1L).toArray
+  private final val Phi = -7046029254386353131L // 0x9E3779B97F4A7C15
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 30); z *= -4658895280553007687L // 0xBF58476D1CE4E5B9
+    z ^= (z >>> 27); z *= -7723592293110705685L // 0x94D049BB133111EB
+    z ^ (z >>> 31)
+  }
+
   def compute(hashes: ArrayData): ArrayData = {
     val sig = new Array[Long](k)
-    java.util.Arrays.fill(sig, Long.MaxValue)
+    java.util.Arrays.fill(sig, -1L) // unsigned max
     val m = hashes.numElements()
     var i = 0
     while (i < m) {
       val h = hashes.getLong(i)
       var j = 0
       while (j < k) {
-        val v = java.lang.Math.floorMod(h * as(j) + bs(j), P)
-        if (v < sig(j)) sig(j) = v
+        val v = mix(h ^ (Phi * (j + 1)))
+        if (java.lang.Long.compareUnsigned(v, sig(j)) < 0) sig(j) = v
         j += 1
       }
       i += 1

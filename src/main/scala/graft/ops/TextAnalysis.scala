@@ -21,10 +21,14 @@ object TextAnalysis {
 
   private val ws = "\\s+"
 
-  /** Whitespace tokens of a trimmed text column (empty -> empty array). */
+  /** Whitespace tokens: split on \s+ and drop empty fragments. The
+    * split-then-filter form (rather than trim-then-split) is deliberate:
+    * SQL `trim` strips only SPACE characters, so a tab- or newline-padded
+    * string would produce phantom empty tokens at the edges (found by the
+    * PropertySpec adversarial-whitespace generator); filtering empties
+    * handles every \s character uniformly and makes blank text => []. */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), ws))
+    filter(split(text, ws), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

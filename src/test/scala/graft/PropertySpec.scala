@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.expr.Exprs
+import graft.ops.TextAnalysis
+
+/** Generator-driven properties, table-style: ScalaCheck generates a corpus
+  * of adversarial inputs once, ONE Spark job evaluates the operator over
+  * all of them, and each row is checked against an independent JVM-side
+  * reference implementation. (Per-sample forAll would spin a Spark job per
+  * case — same coverage, two orders of magnitude slower.) */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  // strings heavy on whitespace edge cases: empty, blanks, tabs/newlines,
+  // repeated tokens, unicode
+  private val textGen: Gen[String] = Gen.frequency(
+    1 -> Gen.const(""),
+    1 -> Gen.const("   \t \n "),
+    3 -> Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(" "),
+      Gen.const("\t"), Gen.const("héllo"), Gen.const("中文")))
+      .map(_.mkString(" ")),
+    3 -> Gen.alphaStr.map(_.take(40)))
+
+  private def refTokens(s: String): Seq[String] = {
+    val t = s.trim
+    if (t.isEmpty) Seq.empty else t.split("\\s+").toSeq
+  }
+
+  test("property: tokenCount == reference whitespace tokenizer on adversarial strings") {
+    val texts = samples(textGen, 200, seed = 7L)
+    val got = texts.toDF("text")
+      .select(col("text"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[(String, Int)].collect()
+    got.foreach { case (s, n) =>
+      assert(n == refTokens(s).length, s"tokenCount mismatch for ${s.take(40).inspect}")
+    }
+  }
+
+  test("property: ShingleHashes cardinality == distinct reference n-grams (lowercased)") {
+    val texts = samples(textGen, 150, seed = 11L)
+    val got = texts.toDF("text")
+      .select(col("text"), size(Exprs.shingleHashes(col("text"), 3)).as("n"))
+      .as[(String, Int)].collect()
+    got.foreach { case (s, n) =>
+      val toks = refTokens(s.toLowerCase)
+      val expect =
+        if (toks.length < 3) 1 // single whole-text shingle (possibly "")
+        else toks.sliding(3).map(_.mkString(" ")).toSet.size
+      assert(n == expect, s"shingle count mismatch for ${s.take(40).inspect}")
+    }
+  }
+
+  test("property: CosineSim(v, a*v) == 1 for any nonzero v and a>0; symmetric") {
+    val vecGen = Gen.chooseNum(1, 16).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-100, 100).map(_ / 10.0f)))
+      .suchThat(v => v.exists(x => x != 0f))
+    val scaleGen = Gen.chooseNum(1, 50).map(_ / 10.0f)
+    val data = samples(Gen.zip(vecGen, scaleGen), 100, seed = 13L)
+      .map { case (v, a) => (v.toArray, v.map(_ * a).toArray) }
+    val got = data.toDF("a", "b").select(
+      Exprs.cosineSim(col("a"), col("b")).as("ab"),
+      Exprs.cosineSim(col("b"), col("a")).as("ba"))
+      .as[(Option[Double], Option[Double])].collect()
+    got.foreach { case (ab, ba) =>
+      assert(ab.isDefined && math.abs(ab.get - 1.0) < 1e-5, s"cos(v, a*v) = $ab")
+      assert(ab == ba, "cosine must be symmetric")
+    }
+  }
+
+  test("property: MinHashSig positions agree more for higher-jaccard sets") {
+    // deterministic structured check: overlapping integer sets with known
+    // jaccard; signature agreement rate must correlate
+    val base = (1L to 200L).toArray
+    def variant(drop: Int): Array[Long] = base.drop(drop) ++ (1000L until (1000L + drop))
+    val rows = Seq(0, 20, 100, 180).map(d => (d, base, variant(d)))
+    val got = rows.toDF("drop", "a", "b").select(col("drop"),
+      Exprs.minhashSig(col("a"), 64).as("sa"), Exprs.minhashSig(col("b"), 64).as("sb"))
+      .as[(Int, Seq[Long], Seq[Long])].collect()
+      .map { case (d, sa, sb) => d -> sa.zip(sb).count { case (x, y) => x == y } }
+      .toMap
+    assert(got(0) == 64, "identical sets => identical signatures")
+    assert(got(20) > got(100), s"agreement must fall with jaccard: $got")
+    assert(got(100) > got(180), s"agreement must fall with jaccard: $got")
+  }
+
+  private implicit class Inspect(s: String) {
+    def inspect: String = s.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString
+  }
+}
