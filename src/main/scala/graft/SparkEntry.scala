@@ -149,7 +149,15 @@ object SparkEntry {
       Relational.cubeSummary(Tables.lineitem(s, d))),
     // SQL-text interface: the IDENTICAL string runs on Spark and DuckDB
     "q39_sql_shipping_priority" -> ((s, d) =>
-      Sql.run(s, d, Sql.shippingPriority))
+      Sql.run(s, d, Sql.shippingPriority)),
+    "q40_pivot" -> ((s, d) =>
+      Relational.eventPivot(Tables.events(s, d))),
+    "q41_running_revenue" -> ((s, d) =>
+      Relational.runningRevenue(Tables.orders(s, d))),
+    // same contract as q14, executed by the typed TopK Aggregator
+    // (bounded k-element partial aggregation) instead of a window sort
+    "q42_topk_aggregator" -> ((s, d) =>
+      TopK.topUsersPerEventType(Tables.events(s, d), 3))
   )
 
   // ------------------------------------------------------------ oracles
@@ -370,7 +378,29 @@ object SparkEntry {
     "q38_cube" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) cnt, ${decSum("l_quantity")} sum_qty
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
-    "q39_sql_shipping_priority" -> ops.Sql.shippingPriority
+    "q39_sql_shipping_priority" -> ops.Sql.shippingPriority,
+    "q40_pivot" ->
+      """SELECT CAST(user_id % 10 AS INT) user_decile,
+        |  COUNT(*) FILTER (event_type = 'view') "view",
+        |  COUNT(*) FILTER (event_type = 'click') click,
+        |  COUNT(*) FILTER (event_type = 'purchase') purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') signup,
+        |  COUNT(*) FILTER (event_type = 'error') error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q41_running_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) running_total,
+        |  dense_rank() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_orderdate, o_orderkey) order_seq
+        |FROM orders""".stripMargin,
+    "q42_topk_aggregator" ->
+      """SELECT event_type, user_id, cnt, rk FROM (
+        |  SELECT event_type, user_id, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) rk
+        |  FROM (SELECT event_type, user_id, COUNT(*) cnt FROM events GROUP BY 1,2))
+        |WHERE rk <= 3""".stripMargin
     // q25_minhash_survivors / q26_simhash_sig / q28_ann_lsh /
     // q33_media_features / q36_ann_ivf intentionally have no oracle
     // (engine-specific hashing / approximate results / stub codec /

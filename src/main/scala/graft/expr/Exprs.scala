@@ -62,6 +62,9 @@ object Exprs {
 
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     ExpressionUtils.column(NearestCentroids(ExpressionUtils.expression(vec), centroids, nprobe))
+
+  def shingleStrings(text: Column, n: Int = 3): Column =
+    ExpressionUtils.column(ShingleStrings(ExpressionUtils.expression(text), n))
 }
 
 /** Distinct xxhash64 values of the word `n`-gram shingles of a text column
@@ -396,5 +399,51 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], npro
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** Word n-gram shingle STRINGS (the un-hashed twin of ShingleHashes, for
+  * operators whose output must be reproducible in a SQL oracle): one pass,
+  * lower-cased whitespace tokens, space-joined n-grams, duplicates kept
+  * (callers dedup explicitly when set semantics are wanted). Replaces a
+  * higher-order-function formulation whose tokenizer was re-evaluated per
+  * output shingle — O(tokens^2) interpreted work per row. */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = Exprs.tokensOf(text)
+    if (toks.length < n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    } else {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleStr", this, classOf[ShingleStrings].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
     copy(child = newChild)
 }

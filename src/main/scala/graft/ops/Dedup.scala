@@ -50,14 +50,12 @@ object Dedup {
 
   /** Word n-gram shingle strings of normalized text (used where the
     * *strings* are needed cross-engine, e.g. the jaccard oracle query;
-    * the minhash path hashes them directly via Exprs.shingleHashes). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+    * the minhash path hashes them directly via Exprs.shingleHashes).
+    * Codegen'd single pass — the previous HOF formulation re-ran the
+    * tokenizer once per output shingle (O(tokens^2) interpreted evals;
+    * q29 at sf0.1: 19.8s -> sub-second). */
+  def shingles(text: Column, n: Int = 3): Column =
+    Exprs.shingleStrings(text, n)
 
   /** Distinct 64-bit shingle hashes per document (codegen'd single pass). */
   def shingleHashes(text: Column, n: Int = 3): Column =

@@ -165,6 +165,37 @@ object Relational {
       .agg(count(lit(1)).as("cnt"),
         sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
 
+  /** Pivot: event counts per user decile, one column per event type.
+    * Explicit value list — with it, Spark skips the extra distinct-values
+    * job AND the output schema is stable (an implicit pivot at 100 TB
+    * first scans everything just to learn the columns). */
+  def eventPivot(events: DataFrame,
+                 types: Seq[String] = Seq("view", "click", "purchase", "signup", "error")): DataFrame = {
+    val p = events
+      .withColumn("user_decile", (col("user_id") % 10).cast("int"))
+      .groupBy(col("user_decile"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    // pivot leaves absent (group, value) combinations NULL; a count is 0
+    p.select(col("user_decile") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** Running revenue + dense order rank per customer — window frames
+    * beyond row_number: a cumulative ROWS frame and dense_rank share one
+    * window partition/sort, so Catalyst evaluates both in a single Window
+    * operator after a single shuffle+sort on o_custkey. */
+  def runningRevenue(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      sum(col("o_totalprice").cast(dec)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_total"),
+      dense_rank().over(w).as("order_seq"))
+  }
+
   /** Grouped top-k: 3 most active users per event_type (explicit tie-break
     * on user_id so the result is a deterministic set). */
   def topUsersPerEventType(events: DataFrame, k: Int = 3): DataFrame = {
