@@ -165,6 +165,19 @@ object Relational {
       .agg(count(lit(1)).as("cnt"),
         sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
 
+  /** Sketch-based distinct counts: HyperLogLog++ via approx_count_distinct.
+    * The exact form (distinctCounts, q12) shuffles every distinct value;
+    * the sketch is a fixed-size mergeable register array per group —
+    * constant shuffle bytes regardless of cardinality, the only viable
+    * shape at 10^11 distinct keys. rsd=0.01 => ~1% standard error
+    * (register memory grows as 1/rsd^2). No cross-engine oracle (DuckDB's
+    * HLL differs); the ScalaTest bound asserts error vs exact. */
+  def approxDistinctCounts(lineitem: DataFrame, rsd: Double = 0.01): DataFrame =
+    lineitem.agg(
+      approx_count_distinct(col("l_partkey"), rsd).as("n_parts"),
+      approx_count_distinct(col("l_suppkey"), rsd).as("n_supps"),
+      count(lit(1)).as("n_rows"))
+
   /** Pivot: event counts per user decile, one column per event type.
     * Explicit value list — with it, Spark skips the extra distinct-values
     * job AND the output schema is stable (an implicit pivot at 100 TB

@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch file-format readers beyond parquet (SURVEY §2.8: absent in the
+  * reference, part of the complete engine surface). Always schema-first:
+  * `inferSchema` on CSV/JSON costs a FULL extra pass over the data before
+  * the real scan — at 100 TB that is the difference between one read and
+  * two. Explicit schemas also pin types (no "it inferred my ids as
+  * doubles" drift between runs). */
+object FileFormats {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE") // malformed row => nulls, like the CDC parser
+      .csv(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** One-file-per-partition CSV/JSON writers are deliberately absent: the
+    * engine's canonical at-rest format is sorted, month-partitioned
+    * parquet (graft.sinks.ParquetSink); CSV/JSON are ingest formats. */
+}
