@@ -1,0 +1,42 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Scale smoke: synthesize a large doc corpus (plants exact+near dups),
+  * run the full minhash dedup pipeline, report wall-clock + survivors.
+  * Evidence for the shuffle-profile claims in ops/Dedup.scala at corpus
+  * sizes 20x the bench testdata. Writes nothing outside /tmp. */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR"); Conf.ensure(spark)
+    import spark.implicits._
+    // ~120-token docs; every 10th doc is a near-dup of doc i-1 (one token
+    // changed), every 50th an exact dup of doc i-2
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      transform(sequence(lit(1), lit(120)),
+        j => concat(lit("tok"), pmod(col("id") * 131 + j * 7, lit(1000003)), lit("_"), j)).as("toks"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") >= 10,
+          concat_ws(" ", transform(sequence(lit(1), lit(120)),
+            j => concat(lit("tok"), pmod((col("doc_id") - 1) * 131 + j * 7, lit(1000003)), lit("_"),
+              when(j === 60, lit("CHANGED")).otherwise(j.cast("string"))))))
+        .when(pmod(col("doc_id"), lit(50)) === 0 && col("doc_id") >= 50,
+          concat_ws(" ", transform(sequence(lit(1), lit(120)),
+            j => concat(lit("tok"), pmod((col("doc_id") - 2) * 131 + j * 7, lit(1000003)), lit("_"), j))))
+        .otherwise(concat_ws(" ", col("toks"))).as("text"))
+      .repartition(32).persist()
+    println(s"corpus: ${docs.count()} docs")
+    var t0 = System.nanoTime()
+    val survivors = Dedup.minhashSurvivors(docs, tau = 0.7).count()
+    println(f"minhashSurvivors($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $survivors survivors, ${n-survivors} dropped")
+    t0 = System.nanoTime()
+    val exact = Dedup.exact(docs).count()
+    println(f"exact($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $exact distinct texts")
+    spark.stop()
+  }
+}
