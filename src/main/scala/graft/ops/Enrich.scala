@@ -29,8 +29,17 @@ object Enrich {
     * (content_id, content_type, length_seconds). Extra columns pass through.
     */
   def enrich(facts: DataFrame, dim: DataFrame): DataFrame =
-    facts
-      .join(broadcast(dim), Seq("content_id"), "left")
+    derive(facts.join(broadcast(dim), Seq("content_id"), "left"))
+
+  /** Same enrichment for a dimension too large to broadcast: shuffled
+    * HASH join (hint), not sort-merge — facts dwarf dims, so paying a
+    * full sort of the fact side to avoid building a hash table of the dim
+    * partition is the wrong trade. Same NULL semantics as `enrich`. */
+  def enrichLargeDim(facts: DataFrame, dim: DataFrame): DataFrame =
+    derive(facts.join(dim.hint("shuffle_hash"), Seq("content_id"), "left"))
+
+  private def derive(joined: DataFrame): DataFrame =
+    joined
       .withColumn("engagement_seconds",
         when(col("duration_ms").isNull, lit(null))
           .otherwise((col("duration_ms") / 1000.0).cast("double")))

@@ -111,15 +111,28 @@ object Similarity {
   }
 
   /** Approximate top-k: exact ranking restricted to same-bucket candidates.
-    * Lower `planes` => bigger buckets => higher recall & cost. */
+    * Lower `planes` => bigger buckets => higher recall & cost.
+    *
+    * `probeFlips` (multi-probe LSH, Lv et al. '07): additionally probe the
+    * buckets at Hamming distance 1 from the query's bucket, flipping each
+    * of the first `probeFlips` planes — a near-miss on one hyperplane side
+    * no longer costs the neighbor. Candidate volume grows ~(probeFlips+1)x
+    * while recall approaches exact much faster than shrinking `planes`
+    * (which grows EVERY bucket instead of just the query's probe set). */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int = 5, planes: Int = 8,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             probeFlips: Int = 0): DataFrame = {
+    require(probeFlips >= 0 && probeFlips <= planes)
+    val qb = lshBucket(col("qvec"), planes)
+    val probes = array((qb +: (0 until probeFlips).map(p =>
+      qb.bitwiseXOR(lit(1L << p)))): _*)
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .withColumn("bucket", lshBucket(col("qvec"), planes)))
+      .withColumn("bucket", explode(probes)))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .withColumn("bucket", lshBucket(col("nvec"), planes))
     val scored = c.join(q, Seq("bucket"))
       .where(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid") // a neighbor may match several probes
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -73,4 +73,17 @@ class ParseEnrichSpec extends SparkTestBase {
     val plan = Enrich.enrich(facts, dim).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("enrichLargeDim uses a shuffled hash join and produces identical results") {
+    val facts = Seq((1L, "a", Some(60000)), (2L, "b", Some(5000)), (3L, "zz", None))
+      .toDF("event_id", "content_id", "duration_ms")
+    val dim = Seq(("a", "t", Some(1800)), ("b", "u", None))
+      .toDF("content_id", "content_type", "length_seconds")
+    val big = Enrich.enrichLargeDim(facts, dim)
+    assert(big.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "hint must produce a shuffled hash join")
+    val a = big.orderBy("event_id").collect().map(_.toSeq).toList
+    val b = Enrich.enrich(facts, dim).orderBy("event_id").collect().map(_.toSeq).toList
+    assert(a == b)
+  }
 }

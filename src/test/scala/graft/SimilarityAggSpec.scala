@@ -33,6 +33,22 @@ class SimilarityAggSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Int]("rank")).toList == (1 to rows.length).toList)
   }
 
+  test("multi-probe LSH recall >= single-probe recall, both vs brute force") {
+    val d = vecs((0L until 200L).map(i =>
+      (i, Array.tabulate(12)(j => (math.sin(i * 0.37 + j * 1.1) + math.cos(i * 0.05)).toFloat))): _*)
+    val queries = d.where($"vec_id" < 10)
+    val exact = graft.ops.Similarity.bruteForceKnn(queries, d, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(probeFlips: Int): Double = {
+      val got = graft.ops.Similarity.lshKnn(queries, d, k = 5, planes = 6,
+        probeFlips = probeFlips).select("qid", "nid").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r0 = recall(0); val r6 = recall(6)
+    assert(r6 >= r0, s"multi-probe recall $r6 < single-probe $r0")
+    assert(r6 > 0.5, s"multi-probe recall too low: $r6")
+  }
+
   test("ivfKnn: well-formed ranks; full-probe IVF equals brute force") {
     val d = vecs((0L until 40L).map(i =>
       (i, Array.tabulate(8)(j => (math.sin(i * 0.7 + j) * (1 + (i % 5) * 0.1)).toFloat))): _*)
