@@ -162,6 +162,26 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("event_id").as[Long].collect().sorted.toList == List(1L, 2L, 3L))
   }
 
+  test("StreamDedup: redelivered events collapse to one row across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val deduped = graft.streaming.StreamDedup.byKey(
+      input.toDF().toDF("event_id", "event_ts"))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:01")),
+                    (1L, ts("2024-01-01 10:00:00"))) // same-batch duplicate
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 10:00:01")), // cross-batch redelivery
+                    (3L, ts("2024-01-01 10:00:02")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted.toList
+    assert(ids == List(1L, 2L, 3L), s"got $ids")
+  }
+
   test("TtlLeaderboard: INCRBY+EXPIRE semantics — touch resets TTL, cold keys expire") {
     var now = 0L
     val lb = new TtlLeaderboard(ttlMs = 600000L, clock = () => now)
