@@ -168,7 +168,11 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracles
 
-  private val decSum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(38,10))) AS DOUBLE)"
+  // integer-cents detour for decimal sums -> double: DuckDB's direct
+  // decimal->double cast is double-rounded (int128 then scale) and drifts
+  // 1 ULP from Spark's correctly-rounded cast at ~12 significant digits
+  private val decSum = (c: String) =>
+    s"CAST(CAST(SUM(CAST($c AS DECIMAL(38,10))) * 100 AS BIGINT) AS DOUBLE) / 100"
   // Tokenizer oracle: split on \s+ then drop empty fragments — mirrors
   // TextAnalysis.tokens exactly, including blank text => [] and tab/newline
   // padding (SQL TRIM strips only spaces, so a trim-based formulation
@@ -216,8 +220,8 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${decSum("l_quantity")} sum_qty,
          |  ${decSum("l_extendedprice")} sum_base,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) sum_disc_price,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2)) * CAST(1+l_tax AS DECIMAL(12,2))) AS DOUBLE) sum_charge,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT) AS DOUBLE) / 10000 sum_disc_price,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2)) * CAST(1+l_tax AS DECIMAL(12,2))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 sum_charge,
          |  ${decSum("l_quantity")}/COUNT(*) avg_qty,
          |  COUNT(*) count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'

@@ -65,6 +65,9 @@ object Exprs {
 
   def shingleStrings(text: Column, n: Int = 3): Column =
     ExpressionUtils.column(ShingleStrings(ExpressionUtils.expression(text), n))
+
+  def zValue(a: Column, b: Column): Column =
+    ExpressionUtils.column(ZValue(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** Distinct xxhash64 values of the word `n`-gram shingles of a text column
@@ -446,4 +449,47 @@ case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
     copy(child = newChild)
+}
+
+/** Morton/Z-value of two non-negative 32-bit keys: bit-interleaves the
+  * lower 32 bits of each child into one long (a <- even bits, b <- odd).
+  * Sorting/range-partitioning by this value clusters BOTH dimensions at
+  * once, so parquet row-group min/max statistics prune scans filtered on
+  * either key — the single-column sort only helps its own column. JIT
+  * bit-twiddling per row; used by graft.ops.Layout. */
+case class ZValue(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "z_value"
+
+  private def spread(v0: Long): Long = {
+    // interleave-ready: spread 32 bits to even positions (Morton encode)
+    var v = v0 & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8))  & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4))  & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2))  & 0x3333333333333333L
+    v = (v | (v << 1))  & 0x5555555555555555L
+    v
+  }
+
+  def compute(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    def toL(x: Any): Long = x match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => other.toString.toLong
+    }
+    compute(toL(a), toL(b))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("zv", this, classOf[ZValue].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute((long)($a), (long)($b));")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ZValue =
+    copy(left = newLeft, right = newRight)
 }

@@ -36,8 +36,21 @@ object Relational {
   def round2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 100 + 0.5) / 100.0
 
-  /** Exact sum of a double expression, returned as double. */
-  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+  /** Exact sum of a 2-decimal quantity, returned as double through an
+    * integer-cents detour: sum in decimal (exact), x100 (an exact integer
+    * for 2-decimal inputs), to long, to double (exact below 2^53), /100
+    * (one correctly-rounded op). A direct decimal->double CAST is
+    * correctly rounded in Spark but DOUBLE-ROUNDED in DuckDB (int128
+    * mantissa then scale division), which diverges by 1 ULP once sums
+    * reach ~12 significant digits — found comparing at sf0.1; the cents
+    * detour is bit-identical in both engines up to 2^53 cents. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    (sum(c.cast(dec)) * 100).cast("long").cast("double") / 100.0
+
+  /** Same detour for d-decimal products (d = 4 for price*disc, 6 for
+    * price*disc*tax). */
+  private def dsumScaled(c: org.apache.spark.sql.Column, pow: Long) =
+    (sum(c) * pow).cast("long").cast("double") / pow.toDouble
 
   /** TPC-H Q1-style pricing summary: scan-heavy agg with pushed-down
     * filter; partial aggregation keeps the shuffle at |groups| rows. */
@@ -56,8 +69,8 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base"),
-        sum(price * disc).cast("double").as("sum_disc_price"),
-        sum(price * disc * tax).cast("double").as("sum_charge"),
+        dsumScaled(price * disc, 10000L).as("sum_disc_price"),
+        dsumScaled(price * disc * tax, 1000000L).as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
   }
@@ -163,7 +176,7 @@ object Relational {
     lineitem
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+        dsum(col("l_quantity")).as("sum_qty"))
 
   /** Sketch-based distinct counts: HyperLogLog++ via approx_count_distinct.
     * The exact form (distinctCounts, q12) shuffles every distinct value;

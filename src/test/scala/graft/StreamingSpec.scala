@@ -162,6 +162,32 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("event_id").as[Long].collect().sorted.toList == List(1L, 2L, 3L))
   }
 
+  test("ParquetSink.compact: many small files -> filesPerMonth, data and schema intact") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val base = Seq(
+      (1L, "c-1", java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1.0),
+      (2L, "c-2", java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 2.0),
+      (3L, "c-1", java.sql.Timestamp.valueOf("2024-02-01 10:00:00"), 3.0))
+      .toDF("event_id", "content_id", "event_ts", "value")
+    // 6 append batches -> many files across 2 months
+    (0 until 6).foreach { i =>
+      graft.sinks.ParquetSink.write(
+        base.withColumn("event_id", $"event_id" + i * 10), s"$tmp/t")
+    }
+    val before = spark.read.parquet(s"$tmp/t")
+    val beforeRows = before.drop("processed_ts").collect().map(_.toSeq).toSet
+    def dataFiles() = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/t"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val filesBefore = dataFiles()
+    graft.sinks.ParquetSink.compact(spark, s"$tmp/t", filesPerMonth = 1)
+    val filesAfter = dataFiles()
+    assert(filesAfter < filesBefore, s"expected fewer files: $filesBefore -> $filesAfter")
+    assert(filesAfter <= 2, s"1 file per month x 2 months, got $filesAfter")
+    val afterRows = spark.read.parquet(s"$tmp/t").drop("processed_ts")
+      .collect().map(_.toSeq).toSet
+    assert(afterRows == beforeRows, "compaction must not change the data")
+  }
+
   test("StreamDedup: redelivered events collapse to one row across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp)]
