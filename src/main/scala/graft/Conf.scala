@@ -26,6 +26,8 @@ object Conf {
     // map to TimestampType ([PARQUET_TYPE_ILLEGAL]); read it as Long nanos
     // and convert explicitly (model.Tables.events).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // graft_* SQL functions (expr.Functions) — idempotent re-registration.
+    graft.expr.Functions.register(spark)
     spark
   }
 }
