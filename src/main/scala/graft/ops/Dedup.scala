@@ -27,9 +27,15 @@ import graft.expr.Exprs
   * self-join (4x the scan work; 312 s of a 345 s bench). At cluster scale
   * the same role is played by a checkpoint/staging table.
   *
+  * Hashing: shingles are xxhash64'd (graft.expr.ShingleHashes); MinHash
+  * permutations are splitmix64 mixes of those hashes (see
+  * expr.MinHashSig — an affine (a*h+b) mod P family is order-preserving
+  * on clustered inputs and degenerates; caught by PropertySpec).
+  *
   * These operators are validated by ScalaTest with planted near-duplicates
-  * (cross-engine hash equality is not a goal); `exact` also has a DuckDB
-  * oracle since its survivors are hash-free.
+  * (cross-engine hash equality is not a goal); `exact` (hash-free
+  * survivors) and `ngramJaccardPairs` (string shingles) also have DuckDB
+  * oracles.
   */
 object Dedup {
 

@@ -89,6 +89,37 @@ class PropertySpec extends SparkTestBase {
     assert(got(100) > got(180), s"agreement must fall with jaccard: $got")
   }
 
+  test("property: ZValue round-trips — de-interleaving recovers both keys") {
+    def deinterleave(z0: Long): (Long, Long) = {
+      def squash(v0: Long): Long = {
+        var v = v0 & 0x5555555555555555L
+        v = (v | (v >> 1))  & 0x3333333333333333L
+        v = (v | (v >> 2))  & 0x0F0F0F0F0F0F0F0FL
+        v = (v | (v >> 4))  & 0x00FF00FF00FF00FFL
+        v = (v | (v >> 8))  & 0x0000FFFF0000FFFFL
+        (v | (v >> 16)) & 0xFFFFFFFFL
+      }
+      (squash(z0), squash(z0 >> 1))
+    }
+    val pairs = samples(Gen.zip(Gen.chooseNum(0L, 0xFFFFFFFFL), Gen.chooseNum(0L, 0xFFFFFFFFL)), 200, seed = 17L)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), graft.ops.Layout.zValue(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(deinterleave(z) == (a, b), s"round-trip failed for ($a, $b): z=$z")
+    }
+  }
+
+  test("property: cosine similarity bounded in [-1, 1] for arbitrary vectors") {
+    val vecGen = Gen.chooseNum(1, 24).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-1000, 1000).map(_ / 7.0f)))
+    val data = samples(Gen.zip(vecGen, vecGen), 150, seed = 19L)
+      .map { case (a, b) => (a.toArray, b.padTo(a.length, 0f).take(a.length).toArray) }
+    val got = data.toDF("a", "b")
+      .select(Exprs.cosineSim(col("a"), col("b"))).as[Option[Double]].collect()
+    got.flatten.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cos out of bounds: $c"))
+  }
+
   private implicit class Inspect(s: String) {
     def inspect: String = s.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString
   }
