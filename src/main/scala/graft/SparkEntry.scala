@@ -163,7 +163,9 @@ object SparkEntry {
     // HLL++ sketch counts — no oracle (engine-specific sketch); the
     // ScalaTest bound asserts <=3*rsd error vs the exact q12 counts
     "q43_approx_distinct" -> ((s, d) =>
-      Relational.approxDistinctCounts(Tables.lineitem(s, d)))
+      Relational.approxDistinctCounts(Tables.lineitem(s, d))),
+    "q44_scalar_battery" -> ((s, d) =>
+      Relational.scalarBattery(Tables.orders(s, d)))
   )
 
   // ------------------------------------------------------------ oracles
@@ -410,7 +412,25 @@ object SparkEntry {
         |  SELECT event_type, user_id, cnt,
         |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) rk
         |  FROM (SELECT event_type, user_id, COUNT(*) cnt FROM events GROUP BY 1,2))
-        |WHERE rk <= 3""".stripMargin
+        |WHERE rk <= 3""".stripMargin,
+    "q44_scalar_battery" ->
+      """SELECT o_orderkey,
+        |  UPPER(SUBSTR(o_orderpriority, 1, 3)) pri3,
+        |  REVERSE(o_orderpriority) pri_rev,
+        |  LENGTH(o_orderpriority) pri_len,
+        |  levenshtein(o_orderpriority, '1-URGENT') lev_urgent,
+        |  translate(o_orderpriority, '-', '_') pri_t,
+        |  concat_ws('|', o_orderstatus, o_orderpriority) joined,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) m,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INT) d,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) q_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) days_to_y2k,
+        |  o_orderkey & 255 key_band,
+        |  (o_orderkey * 2654435761) % 1000003 key_hash,
+        |  FLOOR(log10(o_totalprice) * 100 + 0.5) / 100.0 log_price2,
+        |  GREATEST(o_totalprice - 100000.0, 0.0) excess
+        |FROM orders""".stripMargin
     // q25_minhash_survivors / q26_simhash_sig / q28_ann_lsh /
     // q33_media_features / q36_ann_ivf intentionally have no oracle
     // (engine-specific hashing / approximate results / stub codec /

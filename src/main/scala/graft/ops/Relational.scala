@@ -178,6 +178,30 @@ object Relational {
       .agg(count(lit(1)).as("cnt"),
         dsum(col("l_quantity")).as("sum_qty"))
 
+  /** Scalar-function battery: one pass exercising the string/date/math
+    * function surface with engine-portable semantics (every expression
+    * here is pinned by the DuckDB oracle, q44). Levenshtein, initcap,
+    * translate, date arithmetic, extract fields, bit ops — the everyday
+    * vocabulary a user of the engine expects to just work. */
+  def scalarBattery(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+      reverse(col("o_orderpriority")).as("pri_rev"),
+      length(col("o_orderpriority")).as("pri_len"),
+      levenshtein(col("o_orderpriority"), lit("1-URGENT")).as("lev_urgent"),
+      translate(col("o_orderpriority"), "-", "_").as("pri_t"),
+      concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("joined"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"),
+      datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_y2k"),
+      (col("o_orderkey").bitwiseAND(255)).as("key_band"),
+      pmod(col("o_orderkey") * 2654435761L, lit(1000003L)).as("key_hash"),
+      (floor(log10(col("o_totalprice")) * 100 + 0.5) / 100.0).as("log_price2"),
+      greatest(col("o_totalprice") - 100000.0, lit(0.0)).as("excess"))
+
   /** Sketch-based distinct counts: HyperLogLog++ via approx_count_distinct.
     * The exact form (distinctCounts, q12) shuffles every distinct value;
     * the sketch is a fixed-size mergeable register array per group —
