@@ -63,6 +63,30 @@ object Multimodal {
         posexplode(sequence(lit(0), col("duration_ms"), lit(everyMs))))
       .toDF("asset_id", "duration_ms", "frame_idx", "offset_ms")
 
+  /** Two-table at-rest layout: `<dir>/metadata` (small, typed columns)
+    * and `<dir>/media` (asset_id + the binary payload). Parquet is
+    * columnar, but a multi-GB binary column still bloats row groups and
+    * drags scan ranges for metadata-only queries; splitting tables keeps
+    * metadata scans touching only metadata FILES, and media reads become
+    * an explicit asset_id equi-join, pruned to exactly the assets a query
+    * selects. This is how large media corpora are actually laid out (the
+    * manifest/payload split). */
+  def writeSplit(assets: DataFrame, dir: String): Unit = {
+    metadata(assets).write.mode("overwrite").parquet(s"$dir/metadata")
+    assets.select(col("asset_id"), col("media"))
+      .write.mode("overwrite").parquet(s"$dir/media")
+  }
+
+  def readMetadata(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/metadata")
+
+  /** Media bytes for a (pre-filtered) metadata selection: equi-join on
+    * asset_id — Catalyst pushes the asset_id filter into the media scan
+    * when the selection is a simple predicate. */
+  def readWithMedia(spark: SparkSession, dir: String,
+                    metaSelection: DataFrame): DataFrame =
+    metaSelection.join(spark.read.parquet(s"$dir/media"), Seq("asset_id"))
+
   /** Batched feature extraction over the binary payload — the mapInPandas
     * shape: iterate the partition in fixed-size batches (what Arrow record
     * batches are to a pandas UDF), run the "codec" per batch, emit rows.

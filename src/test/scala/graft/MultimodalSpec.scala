@@ -38,6 +38,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.map(_.getAs[Int]("frame_idx")).toList == List(0, 1, 2))
   }
 
+  test("split storage: metadata scans never touch media files; join restores payloads") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    val a = Multimodal.assets(docs)
+    Multimodal.writeSplit(a, tmp)
+    val meta = Multimodal.readMetadata(spark, tmp)
+    assert(!meta.columns.contains("media"))
+    // metadata-only query scans only the metadata table's files
+    val scanned = meta.where(col("media_type") === "video")
+      .queryExecution.executedPlan.toString
+    assert(scanned.contains("metadata") && !scanned.contains(s"$tmp/media"))
+    // selecting media for a filtered set joins back losslessly
+    val sel = meta.where(col("asset_id") === 2L)
+    val joined = Multimodal.readWithMedia(spark, tmp, sel).collect()
+    assert(joined.length == 1)
+    assert(new String(joined.head.getAs[Array[Byte]]("media"), "UTF-8") == "a video asset")
+  }
+
   test("decodeFeatures: deterministic, partitioning- and batch-size-independent, unit L1") {
     val big = (0L until 100L).map(i => (i, s"payload $i ${"abc" * (i % 7).toInt}")).toDF("doc_id", "text")
     val a = Multimodal.assets(big)
