@@ -299,7 +299,11 @@ case class HyperplaneBucket(child: Expression, planes: Int) extends UnaryExpress
         var j = 0
         while (j < dim) {
           val mixed = Exprs.hashLong(p.toLong * 1000003L + j)
-          m(p)(j) = ((mixed >>> 11).toDouble / 4503599627370496.0) * 2.0 - 1.0
+          // (mixed >>> 11) is 53 bits; /2^53 maps to [0,1), *2-1 to [-1,1).
+          // Round 2 divided by 2^52 -> components in [-1,3), biasing every
+          // plane toward +1; non-centered corpora collapsed into one or two
+          // buckets (and the maxBucket cap then dropped their candidates).
+          m(p)(j) = ((mixed >>> 11).toDouble / 9007199254740992.0) * 2.0 - 1.0
           j += 1
         }
         p += 1
@@ -372,19 +376,23 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], npro
         s += d * d
         j += 1
       }
-      d2(c) = s
+      // NaN components would make every comparison below false and leave
+      // no selectable centroid; treat them as infinitely far instead
+      d2(c) = if (java.lang.Double.isNaN(s)) Double.PositiveInfinity else s
       c += 1
     }
-    // selection of nprobe smallest (nlist is small — tens to thousands)
+    // selection of nprobe smallest (nlist is small — tens to thousands);
+    // `best == -1` seeds with the first unused slot so all-equal /
+    // all-infinite distances still assign deterministically
     val out = new Array[Int](nprobe)
     val used = new Array[Boolean](nlist)
     var p = 0
     while (p < nprobe) {
       var best = -1
-      var bestD = Double.MaxValue
+      var bestD = Double.PositiveInfinity
       var i = 0
       while (i < nlist) {
-        if (!used(i) && d2(i) < bestD) { bestD = d2(i); best = i }
+        if (!used(i) && (best == -1 || d2(i) < bestD)) { bestD = d2(i); best = i }
         i += 1
       }
       used(best) = true

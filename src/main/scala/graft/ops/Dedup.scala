@@ -71,12 +71,30 @@ object Dedup {
 
   /** (doc_id, sh, sig): distinct shingle hashes + k-element MinHash
     * signature, computed in one scan and persisted for reuse across the
-    * candidate/verify/survivor stages. */
+    * candidate/verify/survivor stages.
+    *
+    * Cache lifecycle: the returned frame is persisted — callers that use
+    * this handle directly own the unpersist (the packaged pipelines below
+    * release it themselves once their small pair output is materialized). */
   def signatures(documents: DataFrame, k: Int = 32, n: Int = 3): DataFrame =
     documents
       .select(col("doc_id"), Exprs.shingleHashes(col("text"), n).as("sh"))
       .withColumn("sig", Exprs.minhashSig(col("sh"), k))
       .persist()
+
+  /** Materialize a (small) terminal frame and release the (large) persisted
+    * intermediates backing it: `localCheckpoint(eager)` computes `result`
+    * now and stores only its rows, truncating lineage, so the intermediates
+    * are no longer referenced and can unpersist immediately. The checkpoint
+    * blocks themselves are GC-managed (ContextCleaner), unlike CacheManager
+    * entries which live until an explicit unpersist — a long-lived session
+    * running these operators no longer accumulates cached blocks (round-2
+    * advice). At cluster scale the same role is played by a staging table. */
+  private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    intermediates.foreach(_.unpersist(false))
+    out
+  }
 
   /** Candidate pairs from banded LSH buckets: explode each signature into
     * (band, band_hash), group docs per bucket, emit sorted in-bucket pairs.
@@ -120,7 +138,7 @@ object Dedup {
     val sigs = signatures(documents, bands * rowsPerBand, n)
     val cand = minhashCandidates(sigs, bands, rowsPerBand, maxBucket)
     val sh = sigs.select(col("doc_id"), col("sh"))
-    cand
+    val pairs = cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .withColumn("jaccard",
@@ -128,6 +146,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    materializeAndRelease(pairs, sigs)
   }
 
   /** Dedup survivors under MinHash: drop every doc that near-duplicates a
@@ -143,18 +162,28 @@ object Dedup {
     * the shingle, count co-occurrences (= |A ∩ B|), and derive
     * jaccard = c / (|A| + |B| - c). No cartesian product and no per-pair
     * array intersections: the joins/aggregations are all equi-keyed, so the
-    * same plan scales to a cluster (caveat at 100 TB: cap document
-    * frequency of hot shingles before the self-join — a shingle in k docs
-    * emits k^2 pair rows; stopword-like shingles should be dropped the way
-    * search engines drop them from inverted indexes). */
+    * same plan scales to a cluster. Shingles whose posting list exceeds
+    * `maxDf` are dropped before the self-join (see inline comment) — the
+    * default is high enough to be a pure skew guard; corpora with heavy
+    * boilerplate should lower it deliberately. */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 2,
-                        minJaccard: Double = 0.05): DataFrame = {
+                        minJaccard: Double = 0.05, maxDf: Long = 1000L): DataFrame = {
     val sh = documents.select(col("doc_id"),
       array_distinct(shingles(col("text"), n)).as("sh"))
       .persist() // reused by postings (twice) + sizes; tiny relative to docs
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    postings.as("l").join(postings.as("r"),
+    // hot-shingle document-frequency cap: a shingle appearing in k docs
+    // emits k^2 pair rows through the self-join, so stopword-like shingles
+    // (boilerplate headers, "of the"-style bigrams) are dropped before
+    // pairing — the same move search engines make on inverted indexes, and
+    // the exact-jaccard twin of the minhash path's maxBucket cap. The
+    // jaccard denominator still uses FULL shingle-set sizes, so kept pairs
+    // get a (slightly under-estimated) score, never an inflated one.
+    val hot = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("s"))
+    val cold = postings.join(hot, Seq("s"), "left_anti")
+    val pairs = cold.as("l").join(cold.as("r"),
         col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -163,6 +192,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+    materializeAndRelease(pairs, sh)
   }
 
   // --------------------------------------------------------------- simhash
@@ -186,12 +216,13 @@ object Dedup {
           call_function("shiftright", col("sig"), b * lit(width)).bitwiseAND(mask)))).as("bucket_key"))
     val pairs = bucketPairs(keys, maxBucket)
     val s = sig.select(col("doc_id"), col("sig"))
-    pairs
+    val out = pairs
       .join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
       .join(s.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+    materializeAndRelease(out, sig)
   }
 
   // ------------------------------------------------- embedding near-dup
@@ -207,11 +238,12 @@ object Dedup {
       .persist()
     val pairs = bucketPairs(bucketed.select(col("doc_id"), col("bucket_key")), maxBucket)
     val v = bucketed.select(col("doc_id"), col("embedding"))
-    pairs
+    val out = pairs
       .join(v.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("embedding", "vec_a"), "doc_a")
       .join(v.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("embedding", "vec_b"), "doc_b")
       .select(col("doc_a").as("vec_a_id"), col("doc_b").as("vec_b_id"),
         Exprs.cosineSim(col("vec_a"), col("vec_b")).as("cos"))
       .where(col("cos") >= minCos)
+    materializeAndRelease(out, bucketed)
   }
 }

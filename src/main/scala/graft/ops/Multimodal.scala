@@ -87,6 +87,37 @@ object Multimodal {
                     metaSelection: DataFrame): DataFrame =
     metaSelection.join(spark.read.parquet(s"$dir/media"), Seq("asset_id"))
 
+  /** Flat, driver-comparable form of decodeFeatures: the same batched
+    * mapPartitions codec, but the 16 histogram bins land as scalar DOUBLE
+    * columns f00..f15 (each an exact-integer count divided by the byte
+    * total in double — one correctly-rounded IEEE division, so a SQL
+    * oracle doing the same arithmetic is bit-identical) plus n_bytes.
+    * Round 2 emitted `features array<float>`, which the driver's pandas
+    * compare cannot factorize (unhashable ndarray) — the flat form
+    * restores the cross-engine hash gate for the codec plumbing. */
+  def featureColumns(spark: SparkSession, assets: DataFrame,
+                     batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(
+      StructField("asset_id", LongType, nullable = false) +:
+        StructField("n_bytes", IntegerType, nullable = false) +:
+        (0 until 16).map(j => StructField(f"f$j%02d", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select(col("asset_id").cast("long"), col("media"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val hist = new Array[Long](16)
+            var i = 0
+            while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1L; i += 1 }
+            val total = math.max(bytes.length, 1).toDouble
+            Row.fromSeq(id +: bytes.length +: hist.toSeq.map(_.toDouble / total))
+          }
+        }
+      }(enc)
+  }
+
   /** Batched feature extraction over the binary payload — the mapInPandas
     * shape: iterate the partition in fixed-size batches (what Arrow record
     * batches are to a pandas UDF), run the "codec" per batch, emit rows.

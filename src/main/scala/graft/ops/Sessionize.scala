@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   def sessions(events: DataFrame, keyCol: String = "user_id", tsCol: String = "ts",
-               gapMinutes: Int = 30): DataFrame = {
+               gapMinutes: Int = 30, tieBreakCol: String = "event_id"): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val us = unix_micros(col(tsCol))
-    val w = Window.partitionBy(col(keyCol)).orderBy(us, col("event_id"))
+    // tieBreakCol makes same-microsecond events order deterministically;
+    // callers whose schema lacks event_id pass their own unique column
+    val w = Window.partitionBy(col(keyCol)).orderBy(us, col(tieBreakCol))
     val boundary = when(us - lag(us, 1).over(w) > gapUs, 1).otherwise(0)
     events
       .withColumn("_b", boundary)

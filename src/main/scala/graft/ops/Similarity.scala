@@ -73,17 +73,92 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Train the IVF coarse quantizer: k-means centroids over (a sample of)
-    * the corpus. At 100 TB you fit on a ~1M-row sample — the quantizer
-    * quality barely moves past that; here the corpus is small enough to
-    * fit on everything. Deterministic via fixed seed. */
+  /** Train the IVF coarse quantizer on a BOUNDED sample of the corpus —
+    * the FAISS discipline (max_points_per_centroid=256): quantizer quality
+    * saturates at a few hundred training points per centroid, so the
+    * training set is `samplePerList * nlist` rows at ANY corpus size. The
+    * sample (not the data — a few MB even when the corpus is 100 TB) is
+    * collected and clustered locally with seeded k-means++/Lloyd's: zero
+    * Spark jobs per iteration. Round 2 ran spark.ml KMeans over the full
+    * corpus — a multi-pass distributed fit whose 5 jobs were the slowest
+    * query in the bench, and which at 100 TB would scan everything
+    * `maxIter` times. Deterministic via fixed seed. */
   def fitCentroids(corpus: DataFrame, nlist: Int, vecCol: String = "embedding",
-                   seed: Long = 42L, maxIter: Int = 10): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(feats)
-      .clusterCenters.map(_.toArray)
+                   seed: Long = 42L, maxIter: Int = 10,
+                   samplePerList: Int = 256): Array[Array[Double]] = {
+    val target = samplePerList.toLong * nlist
+    val n = corpus.count() // unfiltered parquet count-star: metadata-only
+    val sampled =
+      if (n <= target) corpus
+      else corpus.sample(withReplacement = false,
+        fraction = math.min(1.0, target.toDouble * 1.05 / n), seed)
+    val pts = sampled.select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray).filter(_.nonEmpty)
+    require(pts.nonEmpty, "fitCentroids: no non-empty vectors to train on")
+    kmeansLocal(pts, nlist, seed, maxIter)
+  }
+
+  /** Seeded k-means++ init + Lloyd's iterations over an in-memory sample.
+    * Plain deterministic math — no RDDs; the sample is bounded by design. */
+  private def kmeansLocal(pts: Array[Array[Double]], k: Int,
+                          seed: Long, maxIter: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    val dim = pts(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding (D^2 weighting); duplicates are tolerated when the
+    // sample has fewer distinct points than k (their lists just stay empty)
+    val cents = new Array[Array[Double]](k)
+    cents(0) = pts(rnd.nextInt(pts.length)).clone()
+    val minD = pts.map(p => d2(p, cents(0)))
+    var c = 1
+    while (c < k) {
+      val total = minD.sum
+      var pick = if (total > 0) rnd.nextDouble() * total else 0.0
+      var idx = 0
+      while (idx < pts.length - 1 && pick > minD(idx)) { pick -= minD(idx); idx += 1 }
+      cents(c) = pts(idx).clone()
+      var i = 0
+      while (i < pts.length) { minD(i) = math.min(minD(i), d2(pts(i), cents(c))); i += 1 }
+      c += 1
+    }
+    // Lloyd's: assign to nearest centroid, recompute means; empty clusters
+    // keep their previous centroid (deterministic, no re-seeding jitter)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < pts.length) {
+        val p = pts(i)
+        var best = 0; var bestD = d2(p, cents(0))
+        var j = 1
+        while (j < k) { val d = d2(p, cents(j)); if (d < bestD) { bestD = d; best = j }; j += 1 }
+        counts(best) += 1
+        var t = 0
+        while (t < math.min(dim, p.length)) { sums(best)(t) += p(t); t += 1 }
+        i += 1
+      }
+      moved = false
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          val nc = new Array[Double](dim)
+          var t = 0
+          while (t < dim) { nc(t) = sums(j)(t) / counts(j); t += 1 }
+          if (d2(nc, cents(j)) > 1e-12) moved = true
+          cents(j) = nc
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    cents
   }
 
   /** IVF-Flat approximate top-k: corpus vectors are assigned to their
@@ -108,6 +183,25 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /** Self-certifying recall gate for an ANN result: join the approximate
+    * top-k (qid, nid, ...) against the exact top-k computed in the same
+    * plan and emit one row per query id with `recall_ok` — whether the ANN
+    * search hit at least `minHits` of the true top-k. The ANN rows
+    * themselves are engine-specific (bucket hashes, centroid geometry), so
+    * no cross-engine hash can check them; the INVARIANT is checkable by
+    * any engine (oracle: every query id, TRUE). A recall collapse — e.g.
+    * round 2's +1-biased hyperplanes — turns booleans false and the
+    * driver's correctness row red, which is exactly the regression signal
+    * a `no_oracle` row could never give. */
+  def recallCertificate(approx: DataFrame, exact: DataFrame, minHits: Int): DataFrame = {
+    val hits = approx.select(col("qid"), col("nid"))
+      .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), (coalesce(col("hits"), lit(0L)) >= minHits).as("recall_ok"))
   }
 
   /** Approximate top-k: exact ranking restricted to same-bucket candidates.

@@ -42,7 +42,15 @@ object HttpSink {
         .build()
       client.send(req, HttpResponse.BodyHandlers.discarding())
       ()
-    } catch { case _: Throwable => errors.incrementAndGet(); () }
+    } catch {
+      // swallow only ordinary failures (connect refused, timeout, 5xx
+      // mapped to exceptions): fatal errors (OOM) must propagate, and an
+      // interrupt means Spark is cancelling the task — restore the flag
+      // and rethrow so cancellation isn't counted as a sink error
+      case ie: InterruptedException =>
+        Thread.currentThread().interrupt(); throw ie
+      case scala.util.control.NonFatal(_) => errors.incrementAndGet(); ()
+    }
 
   /** Executor-side batch fan-out: one client per partition, row-at-a-time
     * posts (the receiver contract is per-event idempotency keys). */

@@ -20,6 +20,10 @@ import scala.collection.concurrent.TrieMap
   */
 class TtlLeaderboard(ttlMs: Long = 600000L, clock: () => Long = () => System.currentTimeMillis()) {
 
+  /** Stable address executors use to reach this store (see companion
+    * `connect`) — the local-mode analog of a Redis endpoint. */
+  val handle: String = TtlLeaderboard.register(this)
+
   private case class Entry(count: Long, expiresAt: Long)
   private val store = TrieMap.empty[String, Entry]
 
@@ -57,4 +61,28 @@ class TtlLeaderboard(ttlMs: Long = 600000L, clock: () => Long = () => System.cur
     dead.foreach(store.remove)
     dead.size
   }
+}
+
+/** Executor-side access: tasks carry only the `handle` string into their
+  * closures and `connect` to the store from inside foreachPartition — the
+  * exact shape of a per-partition Redis client pool. The registry is the
+  * local-/single-JVM stand-in for that network hop; a production build
+  * replaces `connect` with a pooled client keyed by endpoint and nothing
+  * about the calling plan changes. */
+object TtlLeaderboard {
+  private val registry = TrieMap.empty[String, TtlLeaderboard]
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def register(lb: TtlLeaderboard): String = {
+    val h = s"ttl-lb-${ids.incrementAndGet()}"
+    registry.put(h, lb)
+    h
+  }
+
+  /** Resolve a handle from a task. Fails loudly off-JVM: that is the cue to
+    * plug in a real networked store (Redis), not a silent empty sink. */
+  def connect(handle: String): TtlLeaderboard =
+    registry.getOrElse(handle, throw new IllegalStateException(
+      s"TtlLeaderboard '$handle' is not in this JVM — in a multi-JVM deployment " +
+        "back this sink with a networked store (e.g. Redis) instead"))
 }

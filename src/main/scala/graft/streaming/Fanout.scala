@@ -16,11 +16,11 @@ import graft.sinks.{HttpSink, ParquetSink, TtlLeaderboard}
   * Deliberate fixes over the reference (SURVEY.md §4 anti-patterns):
   *   - the enriched batch is computed once and persisted; the reference
   *     recomputed the join 3x per batch (app.py:82,90,102);
-  *   - no driver-side collect()/toPandas(): the parquet sink writes from
-  *     executors, HTTP posts run foreachPartition on executors, and the
-  *     leaderboard receives a pre-aggregated (key,count) delta — the only
-  *     driver-side data is that small aggregate, which is exactly the
-  *     write-set Redis sees in the reference;
+  *   - no driver-side collect()/toPandas() anywhere: the parquet sink
+  *     writes from executors, HTTP posts run foreachPartition on executors,
+  *     and the leaderboard receives pre-aggregated (key,count) deltas
+  *     pushed per-partition from executors (Redis' write-set, written the
+  *     way a Redis client pool would write it);
   *   - leaderboard updates only the keys touched by the batch, not a full
   *     keyspace SCAN (app.py:96-98).
   *
@@ -52,12 +52,20 @@ object Fanout {
     try {
       cfg.analyticsDir.foreach(dir => ParquetSink.write(batch, dir))
       cfg.leaderboard.foreach { lb =>
-        val deltas = batch
+        // pre-aggregated (one row per touched key — Redis' write-set), then
+        // pushed from EXECUTORS: each partition connects to the store and
+        // writes its own slice. No collect — a hot batch touching 10^8 keys
+        // never materializes on the driver (round-2 advice). The groupBy
+        // guarantees a key lives in exactly one partition, so concurrent
+        // partition writers never race on the same key's read-modify-write.
+        val handle = lb.handle
+        batch
           .groupBy(col(cfg.leaderboardKey).cast("string").as("k"))
           .agg(count(lit(1)).as("cnt"))
-          .collect() // pre-aggregated: one row per touched key, like Redis' write-set
-          .map(r => r.getString(0) -> r.getLong(1))
-        lb.increment(deltas.toSeq)
+          .foreachPartition { (rows: Iterator[Row]) =>
+            val deltas = rows.map(r => r.getString(0) -> r.getLong(1)).toSeq
+            if (deltas.nonEmpty) TtlLeaderboard.connect(handle).increment(deltas)
+          }
       }
       cfg.http.foreach(h => HttpSink.postBatch(batch, h))
     } finally { batch.unpersist(); () }
