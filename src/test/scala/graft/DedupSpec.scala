@@ -84,6 +84,28 @@ class DedupSpec extends SparkTestBase {
     assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngramJaccardPairs maxDf cap drops stopword-shingle pair explosions") {
+    // adversarial corpus: 40 docs share the stopword bigram "of the" but
+    // are otherwise disjoint — without a document-frequency cap the
+    // postings self-join emits 40*39/2 pair rows through that one shingle
+    val d = (1L to 40L).map(i =>
+      (i, s"of the unique${i}a unique${i}b unique${i}c unique${i}d")).toDF("doc_id", "text")
+    // cap below the hot shingle's df: its postings are dropped, and since
+    // every cross-doc overlap was ONLY the stopword shingles, no pairs
+    val capped = Dedup.ngramJaccardPairs(d, n = 2, minJaccard = 0.0, maxDf = 10)
+    assert(capped.count() == 0, "hot shingle must be excluded from pairing")
+    // uncapped: every pair co-occurs via "of the" -> the k^2 explosion
+    val uncapped = Dedup.ngramJaccardPairs(d, n = 2, minJaccard = 0.0, maxDf = 1000)
+    assert(uncapped.count() == 40L * 39 / 2)
+    // the cap only UNDERcounts intersections: surviving pairs keep their
+    // full-denominator jaccard, so real near-dups still surface
+    val e = docs((1L, "of the aaa bbb ccc"), (2L, "of the aaa bbb ddd"),
+      (3L, "of the zzz yyy xxx"))
+    val kept = Dedup.ngramJaccardPairs(e, n = 2, minJaccard = 0.2, maxDf = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L)), s"got $kept")
+  }
+
   test("simhashDuplicates: planted near-pair found with exact hamming, unrelated absent") {
     val d = docs((1L, base), (2L, near), (3L, far))
     val got = Dedup.simhashDuplicates(d, maxHamming = 8)
