@@ -229,7 +229,32 @@ object SparkEntry {
     "q43_approx_distinct" -> ((s, d) =>
       Relational.approxDistinctCertified(Tables.lineitem(s, d))),
     "q44_scalar_battery" -> ((s, d) =>
-      Relational.scalarBattery(Tables.orders(s, d)))
+      Relational.scalarBattery(Tables.orders(s, d))),
+    // GK-sketch quantile certification: exact values + rank-bound booleans
+    // (same discipline as q43). Production-scale form is the bare
+    // approx_percentile aggregate; this query proves its error bound.
+    "q45_approx_quantiles" -> ((s, d) =>
+      Relational.approxQuantilesCertified(Tables.lineitem(s, d))),
+    // --- corpus curation (ops.Curate): the raw-crawl -> training-set steps ---
+    // deterministic md5-keyed sampling (reproducible across runs/engines,
+    // unlike rand()/TABLESAMPLE) — the only sane way to sample 100 TB
+    "q46_hash_sample" -> ((s, d) =>
+      Curate.hashSample(Tables.documents(s, d), "doc_id", 0.25, "s1")
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+    "q47_chunks" -> ((s, d) =>
+      Curate.chunks(Tables.documents(s, d), chunkLen = 50, stride = 40)),
+    // PII injected deterministically first so the scrub provably fires
+    "q48_pii_redact" -> ((s, d) =>
+      Curate.redactPii(Curate.injectPii(Tables.documents(s, d)))),
+    // near-dup pairs (q29's exact-jaccard config) -> connected components;
+    // cluster_id = min doc_id = the canonical survivor of each dup set
+    "q49_dup_clusters" -> ((s, d) =>
+      Curate.dupClusters(Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).where(col("doc_id") < 60), n = 2, minJaccard = 0.05))),
+    // the end-to-end pipeline: quality gate -> lang filter -> exact dedup
+    // -> deterministic sample, in ONE plan with one shuffle
+    "q50_curate" -> ((s, d) =>
+      Curate.curate(Tables.documents(s, d)))
   )
 
   // ------------------------------------------------------------ oracles
@@ -237,6 +262,9 @@ object SparkEntry {
   // integer-cents detour for decimal sums -> double: DuckDB's direct
   // decimal->double cast is double-rounded (int128 then scale) and drifts
   // 1 ULP from Spark's correctly-rounded cast at ~12 significant digits
+  // PII patterns shared verbatim with the Spark side (RE2+Java portable)
+  private val emailPat = Curate.emailPattern
+  private val phonePat = Curate.phonePattern
   private val decSum = (c: String) =>
     s"CAST(CAST(SUM(CAST($c AS DECIMAL(38,10))) * 100 AS BIGINT) AS DOUBLE) / 100"
   // Tokenizer oracle: split on \s+ then drop empty fragments — mirrors
@@ -476,6 +504,73 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q36_ann_ivf" ->
       "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
+    "q45_approx_quantiles" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
+      s"""SELECT l_returnflag, CAST($p AS DOUBLE) p,
+         |  FLOOR(quantile_cont(l_extendedprice, $p) * 100 + 0.5) / 100.0 q,
+         |  TRUE ok
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+    "q46_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) < '40000000'""".stripMargin,
+    "q47_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
+        |  FROM documents),
+        |s AS (SELECT doc_id, tk, len(tk) n FROM t WHERE len(tk) > 0),
+        |u AS (SELECT doc_id, tk, n, unnest(range(0, n, 40)) st FROM s)
+        |SELECT doc_id, CAST(st // 40 AS BIGINT) chunk_idx,
+        |  CAST(len(list_slice(tk, st + 1, least(st + 50, n))) AS BIGINT) n_chunk_tokens,
+        |  array_to_string(list_slice(tk, st + 1, least(st + 50, n)), ' ') chunk_text
+        |FROM u""".stripMargin,
+    "q48_pii_redact" ->
+      s"""WITH r AS (SELECT doc_id, concat_ws(' ', substr(text, 1, 40),
+         |    concat('contact user', doc_id, '@example.com or call 555-867-5309 now'),
+         |    substr(text, 41, 1000000)) AS "text" FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all("text", '$emailPat')) AS BIGINT) n_emails,
+         |  CAST(len(regexp_extract_all("text", '$phonePat')) AS BIGINT) n_phones,
+         |  regexp_replace(regexp_replace("text", '$emailPat', '[EMAIL]', 'g'),
+         |    '$phonePat', '[PHONE]', 'g') AS "text"
+         |FROM r""".stripMargin,
+    "q49_dup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) sh
+        |  FROM (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
+        |        FROM documents WHERE doc_id < 60)),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id doc_a, b.doc_id doc_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(a.sh || b.sh)) jaccard
+        |    FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.05),
+        |e AS (SELECT doc_a a, doc_b b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node)
+        |SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node""".stripMargin,
+    "q50_curate" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, text, CAST(len(tk) AS BIGINT) n_tokens,
+        |    len(list_filter(tk, x ->
+        |      list_contains(['the','a','of','and','to','in','is','on'], x))) stop_hits
+        |  FROM t),
+        |f AS (SELECT * FROM q
+        |  WHERE n_tokens >= 20 AND stop_hits * 10 <= 6 * n_tokens
+        |    AND lang IN ('en', 'de', 'fr')),
+        |d AS (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(text), length(text) ORDER BY doc_id) rn FROM f)
+        |SELECT doc_id, lang, n_tokens FROM d
+        |WHERE rn = 1
+        |  AND substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < '80000000'""".stripMargin,
     "q37_quantiles" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
       s"""SELECT l_returnflag, CAST($p AS DOUBLE) p,
          |  FLOOR(quantile_cont(l_extendedprice, $p) * 100 + 0.5) / 100.0 q

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the steps between "100 TB of raw crawl" and
+  * "a training set": reproducible sampling, document chunking, PII
+  * scrubbing, and duplicate-cluster resolution. Everything here is either a
+  * pure column expression (scan-speed, codegen'd) or an equi-keyed
+  * join/aggregation, so the plans scale unchanged to a cluster; nothing
+  * touches the driver.
+  *
+  * Cross-engine discipline: deterministic everywhere. Sampling is keyed on
+  * md5 (identical in every engine) rather than rand(); chunk boundaries are
+  * arithmetic on token positions; the PII patterns are RE2-and-Java-regex
+  * portable. Every operator has a DuckDB oracle (q46-q50).
+  */
+object Curate {
+
+  // ------------------------------------------------------------- sampling
+
+  /** Deterministic hash-sampling predicate: keep a row iff the first 8 hex
+    * chars of md5(key || salt) fall below rate * 2^32. Unlike
+    * rand()/TABLESAMPLE this is (a) reproducible across runs, retries, and
+    * engines — a re-run of a failed 100 TB stage keeps the SAME sample, so
+    * downstream incremental state stays valid; (b) stable under
+    * repartitioning (rand() draws per-task); (c) stratifiable by changing
+    * the salt per stratum. Pure filter: no shuffle, pushed to the scan's
+    * residual, and the comparison is on a fixed-width lowercase-hex prefix
+    * so it is engine-portable (DuckDB compares the same strings). */
+  def hashSampleThreshold(rate: Double): String =
+    f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+
+  def hashSamplePredicate(key: Column, rate: Double, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 8) <
+      lit(hashSampleThreshold(rate))
+
+  /** Sample `rate` of rows, keyed on `idCol` — see [[hashSamplePredicate]]. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+                 salt: String = "graft"): DataFrame =
+    df.where(hashSamplePredicate(col(idCol), rate, salt))
+
+  // ------------------------------------------------------------- chunking
+
+  /** Split documents into fixed-size overlapping token windows — the unit a
+    * training pipeline feeds a tokenizer. One row per (doc, window): chunk
+    * starts step by `stride` (< `chunkLen` gives overlap), the final chunk
+    * is the partial tail. Pure per-row explode: tokens are computed once
+    * per document, chunks are array slices of that one array, no shuffle,
+    * and output size is ~n_tokens/stride rows per doc — linear in corpus
+    * size regardless of document length skew. */
+  def chunks(documents: DataFrame, chunkLen: Int = 50, stride: Int = 40): DataFrame = {
+    require(chunkLen > 0 && stride > 0, "chunkLen and stride must be positive")
+    documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        size(slice(col("tk"), col("start") + 1, lit(chunkLen))).cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("tk"), col("start") + 1, lit(chunkLen)), " ").as("chunk_text"))
+  }
+
+  // ----------------------------------------------------------- PII scrub
+
+  /** Engine-portable PII patterns (no lookaround — valid in both Java
+    * regex and RE2, so the same pattern strings run in the DuckDB oracle). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** Redact emails/phone numbers and count what was removed. Pure
+    * regexp_replace/extract_all column expressions: scan-speed, no UDF.
+    * The synthetic corpus contains no PII, so the query form (q48) first
+    * splices a deterministic email+phone into each document — the operator
+    * is thereby proven to fire on every row, and the redacted output plus
+    * counts are exactly reproducible by the oracle. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(phonePattern), lit(0))).cast("long"))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(t, emailPattern, "[EMAIL]"),
+          phonePattern, "[PHONE]"))
+  }
+
+  /** q48's deterministic PII injection: splice `contact user<id>@example.com
+    * or call 555-867-5309` into the middle of each document. Identical
+    * concat semantics in DuckDB (concat_ws skips NULLs, keeps empties). */
+  def injectPii(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat_ws(" ",
+        substring(col("text"), 1, 40),
+        concat(lit("contact user"), col("doc_id"), lit("@example.com or call 555-867-5309 now")),
+        substring(col("text"), 41, 1000000)).as("text"))
+
+  // -------------------------------------------- duplicate-cluster resolve
+
+  /** Resolve near-duplicate PAIRS into clusters: connected components by
+    * iterative min-label propagation. Each round, every node takes the
+    * minimum label among itself and its neighbours; convergence in
+    * O(component diameter) rounds — near-dup clusters are shallow (a dup
+    * of a dup of X is itself near X), so a handful of rounds closes them.
+    * Every step is an equi-keyed join/groupBy on node ids (the pair set is
+    * tiny relative to the corpus — it survived LSH + verification), and
+    * each round's label frame is localCheckpoint'ed so lineage stays flat.
+    * For adversarial deep graphs (long chains) the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce", SoCC'14) halves diameter per round; the
+    * propagation loop below is the right tool for dedup-shaped graphs.
+    *
+    * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for every
+    * doc appearing in a pair, cluster_id = min doc_id of its component —
+    * the canonical representative a dedup pass keeps. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .union(pairs.select(col("doc_b").cast("long").as("a"), col("doc_a").cast("long").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nbl")), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nbl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"))
+        .select(col("node"), least(col("label"), col("nbr_min")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .where(col("label") =!= col("prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  // ------------------------------------------------------- end-to-end
+
+  /** The full curation pipeline in one plan — what a user actually runs:
+    * quality gate (token count + stopword ratio, integer-exact comparison)
+    * -> language filter -> exact dedup (keep min doc_id per identical
+    * text, keyed on (md5, length) so text never shuffles) -> deterministic
+    * hash-sample. One window shuffle on the 128-bit content key; every
+    * filter is a scan-side predicate BEFORE that shuffle, so the exchange
+    * carries only the quality-passing subset. */
+  def curate(documents: DataFrame,
+             minTokens: Int = 20,
+             maxStopPct10: Int = 6, // stop_hits*10 <= maxStopPct10*n_tokens
+             langs: Seq[String] = Seq("en", "de", "fr"),
+             sampleRate: Double = 0.5,
+             salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col("text"))
+    val stopHits = size(filter(toks, t => t.isInCollection(TextAnalysis.stopwords)))
+    val w = Window
+      .partitionBy(md5(col("text").cast("binary")), length(col("text")))
+      .orderBy(col("doc_id"))
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("stop_hits", stopHits)
+      .where(col("n_tokens") >= minTokens &&
+        col("stop_hits") * 10 <= lit(maxStopPct10) * col("n_tokens") &&
+        col("lang").isInCollection(langs))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .where(hashSamplePredicate(col("doc_id"), sampleRate, salt))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+}

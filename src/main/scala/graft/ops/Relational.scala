@@ -169,6 +169,39 @@ object Relational {
         element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
         (floor(col("q") * 100 + 0.5) / 100.0).as("q"))
 
+  /** The 100 TB twin of [[quantiles]]: approx_percentile (Greenwald-Khanna
+    * sketch — bounded memory, mergeable partials, no per-group sort),
+    * certified in-plan against the exact form. The sketch guarantees rank
+    * error <= 1/accuracy; a value-space oracle can't pin the approx value
+    * itself (it's an actual data element, engine-specific), so the query
+    * emits the exact quantile plus a boolean asserting the approx landed
+    * between the exact quantiles at p +/- 2/accuracy (doubled slack
+    * absorbs R-7 interpolation off-by-ones at the rank boundary). Oracle:
+    * exact values + TRUE — same discipline as q43's HLL certification.
+    * At scale you run ONLY the approx aggregate; this query is its test. */
+  def approxQuantilesCertified(lineitem: DataFrame,
+                               ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                               accuracy: Int = 1000): DataFrame = {
+    val eps = 2.0 / accuracy
+    val lo = ps.map(p => math.max(0.0, p - eps))
+    val hi = ps.map(p => math.min(1.0, p + eps))
+    val x = col("l_extendedprice")
+    def at(c: String) = element_at(col(c), col("pos") + 1)
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(x, array(ps.map(lit): _*)).as("ex"),
+        percentile(x, array(lo.map(lit): _*)).as("exlo"),
+        percentile(x, array(hi.map(lit): _*)).as("exhi"),
+        approx_percentile(x, array(ps.map(lit): _*), lit(accuracy)).as("ap"))
+      .select(col("l_returnflag"), posexplode(col("ex")).as(Seq("pos", "qe")),
+        col("exlo"), col("exhi"), col("ap"))
+      .select(col("l_returnflag"),
+        element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+        (floor(col("qe") * 100 + 0.5) / 100.0).as("q"),
+        (at("ap") >= at("exlo") && at("ap") <= at("exhi")).as("ok"))
+  }
+
   /** CUBE aggregation over (returnflag, linestatus): all 2^2 grouping
     * combinations in one pass (Expand + single aggregate — the same
     * shuffle count as a plain groupBy, with 4x the map-side rows). */

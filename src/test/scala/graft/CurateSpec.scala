@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Curate
+
+class CurateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hashSample: deterministic, repartition-stable, rate within tolerance") {
+    val df = spark.range(0, 10000).toDF("doc_id")
+    val s1 = Curate.hashSample(df, "doc_id", 0.25, "s1")
+    val n = s1.count()
+    // md5 is uniform: expect 2500 +/- a generous 5-sigma binomial band
+    assert(n > 2200 && n < 2800, s"got $n of 10000 at rate 0.25")
+    // identical keys survive regardless of partitioning or run order
+    val s2 = Curate.hashSample(df.repartition(13), "doc_id", 0.25, "s1")
+    assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty)
+    assert(s2.select("doc_id").except(s1.select("doc_id")).isEmpty)
+    // different salt draws a different (but same-sized-ish) sample
+    val s3 = Curate.hashSample(df, "doc_id", 0.25, "s2")
+    assert(s3.select("doc_id").except(s1.select("doc_id")).count() > 1000)
+    // nested sampling: a 0.1 sample of the same salt is a subset of 0.25
+    val s4 = Curate.hashSample(df, "doc_id", 0.1, "s1")
+    assert(s4.select("doc_id").except(s1.select("doc_id")).isEmpty)
+  }
+
+  test("chunks: overlap, tail chunk, empty and short docs") {
+    val docs = Seq(
+      (1L, (1 to 95).map(i => s"t$i").mkString(" ")), // 95 tokens
+      (2L, "one two three"),                          // shorter than a chunk
+      (3L, "   \t  "),                                // whitespace-only -> no rows
+      (4L, "")                                        // empty -> no rows
+    ).toDF("doc_id", "text")
+    val c = Curate.chunks(docs, chunkLen = 50, stride = 40)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+    val d1 = c.filter(_.getLong(0) == 1L)
+    // starts 0, 40, 80 -> sizes 50, 50, 15
+    assert(d1.map(_.getLong(2)).toSeq == Seq(50L, 50L, 15L))
+    assert(d1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    // overlap: chunk 1 starts at token 41 (1-based), chunk 0 ends at 50
+    assert(d1(1).getString(3).startsWith("t41 "))
+    assert(d1(0).getString(3).endsWith(" t50"))
+    val d2 = c.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getLong(2) == 3L &&
+      d2(0).getString(3) == "one two three")
+    assert(!c.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
+  }
+
+  test("redactPii: emails and phones replaced and counted") {
+    val df = Seq(
+      (1L, "reach me at a.b+c@ex-ample.org or 555-867-5309 thanks"),
+      (2L, "two mails x@y.io and z@w.co, phone 123 456 7890 and 999.888.7777"),
+      (3L, "nothing personal here")
+    ).toDF("doc_id", "text")
+    val r = Curate.redactPii(df).orderBy("doc_id")
+      .select("doc_id", "n_emails", "n_phones", "text").collect()
+    assert(r(0).getLong(1) == 1L && r(0).getLong(2) == 1L)
+    assert(r(0).getString(3) == "reach me at [EMAIL] or [PHONE] thanks")
+    assert(r(1).getLong(1) == 2L && r(1).getLong(2) == 2L)
+    assert(!r(1).getString(3).contains("@") && !r(1).getString(3).contains("7890"))
+    assert(r(2).getLong(1) == 0L && r(2).getLong(2) == 0L)
+    assert(r(2).getString(3) == "nothing personal here")
+  }
+
+  test("dupClusters: components resolve to min-id labels, chain included") {
+    // components: {1,2,3} (chain 1-2, 2-3), {10,11}, {20,21,22,23} (star)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("doc_a", "doc_b")
+    val got = Curate.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("dupClusters: long chain converges (diameter > a few hops)") {
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Curate.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got.size == 30 && got.values.forall(_ == 1L))
+  }
+
+  test("curate: each gate filters what it should") {
+    val docs = Seq(
+      // passes everything (en, 24 tokens, no stopwords)
+      (1L, "en", (1 to 24).map(i => s"w$i").mkString(" ")),
+      // duplicate text of 1 with larger id -> deduped away
+      (5L, "en", (1 to 24).map(i => s"w$i").mkString(" ")),
+      // too short
+      (2L, "en", "tiny doc"),
+      // wrong language
+      (3L, "zh", (1 to 24).map(i => s"x$i").mkString(" ")),
+      // stopword soup: 20 of 24 tokens are stopwords (>60%)
+      (4L, "en", (Seq.fill(20)("the") ++ Seq("alpha", "beta", "gamma", "delta")).mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    // sampleRate 1.0 -> sampling keeps everything that survives the gates
+    val got = Curate.curate(docs, minTokens = 20, maxStopPct10 = 6,
+      langs = Seq("en", "de", "fr"), sampleRate = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+}
