@@ -15,18 +15,31 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
+    // Steady-state mode: SPARK_GRAFT_BENCH_REPS=N runs each query N times
+    // and reports the fastest rep — one-shot Janino codegen (~0.5-2 s per
+    // fresh plan) otherwise dominates every sub-second query in a cold JVM.
+    // Default 1 = the driver's cold-ish contract, unchanged.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // SPARK_GRAFT_BENCH_ONLY=q45_x,q46_y restricts to named queries (dev loop)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names.contains(n) })
     // noop sink: evaluates EVERY output column distributedly (count() would
     // let Catalyst prune unreferenced projections and under-measure).
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val t = (System.nanoTime() - t0) / 1e9
-      // operators that persist intermediates (minhash signatures, shingle
-      // postings) must not donate cached blocks to later queries — each
-      // query pays for, and is measured with, its own caching
-      spark.catalog.clearCache()
-      name -> t
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val t = (System.nanoTime() - t0) / 1e9
+        // operators that persist intermediates (minhash signatures, shingle
+        // postings) must not donate cached blocks to later queries or later
+        // reps — each execution pays for, and is measured with, its own
+        // caching
+        spark.catalog.clearCache()
+        t
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

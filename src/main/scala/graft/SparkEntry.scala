@@ -254,7 +254,27 @@ object SparkEntry {
     // the end-to-end pipeline: quality gate -> lang filter -> exact dedup
     // -> deterministic sample, in ONE plan with one shuffle
     "q50_curate" -> ((s, d) =>
-      Curate.curate(Tables.documents(s, d)))
+      Curate.curate(Tables.documents(s, d))),
+    // CDC materialization: synthesize a change stream (inserts/updates/
+    // deletes keyed on event_id % 997, versioned by (ts, event_id)) and
+    // collapse it to the current table image — the upsert-mode consumer
+    // the reference's insert-only pipeline stops short of
+    "q51_cdc_latest" -> ((s, d) => {
+      val changes = Tables.events(s, d).select(
+        (col("event_id") % 997).as("k"),
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        when(col("event_id") % 11 === 0, "d")
+          .when(col("event_id") % 3 === 0, "u")
+          .otherwise("c").as("op"))
+      Cdc.latestImage(changes, Seq("k"), Seq("ts", "event_id"))
+        .select(col("k"), col("event_id"), col("user_id"), col("event_type"), col("op"))
+    }),
+    // vocabulary building: top tokens by corpus frequency + doc frequency
+    "q52_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), k = 100)),
+    // per-doc top TF-IDF terms (rational idf — engine-exact)
+    "q53_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d).where(col("doc_id") < 50), k = 3))
   )
 
   // ------------------------------------------------------------ oracles
@@ -571,6 +591,39 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens FROM d
         |WHERE rn = 1
         |  AND substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < '80000000'""".stripMargin,
+    "q51_cdc_latest" ->
+      """WITH c AS (SELECT event_id % 997 k, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) us, user_id, event_type,
+        |    CASE WHEN event_id % 11 = 0 THEN 'd'
+        |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END op
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY k ORDER BY us DESC, event_id DESC) rn FROM c)
+        |SELECT k, event_id, user_id, event_type, op FROM r
+        |WHERE rn = 1 AND op <> 'd'""".stripMargin,
+    "q52_vocab" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) token
+        |  FROM documents),
+        |td AS (SELECT token, doc_id, COUNT(*) tf_doc FROM tok GROUP BY 1, 2)
+        |SELECT token, CAST(SUM(tf_doc) AS BIGINT) tf, COUNT(*) df
+        |FROM td GROUP BY token
+        |ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
+    "q53_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) token
+        |  FROM d),
+        |td AS (SELECT doc_id, token, COUNT(*) tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, COUNT(*) df FROM td GROUP BY 1),
+        |nq AS (SELECT COUNT(*) n FROM d),
+        |s AS (SELECT td.doc_id, td.token, td.tf, dfq.df,
+        |        CAST(td.tf AS DOUBLE) * ((n + 1.0) / (df + 1.0)) score
+        |      FROM td JOIN dfq ON td.token = dfq.token CROSS JOIN nq),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, token ASC) rk FROM s)
+        |SELECT doc_id, token, tf, df,
+        |  FLOOR(score * 1000000 + 0.5) / 1000000.0 score FROM r WHERE rk <= 3""".stripMargin,
     "q37_quantiles" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
       s"""SELECT l_returnflag, CAST($p AS DOUBLE) p,
          |  FLOOR(quantile_cont(l_extendedprice, $p) * 100 + 0.5) / 100.0 q

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC materialization: collapse a change stream into the current table
+  * image. The reference only ever *forwards* inserts (its Debezium feed is
+  * insert-only in practice — SURVEY.md §2.1 S3); a real deployment of the
+  * same topology also receives updates and deletes, and the consumer that
+  * maintains a queryable copy of the source table needs exactly this
+  * operator (the batch analog of what Debezium+JDBC-sink engines call
+  * "upsert mode").
+  *
+  * Semantics: keep, per key, only the row with the highest version; drop
+  * the key entirely if that terminal row is a delete. Redelivered
+  * (duplicate) change rows collapse for free — they tie on version and
+  * row_number keeps one.
+  *
+  * Scale: one shuffle, keyed on the entity key — the minimum any
+  * per-key-latest computation needs. The window does a per-key sort of
+  * *versions per key* (bounded by churn, not table size); no global sort.
+  * At 100 TB this runs per partition-pruned time slice (compact the last
+  * day's changes into the image), which is how the big lakehouse MERGE
+  * implementations schedule it too.
+  */
+object Cdc {
+
+  /** Latest image per key from a change set.
+    * @param versionCols highest wins; supply a tie-breaker (e.g. the
+    *                    monotonically increasing change id) as a trailing
+    *                    column if versions can collide. */
+  def latestImage(changes: DataFrame, keyCols: Seq[String],
+                  versionCols: Seq[String], opCol: String = "op",
+                  deleteOp: String = "d"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    changes
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("_rn")
+  }
+}

@@ -186,20 +186,25 @@ object Relational {
     val lo = ps.map(p => math.max(0.0, p - eps))
     val hi = ps.map(p => math.min(1.0, p + eps))
     val x = col("l_extendedprice")
-    def at(c: String) = element_at(col(c), col("pos") + 1)
+    val k = ps.length
+    // ONE exact-percentile aggregate over the concatenated probe list
+    // (p's, then lows, then highs): `percentile` buffers every group value
+    // per aggregate instance, so three separate calls would hold three
+    // copies of that buffer — merged, the memory and sort cost are paid once
+    val probes = ps ++ lo ++ hi
+    def at(off: Int) = element_at(col("ex"), col("pos") + 1 + off)
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile(x, array(ps.map(lit): _*)).as("ex"),
-        percentile(x, array(lo.map(lit): _*)).as("exlo"),
-        percentile(x, array(hi.map(lit): _*)).as("exhi"),
+        percentile(x, array(probes.map(lit): _*)).as("ex"),
         approx_percentile(x, array(ps.map(lit): _*), lit(accuracy)).as("ap"))
-      .select(col("l_returnflag"), posexplode(col("ex")).as(Seq("pos", "qe")),
-        col("exlo"), col("exhi"), col("ap"))
+      .select(col("l_returnflag"),
+        explode(sequence(lit(0), lit(k - 1))).as("pos"), col("ex"), col("ap"))
       .select(col("l_returnflag"),
         element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
-        (floor(col("qe") * 100 + 0.5) / 100.0).as("q"),
-        (at("ap") >= at("exlo") && at("ap") <= at("exhi")).as("ok"))
+        (floor(at(0) * 100 + 0.5) / 100.0).as("q"),
+        (element_at(col("ap"), col("pos") + 1) >= at(k) &&
+          element_at(col("ap"), col("pos") + 1) <= at(2 * k)).as("ok"))
   }
 
   /** CUBE aggregation over (returnflag, linestatus): all 2^2 grouping

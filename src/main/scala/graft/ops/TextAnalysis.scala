@@ -124,4 +124,51 @@ object TextAnalysis {
 
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), fingerprint(col("text")).as("fp"), length(col("text")).as("n_chars"))
+
+  /** Vocabulary building: top-k tokens by total frequency, with document
+    * frequency alongside — the pass a tokenizer-training pipeline runs
+    * first. Two-level aggregation: (token, doc) partial counts first, then
+    * per-token totals — tf and df in one plan WITHOUT a distinct-aggregate
+    * Expand (a countDistinct(doc_id) here would re-evaluate every exploded
+    * row twice; the two-level shape shuffles (token, doc) once, already
+    * combined map-side). Ties broken lexicographically for determinism. */
+  def vocabulary(documents: DataFrame, k: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("token"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+
+  /** Top-k TF-IDF terms per document. The idf is the *rational* variant
+    * (N+1)/(df+1) rather than log((N+1)/(df+1)). This is NOT
+    * rank-identical to log-idf (log crushes ubiquitous terms toward zero
+    * harder than 1/df does), but it keeps tf-idf's monotonicity — rising
+    * in tf, falling in df — and, the reason it's used here, it is exactly
+    * reproducible across engines: one IEEE double division and one
+    * multiply, no libm (whose log() may differ in the last ulp and flip
+    * near-tie rankings between engines). Swap in log for offline scoring
+    * where cross-engine bit-equality doesn't matter. Plan: one (doc,token)
+    * aggregation, one token-keyed join for df, a broadcast 1-row N, and a
+    * per-doc window top-k. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val td = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = td.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    td.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * ((col("n") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (floor(col("score") * 1000000 + 0.5) / 1000000.0).as("score"))
+  }
 }

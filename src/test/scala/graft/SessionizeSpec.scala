@@ -61,6 +61,45 @@ class SessionizeSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("transformWithState sessions == batch sessions (RocksDB state store)") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB provider; scope it to this
+    // query and restore the session default afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long)]
+      val q = graft.streaming.SessionizeTws.sessions(
+        input.toDF().toDF("event_id", "ts", "user_id"), gapMinutes = 60)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_tws").start()
+      try {
+        input.addData(events.as[(Long, Timestamp, Long)].collect().toSeq: _*)
+        q.processAllAvailable()
+        // split batches: closes u1-session1 by gap AND u2 by timer later
+        input.addData((99L, ts("2024-01-02 12:00:00"), 9L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("sess_tws")
+        .select("user_id", "session_start", "session_end", "n_events", "duration_s")
+        .where($"user_id" =!= 9L)
+        .orderBy("user_id", "session_start")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toList
+      val batch = BatchSessionize.sessions(events, "user_id", "ts", gapMinutes = 60)
+        .select("user_id", "session_start", "session_end", "n_events", "duration_s")
+        .orderBy("user_id", "session_start")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toList
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming: session closes mid-stream when a later event exceeds the gap") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long)]
