@@ -274,7 +274,15 @@ object SparkEntry {
       TextAnalysis.vocabulary(Tables.documents(s, d), k = 100)),
     // per-doc top TF-IDF terms (rational idf — engine-exact)
     "q53_tfidf" -> ((s, d) =>
-      TextAnalysis.tfidfTopTerms(Tables.documents(s, d).where(col("doc_id") < 50), k = 3))
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d).where(col("doc_id") < 50), k = 3)),
+    // Spark 4 VariantType: parse the props JSON once into the shredded
+    // binary encoding, typed variant_get extraction, plain agg after
+    "q54_variant" -> ((s, d) =>
+      Variants.propsSummary(Tables.events(s, d))),
+    // ANALYZE-style statistics: one scan, all columns at once
+    "q55_column_stats" -> ((s, d) =>
+      Stats.numericColumnStats(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")))
   )
 
   // ------------------------------------------------------------ oracles
@@ -624,6 +632,19 @@ object SparkEntry {
         |    PARTITION BY doc_id ORDER BY score DESC, token ASC) rk FROM s)
         |SELECT doc_id, token, tf, df,
         |  FLOOR(score * 1000000 + 0.5) / 1000000.0 score FROM r WHERE rk <= 3""".stripMargin,
+    "q54_variant" ->
+      """SELECT event_type, COUNT(*) n, COUNT(k) n_k,
+        |  CAST(SUM(k) AS BIGINT) sum_k, MIN(k) min_k, MAX(k) max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS BIGINT) k FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q55_column_stats" -> Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_partkey").map(c =>
+      s"""SELECT '$c' "column", COUNT($c) n_nonnull,
+         |  COUNT(*) - COUNT($c) n_null,
+         |  CAST(MIN($c) AS DOUBLE) min_d, CAST(MAX($c) AS DOUBLE) max_d
+         |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
     "q37_quantiles" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
       s"""SELECT l_returnflag, CAST($p AS DOUBLE) p,
          |  FLOOR(quantile_cont(l_extendedprice, $p) * 100 + 0.5) / 100.0 q

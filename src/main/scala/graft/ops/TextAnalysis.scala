@@ -151,19 +151,22 @@ object TextAnalysis {
     * multiply, no libm (whose log() may differ in the last ulp and flip
     * near-tie rankings between engines). Swap in log for offline scoring
     * where cross-engine bit-equality doesn't matter. Plan: one (doc,token)
-    * aggregation, one token-keyed join for df, a broadcast 1-row N, and a
-    * per-doc window top-k. */
+    * aggregation, then df as a count-over-window on that SAME frame (a
+    * token-keyed window shuffle — strictly cheaper than the groupBy+self-
+    * join formulation, which re-computed the aggregation and shuffled it
+    * twice), a broadcast 1-row N, and a per-doc window top-k: three keyed
+    * shuffles total, each on a different key, none avoidable (the three
+    * groupings genuinely differ). */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val td = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = td.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token").asc)
-    td.join(dfreq, "token")
+    td.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf").cast("double") * ((col("n") + 1.0) / (col("df") + 1.0)))
       .withColumn("rk", row_number().over(w))
