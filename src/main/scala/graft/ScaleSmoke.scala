@@ -37,6 +37,29 @@ object ScaleSmoke {
     t0 = System.nanoTime()
     val exact = Dedup.exact(docs).count()
     println(f"exact($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $exact distinct texts")
+    // --- curation operators at the same corpus size ---
+    t0 = System.nanoTime()
+    val nChunks = ops.Curate.chunks(docs, chunkLen = 50, stride = 40).count()
+    println(f"chunks($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $nChunks chunks")
+    t0 = System.nanoTime()
+    val sampled = ops.Curate.hashSample(docs, "doc_id", 0.1).count()
+    println(f"hashSample($n docs, 0.1): ${(System.nanoTime()-t0)/1e9}%.1f s, $sampled kept")
+    // dup-cluster resolution: n/10 star components of size 10 (the shape
+    // real dedup pairs take — many dups of one canonical doc)
+    val pairs = spark.range(n.toLong).where(pmod(col("id"), lit(10)) =!= 0)
+      .select((col("id") - pmod(col("id"), lit(10))).as("doc_a"), col("id").as("doc_b"))
+    t0 = System.nanoTime()
+    val clusters = ops.Curate.dupClusters(pairs)
+    val nNodes = clusters.count()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    println(f"dupClusters(${n * 9 / 10} pairs): ${(System.nanoTime()-t0)/1e9}%.1f s, $nNodes nodes -> $nClusters clusters")
+    // CDC latest-image at 10x corpus rows, ~10 versions/key
+    val changes = spark.range(n * 10L).select(
+      pmod(col("id"), lit(n.toLong)).as("k"), col("id").as("change_id"),
+      when(pmod(col("id"), lit(11)) === 0, "d").otherwise("u").as("op"))
+    t0 = System.nanoTime()
+    val image = ops.Cdc.latestImage(changes, Seq("k"), Seq("change_id")).count()
+    println(f"cdcLatestImage(${n * 10L} changes, $n keys): ${(System.nanoTime()-t0)/1e9}%.1f s, $image live keys")
     spark.stop()
   }
 }
