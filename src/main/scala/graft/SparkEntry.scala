@@ -282,7 +282,20 @@ object SparkEntry {
     // ANALYZE-style statistics: one scan, all columns at once
     "q55_column_stats" -> ((s, d) =>
       Stats.numericColumnStats(Tables.lineitem(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"))),
+    // per-stratum sampling rates (mixture weighting): keep all German,
+    // half of French, a fifth of English, drop the rest — one predicate
+    "q56_stratified_sample" -> ((s, d) =>
+      Curate.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.2, "de" -> 1.0, "fr" -> 0.5), salt = "st")
+        .select(col("doc_id"), col("lang"))),
+    // ranking/navigation window vocabulary, one Window operator
+    "q57_window_battery" -> ((s, d) =>
+      Relational.windowBattery(Tables.orders(s, d))),
+    // skew-safe two-phase aggregation — oracled against the PLAIN groupBy,
+    // proving the salted decomposition is semantically invisible
+    "q58_salted_agg" -> ((s, d) =>
+      Skew.saltedCount(Tables.events(s, d), "event_type"))
   )
 
   // ------------------------------------------------------------ oracles
@@ -645,6 +658,25 @@ object SparkEntry {
          |  CAST(MIN($c) AS DOUBLE) min_d, CAST(MAX($c) AS DOUBLE) max_d
          |FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n"),
+    "q56_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'st'), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '33333333' WHEN 'de' THEN 'ffffffff'
+        |            WHEN 'fr' THEN '80000000' ELSE '00000000' END""".stripMargin,
+    "q57_window_battery" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_totalprice, 1) OVER w prev_price,
+        |  lead(o_totalprice, 1) OVER w next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) quartile,
+        |  percent_rank() OVER w pr,
+        |  cume_dist() OVER w cd,
+        |  first_value(o_totalprice) OVER w first_price,
+        |  nth_value(o_totalprice, 2) OVER w second_price,
+        |  CAST(row_number() OVER w AS BIGINT) seq
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q58_salted_agg" ->
+      "SELECT event_type, COUNT(*) cnt FROM events GROUP BY event_type",
     "q37_quantiles" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
       s"""SELECT l_returnflag, CAST($p AS DOUBLE) p,
          |  FLOOR(quantile_cont(l_extendedprice, $p) * 100 + 0.5) / 100.0 q

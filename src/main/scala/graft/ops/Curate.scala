@@ -40,6 +40,23 @@ object Curate {
                  salt: String = "graft"): DataFrame =
     df.where(hashSamplePredicate(col(idCol), rate, salt))
 
+  /** Stratified deterministic sampling: a different rate per stratum value
+    * (the `sampleBy` of a mixture-weighted training pipeline — e.g. keep
+    * 100% of rare languages, 10% of English). Same md5 keying as
+    * [[hashSample]], so per-stratum samples are reproducible and nested;
+    * the per-row threshold is a CASE over the stratum column — still one
+    * scan-side predicate, no shuffle. Strata absent from `rates` are
+    * dropped (rate 0). */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       salt: String = "graft"): DataFrame = {
+    val thr = rates.foldLeft(lit("00000000")) { case (acc, (stratum, rate)) =>
+      when(col(strataCol) === stratum, lit(hashSampleThreshold(rate))).otherwise(acc)
+    }
+    df.where(
+      substring(md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 8) < thr)
+  }
+
   // ------------------------------------------------------------- chunking
 
   /** Split documents into fixed-size overlapping token windows — the unit a

@@ -281,6 +281,30 @@ object Relational {
         col("parts_ok"), col("supps_ok"))
   }
 
+  /** Window-function battery: the full ranking/navigation vocabulary in
+    * ONE window specification (one shuffle + one per-partition sort —
+    * Spark evaluates all nine functions in a single Window operator when
+    * they share the spec). percent_rank/cume_dist are exact rational
+    * divisions of window counts, hence engine-portable; the ordering key
+    * (o_orderdate, o_orderkey) is total, so RANGE vs ROWS default-frame
+    * differences cannot bite. */
+  def windowBattery(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.where(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        row_number().over(w).cast("long").as("seq"))
+  }
+
   /** Pivot: event counts per user decile, one column per event type.
     * Explicit value list — with it, Spark skips the extra distinct-values
     * job AND the output schema is stable (an implicit pivot at 100 TB

@@ -11,6 +11,9 @@ object SparkTestBase {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // saveAsTable targets (BucketingSpec) land in /tmp, not the repo
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${java.util.UUID.randomUUID().toString.take(8)}")
       .appName("graft-tests")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
