@@ -295,7 +295,19 @@ object SparkEntry {
     // skew-safe two-phase aggregation — oracled against the PLAIN groupBy,
     // proving the salted decomposition is semantically invisible
     "q58_salted_agg" -> ((s, d) =>
-      Skew.saltedCount(Tables.events(s, d), "event_type"))
+      Skew.saltedCount(Tables.events(s, d), "event_type")),
+    // pure interval join (no equi-key): events hitting 2-hour windows
+    // opened by each signup — bucketized to an equi-join (never a BNLJ)
+    "q59_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val promos = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("promo_id"), col("ts").as("promo_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("promo_end"))
+      Relational.intervalJoin(
+        ev.select(col("event_id"), col("ts")), promos,
+        "ts", "promo_start", "promo_end")
+        .groupBy(col("promo_id")).agg(count(lit(1)).as("n_hits"))
+    })
   )
 
   // ------------------------------------------------------------ oracles
@@ -677,6 +689,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q58_salted_agg" ->
       "SELECT event_type, COUNT(*) cnt FROM events GROUP BY event_type",
+    "q59_interval_join" ->
+      """WITH e AS (SELECT event_id, date_trunc('microseconds', ts) ts FROM events),
+        |p AS (SELECT event_id promo_id, date_trunc('microseconds', ts) promo_start,
+        |        date_trunc('microseconds', ts) + INTERVAL 2 HOUR promo_end
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT p.promo_id, COUNT(*) n_hits
+        |FROM e JOIN p ON e.ts >= p.promo_start AND e.ts < p.promo_end
+        |GROUP BY p.promo_id""".stripMargin,
     "q37_quantiles" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
       s"""SELECT l_returnflag, CAST($p AS DOUBLE) p,
          |  FLOOR(quantile_cont(l_extendedprice, $p) * 100 + 0.5) / 100.0 q

@@ -281,6 +281,31 @@ object Relational {
         col("parts_ok"), col("supps_ok"))
   }
 
+  /** Interval join without an equi-key, shuffle-joinable: Spark plans a
+    * raw `l.ts BETWEEN r.start AND r.end` join as BroadcastNestedLoopJoin
+    * (every left row against every right row — dead at 100 TB unless one
+    * side is tiny). Bucketizing time recovers an equi-join: each left row
+    * joins on its time bucket, each interval explodes into the buckets it
+    * covers, and the exact predicate runs as a residual filter on the
+    * (bucket-matched) candidates. Cost scales with overlap density, not
+    * |L|x|R|; pick `bucketSeconds` near the typical interval length so
+    * intervals explode into O(1) buckets. A (left, interval) pair meets in
+    * exactly one bucket — the left row has one bucket — so no dedup pass
+    * is needed. This is the classic MapReduce range-join decomposition
+    * (e.g. Chawda et al., "Processing Interval Joins On Map-Reduce",
+    * EDBT'14). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftTs: String, rightStart: String, rightEnd: String,
+                   bucketSeconds: Long = 3600L): DataFrame = {
+    val lb = left.withColumn("_b", floor(col(leftTs).cast("long") / bucketSeconds))
+    val rb = right.withColumn("_b", explode(sequence(
+      floor(col(rightStart).cast("long") / bucketSeconds),
+      floor(col(rightEnd).cast("long") / bucketSeconds))))
+    lb.join(rb, Seq("_b"))
+      .where(col(leftTs) >= col(rightStart) && col(leftTs) < col(rightEnd))
+      .drop("_b")
+  }
+
   /** Window-function battery: the full ranking/navigation vocabulary in
     * ONE window specification (one shuffle + one per-partition sort —
     * Spark evaluates all nine functions in a single Window operator when
