@@ -307,6 +307,31 @@ object SparkEntry {
         ev.select(col("event_id"), col("ts")), promos,
         "ts", "promo_start", "promo_end")
         .groupBy(col("promo_id")).agg(count(lit(1)).as("n_hits"))
+    }),
+    // data-quality expectation battery: tiny output regardless of input
+    // size — the publish gate a production pipeline runs per batch
+    "q60_dq_checks" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val ev = Tables.events(s, d)
+      def lab(name: String, df: DataFrame) =
+        df.select(lit(name).as("check"), col("violations").cast("long").as("violations"))
+      lab("orders_pk_unique", Quality.uniquenessViolations(orders, Seq("o_orderkey")))
+        .unionAll(lab("orders_custkey_fk",
+          Quality.fkViolations(orders, "o_custkey", customer, "c_custkey")))
+        .unionAll(lab("events_type_domain", Quality.domainViolations(ev, "event_type",
+          Seq("view", "click", "purchase", "signup", "error"))))
+        .unionAll(lab("orders_date_nulls", Quality.nullViolations(orders, "o_orderdate")))
+    }),
+    // snapshot diff: synthesize before/after versions of events and emit
+    // row-level adds/removes/changes — output scales with churn only
+    "q61_snapshot_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      val before = ev.where(col("event_id") % 13 =!= 0)
+      val after = ev.where(col("event_id") % 17 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, col("value") + 1).otherwise(col("value")))
+      Quality.snapshotDiff(before, after, "event_id", Seq("event_type", "value"))
     })
   )
 
@@ -697,6 +722,34 @@ object SparkEntry {
         |SELECT p.promo_id, COUNT(*) n_hits
         |FROM e JOIN p ON e.ts >= p.promo_start AND e.ts < p.promo_end
         |GROUP BY p.promo_id""".stripMargin,
+    "q60_dq_checks" ->
+      """SELECT 'orders_pk_unique' "check", CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) violations
+        |FROM (SELECT COUNT(*) n FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', COUNT(*) FROM orders
+        |WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'events_type_domain', COUNT(*) FROM events
+        |WHERE event_type IS NOT NULL
+        |  AND event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error')
+        |UNION ALL
+        |SELECT 'orders_date_nulls', COUNT(*) FROM orders
+        |WHERE o_orderdate IS NULL""".stripMargin,
+    "q61_snapshot_diff" ->
+      """WITH e AS (SELECT event_id, event_type, "value" FROM events),
+        |b AS (SELECT * FROM e WHERE event_id % 13 <> 0),
+        |a AS (SELECT event_id, event_type,
+        |        CASE WHEN event_id % 7 = 0 THEN "value" + 1 ELSE "value" END "value"
+        |      FROM e WHERE event_id % 17 <> 0)
+        |SELECT event_id, change FROM (
+        |  SELECT COALESCE(b.event_id, a.event_id) event_id,
+        |    CASE WHEN b.event_id IS NULL THEN 'added'
+        |         WHEN a.event_id IS NULL THEN 'removed'
+        |         WHEN b.event_type <> a.event_type OR b."value" <> a."value"
+        |           THEN 'changed' END change
+        |  FROM b FULL OUTER JOIN a ON b.event_id = a.event_id)
+        |WHERE change IS NOT NULL""".stripMargin,
     "q37_quantiles" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
       s"""SELECT l_returnflag, CAST($p AS DOUBLE) p,
          |  FLOOR(quantile_cont(l_extendedprice, $p) * 100 + 0.5) / 100.0 q

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectation checks and snapshot diffing — the guardrails a
+  * production pipeline runs before publishing a table version.
+  *
+  * Checks are expressed as plain aggregations/joins so they scale like any
+  * other query (one scan per frame; the FK check is an equi-join the
+  * optimizer can broadcast). Output is one row per check with a violation
+  * count — 0 means the expectation holds — so the result is tiny no
+  * matter the input size and can gate a publish step cheaply.
+  */
+object Quality {
+
+  /** Uniqueness violations: rows beyond the first per key. */
+  def uniquenessViolations(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(col("_n") - 1), lit(0L)).cast("long").as("violations"))
+
+  /** Referential-integrity violations: child keys absent from the parent
+    * (left anti join — broadcastable when the parent key set fits). */
+  def fkViolations(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey).as("_k")).where(col("_k").isNotNull)
+      .join(parent.select(col(parentKey).as("_k")), Seq("_k"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+
+  /** Null-rate violation count for a column. */
+  def nullViolations(df: DataFrame, c: String): DataFrame =
+    df.agg(count(when(col(c).isNull, lit(1))).as("violations"))
+
+  /** Domain violations: values outside the accepted set (NULL passes —
+    * pair with [[nullViolations]] when NULL is also unacceptable). */
+  def domainViolations(df: DataFrame, c: String, accepted: Seq[String]): DataFrame =
+    df.agg(count(when(col(c).isNotNull && !col(c).isInCollection(accepted), lit(1)))
+      .as("violations"))
+
+  /** Snapshot diff: row-level changes from `before` to `after`, keyed by
+    * `keyCol`, comparing `valueCols`. One full-outer equi-join on the key;
+    * change ∈ {added, removed, changed}. Unchanged rows are dropped, so
+    * the output is proportional to churn, not table size — the shape that
+    * makes daily 100 TB snapshot audits affordable. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keyCol: String, valueCols: Seq[String]): DataFrame = {
+    val b = before.select(col(keyCol).as("_k"),
+      struct(valueCols.map(col): _*).as("_vb"))
+    val a = after.select(col(keyCol).as("_k"),
+      struct(valueCols.map(col): _*).as("_va"))
+    b.join(a, Seq("_k"), "full_outer")
+      .withColumn("change",
+        when(col("_vb").isNull, "added")
+          .when(col("_va").isNull, "removed")
+          .when(col("_vb") =!= col("_va"), "changed"))
+      .where(col("change").isNotNull)
+      .select(col("_k").as(keyCol), col("change"))
+  }
+}
