@@ -120,6 +120,63 @@ class PropertySpec extends SparkTestBase {
     got.flatten.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cos out of bounds: $c"))
   }
 
+  test("property: dupClusters == union-find reference on random graphs") {
+    // one random pair-set per trial; all trials resolved in ONE Spark job
+    // by tagging pairs with a trial id shifted into the node id space
+    val pairGen = for {
+      n <- Gen.chooseNum(2, 24) // nodes per trial
+      m <- Gen.chooseNum(1, 30) // edges per trial
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield es.filter { case (a, b) => a != b }
+    val trials = samples(pairGen, 40, seed = 23L).zipWithIndex
+      .map { case (es, t) => es.map { case (a, b) =>
+        (t * 1000L + a, t * 1000L + b) } }
+      .filter(_.nonEmpty)
+    val allPairs = trials.flatten
+    val got = graft.ops.Curate.dupClusters(allPairs.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+
+    // reference: plain union-find with min-id representative per component
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    allPairs.foreach { case (a, b) => union(a, b) }
+    val nodes = allPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(x => x -> find(x)).toMap
+    assert(got == expected,
+      s"mismatch on ${got.toSet.diff(expected.toSet).take(5)} ...")
+  }
+
+  test("property: intervalJoin == naive theta join on random events/intervals") {
+    val base = 1700000000L // epoch seconds anchor
+    val evGen = Gen.chooseNum(0L, 200000L).map(base + _)
+    val ivGen = for {
+      s <- Gen.chooseNum(0L, 200000L)
+      len <- Gen.chooseNum(0L, 20000L)
+    } yield (base + s, base + s + len)
+    val events = samples(evGen, 120, seed = 29L).zipWithIndex
+      .map { case (t, i) => (i.toLong, new java.sql.Timestamp(t * 1000)) }
+    val intervals = samples(ivGen, 60, seed = 31L).zipWithIndex
+      .map { case ((s, e), i) =>
+        (i.toLong, new java.sql.Timestamp(s * 1000), new java.sql.Timestamp(e * 1000)) }
+    val ev = events.toDF("event_id", "ts")
+    val iv = intervals.toDF("iv_id", "iv_start", "iv_end")
+    val got = graft.ops.Relational.intervalJoin(ev, iv, "ts", "iv_start", "iv_end")
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (eid, t) <- events
+      (iid, s, e) <- intervals
+      if !t.before(s) && t.before(e)
+    } yield (eid, iid)).toSet
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
+  }
+
   private implicit class Inspect(s: String) {
     def inspect: String = s.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString
   }
