@@ -323,6 +323,11 @@ object SparkEntry {
           Seq("view", "click", "purchase", "signup", "error"))))
         .unionAll(lab("orders_date_nulls", Quality.nullViolations(orders, "o_orderdate")))
     }),
+    // the engine-native session operator: groupBy(session_window) — same
+    // boundaries as q35's manual lag/cumsum form (oracle derives one from
+    // the other: window end = last event + gap by definition)
+    "q62_session_window" -> ((s, d) =>
+      Sessionize.sessionWindows(Tables.events(s, d), "user_id", "ts", gapMinutes = 60)),
     // snapshot diff: synthesize before/after versions of events and emit
     // row-level adds/removes/changes — output scales with churn only
     "q61_snapshot_diff" -> ((s, d) => {
@@ -582,6 +587,22 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q36_ann_ivf" ->
       "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
+    // derived from the q35 lag/cumsum form: session_window's end is
+    // last_event + gap by definition
+    "q62_session_window" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) tsu,
+        |             epoch_us(date_trunc('microseconds', ts)) us FROM events),
+        |b AS (SELECT user_id, event_id, tsu, us,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                  > 3600000000 THEN 1 ELSE 0 END bnd
+        |      FROM e),
+        |s AS (SELECT user_id, tsu,
+        |        CAST(SUM(bnd) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) session_idx
+        |      FROM b)
+        |SELECT user_id, MIN(tsu) session_start,
+        |  MAX(tsu) + INTERVAL 1 HOUR session_end, COUNT(*) n_events
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q45_approx_quantiles" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
       s"""SELECT l_returnflag, CAST($p AS DOUBLE) p,
          |  FLOOR(quantile_cont(l_extendedprice, $p) * 100 + 0.5) / 100.0 q,

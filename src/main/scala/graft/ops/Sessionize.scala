@@ -24,6 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** The BUILT-IN session-window form of [[sessions]]: one
+    * `groupBy(key, session_window(ts, gap))` aggregation — Spark merges
+    * overlapping per-row [ts, ts+gap) windows into sessions inside a
+    * single aggregate (no window-function pass, no lag/cumsum). Same
+    * session boundaries as the manual form; the window END differs by
+    * definition (last_event + gap, not last_event), which is why both
+    * forms exist: this one is the engine-native operator a user should
+    * reach for first, the lag/cumsum one yields the exact row-level
+    * session_idx the reference-style audit queries want. */
+  def sessionWindows(events: DataFrame, keyCol: String = "user_id",
+                     tsCol: String = "ts", gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col(keyCol),
+        session_window(col(tsCol), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   def sessions(events: DataFrame, keyCol: String = "user_id", tsCol: String = "ts",
                gapMinutes: Int = 30, tieBreakCol: String = "event_id"): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
