@@ -323,6 +323,21 @@ object SparkEntry {
           Seq("view", "click", "purchase", "signup", "error"))))
         .unionAll(lab("orders_date_nulls", Quality.nullViolations(orders, "o_orderdate")))
     }),
+    // wide->long unpivot (melt): per-metric rows at scan speed (Expand)
+    "q63_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d).unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax")),
+        "metric", "v")),
+    // correlated scalar subqueries + EXISTS, IDENTICAL SQL on both engines
+    "q64_correlated_sql" -> ((s, d) =>
+      Sql.run(s, d, Sql.bigSpendersCorrelated)),
+    // explicit GROUPING SETS, IDENTICAL SQL on both engines
+    "q65_grouping_sets" -> ((s, d) =>
+      Sql.run(s, d, Sql.groupingSets)),
     // the engine-native session operator: groupBy(session_window) — same
     // boundaries as q35's manual lag/cumsum form (oracle derives one from
     // the other: window end = last event + gap by definition)
@@ -780,6 +795,12 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) cnt, ${decSum("l_quantity")} sum_qty
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q39_sql_shipping_priority" -> ops.Sql.shippingPriority,
+    "q64_correlated_sql" -> ops.Sql.bigSpendersCorrelated,
+    "q65_grouping_sets" -> ops.Sql.groupingSets,
+    "q63_unpivot" -> Seq("quantity", "extendedprice", "discount", "tax").map(m =>
+      s"""SELECT l_orderkey, l_linenumber, '$m' metric,
+         |  CAST(l_$m AS DOUBLE) v FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
     "q40_pivot" ->
       """SELECT CAST(user_id % 10 AS INT) user_decile,
         |  COUNT(*) FILTER (event_type = 'view') "view",

@@ -27,6 +27,30 @@ object Sql {
     spark.sql(sql)
   }
 
+  /** Correlated scalar subqueries (COUNT and SUM, decorrelated by
+    * Catalyst into joins) + correlated EXISTS, in the shared dialect.
+    * All arithmetic integer-cents (FLOOR(x*100+0.5)) — a double AVG here
+    * would make the FILTER BOUNDARY order-dependent and break the
+    * cross-engine hash (double addition is not associative; DuckDB also
+    * rounds double->bigint casts where Spark truncates). */
+  val bigSpendersCorrelated: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) total_cents
+      |FROM orders o
+      |WHERE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |      * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |    > 2 * (SELECT SUM(CAST(FLOOR(o3.o_totalprice * 100 + 0.5) AS BIGINT))
+      |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |  AND EXISTS (SELECT 1 FROM customer c
+      |              WHERE c.c_custkey = o.o_custkey
+      |                AND c.c_mktsegment = 'BUILDING')""".stripMargin
+
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize. */
+  val groupingSets: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
   /** TPC-H Q3-shaped shipping-priority query, in the shared dialect —
     * 3-table join, date-range filters, decimal-exact revenue, top-10. */
   val shippingPriority: String =
