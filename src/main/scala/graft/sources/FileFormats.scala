@@ -26,7 +26,20 @@ object FileFormats {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** ORC: the other columnar at-rest format (built into Spark; predicate
+    * pushdown + column pruning work the same as parquet). Schema comes
+    * from the file footer — no inference pass. Offered for interop with
+    * ORC-based warehouses; the engine's canonical format stays parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** One-file-per-partition CSV/JSON writers are deliberately absent: the
     * engine's canonical at-rest format is sorted, month-partitioned
-    * parquet (graft.sinks.ParquetSink); CSV/JSON are ingest formats. */
+    * parquet (graft.sinks.ParquetSink); CSV/JSON are ingest formats.
+    * Avro is absent because the spark-avro DATASOURCE jar is not in this
+    * distribution (only avro-core) — `format("avro")` would fail at
+    * runtime; same classpath contract as the Kafka source (README). */
 }

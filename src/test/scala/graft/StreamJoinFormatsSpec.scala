@@ -59,6 +59,19 @@ class StreamJoinFormatsSpec extends SparkTestBase {
     assert(json.where(col("id") === 2).collect().head.isNullAt(2), "absent field -> null")
   }
 
+  test("orc round trip: schema and values preserved, pruning pushdown works") {
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val df = (1L to 100L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "score")
+    FileFormats.writeOrc(df, s"$tmp/t.orc")
+    val back = FileFormats.readOrc(spark, s"$tmp/t.orc")
+    assert(back.schema.map(_.name) == Seq("id", "name", "score"))
+    assert(back.count() == 100)
+    assert(back.where(col("id") === 42).select("score").as[Double].head() == 63.0)
+    // predicate reaches the ORC scan (PushedFilters in the plan text)
+    val plan = back.where(col("id") > 90).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90"), plan)
+  }
+
   test("approx_count_distinct within 3*rsd of exact on real data") {
     val li = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.01")
     val approx = Relational.approxDistinctCounts(li, rsd = 0.01).collect().head
