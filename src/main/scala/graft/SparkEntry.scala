@@ -338,6 +338,11 @@ object SparkEntry {
     // explicit GROUPING SETS, IDENTICAL SQL on both engines
     "q65_grouping_sets" -> ((s, d) =>
       Sql.run(s, d, Sql.groupingSets)),
+    // Misra-Gries heavy hitters: fixed-m mergeable sketch (the 100 TB
+    // vocabulary path — exact form q52 shuffles every distinct token);
+    // certified via order-independent invariants, like q43/q45
+    "q66_heavy_hitters" -> ((s, d) =>
+      HeavyHitters.certifiedTopTokens(Tables.documents(s, d), k = 10, m = 16)),
     // the engine-native session operator: groupBy(session_window) — same
     // boundaries as q35's manual lag/cumsum form (oracle derives one from
     // the other: window end = last event + gap by definition)
@@ -796,6 +801,13 @@ object SparkEntry {
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q39_sql_shipping_priority" -> ops.Sql.shippingPriority,
     "q64_correlated_sql" -> ops.Sql.bigSpendersCorrelated,
+    "q66_heavy_hitters" ->
+      """WITH tok AS (SELECT
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) token
+        |  FROM documents)
+        |SELECT token, COUNT(*) exact_cnt, TRUE present_ok, TRUE bound_ok
+        |FROM tok GROUP BY token
+        |ORDER BY exact_cnt DESC, token ASC LIMIT 10""".stripMargin,
     "q65_grouping_sets" -> ops.Sql.groupingSets,
     "q63_unpivot" -> Seq("quantity", "extendedprice", "discount", "tax").map(m =>
       s"""SELECT l_orderkey, l_linenumber, '$m' metric,
