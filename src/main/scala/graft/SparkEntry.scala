@@ -338,6 +338,22 @@ object SparkEntry {
     // explicit GROUPING SETS, IDENTICAL SQL on both engines
     "q65_grouping_sets" -> ((s, d) =>
       Sql.run(s, d, Sql.groupingSets)),
+    // time-series gap fill: calendar grid (sequence/generate_series) LEFT
+    // JOIN counts, zeros for silent days — resample at grid size cost
+    "q67_resample" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val days = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("1995-01-01")),
+        lit(java.sql.Date.valueOf("1995-03-31")),
+        expr("interval 1 day"))).as("day"))
+      val counts = o
+        .where(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-04-01"))
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      days.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    }),
     // Misra-Gries heavy hitters: fixed-m mergeable sketch (the 100 TB
     // vocabulary path — exact form q52 shuffles every distinct token);
     // certified via order-independent invariants, like q43/q45
@@ -801,6 +817,14 @@ object SparkEntry {
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q39_sql_shipping_priority" -> ops.Sql.shippingPriority,
     "q64_correlated_sql" -> ops.Sql.bigSpendersCorrelated,
+    "q67_resample" ->
+      """WITH days AS (SELECT CAST(unnest(generate_series(
+        |    DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) "day"),
+        |c AS (SELECT CAST(o_orderdate AS DATE) "day", COUNT(*) n FROM orders
+        |      WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+        |      GROUP BY 1)
+        |SELECT days."day", COALESCE(c.n, 0) n
+        |FROM days LEFT JOIN c USING ("day")""".stripMargin,
     "q66_heavy_hitters" ->
       """WITH tok AS (SELECT
         |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) token
