@@ -338,6 +338,16 @@ object SparkEntry {
     // explicit GROUPING SETS, IDENTICAL SQL on both engines
     "q65_grouping_sets" -> ((s, d) =>
       Sql.run(s, d, Sql.groupingSets)),
+    // benchmark decontamination: 5-gram overlap of corpus docs against a
+    // held-out benchmark split — the pre-training eval-leak check
+    "q68_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curate.decontaminate(docs.where(col("doc_id") < 400),
+        docs.where(col("doc_id") >= 400), n = 5, maxSharedRatio = 0.2)
+    }),
+    // Gopher-style repetition quality rule: repeated-3-gram ratio per doc
+    "q69_repetition" -> ((s, d) =>
+      Curate.repetitionScore(Tables.documents(s, d), n = 3)),
     // time-series gap fill: calendar grid (sequence/generate_series) LEFT
     // JOIN counts, zeros for silent days — resample at grid size cost
     "q67_resample" -> ((s, d) => {
@@ -817,6 +827,34 @@ object SparkEntry {
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q39_sql_shipping_priority" -> ops.Sql.shippingPriority,
     "q64_correlated_sql" -> ops.Sql.bigSpendersCorrelated,
+    "q68_decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(1, len(tk) - 3), i ->
+        |           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |           tk[i+3] || ' ' || tk[i+4]) END) sh
+        |  FROM (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') tk
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) s FROM t WHERE doc_id >= 400),
+        |corp AS (SELECT doc_id, unnest(sh) s FROM t WHERE doc_id < 400),
+        |agg AS (SELECT c.doc_id, COUNT(*) n_shingles, COUNT(b.s) n_shared
+        |        FROM corp c LEFT JOIN bench b ON c.s = b.s GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_shared,
+        |  n_shared * 100 > 20 * n_shingles contaminated FROM agg""".stripMargin,
+    "q69_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(1, len(tk) - 1), i ->
+        |           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END sh
+        |  FROM (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') tk
+        |        FROM documents))
+        |SELECT doc_id, CAST(len(sh) AS BIGINT) n_ngrams,
+        |  CAST(len(list_distinct(sh)) AS BIGINT) n_distinct,
+        |  CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+        |    / greatest(len(sh), 1) rep_ratio
+        |FROM t""".stripMargin,
     "q67_resample" ->
       """WITH days AS (SELECT CAST(unnest(generate_series(
         |    DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) "day"),

@@ -115,6 +115,47 @@ object Curate {
         concat(lit("contact user"), col("doc_id"), lit("@example.com or call 555-867-5309 now")),
         substring(col("text"), 41, 1000000)).as("text"))
 
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: flag corpus documents sharing word
+    * n-grams with a held-out benchmark set — the overlap check every
+    * serious training pipeline runs before training (a doc containing
+    * eval-set text poisons the benchmark). Shape: distinct shingles per
+    * doc, benchmark shingle set deduplicated, LEFT SEMI equi-join on the
+    * shingle to count per-doc hits. Both sides shuffle only (doc_id,
+    * shingle-hash)-sized rows; the benchmark set is typically tiny and
+    * broadcasts. Returns every corpus doc with its shingle count, shared
+    * count, and a contamination flag at `maxSharedRatio`. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                    maxSharedRatio: Double = 0.2): DataFrame = {
+    val sh = (df: DataFrame) => df.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingles(col("text"), n))).as("s"))
+    val bench = sh(benchmark).select(col("s")).distinct()
+    val corp = sh(corpus)
+    val shared = corp.join(bench, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated",
+        col("n_shared") * 100 > lit((maxSharedRatio * 100).round) * col("n_shingles"))
+  }
+
+  /** Gopher-style repetition score: the fraction of a document's word
+    * n-grams that are repeats ((total - distinct) / total). High values
+    * mean boilerplate/spam; pipelines drop docs above a threshold. Pure
+    * per-row column math — scan speed, no shuffle, no UDF. */
+  def repetitionScore(documents: DataFrame, n: Int = 3): DataFrame = {
+    val all = Dedup.shingles(col("text"), n)
+    val total = greatest(size(all), lit(1))
+    documents.select(col("doc_id"),
+      size(all).cast("long").as("n_ngrams"),
+      size(array_distinct(all)).cast("long").as("n_distinct"),
+      ((size(all) - size(array_distinct(all))).cast("double") / total)
+        .as("rep_ratio"))
+  }
+
   // -------------------------------------------- duplicate-cluster resolve
 
   /** Resolve near-duplicate PAIRS into clusters: connected components by

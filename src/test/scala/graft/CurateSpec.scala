@@ -79,6 +79,34 @@ class CurateSpec extends SparkTestBase {
     assert(got.size == 30 && got.values.forall(_ == 1L))
   }
 
+  test("decontaminate: doc containing benchmark text flagged, clean doc not") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // splices 10 benchmark tokens verbatim -> heavy 5-gram overlap
+      (1L, "intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+      // same vocabulary, different order -> no shared 5-gram
+      (2L, "dog lazy the over jumps fox brown quick the tonight filler filler2 filler3")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curate.decontaminate(corpus, bench, n = 5, maxSharedRatio = 0.2)
+      .select("doc_id", "n_shared", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 >= 6 && got(1L)._2, s"spliced doc must be flagged: $got")
+    assert(got(2L)._1 == 0 && !got(2L)._2, s"reordered doc must be clean: $got")
+  }
+
+  test("repetitionScore: boilerplate spam scores high, diverse text low") {
+    val docs = Seq(
+      (1L, Seq.fill(20)("buy cheap pills now").mkString(" ")), // massive 3-gram repeats
+      (2L, (1 to 80).map(i => s"w$i").mkString(" "))           // all distinct
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curate.repetitionScore(docs, n = 3)
+      .select("doc_id", "rep_ratio").as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.9, s"spam ratio ${got(1L)}")
+    assert(got(2L) == 0.0, s"diverse ratio ${got(2L)}")
+  }
+
   test("curate: each gate filters what it should") {
     val docs = Seq(
       // passes everything (en, 24 tokens, no stopwords)
