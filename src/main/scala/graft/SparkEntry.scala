@@ -338,6 +338,12 @@ object SparkEntry {
     // explicit GROUPING SETS, IDENTICAL SQL on both engines
     "q65_grouping_sets" -> ((s, d) =>
       Sql.run(s, d, Sql.groupingSets)),
+    // per-language embedding centroids (class prototypes): flat
+    // (group, dim, value) rows, integer-scaled for engine-exact means
+    "q70_group_centroids" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id").as("vec_id"), col("lang"))
+      Similarity.groupCentroids(Tables.embeddings(s, d).join(docs, "vec_id"), "lang")
+    }),
     // benchmark decontamination: 5-gram overlap of corpus docs against a
     // held-out benchmark split — the pre-training eval-leak check
     "q68_decontaminate" -> ((s, d) => {
@@ -827,6 +833,16 @@ object SparkEntry {
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q39_sql_shipping_priority" -> ops.Sql.shippingPriority,
     "q64_correlated_sql" -> ops.Sql.bigSpendersCorrelated,
+    "q70_group_centroids" ->
+      """WITH j AS (SELECT d.lang, e.embedding FROM embeddings e
+        |           JOIN documents d ON e.vec_id = d.doc_id),
+        |x AS (SELECT lang, unnest(range(1, len(embedding) + 1)) dim,
+        |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+        |             AS BIGINT) sv
+        |      FROM j)
+        |SELECT lang, CAST(dim AS BIGINT) dim,
+        |  FLOOR(CAST(SUM(sv) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 centroid
+        |FROM x GROUP BY lang, dim""".stripMargin,
     "q68_decontaminate" ->
       """WITH t AS (SELECT doc_id, list_distinct(
         |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]

@@ -26,6 +26,26 @@ import graft.expr.Exprs
   */
 object Similarity {
 
+  /** Per-group embedding centroids, flat (group, dim, value) output — the
+    * mean-pool a dataset-cartography / class-prototype pass computes over
+    * billions of vectors. Shape: posexplode to (group, dim, component),
+    * ONE groupBy(group, dim) — shuffle rows are 3 scalars each, partial
+    * aggregation map-side, no vector ever materializes on a single
+    * reducer. Float addition is order-dependent, so components are scaled
+    * to exact integers (floor(v*1e6+0.5)) before summing — integer sums
+    * are associative, making the mean bit-identical on any engine and any
+    * partitioning; the scaled mean is emitted floor-rounded to 6dp. */
+  def groupCentroids(vectors: DataFrame, groupCol: String,
+                     vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col(groupCol), (col("dim") + 1).cast("long").as("dim"),
+        floor(col("v").cast("double") * 1000000 + 0.5).cast("long").as("sv"))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(sum(col("sv")).as("s"), count(lit(1)).as("n"))
+      .select(col(groupCol), col("dim"),
+        (floor(col("s").cast("double") / col("n") + 0.5) / 1000000.0).as("centroid"))
+
   /** Cosine similarity, null-safe on zero vectors (returns null). */
   def cosine(a: Column, b: Column): Column = Exprs.cosineSim(a, b)
 
