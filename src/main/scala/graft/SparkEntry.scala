@@ -338,6 +338,18 @@ object SparkEntry {
     // explicit GROUPING SETS, IDENTICAL SQL on both engines
     "q65_grouping_sets" -> ((s, d) =>
       Sql.run(s, d, Sql.groupingSets)),
+    // fuzzy string join (entity resolution): dirty part names (one char
+    // deleted) matched back to their sources via token-postings
+    // candidates + levenshtein verify — never the |L|x|R| matrix
+    "q71_fuzzy_join" -> ((s, d) => {
+      val clean = Tables.part(s, d).where(col("p_partkey") < 2000)
+        .select(col("p_partkey").as("clean_id"), col("p_name").as("clean_name"))
+      val dirty = clean.select((col("clean_id") + 100000L).as("dirty_id"),
+        concat(substring(col("clean_name"), 1, 2),
+          substring(col("clean_name"), 4, 1000)).as("dirty_name"))
+      FuzzyJoin.join(dirty, clean, "dirty_id", "dirty_name",
+        "clean_id", "clean_name", maxDist = 2)
+    }),
     // per-language embedding centroids (class prototypes): flat
     // (group, dim, value) rows, integer-scaled for engine-exact means
     "q70_group_centroids" -> ((s, d) => {
@@ -833,6 +845,16 @@ object SparkEntry {
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q39_sql_shipping_priority" -> ops.Sql.shippingPriority,
     "q64_correlated_sql" -> ops.Sql.bigSpendersCorrelated,
+    "q71_fuzzy_join" ->
+      """WITH clean AS (SELECT p_partkey clean_id, p_name clean_name
+        |               FROM part WHERE p_partkey < 2000),
+        |dirty AS (SELECT clean_id + 100000 dirty_id,
+        |            substr(clean_name, 1, 2) || substr(clean_name, 4) dirty_name
+        |          FROM clean)
+        |SELECT dirty_id, clean_id,
+        |  CAST(levenshtein(dirty_name, clean_name) AS BIGINT) dist
+        |FROM dirty, clean
+        |WHERE levenshtein(dirty_name, clean_name) <= 2""".stripMargin,
     "q70_group_centroids" ->
       """WITH j AS (SELECT d.lang, e.embedding FROM embeddings e
         |           JOIN documents d ON e.vec_id = d.doc_id),
