@@ -175,23 +175,27 @@ object Curate {
     * doc appearing in a pair, cluster_id = min doc_id of its component —
     * the canonical representative a dedup pass keeps. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // self-loops fold the "keep own label" term into the SAME join that
+    // gathers neighbour labels: one join + one groupBy per round instead
+    // of join + groupBy + second join (round-trips dominate — the pair
+    // set is tiny post-LSH, job overhead is the cost)
+    val nodes = pairs.select(col("doc_a").cast("long").as("a"))
+      .union(pairs.select(col("doc_b").cast("long").as("a"))).distinct()
     val edges = pairs
       .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
       .union(pairs.select(col("doc_b").cast("long").as("a"), col("doc_a").cast("long").as("b")))
+      .union(nodes.select(col("a"), col("a").as("b"))) // self-loops
       .distinct()
       .persist()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    var labels = nodes.select(col("a").as("node"), col("a").as("label"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val nbrMin = edges
+      val next = edges
         .join(labels.select(col("node").as("b"), col("label").as("nbl")), "b")
         .groupBy(col("a").as("node"))
-        .agg(min(col("nbl")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("node"))
-        .select(col("node"), least(col("label"), col("nbr_min")).as("label"))
+        .agg(min(col("nbl")).as("label"))
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
         .where(col("label") =!= col("prev")).isEmpty
