@@ -338,6 +338,9 @@ object SparkEntry {
     // explicit GROUPING SETS, IDENTICAL SQL on both engines
     "q65_grouping_sets" -> ((s, d) =>
       Sql.run(s, d, Sql.groupingSets)),
+    // string-column ANALYZE stats (binary-collation min/max)
+    "q72_string_stats" -> ((s, d) =>
+      Stats.stringColumnStats(Tables.customer(s, d), Seq("c_name", "c_mktsegment"))),
     // fuzzy string join (entity resolution): dirty part names (one char
     // deleted) matched back to their sources via token-postings
     // candidates + levenshtein verify — never the |L|x|R| matrix
@@ -845,6 +848,13 @@ object SparkEntry {
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q39_sql_shipping_priority" -> ops.Sql.shippingPriority,
     "q64_correlated_sql" -> ops.Sql.bigSpendersCorrelated,
+    "q72_string_stats" -> Seq("c_name", "c_mktsegment").map(c =>
+      s"""SELECT '$c' "column", COUNT($c) n_nonnull,
+         |  COUNT(*) - COUNT($c) n_null,
+         |  MIN($c) min_s, MAX($c) max_s,
+         |  CAST(MAX(LENGTH($c)) AS BIGINT) max_len
+         |FROM customer""".stripMargin)
+      .mkString("\nUNION ALL\n"),
     "q71_fuzzy_join" ->
       """WITH clean AS (SELECT p_partkey clean_id, p_name clean_name
         |               FROM part WHERE p_partkey < 2000),

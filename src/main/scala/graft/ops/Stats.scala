@@ -35,4 +35,29 @@ object Stats {
       .select(col("s.column"), col("s.n_nonnull"), col("s.n_null"),
         col("s.min_d"), col("s.max_d"))
   }
+
+  /** String-column twin of [[numericColumnStats]]: (count, nulls, min,
+    * max, max length) per column, one scan. Binary-collation min/max —
+    * the same total order DuckDB's default collation uses, so the output
+    * is oracle-comparable. */
+  def stringColumnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"nulls_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        max(length(col(c))).cast("long").as(s"len_$c"))
+    }
+    val packed = array(cols.map(c => struct(
+      lit(c).as("column"),
+      col(s"n_$c").as("n_nonnull"),
+      col(s"nulls_$c").as("n_null"),
+      col(s"min_$c").as("min_s"),
+      col(s"max_$c").as("max_s"),
+      col(s"len_$c").as("max_len"))): _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(packed).as("s"))
+      .select(col("s.column"), col("s.n_nonnull"), col("s.n_null"),
+        col("s.min_s"), col("s.max_s"), col("s.max_len"))
+  }
 }
