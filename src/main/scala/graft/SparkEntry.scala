@@ -338,6 +338,9 @@ object SparkEntry {
     // explicit GROUPING SETS, IDENTICAL SQL on both engines
     "q65_grouping_sets" -> ((s, d) =>
       Sql.run(s, d, Sql.groupingSets)),
+    // BPE training inner loop: adjacent-pair counts over the pre-tokens
+    "q73_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, d), k = 50)),
     // string-column ANALYZE stats (binary-collation min/max)
     "q72_string_stats" -> ((s, d) =>
       Stats.stringColumnStats(Tables.customer(s, d), Seq("c_name", "c_mktsegment"))),
@@ -848,6 +851,15 @@ object SparkEntry {
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q39_sql_shipping_priority" -> ops.Sql.shippingPriority,
     "q64_correlated_sql" -> ops.Sql.bigSpendersCorrelated,
+    "q73_bpe_pairs" ->
+      """WITH t AS (SELECT
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') tk
+        |  FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |        i -> tk[i] || ' ' || tk[i+1])) pair
+        |      FROM t WHERE len(tk) >= 2)
+        |SELECT pair, COUNT(*) cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
     "q72_string_stats" -> Seq("c_name", "c_mktsegment").map(c =>
       s"""SELECT '$c' "column", COUNT($c) n_nonnull,
          |  COUNT(*) - COUNT($c) n_null,

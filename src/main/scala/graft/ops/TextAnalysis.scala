@@ -112,6 +112,24 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"))
   }
 
+  /** Adjacent BPE-token pair counts — the inner loop of BPE tokenizer
+    * training (count all adjacent pairs, merge the most frequent, repeat).
+    * One explode + one groupBy: the shuffle carries (pair, partial count)
+    * after map-side combine, so a training pass over 100 TB of text is a
+    * scan plus one pair-keyed aggregation per merge round. Top-k output
+    * with lexicographic tie-break for determinism. */
+  def bpePairCounts(documents: DataFrame, k: Int = 50): DataFrame = {
+    val toks = bpeTokens(col("text"))
+    documents
+      .select(explode(when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          (t, i) => concat(t, lit(" "), element_at(toks, i + 2))))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Polynomial rolling-hash document fingerprint over tokens:
     * acc' = (acc*31 + len(tok)*131 + ascii(tok[0])) mod 1e9+7.
     * Engine-neutral (no builtin hash), collision-adequate for grouping
