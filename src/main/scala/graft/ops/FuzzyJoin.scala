@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fuzzy string join (entity resolution): pairs whose names are within a
@@ -17,10 +17,9 @@ import org.apache.spark.sql.functions._
   *   2. verify: exact levenshtein on the (small) candidate set only.
   *
   * Cost scales with token-collision density, not |L|x|R|; every step is
-  * an equi-keyed shuffle. The completeness caveat (a pair could in theory
-  * mutate every single token within the budget) is the standard q-gram
-  * filter trade-off — tighten with character q-grams instead of word
-  * tokens when names are single-token. */
+  * an equi-keyed shuffle. For SINGLE-token names use [[joinQgram]] —
+  * word-token postings can't work when one edit touches the only token.
+  */
 object FuzzyJoin {
 
   def join(left: DataFrame, right: DataFrame,
@@ -36,6 +35,46 @@ object FuzzyJoin {
       .where(col("df") > maxDf).select(col("_tok"))
     val cand = lt.join(hot, Seq("_tok"), "left_anti")
       .join(rt.join(hot, Seq("_tok"), "left_anti"), Seq("_tok"))
+      .select(col(leftId), col(leftCol), col(rightId), col(rightCol))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)))
+      .where(col("dist") <= maxDist)
+      .select(col(leftId), col(rightId), col("dist").cast("long").as("dist"))
+  }
+
+  /** Character q-gram candidates — the variant for SINGLE-token names.
+    * Count argument: one edit destroys at most q q-grams, so strings
+    * within distance k share at least max(len) - q + 1 - k*q q-grams;
+    * requiring >= 1 shared q-gram is therefore complete whenever the
+    * LONGER string exceeds (k+1)*q - 1 characters. Strings at or under
+    * that length additionally join a shared short-string bucket: a
+    * short-short pair may share no q-gram within the budget (they meet in
+    * the bucket instead), while a short-long pair still meets through the
+    * longer side's guaranteed overlap — short strings emit their real
+    * grams too. The bucket verifies exhaustively but only over the rare
+    * very-short names, so it stays bounded. */
+  def joinQgram(left: DataFrame, right: DataFrame,
+                leftId: String, leftCol: String, rightId: String, rightCol: String,
+                maxDist: Int, q: Int = 3, maxDf: Long = 10000L): DataFrame = {
+    val minLen = (maxDist + 1) * q
+    def gramsOf(c: Column) =
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(c) - (q - 1), lit(1))),
+        i => c.substr(i, lit(q))))
+    def keyed(c: Column) =
+      when(length(c) <= minLen,
+        concat(array(lit(" SHORT")), gramsOf(lower(c))))
+        .otherwise(gramsOf(lower(c)))
+    val lt = left.select(col(leftId), col(leftCol),
+      explode(keyed(col(leftCol))).as("_g"))
+    val rt = right.select(col(rightId), col(rightCol),
+      explode(keyed(col(rightCol))).as("_g"))
+    val hot = lt.select(col("_g")).unionAll(rt.select(col("_g")))
+      .groupBy(col("_g")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf && col("_g") =!= " SHORT").select(col("_g"))
+    val cand = lt.join(hot, Seq("_g"), "left_anti")
+      .join(rt.join(hot, Seq("_g"), "left_anti"), Seq("_g"))
       .select(col(leftId), col(leftCol), col(rightId), col(rightCol))
       .distinct()
     cand

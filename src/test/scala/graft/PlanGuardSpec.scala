@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+/** Plan-regression guard: pins the shuffle budget of representative
+  * queries. A change that silently adds an exchange to one of these
+  * plans fails HERE, in the unit suite, instead of surfacing as a bench
+  * regression a round later. Counts unwrap AQE query stages (a
+  * children-only walk reads 0 from any adaptive plan — see
+  * BucketingSpec). Budgets are the CURRENT plan shapes from PLANS.md;
+  * they are upper bounds, so an optimization that removes an exchange
+  * still passes. */
+class PlanGuardSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def count(p: SparkPlan, pred: SparkPlan => Boolean): Int = p match {
+    case a: AdaptiveSparkPlanExec => count(a.executedPlan, pred)
+    case q: QueryStageExec => count(q.plan, pred)
+    case other =>
+      (if (pred(other)) 1 else 0) +
+        other.children.map(count(_, pred)).sum +
+        other.subqueries.map(count(_, pred)).sum
+  }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    count(df.queryExecution.executedPlan, _.isInstanceOf[ShuffleExchangeLike])
+  }
+
+  private def broadcasts(df: DataFrame): Int = {
+    df.collect()
+    count(df.queryExecution.executedPlan, _.isInstanceOf[BroadcastExchangeLike])
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("scan-speed queries execute with ZERO shuffles") {
+    for (name <- Seq("q01_cdc_parse", "q21_token_stats", "q22_quality",
+      "q23_lang_id", "q24_fingerprint", "q26_simhash_sig", "q34_bpe_tokens",
+      "q44_scalar_battery", "q46_hash_sample", "q47_chunks", "q48_pii_redact",
+      "q63_unpivot", "q69_repetition")) {
+      assert(shuffles(q(name)) == 0, s"$name grew a shuffle")
+    }
+  }
+
+  test("single-shuffle aggregations/windows stay single-shuffle") {
+    for (name <- Seq("q06_pricing_summary", "q11_rollup", "q20_dedup_exact",
+      "q35_sessions", "q37_quantiles", "q38_cube", "q41_running_revenue",
+      "q45_approx_quantiles", "q51_cdc_latest", "q54_variant",
+      "q55_column_stats", "q57_window_battery", "q62_session_window")) {
+      assert(shuffles(q(name)) <= 1, s"$name grew beyond one shuffle")
+    }
+  }
+
+  test("broadcast-dim enrichment never shuffles the fact side") {
+    val df = q("q02_enrich")
+    assert(shuffles(df) == 0, "q02 must not shuffle")
+    assert(broadcasts(df) >= 1, "q02 must broadcast the dim")
+  }
+}
