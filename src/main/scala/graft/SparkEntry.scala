@@ -338,6 +338,18 @@ object SparkEntry {
     // explicit GROUPING SETS, IDENTICAL SQL on both engines
     "q65_grouping_sets" -> ((s, d) =>
       Sql.run(s, d, Sql.groupingSets)),
+    // fixed-range histogram: 20 equal-width bins (portable floor
+    // arithmetic — neither engine needs width_bucket), per-bin bounds
+    "q74_histogram" -> ((s, d) => {
+      val x = col("l_extendedprice")
+      val b = least(greatest(floor((x - 900.0) / 104100.0 * 20), lit(0.0)), lit(19.0))
+        .cast("long")
+      Tables.lineitem(s, d)
+        .groupBy(b.as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          (floor(min(x) * 100 + 0.5) / 100.0).as("lo"),
+          (floor(max(x) * 100 + 0.5) / 100.0).as("hi"))
+    }),
     // BPE training inner loop: adjacent-pair counts over the pre-tokens
     "q73_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), k = 50)),
@@ -851,6 +863,13 @@ object SparkEntry {
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q39_sql_shipping_priority" -> ops.Sql.shippingPriority,
     "q64_correlated_sql" -> ops.Sql.bigSpendersCorrelated,
+    "q74_histogram" ->
+      """SELECT CAST(LEAST(GREATEST(
+        |    FLOOR((l_extendedprice - 900.0) / 104100.0 * 20), 0.0), 19.0) AS BIGINT) bucket,
+        |  COUNT(*) cnt,
+        |  FLOOR(MIN(l_extendedprice) * 100 + 0.5) / 100.0 lo,
+        |  FLOOR(MAX(l_extendedprice) * 100 + 0.5) / 100.0 hi
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q73_bpe_pairs" ->
       """WITH t AS (SELECT
         |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') tk
