@@ -205,6 +205,50 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** Persisted IVF index — the production workflow: assignment is a full
+    * corpus scan, so it is computed ONCE at build time and saved; query
+    * batches then read only the probed inverted lists. On disk:
+    * `<path>/centroids` (list_id, centroid) and `<path>/lists` — the
+    * corpus with its list_id, PARTITIONED BY list_id so a search with
+    * nprobe lists triggers partition pruning and touches nprobe/nlist of
+    * the files (the on-disk analog of FAISS's inverted lists). */
+  def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    seed: Long = 42L): Unit = {
+    val centroids = fitCentroids(corpus, nlist, vecCol, seed = seed)
+    val cents = centroids.map(_.toSeq).toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("list_id", Exprs.nearestCentroids(col("nvec"), cents, 1).getItem(0))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** Search a persisted IVF index. Probe-list filtering happens via an
+    * IN predicate on the partition column, so the parquet reader prunes
+    * whole list directories — only nprobe/nlist of the index is read. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").select("centroid").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq // nlist small: driver-safe
+    val lists = spark.read.parquet(s"$path/lists")
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("list_id", explode(Exprs.nearestCentroids(col("qvec"), cents, nprobe))))
+    val scored = lists.join(q, Seq("list_id"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
   /** Self-certifying recall gate for an ANN result: join the approximate
     * top-k (qid, nid, ...) against the exact top-k computed in the same
     * plan and emit one row per query id with `recall_ok` — whether the ANN

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class IvfIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("persisted IVF index: search equals in-memory IVF; DPP prunes list partitions") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("graft-ivf").toString
+
+    Similarity.buildIvfIndex(emb, path, nlist = 8)
+    val probes = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+
+    val indexed = Similarity.searchIvfIndex(spark, path, probes, k = 5, nprobe = 3)
+    val centroids = Similarity.fitCentroids(emb, nlist = 8) // same seed -> same model
+    val direct = Similarity.ivfKnn(probes, emb, centroids, k = 5, nprobe = 3)
+    val a = indexed.select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val b = direct.select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a == b, s"indexed vs direct diverged: ${a.diff(b).take(3)} / ${b.diff(a).take(3)}")
+    assert(a.nonEmpty)
+
+    // the point of partitioning by list_id: the scan carries a dynamic
+    // pruning filter on the partition column, so only probed inverted
+    // lists are read from disk
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on list_id:\n${plan.take(3000)}")
+  }
+
+  test("index survives a fresh reader: top-1 self-hit on an identical probe") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("graft-ivf2").toString
+    Similarity.buildIvfIndex(emb, path, nlist = 4)
+    // identical copy of corpus vector 7 must find vec 7 as top-1
+    val probe = emb.where(col("vec_id") === 7)
+      .select(lit(9999999L).as("vec_id"), col("embedding"))
+    val hit = Similarity.searchIvfIndex(spark, path, probe, k = 1, nprobe = 1)
+      .select("nid").as[Long].collect()
+    assert(hit.toList == List(7L))
+  }
+}
