@@ -338,6 +338,16 @@ object SparkEntry {
     // explicit GROUPING SETS, IDENTICAL SQL on both engines
     "q65_grouping_sets" -> ((s, d) =>
       Sql.run(s, d, Sql.groupingSets)),
+    // operator composition: chunk -> exact-dedup the CHUNKS — finds
+    // boilerplate windows repeated across documents (the chunk-level
+    // twin of q20's doc-level dedup; dedup-after-chunking is how
+    // training pipelines drop repeated headers/footers)
+    "q75_chunk_dedup" -> ((s, d) =>
+      Curate.chunks(Tables.documents(s, d), chunkLen = 20, stride = 20)
+        .groupBy(md5(col("chunk_text").cast("binary")).as("chunk_md5"),
+          length(col("chunk_text")).cast("long").as("chunk_len"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
+        .where(col("n_copies") > 1)),
     // fixed-range histogram: 20 equal-width bins (portable floor
     // arithmetic — neither engine needs width_bucket), per-bin bounds
     "q74_histogram" -> ((s, d) => {
@@ -870,6 +880,18 @@ object SparkEntry {
         |  FLOOR(MIN(l_extendedprice) * 100 + 0.5) / 100.0 lo,
         |  FLOOR(MAX(l_extendedprice) * 100 + 0.5) / 100.0 hi
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q75_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
+        |  FROM documents),
+        |s AS (SELECT doc_id, tk, len(tk) n FROM t WHERE len(tk) > 0),
+        |u AS (SELECT doc_id, tk, n, unnest(range(0, n, 20)) st FROM s),
+        |c AS (SELECT doc_id,
+        |        array_to_string(list_slice(tk, st + 1, least(st + 20, n)), ' ') chunk_text
+        |      FROM u)
+        |SELECT md5(chunk_text) chunk_md5, length(chunk_text) chunk_len,
+        |  COUNT(*) n_copies, MIN(doc_id) first_doc
+        |FROM c GROUP BY 1, 2 HAVING COUNT(*) > 1""".stripMargin,
     "q73_bpe_pairs" ->
       """WITH t AS (SELECT
         |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') tk
