@@ -177,6 +177,42 @@ class PropertySpec extends SparkTestBase {
     assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
   }
 
+  test("property: non-overlapping chunks reconstruct the token stream exactly") {
+    // stride == chunkLen -> chunks partition the tokens; joining them back
+    // must reproduce the original tokenization for ANY whitespace shape
+    val texts = samples(textGen, 120, seed = 37L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = graft.ops.Curate.chunks(texts.toDF("doc_id", "text"),
+      chunkLen = 7, stride = 7)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", flatten(sort_array(
+        collect_list(struct(col("chunk_idx"), split(col("chunk_text"), " "))))
+        .getField("col2"))).as("rejoined"))
+      .as[(Long, String)].collect().toMap
+    texts.foreach { case (id, t) =>
+      val ref = refTokens(t).mkString(" ")
+      if (ref.isEmpty) assert(!got.contains(id), s"doc $id: empty docs emit no chunks")
+      else assert(got(id) == ref, s"doc $id: '${got(id).inspect}' != '${ref.inspect}'")
+    }
+  }
+
+  test("property: hashSample thresholds are monotone and nested across rates") {
+    val rates = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0)
+    val thr = rates.map(graft.ops.Curate.hashSampleThreshold)
+    assert(thr == thr.sorted, s"thresholds must be monotone in rate: $thr")
+    assert(thr.forall(_.length == 8))
+    // nested samples follow from monotone thresholds + a fixed hash: a row
+    // kept at rate r is kept at every r' > r (checked end-to-end)
+    val df = spark.range(0, 3000).toDF("doc_id")
+    val keep = rates.map(r =>
+      graft.ops.Curate.hashSample(df, "doc_id", r, "p").select("doc_id")
+        .as[Long].collect().toSet)
+    keep.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "samples must nest as rate grows")
+    }
+    assert(keep.head.isEmpty && keep.last.size >= 2999) // rate 0 / rate 1
+  }
+
   private implicit class Inspect(s: String) {
     def inspect: String = s.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString
   }
