@@ -338,6 +338,18 @@ object SparkEntry {
     // explicit GROUPING SETS, IDENTICAL SQL on both engines
     "q65_grouping_sets" -> ((s, d) =>
       Sql.run(s, d, Sql.groupingSets)),
+    // error-tolerant parsing battery: TRY_CAST semantics (dirty strings
+    // -> NULL, never a failed job) — the cleaning pass run before typed
+    // ingestion; identical function in both engines
+    "q76_try_cast" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").as("pri_num"),
+        expr("try_cast(o_orderpriority AS BIGINT)").as("junk_num"),
+        expr("try_cast(cast(o_totalprice AS STRING) AS DOUBLE)").as("price_rt"),
+        expr("try_cast(o_orderstatus AS DATE)").as("junk_date"),
+        expr("try_cast(concat('19', substr(o_orderpriority, 1, 1), '0-01-01') AS DATE)")
+          .as("built_date"))),
     // operator composition: chunk -> exact-dedup the CHUNKS — finds
     // boilerplate windows repeated across documents (the chunk-level
     // twin of q20's doc-level dedup; dedup-after-chunking is how
@@ -880,6 +892,14 @@ object SparkEntry {
         |  FLOOR(MIN(l_extendedprice) * 100 + 0.5) / 100.0 lo,
         |  FLOOR(MAX(l_extendedprice) * 100 + 0.5) / 100.0 hi
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q76_try_cast" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) pri_num,
+        |  TRY_CAST(o_orderpriority AS BIGINT) junk_num,
+        |  TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) price_rt,
+        |  TRY_CAST(o_orderstatus AS DATE) junk_date,
+        |  TRY_CAST(concat('19', substr(o_orderpriority, 1, 1), '0-01-01') AS DATE) built_date
+        |FROM orders""".stripMargin,
     "q75_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
