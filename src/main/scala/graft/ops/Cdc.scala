@@ -26,18 +26,28 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Terminal row per key — INCLUDING deletes (tombstones). The stored
+    * form for incremental image maintenance (streaming/CdcImage): a
+    * partition whose last change is a delete still yields a row, so
+    * partition-limited rewrites (dynamic overwrite) always rewrite every
+    * touched partition. Readers filter tombstones; compaction drops them. */
+  def latestVersions(changes: DataFrame, keyCols: Seq[String],
+                     versionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    changes
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Latest image per key from a change set.
     * @param versionCols highest wins; supply a tie-breaker (e.g. the
     *                    monotonically increasing change id) as a trailing
     *                    column if versions can collide. */
   def latestImage(changes: DataFrame, keyCols: Seq[String],
                   versionCols: Seq[String], opCol: String = "op",
-                  deleteOp: String = "d"): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(versionCols.map(c => col(c).desc): _*)
-    changes
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1 && col(opCol) =!= deleteOp)
-      .drop("_rn")
-  }
+                  deleteOp: String = "d"): DataFrame =
+    latestVersions(changes, keyCols, versionCols)
+      .where(col(opCol) =!= deleteOp)
 }

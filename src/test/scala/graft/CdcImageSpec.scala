@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.ops.Cdc
+import graft.streaming.CdcImage
+
+class CdcImageSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streamed image == batch latestImage over the full change log") {
+    implicit val ctx = spark.sqlContext
+    val imageDir = Files.createTempDirectory("graft-img").toString + "/image"
+    val chk = Files.createTempDirectory("graft-img-chk").toString
+    val input = MemoryStream[(Long, Long, String, String)] // k, ver, op, payload
+    val q = CdcImage.start(input.toDF().toDF("k", "ver", "op", "payload"),
+      imageDir, chk, Seq("k"), Seq("ver"), nBuckets = 8)
+    try {
+      // batch 1: inserts
+      input.addData((1L, 1L, "c", "a1"), (2L, 1L, "c", "b1"), (3L, 1L, "c", "c1"))
+      q.processAllAvailable()
+      // batch 2: update k=1, delete k=2, insert k=4, redeliver k=3
+      input.addData((1L, 2L, "u", "a2"), (2L, 2L, "d", "b1"),
+        (4L, 1L, "c", "d1"), (3L, 1L, "c", "c1"))
+      q.processAllAvailable()
+      // batch 3: late-but-older change for k=1 must NOT win
+      input.addData((1L, 1L, "u", "aSTALE"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = CdcImage.read(spark, imageDir)
+      .select("k", "ver", "op", "payload")
+      .as[(Long, Long, String, String)].collect().toSet
+    val allChanges = Seq(
+      (1L, 1L, "c", "a1"), (2L, 1L, "c", "b1"), (3L, 1L, "c", "c1"),
+      (1L, 2L, "u", "a2"), (2L, 2L, "d", "b1"), (4L, 1L, "c", "d1"),
+      (3L, 1L, "c", "c1"), (1L, 1L, "u", "aSTALE")
+    ).toDF("k", "ver", "op", "payload")
+    val batch = Cdc.latestImage(allChanges, Seq("k"), Seq("ver"))
+      .select("k", "ver", "op", "payload")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 2L, "u", "a2"), (3L, 1L, "c", "c1"),
+      (4L, 1L, "c", "d1"))) // k=2 deleted
+  }
+}
