@@ -61,4 +61,34 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(df) == 0, "q02 must not shuffle")
     assert(broadcasts(df) >= 1, "q02 must broadcast the dim")
   }
+
+  // ---- interpreted-HOF cost guard (the q73 bug class) ----------------
+  // Shuffle budgets cannot see expression-evaluation cost: a lambda that
+  // captures a regex/JSON parse re-evaluates it per array element with a
+  // "perfect" plan shape. LambdaCostAudit closes that blind spot.
+
+  test("no query evaluates regex/JSON work inside a HOF lambda") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val v = graft.plans.LambdaCostAudit.violations(fn(spark, sf))
+      assert(v.isEmpty, s"$name: ${v.mkString("; ")}")
+    }
+  }
+
+  test("the audit fails on the original q73 formulation (regex captured in lambda)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the exact shape that shipped the O(tokens^2) bug: `toks` is the raw
+    // regexp_extract_all expression and the transform lambda re-captures it
+    // through element_at, so every element re-runs the regex over the text
+    val toks = regexp_extract_all(col("text"), lit(ops.TextAnalysis.bpePattern), lit(0))
+    val old = docs.select(explode(
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          (t, i) => concat(t, lit(" "), element_at(toks, i + 2))))).as("pair"))
+    assert(graft.plans.LambdaCostAudit.violations(old).nonEmpty,
+      "audit must flag the per-element regex re-evaluation")
+    // and the fixed formulation is clean
+    assert(graft.plans.LambdaCostAudit.violations(
+      ops.TextAnalysis.bpePairCounts(docs)).isEmpty)
+  }
 }
