@@ -121,23 +121,23 @@ object Curate {
     * n-grams with a held-out benchmark set — the overlap check every
     * serious training pipeline runs before training (a doc containing
     * eval-set text poisons the benchmark). Shape: distinct shingles per
-    * doc, benchmark shingle set deduplicated, LEFT SEMI equi-join on the
-    * shingle to count per-doc hits. Both sides shuffle only (doc_id,
-    * shingle-hash)-sized rows; the benchmark set is typically tiny and
-    * broadcasts. Returns every corpus doc with its shingle count, shared
-    * count, and a contamination flag at `maxSharedRatio`. */
+    * doc, benchmark shingle set deduplicated, then ONE left equi-join on
+    * the shingle against the (distinct, hence fanout-free) benchmark side
+    * carrying a hit marker, and ONE per-doc aggregation counting total
+    * rows and non-null markers together. The corpus shingles explode once
+    * — the earlier semi-join + separate-total formulation exploded them
+    * twice and paid the generate + scan a second time. The benchmark set
+    * is typically tiny and broadcasts. Returns every corpus doc with its
+    * shingle count, shared count, and a contamination flag at
+    * `maxSharedRatio`. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                     maxSharedRatio: Double = 0.2): DataFrame = {
     val sh = (df: DataFrame) => df.select(col("doc_id"),
       explode(array_distinct(Dedup.shingles(col("text"), n))).as("s"))
     val bench = sh(benchmark).select(col("s")).distinct()
-    val corp = sh(corpus)
-    val shared = corp.join(bench, Seq("s"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    corp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+    sh(corpus).join(bench.withColumn("_hit", lit(1)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_shared"))
       .withColumn("contaminated",
         col("n_shared") * 100 > lit((maxSharedRatio * 100).round) * col("n_shingles"))
   }

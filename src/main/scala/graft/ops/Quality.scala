@@ -38,6 +38,42 @@ object Quality {
     df.agg(count(when(col(c).isNotNull && !col(c).isInCollection(accepted), lit(1)))
       .as("violations"))
 
+  /** Single-pass check battery over one child table: pk-uniqueness,
+    * FK-into-parent, and null-rate computed from ONE scan. The per-check
+    * functions above each scan their input; a battery of three orders
+    * checks built from them reads orders three times — at 100 TB every
+    * redundant scan is real money. Shape: left-join the child's FK column
+    * against the (deduplicated) parent key set, then a pk-keyed
+    * aggregation carrying three partial counters at once — group size,
+    * per-group nulls, per-group FK misses — and a scalar roll-up that
+    * explodes into one (check, violations) row per expectation. Two
+    * aggregation levels = map-side combine on the pk; the parent side
+    * broadcasts when small. Output rows match the per-check functions
+    * exactly, so this is a drop-in fusion, not a semantic change. */
+  def childBattery(child: DataFrame, pkCol: String, fkCol: String,
+                   nullCol: String, parent: DataFrame, parentKey: String,
+                   pkName: String, fkName: String, nullName: String): DataFrame = {
+    val pkeys = parent.select(col(parentKey).as("_pk")).distinct()
+      .withColumn("_hit", lit(1))
+    child
+      .select(col(pkCol).as("_id"), col(fkCol).as("_fk"), col(nullCol).as("_nc"))
+      .join(pkeys, col("_fk") === col("_pk"), "left")
+      .groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("_n"),
+        count(when(col("_nc").isNull, lit(1))).as("_nnull"),
+        count(when(col("_fk").isNotNull && col("_hit").isNull, lit(1))).as("_nfk"))
+      .agg(
+        coalesce(sum(col("_n") - 1), lit(0L)).cast("long").as("_pkv"),
+        coalesce(sum(col("_nfk")), lit(0L)).cast("long").as("_fkv"),
+        coalesce(sum(col("_nnull")), lit(0L)).cast("long").as("_nullv"))
+      .select(explode(array(
+        struct(lit(pkName).as("check"), col("_pkv").as("violations")),
+        struct(lit(fkName).as("check"), col("_fkv").as("violations")),
+        struct(lit(nullName).as("check"), col("_nullv").as("violations")))).as("_r"))
+      .select(col("_r.check").as("check"), col("_r.violations").as("violations"))
+  }
+
   /** Snapshot diff: row-level changes from `before` to `after`, keyed by
     * `keyCol`, comparing `valueCols`. One full-outer equi-join on the key;
     * change ∈ {added, removed, changed}. Unchanged rows are dropped, so

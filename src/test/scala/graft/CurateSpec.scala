@@ -96,6 +96,25 @@ class CurateSpec extends SparkTestBase {
     assert(got(2L)._1 == 0 && !got(2L)._2, s"reordered doc must be clean: $got")
   }
 
+  test("decontaminate explodes the corpus shingles exactly once") {
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Curate.decontaminate(docs.where($"doc_id" % 5 =!= 0),
+      docs.where($"doc_id" % 5 === 0))
+    df.collect()
+    def generates(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => generates(a.executedPlan)
+      case q: QueryStageExec => generates(q.plan)
+      case g: GenerateExec => 1 + g.children.map(generates).sum
+      case other => other.children.map(generates).sum + other.subqueries.map(generates).sum
+    }
+    // one Generate for the corpus side + one for the benchmark side; the
+    // old semi-join + separate-total shape exploded the corpus twice (3)
+    assert(generates(df.queryExecution.executedPlan) <= 2,
+      "corpus shingles must explode once")
+  }
+
   test("repetitionScore: boilerplate spam scores high, diverse text low") {
     val docs = Seq(
       (1L, Seq.fill(20)("buy cheap pills now").mkString(" ")), // massive 3-gram repeats

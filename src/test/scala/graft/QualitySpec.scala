@@ -26,6 +26,39 @@ class QualitySpec extends SparkTestBase {
     assert(Quality.nullViolations(df, "c").as[Long].head() == 1L)
   }
 
+  test("childBattery: one-scan fusion matches the per-check functions exactly") {
+    // planted violations: pk dup (10 twice), orphan fk (99), null dates
+    val child = Seq(
+      (10L, Some(1L), Some("2024-01-01")),
+      (10L, Some(1L), None),
+      (11L, Some(99L), None),
+      (12L, None, Some("2024-01-02")),
+      (13L, Some(2L), Some("2024-01-03"))).toDF("pk", "fk", "d")
+    val parent = Seq(1L, 2L).toDF("ck")
+    val got = Quality.childBattery(child, "pk", "fk", "d", parent, "ck",
+      "pk_u", "fk_v", "null_v").as[(String, Long)].collect().toMap
+    assert(got("pk_u") == Quality.uniquenessViolations(child, Seq("pk")).as[Long].head())
+    assert(got("fk_v") == Quality.fkViolations(child, "fk", parent, "ck").as[Long].head())
+    assert(got("null_v") == Quality.nullViolations(child, "d").as[Long].head())
+    assert(got == Map("pk_u" -> 1L, "fk_v" -> 1L, "null_v" -> 2L))
+  }
+
+  test("q60 battery reads each table once: <= 3 file scans in the plan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = SparkEntry.queries("q60_dq_checks")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def scans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum + other.subqueries.map(scans).sum
+    }
+    assert(scans(df.queryExecution.executedPlan) <= 3,
+      "q60 must fuse the three orders checks into one scan (3 tables, 3 scans)")
+  }
+
   test("snapshotDiff: added/removed/changed, unchanged rows absent") {
     val before = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0)).toDF("k", "t", "v")
     val after = Seq((2L, "y", 2.0), (3L, "z", 9.0), (4L, "w", 4.0)).toDF("k", "t", "v")
