@@ -389,6 +389,13 @@ object SparkEntry {
       val dirty = clean.select((col("clean_id") + 100000L).as("dirty_id"),
         concat(substring(col("clean_name"), 1, 2),
           substring(col("clean_name"), 4, 1000)).as("dirty_name"))
+      // testdata p_names are TWO tokens and the corruption always damages
+      // word 1, so every true pair shares exactly one token —
+      // minSharedTokens must stay 1 here (2 would drop all 123k true
+      // pairs). Candidate pruning comes from the exact length-band +
+      // bag-of-chars bounds inside FuzzyJoin.candidates; note true pairs
+      // are ~25% of the old candidate set, so any identical-output
+      // reduction is capped at ~4x on this corpus.
       FuzzyJoin.join(dirty, clean, "dirty_id", "dirty_name",
         "clean_id", "clean_name", maxDist = 2)
     }),
