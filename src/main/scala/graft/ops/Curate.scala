@@ -166,10 +166,10 @@ object Curate {
     * Every step is an equi-keyed join/groupBy on node ids (the pair set is
     * tiny relative to the corpus — it survived LSH + verification), and
     * each round's label frame is localCheckpoint'ed so lineage stays flat.
-    * For adversarial deep graphs (long chains) the alternating
-    * large-star/small-star algorithm (Kiveris et al., "Connected
-    * Components in MapReduce", SoCC'14) halves diameter per round; the
-    * propagation loop below is the right tool for dedup-shaped graphs.
+    * For adversarial deep graphs (long chains) use [[dupClustersStar]] —
+    * alternating large-star/small-star contracts diameter multiplicatively
+    * per round; the propagation loop below is the right tool for
+    * dedup-shaped (shallow) graphs.
     *
     * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for every
     * doc appearing in a pair, cluster_id = min doc_id of its component —
@@ -204,6 +204,62 @@ object Curate {
     }
     edges.unpersist(false)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the adversarial-depth fallback to [[dupClusters]]. Min-label
+    * propagation converges in O(diameter) rounds, fine for shallow
+    * dedup-cluster graphs but slow on a million-node chain; the star
+    * operations contract path lengths multiplicatively, converging in
+    * O(log n) rounds on any topology. Each half-round is one window-min
+    * over the node's neighbor list plus a projection — equi-keyed
+    * shuffles only, localCheckpoint'ed so lineage stays flat.
+    *
+    * Same contract as [[dupClusters]]: pairs in, (doc_id, cluster_id =
+    * component min) out. */
+  def dupClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("u"))
+    // large-star: attach every neighbor LARGER than u to the minimum of
+    // u's closed neighborhood — long tails collapse toward small labels
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: point every edge large->small, then attach u and all its
+    // smaller neighbors to the smallest of them
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val withM = dir.withColumn("m", min(col("v")).over(w))
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint = star-shaped: every u keeps exactly its component min
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      it += 1
+    }
+    // at the fixpoint every edge is (node -> component min); the roots
+    // themselves appear only on the right — label them with themselves
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
   }
 
   // ------------------------------------------------------- end-to-end

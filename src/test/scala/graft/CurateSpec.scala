@@ -79,6 +79,22 @@ class CurateSpec extends SparkTestBase {
     assert(got.size == 30 && got.values.forall(_ == 1L))
   }
 
+  test("dupClustersStar == dupClusters on random graphs and a deep chain") {
+    val rnd = new scala.util.Random(23)
+    // random graph: 120 nodes, 90 random edges -> several components
+    val randPairs = (1 to 90).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val exp = Curate.dupClusters(randPairs).as[(Long, Long)].collect().toSet
+    val got = Curate.dupClustersStar(randPairs).as[(Long, Long)].collect().toSet
+    assert(got == exp, s"missing=${exp.diff(got).take(5)} extra=${got.diff(exp).take(5)}")
+    // 200-node chain (the adversarial-depth case): star converges in
+    // O(log n) rounds and still labels everything with the chain min
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = Curate.dupClustersStar(chain).as[(Long, Long)].collect().toMap
+    assert(star.size == 200 && star.values.forall(_ == 1L))
+  }
+
   test("decontaminate: doc containing benchmark text flagged, clean doc not") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")

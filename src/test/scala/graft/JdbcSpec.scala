@@ -1,8 +1,44 @@
 package graft
 
 import graft.sources.Jdbc
+import graft.sinks.JdbcSink
 
 class JdbcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Embedded Derby ships on Spark's classpath (Hive-metastore dependency),
+  // so the JDBC write path gets a REAL round trip: executor-side batched
+  // insert -> read back through the same sources.Jdbc options shape.
+  private val derbyUrl = s"jdbc:derby:/tmp/graft_derby_${System.nanoTime()};create=true"
+  private val derbyDriver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+  test("JdbcSink round trip: write to embedded Derby, read back, frame-equal") {
+    val rows = Seq(
+      (1L, "alpha", 1.5),
+      (2L, "beta", -0.25),
+      (3L, null.asInstanceOf[String], 0.0)).toDF("id", "name", "score")
+    JdbcSink.write(rows, derbyUrl, "app.enriched", driver = derbyDriver,
+      batchSize = 2)
+    val back = Jdbc.dim(spark, derbyUrl, "app.enriched", "", "", derbyDriver)
+    assert(back.count() == 3)
+    assert(back.columns.map(_.toLowerCase).sorted.sameElements(Array("id", "name", "score")))
+    val got = back.select("id", "name", "score").as[(Long, Option[String], Double)]
+      .collect().toSet
+    assert(got == Set((1L, Some("alpha"), 1.5), (2L, Some("beta"), -0.25), (3L, None, 0.0)))
+    // append mode: second write doubles the rows (the streaming per-batch contract)
+    JdbcSink.write(rows, derbyUrl, "app.enriched", driver = derbyDriver)
+    assert(Jdbc.dim(spark, derbyUrl, "app.enriched", "", "", derbyDriver).count() == 6)
+  }
+
+  test("JdbcSink options: batched executor write shape") {
+    val o = JdbcSink.options("jdbc:postgresql://pg:5432/app", "analytics.engagement_enriched",
+      "app", "secret", "org.postgresql.Driver", batchSize = 5000,
+      isolationLevel = "NONE", truncate = true)
+    assert(o("batchsize") == "5000")
+    assert(o("isolationLevel") == "NONE")
+    assert(o("truncate") == "true")
+    assert(o("dbtable") == "analytics.engagement_enriched")
+  }
 
   test("options: reference shape — single-partition read, driver + creds") {
     val o = Jdbc.options("jdbc:postgresql://pg:5432/app", "public.content",
