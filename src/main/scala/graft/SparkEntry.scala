@@ -251,6 +251,12 @@ object SparkEntry {
     "q49_dup_clusters" -> ((s, d) =>
       Curate.dupClusters(Dedup.ngramJaccardPairs(
         Tables.documents(s, d).where(col("doc_id") < 60), n = 2, minJaccard = 0.05))),
+    // same pair graph as q49 resolved by the O(log n) large-star/small-star
+    // algorithm — the adversarial-depth variant proven against the
+    // identical connected-components oracle
+    "q77_dup_clusters_star" -> ((s, d) =>
+      Curate.dupClustersStar(Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).where(col("doc_id") < 60), n = 2, minJaccard = 0.05))),
     // the end-to-end pipeline: quality gate -> lang filter -> exact dedup
     // -> deterministic sample, in ONE plan with one shuffle
     "q50_curate" -> ((s, d) =>
@@ -352,6 +358,17 @@ object SparkEntry {
         expr("try_cast(o_orderstatus AS DATE)").as("junk_date"),
         expr("try_cast(concat('19', substr(o_orderpriority, 1, 1), '0-01-01') AS DATE)")
           .as("built_date"))),
+    // sequence packing: concat-and-chunk documents into fixed-length
+    // training sequences, parallel per source stream (the packing unit a
+    // real pipeline shards by — a global cumsum would serialize 100 TB
+    // through one partition)
+    "q78_sequence_pack" -> ((s, d) =>
+      TextAnalysis.sequencePack(Tables.documents(s, d), seqLen = 512)),
+    // vocabulary coverage: fraction of each source's token occurrences
+    // outside the corpus top-50 vocab — the OOV check before freezing a
+    // tokenizer; one explode feeds both the ranking and the totals
+    "q79_oov_rate" -> ((s, d) =>
+      TextAnalysis.oovRate(Tables.documents(s, d), vocabSize = 50)),
     // operator composition: chunk -> exact-dedup the CHUNKS — finds
     // boilerplate windows repeated across documents (the chunk-level
     // twin of q20's doc-level dedup; dedup-after-chunking is how
@@ -469,6 +486,31 @@ object SparkEntry {
   // produced phantom empty tokens; found by PropertySpec round 2).
   private val toks =
     "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+  /** Shared by q49 (min-label propagation) and q77 (large-star/small-star):
+    * both must resolve the same pair graph to the same components. */
+  private val dupClustersOracleSql: String =
+    """WITH RECURSIVE
+      |t AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) sh
+      |  FROM (SELECT doc_id,
+      |        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
+      |        FROM documents WHERE doc_id < 60)),
+      |p AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id doc_a, b.doc_id doc_b,
+      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(a.sh || b.sh)) jaccard
+      |    FROM t a, t b WHERE a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.05),
+      |e AS (SELECT doc_a a, doc_b b FROM p UNION SELECT doc_b, doc_a FROM p),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node)
+      |SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_cdc_parse" ->
@@ -745,28 +787,8 @@ object SparkEntry {
          |  regexp_replace(regexp_replace("text", '$emailPat', '[EMAIL]', 'g'),
          |    '$phonePat', '[PHONE]', 'g') AS "text"
          |FROM r""".stripMargin,
-    "q49_dup_clusters" ->
-      """WITH RECURSIVE
-        |t AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
-        |         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) sh
-        |  FROM (SELECT doc_id,
-        |        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
-        |        FROM documents WHERE doc_id < 60)),
-        |p AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id doc_a, b.doc_id doc_b,
-        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / len(list_distinct(a.sh || b.sh)) jaccard
-        |    FROM t a, t b WHERE a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.05),
-        |e AS (SELECT doc_a a, doc_b b FROM p UNION SELECT doc_b, doc_a FROM p),
-        |reach(node, r) AS (
-        |  SELECT a, a FROM e
-        |  UNION
-        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node)
-        |SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node""".stripMargin,
+    "q49_dup_clusters" -> dupClustersOracleSql,
+    "q77_dup_clusters_star" -> dupClustersOracleSql,
     "q50_curate" ->
       """WITH t AS (SELECT doc_id, lang, text,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
@@ -909,6 +931,31 @@ object SparkEntry {
         |  TRY_CAST(o_orderstatus AS DATE) junk_date,
         |  TRY_CAST(concat('19', substr(o_orderpriority, 1, 1), '0-01-01') AS DATE) built_date
         |FROM orders""".stripMargin,
+    "q78_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) tok_end
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((tok_end - n_tokens) // 512 AS BIGINT) seq_first,
+        |  CAST(((tok_end - 1) // 512) - ((tok_end - n_tokens) // 512) + 1 AS BIGINT) n_seqs
+        |FROM c""".stripMargin,
+    "q79_oov_rate" ->
+      """WITH st AS (SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) token
+        |  FROM documents),
+        |g AS (SELECT source, token, COUNT(*) c FROM st GROUP BY 1, 2),
+        |v AS (SELECT token FROM (SELECT token, SUM(c) cnt FROM g GROUP BY 1)
+        |      ORDER BY cnt DESC, token ASC LIMIT 50)
+        |SELECT g.source, CAST(SUM(g.c) AS BIGINT) n_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN v.token IS NULL THEN g.c END), 0) AS BIGINT) n_oov,
+        |  CAST(COALESCE(SUM(CASE WHEN v.token IS NULL THEN g.c END), 0) AS DOUBLE)
+        |    / SUM(g.c) oov_rate
+        |FROM g LEFT JOIN v ON g.token = v.token
+        |GROUP BY g.source""".stripMargin,
     "q75_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk

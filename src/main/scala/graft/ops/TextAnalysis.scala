@@ -175,6 +175,58 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
 
+  /** Sequence packing — the concat-and-chunk step that turns documents
+    * into fixed-length training sequences: conceptually, concatenate each
+    * source's token stream in doc_id order and cut every `seqLen` tokens;
+    * a document may straddle a cut. Emitted per doc: the index of the
+    * sequence its first token lands in and how many sequences it touches.
+    * Plan: ONE running-sum window partitioned by `source` — packing is
+    * inherently sequential WITHIN a stream, so the parallelism unit is the
+    * stream, exactly how a real pipeline shards packing (per source/shard,
+    * never one global cumsum, which would serialize the corpus through a
+    * single partition at 100 TB). Empty-token docs are dropped (they
+    * occupy no sequence). */
+  def sequencePack(documents: DataFrame, seqLen: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("tok_end") - col("n_tokens")) / seqLen).cast("long").as("seq_first"),
+        (floor((col("tok_end") - 1) / seqLen)
+          - floor((col("tok_end") - col("n_tokens")) / seqLen) + 1)
+          .cast("long").as("n_seqs"))
+  }
+
+  /** Out-of-vocabulary rate per source: build the top-`vocabSize` token
+    * vocabulary by corpus frequency (ties broken lexicographically), then
+    * measure the fraction of each source's token OCCURRENCES falling
+    * outside it — the coverage check run before freezing a tokenizer
+    * vocab. One explode feeds a (source, token) aggregation; both the
+    * vocabulary ranking and the per-source totals derive from that one
+    * aggregate (the naive form explodes the corpus twice — the q68 bug
+    * class). The tiny vocab broadcasts; rate is one double division of
+    * exact longs. */
+  def oovRate(documents: DataFrame, vocabSize: Int = 50): DataFrame = {
+    val st = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = st.groupBy(col("token")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("_in"))
+    st.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        coalesce(sum(when(col("_in").isNull, col("c"))), lit(0L)).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Top-k TF-IDF terms per document. The idf is the *rational* variant
     * (N+1)/(df+1) rather than log((N+1)/(df+1)). This is NOT
     * rank-identical to log-idf (log crushes ubiquitous terms toward zero
