@@ -195,6 +195,59 @@ object Dedup {
     materializeAndRelease(pairs, sh)
   }
 
+  // ---------------------------------------------------- incremental minhash
+
+  /** Per-document MinHash index rows: (doc_id, sh, keys) where `keys` are
+    * the banded LSH bucket keys. This is the frame a growing corpus
+    * persists (parquet/staging table, partitionable by key range) so that
+    * arriving batches dedup against it WITHOUT touching corpus text —
+    * see [[incrementalDuplicates]]. */
+  def minhashIndex(documents: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+                   n: Int = 3): DataFrame =
+    documents
+      .select(col("doc_id"), Exprs.shingleHashes(col("text"), n).as("sh"))
+      .withColumn("sig", Exprs.minhashSig(col("sh"), bands * rowsPerBand))
+      .select(col("doc_id"), col("sh"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(":", b,
+            xxhash64(concat_ws(",",
+              transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string")))))).as("keys"))
+
+  /** Incremental near-duplicate detection: a NEW batch against an EXISTING
+    * corpus index ([[minhashIndex]] rows). The streaming-corpus shape —
+    * every arriving batch costs O(|batch| + matching buckets), never a
+    * corpus rescan: batch band keys equi-join the index's band keys,
+    * candidates verify with exact shingle jaccard carried by both index
+    * sides. Corpus buckets larger than `maxBucket` are dropped (degenerate
+    * boilerplate; the in-corpus twin of minhashCandidates' cap).
+    *
+    * Output: (new_id, corpus_id, jaccard) pairs >= tau. In-batch
+    * duplicates are NOT reported here — run [[minhashDuplicates]] on the
+    * batch for those; a full ingest does both, then appends the batch's
+    * surviving index rows to the corpus index. */
+  def incrementalDuplicates(batch: DataFrame, index: DataFrame,
+                            tau: Double = 0.7, bands: Int = 8,
+                            rowsPerBand: Int = 4, n: Int = 3,
+                            maxBucket: Int = 1000): DataFrame = {
+    val b = minhashIndex(batch, bands, rowsPerBand, n).persist()
+    val bk = b.select(col("doc_id").as("new_id"), explode(col("keys")).as("bucket_key"))
+    val ik = index.select(col("doc_id").as("corpus_id"), explode(col("keys")).as("bucket_key"))
+    val hot = ik.groupBy(col("bucket_key")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > maxBucket).select(col("bucket_key"))
+    val cand = bk.join(ik.join(hot, Seq("bucket_key"), "left_anti"), Seq("bucket_key"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val out = cand
+      .join(b.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(index.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_c"))))
+      .where(col("jaccard") >= tau)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    materializeAndRelease(out, b)
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash signature (Charikar '02), codegen'd single pass over

@@ -207,24 +207,34 @@ object TextAnalysis {
     * outside it — the coverage check run before freezing a tokenizer
     * vocab. One explode feeds a (source, token) aggregation; both the
     * vocabulary ranking and the per-source totals derive from that one
-    * aggregate (the naive form explodes the corpus twice — the q68 bug
-    * class). The tiny vocab broadcasts; rate is one double division of
-    * exact longs. */
+    * aggregate — which is PERSISTED, because referencing the same
+    * DataFrame twice re-executes its subtree (the plan census showed the
+    * unpersisted form scanning and exploding the corpus twice: the q68
+    * bug class in disguise). The aggregate is vocabulary-bounded
+    * (|sources|×|distinct tokens| rows), tiny next to the corpus; the
+    * terminal result is a handful of rows, materialized eagerly so the
+    * cache releases before returning (Dedup.materializeAndRelease
+    * lifecycle). The tiny vocab broadcasts; rate is one double division
+    * of exact longs. */
   def oovRate(documents: DataFrame, vocabSize: Int = 50): DataFrame = {
     val st = documents
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("c"))
+      .persist()
     val vocab = st.groupBy(col("token")).agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(vocabSize)
       .select(col("token"), lit(1).as("_in"))
-    st.join(broadcast(vocab), Seq("token"), "left")
+    val out = st.join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("source"))
       .agg(sum(col("c")).cast("long").as("n_tokens"),
         coalesce(sum(when(col("_in").isNull, col("c"))), lit(0L)).cast("long").as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens"))
+      .localCheckpoint(true)
+    st.unpersist(false)
+    out
   }
 
   /** Top-k TF-IDF terms per document. The idf is the *rational* variant

@@ -40,6 +40,31 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
   }
 
+  test("incrementalDuplicates: batch vs persisted index finds planted cross-dups only") {
+    // corpus: 40 distinct docs; index persisted through parquet (the
+    // staging-table round trip a streaming ingest would use)
+    val corpus = (1L to 40L).map(i =>
+      (i, (1 to 100).map(j => s"c${i}w$j").mkString(" "))).toDF("doc_id", "text")
+    val dir = s"/tmp/graft_mh_index_${System.nanoTime()}"
+    Dedup.minhashIndex(corpus).write.parquet(dir)
+    val index = spark.read.parquet(dir)
+    // batch: near-dup of corpus doc 7, exact copy of doc 20, fresh doc
+    val nearOf7 = (1 to 100).map(j => if (j == 50) "MUT" else s"c7w$j").mkString(" ")
+    val copyOf20 = (1 to 100).map(j => s"c20w$j").mkString(" ")
+    val batch = Seq(
+      (101L, nearOf7), (102L, copyOf20),
+      (103L, (1 to 100).map(j => s"freshw$j").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.incrementalDuplicates(batch, index, tau = 0.7)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((101L, 7L), (102L, 20L)), s"got $got")
+    // agreement with the batch-rebuild ground truth: cross pairs of a full
+    // minhashDuplicates over corpus+batch match the incremental result
+    val full = Dedup.minhashDuplicates(corpus.unionAll(batch), tau = 0.7)
+      .where(col("doc_b") > 100L && col("doc_a") <= 100L)
+      .select(col("doc_b"), col("doc_a")).as[(Long, Long)].collect().toSet
+    assert(got == full, s"incremental=$got full-rebuild-cross=$full")
+  }
+
   test("minhashSurvivors keeps min-id representative and unrelated docs") {
     val d = docs((1L, base), (2L, near), (3L, far), (4L, base))
     val survivors = Dedup.minhashSurvivors(d, tau = 0.7)
