@@ -358,6 +358,16 @@ object SparkEntry {
         expr("try_cast(o_orderstatus AS DATE)").as("junk_date"),
         expr("try_cast(concat('19', substr(o_orderpriority, 1, 1), '0-01-01') AS DATE)")
           .as("built_date"))),
+    // per-source length-percentile band: outlier cut relative to each
+    // source's own distribution — one scan, one window shuffle
+    "q81_length_band" -> ((s, d) =>
+      Curate.lengthBandFilter(Tables.documents(s, d))),
+    // int8 embedding quantization: per-vector symmetric scale + codes —
+    // the 4x compression an ANN index applies before sharding; max|x|
+    // materialized behind a Generate barrier so the per-element lambda
+    // divides by an attribute, not a re-reduced expression
+    "q80_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))),
     // sequence packing: concat-and-chunk documents into fixed-length
     // training sequences, parallel per source stream (the packing unit a
     // real pipeline shards by — a global cumsum would serialize 100 TB
@@ -931,6 +941,29 @@ object SparkEntry {
         |  TRY_CAST(o_orderstatus AS DATE) junk_date,
         |  TRY_CAST(concat('19', substr(o_orderpriority, 1, 1), '0-01-01') AS DATE) built_date
         |FROM orders""".stripMargin,
+    "q81_length_band" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, n_tokens,
+        |    quantile_cont(n_tokens, 0.05) OVER (PARTITION BY source) p_lo,
+        |    quantile_cont(n_tokens, 0.95) OVER (PARTITION BY source) p_hi
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM b
+        |WHERE n_tokens >= p_lo AND n_tokens <= p_hi""".stripMargin,
+    "q80_quantize_int8" ->
+      """WITH t AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) mx FROM t)
+        |SELECT vec_id,
+        |  CAST(FLOOR(mx / 127.0 * 1e9 + 0.5) AS BIGINT) scale_e9,
+        |  CASE WHEN mx = 0 THEN list_transform(e, x -> 0)
+        |       ELSE list_transform(e, x -> CAST(round(x / (mx / 127.0)) AS INTEGER))
+        |  END codes
+        |FROM m""".stripMargin,
     "q78_sequence_pack" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))

@@ -142,6 +142,28 @@ object Curate {
         col("n_shared") * 100 > lit((maxSharedRatio * 100).round) * col("n_shingles"))
   }
 
+  /** Per-source token-length band filter: keep documents whose token count
+    * lies within the [lo, hi] percentile band of their OWN source — the
+    * outlier cut (truncated pages, concatenation accidents) a curation
+    * pipeline applies per domain, because a 50-token doc is normal in one
+    * source and pathological in another. ONE scan and ONE source-keyed
+    * window shuffle: the exact percentiles come from aggregate-over-window
+    * on the same frame (a groupBy + join-back would scan and re-tokenize
+    * the corpus twice). Exact percentile is the oracle-able form; swap in
+    * approx_percentile partials at petabyte group sizes. */
+  def lengthBandFilter(documents: DataFrame, lo: Double = 0.05,
+                       hi: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+    documents
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("p_lo", percentile(col("n_tokens"), lit(lo)).over(w))
+      .withColumn("p_hi", percentile(col("n_tokens"), lit(hi)).over(w))
+      .where(col("n_tokens") >= col("p_lo") && col("n_tokens") <= col("p_hi"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   /** Gopher-style repetition score: the fraction of a document's word
     * n-grams that are repeats ((total - distinct) / total). High values
     * mean boilerplate/spam; pipelines drop docs above a threshold. Pure

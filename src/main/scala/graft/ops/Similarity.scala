@@ -46,6 +46,37 @@ object Similarity {
       .select(col(groupCol), col("dim"),
         (floor(col("s").cast("double") / col("n") + 0.5) / 1000000.0).as("centroid"))
 
+  /** Symmetric int8 quantization of an embedding column — the
+    * storage/bandwidth-compression step an ANN index runs before sharding
+    * (4× smaller vectors, SIMD-friendly integer dot products). Per vector:
+    * scale s = max|x| / 127, codes cᵢ = round(xᵢ/s) ∈ [-127, 127]; an
+    * all-zero vector quantizes to zero codes. Scan-speed column math, no
+    * shuffle, no UDF.
+    *
+    * The max|x| is materialized as an ATTRIBUTE behind a Generate barrier
+    * before the per-element lambda divides by it: a lambda capturing the
+    * `array_max(transform(...))` EXPRESSION would re-reduce the whole
+    * vector per element — O(d²) per row, the q73 bug class in arithmetic
+    * form (invisible to LambdaCostAudit, which pins parser/regex work).
+    *
+    * Cross-engine determinism: floats cast to double before any
+    * arithmetic (exact widening), one IEEE division per element, round()
+    * half-away-from-zero in both engines; the emitted scale is
+    * fixed-point (×1e9, floor+0.5) so the frame hash-matches DuckDB. */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val embD = transform(col(vecCol), x => x.cast("double"))
+    val barrier = embeddings.select(col(idCol), inline(array(struct(
+      embD.as("e"),
+      array_max(transform(embD, x => abs(x))).as("m")))))
+    barrier.select(
+      col(idCol),
+      floor(col("m") / 127.0 * 1e9 + 0.5).cast("long").as("scale_e9"),
+      when(col("m") === 0.0, transform(col("e"), _ => lit(0)))
+        .otherwise(transform(col("e"),
+          x => round(x / (col("m") / 127.0), 0).cast("int"))).as("codes"))
+  }
+
   /** Cosine similarity, null-safe on zero vectors (returns null). */
   def cosine(a: Column, b: Column): Column = Exprs.cosineSim(a, b)
 

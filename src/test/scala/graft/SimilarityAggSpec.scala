@@ -8,6 +8,37 @@ class SimilarityAggSpec extends SparkTestBase {
 
   private def vecs(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
 
+  test("quantizeInt8: codes in [-127,127], round-trip error <= s/2, zero vector safe") {
+    val d = vecs(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(3f, 2f, 1f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f)),   // all-zero: must not divide by zero
+      (4L, Array(-0.001f, 0.002f, 0.0005f, -0.0015f)))
+    val got = graft.ops.Similarity.quantizeInt8(d)
+      .as[(Long, Long, Array[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(3L)._1 == 0L && got(3L)._2.forall(_ == 0), "zero vector quantizes to zeros")
+    // certificate: every code within range; dequantized value within s/2
+    val orig = Map(
+      1L -> Array(0.5, -1.0, 0.25, 0.125),
+      2L -> Array(3.0, 2.0, 1.0, 0.0),
+      4L -> Array(-0.001, 0.002, 0.0005, -0.0015))
+    for ((id, (scaleE9, codes)) <- got if id != 3L) {
+      val s = scaleE9 / 1e9
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id codes out of range")
+      // s is reconstructed from its 1e-9 fixed-point form, which shifts
+      // the dequantization grid by up to 127 * 0.5e-9 — allow that slack
+      orig(id).zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * s) <= s / 2 + 127 * 0.5e-9 + 1e-12,
+          s"vec $id: |$x - $c*$s| exceeds s/2")
+      }
+      // the max-magnitude component maps to ±127 exactly
+      val maxIdx = orig(id).map(math.abs).zipWithIndex.maxBy(_._1)._2
+      assert(math.abs(codes(maxIdx)) == 127, s"vec $id max component must hit ±127")
+    }
+  }
+
   test("bruteForceKnn: hand-checkable neighbor order, self excluded") {
     val d = vecs(
       (0L, Array(1f, 0f)),
