@@ -362,6 +362,17 @@ object SparkEntry {
     // source's own distribution — one scan, one window shuffle
     "q81_length_band" -> ((s, d) =>
       Curate.lengthBandFilter(Tables.documents(s, d))),
+    // mixture balancing: per-source sampling rates derived in-plan from
+    // corpus counts (uniform target), applied via the deterministic md5
+    // sampler — statistics, rates, and sample in ONE plan. The synthetic
+    // sources are uniform (rates would all be 1), so the query remaps
+    // docs to a 70/20/10 skew first — the sampler must actually fire on
+    // the over-represented stratum to match the oracle
+    "q82_mixture_balance" -> ((s, d) =>
+      Curate.mixtureBalance(Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 < 7, "big")
+          .when(col("doc_id") % 10 < 9, "mid")
+          .otherwise("small").as("source")))),
     // int8 embedding quantization: per-vector symmetric scale + codes —
     // the 4x compression an ANN index applies before sharding; max|x|
     // materialized behind a Generate barrier so the per-element lambda
@@ -941,6 +952,22 @@ object SparkEntry {
         |  TRY_CAST(o_orderstatus AS DATE) junk_date,
         |  TRY_CAST(concat('19', substr(o_orderpriority, 1, 1), '0-01-01') AS DATE) built_date
         |FROM orders""".stripMargin,
+    "q82_mixture_balance" ->
+      """WITH documents2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 7 THEN 'big'
+        |         WHEN doc_id % 10 < 9 THEN 'mid'
+        |         ELSE 'small' END source
+        |  FROM documents),
+        |c AS (SELECT source, COUNT(*) cnt FROM documents2 GROUP BY source),
+        |r AS (SELECT source, cnt, SUM(cnt) OVER () total, COUNT(*) OVER () nsrc FROM c),
+        |t AS (SELECT source,
+        |    lower(lpad(to_hex(least(CAST(FLOOR(
+        |      least(1.0, (CAST(total AS DOUBLE) / nsrc) / cnt) * 4294967296.0)
+        |      AS BIGINT), 4294967295)), 8, '0')) thr
+        |  FROM r)
+        |SELECT d.doc_id, d.source
+        |FROM documents2 d JOIN t USING (source)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft'), 1, 8) < t.thr""".stripMargin,
     "q81_length_band" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))

@@ -142,6 +142,34 @@ object Curate {
         col("n_shared") * 100 > lit((maxSharedRatio * 100).round) * col("n_shingles"))
   }
 
+  /** Mixture balancing: downsample over-represented sources toward a
+    * UNIFORM target mixture, with the per-source rates derived IN-PLAN
+    * from the corpus's own counts — rate_s = min(1, (N/k)/cnt_s) — and
+    * applied through the same deterministic md5 predicate as
+    * [[hashSample]] (reproducible across runs/engines/retries). The
+    * global sum/count windows run over the k-row per-source AGGREGATE,
+    * never the corpus, so nothing funnels through one partition; the
+    * k-row rate table broadcasts back onto a two-column scan of the
+    * corpus. The rate→threshold conversion ((rate·2³²) as 8 hex chars)
+    * happens in columns, so the whole operator — statistics, rates,
+    * sample — is one plan with no driver round trip. */
+  def mixtureBalance(documents: DataFrame, salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val rate = least(lit(1.0),
+      (sum(col("cnt")).over(wAll).cast("double")
+        / count(lit(1)).over(wAll)) / col("cnt"))
+    val thr = lower(lpad(hex(least(floor(rate * 4294967296.0).cast("long"),
+      lit(4294967295L))), 8, "0"))
+    documents
+      .join(broadcast(counts.select(col("source"), thr.as("_thr"))), Seq("source"))
+      .where(substring(
+        md5(concat(col("doc_id").cast("string"), lit(salt)).cast("binary")),
+        1, 8) < col("_thr"))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Per-source token-length band filter: keep documents whose token count
     * lies within the [lo, hi] percentile band of their OWN source — the
     * outlier cut (truncated pages, concatenation accidents) a curation

@@ -42,7 +42,7 @@ class PlanGuardSpec extends SparkTestBase {
     for (name <- Seq("q01_cdc_parse", "q21_token_stats", "q22_quality",
       "q23_lang_id", "q24_fingerprint", "q26_simhash_sig", "q34_bpe_tokens",
       "q44_scalar_battery", "q46_hash_sample", "q47_chunks", "q48_pii_redact",
-      "q63_unpivot", "q69_repetition")) {
+      "q63_unpivot", "q69_repetition", "q80_quantize_int8")) {
       assert(shuffles(q(name)) == 0, s"$name grew a shuffle")
     }
   }
@@ -51,7 +51,8 @@ class PlanGuardSpec extends SparkTestBase {
     for (name <- Seq("q06_pricing_summary", "q11_rollup", "q20_dedup_exact",
       "q35_sessions", "q37_quantiles", "q38_cube", "q41_running_revenue",
       "q45_approx_quantiles", "q51_cdc_latest", "q54_variant",
-      "q55_column_stats", "q57_window_battery", "q62_session_window")) {
+      "q55_column_stats", "q57_window_battery", "q62_session_window",
+      "q73_bpe_pairs", "q78_sequence_pack", "q81_length_band")) {
       assert(shuffles(q(name)) <= 1, s"$name grew beyond one shuffle")
     }
   }
