@@ -37,6 +37,27 @@ object ScaleSmoke {
     t0 = System.nanoTime()
     val exact = Dedup.exact(docs).count()
     println(f"exact($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $exact distinct texts")
+    // incremental dedup: index the corpus ONCE, then dedup a 5% batch
+    // against it — the steady-state cost a streaming ingest pays per batch
+    // (index build is the amortized one-off)
+    t0 = System.nanoTime()
+    val index = Dedup.minhashIndex(docs).persist()
+    val idxRows = index.count()
+    println(f"minhashIndex($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $idxRows rows")
+    val bn = n / 20
+    // even batch ids: near-dup of corpus doc 2*id (re-synthesized from the
+    // corpus formula with token 60 changed); odd ids: fresh content
+    val batch = spark.range(bn).select((col("id") + n).as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0,
+        concat_ws(" ", transform(sequence(lit(1), lit(120)),
+          j => concat(lit("tok"), pmod((col("id") * 2) * 131 + j * 7, lit(1000003)), lit("_"),
+            when(j === 60, lit("BATCHMUT")).otherwise(j.cast("string"))))))
+      .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(120)),
+        j => concat(lit("fresh"), col("id"), lit("_"), j)))).as("text"))
+    t0 = System.nanoTime()
+    val incHits = Dedup.incrementalDuplicates(batch, index).count()
+    println(f"incrementalDuplicates($bn-doc batch vs $n-doc index): ${(System.nanoTime()-t0)/1e9}%.1f s, $incHits cross-dup pairs")
+    index.unpersist(false)
     // --- curation operators at the same corpus size ---
     t0 = System.nanoTime()
     val nChunks = ops.Curate.chunks(docs, chunkLen = 50, stride = 40).count()

@@ -53,6 +53,27 @@ object LeaderboardTws {
     }
   }
 
+  /** The reference's ZREVRANGE read path (scripts/smoke.sh:31), native:
+    * materialize the CURRENT top-k from the Update-mode emission log,
+    * where each row is (seq, key, cnt) and `seq` orders a key's
+    * emissions (the foreachBatch batchId of the write). Latest count per
+    * key via a per-key window, then global TakeOrderedAndProject — one
+    * keyed shuffle plus the same top-k shape as ops/Aggregate.leaderboard,
+    * so the view stays cheap however long the log grows; compact the log
+    * with ops/Cdc.latestImage when it outgrows the view. */
+  def topKView(updates: DataFrame, k: Int = 10,
+               seqCol: String = "seq", keyCol: String = "key",
+               cntCol: String = "cnt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    updates
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .orderBy(col(cntCol).desc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol), col(cntCol))
+  }
+
   /** Per-key TTL'd counts over a stream; pre-aggregates each micro-batch
     * per key before touching state (one state op per touched key). */
   def counts(events: DataFrame, keyCol: String, ttl: Duration): Dataset[KeyCount] = {

@@ -72,4 +72,17 @@ class LeaderboardTwsSpec extends SparkTestBase {
       assert(emitted == Seq(3L, 5L), s"got $emitted")
     }
   }
+
+  test("topKView: latest count per key wins, ordered desc, ties by key") {
+    // emission log across three micro-batches: counts only grow per key,
+    // later seq supersedes earlier (Update-mode semantics)
+    val log = Seq(
+      (0L, "a", 5L), (0L, "b", 3L),
+      (1L, "a", 9L), (1L, "c", 7L),
+      (2L, "b", 9L), (2L, "d", 1L)).toDF("seq", "key", "cnt")
+    val got = graft.streaming.LeaderboardTws.topKView(log, k = 3)
+      .as[(String, Long)].collect().toList
+    // latest per key: a=9, b=9, c=7, d=1 -> top-3 with a before b on tie
+    assert(got == List(("a", 9L), ("b", 9L), ("c", 7L)), s"got $got")
+  }
 }
