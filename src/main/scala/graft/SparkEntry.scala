@@ -373,6 +373,10 @@ object SparkEntry {
         when(col("doc_id") % 10 < 7, "big")
           .when(col("doc_id") % 10 < 9, "mid")
           .otherwise("small").as("source")))),
+    // mean token rarity: the cheap LM-quality-filter proxy — integer-
+    // exact rarity sums (associative, engine-independent), one explode
+    "q83_token_rarity" -> ((s, d) =>
+      TextAnalysis.tokenRarity(Tables.documents(s, d))),
     // int8 embedding quantization: per-vector symmetric scale + codes —
     // the 4x compression an ANN index applies before sharding; max|x|
     // materialized behind a Generate barrier so the per-element lambda
@@ -952,6 +956,17 @@ object SparkEntry {
         |  TRY_CAST(o_orderstatus AS DATE) junk_date,
         |  TRY_CAST(concat('19', substr(o_orderpriority, 1, 1), '0-01-01') AS DATE) built_date
         |FROM orders""".stripMargin,
+    "q83_token_rarity" ->
+      """WITH dt AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) token
+        |  FROM documents),
+        |g AS (SELECT doc_id, token, COUNT(*) c FROM dt GROUP BY 1, 2),
+        |tf AS (SELECT token, SUM(c) tf FROM g GROUP BY 1),
+        |n AS (SELECT SUM(c) n FROM g)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tokens,
+        |  CAST(SUM(c * ((n * 1000000) // tf)) AS DOUBLE) / SUM(c) rarity
+        |FROM g JOIN tf USING (token) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
     "q82_mixture_balance" ->
       """WITH documents2 AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 < 7 THEN 'big'

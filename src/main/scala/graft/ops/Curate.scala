@@ -298,11 +298,16 @@ object Curate {
       .localCheckpoint(true)
     var converged = edges.isEmpty
     var it = 0
+    var nEdges = edges.count()
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixpoint = star-shaped: every u keeps exactly its component min
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // fixpoint = star-shaped: every u keeps exactly its component min.
+      // next ⊆ edges (one exceptAll) + equal counts ⇒ set equality —
+      // one cheap count instead of the second exceptAll pass
+      val nNext = next.count()
+      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
       edges = next
+      nEdges = nNext
       it += 1
     }
     // at the fixpoint every edge is (node -> component min); the roots

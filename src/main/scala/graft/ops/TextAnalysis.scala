@@ -237,6 +237,37 @@ object TextAnalysis {
     out
   }
 
+  /** Mean token rarity per document — the cheap proxy for LM-based
+    * quality filtering: documents made of corpus-rare tokens score high
+    * (gibberish, OCR noise, foreign fragments), common-vocabulary prose
+    * scores low. Per token occurrence, rarity = (N·10⁶) div tf —
+    * INTEGER division of exact longs so the per-doc sums are associative
+    * and engine/partitioning-independent (a double `-log p` surprisal
+    * sums in nondeterministic order and drifts ulps cross-engine); the
+    * per-doc mean is one final double division. Plan: one explode feeds
+    * a (doc, token) aggregation, token-keyed join to corpus frequencies
+    * (derived from the SAME persisted aggregate — no second scan), then
+    * a doc-keyed roll-up; the 1-row N broadcasts. */
+  def tokenRarity(documents: DataFrame): DataFrame = {
+    val dt = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val tf = dt.groupBy(col("token")).agg(sum(col("c")).as("tf"))
+    val n = dt.agg(sum(col("c")).as("n"))
+    val out = dt.join(tf, Seq("token"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c") * expr("(n * 1000000) div tf")).as("rsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("rsum").cast("double") / col("n_tokens")).as("rarity"))
+      .localCheckpoint(true)
+    dt.unpersist(false)
+    out
+  }
+
   /** Top-k TF-IDF terms per document. The idf is the *rational* variant
     * (N+1)/(df+1) rather than log((N+1)/(df+1)). This is NOT
     * rank-identical to log-idf (log crushes ubiquitous terms toward zero
