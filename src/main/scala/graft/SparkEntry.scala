@@ -377,6 +377,10 @@ object SparkEntry {
     // exact rarity sums (associative, engine-independent), one explode
     "q83_token_rarity" -> ((s, d) =>
       TextAnalysis.tokenRarity(Tables.documents(s, d))),
+    // LATERAL correlated join + WITH RECURSIVE: SQL:1999 constructs run
+    // BYTE-IDENTICAL on Spark and DuckDB (the strongest oracle form)
+    "q84_lateral" -> ((s, d) => Sql.run(s, d, Sql.lateralTopOrder)),
+    "q85_recursive_cte" -> ((s, d) => Sql.run(s, d, Sql.recursivePowers)),
     // int8 embedding quantization: per-vector symmetric scale + codes —
     // the 4x compression an ANN index applies before sharding; max|x|
     // materialized behind a Generate barrier so the per-element lambda
@@ -956,6 +960,8 @@ object SparkEntry {
         |  TRY_CAST(o_orderstatus AS DATE) junk_date,
         |  TRY_CAST(concat('19', substr(o_orderpriority, 1, 1), '0-01-01') AS DATE) built_date
         |FROM orders""".stripMargin,
+    "q84_lateral" -> ops.Sql.lateralTopOrder,
+    "q85_recursive_cte" -> ops.Sql.recursivePowers,
     "q83_token_rarity" ->
       """WITH dt AS (SELECT doc_id,
         |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) token

@@ -51,6 +51,36 @@ object Sql {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
 
+  /** LATERAL correlated-subquery join (SQL:1999), shared dialect: for
+    * each customer, the lateral derived table sees the outer row —
+    * Catalyst plans it via DecorrelateInnerQuery into a join, DuckDB
+    * likewise; the per-customer top-order shape that would otherwise
+    * need a window + filter. */
+  val lateralTopOrder: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.cents
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) cents
+      |  FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY cents DESC, o_orderkey ASC
+      |  LIMIT 1) t
+      |WHERE c.c_custkey < 200""".stripMargin
+
+  /** WITH RECURSIVE (SQL:1999), shared dialect: a recursive generator
+    * (powers of two) joined back to a table with a correlated scalar —
+    * exercises Spark 4's recursive-CTE execution (UnionLoop) against
+    * DuckDB's on the identical string. */
+  val recursivePowers: String =
+    """WITH RECURSIVE p(n) AS (
+      |  SELECT 1
+      |  UNION ALL
+      |  SELECT n * 2 FROM p WHERE n < 4096
+      |)
+      |SELECT n,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey <= n) n_orders
+      |FROM p""".stripMargin
+
   /** TPC-H Q3-shaped shipping-priority query, in the shared dialect —
     * 3-table join, date-range filters, decimal-exact revenue, top-10. */
   val shippingPriority: String =
