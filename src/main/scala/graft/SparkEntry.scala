@@ -420,6 +420,29 @@ object SparkEntry {
           (floor(min(x) * 100 + 0.5) / 100.0).as("lo"),
           (floor(max(x) * 100 + 0.5) / 100.0).as("hi"))
     }),
+    // equi-depth histogram (the form optimizer stats actually keep): 19
+    // exact percentile boundaries in one pass, bucket assignment by
+    // boundary comparison in a second — the scalable two-pass shape (a
+    // global ntile would sort the corpus through ONE partition)
+    "q86_equidepth_hist" -> ((s, d) => {
+      val x = col("l_extendedprice")
+      val bnds = Tables.lineitem(s, d)
+        .agg(percentile(x, array((1 to 19).map(i => lit(i / 20.0)): _*)).as("bnds"))
+      Tables.lineitem(s, d).crossJoin(broadcast(bnds))
+        .select(size(filter(col("bnds"), b => x > b)).cast("long").as("bucket"), x.as("x"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          (floor(min(col("x")) * 100 + 0.5) / 100.0).as("lo"),
+          (floor(max(col("x")) * 100 + 0.5) / 100.0).as("hi"))
+    }),
+    // filtered ANN: top-k restricted to a metadata predicate (the "search
+    // within label" query every vector store serves) — the filter lands
+    // on the corpus scan, so selective predicates SHRINK the work
+    "q87_filtered_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceKnn(emb.where(col("vec_id") < 5),
+        emb.where(col("label") % 4 === 1), k = 5)
+    }),
     // BPE training inner loop: adjacent-pair counts over the pre-tokens
     "q73_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), k = 50)),
@@ -962,6 +985,21 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q84_lateral" -> ops.Sql.lateralTopOrder,
     "q85_recursive_cte" -> ops.Sql.recursivePowers,
+    "q86_equidepth_hist" -> {
+      val ps = (1 to 19).map(i => i / 20.0).mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT quantile_cont(l_extendedprice, $ps) bnds FROM lineitem)
+         |SELECT CAST(len(list_filter(b.bnds, v -> l_extendedprice > v)) AS BIGINT) bucket,
+         |  COUNT(*) cnt,
+         |  FLOOR(MIN(l_extendedprice) * 100 + 0.5) / 100.0 lo,
+         |  FLOOR(MAX(l_extendedprice) * 100 + 0.5) / 100.0 hi
+         |FROM lineitem, b GROUP BY 1""".stripMargin
+    },
+    "q87_filtered_knn" ->
+      """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings WHERE label % 4 = 1),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) sim FROM q, c WHERE qid != nid),
+        |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rank FROM s)
+        |SELECT qid, nid, rank FROM r WHERE rank <= 5""".stripMargin,
     "q83_token_rarity" ->
       """WITH dt AS (SELECT doc_id,
         |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) token
