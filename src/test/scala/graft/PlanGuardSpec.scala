@@ -52,7 +52,8 @@ class PlanGuardSpec extends SparkTestBase {
       "q35_sessions", "q37_quantiles", "q38_cube", "q41_running_revenue",
       "q45_approx_quantiles", "q51_cdc_latest", "q54_variant",
       "q55_column_stats", "q57_window_battery", "q62_session_window",
-      "q73_bpe_pairs", "q78_sequence_pack", "q81_length_band")) {
+      "q73_bpe_pairs", "q78_sequence_pack", "q81_length_band",
+      "q87_filtered_knn")) {
       assert(shuffles(q(name)) <= 1, s"$name grew beyond one shuffle")
     }
   }
