@@ -259,6 +259,25 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
 
+  /** Incremental IVF maintenance: assign NEW vectors to their nearest
+    * existing centroid and APPEND to the persisted lists — only the
+    * touched list partitions receive new files; the rest of the index is
+    * never read or rewritten, so the per-batch cost is one scan of the
+    * batch plus its own write, independent of corpus size (the streaming
+    * ingest path of a vector store). The quantizer stays frozen, which
+    * is standard until drift warrants a retrain — monitor assignment
+    * distances and rebuild with [[buildIvfIndex]] when they creep. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       batch: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").select("centroid").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq // nlist small: driver-safe
+    batch.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("list_id", Exprs.nearestCentroids(col("nvec"), cents, 1).getItem(0))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
   /** Search a persisted IVF index. Probe-list filtering happens via an
     * IN predicate on the partition column, so the parquet reader prunes
     * whole list directories — only nprobe/nlist of the index is read. */

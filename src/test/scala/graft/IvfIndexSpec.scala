@@ -32,6 +32,35 @@ class IvfIndexSpec extends SparkTestBase {
       s"expected dynamic partition pruning on list_id:\n${plan.take(3000)}")
   }
 
+  test("appendToIvfIndex: new vectors searchable, only touched partitions gain files") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("graft-ivf3").toString
+    Similarity.buildIvfIndex(emb, path, nlist = 8)
+    val filesBefore = Files.walk(java.nio.file.Paths.get(s"$path/lists"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+
+    // append exact copies of corpus vectors 3 and 11 under new ids — each
+    // lands in exactly the list its twin occupies
+    val batch = emb.where(col("vec_id").isin(3L, 11L))
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(spark, path, batch)
+
+    // the appended vectors are immediately searchable: probing with the
+    // originals must now return the appended twins as top-1 (cos = 1)
+    val probes = emb.where(col("vec_id").isin(3L, 11L))
+    val got = Similarity.searchIvfIndex(spark, path, probes, k = 1, nprobe = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 5000003L, 11L -> 5000011L), s"got $got")
+
+    // append wrote files only into the touched list partitions (<= 2
+    // lists x 1 file each), never rewriting the existing index
+    val filesAfter = Files.walk(java.nio.file.Paths.get(s"$path/lists"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(filesAfter > filesBefore && filesAfter <= filesBefore + 2,
+      s"before=$filesBefore after=$filesAfter")
+  }
+
   test("index survives a fresh reader: top-1 self-hit on an identical probe") {
     val sf = "/root/testdata/sf0.001"
     val emb = graft.model.Tables.embeddings(spark, sf)
