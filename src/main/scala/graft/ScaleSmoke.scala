@@ -45,12 +45,15 @@ object ScaleSmoke {
     val idxRows = index.count()
     println(f"minhashIndex($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $idxRows rows")
     val bn = n / 20
-    // even batch ids: near-dup of corpus doc 2*id (re-synthesized from the
-    // corpus formula with token 60 changed); odd ids: fresh content
+    // even batch ids: near-dup of corpus doc 2*id+1 (re-synthesized from
+    // the corpus formula with token 60 changed) — ODD targets only, since
+    // every 10th/50th corpus doc's text was itself replaced by the
+    // near/exact-dup branch and no longer follows its own id's formula;
+    // odd batch ids: fresh content
     val batch = spark.range(bn).select((col("id") + n).as("doc_id"),
       when(pmod(col("id"), lit(2)) === 0,
         concat_ws(" ", transform(sequence(lit(1), lit(120)),
-          j => concat(lit("tok"), pmod((col("id") * 2) * 131 + j * 7, lit(1000003)), lit("_"),
+          j => concat(lit("tok"), pmod((col("id") * 2 + 1) * 131 + j * 7, lit(1000003)), lit("_"),
             when(j === 60, lit("BATCHMUT")).otherwise(j.cast("string"))))))
       .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(120)),
         j => concat(lit("fresh"), col("id"), lit("_"), j)))).as("text"))

@@ -1008,7 +1008,7 @@ object SparkEntry {
         |tf AS (SELECT token, SUM(c) tf FROM g GROUP BY 1),
         |n AS (SELECT SUM(c) n FROM g)
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tokens,
-        |  CAST(SUM(c * ((n * 1000000) // tf)) AS DOUBLE) / SUM(c) rarity
+        |  CAST(SUM(c * ((n * 1000) // tf)) AS DOUBLE) / SUM(c) rarity
         |FROM g JOIN tf USING (token) CROSS JOIN n
         |GROUP BY doc_id""".stripMargin,
     "q82_mixture_balance" ->

@@ -31,9 +31,20 @@ object Curate {
   def hashSampleThreshold(rate: Double): String =
     f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
 
+  /** Column form of [[hashSampleThreshold]] — same conversion, for rates
+    * computed IN-PLAN (see [[mixtureBalance]]). Kept next to the static
+    * form so the rate→8-hex-chars rule has one definition per shape. */
+  def hashSampleThresholdCol(rate: Column): Column =
+    lower(lpad(hex(least(floor(rate * 4294967296.0).cast("long"),
+      lit(4294967295L))), 8, "0"))
+
+  /** Lowercase 8-hex md5 prefix of (key ‖ salt) — the single comparand
+    * every deterministic sampler here tests against its threshold. */
+  private def md5Prefix(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 8)
+
   def hashSamplePredicate(key: Column, rate: Double, salt: String): Column =
-    substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 8) <
-      lit(hashSampleThreshold(rate))
+    md5Prefix(key, salt) < lit(hashSampleThreshold(rate))
 
   /** Sample `rate` of rows, keyed on `idCol` — see [[hashSamplePredicate]]. */
   def hashSample(df: DataFrame, idCol: String, rate: Double,
@@ -53,8 +64,7 @@ object Curate {
     val thr = rates.foldLeft(lit("00000000")) { case (acc, (stratum, rate)) =>
       when(col(strataCol) === stratum, lit(hashSampleThreshold(rate))).otherwise(acc)
     }
-    df.where(
-      substring(md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 8) < thr)
+    df.where(md5Prefix(col(idCol), salt) < thr)
   }
 
   // ------------------------------------------------------------- chunking
@@ -160,13 +170,10 @@ object Curate {
     val rate = least(lit(1.0),
       (sum(col("cnt")).over(wAll).cast("double")
         / count(lit(1)).over(wAll)) / col("cnt"))
-    val thr = lower(lpad(hex(least(floor(rate * 4294967296.0).cast("long"),
-      lit(4294967295L))), 8, "0"))
     documents
-      .join(broadcast(counts.select(col("source"), thr.as("_thr"))), Seq("source"))
-      .where(substring(
-        md5(concat(col("doc_id").cast("string"), lit(salt)).cast("binary")),
-        1, 8) < col("_thr"))
+      .join(broadcast(counts.select(col("source"),
+        hashSampleThresholdCol(rate).as("_thr"))), Seq("source"))
+      .where(md5Prefix(col("doc_id"), salt) < col("_thr"))
       .select(col("doc_id"), col("source"))
   }
 
@@ -291,6 +298,12 @@ object Curate {
         .where(col("u") =!= col("v"))
         .distinct()
     }
+    // node set from BOTH endpoints (incl. self-pairs) so the output
+    // contract matches dupClusters exactly: every doc appearing in a
+    // pair gets a label, even docs whose only pair is (d, d)
+    val nodes = pairs.select(col("doc_a").cast("long").as("n"))
+      .union(pairs.select(col("doc_b").cast("long").as("n"))).distinct()
+      .localCheckpoint(true)
     var edges = pairs
       .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
       .where(col("u") =!= col("v"))
@@ -311,10 +324,14 @@ object Curate {
       it += 1
     }
     // at the fixpoint every edge is (node -> component min); the roots
-    // themselves appear only on the right — label them with themselves
-    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    // appear only on the right and label themselves; isolated nodes
+    // (self-pair-only docs) appear in no edge and also label themselves
+    val labeled = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .distinct()
+    labeled.union(
+      nodes.join(labeled.select(col("doc_id").as("n")), Seq("n"), "left_anti")
+        .select(col("n").as("doc_id"), col("n").as("cluster_id")))
   }
 
   // ------------------------------------------------------- end-to-end

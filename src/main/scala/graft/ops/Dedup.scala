@@ -90,7 +90,7 @@ object Dedup {
     * entries which live until an explicit unpersist — a long-lived session
     * running these operators no longer accumulates cached blocks (round-2
     * advice). At cluster scale the same role is played by a staging table. */
-  private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+  private[ops] def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
     intermediates.foreach(_.unpersist(false))
     out
@@ -115,17 +115,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded LSH bucket keys from a minhash signature column — THE key
+    * scheme, shared by the self-join path ([[minhashCandidates]]) and the
+    * persisted index ([[minhashIndex]]). One definition on purpose: any
+    * drift (hash, separator, slicing) between the two would make a
+    * persisted index silently unmatchable by freshly-keyed batches —
+    * incremental dedup would return zero candidates with no error. */
+  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(":", b,
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"))))))
+
   /** Candidate near-duplicate pairs via banded LSH over the signature.
     * bands*rowsPerBand must equal the signature length; the match
     * probability for jaccard j is 1-(1-j^rows)^bands. */
   def minhashCandidates(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
-    val banded = sigs.select(col("doc_id"), explode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(":", b,
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string"))))))).as("bucket_key"))
+    val banded = sigs.select(col("doc_id"),
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bucket_key"))
     bucketPairs(banded, maxBucket)
   }
 
@@ -208,11 +217,7 @@ object Dedup {
       .select(col("doc_id"), Exprs.shingleHashes(col("text"), n).as("sh"))
       .withColumn("sig", Exprs.minhashSig(col("sh"), bands * rowsPerBand))
       .select(col("doc_id"), col("sh"),
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(":", b,
-            xxhash64(concat_ws(",",
-              transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-                x => x.cast("string")))))).as("keys"))
+        bandKeys(col("sig"), bands, rowsPerBand).as("keys"))
 
   /** Incremental near-duplicate detection: a NEW batch against an EXISTING
     * corpus index ([[minhashIndex]] rows). The streaming-corpus shape —

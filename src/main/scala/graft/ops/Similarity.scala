@@ -259,6 +259,16 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
 
+  /** Centroids of a persisted IVF index, ordered so array index ==
+    * list_id — the invariant BOTH search (probe-list selection) and
+    * append (partition assignment) depend on; one loader on purpose so
+    * the two sides can never disagree. nlist is small: driver-safe. */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").select("centroid").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+
   /** Incremental IVF maintenance: assign NEW vectors to their nearest
     * existing centroid and APPEND to the persisted lists — only the
     * touched list partitions receive new files; the rest of the index is
@@ -270,9 +280,7 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        batch: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("list_id").select("centroid").collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq // nlist small: driver-safe
+    val cents = loadCentroids(spark, path)
     batch.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .withColumn("list_id", Exprs.nearestCentroids(col("nvec"), cents, 1).getItem(0))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
@@ -284,9 +292,7 @@ object Similarity {
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int = 5, nprobe: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("list_id").select("centroid").collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq // nlist small: driver-safe
+    val cents = loadCentroids(spark, path)
     val lists = spark.read.parquet(s"$path/lists")
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("list_id", explode(Exprs.nearestCentroids(col("qvec"), cents, nprobe))))

@@ -204,7 +204,7 @@ object TextAnalysis {
   /** Out-of-vocabulary rate per source: build the top-`vocabSize` token
     * vocabulary by corpus frequency (ties broken lexicographically), then
     * measure the fraction of each source's token OCCURRENCES falling
-    * outside it — the coverage check run before freezing a tokenizer
+    * outside it — the coverage check run before freezing a tokenizer's
     * vocab. One explode feeds a (source, token) aggregation; both the
     * vocabulary ranking and the per-source totals derive from that one
     * aggregate — which is PERSISTED, because referencing the same
@@ -232,19 +232,20 @@ object TextAnalysis {
         coalesce(sum(when(col("_in").isNull, col("c"))), lit(0L)).cast("long").as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens"))
-      .localCheckpoint(true)
-    st.unpersist(false)
-    out
+    Dedup.materializeAndRelease(out, st)
   }
 
   /** Mean token rarity per document — the cheap proxy for LM-based
     * quality filtering: documents made of corpus-rare tokens score high
     * (gibberish, OCR noise, foreign fragments), common-vocabulary prose
-    * scores low. Per token occurrence, rarity = (N·10⁶) div tf —
+    * scores low. Per token occurrence, rarity = (N·10³) div tf —
     * INTEGER division of exact longs so the per-doc sums are associative
     * and engine/partitioning-independent (a double `-log p` surprisal
     * sums in nondeterministic order and drifts ulps cross-engine); the
-    * per-doc mean is one final double division. Plan: one explode feeds
+    * per-doc mean is one final double division. The 10³ unit keeps
+    * N·10³ inside Long through ~9·10¹⁵ corpus tokens (≫ 100 TB of
+    * text; 10⁶ units would overflow at ~9·10¹² — inside the design
+    * envelope). Plan: one explode feeds
     * a (doc, token) aggregation, token-keyed join to corpus frequencies
     * (derived from the SAME persisted aggregate — no second scan), then
     * a doc-keyed roll-up; the 1-row N broadcasts. */
@@ -260,12 +261,10 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_tokens"),
-        sum(col("c") * expr("(n * 1000000) div tf")).as("rsum"))
+        sum(col("c") * expr("(n * 1000) div tf")).as("rsum"))
       .select(col("doc_id"), col("n_tokens"),
         (col("rsum").cast("double") / col("n_tokens")).as("rarity"))
-      .localCheckpoint(true)
-    dt.unpersist(false)
-    out
+    Dedup.materializeAndRelease(out, dt)
   }
 
   /** Top-k TF-IDF terms per document. The idf is the *rational* variant

@@ -40,23 +40,39 @@ object LambdaCostAudit {
     case _ => false
   }
 
-  /** All (lambda, expensive-node) hits in the plan, rendered for assertion
-    * messages. Empty = the plan is free of per-element re-evaluation of
-    * parser/regex work. */
+  /** An expensive node operating on the lambda's OWN variable (e.g.
+    * `transform(arr, x => regexp_replace(x, …))`) is the necessary
+    * once-per-element work, linear overall — only an expensive subtree
+    * CAPTURED from outside the lambda (no lambda-variable reference
+    * anywhere beneath it) re-evaluates row-level work per element and
+    * goes quadratic. */
+  private def capturesNoLambdaVar(e: Expression): Boolean =
+    !e.exists { case _: NamedLambdaVariable => true; case _ => false }
+
+  /** All (lambda, expensive-node) hits in the plan — including subquery
+    * plans (scalar/EXISTS/IN subqueries host their own trees, and a q73-
+    * shaped lambda inside one would otherwise pass unseen). Empty = the
+    * plan is free of per-element re-evaluation of parser/regex work. */
   def violations(plan: LogicalPlan): Seq[String] = {
     val out = Seq.newBuilder[String]
-    plan.foreach { node =>
+    def walk(p: LogicalPlan): Unit = p.foreach { node =>
       node.expressions.foreach { root =>
         root.foreach {
           case lf: LambdaFunction =>
             lf.function.foreach { e =>
-              if (isExpensive(e))
+              if (isExpensive(e) && capturesNoLambdaVar(e))
                 out += s"${e.getClass.getSimpleName} evaluated per-element inside lambda: ${lf.simpleString(120)}"
+            }
+          case sub: PlanExpression[_] =>
+            sub.plan match {
+              case lp: LogicalPlan => walk(lp)
+              case _ => ()
             }
           case _ => ()
         }
       }
     }
+    walk(plan)
     out.result().distinct
   }
 

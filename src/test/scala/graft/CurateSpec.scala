@@ -93,6 +93,12 @@ class CurateSpec extends SparkTestBase {
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val star = Curate.dupClustersStar(chain).as[(Long, Long)].collect().toMap
     assert(star.size == 200 && star.values.forall(_ == 1L))
+    // self-pair-only docs stay in the output (contract parity with
+    // dupClusters — a caller must not lose docs by switching algorithms)
+    val selfy = Seq((5L, 5L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val gotSelf = Curate.dupClustersStar(selfy).as[(Long, Long)].collect().toSet
+    val expSelf = Curate.dupClusters(selfy).as[(Long, Long)].collect().toSet
+    assert(gotSelf == expSelf && gotSelf.contains((5L, 5L)), s"got $gotSelf")
   }
 
   test("decontaminate: doc containing benchmark text flagged, clean doc not") {

@@ -93,4 +93,25 @@ class PlanGuardSpec extends SparkTestBase {
     assert(graft.plans.LambdaCostAudit.violations(
       ops.TextAnalysis.bpePairCounts(docs)).isEmpty)
   }
+
+  test("the audit sees inside subquery plans and spares per-element-variable work") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // expensive-on-the-lambda-variable = the necessary per-element work,
+    // linear overall — must NOT be flagged
+    val legit = docs.select(transform(split(col("text"), " "),
+      x => regexp_replace(x, "[0-9]", "#")).as("clean"))
+    assert(graft.plans.LambdaCostAudit.violations(legit).isEmpty,
+      "per-element regex on the lambda variable is linear, not a violation")
+    // the q73 bug shape hidden INSIDE a scalar subquery must still be seen
+    docs.createOrReplaceTempView("lca_docs")
+    val buried = spark.sql(
+      """SELECT doc_id,
+        |  (SELECT max(size(transform(sequence(1, 3),
+        |     i -> element_at(regexp_extract_all(d2.text, '[A-Za-z]+', 0), i))))
+        |   FROM lca_docs d2) m
+        |FROM lca_docs""".stripMargin)
+    assert(graft.plans.LambdaCostAudit.violations(buried).nonEmpty,
+      "captured-regex lambda inside a subquery plan must be flagged")
+  }
 }
