@@ -42,6 +42,50 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(1).getAs[String]("lang_guess") == "en", "zero hits everywhere ties to en")
   }
 
+  test("sequencePack invariants: contiguous coverage per source, spans match token math") {
+    val fixture = Seq(
+      (1L, "s1", (1 to 300).map(i => s"a$i").mkString(" ")),  // 300 tokens
+      (2L, "s1", (1 to 400).map(i => s"b$i").mkString(" ")),  // straddles
+      (3L, "s1", ""),                                          // dropped
+      (4L, "s2", (1 to 100).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sequencePack(fixture, seqLen = 256)
+      .orderBy("source", "doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toList
+    // s1: doc1 tokens 0..299 -> first seq 0, touches seqs 0..1 (2);
+    //     doc2 tokens 300..699 -> first seq 1, touches 1..2 (2)
+    // s2: doc4 tokens 0..99 -> seq 0 only
+    assert(got == List(
+      (1L, "s1", 300L, 0L, 2L),
+      (2L, "s1", 400L, 1L, 2L),
+      (4L, "s2", 100L, 0L, 1L)), s"got $got")
+    // invariant on real data: concatenation is gapless — each doc's first
+    // sequence is within one of its predecessor's last touched sequence
+    val real = TextAnalysis.sequencePack(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), seqLen = 128)
+      .orderBy("source", "doc_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    real.sliding(2).foreach {
+      case Array((_, sa, _, fa, na), (_, sb, _, fb, _)) if sa == sb =>
+        val lastA = fa + na - 1
+        assert(fb == lastA || fb == lastA + 1,
+          s"gap in packing: doc ends in seq $lastA, next starts at $fb")
+      case _ => ()
+    }
+  }
+
+  test("mixtureBalance: over-represented stratum is downsampled toward uniform") {
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i % 10 < 8) "big" else "small")).toDF("doc_id", "source")
+    val got = graft.ops.Curate.mixtureBalance(docs)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // target N/k = 500 each: 'small' (200 docs, rate 1) all kept;
+    // 'big' (800 docs, rate 0.625) lands near 500 (md5 sampling noise)
+    assert(got("small") == 200L, s"under-represented stratum must keep all: $got")
+    assert(got("big") > 400L && got("big") < 600L,
+      s"over-represented stratum must sample toward 500: $got")
+  }
+
   test("fingerprint: deterministic, order-sensitive, blank => 0") {
     val a = Seq((1L, "x yy zzz")).toDF("doc_id", "text")
     val b = Seq((1L, "zzz yy x")).toDF("doc_id", "text")
