@@ -384,9 +384,14 @@ object SparkEntry {
     // int8 embedding quantization: per-vector symmetric scale + codes —
     // the 4x compression an ANN index applies before sharding; max|x|
     // materialized behind a Generate barrier so the per-element lambda
-    // divides by an attribute, not a re-reduced expression
+    // divides by an attribute, not a re-reduced expression. The oracle
+    // form posexplodes the codes to scalar (pos, code) rows — the array
+    // column crashed the driver's pandas comparator in round 4, same
+    // class as q33's array<float>; quantizeInt8 (array form) stays the API
     "q80_quantize_int8" -> ((s, d) =>
-      Similarity.quantizeInt8(Tables.embeddings(s, d))),
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("scale_e9"),
+          posexplode(col("codes")).as(Seq("pos", "code")))),
     // sequence packing: concat-and-chunk documents into fixed-length
     // training sequences, parallel per source stream (the packing unit a
     // real pipeline shards by — a global cumsum would serialize 100 TB
@@ -1046,9 +1051,10 @@ object SparkEntry {
         |    list_max(list_transform(e, x -> abs(x))) mx FROM t)
         |SELECT vec_id,
         |  CAST(FLOOR(mx / 127.0 * 1e9 + 0.5) AS BIGINT) scale_e9,
-        |  CASE WHEN mx = 0 THEN list_transform(e, x -> 0)
+        |  unnest(range(0, len(e))) pos,
+        |  unnest(CASE WHEN mx = 0 THEN list_transform(e, x -> 0)
         |       ELSE list_transform(e, x -> CAST(round(x / (mx / 127.0)) AS INTEGER))
-        |  END codes
+        |  END) code
         |FROM m""".stripMargin,
     "q78_sequence_pack" ->
       """WITH t AS (SELECT doc_id, source,

@@ -260,6 +260,12 @@ object Curate {
       it += 1
     }
     edges.unpersist(false)
+    // same safety posture as dupClustersStar: an unconverged exit means
+    // wrong labels — fail loudly (min-label needs O(diameter) rounds;
+    // hitting maxIter suggests a chain graph — use dupClustersStar)
+    require(converged,
+      s"dupClusters did not converge in $maxIter rounds — labels would be " +
+        s"incorrect; raise maxIter or use dupClustersStar (O(log n) rounds)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -323,6 +329,12 @@ object Curate {
       nEdges = nNext
       it += 1
     }
+    // an unconverged exit would hand back wrong cluster ids with no
+    // signal — fail loudly instead (star-contraction converges in
+    // O(log n) rounds, so hitting maxIter=50 means pathological input)
+    require(converged,
+      s"dupClustersStar did not reach the star fixpoint in $maxIter rounds " +
+        s"($nEdges edges remain) — labels would be incorrect; raise maxIter")
     // at the fixpoint every edge is (node -> component min); the roots
     // appear only on the right and label themselves; isolated nodes
     // (self-pair-only docs) appear in no edge and also label themselves

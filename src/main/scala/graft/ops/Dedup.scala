@@ -206,18 +206,24 @@ object Dedup {
 
   // ---------------------------------------------------- incremental minhash
 
-  /** Per-document MinHash index rows: (doc_id, sh, keys) where `keys` are
-    * the banded LSH bucket keys. This is the frame a growing corpus
-    * persists (parquet/staging table, partitionable by key range) so that
-    * arriving batches dedup against it WITHOUT touching corpus text —
-    * see [[incrementalDuplicates]]. */
+  /** Per-document MinHash index rows: (doc_id, sh, keys, params) where
+    * `keys` are the banded LSH bucket keys and `params` pins the
+    * (bands, rows_per_band, n) the signatures were built with — a
+    * constant column, so parquet RLE-compresses it to metadata cost.
+    * This is the frame a growing corpus persists (parquet/staging table,
+    * partitionable by key range) so that arriving batches dedup against
+    * it WITHOUT touching corpus text — see [[incrementalDuplicates]],
+    * which REFUSES an index whose params disagree with the batch's
+    * (mismatched band keys would otherwise equi-join to silent zeros). */
   def minhashIndex(documents: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
                    n: Int = 3): DataFrame =
     documents
       .select(col("doc_id"), Exprs.shingleHashes(col("text"), n).as("sh"))
       .withColumn("sig", Exprs.minhashSig(col("sh"), bands * rowsPerBand))
       .select(col("doc_id"), col("sh"),
-        bandKeys(col("sig"), bands, rowsPerBand).as("keys"))
+        bandKeys(col("sig"), bands, rowsPerBand).as("keys"),
+        struct(lit(bands).as("bands"), lit(rowsPerBand).as("rows_per_band"),
+          lit(n).as("n")).as("params"))
 
   /** Incremental near-duplicate detection: a NEW batch against an EXISTING
     * corpus index ([[minhashIndex]] rows). The streaming-corpus shape —
@@ -235,6 +241,27 @@ object Dedup {
                             tau: Double = 0.7, bands: Int = 8,
                             rowsPerBand: Int = 4, n: Int = 3,
                             maxBucket: Int = 1000): DataFrame = {
+    // a persisted index built with different (bands, rowsPerBand, n) has
+    // band keys that can NEVER equi-join the batch's — the join would
+    // silently return zero/incomplete pairs. Validate against the index's
+    // pinned params (one-row bounded read); legacy indexes without the
+    // params column at least get the structural size(keys)==bands check.
+    val hasParams = index.columns.contains("params")
+    val probe =
+      if (hasParams) index.select(col("params.bands"), col("params.rows_per_band"),
+        col("params.n")).limit(1).collect()
+      else index.select(size(col("keys"))).limit(1).collect()
+    probe.headOption.foreach { r =>
+      if (hasParams) require(
+        r.getInt(0) == bands && r.getInt(1) == rowsPerBand && r.getInt(2) == n,
+        s"minhash index was built with (bands=${r.getInt(0)}, rowsPerBand=" +
+          s"${r.getInt(1)}, n=${r.getInt(2)}) but incrementalDuplicates was " +
+          s"called with (bands=$bands, rowsPerBand=$rowsPerBand, n=$n) — " +
+          "band keys would silently never match; rebuild or pass the index's params")
+      else require(r.getInt(0) == bands,
+        s"minhash index rows carry ${r.getInt(0)} band keys but bands=$bands " +
+          "was requested — band keys would silently never match")
+    }
     val b = minhashIndex(batch, bands, rowsPerBand, n).persist()
     val bk = b.select(col("doc_id").as("new_id"), explode(col("keys")).as("bucket_key"))
     val ik = index.select(col("doc_id").as("corpus_id"), explode(col("keys")).as("bucket_key"))

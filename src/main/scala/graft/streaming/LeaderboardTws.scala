@@ -65,7 +65,11 @@ object LeaderboardTws {
                seqCol: String = "seq", keyCol: String = "key",
                cntCol: String = "cnt"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    // cnt desc tiebreak: if a replayed foreachBatch ever appends the same
+    // (key, seq) twice, the surviving row is deterministic (counts are
+    // monotone per key, so the larger one is also the more complete one)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, col(cntCol).desc)
     updates
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
