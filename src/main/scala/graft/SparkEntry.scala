@@ -426,20 +426,13 @@ object SparkEntry {
           (floor(max(x) * 100 + 0.5) / 100.0).as("hi"))
     }),
     // equi-depth histogram (the form optimizer stats actually keep): 19
-    // exact percentile boundaries in one pass, bucket assignment by
-    // boundary comparison in a second — the scalable two-pass shape (a
-    // global ntile would sort the corpus through ONE partition)
-    "q86_equidepth_hist" -> ((s, d) => {
-      val x = col("l_extendedprice")
-      val bnds = Tables.lineitem(s, d)
-        .agg(percentile(x, array((1 to 19).map(i => lit(i / 20.0)): _*)).as("bnds"))
-      Tables.lineitem(s, d).crossJoin(broadcast(bnds))
-        .select(size(filter(col("bnds"), b => x > b)).cast("long").as("bucket"), x.as("x"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("cnt"),
-          (floor(min(col("x")) * 100 + 0.5) / 100.0).as("lo"),
-          (floor(max(col("x")) * 100 + 0.5) / 100.0).as("hi"))
-    }),
+    // exact percentile boundaries by DISTRIBUTED selection (round 5 —
+    // the built-in percentile aggregate merges every distinct value into
+    // ONE task's buffer, an OOM at 100 TB of near-continuous prices),
+    // bucket assignment by literal-boundary comparison in a second pass
+    "q86_equidepth_hist" -> ((s, d) =>
+      Stats.equiDepthHistogram(Tables.lineitem(s, d), "l_extendedprice",
+        buckets = 20)),
     // filtered ANN: top-k restricted to a metadata predicate (the "search
     // within label" query every vector store serves) — the filter lands
     // on the corpus scan, so selective predicates SHRINK the work

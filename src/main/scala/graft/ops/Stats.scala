@@ -60,4 +60,108 @@ object Stats {
       .select(col("s.column"), col("s.n_nonnull"), col("s.n_null"),
         col("s.min_s"), col("s.max_s"), col("s.max_len"))
   }
+
+  // ------------------------------------------------- exact quantiles
+
+  /** Exact interpolated quantiles (type R-7, the `percentile` /
+    * `quantile_cont` definition) by DISTRIBUTED selection: range-partition
+    * the values, count each partition (bounded collect: `parts` longs),
+    * locate which partition holds each needed order statistic, then pull
+    * exactly those ranks with a streaming per-partition scan over the
+    * locally-sorted cache. Nothing ever funnels through one node: the
+    * biggest single-task unit is one range partition's local sort.
+    *
+    * This replaces Spark's built-in `percentile` aggregate for q86, whose
+    * final merge materializes EVERY distinct value in one aggregation
+    * buffer on one task — fine at sf0.1 (~0.5M doubles), an OOM at 100 TB
+    * of near-continuous values (billions of distinct doubles in one heap).
+    *
+    * Interpolation mirrors Percentile.getPercentile exactly
+    * ((hi-h)*v0 + (h-lo)*v1), and bucket assignment downstream is immune
+    * to last-ulp interpolation differences anyway: a boundary interpolated
+    * strictly between adjacent order statistics v0 < v1 has NO data value
+    * between the two engines' versions of it, so `x > boundary` agrees.
+    *
+    * Driver traffic is bounded by design: `parts` counts + 2·|ps| order
+    * statistics — never data. NULL and NaN values are excluded (the
+    * `quantile_cont` convention). Returns NaN for every p when the column
+    * is empty. */
+  def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                     parts: Int = 64): Array[Double] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1], got $ps")
+    val vals = df.select(col(valueCol).cast("double").as("x"))
+      .where(col("x").isNotNull && !isnan(col("x")))
+    val ranged = vals.repartitionByRange(parts, col("x"))
+      .sortWithinPartitions("x").persist()
+    try {
+      val perPart = ranged.rdd
+        .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val n = perPart.sum
+      if (n == 0) return ps.map(_ => Double.NaN).toArray
+      // 0-based order-statistic indexes each quantile interpolates between;
+      // h = p * (n-1) is the same double expression both engines evaluate
+      val needs = ps.map { p =>
+        val h = p * (n - 1)
+        (p, h, math.floor(h).toLong, math.min(math.ceil(h).toLong, n - 1))
+      }
+      val offsets = perPart.scanLeft(0L)(_ + _) // rows before partition pid
+      def locate(k: Long): (Int, Long) = {
+        var pid = 0
+        while (pid + 1 < perPart.length && offsets(pid + 1) <= k) pid += 1
+        (pid, k - offsets(pid))
+      }
+      val wanted: Map[Int, Seq[(Long, Long)]] = // pid -> (localIdx, globalIdx)
+        needs.flatMap(t => Seq(t._3, t._4)).distinct
+          .map(k => (locate(k), k))
+          .groupBy(_._1._1)
+          .map { case (pid, xs) =>
+            pid -> xs.map(x => (x._1._2, x._2)).sortBy(_._1)
+          }
+      val wB = ranged.sparkSession.sparkContext.broadcast(wanted)
+      val found: Map[Long, Double] = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val local = wB.value.getOrElse(pid, Nil)
+        if (local.isEmpty) Iterator.empty
+        else {
+          val out = Seq.newBuilder[(Long, Double)]
+          var i = 0L
+          var j = 0
+          while (it.hasNext && j < local.length) {
+            val row = it.next()
+            if (i == local(j)._1) { out += ((local(j)._2, row.getDouble(0))); j += 1 }
+            i += 1
+          }
+          out.result().iterator
+        }
+      }.collect().toMap
+      needs.map { case (_, h, i0, i1) =>
+        val v0 = found(i0)
+        if (i1 == i0) v0
+        else {
+          val v1 = found(i1)
+          if (v0 == v1) v0 else (i1 - h) * v0 + (h - i0) * v1
+        }
+      }.toArray
+    } finally { ranged.unpersist(false); () }
+  }
+
+  /** Equi-depth histogram (the form optimizer stats actually keep):
+    * `buckets`-1 exact percentile boundaries via [[exactQuantiles]]
+    * (distributed selection — see there for why not the built-in
+    * `percentile` aggregate), then one comparison-assignment pass. The
+    * boundaries enter the second pass as a LITERAL array, so the
+    * assignment is a pure scan-side expression — no join, no second
+    * shuffle beyond the 20-group aggregate. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, buckets: Int = 20,
+                         parts: Int = 64): DataFrame = {
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val bnds = exactQuantiles(df, valueCol, ps, parts)
+    val x = col(valueCol).cast("double")
+    val bArr = array(bnds.map(lit(_)): _*)
+    df.groupBy(size(filter(bArr, b => x > b)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        (floor(min(x) * 100 + 0.5) / 100.0).as("lo"),
+        (floor(max(x) * 100 + 0.5) / 100.0).as("hi"))
+  }
 }

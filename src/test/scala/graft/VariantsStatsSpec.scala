@@ -19,6 +19,37 @@ class VariantsStatsSpec extends SparkTestBase {
     assert(got("b") == ((1L, 1L, 7L, 7L, 7L)))
   }
 
+  test("exactQuantiles: distributed selection equals the built-in percentile aggregate") {
+    import org.apache.spark.sql.functions._
+    // skewed + duplicated values across many partitions, incl. a null
+    val vals = (1 to 997).map(i => (i * i % 401).toDouble) ++ Seq(7.0, 7.0, 7.0)
+    val df = vals.map(Option(_)).:+(None: Option[Double])
+      .toDF("x").repartition(13)
+    val ps = Seq(0.05, 0.25, 0.5, 0.75, 0.95, 0.0, 1.0)
+    val got = Stats.exactQuantiles(df, "x", ps, parts = 7)
+    val want = df.agg(percentile(col("x"), array(ps.map(lit(_)): _*)))
+      .head().getSeq[Double](0)
+    // same R-7 definition; interpolation may differ in the last ulp only
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) <= 1e-12 * math.max(math.abs(w), 1.0),
+        s"quantile mismatch: got $g want $w")
+    }
+    assert(Stats.exactQuantiles(Seq.empty[Double].toDF("x"), "x", Seq(0.5))
+      .forall(_.isNaN), "empty input yields NaN")
+  }
+
+  test("equiDepthHistogram: depths within one boundary-tie of n/buckets, lo<=hi, full coverage") {
+    val df = (1 to 2000).map(i => ((i * 37) % 1999).toDouble / 3.0).toDF("x")
+    val h = Stats.equiDepthHistogram(df, "x", buckets = 10, parts = 5)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(h.map(_._1).toSeq == (0L until 10L), "every bucket populated")
+    assert(h.map(_._2).sum == 2000L, "depths cover every row")
+    h.foreach { case (b, cnt, lo, hi) =>
+      assert(lo <= hi, s"bucket $b has lo > hi")
+      assert(math.abs(cnt - 200L) <= 4, s"bucket $b depth $cnt far from 200")
+    }
+  }
+
   test("numericColumnStats: one row per column, nulls counted, min/max exact") {
     val df = Seq(
       (Some(1.5), Some(10L)),
