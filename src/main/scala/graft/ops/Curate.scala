@@ -40,7 +40,7 @@ object Curate {
 
   /** Lowercase 8-hex md5 prefix of (key ‖ salt) — the single comparand
     * every deterministic sampler here tests against its threshold. */
-  private def md5Prefix(key: Column, salt: String): Column =
+  private[ops] def md5Prefix(key: Column, salt: String): Column =
     substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 8)
 
   def hashSamplePredicate(key: Column, rate: Double, salt: String): Column =
@@ -50,6 +50,31 @@ object Curate {
   def hashSample(df: DataFrame, idCol: String, rate: Double,
                  salt: String = "graft"): DataFrame =
     df.where(hashSamplePredicate(col(idCol), rate, salt))
+
+  /** Weighted (Poisson) deterministic sampling: each row kept with
+    * inclusion probability proportional to its weight — pᵢ = min(1,
+    * wᵢ·target/Σw) — so the expected kept count is ~`targetRows` and
+    * heavy rows (long documents, big customers) are preferentially
+    * retained. The importance-sampling step a mixture pipeline runs when
+    * "sample 1M documents weighted by length" must stay reproducible
+    * across retries: the coin is the same md5 predicate as [[hashSample]]
+    * (per-row threshold = rate→8-hex conversion of pᵢ), never rand().
+    *
+    * Σw is a one-row aggregate broadcast back onto the scan, so the plan
+    * is two scans of (id, weight) and zero wide shuffles. Integer weights
+    * keep Σw exact; the single (w·target)/Σw division is one IEEE op per
+    * row — bit-identical in the DuckDB oracle (q88). Rows with NULL or
+    * non-positive weight are dropped (rate 0). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     targetRows: Double, salt: String = "graft"): DataFrame = {
+    val sw = df.agg(sum(col(weightCol)).cast("double").as("_sw"))
+    val rate = least(lit(1.0),
+      col(weightCol).cast("double") * targetRows / col("_sw"))
+    df.crossJoin(broadcast(sw))
+      .where(col(weightCol) > 0 &&
+        md5Prefix(col(idCol), salt) < hashSampleThresholdCol(rate))
+      .drop("_sw")
+  }
 
   /** Stratified deterministic sampling: a different rate per stratum value
     * (the `sampleBy` of a mixture-weighted training pipeline — e.g. keep
@@ -148,6 +173,56 @@ object Curate {
     sh(corpus).join(bench.withColumn("_hit", lit(1)), Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_shared"))
+      .withColumn("contaminated",
+        col("n_shared") * 100 > lit((maxSharedRatio * 100).round) * col("n_shingles"))
+  }
+
+  /** [[decontaminate]] for a benchmark set too big to broadcast: the same
+    * output contract, but corpus shingles meet the benchmark through a
+    * BLOOM prefilter instead of a direct join. The exact form's broadcast
+    * left-join stops working when the deduplicated benchmark shingle set
+    * is 100s of MB (a full eval-suite sweep); the fallback — shuffling
+    * EVERY corpus shingle against it — is the dominant cost at 100 TB.
+    * Here only the bloom SURVIVORS (true hits + ~fpp false positives)
+    * reach the exact verification join, so the wide shuffle carries the
+    * overlap, not the corpus:
+    *   1. per-doc shingle counts as a pure projection (no Generate);
+    *   2. one bloom built over xxhash64(benchmark shingles) — Spark's own
+    *      mergeable BloomFilterAggregate, collected once (a few MB,
+    *      bounded by numBits regardless of corpus size);
+    *   3. corpus shingles filtered by might_contain AT THE SCAN, then an
+    *      exact semi-join kills false positives;
+    *   4. doc-level hit counts join back on doc_id.
+    * False negatives are impossible (bloom guarantee), so the output is
+    * EXACTLY [[decontaminate]]'s — q91 runs against q68's oracle SQL.
+    * Costs one extra corpus scan vs the exact form; at scale, a scan is
+    * cheaper than an all-shingles shuffle. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                         maxSharedRatio: Double = 0.2,
+                         expectedItems: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val sh = (df: DataFrame) => df.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingles(col("text"), n))).as("s"))
+    val bench = sh(benchmark).select(col("s")).distinct()
+    val bloomBytes = bench
+      .select(ColumnBridge.column(new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("s"))), expectedItems)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val counts = corpus.select(col("doc_id"),
+      size(array_distinct(Dedup.shingles(col("text"), n))).cast("long").as("n_shingles"))
+    val maybe =
+      if (bloomBytes == null) sh(corpus).limit(0) // empty benchmark: no hits
+      else sh(corpus).where(ColumnBridge.column(new BloomFilterMightContain(
+        Literal.create(bloomBytes),
+        ColumnBridge.expression(xxhash64(col("s"))))))
+    val shared = maybe.join(bench, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    counts.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated",
         col("n_shared") * 100 > lit((maxSharedRatio * 100).round) * col("n_shingles"))
   }

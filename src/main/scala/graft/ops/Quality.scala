@@ -93,4 +93,44 @@ object Quality {
       .where(col("change").isNotNull)
       .select(col("_k").as(keyCol), col("change"))
   }
+
+  /** Distribution drift between two snapshots of a numeric column — the
+    * check a training pipeline runs between crawl cuts before mixing them
+    * ("did the length/price/score distribution move?"). Each side is
+    * bucketed by the caller-supplied expression, reduced to per-bucket
+    * counts (one agg per side — the only shuffles, each over ≤ #buckets
+    * rows after map-side combine), then the tiny count frames full-outer
+    * join and every drift figure derives from INTEGER-EXACT cross
+    * products: |cntB·totalA − cntA·totalB| never touches a float until
+    * the final division, so the emitted total-variation distance is
+    * bit-identical in any engine. (The usual PSI needs ln() — libm output
+    * is not reproducible across engines, and at these row counts TVD
+    * ranks drift the same way.) Long headroom: cnt·total < 2⁶³ holds to
+    * ~3e9 rows per side; shard the drift check per source beyond that.
+    *
+    * Output: one row per bucket with both counts, the bucket's integer
+    * drift numerator, and the global `tvd` = Σnum / (2·totalB·totalA)
+    * repeated on each row (windows over the ≤ #buckets frame). */
+  def distributionDrift(before: DataFrame, after: DataFrame,
+                        bucketOf: DataFrame => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = before.groupBy(bucketOf(before).as("bucket"))
+      .agg(count(lit(1)).as("cnt_before"))
+    val ca = after.groupBy(bucketOf(after).as("bucket"))
+      .agg(count(lit(1)).as("cnt_after"))
+    val wAll = Window.partitionBy()
+    cb.join(ca, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("cnt_before"), lit(0L)).as("cnt_before"),
+        coalesce(col("cnt_after"), lit(0L)).as("cnt_after"))
+      .withColumn("_tb", sum(col("cnt_before")).over(wAll))
+      .withColumn("_ta", sum(col("cnt_after")).over(wAll))
+      .withColumn("drift_num",
+        abs(col("cnt_before") * col("_ta") - col("cnt_after") * col("_tb")))
+      .withColumn("tvd",
+        sum(col("drift_num")).over(wAll).cast("double") /
+          (lit(2.0) * col("_tb") * col("_ta")))
+      .select(col("bucket"), col("cnt_before"), col("cnt_after"),
+        col("drift_num"), col("tvd"))
+  }
 }
