@@ -441,6 +441,31 @@ object SparkEntry {
       Similarity.bruteForceKnn(emb.where(col("vec_id") < 5),
         emb.where(col("label") % 4 === 1), k = 5)
     }),
+    // weighted deterministic (Poisson) sampling: pᵢ = min(1, wᵢ·target/Σw)
+    // via the md5 coin — "sample ~150 docs weighted by length"; Σw spans
+    // positive weights only (the sampled population). At sf0.01 every
+    // rate is < 1, so the coin decides every row
+    "q88_weighted_sample" -> ((s, d) =>
+      Curate.weightedSample(Tables.documents(s, d), "doc_id", "n_chars",
+        targetRows = 150.0).select(col("doc_id"), col("n_chars"))),
+    // distribution drift between two snapshot cuts of lineitem prices:
+    // per-bucket counts + INTEGER-EXACT TVD numerators (no ln(), so the
+    // figure is bit-identical in any engine)
+    "q89_drift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Quality.distributionDrift(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
+    }),
+    // q68's decontamination through the bloom prefilter (the benchmark-
+    // too-big-to-broadcast scale path) — false negatives are impossible,
+    // so the output is bit-identical to q68 and shares its oracle form
+    "q91_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curate.decontaminateBloom(docs.where(col("doc_id") < 400),
+        docs.where(col("doc_id") >= 400), n = 5, maxSharedRatio = 0.2)
+    }),
     // BPE training inner loop: adjacent-pair counts over the pre-tokens
     "q73_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), k = 50)),
@@ -561,6 +586,25 @@ object SparkEntry {
       |  UNION
       |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node)
       |SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node""".stripMargin
+
+  /** Shared by q68 (exact decontamination) and q91 (bloom-prefiltered) —
+    * the bloom path guarantees zero false negatives, so both forms must
+    * hash-match the same oracle rows. */
+  private val decontaminateOracleSql: String =
+    """WITH t AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_transform(range(1, len(tk) - 3), i ->
+      |           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+      |           tk[i+3] || ' ' || tk[i+4]) END) sh
+      |  FROM (SELECT doc_id,
+      |        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') tk
+      |        FROM documents)),
+      |bench AS (SELECT DISTINCT unnest(sh) s FROM t WHERE doc_id >= 400),
+      |corp AS (SELECT doc_id, unnest(sh) s FROM t WHERE doc_id < 400),
+      |agg AS (SELECT c.doc_id, COUNT(*) n_shingles, COUNT(b.s) n_shared
+      |        FROM corp c LEFT JOIN bench b ON c.s = b.s GROUP BY 1)
+      |SELECT doc_id, n_shingles, n_shared,
+      |  n_shared * 100 > 20 * n_shingles contaminated FROM agg""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_cdc_parse" ->
@@ -1122,21 +1166,36 @@ object SparkEntry {
         |SELECT lang, CAST(dim AS BIGINT) dim,
         |  FLOOR(CAST(SUM(sv) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 centroid
         |FROM x GROUP BY lang, dim""".stripMargin,
-    "q68_decontaminate" ->
-      """WITH t AS (SELECT doc_id, list_distinct(
-        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
-        |         ELSE list_transform(range(1, len(tk) - 3), i ->
-        |           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
-        |           tk[i+3] || ' ' || tk[i+4]) END) sh
-        |  FROM (SELECT doc_id,
-        |        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') tk
-        |        FROM documents)),
-        |bench AS (SELECT DISTINCT unnest(sh) s FROM t WHERE doc_id >= 400),
-        |corp AS (SELECT doc_id, unnest(sh) s FROM t WHERE doc_id < 400),
-        |agg AS (SELECT c.doc_id, COUNT(*) n_shingles, COUNT(b.s) n_shared
-        |        FROM corp c LEFT JOIN bench b ON c.s = b.s GROUP BY 1)
-        |SELECT doc_id, n_shingles, n_shared,
-        |  n_shared * 100 > 20 * n_shingles contaminated FROM agg""".stripMargin,
+    "q88_weighted_sample" ->
+      """WITH sw AS (SELECT CAST(SUM(CASE WHEN n_chars > 0 THEN n_chars END)
+        |    AS DOUBLE) sw FROM documents),
+        |t AS (SELECT doc_id, n_chars,
+        |    lower(lpad(to_hex(least(CAST(FLOOR(
+        |      least(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE) * 150.0 / sw)
+        |      * 4294967296.0) AS BIGINT), 4294967295)), 8, '0')) thr
+        |  FROM documents CROSS JOIN sw)
+        |SELECT doc_id, n_chars FROM t
+        |WHERE n_chars > 0
+        |  AND substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < thr""".stripMargin,
+    "q89_drift" ->
+      """WITH cb AS (SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) bucket,
+        |    COUNT(*) cnt_before FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |ca AS (SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) bucket,
+        |    COUNT(*) cnt_after FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+        |j AS (SELECT COALESCE(cb.bucket, ca.bucket) bucket,
+        |    COALESCE(cnt_before, 0) cnt_before, COALESCE(cnt_after, 0) cnt_after
+        |  FROM cb FULL OUTER JOIN ca ON cb.bucket = ca.bucket),
+        |k AS (SELECT bucket, cnt_before, cnt_after,
+        |    SUM(cnt_before) OVER () tb, SUM(cnt_after) OVER () ta FROM j),
+        |m AS (SELECT bucket, cnt_before, cnt_after, tb, ta,
+        |    ABS(cnt_before * ta - cnt_after * tb) drift_num FROM k)
+        |SELECT bucket, cnt_before, cnt_after, CAST(drift_num AS BIGINT) drift_num,
+        |  CAST(SUM(drift_num) OVER () AS DOUBLE)
+        |    / (CAST(2 AS DOUBLE) * tb * ta) tvd
+        |FROM m""".stripMargin,
+    "q68_decontaminate" -> decontaminateOracleSql,
+    // bloom prefilter provably changes nothing: same oracle as q68
+    "q91_decontaminate_bloom" -> decontaminateOracleSql,
     "q69_repetition" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]

@@ -67,13 +67,20 @@ object Curate {
     * non-positive weight are dropped (rate 0). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      targetRows: Double, salt: String = "graft"): DataFrame = {
-    val sw = df.agg(sum(col(weightCol)).cast("double").as("_sw"))
+    // Σw over the SAMPLED population only: rows with NULL/non-positive
+    // weight get rate 0 below, so including them in the denominator would
+    // skew every kept row's pᵢ (negative weights would inflate it past
+    // target). Internal column name is chosen to miss the caller's schema.
+    val swCol = Iterator.from(0).map(i => s"_graft_sw$i")
+      .find(c => !df.columns.contains(c)).get
+    val sw = df.agg(
+      sum(when(col(weightCol) > 0, col(weightCol))).cast("double").as(swCol))
     val rate = least(lit(1.0),
-      col(weightCol).cast("double") * targetRows / col("_sw"))
+      col(weightCol).cast("double") * targetRows / col(swCol))
     df.crossJoin(broadcast(sw))
       .where(col(weightCol) > 0 &&
         md5Prefix(col(idCol), salt) < hashSampleThresholdCol(rate))
-      .drop("_sw")
+      .drop(swCol)
   }
 
   /** Stratified deterministic sampling: a different rate per stratum value

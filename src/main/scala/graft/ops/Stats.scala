@@ -96,7 +96,13 @@ object Stats {
       .sortWithinPartitions("x").persist()
     try {
       val perPart = ranged.rdd
-        .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size.toLong)))
+        .mapPartitionsWithIndex { (pid, it) =>
+          // Long accumulator, not Iterator.size: size returns Int and would
+          // silently wrap past 2^31 rows in one range partition.
+          var c = 0L
+          while (it.hasNext) { it.next(); c += 1L }
+          Iterator.single((pid, c))
+        }
         .collect().sortBy(_._1).map(_._2)
       val n = perPart.sum
       if (n == 0) return ps.map(_ => Double.NaN).toArray

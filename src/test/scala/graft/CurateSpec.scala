@@ -167,4 +167,72 @@ class CurateSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(1L))
   }
+
+  test("weightedSample: expected count ~ target, heavy rows preferred, deterministic") {
+    // 10k rows, weight = id % 100 (so weights 0..99; the 100 zero-weight
+    // rows per block must never appear)
+    val df = spark.range(0, 10000)
+      .select($"id".as("doc_id"), ($"id" % 100).as("w"))
+    val s = Curate.weightedSample(df, "doc_id", "w", targetRows = 1000.0)
+    val n = s.count()
+    // Poisson with E=1000: +/- 5 sigma ~ 160
+    assert(n > 800 && n < 1200, s"expected ~1000 kept, got $n")
+    assert(s.where($"w" <= 0).isEmpty, "non-positive weights must be dropped")
+    // heavy rows kept at ~ their weight ratio: w>=90 band vs w in [10,20)
+    val heavy = s.where($"w" >= 90).count().toDouble / 1000
+    val light = s.where($"w" >= 10 && $"w" < 20).count().toDouble / 1000
+    assert(heavy > 3 * light, s"heavy band must dominate: heavy=$heavy light=$light")
+    // reproducible across partitionings (md5 coin, not rand())
+    val s2 = Curate.weightedSample(df.repartition(7), "doc_id", "w", 1000.0)
+    assert(s.select("doc_id").except(s2.select("doc_id")).isEmpty)
+    assert(s2.select("doc_id").except(s.select("doc_id")).isEmpty)
+  }
+
+  test("weightedSample: negative weights excluded from the denominator") {
+    // planted: 1000 positive-weight rows (w=10) + 1000 rows of w=-10.
+    // The old bug summed ALL weights (sigma_w = 0 here -> rate blows up /
+    // NaN); correct sigma_w = 10000 -> E[kept] = target exactly
+    val df = spark.range(0, 2000)
+      .select($"id".as("doc_id"),
+        when($"id" < 1000, 10.0).otherwise(-10.0).as("w"))
+    val s = Curate.weightedSample(df, "doc_id", "w", targetRows = 500.0)
+    val n = s.count()
+    // each positive row gets rate 0.5 exactly; 5-sigma band around 500
+    assert(n > 400 && n < 600, s"expected ~500, got $n")
+    assert(s.where($"doc_id" >= 1000).isEmpty, "negative-weight rows must not appear")
+  }
+
+  test("weightedSample: internal sum column dodges caller's schema") {
+    val df = spark.range(0, 100)
+      .select($"id".as("doc_id"), lit(5L).as("w"),
+        lit("x").as("_sw"), lit("y").as("_graft_sw0"))
+    val s = Curate.weightedSample(df, "doc_id", "w", targetRows = 50.0)
+    // caller columns survive untouched; count is ~50 (uniform weights)
+    assert(s.columns.toSeq == Seq("doc_id", "w", "_sw", "_graft_sw0"))
+    val n = s.count()
+    assert(n > 25 && n < 75, s"got $n")
+  }
+
+  test("decontaminateBloom == decontaminate, incl. tiny bloom (FPs verified away)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where($"doc_id" < 400)
+    val bench = docs.where($"doc_id" >= 400)
+    val exact = Curate.decontaminate(corpus, bench, n = 5)
+    // expectedItems far below the true shingle count -> high fp rate ->
+    // the exact verification join must still kill every false positive
+    for (items <- Seq(1L << 22, 64L)) {
+      val bloom = Curate.decontaminateBloom(corpus, bench, n = 5,
+        expectedItems = items)
+      assert(bloom.except(exact).isEmpty && exact.except(bloom).isEmpty,
+        s"bloom path (expectedItems=$items) must equal the exact path")
+    }
+  }
+
+  test("decontaminateBloom: empty benchmark -> zero shared, nothing contaminated") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val bench = corpus.where($"doc_id" < 0)
+    val got = Curate.decontaminateBloom(corpus, bench, n = 5)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0L, false)), got.mkString(","))
+  }
 }

@@ -59,6 +59,26 @@ class QualitySpec extends SparkTestBase {
       "q60 must fuse the three orders checks into one scan (3 tables, 3 scans)")
   }
 
+  test("distributionDrift: TVD exact on known distributions") {
+    import org.apache.spark.sql.functions._
+    def mk(xs: Seq[Int]) = xs.toDF("v")
+    val bucket = (df: org.apache.spark.sql.DataFrame) => col("v")
+    // before: 4x bucket0 + 6x bucket1; after: 5x each -> TVD = 0.1
+    val d1 = Quality.distributionDrift(
+      mk(Seq.fill(4)(0) ++ Seq.fill(6)(1)), mk(Seq.fill(5)(0) ++ Seq.fill(5)(1)), bucket)
+    val rows = d1.orderBy("bucket")
+      .select("bucket", "cnt_before", "cnt_after", "drift_num", "tvd")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(rows.toSeq == Seq((0, 4L, 5L, 10L, 0.1), (1, 6L, 5L, 10L, 0.1)), rows.mkString(","))
+    // identical distributions -> TVD 0
+    val same = Quality.distributionDrift(mk(Seq(0, 1, 1)), mk(Seq(0, 1, 1)), bucket)
+    assert(same.select("tvd").as[Double].collect().forall(_ == 0.0))
+    // disjoint supports -> TVD 1, absent buckets zero-filled
+    val dis = Quality.distributionDrift(mk(Seq(0, 0)), mk(Seq(1, 1, 1)), bucket)
+    val got = dis.orderBy("bucket").as[(Int, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((0, 2L, 0L, 6L, 1.0), (1, 0L, 3L, 6L, 1.0)), got.mkString(","))
+  }
+
   test("snapshotDiff: added/removed/changed, unchanged rows absent") {
     val before = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0)).toDF("k", "t", "v")
     val after = Seq((2L, "y", 2.0), (3L, "z", 9.0), (4L, "w", 4.0)).toDF("k", "t", "v")
