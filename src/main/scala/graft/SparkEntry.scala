@@ -458,6 +458,25 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
     }),
+    // count-min sketch frequency certification: exact top-10 suppkeys +
+    // order-independent sketch bounds as booleans (same certification
+    // discipline as q43/q45/q66 — the raw counters are seed-specific,
+    // the bounds are not)
+    "q90_count_min" -> ((s, d) =>
+      CountMin.certifiedCounts(Tables.lineitem(s, d), "l_suppkey", k = 10)),
+    // rolling ingest-volume spike monitor: planted 4x day (one date's
+    // rows replicated via explode, ONE scan — not a 4-way self-union)
+    // must fire; integer-only flag
+    "q92_rolling_spikes" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-04-01"))
+        .select(col("o_orderdate"),
+          explode(sequence(lit(1),
+            when(col("o_orderdate") === lit("1995-02-15"), lit(4))
+              .otherwise(lit(1)))).as("_rep"))
+      Quality.rollingSpikes(o, "o_orderdate")
+    }),
     // q68's decontamination through the bloom prefilter (the benchmark-
     // too-big-to-broadcast scale path) — false negatives are impossible,
     // so the output is bit-identical to q68 and shares its oracle form
@@ -1196,6 +1215,21 @@ object SparkEntry {
     "q68_decontaminate" -> decontaminateOracleSql,
     // bloom prefilter provably changes nothing: same oracle as q68
     "q91_decontaminate_bloom" -> decontaminateOracleSql,
+    "q90_count_min" ->
+      """SELECT l_suppkey "key", COUNT(*) exact_cnt, TRUE lb_ok, TRUE ub_ok
+        |FROM lineitem GROUP BY 1
+        |ORDER BY exact_cnt DESC, "key" ASC LIMIT 10""".stripMargin,
+    "q92_rolling_spikes" ->
+      """WITH o AS (SELECT o_orderdate FROM orders
+        |    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'),
+        |u AS (SELECT o_orderdate, unnest(generate_series(1,
+        |    CASE WHEN o_orderdate = DATE '1995-02-15' THEN 4 ELSE 1 END)) _rep FROM o),
+        |base AS (SELECT o_orderdate "day", COUNT(*) cnt FROM u GROUP BY 1),
+        |w AS (SELECT "day", cnt,
+        |    SUM(cnt) OVER (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) sum_w,
+        |    COUNT(*) OVER (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) n_w
+        |  FROM base)
+        |SELECT "day", cnt, sum_w, n_w, cnt * n_w > 2 * sum_w spike FROM w""".stripMargin,
     "q69_repetition" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]

@@ -94,6 +94,30 @@ object Quality {
       .select(col("_k").as(keyCol), col("change"))
   }
 
+  /** Rolling spike detection over an event-per-row table: flag days whose
+    * volume exceeds `factor`× the trailing `window`-day average — the
+    * monitor a pipeline runs on ingest volume before trusting a crawl cut
+    * (a 4× day usually means a duplicated feed, not 4× more internet).
+    *
+    * Shape: aggregate FIRST (per-day counts — the only shuffle over data,
+    * with map-side combine), then a ROWS-frame window over the tiny daily
+    * series. The global orderBy window funnels through one partition by
+    * construction, but only #days rows ever reach it — at 100 TB that is
+    * still a few thousand rows. The flag compares integers only
+    * (cnt·n_w > factor·sum_w  ⇔  cnt > factor·avg_w), so the output is
+    * bit-identical in any engine; no float average is ever formed. */
+  def rollingSpikes(df: DataFrame, dayCol: String, factor: Int = 2,
+                    window: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(factor > 0 && window > 0, "factor and window must be positive")
+    val w = Window.orderBy(col("day")).rowsBetween(-(window - 1), 0)
+    df.groupBy(col(dayCol).as("day")).agg(count(lit(1)).as("cnt"))
+      .select(col("day"), col("cnt"),
+        sum(col("cnt")).over(w).as("sum_w"),
+        count(lit(1)).over(w).as("n_w"))
+      .withColumn("spike", col("cnt") * col("n_w") > lit(factor) * col("sum_w"))
+  }
+
   /** Distribution drift between two snapshots of a numeric column — the
     * check a training pipeline runs between crawl cuts before mixing them
     * ("did the length/price/score distribution move?"). Each side is

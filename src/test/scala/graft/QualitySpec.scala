@@ -59,6 +59,21 @@ class QualitySpec extends SparkTestBase {
       "q60 must fuse the three orders checks into one scan (3 tables, 3 scans)")
   }
 
+  test("rollingSpikes: planted 4x day fires, flat series never does") {
+    import org.apache.spark.sql.functions._
+    // 20 days x 10 events, day 15 gets 40 events
+    val flat = spark.range(0, 200)
+      .select(date_add(lit("2024-01-01").cast("date"), ($"id" % 20).cast("int")).as("d"))
+    val spike = spark.range(0, 30)
+      .select(date_add(lit("2024-01-01").cast("date"), lit(14)).as("d"))
+    val got = Quality.rollingSpikes(flat.union(spike), "d")
+      .select("day", "spike").as[(java.sql.Date, Boolean)].collect().toMap
+    assert(got(java.sql.Date.valueOf("2024-01-15")), "planted 4x day must flag")
+    assert(got.count(_._2) == 1, s"only the planted day flags: $got")
+    val calm = Quality.rollingSpikes(flat, "d").select("spike").as[Boolean].collect()
+    assert(calm.forall(!_), "flat series must never flag")
+  }
+
   test("distributionDrift: TVD exact on known distributions") {
     import org.apache.spark.sql.functions._
     def mk(xs: Seq[Int]) = xs.toDF("v")
