@@ -458,6 +458,18 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
     }),
+    // SemDeDup planted-twin certificate: every 10th vector gets an
+    // identical-embedding twin at vec_id+1e6; within-cluster cosine 1
+    // kills exactly the twins (identical vectors always co-cluster), so
+    // the survivors are precisely the original corpus — same planted-
+    // certificate discipline as q25/q30
+    "q93_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val twins = emb.where(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      Similarity.semDedup(emb.unionByName(twins), nlist = 16)
+        .select(col("vec_id"))
+    }),
     // count-min sketch frequency certification: exact top-10 suppkeys +
     // order-independent sketch bounds as booleans (same certification
     // discipline as q43/q45/q66 — the raw counters are seed-specific,
@@ -1219,6 +1231,9 @@ object SparkEntry {
       """SELECT l_suppkey "key", COUNT(*) exact_cnt, TRUE lb_ok, TRUE ub_ok
         |FROM lineitem GROUP BY 1
         |ORDER BY exact_cnt DESC, "key" ASC LIMIT 10""".stripMargin,
+    // the planted twins (and ONLY they) are dropped, so the survivor set
+    // is the original corpus verbatim
+    "q93_semdedup" -> "SELECT vec_id FROM embeddings",
     "q92_rolling_spikes" ->
       """WITH o AS (SELECT o_orderdate FROM orders
         |    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'),

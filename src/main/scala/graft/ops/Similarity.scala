@@ -111,6 +111,48 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), (floor(col("c") * 1000 + 0.5) / 1000.0).as("cos"))
   }
 
+  /** SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the same bounded-
+    * sample coarse quantizer IVF uses ([[fitCentroids]]), then compare
+    * pairs ONLY within a cluster and drop every vector that has a
+    * lower-id clustermate with cosine >= tau. The cluster pass turns the
+    * O(n²) all-pairs matrix into Σ|cluster|² — with k clusters of ~n/k
+    * that is n²/k, and k scales with corpus size at constant cluster
+    * width (SemDeDup ran 50k clusters over LAION-440M). Everything after
+    * training is two narrow projections + ONE equi-join on cluster_id:
+    * assignment is a codegen'd per-row expression (no shuffle), the join
+    * shuffles both sides by cluster once, and survivors come back via a
+    * half-join on id.
+    *
+    * Near-dup pairs that straddle a cluster boundary are MISSED — that is
+    * SemDeDup's documented recall trade-off (its published dedup keeps
+    * within-cluster pairs only), not an implementation shortcut; raise
+    * recall with more Lloyd iterations or run [[Dedup.embeddingDuplicates]]
+    * (LSH-bucketed) when cross-boundary recall matters more than cost.
+    *
+    * Skew: k-means clusters are data-sized, so a degenerate corpus (many
+    * identical vectors) can concentrate one cluster. `maxPairsPerCluster`
+    * fails loudly past the bound instead of silently running an n² stage —
+    * the same explicit-cap discipline as Dedup's LSH buckets. */
+  def semDedup(embeddings: DataFrame, nlist: Int = 16, tau: Double = 0.99,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               seed: Long = 42L,
+               maxPairsPerCluster: Long = 100000000L): DataFrame = {
+    val cents = fitCentroids(embeddings, nlist, vecCol, seed).map(_.toSeq).toSeq
+    val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cl", Exprs.nearestCentroids(col("v"), cents, 1).getItem(0))
+    val worst = v.groupBy(col("cl")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n") * (col("n") - 1)).cast("long")).head().getLong(0) / 2
+    require(worst <= maxPairsPerCluster,
+      s"semDedup: largest cluster implies $worst candidate pairs " +
+        s"(> $maxPairsPerCluster); raise nlist or pre-shard the corpus")
+    val dropped = v.as("l").join(v.as("r"),
+        col("l.cl") === col("r.cl") && col("l.id") < col("r.id"))
+      .where(cosine(col("l.v"), col("r.v")) >= tau)
+      .select(col("r.id").as(idCol)).distinct()
+    embeddings.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** `planes`-bit LSH bucket of a vector: bit p = sign(v . plane_p).
     * Deterministic pseudo-random hyperplanes derived per (plane, component)
     * from an integer mix — reproducible across sessions with zero data

@@ -99,6 +99,36 @@ class SimilarityAggSpec extends SparkTestBase {
     assert(byQ.values.forall(rs => rs.map(_.getAs[Int]("rank")).toList == (1 to rs.length).toList))
   }
 
+  test("semDedup: identical twins dropped, distinct vectors all survive") {
+    // 40 well-separated random-ish unit vectors + identical twins of the
+    // multiples of 4, twin ids offset by 1000
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (i, v.map(_ / n))
+    }
+    val twins = base.filter(_._1 % 4 == 0).map { case (i, v) => (i + 1000L, v) }
+    val df = vecs((base ++ twins): _*)
+    val survivors = Similarity.semDedup(df, nlist = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == base.map(_._1).toSet,
+      s"exactly the twins must be dropped, got $survivors")
+    // corpus with no near pairs at tau: nothing dropped
+    val clean = Similarity.semDedup(vecs(base: _*), nlist = 4).count()
+    assert(clean == 40L)
+  }
+
+  test("semDedup: degenerate one-cluster corpus trips the pair-count guard") {
+    // 200 copies of the same vector -> one cluster, 19900 pairs > cap
+    val one = Array(1f, 0f, 0f, 0f)
+    val df = vecs((0L until 200L).map(i => (i, one)): _*)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(df, nlist = 4, maxPairsPerCluster = 1000L)
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+  }
+
   test("slidingCount keeps only the trailing window relative to max ts") {
     val d = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
