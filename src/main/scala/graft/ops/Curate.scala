@@ -206,16 +206,28 @@ object Curate {
     * cheaper than an all-shingles shuffle. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                          maxSharedRatio: Double = 0.2,
-                         expectedItems: Long = 1L << 22): DataFrame = {
+                         expectedItems: Long = -1L): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val sh = (df: DataFrame) => df.select(col("doc_id"),
       explode(array_distinct(Dedup.shingles(col("text"), n))).as("s"))
-    val bench = sh(benchmark).select(col("s")).distinct()
+    // The deduplicated benchmark shingle set is read three times (sizing
+    // count, bloom build, exact verification join) — materialize it ONCE
+    // via eager localCheckpoint (GC-managed blocks, no CacheManager leak;
+    // same discipline as Dedup.materializeAndRelease).
+    val bench = sh(benchmark).select(col("s")).distinct().localCheckpoint(true)
+    // expectedItems <= 0 -> size the bloom from the benchmark itself. The
+    // sizing count reads the (small, checkpointed) bench side only; an
+    // over-provisioned fixed size is worse: every partial aggregation
+    // buffer is numBits wide, so a 4M-item bloom over a 200k-shingle
+    // benchmark pays 20x the merge traffic for nothing.
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(1024L, bench.count())
     val bloomBytes = bench
       .select(ColumnBridge.column(new BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col("s"))), expectedItems)
+        ColumnBridge.expression(xxhash64(col("s"))), items)
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
     val counts = corpus.select(col("doc_id"),
