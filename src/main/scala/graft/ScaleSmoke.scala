@@ -84,6 +84,40 @@ object ScaleSmoke {
     t0 = System.nanoTime()
     val image = ops.Cdc.latestImage(changes, Seq("k"), Seq("change_id")).count()
     println(f"cdcLatestImage(${n * 10L} changes, $n keys): ${(System.nanoTime()-t0)/1e9}%.1f s, $image live keys")
+    // decontamination exact vs bloom at the full corpus size: benchmark =
+    // every 20th doc's text (so real overlap exists via the planted dups);
+    // same output both paths, the bloom path is the one that still works
+    // when the bench shingle set outgrows a broadcast
+    val benchDocs = docs.where(pmod(col("doc_id"), lit(20)) === 1)
+      .select((col("doc_id") + n).as("doc_id"), col("text"))
+    t0 = System.nanoTime()
+    val exCont = ops.Curate.decontaminate(docs, benchDocs)
+      .where(col("contaminated")).count()
+    println(f"decontaminate($n docs vs ${n / 20}-doc bench): ${(System.nanoTime()-t0)/1e9}%.1f s, $exCont contaminated")
+    t0 = System.nanoTime()
+    val blCont = ops.Curate.decontaminateBloom(docs, benchDocs)
+      .where(col("contaminated")).count()
+    println(f"decontaminateBloom($n docs vs ${n / 20}-doc bench): ${(System.nanoTime()-t0)/1e9}%.1f s, $blCont contaminated")
+    assert(exCont == blCont, s"bloom path diverged: $exCont vs $blCont")
+    // SemDeDup at n synthetic 32-dim vectors, every 10th an identical twin
+    // of its predecessor; components are hash-uniform in [-0.5, 0.5] (a
+    // sin(id*k) formula phase-locks ids into near-parallel vectors);
+    // nlist scales with n to hold cluster width
+    val dim = 32
+    val comp = (id: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
+      (pmod(xxhash64(id, j), lit(100003)).cast("double") / 100003.0 - 0.5).cast("float")
+    val vecs = spark.range(n.toLong).select(col("id").as("vec_id"),
+      when(pmod(col("id"), lit(10)) === 0 && col("id") >= 10,
+        transform(sequence(lit(1), lit(dim)), j => comp(col("id") - 1, j)))
+      .otherwise(transform(sequence(lit(1), lit(dim)), j => comp(col("id"), j)))
+      .as("embedding"))
+      .repartition(32).persist()
+    vecs.count()
+    val nlist = math.max(16, n / 1000)
+    t0 = System.nanoTime()
+    val kept = ops.Similarity.semDedup(vecs, nlist = nlist).count()
+    println(f"semDedup($n vecs, nlist=$nlist): ${(System.nanoTime()-t0)/1e9}%.1f s, $kept survivors, ${n - kept} dropped")
+    vecs.unpersist(false)
     spark.stop()
   }
 }
