@@ -458,6 +458,16 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
     }),
+    // deterministic epoch shuffle + dense global index (distributed
+    // zipWithIndex): the oracle recomputes the SAME permutation as a
+    // global row_number over the md5 keys — proving the range-partition +
+    // offset-sum numbering is exactly the serialized ordering, without
+    // the engine ever forming a single-partition sort
+    "q94_epoch_shuffle" -> ((s, d) =>
+      Curate.epochShuffle(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", epoch = 3)
+        .select(col("doc_id"), col("lang"), col("pos"))),
     // SemDeDup planted-twin certificate: every 10th vector gets an
     // identical-embedding twin at vec_id+1e6; within-cluster cosine 1
     // kills exactly the twins (identical vectors always co-cluster), so
@@ -1234,6 +1244,11 @@ object SparkEntry {
     // the planted twins (and ONLY they) are dropped, so the survivor set
     // is the original corpus verbatim
     "q93_semdedup" -> "SELECT vec_id FROM embeddings",
+    "q94_epoch_shuffle" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '_e3')) - 1 AS BIGINT) pos
+        |FROM documents""".stripMargin,
     "q92_rolling_spikes" ->
       """WITH o AS (SELECT o_orderdate FROM orders
         |    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'),

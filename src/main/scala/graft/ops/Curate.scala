@@ -246,6 +246,49 @@ object Curate {
         col("n_shared") * 100 > lit((maxSharedRatio * 100).round) * col("n_shingles"))
   }
 
+  /** Deterministic epoch shuffle with a DENSE global index — the "shuffle
+    * the corpus for epoch e, reproducibly, and number the rows 0..n-1"
+    * step a training run needs before packing/sharding. The shuffle key
+    * is md5(id ‖ epoch): reproducible across runs, retries, engines, and
+    * partition counts (rand() is none of these), and each epoch is an
+    * independent permutation.
+    *
+    * The dense index is the distributed-zipWithIndex shape, because both
+    * built-in routes fail at scale: monotonically_increasing_id is
+    * NON-contiguous (positions must be dense for sharding arithmetic),
+    * and row_number() over a global ORDER BY funnels the corpus through
+    * ONE partition. Instead: range-repartition by key, sort within
+    * partitions, count rows per partition (`parts` longs to the driver —
+    * bounded, never data), prefix-sum the offsets, and assign positions
+    * partition-locally. Two passes over the shuffled data, one shuffle
+    * total; the materialization between the counting and numbering pass
+    * is an eager localCheckpoint (GC-managed, same discipline as
+    * Dedup.materializeAndRelease). */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   parts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val keyed = df
+      .withColumn("_skey", md5(concat(col(idCol).cast("string"), lit(s"_e$epoch"))))
+      .repartitionByRange(parts, col("_skey"))
+      .sortWithinPartitions("_skey")
+      .localCheckpoint(true)
+    val counts = keyed.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator.single((pid, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val out = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = offsets.value(pid)
+      it.map { r => val row = Row.fromSeq(r.toSeq :+ pos); pos += 1L; row }
+    }
+    spark.createDataFrame(out, keyed.schema.add("pos", LongType, nullable = false))
+  }
+
   /** Mixture balancing: downsample over-represented sources toward a
     * UNIFORM target mixture, with the per-source rates derived IN-PLAN
     * from the corpus's own counts — rate_s = min(1, (N/k)/cnt_s) — and

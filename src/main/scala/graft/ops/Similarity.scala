@@ -139,8 +139,12 @@ object Similarity {
                seed: Long = 42L,
                maxPairsPerCluster: Long = 100000000L): DataFrame = {
     val cents = fitCentroids(embeddings, nlist, vecCol, seed).map(_.toSeq).toSeq
+    // Assignment (nearestCentroids per row) feeds the guard and BOTH join
+    // sides — materialize it once (eager localCheckpoint, GC-managed)
+    // instead of scanning + re-assigning the corpus three times.
     val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cl", Exprs.nearestCentroids(col("v"), cents, 1).getItem(0))
+      .localCheckpoint(true)
     val worst = v.groupBy(col("cl")).agg(count(lit(1)).as("n"))
       .agg(max(col("n") * (col("n") - 1)).cast("long")).head().getLong(0) / 2
     require(worst <= maxPairsPerCluster,

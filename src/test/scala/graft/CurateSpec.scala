@@ -213,6 +213,25 @@ class CurateSpec extends SparkTestBase {
     assert(n > 25 && n < 75, s"got $n")
   }
 
+  test("epochShuffle: dense 0..n-1 positions matching the md5 permutation; epochs differ") {
+    val df = spark.range(0, 5000).select($"id".as("doc_id"), ($"id" % 7).as("tag"))
+    val got = Curate.epochShuffle(df, "doc_id", epoch = 1, parts = 16)
+    val rows = got.select("doc_id", "_skey", "pos")
+      .as[(Long, String, Long)].collect()
+    // dense, 0-based, no gaps
+    assert(rows.map(_._3).sorted.toSeq == (0L until 5000L).toSeq)
+    // position order IS md5-key order (the global permutation)
+    assert(rows.sortBy(_._3).map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    // reproducible under a different input partitioning
+    val again = Curate.epochShuffle(df.repartition(3), "doc_id", 1, parts = 16)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(rows.forall(r => again(r._1) == r._3), "permutation must be partitioning-invariant")
+    // a different epoch is a different permutation
+    val e2 = Curate.epochShuffle(df, "doc_id", epoch = 2, parts = 16)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(rows.count(r => e2(r._1) == r._3) < 50, "epochs must permute independently")
+  }
+
   test("decontaminateBloom == decontaminate, incl. tiny bloom (FPs verified away)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.where($"doc_id" < 400)

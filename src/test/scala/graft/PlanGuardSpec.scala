@@ -58,6 +58,18 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("round-6 additions hold their plan budgets") {
+    // q88: one scalar-aggregate exchange for the weight sum; the sample
+    // predicate itself is scan-side (broadcast join back)
+    assert(shuffles(q("q88_weighted_sample")) <= 1, "q88 grew a shuffle")
+    assert(broadcasts(q("q88_weighted_sample")) >= 1, "q88 must broadcast the sum")
+    // q89: two per-side bucket aggs + the tiny global window; the join of
+    // the <=#buckets count frames must not add a fourth exchange
+    assert(shuffles(q("q89_drift")) <= 3, "q89 grew beyond agg+agg+window")
+    // q92: per-day aggregate then the #days-row window
+    assert(shuffles(q("q92_rolling_spikes")) <= 2, "q92 grew beyond agg+window")
+  }
+
   test("broadcast-dim enrichment never shuffles the fact side") {
     val df = q("q02_enrich")
     assert(shuffles(df) == 0, "q02 must not shuffle")
