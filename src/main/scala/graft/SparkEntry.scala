@@ -458,6 +458,21 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
     }),
+    // SCD2 history table from the same CDC change log q51 collapses to a
+    // latest image: one version row per non-delete change, valid over
+    // [valid_from, next change) in the change-id order — deletes close
+    // the last open version
+    "q95_scd2" -> ((s, d) => {
+      val changes = Tables.events(s, d).select(
+        (col("event_id") % 997).as("k"),
+        col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 11 === 0, "d")
+          .when(col("event_id") % 3 === 0, "u")
+          .otherwise("c").as("op"))
+      Cdc.scd2(changes, Seq("k"), "event_id")
+        .select(col("k"), col("event_id"), col("user_id"), col("event_type"),
+          col("op"), col("valid_from"), col("valid_to"), col("is_current"))
+    }),
     // deterministic epoch shuffle + dense global index (distributed
     // zipWithIndex): the oracle recomputes the SAME permutation as a
     // global row_number over the md5 keys — proving the range-partition +
@@ -1249,6 +1264,17 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '_e3')) - 1 AS BIGINT) pos
         |FROM documents""".stripMargin,
+    "q95_scd2" ->
+      """WITH c AS (SELECT event_id % 997 k, event_id, user_id, event_type,
+        |    CASE WHEN event_id % 11 = 0 THEN 'd'
+        |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END op
+        |  FROM events),
+        |v AS (SELECT *, event_id valid_from,
+        |    lead(event_id) OVER (PARTITION BY k ORDER BY event_id) valid_to
+        |  FROM c)
+        |SELECT k, event_id, user_id, event_type, op, valid_from, valid_to,
+        |  valid_to IS NULL is_current
+        |FROM v WHERE op <> 'd'""".stripMargin,
     "q92_rolling_spikes" ->
       """WITH o AS (SELECT o_orderdate FROM orders
         |    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'),

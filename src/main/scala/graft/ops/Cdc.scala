@@ -50,4 +50,30 @@ object Cdc {
                   deleteOp: String = "d"): DataFrame =
     latestVersions(changes, keyCols, versionCols)
       .where(col(opCol) =!= deleteOp)
+
+  /** Type-2 slowly-changing dimension from the same change log: every
+    * non-delete change becomes a VERSION row valid from its own sequence
+    * number until the key's next change (any op, deletes close the last
+    * version); `valid_to` NULL + `is_current` mark the open version. This
+    * is the history table a warehouse keeps NEXT to [[latestImage]]'s
+    * current view — "what did this dimension row look like when the fact
+    * happened" joins against [valid_from, valid_to).
+    *
+    * Scale shape is identical to latestImage: ONE shuffle keyed on the
+    * entity key, and the window sorts versions-per-key (bounded by churn,
+    * never table size). The validity interval is over the supplied total
+    * order (version/sequence column), so the output is engine-exact —
+    * no timestamps are compared, only the caller's ordering column.
+    * @param seqCol  a per-key total order (CDC sequence / LSN / change id;
+    *                ties would make history ambiguous, so supply a
+    *                tie-broken column). */
+  def scd2(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+           opCol: String = "op", deleteOp: String = "d"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .where(col(opCol) =!= deleteOp)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

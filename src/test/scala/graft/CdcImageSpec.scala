@@ -8,6 +8,33 @@ import graft.streaming.CdcImage
 class CdcImageSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("scd2: versions chain per key, deletes close the last version, as-of == image") {
+    import org.apache.spark.sql.functions._
+    val changes = Seq(
+      (1L, 10L, "c", "a1"), (1L, 20L, "u", "a2"), (1L, 30L, "u", "a3"),
+      (2L, 11L, "c", "b1"), (2L, 25L, "d", ""),
+      (3L, 40L, "c", "c1")
+    ).toDF("k", "seq", "op", "payload")
+    val h = Cdc.scd2(changes, Seq("k"), "seq")
+      .select($"k", $"seq", $"payload", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(h == Set(
+      (1L, 10L, "a1", 10L, Some(20L), false),
+      (1L, 20L, "a2", 20L, Some(30L), false),
+      (1L, 30L, "a3", 30L, None, true),
+      (2L, 11L, "b1", 11L, Some(25L), false), // delete closes it, no open row
+      (3L, 40L, "c1", 40L, None, true)), h.toString)
+    // as-of reconstruction at any sequence S == latestImage of changes <= S
+    for (s <- Seq(15L, 26L, 40L)) {
+      val asOf = Cdc.scd2(changes, Seq("k"), "seq")
+        .where($"valid_from" <= s && (col("valid_to").isNull || $"valid_to" > s))
+        .select("k", "payload").as[(Long, String)].collect().toSet
+      val img = Cdc.latestImage(changes.where($"seq" <= s), Seq("k"), Seq("seq"))
+        .select("k", "payload").as[(Long, String)].collect().toSet
+      assert(asOf == img, s"as-of $s: $asOf != $img")
+    }
+  }
+
   test("streamed image == batch latestImage over the full change log") {
     implicit val ctx = spark.sqlContext
     val imageDir = Files.createTempDirectory("graft-img").toString + "/image"
