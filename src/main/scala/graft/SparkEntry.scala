@@ -458,6 +458,15 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
     }),
+    // REAL byte-level media decode: PPM/WAV payloads synthesized from a
+    // closed-form formula, parsed back by the dependency-free codecs
+    // (magic-byte dispatch, garbage rows emitted undecoded) — the oracle
+    // recomputes the decoded integer sums from the formula, so the codec
+    // round trip gets the same cross-engine hash gate as relational ops
+    "q96_codec_real" -> ((s, d) =>
+      Multimodal.decodeMedia(s,
+        Multimodal.syntheticRealAssets(
+          Tables.documents(s, d).select(col("doc_id"))))),
     // SCD2 history table from the same CDC change log q51 collapses to a
     // latest image: one version row per non-delete change, valid over
     // [valid_from, next change) in the change-id order — deletes close
@@ -1264,6 +1273,32 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '_e3')) - 1 AS BIGINT) pos
         |FROM documents""".stripMargin,
+    "q96_codec_real" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |img AS (SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) w,
+        |    CAST((doc_id*3) % 16 + 8 AS INT) h
+        |  FROM ids WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0),
+        |ix AS (SELECT doc_id, w, h, unnest(range(w)) x FROM img),
+        |icell AS (SELECT doc_id, w, h, x, unnest(range(h)) y FROM ix),
+        |isum AS (SELECT doc_id, w, h,
+        |    CAST(SUM((x*7 + y*13 + doc_id) % 256) AS BIGINT) sr,
+        |    CAST(SUM((x*3 + y*5 + 2*doc_id) % 256) AS BIGINT) sg,
+        |    CAST(SUM((x + y + 3*doc_id) % 256) AS BIGINT) sb
+        |  FROM icell GROUP BY 1,2,3),
+        |aud AS (SELECT doc_id, CAST(doc_id % 1000 + 100 AS INT) n FROM ids
+        |  WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0),
+        |acell AS (SELECT doc_id, n, unnest(range(n)) i FROM aud),
+        |asum AS (SELECT doc_id, n,
+        |    CAST(SUM(ABS((i*37 + doc_id*11) % 65536 - 32768)) AS BIGINT) sa
+        |  FROM acell GROUP BY 1,2)
+        |SELECT doc_id asset_id, 'image' media_type, w width, h height,
+        |  sr sum_r, sg sum_g, sb sum_b, CAST(NULL AS INT) sample_rate,
+        |  CAST(NULL AS INT) n_samples, CAST(NULL AS BIGINT) sum_abs FROM isum
+        |UNION ALL
+        |SELECT doc_id, 'audio', NULL, NULL, NULL, NULL, NULL, 16000, n, sa FROM asum
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM ids WHERE doc_id % 97 = 0""".stripMargin,
     "q95_scd2" ->
       """WITH c AS (SELECT event_id % 997 k, event_id, user_id, event_type,
         |    CASE WHEN event_id % 11 = 0 THEN 'd'

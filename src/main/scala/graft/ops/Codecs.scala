@@ -1,0 +1,151 @@
+package graft.ops
+
+/** Real, dependency-free media codecs — pure byte parsing on the JVM, no
+  * ImageIO/ffmpeg/JNI. This is the "swap the stub for a real codec" step
+  * Multimodal's Scaladoc promises, done for the two formats simple enough
+  * to decode with nothing but the bytes:
+  *
+  *   - PPM (P6): the classic uncompressed RGB raster — ASCII header
+  *     `P6 <width> <height> <maxval>` then width*height*3 raw bytes.
+  *   - WAV (RIFF/PCM16 mono): `RIFF….WAVE`, an `fmt ` chunk carrying
+  *     sample rate/channels/bit depth, a `data` chunk of LE 16-bit PCM.
+  *
+  * Decode output is integer-exact (pixel-channel sums, |sample| sums), so
+  * a SQL oracle that recomputes the same sums from the generating formula
+  * hash-matches bit-for-bit — the decode path gets the SAME cross-engine
+  * gate as every relational operator (q96). JPEG/PNG/MP3/H.264 stay
+  * honestly out of scope: they need entropy-coding libraries this
+  * container does not have; the dispatch point ([[sniff]] +
+  * Multimodal.decodeMedia) is where a real deployment plugs them in.
+  */
+object Codecs {
+
+  /** Parsed P6 image: dimensions + integer-exact per-channel sums. */
+  final case class Ppm(width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  /** Parsed PCM16 mono WAV: rate + integer-exact sum of |sample|. */
+  final case class Wav(sampleRate: Int, nSamples: Int, sumAbs: Long)
+
+  /** Modality by magic bytes — the real prober's dispatch. */
+  def sniff(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("image")
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') Some("audio")
+    else None
+
+  // ---------------------------------------------------------------- PPM
+
+  def encodePpm(width: Int, height: Int,
+                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * height * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var o = header.length
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte
+        o += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Strict P6 parse: header tokens (whitespace-separated, `#` comments
+    * allowed per the spec), maxval must be 255, payload must hold exactly
+    * width*height*3 bytes. Returns None on anything malformed — a media
+    * table always contains some garbage and the decode stage must skip,
+    * not throw. */
+  def decodePpm(bytes: Array[Byte]): Option[Ppm] = {
+    var i = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val c = bytes(i)
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else go = false
+      }
+    }
+    def token(): Option[Int] = {
+      skipWs()
+      val start = i
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+      if (i == start || i - start > 9) None
+      else Some(new String(bytes, start, i - start, "US-ASCII").toInt)
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    i = 2
+    for {
+      w <- token()
+      h <- token()
+      maxval <- token()
+      if maxval == 255 && w > 0 && h > 0
+      // exactly ONE whitespace byte separates maxval from the raster
+      if i < bytes.length && { i += 1; bytes.length - i == w.toLong * h * 3 }
+    } yield {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var o = i
+      while (o < bytes.length) {
+        sr += bytes(o) & 0xff; sg += bytes(o + 1) & 0xff; sb += bytes(o + 2) & 0xff
+        o += 3
+      }
+      Ppm(w, h, sr, sg, sb)
+    }
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put(o: Int, s: String): Unit = { val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, out, o, b.length) }
+    def p32(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte; out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte }
+    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    put(0, "RIFF"); p32(4, 36 + dataLen); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16); p16(20, 1 /* PCM */); p16(22, 1 /* mono */)
+    p32(24, sampleRate); p32(28, sampleRate * 2); p16(32, 2); p16(34, 16)
+    put(36, "data"); p32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { p16(44 + i * 2, samples(i).toInt); i += 1 }
+    out
+  }
+
+  /** Chunk-walking RIFF parse (fmt may come with extensions, data need not
+    * be the first chunk): accepts PCM(1) mono 16-bit only, None otherwise. */
+  def decodeWav(bytes: Array[Byte]): Option[Wav] = {
+    if (sniff(bytes) != Some("audio") || bytes.length < 12) return None
+    var rate = -1; var ok = false
+    var dataOff = -1; var dataLen = -1
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val id = new String(bytes, o, 4, "US-ASCII")
+      val len = le32(bytes, o + 4)
+      if (len < 0 || o + 8 + len > bytes.length) return None
+      if (id == "fmt " && len >= 16) {
+        ok = le16(bytes, o + 8) == 1 && le16(bytes, o + 10) == 1 &&
+          le16(bytes, o + 22) == 16
+        rate = le32(bytes, o + 12)
+      } else if (id == "data") { dataOff = o + 8; dataLen = len }
+      o += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    if (!ok || rate <= 0 || dataOff < 0 || dataLen % 2 != 0) None
+    else {
+      val n = dataLen / 2
+      var s = 0L
+      var i = dataOff
+      val end = dataOff + dataLen
+      while (i < end) { s += math.abs(le16(bytes, i).toShort.toLong); i += 2 }
+      Some(Wav(rate, n, s))
+    }
+  }
+}

@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side architecture is the real thing — schema, partitioning,
   * batched mapPartitions shape (what a pandas_udf/mapInPandas does in
-  * PySpark, expressed natively in Scala) — while the codec itself is a
-  * clearly-marked DETERMINISTIC STUB: this container has no image/audio
-  * libraries, so `decodeFeatures` computes a byte-histogram "embedding"
-  * and `metadata` derives dimensions arithmetically from the byte length.
-  * Swapping the stub for a JNI/ffmpeg/ImageIO call changes one function
-  * and nothing about the distributed plan.
+  * PySpark, expressed natively in Scala). The codec layer is split:
+  * [[decodeMedia]] is a REAL byte-level decoder for the formats parseable
+  * without external libraries (PPM images, PCM16 WAV — see [[Codecs]]),
+  * with magic-byte dispatch and garbage tolerance, oracle-verified end to
+  * end (q96); `decodeFeatures`/`metadata` remain the clearly-marked
+  * DETERMINISTIC STUB standing in for entropy-coded formats
+  * (JPEG/PNG/MP3/H.264 need codec libraries this container lacks).
+  * Swapping in a JNI/ffmpeg/ImageIO call extends the same dispatch and
+  * changes nothing about the distributed plan.
   *
   * Scale notes: media bytes never shuffle — every transform here is a
   * narrow map over the scan (metadata/frames are pure projections; feature
@@ -114,6 +117,87 @@ object Multimodal {
             val total = math.max(bytes.length, 1).toDouble
             Row.fromSeq(id +: bytes.length +: hist.toSeq.map(_.toDouble / total))
           }
+        }
+      }(enc)
+  }
+
+  /** REAL decode over the media column — [[Codecs]] dispatch by magic
+    * bytes, PPM images and PCM16 WAV parsed byte-for-byte on executors
+    * (no external library), anything else emitted as an undecoded row
+    * (media tables always contain garbage; decode skips, never throws).
+    * Same batched-mapPartitions shape as the stubbed feature path, same
+    * narrow no-shuffle plan; the emitted channel/|sample| sums are
+    * integer-exact, which is what lets q96 hash-match a SQL oracle that
+    * recomputes them from the generating formula. */
+  def decodeMedia(spark: SparkSession, assets: DataFrame,
+                  batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", IntegerType, nullable = true),
+      StructField("sum_abs", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val undecoded = (id: Long) =>
+      Row(id, null, null, null, null, null, null, null, null, null)
+    assets.select(col("asset_id").cast("long"), col("media"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            Codecs.sniff(bytes) match {
+              case Some("image") => Codecs.decodePpm(bytes) match {
+                case Some(p) => Row(id, "image", p.width, p.height,
+                  p.sumR, p.sumG, p.sumB, null, null, null)
+                case None => undecoded(id)
+              }
+              case Some("audio") => Codecs.decodeWav(bytes) match {
+                case Some(w) => Row(id, "audio", null, null, null, null, null,
+                  w.sampleRate, w.nSamples, w.sumAbs)
+                case None => undecoded(id)
+              }
+              case _ => undecoded(id)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic REAL-format asset synthesis for q96 and the specs:
+    * even ids encode a PPM whose pixels follow a closed-form formula, odd
+    * ids a PCM16 WAV whose samples do, every 97th id is garbage bytes —
+    * so the DECODED sums are recomputable by any engine from the formula
+    * alone, giving the byte-level codec a DuckDB oracle. */
+  def syntheticRealAssets(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col("doc_id").cast("long"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes: Array[Byte] =
+            if (id % 97 == 0) s"GARBAGE-$id".getBytes("US-ASCII")
+            else if (id % 2 == 0)
+              Codecs.encodePpm((id % 24 + 8).toInt, ((id * 3) % 16 + 8).toInt,
+                (x, y) => (((x * 7 + y * 13 + id) % 256).toInt,
+                  ((x * 3 + y * 5 + 2 * id) % 256).toInt,
+                  ((x + y + 3 * id) % 256).toInt))
+            else {
+              val n = (id % 1000 + 100).toInt
+              val samples = Array.tabulate(n)(i =>
+                ((i.toLong * 37 + id * 11) % 65536 - 32768).toShort)
+              Codecs.encodeWav(16000, samples)
+            }
+          Row(id, bytes)
         }
       }(enc)
   }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Codecs
+
+class CodecsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("PPM round trip: hand-computed 2x2 image") {
+    // pixels: (0,0)=(1,2,3) (1,0)=(4,5,6) (0,1)=(7,8,9) (1,1)=(250,0,255)
+    val px = Map((0, 0) -> (1, 2, 3), (1, 0) -> (4, 5, 6),
+      (0, 1) -> (7, 8, 9), (1, 1) -> (250, 0, 255))
+    val bytes = Codecs.encodePpm(2, 2, (x, y) => px((x, y)))
+    val p = Codecs.decodePpm(bytes).get
+    assert(p == Codecs.Ppm(2, 2, 1 + 4 + 7 + 250, 2 + 5 + 8 + 0, 3 + 6 + 9 + 255))
+    assert(Codecs.sniff(bytes) == Some("image"))
+  }
+
+  test("PPM parser: comments allowed, malformed inputs rejected not thrown") {
+    // header comment per the netpbm spec
+    val commented = ("P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60))
+    assert(Codecs.decodePpm(commented) == Some(Codecs.Ppm(2, 1, 50, 70, 90)))
+    val good = Codecs.encodePpm(3, 2, (_, _) => (1, 1, 1))
+    assert(Codecs.decodePpm(good.dropRight(1)).isEmpty, "truncated raster")
+    assert(Codecs.decodePpm(good ++ Array[Byte](0)).isEmpty, "trailing bytes")
+    assert(Codecs.decodePpm("P6\n2 2\n65535\n".getBytes ++ new Array[Byte](24)).isEmpty,
+      "16-bit maxval unsupported")
+    assert(Codecs.decodePpm("P5\n1 1\n255\n0".getBytes).isEmpty, "P5 is not P6")
+    assert(Codecs.decodePpm(Array[Byte]()).isEmpty)
+  }
+
+  test("WAV round trip: signed samples, |sum| exact") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 1000, -999)
+    val bytes = Codecs.encodeWav(44100, samples)
+    val w = Codecs.decodeWav(bytes).get
+    assert(w == Codecs.Wav(44100, 7, 0L + 1 + 1 + 32767 + 32768 + 1000 + 999))
+    assert(Codecs.sniff(bytes) == Some("audio"))
+  }
+
+  test("WAV parser: chunk walking, non-PCM/stereo/odd-length rejected") {
+    val good = Codecs.encodeWav(16000, Array[Short](5, -5))
+    // corrupt the format tag (PCM=1 -> 2): reject
+    val nonPcm = good.clone(); nonPcm(20) = 2
+    assert(Codecs.decodeWav(nonPcm).isEmpty)
+    // stereo: reject
+    val stereo = good.clone(); stereo(22) = 2
+    assert(Codecs.decodeWav(stereo).isEmpty)
+    // truncated data chunk: reject
+    assert(Codecs.decodeWav(good.dropRight(1)).isEmpty)
+    assert(Codecs.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty, "no chunks")
+    assert(Codecs.sniff("GARBAGE".getBytes).isEmpty)
+  }
+
+  test("decodeMedia over synthetic assets: formula sums match, garbage undecoded") {
+    import graft.ops.Multimodal
+    val ids = spark.range(0, 300).select($"id".as("doc_id"))
+    val got = Multimodal.decodeMedia(spark, Multimodal.syntheticRealAssets(ids))
+    val rows = got.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 300)
+    // id 4: image 12x20, sum_r = sum over x<12,y<20 of (7x+13y+4)%256
+    val exp = (for (x <- 0 until 12; y <- 0 until 20) yield (7 * x + 13 * y + 4) % 256).sum
+    assert(rows(4L).getString(1) == "image" && rows(4L).getInt(2) == 12 &&
+      rows(4L).getInt(3) == 20 && rows(4L).getLong(4) == exp)
+    // id 5: audio, n = 105, sum_abs matches the formula
+    val expA = (0 until 105).map(i => math.abs((i * 37 + 55) % 65536 - 32768).toLong).sum
+    assert(rows(5L).getString(1) == "audio" && rows(5L).getInt(8) == 105 &&
+      rows(5L).getLong(9) == expA)
+    // ids 0 and 97, 194: garbage -> undecoded row
+    for (g <- Seq(0L, 97L, 194L)) assert(rows(g).isNullAt(1), s"id $g must be undecoded")
+  }
+}
