@@ -458,6 +458,18 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
     }),
+    // sample-trained BPE: merges learned locally on a bounded md5-ordered
+    // sample (the fitCentroids discipline — zero Spark jobs per round),
+    // applied corpus-wide with a broadcast rank table; the oracle gates
+    // the pre-token stats plus the BPE invariants (lossless reassembly,
+    // n_words <= n_tokens <= n_units) as booleans; exact counts are
+    // pinned by BpeSpec on hand-computed merges
+    "q97_bpe_train_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Bpe.applyMerges(docs, Bpe.trainMerges(docs, nMerges = 64))
+        .select(col("doc_id"), col("n_words"), col("n_units"),
+          col("lossless_ok"), col("bounded_ok"))
+    }),
     // REAL byte-level media decode: PPM/WAV payloads synthesized from a
     // closed-form formula, parsed back by the dependency-free codecs
     // (magic-byte dispatch, garbage rows emitted undecoded) — the oracle
@@ -1272,6 +1284,15 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |  CAST(row_number() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '_e3')) - 1 AS BIGINT) pos
+        |FROM documents""".stripMargin,
+    "q97_bpe_train_apply" ->
+      """SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) n_words,
+        |  CAST(LENGTH(array_to_string(
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'), ''))
+        |    AS BIGINT) n_units,
+        |  TRUE lossless_ok, TRUE bounded_ok
         |FROM documents""".stripMargin,
     "q96_codec_real" ->
       """WITH ids AS (SELECT doc_id FROM documents),
