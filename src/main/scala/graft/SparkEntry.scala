@@ -458,6 +458,19 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
     }),
+    // ordered funnel over the engagement stream: first click strictly
+    // after first view, first purchase strictly after that click — the
+    // drop-off question the reference's warehouse tables exist to answer
+    "q98_funnel" -> ((s, d) =>
+      Analytics.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
+    // weekly cohort retention: integer week indexes, two aggs over the
+    // deduplicated (user, week) frame
+    "q99_retention" -> ((s, d) =>
+      Analytics.retention(Tables.events(s, d))),
+    // deterministic 80/10/10 split: disjoint + exhaustive md5 bands
+    "q100_split3" -> ((s, d) =>
+      Curate.trainValTestSplit(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("split"))),
     // sample-trained BPE: merges learned locally on a bounded md5-ordered
     // sample (the fitCentroids discipline — zero Spark jobs per round),
     // applied corpus-wide with a broadcast rank table; the oracle gates
@@ -1285,6 +1298,32 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '_e3')) - 1 AS BIGINT) pos
         |FROM documents""".stripMargin,
+    "q98_funnel" ->
+      """WITH e AS (SELECT user_id u,
+        |    epoch_us(date_trunc('microseconds', ts)) t, event_type et FROM events),
+        |s1 AS (SELECT u, MIN(t) t FROM e WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.u, MIN(e.t) t FROM e JOIN s1 ON e.u = s1.u AND e.t > s1.t
+        |       WHERE et = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.u, MIN(e.t) t FROM e JOIN s2 ON e.u = s2.u AND e.t > s2.t
+        |       WHERE et = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) stage, 'view' event_type, COUNT(*) n_users FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3""".stripMargin,
+    "q99_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id u,
+        |    CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |      AS BIGINT) widx FROM events),
+        |f AS (SELECT u, MIN(widx) cohort FROM a GROUP BY 1)
+        |SELECT cohort, widx - cohort k, COUNT(*) n_users
+        |FROM a JOIN f USING (u) GROUP BY 1, 2""".stripMargin,
+    "q100_split3" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)
+         |         < '${ops.Curate.hashSampleThreshold(0.8)}' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)
+         |         < '${ops.Curate.hashSampleThreshold(0.8 + 0.1)}' THEN 'val'
+         |       ELSE 'test' END split
+         |FROM documents""".stripMargin,
     "q97_bpe_train_apply" ->
       """SELECT doc_id,
         |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))

@@ -83,6 +83,23 @@ object Curate {
       .drop(swCol)
   }
 
+  /** Deterministic three-way split: disjoint and exhaustive by
+    * construction — the md5 coin lands in exactly one of the
+    * [0, train), [train, train+val), [train+val, 1) bands, so every row
+    * gets one split label, reproducibly across runs/retries/engines (the
+    * property that keeps a re-run from leaking val rows into train).
+    * Pure scan-side CASE, no shuffle. */
+  def trainValTestSplit(df: DataFrame, idCol: String, trainFrac: Double = 0.8,
+                        valFrac: Double = 0.1, salt: String = "graft"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"invalid split fractions ($trainFrac, $valFrac)")
+    val h = md5Prefix(col(idCol), salt)
+    df.withColumn("split",
+      when(h < lit(hashSampleThreshold(trainFrac)), "train")
+        .when(h < lit(hashSampleThreshold(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
   /** Stratified deterministic sampling: a different rate per stratum value
     * (the `sampleBy` of a mixture-weighted training pipeline — e.g. keep
     * 100% of rare languages, 10% of English). Same md5 keying as
