@@ -30,6 +30,21 @@ class JdbcSpec extends SparkTestBase {
     assert(Jdbc.dim(spark, derbyUrl, "app.enriched", "", "", derbyDriver).count() == 6)
   }
 
+  test("writeBatchOnce: replayed batch ids are no-ops, new ids write") {
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // batch 0 writes
+    assert(JdbcSink.writeBatchOnce(rows, 0L, derbyUrl, "app.once", driver = derbyDriver))
+    // replay of batch 0 (checkpoint recovery) skips
+    assert(!JdbcSink.writeBatchOnce(rows, 0L, derbyUrl, "app.once", driver = derbyDriver))
+    assert(Jdbc.dim(spark, derbyUrl, "app.once", "", "", derbyDriver).count() == 2)
+    // batch 1 appends
+    assert(JdbcSink.writeBatchOnce(rows, 1L, derbyUrl, "app.once", driver = derbyDriver))
+    assert(Jdbc.dim(spark, derbyUrl, "app.once", "", "", derbyDriver).count() == 4)
+    // a different sink table tracks its own batch ids
+    assert(JdbcSink.writeBatchOnce(rows, 0L, derbyUrl, "app.once2", driver = derbyDriver))
+    assert(Jdbc.dim(spark, derbyUrl, "app.once2", "", "", derbyDriver).count() == 2)
+  }
+
   test("JdbcSink options: batched executor write shape") {
     val o = JdbcSink.options("jdbc:postgresql://pg:5432/app", "analytics.engagement_enriched",
       "app", "secret", "org.postgresql.Driver", batchSize = 5000,
