@@ -458,6 +458,24 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
     }),
+    // incremental SCD2: history built from the first half of the change
+    // log, then the second half MERGED in — must equal the full-log
+    // rebuild, so it runs against q95's oracle (same shared-oracle
+    // discipline as q91 vs q68)
+    "q101_scd2_merge" -> ((s, d) => {
+      val changes = Tables.events(s, d).select(
+        (col("event_id") % 997).as("k"),
+        col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 11 === 0, "d")
+          .when(col("event_id") % 3 === 0, "u")
+          .otherwise("c").as("op"))
+      val cut = 5000L // event_ids are 0..n; seq == event_id, log ordered by it
+      Cdc.scd2Merge(
+        Cdc.scd2(changes.where(col("event_id") < cut), Seq("k"), "event_id"),
+        changes.where(col("event_id") >= cut), Seq("k"), "event_id")
+        .select(col("k"), col("event_id"), col("user_id"), col("event_type"),
+          col("op"), col("valid_from"), col("valid_to"), col("is_current"))
+    }),
     // ordered funnel over the engagement stream: first click strictly
     // after first view, first purchase strictly after that click — the
     // drop-off question the reference's warehouse tables exist to answer
@@ -695,6 +713,21 @@ object SparkEntry {
       |        FROM corp c LEFT JOIN bench b ON c.s = b.s GROUP BY 1)
       |SELECT doc_id, n_shingles, n_shared,
       |  n_shared * 100 > 20 * n_shingles contaminated FROM agg""".stripMargin
+
+  /** Shared by q95 (full-log SCD2 rebuild) and q101 (incremental merge of
+    * the second half into the first half's history) — the merge contract
+    * is exact equivalence with the rebuild. */
+  private val scd2OracleSql: String =
+    """WITH c AS (SELECT event_id % 997 k, event_id, user_id, event_type,
+      |    CASE WHEN event_id % 11 = 0 THEN 'd'
+      |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END op
+      |  FROM events),
+      |v AS (SELECT *, event_id valid_from,
+      |    lead(event_id) OVER (PARTITION BY k ORDER BY event_id) valid_to
+      |  FROM c)
+      |SELECT k, event_id, user_id, event_type, op, valid_from, valid_to,
+      |  valid_to IS NULL is_current
+      |FROM v WHERE op <> 'd'""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_cdc_parse" ->
@@ -1359,17 +1392,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
         |FROM ids WHERE doc_id % 97 = 0""".stripMargin,
-    "q95_scd2" ->
-      """WITH c AS (SELECT event_id % 997 k, event_id, user_id, event_type,
-        |    CASE WHEN event_id % 11 = 0 THEN 'd'
-        |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END op
-        |  FROM events),
-        |v AS (SELECT *, event_id valid_from,
-        |    lead(event_id) OVER (PARTITION BY k ORDER BY event_id) valid_to
-        |  FROM c)
-        |SELECT k, event_id, user_id, event_type, op, valid_from, valid_to,
-        |  valid_to IS NULL is_current
-        |FROM v WHERE op <> 'd'""".stripMargin,
+    "q95_scd2" -> scd2OracleSql,
+    // incremental merge provably equals the full rebuild: same oracle
+    "q101_scd2_merge" -> scd2OracleSql,
     "q92_rolling_spikes" ->
       """WITH o AS (SELECT o_orderdate FROM orders
         |    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'),

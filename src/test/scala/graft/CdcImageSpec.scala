@@ -35,6 +35,23 @@ class CdcImageSpec extends SparkTestBase {
     }
   }
 
+  test("scd2Merge == full rebuild at every split point, incl. delete + rebirth") {
+    import org.apache.spark.sql.functions._
+    val changes = Seq(
+      (1L, 10L, "c", "a1"), (1L, 20L, "u", "a2"), (1L, 50L, "u", "a3"),
+      (2L, 11L, "c", "b1"), (2L, 25L, "d", ""), (2L, 60L, "c", "b2"), // rebirth
+      (3L, 40L, "c", "c1"), (3L, 70L, "d", "")
+    ).toDF("k", "seq", "op", "payload")
+    val full = Cdc.scd2(changes, Seq("k"), "seq")
+    for (cut <- Seq(15L, 30L, 45L, 65L)) {
+      val merged = Cdc.scd2Merge(
+        Cdc.scd2(changes.where($"seq" < cut), Seq("k"), "seq"),
+        changes.where($"seq" >= cut), Seq("k"), "seq")
+      assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
+        s"merge at cut=$cut diverged from the full rebuild")
+    }
+  }
+
   test("streamed image == batch latestImage over the full change log") {
     implicit val ctx = spark.sqlContext
     val imageDir = Files.createTempDirectory("graft-img").toString + "/image"
