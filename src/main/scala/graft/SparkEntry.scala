@@ -458,6 +458,13 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
     }),
+    // fixed-iteration PageRank in integer-exact micro-rank arithmetic
+    // (floored contributions + damping) over the user->content
+    // interaction graph — bit-identical ranks in any engine, oracled by
+    // the same three unrolled iterations in SQL
+    "q102_pagerank" -> ((s, d) =>
+      Graph.pageRankFixed(Tables.events(s, d).select(
+        col("user_id").as("src"), (col("event_id") % 97).as("dst")), iters = 3)),
     // incremental SCD2: history built from the first half of the change
     // log, then the second half MERGED in — must equal the full-log
     // rebuild, so it runs against q95's oracle (same shared-oracle
@@ -1331,6 +1338,25 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '_e3')) - 1 AS BIGINT) pos
         |FROM documents""".stripMargin,
+    "q102_pagerank" ->
+      """WITH e AS (SELECT user_id src, event_id % 97 dst FROM events),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src node FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src, COUNT(*) deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) rank_e6 FROM nodes),
+        |c1 AS (SELECT e.dst node, SUM(r0.rank_e6 // d.deg) in_c
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.in_c, 0)) // 100 AS BIGINT) rank_e6
+        |       FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst node, SUM(r1.rank_e6 // d.deg) in_c
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.in_c, 0)) // 100 AS BIGINT) rank_e6
+        |       FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst node, SUM(r2.rank_e6 // d.deg) in_c
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.in_c, 0)) // 100 AS BIGINT) rank_e6
+        |       FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, rank_e6 FROM r3""".stripMargin,
     "q98_funnel" ->
       """WITH e AS (SELECT user_id u,
         |    epoch_us(date_trunc('microseconds', ts)) t, event_type et FROM events),
