@@ -32,10 +32,16 @@ object Graph {
     * @return (node, rank_e6) — micro-rank, Σ initial mass = n * 1e6. */
   def pageRankFixed(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
-    val e = edges.select(col("src"), col("dst"))
+    // Loop-invariant frames materialize ONCE (eager localCheckpoint, the
+    // GraphX edge-caching discipline): without this every iteration
+    // re-scans the raw edge source for the join, the degree table, and
+    // the node set — 4-5 source scans per round at 100 TB.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     // base (damping) term: floor(0.15 * 1e6) per node
     val base = 150000L
     var rank = nodes.withColumn("rank_e6", lit(1000000L))
