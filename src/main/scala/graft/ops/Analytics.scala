@@ -18,17 +18,19 @@ object Analytics {
     * view does NOT count). Output: one row per stage with the surviving
     * user count.
     *
-    * Shape: one filtered scan per stage (event_type pushed to the scan),
-    * each joined against the previous stage's survivor set — which is at
-    * most #users rows and broadcasts. No global window, no per-user
-    * event-list materialization; at 100 TB the per-stage scans are the
-    * cost, and a pre-filtered `event_type IN stages` cache (or the
-    * dimension-pruned analytics table the reference keeps) feeds all
-    * stages from one pass. */
+    * Shape: the source is scanned ONCE — a single `event_type IN stages`
+    * filter (pushed to the scan) materializes the funnel-relevant slice
+    * via eager localCheckpoint, and every stage reads that slice. Each
+    * stage then joins against the previous stage's survivor set — at
+    * most #users rows, broadcast. No global window, no per-user
+    * event-list materialization. */
   def funnel(events: DataFrame, stages: Seq[String], userCol: String = "user_id",
              tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val e = events.select(col(userCol).as("u"), col(tsCol).as("t"), col(typeCol).as("et"))
+    val e = events
+      .where(col(typeCol).isInCollection(stages))
+      .select(col(userCol).as("u"), col(tsCol).as("t"), col(typeCol).as("et"))
+      .localCheckpoint(true)
     var reached: DataFrame = null
     val counts = stages.zipWithIndex.map { case (s, i) =>
       reached =
