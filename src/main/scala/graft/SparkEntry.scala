@@ -458,6 +458,24 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         _ => floor(col("l_extendedprice") / 10000.0).cast("long"))
     }),
+    // as-of dimension lookup against the SCD2 history: each probe fact
+    // retrieves the version valid at its sequence point — equi-join on
+    // the key, validity range as a filter, at most one match per probe
+    "q103_asof_dim" -> ((s, d) => {
+      val changes = Tables.events(s, d).select(
+        (col("event_id") % 997).as("k"),
+        col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 11 === 0, "d")
+          .when(col("event_id") % 3 === 0, "u")
+          .otherwise("c").as("op"))
+      val probes = Tables.events(s, d)
+        .where(col("event_id") % 5 === 2)
+        .select((col("event_id") % 997).as("k"), col("event_id").as("probe_seq"))
+      Cdc.asOfLookup(Cdc.scd2(changes, Seq("k"), "event_id"),
+        probes, Seq("k"), "probe_seq")
+        .select(col("k"), col("probe_seq"), col("event_id").as("version_id"),
+          col("user_id"), col("event_type"))
+    }),
     // fixed-iteration PageRank in integer-exact micro-rank arithmetic
     // (floored contributions + damping) over the user->content
     // interaction graph — bit-identical ranks in any engine, oracled by
@@ -1338,6 +1356,20 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '_e3')) - 1 AS BIGINT) pos
         |FROM documents""".stripMargin,
+    "q103_asof_dim" ->
+      """WITH c AS (SELECT event_id % 997 k, event_id, user_id, event_type,
+        |    CASE WHEN event_id % 11 = 0 THEN 'd'
+        |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END op
+        |  FROM events),
+        |v AS (SELECT *, event_id valid_from,
+        |    lead(event_id) OVER (PARTITION BY k ORDER BY event_id) valid_to
+        |  FROM c),
+        |h AS (SELECT * FROM v WHERE op <> 'd'),
+        |probes AS (SELECT event_id % 997 k, event_id probe_seq FROM events
+        |           WHERE event_id % 5 = 2)
+        |SELECT p.k, p.probe_seq, h.event_id version_id, h.user_id, h.event_type
+        |FROM probes p JOIN h ON p.k = h.k AND p.probe_seq >= h.valid_from
+        |  AND (h.valid_to IS NULL OR p.probe_seq < h.valid_to)""".stripMargin,
     "q102_pagerank" ->
       """WITH e AS (SELECT user_id src, event_id % 97 dst FROM events),
         |nodes AS (SELECT DISTINCT node FROM

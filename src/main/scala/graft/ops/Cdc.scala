@@ -77,6 +77,21 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** As-of lookup against an [[scd2]] history: for each probe row, the
+    * dimension version valid at the probe's sequence point — "what did
+    * this row look like when the fact happened", the query the history
+    * table exists to serve. Equi-join on the entity key (the validity
+    * range lands as a post-join filter, so this stays a hash/sort-merge
+    * join — never a nested loop); each probe matches at most one version
+    * because [[scd2]] intervals partition the sequence axis per key.
+    * @param probeSeqCol probe-side column holding the as-of sequence;
+    *                    must not collide with history column names. */
+  def asOfLookup(history: DataFrame, probes: DataFrame, keyCols: Seq[String],
+                 probeSeqCol: String): DataFrame =
+    probes.join(history, keyCols)
+      .where(col(probeSeqCol) >= col("valid_from") &&
+        (col("valid_to").isNull || col(probeSeqCol) < col("valid_to")))
+
   /** Incremental [[scd2]] maintenance: fold a NEW slice of the change log
     * into an existing history table without rebuilding it — the daily
     * merge a warehouse actually runs (rebuilding history from the full

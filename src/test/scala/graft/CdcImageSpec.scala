@@ -35,6 +35,25 @@ class CdcImageSpec extends SparkTestBase {
     }
   }
 
+  test("asOfLookup: version valid at each probe point; deleted spans match nothing") {
+    import org.apache.spark.sql.functions._
+    val changes = Seq(
+      (1L, 10L, "c", "a1"), (1L, 20L, "u", "a2"),
+      (2L, 11L, "c", "b1"), (2L, 25L, "d", "")
+    ).toDF("k", "seq", "op", "payload")
+    val hist = Cdc.scd2(changes, Seq("k"), "seq")
+    val probes = Seq((1L, 15L), (1L, 20L), (1L, 99L), (2L, 24L), (2L, 30L), (3L, 5L))
+      .toDF("k", "probe_seq")
+    val got = Cdc.asOfLookup(hist, probes, Seq("k"), "probe_seq")
+      .select($"k", $"probe_seq", $"payload").as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 15L, "a1"),  // before the update
+      (1L, 20L, "a2"),  // at the update boundary: new version (inclusive from)
+      (1L, 99L, "a2"),  // open version
+      (2L, 24L, "b1")), // (2,30) after delete and (3,5) unknown key: no match
+      got.toString)
+  }
+
   test("scd2Merge == full rebuild at every split point, incl. delete + rebirth") {
     import org.apache.spark.sql.functions._
     val changes = Seq(
