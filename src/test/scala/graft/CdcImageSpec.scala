@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.ops.Cdc
-import graft.streaming.CdcImage
+import graft.streaming.{CdcImage, Scd2Image}
 
 class CdcImageSpec extends SparkTestBase {
   import spark.implicits._
@@ -69,6 +69,37 @@ class CdcImageSpec extends SparkTestBase {
       assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
         s"merge at cut=$cut diverged from the full rebuild")
     }
+  }
+
+  test("streamed SCD2 history == batch scd2 over the full change log") {
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val historyDir = Files.createTempDirectory("graft-scd2").toString + "/history"
+    val chk = Files.createTempDirectory("graft-scd2-chk").toString
+    val input = MemoryStream[(Long, Long, String, String)] // k, seq, op, payload
+    val q = Scd2Image.start(input.toDF().toDF("k", "seq", "op", "payload"),
+      historyDir, chk, Seq("k"), "seq", nBuckets = 8)
+    val log = Seq(
+      // batch 1: creates
+      Seq((1L, 10L, "c", "a1"), (2L, 11L, "c", "b1"), (3L, 12L, "c", "c1")),
+      // batch 2: update, delete
+      Seq((1L, 20L, "u", "a2"), (2L, 25L, "d", "")),
+      // batch 3: rebirth + untouched key 3 + same-batch chain for 1
+      Seq((2L, 60L, "c", "b2"), (1L, 61L, "u", "a3"), (1L, 62L, "u", "a4")))
+    try {
+      log.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = Scd2Image.read(spark, historyDir)
+      .select("k", "seq", "op", "payload", "valid_from", "valid_to", "is_current")
+    val batch = Cdc.scd2(log.flatten.toDF("k", "seq", "op", "payload"), Seq("k"), "seq")
+      .select("k", "seq", "op", "payload", "valid_from", "valid_to", "is_current")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed history must equal the batch rebuild")
+    // untouched bucket's files were not rewritten in batch 2/3 only if key 3
+    // hashed to a bucket untouched later — behavioral check instead: key 3
+    // version still open and unique
+    val k3 = streamed.where($"k" === 3L).collect()
+    assert(k3.length == 1 && k3.head.getAs[Boolean]("is_current"))
   }
 
   test("streamed image == batch latestImage over the full change log") {
