@@ -208,6 +208,26 @@ object SparkEntry {
         (col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
       top1Certificate(Similarity.ivfKnn(probes, emb, centroids, k = 5, nprobe = 3), 1000000L)
     }),
+    // IVF-PQ: coarse lists prune the corpus, ADC over 8-byte codes ranks
+    // the survivors (~30x less index data than raw floats at 100 TB).
+    // Certificate: a probe that IS a corpus vector must come back AT the
+    // minimal ADC distance — its own codes minimize the ADC sum per
+    // construction (not strict rank 1: a planted near-twin can quantize
+    // to identical codes and tie). A false row means encoder/LUT/scorer
+    // disagree (see Similarity.pqKnn doc)
+    "q104_ivfpq_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.fitCentroids(emb, nlist = 8, maxIter = 5)
+      val books = Similarity.pqTrain(emb, m = 8, ksub = 16)
+      val probes = emb.where(col("vec_id") < 5).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      Similarity.ivfPqKnn(probes, emb, centroids, books, k = 5, nprobe = 3)
+        .groupBy(col("qid")).agg(
+          min(col("adist")).as("_mn"),
+          min(when(col("nid") === col("qid") - 1000000L, col("adist"))).as("_self"))
+        .select(col("qid"),
+          (col("_self").isNotNull && col("_self") === col("_mn")).as("top1_ok"))
+    }),
     "q37_quantiles" -> ((s, d) =>
       Relational.quantiles(Tables.lineitem(s, d))),
     "q38_cube" -> ((s, d) =>
@@ -983,6 +1003,8 @@ object SparkEntry {
         |  (epoch_us(MAX(tsu)) - epoch_us(MIN(tsu))) / 1000000.0 duration_s
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q36_ann_ivf" ->
+      "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
+    "q104_ivfpq_knn" ->
       "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
     // derived from the q35 lag/cumsum form: session_window's end is
     // last_event + gap by definition

@@ -68,6 +68,12 @@ object Exprs {
 
   def zValue(a: Column, b: Column): Column =
     ExpressionUtils.column(ZValue(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(PqCodes(ExpressionUtils.expression(vec), codebooks))
+
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    ExpressionUtils.column(PqAdc(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), ksub))
 }
 
 /** Distinct xxhash64 values of the word `n`-gram shingles of a text column
@@ -499,5 +505,116 @@ case class ZValue(left: Expression, right: Expression) extends BinaryExpression 
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ZValue =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Product-quantization encoder (Jégou/Douze/Schmid, TPAMI 2011): split
+  * the vector into `m = codebooks.size` contiguous subvectors and emit,
+  * per subspace, the index of the nearest codebook centroid (squared L2).
+  * One JIT pass computes all m codes — m * ksub * dsub mults per row, the
+  * irreducible PQ-encode cost — vs m interpreted slice+argmin trees.
+  * Rows whose dimension differs from m*dsub encode to null (a corpus with
+  * ragged vectors should be length-filtered before indexing, not silently
+  * truncated). */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+  extends UnaryExpression with VectorReader {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty && codebooks.head.head.nonEmpty)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_codes"
+
+  @transient private lazy val childIsFloat = isFloatArray(child.dataType)
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val dsub = books(0)(0).length
+
+  def compute(vec: ArrayData): ArrayData = {
+    val m = books.length
+    if (vec.numElements() != m * dsub) return null
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d2 = 0.0
+        var j = 0
+        while (j < dsub) {
+          val d = elemAt(vec, off + j, childIsFloat) - cent(j)
+          d2 += d * d
+          j += 1
+        }
+        // NaN never compares <, so a NaN subvector keeps centroid 0 —
+        // deterministic, same discipline as NearestCentroids
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pq", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, v => s"""
+       |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r = $ref.compute($v);
+       |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ${ev.value}_r; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) lookup: approximate squared L2 between an
+  * UNQUANTIZED query and a PQ-coded vector = Σ_s lut[s*ksub + codes[s]],
+  * where the query's per-subspace distance table `lut` was computed once
+  * per query (m*ksub entries) on the driver. m table lookups per corpus
+  * row — the reason PQ search runs at memory-bandwidth speed. Null when
+  * the table length disagrees with m*ksub (wrong codebook generation). */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+  extends BinaryExpression {
+  require(ksub >= 1)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  def compute(codes: ArrayData, lut: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    if (lut.numElements() != m * ksub) return null
+    var s = 0
+    var acc = 0.0
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= ksub) return null
+      acc += lut.getDouble(s * ksub + c)
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adc", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |java.lang.Double ${ev.value}_r = $ref.compute($a, $b);
+       |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)
 }

@@ -399,4 +399,141 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
+
+  // ------------------------------------------------------------------- PQ
+
+  /** Train product-quantization codebooks (Jégou/Douze/Schmid, TPAMI 2011)
+    * on a BOUNDED sample — the same discipline as [[fitCentroids]]: PQ
+    * codebook quality saturates at a few hundred points per centroid, so
+    * training collects `samplePerCentroid * ksub` vectors at ANY corpus
+    * size and runs m seeded local k-means fits (one per subspace, zero
+    * Spark jobs per iteration). Returns codebooks[m][ksub][dim/m].
+    *
+    * Why PQ at 100 TB: a 64-dim float corpus is 256 B/vector; m=8 PQ codes
+    * are 8 B — the searchable index shrinks ~30x, which is the difference
+    * between an index that fits hot storage and one that doesn't. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+              vecCol: String = "embedding", seed: Long = 42L,
+              maxIter: Int = 10, samplePerCentroid: Int = 256): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1)
+    val target = samplePerCentroid.toLong * ksub
+    val n = corpus.count() // unfiltered parquet count-star: metadata-only
+    val sampled =
+      if (n <= target) corpus
+      else corpus.sample(withReplacement = false,
+        fraction = math.min(1.0, target.toDouble * 1.05 / n), seed)
+    val pts = sampled.select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray).filter(_.nonEmpty)
+    require(pts.nonEmpty, "pqTrain: no non-empty vectors to train on")
+    val dim = pts(0).length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = pts.filter(_.length == dim)
+        .map(p => java.util.Arrays.copyOfRange(p, s * dsub, (s + 1) * dsub))
+      kmeansLocal(sub, ksub, seed + s, maxIter)
+    }
+  }
+
+  /** PQ-encode a vector table: (id, codes array<int> of length m). One
+    * codegen'd pass per row (graft.expr.PqCodes); no shuffle — encoding
+    * runs at scan speed and the output is what a persisted PQ index
+    * stores instead of raw vectors. Ragged rows encode to null. */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("nid"),
+      Exprs.pqCodes(col(vecCol), booksAsSeq(codebooks)).as("codes"))
+
+  private def booksAsSeq(b: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
+    b.map(_.map(_.toSeq).toSeq).toSeq
+
+  /** Per-query ADC lookup table, flattened to m*ksub doubles:
+    * lut[s*ksub + c] = ||q_s - codebook[s][c]||². Driver-side — queries
+    * are a small batch by the same contract as [[knnCosine]]'s broadcast. */
+  private def pqLutRows(queries: DataFrame, codebooks: Array[Array[Array[Double]]],
+                        idCol: String, vecCol: String): Seq[(Long, Seq[Double])] = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().toSeq.map { r =>
+        val q = r.getSeq[Double](1).toArray
+        require(q.length == m * dsub,
+          s"pq query dim ${q.length} != codebook dim ${m * dsub}")
+        val lut = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < ksub) {
+            val cent = codebooks(s)(c)
+            var d2 = 0.0
+            var j = 0
+            while (j < dsub) { val d = q(s * dsub + j) - cent(j); d2 += d * d; j += 1 }
+            lut(s * ksub + c) = d2
+            c += 1
+          }
+          s += 1
+        }
+        (r.getLong(0), lut.toSeq)
+      }
+  }
+
+  /** PQ top-k by asymmetric distance: every corpus row costs m table
+    * lookups against the query's broadcast LUT (graft.expr.PqAdc) — a
+    * full-corpus scan, but over codes ~30x smaller than the raw vectors
+    * and with no distance arithmetic per pair. Self-retrieval is exact by
+    * construction: a vector's own codes minimize the ADC sum over ALL
+    * possible code words (per subspace the nearest centroid is, by
+    * definition of encoding, the LUT's smallest entry), which is what the
+    * q104 certificate pins. Rank ties break by nid for determinism. */
+  def pqKnn(queries: DataFrame, encoded: DataFrame,
+            codebooks: Array[Array[Array[Double]]], k: Int = 5,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val ksub = codebooks(0).length
+    val q = broadcast(pqLutRows(queries, codebooks, idCol, vecCol).toDF("qid", "lut"))
+    val scored = encoded.crossJoin(q)
+      .select(col("qid"), col("nid"),
+        Exprs.pqAdc(col("codes"), col("lut"), ksub).as("adist"))
+      .where(col("adist").isNotNull)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("adist"))
+  }
+
+  /** IVF-PQ: coarse quantizer prunes to nprobe/nlist of the corpus
+    * (equi-join on list_id, exactly [[ivfKnn]]'s shape), then candidates
+    * rank by ADC over codes instead of exact cosine over raw vectors —
+    * the FAISS IVFPQ composition, as two narrow scans and one equi-join.
+    * Codes here are trained on raw vectors (not residuals); residual
+    * encoding is the documented refinement when recall at low nprobe
+    * matters more than one extra corpus pass at build time. */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame,
+               centroids: Array[Array[Double]],
+               codebooks: Array[Array[Array[Double]]], k: Int = 5,
+               nprobe: Int = 2, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val ksub = codebooks(0).length
+    val cents = centroids.map(_.toSeq).toSeq
+    val c = corpus.select(
+      Exprs.nearestCentroids(col(vecCol), cents, 1).getItem(0).as("list_id"),
+      col(idCol).as("nid"),
+      Exprs.pqCodes(col(vecCol), booksAsSeq(codebooks)).as("codes"))
+    val luts = pqLutRows(queries, codebooks, idCol, vecCol).toDF("qid", "lut")
+    val probes = queries.select(col(idCol).as("qid"),
+      explode(Exprs.nearestCentroids(col(vecCol), cents, nprobe)).as("list_id"))
+    val q = broadcast(probes.join(luts, "qid"))
+    val scored = c.join(q, Seq("list_id"))
+      .select(col("qid"), col("nid"),
+        Exprs.pqAdc(col("codes"), col("lut"), ksub).as("adist"))
+      .where(col("adist").isNotNull)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("adist"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 16
+  // 4 well-separated clusters of 15 vectors each; jitter is deterministic
+  private def vec(id: Long): Seq[Double] = {
+    val cl = (id % 4).toInt
+    (0 until dim).map(j => cl * 10.0 + ((id * 31 + j * 7) % 5) * 0.1)
+  }
+  private lazy val corpus =
+    (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  test("pqEncode: m codes in [0, ksub); deterministic; ragged rows -> null") {
+    val books = Similarity.pqTrain(corpus, m = 4, ksub = 4)
+    assert(books.length == 4 && books.forall(_.length == 4) &&
+      books.forall(_.forall(_.length == dim / 4)))
+    val enc = Similarity.pqEncode(corpus, books)
+    val rows = enc.select("codes").as[Seq[Int]].collect()
+    assert(rows.length == 60)
+    assert(rows.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 4)))
+    val again = Similarity.pqEncode(corpus, books).select("codes").as[Seq[Int]].collect()
+    assert(rows.toSeq == again.toSeq)
+
+    val ragged = Seq((99L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    assert(Similarity.pqEncode(ragged, books).where(col("codes").isNull).count() == 1)
+  }
+
+  test("pqKnn: every query's own vector shares the minimal ADC distance") {
+    val books = Similarity.pqTrain(corpus, m = 4, ksub = 8)
+    val enc = Similarity.pqEncode(corpus, books)
+    val queries = corpus.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    // a vector's own codes minimize the ADC sum (per subspace the encode
+    // argmin IS the lut minimum) — but another vector may encode to the
+    // SAME codes, so the guarantee is distance-minimality, not rank 1
+    val rows = Similarity.pqKnn(queries, enc, books, k = 5)
+      .select("qid", "nid", "adist").as[(Long, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rs) =>
+      val mn = rs.map(_._3).min
+      val self = rs.find(_._2 == q - 1000L)
+      assert(self.exists(_._3 == mn), s"query $q: self not at minimal ADC ($rs)")
+    }
+  }
+
+  test("ivfPqKnn: coarse-pruned ADC still self-retrieves; candidates shrink") {
+    val cents = Similarity.fitCentroids(corpus, nlist = 4, maxIter = 5)
+    val books = Similarity.pqTrain(corpus, m = 4, ksub = 8)
+    val queries = corpus.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val res = Similarity.ivfPqKnn(queries, corpus, cents, books, k = 3, nprobe = 1)
+    val rows = res.select("qid", "nid", "adist").as[(Long, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rs) =>
+      val mn = rs.map(_._3).min
+      assert(rs.exists(r => r._2 == q - 1000L && r._3 == mn),
+        s"query $q: self not at minimal ADC ($rs)")
+    }
+    // nprobe=1 with 4 balanced clusters: each query ranks ~1/4 of the
+    // corpus, so no query may return neighbors from another cluster
+    val crossCluster = res.where((col("nid") % 4) =!= ((col("qid") - 1000L) % 4)).count()
+    assert(crossCluster == 0, s"$crossCluster cross-cluster neighbors at nprobe=1")
+  }
+
+  test("pqKnn ranks clustermates above other clusters (ADC preserves geometry)") {
+    val books = Similarity.pqTrain(corpus, m = 4, ksub = 8)
+    val enc = Similarity.pqEncode(corpus, books)
+    val queries = corpus.where(col("vec_id") === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val top = Similarity.pqKnn(queries, enc, books, k = 10)
+      .select("nid").as[Long].collect()
+    assert(top.length == 10)
+    assert(top.forall(_ % 4 == 0), s"non-clustermate in top-10: ${top.mkString(",")}")
+  }
+}
