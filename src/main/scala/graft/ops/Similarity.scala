@@ -536,4 +536,88 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("adist"))
   }
+
+  /** Persisted IVF-PQ index — [[buildIvfIndex]]'s layout with PQ codes in
+    * the inverted lists instead of raw vectors: `<path>/centroids`
+    * (coarse quantizer), `<path>/codebooks` ((sub, code, centroid) rows),
+    * `<path>/lists` = (nid, codes) PARTITIONED BY list_id. Searches read
+    * nprobe/nlist of an index that is itself ~30x smaller than the
+    * IVF-Flat lists — at 100 TB of raw vectors this is the difference
+    * between an index served from hot storage and one that isn't. Raw
+    * vectors are NOT stored: exact re-ranking joins back to the corpus
+    * table by id for the top candidates, which is a k-row lookup, not an
+    * index scan. */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, nlist: Int,
+                      m: Int = 8, ksub: Int = 16, idCol: String = "vec_id",
+                      vecCol: String = "embedding", seed: Long = 42L): Unit = {
+    val centroids = fitCentroids(corpus, nlist, vecCol, seed = seed)
+    val books = pqTrain(corpus, m, ksub, vecCol, seed)
+    val cents = centroids.map(_.toSeq).toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    corpus.select(
+      Exprs.nearestCentroids(col(vecCol), cents, 1).getItem(0).as("list_id"),
+      col(idCol).as("nid"),
+      Exprs.pqCodes(col(vecCol), booksAsSeq(books)).as("codes"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** Codebooks of a persisted IVF-PQ index, ordered so [sub][code] match
+    * the stored rows — the encode/search shared loader, same discipline
+    * as [[loadCentroids]]. m*ksub rows: driver-safe. */
+  private def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub", "code").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray)
+      .toArray
+
+  /** Search a persisted IVF-PQ index: probe-list partition pruning +
+    * broadcast per-query LUTs + ADC ranking over stored codes. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cents = loadCentroids(spark, path)
+    val books = loadCodebooks(spark, path)
+    val ksub = books(0).length
+    val lists = spark.read.parquet(s"$path/lists")
+    val luts = pqLutRows(queries, books, idCol, vecCol).toDF("qid", "lut")
+    val probes = queries.select(col(idCol).as("qid"),
+      explode(Exprs.nearestCentroids(col(vecCol), cents, nprobe)).as("list_id"))
+    val q = broadcast(probes.join(luts, "qid"))
+    val scored = lists.join(q, Seq("list_id"))
+      .select(col("qid"), col("nid"),
+        Exprs.pqAdc(col("codes"), col("lut"), ksub).as("adist"))
+      .where(col("adist").isNotNull)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("adist"))
+  }
+
+  /** Incremental IVF-PQ maintenance: encode a NEW batch with the frozen
+    * quantizer+codebooks and append to the touched list partitions only —
+    * [[appendToIvfIndex]]'s contract, at code (not vector) write volume. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batch: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val cents = loadCentroids(spark, path)
+    val books = loadCodebooks(spark, path)
+    batch.select(
+      Exprs.nearestCentroids(col(vecCol), cents, 1).getItem(0).as("list_id"),
+      col(idCol).as("nid"),
+      Exprs.pqCodes(col(vecCol), booksAsSeq(books)).as("codes"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+  }
 }

@@ -8,9 +8,11 @@ class PqSpec extends SparkTestBase {
 
   private val dim = 16
   // 4 well-separated clusters of 15 vectors each; jitter is deterministic
+  // and distinct per id (23 prime, stride 4 < 23) so no two corpus
+  // vectors are equal — ADC ties then come only from code collisions
   private def vec(id: Long): Seq[Double] = {
     val cl = (id % 4).toInt
-    (0 until dim).map(j => cl * 10.0 + ((id * 31 + j * 7) % 5) * 0.1)
+    (0 until dim).map(j => cl * 10.0 + ((id * 31 + j * 17) % 23) * 0.1)
   }
   private lazy val corpus =
     (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
@@ -67,6 +69,38 @@ class PqSpec extends SparkTestBase {
     // corpus, so no query may return neighbors from another cluster
     val crossCluster = res.where((col("nid") % 4) =!= ((col("qid") - 1000L) % 4)).count()
     assert(crossCluster == 0, s"$crossCluster cross-cluster neighbors at nprobe=1")
+  }
+
+  test("persisted IVF-PQ index: search == in-memory ivfPqKnn; append searchable") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.buildIvfPqIndex(corpus, path, nlist = 4, m = 4, ksub = 8)
+    val queries = corpus.where(col("vec_id") < 6)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+
+    val indexed = Similarity.searchIvfPqIndex(spark, path, queries, k = 3, nprobe = 2)
+    val cents = Similarity.fitCentroids(corpus, nlist = 4) // same seed -> same model
+    val books = Similarity.pqTrain(corpus, m = 4, ksub = 8)
+    val direct = Similarity.ivfPqKnn(queries, corpus, cents, books, k = 3, nprobe = 2)
+    val a = indexed.select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val b = direct.select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a.nonEmpty && a == b,
+      s"indexed vs direct diverged: ${a.diff(b).take(3)} / ${b.diff(a).take(3)}")
+
+    // append an exact copy of vector 3 under a new id: encodes to the
+    // same codes, so probing with the original must see it at the same
+    // minimal ADC distance
+    val twin = corpus.where(col("vec_id") === 3)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, path, twin)
+    // k covers the whole probed list: clustermates can share the twin's
+    // codes (coarse ksub lumps nearby subvectors), so the twin may tie
+    // with several smaller nids — presence at minimal ADC is the contract
+    val probe = corpus.where(col("vec_id") === 3)
+    val rows = Similarity.searchIvfPqIndex(spark, path, probe, k = 20, nprobe = 1)
+      .select("nid", "adist").as[(Long, Double)].collect()
+    val mn = rows.map(_._2).min
+    assert(rows.exists(r => r._1 == 5003L && r._2 == mn),
+      s"appended twin not at minimal ADC: ${rows.mkString(",")}")
   }
 
   test("pqKnn ranks clustermates above other clusters (ADC preserves geometry)") {
