@@ -228,6 +228,22 @@ object SparkEntry {
         .select(col("qid"),
           (col("_self").isNotNull && col("_self") === col("_mn")).as("top1_ok"))
     }),
+    // IVF-PQ shortlist + exact re-rank — the two-stage production search.
+    // Full-precision cosine breaks every ADC tie, so an exact-copy probe
+    // is STRICT top-1 (cos = 1), the same certificate q36 pins for
+    // IVF-Flat; a false row means the shortlist lost the true neighbor
+    // or the re-rank scored it wrong
+    "q105_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.fitCentroids(emb, nlist = 8, maxIter = 5)
+      val books = Similarity.pqTrain(emb, m = 8, ksub = 16)
+      val probes = emb.where(col("vec_id") < 5).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      val shortlist = Similarity.ivfPqKnn(probes, emb, centroids, books,
+        k = 20, nprobe = 3)
+      top1Certificate(
+        Similarity.rerankExact(shortlist, probes, emb, k = 5), 1000000L)
+    }),
     "q37_quantiles" -> ((s, d) =>
       Relational.quantiles(Tables.lineitem(s, d))),
     "q38_cube" -> ((s, d) =>
@@ -1005,6 +1021,8 @@ object SparkEntry {
     "q36_ann_ivf" ->
       "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
     "q104_ivfpq_knn" ->
+      "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
+    "q105_pq_rerank" ->
       "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
     // derived from the q35 lag/cumsum form: session_window's end is
     // last_event + gap by definition

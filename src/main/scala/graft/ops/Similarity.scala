@@ -606,6 +606,30 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("adist"))
   }
 
+  /** Exact re-rank of an ANN shortlist — the second stage every
+    * production PQ deployment runs: the compressed index proposes
+    * `shortlist` candidates (cheap, slightly lossy), then the TRUE cosine
+    * is computed for just those (qid, nid) pairs and the top k kept.
+    * Cost shape at 100 TB: the shortlist is |queries|*shortK rows — tiny —
+    * so it broadcasts into an equi-join against the corpus, and the
+    * full-precision vectors are read for candidate ids only (a lookup,
+    * never an index scan). Compression artifacts (ADC ties, quantization
+    * rank swaps) disappear for the final ranking. */
+  def rerankExact(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  k: Int = 5, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val cand = broadcast(shortlist.select(col("qid"), col("nid"))
+      .join(q, "qid"))
+    val scored = c.join(cand, Seq("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
   /** Incremental IVF-PQ maintenance: encode a NEW batch with the frozen
     * quantizer+codebooks and append to the touched list partitions only —
     * [[appendToIvfIndex]]'s contract, at code (not vector) write volume. */

@@ -87,4 +87,40 @@ object StreamNearDedup {
   /** Read the admitted corpus (internal batch column dropped). */
   def corpus(spark: SparkSession, corpusDir: String): DataFrame =
     spark.read.parquet(corpusDir).drop("_batch")
+
+  /** Compact the index's per-batch partitions: batches 0..upTo rewrite
+    * into ONE partition labeled `_batch=0`, then the stale directories
+    * are dropped. Long-running filters need this — one partition (often
+    * one small file) per micro-batch is the small-file failure mode of
+    * every streaming-maintained table, and at a 5 s trigger that is
+    * 17k directories a day.
+    *
+    * Correctness under the `_batch < batchId` replay contract: label 0
+    * keeps every compacted row visible to all FUTURE batches (0 < k),
+    * and only batches at or below the last CHECKPOINT-COMMITTED id may
+    * be compacted (pass upTo accordingly) — those can never replay, so
+    * no reader ever filters them out. A crash between the rewrite and
+    * the cleanup leaves rows duplicated across partitions; the search
+    * path tolerates that (candidate pairs are de-duplicated, survivors
+    * derive from distinct ids) and the next compaction heals it. */
+  def compactIndex(spark: SparkSession, indexDir: String, upTo: Long,
+                   numFiles: Int = 4): Unit = {
+    require(upTo >= 1, "compacting batch 0 alone is a no-op")
+    val compacted = spark.read.parquet(indexDir)
+      .where(col("_batch") <= upTo).drop("_batch")
+      .repartition(numFiles)
+      .withColumn("_batch", lit(0L))
+      .localCheckpoint(true) // materialize BEFORE overwriting source files
+    writeDynamic(compacted, indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("_batch=") &&
+          p.getName.stripPrefix("_batch=").toLong > 0 &&
+          p.getName.stripPrefix("_batch=").toLong <= upTo
+      }
+      .foreach(p => fs.delete(p, true))
+  }
 }

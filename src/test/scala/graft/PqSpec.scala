@@ -103,6 +103,22 @@ class PqSpec extends SparkTestBase {
       s"appended twin not at minimal ADC: ${rows.mkString(",")}")
   }
 
+  test("ivfPqKnn + rerankExact: exact-copy probes come back strict top-1") {
+    val cents = Similarity.fitCentroids(corpus, nlist = 4, maxIter = 5)
+    val books = Similarity.pqTrain(corpus, m = 4, ksub = 8)
+    val queries = corpus.where(col("vec_id") < 6)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    // wide shortlist from the compressed index, then true cosine on just
+    // those pairs: quantization ties vanish under full precision, so the
+    // exact copy must rank strictly first (cos = 1, no equal vectors)
+    val shortlist = Similarity.ivfPqKnn(queries, corpus, cents, books, k = 20, nprobe = 2)
+    val top1 = Similarity.rerankExact(shortlist, queries, corpus, k = 3)
+      .where(col("rank") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(top1.size == 6)
+    assert(top1.forall { case (q, n) => n == q - 1000L }, top1.toString)
+  }
+
   test("pqKnn ranks clustermates above other clusters (ADC preserves geometry)") {
     val books = Similarity.pqTrain(corpus, m = 4, ksub = 8)
     val enc = Similarity.pqEncode(corpus, books)

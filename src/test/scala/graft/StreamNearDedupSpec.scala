@@ -68,4 +68,30 @@ class StreamNearDedupSpec extends SparkTestBase {
     assert(replayed == first, s"replay changed corpus: $replayed")
     assert(spark.read.parquet(indexDir).count() == 3)
   }
+
+  test("compactIndex: content preserved, partitions collapse, future batches still dedup") {
+    val corpusDir = Files.createTempDirectory("snd_corpus3").toString + "/c"
+    val indexDir = Files.createTempDirectory("snd_index3").toString + "/i"
+    StreamNearDedup.dedupBatch(Seq((1L, doc(1))).toDF("doc_id", "text"), 0L, corpusDir, indexDir)
+    StreamNearDedup.dedupBatch(Seq((2L, doc(2))).toDF("doc_id", "text"), 1L, corpusDir, indexDir)
+    StreamNearDedup.dedupBatch(Seq((3L, doc(3))).toDF("doc_id", "text"), 2L, corpusDir, indexDir)
+    val before = spark.read.parquet(indexDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    // batches 0..2 are checkpoint-committed here, so all are compactable
+    StreamNearDedup.compactIndex(spark, indexDir, upTo = 2L)
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.select("doc_id").as[Long].collect().toSet == before)
+    val parts = idx.select("_batch").distinct().as[Long].collect().toSet
+    assert(parts == Set(0L), s"expected one compacted partition, got $parts")
+
+    // the compacted index still gates new arrivals: a twin of the
+    // batch-0 doc must be dropped by batch 3
+    StreamNearDedup.dedupBatch(
+      Seq((4L, doc(1, "altered")), (5L, doc(5))).toDF("doc_id", "text"),
+      3L, corpusDir, indexDir)
+    val admitted = StreamNearDedup.corpus(spark, corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 3L, 5L), admitted.toString)
+  }
 }
