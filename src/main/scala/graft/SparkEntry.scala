@@ -244,6 +244,21 @@ object SparkEntry {
       top1Certificate(
         Similarity.rerankExact(shortlist, probes, emb, k = 5), 1000000L)
     }),
+    // Unicode + whitespace normalization: the oracle splices a decomposed
+    // accent, tab/space runs, and a BEL control into every doc (both
+    // engines, identically), then each normalizes with its own machinery
+    // — NormalizeText here, nfc_normalize + regex + trim in DuckDB
+    "q106_normalize" -> ((s, d) =>
+      Curate.normalizeText(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" caf"), lit("e\u0301"),
+            lit("  x\ty"), lit("\u0007")).as("text")))),
+    // HTML strip over deterministically injected markup (the q48
+    // inject-then-clean pattern); entity decode order is part of the
+    // contract — &amp; last, so &amp;lt; ends as literal &lt;
+    "q107_strip_html" -> ((s, d) =>
+      Curate.injectHtml(Tables.documents(s, d))
+        .select(col("doc_id"), Curate.stripHtml(col("text")).as("text"))),
     "q37_quantiles" -> ((s, d) =>
       Relational.quantiles(Tables.lineitem(s, d))),
     "q38_cube" -> ((s, d) =>
@@ -1024,6 +1039,25 @@ object SparkEntry {
       "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
     "q105_pq_rerank" ->
       "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
+    // chr(769) = U+0301 combining acute (NFC-composes with the preceding
+    // 'e'), chr(9) = tab, chr(7) = BEL; DuckDB regexp_replace needs the
+    // explicit 'g' flag (Spark's is global by default)
+    "q106_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(text || ' caf' || 'e' || chr(769) || '  x' || chr(9) || 'y' || chr(7)),
+        |    '[\x00-\x08\x0B-\x1F\x7F]+', '', 'g'), '[ '||chr(9)||']+', ' ', 'g')) AS text
+        |FROM documents""".stripMargin,
+    "q107_strip_html" ->
+      """SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      '<p class="d">title &amp; id ' || doc_id || '</p><br/>' || text
+        |        || ' <a href="/x?a=1&amp;b=2">link</a>&nbsp;&lt;end&gt;',
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS text
+        |FROM documents""".stripMargin,
     // derived from the q35 lag/cumsum form: session_window's end is
     // last_event + gap by definition
     "q62_session_window" ->

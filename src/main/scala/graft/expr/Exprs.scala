@@ -74,6 +74,9 @@ object Exprs {
 
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     ExpressionUtils.column(PqAdc(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), ksub))
+
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(text), form))
 }
 
 /** Distinct xxhash64 values of the word `n`-gram shingles of a text column
@@ -617,4 +620,52 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)
+}
+
+/** Unicode text normalization for corpus curation, one JIT pass:
+  * (1) canonical/compatibility normalize (java.text.Normalizer, `form` in
+  * NFC/NFD/NFKC/NFKD), (2) strip C0 controls except tab/newline plus DEL,
+  * (3) collapse [space,tab] runs to one space and trim edge spaces. The
+  * steps are the standard pre-tokenization cleanup (mojibake-safe dedup
+  * keys need (1); (2)/(3) kill the whitespace variance that defeats
+  * shingle hashing) and each is expressible in DuckDB for the oracle
+  * (nfc_normalize + two regexp_replace + trim — q106). A HOF/UDF chain
+  * would be three interpreted passes with two intermediate copies. */
+case class NormalizeText(child: Expression, form: String) extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form), s"bad form $form")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  @transient private lazy val formEnum = java.text.Normalizer.Form.valueOf(form)
+
+  def compute(s: UTF8String): UTF8String = {
+    val norm = java.text.Normalizer.normalize(s.toString, formEnum)
+    val out = new java.lang.StringBuilder(norm.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < norm.length) {
+      val c = norm.charAt(i)
+      val isCtl = c < 0x09 || (c >= 0x0B && c < 0x20) || c == 0x7F
+      if (!isCtl) {
+        if (c == ' ' || c == '\t') pendingSpace = out.length() > 0
+        else {
+          if (pendingSpace) { out.append(' '); pendingSpace = false }
+          out.append(c)
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nt", this, classOf[NormalizeText].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
 }

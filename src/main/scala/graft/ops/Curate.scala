@@ -174,6 +174,43 @@ object Curate {
         concat(lit("contact user"), col("doc_id"), lit("@example.com or call 555-867-5309 now")),
         substring(col("text"), 41, 1000000)).as("text"))
 
+  // -------------------------------------------------- text normalization
+
+  /** Unicode + whitespace normalization (graft.expr.NormalizeText, one
+    * codegen'd pass): canonical normalize, strip C0 controls except
+    * tab/newline plus DEL, collapse space/tab runs, trim edge spaces —
+    * the cleanup that makes shingle/exact dedup keys robust to encoding
+    * variance. Pure per-row projection: scan speed, no shuffle, and the
+    * steps replicate exactly in DuckDB (q106's oracle: nfc_normalize +
+    * two regexp_replace + trim). */
+  def normalizeText(df: DataFrame, textCol: String = "text",
+                    form: String = "NFC"): DataFrame =
+    df.withColumn(textCol, graft.expr.Exprs.normalizeText(col(textCol), form))
+
+  /** Strip HTML markup from scraped text: tags become single spaces
+    * (inline tags must not weld adjacent words), then the five standard
+    * entities decode — `&amp;` LAST, so `&amp;lt;` yields the literal
+    * `&lt;` instead of double-decoding (the classic order bug). Plain
+    * regexp_replace/replace chain: codegen'd, oracle-able verbatim in
+    * DuckDB (q107 injects markup deterministically, then both engines
+    * strip it). Full entity tables / malformed-markup recovery are a
+    * parser's job, deliberately out of scope. */
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    ent.foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+  }
+
+  /** q107's deterministic markup injection: wrap each document in tags
+    * and entities keyed off doc_id. Identical concat semantics in
+    * DuckDB. */
+  def injectHtml(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat(lit("<p class=\"d\">"), lit("title &amp; id "), col("doc_id"),
+        lit("</p><br/>"), col("text"), lit(" <a href=\"/x?a=1&amp;b=2\">link</a>&nbsp;&lt;end&gt;"))
+        .as("text"))
+
   // ------------------------------------------------------ decontamination
 
   /** Benchmark decontamination: flag corpus documents sharing word
