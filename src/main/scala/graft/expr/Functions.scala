@@ -36,8 +36,16 @@ object Functions {
       MinHashSig(args(0), if (args.size > 1) intArg(args(1), "k", 32) else 32) },
     "graft_hyperplane_bucket" -> { args =>
       HyperplaneBucket(args(0), intArg(args(1), "planes", 8)) },
-    "graft_zvalue" -> { args => ZValue(args(0), args(1)) }
+    "graft_zvalue" -> { args => ZValue(args(0), args(1)) },
+    "graft_normalize_text" -> { args =>
+      NormalizeText(args(0), if (args.size > 1) strArg(args(1), "form") else "NFC") }
   )
+
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal string, got $other")
+  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -30,6 +30,20 @@ class FunctionsSpec extends SparkTestBase {
     assert(sql.getLong(4) == api.getLong(4))
   }
 
+  test("graft_normalize_text: SQL surface == Column API, form selectable") {
+    Conf.ensure(spark)
+    Seq((1L, "a\u0000b  cafe\u0301 \u0007 x")).toDF("id", "text")
+      .createOrReplaceTempView("tn")
+    val sql = spark.sql(
+      "SELECT graft_normalize_text(text) a, graft_normalize_text(text, 'NFKC') b FROM tn")
+      .collect().head
+    val api = spark.table("tn").select(
+      Exprs.normalizeText(col("text")).as("a"),
+      Exprs.normalizeText(col("text"), "NFKC").as("b")).collect().head
+    assert(sql.getString(0) == api.getString(0) && sql.getString(0) == "ab caf\u00e9 x")
+    assert(sql.getString(1) == api.getString(1))
+  }
+
   test("non-literal size parameter is rejected with a clear error") {
     Conf.ensure(spark)
     Seq(("a b c", 3)).toDF("text", "n").createOrReplaceTempView("t2")
