@@ -244,6 +244,25 @@ object SparkEntry {
       top1Certificate(
         Similarity.rerankExact(shortlist, probes, emb, k = 5), 1000000L)
     }),
+    // residual IVF-PQ (the full FAISS IVFPQ recipe): codes trained on
+    // vec - nearest-centroid, per-(query,list) LUTs. nprobe=1 keeps the
+    // certificate PROVABLE — within the query's own list its residual
+    // codes are the per-subspace LUT argmin, so self shares the minimal
+    // ADC distance; at nprobe>1 other lists' LUTs make that only
+    // statistically true
+    "q108_ivfpq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.fitCentroids(emb, nlist = 8, maxIter = 5)
+      val books = Similarity.pqTrainResidual(emb, centroids, m = 8, ksub = 16)
+      val probes = emb.where(col("vec_id") < 5).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      Similarity.ivfPqKnnResidual(probes, emb, centroids, books, k = 5, nprobe = 1)
+        .groupBy(col("qid")).agg(
+          min(col("adist")).as("_mn"),
+          min(when(col("nid") === col("qid") - 1000000L, col("adist"))).as("_self"))
+        .select(col("qid"),
+          (col("_self").isNotNull && col("_self") === col("_mn")).as("top1_ok"))
+    }),
     // Unicode + whitespace normalization: the oracle splices a decomposed
     // accent, tab/space runs, and a BEL control into every doc (both
     // engines, identically), then each normalizes with its own machinery
@@ -1038,6 +1057,8 @@ object SparkEntry {
     "q104_ivfpq_knn" ->
       "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
     "q105_pq_rerank" ->
+      "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
+    "q108_ivfpq_residual" ->
       "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
     // chr(769) = U+0301 combining acute (NFC-composes with the preceding
     // 'e'), chr(9) = tab, chr(7) = BEL; DuckDB regexp_replace needs the

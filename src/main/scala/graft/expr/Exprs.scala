@@ -69,8 +69,9 @@ object Exprs {
   def zValue(a: Column, b: Column): Column =
     ExpressionUtils.column(ZValue(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
-    ExpressionUtils.column(PqCodes(ExpressionUtils.expression(vec), codebooks))
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]],
+              coarse: Seq[Seq[Double]] = Nil): Column =
+    ExpressionUtils.column(PqCodes(ExpressionUtils.expression(vec), codebooks, coarse))
 
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     ExpressionUtils.column(PqAdc(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), ksub))
@@ -519,7 +520,8 @@ case class ZValue(left: Expression, right: Expression) extends BinaryExpression 
   * Rows whose dimension differs from m*dsub encode to null (a corpus with
   * ragged vectors should be length-filtered before indexing, not silently
   * truncated). */
-case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]],
+                   coarse: Seq[Seq[Double]] = Nil)
   extends UnaryExpression with VectorReader {
   require(codebooks.nonEmpty && codebooks.head.nonEmpty && codebooks.head.head.nonEmpty)
 
@@ -531,10 +533,32 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   @transient private lazy val books: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
   @transient private lazy val dsub = books(0)(0).length
+  @transient private lazy val coarseCents: Array[Array[Double]] =
+    coarse.map(_.toArray).toArray
 
   def compute(vec: ArrayData): ArrayData = {
     val m = books.length
     if (vec.numElements() != m * dsub) return null
+    // residual mode (IVF-PQ, Jégou et al. §IV): encode vec - C_nearest;
+    // the same nearest-coarse-centroid the inverted-list assignment uses,
+    // so encode and placement can never disagree
+    val sub: Array[Double] =
+      if (coarseCents.isEmpty) null
+      else {
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < coarseCents.length) {
+          val cent = coarseCents(c)
+          val n = math.min(vec.numElements(), cent.length)
+          var d2 = 0.0
+          var j = 0
+          while (j < n) { val d = elemAt(vec, j, childIsFloat) - cent(j); d2 += d * d; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        coarseCents(best)
+      }
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -548,7 +572,9 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
         var d2 = 0.0
         var j = 0
         while (j < dsub) {
-          val d = elemAt(vec, off + j, childIsFloat) - cent(j)
+          val r = elemAt(vec, off + j, childIsFloat) -
+            (if (sub == null || off + j >= sub.length) 0.0 else sub(off + j))
+          val d = r - cent(j)
           d2 += d * d
           j += 1
         }

@@ -537,6 +537,131 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("adist"))
   }
 
+  /** Train PQ codebooks on coarse-quantizer RESIDUALS (vec - nearest
+    * centroid) — the full FAISS IVFPQ recipe (Jégou et al. §IV): residuals
+    * concentrate near zero regardless of which cell a vector lives in, so
+    * the same ksub codes resolve much finer structure than raw-vector PQ
+    * at equal bytes. Same bounded-sample discipline as [[pqTrain]]; the
+    * residual subtraction happens on the collected sample, zero extra
+    * Spark jobs. */
+  def pqTrainResidual(corpus: DataFrame, centroids: Array[Array[Double]],
+                      m: Int = 8, ksub: Int = 16,
+                      vecCol: String = "embedding", seed: Long = 42L,
+                      maxIter: Int = 10,
+                      samplePerCentroid: Int = 256): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1 && centroids.nonEmpty)
+    val target = samplePerCentroid.toLong * ksub
+    val n = corpus.count()
+    val sampled =
+      if (n <= target) corpus
+      else corpus.sample(withReplacement = false,
+        fraction = math.min(1.0, target.toDouble * 1.05 / n), seed)
+    val pts = sampled.select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray).filter(_.nonEmpty)
+    require(pts.nonEmpty, "pqTrainResidual: no non-empty vectors to train on")
+    val dim = pts(0).length
+    require(dim % m == 0, s"pqTrainResidual: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val residuals = pts.filter(_.length == dim).map { p =>
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val nn = math.min(dim, cent.length)
+        var d2 = 0.0; var j = 0
+        while (j < nn) { val d = p(j) - cent(j); d2 += d * d; j += 1 }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      val cent = centroids(best)
+      Array.tabulate(dim)(j => p(j) - (if (j < cent.length) cent(j) else 0.0))
+    }
+    Array.tabulate(m) { s =>
+      kmeansLocal(residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub)), ksub, seed + s, maxIter)
+    }
+  }
+
+  /** Per-(query, probed list) residual LUTs: lut[s*ksub+c] =
+    * ||(q - C_list)_s - codebook[s][c]||². nprobe rows per query —
+    * still driver-tiny (|queries| * nprobe * m * ksub doubles). */
+  private def residualLutRows(queries: DataFrame,
+                              codebooks: Array[Array[Array[Double]]],
+                              centroids: Array[Array[Double]], nprobe: Int,
+                              idCol: String,
+                              vecCol: String): Seq[(Long, Int, Seq[Double])] = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().toSeq.flatMap { r =>
+        val q = r.getSeq[Double](1).toArray
+        require(q.length == m * dsub,
+          s"pq query dim ${q.length} != codebook dim ${m * dsub}")
+        val d2s = centroids.indices.map { c =>
+          val cent = centroids(c)
+          var d2 = 0.0; var j = 0
+          val nn = math.min(q.length, cent.length)
+          while (j < nn) { val d = q(j) - cent(j); d2 += d * d; j += 1 }
+          (d2, c)
+        }.sorted.take(nprobe)
+        d2s.map { case (_, listId) =>
+          val cent = centroids(listId)
+          val lut = new Array[Double](m * ksub)
+          var s = 0
+          while (s < m) {
+            var c = 0
+            while (c < ksub) {
+              val code = codebooks(s)(c)
+              var d2 = 0.0; var j = 0
+              while (j < dsub) {
+                val qi = s * dsub + j
+                val rq = q(qi) - (if (qi < cent.length) cent(qi) else 0.0)
+                val d = rq - code(j)
+                d2 += d * d; j += 1
+              }
+              lut(s * ksub + c) = d2
+              c += 1
+            }
+            s += 1
+          }
+          (r.getLong(0), listId, lut.toSeq)
+        }
+      }
+  }
+
+  /** IVF-PQ with residual encoding: [[ivfPqKnn]]'s plan shape — two
+    * narrow scans, one equi-join on list_id — but codes store the
+    * residual and each probe carries its own per-list LUT, so distances
+    * are exact-to-the-codebook within every probed cell. The recall
+    * upgrade costs nothing per corpus row (same m lookups); only the
+    * broadcast grows from one LUT per query to nprobe. */
+  def ivfPqKnnResidual(queries: DataFrame, corpus: DataFrame,
+                       centroids: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]], k: Int = 5,
+                       nprobe: Int = 2, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val ksub = codebooks(0).length
+    val cents = centroids.map(_.toSeq).toSeq
+    val c = corpus.select(
+      Exprs.nearestCentroids(col(vecCol), cents, 1).getItem(0).as("list_id"),
+      col(idCol).as("nid"),
+      Exprs.pqCodes(col(vecCol), booksAsSeq(codebooks), cents).as("codes"))
+    val q = broadcast(
+      residualLutRows(queries, codebooks, centroids, nprobe, idCol, vecCol)
+        .toDF("qid", "list_id", "lut"))
+    val scored = c.join(q, Seq("list_id"))
+      .select(col("qid"), col("nid"),
+        Exprs.pqAdc(col("codes"), col("lut"), ksub).as("adist"))
+      .where(col("adist").isNotNull)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("adist"))
+  }
+
   /** Persisted IVF-PQ index — [[buildIvfIndex]]'s layout with PQ codes in
     * the inverted lists instead of raw vectors: `<path>/centroids`
     * (coarse quantizer), `<path>/codebooks` ((sub, code, centroid) rows),

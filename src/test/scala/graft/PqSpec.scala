@@ -119,6 +119,38 @@ class PqSpec extends SparkTestBase {
     assert(top1.forall { case (q, n) => n == q - 1000L }, top1.toString)
   }
 
+  test("residual IVF-PQ: self at minimal ADC in own list; quantization error shrinks") {
+    val cents = Similarity.fitCentroids(corpus, nlist = 4, maxIter = 5)
+    val plain = Similarity.pqTrain(corpus, m = 4, ksub = 4)
+    val resid = Similarity.pqTrainResidual(corpus, cents, m = 4, ksub = 4)
+    val queries = corpus.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+
+    // nprobe=1 keeps the minimality argument airtight: only the query's
+    // own list is scored, and there its own residual codes are the
+    // per-subspace LUT argmin
+    val rows = Similarity.ivfPqKnnResidual(queries, corpus, cents, resid, k = 5, nprobe = 1)
+      .select("qid", "nid", "adist").as[(Long, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 8)
+    val selfResid = byQ.map { case (q, rs) =>
+      val mn = rs.map(_._3).min
+      val self = rs.find(_._2 == q - 1000L)
+      assert(self.exists(_._3 == mn), s"query $q: self not at minimal ADC ($rs)")
+      self.get._3
+    }
+
+    // with codes this coarse (ksub=4) raw-vector PQ must spend them on
+    // the +0/+10/+20/+30 cluster offsets; residual codes only cover the
+    // jitter, so the self quantization error collapses
+    val enc = Similarity.pqEncode(corpus, plain)
+    val selfPlain = Similarity.pqKnn(queries, enc, plain, k = 60)
+      .where(col("nid") === col("qid") - 1000L)
+      .select("adist").as[Double].collect()
+    assert(selfResid.sum < selfPlain.sum,
+      s"residual error ${selfResid.sum} !< plain ${selfPlain.sum}")
+  }
+
   test("pqKnn ranks clustermates above other clusters (ADC preserves geometry)") {
     val books = Similarity.pqTrain(corpus, m = 4, ksub = 8)
     val enc = Similarity.pqEncode(corpus, books)
