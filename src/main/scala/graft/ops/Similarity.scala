@@ -674,9 +674,12 @@ object Similarity {
     * index scan. */
   def buildIvfPqIndex(corpus: DataFrame, path: String, nlist: Int,
                       m: Int = 8, ksub: Int = 16, idCol: String = "vec_id",
-                      vecCol: String = "embedding", seed: Long = 42L): Unit = {
+                      vecCol: String = "embedding", seed: Long = 42L,
+                      residual: Boolean = false): Unit = {
     val centroids = fitCentroids(corpus, nlist, vecCol, seed = seed)
-    val books = pqTrain(corpus, m, ksub, vecCol, seed)
+    val books =
+      if (residual) pqTrainResidual(corpus, centroids, m, ksub, vecCol, seed)
+      else pqTrain(corpus, m, ksub, vecCol, seed)
     val cents = centroids.map(_.toSeq).toSeq
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -684,43 +687,62 @@ object Similarity {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // the encoding mode is PINNED with the codebooks (minhashIndex's
+    // params discipline): a residual index searched with plain-PQ LUTs
+    // would return silently wrong distances, never an error
     books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
-    }.toSeq.toDF("sub", "code", "centroid")
+      book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq, residual) }
+    }.toSeq.toDF("sub", "code", "centroid", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     corpus.select(
       Exprs.nearestCentroids(col(vecCol), cents, 1).getItem(0).as("list_id"),
       col(idCol).as("nid"),
-      Exprs.pqCodes(col(vecCol), booksAsSeq(books)).as("codes"))
+      Exprs.pqCodes(col(vecCol), booksAsSeq(books),
+        if (residual) cents else Nil).as("codes"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
 
   /** Codebooks of a persisted IVF-PQ index, ordered so [sub][code] match
     * the stored rows — the encode/search shared loader, same discipline
     * as [[loadCentroids]]. m*ksub rows: driver-safe. */
+  /** Codebooks + pinned encoding mode. Legacy indexes (no `residual`
+    * column) load as plain-PQ — the shape they were built with. */
   private def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Array[Array[Array[Double]]] =
-    spark.read.parquet(s"$path/codebooks")
-      .orderBy("sub", "code").collect()
+                            path: String): (Array[Array[Array[Double]]], Boolean) = {
+    val df = spark.read.parquet(s"$path/codebooks")
+    val rows = df.orderBy("sub", "code").collect()
+    val books = rows
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray)
       .toArray
+    val residual = df.columns.contains("residual") &&
+      rows.headOption.exists(_.getAs[Boolean]("residual"))
+    (books, residual)
+  }
 
   /** Search a persisted IVF-PQ index: probe-list partition pruning +
-    * broadcast per-query LUTs + ADC ranking over stored codes. */
+    * broadcast per-query LUTs + ADC ranking over stored codes. The
+    * stored encoding mode dispatches the LUT shape — one per query for
+    * plain PQ, one per (query, probed list) for residual. */
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int = 5, nprobe: Int = 2,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     val cents = loadCentroids(spark, path)
-    val books = loadCodebooks(spark, path)
+    val (books, residual) = loadCodebooks(spark, path)
     val ksub = books(0).length
     val lists = spark.read.parquet(s"$path/lists")
-    val luts = pqLutRows(queries, books, idCol, vecCol).toDF("qid", "lut")
-    val probes = queries.select(col(idCol).as("qid"),
-      explode(Exprs.nearestCentroids(col(vecCol), cents, nprobe)).as("list_id"))
-    val q = broadcast(probes.join(luts, "qid"))
+    val q =
+      if (residual) broadcast(
+        residualLutRows(queries, books, cents.map(_.toArray).toArray,
+          nprobe, idCol, vecCol).toDF("qid", "list_id", "lut"))
+      else {
+        val luts = pqLutRows(queries, books, idCol, vecCol).toDF("qid", "lut")
+        val probes = queries.select(col(idCol).as("qid"),
+          explode(Exprs.nearestCentroids(col(vecCol), cents, nprobe)).as("list_id"))
+        broadcast(probes.join(luts, "qid"))
+      }
     val scored = lists.join(q, Seq("list_id"))
       .select(col("qid"), col("nid"),
         Exprs.pqAdc(col("codes"), col("lut"), ksub).as("adist"))
@@ -762,11 +784,12 @@ object Similarity {
                          batch: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit = {
     val cents = loadCentroids(spark, path)
-    val books = loadCodebooks(spark, path)
+    val (books, residual) = loadCodebooks(spark, path)
     batch.select(
       Exprs.nearestCentroids(col(vecCol), cents, 1).getItem(0).as("list_id"),
       col(idCol).as("nid"),
-      Exprs.pqCodes(col(vecCol), booksAsSeq(books)).as("codes"))
+      Exprs.pqCodes(col(vecCol), booksAsSeq(books),
+        if (residual) cents else Nil).as("codes"))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
   }
 }

@@ -151,6 +151,35 @@ class PqSpec extends SparkTestBase {
       s"residual error ${selfResid.sum} !< plain ${selfPlain.sum}")
   }
 
+  test("persisted residual index: mode pinned, search == in-memory, append encodes residually") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpqr").toString
+    Similarity.buildIvfPqIndex(corpus, path, nlist = 4, m = 4, ksub = 8, residual = true)
+    val queries = corpus.where(col("vec_id") < 6)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+
+    val indexed = Similarity.searchIvfPqIndex(spark, path, queries, k = 3, nprobe = 1)
+    val cents = Similarity.fitCentroids(corpus, nlist = 4) // same seed -> same model
+    val books = Similarity.pqTrainResidual(corpus, cents, m = 4, ksub = 8)
+    val direct = Similarity.ivfPqKnnResidual(queries, corpus, cents, books, k = 3, nprobe = 1)
+    val a = indexed.select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val b = direct.select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a.nonEmpty && a == b,
+      s"indexed vs direct diverged: ${a.diff(b).take(3)} / ${b.diff(a).take(3)}")
+
+    // appended exact copy encodes with the SAME residual mode (a plain-PQ
+    // append against a residual index would score garbage): probing with
+    // the original sees the twin at the minimal ADC distance
+    val twin = corpus.where(col("vec_id") === 3)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, path, twin)
+    val rows = Similarity.searchIvfPqIndex(spark, path,
+      corpus.where(col("vec_id") === 3), k = 20, nprobe = 1)
+      .select("nid", "adist").as[(Long, Double)].collect()
+    val mn = rows.map(_._2).min
+    assert(rows.exists(r => r._1 == 5003L && r._2 == mn),
+      s"appended twin not at minimal ADC: ${rows.mkString(",")}")
+  }
+
   test("pqKnn ranks clustermates above other clusters (ADC preserves geometry)") {
     val books = Similarity.pqTrain(corpus, m = 4, ksub = 8)
     val enc = Similarity.pqEncode(corpus, books)
