@@ -117,6 +117,28 @@ object ScaleSmoke {
     t0 = System.nanoTime()
     val kept = ops.Similarity.semDedup(vecs, nlist = nlist).count()
     println(f"semDedup($n vecs, nlist=$nlist): ${(System.nanoTime()-t0)/1e9}%.1f s, $kept survivors, ${n - kept} dropped")
+    // IVF-PQ at the same vector count: train (bounded sample), encode the
+    // corpus (scan-speed codegen pass), search with 10 exact-copy probes
+    // through the residual path — self must come back at minimal ADC
+    t0 = System.nanoTime()
+    val pqCents = ops.Similarity.fitCentroids(vecs, nlist = 64)
+    val pqBooks = ops.Similarity.pqTrainResidual(vecs, pqCents, m = 8, ksub = 16)
+    println(f"pq train($n vecs, nlist=64, m=8, ksub=16): ${(System.nanoTime()-t0)/1e9}%.1f s")
+    t0 = System.nanoTime()
+    val nCodes = ops.Similarity.pqEncode(vecs, pqBooks).where(col("codes").isNotNull).count()
+    println(f"pqEncode($n vecs): ${(System.nanoTime()-t0)/1e9}%.1f s, $nCodes coded (${n/((System.nanoTime()-t0)/1e9)}%.0f vecs/s)")
+    val pqProbes = vecs.where(col("vec_id") < 10)
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"))
+    t0 = System.nanoTime()
+    val pqRows = ops.Similarity.ivfPqKnnResidual(pqProbes, vecs, pqCents, pqBooks,
+      k = 5, nprobe = 1).select("qid", "nid", "adist")
+      .as[(Long, Long, Double)].collect()
+    val selfOk = pqRows.groupBy(_._1).count { case (q, rs) =>
+      val mn = rs.map(_._3).min
+      rs.exists(r => r._2 == q - n && r._3 == mn)
+    }
+    println(f"ivfPqKnnResidual(10 probes vs $n vecs): ${(System.nanoTime()-t0)/1e9}%.1f s, $selfOk/10 self-retrievals at minimal ADC")
+    assert(selfOk == 10, s"residual PQ self-retrieval broke at scale: $selfOk/10")
     vecs.unpersist(false)
     spark.stop()
   }

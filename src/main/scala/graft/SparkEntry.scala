@@ -584,6 +584,14 @@ object SparkEntry {
     "q100_split3" -> ((s, d) =>
       Curate.trainValTestSplit(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("split"))),
+    // GLOBAL sequence packing (q78's per-source twin, corpus as ONE
+    // epoch-shuffled stream): concat-and-chunk into 512-token training
+    // sequences; per-doc stream offset + pack span. The oracle affords a
+    // global window cumsum; the Spark side computes the same prefix-sum
+    // scalably (range partition + two-pass broadcast offsets)
+    "q109_pack" -> ((s, d) =>
+      Curate.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 512L, epoch = 1)),
     // sample-trained BPE: merges learned locally on a bounded md5-ordered
     // sample (the fitCentroids discipline — zero Spark jobs per round),
     // applied corpus-wide with a broadcast rank table; the oracle gates
@@ -1510,6 +1518,20 @@ object SparkEntry {
          |         < '${ops.Curate.hashSampleThreshold(0.8 + 0.1)}' THEN 'val'
          |       ELSE 'test' END split
          |FROM documents""".stripMargin,
+    // window cumsum is the oracle's luxury; the Spark side computes the
+    // same prefix-sum scalably (range partition + two-pass offsets)
+    "q109_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(LEN($toks) AS BIGINT) n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR) || '_e1') sk FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY sk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      stream_pos
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, stream_pos,
+         |  stream_pos // 512 pack_first,
+         |  (stream_pos + n_tokens - 1) // 512 pack_last
+         |FROM c""".stripMargin,
     "q97_bpe_train_apply" ->
       """SELECT doc_id,
         |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))

@@ -343,6 +343,65 @@ object Curate {
     spark.createDataFrame(out, keyed.schema.add("pos", LongType, nullable = false))
   }
 
+  /** GLOBAL sequence packing — the "concatenate-and-chunk" step that turns
+    * a curated corpus into fixed-length training sequences: documents are
+    * laid out in a deterministic per-epoch shuffle order ([[epochShuffle]]'s
+    * md5 key), their token streams conceptually concatenated, and the
+    * stream cut every `budget` tokens. The global-stream complement of
+    * [[TextAnalysis.sequencePack]] (which packs per-source streams through
+    * an ordinary window cumsum and so parallelizes BY stream): here the
+    * whole corpus is ONE stream — the layout an actual epoch of training
+    * consumes — and the global prefix-sum that would serialize a window
+    * formulation through a single partition is computed scalably instead. Each document gets its absolute
+    * token offset (`stream_pos`) plus the first/last pack indices it lands
+    * in — a document straddling a cut is split across consecutive packs,
+    * exactly like production packing (zero padding waste). Everything is
+    * arithmetic on md5 + token counts, so a resumed run, a different
+    * engine, or a retried stage re-derives the SAME layout.
+    *
+    * Scale: the only global state is one exclusive prefix-sum of token
+    * counts, computed in two passes over a range-partitioned sort — per-
+    * partition sums (`parts` longs to the driver) broadcast back as
+    * offsets, the same shape as [[epochShuffle]]'s dense index. No global
+    * single-partition window, no driver materialization of rows. Token-
+    * empty documents are dropped (they occupy no stream positions). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long, epoch: Int, parts: Int = 64): DataFrame = {
+    require(budget > 0, s"pack budget must be positive: $budget")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val keyed = df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(concat(col(idCol).cast("string"), lit(s"_e$epoch"))).as("_skey"))
+      .where(col("n_tokens") > 0)
+      .repartitionByRange(parts, col("_skey"), col(idCol))
+      .sortWithinPartitions(col("_skey"), col(idCol))
+      .localCheckpoint(true)
+    val sums = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        while (it.hasNext) { s += it.next().getLong(1) }
+        Iterator.single((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(sums.scanLeft(0L)(_ + _))
+    val out = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = offsets.value(pid)
+      it.map { r =>
+        val n = r.getLong(1)
+        val row = Row(r.get(0), n, pos, pos / budget, (pos + n - 1) / budget)
+        pos += n
+        row
+      }
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(keyed.schema.fields(0))
+      .add("n_tokens", LongType, nullable = false)
+      .add("stream_pos", LongType, nullable = false)
+      .add("pack_first", LongType, nullable = false)
+      .add("pack_last", LongType, nullable = false)
+    spark.createDataFrame(out, schema)
+  }
+
   /** Mixture balancing: downsample over-represented sources toward a
     * UNIFORM target mixture, with the per-source rates derived IN-PLAN
     * from the corpus's own counts — rate_s = min(1, (N/k)/cnt_s) — and

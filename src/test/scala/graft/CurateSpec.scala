@@ -247,6 +247,38 @@ class CurateSpec extends SparkTestBase {
     }
   }
 
+  test("packSequences: == locally simulated concat-and-chunk; partitioning-invariant") {
+    val docs = spark.range(0, 500).select($"id".as("doc_id"),
+      // id%13+1 tokens per doc; every 29th doc is whitespace-only (dropped)
+      when($"id" % 29 === 0, lit(" \t "))
+        .otherwise(concat_ws(" ", transform(
+          sequence(lit(1), ($"id" % 13 + 1).cast("int")),
+          j => concat(lit("w"), j)))).as("text"))
+    val got = Curate.packSequences(docs, "doc_id", "text",
+        budget = 17L, epoch = 1, parts = 5)
+      .select("doc_id", "n_tokens", "stream_pos", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._3)
+    // local reference: walk the md5-key order with a running token offset
+    val ref = docs.select($"doc_id",
+        md5(concat($"doc_id".cast("string"), lit("_e1"))).as("sk"),
+        size(filter(split($"text", "\\s+"), t => length(t) > 0))
+          .cast("long").as("n"))
+      .as[(Long, String, Long)].collect().filter(_._3 > 0)
+      .sortBy(r => (r._2, r._1))
+    var pos = 0L
+    val exp = ref.map { case (id, _, n) =>
+      val r = (id, n, pos, pos / 17, (pos + n - 1) / 17); pos += n; r
+    }
+    assert(got.toSeq == exp.toSeq)
+    assert(!got.exists(_._1 % 29 == 0), "token-empty docs must be dropped")
+    // same layout under different input partitioning AND a different parts
+    val again = Curate.packSequences(docs.repartition(7), "doc_id", "text",
+        17L, 1, parts = 16)
+      .select("doc_id", "stream_pos").as[(Long, Long)].collect().toMap
+    assert(got.forall(r => again(r._1) == r._3),
+      "packing layout must be partitioning-invariant")
+  }
+
   test("decontaminateBloom: empty benchmark -> zero shared, nothing contaminated") {
     val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val bench = corpus.where($"doc_id" < 0)
