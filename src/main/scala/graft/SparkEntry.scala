@@ -592,6 +592,15 @@ object SparkEntry {
     "q109_pack" -> ((s, d) =>
       Curate.packSequences(Tables.documents(s, d), "doc_id", "text",
         budget = 512L, epoch = 1)),
+    // winnowing fingerprints (MOSS): k-gram hashes -> rightmost window
+    // minima; the substring-granularity sketch whose fp equi-join finds
+    // partial-overlap/boilerplate pairs doc-level hashing misses
+    "q110_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(Tables.documents(s, d), k = 4, w = 5)),
+    // the use case q110 exists for: doc pairs sharing >=2 fingerprints,
+    // hot template fps df-capped before pairing (the maxDf discipline)
+    "q111_winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowPairs(Tables.documents(s, d), k = 4, w = 5)),
     // sample-trained BPE: merges learned locally on a bounded md5-ordered
     // sample (the fitCentroids discipline — zero Spark jobs per round),
     // applied corpus-wide with a broadcast rank table; the oracle gates
@@ -772,6 +781,32 @@ object SparkEntry {
   // produced phantom empty tokens; found by PropertySpec round 2).
   private val toks =
     "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+  /** Mirrors TextAnalysis.winnow stage for stage: per-char polynomial
+    * token values, polynomial gram hashes, rightmost window-min via the
+    * reversed window, pos*2e9+fp encoding distinct'ed before unnest.
+    * Shared by q110 (the fingerprint rows) and q111 (the pair join). */
+  private val winnowOracleSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_transform($toks, t ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |        (a, b) -> (a*131 + b) % 1000000007)) tv
+       |  FROM documents),
+       |f AS (SELECT doc_id, tv FROM t WHERE LEN(tv) >= 8),
+       |g AS (SELECT doc_id,
+       |    list_transform(range(1, LEN(tv)-4+2), i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(tv, i, i+3)),
+       |        (a, b) -> (a*31 + b) % 1000000007)) gh
+       |  FROM f),
+       |s AS (SELECT doc_id, list_distinct(
+       |    list_transform(range(1, LEN(gh)-5+2), j ->
+       |      (j + 5 - list_position(list_reverse(list_slice(gh, j, j+4)),
+       |                             list_min(list_slice(gh, j, j+4))))*2000000000
+       |        + list_min(list_slice(gh, j, j+4)))) encs
+       |  FROM g)
+       |SELECT doc_id, enc // 2000000000 pos, enc % 2000000000 fp
+       |FROM (SELECT doc_id, unnest(encs) enc FROM s)""".stripMargin
 
   /** Shared by q49 (min-label propagation) and q77 (large-star/small-star):
     * both must resolve the same pair graph to the same components. */
@@ -1532,6 +1567,16 @@ object SparkEntry {
          |  stream_pos // 512 pack_first,
          |  (stream_pos + n_tokens - 1) // 512 pack_last
          |FROM c""".stripMargin,
+    "q110_winnow" -> winnowOracleSql,
+    "q111_winnow_pairs" ->
+      s"""WITH w AS ($winnowOracleSql),
+         |d AS (SELECT DISTINCT doc_id, fp FROM w),
+         |c AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) <= 100),
+         |k AS (SELECT d.doc_id, d.fp FROM d JOIN c USING (fp))
+         |SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) shared_fps
+         |FROM k a JOIN k b USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "q97_bpe_train_apply" ->
       """SELECT doc_id,
         |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))

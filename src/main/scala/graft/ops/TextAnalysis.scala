@@ -158,6 +158,95 @@ object TextAnalysis {
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), fingerprint(col("text")).as("fp"), length(col("text")).as("n_chars"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD '03 —
+    * the MOSS algorithm): the substring-granularity complement of the
+    * whole-document [[fingerprint]]. Hash every k-token gram, slide a
+    * w-gram window, and keep the window minimum (rightmost on ties — the
+    * "robust winnowing" rule, so a tie run yields one stable pick);
+    * the selected (position, hash) set is the document's fingerprint
+    * sketch. Guarantees: any shared token run of length >= k+w-1 between
+    * two documents produces at least one IDENTICAL selected hash in both
+    * — so an equi-join on `fp` finds partial-overlap/boilerplate pairs
+    * that doc-level hashing misses, at sketch (not text) volume.
+    * Documents shorter than k+w-1 tokens emit nothing (below the
+    * guarantee threshold, only noise).
+    *
+    * Execution: three projections separated by Generate barriers (the
+    * q73 discipline — the regex tokenization and the gram-hash array are
+    * each materialized ONCE as attributes before a lambda touches them;
+    * every lambda body is pure arithmetic over attribute slices, which
+    * [[graft.plans.LambdaCostAudit]] verifies). Per-row cost is
+    * O(tokens·(k+w)) arithmetic, no shuffle, so at 100 TB it runs at
+    * scan speed like its sibling text operators. Token values are a
+    * full per-character polynomial ((acc·131+ascii(c)) mod 1e9+7 —
+    * strong enough that a fp match is real shared text, not the q24
+    * len+first-char shortcut's frequent collisions), gram hashes fold
+    * token values by (acc·31+v) mod 1e9+7; both engine-neutral, so the
+    * DuckDB oracle mirrors every stage verbatim. Selected pairs travel
+    * as pos·2e9+hash encodings so the distinct-set step stays a flat
+    * BIGINT array in both engines. */
+  def winnow(documents: DataFrame, k: Int = 4, w: Int = 5,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val p = 1000000007L
+    val tvB = documents.select(col(idCol), inline(array(struct(
+        transform(tokens(col(textCol)),
+          t => aggregate(split(t, ""), lit(0L),
+            (a, c) => (a * 131L + ascii(c).cast("long")) % p))
+          .as("tv")))))
+      .where(size(col("tv")) >= k + w - 1)
+    val ghB = tvB.select(col(idCol), inline(array(struct(
+      transform(sequence(lit(1), size(col("tv")) - (k - 1)),
+        i => aggregate(slice(col("tv"), i, lit(k)), lit(0L),
+          (a, b) => (a * 31L + b) % p)).as("gh")))))
+    // size(gh) = size(tv)-k+1 >= w by the barrier filter above
+    ghB.select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(1), size(col("gh")) - (w - 1)), j => {
+          val win = slice(col("gh"), j, lit(w))
+          val mn = array_min(win)
+          // rightmost tie: position from the right in the reversed window
+          (j.cast("long") + w - array_position(reverse(win), mn)) * 2000000000L + mn
+        }))).as("enc"))
+      .select(col(idCol), expr("CAST(enc DIV 2000000000 AS BIGINT)").as("pos"),
+        (col("enc") % 2000000000L).as("fp"))
+  }
+
+  /** Partial-overlap pair detection over [[winnow]] sketches: two
+    * documents sharing any >=k+w-1-token run share a fingerprint, so an
+    * equi-join on `fp` surfaces boilerplate/partial-copy pairs that
+    * doc-level hashing (q20/q24) misses and that MinHash under-weighs
+    * when the shared run is a small fraction of both docs. The join
+    * runs at sketch volume (≈2/(w+1) of the gram count per doc), and
+    * hot fingerprints — boilerplate shared by everything, the quadratic
+    * blowup seed — are capped by document frequency BEFORE pairing
+    * (`maxDocsPerFp`, the same discipline as [[Dedup]]'s maxDf shingle
+    * cap: a fp in hundreds of docs identifies a template, not a copy
+    * pair, and belongs to a frequency analysis instead). Every stage is
+    * an equi-keyed shuffle on fp or (doc_a, doc_b); pair volume is
+    * sum(df²) over surviving fps, bounded by maxDocsPerFp²·|fps|. The
+    * sketch and its df-filtered form are each referenced twice (count
+    * join; self-join), so both are persisted — the corpus is scanned and
+    * winnowed exactly ONCE — and released via the [[Dedup]] lifecycle
+    * once the (small) pair frame is materialized. */
+  def winnowPairs(documents: DataFrame, k: Int = 4, w: Int = 5,
+                  minShared: Int = 2, maxDocsPerFp: Int = 100): DataFrame = {
+    // one row per (doc, fp): a fp selected at several positions within a
+    // doc counts once toward the pair's shared-fp evidence
+    val fps = winnow(documents, k, w)
+      .select(col("doc_id"), col("fp")).distinct().persist()
+    val kept = fps
+      .join(fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+              .where(col("df") <= maxDocsPerFp), Seq("fp"))
+      .select(col("fp"), col("doc_id"))
+      .persist()
+    val pairs = kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+    Dedup.materializeAndRelease(pairs, fps, kept)
+  }
+
   /** Vocabulary building: top-k tokens by total frequency, with document
     * frequency alongside — the pass a tokenizer-training pipeline runs
     * first. Two-level aggregation: (token, doc) partial counts first, then

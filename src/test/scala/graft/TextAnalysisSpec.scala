@@ -86,6 +86,74 @@ class TextAnalysisSpec extends SparkTestBase {
       s"over-represented stratum must sample toward 500: $got")
   }
 
+  test("winnow: == local simulation; window coverage; shared runs share a fp") {
+    val k = 4; val w = 5; val p = 1000000007L
+    // deterministic pseudo-random token streams + one planted shared run
+    def toks(seed: Long, n: Int): Seq[String] =
+      (0 until n).map(i => s"t${(seed * 131 + i * 7919) % 50}")
+    val shared = toks(99, 12) // >= k+w-1=8 tokens -> must collide
+    val corpus = Seq(
+      (1L, (toks(1, 40) ++ shared ++ toks(2, 30)).mkString(" ")),
+      (2L, (toks(3, 25) ++ shared ++ toks(4, 45)).mkString(" ")),
+      (3L, toks(5, 60).mkString(" ")),
+      (4L, toks(6, 7).mkString(" ")),   // below k+w-1: no fingerprints
+      (5L, "same same same same same same same same same same")) // tie run
+    val df = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.winnow(df, k, w)
+      .as[(Long, Long, Long)].collect().toSet
+    // local reference: same algorithm in plain Scala
+    val exp = corpus.flatMap { case (id, text) =>
+      val tv = text.split("\\s+").filter(_.nonEmpty)
+        .map(t => t.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % p))
+      if (tv.length < k + w - 1) Seq.empty
+      else {
+        val gh = tv.sliding(k).map(_.foldLeft(0L)((a, b) => (a * 31 + b) % p)).toArray
+        (0 to gh.length - w).flatMap { j =>
+          val win = gh.slice(j, j + w)
+          val mn = win.min
+          val pos = j + win.lastIndexOf(mn) + 1 // 1-based gram index
+          Seq((id, pos.toLong, mn))
+        }.distinct
+      }
+    }.toSet
+    assert(got == exp, s"diff: ${(got diff exp) ++ (exp diff got)}")
+    assert(!got.exists(_._1 == 4L), "sub-threshold doc must emit nothing")
+    // coverage guarantee: every window of w grams contains a selected pos
+    for ((id, rows) <- got.groupBy(_._1)) {
+      val sel = rows.map(_._2)
+      val m = corpus.find(_._1 == id).get._2.split("\\s+").count(_.nonEmpty) - k + 1
+      for (j <- 1 to m - w + 1)
+        assert(sel.exists(s => s >= j && s < j + w), s"doc $id window $j uncovered")
+    }
+    // the planted run yields at least one identical fp in docs 1 and 2
+    val f1 = got.filter(_._1 == 1L).map(_._3)
+    val f2 = got.filter(_._1 == 2L).map(_._3)
+    assert((f1 intersect f2).nonEmpty, "shared run must share a fingerprint")
+    // tie run: rightmost-min rule picks ONE stable pos per window
+    assert(got.count(_._1 == 5L) > 0)
+  }
+
+  test("winnowPairs: planted shared run pairs up; df cap kills template pairs") {
+    val shared = (0 until 30).map(i => s"sh$i")
+    def rnd(seed: Int, n: Int) = (0 until n).map(i => s"u${seed}x$i")
+    val docs = Seq(
+      (1L, (rnd(1, 20) ++ shared ++ rnd(2, 20)).mkString(" ")),
+      (2L, (rnd(3, 15) ++ shared ++ rnd(4, 25)).mkString(" ")),
+      (3L, rnd(5, 60).mkString(" "))).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 1)
+    // a template prefix in EVERY doc is df-capped out: no pair explosion
+    val tmpl = (0 until 40).map(i => s"T$i")
+    val many = (1 to 12).map(i =>
+        (i.toLong, (tmpl ++ rnd(100 + i, 30)).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.winnowPairs(many, minShared = 1, maxDocsPerFp = 5)
+      .isEmpty, "template fps above the df cap must not generate pairs")
+  }
+
   test("fingerprint: deterministic, order-sensitive, blank => 0") {
     val a = Seq((1L, "x yy zzz")).toDF("doc_id", "text")
     val b = Seq((1L, "zzz yy x")).toDF("doc_id", "text")
