@@ -8,6 +8,19 @@ only (floats are excluded from the sort key so a tiny cross-engine float
 divergence cannot reorder the two sides differently and cascade into
 spurious mismatches). Float values compare exactly by default; pass
 --tol EPS for relative-epsilon comparison.
+
+Dtype strictness: the driver's hash is computed over pandas frames, so a
+DuckDB HUGEINT (-> float64/object in pandas) vs a Spark BIGINT (-> int64)
+diverges at the driver even when the Python values are equal (round-6 red
+q92). This tool therefore ALSO materializes both sides as pandas
+DataFrames and fails on any per-column dtype KIND mismatch (int vs float
+vs bool vs object/datetime) after name-sorting. Width differences within
+a kind (int32 vs int64) are deliberately allowed — CORRECTNESS_r06 shows
+the driver hashing them equal across 14 queries, so failing them locally
+would manufacture false reds; kind differences are exactly the class the
+driver diverges on. Both sides go through the same DuckDB->pandas
+conversion, so nullability effects cancel and any kind delta reflects a
+genuine engine-type difference.
 """
 import json, sys, glob, math
 import duckdb
@@ -24,6 +37,19 @@ def canon(rows, cols):
     def key(t):
         return tuple((t[i] is None, str(t[i])) for i in nonfloat)
     return sorted(out, key=key), ordered_cols
+
+def dtype_map(rel):
+    """Column name (lowered) -> (kind class, dtype string), via the same
+    DuckDB->pandas path the driver's hash effectively sees. Kind classes:
+    signed/unsigned ints merge to 'int'; everything else keeps its numpy
+    kind ('f' float, 'b' bool, 'O' object, 'M' datetime, ...)."""
+    df = rel.df()
+    out = {}
+    for c in df.columns:
+        dt = df[c].dtype
+        kind = "int" if dt.kind in ("i", "u") else dt.kind
+        out[c.lower()] = (kind, str(dt))
+    return out
 
 def values_eq(a, b, tol):
     if a is None or b is None:
@@ -54,12 +80,22 @@ def main():
         try:
             spark_rel = con.sql(f"select * from read_parquet('{out_dir}/{name}/*.parquet')")
             s_rows, s_cols = canon(spark_rel.fetchall(), [c.lower() for c in spark_rel.columns])
+            s_dtypes = dtype_map(spark_rel)
             duck_rel = con.sql(oracle[name])
             d_rows, d_cols = canon(duck_rel.fetchall(), [c.lower() for c in duck_rel.columns])
+            d_dtypes = dtype_map(duck_rel)
         except Exception as e:
             fails.append(name); print(f"FAIL {name}: exec error {str(e)[:200]}"); continue
         if s_cols != d_cols:
             fails.append(name); print(f"FAIL {name}: cols spark={s_cols} duck={d_cols}"); continue
+        dtype_bad = [c for c in s_cols
+                     if (s_dtypes.get(c) or ("?",))[0] != (d_dtypes.get(c) or ("?",))[0]]
+        if dtype_bad:
+            fails.append(name)
+            for c in dtype_bad[:5]:
+                print(f"  {name}.{c}: dtype spark={s_dtypes.get(c)} duck={d_dtypes.get(c)}")
+            print(f"FAIL {name}: {len(dtype_bad)} dtype-kind mismatches (driver hash would diverge)")
+            continue
         if len(s_rows) != len(d_rows):
             fails.append(name); print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}"); continue
         bad = 0
