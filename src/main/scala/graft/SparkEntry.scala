@@ -592,6 +592,16 @@ object SparkEntry {
     "q109_pack" -> ((s, d) =>
       Curate.packSequences(Tables.documents(s, d), "doc_id", "text",
         budget = 512L, epoch = 1)),
+    // REAL entropy-coded decode: PNG payloads written by the JDK's
+    // ImageIO from a closed-form pixel formula, decoded back through the
+    // same headless ImageIO on executors (magic-byte dispatch, garbage
+    // rows undecoded). PNG is lossless, so the decoded channel sums equal
+    // the formula's — the oracle recomputes them without seeing a PNG
+    // byte, giving the entropy-coded path q96's cross-engine gate
+    "q112_codec_png" -> ((s, d) =>
+      Multimodal.decodeMedia(s,
+        Multimodal.syntheticPngAssets(
+          Tables.documents(s, d).select(col("doc_id"))))),
     // winnowing fingerprints (MOSS): k-gram hashes -> rightmost window
     // minima; the substring-granularity sketch whose fp equi-join finds
     // partial-overlap/boilerplate pairs doc-level hashing misses
@@ -1567,6 +1577,24 @@ object SparkEntry {
          |  stream_pos // 512 pack_first,
          |  (stream_pos + n_tokens - 1) // 512 pack_last
          |FROM c""".stripMargin,
+    "q112_codec_png" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |img AS (SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) w,
+        |    CAST((doc_id*3) % 16 + 8 AS INT) h
+        |  FROM ids WHERE doc_id % 97 <> 0),
+        |ix AS (SELECT doc_id, w, h, unnest(range(w)) x FROM img),
+        |icell AS (SELECT doc_id, w, h, x, unnest(range(h)) y FROM ix),
+        |isum AS (SELECT doc_id, w, h,
+        |    CAST(SUM((x*7 + y*13 + doc_id) % 256) AS BIGINT) sr,
+        |    CAST(SUM((x*3 + y*5 + 2*doc_id) % 256) AS BIGINT) sg,
+        |    CAST(SUM((x + y + 3*doc_id) % 256) AS BIGINT) sb
+        |  FROM icell GROUP BY 1,2,3)
+        |SELECT doc_id asset_id, 'image' media_type, w width, h height,
+        |  sr sum_r, sg sum_g, sb sum_b, CAST(NULL AS INT) sample_rate,
+        |  CAST(NULL AS INT) n_samples, CAST(NULL AS BIGINT) sum_abs FROM isum
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM ids WHERE doc_id % 97 = 0""".stripMargin,
     "q110_winnow" -> winnowOracleSql,
     "q111_winnow_pairs" ->
       s"""WITH w AS ($winnowOracleSql),
@@ -1622,7 +1650,7 @@ object SparkEntry {
         |    CASE WHEN o_orderdate = DATE '1995-02-15' THEN 4 ELSE 1 END)) _rep FROM o),
         |base AS (SELECT o_orderdate "day", COUNT(*) cnt FROM u GROUP BY 1),
         |w AS (SELECT "day", cnt,
-        |    SUM(cnt) OVER (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) sum_w,
+        |    CAST(SUM(cnt) OVER (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) sum_w,
         |    COUNT(*) OVER (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) n_w
         |  FROM base)
         |SELECT "day", cnt, sum_w, n_w, cnt * n_w > 2 * sum_w spike FROM w""".stripMargin,

@@ -1,24 +1,31 @@
 package graft.ops
 
-/** Real, dependency-free media codecs — pure byte parsing on the JVM, no
-  * ImageIO/ffmpeg/JNI. This is the "swap the stub for a real codec" step
-  * Multimodal's Scaladoc promises, done for the two formats simple enough
-  * to decode with nothing but the bytes:
+/** Real media codecs on the JVM — two layers, both dependency-free in the
+  * "nothing beyond the JDK" sense:
   *
-  *   - PPM (P6): the classic uncompressed RGB raster — ASCII header
-  *     `P6 <width> <height> <maxval>` then width*height*3 raw bytes.
-  *   - WAV (RIFF/PCM16 mono): `RIFF….WAVE`, an `fmt ` chunk carrying
-  *     sample rate/channels/bit depth, a `data` chunk of LE 16-bit PCM.
+  *   - Pure byte parsing for the formats simple enough to decode with
+  *     nothing but the bytes: PPM (P6) — ASCII header `P6 <w> <h>
+  *     <maxval>` then raw RGB — and WAV (RIFF/PCM16 mono).
+  *   - `javax.imageio.ImageIO` (JDK java.desktop, headless-capable) for
+  *     the entropy-coded raster formats: PNG and JPEG (GIF/BMP/TIFF ride
+  *     along for free on the same readers). PNG is lossless, so its
+  *     decoded channel sums are integer-exact and formula-recomputable —
+  *     the same cross-engine oracle gate as PPM (q96/q112). JPEG is
+  *     lossy: dimensions decode exactly and are oracled; pixel sums are
+  *     codec-dependent and gated by ScalaTest tolerance instead.
   *
   * Decode output is integer-exact (pixel-channel sums, |sample| sums), so
   * a SQL oracle that recomputes the same sums from the generating formula
-  * hash-matches bit-for-bit — the decode path gets the SAME cross-engine
-  * gate as every relational operator (q96). JPEG/PNG/MP3/H.264 stay
-  * honestly out of scope: they need entropy-coding libraries this
-  * container does not have; the dispatch point ([[sniff]] +
-  * Multimodal.decodeMedia) is where a real deployment plugs them in.
+  * hash-matches bit-for-bit. Only MP3/H.264 remain out of scope: they
+  * genuinely need codec libraries this container does not have; the
+  * dispatch point ([[sniffFormat]] + Multimodal.decodeMedia) is where a
+  * real deployment plugs them in.
   */
 object Codecs {
+
+  // ImageIO must not try to attach a display; executors are headless.
+  // Object init runs once per JVM before any decode.
+  System.setProperty("java.awt.headless", "true")
 
   /** Parsed P6 image: dimensions + integer-exact per-channel sums. */
   final case class Ppm(width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
@@ -26,13 +33,25 @@ object Codecs {
   /** Parsed PCM16 mono WAV: rate + integer-exact sum of |sample|. */
   final case class Wav(sampleRate: Int, nSamples: Int, sumAbs: Long)
 
-  /** Modality by magic bytes — the real prober's dispatch. */
-  def sniff(bytes: Array[Byte]): Option[String] =
-    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("image")
+  /** Container format by magic bytes — the real prober's dispatch. */
+  def sniffFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("ppm")
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G' && bytes(4) == 0x0d && bytes(5) == 0x0a &&
+      bytes(6) == 0x1a && bytes(7) == 0x0a) Some("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) Some("jpeg")
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
-      bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') Some("audio")
+      bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') Some("wav")
     else None
+
+  /** Modality by magic bytes (back-compat wrapper over [[sniffFormat]]). */
+  def sniff(bytes: Array[Byte]): Option[String] =
+    sniffFormat(bytes).map {
+      case "wav" => "audio"
+      case _     => "image"
+    }
 
   // ---------------------------------------------------------------- PPM
 
@@ -148,4 +167,65 @@ object Codecs {
       Some(Wav(rate, n, s))
     }
   }
+
+  // ------------------------------------------------- PNG/JPEG via ImageIO
+
+  /** Encode a formula-pixel image with the JDK's ImageIO writer.
+    * `format` is an ImageIO informal name ("png", "jpg"). PNG round-trips
+    * RGB losslessly; JPEG does not (encode for dimension/tolerance tests
+    * only). Throws if no writer exists for the format — encode is a
+    * fixture/test path, not a data path, so failing loud is right. */
+  def encodeImageIO(width: Int, height: Int, format: String,
+                    pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  /** Decode an entropy-coded raster (PNG/JPEG/GIF/BMP/TIFF) with the JDK's
+    * ImageIO readers — headless, no external library — to the same
+    * integer-exact channel sums as [[decodePpm]]. Returns None on
+    * malformed bytes (media tables always contain garbage; decode skips,
+    * never throws). */
+  def decodeImageIO(bytes: Array[Byte]): Option[Ppm] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some(Ppm(w, h, sr, sg, sb))
+      }
+    } catch {
+      // ImageIO readers throw IOException/RuntimeException variants on
+      // truncated or corrupt streams; all mean "not decodable", not fatal
+      case _: java.io.IOException => None
+      case _: RuntimeException    => None
+    }
 }

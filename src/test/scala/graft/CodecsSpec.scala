@@ -51,6 +51,60 @@ class CodecsSpec extends SparkTestBase {
     assert(Codecs.sniff("GARBAGE".getBytes).isEmpty)
   }
 
+  test("PNG via ImageIO: lossless round trip, sums integer-exact, sniffFormat") {
+    val px = Map((0, 0) -> (1, 2, 3), (1, 0) -> (4, 5, 6),
+      (0, 1) -> (7, 8, 9), (1, 1) -> (250, 0, 255))
+    val bytes = Codecs.encodeImageIO(2, 2, "png", (x, y) => px((x, y)))
+    assert(Codecs.sniffFormat(bytes) == Some("png"))
+    assert(Codecs.sniff(bytes) == Some("image"))
+    val p = Codecs.decodeImageIO(bytes).get
+    assert(p == Codecs.Ppm(2, 2, 1 + 4 + 7 + 250, 2 + 5 + 8 + 0, 3 + 6 + 9 + 255))
+  }
+
+  test("JPEG via ImageIO: dimensions exact, sums within lossy tolerance") {
+    // smooth gradient — JPEG's DCT reproduces it closely but not exactly
+    val w = 32; val h = 24
+    val bytes = Codecs.encodeImageIO(w, h, "jpg",
+      (x, y) => (x * 8 % 256, y * 10 % 256, (x + y) * 4 % 256))
+    assert(Codecs.sniffFormat(bytes) == Some("jpeg"))
+    val p = Codecs.decodeImageIO(bytes).get
+    assert(p.width == w && p.height == h)
+    val expR = (for (x <- 0 until w; y <- 0 until h) yield x * 8 % 256).sum.toLong
+    val expG = (for (x <- 0 until w; y <- 0 until h) yield y * 10 % 256).sum.toLong
+    val expB = (for (x <- 0 until w; y <- 0 until h) yield (x + y) * 4 % 256).sum.toLong
+    // per-pixel-channel mean error under 16/255 — generous for default quality
+    val tol = 16L * w * h
+    assert(math.abs(p.sumR - expR) < tol, s"sumR ${p.sumR} vs $expR")
+    assert(math.abs(p.sumG - expG) < tol, s"sumG ${p.sumG} vs $expG")
+    assert(math.abs(p.sumB - expB) < tol, s"sumB ${p.sumB} vs $expB")
+  }
+
+  test("decodeImageIO: garbage and truncated streams return None, never throw") {
+    assert(Codecs.decodeImageIO("not an image at all".getBytes).isEmpty)
+    val png = Codecs.encodeImageIO(4, 4, "png", (_, _) => (1, 2, 3))
+    assert(Codecs.decodeImageIO(png.take(12)).isEmpty, "truncated header")
+    // cut inside IDAT — note a PNG missing only its IEND trailer still
+    // decodes (ImageIO stops once the pixel data is complete), so the
+    // truncation must bite into the compressed stream itself
+    assert(Codecs.decodeImageIO(png.take(png.length / 2)).isEmpty, "truncated IDAT")
+    assert(Codecs.decodeImageIO(Array[Byte]()).isEmpty)
+  }
+
+  test("decodeMedia over synthetic PNG assets: ImageIO path end to end") {
+    import graft.ops.Multimodal
+    val ids = spark.range(0, 200).select($"id".as("doc_id"))
+    val got = Multimodal.decodeMedia(spark, Multimodal.syntheticPngAssets(ids))
+    val rows = got.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 200)
+    // id 4: 12x20 PNG; decoded sums must equal the closed-form formula
+    val exp = (for (x <- 0 until 12; y <- 0 until 20) yield (7 * x + 13 * y + 4) % 256).sum
+    assert(rows(4L).getString(1) == "image" && rows(4L).getInt(2) == 12 &&
+      rows(4L).getInt(3) == 20 && rows(4L).getLong(4) == exp)
+    // odd ids are PNGs here too (unlike q96's WAV split)
+    assert(rows(5L).getString(1) == "image" && rows(5L).getInt(2) == 13)
+    for (g <- Seq(0L, 97L, 194L)) assert(rows(g).isNullAt(1), s"id $g must be undecoded")
+  }
+
   test("decodeMedia over synthetic assets: formula sums match, garbage undecoded") {
     import graft.ops.Multimodal
     val ids = spark.range(0, 300).select($"id".as("doc_id"))
