@@ -1,6 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fastest successful rep, or Left(first error). A query that throws
+    * must NOT surface as a (fast) timing — round-6 advice: a broken query
+    * looked like a sub-second success in the artifact. `afterRep` runs
+    * after every rep, success or failure (cache hygiene). */
+  def measure(reps: Int, run: () => Unit,
+              afterRep: () => Unit = () => ()): Either[String, Double] = {
+    var err: Option[String] = None
+    val times = (1 to reps).flatMap { _ =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { run(); true }
+        catch { case e: Throwable =>
+          if (err.isEmpty) err = Some(e.toString.take(200)); false
+        }
+      val t = (System.nanoTime() - t0) / 1e9
+      afterRep()
+      if (ok) Some(t) else None
+    }
+    if (times.nonEmpty) Right(times.min) else Left(err.getOrElse("failed"))
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** The one-line artifact. Failed queries are EXCLUDED from `queries`
+    * and `value` (their wall-clock is meaningless) and listed under
+    * `errors` with their message — a hole reads as a hole, not a fast
+    * number. */
+  def renderJson(ok: Seq[(String, Double)], errors: Seq[(String, String)],
+                 sfDir: String, reps: Int, cpus: String, load: Double): String = {
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_avg_1m":$load}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,32 +68,26 @@ object Bench {
       SparkEntry.queries.filter { case (n, _) => names.contains(n) })
     // noop sink: evaluates EVERY output column distributedly (count() would
     // let Catalyst prune unreferenced projections and under-measure).
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        val t = (System.nanoTime() - t0) / 1e9
+    val results = selected.toSeq.map { case (name, fn) =>
+      val r = measure(reps,
+        run = () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(),
         // operators that persist intermediates (minhash signatures, shingle
         // postings) must not donate cached blocks to later queries or later
         // reps — each execution pays for, and is measured with, its own
         // caching
-        spark.catalog.clearCache()
-        t
-      }
-      name -> times.min
+        afterRep = () => spark.catalog.clearCache())
+      r.left.foreach(m => System.err.println(s"[bench] $name failed: $m"))
+      name -> r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errors = results.collect { case (k, Left(m)) => k -> m }
     // Host-load context: a contended host inflates wall-clock by 10x+
     // (round-3's driver capture showed q01 at 79s vs 2.6s quiet), so the
     // artifact records the 1-minute load average alongside the numbers.
     val load = try java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_avg_1m":$load}"""
+    val line = renderJson(ok, errors, sfDir, reps, cpus, load)
     println(line)
     // The driver captures stdout with a bounded tail; round-3's official
     // total was lost to truncation of this single long line. Persist the

@@ -99,6 +99,43 @@ object ScaleSmoke {
       .where(col("contaminated")).count()
     println(f"decontaminateBloom($n docs vs ${n / 20}-doc bench): ${(System.nanoTime()-t0)/1e9}%.1f s, $blCont contaminated")
     assert(exCont == blCont, s"bloom path diverged: $exCont vs $blCont")
+    // --- winnow partial-overlap detection at the same corpus size ---
+    // every 100th doc pair (i, i+1) shares a planted 24-token run at
+    // DIFFERENT offsets (the overlap doc-level hashing cannot see); all
+    // other tokens are doc-unique by construction (id*131 mod 1000003 is
+    // injective for id < 1000003), so detected pairs == planted pairs.
+    // A 24-token run holds 21 grams => >=4 selected interior positions
+    // (the w-window coverage guarantee), comfortably >= minShared=2.
+    type C = org.apache.spark.sql.Column
+    def formulaToks(id: C, from: Int, cnt: Int): C =
+      transform(sequence(lit(from), lit(from + cnt - 1)),
+        j => concat(lit("tok"), pmod(id * 131 + j * 7, lit(1000003)), lit("_"), j))
+    def runToks(base: C): C =
+      transform(sequence(lit(1), lit(24)), j => concat(lit("shared"), base, lit("_"), j))
+    val wdocs = spark.range(n.toLong).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(100)) === 0,
+        concat_ws(" ", concat(formulaToks(col("id"), 1, 40),
+          runToks(col("id")), formulaToks(col("id"), 41, 30))))
+      .when(pmod(col("id"), lit(100)) === 1,
+        concat_ws(" ", concat(formulaToks(col("id"), 1, 25),
+          runToks(col("id") - 1), formulaToks(col("id"), 26, 45))))
+      .otherwise(concat_ws(" ", formulaToks(col("id"), 1, 120))).as("text"))
+      .repartition(32).persist()
+    wdocs.count()
+    t0 = System.nanoTime()
+    val fpCount = ops.TextAnalysis.winnow(wdocs).count()
+    println(f"winnow($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $fpCount fingerprints")
+    t0 = System.nanoTime()
+    val wp = ops.TextAnalysis.winnowPairs(wdocs, minShared = 2)
+    val nPairs = wp.count()
+    val planted = wp.where(pmod(col("doc_a"), lit(100)) === 0 &&
+      col("doc_b") === col("doc_a") + 1).count()
+    val expected = n / 100
+    println(f"winnowPairs($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"$nPairs pairs, $planted/$expected planted overlaps recovered")
+    assert(planted >= expected * 99 / 100,
+      s"winnow partial-overlap recall broke at scale: $planted/$expected")
+    wdocs.unpersist(false)
     // SemDeDup at n synthetic 32-dim vectors, every 10th an identical twin
     // of its predecessor; components are hash-uniform in [-0.5, 0.5] (a
     // sin(id*k) formula phase-locks ids into near-parallel vectors);

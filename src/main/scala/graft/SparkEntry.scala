@@ -792,6 +792,15 @@ object SparkEntry {
   private val toks =
     "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
 
+  // ascii() alignment note (round-6 advice follow-up): Spark 4's ascii()
+  // returns the full CODEPOINT of the first char — probe-verified
+  // (ascii('é')=233, ascii('中')=20013), NOT the signed first
+  // UTF-8 byte — which is exactly DuckDB's ascii() semantics. The
+  // winnow/fingerprint polynomial hashes therefore agree cross-engine
+  // and stay non-negative on non-ASCII BMP text with no masking; astral
+  // (non-BMP) chars iterate differently (UTF-16 units vs codepoints)
+  // and are outside the oracle contract. Pinned by TextAnalysisSpec.
+
   /** Mirrors TextAnalysis.winnow stage for stage: per-char polynomial
     * token values, polynomial gram hashes, rightmost window-min via the
     * reversed window, pos*2e9+fp encoding distinct'ed before unnest.

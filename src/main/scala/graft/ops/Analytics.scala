@@ -30,7 +30,7 @@ object Analytics {
     val e = events
       .where(col(typeCol).isInCollection(stages))
       .select(col(userCol).as("u"), col(tsCol).as("t"), col(typeCol).as("et"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CheckpointAudit.local)
     var reached: DataFrame = null
     val counts = stages.zipWithIndex.map { case (s, i) =>
       reached =

@@ -270,7 +270,7 @@ object Curate {
     // count, bloom build, exact verification join) — materialize it ONCE
     // via eager localCheckpoint (GC-managed blocks, no CacheManager leak;
     // same discipline as Dedup.materializeAndRelease).
-    val bench = sh(benchmark).select(col("s")).distinct().localCheckpoint(true)
+    val bench = sh(benchmark).select(col("s")).distinct().transform(graft.plans.CheckpointAudit.local)
     // expectedItems <= 0 -> size the bloom from the benchmark itself. The
     // sizing count reads the (small, checkpointed) bench side only; an
     // over-provisioned fixed size is worse: every partial aggregation
@@ -327,7 +327,7 @@ object Curate {
       .withColumn("_skey", md5(concat(col(idCol).cast("string"), lit(s"_e$epoch"))))
       .repartitionByRange(parts, col("_skey"))
       .sortWithinPartitions("_skey")
-      .localCheckpoint(true)
+      .transform(graft.plans.CheckpointAudit.local)
     val counts = keyed.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var c = 0L
@@ -377,7 +377,7 @@ object Curate {
       .where(col("n_tokens") > 0)
       .repartitionByRange(parts, col("_skey"), col(idCol))
       .sortWithinPartitions(col("_skey"), col(idCol))
-      .localCheckpoint(true)
+      .transform(graft.plans.CheckpointAudit.local)
     val sums = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
         while (it.hasNext) { s += it.next().getLong(1) }
@@ -495,7 +495,7 @@ object Curate {
       .distinct()
       .persist()
     var labels = nodes.select(col("a").as("node"), col("a").as("label"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CheckpointAudit.local)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -503,7 +503,7 @@ object Curate {
         .join(labels.select(col("node").as("b"), col("label").as("nbl")), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("nbl")).as("label"))
-        .localCheckpoint(true)
+        .transform(graft.plans.CheckpointAudit.local)
       converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
         .where(col("label") =!= col("prev")).isEmpty
       labels = next
@@ -559,17 +559,17 @@ object Curate {
     // pair gets a label, even docs whose only pair is (d, d)
     val nodes = pairs.select(col("doc_a").cast("long").as("n"))
       .union(pairs.select(col("doc_b").cast("long").as("n"))).distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.CheckpointAudit.local)
     var edges = pairs
       .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.CheckpointAudit.local)
     var converged = edges.isEmpty
     var it = 0
     var nEdges = edges.count()
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).transform(graft.plans.CheckpointAudit.local)
       // fixpoint = star-shaped: every u keeps exactly its component min.
       // next ⊆ edges (one exceptAll) + equal counts ⇒ set equality —
       // one cheap count instead of the second exceptAll pass

@@ -91,7 +91,7 @@ object Dedup {
     * running these operators no longer accumulates cached blocks (round-2
     * advice). At cluster scale the same role is played by a staging table. */
   private[ops] def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
+    val out = result.transform(graft.plans.CheckpointAudit.local)
     intermediates.foreach(_.unpersist(false))
     out
   }

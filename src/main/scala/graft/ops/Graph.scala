@@ -36,12 +36,12 @@ object Graph {
     // GraphX edge-caching discipline): without this every iteration
     // re-scans the raw edge source for the join, the degree table, and
     // the node set — 4-5 source scans per round at 100 TB.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).transform(graft.plans.CheckpointAudit.local)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.CheckpointAudit.local)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CheckpointAudit.local)
     // base (damping) term: floor(0.15 * 1e6) per node
     val base = 150000L
     var rank = nodes.withColumn("rank_e6", lit(1000000L))

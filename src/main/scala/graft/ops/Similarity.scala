@@ -144,7 +144,7 @@ object Similarity {
     // instead of scanning + re-assigning the corpus three times.
     val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cl", Exprs.nearestCentroids(col("v"), cents, 1).getItem(0))
-      .localCheckpoint(true)
+      .transform(graft.plans.CheckpointAudit.local)
     val worst = v.groupBy(col("cl")).agg(count(lit(1)).as("n"))
       .agg(max(col("n") * (col("n") - 1)).cast("long")).head().getLong(0) / 2
     require(worst <= maxPairsPerCluster,
@@ -182,9 +182,14 @@ object Similarity {
     * `maxIter` times. Deterministic via fixed seed. */
   def fitCentroids(corpus: DataFrame, nlist: Int, vecCol: String = "embedding",
                    seed: Long = 42L, maxIter: Int = 10,
-                   samplePerList: Int = 256): Array[Array[Double]] = {
+                   samplePerList: Int = 256,
+                   knownCount: Option[Long] = None): Array[Array[Double]] = {
     val target = samplePerList.toLong * nlist
-    val n = corpus.count() // unfiltered parquet count-star: metadata-only
+    // count is metadata-only for a plain parquet scan but a full action on
+    // filtered/derived inputs — callers that already know the size (or
+    // train several quantizers on one corpus, like buildIvfPqIndex) pass
+    // it in so the corpus is scanned once per trainer, not twice
+    val n = knownCount.getOrElse(corpus.count())
     val sampled =
       if (n <= target) corpus
       else corpus.sample(withReplacement = false,
@@ -414,10 +419,11 @@ object Similarity {
     * between an index that fits hot storage and one that doesn't. */
   def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
               vecCol: String = "embedding", seed: Long = 42L,
-              maxIter: Int = 10, samplePerCentroid: Int = 256): Array[Array[Array[Double]]] = {
+              maxIter: Int = 10, samplePerCentroid: Int = 256,
+              knownCount: Option[Long] = None): Array[Array[Array[Double]]] = {
     require(m >= 1 && ksub >= 1)
     val target = samplePerCentroid.toLong * ksub
-    val n = corpus.count() // unfiltered parquet count-star: metadata-only
+    val n = knownCount.getOrElse(corpus.count()) // see fitCentroids note
     val sampled =
       if (n <= target) corpus
       else corpus.sample(withReplacement = false,
@@ -548,10 +554,11 @@ object Similarity {
                       m: Int = 8, ksub: Int = 16,
                       vecCol: String = "embedding", seed: Long = 42L,
                       maxIter: Int = 10,
-                      samplePerCentroid: Int = 256): Array[Array[Array[Double]]] = {
+                      samplePerCentroid: Int = 256,
+                      knownCount: Option[Long] = None): Array[Array[Array[Double]]] = {
     require(m >= 1 && ksub >= 1 && centroids.nonEmpty)
     val target = samplePerCentroid.toLong * ksub
-    val n = corpus.count()
+    val n = knownCount.getOrElse(corpus.count()) // see fitCentroids note
     val sampled =
       if (n <= target) corpus
       else corpus.sample(withReplacement = false,
@@ -676,10 +683,13 @@ object Similarity {
                       m: Int = 8, ksub: Int = 16, idCol: String = "vec_id",
                       vecCol: String = "embedding", seed: Long = 42L,
                       residual: Boolean = false): Unit = {
-    val centroids = fitCentroids(corpus, nlist, vecCol, seed = seed)
+    // one count action shared by both trainers (round-6 advice: each
+    // trainer counting for itself re-scans derived inputs)
+    val n = Some(corpus.count())
+    val centroids = fitCentroids(corpus, nlist, vecCol, seed = seed, knownCount = n)
     val books =
-      if (residual) pqTrainResidual(corpus, centroids, m, ksub, vecCol, seed)
-      else pqTrain(corpus, m, ksub, vecCol, seed)
+      if (residual) pqTrainResidual(corpus, centroids, m, ksub, vecCol, seed, knownCount = n)
+      else pqTrain(corpus, m, ksub, vecCol, seed, knownCount = n)
     val cents = centroids.map(_.toSeq).toSeq
     val spark = corpus.sparkSession
     import spark.implicits._

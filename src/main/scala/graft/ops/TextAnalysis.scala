@@ -147,6 +147,12 @@ object TextAnalysis {
 
   /** Polynomial rolling-hash document fingerprint over tokens:
     * acc' = (acc*31 + len(tok)*131 + ascii(tok[0])) mod 1e9+7.
+    * ascii() on Spark 4 returns the full CODEPOINT of the first char
+    * (probe-verified: ascii('é')=233, ascii('中')=20013), the
+    * same value DuckDB's ascii() returns — so the hash is cross-engine
+    * stable and non-negative on non-ASCII text too, BMP-wide (astral
+    * chars differ: Spark iterates UTF-16 units, DuckDB codepoints —
+    * outside the oracle contract; pinned by TextAnalysisSpec).
     * Engine-neutral (no builtin hash), collision-adequate for grouping
     * near-identical normalized docs; used as the cheap exact-dup key. */
   def fingerprint(text: Column): Column =
@@ -178,7 +184,11 @@ object TextAnalysis {
     * [[graft.plans.LambdaCostAudit]] verifies). Per-row cost is
     * O(tokens·(k+w)) arithmetic, no shuffle, so at 100 TB it runs at
     * scan speed like its sibling text operators. Token values are a
-    * full per-character polynomial ((acc·131+ascii(c)) mod 1e9+7 —
+    * full per-character polynomial ((acc·131+ascii(c)) mod 1e9+7;
+    * ascii() on Spark 4 is the full CODEPOINT, matching DuckDB's, so
+    * hashes stay non-negative and cross-engine stable on non-ASCII BMP
+    * text (probe-verified; astral chars iterate differently and sit
+    * outside the oracle contract) —
     * strong enough that a fp match is real shared text, not the q24
     * len+first-char shortcut's frequent collisions), gram hashes fold
     * token values by (acc·31+v) mod 1e9+7; both engine-neutral, so the

@@ -26,16 +26,18 @@ object Backfill {
     * identical sink semantics). Returns the number of batches executed. */
   def drain(transformed: DataFrame, checkpointDir: String)
            (batchFn: (Dataset[Row], Long) => Unit): Long = {
-    var batches = 0L
+    // incremented on the stream-execution thread, read here after
+    // awaitTermination — atomic for the cross-thread happens-before
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = transformed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        batchFn(b, id); batches += 1
+        batchFn(b, id); batches.incrementAndGet(); ()
       }
       .start()
     q.awaitTermination() // AvailableNow self-terminates at the drained mark
-    batches
+    batches.get()
   }
 }

@@ -41,12 +41,19 @@ object StreamNearDedup {
     val spark = batch.sparkSession
     val b = batch.localCheckpoint(true) // pin: read multiple times below
     val local = Dedup.minhashSurvivors(b, tau)
+    // Existence-checked, not exception-guessed: a catch-all here would
+    // also swallow transient storage/permission/corrupt-footer errors and
+    // silently admit the batch WITHOUT cross-corpus dedup (round-6
+    // advice). Only the legitimate first-batch missing-directory case may
+    // fall back to an empty index; everything else must surface.
+    val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val index =
-      try spark.read.parquet(indexDir).where(col("_batch") < batchId)
-      catch { case _: Exception => // first batch: no index yet
+      if (fs.exists(indexPath))
+        spark.read.parquet(indexDir).where(col("_batch") < batchId)
+      else // first batch: no index yet
         Dedup.minhashIndex(b.limit(0), bands, rowsPerBand, n)
           .withColumn("_batch", lit(0L))
-      }
     val hits = Dedup.incrementalDuplicates(local, index, tau, bands,
       rowsPerBand, n, maxBucket)
     val dropIds = hits.select(col("new_id").as("doc_id")).distinct()

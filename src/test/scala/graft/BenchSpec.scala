@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench artifact's error contract (round-6 advice): a query
+  * that throws must land under `errors`, not as a fast timing. Pure
+  * logic — no SparkSession needed. */
+class BenchSpec extends AnyFunSuite {
+
+  test("measure: fastest successful rep wins; afterRep always runs") {
+    var calls = 0
+    var hygiene = 0
+    val r = Bench.measure(3, run = () => { calls += 1 }, afterRep = () => hygiene += 1)
+    assert(r.isRight && r.toOption.get >= 0.0)
+    assert(calls == 3 && hygiene == 3)
+  }
+
+  test("measure: a throwing query yields Left with the first error, no timing") {
+    var hygiene = 0
+    val r = Bench.measure(2,
+      run = () => throw new IllegalStateException("boom"),
+      afterRep = () => hygiene += 1)
+    assert(r == Left("java.lang.IllegalStateException: boom"))
+    assert(hygiene == 2, "cache hygiene must run even for failed reps")
+  }
+
+  test("measure: partial failures keep the successful rep") {
+    var n = 0
+    val r = Bench.measure(3, run = () => { n += 1; if (n != 2) throw new RuntimeException("flaky") })
+    assert(r.isRight, "one successful rep is a timing, not an error")
+  }
+
+  test("renderJson: failed queries excluded from queries/total, listed in errors") {
+    val line = Bench.renderJson(
+      ok = Seq("q1" -> 1.5, "q2" -> 0.5),
+      errors = Seq("q3" -> "java.lang.RuntimeException: \"quoted\"\nnewline"),
+      sfDir = "/sf", reps = 1, cpus = "4", load = 0.1)
+    assert(line.contains(""""value":2.0"""))
+    assert(line.contains(""""q1":1.5""") && line.contains(""""q2":0.5"""))
+    assert(!line.contains(""""q3":0""") && !line.contains(""""q3":1"""))
+    assert(line.contains(""""n_err":1"""))
+    // the artifact must stay one parseable JSON line despite quotes/newlines
+    assert(!line.contains("\n"))
+    val parsed = ujsonFree(line)
+    assert(parsed, "artifact line must be valid JSON")
+  }
+
+  // minimal JSON validity probe without a JSON library: Spark's own
+  // parser via the SQL expression would need a session; use jackson,
+  // which is on Spark's classpath
+  private def ujsonFree(s: String): Boolean =
+    try {
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(s) != null
+    } catch { case _: Throwable => false }
+}

@@ -17,14 +17,28 @@ class PlanGuardSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def count(p: SparkPlan, pred: SparkPlan => Boolean): Int = p match {
-    case a: AdaptiveSparkPlanExec => count(a.executedPlan, pred)
-    case q: QueryStageExec => count(q.plan, pred)
-    case other =>
-      (if (pred(other)) 1 else 0) +
-        other.children.map(count(_, pred)).sum +
-        other.subqueries.map(count(_, pred)).sum
+  /** Counts across a set of plans with ONE cache-dedup set: descends into
+    * each distinct persisted build plan once (`.persist()` hides its
+    * shuffles behind InMemoryTableScan the same way localCheckpoint hides
+    * lineage — the round-6 census blind spot). */
+  private def countAll(plans: Seq[SparkPlan], pred: SparkPlan => Boolean): Int = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        if (seen.add(im.relation.cachedPlan)) walk(im.relation.cachedPlan) else 0
+      case other =>
+        (if (pred(other)) 1 else 0) +
+          other.children.map(walk).sum +
+          other.subqueries.map(walk).sum
+    }
+    plans.map(walk).sum
   }
+
+  private def count(p: SparkPlan, pred: SparkPlan => Boolean): Int =
+    countAll(Seq(p), pred)
 
   private def shuffles(df: DataFrame): Int = {
     df.collect()
@@ -68,6 +82,26 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(q("q89_drift")) <= 3, "q89 grew beyond agg+agg+window")
     // q92: per-day aggregate then the #days-row window
     assert(shuffles(q("q92_rolling_spikes")) <= 2, "q92 grew beyond agg+window")
+  }
+
+  test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
+    // round-6 blind spot: these queries' final plans are a bare
+    // Scan ExistingRDD (0 shuffles), so a shuffle regression inside them
+    // was invisible. True counts = recorded pre-checkpoint stages + final,
+    // with persisted build plans descended once.
+    def trueShuffles(name: String): (Int, Int) = {
+      graft.plans.CheckpointAudit.start()
+      val df = q(name)
+      val stages = graft.plans.CheckpointAudit.finish()
+      (stages.size,
+        countAll((stages :+ df).map(_.queryExecution.executedPlan),
+          _.isInstanceOf[ShuffleExchangeLike]))
+    }
+    val (st111, sh111) = trueShuffles("q111_winnow_pairs")
+    assert(st111 >= 1, "q111 must record its checkpointed pair stage")
+    assert(sh111 >= 1 && sh111 <= 5, s"q111 true shuffle count $sh111 left its budget")
+    val (st109, sh109) = trueShuffles("q109_pack")
+    assert(st109 >= 1 && sh109 <= 3, s"q109 true shuffle count $sh109 left its budget")
   }
 
   test("broadcast-dim enrichment never shuffles the fact side") {

@@ -59,7 +59,7 @@ class TextAnalysisSpec extends SparkTestBase {
       (1L, "s1", 300L, 0L, 2L),
       (2L, "s1", 400L, 1L, 2L),
       (4L, "s2", 100L, 0L, 1L)), s"got $got")
-    // invariant on real data: concatenation is gapless — each doc's first
+    // invariant on real data: concatenation is gapless \u2014 each doc's first
     // sequence is within one of its predecessor's last touched sequence
     val real = TextAnalysis.sequencePack(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), seqLen = 128)
@@ -152,6 +152,37 @@ class TextAnalysisSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     assert(TextAnalysis.winnowPairs(many, minShared = 1, maxDocsPerFp = 5)
       .isEmpty, "template fps above the df cap must not generate pairs")
+  }
+
+  test("winnow + fingerprint: non-ASCII hashes codepoints, cross-engine stable") {
+    // round-6 advice follow-up: the advice assumed Spark's ascii() is the
+    // SIGNED first UTF-8 byte (negative on multi-byte chars, corrupting
+    // the pos*2e9+fp encoding). Probe-verified FALSE on Spark 4: ascii()
+    // returns the full codepoint \u2014 exactly DuckDB's semantics \u2014 so the
+    // polynomial hashes are non-negative and engine-aligned on BMP text
+    // with no masking. This pins that: Spark == the codepoint model.
+    val k = 4; val w = 5; val p = 1000000007L
+    def lead(c: Char): Long = c.toLong // BMP codepoint == UTF-16 unit
+    val words = Seq("caf\u00e9", "m\u00fcnchen", "stra\u00dfe", "\u00fcber",
+      "\u00e9l\u00e8ve", "na\u00efve", "gar\u00e7on", "fa\u00e7ade",
+      "r\u00e9sum\u00e9", "touch\u00e9")
+    val text = (words ++ words.reverse).mkString(" ") // 20 tokens >= k+w-1
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val expFp = text.split("\\s+").filter(_.nonEmpty)
+      .foldLeft(0L)((acc, t) => (acc * 31 + t.length * 131 + lead(t.head)) % p)
+    val gotFp = TextAnalysis.fingerprints(df).select("fp").as[Long].head()
+    assert(gotFp == expFp && gotFp >= 0)
+    val got = TextAnalysis.winnow(df, k, w).as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got.forall(r => r._2 >= 1 && r._3 >= 0),
+      "winnow fps must stay non-negative on non-ASCII text")
+    val tv = text.split("\\s+").filter(_.nonEmpty)
+      .map(t => t.foldLeft(0L)((a, c) => (a * 131 + lead(c)) % p))
+    val gh = tv.sliding(k).map(_.foldLeft(0L)((a, b) => (a * 31 + b) % p)).toArray
+    val exp = (0 to gh.length - w).map { j =>
+      val win = gh.slice(j, j + w); val mn = win.min
+      (1L, (j + win.lastIndexOf(mn) + 1).toLong, mn)
+    }.distinct.toSet
+    assert(got == exp, s"diff: ${(got diff exp) ++ (exp diff got)}")
   }
 
   test("fingerprint: deterministic, order-sensitive, blank => 0") {
