@@ -602,6 +602,29 @@ object SparkEntry {
       Multimodal.decodeMedia(s,
         Multimodal.syntheticPngAssets(
           Tables.documents(s, d).select(col("doc_id"))))),
+    // Avro interop WITHOUT the spark-avro jar (sources/Avro, avro-core +
+    // avro-mapred): a deterministic orders slice is written as deflate
+    // Avro containers and read back through the splittable
+    // AvroKeyInputFormat path; the oracle computes the same aggregate
+    // straight from parquet, so any value/type drift through the Avro
+    // long/string/double/timestamp encodings breaks the hash
+    "q113_avro_roundtrip" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_avro_q113").getAbsolutePath
+      sources.Avro.write(
+        Tables.orders(s, d).where(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+        dir)
+      sources.Avro.read(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          ((sum(col("o_totalprice").cast("decimal(38,10)")) * 100)
+            .cast("long").cast("double") / 100.0).as("sum_price"),
+          min(col("o_orderdate")).as("first_dt"),
+          max(col("o_orderdate")).as("last_dt"))
+    }),
     // winnowing fingerprints (MOSS): k-gram hashes -> rightmost window
     // minima; the substring-granularity sketch whose fp equi-join finds
     // partial-overlap/boilerplate pairs doc-level hashing misses
@@ -1586,6 +1609,15 @@ object SparkEntry {
          |  stream_pos // 512 pack_first,
          |  (stream_pos + n_tokens - 1) // 512 pack_last
          |FROM c""".stripMargin,
+    "q113_avro_roundtrip" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) sum_keys,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) * 100 AS BIGINT)
+        |    AS DOUBLE) / 100 sum_price,
+        |  MIN(o_orderdate) first_dt, MAX(o_orderdate) last_dt
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |GROUP BY 1""".stripMargin,
     "q112_codec_png" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |img AS (SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) w,

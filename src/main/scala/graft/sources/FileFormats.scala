@@ -39,7 +39,9 @@ object FileFormats {
   /** One-file-per-partition CSV/JSON writers are deliberately absent: the
     * engine's canonical at-rest format is sorted, month-partitioned
     * parquet (graft.sinks.ParquetSink); CSV/JSON are ingest formats.
-    * Avro is absent because the spark-avro DATASOURCE jar is not in this
-    * distribution (only avro-core) — `format("avro")` would fail at
-    * runtime; same classpath contract as the Kafka source (README). */
+    * Avro: the spark-avro DATASOURCE jar is not in this distribution, so
+    * `format("avro")` fails at runtime — [[Avro]] provides the read/write
+    * path instead, built on the avro-core + avro-mapred jars that ARE on
+    * the classpath (splittable AvroKeyInputFormat scan, Hadoop-committer
+    * writes); oracled end-to-end by q113. */
 }
