@@ -102,14 +102,21 @@ object ScaleSmoke {
     // --- winnow partial-overlap detection at the same corpus size ---
     // every 100th doc pair (i, i+1) shares a planted 24-token run at
     // DIFFERENT offsets (the overlap doc-level hashing cannot see); all
-    // other tokens are doc-unique by construction (id*131 mod 1000003 is
-    // injective for id < 1000003), so detected pairs == planted pairs.
+    // other tokens are xxhash64-derived, i.e. effectively random text.
+    // Random filler matters: an earlier arithmetic formula
+    // (id*131+j*7 mod 1000003) made token strings whose per-character
+    // hash deltas were CONSTANT across positions for a fixed doc-id
+    // difference, so whole families of k-gram hashes collided together
+    // (~10x planted extra pairs at 1M docs, shared_fps 2-5, periodic
+    // doc-id diffs) — an adversarial-input artifact of the fixture, not
+    // the operator. With random tokens the birthday bound at minShared=2
+    // predicts ~0 collision pairs, so the smoke asserts precision too.
     // A 24-token run holds 21 grams => >=4 selected interior positions
     // (the w-window coverage guarantee), comfortably >= minShared=2.
     type C = org.apache.spark.sql.Column
     def formulaToks(id: C, from: Int, cnt: Int): C =
       transform(sequence(lit(from), lit(from + cnt - 1)),
-        j => concat(lit("tok"), pmod(id * 131 + j * 7, lit(1000003)), lit("_"), j))
+        j => concat(lit("t"), pmod(xxhash64(id * 120 + j, lit(7741)), lit(100000000019L))))
     def runToks(base: C): C =
       transform(sequence(lit(1), lit(24)), j => concat(lit("shared"), base, lit("_"), j))
     val wdocs = spark.range(n.toLong).select(col("id").as("doc_id"),
@@ -135,6 +142,8 @@ object ScaleSmoke {
       f"$nPairs pairs, $planted/$expected planted overlaps recovered")
     assert(planted >= expected * 99 / 100,
       s"winnow partial-overlap recall broke at scale: $planted/$expected")
+    assert(nPairs - planted <= expected / 100 + 5,
+      s"winnow pair precision broke at scale: ${nPairs - planted} non-planted pairs")
     wdocs.unpersist(false)
     // SemDeDup at n synthetic 32-dim vectors, every 10th an identical twin
     // of its predecessor; components are hash-uniform in [-0.5, 0.5] (a
