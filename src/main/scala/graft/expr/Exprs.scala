@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * All hashing is xxhash64 with Spark's default seed 42 (same family the
   * SQL `xxhash64` function uses), so results are deterministic across
-  * sessions and partitionings. None of these feed a cross-engine oracle —
-  * planted-fixture ScalaTests pin their semantics instead.
+  * sessions and partitionings. Apart from [[WinnowEncodings]] (whose
+  * engine-neutral polynomial IS mirrored by the q110/q111 DuckDB
+  * oracles) none of these feed a cross-engine oracle — planted-fixture
+  * ScalaTests pin their semantics instead.
   */
 object Exprs {
   private[expr] val Seed = 42L
@@ -78,6 +80,9 @@ object Exprs {
 
   def normalizeText(text: Column, form: String = "NFC"): Column =
     ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(text), form))
+
+  def winnowEncodings(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowEncodings(ExpressionUtils.expression(text), k, w))
 }
 
 /** Distinct xxhash64 values of the word `n`-gram shingles of a text column
@@ -693,5 +698,96 @@ case class NormalizeText(child: Expression, form: String) extends UnaryExpressio
   }
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+
+/** Winnowing sketch encodings (Schleimer/Wilkerson/Aiken '03) in one
+  * JIT-compiled pass: whitespace-tokenize, per-codepoint polynomial token
+  * hash, k-gram fold, w-window rightmost-minimum select, dedup — emitting
+  * the same `pos*2e9+fp` encodings as the HOF formulation this replaces
+  * (ops/TextAnalysis.winnow round-6 history). UNLIKE the other
+  * expressions in this file, these values DO feed the cross-engine
+  * oracle (q110/q111 mirror the math in DuckDB SQL), so the arithmetic
+  * is pinned: token hash (acc*131 + codepoint) mod 1e9+7 over CODEPOINTS
+  * (matching both Spark's split("")+ascii() and DuckDB's per-character
+  * ascii(), astral planes included), gram fold (acc*31 + tv) mod 1e9+7,
+  * ties to the RIGHTMOST window minimum, 1-based gram positions.
+  * Documents under k+w-1 tokens yield an empty array (the caller's
+  * explode drops them — same result as the HOF path's size filter).
+  * Interpreted cost was O(tokens*(k+w)) lambda evals per row; this is
+  * the identical arithmetic in tight loops behind one virtual call. */
+case class WinnowEncodings(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_encodings"
+
+  private def isWs(c: Char): Boolean = // Java regex \s (ASCII class, as split("\\s+"))
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(text: UTF8String): ArrayData = {
+    val P = 1000000007L
+    val s = text.toString
+    val n = s.length
+    // token values: one polynomial per whitespace-delimited token
+    var tv = new Array[Long](32)
+    var nt = 0
+    var acc = 0L
+    var in = false
+    var i = 0
+    while (i <= n) {
+      if (i == n || isWs(s.charAt(i))) {
+        if (in) {
+          if (nt == tv.length) tv = java.util.Arrays.copyOf(tv, nt * 2)
+          tv(nt) = acc; nt += 1; in = false; acc = 0L
+        }
+        i += 1
+      } else {
+        val cp = s.codePointAt(i)
+        acc = (acc * 131L + cp) % P
+        in = true
+        i += Character.charCount(cp)
+      }
+    }
+    if (nt < k + w - 1) return new GenericArrayData(Array.emptyLongArray)
+    val ng = nt - k + 1
+    val gh = new Array[Long](ng)
+    var g = 0
+    while (g < ng) {
+      var a = 0L
+      var j = 0
+      while (j < k) { a = (a * 31L + tv(g + j)) % P; j += 1 }
+      gh(g) = a; g += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var jw = 0
+    val nw = ng - w + 1
+    while (jw < nw) {
+      var mn = gh(jw)
+      var pos = jw
+      var t = jw + 1
+      while (t < jw + w) { // <= : ties resolve to the RIGHTMOST minimum
+        if (gh(t) <= mn) { mn = gh(t); pos = t }
+        t += 1
+      }
+      seen.add((pos + 1).toLong * 2000000000L + mn)
+      jw += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnower", this, classOf[WinnowEncodings].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowEncodings =
     copy(child = newChild)
 }

@@ -177,48 +177,30 @@ object TextAnalysis {
     * Documents shorter than k+w-1 tokens emit nothing (below the
     * guarantee threshold, only noise).
     *
-    * Execution: three projections separated by Generate barriers (the
-    * q73 discipline — the regex tokenization and the gram-hash array are
-    * each materialized ONCE as attributes before a lambda touches them;
-    * every lambda body is pure arithmetic over attribute slices, which
-    * [[graft.plans.LambdaCostAudit]] verifies). Per-row cost is
-    * O(tokens·(k+w)) arithmetic, no shuffle, so at 100 TB it runs at
-    * scan speed like its sibling text operators. Token values are a
-    * full per-character polynomial ((acc·131+ascii(c)) mod 1e9+7;
-    * ascii() on Spark 4 is the full CODEPOINT, matching DuckDB's, so
-    * hashes stay non-negative and cross-engine stable on non-ASCII BMP
-    * text (probe-verified; astral chars iterate differently and sit
-    * outside the oracle contract) —
-    * strong enough that a fp match is real shared text, not the q24
-    * len+first-char shortcut's frequent collisions), gram hashes fold
-    * token values by (acc·31+v) mod 1e9+7; both engine-neutral, so the
-    * DuckDB oracle mirrors every stage verbatim. Selected pairs travel
+    * Execution: ONE codegen'd pass per row through
+    * [[graft.expr.WinnowEncodings]] (round 7 — replaced the three-stage
+    * HOF formulation: nested transform/aggregate lambdas are interpreted
+    * Catalyst evals, which made winnow the slowest per-doc text operator
+    * at 1M docs; the native expression does identical arithmetic in JIT
+    * loops, value-equality pinned by TextAnalysisSpec against both the
+    * local simulation and the old HOF plan). No shuffle, so at 100 TB it
+    * runs at parquet-scan speed like its sibling text operators. Token
+    * values are a full per-CODEPOINT polynomial ((acc·131+cp) mod 1e9+7
+    * — the codepoint model Spark's split("")+ascii() and DuckDB's
+    * ascii() share, so hashes stay non-negative and cross-engine stable
+    * on non-ASCII text, astral planes included) — strong enough that a
+    * fp match is real shared text, not the q24 len+first-char shortcut's
+    * frequent collisions; gram hashes fold token values by (acc·31+v)
+    * mod 1e9+7; both engine-neutral, so the DuckDB oracle mirrors every
+    * stage verbatim. Selected pairs travel
     * as pos·2e9+hash encodings so the distinct-set step stays a flat
     * BIGINT array in both engines. */
   def winnow(documents: DataFrame, k: Int = 4, w: Int = 5,
-             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val p = 1000000007L
-    val tvB = documents.select(col(idCol), inline(array(struct(
-        transform(tokens(col(textCol)),
-          t => aggregate(split(t, ""), lit(0L),
-            (a, c) => (a * 131L + ascii(c).cast("long")) % p))
-          .as("tv")))))
-      .where(size(col("tv")) >= k + w - 1)
-    val ghB = tvB.select(col(idCol), inline(array(struct(
-      transform(sequence(lit(1), size(col("tv")) - (k - 1)),
-        i => aggregate(slice(col("tv"), i, lit(k)), lit(0L),
-          (a, b) => (a * 31L + b) % p)).as("gh")))))
-    // size(gh) = size(tv)-k+1 >= w by the barrier filter above
-    ghB.select(col(idCol), explode(array_distinct(
-        transform(sequence(lit(1), size(col("gh")) - (w - 1)), j => {
-          val win = slice(col("gh"), j, lit(w))
-          val mn = array_min(win)
-          // rightmost tie: position from the right in the reversed window
-          (j.cast("long") + w - array_position(reverse(win), mn)) * 2000000000L + mn
-        }))).as("enc"))
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    documents.select(col(idCol),
+        explode(graft.expr.Exprs.winnowEncodings(col(textCol), k, w)).as("enc"))
       .select(col(idCol), expr("CAST(enc DIV 2000000000 AS BIGINT)").as("pos"),
         (col("enc") % 2000000000L).as("fp"))
-  }
 
   /** Partial-overlap pair detection over [[winnow]] sketches: two
     * documents sharing any >=k+w-1-token run share a fingerprint, so an

@@ -185,6 +185,48 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == exp, s"diff: ${(got diff exp) ++ (exp diff got)}")
   }
 
+  test("winnow: native expression == the HOF plan it replaced (ties, unicode, astral)") {
+    // round-7 regression gate: WinnowEncodings must be value-identical to
+    // the round-6 transform/aggregate formulation, which the q110/q111
+    // DuckDB oracles mirror. Fixture stresses tie runs, multi-byte BMP,
+    // an astral char (codepoint iteration), tabs/newlines as separators,
+    // and a sub-threshold doc.
+    val k = 4; val w = 5; val p = 1000000007L
+    val corpus = Seq(
+      (1L, (1 to 30).map(i => s"w${i % 11}").mkString(" ")),
+      (2L, "same same same same same same same same same same"),
+      (3L, "café straße 𝄞 clef 中文 mixed ascii tokens here now ok end"),
+      (4L, "too short to emit"),
+      (5L, (1 to 40).map(i => s"t${(i * 7919) % 50}").mkString("\t") + "\n trailing  runs"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnow(corpus, k, w)
+      .as[(Long, Long, Long)].collect().toSet
+    // the exact round-6 HOF plan, inlined
+    val hof = {
+      val tvB = corpus.select(col("doc_id"), inline(array(struct(
+          transform(TextAnalysis.tokens(col("text")),
+            t => aggregate(split(t, ""), lit(0L),
+              (a, c) => (a * 131L + ascii(c).cast("long")) % p))
+            .as("tv")))))
+        .where(size(col("tv")) >= k + w - 1)
+      val ghB = tvB.select(col("doc_id"), inline(array(struct(
+        transform(sequence(lit(1), size(col("tv")) - (k - 1)),
+          i => aggregate(slice(col("tv"), i, lit(k)), lit(0L),
+            (a, b) => (a * 31L + b) % p)).as("gh")))))
+      ghB.select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("gh")) - (w - 1)), j => {
+            val win = slice(col("gh"), j, lit(w))
+            val mn = array_min(win)
+            (j.cast("long") + w - array_position(reverse(win), mn)) * 2000000000L + mn
+          }))).as("enc"))
+        .select(col("doc_id"), expr("CAST(enc DIV 2000000000 AS BIGINT)").as("pos"),
+          (col("enc") % 2000000000L).as("fp"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(got == hof, s"diff: ${(got diff hof) ++ (hof diff got)}")
+    assert(!got.exists(_._1 == 4L))
+  }
+
   test("fingerprint: deterministic, order-sensitive, blank => 0") {
     val a = Seq((1L, "x yy zzz")).toDF("doc_id", "text")
     val b = Seq((1L, "zzz yy x")).toDF("doc_id", "text")
