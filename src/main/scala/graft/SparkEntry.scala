@@ -634,6 +634,38 @@ object SparkEntry {
     // hot template fps df-capped before pairing (the maxDf discipline)
     "q111_winnow_pairs" -> ((s, d) =>
       TextAnalysis.winnowPairs(Tables.documents(s, d), k = 4, w = 5)),
+    // URL canonicalization (ops/Web): messy surface forms synthesized
+    // in-plan (case-shifted scheme/host, www., default/non-default ports,
+    // tracking params, fragments, unsorted params, trailing slashes) so
+    // every rule fires; the oracle re-derives the canonical form with
+    // independent DuckDB string SQL
+    "q114_url_canon" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/A/B/"),
+            col("doc_id").cast("string"), lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://"), col("source"),
+            lit(".example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("HTTPS://Sub."), col("source"), lit(".Example.com:443/only/Path/")))
+        .otherwise(concat(lit("http://"), col("source"), lit(".example.com/?q="),
+          col("doc_id").cast("string"), lit("&ref=abc")))
+      Web.canonicalizeUrls(docs.select(col("doc_id"), url.as("url")))
+    }),
+    // deterministic per-domain cap (ops/Curate.capPerDomain): the salted
+    // two-level top-k must be row-identical to the oracle's plain
+    // `row_number() OVER (PARTITION BY source ORDER BY md5, id) <= k`
+    "q115_domain_cap" -> ((s, d) =>
+      Curate.capPerDomain(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        domainCol = "source", idCol = "doc_id", k = 25, salt = "s7")
+        .withColumn("rk", col("rk").cast("long"))),
+    // Gopher repetition filters (ops/Quality.gopherRepetition): top-2-gram
+    // char fraction, duplicated-3-gram char fraction, duplicate-word
+    // fraction — argmax tie rule (cnt DESC, gram ASC) pinned cross-engine
+    "q116_gopher_rep" -> ((s, d) =>
+      Quality.gopherRepetition(Tables.documents(s, d))),
     // sample-trained BPE: merges learned locally on a bounded md5-ordered
     // sample (the fitCentroids discipline — zero Spark jobs per round),
     // applied corpus-wide with a broadcast rank table; the oracle gates
@@ -1618,6 +1650,70 @@ object SparkEntry {
         |  MIN(o_orderdate) first_dt, MAX(o_orderdate) last_dt
         |FROM orders WHERE o_orderkey % 20 = 0
         |GROUP BY 1""".stripMargin,
+    "q114_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/A/B/'
+        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://' || source
+        |      || '.example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m'
+        |    WHEN 2 THEN 'HTTPS://Sub.' || source || '.Example.com:443/only/Path/'
+        |    ELSE 'http://' || source || '.example.com/?q='
+        |      || CAST(doc_id AS VARCHAR) || '&ref=abc'
+        |  END url FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
+        |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |    '^www\.', '') auth,
+        |  regexp_replace(regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+        |    '/+$', '') path,
+        |  regexp_extract(url, '^[^#?]*\?([^#]*)', 1) q
+        | FROM u),
+        |h AS (SELECT doc_id, url, scheme, path,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END host,
+        |  list_sort(list_filter(string_split(q, '&'), x -> x <> ''
+        |    AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|mc_eid|ref)(=.*)?$'))) ps
+        | FROM p)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END url_canon,
+        |  host
+        |FROM h""".stripMargin,
+    "q115_domain_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 's7'), 1, 8), doc_id) rk
+        |  FROM documents)
+        |WHERE rk <= 25""".stripMargin,
+    "q116_gopher_rep" ->
+      """WITH base AS (SELECT doc_id, length(text) chars,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') tk
+        |  FROM documents),
+        |g2 AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) g
+        |  FROM base),
+        |c2 AS (SELECT doc_id, g, COUNT(*) cnt FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, cnt, g FROM (SELECT doc_id, g, cnt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) rn
+        |  FROM c2) WHERE rn = 1),
+        |g3 AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) g
+        |  FROM base),
+        |c3 AS (SELECT doc_id, g, COUNT(*) cnt FROM g3 GROUP BY 1, 2),
+        |d3 AS (SELECT doc_id,
+        |    COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(g) END), 0) dup3_chars
+        |  FROM c3 GROUP BY 1)
+        |SELECT b.doc_id, CAST(t2.cnt AS BIGINT) top2_cnt, t2.g top2_gram,
+        |  CAST(t2.cnt * length(t2.g) AS DOUBLE) / greatest(b.chars, 1) top2_frac,
+        |  CAST(d3.dup3_chars AS DOUBLE) / greatest(b.chars, 1) dup3_frac,
+        |  CAST(len(b.tk) - len(list_distinct(b.tk)) AS DOUBLE)
+        |    / greatest(len(b.tk), 1) dup_word_frac
+        |FROM base b JOIN t2 USING (doc_id) JOIN d3 USING (doc_id)""".stripMargin,
     "q112_codec_png" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |img AS (SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) w,

@@ -116,6 +116,46 @@ object Curate {
     df.where(md5Prefix(col(idCol), salt) < thr)
   }
 
+  /** Deterministic per-domain cap: keep at most `k` documents per domain,
+    * chosen by md5 rank (so the kept set is reproducible across runs,
+    * retries, and engines — never `rand()`), with the md5 tie broken by
+    * id. The mixture-shaping step a web corpus runs so that a handful of
+    * mega-domains (forums, wikis, link farms) can't dominate training
+    * data: semantically `row_number() OVER (PARTITION BY domain ORDER BY
+    * md5(id), id) <= k`.
+    *
+    * A direct window puts an entire domain in one task — the largest
+    * domain in a 100 TB crawl is exactly the partition that won't fit, and
+    * a window's sort can't be AQE-split. So the rank runs in two levels:
+    * rows are salted into `buckets` sub-partitions, ranked within
+    * (domain, bucket) keeping `k` per bucket, and the ≤ buckets·k
+    * survivors per domain are re-ranked exactly. Level 1 bounds every
+    * sort at ~|domain|/buckets rows; level 2 sorts ≤ buckets·k rows per
+    * domain — both sides bounded regardless of skew. The result is
+    * IDENTICAL to the direct window (the global top-k by a total order is
+    * contained in the union of per-bucket top-k; dropped rows can never
+    * rank ≤ k globally), which is what the DuckDB oracle (q115) asserts.
+    *
+    * Output: all input columns plus `rk` (1-based rank within the domain,
+    * ≤ k), filtered to the kept rows. */
+  def capPerDomain(df: DataFrame, domainCol: String, idCol: String, k: Int,
+                   salt: String = "graft", buckets: Int = 16): DataFrame = {
+    require(k > 0 && buckets > 0, "k and buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5Prefix(col(idCol), salt)
+    val bucket = pmod(xxhash64(col(idCol)), lit(buckets.toLong))
+    val lvl1 = Window.partitionBy(col(domainCol), col("_b"))
+      .orderBy(col("_h").asc, col(idCol).asc)
+    val lvl2 = Window.partitionBy(col(domainCol))
+      .orderBy(col("_h").asc, col(idCol).asc)
+    df.withColumn("_h", h).withColumn("_b", bucket)
+      .withColumn("_rk1", row_number().over(lvl1))
+      .where(col("_rk1") <= k)
+      .withColumn("rk", row_number().over(lvl2))
+      .where(col("rk") <= k)
+      .drop("_h", "_b", "_rk1")
+  }
+
   // ------------------------------------------------------------- chunking
 
   /** Split documents into fixed-size overlapping token windows — the unit a

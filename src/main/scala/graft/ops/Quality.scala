@@ -157,4 +157,62 @@ object Quality {
       .select(col("bucket"), col("cnt_before"), col("cnt_after"),
         col("drift_num"), col("tvd"))
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", table A1)
+    * — the per-document repetition filters a pre-training corpus applies
+    * before mixing:
+    *   - `top2_cnt`/`top2_gram`/`top2_frac`: the most frequent word
+    *     2-gram (ties broken by gram text ascending) and the fraction of
+    *     the document's characters its occurrences account for
+    *     (cnt · len(gram) / len(text))
+    *   - `dup3_frac`: fraction of characters accounted for by word
+    *     3-grams that occur more than once (Σ cnt·len over grams with
+    *     cnt ≥ 2, / len(text))
+    *   - `dup_word_frac`: fraction of word occurrences beyond each
+    *     word's first ((n − n_distinct) / n)
+    *
+    * Shape at scale: `dup_word_frac` is a pure array expression on the
+    * scan (no shuffle). The two n-gram branches are explode →
+    * groupBy(doc, gram) — the classic map-side-combinable shape; partial
+    * aggregation collapses each document's grams before the exchange, so
+    * shuffle volume is ~distinct grams, and everything downstream is
+    * doc-keyed equi-joins at one-row-per-doc cardinality. Counting grams
+    * with an array-HOF instead would be the interpreted-lambda trap the
+    * winnow rewrite removed (BENCH_NOTES round-7).
+    *
+    * The top-gram argmax is `min(struct(-cnt, gram))`: struct ordering is
+    * field-lexicographic, so minimizing (-cnt, gram) is exactly ORDER BY
+    * cnt DESC, gram ASC LIMIT 1 — deterministic under ties, same rule the
+    * oracle's row_number enforces. */
+  def gopherRepetition(documents: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val chars = greatest(length(col(textCol)), lit(1)).cast("double")
+    val tk = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val base = documents.select(col(idCol), col(textCol).as("_text"),
+      chars.as("_chars"),
+      ((size(tk) - size(array_distinct(tk))).cast("double") /
+        greatest(size(tk), lit(1))).as("dup_word_frac"))
+
+    def gramCounts(n: Int): DataFrame = base
+      .select(col(idCol), explode(Dedup.shingles(col("_text"), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+
+    val top2 = gramCounts(2)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("cnt")).as("nc"), col("g").as("g"))).as("m"))
+      .select(col(idCol), (-col("m.nc")).as("top2_cnt"),
+        col("m.g").as("top2_gram"),
+        ((-col("m.nc")) * length(col("m.g"))).cast("long").as("_top2_chars"))
+    val dup3 = gramCounts(3)
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))),
+        lit(0L)).cast("long").as("_dup3_chars"))
+
+    base.join(top2, Seq(idCol)).join(dup3, Seq(idCol))
+      .select(col(idCol), col("top2_cnt"), col("top2_gram"),
+        (col("_top2_chars").cast("double") / col("_chars")).as("top2_frac"),
+        (col("_dup3_chars").cast("double") / col("_chars")).as("dup3_frac"),
+        col("dup_word_frac"))
+  }
 }

@@ -286,4 +286,31 @@ class CurateSpec extends SparkTestBase {
       .as[(Long, Long, Long, Boolean)].collect()
     assert(got.toSeq == Seq((1L, 2L, 0L, false)), got.mkString(","))
   }
+
+  test("capPerDomain: salted two-level top-k == the direct window, any bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 domains: 40 rows (capped), 7 rows (capped), 3 rows (all kept)
+    val rows = (0L until 40L).map(i => (i, "big")) ++
+      (100L until 107L).map(i => (i, "mid")) ++
+      (200L until 203L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val direct = df
+      .withColumn("rk", row_number().over(Window.partitionBy($"source")
+        .orderBy(substring(md5(concat($"doc_id".cast("string"), lit("s7"))
+          .cast("binary")), 1, 8), $"doc_id")))
+      .where($"rk" <= 5)
+      .as[(Long, String, Int)].collect().toSet
+    for (buckets <- Seq(1, 4, 16)) {
+      val got = Curate.capPerDomain(df, "source", "doc_id", k = 5,
+        salt = "s7", buckets = buckets)
+        .as[(Long, String, Int)].collect().toSet
+      assert(got == direct, s"buckets=$buckets")
+    }
+    // per-domain sizes: min(n, k), ranks dense 1..kept
+    val kept = Curate.capPerDomain(df, "source", "doc_id", k = 5)
+      .groupBy($"source").agg(count(lit(1)).as("n"), max($"rk").as("mx"))
+      .as[(String, Long, Int)].collect()
+      .map { case (s, n, m) => s -> ((n, m)) }.toMap
+    assert(kept == Map("big" -> ((5L, 5)), "mid" -> ((5L, 5)), "small" -> ((3L, 3))))
+  }
 }

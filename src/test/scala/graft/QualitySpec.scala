@@ -101,4 +101,26 @@ class QualitySpec extends SparkTestBase {
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
   }
+
+  test("gopherRepetition: closed-form values on a planted fixture") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 2-grams {a b:2, b a:2}, 3-grams {a b a:2, b a b:1}
+      (2L, "x y z"),     // no repetition; top-2-gram tie broken gram-asc
+      (3L, "q"),         // shorter than n: single joined gram
+      (4L, "A a")        // case-folding: tokens are lowercased
+    ).toDF("doc_id", "text")
+    val got = Quality.gopherRepetition(docs)
+      .as[(Long, Long, String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 9 chars; top "a b" (cnt 2, ties with "b a" -> gram asc);
+    // dup3 = 2 * len("a b a") = 10
+    assert(got(1L) == ((1L, 2L, "a b", 2 * 3 / 9.0, 10 / 9.0, 3 / 5.0)))
+    // doc 2: tie at cnt 1 -> "x y"; no dup 3-grams
+    assert(got(2L) == ((2L, 1L, "x y", 3 / 5.0, 0.0, 0.0)))
+    // doc 3: single token -> the joined-gram fallback, frac 1/1
+    assert(got(3L) == ((3L, 1L, "q", 1.0, 0.0, 0.0)))
+    // doc 4: "A a" lowers to [a, a] -> one 2-gram "a a" (cnt 1, so no
+    // dup-3-gram chars), dup_word 1/2
+    assert(got(4L) == ((4L, 1L, "a a", 3 / 3.0, 0.0, 0.5)))
+  }
 }

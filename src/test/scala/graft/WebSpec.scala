@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Web
+
+class WebSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Web.canonicalizeUrl($"url")).as[String].collect().toSeq
+
+  test("canonical form: case, www, default port, tracking params, fragment, order") {
+    assert(canon("HTTP://WWW.Example.COM:80/A/B/123/?utm_source=feed&b=2&a=1#frag")
+      == Seq("http://example.com/A/B/123?a=1&b=2"))
+    // path case is significant and preserved; host case is not
+    assert(canon("HTTPS://Sub.Example.com:443/only/Path/")
+      == Seq("https://sub.example.com/only/Path"))
+  }
+
+  test("non-default ports and non-http schemes keep their port") {
+    assert(canon("https://sub.example.com:8443/x?z=9&fbclid=X&y=8")
+      == Seq("https://sub.example.com:8443/x?y=8&z=9"))
+    assert(canon("ftp://Example.com:21/f") == Seq("ftp://example.com:21/f"))
+    // :80 is only default for http, :443 only for https
+    assert(canon("https://example.com:80/x") == Seq("https://example.com:80/x"))
+  }
+
+  test("query edge cases: all-tracking, empties, bare ?, missing query") {
+    // every param dropped -> the '?' goes too
+    assert(canon("http://example.com/p?utm_a=1&ref=x&gclid=2&mc_eid=3")
+      == Seq("http://example.com/p"))
+    // empty segments between && are dropped, survivors sorted
+    assert(canon("http://example.com/p?b=2&&a=1") == Seq("http://example.com/p?a=1&b=2"))
+    assert(canon("http://example.com/p?") == Seq("http://example.com/p"))
+    assert(canon("http://Example.com") == Seq("http://example.com"))
+  }
+
+  test("tracking match is whole-param: a non-tracking key containing 'ref' survives") {
+    assert(canon("http://example.com/p?referrer=x&prefix=1")
+      == Seq("http://example.com/p?prefix=1&referrer=x"))
+    // bare key form (no '=') is still dropped
+    assert(canon("http://example.com/p?ref&a=1") == Seq("http://example.com/p?a=1"))
+  }
+
+  test("canonicalizeUrls adds url_canon + host; host strips www and default port") {
+    val out = Web.canonicalizeUrls(
+      Seq("HTTP://WWW.Example.COM:80/A/?b=2").toDF("url"))
+    val row = out.select($"url_canon", $"host").as[(String, String)].head()
+    assert(row == ("http://example.com/A?b=2", "example.com"))
+  }
+}
