@@ -172,14 +172,17 @@ object Quality {
     *   - `dup_word_frac`: fraction of word occurrences beyond each
     *     word's first ((n − n_distinct) / n)
     *
-    * Shape at scale: `dup_word_frac` is a pure array expression on the
-    * scan (no shuffle). The two n-gram branches are explode →
-    * groupBy(doc, gram) — the classic map-side-combinable shape; partial
-    * aggregation collapses each document's grams before the exchange, so
-    * shuffle volume is ~distinct grams, and everything downstream is
-    * doc-keyed equi-joins at one-row-per-doc cardinality. Counting grams
-    * with an array-HOF instead would be the interpreted-lambda trap the
-    * winnow rewrite removed (BENCH_NOTES round-7).
+    * Shape at scale: ONE scan of the text column (at 100 TB the scan IS
+    * the cost — a per-n-gram-size branch would re-read it per n), both
+    * gram sizes exploded from a single projection through two chained
+    * Generates (no HOF lambdas — the interpreted-lambda trap the winnow
+    * rewrite removed, BENCH_NOTES round-7), then exactly two map-side-
+    * combinable aggregations: groupBy(doc, n, gram) collapses each
+    * document's grams before the exchange (shuffle volume ~distinct
+    * grams), and one groupBy(doc) folds both signals — no joins. The
+    * per-doc scalars (char count, dup-word fraction) ride the partial
+    * aggregates as max() of a per-doc constant instead of paying a
+    * separate join.
     *
     * The top-gram argmax is `min(struct(-cnt, gram))`: struct ordering is
     * field-lexicographic, so minimizing (-cnt, gram) is exactly ORDER BY
@@ -189,30 +192,30 @@ object Quality {
                        textCol: String = "text"): DataFrame = {
     val chars = greatest(length(col(textCol)), lit(1)).cast("double")
     val tk = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val base = documents.select(col(idCol), col(textCol).as("_text"),
-      chars.as("_chars"),
+    // _i = 0 -> 2-grams, _i = 1 -> 3-grams; posexplode keeps the tag
+    val tagged = documents.select(col(idCol), chars.as("_chars"),
       ((size(tk) - size(array_distinct(tk))).cast("double") /
-        greatest(size(tk), lit(1))).as("dup_word_frac"))
-
-    def gramCounts(n: Int): DataFrame = base
-      .select(col(idCol), explode(Dedup.shingles(col("_text"), n)).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
-
-    val top2 = gramCounts(2)
-      .groupBy(col(idCol))
-      .agg(min(struct((-col("cnt")).as("nc"), col("g").as("g"))).as("m"))
+        greatest(size(tk), lit(1))).as("_dwf"),
+      posexplode(array(Dedup.shingles(col(textCol), 2),
+        Dedup.shingles(col(textCol), 3))).as(Seq("_i", "_arr")))
+    val counts = tagged
+      .select(col(idCol), col("_chars"), col("_dwf"), col("_i"),
+        explode(col("_arr")).as("g"))
+      .groupBy(col(idCol), col("_i"), col("g"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("_chars")).as("_chars"), max(col("_dwf")).as("_dwf"))
+    counts.groupBy(col(idCol))
+      .agg(
+        min(when(col("_i") === 0,
+          struct((-col("cnt")).as("nc"), col("g").as("g")))).as("m"),
+        coalesce(sum(when(col("_i") === 1 && col("cnt") >= 2,
+          col("cnt") * length(col("g")))), lit(0L)).cast("long").as("_dup3"),
+        max(col("_chars")).as("_chars"), max(col("_dwf")).as("_dwf"))
       .select(col(idCol), (-col("m.nc")).as("top2_cnt"),
         col("m.g").as("top2_gram"),
-        ((-col("m.nc")) * length(col("m.g"))).cast("long").as("_top2_chars"))
-    val dup3 = gramCounts(3)
-      .groupBy(col(idCol))
-      .agg(coalesce(sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))),
-        lit(0L)).cast("long").as("_dup3_chars"))
-
-    base.join(top2, Seq(idCol)).join(dup3, Seq(idCol))
-      .select(col(idCol), col("top2_cnt"), col("top2_gram"),
-        (col("_top2_chars").cast("double") / col("_chars")).as("top2_frac"),
-        (col("_dup3_chars").cast("double") / col("_chars")).as("dup3_frac"),
-        col("dup_word_frac"))
+        (((-col("m.nc")) * length(col("m.g"))).cast("double") / col("_chars"))
+          .as("top2_frac"),
+        (col("_dup3").cast("double") / col("_chars")).as("dup3_frac"),
+        col("_dwf").as("dup_word_frac"))
   }
 }

@@ -84,6 +84,20 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(q("q92_rolling_spikes")) <= 2, "q92 grew beyond agg+window")
   }
 
+  test("round-7 additions hold their plan budgets") {
+    // q114: URL canonicalization is pure scan-side string work
+    assert(shuffles(q("q114_url_canon")) == 0, "q114 grew a shuffle")
+    // q115: the two-level rank is exactly two window exchanges
+    // ((domain, bucket) then domain) — a third means the salting broke
+    assert(shuffles(q("q115_domain_cap")) <= 2, "q115 grew beyond two windows")
+    // q116: ONE text scan feeding two map-side-combinable aggregations
+    // ((doc, n, gram) then doc) and no joins — a third exchange or a
+    // second scan means the single-pass shape regressed
+    assert(shuffles(q("q116_gopher_rep")) <= 2, "q116 grew beyond two aggs")
+    assert(q("q116_gopher_rep").queryExecution.executedPlan.toString
+      .split("Scan parquet").length - 1 <= 1, "q116 re-reads the text scan")
+  }
+
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
     // round-6 blind spot: these queries' final plans are a bare
     // Scan ExistingRDD (0 shuffles), so a shuffle regression inside them
