@@ -186,6 +186,63 @@ object ScaleSmoke {
     println(f"ivfPqKnnResidual(10 probes vs $n vecs): ${(System.nanoTime()-t0)/1e9}%.1f s, $selfOk/10 self-retrievals at minimal ADC")
     assert(selfOk == 10, s"residual PQ self-retrieval broke at scale: $selfOk/10")
     vecs.unpersist(false)
+    // --- round-7 corpus-shaping ops at the same corpus size ---
+    // URL canonicalization: scan-speed string pass over n synthesized
+    // messy URLs (4 surface-form families)
+    val urls = spark.range(n.toLong).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(4)) === 0,
+        concat(lit("HTTP://WWW.h"), pmod(col("id"), lit(1000)),
+          lit(".Example.COM:80/p/"), col("id"), lit("/?utm_source=x&b=2&a=1#f")))
+      .when(pmod(col("id"), lit(4)) === 1,
+        concat(lit("https://h"), pmod(col("id"), lit(1000)),
+          lit(".example.com:8443/x?z=9&fbclid=Q&y=8")))
+      .when(pmod(col("id"), lit(4)) === 2,
+        concat(lit("HTTPS://Sub.h"), pmod(col("id"), lit(1000)),
+          lit(".Example.com:443/only/Path/")))
+      .otherwise(concat(lit("http://h"), pmod(col("id"), lit(1000)),
+        lit(".example.com/?q="), col("id"), lit("&ref=r"))).as("url"))
+    t0 = System.nanoTime()
+    val nHosts = ops.Web.canonicalizeUrls(urls)
+      .select("host").distinct().count()
+    println(f"canonicalizeUrls($n urls): ${(System.nanoTime()-t0)/1e9}%.1f s, $nHosts distinct hosts")
+    // per-domain cap under adversarial skew: HALF the corpus in one
+    // mega-domain, the rest spread over 1000 small domains; the salted
+    // two-level rank must keep exactly k from the mega-domain without a
+    // single-task sort of n/2 rows
+    val domained = spark.range(n.toLong).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0, lit("mega"))
+        .otherwise(concat(lit("d"), pmod(col("id"), lit(1000)))).as("source"))
+    t0 = System.nanoTime()
+    val capped = ops.Curate.capPerDomain(domained, "source", "doc_id", k = 100)
+    val megaKept = capped.where(col("source") === "mega").count()
+    val totKept = capped.count()
+    println(f"capPerDomain($n docs, mega=${n / 2}): ${(System.nanoTime()-t0)/1e9}%.1f s, mega kept $megaKept/100, total $totKept")
+    assert(megaKept == 100, s"mega-domain cap broke: $megaKept")
+    // Gopher repetition: ~237 gram rows/doc through the one-scan
+    // two-agg shape — the shuffle-volume stress case
+    t0 = System.nanoTime()
+    val gr = ops.Quality.gopherRepetition(docs)
+    val nRep = gr.where(col("dup3_frac") > 0.5).count()
+    println(f"gopherRepetition($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $nRep docs >50%% dup-3-gram chars")
+    // C4 line dedup: 3-line docs where line 1 is one of 1000 boilerplates
+    // (each duplicated ~n/1000 times — the hot-key case the min-struct
+    // aggregation absorbs map-side), line 2 one of n/10 segment lines,
+    // line 3 unique
+    val lined = spark.range(n.toLong).select(col("id").as("doc_id"),
+      concat(lit("BOILER "), pmod(col("id"), lit(1000)), lit("\n"),
+        lit("SEG "), pmod(col("id"), lit(n.toLong / 10)), lit("\n"),
+        lit("body "), col("id")).as("text"))
+    t0 = System.nanoTime()
+    val survivedDocs = ops.Curate.dedupLines(lined).count()
+    println(f"dedupLines($n docs, ${3 * n} lines): ${(System.nanoTime()-t0)/1e9}%.1f s, $survivedDocs docs with surviving lines")
+    assert(survivedDocs == n, s"every doc keeps its unique body line: $survivedDocs")
+    // dedup resolution over the star pair graph (every id clustered in
+    // decades): exactly one survivor per 10-doc cluster
+    t0 = System.nanoTime()
+    val resolved = ops.Curate.resolveDuplicates(
+      docs.withColumn("score", length(col("text"))), pairs, scoreCol = "score").count()
+    println(f"resolveDuplicates($n docs, ${n / 10} clusters): ${(System.nanoTime()-t0)/1e9}%.1f s, $resolved survivors")
+    assert(resolved == n / 10, s"resolveDuplicates survivor count broke: $resolved != ${n / 10}")
     spark.stop()
   }
 }

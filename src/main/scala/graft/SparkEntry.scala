@@ -666,6 +666,39 @@ object SparkEntry {
     // fraction — argmax tie rule (cnt DESC, gram ASC) pinned cross-engine
     "q116_gopher_rep" -> ((s, d) =>
       Quality.gopherRepetition(Tables.documents(s, d))),
+    // per-group token-budget sampling (Curate.budgetPerGroup): ≤30k chars
+    // per source in md5 order; the two-level prefix-sum must be
+    // row-identical to the oracle's plain per-source window cumsum
+    "q119_token_budget" -> ((s, d) =>
+      Curate.budgetPerGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        groupCol = "source", idCol = "doc_id", costCol = "n_chars",
+        budget = 30000L, salt = "s7b")),
+    // corpus-level duplicate-line removal (Curate.dedupLines, the C4
+    // cleaning rule): 3-line docs synthesized in-plan (per-source
+    // boilerplate + id-class segment + unique body) so the boilerplate
+    // collapses to one corpus-wide first occurrence; reassembly order and
+    // the (doc_id, pos) first-occurrence rule are what the oracle pins
+    "q118_line_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lined = docs.select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("BOILER "), col("source")),
+          concat(lit("SEG "), (col("doc_id") % 50).cast("string")),
+          col("text")).as("text"))
+      Curate.dedupLines(lined)
+    }),
+    // dedup resolution (Curate.resolveDuplicates): q49's verified pair
+    // graph resolved to a deduplicated corpus — keep the longest member
+    // per cluster (tie: lowest id) plus every never-paired doc; the
+    // corpus scans ONCE with broadcast decision frames
+    "q117_dedup_resolve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs.where(col("doc_id") < 60), n = 2, minJaccard = 0.05)
+      Curate.resolveDuplicates(
+        docs.select(col("doc_id"), col("source"), col("n_chars")), pairs)
+    }),
     // sample-trained BPE: merges learned locally on a bounded md5-ordered
     // sample (the fitCentroids discipline — zero Spark jobs per round),
     // applied corpus-wide with a broadcast rank table; the oracle gates
@@ -884,7 +917,10 @@ object SparkEntry {
 
   /** Shared by q49 (min-label propagation) and q77 (large-star/small-star):
     * both must resolve the same pair graph to the same components. */
-  private val dupClustersOracleSql: String =
+  /** Shared CTE prefix: q49/q77's verified pair graph expanded to
+    * connected-component reachability; q117 extends it with the
+    * representative-selection step. */
+  private val dupClustersCte: String =
     """WITH RECURSIVE
       |t AS (
       |  SELECT doc_id, list_distinct(
@@ -904,8 +940,23 @@ object SparkEntry {
       |reach(node, r) AS (
       |  SELECT a, a FROM e
       |  UNION
-      |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node)
-      |SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node""".stripMargin
+      |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node)""".stripMargin
+
+  private val dupClustersOracleSql: String =
+    dupClustersCte +
+      "\nSELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node"
+
+  private val dedupResolveOracleSql: String =
+    dupClustersCte + ",\n" +
+      """c AS (SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node),
+        |reps AS (SELECT cluster_id, doc_id FROM (
+        |  SELECT c.cluster_id, c.doc_id,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY d.n_chars DESC, c.doc_id ASC) rn
+        |  FROM c JOIN documents d USING (doc_id)) WHERE rn = 1)
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM c)
+        |   OR d.doc_id IN (SELECT doc_id FROM reps)""".stripMargin
 
   /** Shared by q68 (exact decontamination) and q91 (bloom-prefiltered) —
     * the bloom path guarantees zero false negatives, so both forms must
@@ -1242,6 +1293,28 @@ object SparkEntry {
          |    '$phonePat', '[PHONE]', 'g') AS "text"
          |FROM r""".stripMargin,
     "q49_dup_clusters" -> dupClustersOracleSql,
+    "q117_dedup_resolve" -> dedupResolveOracleSql,
+    "q119_token_budget" ->
+      """SELECT doc_id, source, n_chars, cum FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 's7b'), 1, 8), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE cum <= 30000""".stripMargin,
+    "q118_line_dedup" ->
+      """WITH x AS (SELECT doc_id,
+        |    'BOILER ' || source || chr(10) || 'SEG ' ||
+        |      CAST(doc_id % 50 AS VARCHAR) || chr(10) || text AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) l FROM x),
+        |ln AS (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+        |    i -> {'pos': i, 'line': l[i]})) u FROM ls),
+        |l2 AS (SELECT doc_id, u.pos pos, u.line line FROM ln),
+        |k AS (SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) rn FROM l2)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "q77_dup_clusters_star" -> dupClustersOracleSql,
     "q50_curate" ->
       """WITH t AS (SELECT doc_id, lang, text,

@@ -156,6 +156,47 @@ object Curate {
       .drop("_h", "_b", "_rk1")
   }
 
+  /** Deterministic per-group BUDGET sampling: keep documents in md5 order
+    * until each group's cumulative `costCol` (token/char count) reaches
+    * `budget` — the mixture-shaping primitive when the contract is "at
+    * most B tokens per source", which doc-count caps ([[capPerDomain]])
+    * can't express. A row survives iff its md5-ordered running total
+    * (inclusive) is ≤ budget; same md5 keying as every sampler here, so
+    * the kept set is retry/engine-stable.
+    *
+    * Skew: a prefix-sum can't be computed per-bucket independently, but
+    * bucket-local prefix ≤ global prefix along the same total order, so
+    * "bucket-local cumsum ≤ budget" is a NECESSARY survival condition.
+    * Level 1 therefore filters within (group, salt-bucket) — bounding
+    * every sort at ~|group|/buckets rows — and level 2 runs the exact
+    * per-group cumsum over the ≤ buckets·budget/min-cost survivors.
+    * Result is row-identical to the plain per-group window (the q119
+    * oracle asserts it). Rows with NULL/non-positive cost are dropped
+    * (they'd make the running total ambiguous across engines).
+    *
+    * Output: kept rows + `cum` (the inclusive running total, ≤ budget). */
+  def budgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                     costCol: String, budget: Long, salt: String = "graft",
+                     buckets: Int = 16): DataFrame = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5Prefix(col(idCol), salt)
+    val bucket = pmod(xxhash64(col(idCol)), lit(buckets.toLong))
+    val lvl1 = Window.partitionBy(col(groupCol), col("_b"))
+      .orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lvl2 = Window.partitionBy(col(groupCol))
+      .orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.where(col(costCol) > 0)
+      .withColumn("_h", h).withColumn("_b", bucket)
+      .withColumn("_c1", sum(col(costCol)).over(lvl1))
+      .where(col("_c1") <= budget)
+      .withColumn("cum", sum(col(costCol)).over(lvl2).cast("long"))
+      .where(col("cum") <= budget)
+      .drop("_h", "_b", "_c1")
+  }
+
   // ------------------------------------------------------------- chunking
 
   /** Split documents into fixed-size overlapping token windows — the unit a
@@ -667,5 +708,67 @@ object Curate {
       .where(col("rn") === 1)
       .where(hashSamplePredicate(col("doc_id"), sampleRate, salt))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
+  /** Corpus-level duplicate-LINE removal (the C4 cleaning rule, Raffel et
+    * al. 2020 §2.2: "we discarded all but one of any three-sentence span
+    * occurring more than once" — here at line granularity): every line
+    * keeps only its FIRST occurrence corpus-wide (first = lowest
+    * (doc_id, position)), documents are reassembled from their surviving
+    * lines in original order, and documents left with no lines disappear.
+    * Catches the boilerplate (nav bars, license headers, cookie banners)
+    * that document-level dedup can't see.
+    *
+    * Shape at 100 TB: explode → groupBy(line) taking `min(struct(doc,
+    * pos))` — map-side combinable, so a line duplicated 10⁸ times
+    * (cookie banner) collapses to one row per map task BEFORE the
+    * exchange; the alternative `row_number() OVER (PARTITION BY line)`
+    * would sort that line's every occurrence in one task. The first-
+    * occurrence frame joins back on the line key (equi-join), and
+    * reassembly is one doc-keyed aggregation with an in-memory
+    * `array_sort` over that DOC's surviving lines only. */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), sepRe)).as(Seq("_pos", "_line")))
+    val firsts = lines.groupBy(col("_line"))
+      .agg(min(struct(col(idCol).as("d"), col("_pos").as("p"))).as("_f"))
+    lines.join(firsts, Seq("_line"))
+      .where(col(idCol) === col("_f.d") && col("_pos") === col("_f.p"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line")), sep).as(textCol))
+  }
+
+  /** The last step of a dedup pipeline: resolve near-duplicate PAIRS into
+    * a deduplicated corpus by keeping ONE canonical document per cluster
+    * — the highest-`scoreCol` member (ties broken by lowest id; the
+    * "keep the longest/highest-quality copy" rule) — plus every document
+    * that was never paired.
+    *
+    * Shape at 100 TB: the pair graph survived LSH + exact verification,
+    * so `clusters` and the per-cluster representative frame are tiny
+    * relative to the corpus; both are broadcast onto a SINGLE scan of
+    * `docs` (left join + filter) — the corpus itself never shuffles, and
+    * the only wide work is [[dupClusters]]' equi-joins over the pair set.
+    * The argmax is `min(struct(-score, id))` — same deterministic tie
+    * rule as [[graft.ops.Quality.gopherRepetition]]'s top-gram. */
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id",
+                        scoreCol: String = "n_chars"): DataFrame = {
+    val clusters = dupClusters(pairs)
+      .select(col("doc_id").as("_rd_id"), col("cluster_id").as("_rd_cl"))
+    val reps = docs.select(col(idCol).as("_rd_id"), col(scoreCol).as("_rd_s"))
+      .join(clusters, Seq("_rd_id"))
+      .groupBy(col("_rd_cl"))
+      .agg(min(struct((-col("_rd_s")).as("ns"), col("_rd_id").as("id"))).as("m"))
+      .select(col("_rd_cl"), col("m.id").as("_rd_rep"))
+    docs
+      .join(broadcast(clusters), docs(idCol) === clusters("_rd_id"), "left")
+      .join(broadcast(reps), Seq("_rd_cl"), "left")
+      .where(col("_rd_cl").isNull || col(idCol) === col("_rd_rep"))
+      .drop("_rd_id", "_rd_cl", "_rd_rep")
   }
 }

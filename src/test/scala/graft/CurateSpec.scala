@@ -287,6 +287,70 @@ class CurateSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 0L, false)), got.mkString(","))
   }
 
+  test("budgetPerGroup: two-level prefix sum == the direct window, any bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 60L).map(i => (i, if (i < 40) "big" else "small", 10L + i % 7))
+    val df = rows.toDF("doc_id", "source", "cost")
+    val w = Window.partitionBy($"source")
+      .orderBy(substring(md5(concat($"doc_id".cast("string"), lit("s7b"))
+        .cast("binary")), 1, 8), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val direct = df.withColumn("cum", sum($"cost").over(w).cast("long"))
+      .where($"cum" <= 100L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(direct.nonEmpty && direct.size < rows.size) // the budget really binds
+    for (buckets <- Seq(1, 3, 16)) {
+      val got = Curate.budgetPerGroup(df, "source", "doc_id", "cost",
+        budget = 100L, salt = "s7b", buckets = buckets)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == direct, s"buckets=$buckets")
+    }
+    // NULL / non-positive costs are dropped, not accumulated
+    val withBad = df.union(Seq((900L, "big", 0L), (901L, "big", -5L)).toDF(
+      "doc_id", "source", "cost"))
+    assert(Curate.budgetPerGroup(withBad, "source", "doc_id", "cost", 100L, "s7b")
+      .as[(Long, String, Long, Long)].collect().toSet == direct)
+  }
+
+  test("dedupLines: first occurrence survives corpus-wide, order kept, empty docs vanish") {
+    val docs = Seq(
+      (1L, "boiler\nunique one\nshared"),
+      (2L, "boiler\nunique two\nshared"), // boiler+shared already seen in doc 1
+      (3L, "boiler\nshared")              // nothing left -> doc disappears
+    ).toDF("doc_id", "text")
+    val got = Curate.dedupLines(docs).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "boiler\nunique one\nshared", 2L -> "unique two"))
+    // first = lowest (doc_id, pos): a line repeated WITHIN one doc keeps
+    // only its earliest position
+    val rep = Seq((7L, "a\nb\na\nc")).toDF("doc_id", "text")
+    assert(Curate.dedupLines(rep).as[(Long, String)].collect().toMap
+      == Map(7L -> "a\nb\nc"))
+    // custom separator is treated literally, not as regex
+    val dot = Seq((1L, "x.y"), (2L, "x.z")).toDF("doc_id", "text")
+    assert(Curate.dedupLines(dot, sep = ".").as[(Long, String)].collect().toMap
+      == Map(1L -> "x.y", 2L -> "z"))
+  }
+
+  test("resolveDuplicates: best-scoring member survives per cluster, singletons kept") {
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // cluster {1,2,3}: 2 wins (tie 2<3)
+      (4L, 5L), (5L, 99L),             // cluster {4,5}: 5 wins
+      (6L, 1L)                         // never paired: kept
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Curate.resolveDuplicates(docs, pairs, scoreCol = "score")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 50L), (5L, 99L), (6L, 1L)))
+    // chain component: 1-2, 2-3, 3-4 is ONE cluster even though 1 and 4
+    // never pair directly
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got2 = Curate.resolveDuplicates(docs, chain, scoreCol = "score")
+      .as[(Long, Long)].collect().toSet
+    // {1,2,3,4} one cluster; max score 50 ties 2 vs 3 -> lowest id 2;
+    // 5 and 6 now unpaired -> kept
+    assert(got2 == Set((2L, 50L), (5L, 99L), (6L, 1L)))
+  }
+
   test("capPerDomain: salted two-level top-k == the direct window, any bucket count") {
     import org.apache.spark.sql.expressions.Window
     // 3 domains: 40 rows (capped), 7 rows (capped), 3 rows (all kept)

@@ -96,6 +96,12 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(q("q116_gopher_rep")) <= 2, "q116 grew beyond two aggs")
     assert(q("q116_gopher_rep").queryExecution.executedPlan.toString
       .split("Scan parquet").length - 1 <= 1, "q116 re-reads the text scan")
+    // q118: groupBy(line) + the line-key join + the doc reassembly agg;
+    // a fourth exchange means the first-occurrence shape regressed (e.g.
+    // to a per-line window)
+    assert(shuffles(q("q118_line_dedup")) <= 3, "q118 grew beyond three exchanges")
+    // q119: the two prefix-sum windows, nothing else
+    assert(shuffles(q("q119_token_budget")) <= 2, "q119 grew beyond two windows")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
