@@ -666,6 +666,29 @@ object SparkEntry {
     // fraction — argmax tie rule (cnt DESC, gram ASC) pinned cross-engine
     "q116_gopher_rep" -> ((s, d) =>
       Quality.gopherRepetition(Tables.documents(s, d))),
+    // Gopher quality battery (Quality.gopherQuality): word stats, symbol
+    // ratio, bullet/ellipsis line fractions, alpha-word fraction — lines
+    // and symbols planted in-plan so every rule fires
+    "q120_gopher_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lined = docs.select(col("doc_id"), concat_ws("\n",
+        concat(lit("BOILER "), col("source"),
+          when(col("doc_id") % 3 === 0, lit(" #tag")).otherwise(lit(""))),
+        concat(when(col("doc_id") % 5 === 0, lit("- ")).otherwise(lit("")),
+          lit("SEG "), (col("doc_id") % 50).cast("string")),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" ...")).otherwise(lit(""))))
+        .as("text"))
+      Quality.gopherQuality(lined, minWords = 10, maxWords = 500)
+    }),
+    // Matryoshka truncated-dim retrieval (Similarity.truncateDims +
+    // bruteForceKnn): exact top-k on the 16-dim prefix — cosine is
+    // scale-invariant so no renormalization; the oracle slices the same
+    // prefix
+    "q121_truncated_knn" -> ((s, d) => {
+      val emb = Similarity.truncateDims(Tables.embeddings(s, d), dims = 16)
+      Similarity.bruteForceKnn(emb.where(col("vec_id") < 5), emb, k = 5)
+    }),
     // per-group token-budget sampling (Curate.budgetPerGroup): ≤30k chars
     // per source in md5 order; the two-level prefix-sum must be
     // row-identical to the oracle's plain per-source window cumsum
@@ -1294,6 +1317,42 @@ object SparkEntry {
          |FROM r""".stripMargin,
     "q49_dup_clusters" -> dupClustersOracleSql,
     "q117_dedup_resolve" -> dedupResolveOracleSql,
+    "q120_gopher_quality" ->
+      """WITH x AS (SELECT doc_id,
+        |    'BOILER ' || source ||
+        |      CASE WHEN doc_id % 3 = 0 THEN ' #tag' ELSE '' END || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END || 'SEG ' ||
+        |      CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
+        |    text || CASE WHEN doc_id % 7 = 0 THEN ' ...' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') tk,
+        |    string_split(text, chr(10)) ls,
+        |    length(regexp_replace(text, '\s', '', 'g')) nonws,
+        |    length(text) - length(replace(text, '#', '')) nhash,
+        |    (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 nell
+        |  FROM x)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) n_words,
+        |  CAST(nonws AS DOUBLE) / greatest(len(tk), 1) mean_word_len,
+        |  CAST(nhash + nell AS DOUBLE) / greatest(len(tk), 1) symbol_word_ratio,
+        |  CAST(len(list_filter(ls, l -> l LIKE '- %')) AS DOUBLE)
+        |    / greatest(len(ls), 1) bullet_line_frac,
+        |  CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)
+        |    / greatest(len(ls), 1) ellipsis_line_frac,
+        |  CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |    / greatest(len(tk), 1) alpha_word_frac,
+        |  len(tk) BETWEEN 10 AND 500 length_ok
+        |FROM t""".stripMargin,
+    "q121_truncated_knn" ->
+      """WITH q AS (SELECT vec_id qid, CAST(embedding[1:16] AS DOUBLE[]) qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id nid, CAST(embedding[1:16] AS DOUBLE[]) nv FROM embeddings),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) sim
+        |      FROM q, c WHERE qid != nid),
+        |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid ASC) rank FROM s)
+        |SELECT qid, nid, rank FROM r WHERE rank <= 5""".stripMargin,
     "q119_token_budget" ->
       """SELECT doc_id, source, n_chars, cum FROM (
         |  SELECT doc_id, source, n_chars,

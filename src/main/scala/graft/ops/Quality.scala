@@ -158,6 +158,42 @@ object Quality {
         col("drift_num"), col("tvd"))
   }
 
+  /** Gopher-style QUALITY signals (Rae et al. 2021 table A1's
+    * non-repetition rules; the repetition half is
+    * [[gopherRepetition]]): word count + bounds flag, mean word length,
+    * symbol-to-word ratio (`#` and `...`), bullet-started and
+    * ellipsis-ended line fractions, fraction of words containing an
+    * alphabetic character. Everything is a scan-side column expression
+    * (split + a few counting built-ins + small-array HOF filters), zero
+    * shuffles — the whole battery rides the corpus scan at 100 TB.
+    *
+    * Ratios divide by `greatest(count, 1)` so empty docs/lines yield 0,
+    * not NULL — single IEEE divisions with integer operands, engine-
+    * stable (the q69/q116 discipline). */
+  def gopherQuality(documents: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", sep: String = "\n",
+                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(t, "\\s+"), w => w =!= "")
+    val nW = greatest(size(toks), lit(1))
+    val lines = split(t, java.util.regex.Pattern.quote(sep))
+    val nL = greatest(size(lines), lit(1))
+    val nonWs = length(regexp_replace(t, "\\s", ""))
+    val nHash = length(t) - length(translate(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
+    documents.select(col(idCol),
+      size(toks).cast("long").as("n_words"),
+      (nonWs.cast("double") / nW).as("mean_word_len"),
+      ((nHash + nEllipsis).cast("double") / nW).as("symbol_word_ratio"),
+      (size(filter(lines, l => l.startsWith("- "))).cast("double") / nL)
+        .as("bullet_line_frac"),
+      (size(filter(lines, l => l.endsWith("..."))).cast("double") / nL)
+        .as("ellipsis_line_frac"),
+      (size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / nW)
+        .as("alpha_word_frac"),
+      size(toks).between(minWords, maxWords).as("length_ok"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher", table A1)
     * — the per-document repetition filters a pre-training corpus applies

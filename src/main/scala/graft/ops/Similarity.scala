@@ -80,6 +80,21 @@ object Similarity {
   /** Cosine similarity, null-safe on zero vectors (returns null). */
   def cosine(a: Column, b: Column): Column = Exprs.cosineSim(a, b)
 
+  /** Matryoshka-style dimension truncation (Kusupati et al. 2022): keep
+    * the first `dims` components. MRL-trained embeddings concentrate
+    * information in the prefix, so retrieval on the truncated prefix is
+    * the standard cheap first pass (dims/d of the bytes and FLOPs; at
+    * 100 TB of vectors that is the difference between a hot and a cold
+    * index tier). NO renormalization is needed for cosine retrieval —
+    * cosine is scale-invariant, so rankings on the truncated vectors are
+    * identical with or without the norm step; compose with
+    * [[bruteForceKnn]]/[[ivfKnn]] unchanged (q121). */
+  def truncateDims(df: DataFrame, dims: Int,
+                   vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, "dims must be positive")
+    df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+  }
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` and `corpus` both need (`idCol`, `vecCol`); self-matches
     * (same id) are excluded. Output: (qid, nid, rank). */

@@ -102,6 +102,24 @@ class QualitySpec extends SparkTestBase {
     assert(got == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
   }
 
+  test("gopherQuality: closed-form values on a planted fixture") {
+    val docs = Seq(
+      // 2 lines; bullet line; '#' once; '...' at end; words: ["-","x#y","ab","..."]
+      (1L, "- x#y\nab ..."),
+      // 1 line, 3 alpha words, no symbols
+      (2L, "one two three")
+    ).toDF("doc_id", "text")
+    val got = Quality.gopherQuality(docs, minWords = 2, maxWords = 3)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: words ["-","x#y","ab","..."] (4); nonWs chars = 12-3 = 9;
+    // mean 9/4; symbols 1 hash + 1 ellipsis -> 2/4; lines 2: one "- "
+    // bullet, one "..." tail -> 0.5 each; alpha words 2/4; 4 words > max 3
+    assert(got(1L) == ((1L, 4L, 9 / 4.0, 2 / 4.0, 0.5, 0.5, 2 / 4.0, false)))
+    // doc 2: 3 words, 11 non-ws chars, all alpha, in [2,3] bounds
+    assert(got(2L) == ((2L, 3L, 11 / 3.0, 0.0, 0.0, 0.0, 1.0, true)))
+  }
+
   test("gopherRepetition: closed-form values on a planted fixture") {
     val docs = Seq(
       (1L, "a b a b a"), // 2-grams {a b:2, b a:2}, 3-grams {a b a:2, b a b:1}

@@ -129,6 +129,29 @@ class SimilarityAggSpec extends SparkTestBase {
     assert(e.getMessage.contains("candidate pairs"))
   }
 
+  test("truncateDims: prefix slice; cosine ranking is scale-invariant on the prefix") {
+    // v2's 2-dim prefix is parallel to v1's (cosine 1) even though the
+    // full vectors are not; v3's prefix is orthogonal to v1's
+    val d = vecs(
+      (1L, Array(1f, 0f, 5f, 5f)),
+      (2L, Array(2f, 0f, -9f, 3f)),
+      (3L, Array(0f, 1f, 5f, 5f)))
+    val t = Similarity.truncateDims(d, 2)
+    assert(t.where($"vec_id" === 1).select($"embedding").as[Array[Float]].head()
+      .toSeq == Seq(1f, 0f))
+    val top = Similarity.bruteForceKnn(t.where($"vec_id" === 1), t, k = 2)
+      .orderBy($"rank").select($"nid").as[Long].collect().toSeq
+    assert(top == Seq(2L, 3L), top.toString) // prefix-parallel 2 beats orthogonal 3
+    // scaling any vector leaves the truncated ranking unchanged
+    val scaled = d.withColumn("embedding",
+      transform($"embedding", x => x * lit(7.0f)))
+    val topScaled = Similarity.bruteForceKnn(
+      Similarity.truncateDims(scaled, 2).where($"vec_id" === 1),
+      Similarity.truncateDims(scaled, 2), k = 2)
+      .orderBy($"rank").select($"nid").as[Long].collect().toSeq
+    assert(topScaled == top)
+  }
+
   test("slidingCount keeps only the trailing window relative to max ts") {
     val d = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
