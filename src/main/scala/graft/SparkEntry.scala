@@ -681,6 +681,20 @@ object SparkEntry {
         .as("text"))
       Quality.gopherQuality(lined, minWords = 10, maxWords = 500)
     }),
+    // BQ + rescore (Similarity.bqKnn): 1-bit sign quantization, XOR/POPCNT
+    // Hamming shortlist, exact cosine rescoring. Planted-probe
+    // certificate (q28 discipline): a 2x-scaled copy keeps every sign
+    // bit, so Hamming 0 forces the source into the shortlist and exact
+    // rescoring must return it as top-1
+    "q122_bq_rescore" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.where(col("vec_id") < 5).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.bqKnn(probes, emb, k = 5)
+        .where(col("rank") === 1)
+        .select(col("qid"), (col("nid") === col("qid") - 1000000L).as("top1_ok"))
+    }),
     // Matryoshka truncated-dim retrieval (Similarity.truncateDims +
     // bruteForceKnn): exact top-k on the 16-dim prefix — cosine is
     // scale-invariant so no renormalization; the oracle slices the same
@@ -1344,6 +1358,8 @@ object SparkEntry {
         |    / greatest(len(tk), 1) alpha_word_frac,
         |  len(tk) BETWEEN 10 AND 500 length_ok
         |FROM t""".stripMargin,
+    "q122_bq_rescore" ->
+      "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
     "q121_truncated_knn" ->
       """WITH q AS (SELECT vec_id qid, CAST(embedding[1:16] AS DOUBLE[]) qv
         |           FROM embeddings WHERE vec_id < 5),

@@ -62,6 +62,9 @@ object Exprs {
   def hyperplaneBucket(vec: Column, planes: Int): Column =
     ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(vec), planes))
 
+  def bqPack(vec: Column): Column =
+    ExpressionUtils.column(BqPack(ExpressionUtils.expression(vec)))
+
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     ExpressionUtils.column(NearestCentroids(ExpressionUtils.expression(vec), centroids, nprobe))
 
@@ -287,6 +290,48 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
+}
+
+/** Binary quantization (sign-bit) pack: bit i = (component i >= 0) for a
+  * ≤64-dim numeric vector, packed into ONE long — 32× smaller than
+  * float32 at rest, and `bit_count(a ^ b)` (one XOR + POPCNT) is the
+  * 1-bit angular-distance proxy modern vector stores use as a cheap
+  * shortlist stage before exact rescoring. Positive scaling preserves
+  * every sign, so an exact-copy (or scaled-copy) probe has Hamming 0 to
+  * its source — the planted-probe certificate q122 asserts. NULL for
+  * null input or >64 dims. */
+case class BqPack(child: Expression) extends UnaryExpression with VectorReader {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bq_pack"
+
+  @transient private lazy val childIsFloat = isFloatArray(child.dataType)
+
+  def compute(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    if (n > 64) return null
+    var sig = 0L
+    var i = 0
+    while (i < n) {
+      if (elemAt(arr, i, childIsFloat) >= 0.0) sig |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bq", this, classOf[BqPack].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long ${ev.value}_r = $ref.compute($c);
+       |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ${ev.value}_r.longValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BqPack =
+    copy(child = newChild)
 }
 
 /** `planes`-bit hyperplane-LSH bucket (Charikar '02 random projections):

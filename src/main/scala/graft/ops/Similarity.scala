@@ -110,6 +110,45 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Binary-quantized retrieval with exact rescoring (the BQ + rescore
+    * pattern of modern vector stores): corpus vectors collapse to ONE
+    * long each via [[graft.expr.Exprs.bqPack]] (sign bit per dim, 32×
+    * smaller than float32), the shortlist stage ranks by
+    * `bit_count(qbq ^ nbq)` — an XOR + POPCNT per candidate over 8-byte
+    * keys instead of 256-byte float arrays, which is why the scan tier
+    * of a 100 TB vector corpus can stay hot — and only the top
+    * `shortlist` candidates per query are rescored with exact cosine on
+    * the full vectors (a broadcast-shortlist equi-join back to the
+    * corpus, the q105 re-rank discipline).
+    *
+    * Hamming ties are broken by id, so the shortlist is deterministic;
+    * positive scaling preserves all sign bits, so an exact- or
+    * scaled-copy probe has Hamming 0 to its source and MUST surface it
+    * (q122's planted-probe certificate). Output: (qid, nid, rank) by
+    * exact cosine over the shortlist. */
+  def bqKnn(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+            shortlist: Int = 20, idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qvec"), Exprs.bqPack(col(vecCol)).as("qbq")))
+    val c = corpus.select(col(idCol).as("nid"), Exprs.bqPack(col(vecCol)).as("nbq"))
+    val wH = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("nid").asc)
+    val short = c.join(q.select(col("qid"), col("qbq")), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        bit_count(col("qbq").bitwiseXOR(col("nbq"))).as("hamming"))
+      .withColumn("_hr", row_number().over(wH))
+      .where(col("_hr") <= shortlist)
+    val wC = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    short
+      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), Seq("nid"))
+      .join(q.select(col("qid"), col("qvec")), Seq("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("sim"))
+      .withColumn("rank", row_number().over(wC))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** Exact near-duplicate pairs over a (SMALL) vector set: all pairs with
     * cosine >= minCos, similarity emitted floor-rounded to 3 decimals
     * (engine-independent rounding — see ops/Relational round2 note). The

@@ -152,6 +152,35 @@ class SimilarityAggSpec extends SparkTestBase {
     assert(topScaled == top)
   }
 
+  test("bqPack: sign bits in order; scaling-invariant; >64 dims null") {
+    import graft.expr.Exprs
+    val d = vecs((1L, Array(0.5f, -1f, 0f, -0.25f))) // bits: 1,0,1,0 -> 0b0101
+    val sig = d.select(Exprs.bqPack($"embedding")).as[Long].head()
+    assert(sig == 5L, sig.toString)
+    val scaled = d.select(Exprs.bqPack(transform($"embedding", x => x * lit(9f))))
+      .as[Long].head()
+    assert(scaled == sig) // positive scaling preserves every sign bit
+    val big = Seq((1L, Array.fill(65)(1f))).toDF("vec_id", "embedding")
+    assert(big.select(Exprs.bqPack($"embedding")).as[Option[Long]].head().isEmpty)
+  }
+
+  test("bqKnn: full-corpus shortlist equals brute force; scaled copy is top-1") {
+    val d = vecs((0L until 12L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 3.7 + j * 1.3).toFloat))): _*)
+    val q = d.where($"vec_id" < 3)
+    val exact = Similarity.bruteForceKnn(q, d, k = 3).as[(Long, Long, Int)]
+      .collect().toSet
+    val bq = Similarity.bqKnn(q, d, k = 3, shortlist = 12)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bq == exact, s"$bq != $exact") // shortlist >= corpus -> same ranking
+    // scaled copy retrieves its source as top-1 through the Hamming-0 path
+    val probe = d.where($"vec_id" === 7).select(lit(99L).as("vec_id"),
+      transform($"embedding", x => x * lit(3f)).as("embedding"))
+    val top1 = Similarity.bqKnn(probe, d, k = 1, shortlist = 4)
+      .select($"nid").as[Long].head()
+    assert(top1 == 7L, top1.toString)
+  }
+
   test("slidingCount keeps only the trailing window relative to max ts") {
     val d = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
