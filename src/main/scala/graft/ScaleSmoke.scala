@@ -185,6 +185,21 @@ object ScaleSmoke {
     }
     println(f"ivfPqKnnResidual(10 probes vs $n vecs): ${(System.nanoTime()-t0)/1e9}%.1f s, $selfOk/10 self-retrievals at minimal ADC")
     assert(selfOk == 10, s"residual PQ self-retrieval broke at scale: $selfOk/10")
+    // BQ + rescore at the same vector count: sign-bit encode is a
+    // scan-speed pass; 10 scaled-copy probes must come back top-1
+    // through the Hamming-0 shortlist + exact rescore
+    t0 = System.nanoTime()
+    val nBq = vecs.select(graft.expr.Exprs.bqPack(col("embedding")).as("bq"))
+      .where(col("bq").isNotNull).count()
+    println(f"bqPack($n vecs): ${(System.nanoTime()-t0)/1e9}%.1f s, $nBq coded (${n/((System.nanoTime()-t0)/1e9)}%.0f vecs/s)")
+    val bqProbes = vecs.where(col("vec_id") < 10)
+      .select((col("vec_id") + n).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    t0 = System.nanoTime()
+    val bqTop = ops.Similarity.bqKnn(bqProbes, vecs, k = 1, shortlist = 20)
+      .where(col("rank") === 1 && col("nid") === col("qid") - n).count()
+    println(f"bqKnn(10 probes vs $n vecs): ${(System.nanoTime()-t0)/1e9}%.1f s, $bqTop/10 scaled-copy self-retrievals")
+    assert(bqTop == 10, s"BQ rescore self-retrieval broke at scale: $bqTop/10")
     vecs.unpersist(false)
     // --- round-7 corpus-shaping ops at the same corpus size ---
     // URL canonicalization: scan-speed string pass over n synthesized
