@@ -703,6 +703,15 @@ object SparkEntry {
       val emb = Similarity.truncateDims(Tables.embeddings(s, d), dims = 16)
       Similarity.bruteForceKnn(emb.where(col("vec_id") < 5), emb, k = 5)
     }),
+    // DSIR importance resampling (ops/Importance, Xie et al. NeurIPS '23):
+    // hashed word-bigram likelihood-ratio weights, integer-exact (add-one
+    // smoothed ratio buckets, not float logs — see Importance header);
+    // target = the English slice, raw = the whole corpus; top-100 docs by
+    // mean bigram weight. The ≤4096-row weight table broadcasts; top-k is
+    // TakeOrdered
+    "q123_dsir" -> ((s, d) =>
+      Importance.dsirResample(Tables.documents(s, d),
+        Tables.documents(s, d).where(col("lang") === "en"), k = 100)),
     // per-group token-budget sampling (Curate.budgetPerGroup): ≤30k chars
     // per source in md5 order; the two-level prefix-sum must be
     // row-identical to the oracle's plain per-source window cumsum
@@ -1360,6 +1369,22 @@ object SparkEntry {
         |FROM t""".stripMargin,
     "q122_bq_rescore" ->
       "SELECT vec_id + 1000000 qid, TRUE top1_ok FROM embeddings WHERE vec_id < 5",
+    "q123_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+        |      t -> (CAST(LEN(t) AS BIGINT) * 131 + ascii(substr(t, 1, 1))) % 1000000007) tv
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(tv)),
+        |    i -> ((tv[i] * 31 + tv[i+1]) % 1000000007) % 4096)) bucket
+        |  FROM tok),
+        |cr AS (SELECT bucket, COUNT(*) cr FROM f GROUP BY 1),
+        |ct AS (SELECT bucket, COUNT(*) ct FROM f WHERE lang = 'en' GROUP BY 1),
+        |w AS (SELECT cr.bucket, (10000 * (COALESCE(ct.ct, 0) + 1)) // (cr.cr + 1) w
+        |  FROM cr LEFT JOIN ct USING (bucket)),
+        |s AS (SELECT f.doc_id, COUNT(*) n_bigrams, CAST(SUM(w.w) AS BIGINT) score
+        |  FROM f JOIN w USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, score, score // n_bigrams avg_w
+        |FROM s ORDER BY avg_w DESC, doc_id LIMIT 100""".stripMargin,
     "q121_truncated_knn" ->
       """WITH q AS (SELECT vec_id qid, CAST(embedding[1:16] AS DOUBLE[]) qv
         |           FROM embeddings WHERE vec_id < 5),
