@@ -258,6 +258,15 @@ object ScaleSmoke {
       docs.withColumn("score", length(col("text"))), pairs, scoreCol = "score").count()
     println(f"resolveDuplicates($n docs, ${n / 10} clusters): ${(System.nanoTime()-t0)/1e9}%.1f s, $resolved survivors")
     assert(resolved == n / 10, s"resolveDuplicates survivor count broke: $resolved != ${n / 10}")
+    // DSIR importance resampling: weight on a 1%-of-corpus target, score
+    // everything — two corpus scans + a broadcast join; the weight table
+    // is capped at `buckets` rows no matter the corpus size
+    t0 = System.nanoTime()
+    val scored = ops.Importance.dsirScore(docs,
+      ops.Importance.dsirWeights(docs, docs.where(pmod(col("doc_id"), lit(100)) === 0)))
+    val nScored = scored.count()
+    println(f"dsirScore($n docs, 1%% target): ${(System.nanoTime()-t0)/1e9}%.1f s, $nScored docs scored")
+    assert(nScored == n, s"dsirScore dropped docs: $nScored != $n")
     spark.stop()
   }
 }

@@ -712,6 +712,53 @@ object SparkEntry {
     "q123_dsir" -> ((s, d) =>
       Importance.dsirResample(Tables.documents(s, d),
         Tables.documents(s, d).where(col("lang") === "en"), k = 100)),
+    // C4 line-level quality pass (Curate.c4Filter, Raffel et al. '20
+    // §2.2). Multi-line fixture synthesized in-plan (q118 discipline):
+    // a terminal-punct body line, a too-short line, a no-punct line, a
+    // javascript line, and per-id-class lorem-ipsum / curly-brace poison
+    // docs; the oracle re-derives every rule from the same fixture
+    "q124_c4_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lined = docs.select(col("doc_id"),
+        concat_ws("\n",
+          concat(col("text"), lit(".")),
+          lit("too short."),
+          lit("this line has no terminal punctuation at all"),
+          lit("Please enable javascript to continue reading this."),
+          when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet."))
+            .otherwise(concat(lit("SEG "), (col("doc_id") % 7).cast("string"),
+              lit(" closing words to keep here."))),
+          when(col("doc_id") % 17 === 0, lit("function f() { return 1; }"))
+            .otherwise(lit("Another good sentence stays right here."))).as("text"))
+      Curate.c4Filter(lined)
+    }),
+    // The Stack / StarCoder structural code filters
+    // (Quality.stackCodeFilters): fixture plants an auto-generated
+    // header (id%13), a symbol-soup low-alnum body (id%17), and a
+    // 1200-char minified line (id%11) so every cut fires
+    "q125_stack_filters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val coded = docs.select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 13 === 0,
+            lit("// Auto-Generated by graft-gen; do not edit"))
+            .otherwise(concat(lit("// module m"), (col("doc_id") % 5).cast("string"))),
+          when(col("doc_id") % 17 === 0, repeat(lit("+++ --- "), 40))
+            .otherwise(col("text")),
+          when(col("doc_id") % 11 === 0, repeat(lit("x"), 1200))
+            .otherwise(lit("return 0;"))).as("text"))
+      Quality.stackCodeFilters(coded)
+    }),
+    // temperature-flattened mixture resampling (Curate.temperatureSample,
+    // τ pinned at 1/2 so the keep-rate sqrt(n_min/n_s) is IEEE-exact in
+    // both engines); the 7/2/1 source skew is q82's synthetic mixture
+    "q126_temperature_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 < 7, lit("big"))
+          .when(col("doc_id") % 10 < 9, lit("mid"))
+          .otherwise(lit("small")).as("source"))
+      Curate.temperatureSample(docs)
+    }),
     // per-group token-budget sampling (Curate.budgetPerGroup): ≤30k chars
     // per source in md5 order; the two-level prefix-sum must be
     // row-identical to the oracle's plain per-source window cumsum
@@ -1385,6 +1432,82 @@ object SparkEntry {
         |  FROM f JOIN w USING (bucket) GROUP BY 1)
         |SELECT doc_id, n_bigrams, score, score // n_bigrams avg_w
         |FROM s ORDER BY avg_w DESC, doc_id LIMIT 100""".stripMargin,
+    "q124_c4_filter" ->
+      """WITH x AS (SELECT doc_id,
+        |    text || '.' || chr(10) ||
+        |    'too short.' || chr(10) ||
+        |    'this line has no terminal punctuation at all' || chr(10) ||
+        |    'Please enable javascript to continue reading this.' || chr(10) ||
+        |    CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.'
+        |         ELSE 'SEG ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |              ' closing words to keep here.' END || chr(10) ||
+        |    CASE WHEN doc_id % 17 = 0 THEN 'function f() { return 1; }'
+        |         ELSE 'Another good sentence stays right here.' END AS text
+        |  FROM documents),
+        |g AS (SELECT doc_id, text FROM x
+        |  WHERE NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')),
+        |k AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |         OR ends_with(l, '"'))
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'),
+        |            w -> w <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) kl
+        |  FROM g),
+        |r AS (SELECT doc_id, array_to_string(kl, chr(10)) AS text,
+        |    CAST(len(kl) AS BIGINT) n_lines FROM k)
+        |SELECT doc_id, text, n_lines,
+        |  CAST(length(text) - length(translate(text, '.!?', '')) AS BIGINT)
+        |    n_sentences
+        |FROM r
+        |WHERE length(text) - length(translate(text, '.!?', '')) >= 3""".stripMargin,
+    "q125_stack_filters" ->
+      """WITH x AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 13 = 0
+        |          THEN '// Auto-Generated by graft-gen; do not edit'
+        |          ELSE '// module m' || CAST(doc_id % 5 AS VARCHAR) END)
+        |      || chr(10) ||
+        |    (CASE WHEN doc_id % 17 = 0 THEN repeat('+++ --- ', 40)
+        |          ELSE text END) || chr(10) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN repeat('x', 1200)
+        |          ELSE 'return 0;' END) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, text, string_split(text, chr(10)) ls FROM x),
+        |s AS (SELECT doc_id,
+        |    CAST(list_aggregate(list_transform(ls, x ->
+        |      CAST(length(x) AS BIGINT)), 'max') AS BIGINT) max_line_len,
+        |    CAST(list_aggregate(list_transform(ls, x ->
+        |      CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE)
+        |      / greatest(len(ls), 1) avg_line_len,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) alnum_frac,
+        |    (contains(lower(array_to_string(ls[1:5], chr(10))), 'auto-generated')
+        |     OR contains(lower(array_to_string(ls[1:5], chr(10))), 'autogenerated')
+        |     OR contains(lower(array_to_string(ls[1:5], chr(10))), 'generated by'))
+        |      autogen
+        |  FROM l)
+        |SELECT doc_id, max_line_len, avg_line_len, alnum_frac, autogen,
+        |  (max_line_len <= 1000 AND avg_line_len <= 100
+        |   AND alnum_frac >= 0.25 AND NOT autogen) AS keep
+        |FROM s""".stripMargin,
+    "q126_temperature_sample" ->
+      """WITH documents2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 7 THEN 'big'
+        |         WHEN doc_id % 10 < 9 THEN 'mid'
+        |         ELSE 'small' END source
+        |  FROM documents),
+        |c AS (SELECT source, COUNT(*) cnt FROM documents2 GROUP BY source),
+        |r AS (SELECT source, cnt, MIN(cnt) OVER () mn FROM c),
+        |t AS (SELECT source,
+        |    lower(lpad(to_hex(least(CAST(FLOOR(
+        |      sqrt(CAST(mn AS DOUBLE) / cnt) * 4294967296.0)
+        |      AS BIGINT), 4294967295)), 8, '0')) thr
+        |  FROM r)
+        |SELECT d.doc_id, d.source
+        |FROM documents2 d JOIN t USING (source)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft'), 1, 8) < t.thr""".stripMargin,
     "q121_truncated_knn" ->
       """WITH q AS (SELECT vec_id qid, CAST(embedding[1:16] AS DOUBLE[]) qv
         |           FROM embeddings WHERE vec_id < 5),

@@ -771,4 +771,71 @@ object Curate {
       .where(col("_rd_cl").isNull || col(idCol) === col("_rd_rep"))
       .drop("_rd_id", "_rd_cl", "_rd_rep")
   }
+
+  /** C4's line-level quality pass (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2 — the cleaning that turned Common Crawl into C4):
+    *   - keep only lines that END in a terminal punctuation mark
+    *     (`.` `!` `?` or a closing `"`),
+    *   - keep only lines with at least `minLineWords` words,
+    *   - drop any line containing the word "javascript" (case-blind),
+    *   - drop the whole document if it contains "lorem ipsum" or a `{`,
+    *   - drop the whole document if, after line filtering, fewer than
+    *     `minSentences` sentences remain (sentence ≈ terminal `.!?`
+    *     occurrences in the kept text — the deterministic stand-in for
+    *     the paper's sentence tokenizer).
+    * Surviving documents carry the reassembled kept text.
+    *
+    * Shape at scale: pure per-row column math over one scan — zero
+    * shuffles, zero joins; each HOF lambda touches each line once (work
+    * linear in text size). The bad-word-list rule is site policy and is
+    * left to the caller's extra predicate. */
+  def c4Filter(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", sep: String = "\n",
+               minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val keptText = array_join(kept, sep)
+    val sentences =
+      (length(keptText) - length(translate(keptText, ".!?", ""))).cast("long")
+    docs
+      .where(!lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{"))
+      .select(col(idCol), keptText.as(textCol),
+        size(kept).cast("long").as("n_lines"), sentences.as("n_sentences"))
+      .where(col("n_sentences") >= minSentences)
+  }
+
+  /** Temperature-flattened mixture resampling (the multilingual-corpus
+    * rebalance of Conneau & Lample 2019 / mT5: sample source s with
+    * probability ∝ p_s^τ instead of its natural share p_s, so head
+    * sources shrink and tail sources keep everything). Realized as
+    * per-source subsampling with keep-rate p_s^(τ−1) normalized so the
+    * SMALLEST source keeps 100%; at the fixed τ = 1/2 that rate is
+    * exactly `sqrt(n_min / n_s)`. τ is pinned at 1/2 deliberately:
+    * sqrt and double division are correctly-rounded IEEE ops, so Spark
+    * and any oracle engine derive bit-identical rates — a general pow()
+    * is not correctly rounded and could flip a coin at the boundary.
+    * The coin is the same md5 threshold as [[hashSample]]: deterministic
+    * per doc, retry- and engine-stable, independent of partitioning.
+    *
+    * Shape at scale: one count aggregation (map-side combined, ≤ #sources
+    * rows), a broadcast of per-source thresholds, and one corpus scan
+    * with a scan-side predicate — no corpus-keyed shuffle at all. */
+  def temperatureSample(documents: DataFrame, sourceCol: String = "source",
+                        idCol: String = "doc_id",
+                        salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val counts = documents.groupBy(col(sourceCol)).agg(count(lit(1)).as("cnt"))
+    val rate = sqrt(min(col("cnt")).over(wAll).cast("double") / col("cnt"))
+    documents
+      .join(broadcast(counts.select(col(sourceCol),
+        hashSampleThresholdCol(rate).as("_thr"))), Seq(sourceCol))
+      .where(md5Prefix(col(idCol), salt) < col("_thr"))
+      .select(col(idCol), col(sourceCol))
+  }
 }

@@ -254,4 +254,40 @@ object Quality {
         (col("_dup3").cast("double") / col("_chars")).as("dup3_frac"),
         col("_dwf").as("dup_word_frac"))
   }
+
+  /** The Stack / StarCoder source-file filters (Kocetkov et al. 2022
+    * §2.2; Li et al. 2023 §3.1) — the cheap structural cuts a code
+    * corpus applies before any model-based scoring:
+    *   - `max_line_len` > 1000 → drop (minified / data blobs),
+    *   - `avg_line_len` > 100 → drop,
+    *   - `alnum_frac` < 0.25 → drop (binary-ish / ASCII-art),
+    *   - an auto-generated marker ("auto-generated", "autogenerated",
+    *     "generated by") in the first five lines → drop.
+    * Emits the signals plus the combined `keep` verdict so callers can
+    * re-threshold without rescanning.
+    *
+    * Shape at scale: one scan, pure per-row column math — zero shuffles,
+    * zero joins. avg/frac are double divisions of exact integer totals,
+    * so any engine derives identical values. */
+  def stackCodeFilters(documents: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", sep: String = "\n",
+                       maxLineLen: Int = 1000, maxAvgLineLen: Int = 100,
+                       minAlnumFrac: Double = 0.25): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, java.util.regex.Pattern.quote(sep))
+    val lens = transform(lines, l => length(l).cast("long"))
+    val maxLen = array_max(lens)
+    val avgLen = aggregate(lens, lit(0L), (acc, x) => acc + x).cast("double") /
+      greatest(size(lines), lit(1))
+    val alnum = (length(t) - length(regexp_replace(t, "[A-Za-z0-9]", "")))
+      .cast("double") / greatest(length(t), lit(1))
+    val head5 = lower(array_join(slice(lines, 1, 5), sep))
+    val autogen = head5.contains("auto-generated") ||
+      head5.contains("autogenerated") || head5.contains("generated by")
+    documents.select(col(idCol),
+      maxLen.as("max_line_len"), avgLen.as("avg_line_len"),
+      alnum.as("alnum_frac"), autogen.as("autogen"),
+      (maxLen <= maxLineLen && avgLen <= maxAvgLineLen &&
+        alnum >= minAlnumFrac && !autogen).as("keep"))
+  }
 }

@@ -377,4 +377,62 @@ class CurateSpec extends SparkTestBase {
       .map { case (s, n, m) => s -> ((n, m)) }.toMap
     assert(kept == Map("big" -> ((5L, 5)), "mid" -> ((5L, 5)), "small" -> ((3L, 3))))
   }
+
+  test("c4Filter: line rules, doc-level poison, sentence minimum") {
+    val docs = Seq(
+      // keeps line 1 (.), drops too-short / no-punct / javascript lines,
+      // keeps ! and ? lines -> 3 lines, 3 sentences
+      (1L, "one two three four five.\nshort line.\n" +
+        "no terminal punct here at all\n" +
+        "Please enable JavaScript to continue reading now.\n" +
+        "second good line stays right here!\n" +
+        "third good line stays right here?"),
+      // doc-level drop: lorem ipsum
+      (2L, "contains lorem ipsum dolor sit amet.\n" +
+        "more good words stay right here.\nthird fine sentence sits here."),
+      // doc-level drop: curly brace
+      (3L, "var x = 1; // brace follows {\n" +
+        "good line number one stays here.\n" +
+        "good line number two stays here.\n" +
+        "good line number three stays here."),
+      // only 2 sentences survive -> dropped by minSentences
+      (4L, "only one good sentence lives here.\n" +
+        "second good sentence is right here."),
+      // closing-quote line counts as terminal but adds no sentence mark
+      (5L, "ends with a closing quote so it stays \"\n" +
+        "second good sentence sits right here.\n" +
+        "third good sentence sits right here.\n" +
+        "fourth keeps it over the bar.")
+    ).toDF("doc_id", "text")
+    val got = Curate.c4Filter(docs)
+      .select($"doc_id", $"n_lines", $"n_sentences", $"text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 5L))
+    assert(got(1L)._2 == 3 && got(1L)._3 == 3)
+    assert(got(1L)._4 == "one two three four five.\n" +
+      "second good line stays right here!\nthird good line stays right here?")
+    assert(got(5L)._2 == 4 && got(5L)._3 == 3)
+  }
+
+  test("temperatureSample: sqrt(n_min/n_s) keep-rate, smallest source intact") {
+    val rows = (0L until 400L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val got = Curate.temperatureSample(df, salt = "t5")
+      .as[(Long, String)].collect().toSet
+    // smallest source: rate 1 -> every row whose md5 prefix < ffffffff
+    // (i.e. all of them, for these ids)
+    assert(got.count(_._2 == "small") == 100)
+    // big source: rate sqrt(100/400) = 0.5 exactly -> same rows as the
+    // static-rate sampler at 0.5
+    val direct = df.where($"source" === "big" &&
+      Curate.hashSamplePredicate($"doc_id", 0.5, "t5"))
+      .as[(Long, String)].collect().toSet
+    assert(got.filter(_._2 == "big") == direct)
+    // deterministic under repartition
+    val got2 = Curate.temperatureSample(df.repartition(7), salt = "t5")
+      .as[(Long, String)].collect().toSet
+    assert(got2 == got)
+  }
 }

@@ -57,7 +57,8 @@ class PlanGuardSpec extends SparkTestBase {
       "q23_lang_id", "q24_fingerprint", "q26_simhash_sig", "q34_bpe_tokens",
       "q44_scalar_battery", "q46_hash_sample", "q47_chunks", "q48_pii_redact",
       "q63_unpivot", "q69_repetition", "q80_quantize_int8", "q110_winnow",
-      "q114_url_canon", "q120_gopher_quality")) {
+      "q114_url_canon", "q120_gopher_quality", "q124_c4_filter",
+      "q125_stack_filters")) {
       assert(shuffles(q(name)) == 0, s"$name grew a shuffle")
     }
   }

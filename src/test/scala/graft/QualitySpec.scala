@@ -141,4 +141,25 @@ class QualitySpec extends SparkTestBase {
     // dup-3-gram chars), dup_word 1/2
     assert(got(4L) == ((4L, 1L, "a a", 3 / 3.0, 0.0, 0.5)))
   }
+
+  test("stackCodeFilters: every cut fires; marker only scans first 5 lines") {
+    val docs = Seq(
+      (1L, "// module a\nshort code line;\nreturn 0;"),
+      (2L, "// Auto-Generated by tool\ncode;\nmore;"),
+      (3L, "ok line\n" + "x" * 1200 + "\nend;"),
+      (4L, "+++ --- +++ --- +++ ---\n### $$$ %%%\n!!! ??? &&&"),
+      (5L, "AUTOGENERATED file follows\ncode;"),
+      (6L, "a1;\nb2;\nc3;\nd4;\ne5;\n// generated by tool")
+    ).toDF("doc_id", "text")
+    val got = Quality.stackCodeFilters(docs)
+      .as[(Long, Long, Double, Double, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 16L && got(1L)._3 == (11 + 16 + 9) / 3.0)
+    assert(got(1L)._6, "clean doc must keep")
+    assert(got(2L)._5 && !got(2L)._6, "auto-generated header must drop")
+    assert(got(3L)._2 == 1200L && !got(3L)._6, "1200-char line must drop")
+    assert(got(4L)._4 < 0.25 && !got(4L)._6, "symbol soup must drop")
+    assert(got(5L)._5, "AUTOGENERATED (case-blind) must flag")
+    assert(!got(6L)._5, "marker on line 6 is past the 5-line window")
+  }
 }
