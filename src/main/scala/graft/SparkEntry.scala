@@ -759,6 +759,12 @@ object SparkEntry {
           .otherwise(lit("small")).as("source"))
       Curate.temperatureSample(docs)
     }),
+    // T5 span corruption (TextAnalysis.spanCorrupt): deterministic
+    // md5-coin masking at rate 0.15, adjacent hits merge into sentinel
+    // spans; the oracle replays the coin, the run-merge, and both
+    // reassemblies with window functions
+    "q127_span_corrupt" -> ((s, d) =>
+      TextAnalysis.spanCorrupt(Tables.documents(s, d))),
     // per-group token-budget sampling (Curate.budgetPerGroup): ≤30k chars
     // per source in md5 order; the two-level prefix-sum must be
     // row-identical to the oracle's plain per-source window cumsum
@@ -1492,6 +1498,36 @@ object SparkEntry {
         |  (max_line_len <= 1000 AND avg_line_len <= 100
         |   AND alnum_frac >= 0.25 AND NOT autogen) AS keep
         |FROM s""".stripMargin,
+    "q127_span_corrupt" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+        |    i -> {'pos': i - 1, 'tok': tk[i]})) u FROM t),
+        |r AS (SELECT doc_id, u.pos pos, u.tok tok FROM e),
+        |c AS (SELECT doc_id, pos, tok,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(pos AS VARCHAR) || ':graft'), 1, 8) < '26666666' m
+        |  FROM r),
+        |s AS (SELECT doc_id, pos, tok, m,
+        |    m AND NOT coalesce(
+        |      lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) st
+        |  FROM c),
+        |k AS (SELECT doc_id, pos, tok, m, st,
+        |    SUM(CASE WHEN st THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) - 1 kk
+        |  FROM s),
+        |p AS (SELECT doc_id, pos, st,
+        |    CASE WHEN NOT m THEN tok
+        |         WHEN st THEN '<extra_id_' || CAST(kk AS VARCHAR) || '>' END ip,
+        |    CASE WHEN st THEN '<extra_id_' || CAST(kk AS VARCHAR) || '> ' || tok
+        |         WHEN m THEN tok END tp
+        |  FROM k)
+        |SELECT doc_id,
+        |  coalesce(string_agg(ip, ' ' ORDER BY pos), '') inputs,
+        |  coalesce(string_agg(tp, ' ' ORDER BY pos), '') targets,
+        |  CAST(SUM(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) n_spans
+        |FROM p GROUP BY doc_id""".stripMargin,
     "q126_temperature_sample" ->
       """WITH documents2 AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 < 7 THEN 'big'

@@ -380,4 +380,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         (floor(col("score") * 1000000 + 0.5) / 1000000.0).as("score"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4 — the denoising
+    * objective's example generator): mask a deterministic subset of each
+    * document's tokens, merge adjacent masked tokens into spans, and
+    * emit the (`inputs`, `targets`) pair a seq-to-seq trainer consumes —
+    * span k is replaced by `<extra_id_k>` in the inputs and its tokens
+    * appear after `<extra_id_k>` in the targets.
+    *
+    * Deviations from the paper, both deliberate:
+    *   - per-token masking uses the repo's md5 coin on (doc, pos, salt)
+    *     instead of i.i.d. noise with a mean span length — retry- and
+    *     engine-stable ([[graft.ops.Curate.hashSamplePredicate]]
+    *     discipline); adjacent coin hits merge, so spans still form;
+    *   - no trailing final sentinel on targets (a trainer that wants it
+    *     appends a constant).
+    * Documents with zero tokens vanish (no example to make); documents
+    * whose coins all miss emit an unmasked example (`targets` empty).
+    *
+    * Shape at scale: posexplode, ONE doc-keyed window (lag + running
+    * span count share the sort), one groupBy(doc) reassembly — the
+    * [[graft.ops.Curate.dedupLines]] shape; per-group state is one
+    * document's tokens, never corpus-sized. No arrays are folded with
+    * per-element concat (the O(n²) lambda trap winnow removed). */
+  def spanCorrupt(documents: DataFrame, rate: Double = 0.15,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thr = lit(Curate.hashSampleThreshold(rate))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    def sent(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    def reassemble(piece: Column): Column =
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), piece.as("v")))),
+        s => s.getField("v")), " ")
+    documents
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("m",
+        substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col("pos").cast("string"), lit(":"), lit(salt)).cast("binary")),
+          1, 8) < thr)
+      .withColumn("st",
+        col("m") && !coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .withColumn("k", sum(when(col("st"), 1L).otherwise(0L)).over(w) - 1)
+      .withColumn("ip",
+        when(!col("m"), col("tok")).when(col("st"), sent(col("k"))))
+      .withColumn("tp",
+        when(col("st"), concat(sent(col("k")), lit(" "), col("tok")))
+          .when(col("m"), col("tok")))
+      .groupBy(col(idCol))
+      .agg(reassemble(col("ip")).as("inputs"),
+        reassemble(col("tp")).as("targets"),
+        sum(when(col("st"), 1L).otherwise(0L)).as("n_spans"))
+  }
 }

@@ -239,4 +239,45 @@ class TextAnalysisSpec extends SparkTestBase {
       .select("fp").as[Long].head()
     assert(blank == 0L)
   }
+
+  test("spanCorrupt: rate extremes, sentinel order, lossless round-trip") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "solo"),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    // rate 0: nothing masked — inputs are the rejoined tokens, no spans
+    val none = TextAnalysis.spanCorrupt(docs, rate = 0.0)
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(none.keySet == Set(1L, 2L, 3L), "token-less docs vanish")
+    assert(none(1L)._2 == "the quick brown fox jumps over the lazy dog again and again")
+    assert(none(1L)._3 == "" && none(1L)._4 == 0L)
+    // rate 1: everything masked — one span holding the whole doc
+    val all = TextAnalysis.spanCorrupt(docs, rate = 1.0)
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(all(2L)._2 == "<extra_id_0>")
+    assert(all(2L)._3 == "<extra_id_0> alpha beta gamma delta epsilon zeta eta theta")
+    assert(all(2L)._4 == 1L)
+    // default rate: splicing each target span back over its sentinel
+    // reproduces the original token stream, and sentinels count 0..n-1
+    val mid = TextAnalysis.spanCorrupt(docs, rate = 0.5)
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    val sentRe = "<extra_id_(\\d+)>".r
+    for ((id, (_, inp, tgt, n)) <- mid) {
+      val spans = sentRe.split(tgt).toSeq.map(_.trim).filter(_.nonEmpty)
+      val sentIds = sentRe.findAllMatchIn(tgt).map(_.group(1).toInt).toSeq
+      assert(sentIds == (0 until n.toInt), s"doc $id target sentinels")
+      var rebuilt = inp
+      for ((k, span) <- sentIds.zip(spans))
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", span)
+      val orig = docs.where($"doc_id" === id).as[(Long, String)].head()._2
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == orig, s"doc $id round-trip")
+    }
+    // deterministic under repartition
+    val again = TextAnalysis.spanCorrupt(docs.repartition(5), rate = 0.5)
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == mid)
+  }
 }
