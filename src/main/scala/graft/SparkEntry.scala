@@ -759,6 +759,12 @@ object SparkEntry {
           .otherwise(lit("small")).as("source"))
       Curate.temperatureSample(docs)
     }),
+    // content-defined chunking (Curate.contentChunks): Rabin-style
+    // rolling-hash boundaries at token granularity (w=4, divisor=64 →
+    // ~64-token chunks); the oracle replays the polynomial window hash,
+    // the boundary rule, and the prefix-count chunk ids
+    "q128_content_chunks" -> ((s, d) =>
+      Curate.contentChunks(Tables.documents(s, d))),
     // T5 span corruption (TextAnalysis.spanCorrupt): deterministic
     // md5-coin masking at rate 0.15, adjacent hits merge into sentinel
     // spans; the oracle replays the coin, the run-merge, and both
@@ -1498,6 +1504,31 @@ object SparkEntry {
         |  (max_line_len <= 1000 AND avg_line_len <= 100
         |   AND alnum_frac >= 0.25 AND NOT autogen) AS keep
         |FROM s""".stripMargin,
+    "q128_content_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk,
+        |    list_transform(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> ''),
+        |      w -> (CAST(LEN(w) AS BIGINT) * 131 + ascii(substr(w, 1, 1)))
+        |        % 1000000007) tv
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+        |    i -> {'pos': i - 1, 'tok': tk[i],
+        |          'gh': CASE WHEN i >= 4 THEN
+        |            ((((tv[i-3] * 31 + tv[i-2]) % 1000000007) * 31
+        |              + tv[i-1]) % 1000000007 * 31 + tv[i]) % 1000000007
+        |          END})) u FROM t),
+        |r AS (SELECT doc_id, u.pos pos, u.tok tok,
+        |    u.gh IS NOT NULL AND u.gh % 64 = 0 b FROM e),
+        |k AS (SELECT doc_id, pos, tok,
+        |    SUM(CASE WHEN b THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos)
+        |      - CASE WHEN b THEN 1 ELSE 0 END chunk_id
+        |  FROM r)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) chunk_id,
+        |  string_agg(tok, ' ' ORDER BY pos) chunk_text,
+        |  CAST(COUNT(*) AS BIGINT) n_chunk_tokens
+        |FROM k GROUP BY doc_id, chunk_id""".stripMargin,
     "q127_span_corrupt" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk

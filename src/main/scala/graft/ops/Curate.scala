@@ -221,6 +221,62 @@ object Curate {
         array_join(slice(col("tk"), col("start") + 1, lit(chunkLen)), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking (Rabin-style rolling-hash boundaries — the
+    * storage-dedup primitive of LBFS/Muthitacharoen et al. '01, applied
+    * at token granularity): a chunk boundary closes after any position
+    * whose last-`w`-token polynomial hash is ≡ 0 mod `divisor`, so chunk
+    * boundaries are a function of LOCAL content only. Unlike
+    * [[chunks]]' fixed windows, inserting or deleting one token shifts
+    * only the chunks touching the edit — everything after the next
+    * boundary re-synchronizes, which is what makes chunk-level dedup
+    * robust to small edits. Expected chunk length ≈ `divisor` tokens.
+    *
+    * Deviation from FastCDC: no min/max chunk clamps — they make each
+    * boundary depend on the previous one (a sequential chain), where the
+    * pure Rabin rule stays embarrassingly parallel per position; at the
+    * tail a pathological hash streak can make a long chunk, which
+    * chunk-level dedup tolerates.
+    *
+    * Token hash is [[graft.ops.TextAnalysis.fingerprint]]'s engine-
+    * neutral per-token term; the `w`-gram hash is the base-31 fold of
+    * the window (the q110/q123 gram rule), built from `w−1` window LAGs
+    * over the doc sort the chunk-id prefix count needs anyway — no HOF
+    * lambdas at all (an array-slice fold would re-tokenize the document
+    * per position, the exact quadratic trap LambdaCostAudit pins), and
+    * the lag NULLs at pos < w−1 make the head boundary-free for free.
+    * Shape: one posexplode + ONE doc-keyed window (lags, then prefix
+    * count, sharing the sort) + the [[dedupLines]] reassembly agg —
+    * [[graft.ops.TextAnalysis.spanCorrupt]]'s exact 1-shuffle shape. */
+  def contentChunks(documents: DataFrame, w: Int = 4, divisor: Int = 64,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w > 0 && divisor > 0, "w and divisor must be positive")
+    val P = 1000000007L
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    def tvAt(j: Int): Column =
+      if (j == 0) col("tv") else lag(col("tv"), j).over(wd)
+    // base-31 fold over tv[pos-w+1 .. pos]; any NULL lag (pos < w-1)
+    // nulls the whole hash, which coalesces to "no boundary"
+    val gh = (w - 1 to 0 by -1).foldLeft(lit(0L): Column)(
+      (acc, j) => (acc * 31L + tvAt(j)) % P)
+    documents
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+      .withColumn("tv", (length(col("tok")).cast("long") * 131L +
+        ascii(substring(col("tok"), 1, 1)).cast("long")) % P)
+      // a boundary at pos closes the chunk AT pos: chunk id = boundaries
+      // strictly before this position
+      .withColumn("b", coalesce(gh % divisor === 0, lit(false)))
+      .withColumn("chunk_id",
+        sum(when(col("b"), 1L).otherwise(0L)).over(wd) -
+          when(col("b"), 1L).otherwise(0L))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok").as("v")))),
+        s => s.getField("v")), " ").as("chunk_text"),
+        count(lit(1)).as("n_chunk_tokens"))
+  }
+
   // ----------------------------------------------------------- PII scrub
 
   /** Engine-portable PII patterns (no lookaround — valid in both Java

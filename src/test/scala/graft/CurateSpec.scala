@@ -415,6 +415,34 @@ class CurateSpec extends SparkTestBase {
     assert(got(5L)._2 == 4 && got(5L)._3 == 3)
   }
 
+  test("contentChunks: reassembly is lossless, boundaries are content-local") {
+    val text = (1 to 400).map(i => s"tok${i % 97}x$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "a b c"), (3L, " ")).toDF("doc_id", "text")
+    val got = Curate.contentChunks(docs, w = 4, divisor = 16)
+      .as[(Long, Long, String, Long)].collect()
+    // token-less doc vanishes; short doc (< w tokens) is one chunk 0
+    assert(!got.exists(_._1 == 3L))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    // chunk ids are dense 0..k and concatenating chunks in id order
+    // reproduces the original token stream exactly
+    val one = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(one.map(_._2).toSeq == one.indices.map(_.toLong))
+    assert(one.map(_._3).mkString(" ") == text)
+    assert(one.length > 5, s"divisor 16 over 400 tokens must cut: ${one.length}")
+    // content-defined resync: inserting one token near the front only
+    // changes chunks up to the next boundary — the tail chunk sets match
+    val edited = Seq((9L, ("INSERTED " + text))).toDF("doc_id", "text")
+    val ed = Curate.contentChunks(edited, w = 4, divisor = 16)
+      .as[(Long, Long, String, Long)].collect().map(_._3).toSet
+    val shared = one.map(_._3).toSet intersect ed
+    assert(shared.size >= one.length - 2,
+      s"CDC must resync after an edit: shared ${shared.size}/${one.length}")
+    // deterministic under repartition
+    val again = Curate.contentChunks(docs.repartition(7), w = 4, divisor = 16)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(again == got.toSet)
+  }
+
   test("temperatureSample: sqrt(n_min/n_s) keep-rate, smallest source intact") {
     val rows = (0L until 400L).map(i => (i, "big")) ++
       (1000L until 1100L).map(i => (i, "small"))

@@ -69,7 +69,7 @@ class PlanGuardSpec extends SparkTestBase {
       "q45_approx_quantiles", "q51_cdc_latest", "q54_variant",
       "q55_column_stats", "q57_window_battery", "q62_session_window",
       "q73_bpe_pairs", "q78_sequence_pack", "q81_length_band",
-      "q87_filtered_knn", "q127_span_corrupt")) {
+      "q87_filtered_knn", "q127_span_corrupt", "q128_content_chunks")) {
       assert(shuffles(q(name)) <= 1, s"$name grew beyond one shuffle")
     }
   }
