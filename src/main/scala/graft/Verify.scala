@@ -20,29 +20,47 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names.contains(n) })
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.linesIterator.take(1).mkString.take(300)
       }
       spark.catalog.clearCache() // drop per-query persisted intermediates
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // End-of-run summary (mirrors Bench.renderJson): a partial failure must
+    // be unmissable in any log, not just N absent rows in the driver's
+    // artifact. Non-zero exit on any error so gates can't read silence as
+    // success.
+    println(summaryJson(selected.size - errors.size, errors.toSeq))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private[graft] def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** `{"n_ok":N,"n_err":M,"errors":{...}}` — one line, driver-parseable. */
+  private[graft] def summaryJson(
+      nOk: Int, errors: Seq[(String, String)]): String = {
+    val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
+      .mkString("{", ",", "}")
+    s"""{"tool":"verify","n_ok":$nOk,"n_err":${errors.size},"errors":$errJson}"""
   }
 }
