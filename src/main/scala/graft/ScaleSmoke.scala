@@ -233,12 +233,13 @@ object ScaleSmoke {
     val totKept = capped.count()
     println(f"capPerDomain($n docs, mega=${n / 2}): ${(System.nanoTime()-t0)/1e9}%.1f s, mega kept $megaKept/100, total $totKept")
     assert(megaKept == 100, s"mega-domain cap broke: $megaKept")
-    // Gopher repetition: ~237 gram rows/doc through the one-scan
-    // two-agg shape — the shuffle-volume stress case
+    // Gopher repetition (round-8 single-pass expression): all gram
+    // counting happens scan-side in the per-row hash map — the former
+    // ~237M-gram-row shuffle (31-43 s here) is gone entirely
     t0 = System.nanoTime()
-    val gr = ops.Quality.gopherRepetition(docs)
+    val gr = ops.Quality.gopherRepetitionFast(docs)
     val nRep = gr.where(col("dup3_frac") > 0.5).count()
-    println(f"gopherRepetition($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $nRep docs >50%% dup-3-gram chars")
+    println(f"gopherRepetitionFast($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $nRep docs >50%% dup-3-gram chars")
     // C4 line dedup: 3-line docs where line 1 is one of 1000 boilerplates
     // (each duplicated ~n/1000 times — the hot-key case the min-struct
     // aggregation absorbs map-side), line 2 one of n/10 segment lines,

@@ -661,11 +661,13 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("source")),
         domainCol = "source", idCol = "doc_id", k = 25, salt = "s7")
         .withColumn("rk", col("rk").cast("long"))),
-    // Gopher repetition filters (ops/Quality.gopherRepetition): top-2-gram
-    // char fraction, duplicated-3-gram char fraction, duplicate-word
-    // fraction — argmax tie rule (cnt DESC, gram ASC) pinned cross-engine
+    // Gopher repetition filters — the single-pass codegen'd variant
+    // (Quality.gopherRepetitionFast, zero shuffles); the oracle below
+    // re-derives the relational definition (explode grams, count, argmax
+    // with cnt DESC / gram ASC ties) independently, so the oracle match
+    // doubles as the fast==exact equivalence proof at SF scale
     "q116_gopher_rep" -> ((s, d) =>
-      Quality.gopherRepetition(Tables.documents(s, d))),
+      Quality.gopherRepetitionFast(Tables.documents(s, d))),
     // Gopher quality battery (Quality.gopherQuality): word stats, symbol
     // ratio, bullet/ellipsis line fractions, alpha-word fraction — lines
     // and symbols planted in-plan so every rule fires

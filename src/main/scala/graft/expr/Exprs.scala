@@ -86,6 +86,9 @@ object Exprs {
 
   def winnowEncodings(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowEncodings(ExpressionUtils.expression(text), k, w))
+
+  def gopherRepetitionStats(text: Column): Column =
+    ExpressionUtils.column(GopherRepetitionStats(ExpressionUtils.expression(text)))
 }
 
 /** Distinct xxhash64 values of the word `n`-gram shingles of a text column
@@ -834,5 +837,117 @@ case class WinnowEncodings(child: Expression, k: Int, w: Int) extends UnaryExpre
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowEncodings =
+    copy(child = newChild)
+}
+
+/** Gopher repetition signals in one tight per-row pass (Rae et al. 2021
+  * table A1): word count, distinct-word count, the most frequent word
+  * 2-gram (ties to the codepoint-ascending gram) with its count, and the
+  * characters covered by word 3-grams occurring >= 2 times. Replaces the
+  * explode-2-grams-and-3-grams -> groupBy(doc, n, gram) shape, which at
+  * 1M docs pushed ~237M gram rows through the shuffle (the suite's
+  * heaviest per-byte op): all counting happens in a per-row hash map, so
+  * the operator is ZERO-shuffle scan-side work. Value-identical to the
+  * relational form (same tokenization as [[Exprs.tokensOf]]; short docs
+  * degrade to the single all-tokens shingle exactly like
+  * [[ShingleStrings]]); GopherFastSpec pins equality, the q116 DuckDB
+  * oracle re-derives the relational definition independently.
+  *
+  * Gram lengths and tie-breaks are in CODEPOINTS (UTF-8 binary order ==
+  * codepoint order), matching Spark `length`/UTF8String comparison and
+  * DuckDB collation — NOT Java's UTF-16 `String.length`/`compareTo`,
+  * which diverge on astral codepoints.
+  */
+case class GopherRepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top2_cnt", LongType, nullable = false),
+    StructField("top2_gram", StringType, nullable = false),
+    StructField("dup3_chars", LongType, nullable = false)))
+
+  override def prettyName: String = "gopher_repetition_stats"
+
+  private def codepointLen(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
+  /** codepoint order == UTF-8 binary order; Java's String.compareTo is
+    * UTF-16 order and disagrees above U+E000 vs astral codepoints. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  private def grams(toks: Array[String], n: Int): java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    if (toks.length < n) {
+      m.put(toks.mkString(" "), 1) // ShingleStrings short-doc degenerate
+      return m
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      m.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    m
+  }
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = Exprs.tokensOf(text)
+    val nWords = toks.length.toLong
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) { distinct.add(toks(i)); i += 1 }
+
+    // top 2-gram: max count, ties to the codepoint-ascending gram text
+    var topGram: String = null
+    var topCnt = 0L
+    val it2 = grams(toks, 2).entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      val c = e.getValue.toLong
+      if (c > topCnt || (c == topCnt && (topGram == null || cpCompare(e.getKey, topGram) < 0))) {
+        topCnt = c
+        topGram = e.getKey
+      }
+    }
+
+    var dup3 = 0L
+    val it3 = grams(toks, 3).entrySet().iterator()
+    while (it3.hasNext) {
+      val e = it3.next()
+      if (e.getValue >= 2) dup3 += e.getValue.toLong * codepointLen(e.getKey)
+    }
+
+    org.apache.spark.sql.catalyst.InternalRow(
+      nWords, distinct.size.toLong, topCnt,
+      UTF8String.fromString(if (topGram == null) "" else topGram), dup3)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherRep", this, classOf[GopherRepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherRepetitionStats =
     copy(child = newChild)
 }

@@ -255,6 +255,31 @@ object Quality {
         col("_dwf").as("dup_word_frac"))
   }
 
+  /** [[gopherRepetition]] computed scan-side in one codegen'd pass
+    * ([[graft.expr.GopherRepetitionStats]]): identical columns and
+    * values, ZERO shuffles. The relational form above pushes every word
+    * 2-/3-gram through an exchange (~237M gram rows at 1M docs — the
+    * suite's heaviest per-byte op); this one counts grams in a per-row
+    * hash map, so at 100 TB the operator runs at parquet-scan speed and
+    * nothing leaves the mapper. The relational form is kept as the
+    * oracle-mirroring definition; GopherFastSpec pins row equality
+    * between the two on planted and adversarial fixtures. */
+  def gopherRepetitionFast(documents: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val chars = greatest(length(col(textCol)), lit(1)).cast("double")
+    val s = graft.expr.Exprs.gopherRepetitionStats(col(textCol))
+    documents
+      .select(col(idCol), chars.as("_chars"), s.as("_s"))
+      .select(col(idCol),
+        col("_s.top2_cnt").as("top2_cnt"),
+        col("_s.top2_gram").as("top2_gram"),
+        ((col("_s.top2_cnt") * length(col("_s.top2_gram"))).cast("double") /
+          col("_chars")).as("top2_frac"),
+        (col("_s.dup3_chars").cast("double") / col("_chars")).as("dup3_frac"),
+        ((col("_s.n_words") - col("_s.n_distinct")).cast("double") /
+          greatest(col("_s.n_words"), lit(1L))).as("dup_word_frac"))
+  }
+
   /** The Stack / StarCoder source-file filters (Kocetkov et al. 2022
     * §2.2; Li et al. 2023 §3.1) — the cheap structural cuts a code
     * corpus applies before any model-based scoring:

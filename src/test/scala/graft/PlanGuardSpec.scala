@@ -92,10 +92,10 @@ class PlanGuardSpec extends SparkTestBase {
     // q115: the two-level rank is exactly two window exchanges
     // ((domain, bucket) then domain) — a third means the salting broke
     assert(shuffles(q("q115_domain_cap")) <= 2, "q115 grew beyond two windows")
-    // q116: ONE text scan feeding two map-side-combinable aggregations
-    // ((doc, n, gram) then doc) and no joins — a third exchange or a
-    // second scan means the single-pass shape regressed
-    assert(shuffles(q("q116_gopher_rep")) <= 2, "q116 grew beyond two aggs")
+    // q116 (round-8): the codegen'd GopherRepetitionStats variant is pure
+    // scan-side work — ZERO shuffles, one scan; any exchange means the
+    // relational explode-gram shape leaked back in
+    assert(shuffles(q("q116_gopher_rep")) == 0, "q116 grew a shuffle")
     assert(q("q116_gopher_rep").queryExecution.executedPlan.toString
       .split("Scan parquet").length - 1 <= 1, "q116 re-reads the text scan")
     // q118: groupBy(line) + the line-key join + the doc reassembly agg;
