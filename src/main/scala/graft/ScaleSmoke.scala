@@ -268,6 +268,32 @@ object ScaleSmoke {
     val nScored = scored.count()
     println(f"dsirScore($n docs, 1%% target): ${(System.nanoTime()-t0)/1e9}%.1f s, $nScored docs scored")
     assert(nScored == n, s"dsirScore dropped docs: $nScored != $n")
+    // Exact substring dedup (Lee et al. ExactSubstr): every 100th doc
+    // carries the same planted 30-token boilerplate span mid-document
+    // (1% of the corpus — a 10k-way duplicated span, the hot-key case
+    // for the gram postings), surrounded by id-unique tokens; with
+    // minLen=20 the removal must be exactly the 30 planted positions in
+    // every planted doc and nothing anywhere else
+    val spanDocs = spark.range(n.toLong).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(100)) === 0,
+        concat_ws(" ",
+          concat_ws(" ", transform(sequence(lit(1), lit(30)),
+            j => concat(lit("pre"), col("id"), lit("_"), j))),
+          concat_ws(" ", transform(sequence(lit(1), lit(30)),
+            j => concat(lit("BOILERPLATE_"), j))),
+          concat_ws(" ", transform(sequence(lit(1), lit(30)),
+            j => concat(lit("post"), col("id"), lit("_"), j)))))
+      .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(90)),
+        j => concat(lit("solo"), col("id"), lit("_"), j)))).as("text"))
+    t0 = System.nanoTime()
+    val cut = ops.Dedup.exactSubstrDedup(spanDocs, minLen = 20)
+    val cutStats = cut.agg(
+      sum(when(col("n_removed") === 30, 1L).otherwise(0L)),
+      sum(when(col("n_removed") =!= 0 && col("n_removed") =!= 30, 1L).otherwise(0L))).first()
+    println(f"exactSubstrDedup($n docs, ${n / 100} planted spans): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      s"${cutStats.getLong(0)} spans removed, ${cutStats.getLong(1)} mis-cuts")
+    assert(cutStats.getLong(0) == n / 100, s"planted span removal broke: ${cutStats.getLong(0)}")
+    assert(cutStats.getLong(1) == 0, s"non-planted docs were cut: ${cutStats.getLong(1)}")
     spark.stop()
   }
 }

@@ -767,6 +767,13 @@ object SparkEntry {
     // the boundary rule, and the prefix-count chunk ids
     "q128_content_chunks" -> ((s, d) =>
       Curate.contentChunks(Tables.documents(s, d))),
+    // exact duplicated-span removal (Dedup.exactSubstrDedup, Lee et al.
+    // '21 ExactSubstr): every 5-token span occurring >= 2 times in the
+    // corpus is cut from all its occurrences, overlapping spans merged;
+    // the oracle re-derives dup grams, interval coverage, and the
+    // single-space reassembly independently (position-explode form)
+    "q129_substr_dedup" -> ((s, d) =>
+      Dedup.exactSubstrDedup(Tables.documents(s, d), minLen = 5)),
     // T5 span corruption (TextAnalysis.spanCorrupt): deterministic
     // md5-coin masking at rate 0.15, adjacent hits merge into sentinel
     // spans; the oracle replays the coin, the run-merge, and both
@@ -1531,6 +1538,37 @@ object SparkEntry {
         |  string_agg(tok, ' ' ORDER BY pos) chunk_text,
         |  CAST(COUNT(*) AS BIGINT) n_chunk_tokens
         |FROM k GROUP BY doc_id, chunk_id""".stripMargin,
+    // Independent re-derivation of ExactSubstr: the oracle marks every
+    // token position covered by a duplicated 5-gram by EXPLODING the
+    // coverage ranges (simple O(n*L) form), where the engine merges
+    // intervals relationally — agreement proves the island-merge +
+    // gap-reassembly pipeline equals the positionwise definition.
+    "q129_substr_dedup" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
+        |  FROM documents),
+        |sized AS (SELECT doc_id, tk, len(tk) n FROM base),
+        |occ AS (SELECT doc_id, unnest(range(1, n - 5 + 2)) p, tk
+        |  FROM sized WHERE n >= 5),
+        |g AS (SELECT doc_id, p,
+        |    md5(array_to_string(tk[p:p+4], ' ')) h
+        |  FROM occ),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        |hits AS (SELECT doc_id, p FROM g WHERE h IN (SELECT h FROM dup)),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) i FROM hits),
+        |toks AS (SELECT doc_id, unnest(tk) tok,
+        |    unnest(range(1, len(tk) + 1)) i
+        |  FROM sized),
+        |kept AS (SELECT t.doc_id,
+        |    COALESCE(string_agg(t.tok, ' ' ORDER BY t.i)
+        |      FILTER (WHERE c.i IS NULL), '') kept_text,
+        |    COUNT(*) FILTER (WHERE c.i IS NOT NULL) n_removed
+        |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+        |  GROUP BY t.doc_id)
+        |SELECT s.doc_id, CAST(s.n AS BIGINT) n_tokens,
+        |  CAST(COALESCE(k.n_removed, 0) AS BIGINT) n_removed,
+        |  COALESCE(k.kept_text, '') kept_text
+        |FROM sized s LEFT JOIN kept k ON s.doc_id = k.doc_id""".stripMargin,
     "q127_span_corrupt" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk

@@ -89,6 +89,9 @@ object Exprs {
 
   def gopherRepetitionStats(text: Column): Column =
     ExpressionUtils.column(GopherRepetitionStats(ExpressionUtils.expression(text)))
+
+  def md5Shingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(Md5Shingles(ExpressionUtils.expression(text), n))
 }
 
 /** Distinct xxhash64 values of the word `n`-gram shingles of a text column
@@ -949,5 +952,65 @@ case class GopherRepetitionStats(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): GopherRepetitionStats =
+    copy(child = newChild)
+}
+
+/** Hex md5 of every `n`-token shingle of a text column, CASE-SENSITIVE
+  * (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+  * Better" matches exact byte spans — unlike [[ShingleStrings]], which
+  * lowercases for near-dup recall). One tight pass; emits a 32-char hex
+  * string per position, so the per-row payload is O(32·n_tokens) bytes
+  * instead of the O(L·n_tokens·token_len) a gram-string array would
+  * carry at L=50. Documents with fewer than `n` tokens emit an EMPTY
+  * array (no span of length n exists — the short-doc degenerate shingle
+  * would wrongly let whole short docs match each other). md5-hex of the
+  * UTF-8 bytes of the space-joined gram == Spark `md5()` == DuckDB
+  * `md5()`, so the oracle can re-derive identical keys from the gram
+  * text. */
+case class Md5Shingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "md5_shingles"
+
+  def compute(text: UTF8String): ArrayData = {
+    val t = text.toString.trim
+    val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = Character.forDigit((dig(b) >> 4) & 0xF, 16)
+        hex(b * 2 + 1) = Character.forDigit(dig(b) & 0xF, 16)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5Shingles", this, classOf[Md5Shingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Shingles =
     copy(child = newChild)
 }

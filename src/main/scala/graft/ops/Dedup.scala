@@ -331,4 +331,88 @@ object Dedup {
       .where(col("cos") >= minCos)
     materializeAndRelease(out, bucketed)
   }
+
+  // ------------------------------------------- exact substring dedup
+
+  /** Exact duplicated-span removal (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", ExactSubstr): any span
+    * of `minLen` whitespace tokens that occurs two or more times across
+    * the corpus (including twice in one document) is removed from every
+    * document; overlapping duplicated spans merge before removal, and
+    * the surviving token runs are re-joined with single spaces. Output:
+    * (id, n_tokens, n_removed, kept_text) — n_removed counts removed
+    * token positions.
+    *
+    * The paper builds one suffix array over the concatenated corpus — a
+    * single-machine shape. The Spark-native equivalent exploits that "a
+    * duplicated span of length >= L exists" iff "some L-token gram is
+    * duplicated": every maximal duplicated span is exactly the union of
+    * the overlapping duplicated L-grams inside it, so gram postings +
+    * per-doc interval merge reconstruct the paper's spans without any
+    * global ordering:
+    *
+    *  1. one scan emits md5 128-bit keys of every L-token gram
+    *     ([[graft.expr.Md5Shingles]] — 32 bytes/position through the
+    *     shuffle, never the gram text; 128 bits keeps the collision
+    *     bound negligible at 10^12+ grams where a 64-bit key would
+    *     produce thousands of false dup spans);
+    *  2. groupBy(gram) count — map-side combinable — keeps only keys
+    *     seen >= 2 times; a left-semi join marks the duplicated
+    *     positions (both sides hash-partitioned on the key; AQE handles
+    *     the hot keys a boilerplate-heavy corpus produces);
+    *  3. a doc-keyed window merges overlapping/adjacent hit intervals
+    *     into islands (sort bounded by per-doc hit count), and one
+    *     doc-keyed aggregation collects the merged spans;
+    *  4. the corpus joins the per-doc span lists (doc-keyed) and cuts
+    *     the spans out gap-by-gap — the text column itself never
+    *     shuffles.
+    */
+  def exactSubstrDedup(documents: DataFrame, minLen: Int = 20,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 1, "minLen must be >= 1")
+    val L = minLen
+    val tk = TextAnalysis.tokens(col(textCol))
+    val base = documents.select(col(idCol), col(textCol), tk.as("_tk"))
+
+    val occ = documents
+      .select(col(idCol), posexplode(Exprs.md5Shingles(col(textCol), L)).as(Seq("_p0", "_h")))
+      .select(col(idCol), (col("_p0") + 1).as("_p"), col("_h"))
+    val dupKeys = occ.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= 2).select("_h")
+    val hits = occ.join(dupKeys, Seq("_h"), "left_semi")
+
+    // island merge: a hit starts a new island iff it begins after every
+    // previous hit's span has ended (overlap-or-adjacent spans fuse; the
+    // removal result is identical either way, fusing keeps spans canonical)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_p"))
+    val prevEnd = max(col("_p") + (L - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islanded = hits
+      .withColumn("_new", (col("_p") > coalesce(prevEnd, lit(0L)) + 1).cast("long"))
+      .withColumn("_isl", sum(col("_new")).over(w))
+    val spans = islanded.groupBy(col(idCol), col("_isl"))
+      .agg(min(col("_p")).as("_s"), (max(col("_p")) + (L - 1)).as("_e"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_s"), col("_e")))).as("_ivs"))
+
+    // cut the spans out: gap g spans [gapStart(g), gapEnd(g)] around the
+    // sorted disjoint intervals; empty gaps slice to empty arrays and
+    // vanish in the flatten
+    val marked = base.join(perDoc, Seq(idCol), "left")
+    val ivs = coalesce(col("_ivs"),
+      array().cast("array<struct<_s:long,_e:long>>"))
+    val n = size(col("_tk")).cast("long")
+    val gapStarts = concat(array(lit(1L)), transform(ivs, iv => iv.getField("_e") + 1L))
+    val gapEnds = concat(transform(ivs, iv => iv.getField("_s") - 1L), array(n))
+    val kept = flatten(zip_with(gapStarts, gapEnds,
+      (a, b) => slice(col("_tk"), a, greatest(b - a + 1L, lit(0L)))))
+    val removed = aggregate(ivs, lit(0L),
+      (acc, iv) => acc + (iv.getField("_e") - iv.getField("_s") + 1L))
+    marked.select(col(idCol),
+      n.as("n_tokens"),
+      removed.as("n_removed"),
+      array_join(kept, " ").as("kept_text"))
+  }
 }
