@@ -774,6 +774,15 @@ object SparkEntry {
     // single-space reassembly independently (position-explode form)
     "q129_substr_dedup" -> ((s, d) =>
       Dedup.exactSubstrDedup(Tables.documents(s, d), minLen = 5)),
+    // CCNet perplexity tiers (Perplexity.perplexityBuckets, Wenzek et
+    // al. '20 §4): hashed-bigram add-one LM on the lang='en' target,
+    // integer surprisal ratios + exact integer log2 (binary-length),
+    // value-threshold head/middle/tail tertiles; the oracle re-derives
+    // the model tables, both sums, and the cutoffs independently
+    "q130_ccnet_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Perplexity.perplexityBuckets(docs, docs.where(col("lang") === "en"))
+    }),
     // T5 span corruption (TextAnalysis.spanCorrupt): deterministic
     // md5-coin masking at rate 0.15, adjacent hits merge into sentinel
     // spans; the oracle replays the coin, the run-merge, and both
@@ -1569,6 +1578,40 @@ object SparkEntry {
         |  CAST(COALESCE(k.n_removed, 0) AS BIGINT) n_removed,
         |  COALESCE(k.kept_text, '') kept_text
         |FROM sized s LEFT JOIN kept k ON s.doc_id = k.doc_id""".stripMargin,
+    "q130_ccnet_ppl" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+        |      t -> (CAST(LEN(t) AS BIGINT) * 131 + ascii(substr(t, 1, 1))) % 1000000007) tv
+        |  FROM documents),
+        |pf AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(tv)), i -> tv[i] % 4096)) ua,
+        |    unnest(list_transform(range(1, len(tv)),
+        |      i -> ((tv[i] * 31 + tv[i+1]) % 1000000007) % 4096)) bb
+        |  FROM tok),
+        |uni AS (SELECT v % 4096 ua, COUNT(*) cu
+        |  FROM (SELECT unnest(tv) v FROM tok WHERE lang = 'en') GROUP BY 1),
+        |big AS (SELECT bb, COUNT(*) cb FROM pf WHERE lang = 'en' GROUP BY 1),
+        |s AS (SELECT p.doc_id, COUNT(*) n_bigrams,
+        |    CAST(SUM((10000 * (COALESCE(u.cu, 0) + 4096))
+        |      // (COALESCE(b.cb, 0) + 1)) AS BIGINT) surprisal_sum,
+        |    CAST(SUM(length(bin((10000 * (COALESCE(u.cu, 0) + 4096))
+        |      // (COALESCE(b.cb, 0) + 1))) - 1) AS BIGINT) log2_sum
+        |  FROM pf p LEFT JOIN uni u USING (ua) LEFT JOIN big b USING (bb)
+        |  GROUP BY 1),
+        |sc AS (SELECT doc_id, n_bigrams, surprisal_sum, log2_sum,
+        |    surprisal_sum // n_bigrams avg_surprisal FROM s),
+        |d AS (SELECT avg_surprisal, COUNT(*) c FROM sc GROUP BY 1),
+        |cum AS (SELECT avg_surprisal,
+        |    SUM(c) OVER (ORDER BY avg_surprisal) cum FROM d),
+        |nn AS (SELECT COUNT(*) n FROM sc),
+        |th AS (SELECT
+        |    (SELECT MIN(avg_surprisal) FROM cum, nn WHERE cum >= (n + 2) // 3) t1,
+        |    (SELECT MIN(avg_surprisal) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) t2)
+        |SELECT sc.doc_id, CAST(n_bigrams AS BIGINT) n_bigrams,
+        |  surprisal_sum, log2_sum, CAST(avg_surprisal AS BIGINT) avg_surprisal,
+        |  CASE WHEN avg_surprisal <= t1 THEN 'head'
+        |    WHEN avg_surprisal <= t2 THEN 'middle' ELSE 'tail' END ppl_bucket
+        |FROM sc, th""".stripMargin,
     "q127_span_corrupt" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk

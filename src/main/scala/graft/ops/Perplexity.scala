@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CCNet-style language-model quality filtering (Wenzek et al. 2020,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data", §4): score every document by how surprising its token
+  * sequence is under an n-gram LM trained on a target corpus ("looks
+  * like Wikipedia"), then split the corpus into head / middle / tail
+  * perplexity buckets — the standard pre-training quality tiers.
+  *
+  * Deviations from the paper, both deliberate and both following the
+  * engine-exactness discipline of [[Importance]] (DSIR):
+  *
+  *   - the LM is an add-one-smoothed hashed-bigram model, not KenLM's
+  *     5-gram Kneser-Ney: unigram and bigram counts hash into `buckets`
+  *     slots, so BOTH model tables are at most `buckets` rows and
+  *     broadcast at any corpus size (a real KenLM table would need a
+  *     shuffle join against every token position);
+  *   - per-position "surprisal" is the INTEGER ratio
+  *     `(scale*(c_uni(a) + V)) div (c_big(a,b) + 1)` ∝ 1/P(b|a) — a
+  *     per-document score is then a sum of longs, bit-identical across
+  *     engines where KenLM's float log-sum would drift in the last ulp
+  *     under different reduction orders. The log-domain view the paper
+  *     buckets on is preserved as `log2_sum` = Σ floor(log2(ratio)),
+  *     computed EXACTLY in integers via binary-string length (Spark
+  *     `conv(x,10,2)`, DuckDB `bin(x)` — both emit minimal binary), so
+  *     the oracle reproduces it digit-for-digit.
+  *
+  * Bucketing is by VALUE thresholds, as in the paper (CCNet computes
+  * perplexity cutoffs once and assigns every doc below the cutoff to
+  * head): t1/t2 are the smallest mean-surprisal values whose cumulative
+  * doc count reaches ceil(n/3) and ceil(2n/3). Scale shape: thresholds
+  * come from a groupBy(mean) histogram plus one window over the
+  * DISTINCT integer means (a narrow frame far smaller than the corpus
+  * — integer scores collapse heavily), broadcast back as a 1-row
+  * cross join — no global row_number sort over the corpus, which is
+  * what a rank-based tertile would cost at 10^12 docs.
+  *
+  * Documents with fewer than two tokens have no bigrams and are
+  * dropped, the same no-evidence rule as [[Importance.dsirScore]].
+  */
+object Perplexity {
+
+  private val P = 1000000007L
+
+  /** Per-token polynomial values (the [[Importance.bigramBuckets]] /
+    * fingerprint term): `len·131 + first-codepoint mod P`. */
+  private def tokenValues(text: Column): Column =
+    transform(TextAnalysis.tokens(text),
+      t => (length(t).cast("long") * 131L + ascii(substring(t, 1, 1)).cast("long")) % P)
+
+  /** Adjacent-pair features: one struct per bigram position with the
+    * context's unigram bucket `ua` and the pair's bigram bucket `bb`
+    * (q110 gram fold `a·31 + b mod P`, then mod `buckets` — the same
+    * bigram key as [[Importance.bigramBuckets]]). */
+  private def pairFeatures(text: Column, buckets: Int): Column = {
+    val tv = tokenValues(text)
+    val n1 = greatest(size(tv) - 1, lit(0))
+    zip_with(slice(tv, lit(1), n1), slice(tv, lit(2), n1),
+      (a, b) => struct((a % buckets).as("ua"), (((a * 31L + b) % P) % buckets).as("bb")))
+  }
+
+  /** floor(log2(x)) for x >= 1 (0 for x = 0), exact in integers: the
+    * minimal binary representation's length minus one. Mirrors DuckDB
+    * `length(bin(x)) - 1`. */
+  private def ilog2(x: Column): Column =
+    length(conv(x.cast("string"), 10, 2)).cast("long") - 1L
+
+  /** The two broadcastable LM tables from a target corpus: unigram
+    * bucket counts (<= buckets rows) and bigram bucket counts
+    * (<= buckets rows). */
+  def lmCounts(target: DataFrame, buckets: Int = 4096,
+               textCol: String = "text"): (DataFrame, DataFrame) = {
+    val tv = tokenValues(col(textCol))
+    val uni = target.select(explode(transform(tv, v => v % buckets)).as("ua"))
+      .groupBy("ua").agg(count(lit(1)).as("cu"))
+    val big = target.select(explode(pairFeatures(col(textCol), buckets)).as("f"))
+      .groupBy(col("f.bb").as("bb")).agg(count(lit(1)).as("cb"))
+    (uni, big)
+  }
+
+  /** Per-document LM scores against the target: `surprisal_sum` (Σ of
+    * the integer inverse-probability ratios), `log2_sum` (Σ of their
+    * exact integer log2s — the log-domain perplexity proxy the paper
+    * buckets on), `n_bigrams`, and `avg_surprisal` = sum div count. */
+  def lmScore(corpus: DataFrame, target: DataFrame, buckets: Int = 4096,
+              scale: Long = 10000L, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val (uni, big) = lmCounts(target, buckets, textCol)
+    val r = expr(
+      s"($scale * (coalesce(cu, 0) + $buckets)) DIV (coalesce(cb, 0) + 1)")
+      .cast("long")
+    corpus.select(col(idCol), explode(pairFeatures(col(textCol), buckets)).as("f"))
+      .select(col(idCol), col("f.ua").as("ua"), col("f.bb").as("bb"))
+      .join(broadcast(uni), Seq("ua"), "left")
+      .join(broadcast(big), Seq("bb"), "left")
+      .select(col(idCol), r.as("r"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("r")).as("surprisal_sum"),
+        sum(ilog2(col("r"))).as("log2_sum"))
+      .withColumn("avg_surprisal", expr("surprisal_sum DIV n_bigrams"))
+  }
+
+  /** End-to-end CCNet tiers: score the corpus against the target and
+    * assign head / middle / tail by the value thresholds t1/t2 (the
+    * smallest mean surprisals reaching ceil(n/3) and ceil(2n/3)
+    * cumulative docs). head = most target-like (lowest surprisal). */
+  def perplexityBuckets(corpus: DataFrame, target: DataFrame,
+                        buckets: Int = 4096, scale: Long = 10000L,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val scored = lmScore(corpus, target, buckets, scale, idCol, textCol)
+    val dist = scored.groupBy("avg_surprisal").agg(count(lit(1)).as("_c"))
+    val cum = dist.withColumn("_cum",
+      sum(col("_c")).over(Window.orderBy(col("avg_surprisal"))))
+    val nRow = dist.agg(sum(col("_c")).as("_n"))
+    val t = cum.crossJoin(broadcast(nRow)).agg(
+      min(when(col("_cum") >= expr("(_n + 2) DIV 3"), col("avg_surprisal"))).as("_t1"),
+      min(when(col("_cum") >= expr("(2 * _n + 2) DIV 3"), col("avg_surprisal"))).as("_t2"))
+    scored.crossJoin(broadcast(t))
+      .select(col(idCol), col("n_bigrams"), col("surprisal_sum"),
+        col("log2_sum"), col("avg_surprisal"),
+        when(col("avg_surprisal") <= col("_t1"), "head")
+          .when(col("avg_surprisal") <= col("_t2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+}
