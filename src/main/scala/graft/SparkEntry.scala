@@ -783,6 +783,13 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Perplexity.perplexityBuckets(docs, docs.where(col("lang") === "en"))
     }),
+    // fastText-style lang-id (LangId.langIdFasttext, Joulin et al. '16):
+    // hashed char 2-/3-gram NB with exact integer log2 weights, trained
+    // in-plan on the corpus labels, argmax ties to the smallest lang;
+    // upgrades the q23 marker-word heuristic. The oracle re-derives the
+    // feature fold, the smoothed weight grid, and the argmax
+    "q23b_lang_id_ft" -> ((s, d) =>
+      LangId.langIdFasttext(Tables.documents(s, d))),
     // T5 span corruption (TextAnalysis.spanCorrupt): deterministic
     // md5-coin masking at rate 0.15, adjacent hits merge into sentinel
     // spans; the oracle replays the coin, the run-merge, and both
@@ -1612,6 +1619,36 @@ object SparkEntry {
         |  CASE WHEN avg_surprisal <= t1 THEN 'head'
         |    WHEN avg_surprisal <= t2 THEN 'middle' ELSE 'tail' END ppl_bucket
         |FROM sc, th""".stripMargin,
+    "q23b_lang_id_ft" ->
+      """WITH t AS (SELECT doc_id, lang, lower(text) lt FROM documents),
+        |cps AS (SELECT doc_id, lang,
+        |    list_transform(range(1, length(lt) + 1),
+        |      i -> CAST(ascii(substr(lt, i, 1)) AS BIGINT)) cp
+        |  FROM t),
+        |g AS (SELECT doc_id, lang, unnest(list_concat(
+        |    list_transform(range(1, len(cp)),
+        |      i -> ((cp[i] * 131 + cp[i+1]) % 1000000007) % 2048),
+        |    list_transform(range(1, len(cp) - 1),
+        |      i -> ((((cp[i] * 131 + cp[i+1]) % 1000000007) * 131 + cp[i+2])
+        |        % 1000000007) % 2048))) bucket
+        |  FROM cps),
+        |counts AS (SELECT lang, bucket, COUNT(*) c FROM g GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(c) tot FROM counts GROUP BY 1),
+        |grid AS (SELECT t.lang, gs.bucket, t.tot, COALESCE(c.c, 0) c
+        |  FROM tot t
+        |  CROSS JOIN (SELECT unnest(range(0, 2048)) bucket) gs
+        |  LEFT JOIN counts c ON c.lang = t.lang AND c.bucket = gs.bucket),
+        |w AS (SELECT lang, bucket,
+        |    length(bin(CAST((1000000 * (c + 1)) // (tot + 2048) AS BIGINT))) - 1 w
+        |  FROM grid),
+        |s AS (SELECT g.doc_id, w.lang, SUM(w.w) score
+        |  FROM g JOIN w USING (bucket) GROUP BY 1, 2),
+        |p AS (SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, lang ASC) rn
+        |  FROM s)
+        |SELECT d.doc_id, d.lang, p.lang lang_pred, CAST(p.score AS BIGINT) score
+        |FROM p JOIN documents d USING (doc_id) WHERE p.rn = 1""".stripMargin,
     "q127_span_corrupt" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk

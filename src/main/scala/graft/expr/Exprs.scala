@@ -92,6 +92,9 @@ object Exprs {
 
   def md5Shingles(text: Column, n: Int): Column =
     ExpressionUtils.column(Md5Shingles(ExpressionUtils.expression(text), n))
+
+  def charGramBuckets(text: Column, buckets: Int): Column =
+    ExpressionUtils.column(CharGramBuckets(ExpressionUtils.expression(text), buckets))
 }
 
 /** Distinct xxhash64 values of the word `n`-gram shingles of a text column
@@ -1012,5 +1015,63 @@ case class Md5Shingles(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): Md5Shingles =
+    copy(child = newChild)
+}
+
+/** Hashed character n-gram buckets (n = 2 and 3 combined) of a text
+  * column — the fastText-style feature map (Joulin et al. 2016) for
+  * language identification: every adjacent codepoint pair/triple folds
+  * with the engine-neutral polynomial (`acc·131 + cp mod P`, the same
+  * family as the q110 token fold) and lands in `buckets` slots. One
+  * tight pass over codepoints (a `substring(t, i, 1)` HOF would seek
+  * from the string head per position — O(n²) on UTF-8). Case folding is
+  * the CALLER's job (pass `lower(col)`), so Spark/DuckDB `lower`
+  * semantics stay in charge rather than Java's locale-sensitive
+  * `String.toLowerCase`. Texts under 2 codepoints emit no features.
+  * Emission order is 2-gram-then-3-gram per position; consumers
+  * aggregate counts, so order never matters cross-engine. */
+case class CharGramBuckets(child: Expression, buckets: Int) extends UnaryExpression {
+  require(buckets >= 2, "buckets must be >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_buckets"
+
+  def compute(text: UTF8String): ArrayData = {
+    val P = 1000000007L
+    val s = text.toString
+    val n = s.length
+    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    val out = new java.util.ArrayList[java.lang.Long](2 * n)
+    var prev = -1L // codepoint at i-1
+    var prev2 = -1L // codepoint at i-2
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i).toLong
+      if (prev >= 0) {
+        val h2 = (prev * 131L + cp) % P
+        out.add(h2 % buckets)
+        if (prev2 >= 0) {
+          val h3 = (((prev2 * 131L + prev) % P) * 131L + cp) % P
+          out.add(h3 % buckets)
+        }
+      }
+      prev2 = prev
+      prev = cp
+      i += Character.charCount(cp.toInt)
+    }
+    val arr = new Array[Long](out.size)
+    var o = 0
+    while (o < arr.length) { arr(o) = out.get(o); o += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charGrams", this, classOf[CharGramBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramBuckets =
     copy(child = newChild)
 }

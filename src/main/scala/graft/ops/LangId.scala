@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style language identification (Joulin et al. 2016, "Bag of
+  * Tricks for Efficient Text Classification" — the architecture behind
+  * fasttext's lid.176 model every crawl pipeline runs): a linear
+  * classifier over hashed character n-gram features. Upgrades the
+  * marker-word heuristic [[TextAnalysis.langId]], which only knows
+  * three hard-coded stopword lists and nothing about scripts or
+  * morphology.
+  *
+  * Re-expressed under this repo's engine-exact integer discipline
+  * rather than fastText's float softmax:
+  *
+  *  - features: hashed char 2-/3-gram buckets
+  *    ([[graft.expr.CharGramBuckets]], codegen'd single pass);
+  *  - model: per-(lang, bucket) add-one Naive Bayes weights
+  *    `w = floor(log2((scale*(c+1)) div (tot_lang + B)))` — the exact
+  *    integer log2 (binary-length) introduced by [[Perplexity]], so a
+  *    document score is a sum of longs and argmax is bit-stable in any
+  *    engine; the full (lang × bucket) grid is materialized so unseen
+  *    buckets carry their smoothed weight instead of silently dropping;
+  *  - prediction: argmax of the per-lang score, ties to the
+  *    lexicographically smallest lang (binary string order).
+  *
+  * Scale shape: the model is at most |langs|·buckets rows (5·2048 here)
+  * — a broadcast at any corpus size; training is one scan + a map-side-
+  * combinable groupBy; scoring is one scan, a broadcast join that fans
+  * each gram to |langs| rows, and two partial-aggregated groupBys.
+  * Documents with fewer than two codepoints have no features and are
+  * dropped (the [[Importance.dsirScore]] no-evidence rule).
+  */
+object LangId {
+
+  /** (lang, bucket, w) Naive-Bayes weight grid from a labeled corpus —
+    * every (lang, bucket) pair present, smoothed. */
+  def train(labeled: DataFrame, buckets: Int = 2048, scale: Long = 1000000L,
+            langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val counts = labeled
+      .select(col(langCol).as("lang"),
+        explode(graft.expr.Exprs.charGramBuckets(lower(col(textCol)), buckets)).as("bucket"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("lang").agg(sum(col("c")).as("tot"))
+    val grid = tot.select(col("lang"), col("tot"),
+      explode(sequence(lit(0L), lit(buckets - 1L))).as("bucket"))
+    grid.join(counts, Seq("lang", "bucket"), "left")
+      .select(col("lang"), col("bucket"),
+        (length(conv(expr(s"($scale * (coalesce(c, 0) + 1)) DIV (tot + $buckets)")
+          .cast("string"), 10, 2)).cast("long") - 1L).as("w"))
+  }
+
+  /** Classify every document against a trained weight grid: the output
+    * keeps the per-doc best lang and its score. */
+  def classify(docs: DataFrame, model: DataFrame, buckets: Int = 2048,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(graft.expr.Exprs.charGramBuckets(lower(col(textCol)), buckets)).as("bucket"))
+    grams.join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("w")).as("score"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("ns"), col("lang").as("lang"))).as("m"))
+      .select(col(idCol), col("m.lang").as("lang_pred"), (-col("m.ns")).as("score"))
+  }
+
+  /** End-to-end self-supervised run on a labeled corpus: train on the
+    * labels, classify every doc, keep the true label alongside the
+    * prediction (the confusion-matrix shape). */
+  def langIdFasttext(labeled: DataFrame, buckets: Int = 2048,
+                     scale: Long = 1000000L, idCol: String = "doc_id",
+                     langCol: String = "lang",
+                     textCol: String = "text"): DataFrame = {
+    val model = train(labeled, buckets, scale, langCol, textCol)
+    // the true label rides the aggregates (max of a per-doc constant)
+    // instead of paying a corpus-sized self-join at the end
+    labeled.select(col(idCol), col(langCol).as("_lt"),
+      explode(graft.expr.Exprs.charGramBuckets(lower(col(textCol)), buckets)).as("bucket"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("w")).as("score"), max(col("_lt")).as("_lt"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("ns"), col("lang").as("lang"))).as("m"),
+        max(col("_lt")).as("lang"))
+      .select(col(idCol), col("lang"), col("m.lang").as("lang_pred"),
+        (-col("m.ns")).as("score"))
+  }
+}
