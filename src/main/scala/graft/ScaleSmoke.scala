@@ -285,6 +285,32 @@ object ScaleSmoke {
             j => concat(lit("post"), col("id"), lit("_"), j)))))
       .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(90)),
         j => concat(lit("solo"), col("id"), lit("_"), j)))).as("text"))
+    // CCNet perplexity tiers: target = every 100th doc; model tables are
+    // bounded (4096 rows) so the cost is the two target scans + one
+    // corpus scan + the broadcast-join aggregation
+    t0 = System.nanoTime()
+    val tiers = ops.Perplexity.perplexityBuckets(docs,
+      docs.where(pmod(col("doc_id"), lit(100)) === 0))
+    val tierCounts = tiers.groupBy("ppl_bucket").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(f"perplexityBuckets($n docs, 1%% target): ${(System.nanoTime()-t0)/1e9}%.1f s, tiers $tierCounts")
+    assert(tierCounts.values.sum == n.toLong, s"ppl dropped docs: $tierCounts")
+    // perplexityBuckets' internal persist (~5 longs/doc) is left to die
+    // with the process — clearCache here would also evict `docs`
+    // fastText-style lang-id: 4 synthetic "languages" with distinct char
+    // textures (suffix alphabets); self-classification must be near-perfect
+    val langDocs = docs.withColumn("lang",
+      concat(lit("l"), pmod(col("doc_id"), lit(4))))
+      .withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(" ætherwise wyrd gecynd"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit(" zhongwen hanzi pinyin"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(" ñandú jalapeño señal"))
+          .otherwise(lit(" fjord smörgås kvæld"))))
+    t0 = System.nanoTime()
+    val lid = ops.LangId.langIdFasttext(langDocs)
+    val lidAcc = lid.where(col("lang") === col("lang_pred")).count()
+    println(f"langIdFasttext($n docs, 4 langs): ${(System.nanoTime()-t0)/1e9}%.1f s, $lidAcc/$n correct")
+    assert(lidAcc >= n * 95L / 100L, s"lang-id accuracy collapsed: $lidAcc/$n")
     t0 = System.nanoTime()
     val cut = ops.Dedup.exactSubstrDedup(spanDocs, minLen = 20)
     val cutStats = cut.agg(

@@ -790,6 +790,14 @@ object SparkEntry {
     // feature fold, the smoothed weight grid, and the argmax
     "q23b_lang_id_ft" -> ((s, d) =>
       LangId.langIdFasttext(Tables.documents(s, d))),
+    // composed FineWeb-style curation (Pipeline.fineWebCurate): span
+    // dedup -> repetition gate on the CLEANED text -> perplexity tiers
+    // with thresholds on the survivor distribution -> per-source cap;
+    // the oracle chains the independently-derived twins of all four
+    // stages, so the composition semantics (stage order, what each
+    // threshold is computed over) are themselves oracled
+    "q131_fineweb_pipeline" -> ((s, d) =>
+      Pipeline.fineWebCurate(Tables.documents(s, d))),
     // T5 span corruption (TextAnalysis.spanCorrupt): deterministic
     // md5-coin masking at rate 0.15, adjacent hits merge into sentinel
     // spans; the oracle replays the coin, the run-merge, and both
@@ -1649,6 +1657,103 @@ object SparkEntry {
         |  FROM s)
         |SELECT d.doc_id, d.lang, p.lang lang_pred, CAST(p.score AS BIGINT) score
         |FROM p JOIN documents d USING (doc_id) WHERE p.rn = 1""".stripMargin,
+    "q131_fineweb_pipeline" ->
+      """WITH base AS (SELECT doc_id, lang, source,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
+        |  FROM documents),
+        |sized AS (SELECT doc_id, lang, source, tk, len(tk) n FROM base),
+        |occ AS (SELECT doc_id, unnest(range(1, n - 5 + 2)) p, tk
+        |  FROM sized WHERE n >= 5),
+        |g AS (SELECT doc_id, p, md5(array_to_string(tk[p:p+4], ' ')) h FROM occ),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        |hits AS (SELECT doc_id, p FROM g WHERE h IN (SELECT h FROM dup)),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) i FROM hits),
+        |toks AS (SELECT doc_id, unnest(tk) tok,
+        |    unnest(range(1, len(tk) + 1)) i FROM sized),
+        |keptagg AS (SELECT t.doc_id,
+        |    COALESCE(string_agg(t.tok, ' ' ORDER BY t.i)
+        |      FILTER (WHERE c.i IS NULL), '') kept_text,
+        |    COUNT(*) FILTER (WHERE c.i IS NOT NULL) n_removed
+        |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+        |  GROUP BY 1),
+        |cleaned AS (SELECT s.doc_id, s.lang, s.source,
+        |    CAST(s.n AS BIGINT) n_tokens,
+        |    CAST(COALESCE(k.n_removed, 0) AS BIGINT) n_removed,
+        |    COALESCE(k.kept_text, '') kept_text
+        |  FROM sized s LEFT JOIN keptagg k USING (doc_id)),
+        |b2 AS (SELECT doc_id, lang, source, n_tokens, n_removed, kept_text,
+        |    greatest(length(kept_text), 1) chars,
+        |    list_filter(regexp_split_to_array(lower(kept_text), '\s+'),
+        |      x -> x <> '') tk2
+        |  FROM cleaned),
+        |g2 AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(tk2) < 2 THEN [array_to_string(tk2, ' ')]
+        |      ELSE list_transform(range(1, len(tk2)),
+        |        i -> tk2[i] || ' ' || tk2[i+1]) END) gg
+        |  FROM b2),
+        |c2 AS (SELECT doc_id, gg, COUNT(*) cnt FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, cnt, gg FROM (SELECT doc_id, gg, cnt,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, gg ASC) rn FROM c2) WHERE rn = 1),
+        |g3 AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(tk2) < 3 THEN [array_to_string(tk2, ' ')]
+        |      ELSE list_transform(range(1, len(tk2) - 1),
+        |        i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]) END) gg
+        |  FROM b2),
+        |c3 AS (SELECT doc_id, gg, COUNT(*) cnt FROM g3 GROUP BY 1, 2),
+        |d3 AS (SELECT doc_id,
+        |    COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gg) END), 0) dup3
+        |  FROM c3 GROUP BY 1),
+        |rep AS (SELECT b.doc_id, b.lang, b.source, b.n_tokens, b.n_removed,
+        |    b.kept_text
+        |  FROM b2 b JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+        |  WHERE CAST(len(tk2) - len(list_distinct(tk2)) AS DOUBLE)
+        |      / greatest(len(tk2), 1) <= 0.6
+        |    AND CAST(t2.cnt * length(t2.gg) AS DOUBLE) / b.chars <= 0.2
+        |    AND CAST(COALESCE(d3.dup3, 0) AS DOUBLE) / b.chars <= 0.2),
+        |tokv AS (SELECT doc_id, lang,
+        |    list_transform(list_filter(regexp_split_to_array(kept_text, '\s+'),
+        |        x -> x <> ''),
+        |      t -> (CAST(LEN(t) AS BIGINT) * 131 + ascii(substr(t, 1, 1)))
+        |        % 1000000007) tv
+        |  FROM rep),
+        |pf AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(tv)), i -> tv[i] % 4096)) ua,
+        |    unnest(list_transform(range(1, len(tv)),
+        |      i -> ((tv[i] * 31 + tv[i+1]) % 1000000007) % 4096)) bb
+        |  FROM tokv),
+        |uni AS (SELECT v % 4096 ua, COUNT(*) cu
+        |  FROM (SELECT unnest(tv) v FROM tokv WHERE lang = 'en') GROUP BY 1),
+        |big AS (SELECT bb, COUNT(*) cb FROM pf WHERE lang = 'en' GROUP BY 1),
+        |sc AS (SELECT p.doc_id, COUNT(*) nb,
+        |    CAST(SUM((10000 * (COALESCE(u.cu, 0) + 4096))
+        |      // (COALESCE(b.cb, 0) + 1)) AS BIGINT)
+        |      // COUNT(*) avg_surprisal
+        |  FROM pf p LEFT JOIN uni u USING (ua) LEFT JOIN big b USING (bb)
+        |  GROUP BY 1),
+        |dd AS (SELECT avg_surprisal, COUNT(*) c FROM sc GROUP BY 1),
+        |cum AS (SELECT avg_surprisal,
+        |    SUM(c) OVER (ORDER BY avg_surprisal) cum FROM dd),
+        |nn AS (SELECT COUNT(*) n FROM sc),
+        |th AS (SELECT
+        |    (SELECT MIN(avg_surprisal) FROM cum, nn WHERE cum >= (n + 2) // 3) t1,
+        |    (SELECT MIN(avg_surprisal) FROM cum, nn
+        |      WHERE cum >= (2 * n + 2) // 3) t2),
+        |tier AS (SELECT sc.doc_id,
+        |    CAST(sc.avg_surprisal AS BIGINT) avg_surprisal,
+        |    CASE WHEN avg_surprisal <= t1 THEN 'head'
+        |      WHEN avg_surprisal <= t2 THEN 'middle' ELSE 'tail' END ppl_bucket
+        |  FROM sc, th),
+        |surv AS (SELECT r.doc_id, r.lang, r.source, r.n_tokens, r.n_removed,
+        |    t.avg_surprisal, t.ppl_bucket
+        |  FROM rep r JOIN tier t USING (doc_id) WHERE t.ppl_bucket <> 'tail'),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'fw8'), 1, 8),
+        |      doc_id) rk
+        |  FROM surv)
+        |SELECT doc_id, lang, source, n_tokens, n_removed, avg_surprisal,
+        |  ppl_bucket, CAST(rk AS BIGINT) rk
+        |FROM ranked WHERE rk <= 12""".stripMargin,
     "q127_span_corrupt" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk

@@ -369,12 +369,14 @@ object Dedup {
     */
   def exactSubstrDedup(documents: DataFrame, minLen: Int = 20,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minLen >= 1, "minLen must be >= 1")
     val L = minLen
     val tk = TextAnalysis.tokens(col(textCol))
-    val base = documents.select(col(idCol), col(textCol), tk.as("_tk"))
+    val base = documents.select(
+      (col(idCol) +: col(textCol) +: keep.map(col)) :+ tk.as("_tk"): _*)
 
     val occ = documents
       .select(col(idCol), posexplode(Exprs.md5Shingles(col(textCol), L)).as(Seq("_p0", "_h")))
@@ -410,9 +412,9 @@ object Dedup {
       (a, b) => slice(col("_tk"), a, greatest(b - a + 1L, lit(0L)))))
     val removed = aggregate(ivs, lit(0L),
       (acc, iv) => acc + (iv.getField("_e") - iv.getField("_s") + 1L))
-    marked.select(col(idCol),
+    marked.select((col(idCol) +: keep.map(col)) ++ Seq(
       n.as("n_tokens"),
       removed.as("n_removed"),
-      array_join(kept, " ").as("kept_text"))
+      array_join(kept, " ").as("kept_text")): _*)
   }
 }

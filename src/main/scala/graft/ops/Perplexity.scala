@@ -113,7 +113,12 @@ object Perplexity {
                         buckets: Int = 4096, scale: Long = 10000L,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val scored = lmScore(corpus, target, buckets, scale, idCol, textCol)
+    // scored is read by the histogram chain AND the final assignment —
+    // persist the narrow (id + 4 longs) frame so the corpus text is
+    // scanned and the LM join paid ONCE (Verify/Bench clear the cache
+    // between queries; long-lived callers own the unpersist, the
+    // Dedup.minhashIndex discipline)
+    val scored = lmScore(corpus, target, buckets, scale, idCol, textCol).persist()
     val dist = scored.groupBy("avg_surprisal").agg(count(lit(1)).as("_c"))
     val cum = dist.withColumn("_cum",
       sum(col("_c")).over(Window.orderBy(col("avg_surprisal"))))

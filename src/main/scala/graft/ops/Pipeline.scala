@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A composed FineWeb-style curation pipeline (Penedo et al. 2024,
+  * "The FineWeb Datasets" — the stage order every modern crawl-to-
+  * pretraining recipe follows): exact duplicated-span removal, then
+  * repetition filtering on the CLEANED text, then LM-perplexity
+  * tiering against an in-corpus target, then a per-source document
+  * cap. Each stage is one of this library's individually-oracled
+  * operators; this entry point exists because a pipeline user runs
+  * them chained, and the chain has semantics of its own (every stage
+  * sees the previous stage's survivors, and the perplexity thresholds
+  * are computed on the post-filter distribution, not the raw corpus).
+  *
+  * Scale shape is inherited from the stages: the substring dedup never
+  * shuffles text, the repetition filter is ZERO-shuffle scan-side work
+  * ([[graft.expr.GopherRepetitionStats]]), the LM tables stay
+  * broadcastable, and the cap's sorts are salt-bounded under domain
+  * skew. The one extra cost the composition adds is a doc-id-keyed
+  * join of the narrow perplexity scores back to the survivor frame.
+  */
+object Pipeline {
+
+  /** Returns the curated survivor set: (id, lang, domain, n_tokens,
+    * n_removed, avg_surprisal, ppl_bucket, rk).
+    *
+    *  1. [[Dedup.exactSubstrDedup]] (`minLen`) rewrites every doc with
+    *     corpus-duplicated spans cut out;
+    *  2. repetition gate on the cleaned text: keep docs with
+    *     `dup_word_frac <= maxDupWordFrac`, `top2_frac <= maxTop2Frac`,
+    *     `dup3_frac <= maxDup3Frac`;
+    *  3. [[Perplexity.perplexityBuckets]] against the survivors whose
+    *     `langCol` equals `targetLang`; the `tail` tier is dropped
+    *     (docs without bigram evidence drop with it, the stage-3
+    *     no-evidence rule);
+    *  4. [[Curate.capPerDomain]] keeps at most `capPerSource` docs per
+    *     `domainCol` in salted-md5 rank order.
+    */
+  def fineWebCurate(docs: DataFrame, minLen: Int = 5,
+                    maxDupWordFrac: Double = 0.6, maxTop2Frac: Double = 0.2,
+                    maxDup3Frac: Double = 0.2, targetLang: String = "en",
+                    capPerSource: Int = 12, salt: String = "fw8",
+                    idCol: String = "doc_id", textCol: String = "text",
+                    langCol: String = "lang",
+                    domainCol: String = "source"): DataFrame = {
+    // 1. span dedup, carrying the mixture columns through
+    val deduped = Dedup.exactSubstrDedup(docs, minLen, idCol, textCol,
+      keep = Seq(langCol, domainCol))
+
+    // 2. repetition gate, scan-side on the cleaned text (no joins: the
+    // signals come from the single-pass expression inline)
+    val s = graft.expr.Exprs.gopherRepetitionStats(col("kept_text"))
+    val chars = greatest(length(col("kept_text")), lit(1)).cast("double")
+    val rep = deduped.withColumn("_s", s)
+      .withColumn("_dwf",
+        (col("_s.n_words") - col("_s.n_distinct")).cast("double") /
+          greatest(col("_s.n_words"), lit(1L)))
+      .withColumn("_t2f",
+        (col("_s.top2_cnt") * length(col("_s.top2_gram"))).cast("double") / chars)
+      .withColumn("_d3f", col("_s.dup3_chars").cast("double") / chars)
+      .where(col("_dwf") <= maxDupWordFrac && col("_t2f") <= maxTop2Frac &&
+        col("_d3f") <= maxDup3Frac)
+      .select(col(idCol), col(langCol), col(domainCol),
+        col("n_tokens"), col("n_removed"), col("kept_text"))
+
+    // 3. perplexity tiers on the survivors; thresholds are computed on
+    // THIS distribution (CCNet computes cutoffs on what it scores)
+    val tiers = Perplexity.perplexityBuckets(rep,
+      rep.where(col(langCol) === targetLang),
+      idCol = idCol, textCol = "kept_text")
+    val tiered = rep.join(
+      tiers.where(col("ppl_bucket") =!= "tail")
+        .select(col(idCol), col("avg_surprisal"), col("ppl_bucket")),
+      Seq(idCol))
+
+    // 4. per-source cap (salted two-level rank, deterministic)
+    Curate.capPerDomain(tiered, domainCol, idCol, capPerSource, salt)
+      .select(col(idCol), col(langCol), col(domainCol), col("n_tokens"),
+        col("n_removed"), col("avg_surprisal"), col("ppl_bucket"), col("rk"))
+  }
+}

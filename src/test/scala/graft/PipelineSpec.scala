@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{Dedup, Pipeline}
+import org.apache.spark.sql.functions._
+
+/** Composition semantics of the FineWeb-style pipeline: each stage
+  * filters the previous stage's survivors (the q131 oracle pins the
+  * exact values; this spec pins the structural claims a user relies
+  * on).
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("survivors are a subset of the corpus and respect the source cap") {
+    val out = Pipeline.fineWebCurate(docs).persist()
+    val n = out.count()
+    assert(n > 0)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(all))
+    val perSource = out.groupBy("source").count()
+      .select("count").as[Long].collect()
+    assert(perSource.forall(_ <= 12))
+    // no tail-tier docs survive
+    assert(out.where(col("ppl_bucket") === "tail").count() == 0)
+    out.unpersist()
+  }
+
+  test("repetition gate actually rejects a planted degenerate doc") {
+    val planted = docs.select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .union(Seq((99999L, "en", "src0", Seq.fill(60)("spam").mkString(" ")))
+        .toDF("doc_id", "lang", "source", "text"))
+    val out = Pipeline.fineWebCurate(planted)
+    assert(out.where(col("doc_id") === 99999L).count() == 0)
+  }
+
+  test("span dedup stage feeds CLEANED text downstream (n_removed surfaces)") {
+    val out = Pipeline.fineWebCurate(docs)
+    // sf0.001 has real duplicated 5-gram spans (57 docs) — at least one
+    // survivor should carry a nonzero n_removed
+    assert(out.where(col("n_removed") > 0).count() > 0)
+  }
+
+  test("deterministic: two runs produce identical rows") {
+    val a = Pipeline.fineWebCurate(docs).collect().map(_.toString).sorted
+    val b = Pipeline.fineWebCurate(docs).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("exactSubstrDedup keep-columns passthrough preserves values") {
+    val out = Dedup.exactSubstrDedup(docs, minLen = 5, keep = Seq("lang", "source"))
+    val orig = docs.select("doc_id", "lang", "source")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = out.select("doc_id", "lang", "source")
+      .as[(Long, String, String)].collect()
+    assert(got.length == orig.size)
+    got.foreach { case (id, l, s) => assert(orig(id) == ((l, s))) }
+  }
+}
