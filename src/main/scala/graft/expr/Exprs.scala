@@ -95,6 +95,9 @@ object Exprs {
 
   def charGramBuckets(text: Column, buckets: Int): Column =
     ExpressionUtils.column(CharGramBuckets(ExpressionUtils.expression(text), buckets))
+
+  def langNbScore(text: Column, langs: Seq[String], weights: Seq[Seq[Long]]): Column =
+    ExpressionUtils.column(LangNbScore(ExpressionUtils.expression(text), langs, weights))
 }
 
 /** Distinct xxhash64 values of the word `n`-gram shingles of a text column
@@ -1073,5 +1076,88 @@ case class CharGramBuckets(child: Expression, buckets: Int) extends UnaryExpress
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharGramBuckets =
+    copy(child = newChild)
+}
+
+/** Per-row fastText-style classification against a model shipped inside
+  * the plan: re-derives [[CharGramBuckets]]'s 2-/3-gram fold inline and
+  * accumulates each language's Naive-Bayes weight as the grams stream
+  * past — no gram explode, no |langs|-way join, no aggregation; the
+  * entire classify stage collapses to scan-side work. The weight matrix
+  * is |langs| × buckets longs (5×2048 = 80 KB here) — the same payload
+  * a broadcast join would ship, without the join. Output: struct
+  * (lang_pred, score); ties resolve to the lexicographically smallest
+  * language in codepoint order (== UTF8String binary order, matching
+  * the relational min(struct)). Texts under 2 codepoints return null
+  * (the no-evidence drop rule — callers filter). */
+case class LangNbScore(child: Expression, langs: Seq[String],
+                       weights: Seq[Seq[Long]]) extends UnaryExpression {
+  require(langs.nonEmpty && weights.size == langs.size &&
+    weights.forall(_.size == weights.head.size),
+    "weights must be |langs| rows of equal width")
+
+  private val buckets = weights.head.size
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "lang_nb_score"
+
+  @transient private lazy val w: Array[Array[Long]] = weights.map(_.toArray).toArray
+  // langs in index order; tie-break scans find the smallest lang string
+  @transient private lazy val langArr: Array[String] = langs.toArray
+
+  def compute(text: UTF8String): Any = {
+    val P = 1000000007L
+    val s = text.toString
+    val n = s.length
+    if (n < 2) return null
+    val nl = langArr.length
+    val acc = new Array[Long](nl)
+    var prev = -1L
+    var prev2 = -1L
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i).toLong
+      if (prev >= 0) {
+        val b2 = ((prev * 131L + cp) % P % buckets).toInt
+        var l = 0
+        while (l < nl) { acc(l) += w(l)(b2); l += 1 }
+        if (prev2 >= 0) {
+          val b3 = ((((prev2 * 131L + prev) % P) * 131L + cp) % P % buckets).toInt
+          l = 0
+          while (l < nl) { acc(l) += w(l)(b3); l += 1 }
+        }
+      }
+      prev2 = prev
+      prev = cp
+      i += Character.charCount(cp.toInt)
+    }
+    var best = 0
+    var l = 1
+    while (l < nl) {
+      // higher score wins; ties to the codepoint-smaller lang string
+      if (acc(l) > acc(best) ||
+        (acc(l) == acc(best) &&
+          UTF8String.fromString(langArr(l)).binaryCompare(
+            UTF8String.fromString(langArr(best))) < 0)) best = l
+      l += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(langArr(best)), acc(best))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langNb", this, classOf[LangNbScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangNbScore =
     copy(child = newChild)
 }

@@ -64,6 +64,11 @@ object Pipeline {
         col("_d3f") <= maxDup3Frac)
       .select(col(idCol), col(langCol), col(domainCol),
         col("n_tokens"), col("n_removed"), col("kept_text"))
+    // rep is read three times (LM corpus, LM target, the tier join) but
+    // NOT persisted: AQE's ReusedExchange already dedups the shared
+    // span-dedup subtree within the one job, and a measured persist
+    // attempt (round 8) cost 5.1 -> 7.3 s at sf0.1 — cache-store
+    // overhead on a text-bearing frame beat the reuse it bought
 
     // 3. perplexity tiers on the survivors; thresholds are computed on
     // THIS distribution (CCNet computes cutoffs on what it scores)

@@ -106,6 +106,32 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(q("q119_token_budget")) <= 2, "q119 grew beyond two windows")
   }
 
+  test("round-8 additions hold their plan budgets") {
+    // q129: gram-key agg + the occ reshuffle for the semi-join, the hit
+    // window + island agg + per-doc span agg (doc-keyed, AQE may collapse
+    // or broadcast), and the final doc join — six exchanges is the
+    // relational shape's ceiling; more means a stage regressed
+    assert(shuffles(q("q129_substr_dedup")) <= 6, "q129 grew extra exchanges")
+    // q130: scored is persisted, so the corpus text is scanned at most
+    // twice live (score build + LM tables from the en target) and the
+    // histogram chain reads the cache (countAll descends INTO cached
+    // plans rather than counting the cache nodes, so assert on the plan
+    // string here)
+    assert(q("q130_ccnet_ppl").queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"), "q130 lost its scored persist")
+    spark.catalog.clearCache() // drop q130's persisted score frame
+    // q23b: classification is scan-side (LangNbScore ships the model
+    // inside the plan), so the only exchanges left are the training
+    // aggregations building the weight grid
+    assert(shuffles(q("q23b_lang_id_ft")) <= 4, "q23b classify stopped being scan-side")
+    // q131: stage-2 adds ZERO exchanges on top of stage 1 (<=6) +
+    // stage 3 (score agg + histogram chain behind the persist) + the
+    // id-keyed tier join + the cap's two windows; 13 is the measured
+    // composition shape at sf0.001 (budgets are upper bounds)
+    assert(shuffles(q("q131_fineweb_pipeline")) <= 13, "q131 grew extra exchanges")
+    spark.catalog.clearCache() // q131's internal ppl persist
+  }
+
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
     // round-6 blind spot: these queries' final plans are a bare
     // Scan ExistingRDD (0 shuffles), so a shuffle regression inside them
