@@ -798,6 +798,23 @@ object SparkEntry {
     // threshold is computed over) are themselves oracled
     "q131_fineweb_pipeline" -> ((s, d) =>
       Pipeline.fineWebCurate(Tables.documents(s, d))),
+    // eval-contamination report (Curate.overlapReport, GPT-3 appendix C /
+    // Lee et al. '21 methodology): benchmark synthesized in-plan as
+    // 30-token corpus prefixes + novel suffixes, so hit fractions and
+    // longest verbatim runs are nontrivial; the oracle re-derives gram
+    // keys, hit marking, and the consecutive-run islands
+    "q132_overlap_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val bench = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), array_join(concat(slice(tk, 1, 30), array(
+          concat(lit("novel"), col("doc_id"), lit("_a")),
+          concat(lit("novel"), col("doc_id"), lit("_b")),
+          concat(lit("novel"), col("doc_id"), lit("_c")),
+          concat(lit("novel"), col("doc_id"), lit("_d")),
+          concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
+      Curate.overlapReport(docs, bench, n = 5)
+    }),
     // T5 span corruption (TextAnalysis.spanCorrupt): deterministic
     // md5-coin masking at rate 0.15, adjacent hits merge into sentinel
     // spans; the oracle replays the coin, the run-merge, and both
@@ -1754,6 +1771,42 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_tokens, n_removed, avg_surprisal,
         |  ppl_bucket, CAST(rk AS BIGINT) rk
         |FROM ranked WHERE rk <= 12""".stripMargin,
+    "q132_overlap_report" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
+        |  FROM documents),
+        |bench AS (SELECT doc_id, list_concat(tk[1:30],
+        |    ['novel' || doc_id || '_a', 'novel' || doc_id || '_b',
+        |     'novel' || doc_id || '_c', 'novel' || doc_id || '_d',
+        |     'novel' || doc_id || '_e']) btk
+        |  FROM tok WHERE doc_id % 10 = 0),
+        |bpos AS (SELECT doc_id, unnest(range(1, len(btk) - 5 + 2)) p, btk
+        |  FROM bench WHERE len(btk) >= 5),
+        |bg AS (SELECT doc_id, p,
+        |    md5(array_to_string(btk[p:p+4], ' ')) h FROM bpos),
+        |cg AS (SELECT DISTINCT md5(array_to_string(tk[p:p+4], ' ')) h
+        |  FROM (SELECT doc_id, unnest(range(1, len(tk) - 5 + 2)) p, tk
+        |    FROM tok WHERE len(tk) >= 5)),
+        |hits AS (SELECT bg.doc_id, bg.p,
+        |    CASE WHEN cg.h IS NOT NULL THEN 1 END hit
+        |  FROM bg LEFT JOIN cg ON bg.h = cg.h),
+        |runs AS (SELECT doc_id, MAX(run) longest FROM (
+        |    SELECT doc_id, COUNT(*) run FROM (
+        |      SELECT doc_id, p,
+        |        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) grp
+        |      FROM hits WHERE hit = 1)
+        |    GROUP BY doc_id, grp)
+        |  GROUP BY doc_id),
+        |agg AS (SELECT h.doc_id, COUNT(*) n_grams, COUNT(h.hit) n_hit
+        |  FROM hits h GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(COALESCE(a.n_grams, 0) AS BIGINT) n_grams,
+        |  CAST(COALESCE(a.n_hit, 0) AS BIGINT) n_hit,
+        |  COALESCE(CAST(a.n_hit AS DOUBLE) / a.n_grams, 0.0) overlap_frac,
+        |  CAST(COALESCE(r.longest, 0) AS BIGINT) longest_run,
+        |  COALESCE(a.n_hit * 100 > 20 * a.n_grams, FALSE) contaminated
+        |FROM bench b LEFT JOIN agg a USING (doc_id)
+        |  LEFT JOIN runs r USING (doc_id)""".stripMargin,
     "q127_span_corrupt" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk

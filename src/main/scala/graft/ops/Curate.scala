@@ -894,4 +894,72 @@ object Curate {
       .where(md5Prefix(col(idCol), salt) < col("_thr"))
       .select(col(idCol), col(sourceCol))
   }
+
+  // ------------------------------------------------- contamination report
+
+  /** Per-BENCHMARK-document contamination report against a training
+    * corpus — the metric eval-suite cards publish (GPT-3 appendix C /
+    * Lee et al. '21 methodology): for every benchmark doc, the fraction
+    * of its `n`-token gram positions whose exact gram also occurs in
+    * the corpus, and the LONGEST run of consecutive contaminated
+    * positions (a long run means a verbatim span leaked, which a flat
+    * fraction can hide). [[decontaminate]] answers the inverse question
+    * (which CORPUS docs to drop); this reports on the benchmark side
+    * with positional resolution.
+    *
+    * Matching is CASE-SENSITIVE exact ([[graft.expr.Md5Shingles]], the
+    * [[Dedup.exactSubstrDedup]] key discipline — contamination claims
+    * are about verbatim leakage); benchmark docs shorter than `n`
+    * tokens have no gram evidence and report 0/0 with frac 0.
+    *
+    * Scale shape: the benchmark gram-key set is small (eval suites are
+    * MBs) and arrives BROADCAST; the corpus contributes ONE scan whose
+    * grams are filtered against that broadcast set scan-side — the
+    * corpus never shuffles, only the surviving keys (bounded by the
+    * benchmark set size) pass through a distinct. The per-doc longest
+    * run is one benchmark-keyed window over hit positions (bounded by
+    * benchmark doc length). Corpus-side cost is identical to
+    * [[decontaminateBloom]]'s scan, which the 1M-doc ScaleSmoke pins.
+    */
+  def overlapReport(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                    maxSharedRatio: Double = 0.2,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benchPos = benchmark.select(col(idCol),
+      posexplode(graft.expr.Exprs.md5Shingles(col(textCol), n)).as(Seq("_p0", "_h")))
+      .select(col(idCol), (col("_p0") + 1).as("_p"), col("_h"))
+    val benchKeys = benchPos.select("_h").distinct()
+    // corpus grams meet the benchmark set scan-side (broadcast), and only
+    // survivors (<= |benchKeys|) are deduplicated
+    val foundKeys = corpus
+      .select(explode(graft.expr.Exprs.md5Shingles(col(textCol), n)).as("_h"))
+      .join(broadcast(benchKeys), Seq("_h"), "left_semi")
+      .distinct()
+    val hits = benchPos.join(broadcast(foundKeys.withColumn("_hit", lit(1))),
+      Seq("_h"), "left")
+    // longest consecutive-hit run: p - row_number(p) is constant within a run
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_p"))
+    val runs = hits.where(col("_hit") === 1)
+      .withColumn("_grp", col("_p") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp")).agg(count(lit(1)).as("_run"))
+      .groupBy(col(idCol)).agg(max(col("_run")).as("_longest"))
+    val perDoc = hits.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("_hit")).as("n_hit"))
+    val reported = perDoc.join(runs, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("overlap_frac"),
+        coalesce(col("_longest"), lit(0L)).as("longest_run"),
+        (col("n_hit") * 100 > lit((maxSharedRatio * 100).round) * col("n_grams"))
+          .as("contaminated"))
+    // sub-n-token benchmark docs carry no grams: report 0/0, frac 0
+    benchmark.select(col(idCol)).join(reported, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("overlap_frac"), lit(0.0)).as("overlap_frac"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
 }
