@@ -82,6 +82,36 @@ object Perplexity {
     (uni, big)
   }
 
+  /** Persist a trained LM (both count tables + a meta row pinning
+    * `buckets`/`scale`) — the production shape: CCNet trains its target
+    * LM ONCE and scores every corpus shard against it; retraining per
+    * job would rescan the target at every call site. Same discipline as
+    * the persisted IVF/minhash indexes. */
+  def saveLm(target: DataFrame, path: String, buckets: Int = 4096,
+             scale: Long = 10000L, textCol: String = "text"): Unit = {
+    val (uni, big) = lmCounts(target, buckets, textCol)
+    uni.coalesce(1).write.mode("overwrite").parquet(s"$path/uni")
+    big.coalesce(1).write.mode("overwrite").parquet(s"$path/big")
+    val spark = target.sparkSession
+    import spark.implicits._
+    Seq((buckets, scale)).toDF("buckets", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a corpus against a persisted LM — reads the bounded count
+    * tables (≤ buckets rows each) and the pinned meta, then runs the
+    * same broadcast-join scoring pass as [[lmScore]]. */
+  def lmScoreFromIndex(corpus: DataFrame, path: String,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val scale = meta.getAs[Long]("scale")
+    scoreWith(corpus, spark.read.parquet(s"$path/uni"),
+      spark.read.parquet(s"$path/big"), buckets, scale, idCol, textCol)
+  }
+
   /** Per-document LM scores against the target: `surprisal_sum` (Σ of
     * the integer inverse-probability ratios), `log2_sum` (Σ of their
     * exact integer log2s — the log-domain perplexity proxy the paper
@@ -90,6 +120,12 @@ object Perplexity {
               scale: Long = 10000L, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val (uni, big) = lmCounts(target, buckets, textCol)
+    scoreWith(corpus, uni, big, buckets, scale, idCol, textCol)
+  }
+
+  private def scoreWith(corpus: DataFrame, uni: DataFrame, big: DataFrame,
+                        buckets: Int, scale: Long, idCol: String,
+                        textCol: String): DataFrame = {
     val r = expr(
       s"($scale * (coalesce(cu, 0) + $buckets)) DIV (coalesce(cb, 0) + 1)")
       .cast("long")

@@ -62,6 +62,21 @@ class PerplexitySpec extends SparkTestBase {
     assert(ids == Set(3L))
   }
 
+  test("persisted LM: score-from-index equals score-from-training") {
+    val target = (1 to 20).map(i =>
+      (i.toLong, "alpha beta gamma delta " + (i % 3))).toDF("doc_id", "text")
+    val corpus = (1 to 15).map(i =>
+      (i.toLong, "alpha beta x" + i + " gamma delta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toFile
+    dir.deleteOnExit()
+    graft.ops.Perplexity.saveLm(target, dir.getAbsolutePath)
+    val direct = graft.ops.Perplexity.lmScore(corpus, target)
+      .orderBy("doc_id").collect().map(_.toString)
+    val loaded = graft.ops.Perplexity.lmScoreFromIndex(corpus, dir.getAbsolutePath)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(loaded.sameElements(direct))
+  }
+
   test("tertile thresholds cover the whole corpus and are value-based") {
     val target = Seq((1L, "t t t t t t")).toDF("doc_id", "text")
     // 9 docs with 3 distinct score levels (3 docs each)
