@@ -2,7 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType, TimestampType}
 import graft.Conf
 
 /** Loaders for the driver-generated testdata star schema (TESTDATA.md).
@@ -47,10 +47,15 @@ object Tables {
       case LongType         => timestamp_micros(expr(s"$colName div 1000"))
       case TimestampNTZType => col(colName).cast(TimestampType)
       case TimestampType    => col(colName)
+      // ISO-8601 strings are the remaining plausible writer shape (a
+      // CSV-era or JSON-era regeneration); UTC session makes the parse
+      // exact, and a malformed value fails the ANSI-off way (NULL) the
+      // rest of the loader already tolerates
+      case StringType       => to_timestamp(col(colName))
       case other =>
         throw new IllegalArgumentException(
           s"events.$colName: unsupported physical type $other " +
-            "(expected Long nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+            "(expected Long nanos, TIMESTAMP_NTZ, TIMESTAMP, or ISO string)")
     }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")

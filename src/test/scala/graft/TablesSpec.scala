@@ -90,8 +90,19 @@ class TablesSpec extends SparkTestBase {
     assert(df.limit(1).count() === 1L)
   }
 
+  test("ISO-string fixture (CSV/JSON-era writer shape) parses in UTC") {
+    val iso = microsUtc.map { us =>
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+        .toString.replace("Z", "").replace("T", " ")
+    }
+    val dir = writeFixture(StringType, iso)
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType === TimestampType)
+    assert(loadedMicros(dir) === microsUtc)
+  }
+
   test("unsupported ts dtype fails loudly at load, not at analysis") {
-    val dir = writeFixture(StringType, Seq("2024-01-01", "2024-01-02"))
+    val dir = writeFixture(DoubleType, Seq(1.5d, 2.5d))
     val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
     assert(e.getMessage.contains("unsupported physical type"))
   }
