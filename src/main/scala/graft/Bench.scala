@@ -2,14 +2,49 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** One query's gated measurement: the timing verdict, how many run
+    * attempts were spent (> the trusted-rep quota when the load gate
+    * forced retries), and the highest 1-minute load average sampled
+    * around any attempt. */
+  case class Gated(timing: Either[String, Double], attempts: Int,
+                   maxLoadSeen: Double)
+
+  def systemLoad(): Double =
+    try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   /** Fastest successful rep, or Left(first error). A query that throws
     * must NOT surface as a (fast) timing — round-6 advice: a broken query
     * looked like a sub-second success in the artifact. `afterRep` runs
     * after every rep, success or failure (cache hygiene). */
   def measure(reps: Int, run: () => Unit,
-              afterRep: () => Unit = () => ()): Either[String, Double] = {
+              afterRep: () => Unit = () => ()): Either[String, Double] =
+    measureGated(reps, run, afterRep).timing
+
+  /** [[measure]] + a host-load gate (round-8 verdict: contended-host
+    * variance leaked into round-closing artifacts; artifacts should be
+    * self-certifying). A successful rep whose surrounding 1-minute load
+    * average (max of before/after samples) exceeds `maxLoad` does not
+    * count toward the trusted-rep quota — the loop spends one of
+    * `maxRetries` extra attempts instead. The over-threshold timing is
+    * KEPT as a fallback (min over all successful reps is still reported
+    * when retries run out: a suspect number labeled with its load beats
+    * a hole), and `attempts`/`maxLoadSeen` land in the artifact so a
+    * reader can tell a certified run from a contended one. With the
+    * default gate disabled (MaxValue) this is exactly the old
+    * [[measure]]: `reps` attempts, fastest success wins. */
+  def measureGated(reps: Int, run: () => Unit,
+                   afterRep: () => Unit = () => (),
+                   maxLoad: Double = Double.MaxValue, maxRetries: Int = 0,
+                   loadFn: () => Double = () => systemLoad()): Gated = {
     var err: Option[String] = None
-    val times = (1 to reps).flatMap { _ =>
+    var times = List.empty[Double]
+    var trusted = 0
+    var attempts = 0
+    var maxSeen = -1.0
+    while (trusted < reps && attempts < reps + maxRetries) {
+      val l0 = loadFn()
       val t0 = System.nanoTime()
       val ok =
         try { run(); true }
@@ -17,10 +52,18 @@ object Bench {
           if (err.isEmpty) err = Some(e.toString.take(200)); false
         }
       val t = (System.nanoTime() - t0) / 1e9
+      val repLoad = math.max(l0, loadFn())
+      if (repLoad > maxSeen) maxSeen = repLoad
       afterRep()
-      if (ok) Some(t) else None
+      attempts += 1
+      if (ok) {
+        times ::= t
+        if (repLoad <= maxLoad) trusted += 1
+      }
     }
-    if (times.nonEmpty) Right(times.min) else Left(err.getOrElse("failed"))
+    Gated(
+      if (times.nonEmpty) Right(times.min) else Left(err.getOrElse("failed")),
+      attempts, maxSeen)
   }
 
   private def jstr(s: String): String =
@@ -36,11 +79,26 @@ object Bench {
     * `errors` with their message — a hole reads as a hole, not a fast
     * number. */
   def renderJson(ok: Seq[(String, Double)], errors: Seq[(String, String)],
-                 sfDir: String, reps: Int, cpus: String, load: Double): String = {
+                 sfDir: String, reps: Int, cpus: String, load: Double,
+                 loadRetries: Int = 0, maxRepLoad: Double = -1.0,
+                 loadGate: Double = -1.0): String = {
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_avg_1m":$load}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_avg_1m":$load,"load_retries":$loadRetries,"max_rep_load":$maxRepLoad,"load_gate":$loadGate}"""
+  }
+
+  /** Short summary WITHOUT the per-query map — small enough to survive
+    * the driver's bounded-tail stdout capture intact (BENCH_r6..r8 all
+    * recorded `parsed: null` because the full line's head, where
+    * `"value"` lives, was truncated away). Printed LAST so the tail of
+    * stdout always ends with one complete, parseable JSON object; the
+    * full artifact precedes it on stdout and is persisted to `outPath`. */
+  def renderCompact(ok: Seq[(String, Double)], nErr: Int, sfDir: String,
+                    reps: Int, cpus: String, load: Double, loadRetries: Int,
+                    maxRepLoad: Double, outPath: String): String = {
+    val total = ok.map(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_err":$nErr,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_avg_1m":$load,"load_retries":$loadRetries,"max_rep_load":$maxRepLoad,"full_artifact":${jstr(outPath)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -62,6 +120,12 @@ object Bench {
     // fresh plan) otherwise dominates every sub-second query in a cold JVM.
     // Default 1 = the driver's cold-ish contract, unchanged.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // Host-load gate: quiet r8 runs sat near 1.3 while contended windows
+    // read 1.8-3.5 and inflated wall-clock 1.2-3x uniformly; 2.5 admits
+    // the bench's own steady-state contribution and rejects co-tenant
+    // noise. One extra attempt per query bounds the gate's cost at 2x.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.5").toDouble
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RETRIES", "1").toInt.max(0)
     // SPARK_GRAFT_BENCH_ONLY=q45_x,q46_y restricts to named queries (dev loop)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
@@ -69,25 +133,27 @@ object Bench {
     // noop sink: evaluates EVERY output column distributedly (count() would
     // let Catalyst prune unreferenced projections and under-measure).
     val results = selected.toSeq.map { case (name, fn) =>
-      val r = measure(reps,
+      val g = measureGated(reps,
         run = () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(),
         // operators that persist intermediates (minhash signatures, shingle
         // postings) must not donate cached blocks to later queries or later
         // reps — each execution pays for, and is measured with, its own
         // caching
-        afterRep = () => spark.catalog.clearCache())
-      r.left.foreach(m => System.err.println(s"[bench] $name failed: $m"))
-      name -> r
+        afterRep = () => spark.catalog.clearCache(),
+        maxLoad = maxLoad, maxRetries = maxRetries)
+      g.timing.left.foreach(m => System.err.println(s"[bench] $name failed: $m"))
+      name -> g
     }
-    val ok = results.collect { case (k, Right(v)) => k -> v }
-    val errors = results.collect { case (k, Left(m)) => k -> m }
+    val ok = results.collect { case (k, Gated(Right(v), _, _)) => k -> v }
+    val errors = results.collect { case (k, Gated(Left(m), _, _)) => k -> m }
+    val loadRetries = results.map { case (_, g) => (g.attempts - reps).max(0) }.sum
+    val maxRepLoad = results.map(_._2.maxLoadSeen).foldLeft(-1.0)(math.max)
     // Host-load context: a contended host inflates wall-clock by 10x+
     // (round-3's driver capture showed q01 at 79s vs 2.6s quiet), so the
     // artifact records the 1-minute load average alongside the numbers.
-    val load = try java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    catch { case _: Throwable => -1.0 }
-    val line = renderJson(ok, errors, sfDir, reps, cpus, load)
+    val load = systemLoad()
+    val line = renderJson(ok, errors, sfDir, reps, cpus, load,
+      loadRetries, maxRepLoad, maxLoad)
     println(line)
     // The driver captures stdout with a bounded tail; round-3's official
     // total was lost to truncation of this single long line. Persist the
@@ -96,6 +162,10 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    // Compact summary LAST: the driver's truncated-tail capture then
+    // always ends with one complete JSON object carrying value/n_err.
+    println(renderCompact(ok, errors.size, sfDir, reps, cpus, load,
+      loadRetries, maxRepLoad, outPath))
     spark.stop()
   }
 }

@@ -980,8 +980,12 @@ case class Md5Shingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "md5_shingles"
 
   def compute(text: UTF8String): ArrayData = {
-    val t = text.toString.trim
-    val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    // split-then-filter, NOT trim-then-split: Java trim strips every char
+    // <= U+0020 (including non-\s controls U+0000-U+0008, U+000E-U+001F),
+    // which would shift token positions relative to TextAnalysis.tokens /
+    // the DuckDB oracle and make exactSubstrDedup cut the wrong spans.
+    // This mirrors TextAnalysis.tokens minus the lowercase.
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Any](toks.length - n + 1)
@@ -1115,12 +1119,18 @@ case class LangNbScore(child: Expression, langs: Seq[String],
     if (n < 2) return null
     val nl = langArr.length
     val acc = new Array[Long](nl)
+    // `n < 2` above is UTF-16 units, not codepoints: a single astral
+    // codepoint (length 2) reaches the loop but emits no 2-gram. Track
+    // actual feature emission so no-evidence docs return null, matching
+    // CharGramBuckets' empty array (the relational path drops them).
+    var any = false
     var prev = -1L
     var prev2 = -1L
     var i = 0
     while (i < n) {
       val cp = s.codePointAt(i).toLong
       if (prev >= 0) {
+        any = true
         val b2 = ((prev * 131L + cp) % P % buckets).toInt
         var l = 0
         while (l < nl) { acc(l) += w(l)(b2); l += 1 }
@@ -1134,6 +1144,7 @@ case class LangNbScore(child: Expression, langs: Seq[String],
       prev = cp
       i += Character.charCount(cp.toInt)
     }
+    if (!any) return null
     var best = 0
     var l = 1
     while (l < nl) {

@@ -951,7 +951,13 @@ object Curate {
       .select(col(idCol), col("n_grams"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_grams")).as("overlap_frac"),
         coalesce(col("_longest"), lit(0L)).as("longest_run"),
-        (col("n_hit") * 100 > lit((maxSharedRatio * 100).round) * col("n_grams"))
+        // exact integer cross-multiplication at parts-per-million
+        // granularity: any threshold expressible in millionths compares
+        // exactly (0.2 -> 200000; both sides of the former whole-percent
+        // form scale by 10^4, so existing oracles are unchanged). A
+        // sub-ppm maxSharedRatio still rounds — document, don't float.
+        (col("n_hit") * 1000000L >
+          lit((maxSharedRatio * 1000000L).round) * col("n_grams"))
           .as("contaminated"))
     // sub-n-token benchmark docs carry no grams: report 0/0, frac 0
     benchmark.select(col(idCol)).join(reported, Seq(idCol), "left")

@@ -43,7 +43,10 @@ object Importance {
     * adjacent pairs fold with the q110 gram rule (`a·31 + b mod P`) and
     * land in `buckets` hash buckets. Collisions are intrinsic to DSIR
     * (the paper's hashed n-grams) — they only smooth the weight
-    * estimate. Documents under two tokens yield an empty array. */
+    * estimate. Documents under two tokens yield an empty array.
+    * `ascii()` here is full-codepoint on BOTH engines (Spark 4 probe
+    * ascii('é')=233 == DuckDB — pinned in TextAnalysisSpec), so the
+    * fold is engine-exact on non-ASCII-leading tokens too. */
   def bigramBuckets(text: Column, buckets: Int): Column = {
     val tv = transform(TextAnalysis.tokens(text),
       t => (length(t).cast("long") * 131L + ascii(substring(t, 1, 1)).cast("long")) % P)

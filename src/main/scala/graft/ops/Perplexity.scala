@@ -47,7 +47,14 @@ object Perplexity {
   private val P = 1000000007L
 
   /** Per-token polynomial values (the [[Importance.bigramBuckets]] /
-    * fingerprint term): `len·131 + first-codepoint mod P`. */
+    * fingerprint term): `len·131 + first-codepoint mod P`. Cross-engine
+    * note: Spark 4's `ascii()` returns the full Unicode CODEPOINT of
+    * the first character (probe: ascii('é')=233, ascii('中')=20013 —
+    * pinned in TextAnalysisSpec's non-ASCII regression), which is
+    * exactly DuckDB's `ascii()` semantics, so the q130/q131 oracles
+    * compute identical buckets on non-ASCII-leading tokens. The
+    * "first-UTF-8-byte" behavior a reader might expect from the
+    * function name does not exist on either engine. */
   private def tokenValues(text: Column): Column =
     transform(TextAnalysis.tokens(text),
       t => (length(t).cast("long") * 131L + ascii(substring(t, 1, 1)).cast("long")) % P)

@@ -30,6 +30,42 @@ class BenchSpec extends AnyFunSuite {
     assert(r.isRight, "one successful rep is a timing, not an error")
   }
 
+  test("measureGated: over-threshold rep spends a retry; attempts and max load recorded") {
+    // loads: first attempt contended (4.0), retry quiet (1.0)
+    val loads = Iterator(4.0, 4.0, 1.0, 1.0)
+    var runs = 0
+    val g = Bench.measureGated(reps = 1, run = () => runs += 1,
+      maxLoad = 2.5, maxRetries = 1, loadFn = () => loads.next())
+    assert(runs == 2, "contended rep must be retried")
+    assert(g.attempts == 2 && g.maxLoadSeen == 4.0)
+    assert(g.timing.isRight)
+  }
+
+  test("measureGated: retries exhausted keeps the suspect timing (labeled, not a hole)") {
+    val g = Bench.measureGated(reps = 1, run = () => (),
+      maxLoad = 0.5, maxRetries = 2, loadFn = () => 9.9)
+    assert(g.attempts == 3, "reps + maxRetries attempts under sustained load")
+    assert(g.timing.isRight, "a suspect timing beats a hole; max_rep_load labels it")
+    assert(g.maxLoadSeen == 9.9)
+  }
+
+  test("measureGated: quiet host is exactly the old measure — reps attempts, no retries") {
+    var runs = 0
+    val g = Bench.measureGated(reps = 3, run = () => runs += 1,
+      maxLoad = 2.5, maxRetries = 5, loadFn = () => 1.0)
+    assert(runs == 3 && g.attempts == 3)
+  }
+
+  test("renderCompact: one short parseable object with value/n_err") {
+    val line = Bench.renderCompact(ok = Seq("q1" -> 1.5, "q2" -> 0.5), nErr = 1,
+      sfDir = "/sf", reps = 3, cpus = "32", load = 1.2, loadRetries = 2,
+      maxRepLoad = 2.9, outPath = "BENCH_SELF.json")
+    assert(line.contains(""""value":2.0""") && line.contains(""""n_err":1"""))
+    assert(line.contains(""""n_queries":2""") && line.contains(""""load_retries":2"""))
+    assert(!line.contains(""""queries""""), "compact line must omit the per-query map")
+    assert(!line.contains("\n") && ujsonFree(line))
+  }
+
   test("renderJson: failed queries excluded from queries/total, listed in errors") {
     val line = Bench.renderJson(
       ok = Seq("q1" -> 1.5, "q2" -> 0.5),

@@ -79,6 +79,39 @@ class Exprs8Spec extends SparkTestBase {
     assert(rows(1).isNullAt(0) || rows(1).anyNull) // sub-2-codepoint -> null struct
   }
 
+  test("langNbScore: single astral codepoint (UTF-16 length 2) is null — no-evidence drop") {
+    // "𝄞" has String.length 2 but is ONE codepoint: zero 2-grams exist.
+    // Before the round-9 fix this returned (binary-smallest lang, 0)
+    // instead of null, diverging from CharGramBuckets (empty array) and
+    // the q23b oracle (doc dropped).
+    val w = Seq(Seq(5L, 5L, 5L, 5L), Seq(1L, 1L, 1L, 1L))
+    val rows = Seq("𝄞", "😀", "𝄞a").toDF("t")
+      .select(Exprs.langNbScore(col("t"), Seq("aa", "bb"), w).as("s"))
+      .collect()
+    assert(rows(0).isNullAt(0), "single astral codepoint must be null")
+    assert(rows(1).isNullAt(0), "single emoji must be null")
+    assert(!rows(2).isNullAt(0), "astral+ascii is one 2-gram of evidence")
+  }
+
+  test("md5Shingles: control-char tokenization aligns with TextAnalysis.tokens") {
+    // U+0001 <= U+0020 but is NOT regex \s: Java trim would have eaten it
+    // and produced 1 token for U+0001-prefixed text; split-then-filter keeps it as
+    // its own token (2 tokens), so gram positions align with the `_tk`
+    // array exactSubstrDedup reassembles from (and with the oracle).
+    val df = Seq("\u0001 abc def").toDF("t")
+    val nToks = one[Int](df.select(size(graft.ops.TextAnalysis.tokens(col("t")))))
+    assert(nToks == 3)
+    val grams = oneSeq[String](df.select(Exprs.md5Shingles(col("t"), 3)))
+    assert(grams.length == nToks - 3 + 1)
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("\u0001 abc def".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(grams.head == exp)
+    // leading/trailing \s whitespace still yields no phantom tokens
+    val padded = oneSeq[String](Seq("  a b c \n").toDF("t")
+      .select(Exprs.md5Shingles(col("t"), 3)))
+    assert(padded.length == 1)
+  }
+
   test("langNbScore: score ties break to the binary-smallest lang") {
     val w = Seq(Seq(3L, 3L), Seq(3L, 3L))
     val pred = Seq("zz").toDF("t")
