@@ -148,6 +148,39 @@ object Perplexity {
       .withColumn("avg_surprisal", expr("surprisal_sum DIV n_bigrams"))
   }
 
+  /** Exact cumulative count along the value order of a histogram frame
+    * `(valueCol, cntCol)`, with every sort BOUNDED (the round-8 verdict
+    * watch-item: a bare `Window.orderBy(value)` funnels all distinct
+    * values through ONE task — fine while integer means collapse, a
+    * single-partition sort when an adversary spreads them one-per-doc).
+    * The [[Curate.epochShuffle]] discipline, kept in-plan: range-
+    * partition by value so partition order == value order and each
+    * partition holds ~|distinct|/parts rows, take per-partition totals
+    * (≤ `parts` rows — the only global window runs over THAT), then
+    * broadcast the partition offsets back onto a partition-local
+    * cumsum. Row-identical to the direct global window, which is what
+    * the q130/q131 oracles keep asserting. */
+  private[graft] def cumulativeByValue(dist: DataFrame, valueCol: String,
+                                     cntCol: String,
+                                     parts: Int = 32): DataFrame = {
+    val ranged = dist.repartitionByRange(parts, col(valueCol))
+      .withColumn("_pid", spark_partition_id().cast("long"))
+    val perPart = ranged.groupBy("_pid").agg(sum(col(cntCol)).as("_psum"))
+    // exclusive prefix over <= parts partition totals — bounded by the
+    // constant `parts`, never by the data
+    val offW = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perPart
+      .withColumn("_off", coalesce(sum(col("_psum")).over(offW), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val localW = Window.partitionBy(col("_pid")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.withColumn("_lcum", sum(col(cntCol)).over(localW))
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_cum", col("_lcum") + col("_off"))
+      .drop("_pid", "_lcum", "_off")
+  }
+
   /** End-to-end CCNet tiers: score the corpus against the target and
     * assign head / middle / tail by the value thresholds t1/t2 (the
     * smallest mean surprisals reaching ceil(n/3) and ceil(2n/3)
@@ -163,8 +196,7 @@ object Perplexity {
     // Dedup.minhashIndex discipline)
     val scored = lmScore(corpus, target, buckets, scale, idCol, textCol).persist()
     val dist = scored.groupBy("avg_surprisal").agg(count(lit(1)).as("_c"))
-    val cum = dist.withColumn("_cum",
-      sum(col("_c")).over(Window.orderBy(col("avg_surprisal"))))
+    val cum = cumulativeByValue(dist, "avg_surprisal", "_c")
     val nRow = dist.agg(sum(col("_c")).as("_n"))
     val t = cum.crossJoin(broadcast(nRow)).agg(
       min(when(col("_cum") >= expr("(_n + 2) DIV 3"), col("avg_surprisal"))).as("_t1"),

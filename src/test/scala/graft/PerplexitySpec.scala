@@ -77,6 +77,51 @@ class PerplexitySpec extends SparkTestBase {
     assert(loaded.sameElements(direct))
   }
 
+  test("cumulativeByValue == direct global window on NON-collapsing means") {
+    // the round-8 watch-item's adversarial shape: every value distinct,
+    // so the old Window.orderBy form would sort all of them in one task.
+    // The bounded two-level form must be row-identical.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dist = (1 to 500).map(i => (i * 7L % 501L, (i % 5 + 1).toLong))
+      .toDF("v", "c") // distinct values, shuffled insert order
+    val got = Perplexity.cumulativeByValue(dist, "v", "c", parts = 7)
+      .select(col("v"), col("_cum")).as[(Long, Long)].collect().sortBy(_._1)
+    val exp = dist.withColumn("_cum",
+        sum(col("c")).over(Window.orderBy(col("v"))))
+      .select(col("v"), col("_cum")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(exp))
+    // degenerate partitionings too: everything in one range partition,
+    // and more partitions than rows
+    for (p <- Seq(1, 1000)) {
+      val g = Perplexity.cumulativeByValue(dist, "v", "c", parts = p)
+        .select(col("v"), col("_cum")).as[(Long, Long)].collect().sortBy(_._1)
+      assert(g.sameElements(exp), s"parts=$p diverged")
+    }
+  }
+
+  test("tiers stable when every doc has a distinct mean (spread scores)") {
+    val target = Seq((1L, "t t t t t t")).toDF("doc_id", "text")
+    // each doc gets a unique token mix -> avg_surprisal values spread out
+    val corpus = (1 to 30).map { i =>
+      (i.toLong, ("t " * (31 - i)) + (1 to i).map(j => s"u${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = Perplexity.perplexityBuckets(corpus, target)
+      .select("doc_id", "avg_surprisal", "ppl_bucket")
+      .as[(Long, Long, String)].collect()
+    assert(rows.length == 30)
+    assert(rows.map(_._2).distinct.length >= 25, "fixture must actually spread the means")
+    // value-threshold tertiles: sorted by mean, buckets are contiguous
+    // head..middle..tail with roughly n/3 each
+    val sorted = rows.sortBy(_._2).map(_._3)
+    assert(sorted.takeWhile(_ == "head").length >= 9)
+    assert(sorted.reverse.takeWhile(_ == "tail").length >= 9)
+    val idx = sorted.zipWithIndex
+    def span(b: String) = { val xs = idx.filter(_._1 == b).map(_._2); (xs.min, xs.max) }
+    val (h, m, t) = (span("head"), span("middle"), span("tail"))
+    assert(h._2 < m._1 && m._2 < t._1, s"tiers must be contiguous in mean order: $h $m $t")
+  }
+
   test("tertile thresholds cover the whole corpus and are value-based") {
     val target = Seq((1L, "t t t t t t")).toDF("doc_id", "text")
     // 9 docs with 3 distinct score levels (3 docs each)
