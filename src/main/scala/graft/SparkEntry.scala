@@ -815,6 +815,39 @@ object SparkEntry {
           concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
       Curate.overlapReport(docs, bench, n = 5)
     }),
+    // perceptual image dedup (Dedup.dhashPairs): in-plan synthesized
+    // PPM/PNG assets with planted brightness-shifted and cross-codec
+    // duplicate twins; the oracle replays the ENTIRE integer pipeline —
+    // pixel formula -> luma -> 9x8 block-mean grid -> gradient-sign bits
+    // -> 16-bit bands -> capped buckets -> Hamming-verified pairs — so
+    // decode, downsample, packing, banding, and verification are all
+    // cross-engine hash-gated
+    "q133_image_dhash_pairs" -> ((s, d) =>
+      Dedup.dhashPairs(Multimodal.syntheticDhashAssets(
+        Tables.documents(s, d).select(col("doc_id"))))),
+    // model-based quality scoring (QualityModel, FineWeb-Edu shape): a
+    // labeled fixture is synthesized in-plan (40% of docs get a grade-5
+    // or grade-0 marker suffix), the integer smoothed-mean-label weight
+    // grid trains relationally, and the corpus is scored SCAN-SIDE by
+    // the in-plan weight vector; the oracle re-derives training,
+    // scoring, and the tertile thresholds relationally — the scan-side
+    // == relational equivalence proof, the q23b pattern
+    "q134_quality_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hiMark = " excellent wikipedia prose exposition thorough"
+      val loMark = " buy click spam casino nowin"
+      val labeled = docs.where(col("doc_id") % 5 === 0)
+        .select(when(col("doc_id") % 2 === 0, 5L).otherwise(0L).as("label"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(hiMark)).otherwise(lit(loMark)))
+            .as("text"))
+      val corpus = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(hiMark))
+            .when(col("doc_id") % 3 === 1, lit(loMark))
+            .otherwise(lit(""))).as("text"))
+      QualityModel.qualityTiers(corpus, labeled)
+    }),
     // T5 span corruption (TextAnalysis.spanCorrupt): deterministic
     // md5-coin masking at rate 0.15, adjacent hits merge into sentinel
     // spans; the oracle replays the coin, the run-merge, and both
@@ -1807,6 +1840,99 @@ object SparkEntry {
         |  COALESCE(a.n_hit * 100 > 20 * a.n_grams, FALSE) contaminated
         |FROM bench b LEFT JOIN agg a USING (doc_id)
         |  LEFT JOIN runs r USING (doc_id)""".stripMargin,
+    "q133_image_dhash_pairs" ->
+      """WITH ids AS (SELECT doc_id id FROM documents),
+        |cls AS (SELECT id,
+        |    CASE WHEN id % 10 = 3 AND id >= 13 THEN id - 3
+        |         WHEN id % 10 = 6 AND id >= 16 THEN id - 6
+        |         ELSE id END seed,
+        |    CASE WHEN id % 10 = 3 AND id >= 13 THEN 20 ELSE 0 END sh
+        |  FROM ids WHERE id % 97 <> 0),
+        |img AS (SELECT id, sh, seed % 16 + 16 w, (seed*3) % 12 + 12 h,
+        |    (seed * 2654435761) % 1000003 m
+        |  FROM cls),
+        |px AS (SELECT id, sh, m, w, h, unnest(range(w)) x FROM img),
+        |pxy AS (SELECT id, sh, m, w, h, x, unnest(range(h)) y FROM px),
+        |gr AS (SELECT id, w, h, x, y,
+        |    (299*((x*(7 + m % 13) + y*(13 + m % 29) + m) % 201 + sh)
+        |   + 587*((x*(3 + m % 17) + y*(11 + m % 31) + 2*m) % 201 + sh)
+        |   + 114*((x*(5 + m % 19) + y*(17 + m % 37) + 3*m) % 201 + sh)) // 1000 g
+        |  FROM pxy),
+        |grid AS (SELECT id, (x*9)//w cx, (y*8)//h cy, SUM(g)//COUNT(*) v
+        |  FROM gr GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.id, a.cy*8 + a.cx bt
+        |  FROM grid a JOIN grid b ON a.id = b.id AND a.cy = b.cy
+        |    AND b.cx = a.cx + 1
+        |  WHERE b.v > a.v),
+        |ib AS (SELECT id, unnest(range(4)) band FROM img),
+        |bv AS (SELECT ib.id, ib.band,
+        |    COALESCE(SUM(CAST(1 AS BIGINT) << CAST(bt % 16 AS INT)), 0) v
+        |  FROM ib LEFT JOIN bits ON bits.id = ib.id AND bits.bt // 16 = ib.band
+        |  GROUP BY 1, 2),
+        |bkt AS (SELECT band, v FROM bv GROUP BY band, v
+        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |kb AS (SELECT bv.id, bv.band, bv.v FROM bv JOIN bkt USING (band, v)),
+        |cand AS (SELECT DISTINCT a.id ia, b.id ib2 FROM kb a JOIN kb b
+        |  ON a.band = b.band AND a.v = b.v AND a.id < b.id),
+        |hm AS (SELECT c.ia, c.ib2, SUM(bit_count(xor(x.v, y.v))) d
+        |  FROM cand c JOIN bv x ON x.id = c.ia
+        |    JOIN bv y ON y.id = c.ib2 AND y.band = x.band
+        |  GROUP BY 1, 2)
+        |SELECT ia asset_a, ib2 asset_b, CAST(d AS BIGINT) hamming
+        |FROM hm WHERE d <= 3""".stripMargin,
+    "q134_quality_score" ->
+      """WITH lab AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 0 END lbl,
+        |    lower(text || CASE WHEN doc_id % 2 = 0
+        |      THEN ' excellent wikipedia prose exposition thorough'
+        |      ELSE ' buy click spam casino nowin' END) lt
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |corp AS (SELECT doc_id,
+        |    lower(text || CASE WHEN doc_id % 3 = 0
+        |      THEN ' excellent wikipedia prose exposition thorough'
+        |      WHEN doc_id % 3 = 1 THEN ' buy click spam casino nowin'
+        |      ELSE '' END) lt
+        |  FROM documents),
+        |lcp AS (SELECT lbl, list_transform(range(1, length(lt) + 1),
+        |    i -> CAST(ascii(substr(lt, i, 1)) AS BIGINT)) cp FROM lab),
+        |lg AS (SELECT lbl, unnest(list_concat(
+        |    list_transform(range(1, len(cp)),
+        |      i -> ((cp[i]*131 + cp[i+1]) % 1000000007) % 2048),
+        |    list_transform(range(1, len(cp) - 1),
+        |      i -> ((((cp[i]*131 + cp[i+1]) % 1000000007) * 131 + cp[i+2])
+        |        % 1000000007) % 2048))) bucket
+        |  FROM lcp),
+        |agg AS (SELECT bucket, SUM(lbl) ls, COUNT(*) c FROM lg GROUP BY 1),
+        |gl AS (SELECT SUM(ls) gls, SUM(c) gc FROM agg),
+        |w AS (SELECT gs.bucket,
+        |    (10000 * (COALESCE(a.ls, 0) + (g.gls // g.gc)))
+        |      // (COALESCE(a.c, 0) + 1) w
+        |  FROM (SELECT unnest(range(0, 2048)) bucket) gs
+        |  CROSS JOIN gl g LEFT JOIN agg a ON a.bucket = gs.bucket),
+        |ccp AS (SELECT doc_id, list_transform(range(1, length(lt) + 1),
+        |    i -> CAST(ascii(substr(lt, i, 1)) AS BIGINT)) cp FROM corp),
+        |cg AS (SELECT doc_id, unnest(list_concat(
+        |    list_transform(range(1, len(cp)),
+        |      i -> ((cp[i]*131 + cp[i+1]) % 1000000007) % 2048),
+        |    list_transform(range(1, len(cp) - 1),
+        |      i -> ((((cp[i]*131 + cp[i+1]) % 1000000007) * 131 + cp[i+2])
+        |        % 1000000007) % 2048))) bucket
+        |  FROM ccp),
+        |sc AS (SELECT doc_id, COUNT(*) n_feats, SUM(w.w) score_sum
+        |  FROM cg JOIN w USING (bucket) GROUP BY 1),
+        |sa AS (SELECT doc_id, n_feats, score_sum,
+        |    score_sum // n_feats avg_w FROM sc),
+        |d AS (SELECT avg_w, COUNT(*) c FROM sa GROUP BY 1),
+        |cum AS (SELECT avg_w, SUM(c) OVER (ORDER BY avg_w) cum FROM d),
+        |nn AS (SELECT COUNT(*) n FROM sa),
+        |th AS (SELECT
+        |    (SELECT MIN(avg_w) FROM cum, nn WHERE cum >= (n + 2) // 3) t1,
+        |    (SELECT MIN(avg_w) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) t2)
+        |SELECT sa.doc_id, CAST(n_feats AS BIGINT) n_feats,
+        |  CAST(score_sum AS BIGINT) score_sum, CAST(avg_w AS BIGINT) avg_w,
+        |  CASE WHEN avg_w <= t1 THEN 'low' WHEN avg_w <= t2 THEN 'medium'
+        |    ELSE 'high' END q_tier
+        |FROM sa, th""".stripMargin,
     "q127_span_corrupt" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk

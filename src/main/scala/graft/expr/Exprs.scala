@@ -56,6 +56,9 @@ object Exprs {
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 
+  def dhash64(media: Column): Column =
+    ExpressionUtils.column(DHash64(ExpressionUtils.expression(media)))
+
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
@@ -95,6 +98,9 @@ object Exprs {
 
   def charGramBuckets(text: Column, buckets: Int): Column =
     ExpressionUtils.column(CharGramBuckets(ExpressionUtils.expression(text), buckets))
+
+  def linearGramScore(text: Column, weights: Seq[Long]): Column =
+    ExpressionUtils.column(LinearGramScore(ExpressionUtils.expression(text), weights))
 
   def langNbScore(text: Column, langs: Seq[String], weights: Seq[Seq[Long]]): Column =
     ExpressionUtils.column(LangNbScore(ExpressionUtils.expression(text), langs, weights))
@@ -1163,12 +1169,83 @@ case class LangNbScore(child: Expression, langs: Seq[String],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("langNb", this, classOf[LangNbScore].getName)
+    // fresh name — a fixed local redefines when the expression appears
+    // twice in one codegen scope (the DHash64 lesson)
+    val r = ctx.freshName("langNbRes")
     nullSafeCodeGen(ctx, ev, c => s"""
-      Object r = $ref.compute($c);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+      Object $r = $ref.compute($c);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
     """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LangNbScore =
+    copy(child = newChild)
+}
+
+/** Scan-side LINEAR scorer over hashed char 2-/3-gram features — the
+  * single-output sibling of [[LangNbScore]] (one weight vector instead of
+  * a per-language grid): re-derives [[CharGramBuckets]]'s fold inline and
+  * accumulates Σ w(bucket) as the grams stream past, plus the feature
+  * count so callers can length-normalize (`score_sum div n_feats`). The
+  * model ships inside the plan (`buckets` longs — 16 KB at 2048), so a
+  * learned quality score costs ZERO joins and zero shuffles on the
+  * corpus: it rides the scan, the FineWeb-Edu deployment shape (a
+  * classifier head applied to every crawl doc). Docs that emit no gram
+  * return null (the no-evidence drop rule, astral-codepoint-safe per the
+  * round-9 [[LangNbScore]] fix). */
+case class LinearGramScore(child: Expression, weights: Seq[Long])
+  extends UnaryExpression {
+  require(weights.size >= 2, "weights must have >= 2 buckets")
+
+  private val buckets = weights.size
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("score_sum", LongType, nullable = false),
+    StructField("n_feats", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "linear_gram_score"
+
+  @transient private lazy val w: Array[Long] = weights.toArray
+
+  def compute(text: UTF8String): Any = {
+    val P = 1000000007L
+    val s = text.toString
+    val n = s.length
+    if (n < 2) return null
+    var acc = 0L
+    var cnt = 0L
+    var prev = -1L
+    var prev2 = -1L
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i).toLong
+      if (prev >= 0) {
+        acc += w(((prev * 131L + cp) % P % buckets).toInt)
+        cnt += 1L
+        if (prev2 >= 0) {
+          acc += w((((((prev2 * 131L + prev) % P) * 131L) + cp) % P % buckets).toInt)
+          cnt += 1L
+        }
+      }
+      prev2 = prev
+      prev = cp
+      i += Character.charCount(cp.toInt)
+    }
+    if (cnt == 0L) return null
+    org.apache.spark.sql.catalyst.InternalRow(acc, cnt)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("linGram", this, classOf[LinearGramScore].getName)
+    val r = ctx.freshName("linGramRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $r = $ref.compute($c);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinearGramScore =
     copy(child = newChild)
 }

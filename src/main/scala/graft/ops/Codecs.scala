@@ -30,6 +30,11 @@ object Codecs {
   /** Parsed P6 image: dimensions + integer-exact per-channel sums. */
   final case class Ppm(width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
 
+  /** Fully decoded raster: packed 0xRRGGBB ints, row-major. The
+    * pixel-level twin of [[Ppm]]/[[decodeImageIO]]'s sums — what the
+    * perceptual-hash path needs (block means, not totals). */
+  final case class Pixels(width: Int, height: Int, rgb: Array[Int])
+
   /** Parsed PCM16 mono WAV: rate + integer-exact sum of |sample|. */
   final case class Wav(sampleRate: Int, nSamples: Int, sumAbs: Long)
 
@@ -74,12 +79,13 @@ object Codecs {
     out
   }
 
-  /** Strict P6 parse: header tokens (whitespace-separated, `#` comments
-    * allowed per the spec), maxval must be 255, payload must hold exactly
-    * width*height*3 bytes. Returns None on anything malformed — a media
-    * table always contains some garbage and the decode stage must skip,
-    * not throw. */
-  def decodePpm(bytes: Array[Byte]): Option[Ppm] = {
+  /** Strict P6 header parse shared by the sum and pixel decoders: header
+    * tokens (whitespace-separated, `#` comments allowed per the spec),
+    * maxval must be 255, payload must hold exactly width*height*3 bytes.
+    * Returns (width, height, payloadOffset), or None on anything
+    * malformed — a media table always contains some garbage and the
+    * decode stage must skip, not throw. */
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     var i = 0
     def skipWs(): Unit = {
       var go = true
@@ -106,16 +112,32 @@ object Codecs {
       if maxval == 255 && w > 0 && h > 0
       // exactly ONE whitespace byte separates maxval from the raster
       if i < bytes.length && { i += 1; bytes.length - i == w.toLong * h * 3 }
-    } yield {
+    } yield (w, h, i)
+  }
+
+  def decodePpm(bytes: Array[Byte]): Option[Ppm] =
+    ppmHeader(bytes).map { case (w, h, off) =>
       var (sr, sg, sb) = (0L, 0L, 0L)
-      var o = i
+      var o = off
       while (o < bytes.length) {
         sr += bytes(o) & 0xff; sg += bytes(o + 1) & 0xff; sb += bytes(o + 2) & 0xff
         o += 3
       }
       Ppm(w, h, sr, sg, sb)
     }
-  }
+
+  /** P6 to packed pixels (the perceptual-hash input). */
+  def decodePpmPixels(bytes: Array[Byte]): Option[Pixels] =
+    ppmHeader(bytes).map { case (w, h, off) =>
+      val rgb = new Array[Int](w * h)
+      var p = 0
+      var o = off
+      while (p < rgb.length) {
+        rgb(p) = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+        p += 1; o += 3
+      }
+      Pixels(w, h, rgb)
+    }
 
   // ---------------------------------------------------------------- WAV
 
@@ -227,5 +249,98 @@ object Codecs {
       // truncated or corrupt streams; all mean "not decodable", not fatal
       case _: java.io.IOException => None
       case _: RuntimeException    => None
+    }
+
+  /** Entropy-coded raster to packed pixels via headless ImageIO (the
+    * pixel-level twin of [[decodeImageIO]]). */
+  def decodeImagePixels(bytes: Array[Byte]): Option[Pixels] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, rgb, 0, w)
+        var i = 0
+        while (i < rgb.length) { rgb(i) &= 0xffffff; i += 1 } // drop alpha
+        Some(Pixels(w, h, rgb))
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException    => None
+    }
+
+  /** Any supported IMAGE format to packed pixels — the [[sniffFormat]]
+    * dispatch the perceptual-hash path rides (WAV is audio: None). */
+  def decodePixels(bytes: Array[Byte]): Option[Pixels] =
+    sniffFormat(bytes) match {
+      case Some("ppm")                => decodePpmPixels(bytes)
+      case Some("png") | Some("jpeg") => decodeImagePixels(bytes)
+      case _                          => None
+    }
+
+  // ------------------------------------------------- perceptual hashing
+
+  /** Integer block-mean grayscale downsample to a gw x gh grid, row-major.
+    * Every arithmetic step is exact-integer so a SQL engine can replay it
+    * bit-for-bit from a pixel formula (the q133 oracle does):
+    *
+    *   - luma  = (299·r + 587·g + 114·b) div 1000 (integer ITU-601),
+    *   - pixel (x,y) belongs to cell (x·gw div W, y·gh div H) — the
+    *     floor-partition that covers every pixel exactly once and keeps
+    *     cell sizes within one row/column of each other,
+    *   - cell value = sum(luma) div count.
+    *
+    * None when the image is smaller than the grid (no block has a pixel
+    * guarantee; a sub-grid thumbnail carries no gradient evidence — the
+    * LangNbScore no-evidence drop rule). */
+  def grayGrid(p: Pixels, gw: Int, gh: Int): Option[Array[Long]] = {
+    if (p.width < gw || p.height < gh) return None
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < p.height) {
+      val cy = y * gh / p.height
+      var x = 0
+      while (x < p.width) {
+        val cx = x * gw / p.width
+        val px = p.rgb(y * p.width + x)
+        val gray = (299 * ((px >> 16) & 0xff) + 587 * ((px >> 8) & 0xff) +
+          114 * (px & 0xff)) / 1000
+        val c = cy * gw + cx
+        sums(c) += gray
+        cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Long](gw * gh)
+    var i = 0
+    while (i < out.length) { out(i) = sums(i) / cnts(i); i += 1 }
+    Some(out)
+  }
+
+  /** 64-bit perceptual difference hash (dHash, Krawetz '13): 9x8
+    * block-mean grayscale grid, one bit per horizontal gradient —
+    * bit (y*8 + x) set iff grid(y, x+1) > grid(y, x). Gradient SIGNS are
+    * invariant under global brightness shifts and any monotone per-pixel
+    * tone change that preserves cell-mean order, and stable under
+    * re-encode/resize — which is why Hamming distance over these 64 bits
+    * finds re-encoded/rescaled duplicate images that exact byte hashing
+    * cannot. None for non-images, undecodable bytes, or sub-9x8 rasters. */
+  def dhash64(bytes: Array[Byte]): Option[Long] =
+    decodePixels(bytes).flatMap(grayGrid(_, 9, 8)).map { grid =>
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (grid(y * 9 + x + 1) > grid(y * 9 + x)) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
     }
 }

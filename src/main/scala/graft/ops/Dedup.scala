@@ -286,27 +286,74 @@ object Dedup {
     * tokens — see graft.expr.SimHash64. */
   def simhash(text: Column): Column = Exprs.simhash64(text)
 
-  /** Near-duplicate pairs by SimHash: candidates share one of `blocks`
-    * equal bit-blocks (pigeonhole: any pair within hamming distance
-    * blocks-1 shares a block), verified with exact hamming <= maxHamming.
-    * Same grouped-bucket shape as minhash — one shuffle, no self-join. */
-  def simhashDuplicates(documents: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
-                        maxBucket: Int = 1000): DataFrame = {
+  /** Hamming-banded candidate pairs over a 64-bit signature frame
+    * `(doc_id, sig)` — THE block-bucket discipline shared by SimHash
+    * (text) and dHash (images): candidates share one of `blocks` equal
+    * bit-blocks (pigeonhole: any pair within hamming distance blocks-1
+    * shares a block), verified with exact `bit_count(a XOR b)` <=
+    * maxHamming. Same grouped-bucket shape as minhash — one shuffle, no
+    * self-join; only 8-byte signatures move. */
+  private def hammingPairs(sig: DataFrame, maxHamming: Int, blocks: Int,
+                           maxBucket: Int): DataFrame = {
+    require(blocks > 0 && 64 % blocks == 0, "blocks must divide 64")
+    // candidate RECALL is only guaranteed for maxHamming < blocks; the
+    // legacy simhash surface allows larger maxHamming as best-effort
+    // (callers that need the guarantee — dhashPairs — require it)
     val width = 64 / blocks
     val mask = (1L << width) - 1
-    val sig = documents.select(col("doc_id"), simhash(col("text")).as("sig")).persist()
     val keys = sig.select(col("doc_id"), explode(
       transform(sequence(lit(0), lit(blocks - 1)),
         b => concat_ws(":", b,
           call_function("shiftright", col("sig"), b * lit(width)).bitwiseAND(mask)))).as("bucket_key"))
     val pairs = bucketPairs(keys, maxBucket)
     val s = sig.select(col("doc_id"), col("sig"))
-    val out = pairs
+    pairs
       .join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
       .join(s.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Near-duplicate pairs by SimHash: [[hammingPairs]] over the
+    * codegen'd 64-bit text signature. */
+  def simhashDuplicates(documents: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
+    val sig = documents.select(col("doc_id"), simhash(col("text")).as("sig")).persist()
+    materializeAndRelease(hammingPairs(sig, maxHamming, blocks, maxBucket), sig)
+  }
+
+  // -------------------------------------------------- perceptual image dedup
+
+  /** Perceptual IMAGE near-duplicate pairs — the frame/image dedup every
+    * multimodal pipeline runs before training (re-encoded, resized, or
+    * brightness-shifted copies of one image are byte-distinct, so exact
+    * dedup cannot see them): each asset's 64-bit dHash
+    * ([[graft.expr.DHash64]] — 9x8 block-mean grayscale gradient signs,
+    * computed scan-side where the media bytes are read) feeds the same
+    * banded-Hamming bucket discipline as SimHash. Media bytes NEVER
+    * shuffle: the scan emits (id, 8-byte hash), buckets group on 16-bit
+    * hash bands, pairs generate within buckets only (capped at
+    * `maxBucket` against degenerate monochrome/logo buckets), and exact
+    * Hamming verifies. Undecodable/garbage/sub-grid assets hash to NULL
+    * and drop out before the shuffle.
+    *
+    * Output: (asset_a, asset_b, hamming) with asset_a < asset_b,
+    * hamming <= maxHamming. Pairs feed [[Curate.resolveDuplicates]] /
+    * [[Curate.dupClusters]] exactly like the text pair families. */
+  def dhashPairs(assets: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
+                 maxBucket: Int = 1000, idCol: String = "asset_id",
+                 mediaCol: String = "media"): DataFrame = {
+    require(maxHamming < blocks,
+      s"banding guarantees candidate completeness only for maxHamming < blocks " +
+        s"(got maxHamming=$maxHamming, blocks=$blocks); raise blocks to widen the radius")
+    val sig = assets
+      .select(col(idCol).as("doc_id"), Exprs.dhash64(col(mediaCol)).as("sig"))
+      .where(col("sig").isNotNull)
+      .persist()
+    val out = hammingPairs(sig, maxHamming, blocks, maxBucket)
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming").cast("long").as("hamming"))
     materializeAndRelease(out, sig)
   }
 

@@ -241,6 +241,68 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic asset synthesis for the PERCEPTUAL image-dedup oracle
+    * (q133) and the specs — a corpus with planted duplicate classes whose
+    * detection is replayable by any engine from the pixel formula alone:
+    *
+    *   - id % 97 == 0: garbage bytes (hash NULL, drops out),
+    *   - id % 10 == 3 (id >= 13): BRIGHTNESS-SHIFTED PPM twin of seed
+    *     id-3 — every channel +20 with base values in [0, 200] so nothing
+    *     clips; block means shift exactly +20 and every gradient sign is
+    *     preserved, so the dHash is IDENTICAL (Hamming 0),
+    *   - id % 10 == 6 (id >= 16): CROSS-CODEC twin of seed id-6 — the
+    *     same pixels encoded as PNG instead of PPM (lossless, so the
+    *     decoded raster and therefore the hash are identical, while every
+    *     byte of the payload differs — exactly what defeats exact dedup),
+    *   - everything else: a base PPM whose pixels follow the closed
+    *     formula below, W in [16,31], H in [12,23] (always >= the 9x8
+    *     grid).
+    *
+    * A seed, its +3 twin, and its +6 re-encode form a 3-clique of
+    * Hamming-0 pairs; distinct seeds give effectively independent
+    * hashes — and since the oracle replays the same integer arithmetic,
+    * even an accidental near-collision appears on both sides.
+    *
+    * Aperiodicity is load-bearing (found by the 100k smoke): a first cut
+    * used `seed` only ADDITIVELY mod 201, so image content depended on
+    * seed mod 201 alone — at most 201 x 16-dims distinct images, and a
+    * 100k corpus collapsed into ~31-copy cliques (1.7M hamming-0 pairs).
+    * The formula below mixes the seed through a multiplicative hash
+    * `m = seed*2654435761 mod 1000003` (injective below the prime) and
+    * VARIES THE GRADIENT SLOPES with residues of m mod six distinct
+    * primes, so distinct seeds get distinct slope tuples up to
+    * lcm >> 10^8 — no structural repeats at any corpus size we run. */
+  def syntheticDhashAssets(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col("doc_id").cast("long"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes: Array[Byte] =
+            if (id % 97 == 0) s"GARBAGE-$id".getBytes("US-ASCII")
+            else {
+              val (seed, shift, fmt) =
+                if (id % 10 == 3 && id >= 13) (id - 3, 20, "ppm")
+                else if (id % 10 == 6 && id >= 16) (id - 6, 0, "png")
+                else (id, 0, "ppm")
+              val w = (seed % 16 + 16).toInt
+              val h = ((seed * 3) % 12 + 12).toInt
+              val m = (seed * 2654435761L) % 1000003L
+              val px = (x: Int, y: Int) => (
+                ((x * (7 + m % 13) + y * (13 + m % 29) + m) % 201 + shift).toInt,
+                ((x * (3 + m % 17) + y * (11 + m % 31) + 2 * m) % 201 + shift).toInt,
+                ((x * (5 + m % 19) + y * (17 + m % 37) + 3 * m) % 201 + shift).toInt)
+              if (fmt == "png") Codecs.encodeImageIO(w, h, "png", px)
+              else Codecs.encodePpm(w, h, px)
+            }
+          Row(id, bytes)
+        }
+      }(enc)
+  }
+
   /** Batched feature extraction over the binary payload — the mapInPandas
     * shape: iterate the partition in fixed-size batches (what Arrow record
     * batches are to a pandas UDF), run the "codec" per batch, emit rows.

@@ -195,17 +195,50 @@ object Perplexity {
     // between queries; long-lived callers own the unpersist, the
     // Dedup.minhashIndex discipline)
     val scored = lmScore(corpus, target, buckets, scale, idCol, textCol).persist()
-    val dist = scored.groupBy("avg_surprisal").agg(count(lit(1)).as("_c"))
-    val cum = cumulativeByValue(dist, "avg_surprisal", "_c")
-    val nRow = dist.agg(sum(col("_c")).as("_n"))
-    val t = cum.crossJoin(broadcast(nRow)).agg(
-      min(when(col("_cum") >= expr("(_n + 2) DIV 3"), col("avg_surprisal"))).as("_t1"),
-      min(when(col("_cum") >= expr("(2 * _n + 2) DIV 3"), col("avg_surprisal"))).as("_t2"))
-    scored.crossJoin(broadcast(t))
+    valueTertiles(scored, "avg_surprisal", "ppl_bucket", "head", "middle", "tail")
       .select(col(idCol), col("n_bigrams"), col("surprisal_sum"),
-        col("log2_sum"), col("avg_surprisal"),
-        when(col("avg_surprisal") <= col("_t1"), "head")
-          .when(col("avg_surprisal") <= col("_t2"), "middle")
-          .otherwise("tail").as("ppl_bucket"))
+        col("log2_sum"), col("avg_surprisal"), col("ppl_bucket"))
   }
+
+  /** VALUE-threshold tertile tagging (the CCNet cutoff rule, shared with
+    * [[QualityModel]]): t1/t2 are the smallest values of `valueCol` whose
+    * cumulative row count reaches ceil(n/3) and ceil(2n/3); rows tag
+    * `lowLabel`/`midLabel`/`highLabel` in ASCENDING value order, and rows
+    * sharing one value always share one tag. Thresholds derive from the
+    * distinct-value histogram through [[cumulativeByValue]] (every sort
+    * bounded) and come back as a broadcast 1-row cross join — the corpus
+    * is never sorted or re-shuffled. */
+  private[graft] def valueTertiles(scored: DataFrame, valueCol: String,
+                                   outCol: String, lowLabel: String,
+                                   midLabel: String,
+                                   highLabel: String): DataFrame =
+    tagTertiles(scored, tertileThresholds(scored, valueCol), valueCol,
+      outCol, lowLabel, midLabel, highLabel)
+
+  /** The 1-row (_t1, _t2) threshold frame behind [[valueTertiles]] —
+    * exposed separately so a production pipeline can compute cutoffs
+    * ONCE (CCNet trains its LM and fixes its perplexity cutoffs on a
+    * reference corpus, then applies them to every shard/stream) and
+    * persist them alongside the LM. */
+  private[graft] def tertileThresholds(scored: DataFrame,
+                                       valueCol: String): DataFrame = {
+    val dist = scored.groupBy(valueCol).agg(count(lit(1)).as("_c"))
+    val cum = cumulativeByValue(dist, valueCol, "_c")
+    val nRow = dist.agg(sum(col("_c")).as("_n"))
+    cum.crossJoin(broadcast(nRow)).agg(
+      min(when(col("_cum") >= expr("(_n + 2) DIV 3"), col(valueCol))).as("_t1"),
+      min(when(col("_cum") >= expr("(2 * _n + 2) DIV 3"), col(valueCol))).as("_t2"))
+  }
+
+  /** Tag rows against a FIXED 1-row (_t1, _t2) threshold frame. */
+  private[graft] def tagTertiles(scored: DataFrame, thresholds: DataFrame,
+                                 valueCol: String, outCol: String,
+                                 lowLabel: String, midLabel: String,
+                                 highLabel: String): DataFrame =
+    scored.crossJoin(broadcast(thresholds))
+      .withColumn(outCol,
+        when(col(valueCol) <= col("_t1"), lowLabel)
+          .when(col(valueCol) <= col("_t2"), midLabel)
+          .otherwise(highLabel))
+      .drop("_t1", "_t2")
 }

@@ -38,13 +38,17 @@ object Pipeline {
     *  4. [[Curate.capPerDomain]] keeps at most `capPerSource` docs per
     *     `domainCol` in salted-md5 rank order.
     */
-  def fineWebCurate(docs: DataFrame, minLen: Int = 5,
-                    maxDupWordFrac: Double = 0.6, maxTop2Frac: Double = 0.2,
-                    maxDup3Frac: Double = 0.2, targetLang: String = "en",
-                    capPerSource: Int = 12, salt: String = "fw8",
-                    idCol: String = "doc_id", textCol: String = "text",
-                    langCol: String = "lang",
-                    domainCol: String = "source"): DataFrame = {
+  /** Stages 1-2 (span dedup + repetition gate) — shared verbatim by the
+    * derive-thresholds batch path ([[fineWebCurate]]), the persisted-
+    * model batch path ([[fineWebCurateFromModel]]), and the streaming
+    * form ([[graft.streaming.StreamCurate]]); any drift between them
+    * would silently break the stream==batch contract. Returns the
+    * survivor frame (id, lang, domain, n_tokens, n_removed, kept_text). */
+  private[graft] def cleanAndGate(docs: DataFrame, minLen: Int,
+                                  maxDupWordFrac: Double, maxTop2Frac: Double,
+                                  maxDup3Frac: Double, idCol: String,
+                                  textCol: String, langCol: String,
+                                  domainCol: String): DataFrame = {
     // 1. span dedup, carrying the mixture columns through
     val deduped = Dedup.exactSubstrDedup(docs, minLen, idCol, textCol,
       keep = Seq(langCol, domainCol))
@@ -53,7 +57,7 @@ object Pipeline {
     // signals come from the single-pass expression inline)
     val s = graft.expr.Exprs.gopherRepetitionStats(col("kept_text"))
     val chars = greatest(length(col("kept_text")), lit(1)).cast("double")
-    val rep = deduped.withColumn("_s", s)
+    deduped.withColumn("_s", s)
       .withColumn("_dwf",
         (col("_s.n_words") - col("_s.n_distinct")).cast("double") /
           greatest(col("_s.n_words"), lit(1L)))
@@ -64,6 +68,17 @@ object Pipeline {
         col("_d3f") <= maxDup3Frac)
       .select(col(idCol), col(langCol), col(domainCol),
         col("n_tokens"), col("n_removed"), col("kept_text"))
+  }
+
+  def fineWebCurate(docs: DataFrame, minLen: Int = 5,
+                    maxDupWordFrac: Double = 0.6, maxTop2Frac: Double = 0.2,
+                    maxDup3Frac: Double = 0.2, targetLang: String = "en",
+                    capPerSource: Int = 12, salt: String = "fw8",
+                    idCol: String = "doc_id", textCol: String = "text",
+                    langCol: String = "lang",
+                    domainCol: String = "source"): DataFrame = {
+    val rep = cleanAndGate(docs, minLen, maxDupWordFrac, maxTop2Frac,
+      maxDup3Frac, idCol, textCol, langCol, domainCol)
     // rep is read three times (LM corpus, LM target, the tier join) but
     // NOT persisted: AQE's ReusedExchange already dedups the shared
     // span-dedup subtree within the one job, and a measured persist
@@ -84,5 +99,68 @@ object Pipeline {
     Curate.capPerDomain(tiered, domainCol, idCol, capPerSource, salt)
       .select(col(idCol), col(langCol), col(domainCol), col("n_tokens"),
         col("n_removed"), col("avg_surprisal"), col("ppl_bucket"), col("rk"))
+  }
+
+  /** FIT the curation model once — the production/streaming prerequisite:
+    * run stages 1-2 on a reference corpus, train and persist the target-
+    * language LM on the survivors ([[Perplexity.saveLm]]), score the
+    * survivors against it, and persist the tertile cutoffs next to the
+    * LM (`<modelDir>/thresholds`). CCNet's deployment shape exactly:
+    * cutoffs are computed ONCE on a reference distribution, then applied
+    * as fixed values to every shard or micro-batch — a stream cannot see
+    * a global distribution, and re-deriving per batch would make
+    * admission depend on batch boundaries. */
+  def fitCurationModel(docs: DataFrame, modelDir: String, minLen: Int = 5,
+                       maxDupWordFrac: Double = 0.6, maxTop2Frac: Double = 0.2,
+                       maxDup3Frac: Double = 0.2, targetLang: String = "en",
+                       idCol: String = "doc_id", textCol: String = "text",
+                       langCol: String = "lang",
+                       domainCol: String = "source"): Unit = {
+    val rep = cleanAndGate(docs, minLen, maxDupWordFrac, maxTop2Frac,
+      maxDup3Frac, idCol, textCol, langCol, domainCol)
+    Perplexity.saveLm(rep.where(col(langCol) === targetLang), modelDir,
+      textCol = "kept_text")
+    val scored = Perplexity.lmScoreFromIndex(rep, modelDir, idCol, "kept_text")
+    Perplexity.tertileThresholds(scored, "avg_surprisal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/thresholds")
+  }
+
+  /** The persisted-model twin of [[fineWebCurate]]: stages 1-2, then
+    * scoring against the SAVED LM and tagging against the SAVED
+    * thresholds instead of re-deriving either. When the model was fit on
+    * the same corpus, the output is row-identical to [[fineWebCurate]]
+    * (StreamCurateSpec pins it) — which is what licenses the streaming
+    * form to use the persisted path while the oracle gates the derived
+    * one. */
+  def fineWebCurateFromModel(docs: DataFrame, modelDir: String,
+                             minLen: Int = 5, maxDupWordFrac: Double = 0.6,
+                             maxTop2Frac: Double = 0.2,
+                             maxDup3Frac: Double = 0.2,
+                             capPerSource: Int = 12, salt: String = "fw8",
+                             idCol: String = "doc_id", textCol: String = "text",
+                             langCol: String = "lang",
+                             domainCol: String = "source"): DataFrame = {
+    val rep = cleanAndGate(docs, minLen, maxDupWordFrac, maxTop2Frac,
+      maxDup3Frac, idCol, textCol, langCol, domainCol)
+    val tiered = tierFromModel(rep, modelDir, idCol)
+    Curate.capPerDomain(tiered, domainCol, idCol, capPerSource, salt)
+      .select(col(idCol), col(langCol), col(domainCol), col("n_tokens"),
+        col("n_removed"), col("avg_surprisal"), col("ppl_bucket"), col("rk"))
+  }
+
+  /** Stage 3 against a persisted model: score `rep` (kept_text) with the
+    * saved LM, tag with the saved thresholds, drop the tail tier. Shared
+    * by [[fineWebCurateFromModel]] and the streaming form. */
+  private[graft] def tierFromModel(rep: DataFrame, modelDir: String,
+                                   idCol: String): DataFrame = {
+    val spark = rep.sparkSession
+    val scored = Perplexity.lmScoreFromIndex(rep, modelDir, idCol, "kept_text")
+    val tagged = Perplexity.tagTertiles(scored,
+      spark.read.parquet(s"$modelDir/thresholds"), "avg_surprisal",
+      "ppl_bucket", "head", "middle", "tail")
+    rep.join(
+      tagged.where(col("ppl_bucket") =!= "tail")
+        .select(col(idCol), col("avg_surprisal"), col("ppl_bucket")),
+      Seq(idCol))
   }
 }

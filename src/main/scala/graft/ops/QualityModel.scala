@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MODEL-BASED quality scoring (the FineWeb-Edu shape — Penedo et al.
+  * 2024 train a classifier on LLM-graded samples and score every crawl
+  * document with it; Brown et al. 2020 appendix A used the same
+  * train-on-labels / score-the-crawl pattern for GPT-3's quality
+  * filtering): a LEARNED scalar quality head over hashed char-gram
+  * features, complementing the rule-based batteries ([[Quality]]'s
+  * Gopher/C4/Stack filters) that q131's pipeline chains.
+  *
+  * Re-expressed under the engine-exact integer discipline:
+  *
+  *  - features: hashed char 2-/3-gram buckets
+  *    ([[graft.expr.CharGramBuckets]] / the inline fold of
+  *    [[graft.expr.LinearGramScore]]);
+  *  - model: per-bucket SMOOTHED MEAN LABEL, integer-scaled —
+  *    `w(b) = (scale * (label_sum(b) + lbar)) DIV (gram_cnt(b) + 1)`
+  *    where `lbar = total_label_sum DIV total_gram_cnt` is one
+  *    pseudo-observation at the global mean (empirical-Bayes shrinkage:
+  *    rare buckets pull to the corpus mean instead of their noisy
+  *    estimate). A per-gram weight is then ≈ scale·E[label | gram], and
+  *    a document's `score_sum DIV n_feats` is an integer estimate of
+  *    scale·(its expected label) — the regression-head analog, exact in
+  *    longs where a float least-squares fit would drift across engines;
+  *  - scoring: the weight vector (exactly `buckets` longs) ships INSIDE
+  *    the plan via [[graft.expr.LinearGramScore]] — scoring is one
+  *    corpus scan, zero joins, zero shuffles (the q23b scan-side
+  *    discipline);
+  *  - tiers: CCNet-style value-threshold tertiles over the avg score
+  *    ([[Perplexity.valueTertiles]] — thresholds from the distinct-value
+  *    histogram with every sort bounded), labeled low/medium/high in
+  *    ascending-score order.
+  *
+  * Scale shape: training is one scan of the (small) labeled set + two
+  * bounded aggregations; the model table is ≤ buckets rows (broadcast /
+  * driver-collectable at any corpus size — the IVF-centroid discipline);
+  * scoring touches the corpus exactly once. Docs with no gram evidence
+  * are dropped (the no-evidence rule shared with [[LangId]]/[[Importance]]).
+  */
+object QualityModel {
+
+  /** (bucket, w) integer weight table from a labeled corpus — the full
+    * `buckets`-row grid, so unseen buckets carry the shrunk global-mean
+    * weight instead of silently dropping. `labelCol` must be integral
+    * (FineWeb-Edu grades 0..5; any non-negative integer scale works). */
+  def train(labeled: DataFrame, buckets: Int = 2048, scale: Long = 10000L,
+            labelCol: String = "label", textCol: String = "text"): DataFrame = {
+    val g = labeled.select(col(labelCol).cast("long").as("_l"),
+      explode(graft.expr.Exprs.charGramBuckets(lower(col(textCol)), buckets)).as("bucket"))
+    val agg = g.groupBy("bucket")
+      .agg(sum(col("_l")).as("ls"), count(lit(1)).as("c"))
+    // global totals re-aggregated from the ≤ buckets-row table, not the
+    // gram stream — one narrow pass
+    val glob = agg.agg(sum(col("ls")).as("gls"), sum(col("c")).as("gc"))
+    val grid = glob.select(col("gls"), col("gc"),
+      explode(sequence(lit(0L), lit(buckets - 1L))).as("bucket"))
+    grid.join(agg, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr(s"($scale * (coalesce(ls, 0) + (gls DIV gc))) DIV (coalesce(c, 0) + 1)")
+          .cast("long").as("w"))
+  }
+
+  /** Collect a trained grid into the in-plan weight vector — bounded
+    * driver materialization (EXACTLY `buckets` rows by construction; the
+    * [[LangId.langIdFasttext]] / IVF-centroid discipline). */
+  def collectWeights(model: DataFrame, buckets: Int): Seq[Long] = {
+    val w = new Array[Long](buckets)
+    model.select(col("bucket"), col("w")).collect()
+      .foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    w.toSeq
+  }
+
+  /** Score every document scan-side against a collected weight vector:
+    * (id, n_feats, score_sum, avg_w). Docs with no gram evidence drop. */
+  def score(docs: DataFrame, weights: Seq[Long], idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        graft.expr.Exprs.linearGramScore(lower(col(textCol)), weights).as("_s"))
+      .where(col("_s").isNotNull)
+      .select(col(idCol), col("_s.n_feats").as("n_feats"),
+        col("_s.score_sum").as("score_sum"))
+      .withColumn("avg_w", expr("score_sum DIV n_feats"))
+
+  /** End-to-end: train on the labeled set, score the corpus, tag
+    * low/medium/high quality tiers by value-threshold tertiles of the
+    * average per-gram weight (ascending: the bottom third of scores is
+    * `low`). The scored frame is persisted across the threshold
+    * derivation and the final tagging so the corpus is scanned once
+    * (callers own no cleanup — Verify/Bench clear the cache between
+    * queries; long-lived callers unpersist via the returned plan's
+    * lineage, the [[Perplexity.perplexityBuckets]] discipline). */
+  def qualityTiers(corpus: DataFrame, labeled: DataFrame,
+                   buckets: Int = 2048, scale: Long = 10000L,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   labelCol: String = "label"): DataFrame = {
+    val weights = collectWeights(train(labeled, buckets, scale, labelCol, textCol), buckets)
+    val scored = score(corpus, weights, idCol, textCol).persist()
+    Perplexity.valueTertiles(scored, "avg_w", "q_tier", "low", "medium", "high")
+      .select(col(idCol), col("n_feats"), col("score_sum"), col("avg_w"), col("q_tier"))
+  }
+}

@@ -29,10 +29,13 @@ import graft.ops.Curate
   */
 object StreamDomainCap {
 
-  /** One micro-batch of the admission gate; exposed for direct testing. */
+  /** One micro-batch of the admission gate; exposed for direct testing.
+    * `salt` keys the within-batch md5 rank (passed through to
+    * [[Curate.capPerDomain]]) so composed pipelines — StreamCurate —
+    * can match their batch twin's selection exactly. */
   def capBatch(batch: DataFrame, batchId: Long, outDir: String,
                ledgerDir: String, domainCol: String, idCol: String,
-               k: Int): Unit = {
+               k: Int, salt: String = "graft"): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val b = batch.localCheckpoint(true) // pin: rank + write below
@@ -52,7 +55,7 @@ object StreamDomainCap {
     // rank within the batch (k is an upper bound on any batch's
     // admissions, so capPerDomain's two-level rank needs no more), then
     // keep rank <= remaining lifetime budget
-    val survivors = Curate.capPerDomain(b, domainCol, idCol, k)
+    val survivors = Curate.capPerDomain(b, domainCol, idCol, k, salt)
       .join(broadcast(admitted), Seq(domainCol), "left")
       .where(col("rk") <= lit(k.toLong) - coalesce(col("_prior"), lit(0L)))
       .drop("rk", "_prior")
