@@ -832,6 +832,25 @@ object SparkEntry {
     // the in-plan weight vector; the oracle re-derives training,
     // scoring, and the tertile thresholds relationally — the scan-side
     // == relational equivalence proof, the q23b pattern
+    // image dedup RESOLUTION: the q133 pair graph resolved to one
+    // canonical image per perceptual cluster — keep the HIGHEST-
+    // RESOLUTION copy (pixels = w*h from the real decode), tie to the
+    // lowest id; never-paired images all survive. Composes dhashPairs ->
+    // dupClusters -> resolveDuplicates, the same pipeline the text pair
+    // families feed; the oracle chains the q133 pair SQL with the q117
+    // recursive-CTE cluster + representative rule
+    "q135_image_dedup_resolve" -> ((s, d) => {
+      val assets = Multimodal.syntheticDhashAssets(
+        Tables.documents(s, d).select(col("doc_id")))
+      val pairs = Dedup.dhashPairs(assets)
+        .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
+      val meta = Multimodal.decodeMedia(s, assets)
+        .where(col("media_type") === "image")
+        .select(col("asset_id"), col("width"), col("height"),
+          (col("width") * col("height")).cast("long").as("pixels"))
+      Curate.resolveDuplicates(meta, pairs, idCol = "asset_id",
+        scoreCol = "pixels")
+    }),
     "q134_quality_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val hiMark = " excellent wikipedia prose exposition thorough"
@@ -1133,6 +1152,50 @@ object SparkEntry {
   private val dupClustersOracleSql: String =
     dupClustersCte +
       "\nSELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node"
+
+  /** The q133 dHash pipeline as a DuckDB CTE chain (pixel formula ->
+    * integer luma -> 9x8 block-mean grid -> gradient-sign bits -> 16-bit
+    * bands -> capped buckets -> Hamming distances in `hm`); shared by
+    * q133 (the pair report) and q135 (cluster resolution over the same
+    * pair graph). No WITH prefix -- callers choose WITH / WITH RECURSIVE. */
+  private val dhashPairsCte: String =
+    """ids AS (SELECT doc_id id FROM documents),
+        |cls AS (SELECT id,
+        |    CASE WHEN id % 10 = 3 AND id >= 13 THEN id - 3
+        |         WHEN id % 10 = 6 AND id >= 16 THEN id - 6
+        |         ELSE id END seed,
+        |    CASE WHEN id % 10 = 3 AND id >= 13 THEN 20 ELSE 0 END sh
+        |  FROM ids WHERE id % 97 <> 0),
+        |img AS (SELECT id, sh, seed % 16 + 16 w, (seed*3) % 12 + 12 h,
+        |    (seed * 2654435761) % 1000003 m
+        |  FROM cls),
+        |px AS (SELECT id, sh, m, w, h, unnest(range(w)) x FROM img),
+        |pxy AS (SELECT id, sh, m, w, h, x, unnest(range(h)) y FROM px),
+        |gr AS (SELECT id, w, h, x, y,
+        |    (299*((x*(7 + m % 13) + y*(13 + m % 29) + m) % 201 + sh)
+        |   + 587*((x*(3 + m % 17) + y*(11 + m % 31) + 2*m) % 201 + sh)
+        |   + 114*((x*(5 + m % 19) + y*(17 + m % 37) + 3*m) % 201 + sh)) // 1000 g
+        |  FROM pxy),
+        |grid AS (SELECT id, (x*9)//w cx, (y*8)//h cy, SUM(g)//COUNT(*) v
+        |  FROM gr GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.id, a.cy*8 + a.cx bt
+        |  FROM grid a JOIN grid b ON a.id = b.id AND a.cy = b.cy
+        |    AND b.cx = a.cx + 1
+        |  WHERE b.v > a.v),
+        |ib AS (SELECT id, unnest(range(4)) band FROM img),
+        |bv AS (SELECT ib.id, ib.band,
+        |    COALESCE(SUM(CAST(1 AS BIGINT) << CAST(bt % 16 AS INT)), 0) v
+        |  FROM ib LEFT JOIN bits ON bits.id = ib.id AND bits.bt // 16 = ib.band
+        |  GROUP BY 1, 2),
+        |bkt AS (SELECT band, v FROM bv GROUP BY band, v
+        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |kb AS (SELECT bv.id, bv.band, bv.v FROM bv JOIN bkt USING (band, v)),
+        |cand AS (SELECT DISTINCT a.id ia, b.id ib2 FROM kb a JOIN kb b
+        |  ON a.band = b.band AND a.v = b.v AND a.id < b.id),
+        |hm AS (SELECT c.ia, c.ib2, SUM(bit_count(xor(x.v, y.v))) d
+        |  FROM cand c JOIN bv x ON x.id = c.ia
+        |    JOIN bv y ON y.id = c.ib2 AND y.band = x.band
+        |  GROUP BY 1, 2)""".stripMargin
 
   private val dedupResolveOracleSql: String =
     dupClustersCte + ",\n" +
@@ -1841,45 +1904,26 @@ object SparkEntry {
         |FROM bench b LEFT JOIN agg a USING (doc_id)
         |  LEFT JOIN runs r USING (doc_id)""".stripMargin,
     "q133_image_dhash_pairs" ->
-      """WITH ids AS (SELECT doc_id id FROM documents),
-        |cls AS (SELECT id,
-        |    CASE WHEN id % 10 = 3 AND id >= 13 THEN id - 3
-        |         WHEN id % 10 = 6 AND id >= 16 THEN id - 6
-        |         ELSE id END seed,
-        |    CASE WHEN id % 10 = 3 AND id >= 13 THEN 20 ELSE 0 END sh
-        |  FROM ids WHERE id % 97 <> 0),
-        |img AS (SELECT id, sh, seed % 16 + 16 w, (seed*3) % 12 + 12 h,
-        |    (seed * 2654435761) % 1000003 m
-        |  FROM cls),
-        |px AS (SELECT id, sh, m, w, h, unnest(range(w)) x FROM img),
-        |pxy AS (SELECT id, sh, m, w, h, x, unnest(range(h)) y FROM px),
-        |gr AS (SELECT id, w, h, x, y,
-        |    (299*((x*(7 + m % 13) + y*(13 + m % 29) + m) % 201 + sh)
-        |   + 587*((x*(3 + m % 17) + y*(11 + m % 31) + 2*m) % 201 + sh)
-        |   + 114*((x*(5 + m % 19) + y*(17 + m % 37) + 3*m) % 201 + sh)) // 1000 g
-        |  FROM pxy),
-        |grid AS (SELECT id, (x*9)//w cx, (y*8)//h cy, SUM(g)//COUNT(*) v
-        |  FROM gr GROUP BY 1, 2, 3),
-        |bits AS (SELECT a.id, a.cy*8 + a.cx bt
-        |  FROM grid a JOIN grid b ON a.id = b.id AND a.cy = b.cy
-        |    AND b.cx = a.cx + 1
-        |  WHERE b.v > a.v),
-        |ib AS (SELECT id, unnest(range(4)) band FROM img),
-        |bv AS (SELECT ib.id, ib.band,
-        |    COALESCE(SUM(CAST(1 AS BIGINT) << CAST(bt % 16 AS INT)), 0) v
-        |  FROM ib LEFT JOIN bits ON bits.id = ib.id AND bits.bt // 16 = ib.band
-        |  GROUP BY 1, 2),
-        |bkt AS (SELECT band, v FROM bv GROUP BY band, v
-        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
-        |kb AS (SELECT bv.id, bv.band, bv.v FROM bv JOIN bkt USING (band, v)),
-        |cand AS (SELECT DISTINCT a.id ia, b.id ib2 FROM kb a JOIN kb b
-        |  ON a.band = b.band AND a.v = b.v AND a.id < b.id),
-        |hm AS (SELECT c.ia, c.ib2, SUM(bit_count(xor(x.v, y.v))) d
-        |  FROM cand c JOIN bv x ON x.id = c.ia
-        |    JOIN bv y ON y.id = c.ib2 AND y.band = x.band
-        |  GROUP BY 1, 2)
+      ("WITH " + dhashPairsCte + """
         |SELECT ia asset_a, ib2 asset_b, CAST(d AS BIGINT) hamming
-        |FROM hm WHERE d <= 3""".stripMargin,
+        |FROM hm WHERE d <= 3""".stripMargin),
+    "q135_image_dedup_resolve" ->
+      ("WITH RECURSIVE " + dhashPairsCte + """,
+        |pr AS (SELECT ia a, ib2 b FROM hm WHERE d <= 3),
+        |e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node),
+        |cl AS (SELECT node, MIN(r) cluster_id FROM reach GROUP BY node),
+        |reps AS (SELECT node FROM (
+        |  SELECT cl.node, row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY i.w * i.h DESC, cl.node ASC) rn
+        |  FROM cl JOIN img i ON i.id = cl.node) WHERE rn = 1)
+        |SELECT i.id asset_id, CAST(i.w AS INT) width, CAST(i.h AS INT) height,
+        |  CAST(i.w * i.h AS BIGINT) pixels
+        |FROM img i WHERE i.id NOT IN (SELECT node FROM cl)
+        |   OR i.id IN (SELECT node FROM reps)""".stripMargin),
     "q134_quality_score" ->
       """WITH lab AS (SELECT
         |    CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 0 END lbl,

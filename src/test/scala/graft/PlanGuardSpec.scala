@@ -126,10 +126,42 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(q("q23b_lang_id_ft")) <= 4, "q23b classify stopped being scan-side")
     // q131: stage-2 adds ZERO exchanges on top of stage 1 (<=6) +
     // stage 3 (score agg + histogram chain behind the persist) + the
-    // id-keyed tier join + the cap's two windows; 13 is the measured
-    // composition shape at sf0.001 (budgets are upper bounds)
-    assert(shuffles(q("q131_fineweb_pipeline")) <= 13, "q131 grew extra exchanges")
+    // id-keyed tier join + the cap's two windows; 19 is the measured
+    // composition shape at sf0.001 (budgets are upper bounds). Round 9
+    // raised it 13 -> 19: the tertile-threshold derivation now runs the
+    // bounded two-level cumulativeByValue (range partition + per-pid
+    // window + offsets window + broadcast-back) instead of ONE global
+    // single-partition Window — every added exchange moves only the
+    // DISTINCT-MEANS histogram (a few hundred narrow rows), which is
+    // exactly the trade: constant extra tiny exchanges for a sort that
+    // no longer serializes the distinct means through one task
+    assert(shuffles(q("q131_fineweb_pipeline")) <= 19, "q131 grew extra exchanges")
     spark.catalog.clearCache() // q131's internal ppl persist
+  }
+
+  test("round-9 additions hold their plan budgets") {
+    // q133: the dHash is SCAN-SIDE (media bytes never shuffle — only the
+    // 8-byte sigs move): one bucket groupBy + the pair-verify id joins.
+    // A third exchange means hashing fell off the scan
+    assert(shuffles(q("q133_image_dhash_pairs")) <= 2, "q133 grew extra exchanges")
+    // q134: scoring is scan-side (LinearGramScore ships the weight
+    // vector in-plan — exactly ONE corpus text scan); the remaining
+    // exchanges are the training aggregations + the tertile-threshold
+    // chain, all of which move <=buckets-row / distinct-value frames
+    val q134 = q("q134_quality_score")
+    // the scored frame is persisted, so the corpus text is scanned once
+    // at execution no matter how many times the threshold chain and the
+    // final tagging reference it (the q130 probe — plan-string scan
+    // counts double-report cached build plans)
+    assert(q134.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"), "q134 lost its scored persist")
+    assert(shuffles(q134) <= 11, "q134 grew extra exchanges")
+    spark.catalog.clearCache() // q134's internal scored persist
+    // q135: cluster decisions and representatives come back BROADCAST
+    // onto the decoded-metadata frame (the resolveDuplicates contract —
+    // the corpus side never shuffles)
+    assert(q("q135_image_dedup_resolve").queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "q135 lost its broadcast resolution")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
