@@ -293,18 +293,27 @@ object Dedup {
     * shares a block), verified with exact `bit_count(a XOR b)` <=
     * maxHamming. Same grouped-bucket shape as minhash — one shuffle, no
     * self-join; only 8-byte signatures move. */
+  /** Banded bucket keys of a 64-bit signature — THE key scheme shared by
+    * the self-pair path ([[hammingPairs]]) and the incremental index
+    * path ([[dhashIncremental]]); one definition on purpose, the
+    * [[bandKeys]] lesson: drifted keys make a persisted index silently
+    * unmatchable. */
+  private def sigBandKeys(sig: Column, blocks: Int): Column = {
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    transform(sequence(lit(0), lit(blocks - 1)),
+      b => concat_ws(":", b,
+        call_function("shiftright", sig, b * lit(width)).bitwiseAND(mask)))
+  }
+
   private def hammingPairs(sig: DataFrame, maxHamming: Int, blocks: Int,
                            maxBucket: Int): DataFrame = {
     require(blocks > 0 && 64 % blocks == 0, "blocks must divide 64")
     // candidate RECALL is only guaranteed for maxHamming < blocks; the
     // legacy simhash surface allows larger maxHamming as best-effort
     // (callers that need the guarantee — dhashPairs — require it)
-    val width = 64 / blocks
-    val mask = (1L << width) - 1
-    val keys = sig.select(col("doc_id"), explode(
-      transform(sequence(lit(0), lit(blocks - 1)),
-        b => concat_ws(":", b,
-          call_function("shiftright", col("sig"), b * lit(width)).bitwiseAND(mask)))).as("bucket_key"))
+    val keys = sig.select(col("doc_id"),
+      explode(sigBandKeys(col("sig"), blocks)).as("bucket_key"))
     val pairs = bucketPairs(keys, maxBucket)
     val s = sig.select(col("doc_id"), col("sig"))
     pairs
@@ -355,6 +364,47 @@ object Dedup {
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
         col("hamming").cast("long").as("hamming"))
     materializeAndRelease(out, sig)
+  }
+
+  /** Dedup survivors under dHash: drop every image that perceptually
+    * duplicates a smaller asset_id (greedy representative = min id, the
+    * [[minhashSurvivors]] rule). Assets that do not hash — garbage,
+    * audio, sub-grid thumbnails — PASS THROUGH: this gate dedups images,
+    * it does not classify media (that is [[Multimodal.decodeMedia]]'s
+    * job upstream). */
+  def dhashSurvivors(assets: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
+                     maxBucket: Int = 1000, idCol: String = "asset_id",
+                     mediaCol: String = "media"): DataFrame = {
+    val dropIds = dhashPairs(assets, maxHamming, blocks, maxBucket, idCol, mediaCol)
+      .select(col("asset_b").as(idCol)).distinct()
+    assets.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental perceptual image dedup: a NEW batch's signature frame
+    * `(asset_id, sig)` against an EXISTING corpus signature index with
+    * the same columns — the [[incrementalDuplicates]] shape for images.
+    * Per-batch cost is O(|batch| + matching index buckets), never a
+    * corpus or media rescan: both sides band their 8-byte sigs with the
+    * SHARED [[sigBandKeys]] scheme, candidates equi-join on the band
+    * key (hot index buckets past `maxBucket` dropped — monochrome/logo
+    * degeneracy), and exact Hamming verifies. Output:
+    * (new_id, corpus_id, hamming) with hamming <= maxHamming. */
+  def dhashIncremental(batchSigs: DataFrame, indexSigs: DataFrame,
+                       maxHamming: Int = 3, blocks: Int = 4,
+                       maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming < blocks,
+      "banding guarantees candidate completeness only for maxHamming < blocks")
+    val bk = batchSigs.select(col("asset_id").as("new_id"), col("sig").as("_sn"),
+      explode(sigBandKeys(col("sig"), blocks)).as("bucket_key"))
+    val ik = indexSigs.select(col("asset_id").as("corpus_id"), col("sig").as("_sc"),
+      explode(sigBandKeys(col("sig"), blocks)).as("bucket_key"))
+    val hot = ik.groupBy(col("bucket_key")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > maxBucket).select(col("bucket_key"))
+    bk.join(ik.join(hot, Seq("bucket_key"), "left_anti"), Seq("bucket_key"))
+      .select(col("new_id"), col("corpus_id"),
+        bit_count(col("_sn").bitwiseXOR(col("_sc"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------------- embedding near-dup
