@@ -44,6 +44,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(sql.getString(1) == api.getString(1))
   }
 
+  test("graft_dhash: SQL surface == Column API; non-image is NULL") {
+    Conf.ensure(spark)
+    val img = graft.ops.Codecs.encodePpm(16, 12,
+      (x, y) => (x * 9 % 200, y * 7 % 200, (x + y) % 200))
+    Seq((1L, img), (2L, "junk".getBytes)).toDF("id", "media")
+      .createOrReplaceTempView("tm")
+    val sql = spark.sql("SELECT graft_dhash(media) h FROM tm ORDER BY id").collect()
+    val api = spark.table("tm").orderBy("id")
+      .select(Exprs.dhash64(col("media")).as("h")).collect()
+    assert(sql(0).getLong(0) == api(0).getLong(0))
+    assert(sql(1).isNullAt(0) && api(1).isNullAt(0))
+  }
+
   test("non-literal size parameter is rejected with a clear error") {
     Conf.ensure(spark)
     Seq(("a b c", 3)).toDF("text", "n").createOrReplaceTempView("t2")
