@@ -825,6 +825,17 @@ object SparkEntry {
     "q133_image_dhash_pairs" -> ((s, d) =>
       Dedup.dhashPairs(Multimodal.syntheticDhashAssets(
         Tables.documents(s, d).select(col("doc_id"))))),
+    // perceptual AUDIO dedup (Dedup.ahashPairs): in-plan synthesized WAV
+    // assets with planted volume-scaled and metadata-rewrapped duplicate
+    // twins; the oracle replays the ENTIRE integer pipeline — sample
+    // formula -> |amplitude| -> 65-frame floor partition -> cross-
+    // multiplied gradient-sign bits -> 16-bit bands -> capped buckets ->
+    // Hamming-verified pairs — so decode, framing, packing, banding, and
+    // verification are all cross-engine hash-gated (the q133 discipline
+    // on the audio modality)
+    "q136_audio_ahash_pairs" -> ((s, d) =>
+      Dedup.ahashPairs(Multimodal.syntheticAhashAssets(
+        Tables.documents(s, d).select(col("doc_id"))))),
     // model-based quality scoring (QualityModel, FineWeb-Edu shape): a
     // labeled fixture is synthesized in-plan (40% of docs get a grade-5
     // or grade-0 marker suffix), the integer smoothed-mean-label weight
@@ -1196,6 +1207,48 @@ object SparkEntry {
         |  FROM cand c JOIN bv x ON x.id = c.ia
         |    JOIN bv y ON y.id = c.ib2 AND y.band = x.band
         |  GROUP BY 1, 2)""".stripMargin
+
+  /** The q136 audio-hash pipeline as a DuckDB CTE chain (sample formula
+    * -> |amplitude| -> 65-frame floor partition -> cross-multiplied
+    * gradient-sign bits -> 16-bit bands -> capped buckets -> Hamming
+    * distances in `hm`) — the audio twin of [[dhashPairsCte]]. The gain
+    * twin needs no special casing beyond `gn`: both cross-product sides
+    * scale by the gain, so every bit is identical to its seed's. The
+    * metadata twin needs NO formula change at all — the container bytes
+    * differ but the decoded PCM (all the oracle ever models) is the
+    * seed's. */
+  private val ahashPairsCte: String =
+    """ids AS (SELECT doc_id id FROM documents),
+      |cls AS (SELECT id,
+      |    CASE WHEN id % 10 = 3 AND id >= 13 THEN id - 3
+      |         WHEN id % 10 = 6 AND id >= 16 THEN id - 6
+      |         ELSE id END seed,
+      |    CASE WHEN id % 10 = 3 AND id >= 13 THEN 2 ELSE 1 END gn
+      |  FROM ids WHERE id % 97 <> 0),
+      |aup AS (SELECT id, gn, m, m % 600 + 100 n
+      |  FROM (SELECT id, gn, (seed * 2654435761) % 1000003 m FROM cls)),
+      |smp AS (SELECT id, n, unnest(range(n)) i, gn, m FROM aup),
+      |frm AS (SELECT id, (i*65)//n f,
+      |    SUM(abs((((i + 7*m + 1)*(i + 7*m + 1) % 1000003) * 2654435761
+      |             % 1000003) % 24001 - 12000) * gn) s, COUNT(*) c
+      |  FROM smp GROUP BY 1, 2),
+      |bits AS (SELECT x.id, x.f bt
+      |  FROM frm x JOIN frm y ON x.id = y.id AND y.f = x.f + 1
+      |  WHERE y.s * x.c > x.s * y.c),
+      |ib AS (SELECT id, unnest(range(4)) band FROM aup),
+      |bv AS (SELECT ib.id, ib.band,
+      |    COALESCE(SUM(CAST(1 AS BIGINT) << CAST(bt % 16 AS INT)), 0) v
+      |  FROM ib LEFT JOIN bits ON bits.id = ib.id AND bits.bt // 16 = ib.band
+      |  GROUP BY 1, 2),
+      |bkt AS (SELECT band, v FROM bv GROUP BY band, v
+      |  HAVING COUNT(*) BETWEEN 2 AND 1000),
+      |kb AS (SELECT bv.id, bv.band, bv.v FROM bv JOIN bkt USING (band, v)),
+      |cand AS (SELECT DISTINCT a.id ia, b.id ib2 FROM kb a JOIN kb b
+      |  ON a.band = b.band AND a.v = b.v AND a.id < b.id),
+      |hm AS (SELECT c.ia, c.ib2, SUM(bit_count(xor(x.v, y.v))) d
+      |  FROM cand c JOIN bv x ON x.id = c.ia
+      |    JOIN bv y ON y.id = c.ib2 AND y.band = x.band
+      |  GROUP BY 1, 2)""".stripMargin
 
   private val dedupResolveOracleSql: String =
     dupClustersCte + ",\n" +
@@ -1905,6 +1958,10 @@ object SparkEntry {
         |  LEFT JOIN runs r USING (doc_id)""".stripMargin,
     "q133_image_dhash_pairs" ->
       ("WITH " + dhashPairsCte + """
+        |SELECT ia asset_a, ib2 asset_b, CAST(d AS BIGINT) hamming
+        |FROM hm WHERE d <= 3""".stripMargin),
+    "q136_audio_ahash_pairs" ->
+      ("WITH " + ahashPairsCte + """
         |SELECT ia asset_a, ib2 asset_b, CAST(d AS BIGINT) hamming
         |FROM hm WHERE d <= 3""".stripMargin),
     "q135_image_dedup_resolve" ->

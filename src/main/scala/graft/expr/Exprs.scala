@@ -59,6 +59,9 @@ object Exprs {
   def dhash64(media: Column): Column =
     ExpressionUtils.column(DHash64(ExpressionUtils.expression(media)))
 
+  def ahash64(media: Column): Column =
+    ExpressionUtils.column(AHash64(ExpressionUtils.expression(media)))
+
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 

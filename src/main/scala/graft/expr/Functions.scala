@@ -39,7 +39,8 @@ object Functions {
     "graft_zvalue" -> { args => ZValue(args(0), args(1)) },
     "graft_normalize_text" -> { args =>
       NormalizeText(args(0), if (args.size > 1) strArg(args(1), "form") else "NFC") },
-    "graft_dhash" -> { args => DHash64(args(0)) }
+    "graft_dhash" -> { args => DHash64(args(0)) },
+    "graft_ahash" -> { args => AHash64(args(0)) }
   )
 
   private def strArg(e: Expression, name: String): String = e match {

@@ -161,9 +161,13 @@ object Codecs {
     out
   }
 
-  /** Chunk-walking RIFF parse (fmt may come with extensions, data need not
-    * be the first chunk): accepts PCM(1) mono 16-bit only, None otherwise. */
-  def decodeWav(bytes: Array[Byte]): Option[Wav] = {
+  /** Chunk-walking RIFF locate (fmt may come with extensions, data need
+    * not be the first chunk; metadata chunks like LIST are skipped —
+    * which is exactly why a metadata-injected WAV is byte-distinct but
+    * decode-identical): accepts PCM(1) mono 16-bit only. Returns
+    * (sampleRate, dataOffset, dataLen) — the shared locate step under
+    * [[decodeWav]] and [[audioFrames]]. */
+  private def wavPcm(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (sniff(bytes) != Some("audio") || bytes.length < 12) return None
     var rate = -1; var ok = false
     var dataOff = -1; var dataLen = -1
@@ -180,15 +184,94 @@ object Codecs {
       o += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }
     if (!ok || rate <= 0 || dataOff < 0 || dataLen % 2 != 0) None
-    else {
+    else Some((rate, dataOff, dataLen))
+  }
+
+  def decodeWav(bytes: Array[Byte]): Option[Wav] =
+    wavPcm(bytes).map { case (rate, dataOff, dataLen) =>
       val n = dataLen / 2
       var s = 0L
       var i = dataOff
       val end = dataOff + dataLen
       while (i < end) { s += math.abs(le16(bytes, i).toShort.toLong); i += 2 }
-      Some(Wav(rate, n, s))
+      Wav(rate, n, s)
     }
+
+  /** Insert a RIFF sub-chunk (`id4` + payload, word-aligned) immediately
+    * after the WAVE form type, fixing the outer RIFF size. The result is
+    * byte-distinct from the input but decode-identical (the chunk walk
+    * skips unknown chunks) — the audio fixture's analog of q133's
+    * lossless re-encode twin: exactly what defeats exact byte dedup while
+    * leaving the perceptual hash untouched. Fixture/test path — fails
+    * loud on non-WAV input. */
+  def insertRiffChunk(wav: Array[Byte], id4: String, payload: Array[Byte]): Array[Byte] = {
+    require(id4.length == 4, s"RIFF chunk id must be 4 chars, got '$id4'")
+    require(sniff(wav) == Some("audio"), "insertRiffChunk expects a WAV")
+    val pad = payload.length & 1
+    val extra = 8 + payload.length + pad
+    val out = new Array[Byte](wav.length + extra)
+    System.arraycopy(wav, 0, out, 0, 12)
+    val riffLen = le32(wav, 4) + extra
+    out(4) = riffLen.toByte; out(5) = (riffLen >> 8).toByte
+    out(6) = (riffLen >> 16).toByte; out(7) = (riffLen >> 24).toByte
+    val idb = id4.getBytes("US-ASCII")
+    System.arraycopy(idb, 0, out, 12, 4)
+    out(16) = payload.length.toByte; out(17) = (payload.length >> 8).toByte
+    out(18) = (payload.length >> 16).toByte; out(19) = (payload.length >> 24).toByte
+    System.arraycopy(payload, 0, out, 20, payload.length)
+    System.arraycopy(wav, 12, out, 12 + extra, wav.length - 12)
+    out
   }
+
+  // ------------------------------------------------ perceptual audio hashing
+
+  /** Per-frame |sample| sums and counts over the PCM payload: sample i
+    * belongs to frame `i*frames div n` — the same floor partition as
+    * [[grayGrid]], covering every sample exactly once with frame sizes
+    * within one of each other. None for non-WAV/undecodable bytes or
+    * fewer samples than frames (no per-frame evidence — the sub-grid
+    * thumbnail rule). */
+  def audioFrames(bytes: Array[Byte], frames: Int): Option[(Array[Long], Array[Long])] =
+    wavPcm(bytes).flatMap { case (_, dataOff, dataLen) =>
+      val n = dataLen / 2
+      if (n < frames) None
+      else {
+        val sums = new Array[Long](frames)
+        val cnts = new Array[Long](frames)
+        var i = 0
+        while (i < n) {
+          val f = (i.toLong * frames / n).toInt
+          sums(f) += math.abs(le16(bytes, dataOff + i * 2).toShort.toLong)
+          cnts(f) += 1
+          i += 1
+        }
+        Some((sums, cnts))
+      }
+    }
+
+  /** 64-bit perceptual audio hash — the dHash discipline applied to the
+    * 1-D energy envelope: 65 frame-mean |amplitude| values, one bit per
+    * temporal gradient — bit i set iff mean(frame i+1) > mean(frame i),
+    * compared EXACTLY by integer cross-multiplication
+    * (sum[i+1]*cnt[i] > sum[i]*cnt[i+1] — no division, so two engines
+    * can replay it bit-for-bit and a uniform gain k scales both sides by
+    * k, preserving every comparison including ties). Invariant under
+    * volume scaling (no clipping) and under byte-level container changes
+    * (metadata chunks, chunk reordering) — the duplicate classes exact
+    * byte hashing cannot see. None for non-audio or sub-65-sample clips.
+    * Exactness bound: cross-products stay below 2^63 for any clip under
+    * ~10^9 samples (≈17 h at 16 kHz) — far beyond a training-corpus
+    * asset. */
+  def ahash64(bytes: Array[Byte]): Option[Long] =
+    audioFrames(bytes, 65).map { case (sums, cnts) =>
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)) h |= 1L << i
+        i += 1
+      }
+      h
+    }
 
   // ------------------------------------------------- PNG/JPEG via ImageIO
 

@@ -352,12 +352,41 @@ object Dedup {
     * [[Curate.dupClusters]] exactly like the text pair families. */
   def dhashPairs(assets: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
                  maxBucket: Int = 1000, idCol: String = "asset_id",
-                 mediaCol: String = "media"): DataFrame = {
+                 mediaCol: String = "media"): DataFrame =
+    mediaSigPairs(assets, Exprs.dhash64(col(mediaCol)), maxHamming, blocks,
+      maxBucket, idCol)
+
+  /** Perceptual AUDIO near-duplicate pairs — the audio sibling of
+    * [[dhashPairs]]: each clip's 64-bit energy-envelope hash
+    * ([[graft.expr.AHash64]] — 65 frame-mean |amplitude| values, one
+    * temporal-gradient sign bit each, computed scan-side where the audio
+    * bytes are read) feeds the same banded-Hamming bucket discipline.
+    * Catches the duplicate classes exact byte dedup cannot see: volume-
+    * scaled copies (gain preserves every gradient sign exactly — integer
+    * cross-multiplied means) and container-level re-wraps (metadata
+    * chunks inserted/stripped, chunk reordering). Audio bytes NEVER
+    * shuffle — only (id, 8-byte sig). Non-audio/garbage/sub-65-sample
+    * assets hash NULL and drop out before the shuffle.
+    *
+    * Output: (asset_a, asset_b, hamming), asset_a < asset_b, hamming <=
+    * maxHamming — feeds [[Curate.resolveDuplicates]]/[[Curate.dupClusters]]
+    * exactly like the text and image pair families. */
+  def ahashPairs(assets: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
+                 maxBucket: Int = 1000, idCol: String = "asset_id",
+                 mediaCol: String = "media"): DataFrame =
+    mediaSigPairs(assets, Exprs.ahash64(col(mediaCol)), maxHamming, blocks,
+      maxBucket, idCol)
+
+  /** Shared pair pipeline under [[dhashPairs]]/[[ahashPairs]]: scan-side
+    * 64-bit signature -> NULL drop -> banded-Hamming buckets -> exact
+    * verify; one definition so the image and audio paths cannot drift. */
+  private def mediaSigPairs(assets: DataFrame, sigExpr: Column, maxHamming: Int,
+                            blocks: Int, maxBucket: Int, idCol: String): DataFrame = {
     require(maxHamming < blocks,
       s"banding guarantees candidate completeness only for maxHamming < blocks " +
         s"(got maxHamming=$maxHamming, blocks=$blocks); raise blocks to widen the radius")
     val sig = assets
-      .select(col(idCol).as("doc_id"), Exprs.dhash64(col(mediaCol)).as("sig"))
+      .select(col(idCol).as("doc_id"), sigExpr.as("sig"))
       .where(col("sig").isNotNull)
       .persist()
     val out = hammingPairs(sig, maxHamming, blocks, maxBucket)
@@ -376,6 +405,18 @@ object Dedup {
                      maxBucket: Int = 1000, idCol: String = "asset_id",
                      mediaCol: String = "media"): DataFrame = {
     val dropIds = dhashPairs(assets, maxHamming, blocks, maxBucket, idCol, mediaCol)
+      .select(col("asset_b").as(idCol)).distinct()
+    assets.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Dedup survivors under the audio hash — the [[dhashSurvivors]] rule
+    * (greedy representative = min id) over [[ahashPairs]]. Assets that do
+    * not hash — garbage, images, sub-65-sample clips — PASS THROUGH:
+    * this gate dedups audio, it does not classify media. */
+  def ahashSurvivors(assets: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
+                     maxBucket: Int = 1000, idCol: String = "asset_id",
+                     mediaCol: String = "media"): DataFrame = {
+    val dropIds = ahashPairs(assets, maxHamming, blocks, maxBucket, idCol, mediaCol)
       .select(col("asset_b").as(idCol)).distinct()
     assets.join(dropIds, Seq(idCol), "left_anti")
   }

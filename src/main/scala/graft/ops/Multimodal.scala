@@ -303,6 +303,77 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic asset synthesis for the PERCEPTUAL audio-dedup oracle
+    * (q136) and the specs — the audio twin of [[syntheticDhashAssets]]:
+    * a corpus with planted duplicate classes whose detection is
+    * replayable by any engine from the sample formula alone:
+    *
+    *   - id % 97 == 0: garbage bytes (hash NULL, drops out),
+    *   - id % 10 == 3 (id >= 13): GAIN twin of seed id-3 — every sample
+    *     x2 with base samples in [-12000, 12000] so nothing clips; frame
+    *     |amplitude| sums double exactly and every cross-multiplied
+    *     gradient comparison (including ties) is preserved, so the hash
+    *     is IDENTICAL (Hamming 0),
+    *   - id % 10 == 6 (id >= 16): METADATA twin of seed id-6 — the same
+    *     samples with a LIST chunk spliced into the RIFF container
+    *     ([[Codecs.insertRiffChunk]]): every byte offset past the header
+    *     differs while the decoded PCM is identical — exactly what
+    *     defeats exact byte dedup (the audio analog of q133's lossless
+    *     cross-codec re-encode),
+    *   - everything else: a base WAV of n in [100, 699] samples
+    *     (always >= the 65-frame grid) following the closed formula
+    *     below.
+    *
+    * A seed, its +3 gain twin, and its +6 re-wrap form a 3-clique of
+    * Hamming-0 pairs; distinct seeds give effectively independent hashes.
+    * NONLINEARITY is load-bearing (the q133 aperiodicity lesson, audio
+    * edition): a first cut used a linear ramp (i*slope + phase) mod
+    * 24001 with only 97 slope classes — the per-frame means of a linear
+    * lattice are structured by the slope alone, and 4000 seeds produced
+    * 691 cross-seed pairs within Hamming 3 (and 47 exact hash repeats).
+    * Any composition of linear maps stays linear, so the formula below
+    * SQUARES mod a large prime before folding:
+    *   v = i + 7m + 1;  s = ((v^2 mod 1000003) * 2654435761 mod 1000003)
+    *                        mod 24001 - 12000
+    * whose dominant i-variation has per-seed slope 2*(7m+1) mod 1000003
+    * — a million slope classes plus quadratic curvature plus the
+    * extra multiply-fold diffusion. Measured: 0 cross-seed pairs within
+    * Hamming 3 and max band bucket 70 over 100k seeds. All intermediates
+    * stay under 2^52, exact in any engine's 64-bit integers. */
+  def syntheticAhashAssets(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col("doc_id").cast("long"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes: Array[Byte] =
+            if (id % 97 == 0) s"GARBAGE-$id".getBytes("US-ASCII")
+            else {
+              val (seed, gain, meta) =
+                if (id % 10 == 3 && id >= 13) (id - 3, 2L, false)
+                else if (id % 10 == 6 && id >= 16) (id - 6, 1L, true)
+                else (id, 1L, false)
+              val m = (seed * 2654435761L) % 1000003L
+              val n = (m % 600 + 100).toInt
+              val samples = Array.tabulate(n) { i =>
+                val v = i + 7 * m + 1
+                ((((v * v % 1000003L) * 2654435761L % 1000003L) % 24001L
+                  - 12000L) * gain).toShort
+              }
+              val wav = Codecs.encodeWav(16000, samples)
+              if (meta)
+                Codecs.insertRiffChunk(wav, "LIST",
+                  s"INFOgraft-meta-twin-$id".getBytes("US-ASCII"))
+              else wav
+            }
+          Row(id, bytes)
+        }
+      }(enc)
+  }
+
   /** Batched feature extraction over the binary payload — the mapInPandas
     * shape: iterate the partition in fixed-size batches (what Arrow record
     * batches are to a pandas UDF), run the "codec" per batch, emit rows.
