@@ -836,6 +836,23 @@ object SparkEntry {
     "q136_audio_ahash_pairs" -> ((s, d) =>
       Dedup.ahashPairs(Multimodal.syntheticAhashAssets(
         Tables.documents(s, d).select(col("doc_id"))))),
+    // jusText-style boilerplate block classification (Boilerplate
+    // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
+    // in-plan — nav bar, stopword-boosted body, short date stamp, raw
+    // body, link footer — so every context-free class and both neighbor
+    // promotion rules occur; the oracle replays block split, token
+    // counting, the integer density thresholds, and the IGNORE NULLS
+    // neighbor windows
+    "q137_boilerplate_blocks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val page = concat_ws("\n\n",
+        lit("@lnk home @lnk about @lnk contact nav menu"),
+        concat(col("text"), lit(" the of and to in is on the a of and in")),
+        concat(lit("posted "), col("doc_id")),
+        col("text"),
+        lit("@lnk privacy @lnk terms @lnk copyright site"))
+      Boilerplate.classifyBlocks(docs.select(col("doc_id"), page.as("text")))
+    }),
     // model-based quality scoring (QualityModel, FineWeb-Edu shape): a
     // labeled fixture is synthesized in-plan (40% of docs get a grade-5
     // or grade-0 marker suffix), the integer smoothed-mean-label weight
@@ -1964,6 +1981,50 @@ object SparkEntry {
       ("WITH " + ahashPairsCte + """
         |SELECT ia asset_a, ib2 asset_b, CAST(d AS BIGINT) hamming
         |FROM hm WHERE d <= 3""".stripMargin),
+    "q137_boilerplate_blocks" ->
+      """WITH x AS (SELECT doc_id,
+        |    '@lnk home @lnk about @lnk contact nav menu' || chr(10) || chr(10) ||
+        |    text || ' the of and to in is on the a of and in' || chr(10) || chr(10) ||
+        |    'posted ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+        |    text || chr(10) || chr(10) ||
+        |    '@lnk privacy @lnk terms @lnk copyright site' AS text
+        |  FROM documents),
+        |bl AS (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+        |    i -> {'b': i - 1, 'blk': l[i]})) u
+        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) l FROM x)),
+        |b2 AS (SELECT doc_id, u.b bidx, u.blk blk FROM bl),
+        |cn AS (SELECT doc_id, CAST(bidx AS BIGINT) bidx,
+        |    CAST(length(blk) AS BIGINT) n_chars,
+        |    CAST(len(tk) AS BIGINT) n_tokens,
+        |    CAST(len(list_filter(tk, t -> starts_with(t, '@lnk')
+        |        OR regexp_matches(t, '^https?://'))) AS BIGINT) n_links,
+        |    CAST(len(list_filter(tk, t -> list_contains(
+        |        ['the','a','of','and','to','in','is','on'], lower(t)))) AS BIGINT) n_stops
+        |  FROM (SELECT doc_id, bidx, blk,
+        |      list_filter(regexp_split_to_array(blk, '\s+'), t -> t <> '') tk
+        |    FROM b2)),
+        |cf AS (SELECT *, CASE
+        |    WHEN n_links * 3 > n_tokens THEN 'bad'
+        |    WHEN n_chars < 80 THEN 'short'
+        |    WHEN n_stops * 10 >= n_tokens * 3 THEN 'good'
+        |    WHEN n_stops * 20 >= n_tokens * 3 THEN 'near_good'
+        |    ELSE 'bad' END cls FROM cn),
+        |cx AS (SELECT *,
+        |    COALESCE(last_value(CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY bidx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') pv,
+        |    COALESCE(first_value(CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY bidx
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') nx
+        |  FROM cf)
+        |SELECT doc_id, bidx, n_chars, n_tokens, n_links, n_stops, cls,
+        |  CASE WHEN cls = 'good' THEN 'good'
+        |       WHEN cls = 'bad' THEN 'bad'
+        |       WHEN cls = 'near_good' THEN
+        |         CASE WHEN pv = 'good' OR nx = 'good' THEN 'good' ELSE 'bad' END
+        |       ELSE CASE WHEN pv = 'good' AND nx = 'good' THEN 'good' ELSE 'bad' END
+        |  END final_cls
+        |FROM cx""".stripMargin,
     "q135_image_dedup_resolve" ->
       ("WITH RECURSIVE " + dhashPairsCte + """,
         |pr AS (SELECT ia a, ib2 b FROM hm WHERE d <= 3),
