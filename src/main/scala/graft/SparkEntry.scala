@@ -331,6 +331,15 @@ object SparkEntry {
     // -> deterministic sample, in ONE plan with one shuffle
     "q50_curate" -> ((s, d) =>
       Curate.curate(Tables.documents(s, d))),
+    // soft deduplication (Curate.softDedupWeights, SoftDedup shape):
+    // q49's pair graph resolved to per-doc sampling weights 1/cluster_size
+    // instead of drops — integer ppm weights, singletons at full weight;
+    // the oracle chains the q49 recursive-CTE clusters with a size join
+    "q138_softdedup_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curate.softDedupWeights(docs,
+        Dedup.ngramJaccardPairs(docs.where(col("doc_id") < 60), n = 2, minJaccard = 0.05))
+    }),
     // CDC materialization: synthesize a change stream (inserts/updates/
     // deletes keyed on event_id % 997, versioned by (ts, event_id)) and
     // collapse it to the current table image — the upsert-mode consumer
@@ -1614,6 +1623,15 @@ object SparkEntry {
          |    '$phonePat', '[PHONE]', 'g') AS "text"
          |FROM r""".stripMargin,
     "q49_dup_clusters" -> dupClustersOracleSql,
+    "q138_softdedup_weights" ->
+      (dupClustersCte + ",\n" +
+        """c AS (SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node),
+          |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) n FROM c GROUP BY 1)
+          |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) cluster_id,
+          |  COALESCE(sz.n, 1) cluster_size,
+          |  1000000 // COALESCE(sz.n, 1) weight_ppm
+          |FROM documents d LEFT JOIN c USING (doc_id)
+          |  LEFT JOIN sz ON sz.cluster_id = c.cluster_id""".stripMargin),
     "q117_dedup_resolve" -> dedupResolveOracleSql,
     "q120_gopher_quality" ->
       """WITH x AS (SELECT doc_id,

@@ -828,6 +828,41 @@ object Curate {
       .drop("_rd_id", "_rd_cl", "_rd_rep")
   }
 
+  /** Soft deduplication — REWEIGHT duplicates instead of dropping them
+    * (the SoftDedup idea, Xue et al. '24: hard removal throws away the
+    * signal that a document was independently published N times; keeping
+    * every copy at weight 1/N preserves the corpus distribution while
+    * removing the over-count). Every document in `docs` gets a sampling
+    * weight from its near-duplicate cluster size:
+    *
+    *   weight_ppm = scale div cluster_size   (integer, exact)
+    *
+    * with never-paired documents forming singleton clusters (size 1,
+    * full weight, cluster_id = own id). The weight column feeds the
+    * existing weighted samplers ([[graft.ops.Importance]], q88's
+    * weighted sample) as-is.
+    *
+    * Shape at 100 TB: the pair graph survived LSH + verification, so the
+    * cluster frame is tiny relative to the corpus; cluster labels and
+    * sizes broadcast onto a single scan of `docs` — the corpus never
+    * shuffles (the [[resolveDuplicates]] posture; the only wide work is
+    * [[dupClusters]]' equi-joins over the pair set). */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id",
+                       scale: Long = 1000000L): DataFrame = {
+    val clusters = dupClusters(pairs)
+    val member = clusters
+      .join(clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size")), Seq("cluster_id"))
+      .select(col("doc_id").as("_sd_id"), col("cluster_id"), col("cluster_size"))
+    docs.select(col(idCol))
+      .join(broadcast(member), col(idCol) === col("_sd_id"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol).cast("long")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_ppm", expr(s"$scale div cluster_size"))
+  }
+
   /** C4's line-level quality pass (Raffel et al. 2020, "Exploring the
     * Limits of Transfer Learning with a Unified Text-to-Text
     * Transformer", §2.2 — the cleaning that turned Common Crawl into C4):

@@ -351,6 +351,21 @@ class CurateSpec extends SparkTestBase {
     assert(got2 == Set((2L, 50L), (5L, 99L), (6L, 1L)))
   }
 
+  test("softDedupWeights: 1/cluster_size ppm weights, singletons at full weight") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // cluster {1,2,3} (chain), cluster {4,5}, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Curate.softDedupWeights(docs, pairs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (4L, 4L, 2L, 500000L), (5L, 4L, 2L, 500000L),
+      (6L, 6L, 1L, 1000000L)))
+    // total weight of a cluster never exceeds scale (the over-count is
+    // removed, not amplified): 3 * 333333 <= 1000000
+    assert(got.groupBy(_._2).forall { case (_, m) => m.toList.map(_._4).sum <= 1000000L })
+  }
+
   test("capPerDomain: salted two-level top-k == the direct window, any bucket count") {
     import org.apache.spark.sql.expressions.Window
     // 3 domains: 40 rows (capped), 7 rows (capped), 3 rows (all kept)
