@@ -862,6 +862,25 @@ object SparkEntry {
         lit("@lnk privacy @lnk terms @lnk copyright site"))
       Boilerplate.classifyBlocks(docs.select(col("doc_id"), page.as("text")))
     }),
+    // encoding-damage QA (TextAnalysis.encodingReport): replacement
+    // chars, mojibake artifacts (UTF-8 re-read in a legacy codepage),
+    // and control-char spill, counted by exact substring arithmetic;
+    // damage planted in-plan per id class so all three signals and all
+    // three verdicts occur, and the oracle replays every count
+    "q139_encoding_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" cafÃ© naÃ¯ve seÃ±or")))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" bad�char�")))
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" ctl\u0007here")))
+        .when(col("doc_id") % 7 === 4,
+          concat(col("text"),
+            lit(" â€œquoteâ€” and â€™s")))
+        .otherwise(col("text"))
+      TextAnalysis.encodingReport(docs.select(col("doc_id"), t.as("text")))
+    }),
     // model-based quality scoring (QualityModel, FineWeb-Edu shape): a
     // labeled fixture is synthesized in-plan (40% of docs get a grade-5
     // or grade-0 marker suffix), the integer smoothed-mean-label weight
@@ -1999,6 +2018,33 @@ object SparkEntry {
       ("WITH " + ahashPairsCte + """
         |SELECT ia asset_a, ib2 asset_b, CAST(d AS BIGINT) hamming
         |FROM hm WHERE d <= 3""".stripMargin),
+    // q139 oracle note: DuckDB's parser rejects raw control bytes inside
+    // string literals, so the control-char class and the planted BEL are
+    // built with chr() at runtime (probe-verified incl. chr(0) in an RE2
+    // class); the mojibake artifacts and U+FFFD are plain literals
+    "q139_encoding_report" ->
+      """WITH x AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 7 = 1 THEN text || ' cafÃ© naÃ¯ve seÃ±or'
+        |    WHEN doc_id % 7 = 2 THEN text || ' bad�char�'
+        |    WHEN doc_id % 7 = 3 THEN text || ' ctl' || chr(7) || 'here'
+        |    WHEN doc_id % 7 = 4 THEN text || ' â€œquoteâ€” and â€™s'
+        |    ELSE text END t FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(length(t) - length(replace(t, '�', '')) AS BIGINT) n_repl,
+        |    CAST((length(t) - length(replace(t, 'Ã©', ''))) // 2
+        |       + (length(t) - length(replace(t, 'Ã¯', ''))) // 2
+        |       + (length(t) - length(replace(t, 'Ã±', ''))) // 2
+        |       + (length(t) - length(replace(t, 'â€™', ''))) // 3
+        |       + (length(t) - length(replace(t, 'â€œ', ''))) // 3
+        |       + (length(t) - length(replace(t, 'â€”', ''))) // 3 AS BIGINT) n_moji,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[' || chr(0) || '-' || chr(8) || chr(11) || chr(12) ||
+        |      chr(14) || '-' || chr(31) || chr(127) || ']', '', 'g')) AS BIGINT) n_ctrl
+        |  FROM x)
+        |SELECT doc_id, n_repl, n_moji, n_ctrl,
+        |  CASE WHEN n_repl > 0 OR n_ctrl > 0 THEN 'damaged'
+        |       WHEN n_moji > 0 THEN 'suspect' ELSE 'clean' END verdict
+        |FROM c""".stripMargin,
     "q137_boilerplate_blocks" ->
       """WITH x AS (SELECT doc_id,
         |    '@lnk home @lnk about @lnk contact nav menu' || chr(10) || chr(10) ||

@@ -434,4 +434,51 @@ object TextAnalysis {
         reassemble(col("tp")).as("targets"),
         sum(when(col("st"), 1L).otherwise(0L)).as("n_spans"))
   }
+
+  /** Representative UTF-8-decoded-as-Latin-1/Win-1252 artifact
+    * sequences — what "café" becomes when its UTF-8 bytes are re-read
+    * in a single-byte codepage ("cafÃ©"), plus the smart-quote/dash
+    * forms Win-1252 text grows when mis-decoded. An extensible table,
+    * not an exhaustive one: each entry is counted by exact substring
+    * arithmetic so the scan stays engine-replayable. */
+  val MojibakeArtifacts: Seq[String] =
+    Seq("Ã©", "Ã¯", "Ã±", // Ã© Ã¯ Ã±
+      "â€™", "â€œ", "â€”") // â€™ â€œ â€”
+
+  // control chars except \t \n \r, plus DEL — bytes that never belong
+  // in decoded prose and mark binary spill or encoding damage
+  private val CtrlClass =
+    "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]"
+
+  /** Encoding-damage report — the mojibake/QA gate a web corpus runs
+    * before any text filter (a mis-decoded document poisons token
+    * statistics, language ID, and dedup shingles alike; CCNet/C4 both
+    * assume clean UTF-8 upstream). Three integer signals per doc, all
+    * exact substring/length arithmetic (the replace-and-measure trick —
+    * no regex dialect dependence for the artifact counts):
+    *
+    *   - n_repl: U+FFFD replacement characters (a decoder already gave
+    *     up here),
+    *   - n_moji: [[MojibakeArtifacts]] occurrences (double-encoding
+    *     damage: UTF-8 bytes re-read in a legacy codepage),
+    *   - n_ctrl: control characters outside \t\n\r (binary spill),
+    *
+    * and a verdict: `damaged` (any replacement/control evidence —
+    * unrecoverable), `suspect` (mojibake only — mechanically repairable
+    * by re-encoding), else `clean`. Pure scan-side projection: zero
+    * shuffles, zero joins. */
+  def encodingReport(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def subCount(s: String): Column =
+      ((length(t) - length(replace(t, lit(s), lit("")))) / lit(s.length)).cast("long")
+    val nRepl = subCount("�")
+    val nMoji = MojibakeArtifacts.map(subCount).reduce(_ + _)
+    val nCtrl = (length(t) - length(regexp_replace(t, CtrlClass, ""))).cast("long")
+    docs.select(col(idCol), nRepl.as("n_repl"), nMoji.as("n_moji"), nCtrl.as("n_ctrl"))
+      .withColumn("verdict",
+        when(col("n_repl") > 0 || col("n_ctrl") > 0, "damaged")
+          .when(col("n_moji") > 0, "suspect")
+          .otherwise("clean"))
+  }
 }

@@ -280,4 +280,24 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
     assert(again == mid)
   }
+
+  test("encodingReport: each signal isolated, verdict precedence, clean text untouched") {
+    val docs = Seq(
+      (1L, "perfectly clean ascii prose here"),
+      (2L, "two bad�chars� here"),            // damaged via U+FFFD
+      (3L, "bell and esc chars"),           // damaged via ctrl
+      (4L, "tab\tand\nnewline\rare fine"),              // \t\n\r NOT ctrl
+      (5L, "cafÃ© naÃ¯ve seÃ±or â€™ â€œ â€”"),          // all six artifacts
+      (6L, "moji Ã© plus ctrl too")                 // damaged beats suspect
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.encodingReport(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(m(1L) == ((0L, 0L, 0L, "clean")))
+    assert(m(2L) == ((2L, 0L, 0L, "damaged")))
+    assert(m(3L) == ((0L, 0L, 2L, "damaged")))
+    assert(m(4L) == ((0L, 0L, 0L, "clean")))
+    assert(m(5L) == ((0L, 6L, 0L, "suspect")))
+    assert(m(6L) == ((0L, 1L, 1L, "damaged")))
+  }
 }
