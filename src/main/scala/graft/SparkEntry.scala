@@ -881,6 +881,31 @@ object SparkEntry {
         .otherwise(col("text"))
       TextAnalysis.encodingReport(docs.select(col("doc_id"), t.as("text")))
     }),
+    // cross-modal (image, caption) pair dedup (Dedup.crossModalPairs,
+    // the LAION rule): q133's verified image pairs survive only if the
+    // captions ALSO near-duplicate — twins inherit their seed's caption
+    // with a small suffix (high jaccard, confirmed) except every third
+    // metadata twin, which keeps its OWN unrelated text (low jaccard,
+    // rejected: same image, different supervision — must survive); the
+    // oracle chains the q133 CTE with the caption join and exact
+    // distinct-2-gram jaccard
+    "q140_crossmodal_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val assets = Multimodal.syntheticDhashAssets(docs.select(col("doc_id")))
+      val seedOf = when(col("doc_id") % 10 === 3 && col("doc_id") >= 13, col("doc_id") - 3)
+        .when(col("doc_id") % 10 === 6 && col("doc_id") >= 16, col("doc_id") - 6)
+        .otherwise(col("doc_id"))
+      val capSrc = when(col("doc_id") % 10 === 6 && col("doc_id") % 3 === 0, col("doc_id"))
+        .otherwise(seedOf)
+      val suffix = when(col("doc_id") % 10 === 3 && col("doc_id") >= 13, lit(" thumbnail"))
+        .when(col("doc_id") % 10 === 6 && col("doc_id") >= 16 &&
+          col("doc_id") % 3 =!= 0, lit(" alt"))
+        .otherwise(lit(""))
+      val captions = docs.select(col("doc_id"), capSrc.as("_src"), suffix.as("_suf"))
+        .join(docs.select(col("doc_id").as("_src"), col("text")), Seq("_src"))
+        .select(col("doc_id").as("asset_id"), concat(col("text"), col("_suf")).as("caption"))
+      Dedup.crossModalPairs(Dedup.dhashPairs(assets), captions)
+    }),
     // model-based quality scoring (QualityModel, FineWeb-Edu shape): a
     // labeled fixture is synthesized in-plan (40% of docs get a grade-5
     // or grade-0 marker suffix), the integer smoothed-mean-label weight
@@ -2018,6 +2043,29 @@ object SparkEntry {
       ("WITH " + ahashPairsCte + """
         |SELECT ia asset_a, ib2 asset_b, CAST(d AS BIGINT) hamming
         |FROM hm WHERE d <= 3""".stripMargin),
+    "q140_crossmodal_dedup" ->
+      ("WITH " + dhashPairsCte + """,
+        |cap AS (SELECT i.id, d.text || CASE
+        |    WHEN i.id % 10 = 3 AND i.id >= 13 THEN ' thumbnail'
+        |    WHEN i.id % 10 = 6 AND i.id >= 16 AND i.id % 3 <> 0 THEN ' alt'
+        |    ELSE '' END caption
+        |  FROM (SELECT doc_id id FROM documents) i JOIN documents d
+        |    ON d.doc_id = CASE
+        |      WHEN i.id % 10 = 6 AND i.id % 3 = 0 THEN i.id
+        |      WHEN i.id % 10 = 3 AND i.id >= 13 THEN i.id - 3
+        |      WHEN i.id % 10 = 6 AND i.id >= 16 THEN i.id - 6
+        |      ELSE i.id END),
+        |gs AS (SELECT id, list_distinct(
+        |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) sh
+        |  FROM (SELECT id, list_filter(
+        |      regexp_split_to_array(lower(caption), '\s+'), t -> t <> '') tk FROM cap))
+        |SELECT h.ia asset_a, h.ib2 asset_b, CAST(h.d AS BIGINT) hamming,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) n_inter,
+        |  CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) n_union
+        |FROM hm h JOIN gs a ON a.id = h.ia JOIN gs b ON b.id = h.ib2
+        |WHERE h.d <= 3 AND len(list_intersect(a.sh, b.sh)) * 100
+        |  >= 50 * len(list_distinct(a.sh || b.sh))""".stripMargin),
     // q139 oracle note: DuckDB's parser rejects raw control bytes inside
     // string literals, so the control-char class and the planted BEL are
     // built with chr() at runtime (probe-verified incl. chr(0) in an RE2

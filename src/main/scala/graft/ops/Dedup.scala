@@ -421,6 +421,42 @@ object Dedup {
     assets.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Cross-modal pair dedup — the LAION-style rule for (image, caption)
+    * training pairs: a pair of SAMPLES is a duplicate only when BOTH the
+    * media match (a verified perceptual pair from [[dhashPairs]] /
+    * [[ahashPairs]]) AND the captions near-duplicate (n-gram Jaccard >=
+    * `minJaccardPct`). The same image under a genuinely different
+    * caption is different supervision and must survive — dropping it
+    * would discard label diversity, which is why image-only dedup is
+    * wrong for paired data.
+    *
+    * Order of work is the scale-correct one: media pairing first (the
+    * banded-Hamming pipeline, sub-quadratic), then caption verification
+    * only on the surviving pair set — two equi-joins that fetch caption
+    * shingles for PAIRED assets only, never an all-pairs text compare.
+    * Jaccard compares by integer cross-multiplication over distinct
+    * n-gram string sets ([[graft.expr.ShingleStrings]], codegen'd).
+    *
+    * Output: (asset_a, asset_b, hamming, n_inter, n_union) for confirmed
+    * duplicates only. */
+  def crossModalPairs(mediaPairs: DataFrame, captions: DataFrame,
+                      minJaccardPct: Int = 50, n: Int = 2,
+                      idCol: String = "asset_id",
+                      capCol: String = "caption"): DataFrame = {
+    require(minJaccardPct >= 0 && minJaccardPct <= 100, "minJaccardPct in [0,100]")
+    val grams = captions.select(col(idCol).as("_cm_id"),
+      array_distinct(Exprs.shingleStrings(col(capCol), n)).as("_cm_sh"))
+    mediaPairs
+      .join(grams.select(col("_cm_id").as("_cm_a"), col("_cm_sh").as("_sh_a")),
+        col("asset_a") === col("_cm_a"))
+      .join(grams.select(col("_cm_id").as("_cm_b"), col("_cm_sh").as("_sh_b")),
+        col("asset_b") === col("_cm_b"))
+      .select(col("asset_a"), col("asset_b"), col("hamming"),
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long").as("n_inter"),
+        size(array_union(col("_sh_a"), col("_sh_b"))).cast("long").as("n_union"))
+      .where(col("n_inter") * 100 >= lit(minJaccardPct.toLong) * col("n_union"))
+  }
+
   /** Incremental perceptual image dedup: a NEW batch's signature frame
     * `(asset_id, sig)` against an EXISTING corpus signature index with
     * the same columns — the [[incrementalDuplicates]] shape for images.

@@ -141,6 +141,26 @@ class DedupSpec extends SparkTestBase {
     assert(ham >= 0 && ham <= 8)
   }
 
+  test("crossModalPairs: media pair survives only when captions also near-duplicate") {
+    val mediaPairs = Seq((1L, 2L, 0L), (1L, 3L, 0L), (4L, 5L, 1L))
+      .toDF("asset_a", "asset_b", "hamming")
+    val prose = "a red bird sits on the old oak branch near the river bank today"
+    val captions = Seq(
+      (1L, prose),
+      (2L, prose + " thumbnail"),              // near-dup caption -> confirmed
+      (3L, "completely different words about quantum chromodynamics lattice"),
+      (4L, "tiny"), (5L, "tiny")               // short-caption fallback: identical
+    ).toDF("asset_id", "caption")
+    val got = Dedup.crossModalPairs(mediaPairs, captions)
+      .select("asset_a", "asset_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (4L, 5L)), s"got $got")
+    // threshold is exact integer cross-multiplication: 100% bar keeps only
+    // the identical-caption pair
+    val strict = Dedup.crossModalPairs(mediaPairs, captions, minJaccardPct = 100)
+      .select("asset_a", "asset_b").as[(Long, Long)].collect().toSet
+    assert(strict == Set((4L, 5L)))
+  }
+
   test("embeddingDuplicates: near-identical vectors pair, orthogonal do not") {
     val v1 = Array.tabulate(16)(i => math.cos(i).toFloat)
     val v2 = v1.clone(); v2(0) = v2(0) + 0.01f       // ~same direction
