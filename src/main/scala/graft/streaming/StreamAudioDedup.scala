@@ -4,27 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.ops.Dedup
 
-/** Streaming perceptual IMAGE dedup: the ingest-side dHash gate a
-  * multimodal pipeline runs before frames/images land in the training
-  * corpus — the image twin of [[StreamNearDedup]] (text MinHash). The
-  * batch/index/replay discipline lives in [[StreamMediaDedup]] (shared
-  * with [[StreamAudioDedup]] — one engine, the modality fronts pass
-  * their scan-side hash); this front contributes dHash
-  * ([[graft.expr.Exprs.dhash64]]) and [[Dedup.dhashSurvivors]].
+/** Streaming perceptual AUDIO dedup: the ingest-side gate for audio
+  * clips — the audio twin of [[StreamImageDedup]], catching the
+  * volume-scaled and container-rewrapped copies exact byte dedup cannot
+  * see before they land in the training corpus. The batch/index/replay
+  * discipline lives in [[StreamMediaDedup]]; this front contributes the
+  * energy-envelope hash ([[graft.expr.Exprs.ahash64]]) and
+  * [[Dedup.ahashSurvivors]].
   *
-  * Non-image assets (garbage, audio, undecodable, sub-9x8) hash to NULL
-  * and PASS THROUGH to the corpus unexamined — this gate dedups images,
+  * Non-audio assets (garbage, images, sub-65-sample clips) hash to NULL
+  * and PASS THROUGH to the corpus unexamined — this gate dedups audio,
   * media classification/garbage policy belongs upstream.
   */
-object StreamImageDedup {
+object StreamAudioDedup {
 
   /** One micro-batch of the filter; exposed for direct testing. */
   def dedupBatch(batch: DataFrame, batchId: Long, corpusDir: String,
                  indexDir: String, maxHamming: Int = 3, blocks: Int = 4,
                  maxBucket: Int = 1000): Unit =
     StreamMediaDedup.dedupBatch(batch, batchId, corpusDir, indexDir,
-      graft.expr.Exprs.dhash64,
-      b => Dedup.dhashSurvivors(b, maxHamming, blocks, maxBucket),
+      graft.expr.Exprs.ahash64,
+      b => Dedup.ahashSurvivors(b, maxHamming, blocks, maxBucket),
       maxHamming, blocks, maxBucket)
 
   /** Start the resident filter over a streaming (asset_id, media) frame. */
@@ -32,8 +32,8 @@ object StreamImageDedup {
             checkpointDir: String, maxHamming: Int = 3, blocks: Int = 4,
             maxBucket: Int = 1000): StreamingQuery =
     StreamMediaDedup.start(assets, corpusDir, indexDir, checkpointDir,
-      graft.expr.Exprs.dhash64,
-      b => Dedup.dhashSurvivors(b, maxHamming, blocks, maxBucket),
+      graft.expr.Exprs.ahash64,
+      b => Dedup.ahashSurvivors(b, maxHamming, blocks, maxBucket),
       maxHamming, blocks, maxBucket)
 
   /** Read the admitted corpus (internal batch column dropped). */
