@@ -845,6 +845,20 @@ object SparkEntry {
     "q136_audio_ahash_pairs" -> ((s, d) =>
       Dedup.ahashPairs(Multimodal.syntheticAhashAssets(
         Tables.documents(s, d).select(col("doc_id"))))),
+    // perceptual VIDEO dedup (Dedup.videoPairs): in-plan synthesized
+    // GVID containers with planted trimmed+brightness-shifted and
+    // PNG-re-muxed duplicate twins; scan-side signature = consecutive
+    // 2-frame shingles over per-frame dHash fingerprints, paired by the
+    // inverted-index jaccard discipline. The oracle replays the ENTIRE
+    // integer pipeline — per-frame pixel formula -> luma -> grid ->
+    // gradient bits -> band fold -> temporal shingles -> df-capped
+    // postings -> exact jaccard — so container parse, per-frame hashing,
+    // the fingerprint fold, shingling, and verification are all
+    // cross-engine hash-gated (the q133/q136 discipline on the temporal
+    // modality)
+    "q141_video_dedup_pairs" -> ((s, d) =>
+      Dedup.videoPairs(Multimodal.syntheticVideoAssets(
+        Tables.documents(s, d).select(col("doc_id"))))),
     // jusText-style boilerplate block classification (Boilerplate
     // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
     // in-plan — nav bar, stopword-boosted body, short date stamp, raw
@@ -1319,6 +1333,62 @@ object SparkEntry {
       |  FROM cand c JOIN bv x ON x.id = c.ia
       |    JOIN bv y ON y.id = c.ib2 AND y.band = x.band
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The q141 video pipeline as a DuckDB CTE chain: per-frame pixel
+    * formula -> luma -> 9x8 grid -> gradient-sign bits -> 16-bit band
+    * fold to a bounded fingerprint -> ordered 2-frame shingles ->
+    * df-capped postings -> exact jaccard pairs in `jac`. The per-frame
+    * stages are [[dhashPairsCte]]'s keyed by (id, f); the pairing stages
+    * are the q29 inverted-index discipline. */
+  private val videoPairsCte: String =
+    """ids AS (SELECT doc_id id FROM documents),
+      |cls AS (SELECT id,
+      |    CASE WHEN id % 10 = 3 AND id >= 13 THEN id - 3
+      |         WHEN id % 10 = 6 AND id >= 16 THEN id - 6
+      |         ELSE id END seed,
+      |    CASE WHEN id % 10 = 3 AND id >= 13 THEN 20 ELSE 0 END sh,
+      |    CASE WHEN id % 10 = 3 AND id >= 13 THEN 1 ELSE 0 END tr
+      |  FROM ids WHERE id % 97 <> 0),
+      |geo AS (SELECT id, sh, tr, m, m % 10 + 12 w, (m*3) % 8 + 9 h,
+      |    m % 5 + 4 nf
+      |  FROM (SELECT id, sh, tr, (seed * 2654435761) % 1000003 m FROM cls)),
+      |frm AS (SELECT id, sh, w, h, f, (m + f*7919) % 1000003 mf
+      |  FROM (SELECT id, sh, m, w, h, unnest(range(tr, nf)) f FROM geo)),
+      |px AS (SELECT id, sh, mf, w, h, f, unnest(range(w)) x FROM frm),
+      |pxy AS (SELECT id, sh, mf, w, h, f, x, unnest(range(h)) y FROM px),
+      |gr AS (SELECT id, f, w, h, x, y,
+      |    (299*((x*(7 + mf % 13) + y*(13 + mf % 29) + mf) % 201 + sh)
+      |   + 587*((x*(3 + mf % 17) + y*(11 + mf % 31) + 2*mf) % 201 + sh)
+      |   + 114*((x*(5 + mf % 19) + y*(17 + mf % 37) + 3*mf) % 201 + sh)) // 1000 g
+      |  FROM pxy),
+      |grid AS (SELECT id, f, (x*9)//w cx, (y*8)//h cy, SUM(g)//COUNT(*) v
+      |  FROM gr GROUP BY 1, 2, 3, 4),
+      |bits AS (SELECT a.id, a.f, a.cy*8 + a.cx bt
+      |  FROM grid a JOIN grid b ON a.id = b.id AND a.f = b.f
+      |    AND a.cy = b.cy AND b.cx = a.cx + 1
+      |  WHERE b.v > a.v),
+      |fb AS (SELECT id, f, unnest(range(4)) band FROM frm),
+      |bv AS (SELECT fb.id, fb.f, fb.band,
+      |    COALESCE(SUM(CAST(1 AS BIGINT) << CAST(bt % 16 AS INT)), 0) v
+      |  FROM fb LEFT JOIN bits ON bits.id = fb.id AND bits.f = fb.f
+      |    AND bits.bt // 16 = fb.band
+      |  GROUP BY 1, 2, 3),
+      |fp AS (SELECT id, f, list_reduce(list(v ORDER BY band),
+      |    (a, b) -> (a*1315423911 + b) % 1000000007) fp
+      |  FROM bv GROUP BY id, f),
+      |shl AS (SELECT id, list_distinct(list_transform(range(1, len(fps)),
+      |    i -> (fps[i]*31 + fps[i+1]) % 1000000007)) sps
+      |  FROM (SELECT id, list(fp ORDER BY f) fps FROM fp GROUP BY id)
+      |  WHERE len(fps) >= 2),
+      |post AS (SELECT id, unnest(sps) s FROM shl),
+      |cold AS (SELECT * FROM post WHERE s IN (
+      |    SELECT s FROM post GROUP BY s HAVING COUNT(*) <= 1000)),
+      |sz AS (SELECT id, len(sps) sz FROM shl),
+      |pr AS (SELECT a.id ia, b.id ib2, COUNT(*) c FROM cold a JOIN cold b
+      |  ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+      |jac AS (SELECT ia, ib2, c,
+      |    CAST(c AS DOUBLE) / (x.sz + y.sz - c) j
+      |  FROM pr JOIN sz x ON x.id = pr.ia JOIN sz y ON y.id = pr.ib2)""".stripMargin
 
   private val dedupResolveOracleSql: String =
     dupClustersCte + ",\n" +
@@ -2043,6 +2113,11 @@ object SparkEntry {
       ("WITH " + ahashPairsCte + """
         |SELECT ia asset_a, ib2 asset_b, CAST(d AS BIGINT) hamming
         |FROM hm WHERE d <= 3""".stripMargin),
+    "q141_video_dedup_pairs" ->
+      ("WITH " + videoPairsCte + """
+        |SELECT ia video_a, ib2 video_b, CAST(c AS BIGINT) n_shared,
+        |  j jaccard
+        |FROM jac WHERE j >= 0.5""".stripMargin),
     "q140_crossmodal_dedup" ->
       ("WITH " + dhashPairsCte + """,
         |cap AS (SELECT i.id, d.text || CASE

@@ -62,6 +62,9 @@ object Exprs {
   def ahash64(media: Column): Column =
     ExpressionUtils.column(AHash64(ExpressionUtils.expression(media)))
 
+  def videoShingles(media: Column, n: Int = 2): Column =
+    ExpressionUtils.column(VideoShingles(ExpressionUtils.expression(media), n))
+
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 

@@ -426,4 +426,124 @@ object Codecs {
       }
       h
     }
+
+  // ------------------------------------------------------------- video
+
+  /** Minimal frame-sequence container ("GVID"): magic + u32 frame count +
+    * per-frame (u32 length, still-image payload). Each frame is any codec
+    * [[decodePixels]] understands (PPM/PNG/JPEG/...), so a container-level
+    * re-mux — the same pixels re-encoded frame-by-frame in a different
+    * still codec — is representable, which is exactly the duplicate class
+    * video byte-hashing cannot see. The real-codec boundary is unchanged:
+    * MP4/H.264 stay honest stubs (external codec libs), the same waiver as
+    * ops/Multimodal.scala:19. */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(4 + _.length).sum
+    val out = new Array[Byte](total)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    def be32(o: Int, v: Int): Unit = {
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+    }
+    be32(4, frames.length)
+    var o = 8
+    frames.foreach { f =>
+      be32(o, f.length)
+      System.arraycopy(f, 0, out, o + 4, f.length)
+      o += 4 + f.length
+    }
+    out
+  }
+
+  /** Frame payload slices of a GVID container; None on wrong magic, a
+    * frame running past the buffer, or trailing bytes (strict: a media
+    * table always contains garbage and the decode stage must skip). */
+  def videoFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (bytes.length < 8 || bytes(0) != 'G' || bytes(1) != 'V' ||
+      bytes(2) != 'I' || bytes(3) != 'D') return None
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    val n = be32(4)
+    if (n < 1 || n > 100000) return None
+    val out = new Array[Array[Byte]](n.toInt)
+    var o = 8L
+    var i = 0
+    while (i < n) {
+      if (o + 4 > bytes.length) return None
+      val len = be32(o.toInt)
+      if (o + 4 + len > bytes.length) return None
+      out(i) = java.util.Arrays.copyOfRange(bytes, (o + 4).toInt, (o + 4 + len).toInt)
+      o += 4 + len
+      i += 1
+    }
+    if (o != bytes.length) return None
+    Some(out)
+  }
+
+  /** Per-frame dHash sequence of a video, in frame order; None if the
+    * container is malformed or ANY frame fails to decode/hash (a video
+    * with undecodable frames carries no trustworthy temporal evidence —
+    * the no-evidence drop rule, not a silent partial hash). */
+  def videoFrameHashes(bytes: Array[Byte]): Option[Array[Long]] =
+    videoFrames(bytes).flatMap { fs =>
+      val out = new Array[Long](fs.length)
+      var i = 0
+      while (i < fs.length) {
+        dhash64(fs(i)) match {
+          case Some(h) => out(i) = h
+          case None    => return None
+        }
+        i += 1
+      }
+      Some(out)
+    }
+
+  /** Bounded non-negative fingerprint of one frame's 64-bit dHash: fold
+    * the four 16-bit bands (low band first — the banded-bucket split the
+    * Hamming machinery already uses) through (acc*1315423911 + b) mod
+    * 1000000007, seeding with band 0. All intermediates < 1.4e18, exact
+    * in any engine's 64-bit integers — the q133 replayability discipline
+    * (a raw dHash can set bit 63 and go negative, which SQL engines trap
+    * or sign-extend differently; this fold never leaves [0, 1e9+7)). */
+  def frameFingerprint(h: Long): Long = {
+    var acc = h & 0xffffL
+    var b = 1
+    while (b < 4) {
+      acc = (acc * 1315423911L + ((h >>> (16 * b)) & 0xffffL)) % 1000000007L
+      b += 1
+    }
+    acc
+  }
+
+  /** Distinct temporal shingle fingerprints of a video: consecutive
+    * `n`-gram windows over the per-frame fingerprints, folded with
+    * (acc*31 + fp) mod 1000000007, sorted ascending. Videos with fewer
+    * than `n` frames yield an empty array (no temporal evidence);
+    * non-videos/malformed containers yield None. Order-SENSITIVE by
+    * construction: a re-ordered cut shares frames but not shingles. */
+  def videoShingles(bytes: Array[Byte], n: Int): Option[Array[Long]] =
+    videoFrameHashes(bytes).map { hs =>
+      if (hs.length < n) Array.empty[Long]
+      else {
+        val fps = hs.map(frameFingerprint)
+        val seen = new java.util.TreeSet[java.lang.Long]()
+        var i = 0
+        while (i <= fps.length - n) {
+          var acc = fps(i)
+          var j = 1
+          while (j < n) {
+            acc = (acc * 31L + fps(i + j)) % 1000000007L
+            j += 1
+          }
+          seen.add(acc)
+          i += 1
+        }
+        val out = new Array[Long](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = it.next(); k += 1 }
+        out
+      }
+    }
 }

@@ -421,6 +421,68 @@ object Dedup {
     assets.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Perceptual VIDEO near-duplicate pairs — temporal copy detection,
+    * the third member of the perceptual family (image [[dhashPairs]],
+    * audio [[ahashPairs]]): each video's scan-side signature is the set
+    * of consecutive `n`-frame shingles over per-frame dHash fingerprints
+    * ([[graft.expr.VideoShingles]] — one pass, video bytes never leave
+    * the scan), and pairing is the [[ngramJaccardPairs]] inverted-index
+    * discipline over those shingles: explode, df-cap hot shingles
+    * (static intros/logo cards appearing across `maxDf`+ videos would
+    * emit df² pair rows), equi-join postings, exact jaccard from
+    * co-occurrence counts. No cartesian product, no per-pair alignment:
+    * the joins are all equi-keyed, so the plan scales to a cluster.
+    *
+    * What it catches that byte/exact-frame dedup cannot: trimmed clips
+    * (shingle sets overlap minus the cut windows), container re-muxes
+    * and lossless cross-codec re-encodes (identical pixels → identical
+    * frame hashes), and brightness-shifted copies (dHash gradient signs
+    * are shift-invariant). What it deliberately does NOT match:
+    * re-ordered cuts of the same frames — shingles are order-sensitive,
+    * and a recut is different supervision (the [[crossModalPairs]]
+    * argument, temporal edition).
+    *
+    * Output: (video_a, video_b, n_shared, jaccard), video_a < video_b,
+    * jaccard >= `minJaccard` — feeds [[Curate.dupClusters]] /
+    * [[Curate.resolveDuplicates]] exactly like the other pair families. */
+  def videoPairs(assets: DataFrame, n: Int = 2, minJaccard: Double = 0.5,
+                 maxDf: Long = 1000L, idCol: String = "asset_id",
+                 mediaCol: String = "media"): DataFrame = {
+    val sh = assets
+      .select(col(idCol).as("video_id"),
+        Exprs.videoShingles(col(mediaCol), n).as("sh"))
+      .where(col("sh").isNotNull && size(col("sh")) > 0)
+      .persist() // reused by postings (twice) + sizes; ~8 B/frame vs the media
+    val sizes = sh.select(col("video_id"), size(col("sh")).as("sz"))
+    val postings = sh.select(col("video_id"), explode(col("sh")).as("s"))
+    val hot = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("s"))
+    val cold = postings.join(hot, Seq("s"), "left_anti")
+    val pairs = cold.as("l").join(cold.as("r"),
+        col("l.s") === col("r.s") && col("l.video_id") < col("r.video_id"))
+      .groupBy(col("l.video_id").as("video_a"), col("r.video_id").as("video_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("video_id", "video_a").withColumnRenamed("sz", "sz_a"), "video_a")
+      .join(sizes.withColumnRenamed("video_id", "video_b").withColumnRenamed("sz", "sz_b"), "video_b")
+      .select(col("video_a"), col("video_b"), col("n_shared"),
+        (col("n_shared").cast("double") / (col("sz_a") + col("sz_b") - col("n_shared"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+    materializeAndRelease(pairs, sh)
+  }
+
+  /** Dedup survivors under the video shingle signature — the
+    * [[dhashSurvivors]] rule (greedy representative = min id) over
+    * [[videoPairs]]. Assets that do not signature — garbage, stills,
+    * sub-`n`-frame clips — PASS THROUGH: this gate dedups videos, it
+    * does not classify media. */
+  def videoSurvivors(assets: DataFrame, n: Int = 2, minJaccard: Double = 0.5,
+                     maxDf: Long = 1000L, idCol: String = "asset_id",
+                     mediaCol: String = "media"): DataFrame = {
+    val dropIds = videoPairs(assets, n, minJaccard, maxDf, idCol, mediaCol)
+      .select(col("video_b").as(idCol)).distinct()
+    assets.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Cross-modal pair dedup — the LAION-style rule for (image, caption)
     * training pairs: a pair of SAMPLES is a duplicate only when BOTH the
     * media match (a verified perceptual pair from [[dhashPairs]] /

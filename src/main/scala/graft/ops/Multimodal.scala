@@ -374,6 +374,71 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic asset synthesis for the perceptual VIDEO-dedup oracle
+    * (q141) and the specs — the temporal member of the
+    * [[syntheticDhashAssets]] family: a corpus with planted duplicate
+    * classes whose detection is replayable by any engine from the pixel
+    * formula alone:
+    *
+    *   - id % 97 == 0: garbage bytes (no GVID magic → signature NULL,
+    *     drops out),
+    *   - id % 10 == 3 (id >= 13): TRIMMED + brightness-shifted copy of
+    *     seed id-3 — frames 1..nf-1 (the head frame cut) with every
+    *     channel +20. The +20 shifts each integer luma and block mean by
+    *     EXACTLY 20 (channel weights sum to 1000 — the q133 shift-twin
+    *     argument), so every gradient sign bit survives and each kept
+    *     frame hashes identically to the seed's; the shingle sets differ
+    *     only by the one cut window → jaccard (nf-2)/(nf-1) >= 2/3,
+    *   - id % 10 == 6 (id >= 16): RE-MUX twin of seed id-6 — the same
+    *     pixels with every frame re-encoded PNG instead of PPM (lossless
+    *     cross-codec, the video analog of q133's re-encode twin): every
+    *     container byte differs, every frame hash is identical →
+    *     jaccard 1, and seed/+3/+6 form a pair 3-clique,
+    *   - everything else: nf = m%5+4 frames of w×h (12..21 × 9..16)
+    *     pixels; frame f's pixels follow the q133 formula under the
+    *     per-frame seed mf = (m + f·7919) mod 1000003 (aperiodicity via
+    *     the multiplicative m-mix — the q133 fixture lesson; distinct
+    *     videos can collide on at most isolated FRAMES, never on a
+    *     2-frame shingle, and pairs are jaccard-verified regardless).
+    *
+    * Width/height/frame-count vary per video but are constant WITHIN one
+    * (real videos do not change raster mid-stream). */
+  def syntheticVideoAssets(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col("doc_id").cast("long"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes: Array[Byte] =
+            if (id % 97 == 0) s"GARBAGE-$id".getBytes("US-ASCII")
+            else {
+              val (seed, shift, fromFrame, fmt) =
+                if (id % 10 == 3 && id >= 13) (id - 3, 20, 1, "ppm")
+                else if (id % 10 == 6 && id >= 16) (id - 6, 0, 0, "png")
+                else (id, 0, 0, "ppm")
+              val m = (seed * 2654435761L) % 1000003L
+              val w = (m % 10 + 12).toInt
+              val h = ((m * 3) % 8 + 9).toInt
+              val nf = (m % 5 + 4).toInt
+              val frames = (fromFrame until nf).map { f =>
+                val mf = (m + f * 7919L) % 1000003L
+                val px = (x: Int, y: Int) => (
+                  ((x * (7 + mf % 13) + y * (13 + mf % 29) + mf) % 201 + shift).toInt,
+                  ((x * (3 + mf % 17) + y * (11 + mf % 31) + 2 * mf) % 201 + shift).toInt,
+                  ((x * (5 + mf % 19) + y * (17 + mf % 37) + 3 * mf) % 201 + shift).toInt)
+                if (fmt == "png") Codecs.encodeImageIO(w, h, "png", px)
+                else Codecs.encodePpm(w, h, px)
+              }
+              Codecs.encodeVideo(frames)
+            }
+          Row(id, bytes)
+        }
+      }(enc)
+  }
+
   /** Batched feature extraction over the binary payload — the mapInPandas
     * shape: iterate the partition in fixed-size batches (what Arrow record
     * batches are to a pandas UDF), run the "codec" per batch, emit rows.

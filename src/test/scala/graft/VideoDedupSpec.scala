@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Codecs, Dedup, Multimodal}
+import graft.expr.Exprs
+
+/** Perceptual video dedup: the GVID container contract, the pure
+  * fingerprint/shingle arithmetic on hand-computed fixtures, the
+  * invariances that make it a temporal DUPLICATE detector (trim, re-mux,
+  * brightness shift) and the order-sensitivity that keeps it from
+  * over-matching (a re-ordered cut is NOT a duplicate), the no-evidence
+  * null/empty rules, and the pair pipeline end-to-end on the planted
+  * q141 corpus.
+  */
+class VideoDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def framePx(seed: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 7 + y * 13 + seed) % 201).toInt,
+    ((x * 3 + y * 11 + 2 * seed) % 201).toInt,
+    ((x * 5 + y * 17 + 3 * seed) % 201).toInt)
+
+  private def vid(seeds: Long*): Array[Byte] =
+    Codecs.encodeVideo(seeds.map(s => Codecs.encodePpm(18, 12, framePx(s))))
+
+  test("GVID container: roundtrip, strict bounds, garbage") {
+    val f = Seq(Codecs.encodePpm(10, 9, framePx(1)), Codecs.encodePpm(10, 9, framePx(2)))
+    val enc = Codecs.encodeVideo(f)
+    val dec = Codecs.videoFrames(enc).get
+    assert(dec.length == 2 && dec(0).sameElements(f(0)) && dec(1).sameElements(f(1)))
+    assert(Codecs.videoFrames("GARBAGE".getBytes).isEmpty)
+    assert(Codecs.videoFrames(enc.dropRight(1)).isEmpty)      // truncated frame
+    assert(Codecs.videoFrames(enc :+ 0.toByte).isEmpty)       // trailing bytes
+    val zero = Codecs.encodeVideo(Seq.empty)
+    assert(Codecs.videoFrames(zero).isEmpty)                  // count < 1
+  }
+
+  test("frameFingerprint: band fold pinned by hand") {
+    // hash with band values b0=0x0001, b1=0x0002, b2=0x0000, b3=0x8000
+    val h = 0x8000L << 48 | 0x0002L << 16 | 0x0001L
+    val K = 1315423911L; val P = 1000000007L
+    var exp = 1L
+    exp = (exp * K + 2L) % P
+    exp = (exp * K + 0L) % P
+    exp = (exp * K + 0x8000L) % P
+    assert(Codecs.frameFingerprint(h) == exp)
+    // bit 63 set: the raw hash is negative, the fingerprint must not be
+    assert(Codecs.frameFingerprint(-1L) >= 0)
+  }
+
+  test("videoShingles: consecutive 2-gram folds, distinct + sorted") {
+    val v = vid(1, 2, 3)
+    val hs = Codecs.videoFrameHashes(v).get
+    assert(hs.length == 3)
+    val fps = hs.map(Codecs.frameFingerprint)
+    val P = 1000000007L
+    val exp = Set((fps(0) * 31 + fps(1)) % P, (fps(1) * 31 + fps(2)) % P)
+    val got = Codecs.videoShingles(v, 2).get
+    assert(got.toSet == exp && got.toList == got.toList.sorted)
+  }
+
+  test("no-evidence rules: short video empty, bad frame/garbage null") {
+    assert(Codecs.videoShingles(vid(7), 2).get.isEmpty)        // 1 frame < n
+    assert(Codecs.videoShingles("junk".getBytes, 2).isEmpty)   // not a video
+    // a video with one undecodable frame hashes null, not partially
+    val bad = Codecs.encodeVideo(Seq(
+      Codecs.encodePpm(18, 12, framePx(1)), "notanimage".getBytes))
+    assert(Codecs.videoShingles(bad, 2).isEmpty)
+    // sub-grid frame (below 9x8): no gradient evidence -> null
+    val tiny = Codecs.encodeVideo(Seq(
+      Codecs.encodePpm(18, 12, framePx(1)), Codecs.encodePpm(4, 4, framePx(2))))
+    assert(Codecs.videoShingles(tiny, 2).isEmpty)
+  }
+
+  test("invariances: trim keeps most shingles; re-mux and brightness shift keep all") {
+    val full = vid(1, 2, 3, 4, 5)
+    val trimmed = vid(2, 3, 4, 5)
+    val sf = Codecs.videoShingles(full, 2).get.toSet
+    val st = Codecs.videoShingles(trimmed, 2).get.toSet
+    assert(st.subsetOf(sf) && (sf -- st).size == 1)
+    // PNG re-mux: same pixels, different container bytes, same shingles
+    val remux = Codecs.encodeVideo(
+      Seq(1L, 2L, 3L, 4L, 5L).map(s => Codecs.encodeImageIO(18, 12, "png", framePx(s))))
+    assert(!remux.sameElements(full))
+    assert(Codecs.videoShingles(remux, 2).get.toSet == sf)
+    // +20 brightness shift on every channel: gradient signs survive exactly
+    val shifted = Codecs.encodeVideo(Seq(1L, 2L, 3L, 4L, 5L).map(s =>
+      Codecs.encodePpm(18, 12, (x, y) => {
+        val (r, g, b) = framePx(s)(x, y); (r + 20, g + 20, b + 20)
+      })))
+    assert(Codecs.videoShingles(shifted, 2).get.toSet == sf)
+  }
+
+  test("order sensitivity: a re-ordered cut of the same frames shares no shingles") {
+    val a = Codecs.videoShingles(vid(1, 2, 3, 4), 2).get.toSet
+    val b = Codecs.videoShingles(vid(4, 3, 2, 1), 2).get.toSet
+    assert(a.intersect(b).isEmpty)
+  }
+
+  test("videoPairs end-to-end on the planted corpus: twin cliques, garbage dropped") {
+    val ids = (0L until 120L).toDF("doc_id")
+    val assets = Multimodal.syntheticVideoAssets(ids)
+    val pairs = Dedup.videoPairs(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toList
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    // every planted relation present: seed+3 trim twin, seed+6 re-mux twin,
+    // and the 3-clique closure (trim vs re-mux of the same seed)
+    for (id <- 13L until 120L if id % 10 == 3 && id % 97 != 0 && (id - 3) % 97 != 0)
+      assert(got.contains((id - 3, id)), s"missing trim twin ($id)")
+    for (id <- 16L until 120L if id % 10 == 6 && id % 97 != 0 && (id - 6) % 97 != 0)
+      assert(got.contains((id - 6, id)), s"missing re-mux twin ($id)")
+    assert(got.contains((13L, 16L)), "missing 3-clique closure pair")
+    // re-mux twins are exact: jaccard 1.0
+    pairs.filter(p => p._2 - p._1 == 6).foreach(p => assert(p._3 == 1.0))
+    // trim twins: (nf-2)/(nf-1) >= 2/3 but < 1
+    pairs.filter(p => p._2 - p._1 == 3).foreach(p =>
+      assert(p._3 >= 2.0 / 3 - 1e-9 && p._3 < 1.0))
+    // garbage ids (0, 97) never appear
+    assert(pairs.forall(p => p._1 % 97 != 0 && p._2 % 97 != 0))
+  }
+
+  test("videoSurvivors: greedy min-id representative; non-videos pass through") {
+    val ids = (0L until 60L).toDF("doc_id")
+    val assets = Multimodal.syntheticVideoAssets(ids)
+    val surv = Dedup.videoSurvivors(assets).select("asset_id")
+      .as[Long].collect().toSet
+    // twins dropped, seeds kept
+    for (id <- 13L until 60L if id % 10 == 3 && id % 97 != 0 && (id - 3) % 97 != 0)
+      assert(!surv.contains(id) && surv.contains(id - 3))
+    // garbage (non-video) passes through: this gate dedups videos only
+    assert(surv.contains(0L))
+  }
+
+  test("scan-side plan: signature computes in the scan stage, media never shuffles") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val assets = Multimodal.syntheticVideoAssets(ids)
+    val sigs = assets.select(col("asset_id"),
+      Exprs.videoShingles(col("media")).as("sh"))
+      .where(col("sh").isNotNull)
+    val plan = sigs.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"),
+      s"video signature must not shuffle media:\n$plan")
+  }
+}
