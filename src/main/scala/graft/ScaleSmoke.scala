@@ -363,6 +363,31 @@ object ScaleSmoke {
       s"planted image-dup recall broke: $foundPlanted/${plantedImg.size}")
     assert(zeroDist - foundPlanted <= n / 1000L,
       s"coincidental hamming-0 volume exploded: ${zeroDist - foundPlanted}")
+    assets.unpersist(false)
+    imgPairs.unpersist(false)
+    // --- perceptual video dedup at the same corpus size ---
+    // the q141 fixture at n videos (4-8 frames each): the same id-class
+    // twin rules as the image fixture (trim+shift at +3, PNG re-mux at
+    // +6), so the planted pair set is plantedImg verbatim. Trim twins
+    // must pair at jaccard (nf-2)/(nf-1) >= 2/3, re-mux twins at 1.0;
+    // tau=0.5 filters the isolated-frame coincidences the quadratic
+    // frame mix still allows (never a shared 2-frame shingle, see the
+    // syntheticVideoAssets scale notes).
+    val vidAssets = ops.Multimodal.syntheticVideoAssets(imgIds)
+      .repartition(32).persist()
+    vidAssets.count() // materialize encode outside the dedup timer
+    t0 = System.nanoTime()
+    val vidPairs = ops.Dedup.videoPairs(vidAssets).persist()
+    val nVidPairs = vidPairs.count()
+    val exactVid = vidPairs.where(col("jaccard") === 1.0).count()
+    val foundVid = plantedImg.toDF("video_a", "video_b")
+      .join(vidPairs, Seq("video_a", "video_b"), "left_semi").count()
+    println(f"videoPairs($n videos): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      s"$nVidPairs pairs ($foundVid/${plantedImg.size} planted recalled, $exactVid at jaccard 1.0)")
+    assert(foundVid == plantedImg.size,
+      s"planted video-dup recall broke: $foundVid/${plantedImg.size}")
+    assert(nVidPairs - foundVid <= n / 1000L,
+      s"coincidental video-pair volume exploded: ${nVidPairs - foundVid}")
     spark.stop()
   }
 }

@@ -859,6 +859,22 @@ object SparkEntry {
     "q141_video_dedup_pairs" -> ((s, d) =>
       Dedup.videoPairs(Multimodal.syntheticVideoAssets(
         Tables.documents(s, d).select(col("doc_id"))))),
+    // unigram-entropy quality gate (Quality.unigramEntropy, the
+    // RefinedWeb/Dolma signal): exact-integer floor-log2 surprisal over
+    // the per-doc token distribution, computed scan-side (zero shuffles);
+    // repetitive (40x one token) and doubled-text classes planted
+    // in-plan so every verdict occurs; the oracle replays token counts,
+    // the N-div-c ratios, length(bin())-1 log2s, and the permille
+    // normalization exactly
+    "q142_unigram_entropy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+          array_join(array_repeat(lit("spam"), 40), " "))
+        .when(pmod(col("doc_id"), lit(7)) === 3,
+          concat_ws(" ", col("text"), col("text")))
+        .otherwise(col("text"))
+      Quality.unigramEntropy(docs.select(col("doc_id"), planted.as("text")))
+    }),
     // jusText-style boilerplate block classification (Boilerplate
     // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
     // in-plan — nav bar, stopword-boosted body, short date stamp, raw
@@ -1349,10 +1365,10 @@ object SparkEntry {
       |    CASE WHEN id % 10 = 3 AND id >= 13 THEN 20 ELSE 0 END sh,
       |    CASE WHEN id % 10 = 3 AND id >= 13 THEN 1 ELSE 0 END tr
       |  FROM ids WHERE id % 97 <> 0),
-      |geo AS (SELECT id, sh, tr, m, m % 10 + 12 w, (m*3) % 8 + 9 h,
-      |    m % 5 + 4 nf
-      |  FROM (SELECT id, sh, tr, (seed * 2654435761) % 1000003 m FROM cls)),
-      |frm AS (SELECT id, sh, w, h, f, (m + f*7919) % 1000003 mf
+      |geo AS (SELECT id, sh, tr, seed % 10 + 12 w, (seed*3) % 8 + 9 h,
+      |    seed % 5 + 4 nf, (seed * 2654435761) % 1000003 m
+      |  FROM cls),
+      |frm AS (SELECT id, sh, w, h, f, (m + (f*f + f)*7919) % 1000003 mf
       |  FROM (SELECT id, sh, m, w, h, unnest(range(tr, nf)) f FROM geo)),
       |px AS (SELECT id, sh, mf, w, h, f, unnest(range(w)) x FROM frm),
       |pxy AS (SELECT id, sh, mf, w, h, f, x, unnest(range(h)) y FROM px),
@@ -2118,6 +2134,30 @@ object SparkEntry {
         |SELECT ia video_a, ib2 video_b, CAST(c AS BIGINT) n_shared,
         |  j jaccard
         |FROM jac WHERE j >= 0.5""".stripMargin),
+    "q142_unigram_entropy" ->
+      """WITH d AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 7 = 0 THEN repeat('spam ', 39) || 'spam'
+        |    WHEN doc_id % 7 = 3 THEN text || ' ' || text
+        |    ELSE text END AS text FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) t
+        |  FROM d),
+        |tc AS (SELECT doc_id, t, COUNT(*) c FROM tok GROUP BY 1, 2),
+        |n AS (SELECT doc_id, SUM(c) n, COUNT(*) nd FROM tc GROUP BY 1),
+        |sp AS (SELECT tc.doc_id, SUM(c * (length(bin(n.n // c)) - 1)) surp
+        |  FROM tc JOIN n USING (doc_id) GROUP BY 1),
+        |v AS (SELECT d.doc_id, COALESCE(n.n, 0) nt, COALESCE(n.nd, 0) nd,
+        |    COALESCE(sp.surp, 0) surp,
+        |    CASE WHEN COALESCE(n.n, 0) >= 2
+        |      THEN COALESCE(sp.surp, 0) * 1000 // (n.n * (length(bin(n.n)) - 1))
+        |      ELSE 0 END nm
+        |  FROM d LEFT JOIN n USING (doc_id) LEFT JOIN sp USING (doc_id))
+        |SELECT doc_id, CAST(nt AS BIGINT) n_tokens,
+        |  CAST(nd AS BIGINT) n_distinct, CAST(surp AS BIGINT) surprisal_sum,
+        |  CAST(nm AS BIGINT) norm_milli,
+        |  CASE WHEN nt < 2 THEN 'short' WHEN nm < 300 THEN 'repetitive'
+        |       WHEN nm < 700 THEN 'mixed' ELSE 'diverse' END verdict
+        |FROM v""".stripMargin,
     "q140_crossmodal_dedup" ->
       ("WITH " + dhashPairsCte + """,
         |cap AS (SELECT i.id, d.text || CASE

@@ -65,6 +65,9 @@ object Exprs {
   def videoShingles(media: Column, n: Int = 2): Column =
     ExpressionUtils.column(VideoShingles(ExpressionUtils.expression(media), n))
 
+  def unigramEntropyStats(text: Column): Column =
+    ExpressionUtils.column(UnigramEntropyStats(ExpressionUtils.expression(text)))
+
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 

@@ -394,12 +394,20 @@ object Multimodal {
     *     cross-codec, the video analog of q133's re-encode twin): every
     *     container byte differs, every frame hash is identical →
     *     jaccard 1, and seed/+3/+6 form a pair 3-clique,
-    *   - everything else: nf = m%5+4 frames of w×h (12..21 × 9..16)
+    *   - everything else: nf = seed%5+4 frames of w×h (12..21 × 9..16)
     *     pixels; frame f's pixels follow the q133 formula under the
-    *     per-frame seed mf = (m + f·7919) mod 1000003 (aperiodicity via
-    *     the multiplicative m-mix — the q133 fixture lesson; distinct
-    *     videos can collide on at most isolated FRAMES, never on a
-    *     2-frame shingle, and pairs are jaccard-verified regardless).
+    *     per-frame seed mf = (m + (f²+f)·7919) mod 1000003.
+    *
+    * Two fixture choices are load-bearing at scale (the q133/q136
+    * aperiodicity lesson, temporal edition): dims and frame count come
+    * from SEED, not from m — m = (seed·2654435761) mod 1000003 collides
+    * for ~n²/2e6 seed pairs, and m-derived dims would turn every such
+    * collision into a full duplicate video (~5k phantom pairs at 100k);
+    * and the frame mix is QUADRATIC in f — a linear mix (m + f·7919)
+    * lets any two videos whose m's differ by k·7919 align entire frame
+    * SEQUENCES at shift k (~15/1e6 of pairs), while (f²+f) makes the
+    * inter-frame delta k(k+1+2f) depend on f, so a shifted alignment
+    * can hold for at most one isolated frame — never a 2-frame shingle.
     *
     * Width/height/frame-count vary per video but are constant WITHIN one
     * (real videos do not change raster mid-stream). */
@@ -420,11 +428,11 @@ object Multimodal {
                 else if (id % 10 == 6 && id >= 16) (id - 6, 0, 0, "png")
                 else (id, 0, 0, "ppm")
               val m = (seed * 2654435761L) % 1000003L
-              val w = (m % 10 + 12).toInt
-              val h = ((m * 3) % 8 + 9).toInt
-              val nf = (m % 5 + 4).toInt
+              val w = (seed % 10 + 12).toInt
+              val h = ((seed * 3) % 8 + 9).toInt
+              val nf = (seed % 5 + 4).toInt
               val frames = (fromFrame until nf).map { f =>
-                val mf = (m + f * 7919L) % 1000003L
+                val mf = (m + (f * f + f) * 7919L) % 1000003L
                 val px = (x: Int, y: Int) => (
                   ((x * (7 + mf % 13) + y * (13 + mf % 29) + mf) % 201 + shift).toInt,
                   ((x * (3 + mf % 17) + y * (11 + mf % 31) + 2 * mf) % 201 + shift).toInt,

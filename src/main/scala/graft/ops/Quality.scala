@@ -315,4 +315,44 @@ object Quality {
       (maxLen <= maxLineLen && avgLen <= maxAvgLineLen &&
         alnum >= minAlnumFrac && !autogen).as("keep"))
   }
+
+  /** Unigram-entropy quality gate (the RefinedWeb/Dolma "unigram entropy"
+    * filter) in the exact-integer discipline: per doc, the scan-side
+    * [[graft.expr.UnigramEntropyStats]] pass emits token count N,
+    * distinct count, and surprisal_sum = Σ c·floor(log2(N div c)); this
+    * wrapper derives
+    *
+    *   norm_milli = surprisal_sum·1000 div (N·floor(log2 N))   (N >= 2)
+    *
+    * — permille of the all-tokens-unique bound, so 0 = one token
+    * repeated wall-to-wall, 1000 = every token distinct — and a verdict:
+    * `short` (N < 2, no distribution to judge), `repetitive`
+    * (< `loMilli`), `mixed`, `diverse` (>= `hiMilli`). Catches the
+    * keyword-stuffing / template-spam class whose *n-gram* repetition
+    * can be low (shuffled spam defeats [[gopherRepetition]] — 2-grams
+    * vary — but the unigram DISTRIBUTION cannot be shuffled away).
+    *
+    * Shape at scale: one scan, per-row hash-map counting inside codegen,
+    * zero shuffles/joins — the q116 gopherRepetitionFast shape. All
+    * arithmetic is exact integer (floor-log2 = binary length - 1), so
+    * the q142 DuckDB oracle replays every value. */
+  def unigramEntropy(documents: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     loMilli: Long = 300L, hiMilli: Long = 700L): DataFrame = {
+    val ilog2 = (x: Column) => length(conv(x.cast("string"), 10, 2)).cast("long") - 1L
+    val s = graft.expr.Exprs.unigramEntropyStats(col(textCol))
+    documents.select(col(idCol), s.as("_s"))
+      .select(col(idCol), col("_s.n_tokens").as("n_tokens"),
+        col("_s.n_distinct").as("n_distinct"),
+        col("_s.surprisal_sum").as("surprisal_sum"))
+      .withColumn("norm_milli",
+        when(col("n_tokens") >= 2,
+          floor((col("surprisal_sum") * 1000L) / (col("n_tokens") * ilog2(col("n_tokens")))).cast("long"))
+          .otherwise(0L))
+      .withColumn("verdict",
+        when(col("n_tokens") < 2, "short")
+          .when(col("norm_milli") < loMilli, "repetitive")
+          .when(col("norm_milli") < hiMilli, "mixed")
+          .otherwise("diverse"))
+  }
 }
