@@ -875,6 +875,21 @@ object SparkEntry {
         .otherwise(col("text"))
       Quality.unigramEntropy(docs.select(col("doc_id"), planted.as("text")))
     }),
+    // BM25 inverted-index retrieval (Retrieval.bm25): queries synthesized
+    // in-plan (tokens 3..6 of every 100th doc), scored in exact
+    // fixed-point integers (ratio idf in millionths, tf-weight in
+    // thousandths, per-term floor THEN sum — float Σ is addition-order-
+    // dependent across engines) over a real postings build; the oracle
+    // replays tokenization, postings, global df/avgdl, both fixed-point
+    // formulas, and the deterministic rank order
+    "q143_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0), 3, 4), " ").as("text"))
+      Retrieval.bm25(docs, qs, k = 5)
+    }),
     // jusText-style boilerplate block classification (Boilerplate
     // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
     // in-plan — nav bar, stopword-boosted body, short date stamp, raw
@@ -2158,6 +2173,34 @@ object SparkEntry {
         |  CASE WHEN nt < 2 THEN 'short' WHEN nm < 300 THEN 'repetitive'
         |       WHEN nm < 700 THEN 'mixed' ELSE 'diverse' END verdict
         |FROM v""".stripMargin,
+    "q143_bm25_topk" ->
+      """WITH tokd AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
+        |  FROM documents),
+        |q AS (SELECT doc_id query_id, list_distinct(tk[3:6]) qt
+        |  FROM tokd WHERE doc_id % 100 = 0),
+        |post AS (SELECT doc_id, len(tk) dl, unnest(tk) t FROM tokd),
+        |pc AS (SELECT t, doc_id, dl, COUNT(*) tf FROM post GROUP BY 1, 2, 3),
+        |docl AS (SELECT DISTINCT doc_id, dl FROM pc),
+        |stats AS (SELECT n_docs, (tot * 1000) // n_docs avg_fx
+        |  FROM (SELECT COUNT(*) n_docs, SUM(dl) tot FROM docl)),
+        |qt AS (SELECT query_id, unnest(qt) t FROM q),
+        |dfq AS (SELECT t, COUNT(*) df FROM pc
+        |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1),
+        |sc AS (SELECT m.query_id, m.doc_id, SUM(
+        |    ( (((2*s.n_docs - 2*dfq.df + 1) * 1000000) // (2*dfq.df + 1))
+        |    * ((22 * m.tf * s.avg_fx * 1000)
+        |       // (10*s.avg_fx*m.tf + 3*s.avg_fx + 9000*m.dl)) ) // 1000) score_fx
+        |  FROM (SELECT qt.query_id, pc.doc_id, pc.tf, pc.dl, pc.t
+        |        FROM pc JOIN qt USING (t)) m
+        |    JOIN dfq USING (t) CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_fx, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score_fx DESC, doc_id ASC) rk
+        |  FROM sc)
+        |SELECT query_id, CAST(rk AS BIGINT) rank, doc_id,
+        |  CAST(score_fx AS BIGINT) score_fx
+        |FROM r WHERE rk <= 5""".stripMargin,
     "q140_crossmodal_dedup" ->
       ("WITH " + dhashPairsCte + """,
         |cap AS (SELECT i.id, d.text || CASE

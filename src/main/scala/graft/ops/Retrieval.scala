@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-index keyword retrieval with BM25 ranking (Robertson et al.,
+  * Okapi TREC-3) — the lexical search half every curation stack needs
+  * next to the ANN family (contamination probes, dedup triage, targeted
+  * corpus slicing all start from "find the documents matching these
+  * terms").
+  *
+  * Scoring is the standard BM25 shape with k1 = 1.2, b = 0.75, but in
+  * EXACT FIXED-POINT INTEGERS so any engine replays it bit-for-bit (the
+  * repo-wide oracle discipline; a floating Σ over terms is
+  * addition-order-dependent across engines, so per-term scores are
+  * floored to integers FIRST and only then summed):
+  *
+  *   idf_fx  = ((2N - 2·df + 1) · 10^6) div (2·df + 1)
+  *             — (N - df + 0.5)/(df + 0.5) in millionths, the raw
+  *             Robertson idf ratio. NO logarithm: floor-log2 (the only
+  *             exact-integer log available, see Perplexity.ilog2) would
+  *             collapse idf to ~30 distinct values and wreck ranking,
+  *             and the q53 TF-IDF battery already established the
+  *             ratio-idf precedent. Monotone in df, which is all
+  *             ranking needs.
+  *   avg_fx  = (Σ dl · 1000) div N          — mean doc length, milli.
+  *   tfw_fx  = (22 · tf · avg_fx · 1000)
+  *             div (10·avg_fx·tf + 3·avg_fx + 9000·dl)
+  *             — tf·(k1+1) / (tf + k1·(1 - b + b·dl/avg)) in
+  *             thousandths (≤ 2200), derived by multiplying through by
+  *             20·avg_fx/2 so every constant is integral.
+  *   term_fx = (idf_fx · tfw_fx) div 1000
+  *   score   = Σ term_fx over distinct query terms (set semantics: a
+  *             term repeated in a query scores once).
+  *
+  * Bounds: idf_fx ≤ 2N·10^6 and term_fx multiplies it by ≤ 2200, so the
+  * arithmetic stays inside int64 for N up to ~2·10^9 docs per index —
+  * shard the index (and merge top-k lists, which BM25 scores support:
+  * df/N/avg must just be computed globally first) beyond that.
+  *
+  * Scale shape: the postings build is the one token shuffle (groupBy
+  * (doc, token) with map-side combine); queries are SMALL and broadcast
+  * — the postings side is filtered to query terms BEFORE df/score work,
+  * so a search touches only the matched postings lists, never the
+  * corpus. No text moves after the index build.
+  */
+object Retrieval {
+
+  private val ws = "\\s+"
+
+  private def toks(text: Column): Column =
+    filter(split(lower(text), ws), t => length(t) > 0)
+
+  /** Inverted-index postings: one row per (token, doc) with the term
+    * frequency and the doc's token count (dl). Docs with zero tokens
+    * have no postings and are invisible to retrieval (nothing to match). */
+  def bm25Postings(documents: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    documents
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_tk"))
+      .select(col("doc_id"), size(col("_tk")).as("dl"), explode(col("_tk")).as("t"))
+      .groupBy(col("t"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` BM25 hits per query over a postings frame. `queries` is a
+    * small (query_id, text) frame — its distinct terms broadcast into
+    * the postings join, so cost is proportional to the matched postings
+    * lists only. Output: (query_id, rank, doc_id, score_fx), rank 1..k
+    * by score_fx DESC then doc_id ASC (total order — ties are real
+    * under integer scores and must break deterministically). */
+  def bm25Search(postings: DataFrame, queries: DataFrame, k: Int = 5,
+                 queryIdCol: String = "query_id",
+                 textCol: String = "text"): DataFrame = {
+    val (out, matched) = bm25SearchPlan(postings, queries, k, queryIdCol, textCol)
+    Dedup.materializeAndRelease(out, matched)
+  }
+
+  /** The un-materialized search plan plus the persisted postings-match
+    * intermediate — split out so tests can inspect the join strategy
+    * ([[bm25Search]] localCheckpoints, which truncates lineage). */
+  private[graft] def bm25SearchPlan(postings: DataFrame, queries: DataFrame,
+                                    k: Int, queryIdCol: String,
+                                    textCol: String): (DataFrame, DataFrame) = {
+    // global corpus stats: one tiny two-agg pass over the doc-length view
+    val docLens = postings.select(col("doc_id"), col("dl")).distinct()
+    // `div` (not `/`): Column./ on longs is DOUBLE division, which loses
+    // exactness past 2^53 — the whole point of fixed-point scoring
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .select(col("n_docs"),
+        expr("(total_len * 1000) div n_docs").as("avg_fx"))
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"), explode(array_distinct(toks(col(textCol)))).as("t"))
+    // filter postings to query terms FIRST; df computed on the filtered
+    // side is still the GLOBAL df (the filter is by term)
+    val matched = postings.join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
+      .persist()
+    val df = matched.select(col("t"), col("doc_id")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(broadcast(df), Seq("t"))
+      .join(broadcast(qterms), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        expr("((2*n_docs - 2*df + 1) * 1000000) div (2*df + 1)").as("idf_fx"),
+        expr("(22 * tf * avg_fx * 1000) div " +
+          "(10*avg_fx*tf + 3*avg_fx + 9000*dl)").as("tfw_fx"))
+      .select(col("query_id"), col("doc_id"),
+        expr("(idf_fx * tfw_fx) div 1000").as("term_fx"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_fx")).as("score_fx"))
+    // salted two-level top-k (the q42/capPerDomain discipline): a
+    // stopword-ish query can match a large fraction of the corpus, and a
+    // single-partition per-query sort would be the scale bottleneck —
+    // level 1 keeps k per (query, salt) in parallel, level 2 ranks the
+    // surviving k·salts rows
+    val salts = 32
+    val w1 = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(salts)))
+      .orderBy(col("score_fx").desc, col("doc_id").asc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fx").desc, col("doc_id").asc)
+    val out = scored
+      .withColumn("_r1", row_number().over(w1))
+      .where(col("_r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_fx"))
+    (out, matched)
+  }
+
+  /** Index-and-search in one call (the q143 shape; production callers
+    * build [[bm25Postings]] once and search many times). */
+  def bm25(documents: DataFrame, queries: DataFrame, k: Int = 5,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25Search(bm25Postings(documents, idCol, textCol), queries, k)
+}

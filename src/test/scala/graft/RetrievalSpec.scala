@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+
+/** BM25 retrieval: hand-computed fixed-point scores on a tiny corpus,
+  * the ranking properties that make BM25 BM25 (rare-term dominance, tf
+  * saturation, length normalization), query-term set semantics,
+  * degenerate queries, and the broadcast shape of the search plan. */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana cherry date"),         // dl 4
+    (2L, "apple apple apple apple"),          // dl 4, tf saturation case
+    (3L, "banana banana cherry cherry"),      // dl 4
+    (4L, "apple elderberry fig grape happy"), // dl 5
+    (5L, "kiwi lemon mango nectarine")        // dl 4, no query overlap
+  ).toDF("doc_id", "text")
+
+  private def search(qs: (Long, String)*) =
+    Retrieval.bm25(corpus, qs.toDF("query_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("hand-computed fixed-point score: single-term query") {
+    // N=5, total_len=21, avg_fx = 21000 div 5 = 4200
+    // 'cherry': df=2 -> idf_fx = (10-4+1)*1e6 div 5 = 1_400_000
+    // doc 1 (tf=1, dl=4): tfw = 22*1*4200*1000 div (10*4200+3*4200+9000*4)
+    //   = 92_400_000 div 90_600 = 1019; term = 1_400_000*1019 div 1000 = 1_426_600
+    val hits = search(100L -> "cherry").filter(_._1 == 100L)
+    val d1 = hits.find(_._3 == 1L).get
+    assert(d1._4 == 1426600L)
+    // doc 3 (tf=2): tfw = 22*2*4200*1000 div (10*4200*2+3*4200+9000*4)
+    //   = 184_800_000 div 132_600 = 1393; term = 1_400_000*1393 div 1000 = 1_950_200
+    val d3 = hits.find(_._3 == 3L).get
+    assert(d3._4 == 1950200L && d3._2 == 1L && d1._2 == 2L)
+    // docs without the term never appear
+    assert(hits.map(_._3).toSet == Set(1L, 3L))
+  }
+
+  test("rare term dominates common term; tf saturates sublinearly") {
+    // 'apple' df=3 (common), 'elderberry' df=1 (rare): doc 4 holds the
+    // rare term and must outrank the apple-stuffed doc 2
+    val hits = search(1L -> "apple elderberry")
+    assert(hits.find(_._2 == 1L).get._3 == 4L)
+    // tf saturation: doc 2 has 4x the tf of doc 1 on 'apple' but scores
+    // well under 4x doc 1's apple-only component
+    val s2 = hits.find(_._3 == 2L).get._4
+    val s1 = hits.find(_._3 == 1L).get._4
+    assert(s2 > s1 && s2 < 4L * s1)
+  }
+
+  test("query-term SET semantics: repeating a term does not double-score it") {
+    val once = search(1L -> "cherry").filter(_._1 == 1L)
+    val thrice = search(1L -> "cherry cherry cherry").filter(_._1 == 1L)
+    assert(once.map(t => (t._2, t._3, t._4)).toSet ==
+      thrice.map(t => (t._2, t._3, t._4)).toSet)
+  }
+
+  test("degenerates: no-match and empty queries vanish; k truncates") {
+    assert(search(1L -> "zzz qqq").isEmpty)
+    assert(search(2L -> "  \t ").isEmpty)
+    val hits = Retrieval.bm25(corpus, Seq(3L -> "apple banana cherry")
+      .toDF("query_id", "text"), k = 2).collect()
+    assert(hits.length == 2)
+  }
+
+  test("salted two-level top-k == direct single-window ranking") {
+    // 60-doc corpus, every doc matches the query term with varying tf
+    val docs = (1L to 60L).map(i =>
+      (i, (Seq.fill((i % 7 + 1).toInt)("term") ++ Seq.fill(5)(s"x$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, Seq(1L -> "term").toDF("query_id", "text"), k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(3))).toList
+    // independent direct ranking from the same scores at k=60 (no salt
+    // effect possible when every row survives level 1)
+    val all = Retrieval.bm25(docs, Seq(1L -> "term").toDF("query_id", "text"), k = 60)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+      .sortBy(t => (-t._2, t._1)).take(10).toList
+    assert(got == all)
+  }
+
+  test("search plan: query terms broadcast into the postings join") {
+    val post = Retrieval.bm25Postings(corpus)
+    // inspect the UN-materialized plan (bm25Search localCheckpoints,
+    // which truncates lineage to a Scan ExistingRDD)
+    val (out, matched) = Retrieval.bm25SearchPlan(post,
+      Seq(1L -> "apple").toDF("query_id", "text"), 5, "query_id", "text")
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[String] = (p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => flat(q.plan)
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        flat(im.relation.cachedPlan)
+      case other => other.children.flatMap(flat)
+    }) :+ p.nodeName
+    val nodes = flat(out.queryExecution.executedPlan)
+    matched.unpersist(false)
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"query-term filter must broadcast, not shuffle the postings:\n${nodes.mkString(", ")}")
+  }
+}
