@@ -470,6 +470,37 @@ object Dedup {
     materializeAndRelease(pairs, sh)
   }
 
+  /** Incremental perceptual video dedup: a NEW batch's shingle
+    * signatures against an EXISTING postings index of everything
+    * previously admitted — the set-similarity twin of
+    * [[dhashIncremental]]. `index` rows are exploded postings
+    * (video_id, sz, s): one row per (admitted video, shingle), the
+    * layout a streaming ingest appends to cheaply. The batch side
+    * explodes, hot index shingles past `maxDf` are dropped (the
+    * [[videoPairs]] skew guard — an intro card shared by 10k admitted
+    * videos must not fan every arriving video into 10k candidate rows),
+    * postings equi-join, and exact jaccard (c / (sz_new + sz_old - c))
+    * verifies. Admitted MEDIA is never re-read or re-decoded; only
+    * postings longs move.
+    *
+    * Output: (new_id, old_id, jaccard) with jaccard >= `minJaccard`. */
+  def videoIncremental(batchSigs: DataFrame, index: DataFrame,
+                       minJaccard: Double = 0.5,
+                       maxDf: Long = 1000L): DataFrame = {
+    val bPost = batchSigs.select(col("video_id").as("new_id"),
+      size(col("sh")).as("sz_new"), explode(col("sh")).as("s"))
+    val hot = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("s"))
+    val coldIdx = index.join(hot, Seq("s"), "left_anti")
+      .select(col("video_id").as("old_id"), col("sz").as("sz_old"), col("s"))
+    bPost.join(coldIdx, Seq("s"))
+      .groupBy(col("new_id"), col("old_id"), col("sz_new"), col("sz_old"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("new_id"), col("old_id"),
+        (col("c").cast("double") / (col("sz_new") + col("sz_old") - col("c"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** Dedup survivors under the video shingle signature — the
     * [[dhashSurvivors]] rule (greedy representative = min id) over
     * [[videoPairs]]. Assets that do not signature — garbage, stills,

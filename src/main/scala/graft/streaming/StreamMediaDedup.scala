@@ -72,7 +72,11 @@ private[streaming] object StreamMediaDedup {
       indexDir)
   }
 
-  private def writeDynamic(df: DataFrame, dir: String): Unit = {
+  /** `_batch`-partitioned dynamic-overwrite append — shared with
+    * [[StreamVideoDedup]] (whose set-similarity index cannot ride the
+    * 64-bit-signature engine above, but follows the same ledger/replay
+    * discipline). */
+  private[streaming] def writeDynamic(df: DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
