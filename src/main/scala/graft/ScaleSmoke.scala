@@ -320,6 +320,31 @@ object ScaleSmoke {
       s"${cutStats.getLong(0)} spans removed, ${cutStats.getLong(1)} mis-cuts")
     assert(cutStats.getLong(0) == n / 100, s"planted span removal broke: ${cutStats.getLong(0)}")
     assert(cutStats.getLong(1) == 0, s"non-planted docs were cut: ${cutStats.getLong(1)}")
+    // unigram-entropy gate: pure scan-side per-row counting (no joins,
+    // no shuffles) — wall-clock is the corpus scan itself
+    t0 = System.nanoTime()
+    val entN = ops.Quality.unigramEntropy(docs).count()
+    println(f"unigramEntropy($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $entN docs scored")
+    assert(entN == n.toLong, s"entropy gate dropped docs: $entN")
+    // BM25 retrieval: postings build is the ONE token shuffle; 5 queries
+    // of 4 formula tokens each (ids ≡ 1 mod 20, never overwritten by the
+    // near/exact-dup branches, and formula tokens are id-unique mod the
+    // prime) — the source doc must come back rank 1 on its own tokens
+    val bmQs = spark.range(5).select(col("id").as("query_id"),
+      concat_ws(" ", transform(sequence(lit(58), lit(61)),
+        j => concat(lit("tok"), pmod((col("id") * 20 + 1) * 131 + j * 7, lit(1000003)),
+          lit("_"), j))).as("text"))
+    t0 = System.nanoTime()
+    val bmPost = ops.Retrieval.bm25Postings(docs).persist()
+    val nPost = bmPost.count()
+    println(f"bm25Postings($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $nPost postings")
+    t0 = System.nanoTime()
+    val bmHits = ops.Retrieval.bm25Search(bmPost, bmQs, k = 5)
+    val bmSelf = bmHits.where(col("rank") === 1 &&
+      col("doc_id") === col("query_id") * 20 + 1).count()
+    println(f"bm25Search(5 queries vs $n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, $bmSelf/5 source docs at rank 1")
+    assert(bmSelf == 5, s"BM25 self-retrieval broke at scale: $bmSelf/5")
+    bmPost.unpersist(false)
     // --- perceptual image dedup at the same corpus size ---
     // the q133 fixture at n images: brightness-shifted + cross-codec PNG
     // twins per seed form identical-hash cliques; every planted pair must

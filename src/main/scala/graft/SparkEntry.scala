@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
+import graft.expr.Exprs
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -890,6 +891,33 @@ object SparkEntry {
             t => length(t) > 0), 3, 4), " ").as("text"))
       Retrieval.bm25(docs, qs, k = 5)
     }),
+    // video dedup RESOLUTION (the q135 rule on the temporal modality):
+    // q141's verified pair graph -> connected components -> keep the
+    // RICHEST copy per perceptual cluster (most distinct temporal
+    // shingles = longest content — the trim twins lose to their seeds),
+    // tie to min id; unpaired videos and non-videos with no signature
+    // behave per the q117/q135 contract (unpaired kept, unsigned absent
+    // from the metadata frame)
+    "q144_video_dedup_resolve" -> ((s, d) => {
+      val assets = Multimodal.syntheticVideoAssets(
+        Tables.documents(s, d).select(col("doc_id")))
+      val pairs = Dedup.videoPairs(assets)
+        .select(col("video_a").as("doc_a"), col("video_b").as("doc_b"))
+      val meta = assets.select(col("asset_id"),
+        Exprs.videoShingles(col("media")).as("sh"))
+        .where(col("sh").isNotNull && size(col("sh")) > 0)
+        .select(col("asset_id"), size(col("sh")).cast("long").as("n_shingles"))
+      Curate.resolveDuplicates(meta, pairs, idCol = "asset_id",
+        scoreCol = "n_shingles")
+    }),
+    // k-anonymity audit (Quality.kAnonymity, Sweeney '02): equivalence
+    // classes over the (nation, market segment) quasi-identifiers of the
+    // customer table with k=10 — the privacy-risk report that
+    // complements q48's PII redaction (direct identifiers removed there;
+    // linkage risk lives in the QI combinations measured here)
+    "q145_k_anonymity" -> ((s, d) =>
+      Quality.kAnonymity(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
     // jusText-style boilerplate block classification (Boilerplate
     // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
     // in-plan — nav bar, stopword-boosted body, short date stamp, raw
@@ -2201,6 +2229,28 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS BIGINT) rank, doc_id,
         |  CAST(score_fx AS BIGINT) score_fx
         |FROM r WHERE rk <= 5""".stripMargin,
+    "q144_video_dedup_resolve" ->
+      ("WITH RECURSIVE " + videoPairsCte + """,
+        |vp AS (SELECT ia a, ib2 b FROM jac WHERE j >= 0.5),
+        |e AS (SELECT a, b FROM vp UNION SELECT b, a FROM vp),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node),
+        |cl AS (SELECT node, MIN(r) cluster_id FROM reach GROUP BY node),
+        |vsz AS (SELECT id, len(sps) ns FROM shl),
+        |reps AS (SELECT node FROM (
+        |  SELECT cl.node, row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY v.ns DESC, cl.node ASC) rn
+        |  FROM cl JOIN vsz v ON v.id = cl.node) WHERE rn = 1)
+        |SELECT v.id asset_id, CAST(v.ns AS BIGINT) n_shingles
+        |FROM vsz v WHERE v.id NOT IN (SELECT node FROM cl)
+        |   OR v.id IN (SELECT node FROM reps)""".stripMargin),
+    "q145_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) class_size,
+        |  COUNT(*) >= 10 k_anonymous
+        |FROM customer GROUP BY 1, 2""".stripMargin,
     "q140_crossmodal_dedup" ->
       ("WITH " + dhashPairsCte + """,
         |cap AS (SELECT i.id, d.text || CASE

@@ -355,4 +355,30 @@ object Quality {
           .when(col("norm_milli") < hiMilli, "mixed")
           .otherwise("diverse"))
   }
+
+  /** k-anonymity audit (Sweeney '02) over quasi-identifier columns —
+    * the privacy-risk REPORT that complements the PII redaction pass
+    * (q48 removes direct identifiers; re-identification risk lives in
+    * the quasi-identifier COMBINATIONS that survive it). One row per
+    * equivalence class: the QI tuple, its population, and whether it
+    * meets `k` — classes below k are the linkage-attack surface.
+    *
+    * Shape at scale: a single groupBy on the QI columns (one shuffle,
+    * map-side combined); output is bounded by the QI domain product,
+    * not the row count. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long = 10L): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("k_anonymous", col("class_size") >= k)
+
+  /** Suppression-based k-anonymization: drop every row whose QI class
+    * is below `k` (the simplest enforcement; generalization hierarchies
+    * are domain-specific and belong to the caller). The violating-class
+    * list joins back equi-keyed on the QI columns, so the plan is the
+    * audit's aggregation plus one join — no row-level state. */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Long = 10L): DataFrame = {
+    val bad = kAnonymity(df, qiCols, k)
+      .where(!col("k_anonymous")).select(qiCols.map(col): _*)
+    df.join(bad, qiCols, "left_anti")
+  }
 }

@@ -58,7 +58,7 @@ class PlanGuardSpec extends SparkTestBase {
       "q44_scalar_battery", "q46_hash_sample", "q47_chunks", "q48_pii_redact",
       "q63_unpivot", "q69_repetition", "q80_quantize_int8", "q110_winnow",
       "q114_url_canon", "q120_gopher_quality", "q124_c4_filter",
-      "q125_stack_filters")) {
+      "q125_stack_filters", "q142_unigram_entropy")) {
       assert(shuffles(q(name)) == 0, s"$name grew a shuffle")
     }
   }

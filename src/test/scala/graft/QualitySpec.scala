@@ -162,4 +162,26 @@ class QualitySpec extends SparkTestBase {
     assert(got(5L)._5, "AUTOGENERATED (case-blind) must flag")
     assert(!got(6L)._5, "marker on line 6 is past the 5-line window")
   }
+
+  test("kAnonymity: class sizes and verdicts; kAnonymize suppresses violators") {
+    val rows = Seq(
+      ("us", "A", 1L), ("us", "A", 2L), ("us", "A", 3L),
+      ("us", "B", 4L), ("us", "B", 5L),
+      ("de", "A", 6L)
+    ).toDF("country", "segment", "id")
+    val audit = Quality.kAnonymity(rows, Seq("country", "segment"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(audit(("us", "A")) == ((3L, true)))
+    assert(audit(("us", "B")) == ((2L, false)))
+    assert(audit(("de", "A")) == ((1L, false)))
+    // suppression drops exactly the rows of sub-k classes
+    val kept = Quality.kAnonymize(rows, Seq("country", "segment"), k = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // the anonymized view is itself k-anonymous
+    val recheck = Quality.kAnonymity(
+      Quality.kAnonymize(rows, Seq("country", "segment"), k = 3L),
+      Seq("country", "segment"), k = 3L)
+    assert(recheck.where(!org.apache.spark.sql.functions.col("k_anonymous")).count() == 0)
+  }
 }
