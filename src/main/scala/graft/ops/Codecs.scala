@@ -455,10 +455,15 @@ object Codecs {
     out
   }
 
+  /** Frame payload slices of a video container — GVID or AVI/MJPEG
+    * ([[aviFrames]]), dispatched by magic; None for anything else. */
+  def videoFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] =
+    gvidFrames(bytes).orElse(aviFrames(bytes))
+
   /** Frame payload slices of a GVID container; None on wrong magic, a
     * frame running past the buffer, or trailing bytes (strict: a media
     * table always contains garbage and the decode stage must skip). */
-  def videoFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+  def gvidFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
     if (bytes.length < 8 || bytes(0) != 'G' || bytes(1) != 'V' ||
       bytes(2) != 'I' || bytes(3) != 'D') return None
     def be32(o: Int): Long =
@@ -479,6 +484,88 @@ object Codecs {
     }
     if (o != bytes.length) return None
     Some(out)
+  }
+
+  // ------------------------------------------------- AVI (RIFF/MJPEG)
+
+  /** Minimal-but-valid AVI/MJPEG writer (RIFF 'AVI ' with an 'hdrl'
+    * LIST — avih + one 'vids'/'MJPG' stream — and a 'movi' LIST of
+    * '00dc' JPEG chunks). Motion-JPEG is the one real video codec
+    * expressible with zero external libs: every frame is a plain JPEG
+    * the existing ImageIO path decodes, and the container is the real
+    * RIFF layout players accept — the video analog of [[encodeWav]].
+    * Inter-frame codecs (H.264/MP4) remain honest stubs (external
+    * codec libs), the standing waiver. */
+  def encodeAvi(width: Int, height: Int, fps: Int,
+                jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def s4(s: String): Unit = bo.write(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      bo.write((v & 0xff).toInt); bo.write(((v >> 8) & 0xff).toInt)
+      bo.write(((v >> 16) & 0xff).toInt); bo.write(((v >> 24) & 0xff).toInt)
+    }
+    val moviBody = jpegFrames.map(f => 8L + f.length + (f.length & 1)).sum + 4
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    s4("RIFF"); u32(riffBody); s4("AVI ")
+    s4("LIST"); u32(hdrlBody); s4("hdrl")
+    s4("avih"); u32(56)
+    u32(1000000L / math.max(fps, 1)); u32(0); u32(0); u32(0x10 /*HASINDEX off; none*/)
+    u32(jpegFrames.length); u32(0); u32(1); u32(0)
+    u32(width); u32(height); u32(0); u32(0); u32(0); u32(0)
+    s4("LIST"); u32(4 + (8 + 56) + (8 + 40)); s4("strl")
+    s4("strh"); u32(56)
+    s4("vids"); s4("MJPG"); u32(0); u32(0) /*prio+lang*/; u32(0)
+    u32(1); u32(fps); u32(0); u32(jpegFrames.length)
+    u32(0); u32(-1 & 0xffffffffL); u32(0)
+    u32(0); u32((height.toLong << 16) | width) /*rcFrame: 4 u16*/
+    s4("strf"); u32(40)
+    u32(40); u32(width); u32(height); u32(1 | (24 << 16))
+    s4("MJPG"); u32(width.toLong * height * 3); u32(0); u32(0); u32(0); u32(0)
+    s4("LIST"); u32(moviBody); s4("movi")
+    jpegFrames.foreach { f =>
+      s4("00dc"); u32(f.length); bo.write(f)
+      if ((f.length & 1) == 1) bo.write(0) // RIFF chunks pad to even
+    }
+    bo.toByteArray
+  }
+
+  /** Frame payloads of an AVI container: walks the RIFF chunk tree to
+    * the 'movi' LIST and collects '00dc'/'00db' video chunks. None on
+    * wrong magic, truncated chunks, or no movi/frames — malformed media
+    * must skip, not throw. */
+  def aviFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (bytes.length < 12 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'A' ||
+      bytes(9) != 'V' || bytes(10) != 'I' || bytes(11) != ' ') return None
+    def id4(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    def len(o: Int): Long = le32(bytes, o) & 0xffffffffL
+    // find the movi LIST among the RIFF's top-level chunks
+    var o = 12L
+    var movi = -1L
+    var moviEnd = -1L
+    while (o + 8 <= bytes.length && movi < 0) {
+      val cid = id4(o.toInt)
+      val clen = len(o.toInt + 4)
+      if (o + 8 + clen > bytes.length) return None
+      if (cid == "LIST" && clen >= 4 && id4(o.toInt + 8) == "movi") {
+        movi = o + 12
+        moviEnd = o + 8 + clen
+      }
+      o += 8 + clen + (clen & 1)
+    }
+    if (movi < 0) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = movi
+    while (p + 8 <= moviEnd) {
+      val cid = id4(p.toInt)
+      val clen = len(p.toInt + 4)
+      if (p + 8 + clen > moviEnd) return None
+      if (cid == "00dc" || cid == "00db")
+        out += java.util.Arrays.copyOfRange(bytes, (p + 8).toInt, (p + 8 + clen).toInt)
+      p += 8 + clen + (clen & 1)
+    }
+    if (out.isEmpty) None else Some(out.toArray)
   }
 
   /** Per-frame dHash sequence of a video, in frame order; None if the

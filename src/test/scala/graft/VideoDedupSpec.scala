@@ -91,6 +91,31 @@ class VideoDedupSpec extends SparkTestBase {
     assert(Codecs.videoShingles(shifted, 2).get.toSet == sf)
   }
 
+  test("AVI/MJPEG: real RIFF container roundtrip; cross-container re-mux detected") {
+    val jpegs = Seq(1L, 2L, 3L).map(s => Codecs.encodeImageIO(18, 12, "jpg", framePx(s)))
+    val avi = Codecs.encodeAvi(18, 12, 25, jpegs)
+    // container roundtrip: payload bytes come back exactly (even- and
+    // odd-length chunks both, per RIFF padding)
+    val back = Codecs.aviFrames(avi).get
+    assert(back.length == 3 && back.zip(jpegs).forall { case (a, b) => a.sameElements(b) })
+    // videoFrames dispatches on the RIFF magic
+    assert(Codecs.videoFrames(avi).get.length == 3)
+    // a GVID holding the SAME jpeg payloads is a byte-different container
+    // with identical decoded frames -> identical shingles: the
+    // cross-container re-mux class only perceptual video dedup sees
+    val gvid = Codecs.encodeVideo(jpegs)
+    assert(!gvid.sameElements(avi))
+    assert(Codecs.videoShingles(avi, 2).get.toSeq ==
+      Codecs.videoShingles(gvid, 2).get.toSeq)
+    val pairs = Dedup.videoPairs(Seq((1L, gvid), (2L, avi)).toDF("asset_id", "media"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    // malformed: truncated AVI, movi-less RIFF, and WAV are all None
+    assert(Codecs.aviFrames(java.util.Arrays.copyOf(avi, avi.length - 3)).isEmpty)
+    assert(Codecs.aviFrames(Codecs.encodeWav(16000,
+      Array.tabulate(80)(i => (i * 10).toShort))).isEmpty)
+  }
+
   test("order sensitivity: a re-ordered cut of the same frames shares no shingles") {
     val a = Codecs.videoShingles(vid(1, 2, 3, 4), 2).get.toSet
     val b = Codecs.videoShingles(vid(4, 3, 2, 1), 2).get.toSet
