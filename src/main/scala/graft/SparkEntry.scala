@@ -918,6 +918,25 @@ object SparkEntry {
     "q145_k_anonymity" -> ((s, d) =>
       Quality.kAnonymity(Tables.customer(s, d),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+    // embedding linear probe (QualityModel.embeddingProbe*, the
+    // DataComp-style learned quality head over vectors): diagonal
+    // least-squares weights in exact fixed-point over QUANTIZED
+    // components (float dot products are rounding/order-dependent;
+    // integer ones are not), supervision synthesized in-plan from a
+    // known linear direction (sign of the first two quantized dims on
+    // every 5th vector), scoring scan-side with the weight vector
+    // in-plan (QuantDot). Sign extracted before division: Spark `div`
+    // truncates, DuckDB `//` floors — magnitudes divide identically
+    "q146_embedding_probe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def q(j: Int): Column =
+        floor(col("embedding").getItem(j).cast("double") * 1024.0 + 0.5).cast("long")
+      val labeled = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("embedding"),
+          when(q(0) + q(1) > 0, 1L).otherwise(-1L).as("y"))
+      val w = QualityModel.embeddingProbeWeights(labeled, dim = 64)
+      QualityModel.embeddingProbeScore(emb, w)
+    }),
     // jusText-style boilerplate block classification (Boilerplate
     // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
     // in-plan — nav bar, stopword-boosted body, short date stamp, raw
@@ -2251,6 +2270,21 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) class_size,
         |  COUNT(*) >= 10 k_anonymous
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q146_embedding_probe" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) q
+        |  FROM embeddings),
+        |lab AS (SELECT q, CASE WHEN q[1] + q[2] > 0 THEN 1 ELSE -1 END y
+        |  FROM e WHERE vec_id % 5 = 0),
+        |ld AS (SELECT j, SUM(q[j] * y) num, SUM(q[j] * q[j]) den
+        |  FROM lab, range(1, 65) t(j) GROUP BY j),
+        |w AS (SELECT j, CASE WHEN num >= 0
+        |    THEN (num * 1000000) // GREATEST(den, 1)
+        |    ELSE -((-num * 1000000) // GREATEST(den, 1)) END w
+        |  FROM ld),
+        |sc AS (SELECT e.vec_id, SUM(w.w * e.q[w.j]) s FROM e, w
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, CAST(s AS BIGINT) score_fx, s > 0 keep FROM sc""".stripMargin,
     "q140_crossmodal_dedup" ->
       ("WITH " + dhashPairsCte + """,
         |cap AS (SELECT i.id, d.text || CASE

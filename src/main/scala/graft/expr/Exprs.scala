@@ -68,6 +68,9 @@ object Exprs {
   def unigramEntropyStats(text: Column): Column =
     ExpressionUtils.column(UnigramEntropyStats(ExpressionUtils.expression(text)))
 
+  def quantDot(vec: Column, weights: Seq[Long], qscale: Long = 1024L): Column =
+    ExpressionUtils.column(QuantDot(ExpressionUtils.expression(vec), weights, qscale))
+
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MODEL-BASED quality scoring (the FineWeb-Edu shape — Penedo et al.
@@ -101,4 +101,57 @@ object QualityModel {
     Perplexity.valueTertiles(scored, "avg_w", "q_tier", "low", "medium", "high")
       .select(col(idCol), col("n_feats"), col("score_sum"), col("avg_w"), col("q_tier"))
   }
+
+  // -------------------------------------------- embedding linear probe
+
+  /** Per-component fixed-point quantization q(x) = floor(double(x)·qscale
+    * + 0.5) — defined ONCE so train and score cannot drift. Double
+    * promotion of the float is exact and the multiply/floor are single
+    * IEEE ops, so any engine computes the identical integer. */
+  private def quant(x: Column, qscale: Long): Column =
+    floor(x.cast("double") * qscale.toDouble + 0.5).cast("long")
+
+  /** Train the DIAGONAL linear probe (the DataComp-style quality head,
+    * per-dimension independent least squares — a full d×d solve needs
+    * driver-side linear algebra whose float pivots no SQL oracle can
+    * replay; the diagonal approximation keeps every number exact
+    * integer): over the labeled vectors,
+    *
+    *   w(j) = sign(Σ q(x_j)·y) · ((|Σ q(x_j)·y| · scale) div max(Σ q(x_j)², 1))
+    *
+    * with y ∈ {+1, -1}. The sign is extracted BEFORE the division:
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors, so
+    * a negative numerator would round differently — dividing magnitudes
+    * makes both engines agree. Returns the dim-length weight vector
+    * (bounded: one long per dimension) for in-plan scoring. */
+  def embeddingProbeWeights(labeled: DataFrame, dim: Int,
+                            qscale: Long = 1024L, scale: Long = 1000000L,
+                            vecCol: String = "embedding",
+                            labelCol: String = "y"): Seq[Long] = {
+    val per = labeled
+      .select(col(labelCol).cast("long").as("_y"),
+        posexplode(col(vecCol)).as(Seq("_j", "_x")))
+      .select(col("_j"), (quant(col("_x"), qscale) * col("_y")).as("_qy"),
+        (quant(col("_x"), qscale) * quant(col("_x"), qscale)).as("_qq"))
+      .groupBy(col("_j"))
+      .agg(sum(col("_qy")).as("num"), sum(col("_qq")).as("den"))
+      .select(col("_j"),
+        (signum(col("num")).cast("long") *
+          expr(s"(abs(num) * $scale) div greatest(den, 1)")).as("w"))
+    val w = new Array[Long](dim)
+    // bounded collect: exactly `dim` rows (the model, not data)
+    per.collect().foreach(r => w(r.getInt(0)) = r.getLong(1))
+    w.toSeq
+  }
+
+  /** Score a corpus with the probe: one scan-side [[graft.expr.QuantDot]]
+    * pass (weights in-plan, vectors never leave the scan), keep = score
+    * above zero. */
+  def embeddingProbeScore(corpus: DataFrame, weights: Seq[Long],
+                          qscale: Long = 1024L, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol),
+      graft.expr.Exprs.quantDot(col(vecCol), weights, qscale).as("score_fx"))
+      .where(col("score_fx").isNotNull)
+      .withColumn("keep", col("score_fx") > 0L)
 }

@@ -102,4 +102,53 @@ class QualityModelSpec extends SparkTestBase {
     assert(lowEnd < midStart && midEnd < hiStart,
       s"tiers must be contiguous: lowEnd=$lowEnd midStart=$midStart midEnd=$midEnd hiStart=$hiStart")
   }
+
+  // ---------------------------------------------- embedding linear probe
+
+  test("embedding probe: quantized dot pinned by hand; planted direction recovered") {
+    // quantization: floor(x*1024 + 0.5) — check a positive, a negative,
+    // and an exact-boundary value through QuantDot directly
+    val one = Seq((1L, Array(0.5f, -0.5f, 0.0029296875f))) // last = 3/1024
+      .toDF("vec_id", "embedding")
+    val s1 = one.select(graft.expr.Exprs.quantDot(col("embedding"),
+      Seq(1L, 1L, 1L), 1024L).as("s")).as[Long].head()
+    // q = 512, -512 (floor(-512+0.5) = floor(-511.5) = -512), 3
+    assert(s1 == 512L - 512L + 3L)
+    // planted direction: y = sign of dim 0; the probe must put dominant
+    // positive weight on dim 0 and score-separate unseen vectors
+    val rnd = new scala.util.Random(7)
+    val train = (1 to 200).map { i =>
+      val v = Array.tabulate(8)(_ => (rnd.nextFloat() - 0.5f))
+      (v, if (v(0) > 0) 1L else -1L)
+    }.toDF("embedding", "y")
+    val w = QualityModel.embeddingProbeWeights(train, dim = 8)
+    assert(w(0) > 0 && w.zipWithIndex.filter(_._2 != 0).forall(t => math.abs(t._1) < w(0)),
+      s"dim-0 weight must dominate: $w")
+    val test = (1 to 100).map { i =>
+      val v = Array.tabulate(8)(_ => (rnd.nextFloat() - 0.5f)); (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val scored = QualityModel.embeddingProbeScore(test, w)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val truth = test.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[Float](1).head > 0)).toMap
+    val agree = truth.count { case (id, t) => scored(id) == t }
+    assert(agree >= 90, s"probe agreement too low: $agree/100")
+  }
+
+  test("embedding probe: dimension mismatch drops the row, not the job") {
+    val w = Seq(1L, 2L, 3L)
+    val mixed = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val kept = QualityModel.embeddingProbeScore(mixed, w)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("embedding probe scoring plan: one scan, zero exchanges") {
+    val test = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val plan = QualityModel.embeddingProbeScore(test, Seq(1L, 1L, 1L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"),
+      s"probe scoring must be scan-side:\n$plan")
+  }
 }
