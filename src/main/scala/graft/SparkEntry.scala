@@ -937,6 +937,28 @@ object SparkEntry {
       val w = QualityModel.embeddingProbeWeights(labeled, dim = 64)
       QualityModel.embeddingProbeScore(emb, w)
     }),
+    // hybrid retrieval with reciprocal-rank fusion (Retrieval.rrfFuse,
+    // Cormack '09): the q143 BM25 ranks and the q27 brute-force cosine
+    // ranks (same seed ids: every 100th doc/vector) fuse by exact
+    // fixed-point 1e6 div (60 + rank) — RRF uses RANKS, so no
+    // incommensurable-score arithmetic and no floats. The lexical side
+    // includes the seed doc (it matches its own tokens); the vector
+    // side excludes self (bruteForceKnn contract) — both deterministic,
+    // both replayed by the oracle
+    "q147_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qsText = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0), 3, 4), " ").as("text"))
+      val bm = Retrieval.bm25(docs, qsText, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val cos = Similarity.bruteForceKnn(
+          emb.where(pmod(col("vec_id"), lit(100)) === 0), emb, k = 10)
+        .select(col("qid").as("query_id"), col("nid").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, cos), k = 10)
+    }),
     // jusText-style boilerplate block classification (Boilerplate
     // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
     // in-plan — nav bar, stopword-boosted body, short date stamp, raw
@@ -1467,6 +1489,36 @@ object SparkEntry {
       |jac AS (SELECT ia, ib2, c,
       |    CAST(c AS DOUBLE) / (x.sz + y.sz - c) j
       |  FROM pr JOIN sz x ON x.id = pr.ia JOIN sz y ON y.id = pr.ib2)""".stripMargin
+
+  /** The q143 BM25 pipeline as a DuckDB CTE chain (tokenize → postings →
+    * global df/avgdl → fixed-point idf/tf-weight/term floor-then-sum →
+    * per-query rank in `r`); shared by q143 (the top-k report) and q147
+    * (reciprocal-rank fusion with the cosine ranks). */
+  private val bm25Cte: String =
+    """tokd AS (SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
+      |  FROM documents),
+      |q AS (SELECT doc_id query_id, list_distinct(tk[3:6]) qt
+      |  FROM tokd WHERE doc_id % 100 = 0),
+      |post AS (SELECT doc_id, len(tk) dl, unnest(tk) t FROM tokd),
+      |pc AS (SELECT t, doc_id, dl, COUNT(*) tf FROM post GROUP BY 1, 2, 3),
+      |docl AS (SELECT DISTINCT doc_id, dl FROM pc),
+      |stats AS (SELECT n_docs, (tot * 1000) // n_docs avg_fx
+      |  FROM (SELECT COUNT(*) n_docs, SUM(dl) tot FROM docl)),
+      |qt AS (SELECT query_id, unnest(qt) t FROM q),
+      |dfq AS (SELECT t, COUNT(*) df FROM pc
+      |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1),
+      |sc AS (SELECT m.query_id, m.doc_id, SUM(
+      |    ( (((2*s.n_docs - 2*dfq.df + 1) * 1000000) // (2*dfq.df + 1))
+      |    * ((22 * m.tf * s.avg_fx * 1000)
+      |       // (10*s.avg_fx*m.tf + 3*s.avg_fx + 9000*m.dl)) ) // 1000) score_fx
+      |  FROM (SELECT qt.query_id, pc.doc_id, pc.tf, pc.dl, pc.t
+      |        FROM pc JOIN qt USING (t)) m
+      |    JOIN dfq USING (t) CROSS JOIN stats s
+      |  GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score_fx, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score_fx DESC, doc_id ASC) rk
+      |  FROM sc)""".stripMargin
 
   private val dedupResolveOracleSql: String =
     dupClustersCte + ",\n" +
@@ -2221,33 +2273,30 @@ object SparkEntry {
         |       WHEN nm < 700 THEN 'mixed' ELSE 'diverse' END verdict
         |FROM v""".stripMargin,
     "q143_bm25_topk" ->
-      """WITH tokd AS (SELECT doc_id, list_filter(
-        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
-        |  FROM documents),
-        |q AS (SELECT doc_id query_id, list_distinct(tk[3:6]) qt
-        |  FROM tokd WHERE doc_id % 100 = 0),
-        |post AS (SELECT doc_id, len(tk) dl, unnest(tk) t FROM tokd),
-        |pc AS (SELECT t, doc_id, dl, COUNT(*) tf FROM post GROUP BY 1, 2, 3),
-        |docl AS (SELECT DISTINCT doc_id, dl FROM pc),
-        |stats AS (SELECT n_docs, (tot * 1000) // n_docs avg_fx
-        |  FROM (SELECT COUNT(*) n_docs, SUM(dl) tot FROM docl)),
-        |qt AS (SELECT query_id, unnest(qt) t FROM q),
-        |dfq AS (SELECT t, COUNT(*) df FROM pc
-        |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1),
-        |sc AS (SELECT m.query_id, m.doc_id, SUM(
-        |    ( (((2*s.n_docs - 2*dfq.df + 1) * 1000000) // (2*dfq.df + 1))
-        |    * ((22 * m.tf * s.avg_fx * 1000)
-        |       // (10*s.avg_fx*m.tf + 3*s.avg_fx + 9000*m.dl)) ) // 1000) score_fx
-        |  FROM (SELECT qt.query_id, pc.doc_id, pc.tf, pc.dl, pc.t
-        |        FROM pc JOIN qt USING (t)) m
-        |    JOIN dfq USING (t) CROSS JOIN stats s
-        |  GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score_fx, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY score_fx DESC, doc_id ASC) rk
-        |  FROM sc)
+      ("WITH " + bm25Cte + """
         |SELECT query_id, CAST(rk AS BIGINT) rank, doc_id,
         |  CAST(score_fx AS BIGINT) score_fx
-        |FROM r WHERE rk <= 5""".stripMargin,
+        |FROM r WHERE rk <= 5""".stripMargin),
+    "q147_hybrid_rrf" ->
+      ("WITH " + bm25Cte + """,
+        |rb AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= 10),
+        |qv AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qvv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |cv AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nvv
+        |  FROM embeddings),
+        |cs AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(qvv, nvv) DESC, nid ASC) rk
+        |  FROM qv, cv WHERE qid != nid),
+        |rc AS (SELECT qid query_id, nid doc_id, rk FROM cs WHERE rk <= 10),
+        |u AS (SELECT query_id, doc_id, 1000000 // (60 + rk) c FROM rb
+        |  UNION ALL SELECT query_id, doc_id, 1000000 // (60 + rk) FROM rc),
+        |f AS (SELECT query_id, doc_id, SUM(c) rrf_fx FROM u GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_fx, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_fx DESC, doc_id ASC) rk2
+        |  FROM f)
+        |SELECT query_id, CAST(rk2 AS BIGINT) rank, doc_id,
+        |  CAST(rrf_fx AS BIGINT) rrf_fx
+        |FROM fr WHERE rk2 <= 10""".stripMargin),
     "q144_video_dedup_resolve" ->
       ("WITH RECURSIVE " + videoPairsCte + """,
         |vp AS (SELECT ia a, ib2 b FROM jac WHERE j >= 0.5),

@@ -134,4 +134,39 @@ object Retrieval {
   def bm25(documents: DataFrame, queries: DataFrame, k: Int = 5,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     bm25Search(bm25Postings(documents, idCol, textCol), queries, k)
+
+  /** Reciprocal-rank fusion (Cormack et al. '09) of ranked lists — the
+    * standard hybrid-retrieval combiner (lexical BM25 + vector ANN see
+    * different things; RRF needs only the RANKS, so it fuses integer
+    * positions instead of incommensurable scores):
+    *
+    *   rrf_fx = Σ over sources  10^6 div (rrfK + rank)
+    *
+    * in exact fixed-point (ranks are small positive integers, so the
+    * division is engine-agnostic), with absent-from-a-source
+    * contributing zero. Each input frame is (queryCol, idCol, rankCol)
+    * — the shape [[bm25Search]] and Similarity.bruteForceKnn/bqKnn
+    * already emit.
+    *
+    * Scale shape: inputs are top-k lists, so the candidate set per
+    * query is bounded by Σ k_i of the sources (not corpus size) — a
+    * plain per-query window is safe here, unlike the raw score stage
+    * in [[bm25Search]]. Output: (query_id, rank, doc_id, rrf_fx),
+    * rank 1..k by rrf_fx DESC then doc_id ASC. */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int = 10, rrfK: Int = 60,
+              queryCol: String = "query_id", idCol: String = "doc_id",
+              rankCol: String = "rank"): DataFrame = {
+    require(ranked.nonEmpty, "need at least one ranked list")
+    val contribs = ranked.map(df => df.select(
+        col(queryCol).as("query_id"), col(idCol).as("doc_id"),
+        expr(s"1000000 div ($rrfK + $rankCol)").as("_c")))
+      .reduce(_ unionByName _)
+    val fused = contribs.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_c")).as("rrf_fx"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_fx").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_fx"))
+  }
 }

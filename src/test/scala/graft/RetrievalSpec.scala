@@ -80,6 +80,23 @@ class RetrievalSpec extends SparkTestBase {
     assert(got == all)
   }
 
+  test("rrfFuse: hand-computed fusion, single-source docs, deterministic ties") {
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, vec))
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // contributions: 1e6 div 61 = 16393, 1e6 div 62 = 16129
+    // doc 20: 16129 + 16393 = 32522 (both sources); doc 10: 16393; doc 30: 16129
+    assert(got == List((1L, 20L, 32522L), (2L, 10L, 16393L), (3L, 30L, 16129L)))
+    // equal-score tie (same rank in disjoint sources) breaks by doc_id
+    val a = Seq((7L, 5L, 1L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((7L, 3L, 1L)).toDF("query_id", "doc_id", "rank")
+    val tie = Retrieval.rrfFuse(Seq(a, b)).orderBy("rank")
+      .collect().map(_.getLong(2)).toList
+    assert(tie == List(3L, 5L))
+  }
+
   test("search plan: query terms broadcast into the postings join") {
     val post = Retrieval.bm25Postings(corpus)
     // inspect the UN-materialized plan (bm25Search localCheckpoints,
