@@ -959,6 +959,17 @@ object SparkEntry {
         .select(col("qid").as("query_id"), col("nid").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(bm, cos), k = 10)
     }),
+    // leakage-safe split (Curate.leakageSafeSplit): near-duplicates must
+    // land in the SAME split — the split hash keys by the q49 near-dup
+    // CLUSTER label (singletons by their own id), so an eval doc can
+    // never have a train-side near-twin. Oracle chains the q49
+    // recursive-CTE component resolution into the q100 md5 split rule
+    "q148_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs.where(col("doc_id") < 60), n = 2, minJaccard = 0.05)
+      Curate.leakageSafeSplit(docs, pairs)
+    }),
     // jusText-style boilerplate block classification (Boilerplate
     // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
     // in-plan — nav bar, stopword-boosted body, short date stamp, raw
@@ -2319,6 +2330,18 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) class_size,
         |  COUNT(*) >= 10 k_anonymous
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q148_leakage_safe_split" ->
+      (dupClustersCte + s""",
+        |c AS (SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node),
+        |k AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) split_key
+        |  FROM documents d LEFT JOIN c USING (doc_id))
+        |SELECT doc_id, split_key,
+        |  CASE WHEN substr(md5(CAST(split_key AS VARCHAR) || 'graft'), 1, 8)
+        |         < '${ops.Curate.hashSampleThreshold(0.8)}' THEN 'train'
+        |       WHEN substr(md5(CAST(split_key AS VARCHAR) || 'graft'), 1, 8)
+        |         < '${ops.Curate.hashSampleThreshold(0.8 + 0.1)}' THEN 'val'
+        |       ELSE 'test' END split
+        |FROM k""".stripMargin),
     "q146_embedding_probe" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) q

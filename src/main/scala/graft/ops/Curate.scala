@@ -100,6 +100,33 @@ object Curate {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicates of a document
+    * must land in the SAME split — an eval doc whose near-twin sits in
+    * train is contamination the doc-keyed [[trainValTestSplit]] cannot
+    * prevent (the split hash sees two different ids). The split key is
+    * therefore the near-dup CLUSTER label ([[dupClusters]] over the
+    * verified pair graph; singletons key by their own id), pushed
+    * through the same deterministic md5 three-way rule, so whole
+    * clusters move together and the split stays reproducible and
+    * incremental (a new near-dup of an existing doc inherits its
+    * cluster's split).
+    *
+    * Shape at scale: the cluster frame is pairs-sized (only docs that
+    * near-duplicate something), so the join is small-side broadcastable;
+    * everything else is the scan-side hash rule. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id", trainFrac: Double = 0.8,
+                       valFrac: Double = 0.1,
+                       salt: String = "graft"): DataFrame = {
+    val cl = dupClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val keyed = docs.select(col(idCol))
+      .join(broadcast(cl), Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+    trainValTestSplit(keyed, "split_key", trainFrac, valFrac, salt)
+      .select(col(idCol), col("split_key"), col("split"))
+  }
+
   /** Stratified deterministic sampling: a different rate per stratum value
     * (the `sampleBy` of a mixture-weighted training pipeline — e.g. keep
     * 100% of rare languages, 10% of English). Same md5 keying as

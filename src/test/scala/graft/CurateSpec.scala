@@ -478,4 +478,24 @@ class CurateSpec extends SparkTestBase {
       .as[(Long, String)].collect().toSet
     assert(got2 == got)
   }
+
+  test("leakageSafeSplit: clusters move together; singletons keep the doc-key split") {
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two planted clusters: {3,4,5} and {40,41}
+    val pairs = Seq((3L, 4L), (4L, 5L), (40L, 41L)).toDF("doc_a", "doc_b")
+    val got = Curate.leakageSafeSplit(docs, pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // every cluster member shares the representative key AND the split
+    assert(Seq(3L, 4L, 5L).map(got(_)).distinct.size == 1)
+    assert(got(3L)._1 == 3L)
+    assert(Seq(40L, 41L).map(got(_)).distinct.size == 1 && got(40L)._1 == 40L)
+    // singletons key by their own id and match the doc-keyed split rule
+    val plain = Curate.trainValTestSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (1L to 100L).filterNot(Set(4L, 5L, 41L)).foreach { i =>
+      assert(got(i)._1 == i && got(i)._2 == plain(i), s"singleton $i diverged")
+    }
+    // all three splits occur over 100 docs at 80/10/10
+    assert(got.values.map(_._2).toSet == Set("train", "val", "test"))
+  }
 }
