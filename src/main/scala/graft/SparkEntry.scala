@@ -970,6 +970,32 @@ object SparkEntry {
         docs.where(col("doc_id") < 60), n = 2, minJaccard = 0.05)
       Curate.leakageSafeSplit(docs, pairs)
     }),
+    // two-stage contamination triage (Retrieval.contaminationTriage):
+    // BM25 shortlists suspects through the postings index, exact 5-gram
+    // overlap verifies ONLY shortlisted pairs — the scale alternative to
+    // q132's corpus-wide gram pass. Bench classes planted in-plan:
+    // verbatim copies (top-1 self, full overlap), 40-token partials with
+    // novel tails (high-but-partial overlap), fresh items (no lexical
+    // hit -> absent, the suspects-only contract)
+    "q149_contamination_triage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val verbatim = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val partial = docs.where(pmod(col("doc_id"), lit(50)) === 25)
+        .select((col("doc_id") + 500000L).as("bench_id"),
+          array_join(concat(slice(tk, 1, 40), array(
+            concat(lit("novel"), col("doc_id"), lit("_a")),
+            concat(lit("novel"), col("doc_id"), lit("_b")),
+            concat(lit("novel"), col("doc_id"), lit("_c")),
+            concat(lit("novel"), col("doc_id"), lit("_d")),
+            concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
+      val fresh = s.range(5).select((col("id") + 1000000L).as("bench_id"),
+        concat_ws(" ", (1 to 8).map(j =>
+          concat(lit("benchfresh"), col("id"), lit(s"_$j"))): _*).as("text"))
+      Retrieval.contaminationTriage(docs,
+        verbatim.unionByName(partial).unionByName(fresh))
+    }),
     // jusText-style boilerplate block classification (Boilerplate
     // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
     // in-plan — nav bar, stopword-boosted body, short date stamp, raw
@@ -2330,6 +2356,66 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) class_size,
         |  COUNT(*) >= 10 k_anonymous
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q149_contamination_triage" ->
+      """WITH tokd AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
+        |  FROM documents),
+        |bt AS (
+        |  SELECT doc_id bench_id, tk btk FROM tokd WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, list_concat(tk[1:40], [
+        |      'novel'||doc_id||'_a', 'novel'||doc_id||'_b',
+        |      'novel'||doc_id||'_c', 'novel'||doc_id||'_d',
+        |      'novel'||doc_id||'_e'])
+        |  FROM tokd WHERE doc_id % 50 = 25
+        |  UNION ALL
+        |  SELECT 1000000 + i, list_transform(range(1, 9),
+        |      j -> 'benchfresh'||i||'_'||j)
+        |  FROM range(5) t(i)),
+        |q AS (SELECT bench_id, list_distinct(btk) qt FROM bt),
+        |post AS (SELECT doc_id, len(tk) dl, unnest(tk) t FROM tokd),
+        |pc AS (SELECT t, doc_id, dl, COUNT(*) tf FROM post GROUP BY 1, 2, 3),
+        |docl AS (SELECT DISTINCT doc_id, dl FROM pc),
+        |stats AS (SELECT n_docs, (tot * 1000) // n_docs avg_fx
+        |  FROM (SELECT COUNT(*) n_docs, SUM(dl) tot FROM docl)),
+        |qt AS (SELECT bench_id, unnest(qt) t FROM q),
+        |dfq AS (SELECT t, COUNT(*) df FROM pc
+        |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1),
+        |sc AS (SELECT m.bench_id, m.doc_id, SUM(
+        |    ( (((2*s.n_docs - 2*dfq.df + 1) * 1000000) // (2*dfq.df + 1))
+        |    * ((22 * m.tf * s.avg_fx * 1000)
+        |       // (10*s.avg_fx*m.tf + 3*s.avg_fx + 9000*m.dl)) ) // 1000) score_fx
+        |  FROM (SELECT qt.bench_id, pc.doc_id, pc.tf, pc.dl, pc.t
+        |        FROM pc JOIN qt USING (t)) m
+        |    JOIN dfq USING (t) CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |r AS (SELECT bench_id, doc_id, score_fx, row_number() OVER (
+        |    PARTITION BY bench_id ORDER BY score_fx DESC, doc_id ASC) rk
+        |  FROM sc),
+        |hits AS (SELECT bench_id, doc_id, score_fx, rk FROM r WHERE rk <= 3),
+        |cg AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(1, len(tk) - 3), i ->
+        |      tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+        |    END)) g
+        |  FROM tokd WHERE doc_id IN (SELECT DISTINCT doc_id FROM hits)),
+        |bs AS (SELECT bench_id, list_distinct(
+        |    CASE WHEN len(btk) < 5 THEN [array_to_string(btk, ' ')]
+        |    ELSE list_transform(range(1, len(btk) - 3), i ->
+        |      btk[i]||' '||btk[i+1]||' '||btk[i+2]||' '||btk[i+3]||' '||btk[i+4])
+        |    END) bg FROM bt),
+        |bsz AS (SELECT bench_id, len(bg) bench_grams FROM bs),
+        |bgr AS (SELECT bench_id, unnest(bg) g FROM bs),
+        |ps AS (SELECT bgr.bench_id, cg.doc_id, COUNT(*) ns
+        |  FROM bgr JOIN cg USING (g) GROUP BY 1, 2)
+        |SELECT h.bench_id, CAST(h.rk AS BIGINT) rank, h.doc_id,
+        |  CAST(h.score_fx AS BIGINT) score_fx,
+        |  CAST(z.bench_grams AS BIGINT) bench_grams,
+        |  CAST(COALESCE(ps.ns, 0) AS BIGINT) n_shared,
+        |  COALESCE(ps.ns, 0) * 100 >= z.bench_grams * 20
+        |    AND z.bench_grams > 0 contaminated
+        |FROM hits h JOIN bsz z USING (bench_id)
+        |  LEFT JOIN ps USING (bench_id, doc_id)""".stripMargin,
     "q148_leakage_safe_split" ->
       (dupClustersCte + s""",
         |c AS (SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node),

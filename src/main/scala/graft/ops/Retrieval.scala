@@ -135,6 +135,52 @@ object Retrieval {
            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     bm25Search(bm25Postings(documents, idCol, textCol), queries, k)
 
+  /** Two-stage eval-contamination triage: BM25 shortlist, then exact
+    * n-gram verification of ONLY the shortlisted pairs. The corpus-wide
+    * gram pass of [[Curate.overlapReport]] (q132) is the ground-truth
+    * report; at 100 TB you cannot afford it per benchmark refresh — here
+    * the corpus is touched only through the postings index (each bench
+    * item's terms fetch their matched lists), and gram sets are built
+    * for at most k·|bench| candidate documents, so the verification
+    * join is bounded by the benchmark size, not the corpus.
+    *
+    * Output: one row per BM25 hit (bench_id, rank, doc_id, score_fx,
+    * bench_grams, n_shared, contaminated) — bench items with no lexical
+    * hit at all produce no rows (nothing to triage; the practical
+    * suspects-only shape). `contaminated` uses the q132 rule: shared
+    * n-grams ≥ `minOverlapPct`% of the bench item's grams, by exact
+    * integer cross-multiplication. */
+  def contaminationTriage(corpus: DataFrame, bench: DataFrame, k: Int = 3,
+                          n: Int = 5, minOverlapPct: Long = 20L,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          benchIdCol: String = "bench_id"): DataFrame = {
+    val hits = bm25(corpus,
+      bench.select(col(benchIdCol).as("query_id"), col(textCol)), k, idCol, textCol)
+      .select(col("query_id").as(benchIdCol), col("rank"), col("doc_id"),
+        col("score_fx"))
+    val candIds = hits.select(col("doc_id")).distinct()
+    val candGrams = corpus
+      .join(broadcast(candIds.withColumnRenamed("doc_id", idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+    val benchSh = bench.select(col(benchIdCol),
+      array_distinct(Dedup.shingles(col(textCol), n)).as("_g"))
+    val benchSizes = benchSh.select(col(benchIdCol), size(col("_g")).cast("long").as("bench_grams"))
+    val benchGrams = benchSh.select(col(benchIdCol), explode(col("_g")).as("g"))
+    val pairShared = benchGrams.join(candGrams, Seq("g"))
+      .groupBy(col(benchIdCol), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    hits
+      .join(broadcast(benchSizes), Seq(benchIdCol))
+      .join(pairShared, Seq(benchIdCol, "doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated",
+        col("n_shared") * 100L >= col("bench_grams") * minOverlapPct &&
+          col("bench_grams") > 0L)
+      .select(col(benchIdCol), col("rank"), col("doc_id"), col("score_fx"),
+        col("bench_grams"), col("n_shared"), col("contaminated"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. '09) of ranked lists — the
     * standard hybrid-retrieval combiner (lexical BM25 + vector ANN see
     * different things; RRF needs only the RANKS, so it fuses integer

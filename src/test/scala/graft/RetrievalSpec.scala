@@ -80,6 +80,27 @@ class RetrievalSpec extends SparkTestBase {
     assert(got == all)
   }
 
+  test("contaminationTriage: verbatim flagged via self top-1, fresh absent, partial thresholds") {
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to 20).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, (1 to 20).map(j => s"w7_$j").mkString(" ")),          // verbatim copy of doc 7
+      (200L, ((1 to 10).map(j => s"w9_$j") ++ (1 to 10).map(j => s"nov_$j")).mkString(" ")), // half of doc 9
+      (300L, (1 to 8).map(j => s"fresh_$j").mkString(" "))          // no corpus overlap
+    ).toDF("bench_id", "text")
+    val got = Retrieval.contaminationTriage(docs, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // verbatim: rank-1 hit is the source doc, full 5-gram overlap, flagged
+    val (d1, bg1, ns1, c1) = got((100L, 1L))
+    assert(d1 == 7L && ns1 == bg1 && c1)
+    // partial: rank-1 is doc 9; 10 shared tokens -> 6 shared 5-grams of 16 = 37% >= 20%
+    val (d2, bg2, ns2, c2) = got((200L, 1L))
+    assert(d2 == 9L && bg2 == 16L && ns2 == 6L && c2)
+    // fresh item surfaces NO rows (suspects-only contract)
+    assert(!got.keys.exists(_._1 == 300L))
+  }
+
   test("rrfFuse: hand-computed fusion, single-source docs, deterministic ties") {
     val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
     val vec = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
