@@ -996,6 +996,27 @@ object SparkEntry {
       Retrieval.contaminationTriage(docs,
         verbatim.unionByName(partial).unionByName(fresh))
     }),
+    // homoglyph-spoofed dedup (Dedup.skeletonExact): spam/SEO duplicates
+    // swap Cyrillic lookalikes for Latin letters and sprinkle zero-width
+    // chars — every token hash changes, so exact AND shingle dedup go
+    // blind while the rendered text is identical. The confusable
+    // skeleton (lower -> strip ZWSP/ZWNJ/ZWJ/BOM -> TR39-subset
+    // translate) collapses the spoof onto its original. Spoofed copies
+    // planted in-plan (id%9==4 clones id-4 with aeo->Cyrillic + ZWSP
+    // after spaces); oracle replays the synthesis and the skeleton
+    "q150_skeleton_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcId = when(pmod(col("doc_id"), lit(9)) === 4 && col("doc_id") >= 9,
+        col("doc_id") - 4).otherwise(col("doc_id"))
+      val joined = docs.select(col("doc_id"), srcId.as("src"))
+        .join(docs.select(col("doc_id").as("src"), col("text").as("src_text")), "src")
+      val spoofed = when(
+        pmod(col("doc_id"), lit(9)) === 4 && col("doc_id") >= 9,
+        regexp_replace(translate(col("src_text"), "aeo", "аео"),
+          " ", " " + "\u200B"))
+        .otherwise(col("src_text"))
+      Dedup.skeletonExact(joined.select(col("doc_id"), spoofed.as("text")))
+    }),
     // jusText-style boilerplate block classification (Boilerplate
     // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
     // in-plan — nav bar, stopword-boosted body, short date stamp, raw
@@ -2356,6 +2377,26 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) class_size,
         |  COUNT(*) >= 10 k_anonymous
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q150_skeleton_dedup" ->
+      """WITH src AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 4 AND doc_id >= 9 THEN doc_id - 4
+        |         ELSE doc_id END s
+        |  FROM documents),
+        |d AS (SELECT src.doc_id,
+        |    CASE WHEN src.doc_id % 9 = 4 AND src.doc_id >= 9
+        |      THEN replace(translate(t.text, 'aeo', 'аео'),
+        |                   ' ', ' ' || chr(8203))
+        |      ELSE t.text END AS text
+        |  FROM src JOIN documents t ON t.doc_id = src.s),
+        |sk AS (SELECT doc_id,
+        |    translate(regexp_replace(lower(text),
+        |        '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |      'аеорсхуіѕјһԁԛ', 'aeopcxyisjhdq') k,
+        |    lower(text) lt
+        |  FROM d)
+        |SELECT MIN(doc_id) doc_id, CAST(COUNT(*) AS BIGINT) dup_cnt,
+        |  MAX(k <> lt) any_spoofed
+        |FROM sk GROUP BY k""".stripMargin,
     "q149_contamination_triage" ->
       """WITH tokd AS (SELECT doc_id, list_filter(
         |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk

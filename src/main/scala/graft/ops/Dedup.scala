@@ -52,6 +52,44 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
       .select(col("doc_id"), col("dup_cnt"))
 
+  /** Confusable skeleton (Unicode TR39's idea, conservative subset): the
+    * canonical form under which homoglyph-spoofed text collides with its
+    * original — lowercase, strip zero-width characters (ZWSP/ZWNJ/ZWJ/
+    * BOM), then map visually-identical Cyrillic lowercase letters to
+    * their Latin lookalikes. Spam/SEO duplicates routinely swap а/е/о/р/
+    * с/х/у (Cyrillic) for a/e/o/p/c/x/y to defeat exact AND shingle
+    * dedup — every token hash changes while the rendered text is
+    * indistinguishable. Pure built-ins (`lower` + `regexp_replace` +
+    * `translate`), fully codegen'd, scan-side. */
+  def confusableSkeleton(text: Column): Column =
+    translate(
+      // zero-width: ZWSP, ZWNJ, ZWJ, BOM (escaped: invisible literals in
+      // source are themselves a spoofing vector)
+      regexp_replace(lower(text), "[\\u200B\\u200C\\u200D\\uFEFF]", ""),
+      // Cyrillic lowercase homoglyphs of Latin letters (TR39 subset):
+      // а е о р с х у і ѕ ј һ ԁ ԛ
+      "аеорсхуіѕјһԁԛ",
+      "aeopcxyisjhdq")
+
+  /** Exact dedup under the confusable skeleton — [[exact]]'s rule
+    * (min-id survivor per identical content) keyed on
+    * (md5(skeleton), length(skeleton)): homoglyph-spoofed copies
+    * collapse onto their originals; text itself never shuffles. Output
+    * one row per distinct skeleton: survivor id, duplicate count, and
+    * whether ANY member was spoofed (its skeleton differs from its
+    * plain lowered text — the signal a curation report wants). */
+  def skeletonExact(documents: DataFrame): DataFrame = {
+    val skel = confusableSkeleton(col("text"))
+    documents
+      .select(col("doc_id"), skel.as("_sk"),
+        (skel =!= lower(col("text"))).as("_sp"))
+      .groupBy(md5(col("_sk").cast("binary")).as("sk_md5"),
+        length(col("_sk")).as("sk_len"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"),
+        max(col("_sp")).as("any_spoofed"))
+      .select(col("doc_id"), col("dup_cnt"), col("any_spoofed"))
+  }
+
   // -------------------------------------------------------------- shingles
 
   /** Word n-gram shingle strings of normalized text (used where the

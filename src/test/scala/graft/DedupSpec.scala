@@ -171,4 +171,35 @@ class DedupSpec extends SparkTestBase {
     assert(got.contains((1L, 2L)), s"got $got")
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("confusableSkeleton: every TR39-subset codepoint pinned; ZWSP family stripped") {
+    import org.apache.spark.sql.functions.col
+    // from-string typed as raw Cyrillic in Dedup.scala — pin each
+    // codepoint here via escapes so a mistyped lookalike cannot hide
+    val pairs = Seq(
+      '\u0430' -> 'a', '\u0435' -> 'e', '\u043E' -> 'o', '\u0440' -> 'p',
+      '\u0441' -> 'c', '\u0445' -> 'x', '\u0443' -> 'y', '\u0456' -> 'i',
+      '\u0455' -> 's', '\u0458' -> 'j', '\u04BB' -> 'h', '\u0501' -> 'd',
+      '\u051B' -> 'q')
+    val input = pairs.map(_._1).mkString + "\u200B\u200C\u200D\uFEFF plain"
+    val got = Seq(Tuple1(input)).toDF("text")
+      .select(Dedup.confusableSkeleton(col("text"))).as[String].head()
+    assert(got == pairs.map(_._2).mkString + " plain")
+  }
+
+  test("skeletonExact: homoglyph+ZWSP spoof collapses onto its original") {
+    import org.apache.spark.sql.functions.col
+    val spoofed = "su\u0440er ch\u0435\u0430p \u200Bdeal" // "super cheap deal" spoofed
+    val docs = Seq(
+      (1L, "super cheap deal"),
+      (2L, spoofed),
+      (3L, "Super cheap deal"),      // case variant: collapses too (lower)
+      (4L, "a different document")
+    ).toDF("doc_id", "text")
+    val got = Dedup.skeletonExact(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(1L -> ((3L, true)), 4L -> ((1L, false))))
+    // exact dedup is blind to the same spoof — the gap this op closes
+    assert(Dedup.exact(docs.where(col("doc_id") <= 2)).count() == 2)
+  }
 }
