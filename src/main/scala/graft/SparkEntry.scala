@@ -1017,6 +1017,38 @@ object SparkEntry {
         .otherwise(col("src_text"))
       Dedup.skeletonExact(joined.select(col("doc_id"), spoofed.as("text")))
     }),
+    // l-diversity audit (Quality.lDiversity, Machanavajjhala '06):
+    // k-anonymity's homogeneity blind spot — classes are measured by
+    // the DIVERSITY of a sensitive attribute (account-balance thousand
+    // band) within each (nation, segment) QI class, l=3
+    "q151_l_diversity" -> ((s, d) =>
+      Quality.lDiversity(
+        Tables.customer(s, d).withColumn("bal_band",
+          floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3L)),
+    // curriculum packing (Curate.curriculumPack): the q109 global
+    // concat-and-chunk layout with a STAGE ordering prefix — clean data
+    // first. Stages come from the q142 unigram-entropy verdicts over the
+    // same planted corpus (diverse=0, mixed=1, repetitive=2, short=3),
+    // so the curriculum is itself a verified scan-side signal; the
+    // oracle chains the q142 verdict CTE into the q109 window cumsum
+    "q152_curriculum_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+          array_join(array_repeat(lit("spam"), 40), " "))
+        .when(pmod(col("doc_id"), lit(7)) === 3,
+          concat_ws(" ", col("text"), col("text")))
+        .otherwise(col("text"))
+      val corpus = docs.select(col("doc_id"), planted.as("text"))
+      val staged = Quality.unigramEntropy(corpus)
+        .select(col("doc_id"),
+          when(col("verdict") === "diverse", 0L)
+            .when(col("verdict") === "mixed", 1L)
+            .when(col("verdict") === "repetitive", 2L)
+            .otherwise(3L).as("stage"))
+      Curate.curriculumPack(corpus.join(staged, "doc_id"),
+        "doc_id", "text", "stage", budget = 512L, epoch = 1)
+    }),
     // jusText-style boilerplate block classification (Boilerplate
     // .classifyBlocks, Pomikalek '11): page-shaped docs synthesized
     // in-plan — nav bar, stopword-boosted body, short date stamp, raw
@@ -1491,6 +1523,29 @@ object SparkEntry {
       |  FROM cand c JOIN bv x ON x.id = c.ia
       |    JOIN bv y ON y.id = c.ib2 AND y.band = x.band
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The q142 unigram-entropy pipeline as a DuckDB CTE chain (planted
+    * classes -> token counts -> integer floor-log2 surprisal -> permille
+    * normalization in `v`); shared by q142 (the verdict report) and
+    * q152 (curriculum packing staged by the same verdicts). */
+  private val entropyCte: String =
+    """d AS (SELECT doc_id, CASE
+      |    WHEN doc_id % 7 = 0 THEN repeat('spam ', 39) || 'spam'
+      |    WHEN doc_id % 7 = 3 THEN text || ' ' || text
+      |    ELSE text END AS text FROM documents),
+      |tok AS (SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) t
+      |  FROM d),
+      |tc AS (SELECT doc_id, t, COUNT(*) c FROM tok GROUP BY 1, 2),
+      |n AS (SELECT doc_id, SUM(c) n, COUNT(*) nd FROM tc GROUP BY 1),
+      |sp AS (SELECT tc.doc_id, SUM(c * (length(bin(n.n // c)) - 1)) surp
+      |  FROM tc JOIN n USING (doc_id) GROUP BY 1),
+      |v AS (SELECT d.doc_id, COALESCE(n.n, 0) nt, COALESCE(n.nd, 0) nd,
+      |    COALESCE(sp.surp, 0) surp,
+      |    CASE WHEN COALESCE(n.n, 0) >= 2
+      |      THEN COALESCE(sp.surp, 0) * 1000 // (n.n * (length(bin(n.n)) - 1))
+      |      ELSE 0 END nm
+      |  FROM d LEFT JOIN n USING (doc_id) LEFT JOIN sp USING (doc_id))""".stripMargin
 
   /** The q141 video pipeline as a DuckDB CTE chain: per-frame pixel
     * formula -> luma -> 9x8 grid -> gradient-sign bits -> 16-bit band
@@ -2307,29 +2362,13 @@ object SparkEntry {
         |  j jaccard
         |FROM jac WHERE j >= 0.5""".stripMargin),
     "q142_unigram_entropy" ->
-      """WITH d AS (SELECT doc_id, CASE
-        |    WHEN doc_id % 7 = 0 THEN repeat('spam ', 39) || 'spam'
-        |    WHEN doc_id % 7 = 3 THEN text || ' ' || text
-        |    ELSE text END AS text FROM documents),
-        |tok AS (SELECT doc_id, unnest(list_filter(
-        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) t
-        |  FROM d),
-        |tc AS (SELECT doc_id, t, COUNT(*) c FROM tok GROUP BY 1, 2),
-        |n AS (SELECT doc_id, SUM(c) n, COUNT(*) nd FROM tc GROUP BY 1),
-        |sp AS (SELECT tc.doc_id, SUM(c * (length(bin(n.n // c)) - 1)) surp
-        |  FROM tc JOIN n USING (doc_id) GROUP BY 1),
-        |v AS (SELECT d.doc_id, COALESCE(n.n, 0) nt, COALESCE(n.nd, 0) nd,
-        |    COALESCE(sp.surp, 0) surp,
-        |    CASE WHEN COALESCE(n.n, 0) >= 2
-        |      THEN COALESCE(sp.surp, 0) * 1000 // (n.n * (length(bin(n.n)) - 1))
-        |      ELSE 0 END nm
-        |  FROM d LEFT JOIN n USING (doc_id) LEFT JOIN sp USING (doc_id))
+      ("WITH " + entropyCte + """
         |SELECT doc_id, CAST(nt AS BIGINT) n_tokens,
         |  CAST(nd AS BIGINT) n_distinct, CAST(surp AS BIGINT) surprisal_sum,
         |  CAST(nm AS BIGINT) norm_milli,
         |  CASE WHEN nt < 2 THEN 'short' WHEN nm < 300 THEN 'repetitive'
         |       WHEN nm < 700 THEN 'mixed' ELSE 'diverse' END verdict
-        |FROM v""".stripMargin,
+        |FROM v""".stripMargin),
     "q143_bm25_topk" ->
       ("WITH " + bm25Cte + """
         |SELECT query_id, CAST(rk AS BIGINT) rank, doc_id,
@@ -2376,6 +2415,30 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(COUNT(*) AS BIGINT) class_size,
         |  COUNT(*) >= 10 k_anonymous
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q152_curriculum_pack" ->
+      ("WITH " + entropyCte + """,
+        |k AS (SELECT doc_id, CAST(nt AS BIGINT) n_tokens,
+        |    CASE WHEN nt < 2 THEN 3 WHEN nm < 300 THEN 2
+        |         WHEN nm < 700 THEN 1 ELSE 0 END stage,
+        |    md5(CAST(doc_id AS VARCHAR) || '_e1') sk
+        |  FROM v WHERE nt > 0),
+        |c AS (SELECT doc_id, n_tokens, CAST(stage AS BIGINT) stage,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY stage, sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      stream_pos
+        |  FROM k)
+        |SELECT doc_id, n_tokens, stage, stream_pos,
+        |  stream_pos // 512 pack_first,
+        |  (stream_pos + n_tokens - 1) // 512 pack_last
+        |FROM c""".stripMargin),
+    "q151_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) class_size,
+        |  CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+        |    AS BIGINT) distinct_sensitive,
+        |  COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+        |    l_diverse
         |FROM customer GROUP BY 1, 2""".stripMargin,
     "q150_skeleton_dedup" ->
       """WITH src AS (SELECT doc_id,

@@ -530,17 +530,36 @@ object Curate {
     * single-partition window, no driver materialization of rows. Token-
     * empty documents are dropped (they occupy no stream positions). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    budget: Long, epoch: Int, parts: Int = 64): DataFrame = {
+                    budget: Long, epoch: Int, parts: Int = 64): DataFrame =
+    packStream(df, idCol, textCol, lit(0L), budget, epoch, parts,
+      emitStage = false)
+
+  /** CURRICULUM packing — [[packSequences]] with a stage ordering prefix:
+    * documents are laid out stage 0 first (e.g. highest-quality tier),
+    * then stage 1, ..., with the deterministic per-epoch shuffle WITHIN
+    * each stage — the "easy/clean data first" training schedule as a
+    * property of the packed layout itself, still one global stream with
+    * zero padding waste and the same two-pass scalable prefix sum. */
+  def curriculumPack(df: DataFrame, idCol: String, textCol: String,
+                     stageCol: String, budget: Long, epoch: Int,
+                     parts: Int = 64): DataFrame =
+    packStream(df, idCol, textCol, col(stageCol).cast("long"), budget, epoch,
+      parts, emitStage = true)
+
+  private def packStream(df: DataFrame, idCol: String, textCol: String,
+                         stage: Column, budget: Long, epoch: Int,
+                         parts: Int, emitStage: Boolean): DataFrame = {
     require(budget > 0, s"pack budget must be positive: $budget")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
     val keyed = df.select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-        md5(concat(col(idCol).cast("string"), lit(s"_e$epoch"))).as("_skey"))
+        md5(concat(col(idCol).cast("string"), lit(s"_e$epoch"))).as("_skey"),
+        stage.as("_stage"))
       .where(col("n_tokens") > 0)
-      .repartitionByRange(parts, col("_skey"), col(idCol))
-      .sortWithinPartitions(col("_skey"), col(idCol))
+      .repartitionByRange(parts, col("_stage"), col("_skey"), col(idCol))
+      .sortWithinPartitions(col("_stage"), col("_skey"), col(idCol))
       .transform(graft.plans.CheckpointAudit.local)
     val sums = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
@@ -552,14 +571,18 @@ object Curate {
       var pos = offsets.value(pid)
       it.map { r =>
         val n = r.getLong(1)
-        val row = Row(r.get(0), n, pos, pos / budget, (pos + n - 1) / budget)
+        val base = Seq(r.get(0), n) ++
+          (if (emitStage) Seq(r.getLong(3)) else Nil) ++
+          Seq(pos, pos / budget, (pos + n - 1) / budget)
         pos += n
-        row
+        Row.fromSeq(base)
       }
     }
-    val schema = new org.apache.spark.sql.types.StructType()
+    var schema = new org.apache.spark.sql.types.StructType()
       .add(keyed.schema.fields(0))
       .add("n_tokens", LongType, nullable = false)
+    if (emitStage) schema = schema.add("stage", LongType, nullable = false)
+    schema = schema
       .add("stream_pos", LongType, nullable = false)
       .add("pack_first", LongType, nullable = false)
       .add("pack_last", LongType, nullable = false)

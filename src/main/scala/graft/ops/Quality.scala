@@ -371,6 +371,20 @@ object Quality {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("k_anonymous", col("class_size") >= k)
 
+  /** l-diversity audit (Machanavajjhala '06) — k-anonymity's blind spot:
+    * a class can be large yet reveal everything when all its members
+    * share one SENSITIVE value (the homogeneity attack). One row per QI
+    * equivalence class with its population, the number of distinct
+    * sensitive values, and whether it meets `l`. Same single-groupBy
+    * scale shape as [[kAnonymity]] (count distinct is exact here —
+    * the sensitive domain per class is what is being measured). */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Long = 3L): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("l_diverse", col("distinct_sensitive") >= l)
+
   /** Suppression-based k-anonymization: drop every row whose QI class
     * is below `k` (the simplest enforcement; generalization hierarchies
     * are domain-specific and belong to the caller). The violating-class

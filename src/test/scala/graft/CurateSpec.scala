@@ -498,4 +498,26 @@ class CurateSpec extends SparkTestBase {
     // all three splits occur over 100 docs at 80/10/10
     assert(got.values.map(_._2).toSet == Set("train", "val", "test"))
   }
+
+  test("curriculumPack: stage blocks are contiguous; degenerate stage == packSequences") {
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (i % 5 + 1).toInt).map(j => s"t${i}_$j").mkString(" "),
+        (i % 3))).toDF("doc_id", "text", "stage")
+    val packed = Curate.curriculumPack(docs, "doc_id", "text", "stage",
+      budget = 7L, epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toList
+    // every stage-s document streams strictly before every stage-(s+1) doc
+    val maxPosByStage = packed.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minPosByStage = packed.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    assert(maxPosByStage(0L) < minPosByStage(1L) &&
+      maxPosByStage(1L) < minPosByStage(2L))
+    // constant stage degenerates to the plain epoch-shuffled pack
+    val flat = Curate.curriculumPack(docs.withColumn("stage",
+      org.apache.spark.sql.functions.lit(0L)), "doc_id", "text", "stage",
+      budget = 7L, epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val plain = Curate.packSequences(docs, "doc_id", "text", budget = 7L, epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(flat == plain)
+  }
 }
