@@ -184,4 +184,16 @@ class QualitySpec extends SparkTestBase {
       Seq("country", "segment"), k = 3L)
     assert(recheck.where(!org.apache.spark.sql.functions.col("k_anonymous")).count() == 0)
   }
+
+  test("lDiversity: homogeneous class fails even when k-large") {
+    val rows = Seq(
+      ("us", "flu", 1L), ("us", "flu", 2L), ("us", "flu", 3L), ("us", "flu", 4L),
+      ("de", "flu", 5L), ("de", "cold", 6L), ("de", "cut", 7L)
+    ).toDF("region", "diagnosis", "id")
+    val got = Quality.lDiversity(rows, Seq("region"), "diagnosis", l = 3L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // "us" is k=4 large yet fully homogeneous -> fails l-diversity
+    assert(got("us") == ((4L, 1L, false)))
+    assert(got("de") == ((3L, 3L, true)))
+  }
 }
