@@ -45,7 +45,9 @@ case class UnigramEntropyStats(child: Expression) extends UnaryExpression {
   def compute(text: UTF8String): InternalRow = {
     val counts = new java.util.HashMap[String, Long]()
     var n = 0L
-    val parts = text.toString.toLowerCase.split("\\s+")
+    // Locale.ROOT: default-locale lowercasing diverges from Spark/DuckDB
+    // lower() under tr_TR (I -> dotless ı) and breaks the oracle replay
+    val parts = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     var i = 0
     while (i < parts.length) {
       if (parts(i).nonEmpty) {

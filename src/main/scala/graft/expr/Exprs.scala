@@ -42,7 +42,9 @@ object Exprs {
   private[expr] def tokensOf(text: UTF8String): Array[String] = {
     val t = text.toString.trim
     if (t.isEmpty) Array.empty[String]
-    else t.toLowerCase.split("\\s+")
+    // Locale.ROOT: default-locale lowercasing diverges from Spark/DuckDB
+    // lower() under tr_TR (I -> dotless ı) — same fix as UnigramEntropyStats
+    else t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
   }
 
   // ------------------------------------------------------------ wrappers

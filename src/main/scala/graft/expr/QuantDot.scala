@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * trained at a different dimensionality is a caller bug surfaced as a
   * droppable row, not a crash mid-job). */
 case class QuantDot(child: Expression, weights: Seq[Long], qscale: Long)
-  extends UnaryExpression {
+  extends UnaryExpression with VectorReader {
   require(weights.nonEmpty, "weights must be non-empty")
   require(qscale >= 1, "qscale must be >= 1")
 
@@ -30,13 +30,17 @@ case class QuantDot(child: Expression, weights: Seq[Long], qscale: Long)
   override def prettyName: String = "quant_dot"
 
   @transient private lazy val w: Array[Long] = weights.toArray
+  // VectorReader (the CosineSim discipline): float AND double arrays,
+  // null elements as 0 — a bare getFloat over an array<double> would
+  // read 4-byte strides across 8-byte values and produce silent garbage
+  @transient private lazy val isFloat = isFloatArray(child.dataType)
 
   def compute(arr: ArrayData): Any = {
     if (arr.numElements() != w.length) return null
     var acc = 0L
     var j = 0
     while (j < w.length) {
-      val q = math.floor(arr.getFloat(j).toDouble * qscale + 0.5).toLong
+      val q = math.floor(elemAt(arr, j, isFloat) * qscale + 0.5).toLong
       acc += w(j) * q
       j += 1
     }

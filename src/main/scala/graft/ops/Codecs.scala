@@ -175,7 +175,10 @@ object Codecs {
     while (o + 8 <= bytes.length) {
       val id = new String(bytes, o, 4, "US-ASCII")
       val len = le32(bytes, o + 4)
-      if (len < 0 || o + 8 + len > bytes.length) return None
+      // bound in LONG: a crafted len near 2^31 wraps Int addition
+      // negative and sails past the check (the gvid/avi parsers already
+      // guard in Long; garbage media must skip, not throw)
+      if (len < 0 || o.toLong + 8L + len > bytes.length) return None
       if (id == "fmt " && len >= 16) {
         ok = le16(bytes, o + 8) == 1 && le16(bytes, o + 10) == 1 &&
           le16(bytes, o + 22) == 16

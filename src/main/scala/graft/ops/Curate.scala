@@ -111,9 +111,12 @@ object Curate {
     * incremental (a new near-dup of an existing doc inherits its
     * cluster's split).
     *
-    * Shape at scale: the cluster frame is pairs-sized (only docs that
-    * near-duplicate something), so the join is small-side broadcastable;
-    * everything else is the scan-side hash rule. */
+    * Shape at scale: the cluster frame holds one row per CLUSTERED doc
+    * — small when dup rates are low, but a heavily-duplicated crawl can
+    * cluster half its corpus, so the join is left to the optimizer (AQE
+    * broadcasts it when it fits, shuffles on the id key when it does
+    * not) rather than force-broadcast; everything else is the scan-side
+    * hash rule. */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
                        idCol: String = "doc_id", trainFrac: Double = 0.8,
                        valFrac: Double = 0.1,
@@ -121,7 +124,7 @@ object Curate {
     val cl = dupClusters(pairs)
       .select(col("doc_id").as(idCol), col("cluster_id"))
     val keyed = docs.select(col(idCol))
-      .join(broadcast(cl), Seq(idCol), "left")
+      .join(cl, Seq(idCol), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
     trainValTestSplit(keyed, "split_key", trainFrac, valFrac, salt)
       .select(col(idCol), col("split_key"), col("split"))

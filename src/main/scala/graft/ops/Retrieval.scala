@@ -116,7 +116,11 @@ object Retrieval {
     // level 1 keeps k per (query, salt) in parallel, level 2 ranks the
     // surviving k·salts rows
     val salts = 32
-    val w1 = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(salts)))
+    // salt on hash(id), not id mod n: string/UUID doc ids cast to NULL
+    // under pmod and would collapse every hit into one salt partition —
+    // exactly the single-sort bottleneck the salting exists to prevent
+    val w1 = Window.partitionBy(col("query_id"),
+        pmod(abs(hash(col("doc_id"))), lit(salts)))
       .orderBy(col("score_fx").desc, col("doc_id").asc)
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("score_fx").desc, col("doc_id").asc)

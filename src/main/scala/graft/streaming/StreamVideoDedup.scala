@@ -46,9 +46,14 @@ object StreamVideoDedup {
     val b = batch.localCheckpoint(true) // pin: read multiple times below
     val local = Dedup.videoSurvivors(b, n, minJaccard, maxDf)
       .localCheckpoint(true) // sigs + anti-join + write below
+    // decode ONCE: the signature pass (container parse + per-frame
+    // ImageIO + dHash) is the batch's most expensive step — pin it and
+    // derive both the cross-corpus probe and the index append from the
+    // same frame instead of re-decoding survivors
     val sigs = local.select(col("asset_id").as("video_id"),
       Exprs.videoShingles(col("media"), n).as("sh"))
       .where(col("sh").isNotNull && size(col("sh")) > 0)
+      .localCheckpoint(true)
     // existence-checked, never exception-guessed (the StreamNearDedup
     // round-6 lesson)
     val indexPath = new org.apache.hadoop.fs.Path(indexDir)
@@ -66,9 +71,8 @@ object StreamVideoDedup {
     StreamMediaDedup.writeDynamic(
       survivors.withColumn("_batch", lit(batchId)), corpusDir)
     StreamMediaDedup.writeDynamic(
-      survivors.select(col("asset_id").as("video_id"),
-        Exprs.videoShingles(col("media"), n).as("sh"))
-        .where(col("sh").isNotNull && size(col("sh")) > 0)
+      sigs.join(dropIds.withColumnRenamed("asset_id", "video_id"),
+          Seq("video_id"), "left_anti")
         .select(col("video_id"), size(col("sh")).as("sz"),
           explode(col("sh")).as("s"))
         .withColumn("_batch", lit(batchId)),

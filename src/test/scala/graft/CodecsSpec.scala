@@ -122,4 +122,28 @@ class CodecsSpec extends SparkTestBase {
     // ids 0 and 97, 194: garbage -> undecoded row
     for (g <- Seq(0L, 97L, 194L)) assert(rows(g).isNullAt(1), s"id $g must be undecoded")
   }
+
+  test("wavPcm: a crafted chunk length near 2^31 must skip, not overflow and throw") {
+    // valid RIFF/WAVE + fmt header, then a 'data' chunk claiming ~2^31
+    // bytes in a tiny buffer: Int addition would wrap negative and pass
+    // the bounds check; the decode must return None (skip) and not AIOOBE
+    val base = Codecs.encodeWav(16000, Array.tabulate(80)(i => (i * 3).toShort))
+    val evil = base.clone()
+    // find the 'data' chunk and stamp a huge little-endian length
+    var o = 12
+    var dataAt = -1
+    while (o + 8 <= evil.length && dataAt < 0) {
+      if (new String(evil, o, 4, "US-ASCII") == "data") dataAt = o
+      else {
+        val len = (evil(o + 4) & 0xff) | ((evil(o + 5) & 0xff) << 8) |
+          ((evil(o + 6) & 0xff) << 16) | ((evil(o + 7) & 0xff) << 24)
+        o += 8 + len + (len & 1)
+      }
+    }
+    assert(dataAt > 0)
+    evil(dataAt + 4) = 0x00; evil(dataAt + 5) = 0xF0.toByte
+    evil(dataAt + 6) = 0xFF.toByte; evil(dataAt + 7) = 0x7F // 0x7FFFF000
+    assert(Codecs.decodeWav(evil).isEmpty)
+    assert(Codecs.ahash64(evil).isEmpty)
+  }
 }

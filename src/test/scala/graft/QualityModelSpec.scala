@@ -151,4 +151,13 @@ class QualityModelSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("exchange"),
       s"probe scoring must be scan-side:\n$plan")
   }
+
+  test("embedding probe: double-typed vectors score identically to float (VectorReader)") {
+    val w = Seq(3L, -2L, 5L)
+    val f = Seq((1L, Array(0.25f, -0.5f, 1.0f))).toDF("vec_id", "embedding")
+    val d = Seq((1L, Array(0.25, -0.5, 1.0))).toDF("vec_id", "embedding")
+    val sf = QualityModel.embeddingProbeScore(f, w).select("score_fx").as[Long].head()
+    val sd = QualityModel.embeddingProbeScore(d, w).select("score_fx").as[Long].head()
+    assert(sf == sd && sf == 3L * 256 - 2L * -512 + 5L * 1024)
+  }
 }
