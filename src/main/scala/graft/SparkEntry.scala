@@ -1026,6 +1026,17 @@ object SparkEntry {
         Tables.customer(s, d).withColumn("bal_band",
           floor(col("c_acctbal") / 1000.0).cast("long")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3L)),
+    // t-closeness audit (Quality.tCloseness, Li et al. '07): the
+    // skewness blind spot left after q145/q151 — per (nation, segment)
+    // QI class, the ordered-domain Earth Mover's Distance between the
+    // class's account-balance-band distribution and the global one, in
+    // exact ppm fixed point (cumulative fractions ppm-quantized BEFORE
+    // differencing, so both engines walk identical BIGINTs); t = 0.2
+    "q153_t_closeness" -> ((s, d) =>
+      Quality.tCloseness(
+        Tables.customer(s, d).withColumn("bal_band",
+          floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", tPpm = 200000L)),
     // curriculum packing (Curate.curriculumPack): the q109 global
     // concat-and-chunk layout with a STAGE ordering prefix — clean data
     // first. Stages come from the q142 unigram-entropy verdicts over the
@@ -2440,6 +2451,42 @@ object SparkEntry {
         |  COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
         |    l_diverse
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q153_t_closeness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) v
+        |  FROM customer),
+        |g AS (SELECT v, CAST(COUNT(*) AS BIGINT) cnt_g FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt_g) AS BIGINT) n,
+        |               CAST(COUNT(*) AS BIGINT) m FROM g),
+        |gcum AS (SELECT v, CAST(SUM(cnt_g) OVER (ORDER BY v) AS BIGINT) cum_g
+        |         FROM g),
+        |cls AS (SELECT c_nationkey, c_mktsegment,
+        |               CAST(COUNT(*) AS BIGINT) class_size
+        |        FROM base GROUP BY 1, 2),
+        |cc AS (SELECT c_nationkey, c_mktsegment, v,
+        |              CAST(COUNT(*) AS BIGINT) cnt_c
+        |       FROM base GROUP BY 1, 2, 3),
+        |cum AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size,
+        |               gcum.v, gcum.cum_g,
+        |               CAST(SUM(COALESCE(cc.cnt_c, 0)) OVER (
+        |                 PARTITION BY cls.c_nationkey, cls.c_mktsegment
+        |                 ORDER BY gcum.v) AS BIGINT) cum_c
+        |        FROM cls CROSS JOIN gcum
+        |        LEFT JOIN cc ON cc.c_nationkey = cls.c_nationkey
+        |                    AND cc.c_mktsegment = cls.c_mktsegment
+        |                    AND cc.v = gcum.v),
+        |d AS (SELECT c_nationkey, c_mktsegment, class_size,
+        |             CAST(SUM(ABS((1000000 * cum_c) // class_size
+        |                        - (1000000 * cum_g) // n)) AS BIGINT) s,
+        |             MAX(m) m
+        |      FROM cum CROSS JOIN tot GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, class_size,
+        |       CAST(CASE WHEN m <= 1 THEN 0 ELSE s // (m - 1) END
+        |         AS BIGINT) emd_ppm,
+        |       CAST(CASE WHEN m <= 1 THEN 0 ELSE s // (m - 1) END
+        |         AS BIGINT) <= 200000 t_close
+        |FROM d""".stripMargin,
     "q150_skeleton_dedup" ->
       """WITH src AS (SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 4 AND doc_id >= 9 THEN doc_id - 4

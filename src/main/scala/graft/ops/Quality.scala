@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality expectation checks and snapshot diffing — the guardrails a
@@ -384,6 +385,61 @@ object Quality {
       .agg(count(lit(1)).as("class_size"),
         countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
       .withColumn("l_diverse", col("distinct_sensitive") >= l)
+
+  /** t-closeness audit (Li et al. '07) — the remaining blind spot after
+    * [[kAnonymity]] and [[lDiversity]]: a class can be large AND diverse
+    * yet still leak when its sensitive-value DISTRIBUTION differs sharply
+    * from the table's (skewness attack: "this class is 90% high-balance"
+    * is a disclosure even with many distinct values present). Per QI
+    * equivalence class, the Earth Mover's Distance between the class's
+    * distribution over the ORDERED sensitive attribute and the global
+    * one; for ordered domains with unit ground distance,
+    * EMD = Σ_i |P_cum(i) − Q_cum(i)| / (m − 1) over the m global values.
+    *
+    * Exact fixed-point discipline: cumulative fractions are quantized to
+    * ppm FIRST (`(1e6·cum) div size`, positive operands so trunc == floor
+    * across engines), then differenced — every intermediate is a BIGINT
+    * both engines compute identically, and `emd_ppm` is the metric's
+    * contract (no float EMD whose summation order could differ). Rows
+    * with a NULL sensitive value are excluded up front (a NULL has no
+    * position in an ordered domain; engines also disagree on NULL sort
+    * placement).
+    *
+    * Shape at scale: the global distribution is domain-bounded and its
+    * cumsum runs through [[Perplexity.cumulativeByValue]] (no global
+    * window on data-dependent cardinality); the dense class×domain grid
+    * is (QI domain)×m — audit-bounded, never row-count-bounded — with
+    * the m-row value list broadcast, and the per-class cumsum window is
+    * partitioned by class over ≤ m rows. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 tPpm: Long = 200000L): DataFrame = {
+    val qi = qiCols.map(col)
+    val base = df.where(col(sensitiveCol).isNotNull)
+      .withColumn("_v", col(sensitiveCol).cast("long"))
+    val g = base.groupBy(col("_v")).agg(count(lit(1)).as("_cnt_g"))
+    val gCum = Perplexity.cumulativeByValue(g, "_v", "_cnt_g")
+      .withColumnRenamed("_cum", "_cum_g")
+      .select(col("_v"), col("_cum_g"))
+    val tot = g.agg(sum(col("_cnt_g")).as("_n"), count(lit(1)).as("_m"))
+    val classes = base.groupBy(qi: _*).agg(count(lit(1)).as("class_size"))
+    val cc = base.groupBy(qi :+ col("_v"): _*).agg(count(lit(1)).as("_cnt_c"))
+    val w = Window.partitionBy(qi: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes.crossJoin(broadcast(gCum))
+      .join(cc, qiCols :+ "_v", "left")
+      .na.fill(0L, Seq("_cnt_c"))
+      .withColumn("_cum_c", sum(col("_cnt_c")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("_diff", abs(
+        expr("(1000000L * _cum_c) div class_size")
+          - expr("(1000000L * _cum_g) div _n")))
+      .groupBy(qi :+ col("class_size") :+ col("_m"): _*)
+      .agg(sum(col("_diff")).as("_s"))
+      .withColumn("emd_ppm",
+        when(col("_m") <= 1L, lit(0L)).otherwise(expr("_s div (_m - 1)")))
+      .withColumn("t_close", col("emd_ppm") <= tPpm)
+      .drop("_s", "_m")
+  }
 
   /** Suppression-based k-anonymization: drop every row whose QI class
     * is below `k` (the simplest enforcement; generalization hierarchies

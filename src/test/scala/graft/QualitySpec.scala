@@ -196,4 +196,34 @@ class QualitySpec extends SparkTestBase {
     assert(got("us") == ((4L, 1L, false)))
     assert(got("de") == ((3L, 3L, true)))
   }
+
+  test("tCloseness: skewed class fails, boundary class passes, hand-computed EMD") {
+    // domain {0,1}; global 7xv0 + 3xv1 over N=10 -> cum_g ppm at v0 = 700000
+    // A: 4xv0           -> |1000000-700000| = 300000 -> emd 300000 FAIL
+    // B: 2xv0 + 2xv1    -> |500000-700000|  = 200000 -> emd 200000 pass (boundary)
+    // C: 1xv0 + 1xv1    -> same 200000 -> pass
+    val rows = Seq(
+      ("A", 0L), ("A", 0L), ("A", 0L), ("A", 0L),
+      ("B", 0L), ("B", 0L), ("B", 1L), ("B", 1L),
+      ("C", 0L), ("C", 1L)
+    ).toDF("region", "band")
+    val got = Quality.tCloseness(rows, Seq("region"), "band", tPpm = 200000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("A") == ((4L, 300000L, false)))
+    assert(got("B") == ((4L, 200000L, true)))
+    assert(got("C") == ((2L, 200000L, true)))
+  }
+
+  test("tCloseness: m=1 degenerates to emd 0; NULL sensitive rows excluded") {
+    val one = Seq(("A", Some(5L)), ("A", Some(5L)), ("B", Some(5L)),
+      ("B", None)).toDF("region", "band")
+    val got = Quality.tCloseness(one, Seq("region"), "band", tPpm = 0L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // single-value domain: every class trivially matches; the null row
+    // does not count toward B's class size
+    assert(got("A") == ((2L, 0L, true)))
+    assert(got("B") == ((1L, 0L, true)))
+  }
 }
