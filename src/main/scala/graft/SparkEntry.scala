@@ -1037,6 +1037,14 @@ object SparkEntry {
         Tables.customer(s, d).withColumn("bal_band",
           floor(col("c_acctbal") / 1000.0).cast("long")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPpm = 200000L)),
+    // KMV distinct sketch (Kmv.certifiedEstimate, Bar-Yossef '02): the
+    // deterministic cardinality estimator q43's HLL cannot be — sketch
+    // state is "the 256 smallest 48-bit md5 hashes", a pure function of
+    // the input set, so the oracle replays the sketch AND the estimate
+    // bit-for-bit (hex→int positional fold in DuckDB). Mergeable typed
+    // Aggregator: each partition reduces to ≤ k longs, map-side merge
+    "q154_kmv_distinct" -> ((s, d) =>
+      Kmv.certifiedEstimate(Tables.events(s, d), "event_id", k = 256)),
     // curriculum packing (Curate.curriculumPack): the q109 global
     // concat-and-chunk layout with a STAGE ordering prefix — clean data
     // first. Stages come from the q142 unigram-entropy verdicts over the
@@ -2451,6 +2459,27 @@ object SparkEntry {
         |  COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
         |    l_diverse
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q154_kmv_distinct" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) h
+        |  FROM events WHERE event_id IS NOT NULL),
+        |hv AS (
+        |  SELECT DISTINCT CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM hashed CROSS JOIN generate_series(1, 12) t(i) GROUP BY h),
+        |sel AS (SELECT v FROM hv ORDER BY v LIMIT 256),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) n_kept,
+        |               CAST(MAX(v) AS BIGINT) kth_hash FROM sel),
+        |ex AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT)
+        |         exact_distinct
+        |       FROM events WHERE event_id IS NOT NULL)
+        |SELECT n_kept, kth_hash,
+        |       CAST(CASE WHEN n_kept < 256 THEN n_kept
+        |            ELSE (255 * 281474976710656) // (kth_hash + 1)
+        |            END AS BIGINT) est_distinct,
+        |       exact_distinct
+        |FROM agg CROSS JOIN ex""".stripMargin,
     "q153_t_closeness" ->
       """WITH base AS (
         |  SELECT c_nationkey, c_mktsegment,

@@ -1,0 +1,108 @@
+package graft.ops
+
+import scala.collection.immutable.TreeSet
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch — the DETERMINISTIC
+  * cardinality estimator the HLL path (Relational.approxDistinctCounts,
+  * q43) cannot be: HLL register layouts are engine-specific, so q43 only
+  * certifies error bounds; KMV's state is "the k smallest hash values",
+  * a pure function of the input set that any engine replays bit-for-bit.
+  * The driver's DuckDB oracle recomputes the identical sketch and the
+  * identical estimate (q154) — a sketch whose VALUE is hash-checkable,
+  * not just bound-checkable.
+  *
+  * Estimator (Bar-Yossef et al. '02; Beyer et al. '07 unbiased form):
+  * with hashes uniform on [0, 2^48), the k-th smallest hash h_k gives
+  *   distinct ≈ (k−1) · 2^48 / (h_k + 1)
+  * (the +1 maps to U = (h+1)/2^48 ∈ (0,1], dodging h=0 division). When
+  * fewer than k distinct hashes exist the sketch IS the distinct set and
+  * the count is exact. Integer division both engines floor identically;
+  * (k−1)·2^48 fits a BIGINT for k ≤ 2^15.
+  *
+  * Hash: the first 12 hex chars of md5 of the value's canonical string
+  * form (`conv(,16,10)` here; positional strpos/power fold in DuckDB —
+  * lexicographic hex order == numeric order, both engines see the same
+  * 48-bit integers). 48 bits keeps every product in BIGINT range; at
+  * k=4096 the birthday-collision bias at 2^48 is ~k²/2^49 ≪ the
+  * estimator's own 1/√k error.
+  *
+  * Shape at scale: a mergeable typed Aggregator (the Misra-Gries q66
+  * discipline) — each partition reduces to ≤ k longs, partials merge
+  * map-side, and the shuffle carries k·#tasks longs no matter the input
+  * cardinality. Union cardinality = merge the per-source sketches
+  * ([[mergeSketches]]) — no re-scan of either source.
+  */
+object Kmv {
+
+  /** 2^48 — the hash space size. */
+  val HashSpace: Long = 1L << 48
+
+  /** 48-bit hash: first 12 hex chars of md5(canonical string), as long. */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+
+  /** Keep the k smallest DISTINCT hash values; TreeSet.max is the
+    * current k-th minimum, dropped first on overflow. */
+  private[ops] def trim(s: TreeSet[Long], k: Int): TreeSet[Long] = {
+    var m = s
+    while (m.size > k) m -= m.max
+    m
+  }
+
+  class KmvAgg(k: Int) extends Aggregator[Long, TreeSet[Long], Array[Long]] {
+    override def zero: TreeSet[Long] = TreeSet.empty[Long]
+    override def reduce(b: TreeSet[Long], h: Long): TreeSet[Long] =
+      if (b.contains(h)) b
+      else if (b.size < k) b + h
+      else if (h < b.max) trim(b + h, k)
+      else b
+    override def merge(a: TreeSet[Long], b: TreeSet[Long]): TreeSet[Long] =
+      trim(a ++ b, k)
+    override def finish(r: TreeSet[Long]): Array[Long] = r.toArray
+    override def bufferEncoder: Encoder[TreeSet[Long]] =
+      Encoders.kryo[TreeSet[Long]]
+    override def outputEncoder: Encoder[Array[Long]] =
+      Encoders.kryo[Array[Long]]
+  }
+
+  /** The sketch of a column: ≤ k rows of kept hash values (`v`). */
+  def sketch(df: DataFrame, colName: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(colName).isNotNull)
+      .select(hash48(col(colName)).as("h")).as[Long]
+      .groupByKey(_ => 0) // one global sketch; partials merge map-side
+      .agg(new KmvAgg(k).toColumn.name("sk"))
+      .flatMap(_._2)
+      .toDF("v")
+  }
+
+  /** Sketch union — KMV merges EXACTLY: trim(kmv(A) ∪ kmv(B)) is the
+    * sketch of A ∪ B (spec-pinned), so union cardinality needs no
+    * re-scan. Distinct-then-trim via one ≤ 2k-row sort. */
+  def mergeSketches(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.union(b).distinct().orderBy(col("v")).limit(k)
+
+  /** Estimate from a sketch frame: one row (n_kept, kth_hash,
+    * est_distinct). */
+  def estimate(sk: DataFrame, k: Int): DataFrame =
+    sk.agg(count(lit(1)).as("n_kept"), max(col("v")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div (kth_hash + 1L)")))
+
+  /** Certification query (q154): the sketch estimate NEXT TO the exact
+    * distinct count, both oracle-replayable. The exact side is the
+    * certification's cost, not the operator's — production callers run
+    * [[sketch]]/[[estimate]] alone (one pass, k longs of state). */
+  def certifiedEstimate(df: DataFrame, colName: String, k: Int): DataFrame = {
+    val est = estimate(sketch(df, colName, k), k)
+    val exact = df.where(col(colName).isNotNull)
+      .agg(countDistinct(col(colName)).cast("long").as("exact_distinct"))
+    est.crossJoin(exact)
+  }
+}

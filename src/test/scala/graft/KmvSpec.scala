@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Kmv
+import org.apache.spark.sql.functions._
+
+class KmvSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hash48: first 12 md5 hex chars as integer (pinned)") {
+    // md5("1") = c4ca4238a0b9... -> 0xc4ca4238a0b9
+    val got = Seq("1").toDF("x").select(Kmv.hash48(col("x"))).as[Long].head()
+    assert(got == java.lang.Long.parseLong("c4ca4238a0b9", 16))
+  }
+
+  test("under-k input: sketch IS the distinct hash set, estimate exact") {
+    val df = (1L to 40L).map(i => i % 10).toDF("x") // 10 distinct, heavy dups
+    val sk = Kmv.sketch(df, "x", k = 64)
+    assert(sk.count() == 10)
+    val est = Kmv.estimate(sk, k = 64).head()
+    assert(est.getLong(0) == 10L)              // n_kept
+    assert(est.getLong(2) == 10L)              // est_distinct == exact path
+  }
+
+  test("estimator path: formula pinned, estimate within 25% at k=64/n=5000") {
+    val df = (1L to 5000L).toDF("x")
+    val sk = Kmv.sketch(df, "x", k = 64)
+    assert(sk.count() == 64)
+    val kth = sk.agg(max("v")).as[Long].head()
+    val est = Kmv.estimate(sk, k = 64).head()
+    assert(est.getLong(1) == kth)
+    assert(est.getLong(2) == (63L * Kmv.HashSpace) / (kth + 1L))
+    val e = est.getLong(2).toDouble
+    assert(math.abs(e - 5000.0) / 5000.0 < 0.25, s"estimate $e too far from 5000")
+  }
+
+  test("mergeability: trim(kmv(A) u kmv(B)) == kmv(A u B), overlap included") {
+    val a = (1L to 800L).toDF("x")
+    val b = (500L to 1300L).toDF("x") // overlaps A on [500,800]
+    val k = 32
+    val merged = Kmv.mergeSketches(
+      Kmv.sketch(a, "x", k), Kmv.sketch(b, "x", k), k)
+      .as[Long].collect().sorted.toSeq
+    val direct = Kmv.sketch(a.union(b), "x", k)
+      .as[Long].collect().sorted.toSeq
+    assert(merged == direct)
+  }
+
+  test("null values excluded; certifiedEstimate carries the exact count") {
+    val df = Seq(Some(1L), Some(2L), Some(2L), None).toDF("x")
+    val got = Kmv.certifiedEstimate(df, "x", k = 8).head()
+    assert(got.getLong(0) == 2L)   // n_kept
+    assert(got.getLong(2) == 2L)   // est (exact path)
+    assert(got.getLong(3) == 2L)   // exact_distinct
+  }
+}
