@@ -1045,6 +1045,14 @@ object SparkEntry {
     // Aggregator: each partition reduces to ≤ k longs, map-side merge
     "q154_kmv_distinct" -> ((s, d) =>
       Kmv.certifiedEstimate(Tables.events(s, d), "event_id", k = 256)),
+    // grouped KMV (Kmv.groupedCertifiedEstimate): distinct users per
+    // event type through the keyed sketch — each task reduces every
+    // group to <= k longs and partials merge map-side, so the shuffle
+    // never carries user ids; the oracle replays the per-group k-minima
+    // via ROW_NUMBER and the same integer estimate formula
+    "q155_kmv_grouped" -> ((s, d) =>
+      Kmv.groupedCertifiedEstimate(Tables.events(s, d),
+        "event_type", "user_id", k = 32)),
     // curriculum packing (Curate.curriculumPack): the q109 global
     // concat-and-chunk layout with a STAGE ordering prefix — clean data
     // first. Stages come from the q142 unigram-entropy verdicts over the
@@ -2480,6 +2488,34 @@ object SparkEntry {
         |            END AS BIGINT) est_distinct,
         |       exact_distinct
         |FROM agg CROSS JOIN ex""".stripMargin,
+    "q155_kmv_grouped" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT event_type g, md5(CAST(user_id AS VARCHAR)) h
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |hv AS (
+        |  SELECT DISTINCT g, CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM hashed CROSS JOIN generate_series(1, 12) t(i)
+        |  GROUP BY g, h),
+        |sel AS (SELECT g, v FROM (
+        |    SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) rn
+        |    FROM hv) WHERE rn <= 32),
+        |agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_kept,
+        |               CAST(MAX(v) AS BIGINT) kth_hash
+        |        FROM sel GROUP BY g),
+        |ex AS (SELECT event_type g,
+        |              CAST(COUNT(DISTINCT user_id) AS BIGINT) exact_distinct
+        |       FROM events
+        |       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |       GROUP BY 1)
+        |SELECT agg.g event_type, n_kept, kth_hash,
+        |       CAST(CASE WHEN n_kept < 32 THEN n_kept
+        |            ELSE (31 * 281474976710656) // (kth_hash + 1)
+        |            END AS BIGINT) est_distinct,
+        |       exact_distinct
+        |FROM agg JOIN ex ON agg.g = ex.g""".stripMargin,
     "q153_t_closeness" ->
       """WITH base AS (
         |  SELECT c_nationkey, c_mktsegment,

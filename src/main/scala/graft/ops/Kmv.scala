@@ -95,6 +95,50 @@ object Kmv {
         when(col("n_kept") < k, col("n_kept"))
           .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div (kth_hash + 1L)")))
 
+  /** Keyed variant for grouped cardinality: same buffer/merge, input is
+    * (group, hash) and the group rides the Dataset key. */
+  class KmvKeyedAgg(k: Int)
+      extends Aggregator[(String, Long), TreeSet[Long], Array[Long]] {
+    private val inner = new KmvAgg(k)
+    override def zero: TreeSet[Long] = inner.zero
+    override def reduce(b: TreeSet[Long], a: (String, Long)): TreeSet[Long] =
+      inner.reduce(b, a._2)
+    override def merge(a: TreeSet[Long], b: TreeSet[Long]): TreeSet[Long] =
+      inner.merge(a, b)
+    override def finish(r: TreeSet[Long]): Array[Long] = inner.finish(r)
+    override def bufferEncoder: Encoder[TreeSet[Long]] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Array[Long]] = inner.outputEncoder
+  }
+
+  /** Grouped distinct estimation — "distinct users per event type" at
+    * 100 TB without shuffling user ids: each task reduces every group it
+    * sees to ≤ k longs, partials merge map-side, and the shuffle carries
+    * ≤ k·#groups·#tasks longs (vs. the exact form's every distinct
+    * (group, value) pair). One row per group with the q154 estimate
+    * fields plus the exact count for certification. */
+  def groupedCertifiedEstimate(df: DataFrame, groupCol: String,
+                               colName: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kept = df.where(col(colName).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        hash48(col(colName)).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new KmvKeyedAgg(k).toColumn.name("sk"))
+      .flatMap { case (g, arr) => arr.map(v => (g, v)) }
+      .toDF("g", "v")
+    val est = kept.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_kept"), max(col("v")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div (kth_hash + 1L)")))
+    val exact = df.where(col(colName).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(countDistinct(col(colName)).cast("long").as("exact_distinct"))
+    est.join(exact, Seq("g")).withColumnRenamed("g", groupCol)
+  }
+
   /** Certification query (q154): the sketch estimate NEXT TO the exact
     * distinct count, both oracle-replayable. The exact side is the
     * certification's cost, not the operator's — production callers run

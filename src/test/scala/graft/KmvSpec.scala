@@ -45,6 +45,25 @@ class KmvSpec extends SparkTestBase {
     assert(merged == direct)
   }
 
+  test("grouped: per-group sketches independent; under-k groups exact") {
+    // group a: 200 distinct (estimator path at k=16); b: 5 distinct (exact)
+    val df = ((1L to 200L).map(i => ("a", i)) ++
+      (1L to 50L).map(i => ("b", i % 5))).toDF("g", "x")
+    val got = Kmv.groupedCertifiedEstimate(df, "g", "x", k = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val (aKept, aEst, aExact) = got("a")
+    assert(aKept == 16L && aExact == 200L)
+    // accuracy is the ungrouped k=64 test's job; k=16 on this small set
+    // draws a deterministic ~1.8x estimate — only sanity-bound it here
+    assert(aEst > 50L && aEst < 800L)
+    assert(got("b") == ((5L, 5L, 5L)))
+    // group a's estimate must equal the ungrouped sketch of a alone
+    val solo = Kmv.certifiedEstimate(
+      df.where($"g" === "a").select($"x"), "x", k = 16).head().getLong(2)
+    assert(aEst == solo)
+  }
+
   test("null values excluded; certifiedEstimate carries the exact count") {
     val df = Seq(Some(1L), Some(2L), Some(2L), None).toDF("x")
     val got = Kmv.certifiedEstimate(df, "x", k = 8).head()
