@@ -1053,6 +1053,18 @@ object SparkEntry {
     "q155_kmv_grouped" -> ((s, d) =>
       Kmv.groupedCertifiedEstimate(Tables.events(s, d),
         "event_type", "user_id", k = 32)),
+    // theta-style set-operation cardinality (Kmv.setEstimates,
+    // DataSketches/Dasgupta '16): union AND intersection distinct
+    // counts of two event populations from their 128-long sketches
+    // alone — θ = min(θ_A, θ_B), intersection = common-below-θ scaled
+    // by 2^48/θ, uniform down to the exact under-full degenerate; the
+    // oracle replays k-minima, θ, INTERSECT, and both integer formulas
+    "q156_kmv_setops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Kmv.setEstimates(
+        ev.where(col("event_type") === "click"), "event_id",
+        ev.where(col("value") >= 30.0), "event_id", k = 128)
+    }),
     // curriculum packing (Curate.curriculumPack): the q109 global
     // concat-and-chunk layout with a STAGE ordering prefix — clean data
     // first. Stages come from the q142 unigram-entropy verdicts over the
@@ -2516,6 +2528,52 @@ object SparkEntry {
         |            END AS BIGINT) est_distinct,
         |       exact_distinct
         |FROM agg JOIN ex ON agg.g = ex.g""".stripMargin,
+    "q156_kmv_setops" ->
+      """WITH ha AS (SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) h
+        |  FROM events WHERE event_type = 'click' AND event_id IS NOT NULL),
+        |va AS (SELECT DISTINCT CAST(SUM(
+        |    (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |    * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM ha CROSS JOIN generate_series(1, 12) t(i) GROUP BY h),
+        |sa AS (SELECT v FROM va ORDER BY v LIMIT 128),
+        |hb AS (SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) h
+        |  FROM events WHERE value >= 30.0 AND event_id IS NOT NULL),
+        |vb AS (SELECT DISTINCT CAST(SUM(
+        |    (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |    * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM hb CROSS JOIN generate_series(1, 12) t(i) GROUP BY h),
+        |sb AS (SELECT v FROM vb ORDER BY v LIMIT 128),
+        |ta AS (SELECT CAST(COUNT(*) AS BIGINT) n_a,
+        |         CAST(CASE WHEN COUNT(*) < 128 THEN 281474976710656
+        |              ELSE MAX(v) + 1 END AS BIGINT) theta_a FROM sa),
+        |tb AS (SELECT CAST(COUNT(*) AS BIGINT) n_b,
+        |         CAST(CASE WHEN COUNT(*) < 128 THEN 281474976710656
+        |              ELSE MAX(v) + 1 END AS BIGINT) theta_b FROM sb),
+        |th AS (SELECT n_a, n_b,
+        |         CAST(LEAST(theta_a, theta_b) AS BIGINT) theta
+        |       FROM ta CROSS JOIN tb),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) n_common
+        |       FROM (SELECT v FROM sa INTERSECT SELECT v FROM sb) c
+        |       CROSS JOIN th WHERE c.v < th.theta),
+        |un AS (SELECT v FROM (SELECT v FROM sa UNION SELECT v FROM sb) u
+        |       ORDER BY v LIMIT 128),
+        |ue AS (SELECT CAST(COUNT(*) AS BIGINT) n_u,
+        |              CAST(MAX(v) AS BIGINT) h_u FROM un),
+        |exu AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) exact_union
+        |        FROM events WHERE event_id IS NOT NULL
+        |          AND (event_type = 'click' OR value >= 30.0)),
+        |exi AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) exact_inter
+        |        FROM events WHERE event_id IS NOT NULL
+        |          AND event_type = 'click' AND value >= 30.0)
+        |SELECT n_a, n_b, theta,
+        |       CAST((n_common * 281474976710656) // theta AS BIGINT)
+        |         est_inter,
+        |       CAST(CASE WHEN n_u < 128 THEN n_u
+        |            ELSE (127 * 281474976710656) // (h_u + 1)
+        |            END AS BIGINT) est_union,
+        |       exact_union, exact_inter
+        |FROM th CROSS JOIN nc CROSS JOIN ue
+        |CROSS JOIN exu CROSS JOIN exi""".stripMargin,
     "q153_t_closeness" ->
       """WITH base AS (
         |  SELECT c_nationkey, c_mktsegment,

@@ -139,6 +139,55 @@ object Kmv {
     est.join(exact, Seq("g")).withColumnRenamed("g", groupCol)
   }
 
+  /** Theta-style set-operation cardinality (the DataSketches use case;
+    * Dasgupta et al. '16): union AND intersection distinct counts of two
+    * populations from their k-long sketches alone — no re-scan, no exact
+    * distinct of either side.
+    *
+    *   θ_X   = h_k^X + 1 when sketch X is full, else 2^48 ("kept all")
+    *   θ     = min(θ_A, θ_B)   — both kept sets are complete below θ
+    *   union = estimate(trim(A ∪ B, k))        (plain KMV merge)
+    *   inter = |{v ∈ A ∩ B : v < θ}| · 2^48 div θ
+    *
+    * The intersection formula is uniform: under-full sketches have
+    * θ = 2^48 so it degenerates to the exact count of common hashes.
+    * Every quantity is a BIGINT both engines replay (cnt ≤ k, so
+    * cnt·2^48 fits for k ≤ 2^15). One row: kept sizes, θ, both
+    * estimates, and the exact counterparts for certification. */
+  def setEstimates(dfA: DataFrame, colA: String,
+                   dfB: DataFrame, colB: String, k: Int): DataFrame = {
+    val skA = sketch(dfA, colA, k)
+    val skB = sketch(dfB, colB, k)
+    def thetaOf(sk: DataFrame, name: String): DataFrame =
+      sk.agg(count(lit(1)).as(s"n_$name"), max(col("v")).as("_h"))
+        .withColumn(s"theta_$name",
+          when(col(s"n_$name") < k, lit(HashSpace))
+            .otherwise(col("_h") + 1L))
+        .drop("_h")
+    val unionEst = estimate(mergeSketches(skA, skB, k), k)
+      .select(col("est_distinct").as("est_union"))
+    val thetas = thetaOf(skA, "a").crossJoin(thetaOf(skB, "b"))
+      .withColumn("theta", least(col("theta_a"), col("theta_b")))
+      .select(col("n_a"), col("n_b"), col("theta"))
+    // ≤ k common hashes × 1 theta row — bounded both sides
+    val nCommon = skA.join(skB, Seq("v"))
+      .crossJoin(thetas.select(col("theta").as("_t")))
+      .where(col("v") < col("_t"))
+      .agg(count(lit(1)).as("n_common"))
+    val estInter = thetas.crossJoin(nCommon)
+      .withColumn("est_inter",
+        expr(s"(n_common * ${HashSpace}L) div theta"))
+      .select(col("n_a"), col("n_b"), col("theta"), col("est_inter"))
+    val exact = {
+      val a = dfA.where(col(colA).isNotNull).select(col(colA).as("x")).distinct()
+      val b = dfB.where(col(colB).isNotNull).select(col(colB).as("x")).distinct()
+      a.union(b).distinct().agg(count(lit(1)).as("exact_union"))
+        .crossJoin(a.join(b, Seq("x"))
+          .agg(count(lit(1)).as("exact_inter")))
+    }
+    estInter.crossJoin(unionEst).crossJoin(exact)
+  }
+
   /** Certification query (q154): the sketch estimate NEXT TO the exact
     * distinct count, both oracle-replayable. The exact side is the
     * certification's cost, not the operator's — production callers run

@@ -64,6 +64,33 @@ class KmvSpec extends SparkTestBase {
     assert(aEst == solo)
   }
 
+  test("setEstimates: under-full sketches degenerate to exact set ops") {
+    val a = (1L to 30L).toDF("x")
+    val b = (21L to 50L).toDF("x") // overlap 10, union 50
+    val r = Kmv.setEstimates(a, "x", b, "x", k = 64).head()
+    assert(r.getLong(0) == 30L && r.getLong(1) == 30L)  // n_a, n_b
+    assert(r.getLong(2) == Kmv.HashSpace)               // theta = kept-all
+    assert(r.getLong(3) == 10L)                         // est_inter exact
+    assert(r.getLong(4) == 50L)                         // est_union exact
+    assert(r.getLong(5) == 50L && r.getLong(6) == 10L)  // exact counterparts
+  }
+
+  test("setEstimates: full sketches estimate within 30% at k=128/n=4000") {
+    val a = (1L to 3000L).toDF("x")
+    val b = (2001L to 5000L).toDF("x") // inter 1000, union 5000
+    val r = Kmv.setEstimates(a, "x", b, "x", k = 128).head()
+    assert(r.getLong(0) == 128L && r.getLong(1) == 128L)
+    assert(r.getLong(2) < Kmv.HashSpace) // a real threshold
+    val inter = r.getLong(3).toDouble
+    val union = r.getLong(4).toDouble
+    // intersection sees only ~k·|inter|/|union| ≈ 26 hashes below θ, so
+    // its σ is ~20% (vs ~9% for the union's full k) — bound at ~2.5σ;
+    // the draw is deterministic (this exact data yields 1395)
+    assert(math.abs(inter - 1000.0) / 1000.0 < 0.5, s"inter $inter")
+    assert(math.abs(union - 5000.0) / 5000.0 < 0.25, s"union $union")
+    assert(r.getLong(5) == 5000L && r.getLong(6) == 1000L)
+  }
+
   test("null values excluded; certifiedEstimate carries the exact count") {
     val df = Seq(Some(1L), Some(2L), Some(2L), None).toDF("x")
     val got = Kmv.certifiedEstimate(df, "x", k = 8).head()
