@@ -1065,6 +1065,24 @@ object SparkEntry {
         ev.where(col("event_type") === "click"), "event_id",
         ev.where(col("value") >= 30.0), "event_id", k = 128)
     }),
+    // bot-traffic detection by inter-arrival regularity (Analytics
+    // .timingRegularity): users on user_id % 7 == 2 are re-timed in-plan
+    // onto an exact 60 s grid (timer-scripted actors), the rest keep
+    // organic bursty gaps — integer-seconds MAD/mean dispersion in ppm
+    // separates them with zero float variance; the oracle replays the
+    // planting, the lag window, and both bounded aggs
+    "q157_bot_regularity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val rn = row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+      Analytics.timingRegularity(
+        ev.withColumn("_rn", rn)
+          .withColumn("ts", when(pmod(col("user_id"), lit(7)) === 2,
+            timestamp_micros(lit(1700000000000000L) + col("_rn") * 60000000L))
+            .otherwise(col("ts")))
+          .drop("_rn"))
+    }),
     // curriculum packing (Curate.curriculumPack): the q109 global
     // concat-and-chunk layout with a STAGE ordering prefix — clean data
     // first. Stages come from the q142 unigram-entropy verdicts over the
@@ -2574,6 +2592,34 @@ object SparkEntry {
         |       exact_union, exact_inter
         |FROM th CROSS JOIN nc CROSS JOIN ue
         |CROSS JOIN exu CROSS JOIN exi""".stripMargin,
+    "q157_bot_regularity" ->
+      """WITH rn AS (SELECT user_id, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+        |  FROM events),
+        |p AS (SELECT user_id, event_id,
+        |    CASE WHEN user_id % 7 = 2
+        |         THEN make_timestamp(1700000000000000 + rn * 60000000)
+        |         ELSE ts END ts2 FROM rn),
+        |d AS (SELECT user_id,
+        |    (epoch_us(ts2) - LAG(epoch_us(ts2)) OVER (
+        |       PARTITION BY user_id ORDER BY ts2, event_id)) // 1000000 gap_s
+        |  FROM p),
+        |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) n_gaps,
+        |             CAST(SUM(gap_s) AS BIGINT) sum_s
+        |      FROM d WHERE gap_s IS NOT NULL GROUP BY 1),
+        |m AS (SELECT user_id, n_gaps,
+        |             CAST(sum_s // n_gaps AS BIGINT) mean_gap_s FROM g),
+        |a AS (SELECT d.user_id,
+        |             CAST(SUM(ABS(d.gap_s - m.mean_gap_s)) AS BIGINT) adev
+        |      FROM d JOIN m ON d.user_id = m.user_id
+        |      WHERE d.gap_s IS NOT NULL GROUP BY 1)
+        |SELECT m.user_id, m.n_gaps, m.mean_gap_s,
+        |       CAST(((a.adev // m.n_gaps) * 1000000)
+        |            // GREATEST(m.mean_gap_s, 1) AS BIGINT) mad_ppm,
+        |       (m.n_gaps >= 9 AND
+        |        ((a.adev // m.n_gaps) * 1000000)
+        |          // GREATEST(m.mean_gap_s, 1) <= 100000) bot_like
+        |FROM m JOIN a ON m.user_id = a.user_id""".stripMargin,
     "q153_t_closeness" ->
       """WITH base AS (
         |  SELECT c_nationkey, c_mktsegment,

@@ -63,4 +63,49 @@ object Analytics {
       .groupBy(col("cohort"), (col("widx") - col("cohort")).as("k"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Automation / bot-traffic detection by inter-arrival REGULARITY —
+    * the behavioral-curation gate the content filters can't express:
+    * scripted actors fire on timers, so their event-gap dispersion
+    * collapses, while organic users' gaps are bursty (MAD/mean near an
+    * exponential's ~0.7). A training pipeline over engagement data drops
+    * or downweights bot actors before modeling (the q115/q138 idea
+    * applied to WHO, not WHAT).
+    *
+    * Exact integer discipline: gaps in whole seconds
+    * (`unix_micros div 1e6` — truncation both engines share), the mean
+    * via integer div, mean-absolute-deviation via a second bounded agg
+    * over |gap − mean|, and the dispersion as
+    * `mad_ppm = (mad_s·1e6) div max(mean_s, 1)` — every intermediate a
+    * BIGINT DuckDB replays. No float variance whose summation order
+    * could differ cross-engine, and MAD needs no overflow-prone squares
+    * (seconds² · count would pass 2^63 on year-long spans).
+    *
+    * Shape at scale: one lag window partitioned by user (bounded by
+    * per-user event count, the q35 sessionization discipline), two
+    * keyed aggs, one equi-join on user — no global window, no
+    * collect. */
+  def timingRegularity(events: DataFrame, minEvents: Long = 10L,
+                       botMadPpm: Long = 100000L,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val gaps = events
+      .withColumn("_gap_s",
+        expr(s"(unix_micros($tsCol) - lag(unix_micros($tsCol)) over " +
+          s"(partition by $userCol order by $tsCol, event_id)) div 1000000"))
+      .where(col("_gap_s").isNotNull)
+      .select(col(userCol), col("_gap_s"))
+    val means = gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("_gap_s")).as("_sum_s"))
+      .withColumn("mean_gap_s", expr("_sum_s div n_gaps"))
+      .drop("_sum_s")
+    gaps.join(means, Seq(userCol))
+      .groupBy(col(userCol), col("n_gaps"), col("mean_gap_s"))
+      .agg(sum(abs(col("_gap_s") - col("mean_gap_s"))).as("_adev"))
+      .withColumn("mad_ppm",
+        expr("((_adev div n_gaps) * 1000000) div greatest(mean_gap_s, 1L)"))
+      .withColumn("bot_like",
+        col("n_gaps") >= (minEvents - 1L) && col("mad_ppm") <= botMadPpm)
+      .drop("_adev")
+  }
 }

@@ -75,4 +75,27 @@ class AnalyticsSpec extends SparkTestBase {
       .join(wider.where($"split" =!= "train"), "doc_id")
     assert(moved.isEmpty, "train rows must stay train when the band widens")
   }
+
+  test("timingRegularity: hand-computed MAD; timer user flags, bursty doesn't") {
+    def ev(u: Long, id: Long, s: Long) =
+      (u, id, new Timestamp(1700000000000L + s * 1000L))
+    // user 1: perfect 60 s timer, 11 events -> gaps all 60, mad 0
+    val bot = (0L until 11L).map(i => ev(1L, i, i * 60L))
+    // user 2: bursty gaps 10,10,10,600 repeated (12 events, 11 gaps)
+    val bursts = Seq(0L, 10, 20, 30, 630, 640, 650, 660, 1260, 1270, 1280, 1290)
+    val organic = bursts.zipWithIndex.map { case (s, i) => ev(2L, 100L + i, s) }
+    // user 3: regular but too few events (3) -> not flagged
+    val few = (0L until 3L).map(i => ev(3L, 200L + i, i * 60L))
+    val df = (bot ++ organic ++ few).toDF("user_id", "event_id", "ts")
+    val got = Analytics.timingRegularity(df, minEvents = 10L,
+      botMadPpm = 100000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((10L, 60L, 0L, true)))
+    // user 2: gaps = 9x10 + 2x600 -> sum 1290, mean 1290 div 11 = 117;
+    // adev = 9*107 + 2*483 = 1929; mad = 1929 div 11 = 175;
+    // ppm = 175*1e6 div 117 = 1495726
+    assert(got(2L) == ((11L, 117L, 1495726L, false)))
+    assert(got(3L) == ((2L, 60L, 0L, false))) // regular but under minEvents
+  }
 }
