@@ -413,6 +413,19 @@ object ScaleSmoke {
       s"planted video-dup recall broke: $foundVid/${plantedImg.size}")
     assert(nVidPairs - foundVid <= n / 1000L,
       s"coincidental video-pair volume exploded: ${nVidPairs - foundVid}")
+    // --- KMV distinct sketch at 10x corpus rows ---
+    // 10n rows over n/2 distinct keys (heavy dups, the streaming-id
+    // shape); k=1024 -> expected relative error ~1/sqrt(k) ~ 3%
+    val kmvRows = spark.range(n * 10L)
+      .select(pmod(col("id") * 2654435761L, lit(n.toLong / 2)).as("key"))
+    t0 = System.nanoTime()
+    val kmvEst = ops.Kmv.estimate(
+      ops.Kmv.sketch(kmvRows.toDF(), "key", 1024), 1024).head()
+    val est = kmvEst.getLong(2)
+    println(f"kmvSketch(${n * 10L} rows, k=1024): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      s"est $est vs true ~${n / 2}")
+    assert(math.abs(est - n / 2.0) / (n / 2.0) < 0.15,
+      s"KMV estimate $est drifted >15% from ${n / 2}")
     spark.stop()
   }
 }

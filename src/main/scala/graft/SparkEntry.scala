@@ -1065,6 +1065,14 @@ object SparkEntry {
         ev.where(col("event_type") === "click"), "event_id",
         ev.where(col("value") >= 30.0), "event_id", k = 128)
     }),
+    // cross-source duplicate-overlap matrix (Dedup.sourceOverlapMatrix):
+    // the mixture-planning report — q29's verified near-dup pairs rolled
+    // up by unordered source pair with per-source totals; the 300-doc
+    // slice keeps every shingle df under the engine's maxDf cap so the
+    // uncapped all-pairs oracle replays the identical pair set
+    "q158_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlapMatrix(
+        Tables.documents(s, d).where(col("doc_id") < 300))),
     // bot-traffic detection by inter-arrival regularity (Analytics
     // .timingRegularity): users on user_id % 7 == 2 are re-timed in-plan
     // onto an exact 60 s grid (timer-scripted actors), the rest keep
@@ -2592,6 +2600,32 @@ object SparkEntry {
         |       exact_union, exact_inter
         |FROM th CROSS JOIN nc CROSS JOIN ue
         |CROSS JOIN exu CROSS JOIN exi""".stripMargin,
+    "q158_source_overlap" ->
+      s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
+         |t AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+         |         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) sh
+         |  FROM (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') tk
+         |        FROM docs)),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) jaccard
+         |    FROM t a, t b WHERE a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.05),
+         |ps AS (SELECT LEAST(sa.source, sb.source) source_a,
+         |              GREATEST(sa.source, sb.source) source_b
+         |       FROM pairs JOIN docs sa ON pairs.doc_a = sa.doc_id
+         |                  JOIN docs sb ON pairs.doc_b = sb.doc_id),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs
+         |        FROM docs GROUP BY 1)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) n_dup_pairs,
+         |       ta.n_docs docs_a, tb.n_docs docs_b
+         |FROM ps JOIN tot ta ON ps.source_a = ta.source
+         |        JOIN tot tb ON ps.source_b = tb.source
+         |GROUP BY 1, 2, ta.n_docs, tb.n_docs""".stripMargin,
     "q157_bot_regularity" ->
       """WITH rn AS (SELECT user_id, event_id, ts,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn

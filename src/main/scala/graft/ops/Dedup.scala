@@ -242,6 +242,42 @@ object Dedup {
     materializeAndRelease(pairs, sh)
   }
 
+  /** Cross-source duplicate-overlap matrix — the mixture-planning report
+    * a corpus composer reads before weighting sources ("how much of C4
+    * is already inside CommonCrawl"): near-dup pairs from
+    * [[ngramJaccardPairs]] rolled up by UNORDERED source pair
+    * (least/greatest normalization collapses (a,b)/(b,a)), alongside
+    * each side's total doc count for normalization by the reader. A
+    * within-source row (source_a == source_b) measures internal
+    * redundancy the same way.
+    *
+    * Shape at scale: the pair frame is already df-capped/index-bounded;
+    * the doc→source map joins equi-keyed on doc_id (broadcastable when
+    * pairs are few), and the matrix is ≤ |sources|² rows. Counts stay
+    * exact BIGINTs — no rate division whose n_a·n_b product could pass
+    * 2^63 on 100 TB source sizes. */
+  def sourceOverlapMatrix(documents: DataFrame, n: Int = 2,
+                          minJaccard: Double = 0.05,
+                          maxDf: Long = 1000L): DataFrame = {
+    val pairs = ngramJaccardPairs(documents, n, minJaccard, maxDf)
+    val src = documents.select(col("doc_id"), col("source"))
+    val withSrc = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("_sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("_sb")), "doc_b")
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+    val totals = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    withSrc.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .join(broadcast(totals.select(col("source").as("source_a"),
+        col("n_docs").as("docs_a"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("n_docs").as("docs_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_dup_pairs"),
+        col("docs_a"), col("docs_b")) // joins moved their keys first
+  }
+
   // ---------------------------------------------------- incremental minhash
 
   /** Per-document MinHash index rows: (doc_id, sh, keys, params) where

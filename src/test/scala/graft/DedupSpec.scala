@@ -202,4 +202,24 @@ class DedupSpec extends SparkTestBase {
     // exact dedup is blind to the same spoof — the gap this op closes
     assert(Dedup.exact(docs.where(col("doc_id") <= 2)).count() == 2)
   }
+
+  test("sourceOverlapMatrix: unordered rollup, within-source rows, totals") {
+    // near-identical texts across sources: (1 cc, 2 c4), (3 cc, 4 cc),
+    // plus an unrelated doc in "web"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "cc"),
+      (2L, "alpha beta gamma delta epsilon eta", "c4"),
+      (3L, "one two three four five six", "cc"),
+      (4L, "one two three four five seven", "cc"),
+      (5L, "totally unrelated content here now folks", "web")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(docs, n = 2, minJaccard = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // pair (1,2) crosses c4/cc -> normalized (c4, cc); pair (3,4) is
+    // within cc; doc 5 pairs with nothing
+    assert(got == Map(
+      ("c4", "cc") -> ((1L, 1L, 3L)),
+      ("cc", "cc") -> ((1L, 3L, 3L))))
+  }
 }
