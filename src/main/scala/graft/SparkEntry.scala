@@ -2648,11 +2648,13 @@ object SparkEntry {
         |      FROM d JOIN m ON d.user_id = m.user_id
         |      WHERE d.gap_s IS NOT NULL GROUP BY 1)
         |SELECT m.user_id, m.n_gaps, m.mean_gap_s,
-        |       CAST(((a.adev // m.n_gaps) * 1000000)
-        |            // GREATEST(m.mean_gap_s, 1) AS BIGINT) mad_ppm,
+        |       CAST((a.adev * 1000000)
+        |            // (m.n_gaps * GREATEST(m.mean_gap_s, 1)) AS BIGINT)
+        |         mad_ppm,
         |       (m.n_gaps >= 9 AND
-        |        ((a.adev // m.n_gaps) * 1000000)
-        |          // GREATEST(m.mean_gap_s, 1) <= 100000) bot_like
+        |        (a.adev * 1000000)
+        |          // (m.n_gaps * GREATEST(m.mean_gap_s, 1)) <= 100000)
+        |         bot_like
         |FROM m JOIN a ON m.user_id = a.user_id""".stripMargin,
     "q153_t_closeness" ->
       """WITH base AS (

@@ -88,22 +88,27 @@ object Analytics {
   def timingRegularity(events: DataFrame, minEvents: Long = 10L,
                        botMadPpm: Long = 100000L,
                        userCol: String = "user_id",
-                       tsCol: String = "ts"): DataFrame = {
+                       tsCol: String = "ts",
+                       tieCol: String = "event_id"): DataFrame = {
     val gaps = events
       .withColumn("_gap_s",
         expr(s"(unix_micros($tsCol) - lag(unix_micros($tsCol)) over " +
-          s"(partition by $userCol order by $tsCol, event_id)) div 1000000"))
+          s"(partition by $userCol order by $tsCol, $tieCol)) div 1000000"))
       .where(col("_gap_s").isNotNull)
       .select(col(userCol), col("_gap_s"))
     val means = gaps.groupBy(col(userCol))
       .agg(count(lit(1)).as("n_gaps"), sum(col("_gap_s")).as("_sum_s"))
       .withColumn("mean_gap_s", expr("_sum_s div n_gaps"))
       .drop("_sum_s")
+    // single division at the end — flooring the MAD to whole seconds
+    // FIRST would zero out any sub-second dispersion and flag fast
+    // organic users as bots; _adev·1e6 stays in BIGINT range (Σ|gap −
+    // mean| ≤ 2·span ≤ ~6e9 s even on century spans)
     gaps.join(means, Seq(userCol))
       .groupBy(col(userCol), col("n_gaps"), col("mean_gap_s"))
       .agg(sum(abs(col("_gap_s") - col("mean_gap_s"))).as("_adev"))
       .withColumn("mad_ppm",
-        expr("((_adev div n_gaps) * 1000000) div greatest(mean_gap_s, 1L)"))
+        expr("(_adev * 1000000) div (n_gaps * greatest(mean_gap_s, 1L))"))
       .withColumn("bot_like",
         col("n_gaps") >= (minEvents - 1L) && col("mad_ppm") <= botMadPpm)
       .drop("_adev")

@@ -91,24 +91,14 @@ object Kmv {
     * est_distinct). */
   def estimate(sk: DataFrame, k: Int): DataFrame =
     sk.agg(count(lit(1)).as("n_kept"), max(col("v")).as("kth_hash"))
-      .withColumn("est_distinct",
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div (kth_hash + 1L)")))
+      .withColumn("est_distinct", estCol(k))
 
-  /** Keyed variant for grouped cardinality: same buffer/merge, input is
-    * (group, hash) and the group rides the Dataset key. */
-  class KmvKeyedAgg(k: Int)
-      extends Aggregator[(String, Long), TreeSet[Long], Array[Long]] {
-    private val inner = new KmvAgg(k)
-    override def zero: TreeSet[Long] = inner.zero
-    override def reduce(b: TreeSet[Long], a: (String, Long)): TreeSet[Long] =
-      inner.reduce(b, a._2)
-    override def merge(a: TreeSet[Long], b: TreeSet[Long]): TreeSet[Long] =
-      inner.merge(a, b)
-    override def finish(r: TreeSet[Long]): Array[Long] = inner.finish(r)
-    override def bufferEncoder: Encoder[TreeSet[Long]] = inner.bufferEncoder
-    override def outputEncoder: Encoder[Array[Long]] = inner.outputEncoder
-  }
+  /** The estimate expression over (n_kept, kth_hash) columns — shared by
+    * the global, grouped, and streaming paths so the formula exists
+    * once. */
+  private def estCol(k: Int): Column =
+    when(col("n_kept") < k, col("n_kept"))
+      .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div (kth_hash + 1L)"))
 
   /** Grouped distinct estimation — "distinct users per event type" at
     * 100 TB without shuffling user ids: each task reduces every group it
@@ -125,14 +115,13 @@ object Kmv {
         hash48(col(colName)).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
-      .agg(new KmvKeyedAgg(k).toColumn.name("sk"))
+      .mapValues(_._2)
+      .agg(new KmvAgg(k).toColumn.name("sk"))
       .flatMap { case (g, arr) => arr.map(v => (g, v)) }
       .toDF("g", "v")
     val est = kept.groupBy(col("g"))
       .agg(count(lit(1)).as("n_kept"), max(col("v")).as("kth_hash"))
-      .withColumn("est_distinct",
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div (kth_hash + 1L)")))
+      .withColumn("est_distinct", estCol(k))
     val exact = df.where(col(colName).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol).cast("string").as("g"))
       .agg(countDistinct(col(colName)).cast("long").as("exact_distinct"))
@@ -156,8 +145,11 @@ object Kmv {
     * estimates, and the exact counterparts for certification. */
   def setEstimates(dfA: DataFrame, colA: String,
                    dfB: DataFrame, colB: String, k: Int): DataFrame = {
-    val skA = sketch(dfA, colA, k)
-    val skB = sketch(dfB, colB, k)
+    // each sketch feeds three consumers (union merge, θ, intersection);
+    // eager-materialize the ≤ k rows so each input is scanned+hashed
+    // once, not three times
+    val skA = sketch(dfA, colA, k).localCheckpoint(true)
+    val skB = sketch(dfB, colB, k).localCheckpoint(true)
     def thetaOf(sk: DataFrame, name: String): DataFrame =
       sk.agg(count(lit(1)).as(s"n_$name"), max(col("v")).as("_h"))
         .withColumn(s"theta_$name",

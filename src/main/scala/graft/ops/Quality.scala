@@ -423,11 +423,20 @@ object Quality {
     val tot = g.agg(sum(col("_cnt_g")).as("_n"), count(lit(1)).as("_m"))
     val classes = base.groupBy(qi: _*).agg(count(lit(1)).as("class_size"))
     val cc = base.groupBy(qi :+ col("_v"): _*).agg(count(lit(1)).as("_cnt_c"))
+      .select(qiCols.map(c => col(c).as(s"_r_$c")) :+
+        col("_v").as("_r_v") :+ col("_cnt_c"): _*)
     val w = Window.partitionBy(qi: _*).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-SAFE equality on the QI keys: a NULL QI value forms its own
+    // equivalence class in kAnonymity/lDiversity, and a plain equi-join
+    // here would drop that class's counts and report a spurious maximal
+    // EMD for it
+    val joinCond = (qiCols.map(c => col(c) <=> col(s"_r_$c")) :+
+      (col("_v") === col("_r_v"))).reduce(_ && _)
     classes.crossJoin(broadcast(gCum))
-      .join(cc, qiCols :+ "_v", "left")
+      .join(cc, joinCond, "left")
       .na.fill(0L, Seq("_cnt_c"))
+      .drop(qiCols.map(c => s"_r_$c") :+ "_r_v": _*)
       .withColumn("_cum_c", sum(col("_cnt_c")).over(w))
       .crossJoin(broadcast(tot))
       .withColumn("_diff", abs(

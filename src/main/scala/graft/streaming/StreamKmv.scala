@@ -45,11 +45,22 @@ object StreamKmv {
       .start()
 
   /** Lifetime sketch: all per-batch partitions merged (≤ #batches·k
-    * longs through one distinct + sort-limit). */
+    * longs through one distinct + sort-limit). Before any non-empty
+    * batch has landed (sketchBatch skips empty ones, so the directory
+    * may not exist yet) the sketch is empty, not an error — a monitor
+    * polling [[estimate]] during warm-up reads n_kept 0 / est 0. */
   def lifetimeSketch(spark: SparkSession, sketchDir: String,
-                     k: Int): DataFrame =
-    spark.read.parquet(sketchDir)
-      .select(col("v")).distinct().orderBy(col("v")).limit(k)
+                     k: Int): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (fs.exists(path)) spark.read.parquet(sketchDir)
+      else {
+        import spark.implicits._
+        Seq.empty[Long].toDF("v")
+      }
+    all.select(col("v")).distinct().orderBy(col("v")).limit(k)
+  }
 
   /** Lifetime estimate: one row of the q154 fields. */
   def estimate(spark: SparkSession, sketchDir: String, k: Int): DataFrame =

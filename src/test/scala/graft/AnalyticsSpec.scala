@@ -93,9 +93,26 @@ class AnalyticsSpec extends SparkTestBase {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     assert(got(1L) == ((10L, 60L, 0L, true)))
     // user 2: gaps = 9x10 + 2x600 -> sum 1290, mean 1290 div 11 = 117;
-    // adev = 9*107 + 2*483 = 1929; mad = 1929 div 11 = 175;
-    // ppm = 175*1e6 div 117 = 1495726
-    assert(got(2L) == ((11L, 117L, 1495726L, false)))
+    // adev = 9*107 + 2*483 = 1929;
+    // ppm = 1929*1e6 div (11*117) = 1929000000 div 1287 = 1498834
+    assert(got(2L) == ((11L, 117L, 1498834L, false)))
     assert(got(3L) == ((2L, 60L, 0L, false))) // regular but under minEvents
+  }
+
+  test("timingRegularity: sub-second dispersion is not rounded to bot") {
+    def ev(u: Long, id: Long, ms: Long) =
+      (u, id, new Timestamp(1700000000000L + ms))
+    // 12 events, gaps 2,2,4 repeating (mean 2 s, adev 6): flooring the
+    // MAD to whole seconds FIRST gives 6 div 11 = 0 -> 0 ppm -> bot
+    // despite 27% dispersion; the single-division form must score
+    // (6*1e6) div (11*2) = 272727 ppm, organic.
+    val gaps = Seq(0L, 2, 4, 8, 10, 12, 16, 18, 20, 24, 26, 28)
+    val rows = gaps.zipWithIndex.map { case (s, i) => ev(9L, i, s * 1000L) }
+    val got = Analytics.timingRegularity(rows.toDF("user_id", "event_id", "ts"),
+      minEvents = 10L, botMadPpm = 100000L).head()
+    // gaps: 2,2,4,2,2,4,2,2,4,2,2 -> sum 28, mean 28 div 11 = 2,
+    // adev = 8*0 + 3*2 = 6, ppm = 6e6 div 22 = 272727
+    assert(got.getLong(1) == 11L && got.getLong(2) == 2L)
+    assert(got.getLong(3) == 272727L && !got.getBoolean(4))
   }
 }

@@ -215,6 +215,21 @@ class QualitySpec extends SparkTestBase {
     assert(got("C") == ((2L, 200000L, true)))
   }
 
+  test("tCloseness: NULL QI value forms its own class (null-safe join)") {
+    // the NULL-region class has the same 50/50 distribution as the
+    // global: EMD must be 0, not the spurious maximum a null-unsafe
+    // count join would produce
+    val rows = Seq(
+      (Some("us"), 0L), (Some("us"), 1L),
+      (None, 0L), (None, 1L)
+    ).toDF("region", "band")
+    val got = Quality.tCloseness(rows, Seq("region"), "band", tPpm = 0L)
+      .collect().map(r => (if (r.isNullAt(0)) "NULL" else r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("us") == ((2L, 0L, true)))
+    assert(got("NULL") == ((2L, 0L, true)))
+  }
+
   test("tCloseness: m=1 degenerates to emd 0; NULL sensitive rows excluded") {
     val one = Seq(("A", Some(5L)), ("A", Some(5L)), ("B", Some(5L)),
       ("B", None)).toDF("region", "band")

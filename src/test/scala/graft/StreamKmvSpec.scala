@@ -50,6 +50,14 @@ class StreamKmvSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).select("_batch").distinct().count() == 2)
   }
 
+  test("estimate before any batch landed: empty sketch, not an error") {
+    val dir = Files.createTempDirectory("skmv_w").toString + "/never_written"
+    val est = StreamKmv.estimate(spark, dir, 8).head()
+    assert(est.getLong(0) == 0L) // n_kept
+    assert(est.isNullAt(1))      // kth_hash
+    assert(est.getLong(2) == 0L) // est_distinct
+  }
+
   test("empty batch: no partition written") {
     val dir = Files.createTempDirectory("skmv_e").toString + "/sk"
     StreamKmv.sketchBatch((1L to 10L).toDF("x"), 0L, "x", 8, dir)
