@@ -1065,6 +1065,12 @@ object SparkEntry {
         ev.where(col("event_type") === "click"), "event_id",
         ev.where(col("value") >= 30.0), "event_id", k = 128)
     }),
+    // vocabulary-growth report (TextAnalysis.vocabularyGrowth, Chao '84):
+    // the corpus-planning stat — Chao1 unseen-vocabulary estimate from
+    // the singleton/doubleton spectrum plus top-1000 head coverage in
+    // exact ppm; one persisted token-count frame feeds both
+    "q159_vocab_growth" -> ((s, d) =>
+      TextAnalysis.vocabularyGrowth(Tables.documents(s, d))),
     // cross-source duplicate-overlap matrix (Dedup.sourceOverlapMatrix):
     // the mixture-planning report — q29's verified near-dup pairs rolled
     // up by unordered source pair with per-source totals; the 300-doc
@@ -2600,6 +2606,25 @@ object SparkEntry {
         |       exact_union, exact_inter
         |FROM th CROSS JOIN nc CROSS JOIN ue
         |CROSS JOIN exu CROSS JOIN exi""".stripMargin,
+    "q159_vocab_growth" ->
+      """WITH tok AS (SELECT
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) token
+        |  FROM documents),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) tf FROM tok GROUP BY 1),
+        |spec AS (SELECT CAST(COUNT(*) AS BIGINT) v_obs,
+        |    CAST(SUM(tf) AS BIGINT) n_tokens,
+        |    CAST(COUNT(*) FILTER (WHERE tf = 1) AS BIGINT) f1,
+        |    CAST(COUNT(*) FILTER (WHERE tf = 2) AS BIGINT) f2
+        |  FROM c),
+        |top AS (SELECT CAST(SUM(tf) AS BIGINT) top_tf FROM (
+        |    SELECT tf FROM c ORDER BY tf DESC, token ASC LIMIT 1000))
+        |SELECT v_obs, n_tokens, f1, f2, top_tf,
+        |  CAST(v_obs + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+        |    chao1_est,
+        |  CAST((top_tf * 1000000) // GREATEST(n_tokens, 1) AS BIGINT)
+        |    coverage_ppm
+        |FROM spec CROSS JOIN top""".stripMargin,
     "q158_source_overlap" ->
       s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
          |t AS (

@@ -256,6 +256,46 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
 
+  /** Vocabulary-growth report — the corpus-planning stat "how much NEW
+    * vocabulary would more data add": the Chao1 unseen-species estimate
+    * (Chao '84, bias-corrected) from the frequency spectrum's singleton
+    * and doubleton counts,
+    *   chao1 = V_obs + f1·(f1−1) div (2·(f2+1)),
+    * next to head coverage (share of all token occurrences carried by
+    * the top-k tokens, in exact ppm). Many singletons relative to V says
+    * the corpus is nowhere near vocabulary saturation; head coverage
+    * near 1e6 says a small tokenizer vocab suffices.
+    *
+    * Exact integer discipline: the spectrum and both report fields are
+    * BIGINTs both engines replay; top-k ties break lexicographically
+    * (the [[vocabulary]] rule). Bound: f1·(f1−1) overflows past
+    * f1 ≈ 3·10^9 hapax tokens (DuckDB errors, Spark wraps) — shard the
+    * spectrum and sum per-shard estimates beyond that.
+    *
+    * Shape at scale: one map-side-combined token shuffle builds the
+    * counts (the q52 shape), reused — persisted, not recomputed — by
+    * the 4-field spectrum aggregate and the top-k partial sort-limit;
+    * output is one row. */
+  def vocabularyGrowth(documents: DataFrame, topK: Int = 1000): DataFrame = {
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .persist() // vocab-sized; feeds the spectrum AND the top-k
+    val spectrum = counts.agg(
+      count(lit(1)).as("v_obs"),
+      sum(col("tf")).as("n_tokens"),
+      count(when(col("tf") === 1L, lit(1))).as("f1"),
+      count(when(col("tf") === 2L, lit(1))).as("f2"))
+    val top = counts.orderBy(col("tf").desc, col("token").asc).limit(topK)
+      .agg(sum(col("tf")).as("top_tf"))
+    val report = spectrum.crossJoin(top)
+      .withColumn("chao1_est",
+        expr("v_obs + (f1 * (f1 - 1)) div (2 * (f2 + 1))"))
+      .withColumn("coverage_ppm",
+        expr("(top_tf * 1000000) div greatest(n_tokens, 1L)"))
+    Dedup.materializeAndRelease(report, counts)
+  }
+
   /** Sequence packing — the concat-and-chunk step that turns documents
     * into fixed-length training sequences: conceptually, concatenate each
     * source's token stream in doc_id order and cut every `seqLen` tokens;

@@ -300,4 +300,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(m(5L) == ((0L, 6L, 0L, "suspect")))
     assert(m(6L) == ((0L, 1L, 1L, "damaged")))
   }
+
+  test("vocabularyGrowth: hand-computed Chao1 and head coverage") {
+    // counts: a:2 b:3 c:1 d:1 e:1 -> V=5, N=8, f1=3, f2=1
+    // chao1 = 5 + (3*2) div (2*2) = 6
+    // topK=2 -> b(3) + a(2) = 5 -> coverage = 5e6 div 8 = 625000
+    val docs = Seq((1L, "a a b b"), (2L, "b c d e")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabularyGrowth(docs, topK = 2).head()
+    assert(r.getLong(0) == 5L)   // v_obs
+    assert(r.getLong(1) == 8L)   // n_tokens
+    assert(r.getLong(2) == 3L)   // f1
+    assert(r.getLong(3) == 1L)   // f2
+    assert(r.getLong(4) == 5L)   // top_tf
+    assert(r.getLong(5) == 6L)   // chao1_est
+    assert(r.getLong(6) == 625000L) // coverage_ppm
+    // saturated corpus (no singletons): chao1 == v_obs
+    val sat = Seq((1L, "x x y y")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.vocabularyGrowth(sat, topK = 10).head()
+    assert(r2.getLong(2) == 0L && r2.getLong(5) == r2.getLong(0))
+  }
 }
