@@ -426,6 +426,32 @@ object ScaleSmoke {
       s"est $est vs true ~${n / 2}")
     assert(math.abs(est - n / 2.0) / (n / 2.0) < 0.15,
       s"KMV estimate $est drifted >15% from ${n / 2}")
+    // --- bot-regularity at 10x corpus rows ---
+    // 10n events over n/100 users (~1000 events/user); users on
+    // uid % 7 == 2 fire on an exact 60 s timer, the rest get bursty
+    // pseudo-random gaps (hash-derived, CV ~ high). The per-user lag
+    // window is the q35 sessionization shape — bounded by events/user.
+    val nUsers = math.max(n / 100, 7)
+    val botEvents = spark.range(n * 10L).select(
+      col("id").as("event_id"),
+      pmod(col("id"), lit(nUsers.toLong)).as("user_id"),
+      timestamp_micros(
+        when(pmod(pmod(col("id"), lit(nUsers.toLong)), lit(7)) === 2,
+          lit(1700000000000000L) +
+            expr(s"id div $nUsers") * 60000000L)
+          .otherwise(lit(1700000000000000L) +
+            expr(s"id div $nUsers") * 60000000L +
+            pmod(col("id") * 2654435761L, lit(59000000L)))).as("ts"))
+    t0 = System.nanoTime()
+    val reg = ops.Analytics.timingRegularity(botEvents).persist()
+    val nBots = reg.where(col("bot_like")).count()
+    val nUsersSeen = reg.count()
+    println(f"timingRegularity(${n * 10L} events, $nUsers users): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, $nBots/$nUsersSeen flagged")
+    val expectBots = (0L until nUsers.toLong).count(_ % 7 == 2)
+    assert(nBots == expectBots,
+      s"bot flagging drifted: $nBots flagged, expected $expectBots")
+    reg.unpersist(false)
     spark.stop()
   }
 }
