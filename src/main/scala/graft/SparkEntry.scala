@@ -1065,6 +1065,23 @@ object SparkEntry {
         ev.where(col("event_type") === "click"), "event_id",
         ev.where(col("value") >= 30.0), "event_id", k = 128)
     }),
+    // data-constrained epoch allocation (Curate.epochAllocate,
+    // Muennighoff '23): sources remapped to the q82 70/20/10 skew, then
+    // a 2.5-epoch global budget water-filled under temperature
+    // upweighting (w = floor(sqrt(T))) and a 4-epoch hard cap —
+    // cap/weight grows with size, so the SMALL source caps and surplus
+    // flows upward; the oracle replays the per-source sums, the
+    // IEEE-double ratio order, the cross-multiplied capped test, and
+    // both integer allocations. Budget derives from a one-row agg
+    // (bounded driver materialization, the q36 discipline)
+    "q160_epoch_allocate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        when(col("doc_id") % 10 < 7, "big")
+          .when(col("doc_id") % 10 < 9, "mid")
+          .otherwise("small").as("source"))
+      val total = docs.agg(sum(col("n_chars"))).head().getLong(0)
+      Curate.epochAllocate(docs, budget = (5L * total) / 2L, maxEpochs = 4L)
+    }),
     // vocabulary-growth report (TextAnalysis.vocabularyGrowth, Chao '84):
     // the corpus-planning stat — Chao1 unseen-vocabulary estimate from
     // the singleton/doubleton spectrum plus top-1000 head coverage in
@@ -2606,6 +2623,44 @@ object SparkEntry {
         |       exact_union, exact_inter
         |FROM th CROSS JOIN nc CROSS JOIN ue
         |CROSS JOIN exu CROSS JOIN exi""".stripMargin,
+    "q160_epoch_allocate" ->
+      """WITH docs2 AS (SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 10 < 7 THEN 'big'
+        |         WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END source
+        |  FROM documents),
+        |b AS (SELECT CAST((5 * SUM(n_chars)) // 2 AS BIGINT) bud FROM docs2),
+        |per AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) tokens_avail
+        |        FROM docs2 WHERE n_chars > 0 GROUP BY 1),
+        |w AS (SELECT source, tokens_avail,
+        |    CAST(FLOOR(SQRT(CAST(tokens_avail AS DOUBLE))) AS BIGINT) weight,
+        |    CAST(tokens_avail * 4 AS BIGINT) cap
+        |  FROM per),
+        |o AS (SELECT *, CAST(cap AS DOUBLE) / weight ratio FROM w),
+        |p AS (SELECT *,
+        |    CAST(SUM(cap) OVER (ORDER BY ratio, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      c_le,
+        |    CAST(COALESCE(SUM(weight) OVER (ORDER BY ratio, source
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) w_gt
+        |  FROM o),
+        |t AS (SELECT p.*, bud,
+        |        c_le * weight + cap * w_gt <= bud * weight capped
+        |      FROM p CROSS JOIN b),
+        |tot AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT)
+        |      cstar,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT capped THEN weight END), 0)
+        |      AS BIGINT) wstar
+        |  FROM t)
+        |SELECT source, tokens_avail, weight, capped,
+        |  CAST(CASE WHEN capped THEN cap
+        |       ELSE ((bud - cstar) * weight) // GREATEST(wstar, 1) END
+        |    AS BIGINT) alloc_tokens,
+        |  CAST((CASE WHEN capped THEN cap
+        |        ELSE ((bud - cstar) * weight) // GREATEST(wstar, 1) END)
+        |       * 1000 // tokens_avail AS BIGINT) epochs_milli
+        |FROM t CROSS JOIN tot""".stripMargin,
     "q159_vocab_growth" ->
       """WITH tok AS (SELECT
         |    unnest(list_filter(regexp_split_to_array(text, '\s+'),

@@ -1056,4 +1056,71 @@ object Curate {
         coalesce(col("longest_run"), lit(0L)).as("longest_run"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
+
+  /** Data-constrained mixture allocation (the Muennighoff et al. '23
+    * "Scaling Data-Constrained LMs" planning step): split a global token
+    * budget across sources when repeating data has diminishing returns —
+    * target shares are temperature-upweighted (w_s = floor(√T_s), the
+    * τ=2 rule that favors small/rare sources, the q126 idea at the
+    * SOURCE level) but no source may be repeated past `maxEpochs`:
+    *
+    *   a_s = min(maxEpochs·T_s, λ·w_s),  λ = max s.t. Σ a_s ≤ budget.
+    *
+    * Because cap/weight = maxEpochs·√T grows with size, SMALL sources
+    * hit their epoch cap first and the surplus water-fills into larger
+    * ones — exactly the paper's observed optimum shape.
+    *
+    * Exact water-filling without a cutoff search: with sources in
+    * ascending cap/weight order, s is capped iff the fill level that
+    * would cap it already overflows the budget —
+    *   C_≤s·w_s + cap_s·W_>s ≤ B·w_s
+    * (C_≤s = Σ caps through s, W_>s = Σ weights after s; the λ-free
+    * cross-multiplied form, every term a BIGINT both engines replay).
+    * Uncapped sources then share λ* = (B − Σ capped caps)/Σ uncapped w
+    * by integer floor. The ORDER uses the IEEE-double ratio (both
+    * engines compute identical doubles; ties break on source name) —
+    * the allocation arithmetic itself never touches floats. Bound:
+    * B·w_s and cap_s·W fit BIGINT for B ≲ 2^63/√T_max — document-scale
+    * corpora are fine; shard the plan beyond.
+    *
+    * Shape at scale: one map-side-combined per-source aggregate; the
+    * window/prefix sums run over the SOURCE domain (audit-bounded, the
+    * kAnonymity argument), and the two totals broadcast back. Output:
+    * one row per source with the allocation and effective epochs in
+    * exact milli-epochs. */
+  def epochAllocate(documents: DataFrame, budget: Long, maxEpochs: Long = 4L,
+                    sourceCol: String = "source",
+                    costCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = documents
+      .where(col(costCol).isNotNull && col(costCol) > 0L &&
+        col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(sum(col(costCol)).as("tokens_avail"))
+      .withColumn("weight",
+        expr("cast(floor(sqrt(cast(tokens_avail as double))) as long)"))
+      .withColumn("cap", col("tokens_avail") * maxEpochs)
+      .withColumn("_ratio",
+        col("cap").cast("double") / col("weight").cast("double"))
+    val ord = Window.orderBy(col("_ratio"), col(sourceCol))
+    val tagged = per
+      .withColumn("_c_le", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_w_gt", coalesce(sum(col("weight")).over(
+        ord.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+      .withColumn("capped",
+        col("_c_le") * col("weight") + col("cap") * col("_w_gt")
+          <= lit(budget) * col("weight"))
+    val tot = tagged.agg(
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("_cstar"),
+      coalesce(sum(when(!col("capped"), col("weight"))), lit(0L)).as("_wstar"))
+    tagged.crossJoin(broadcast(tot))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap"))
+          .otherwise(expr(
+            s"((${budget}L - _cstar) * weight) div greatest(_wstar, 1L)")))
+      .withColumn("epochs_milli",
+        expr("(alloc_tokens * 1000) div tokens_avail"))
+      .select(col(sourceCol), col("tokens_avail"), col("weight"),
+        col("capped"), col("alloc_tokens"), col("epochs_milli"))
+  }
 }

@@ -520,4 +520,27 @@ class CurateSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(flat == plain)
   }
+
+  test("epochAllocate: hand-computed water-fill across the three regimes") {
+    // T = {a:100, b:400}, maxEpochs=2 -> w = {10, 20}, caps = {200, 800},
+    // cap/weight ratios {20, 40} -> fill order a then b
+    val docs = Seq((1L, 100L, "a"), (2L, 400L, "b"))
+      .toDF("doc_id", "n_chars", "source")
+    def run(b: Long) = Curate.epochAllocate(docs, budget = b, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(3), r.getLong(4), r.getLong(5)))).toMap
+    // under-subscribed: nobody caps, shares proportional to w (50/100)
+    val low = run(150L)
+    assert(low("a") == ((false, 50L, 500L)))
+    assert(low("b") == ((false, 100L, 250L)))
+    // the interesting regime: a caps at 2 epochs exactly (the capped
+    // test is <= at equality), surplus water-fills into b
+    val mid = run(600L)
+    assert(mid("a") == ((true, 200L, 2000L)))
+    assert(mid("b") == ((false, 400L, 1000L)))
+    // over-subscribed: budget >= sum of caps, everyone caps
+    val high = run(2000L)
+    assert(high("a") == ((true, 200L, 2000L)))
+    assert(high("b") == ((true, 800L, 2000L)))
+  }
 }
