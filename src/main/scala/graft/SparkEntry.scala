@@ -1053,6 +1053,16 @@ object SparkEntry {
     "q155_kmv_grouped" -> ((s, d) =>
       Kmv.groupedCertifiedEstimate(Tables.events(s, d),
         "event_type", "user_id", k = 32)),
+    // windowed distinct cardinality (composition: the q155 grouped
+    // sketch over event-TIME windows — "distinct users per day" as a
+    // resident-dashboard query whose shuffle carries <= k longs per
+    // day, never user ids; daily truncation via to_date so the group
+    // key strings match cross-engine)
+    "q161_kmv_windowed" -> ((s, d) =>
+      Kmv.groupedCertifiedEstimate(
+        Tables.events(s, d)
+          .withColumn("day", to_date(col("ts")).cast("string")),
+        "day", "user_id", k = 16)),
     // theta-style set-operation cardinality (Kmv.setEstimates,
     // DataSketches/Dasgupta '16): union AND intersection distinct
     // counts of two event populations from their 128-long sketches
@@ -2574,6 +2584,35 @@ object SparkEntry {
         |SELECT agg.g event_type, n_kept, kth_hash,
         |       CAST(CASE WHEN n_kept < 32 THEN n_kept
         |            ELSE (31 * 281474976710656) // (kth_hash + 1)
+        |            END AS BIGINT) est_distinct,
+        |       exact_distinct
+        |FROM agg JOIN ex ON agg.g = ex.g""".stripMargin,
+    "q161_kmv_windowed" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) g,
+        |         md5(CAST(user_id AS VARCHAR)) h
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |hv AS (
+        |  SELECT DISTINCT g, CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM hashed CROSS JOIN generate_series(1, 12) t(i)
+        |  GROUP BY g, h),
+        |sel AS (SELECT g, v FROM (
+        |    SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) rn
+        |    FROM hv) WHERE rn <= 16),
+        |agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_kept,
+        |               CAST(MAX(v) AS BIGINT) kth_hash
+        |        FROM sel GROUP BY g),
+        |ex AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) g,
+        |              CAST(COUNT(DISTINCT user_id) AS BIGINT) exact_distinct
+        |       FROM events
+        |       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |       GROUP BY 1)
+        |SELECT agg.g "day", n_kept, kth_hash,
+        |       CAST(CASE WHEN n_kept < 16 THEN n_kept
+        |            ELSE (15 * 281474976710656) // (kth_hash + 1)
         |            END AS BIGINT) est_distinct,
         |       exact_distinct
         |FROM agg JOIN ex ON agg.g = ex.g""".stripMargin,
