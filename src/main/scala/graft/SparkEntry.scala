@@ -1106,6 +1106,18 @@ object SparkEntry {
     "q158_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapMatrix(
         Tables.documents(s, d).where(col("doc_id") < 300))),
+    // 3-way KMV intersection (Kmv.multiIntersection): the q156 θ rule
+    // over three event populations — θ = min of the three thresholds,
+    // candidates = hashes in ALL sketches below θ, scaled by 2^48/θ;
+    // the oracle replays three k-minima CTEs, LEAST, chained INTERSECT,
+    // and both formulas
+    "q162_kmv_inter3" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Kmv.multiIntersection(Seq(
+        (ev.where(col("value") >= 10.0), "event_id"),
+        (ev.where(col("value") >= 30.0), "event_id"),
+        (ev.where(col("event_type") === "click"), "event_id")), k = 128)
+    }),
     // bot-traffic detection by inter-arrival regularity (Analytics
     // .timingRegularity): users on user_id % 7 == 2 are re-timed in-plan
     // onto an exact 60 s grid (timer-scripted actors), the rest keep
@@ -2745,6 +2757,59 @@ object SparkEntry {
          |FROM ps JOIN tot ta ON ps.source_a = ta.source
          |        JOIN tot tb ON ps.source_b = tb.source
          |GROUP BY 1, 2, ta.n_docs, tb.n_docs""".stripMargin,
+    "q162_kmv_inter3" ->
+      """WITH h0 AS (SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) h
+        |  FROM events WHERE value >= 10.0 AND event_id IS NOT NULL),
+        |v0 AS (SELECT DISTINCT CAST(SUM(
+        |    (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |    * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM h0 CROSS JOIN generate_series(1, 12) t(i) GROUP BY h),
+        |s0 AS (SELECT v FROM v0 ORDER BY v LIMIT 128),
+        |h1 AS (SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) h
+        |  FROM events WHERE value >= 30.0 AND event_id IS NOT NULL),
+        |v1 AS (SELECT DISTINCT CAST(SUM(
+        |    (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |    * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM h1 CROSS JOIN generate_series(1, 12) t(i) GROUP BY h),
+        |s1 AS (SELECT v FROM v1 ORDER BY v LIMIT 128),
+        |h2 AS (SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) h
+        |  FROM events WHERE event_type = 'click' AND event_id IS NOT NULL),
+        |v2 AS (SELECT DISTINCT CAST(SUM(
+        |    (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |    * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM h2 CROSS JOIN generate_series(1, 12) t(i) GROUP BY h),
+        |s2 AS (SELECT v FROM v2 ORDER BY v LIMIT 128),
+        |t0 AS (SELECT CAST(COUNT(*) AS BIGINT) n_0,
+        |         CAST(CASE WHEN COUNT(*) < 128 THEN 281474976710656
+        |              ELSE MAX(v) + 1 END AS BIGINT) th0 FROM s0),
+        |t1 AS (SELECT CAST(COUNT(*) AS BIGINT) n_1,
+        |         CAST(CASE WHEN COUNT(*) < 128 THEN 281474976710656
+        |              ELSE MAX(v) + 1 END AS BIGINT) th1 FROM s1),
+        |t2 AS (SELECT CAST(COUNT(*) AS BIGINT) n_2,
+        |         CAST(CASE WHEN COUNT(*) < 128 THEN 281474976710656
+        |              ELSE MAX(v) + 1 END AS BIGINT) th2 FROM s2),
+        |th AS (SELECT n_0, n_1, n_2,
+        |         CAST(LEAST(th0, th1, th2) AS BIGINT) theta
+        |       FROM t0 CROSS JOIN t1 CROSS JOIN t2),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) n_common
+        |       FROM (SELECT v FROM s0 INTERSECT
+        |             SELECT v FROM s1 INTERSECT
+        |             SELECT v FROM s2) c
+        |       CROSS JOIN th WHERE c.v < th.theta),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) exact_inter FROM (
+        |    SELECT DISTINCT event_id FROM events
+        |      WHERE value >= 10.0 AND event_id IS NOT NULL
+        |    INTERSECT
+        |    SELECT DISTINCT event_id FROM events
+        |      WHERE value >= 30.0 AND event_id IS NOT NULL
+        |    INTERSECT
+        |    SELECT DISTINCT event_id FROM events
+        |      WHERE event_type = 'click' AND event_id IS NOT NULL))
+        |SELECT n_0, n_1, n_2, theta, n_common,
+        |       CAST((n_common * 281474976710656) // theta AS BIGINT)
+        |         est_inter,
+        |       exact_inter
+        |FROM th CROSS JOIN nc CROSS JOIN ex""".stripMargin,
     "q157_bot_regularity" ->
       """WITH rn AS (SELECT user_id, event_id, ts,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn

@@ -180,6 +180,42 @@ object Kmv {
     estInter.crossJoin(unionEst).crossJoin(exact)
   }
 
+  /** N-way intersection cardinality — the [[setEstimates]] θ rule
+    * generalized: θ = min over ALL sketches' thresholds (every kept set
+    * is complete below it), the candidate set is the values present in
+    * EVERY sketch below θ, and the estimate scales by 2^48/θ with the
+    * same exact under-full degenerate. "Users in segment A ∩ B ∩ C"
+    * from three k-long sketches, no re-scan of any side. */
+  def multiIntersection(inputs: Seq[(DataFrame, String)],
+                        k: Int): DataFrame = {
+    require(inputs.size >= 2, "need at least two sets")
+    val sks = inputs.map { case (df, c) =>
+      sketch(df, c, k).localCheckpoint(true) // ≤ k rows, read 2–3 times
+    }
+    val thetas = sks.zipWithIndex.map { case (sk, i) =>
+      sk.agg(count(lit(1)).as(s"n_$i"), max(col("v")).as("_h"))
+        .withColumn(s"theta_$i",
+          when(col(s"n_$i") < k, lit(HashSpace)).otherwise(col("_h") + 1L))
+        .select(col(s"n_$i"), col(s"theta_$i"))
+    }.reduce(_.crossJoin(_))
+      .withColumn("theta",
+        least(inputs.indices.map(i => col(s"theta_$i")): _*))
+    val common = sks.reduce((a, b) => a.join(b, Seq("v")))
+    val nCommon = common
+      .crossJoin(thetas.select(col("theta").as("_t")))
+      .where(col("v") < col("_t"))
+      .agg(count(lit(1)).as("n_common"))
+    val exact = inputs.map { case (df, c) =>
+      df.where(col(c).isNotNull).select(col(c).as("x")).distinct()
+    }.reduce(_.join(_, Seq("x")))
+      .agg(count(lit(1)).as("exact_inter"))
+    thetas.select(inputs.indices.map(i => col(s"n_$i")) :+ col("theta"): _*)
+      .crossJoin(nCommon)
+      .withColumn("est_inter",
+        expr(s"(n_common * ${HashSpace}L) div theta"))
+      .crossJoin(exact)
+  }
+
   /** Certification query (q154): the sketch estimate NEXT TO the exact
     * distinct count, both oracle-replayable. The exact side is the
     * certification's cost, not the operator's — production callers run

@@ -91,6 +91,23 @@ class KmvSpec extends SparkTestBase {
     assert(r.getLong(5) == 5000L && r.getLong(6) == 1000L)
   }
 
+  test("multiIntersection: 3-way exact degenerate and agreement with setEstimates") {
+    val a = (1L to 40L).toDF("x")
+    val b = (21L to 60L).toDF("x")
+    val c = (31L to 70L).toDF("x") // a∩b∩c = [31,40] -> 10
+    val r = Kmv.multiIntersection(
+      Seq((a, "x"), (b, "x"), (c, "x")), k = 64).head()
+    assert(r.getLong(0) == 40L && r.getLong(1) == 40L && r.getLong(2) == 40L)
+    assert(r.getLong(3) == Kmv.HashSpace) // all under-full: θ = kept-all
+    assert(r.getLong(4) == 10L)           // n_common == exact candidates
+    assert(r.getLong(5) == 10L)           // est_inter exact
+    assert(r.getLong(6) == 10L)           // exact_inter
+    // two-input multiIntersection must agree with setEstimates' est_inter
+    val two = Kmv.multiIntersection(Seq((a, "x"), (b, "x")), k = 16).head()
+    val se = Kmv.setEstimates(a, "x", b, "x", k = 16).head()
+    assert(two.getLong(two.length - 2) == se.getLong(3)) // est_inter
+  }
+
   test("null values excluded; certifiedEstimate carries the exact count") {
     val df = Seq(Some(1L), Some(2L), Some(2L), None).toDF("x")
     val got = Kmv.certifiedEstimate(df, "x", k = 8).head()
