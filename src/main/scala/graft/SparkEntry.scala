@@ -1082,15 +1082,15 @@ object SparkEntry {
     // cap/weight grows with size, so the SMALL source caps and surplus
     // flows upward; the oracle replays the per-source sums, the
     // IEEE-double ratio order, the cross-multiplied capped test, and
-    // both integer allocations. Budget derives from a one-row agg
-    // (bounded driver materialization, the q36 discipline)
+    // both integer allocations. Budget (2.5 epochs of the corpus)
+    // derives IN-PLAN from a 1-row broadcast aggregate — registration
+    // runs zero driver-side jobs (the q158-totals pattern)
     "q160_epoch_allocate" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
         when(col("doc_id") % 10 < 7, "big")
           .when(col("doc_id") % 10 < 9, "mid")
           .otherwise("small").as("source"))
-      val total = docs.agg(sum(col("n_chars"))).head().getLong(0)
-      Curate.epochAllocate(docs, budget = (5L * total) / 2L, maxEpochs = 4L)
+      Curate.epochAllocateScaled(docs, num = 5L, den = 2L, maxEpochs = 4L)
     }),
     // vocabulary-growth report (TextAnalysis.vocabularyGrowth, Chao '84):
     // the corpus-planning stat — Chao1 unseen-vocabulary estimate from

@@ -1090,7 +1090,33 @@ object Curate {
     * exact milli-epochs. */
   def epochAllocate(documents: DataFrame, budget: Long, maxEpochs: Long = 4L,
                     sourceCol: String = "source",
-                    costCol: String = "n_chars"): DataFrame = {
+                    costCol: String = "n_chars"): DataFrame =
+    epochAllocateCore(documents,
+      documents.sparkSession.range(1).select(lit(budget).as("_budget")),
+      maxEpochs, sourceCol, costCol)
+
+  /** [[epochAllocate]] with the budget derived IN-PLAN as
+    * `(num * total_cost) div den` over the whole frame (a 1-row
+    * broadcast aggregate, the q158-totals pattern) — e.g. num=5, den=2
+    * is "2.5 epochs of the corpus". Registering this query triggers NO
+    * driver-side job: the budget is a subtree of the returned plan, so
+    * the corpus is scanned exactly once per measured run instead of
+    * once at build time and again at run time. The total deliberately
+    * aggregates the UNFILTERED frame (sum skips NULLs; non-positive
+    * costs still count toward the global budget a caller reasons about)
+    * — identical to the literal-budget convention callers used. */
+  def epochAllocateScaled(documents: DataFrame, num: Long, den: Long,
+                          maxEpochs: Long = 4L,
+                          sourceCol: String = "source",
+                          costCol: String = "n_chars"): DataFrame =
+    epochAllocateCore(documents,
+      documents.agg(
+        expr(s"(sum($costCol) * ${num}L) div ${den}L").as("_budget")),
+      maxEpochs, sourceCol, costCol)
+
+  private def epochAllocateCore(documents: DataFrame, budgetDf: DataFrame,
+                                maxEpochs: Long, sourceCol: String,
+                                costCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = documents
       .where(col(costCol).isNotNull && col(costCol) > 0L &&
@@ -1107,9 +1133,10 @@ object Curate {
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_w_gt", coalesce(sum(col("weight")).over(
         ord.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+      .crossJoin(broadcast(budgetDf))
       .withColumn("capped",
         col("_c_le") * col("weight") + col("cap") * col("_w_gt")
-          <= lit(budget) * col("weight"))
+          <= col("_budget") * col("weight"))
     val tot = tagged.agg(
       coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("_cstar"),
       coalesce(sum(when(!col("capped"), col("weight"))), lit(0L)).as("_wstar"))
@@ -1117,7 +1144,7 @@ object Curate {
       .withColumn("alloc_tokens",
         when(col("capped"), col("cap"))
           .otherwise(expr(
-            s"((${budget}L - _cstar) * weight) div greatest(_wstar, 1L)")))
+            "((_budget - _cstar) * weight) div greatest(_wstar, 1L)")))
       .withColumn("epochs_milli",
         expr("(alloc_tokens * 1000) div tokens_avail"))
       .select(col(sourceCol), col("tokens_avail"), col("weight"),

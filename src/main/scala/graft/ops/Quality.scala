@@ -340,15 +340,19 @@ object Quality {
   def unigramEntropy(documents: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
                      loMilli: Long = 300L, hiMilli: Long = 700L): DataFrame = {
-    val ilog2 = (x: Column) => length(conv(x.cast("string"), 10, 2)).cast("long") - 1L
     val s = graft.expr.Exprs.unigramEntropyStats(col(textCol))
     documents.select(col(idCol), s.as("_s"))
       .select(col(idCol), col("_s.n_tokens").as("n_tokens"),
         col("_s.n_distinct").as("n_distinct"),
         col("_s.surprisal_sum").as("surprisal_sum"))
+      // `div`, not Column./: on longs the latter is DOUBLE division,
+      // which diverges from the oracle's integer // past 2^53 (the
+      // Retrieval.scala fixed-point rule); operands are non-negative so
+      // div == floor-divide in both engines
       .withColumn("norm_milli",
         when(col("n_tokens") >= 2,
-          floor((col("surprisal_sum") * 1000L) / (col("n_tokens") * ilog2(col("n_tokens")))).cast("long"))
+          expr("(surprisal_sum * 1000) div (n_tokens * " +
+            "(length(conv(cast(n_tokens as string), 10, 2)) - 1))"))
           .otherwise(0L))
       .withColumn("verdict",
         when(col("n_tokens") < 2, "short")
@@ -457,7 +461,13 @@ object Quality {
     * audit's aggregation plus one join — no row-level state. */
   def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Long = 10L): DataFrame = {
     val bad = kAnonymity(df, qiCols, k)
-      .where(!col("k_anonymous")).select(qiCols.map(col): _*)
-    df.join(bad, qiCols, "left_anti")
+      .where(!col("k_anonymous"))
+      .select(qiCols.map(c => col(c).as(s"_b_$c")): _*)
+    // null-SAFE anti-join: the audit's groupBy treats a NULL QI value as
+    // its own equivalence class (as does tCloseness), so enforcement
+    // must too — a plain equi-anti-join never matches NULL keys and
+    // would pass every sub-k NULL-keyed class through un-suppressed
+    val cond = qiCols.map(c => df(c) <=> col(s"_b_$c")).reduce(_ && _)
+    df.join(bad, cond, "left_anti")
   }
 }

@@ -37,7 +37,14 @@ import org.apache.spark.sql.functions._
   * Bounds: idf_fx ≤ 2N·10^6 and term_fx multiplies it by ≤ 2200, so the
   * arithmetic stays inside int64 for N up to ~2·10^9 docs per index —
   * shard the index (and merge top-k lists, which BM25 scores support:
-  * df/N/avg must just be computed globally first) beyond that.
+  * df/N/avg must just be computed globally first) beyond that. A second,
+  * independent bound lives in the tfw_fx NUMERATOR 22·tf·avg_fx·1000:
+  * it overflows int64 when tf·avg_dl approaches ~4·10^11 (e.g. a
+  * million-token term inside a corpus of million-token documents) —
+  * chunk documents (the q47/q128 content-chunk pass) or cap tf at
+  * ingest before that regime; tf beyond a few thousand is saturated by
+  * BM25's k1 anyway (tfw_fx is within 1‰ of its 2200 asymptote), so a
+  * cap loses nothing measurable.
   *
   * Scale shape: the postings build is the one token shuffle (groupBy
   * (doc, token) with map-side combine); queries are SMALL and broadcast

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.GraftTestBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Guard: CONSTRUCTING a registered query (invoking its
+  * `SparkEntry.queries` builder, before any action on the returned
+  * frame) must launch no DATA jobs — a build-time action means the
+  * corpus is scanned once during construction and again when the
+  * measured plan runs, with the first scan's result frozen into the
+  * plan as a literal the optimizer can't see (the round-9 q160 defect:
+  * a `.head()` to derive the token budget).
+  *
+  * Two job classes are exempt:
+  *  - parquet FOOTER jobs ("parquet at ..." stages): Spark 4 reads
+  *    file footers for schema inference through a tiny Spark job on
+  *    every `spark.read.parquet` — metadata, not data, and inherent to
+  *    the scan API.
+  *  - builders in [[eagerByDesign]]: algorithms whose design is eager
+  *    materialization (iterative cluster propagation, persisted-index
+  *    builds, pair-frame checkpoints that release a persisted
+  *    signature intermediate). There the build-time jobs ARE the
+  *    measured work — bench times the builder call plus the final
+  *    action — and the checkpoint is the lineage-truncation
+  *    discipline, not a hidden pre-scan. */
+class BuildTimeJobsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Builders allowed to run data jobs at construction (see class doc):
+    * every entry is either a checkpointed iterative/pair algorithm
+    * (materializeAndRelease / dupClusters rounds), a persisted-index
+    * build with a bounded centroid/merge-table collect (IVF/PQ, BPE,
+    * CountMin, equi-depth bounds), or a write-then-read roundtrip
+    * (Avro). Additions need the same eager-materialization
+    * justification, and the rot assertion below removes stale entries. */
+  private val eagerByDesign: Set[String] = Set(
+    "q102_pagerank", "q104_ivfpq_knn", "q105_pq_rerank",
+    "q108_ivfpq_residual", "q109_pack", "q111_winnow_pairs",
+    "q113_avro_roundtrip", "q117_dedup_resolve", "q133_image_dhash_pairs",
+    "q134_quality_score", "q135_image_dedup_resolve",
+    "q136_audio_ahash_pairs", "q138_softdedup_weights",
+    "q140_crossmodal_dedup", "q141_video_dedup_pairs", "q143_bm25_topk",
+    "q144_video_dedup_resolve", "q146_embedding_probe", "q147_hybrid_rrf",
+    "q148_leakage_safe_split", "q149_contamination_triage",
+    "q152_curriculum_pack", "q156_kmv_setops", "q158_source_overlap",
+    "q159_vocab_growth", "q162_kmv_inter3", "q23b_lang_id_ft",
+    "q25_minhash_survivors", "q29_ngram_jaccard", "q36_ann_ivf",
+    "q49_dup_clusters", "q77_dup_clusters_star", "q79_oov_rate",
+    "q83_token_rarity", "q86_equidepth_hist", "q90_count_min",
+    "q91_decontaminate_bloom", "q93_semdedup", "q94_epoch_shuffle",
+    "q97_bpe_train_apply", "q98_funnel")
+
+  test("query construction launches zero data jobs (eager-by-design excepted)") {
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val stages = j.stageInfos.map(_.name).mkString("|")
+        // footer/schema-inference jobs: every stage is a "parquet at"
+        // metadata read
+        if (!j.stageInfos.forall(_.name.startsWith("parquet at ")))
+          jobs.add(stages)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val offenders = scala.collection.mutable.ArrayBuffer.empty[(String, List[String])]
+      val eagerRan = scala.collection.mutable.Set.empty[String]
+      for ((name, build) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+        jobs.clear()
+        build(spark, sf) // construct only — no action on the result
+        GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+        val ran = new java.util.ArrayList(jobs)
+        if (!ran.isEmpty) {
+          if (eagerByDesign(name)) eagerRan += name
+          else {
+            import scala.jdk.CollectionConverters._
+            offenders += name -> ran.asScala.toList.take(3)
+          }
+        }
+      }
+      assert(offenders.isEmpty,
+        s"builders ran data jobs at construction time:\n${
+          offenders.map { case (n, js) => s"  $n: ${js.mkString(" ;; ")}" }.mkString("\n")}")
+      // the exception list must not rot: entries that no longer run jobs
+      // should be removed so the guard stays tight
+      val unused = eagerByDesign -- eagerRan
+      assert(unused.isEmpty,
+        s"eager-by-design entries that ran zero data jobs (remove them): $unused")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+}

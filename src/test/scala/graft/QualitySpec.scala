@@ -185,6 +185,23 @@ class QualitySpec extends SparkTestBase {
     assert(recheck.where(!org.apache.spark.sql.functions.col("k_anonymous")).count() == 0)
   }
 
+  test("kAnonymize: sub-k class keyed by a NULL QI value is suppressed") {
+    // the audit's groupBy puts NULL-country rows in their own class; the
+    // enforcement anti-join must match that class null-safely — a plain
+    // equi-anti-join never equals NULL and would leak rows 4 and 5
+    val rows = Seq(
+      (Some("us"), "A", 1L), (Some("us"), "A", 2L), (Some("us"), "A", 3L),
+      (None, "A", 4L), (None, "A", 5L)
+    ).toDF("country", "segment", "id")
+    val kept = Quality.kAnonymize(rows, Seq("country", "segment"), k = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), "NULL-keyed sub-k class must be suppressed")
+    val recheck = Quality.kAnonymity(
+      Quality.kAnonymize(rows, Seq("country", "segment"), k = 3L),
+      Seq("country", "segment"), k = 3L)
+    assert(recheck.where(!org.apache.spark.sql.functions.col("k_anonymous")).count() == 0)
+  }
+
   test("lDiversity: homogeneous class fails even when k-large") {
     val rows = Seq(
       ("us", "flu", 1L), ("us", "flu", 2L), ("us", "flu", 3L), ("us", "flu", 4L),
