@@ -391,13 +391,27 @@ object ScaleSmoke {
     assets.unpersist(false)
     imgPairs.unpersist(false)
     // --- perceptual video dedup at the same corpus size ---
-    // the q141 fixture at n videos (4-8 frames each): the same id-class
-    // twin rules as the image fixture (trim+shift at +3, PNG re-mux at
-    // +6), so the planted pair set is plantedImg verbatim. Trim twins
+    // the q141 fixture at n videos (4-8 frames each): the image
+    // fixture's twin rules (trim+shift at +3, PNG re-mux at +6) PLUS
+    // the MP4 re-mux class at +8 (ISO-BMFF box walk under load), so the
+    // planted set is the 4-clique expansion of plantedImg. Trim twins
     // must pair at jaccard (nf-2)/(nf-1) >= 2/3, re-mux twins at 1.0;
     // tau=0.5 filters the isolated-frame coincidences the quadratic
     // frame mix still allows (never a shared 2-frame shingle, see the
     // syntheticVideoAssets scale notes).
+    val grpV = scala.collection.mutable.Map[Long, List[Long]]()
+    for (id <- 0L until n.toLong) if (id % 97 != 0) {
+      val seedV =
+        if (id % 10 == 3 && id >= 13) id - 3
+        else if (id % 10 == 6 && id >= 16) id - 6
+        else if (id % 10 == 8 && id >= 18) id - 8
+        else id
+      grpV(seedV) = id :: grpV.getOrElse(seedV, Nil)
+    }
+    val plantedVid = grpV.values.flatMap { ms =>
+      val s = ms.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.toSeq
     val vidAssets = ops.Multimodal.syntheticVideoAssets(imgIds)
       .repartition(32).persist()
     vidAssets.count() // materialize encode outside the dedup timer
@@ -405,12 +419,12 @@ object ScaleSmoke {
     val vidPairs = ops.Dedup.videoPairs(vidAssets).persist()
     val nVidPairs = vidPairs.count()
     val exactVid = vidPairs.where(col("jaccard") === 1.0).count()
-    val foundVid = plantedImg.toDF("video_a", "video_b")
+    val foundVid = plantedVid.toDF("video_a", "video_b")
       .join(vidPairs, Seq("video_a", "video_b"), "left_semi").count()
     println(f"videoPairs($n videos): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
-      s"$nVidPairs pairs ($foundVid/${plantedImg.size} planted recalled, $exactVid at jaccard 1.0)")
-    assert(foundVid == plantedImg.size,
-      s"planted video-dup recall broke: $foundVid/${plantedImg.size}")
+      s"$nVidPairs pairs ($foundVid/${plantedVid.size} planted recalled, $exactVid at jaccard 1.0)")
+    assert(foundVid == plantedVid.size,
+      s"planted video-dup recall broke: $foundVid/${plantedVid.size}")
     assert(nVidPairs - foundVid <= n / 1000L,
       s"coincidental video-pair volume exploded: ${nVidPairs - foundVid}")
     // --- KMV distinct sketch at 10x corpus rows ---

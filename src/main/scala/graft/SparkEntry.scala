@@ -847,8 +847,11 @@ object SparkEntry {
       Dedup.ahashPairs(Multimodal.syntheticAhashAssets(
         Tables.documents(s, d).select(col("doc_id"))))),
     // perceptual VIDEO dedup (Dedup.videoPairs): in-plan synthesized
-    // GVID containers with planted trimmed+brightness-shifted and
-    // PNG-re-muxed duplicate twins; scan-side signature = consecutive
+    // containers (GVID + real ISO-BMFF/MP4 via the q163-era box walk)
+    // with planted trimmed+brightness-shifted, PNG-re-muxed, and
+    // MP4-re-muxed duplicate twins — the MP4 twins oracle-gate the
+    // stsz/stsc/stco demux: a broken box walk loses their pairs and the
+    // hash diverges; scan-side signature = consecutive
     // 2-frame shingles over per-frame dHash fingerprints, paired by the
     // inverted-index jaccard discipline. The oracle replays the ENTIRE
     // integer pipeline — per-frame pixel formula -> luma -> grid ->
@@ -1668,6 +1671,7 @@ object SparkEntry {
       |cls AS (SELECT id,
       |    CASE WHEN id % 10 = 3 AND id >= 13 THEN id - 3
       |         WHEN id % 10 = 6 AND id >= 16 THEN id - 6
+      |         WHEN id % 10 = 8 AND id >= 18 THEN id - 8
       |         ELSE id END seed,
       |    CASE WHEN id % 10 = 3 AND id >= 13 THEN 20 ELSE 0 END sh,
       |    CASE WHEN id % 10 = 3 AND id >= 13 THEN 1 ELSE 0 END tr

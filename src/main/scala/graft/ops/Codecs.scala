@@ -458,10 +458,11 @@ object Codecs {
     out
   }
 
-  /** Frame payload slices of a video container — GVID or AVI/MJPEG
-    * ([[aviFrames]]), dispatched by magic; None for anything else. */
+  /** Frame payload slices of a video container — GVID, AVI/MJPEG
+    * ([[aviFrames]]), or ISO-BMFF/MP4 ([[mp4Frames]]), dispatched by
+    * magic; None for anything else. */
   def videoFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] =
-    gvidFrames(bytes).orElse(aviFrames(bytes))
+    gvidFrames(bytes).orElse(aviFrames(bytes)).orElse(mp4Frames(bytes))
 
   /** Frame payload slices of a GVID container; None on wrong magic, a
     * frame running past the buffer, or trailing bytes (strict: a media
@@ -569,6 +570,211 @@ object Codecs {
       p += 8 + clen + (clen & 1)
     }
     if (out.isEmpty) None else Some(out.toArray)
+  }
+
+  // ------------------------------------------------ ISO-BMFF (MP4)
+
+  /** Minimal-but-valid ISO-BMFF (MP4) writer: `ftyp` + `mdat` (sample
+    * payloads concatenated in one chunk) + trailing `moov` carrying the
+    * full sample-table chain — `stsd` visual sample entry ('jpeg', the
+    * Motion-JPEG-in-MP4 registration), `stts`/`stsc`/`stsz`/`stco`.
+    * moov-after-mdat is the standard non-faststart layout real muxers
+    * emit (chunk offsets are knowable when the header is written last).
+    * Sample payloads are opaque to the container — any codec
+    * [[decodePixels]] understands rides inside, the same contract as
+    * GVID/AVI — so a container-level re-mux of the SAME payload bytes
+    * across all three containers is byte-different yet perceptually
+    * identical, the duplicate class exact hashing cannot see. H.264
+    * BITSTREAMS remain the honest stub (external codec libs,
+    * ops/Multimodal.scala:19); this retires the container half of that
+    * waiver: ISO-BMFF is the box format essentially all real crawl
+    * video arrives in, and the ftyp/moov/trak/mdia/minf/stbl walk with
+    * stsz/stsc/stco sample mapping is exactly what a 100 TB media scan
+    * must do before any codec work. */
+  def encodeMp4(width: Int, height: Int, fps: Int,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+    def cat(parts: Array[Byte]*): Array[Byte] = {
+      val out = new Array[Byte](parts.map(_.length).sum)
+      var o = 0
+      parts.foreach { p => System.arraycopy(p, 0, out, o, p.length); o += p.length }
+      out
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def u16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+    def s4(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(tp: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = cat(parts: _*)
+      cat(u32(8L + body.length), s4(tp), body)
+    }
+    val n = frames.length
+    val ts = math.max(fps, 1)
+    val identityMatrix = cat(u32(0x10000L), u32(0), u32(0),
+      u32(0), u32(0x10000L), u32(0), u32(0), u32(0), u32(0x40000000L))
+    val ftyp = box("ftyp", s4("isom"), u32(0x200L), s4("isom"), s4("mp41"))
+    val mdat = box("mdat", frames: _*)
+    val mvhd = box("mvhd", u32(0), u32(0), u32(0), u32(ts), u32(n),
+      u32(0x10000L), u16(0x100), u16(0), u32(0), u32(0), identityMatrix,
+      new Array[Byte](24), u32(2))
+    val tkhd = box("tkhd", u32(3) /*v0, enabled|in-movie*/, u32(0), u32(0),
+      u32(1) /*track_ID*/, u32(0), u32(n), u32(0), u32(0),
+      u16(0), u16(0), u16(0), u16(0), identityMatrix,
+      u32(width.toLong << 16), u32(height.toLong << 16))
+    val mdhd = box("mdhd", u32(0), u32(0), u32(0), u32(ts), u32(n),
+      u16(0x55c4) /*'und'*/, u16(0))
+    val hdlr = box("hdlr", u32(0), u32(0), s4("vide"), u32(0), u32(0),
+      u32(0), cat(s4("VideoHandler"), Array(0.toByte)))
+    val dinf = box("dinf", box("dref", u32(0), u32(1),
+      box("url ", u32(1) /*self-contained*/)))
+    val vmhd = box("vmhd", u32(1), u16(0), u16(0), u16(0), u16(0))
+    val sampleEntry = box("jpeg",
+      new Array[Byte](6), u16(1) /*data_reference_index*/,
+      u16(0), u16(0), u32(0), u32(0), u32(0),
+      u16(width), u16(height),
+      u32(0x480000L), u32(0x480000L) /*72 dpi 16.16*/, u32(0),
+      u16(1) /*frame_count per sample*/,
+      new Array[Byte](32) /*compressorname*/, u16(24), u16(0xffff))
+    val stsd = box("stsd", u32(0), u32(1), sampleEntry)
+    val stts = box("stts", u32(0), u32(1), u32(n), u32(1))
+    val stsc = box("stsc", u32(0), u32(1), u32(1), u32(n), u32(1))
+    val stsz = box("stsz", u32(0), u32(0) /*per-sample sizes*/, u32(n),
+      cat(frames.map(f => u32(f.length)): _*))
+    val stco = box("stco", u32(0), u32(1), u32(ftyp.length + 8L))
+    val moov = box("moov", mvhd, box("trak", tkhd, box("mdia", mdhd, hdlr,
+      box("minf", vmhd, dinf, box("stbl", stsd, stts, stsc, stsz, stco)))))
+    cat(ftyp, mdat, moov)
+  }
+
+  /** Sample payload slices of an ISO-BMFF (MP4) container: box-walks
+    * ftyp/moov → first 'vide'-handler trak → mdia/minf/stbl, then maps
+    * samples to file ranges through the real sample tables — stsz
+    * (sizes), stsc (samples-per-chunk runs), stco/co64 (chunk offsets)
+    * — exactly the demuxer path, no codec work. None on wrong magic,
+    * boxes that do not tile their parent exactly, truncated tables, a
+    * sample range outside the file, inconsistent stsc/stco/stsz
+    * accounting, or absurd counts (malformed media must skip, not
+    * throw, and garbage must not drive huge allocations). */
+  def mp4Frames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (bytes.length < 16) return None
+    def u32(o: Long): Long =
+      ((bytes(o.toInt) & 0xffL) << 24) | ((bytes(o.toInt + 1) & 0xffL) << 16) |
+        ((bytes(o.toInt + 2) & 0xffL) << 8) | (bytes(o.toInt + 3) & 0xffL)
+    def id4(o: Long): String = new String(bytes, o.toInt, 4, "US-ASCII")
+    if (id4(4) != "ftyp") return None
+    // children of [start, end): (type, bodyStart, bodyEnd) — strict: the
+    // boxes must tile the span exactly (size 0 = to-end, size 1 = 64-bit
+    // largesize; > Int.MaxValue rejected, the payload is in memory)
+    def children(start: Long, end: Long): Option[Vector[(String, Long, Long)]] = {
+      val out = Vector.newBuilder[(String, Long, Long)]
+      var o = start
+      while (o < end) {
+        if (o + 8 > end) return None
+        var sz = u32(o)
+        var hdr = 8L
+        if (sz == 1) {
+          if (o + 16 > end) return None
+          if (u32(o + 8) != 0) return None // > 4 GiB: not an in-memory payload
+          sz = u32(o + 12); hdr = 16
+        } else if (sz == 0) sz = end - o
+        if (sz < hdr || o + sz > end) return None
+        out += ((id4(o + 4), o + hdr, o + sz))
+        o += sz
+      }
+      Some(out.result())
+    }
+    def find(cs: Vector[(String, Long, Long)], tp: String): Option[(Long, Long)] =
+      cs.find(_._1 == tp).map(c => (c._2, c._3))
+    val top = children(0, bytes.length).getOrElse(return None)
+    val (moovS, moovE) = find(top, "moov").getOrElse(return None)
+    val moovKids = children(moovS, moovE).getOrElse(return None)
+    // first trak whose hdlr handler_type is 'vide' (audio/hint traks in
+    // a real mux must not shadow the video sample tables)
+    var stbl: Option[(Long, Long)] = None
+    for (t <- moovKids if t._1 == "trak" && stbl.isEmpty) {
+      for {
+        tk <- children(t._2, t._3)
+        (mdS, mdE) <- find(tk, "mdia")
+        mk <- children(mdS, mdE)
+        (hdS, hdE) <- find(mk, "hdlr")
+        if hdE - hdS >= 12 && id4(hdS + 8) == "vide"
+        (mnS, mnE) <- find(mk, "minf")
+        nk <- children(mnS, mnE)
+        sb <- find(nk, "stbl")
+      } stbl = Some(sb)
+    }
+    val (sbS, sbE) = stbl.getOrElse(return None)
+    val sk = children(sbS, sbE).getOrElse(return None)
+    val maxN = 1000000L
+    // stsz: uniform sample_size or per-sample table
+    val (szS, szE) = find(sk, "stsz").getOrElse(return None)
+    if (szE - szS < 12) return None
+    val uniform = u32(szS + 4)
+    val nSamples = u32(szS + 8)
+    if (nSamples < 1 || nSamples > maxN) return None
+    val sizes = new Array[Long](nSamples.toInt)
+    if (uniform != 0) java.util.Arrays.fill(sizes, uniform)
+    else {
+      if (szE - szS != 12 + 4 * nSamples) return None
+      var i = 0
+      while (i < nSamples) { sizes(i) = u32(szS + 12 + 4L * i); i += 1 }
+    }
+    // stco (32-bit) or co64 (64-bit) chunk offsets, file-absolute
+    val chunkOffs: Array[Long] = find(sk, "stco") match {
+      case Some((cS, cE)) =>
+        if (cE - cS < 8) return None
+        val nc = u32(cS + 4)
+        if (nc < 1 || nc > maxN || cE - cS != 8 + 4 * nc) return None
+        Array.tabulate(nc.toInt)(i => u32(cS + 8 + 4L * i))
+      case None =>
+        val (cS, cE) = find(sk, "co64").getOrElse(return None)
+        if (cE - cS < 8) return None
+        val nc = u32(cS + 4)
+        if (nc < 1 || nc > maxN || cE - cS != 8 + 8 * nc) return None
+        Array.tabulate(nc.toInt) { i =>
+          if (u32(cS + 8 + 8L * i) != 0) return None // > 4 GiB offset
+          u32(cS + 12 + 8L * i)
+        }
+    }
+    // stsc: (first_chunk, samples_per_chunk) runs; first_chunk strictly
+    // increasing from 1
+    val (scS, scE) = find(sk, "stsc").getOrElse(return None)
+    if (scE - scS < 8) return None
+    val nRuns = u32(scS + 4)
+    if (nRuns < 1 || nRuns > maxN || scE - scS != 8 + 12 * nRuns) return None
+    val runFirst = new Array[Long](nRuns.toInt)
+    val runSpc = new Array[Long](nRuns.toInt)
+    var ri = 0
+    while (ri < nRuns) {
+      runFirst(ri) = u32(scS + 8 + 12L * ri)
+      runSpc(ri) = u32(scS + 8 + 12L * ri + 4)
+      if (runFirst(ri) < 1 || runSpc(ri) < 1) return None
+      if (ri > 0 && runFirst(ri) <= runFirst(ri - 1)) return None
+      if (ri == 0 && runFirst(0) != 1) return None
+      ri += 1
+    }
+    // walk chunks, slicing samples; accounting must come out exact
+    val out = new Array[Array[Byte]](nSamples.toInt)
+    var sample = 0
+    var chunk = 0
+    var run = 0
+    while (sample < nSamples && chunk < chunkOffs.length) {
+      while (run + 1 < nRuns && runFirst(run + 1) <= chunk + 1) run += 1
+      var off = chunkOffs(chunk)
+      var k = 0L
+      while (k < runSpc(run)) {
+        if (sample >= nSamples) return None // stsc promises more than stsz has
+        val len = sizes(sample)
+        if (off < 0 || len < 0 || off + len > bytes.length) return None
+        out(sample) = java.util.Arrays.copyOfRange(
+          bytes, off.toInt, (off + len).toInt)
+        off += len
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    if (sample != nSamples) return None // stco ran out before stsz did
+    Some(out)
   }
 
   /** Per-frame dHash sequence of a video, in frame order; None if the

@@ -394,6 +394,16 @@ object Multimodal {
     *     cross-codec, the video analog of q133's re-encode twin): every
     *     container byte differs, every frame hash is identical →
     *     jaccard 1, and seed/+3/+6 form a pair 3-clique,
+    *   - id % 10 == 8 (id >= 18): ISO-BMFF RE-MUX twin of seed id-8 —
+    *     the same PPM frame payloads carried in a real MP4 container
+    *     ([[Codecs.encodeMp4]]: ftyp/mdat/moov with stsd/stts/stsc/
+    *     stsz/stco sample tables) instead of GVID. Every container byte
+    *     differs but the box walk recovers identical payloads →
+    *     jaccard 1 against the seed, and seed/+3/+6/+8 form a pair
+    *     4-clique (in-clique diffs 3,6,8,5,2 — the 8-residue keeps the
+    *     new diffs disjoint from the 3/6 classes specs pin on). This is
+    *     the class that oracle-gates the MP4 demux: a broken box walk
+    *     yields no signature for the +8 twins and their pairs vanish,
     *   - everything else: nf = seed%5+4 frames of w×h (12..21 × 9..16)
     *     pixels; frame f's pixels follow the q133 formula under the
     *     per-frame seed mf = (m + (f²+f)·7919) mod 1000003.
@@ -426,6 +436,7 @@ object Multimodal {
               val (seed, shift, fromFrame, fmt) =
                 if (id % 10 == 3 && id >= 13) (id - 3, 20, 1, "ppm")
                 else if (id % 10 == 6 && id >= 16) (id - 6, 0, 0, "png")
+                else if (id % 10 == 8 && id >= 18) (id - 8, 0, 0, "mp4")
                 else (id, 0, 0, "ppm")
               val m = (seed * 2654435761L) % 1000003L
               val w = (seed % 10 + 12).toInt
@@ -440,7 +451,8 @@ object Multimodal {
                 if (fmt == "png") Codecs.encodeImageIO(w, h, "png", px)
                 else Codecs.encodePpm(w, h, px)
               }
-              Codecs.encodeVideo(frames)
+              if (fmt == "mp4") Codecs.encodeMp4(w, h, 25, frames)
+              else Codecs.encodeVideo(frames)
             }
           Row(id, bytes)
         }
