@@ -1109,6 +1109,17 @@ object SparkEntry {
     "q158_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapMatrix(
         Tables.documents(s, d).where(col("doc_id") < 300))),
+    // per-group GK quantiles (Gk.groupedQuantilesCertified, Greenwald-
+    // Khanna '01 / Agarwal '12 mergeable form): per-SOURCE rank-error-
+    // bounded quantiles of document length from a keyed mergeable
+    // summary Aggregator — the drift-monitoring primitive (per-source
+    // quantile edges are the fixed buckets q89's TVD compares). The
+    // sketch value is an engine-specific data element, so the oracle
+    // pins the exact per-source quantiles plus TRUE rank-bound
+    // certificates (the q45/q43/q66 discipline)
+    "q163_grouped_gk" -> ((s, d) =>
+      Gk.groupedQuantilesCertified(Tables.documents(s, d),
+        "source", "n_chars")),
     // 3-way KMV intersection (Kmv.multiIntersection): the q156 θ rule
     // over three event populations — θ = min of the three thresholds,
     // candidates = hashes in ALL sketches below θ, scaled by 2^48/θ;
@@ -2761,6 +2772,14 @@ object SparkEntry {
          |FROM ps JOIN tot ta ON ps.source_a = ta.source
          |        JOIN tot tb ON ps.source_b = tb.source
          |GROUP BY 1, 2, ta.n_docs, tb.n_docs""".stripMargin,
+    "q163_grouped_gk" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
+      s"""SELECT CAST(source AS VARCHAR) source, CAST($p AS DOUBLE) p,
+         |  FLOOR(quantile_cont(CAST(n_chars AS DOUBLE), $p) * 100 + 0.5)
+         |    / 100.0 q,
+         |  TRUE ok
+         |FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+         |GROUP BY source""".stripMargin)
+      .mkString("\nUNION ALL\n"),
     "q162_kmv_inter3" ->
       """WITH h0 AS (SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) h
         |  FROM events WHERE value >= 10.0 AND event_id IS NOT NULL),
