@@ -1109,6 +1109,15 @@ object SparkEntry {
     "q158_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapMatrix(
         Tables.documents(s, d).where(col("doc_id") < 300))),
+    // KMV source-overlap matrix (Kmv.sourceOverlapSketch): q158's
+    // mixture-planning report at SKETCH volume — per-source shingle
+    // sets reduced to k-long KMV sketches, every pairwise overlap read
+    // from the sketches via the q156 θ rule; deterministic k-minima, so
+    // the oracle replays the sketch VALUES, θ, n_common, the integer
+    // estimate, and the exact certification counts on the q158 slice
+    "q164_kmv_overlap" -> ((s, d) =>
+      Kmv.sourceOverlapSketch(
+        Tables.documents(s, d).where(col("doc_id") < 300), k = 256)),
     // per-group GK quantiles (Gk.groupedQuantilesCertified, Greenwald-
     // Khanna '01 / Agarwal '12 mergeable form): per-SOURCE rank-error-
     // bounded quantiles of document length from a keyed mergeable
@@ -2772,6 +2781,55 @@ object SparkEntry {
          |FROM ps JOIN tot ta ON ps.source_a = ta.source
          |        JOIN tot tb ON ps.source_b = tb.source
          |GROUP BY 1, 2, ta.n_docs, tb.n_docs""".stripMargin,
+    "q164_kmv_overlap" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
+        |t AS (SELECT source,
+        |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(1, len(tk)),
+        |           i -> tk[i] || ' ' || tk[i+1]) END sh
+        |  FROM (SELECT source,
+        |        list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |          x -> x <> '') tk
+        |        FROM docs WHERE text IS NOT NULL AND source IS NOT NULL)),
+        |ds AS (SELECT DISTINCT CAST(source AS VARCHAR) g, unnest(sh) s
+        |       FROM t),
+        |hx AS (SELECT DISTINCT g, md5(s) h FROM ds),
+        |sv AS (SELECT DISTINCT g, CAST(SUM(
+        |    (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |    * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM hx CROSS JOIN generate_series(1, 12) gs(i) GROUP BY g, h),
+        |sk AS (SELECT g, v FROM (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) rn FROM sv)
+        |  WHERE rn <= 256),
+        |th AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_kept,
+        |    CASE WHEN COUNT(*) < 256 THEN 281474976710656
+        |         ELSE MAX(v) + 1 END theta
+        |  FROM sk GROUP BY g),
+        |pr AS (SELECT a.g source_a, b.g source_b, a.n_kept kept_a,
+        |        b.n_kept kept_b,
+        |        CAST(LEAST(a.theta, b.theta) AS BIGINT) theta
+        |       FROM th a JOIN th b ON a.g < b.g),
+        |cm AS (SELECT x.g source_a, y.g source_b,
+        |        CAST(COUNT(*) AS BIGINT) n_common
+        |       FROM sk x JOIN sk y ON x.v = y.v AND x.g < y.g
+        |         JOIN pr ON pr.source_a = x.g AND pr.source_b = y.g
+        |       WHERE x.v < pr.theta GROUP BY 1, 2),
+        |ep AS (SELECT g, CAST(COUNT(*) AS BIGINT) exact_n FROM ds
+        |       GROUP BY g),
+        |ei AS (SELECT x.g source_a, y.g source_b,
+        |        CAST(COUNT(*) AS BIGINT) exact_inter
+        |       FROM ds x JOIN ds y ON x.s = y.s AND x.g < y.g
+        |       GROUP BY 1, 2)
+        |SELECT pr.source_a, pr.source_b, pr.kept_a, pr.kept_b, pr.theta,
+        |  CAST(COALESCE(cm.n_common, 0) AS BIGINT) n_common,
+        |  CAST((COALESCE(cm.n_common, 0) * 281474976710656) // pr.theta
+        |    AS BIGINT) est_inter,
+        |  ea.exact_n exact_a, eb.exact_n exact_b,
+        |  CAST(COALESCE(ei.exact_inter, 0) AS BIGINT) exact_inter
+        |FROM pr LEFT JOIN cm USING (source_a, source_b)
+        |  JOIN ep ea ON ea.g = pr.source_a
+        |  JOIN ep eb ON eb.g = pr.source_b
+        |  LEFT JOIN ei USING (source_a, source_b)""".stripMargin,
     "q163_grouped_gk" -> Seq(0.25, 0.5, 0.75, 0.95).map(p =>
       s"""SELECT CAST(source AS VARCHAR) source, CAST($p AS DOUBLE) p,
          |  FLOOR(quantile_cont(CAST(n_chars AS DOUBLE), $p) * 100 + 0.5)

@@ -108,6 +108,76 @@ class KmvSpec extends SparkTestBase {
     assert(two.getLong(two.length - 2) == se.getLong(3)) // est_inter
   }
 
+  test("KmvBuffer: kept set == k smallest distinct under adversarial orders") {
+    // reference: sorted distinct prefix
+    def ref(vals: Seq[Long], k: Int): Seq[Long] = vals.distinct.sorted.take(k)
+    val rnd = Array.tabulate(5000)(i => (i.toLong * 2654435761L) % 100003L)
+    val cases = Seq(
+      ("ascending", rnd.sorted.toSeq),
+      ("descending churn", rnd.sorted.reverse.toSeq), // every insert replaces max
+      ("hash order", rnd.toSeq),
+      ("heavy dups", rnd.map(_ % 50L).toSeq))
+    for ((name, vals) <- cases; k <- Seq(1, 16, 128)) {
+      val b = new Kmv.KmvBuffer(k)
+      vals.foreach(b.insert)
+      assert(b.toSortedArray.toSeq == ref(vals, k), s"$name k=$k")
+    }
+  }
+
+  test("KmvBuffer: absorb == direct; lopsided merge sides; tombstone rebuild") {
+    val x = Array.tabulate(3000)(i => (i.toLong * 131071L) % 999983L)
+    val (l, r) = x.splitAt(7) // lopsided: 7 vs 2993
+    val k = 64
+    val direct = new Kmv.KmvBuffer(k)
+    x.foreach(direct.insert)
+    val a = new Kmv.KmvBuffer(k)
+    l.foreach(a.insert)
+    val b = new Kmv.KmvBuffer(k)
+    r.foreach(b.insert)
+    a.absorb(b)
+    assert(a.toSortedArray.toSeq == direct.toSortedArray.toSeq)
+    // descending stream >> table capacity forces many tombstone rebuilds;
+    // the kept set must still be exact
+    val churn = new Kmv.KmvBuffer(8)
+    (100000L to 1L by -1L).foreach(churn.insert)
+    assert(churn.toSortedArray.toSeq == (1L to 8L).toSeq)
+  }
+
+  test("sourceOverlapSketch: under-full degenerates to exact; matrix complete") {
+    // three sources; a/b share exactly the shingle "x y" region, c is
+    // disjoint — with k far above shingle counts every sketch keeps all
+    // hashes, theta = 2^48, and est == exact for every pair
+    val docs = Seq(
+      (1L, "a", "x y z w"), (2L, "a", "p q r"),
+      (3L, "b", "x y k l"), (4L, "b", "m n"),
+      (5L, "c", "unrelated words entirely here")
+    ).toDF("doc_id", "source", "text")
+    val got = Kmv.sourceOverlapSketch(docs, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(9)))).toMap
+    assert(got.size == 3, "matrix must cover every pair incl. zero overlap")
+    // a: {x y, y z, z w, p q, q r}; b: {x y, y k, k l, m n}; shared {x y}
+    val (nc, est, exact) = got(("a", "b"))
+    assert(nc == 1L && est == 1L && exact == 1L)
+    assert(got(("a", "c")) == ((0L, 0L, 0L)))
+    assert(got(("b", "c")) == ((0L, 0L, 0L)))
+  }
+
+  test("sourceOverlapSketch: full sketches estimate overlap within ~3/sqrt(k)") {
+    // two sources over a large shared vocabulary: source a = tokens of
+    // ids 0..1499, b = 1000..2499 as single-token docs (1-shingle via
+    // the short-doc fallback) -> exact overlap 500, each side 1500
+    val docs = ((0 until 1500).map(i => (i.toLong, "a", s"tok$i")) ++
+      (1000 until 2500).map(i => (10000L + i, "b", s"tok$i")))
+      .toDF("doc_id", "source", "text")
+    val r = Kmv.sourceOverlapSketch(docs, k = 256).head()
+    assert(r.getLong(2) == 256L && r.getLong(3) == 256L) // both full
+    assert(r.getLong(7) == 1500L && r.getLong(8) == 1500L)
+    assert(r.getLong(9) == 500L)
+    val est = r.getLong(6).toDouble
+    assert(math.abs(est - 500.0) / 500.0 < 0.4, s"est_inter $est vs 500")
+  }
+
   test("null values excluded; certifiedEstimate carries the exact count") {
     val df = Seq(Some(1L), Some(2L), Some(2L), None).toDF("x")
     val got = Kmv.certifiedEstimate(df, "x", k = 8).head()
