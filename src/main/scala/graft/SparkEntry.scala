@@ -1109,6 +1109,23 @@ object SparkEntry {
     "q158_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapMatrix(
         Tables.documents(s, d).where(col("doc_id") < 300))),
+    // video container metadata (Exprs.mediaFormat + videoFrameCount +
+    // videoShingles): the corpus-composition report a 100 TB media scan
+    // runs FIRST — container by magic, frame count by container parse
+    // alone (no frame decode), temporal-evidence size — all scan-side;
+    // the oracle replays the container class rule, nf − trim, and the
+    // full shingle pipeline's distinct count per video (so the MP4 box
+    // walk is gated here a second way: a broken demux NULLs the +8
+    // class's rows out of the count)
+    "q165_video_meta" -> ((s, d) => {
+      val assets = Multimodal.syntheticVideoAssets(
+        Tables.documents(s, d).select(col("doc_id")))
+      assets.select(col("asset_id"),
+          Exprs.mediaFormat(col("media")).as("container"),
+          Exprs.videoFrameCount(col("media")).as("n_frames"),
+          size(Exprs.videoShingles(col("media"))).cast("long").as("n_shingles"))
+        .where(col("container").isNotNull)
+    }),
     // KMV source-overlap matrix (Kmv.sourceOverlapSketch): q158's
     // mixture-planning report at SKETCH volume — per-source shingle
     // sets reduced to k-long KMV sketches, every pairwise overlap read
@@ -2781,6 +2798,15 @@ object SparkEntry {
          |FROM ps JOIN tot ta ON ps.source_a = ta.source
          |        JOIN tot tb ON ps.source_b = tb.source
          |GROUP BY 1, 2, ta.n_docs, tb.n_docs""".stripMargin,
+    "q165_video_meta" ->
+      ("WITH " + videoPairsCte + """
+        |SELECT g.id asset_id,
+        |  CASE WHEN g.id % 10 = 8 AND g.id >= 18 THEN 'mp4'
+        |       ELSE 'gvid' END container,
+        |  CAST(g.nf - g.tr AS BIGINT) n_frames,
+        |  COALESCE(CAST(len(s.sps) AS BIGINT), 0) n_shingles
+        |FROM (SELECT c.id, c.tr, seed % 5 + 4 nf FROM cls c) g
+        |LEFT JOIN shl s ON s.id = g.id""".stripMargin),
     "q164_kmv_overlap" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
         |t AS (SELECT source,

@@ -67,6 +67,12 @@ object Exprs {
   def videoShingles(media: Column, n: Int = 2): Column =
     ExpressionUtils.column(VideoShingles(ExpressionUtils.expression(media), n))
 
+  def mediaFormat(media: Column): Column =
+    ExpressionUtils.column(MediaFormat(ExpressionUtils.expression(media)))
+
+  def videoFrameCount(media: Column): Column =
+    ExpressionUtils.column(VideoFrameCount(ExpressionUtils.expression(media)))
+
   def unigramEntropyStats(text: Column): Column =
     ExpressionUtils.column(UnigramEntropyStats(ExpressionUtils.expression(text)))
 

@@ -58,3 +58,67 @@ case class VideoShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): VideoShingles =
     copy(child = newChild)
 }
+
+/** Container format of a media `binary` column by magic bytes
+  * ([[graft.ops.Codecs.sniffFormat]]: ppm/png/jpeg/wav/avi/mp4/gvid) —
+  * the scan-side prober a corpus-composition report groups by. NULL for
+  * unrecognized bytes (garbage rows drop out of a groupBy the usual
+  * way). Rides the scan like the hash expressions: only the short
+  * format string leaves it. */
+case class MediaFormat(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_format"
+
+  def compute(bytes: Array[Byte]): Any =
+    graft.ops.Codecs.sniffFormat(bytes) match {
+      case Some(f) => org.apache.spark.unsafe.types.UTF8String.fromString(f)
+      case None    => null
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mfmt", this, classOf[MediaFormat].getName)
+    val r = ctx.freshName("mfmtRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $r = $ref.compute($c);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MediaFormat =
+    copy(child = newChild)
+}
+
+/** Frame count of a video container (GVID/AVI/MP4 via
+  * [[graft.ops.Codecs.videoFrames]]) — container parse only, no frame
+  * decode, so it is cheap enough for a metadata scan over raw crawl
+  * video. NULL for non-videos/malformed containers. */
+case class VideoFrameCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_frame_count"
+
+  def compute(bytes: Array[Byte]): Any =
+    graft.ops.Codecs.videoFrames(bytes) match {
+      case Some(fs) => java.lang.Long.valueOf(fs.length.toLong)
+      case None     => null
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vfcnt", this, classOf[VideoFrameCount].getName)
+    val r = ctx.freshName("vfcRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $r = $ref.compute($c);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VideoFrameCount =
+    copy(child = newChild)
+}

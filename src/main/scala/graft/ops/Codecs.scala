@@ -49,13 +49,21 @@ object Codecs {
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
       bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') Some("wav")
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' &&
+      bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') Some("avi")
+    else if (bytes.length >= 8 && bytes(4) == 'f' && bytes(5) == 't' &&
+      bytes(6) == 'y' && bytes(7) == 'p') Some("mp4")
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'V' &&
+      bytes(2) == 'I' && bytes(3) == 'D') Some("gvid")
     else None
 
   /** Modality by magic bytes (back-compat wrapper over [[sniffFormat]]). */
   def sniff(bytes: Array[Byte]): Option[String] =
     sniffFormat(bytes).map {
-      case "wav" => "audio"
-      case _     => "image"
+      case "wav"                  => "audio"
+      case "avi" | "mp4" | "gvid" => "video"
+      case _                      => "image"
     }
 
   // ---------------------------------------------------------------- PPM

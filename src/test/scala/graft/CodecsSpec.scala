@@ -51,6 +51,22 @@ class CodecsSpec extends SparkTestBase {
     assert(Codecs.sniff("GARBAGE".getBytes).isEmpty)
   }
 
+  test("sniffFormat: video containers dispatch by magic; modality mapping") {
+    val ppm = Codecs.encodePpm(9, 8, (x, y) => (x, y, x + y))
+    val gvid = Codecs.encodeVideo(Seq(ppm))
+    val avi = Codecs.encodeAvi(9, 8, 25, Seq(ppm))
+    val mp4 = Codecs.encodeMp4(9, 8, 25, Seq(ppm))
+    assert(Codecs.sniffFormat(gvid) == Some("gvid"))
+    assert(Codecs.sniffFormat(avi) == Some("avi"))
+    assert(Codecs.sniffFormat(mp4) == Some("mp4"))
+    assert(Codecs.sniff(gvid) == Some("video"))
+    assert(Codecs.sniff(avi) == Some("video"))
+    assert(Codecs.sniff(mp4) == Some("video"))
+    // RIFF/WAVE keeps sniffing as wav, not avi
+    val wav = Codecs.encodeWav(16000, Array[Short](1, 2))
+    assert(Codecs.sniffFormat(wav) == Some("wav"))
+  }
+
   test("PNG via ImageIO: lossless round trip, sums integer-exact, sniffFormat") {
     val px = Map((0, 0) -> (1, 2, 3), (1, 0) -> (4, 5, 6),
       (0, 1) -> (7, 8, 9), (1, 1) -> (250, 0, 255))
