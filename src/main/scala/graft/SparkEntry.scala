@@ -1109,6 +1109,15 @@ object SparkEntry {
     "q158_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapMatrix(
         Tables.documents(s, d).where(col("doc_id") < 300))),
+    // per-source quantile-bucket drift (Quality.quantileDrift): the q89
+    // TVD over GLOBAL quartile edges of document length — quantile
+    // buckets stay calibrated as distributions move (the q163 GK
+    // sketch's production use); ppm-quantized fractions FIRST (the
+    // tCloseness fixed-point rule, overflow-free at any corpus size);
+    // the oracle replays edges, buckets, the dense grid, and the
+    // integer TVD
+    "q166_quantile_drift" -> ((s, d) =>
+      Quality.quantileDrift(Tables.documents(s, d), "source", "n_chars")),
     // video container metadata (Exprs.mediaFormat + videoFrameCount +
     // videoShingles): the corpus-composition report a 100 TB media scan
     // runs FIRST — container by magic, frame count by container parse
@@ -2798,6 +2807,34 @@ object SparkEntry {
          |FROM ps JOIN tot ta ON ps.source_a = ta.source
          |        JOIN tot tb ON ps.source_b = tb.source
          |GROUP BY 1, 2, ta.n_docs, tb.n_docs""".stripMargin,
+    "q166_quantile_drift" ->
+      """WITH base AS (SELECT CAST(source AS VARCHAR) g,
+        |    CAST(n_chars AS DOUBLE) x
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |e AS (SELECT quantile_cont(x, 0.25) e1, quantile_cont(x, 0.5) e2,
+        |    quantile_cont(x, 0.75) e3 FROM base),
+        |b AS (SELECT g,
+        |    (CASE WHEN x > e1 THEN 1 ELSE 0 END
+        |   + CASE WHEN x > e2 THEN 1 ELSE 0 END
+        |   + CASE WHEN x > e3 THEN 1 ELSE 0 END) bucket
+        |  FROM base CROSS JOIN e),
+        |sb AS (SELECT g, bucket, CAST(COUNT(*) AS BIGINT) cnt
+        |       FROM b GROUP BY 1, 2),
+        |gb AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) cnt_g
+        |       FROM sb GROUP BY 1),
+        |ns AS (SELECT g, CAST(SUM(cnt) AS BIGINT) n_s FROM sb GROUP BY 1),
+        |ng AS (SELECT CAST(SUM(cnt_g) AS BIGINT) n_g FROM gb),
+        |grid AS (SELECT ns.g, ns.n_s, gb.bucket, gb.cnt_g,
+        |    CAST(COALESCE(sb.cnt, 0) AS BIGINT) cnt
+        |  FROM ns CROSS JOIN gb
+        |  LEFT JOIN sb ON sb.g = ns.g AND sb.bucket = gb.bucket),
+        |d AS (SELECT g, n_s, CAST(SUM(ABS(
+        |    (1000000 * cnt) // n_s - (1000000 * cnt_g) // n_g))
+        |    AS BIGINT) s
+        |  FROM grid CROSS JOIN ng GROUP BY 1, 2)
+        |SELECT g source, n_s n_rows, CAST(s // 2 AS BIGINT) tvd_ppm,
+        |  s // 2 >= 100000 drifted
+        |FROM d""".stripMargin,
     "q165_video_meta" ->
       ("WITH " + videoPairsCte + """
         |SELECT g.id asset_id,

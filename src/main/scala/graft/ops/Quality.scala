@@ -159,6 +159,65 @@ object Quality {
         col("drift_num"), col("tvd"))
   }
 
+  /** Per-GROUP drift against the corpus distribution over QUANTILE
+    * buckets — the q89 TVD with the bucket problem solved: fixed-width
+    * buckets drift out of calibration as the value distribution moves,
+    * while quantile edges (here the global quartiles by default) always
+    * split the corpus into comparably-sized cells, which is what makes
+    * per-source TVDs comparable ACROSS sources. This is the report the
+    * per-source GK sketch (q163) feeds at scale: production derives the
+    * edges from `Gk.groupedQuantiles` in one sketch pass; this
+    * certified form uses the exact in-plan percentile so the oracle
+    * replays the edges bit-for-bit (identical IEEE interpolation, and a
+    * boundary strictly between adjacent order statistics has no data
+    * between the two engines' versions of it — the q45/exactQuantiles
+    * argument).
+    *
+    * Exact fixed-point discipline (the tCloseness rule): per-cell
+    * fractions are quantized to ppm FIRST (`(1e6·cnt) div n`, positive
+    * operands so trunc == floor in both engines), then differenced —
+    * every intermediate stays ≤ 2e6·buckets regardless of corpus size
+    * (no cnt·N cross-products that overflow at 100 TB row counts), and
+    * `tvd_ppm = Σ|p_s − p_g| div 2` is the metric's contract.
+    *
+    * Shape at scale: one scan buckets rows against a 1-row broadcast
+    * edge aggregate (comparisons unrolled per edge — no interpreted
+    * HOF), one map-side-combined groupBy on (group, bucket); everything
+    * after is audit-bounded (groups × buckets). */
+  def quantileDrift(df: DataFrame, groupCol: String, valueCol: String,
+                    ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                    driftPpm: Long = 100000L): DataFrame = {
+    val base = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("x"))
+    val edges = base.agg(
+      percentile(col("x"), array(ps.map(lit): _*)).as("es"))
+    val bucket = ps.indices
+      .map(i => when(col("x") > element_at(col("es"), i + 1), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    val sb = base.crossJoin(broadcast(edges))
+      .groupBy(col("g"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val gb = sb.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt_g"))
+    val ns = sb.groupBy(col("g")).agg(sum(col("cnt")).as("n_s"))
+    val ng = gb.agg(sum(col("cnt_g")).as("n_g"))
+    // dense groups × buckets grid: a source MISSING a bucket still
+    // contributes that bucket's full global mass to its drift
+    ns.crossJoin(broadcast(gb))
+      .join(sb, Seq("g", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(ng))
+      .withColumn("_d", abs(
+        expr("(1000000 * cnt) div n_s") - expr("(1000000 * cnt_g) div n_g")))
+      .groupBy(col("g"), col("n_s"))
+      .agg(sum(col("_d")).as("_s"))
+      .select(col("g").as(groupCol), col("n_s").as("n_rows"),
+        expr("_s div 2").as("tvd_ppm"))
+      .withColumn("drifted", col("tvd_ppm") >= driftPpm)
+  }
+
   /** Gopher-style QUALITY signals (Rae et al. 2021 table A1's
     * non-repetition rules; the repetition half is
     * [[gopherRepetition]]): word count + bounds flag, mean word length,

@@ -163,6 +163,25 @@ class QualitySpec extends SparkTestBase {
     assert(!got(6L)._5, "marker on line 6 is past the 5-line window")
   }
 
+  test("quantileDrift: hand-computed ppm TVD over quartile buckets") {
+    // global sorted values 1,2,3,4,101,102,103,104 -> R-7 quartile edges
+    // e1=2.75, e2=52.5, e3=102.25; buckets split 2/2/2/2 globally while
+    // each group occupies exactly two buckets -> per-group
+    // Σ|p_s - p_g| = 2·|500000-250000| + 2·|0-250000| = 1e6 -> tvd 500000
+    val rows = Seq(("lo", 1), ("lo", 2), ("lo", 3), ("lo", 4),
+      ("hi", 101), ("hi", 102), ("hi", 103), ("hi", 104)).toDF("src", "x")
+    val got = Quality.quantileDrift(rows, "src", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("lo") == ((4L, 500000L, true)))
+    assert(got("hi") == ((4L, 500000L, true)))
+    // a single group IS the corpus: zero drift by construction
+    val solo = Quality.quantileDrift(
+      rows.where(org.apache.spark.sql.functions.col("src") === "lo"), "src", "x")
+      .collect()
+    assert(solo.length == 1 && solo(0).getLong(2) == 0L && !solo(0).getBoolean(3))
+  }
+
   test("kAnonymity: class sizes and verdicts; kAnonymize suppresses violators") {
     val rows = Seq(
       ("us", "A", 1L), ("us", "A", 2L), ("us", "A", 3L),
