@@ -84,6 +84,26 @@ class StreamVideoDedupSpec extends SparkTestBase {
       .select("video_id").distinct().count() == 3)
   }
 
+  test("cross-container MP4 twin of an admitted GVID is dropped cross-batch") {
+    // the streaming gate rides videoFrames' magic dispatch, so an MP4
+    // re-mux of an already-admitted GVID must hit the index and drop —
+    // the cross-container duplicate class real crawl video arrives as
+    val corpusDir = Files.createTempDirectory("svd_corpus4").toString + "/c"
+    val indexDir = Files.createTempDirectory("svd_index4").toString + "/i"
+    val frames = Seq(10L, 20L, 30L, 40L).map(s => frame(s))
+    val b0 = Seq((1L, Codecs.encodeVideo(frames)),
+      (2L, vid(0, 50, 60, 70))).toDF("asset_id", "media")
+    val b1 = Seq((3L, Codecs.encodeMp4(18, 12, 25, frames)), // re-mux of 1
+      (4L, Codecs.encodeAvi(18, 12, 25, Seq(frame(80), frame(81), frame(82)))))
+      .toDF("asset_id", "media")
+    StreamVideoDedup.dedupBatch(b0, 0L, corpusDir, indexDir)
+    StreamVideoDedup.dedupBatch(b1, 1L, corpusDir, indexDir)
+    val admitted = StreamVideoDedup.corpus(spark, corpusDir)
+      .select("asset_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 4L),
+      s"MP4 re-mux must drop against the GVID original: $admitted")
+  }
+
   test("non-video assets pass through unexamined; index holds no row for them") {
     val corpusDir = Files.createTempDirectory("svd_corpus3").toString + "/c"
     val indexDir = Files.createTempDirectory("svd_index3").toString + "/i"
