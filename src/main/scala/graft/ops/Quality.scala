@@ -197,9 +197,14 @@ object Quality {
       .map(i => when(col("x") > element_at(col("es"), i + 1), 1L)
         .otherwise(0L))
       .reduce(_ + _)
+    // (group, bucket) counts feed four consumers (grid, gb, ns, ng);
+    // persisted so the corpus is scanned exactly TWICE — once for the
+    // edges, once for the bucketing (the honest minimum for
+    // quantile-then-bucket) — instead of once per consumer
     val sb = base.crossJoin(broadcast(edges))
       .groupBy(col("g"), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     val gb = sb.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt_g"))
     val ns = sb.groupBy(col("g")).agg(sum(col("cnt")).as("n_s"))
     val ng = gb.agg(sum(col("cnt_g")).as("n_g"))
