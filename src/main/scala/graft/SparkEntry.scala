@@ -904,14 +904,25 @@ object SparkEntry {
     "q144_video_dedup_resolve" -> ((s, d) => {
       val assets = Multimodal.syntheticVideoAssets(
         Tables.documents(s, d).select(col("doc_id")))
-      val pairs = Dedup.videoPairs(assets)
-        .select(col("video_a").as("doc_a"), col("video_b").as("doc_b"))
-      val meta = assets.select(col("asset_id"),
-        Exprs.videoShingles(col("media")).as("sh"))
+      // synthesize + container-parse + hash the corpus ONCE: the shared
+      // signature frame feeds the pair engine AND the richness metadata
+      // (the r9 plan audit flagged the old two-pass form); meta is a
+      // tiny checkpointed frame, so the signature cache releases as soon
+      // as the eager cluster rounds inside resolveDuplicates finish
+      val sigs = assets.select(col("asset_id").as("video_id"),
+          Exprs.videoShingles(col("media")).as("sh"))
         .where(col("sh").isNotNull && size(col("sh")) > 0)
-        .select(col("asset_id"), size(col("sh")).cast("long").as("n_shingles"))
-      Curate.resolveDuplicates(meta, pairs, idCol = "asset_id",
+        .persist()
+      val pairs = Dedup.videoPairsFromSignatures(sigs)
+        .select(col("video_a").as("doc_a"), col("video_b").as("doc_b"))
+      val meta = sigs
+        .select(col("video_id").as("asset_id"),
+          size(col("sh")).cast("long").as("n_shingles"))
+        .localCheckpoint(true)
+      val out = Curate.resolveDuplicates(meta, pairs, idCol = "asset_id",
         scoreCol = "n_shingles")
+      sigs.unpersist(false)
+      out
     }),
     // k-anonymity audit (Quality.kAnonymity, Sweeney '02): equivalence
     // classes over the (nation, market segment) quasi-identifiers of the

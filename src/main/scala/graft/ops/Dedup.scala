@@ -527,6 +527,18 @@ object Dedup {
         Exprs.videoShingles(col(mediaCol), n).as("sh"))
       .where(col("sh").isNotNull && size(col("sh")) > 0)
       .persist() // reused by postings (twice) + sizes; ~8 B/frame vs the media
+    materializeAndRelease(videoPairsFromSignatures(sh, minJaccard, maxDf), sh)
+  }
+
+  /** [[videoPairs]] from a CALLER-OWNED (video_id, sh) signature frame —
+    * for pipelines that also need the signatures downstream (q144's
+    * richness metadata): decode+hash once, persist the signature frame,
+    * feed it here AND to the metadata path, release it yourself. The
+    * frame is referenced three times (postings twice + sizes), so an
+    * un-persisted argument re-decodes the corpus per reference. Returns
+    * an un-materialized plan (the caller controls checkpoint timing). */
+  def videoPairsFromSignatures(sh: DataFrame, minJaccard: Double = 0.5,
+                               maxDf: Long = 1000L): DataFrame = {
     val sizes = sh.select(col("video_id"), size(col("sh")).as("sz"))
     val postings = sh.select(col("video_id"), explode(col("sh")).as("s"))
     val hot = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -541,7 +553,7 @@ object Dedup {
       .select(col("video_a"), col("video_b"), col("n_shared"),
         (col("n_shared").cast("double") / (col("sz_a") + col("sz_b") - col("n_shared"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
-    materializeAndRelease(pairs, sh)
+    pairs
   }
 
   /** Incremental perceptual video dedup: a NEW batch's shingle
