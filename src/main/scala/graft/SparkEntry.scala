@@ -72,6 +72,33 @@ object SparkEntry {
     * source. A probe with an empty result emits no row at all, so a
     * bucketing/probing regression fails the oracle on row count, not just
     * on a boolean. */
+  /** In-plan SFT transcript synthesis for q167–q169 (the planted-class
+    * discipline): doc_id % 4 + 2 turns whose contents are 4-token
+    * slices of the doc text; doc_id % 3 == 0 opens with a system turn,
+    * the rest alternate user/assistant; doc_id % 7 == 0 collapses every
+    * role to "user" (alternation + ends-with-assistant violations);
+    * doc_id % 11 == 0 (and not % 7) empties turn 1 (non-empty-turn
+    * violation). Pure column arithmetic — any engine replays it. */
+  private def chatConv(docs: DataFrame): DataFrame = {
+    val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    def role(i: Int): Column = {
+      val sys = pmod(col("doc_id"), lit(3)) === 0
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("user"))
+        .when(sys && lit(i) === 0, lit("system"))
+        .when(pmod(lit(i) - when(sys, 1).otherwise(0), lit(2)) === 0, lit("user"))
+        .otherwise(lit("assistant"))
+    }
+    def content(i: Int): Column =
+      when(pmod(col("doc_id"), lit(11)) === 0 &&
+        pmod(col("doc_id"), lit(7)) =!= 0 && lit(i) === 1, lit(""))
+        .otherwise(array_join(slice(tk, i * 4 + 1, 4), " "))
+    val turns5 = array((0 until 5).map(i =>
+      struct(role(i).as("role"), content(i).as("content"))): _*)
+    docs.select(col("doc_id"),
+      slice(turns5, lit(1), (pmod(col("doc_id"), lit(4)) + 2).cast("int"))
+        .as("turns"))
+  }
+
   private def top1Certificate(approx: DataFrame, offset: Long): DataFrame =
     approx.where(col("rank") === 1)
       .select(col("qid"), (col("nid") === col("qid") - offset).as("top1_ok"))
@@ -1120,6 +1147,26 @@ object SparkEntry {
     "q158_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapMatrix(
         Tables.documents(s, d).where(col("doc_id") < 300))),
+    // SFT chat-template rendering (Chat.flatten): in-plan synthesized
+    // multi-turn transcripts (optional system opener, alternating
+    // user/assistant, planted malformed classes) rendered to the fixed
+    // ChatML-shaped template with assistant-char totals — the
+    // loss-budget numerator; the oracle replays the synthesis, the
+    // template concat (ORDER BY turn), and every length
+    "q167_chat_render" -> ((s, d) =>
+      Chat.flatten(chatConv(Tables.documents(s, d)))),
+    // loss-mask spans (Chat.maskSpans): per-turn character ranges of
+    // the content inside the rendered template — integer length
+    // cumsums, so the oracle replays every offset exactly; the
+    // assistant rows are the mask a tokenizer-side masking consumes
+    "q168_chat_mask" -> ((s, d) =>
+      Chat.maskSpans(chatConv(Tables.documents(s, d)))),
+    // transcript validation (Chat.validate): the SFT quarantine report
+    // — opener/alternation/non-empty/ends-with-assistant contracts as
+    // per-doc booleans; the planted %7 (role collapse) and %11 (empty
+    // turn) classes make every flag fire both ways
+    "q169_chat_validate" -> ((s, d) =>
+      Chat.validate(chatConv(Tables.documents(s, d)))),
     // per-source quantile-bucket drift (Quality.quantileDrift): the q89
     // TVD over GLOBAL quartile edges of document length — quantile
     // buckets stay calibrated as distributions move (the q163 GK
@@ -1698,6 +1745,29 @@ object SparkEntry {
     * classes -> token counts -> integer floor-log2 surprisal -> permille
     * normalization in `v`); shared by q142 (the verdict report) and
     * q152 (curriculum packing staged by the same verdicts). */
+  /** The q167–q169 transcript synthesis + template pieces as DuckDB
+    * CTEs (mirrors [[chatConv]] and Chat's template exactly; chr(10)
+    * keeps the newline out of the SQL literal). */
+  private val chatCte: String =
+    """tkc AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
+      |  FROM documents),
+      |ct AS (SELECT doc_id, CAST(i AS BIGINT) turn_idx,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'user'
+      |         WHEN doc_id % 3 = 0 AND i = 0 THEN 'system'
+      |         WHEN (i - CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) % 2 = 0
+      |           THEN 'user'
+      |         ELSE 'assistant' END AS role,
+      |    CASE WHEN doc_id % 11 = 0 AND doc_id % 7 <> 0 AND i = 1 THEN ''
+      |         ELSE COALESCE(
+      |           array_to_string(list_slice(tk, i*4 + 1, i*4 + 4), ' '), '')
+      |         END AS content
+      |  FROM (SELECT doc_id, tk, unnest(range(doc_id % 4 + 2)) i FROM tkc)),
+      |cp AS (SELECT doc_id, turn_idx, role, content,
+      |    '<|' || role || '|>' || chr(10) || content || chr(10)
+      |      || '<|end|>' || chr(10) piece
+      |  FROM ct)""".stripMargin
+
   private val entropyCte: String =
     """d AS (SELECT doc_id, CASE
       |    WHEN doc_id % 7 = 0 THEN repeat('spam ', 39) || 'spam'
@@ -2818,6 +2888,48 @@ object SparkEntry {
          |FROM ps JOIN tot ta ON ps.source_a = ta.source
          |        JOIN tot tb ON ps.source_b = tb.source
          |GROUP BY 1, 2, ta.n_docs, tb.n_docs""".stripMargin,
+    "q167_chat_render" ->
+      ("WITH " + chatCte + """
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_turns,
+        |  CAST(COALESCE(COUNT(*) FILTER (WHERE role = 'assistant'), 0)
+        |    AS BIGINT) n_assistant,
+        |  CAST(length(string_agg(piece, '' ORDER BY turn_idx)) AS BIGINT)
+        |    rendered_len,
+        |  CAST(COALESCE(SUM(length(content))
+        |    FILTER (WHERE role = 'assistant'), 0) AS BIGINT)
+        |    assistant_chars,
+        |  string_agg(piece, '' ORDER BY turn_idx) rendered
+        |FROM cp GROUP BY doc_id""".stripMargin),
+    "q168_chat_mask" ->
+      ("WITH " + chatCte + """
+        |SELECT doc_id, turn_idx, role,
+        |  CAST(ps + length(role) + 5 AS BIGINT) content_start,
+        |  CAST(ps + length(role) + 5 + length(content) AS BIGINT)
+        |    content_end
+        |FROM (SELECT doc_id, turn_idx, role, content,
+        |      COALESCE(SUM(length(piece)) OVER (PARTITION BY doc_id
+        |        ORDER BY turn_idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) ps
+        |      FROM cp)""".stripMargin),
+    "q169_chat_validate" ->
+      ("WITH " + chatCte + """
+        |SELECT doc_id,
+        |  bool_and(turn_idx > 0 OR role IN ('system', 'user')) opener_ok,
+        |  bool_and(prev_role IS NULL
+        |    OR (role <> prev_role AND role <> 'system')) alternation_ok,
+        |  bool_and(role IS NOT NULL AND content IS NOT NULL
+        |    AND length(content) > 0) turns_ok,
+        |  arg_max(role, turn_idx) = 'assistant' ends_assistant,
+        |  (bool_and(turn_idx > 0 OR role IN ('system', 'user'))
+        |   AND bool_and(prev_role IS NULL
+        |     OR (role <> prev_role AND role <> 'system'))
+        |   AND bool_and(role IS NOT NULL AND content IS NOT NULL
+        |     AND length(content) > 0)
+        |   AND arg_max(role, turn_idx) = 'assistant') ok
+        |FROM (SELECT doc_id, turn_idx, role, content,
+        |      lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx)
+        |        prev_role FROM ct)
+        |GROUP BY doc_id""".stripMargin),
     "q166_quantile_drift" ->
       """WITH base AS (SELECT CAST(source AS VARCHAR) g,
         |    CAST(n_chars AS DOUBLE) x

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Chat
+
+/** SFT chat preparation: rendered template pinned by hand, the
+  * span-slice invariant (rendered.substring(start, end) == content for
+  * every turn), validation flags flipped one violation at a time, and
+  * the NULL-turn drop rule. */
+class ChatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def conv(id: Long, turns: (String, String)*) =
+    (id, turns.map { case (r, c) => (r, c) })
+
+  private def toDf(rows: Seq[(Long, Seq[(String, String)])]) =
+    rows.toDF("doc_id", "_t")
+      .select(col("doc_id"), expr(
+        "transform(_t, x -> struct(x._1 as role, x._2 as content))").as("turns"))
+
+  test("flatten: template pinned by hand; assistant chars counted") {
+    val df = toDf(Seq(conv(1L, ("user", "hi there"), ("assistant", "hello"))))
+    val r = Chat.flatten(df).head()
+    val expect = "<|user|>\nhi there\n<|end|>\n<|assistant|>\nhello\n<|end|>\n"
+    assert(r.getAs[String]("rendered") == expect)
+    assert(r.getAs[Long]("n_turns") == 2L)
+    assert(r.getAs[Long]("n_assistant") == 1L)
+    assert(r.getAs[Long]("rendered_len") == expect.length.toLong)
+    assert(r.getAs[Long]("assistant_chars") == 5L)
+  }
+
+  test("span-slice invariant: rendered.substring(start, end) == content, every turn") {
+    // multi-doc, multi-turn, empty contents and a system opener included
+    val df = toDf(Seq(
+      conv(1L, ("system", "be brief"), ("user", "q"), ("assistant", "a1 a2")),
+      conv(2L, ("user", ""), ("assistant", "x"), ("user", "yy"), ("assistant", "")),
+      conv(3L, ("user", "solo"))))
+    val rendered = Chat.flatten(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("rendered")).toMap
+    val spans = Chat.maskSpans(df).collect()
+    assert(spans.length == 8)
+    // reconstruct each turn's content by slicing the rendered text
+    val orig = Map(
+      (1L, 0L) -> "be brief", (1L, 1L) -> "q", (1L, 2L) -> "a1 a2",
+      (2L, 0L) -> "", (2L, 1L) -> "x", (2L, 2L) -> "yy", (2L, 3L) -> "",
+      (3L, 0L) -> "solo")
+    spans.foreach { r =>
+      val (id, idx) = (r.getLong(0), r.getLong(1))
+      val (s, e) = (r.getLong(3).toInt, r.getLong(4).toInt)
+      assert(rendered(id).substring(s, e) == orig((id, idx)),
+        s"doc $id turn $idx: [$s,$e) sliced '${rendered(id).substring(s, e)}'")
+    }
+    // assistant rows are the loss mask
+    assert(spans.count(_.getString(2) == "assistant") == 3)
+  }
+
+  test("validate: each contract violation flips exactly its flag") {
+    val df = toDf(Seq(
+      conv(1L, ("user", "q"), ("assistant", "a")),                    // clean
+      conv(2L, ("assistant", "a"), ("user", "q"), ("assistant", "a")), // bad opener
+      conv(3L, ("user", "q"), ("user", "q2"), ("assistant", "a")),     // no alternation
+      conv(4L, ("user", "q"), ("assistant", "")),                      // empty turn
+      conv(5L, ("user", "q"), ("assistant", "a"), ("user", "q2")),     // ends user
+      conv(6L, ("user", "q"), ("system", "sys"), ("assistant", "a")))) // system mid-stream
+    val got = Chat.validate(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got(1L) == ((true, true, true, true, true)))
+    assert(got(2L) == ((false, true, true, true, false)))
+    assert(got(3L) == ((true, false, true, true, false)))
+    assert(got(4L) == ((true, true, false, true, false)))
+    assert(got(5L) == ((true, true, true, false, false)))
+    assert(got(6L) == ((true, false, true, true, false)), "mid-stream system breaks alternation")
+  }
+
+  test("NULL role/content turns drop from flatten and maskSpans, flagged by validate") {
+    val df = Seq((1L, Seq(("user", "q"), (null, "x"), ("assistant", null), ("assistant", "a"))))
+      .toDF("doc_id", "_t")
+      .select(col("doc_id"), expr(
+        "transform(_t, x -> struct(x._1 as role, x._2 as content))").as("turns"))
+    val flat = Chat.flatten(df).head()
+    assert(flat.getAs[Long]("n_turns") == 2L) // the two NULL turns dropped
+    assert(Chat.maskSpans(df).count() == 2L)
+    val v = Chat.validate(df).head()
+    assert(!v.getAs[Boolean]("turns_ok") && !v.getAs[Boolean]("ok"))
+  }
+}
