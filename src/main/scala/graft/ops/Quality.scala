@@ -193,7 +193,44 @@ object Quality {
         col(valueCol).cast("double").as("x"))
     val edges = base.agg(
       percentile(col("x"), array(ps.map(lit): _*)).as("es"))
-    val bucket = ps.indices
+    driftFromEdges(base, edges, ps.length, driftPpm, groupCol)
+  }
+
+  /** [[quantileDrift]] with SKETCH-derived edges — the production form
+    * at 100 TB: the global quantile edges come from one pass of the
+    * mergeable GK summary ([[Gk.GkAgg]], values never shuffle) instead
+    * of the exact `percentile` aggregate, whose final merge buffers
+    * every distinct value on one task (the q86/exactQuantiles OOM
+    * argument). Each edge sits within ε·N ranks of the exact one, so
+    * per-bucket counts shift by at most ε·N each and the TVD by at most
+    * 2·buckets·ε — with the default ε=0.005 that is ±3% absolute on a
+    * metric thresholded at 10%, and the spec pins exact agreement when
+    * no data falls inside the rank-wiggle window. Not oracle-expressible
+    * (the sketch's edge VALUES are engine-specific data elements — the
+    * q45 argument), so the certified twin is [[quantileDrift]]. */
+  def quantileDriftSketch(df: DataFrame, groupCol: String, valueCol: String,
+                          ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                          eps: Double = 0.005,
+                          driftPpm: Long = 100000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("x"))
+    val edges = base.select(col("x")).as[Double]
+      .groupByKey(_ => 0)
+      .agg(new Gk.GkAgg(eps, ps).toColumn.name("es"))
+      // the Aggregator's output encoder is Kryo (a binary blob to SQL);
+      // re-encode through the typed row so `es` is a real array<double>
+      .map(_._2.toSeq)
+      .toDF("es")
+    driftFromEdges(base, edges, ps.length, driftPpm, groupCol)
+  }
+
+  private def driftFromEdges(base: DataFrame, edges: DataFrame, nEdges: Int,
+                             driftPpm: Long, groupCol: String): DataFrame = {
+    val bucket = (0 until nEdges)
       .map(i => when(col("x") > element_at(col("es"), i + 1), 1L)
         .otherwise(0L))
       .reduce(_ + _)

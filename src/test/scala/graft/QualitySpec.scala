@@ -182,6 +182,25 @@ class QualitySpec extends SparkTestBase {
     assert(solo.length == 1 && solo(0).getLong(2) == 0L && !solo(0).getBoolean(3))
   }
 
+  test("quantileDriftSketch == quantileDrift when data sits clear of the rank wiggle") {
+    // 20-wide constant-value BANDS straddle each quartile rank (100/200/
+    // 300 of 400), so the exact R-7 edge interpolates between two equal
+    // band values AND any value inside GK's ±εN rank window IS the band
+    // value — both forms resolve to the identical edge, so bucket
+    // membership (and the whole drift report) must match exactly
+    val vals = Seq.fill(90)(10) ++ Seq.fill(20)(500) ++ Seq.fill(80)(1000) ++
+      Seq.fill(20)(5000) ++ Seq.fill(80)(10000) ++ Seq.fill(20)(50000) ++
+      Seq.fill(90)(100000)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (if (i % 5 == 0) "a" else "b", v)
+    }.toDF("src", "x")
+    val exact = Quality.quantileDrift(rows, "src", "x")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val sketch = Quality.quantileDriftSketch(rows, "src", "x")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(sketch == exact, s"sketch $sketch != exact $exact")
+  }
+
   test("kAnonymity: class sizes and verdicts; kAnonymize suppresses violators") {
     val rows = Seq(
       ("us", "A", 1L), ("us", "A", 2L), ("us", "A", 3L),
