@@ -1342,16 +1342,23 @@ object SparkEntry {
     // families feed; the oracle chains the q133 pair SQL with the q117
     // recursive-CTE cluster + representative rule
     "q135_image_dedup_resolve" -> ((s, d) => {
+      // synthesize the asset corpus ONCE (the q144 single-pass shape):
+      // the persisted binary frame feeds both the hash-pair engine and
+      // the dimension decode; meta is tiny and checkpointed, so the
+      // cache releases as soon as both eager consumers finish
       val assets = Multimodal.syntheticDhashAssets(
-        Tables.documents(s, d).select(col("doc_id")))
+        Tables.documents(s, d).select(col("doc_id"))).persist()
       val pairs = Dedup.dhashPairs(assets)
         .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
       val meta = Multimodal.decodeMedia(s, assets)
         .where(col("media_type") === "image")
         .select(col("asset_id"), col("width"), col("height"),
           (col("width") * col("height")).cast("long").as("pixels"))
-      Curate.resolveDuplicates(meta, pairs, idCol = "asset_id",
+        .localCheckpoint(true)
+      val out = Curate.resolveDuplicates(meta, pairs, idCol = "asset_id",
         scoreCol = "pixels")
+      assets.unpersist(false)
+      out
     }),
     "q134_quality_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
