@@ -164,6 +164,36 @@ object Gk {
       Encoders.kryo[Array[Double]]
   }
 
+  /** [[GkAgg]] that finishes with the SUMMARY ITSELF as positional
+    * tuples (idx, v, g, Δ) — the persistable form a streaming ledger
+    * lands per batch ([[graft.streaming.StreamGk]]); [[fromTuples]]
+    * rebuilds the summary for later merging. */
+  class GkSummaryAgg(eps: Double)
+      extends Aggregator[Double, Summary, Seq[(Int, Double, Long, Long)]] {
+    override def zero: Summary = new Summary(eps)
+    override def reduce(b: Summary, v: Double): Summary = { b.insert(v); b }
+    override def merge(a: Summary, b: Summary): Summary = a.mergeWith(b)
+    override def finish(s: Summary): Seq[(Int, Double, Long, Long)] = {
+      s.flush()
+      (0 until s.size).map(i => (i, s.vs(i), s.gs(i), s.ds(i)))
+    }
+    override def bufferEncoder: Encoder[Summary] = Encoders.kryo[Summary]
+    override def outputEncoder: Encoder[Seq[(Int, Double, Long, Long)]] =
+      Encoders.kryo[Seq[(Int, Double, Long, Long)]]
+  }
+
+  /** Rebuild a summary from its positional tuples (n = Σg — g mass IS
+    * the count by construction). Tuples must arrive in index order. */
+  def fromTuples(eps: Double, tuples: Seq[(Double, Long, Long)]): Summary = {
+    val s = new Summary(eps)
+    s.size = tuples.length
+    s.vs = tuples.map(_._1).toArray
+    s.gs = tuples.map(_._2).toArray
+    s.ds = tuples.map(_._3).toArray
+    s.n = s.gs.sum
+    s
+  }
+
   /** Per-group GK quantiles from the sketch alone: one row per
     * (group, p) with the sketch's answer. The production form at scale
     * — values never shuffle, each group's summary is bounded. */
