@@ -1167,6 +1167,15 @@ object SparkEntry {
     // turn) classes make every flag fire both ways
     "q169_chat_validate" -> ((s, d) =>
       Chat.validate(chatConv(Tables.documents(s, d)))),
+    // packed loss-mask spans (Chat.packSpans): the q167/q168 transcripts
+    // packed into 200-char training sequences with every assistant/user
+    // span remapped to (seq_idx, in-sequence range) fragments — spans
+    // SPLIT at block boundaries (the case hand-rolled packers corrupt);
+    // two-pass global offsets (the q109 discipline); the oracle replays
+    // the per-doc length cumsum, the block explode, and every fragment
+    // boundary
+    "q170_chat_pack" -> ((s, d) =>
+      Chat.packSpans(chatConv(Tables.documents(s, d)), seqLen = 200L)),
     // per-source quantile-bucket drift (Quality.quantileDrift): the q89
     // TVD over GLOBAL quartile edges of document length — quantile
     // buckets stay calibrated as distributions move (the q163 GK
@@ -2895,6 +2904,29 @@ object SparkEntry {
          |FROM ps JOIN tot ta ON ps.source_a = ta.source
          |        JOIN tot tb ON ps.source_b = tb.source
          |GROUP BY 1, 2, ta.n_docs, tb.n_docs""".stripMargin,
+    "q170_chat_pack" ->
+      ("WITH " + chatCte + """,
+        |fl AS (SELECT doc_id, CAST(SUM(length(piece)) AS BIGINT) rlen
+        |       FROM cp GROUP BY doc_id),
+        |offs AS (SELECT doc_id, COALESCE(SUM(rlen) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) doff
+        |  FROM fl),
+        |sp AS (SELECT doc_id, turn_idx, role,
+        |    ps + length(role) + 5 cs, ps + length(role) + 5
+        |      + length(content) ce
+        |  FROM (SELECT doc_id, turn_idx, role, content,
+        |        COALESCE(SUM(length(piece)) OVER (PARTITION BY doc_id
+        |          ORDER BY turn_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) ps
+        |        FROM cp)),
+        |g AS (SELECT sp.doc_id, turn_idx, role, doff + cs gs, doff + ce ge
+        |      FROM sp JOIN offs USING (doc_id) WHERE ce > cs)
+        |SELECT CAST(k AS BIGINT) seq_idx, doc_id, turn_idx, role,
+        |  CAST(GREATEST(gs, k * 200) - k * 200 AS BIGINT) frag_start,
+        |  CAST(LEAST(ge, (k + 1) * 200) - k * 200 AS BIGINT) frag_end
+        |FROM (SELECT doc_id, turn_idx, role, gs, ge,
+        |      unnest(range(CAST(gs // 200 AS BIGINT),
+        |        CAST((ge - 1) // 200 + 1 AS BIGINT))) k FROM g)""".stripMargin),
     "q167_chat_render" ->
       ("WITH " + chatCte + """
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_turns,

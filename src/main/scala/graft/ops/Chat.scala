@@ -92,6 +92,70 @@ object Chat {
         col("assistant_chars"), col("rendered"))
   }
 
+  /** Loss-mask spans remapped to PACKED-sequence coordinates — the SFT
+    * pipeline's endpoint: rendered transcripts concatenate in `idCol`
+    * order into one global character stream chunked into `seqLen`
+    * blocks (the q109 zero-padding-waste layout), and every
+    * loss-bearing span lands as one fragment row per block it overlaps
+    * — (seq_idx, doc, turn, role, frag_start, frag_end), frag
+    * coordinates within the block. Spans SPLIT at block boundaries
+    * (the case hand-rolled packers corrupt: a mask that silently
+    * truncates at the boundary trains on the orphaned tail as context
+    * loss). Zero-length spans (empty contents) carry no loss and emit
+    * nothing.
+    *
+    * Global offsets use the [[Curate.packSequences]] two-pass
+    * discipline: per-partition length sums (a bounded `parts`-long
+    * collect, never rows) broadcast back as partition base offsets — no
+    * single-partition global window. Everything else is per-row integer
+    * arithmetic both engines replay. */
+  def packSpans(conv: DataFrame, seqLen: Long, idCol: String = "doc_id",
+                turnsCol: String = "turns", parts: Int = 64): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive: $seqLen")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = conv.sparkSession
+    val flat = conv.select(col(idCol),
+        posexplode(col(turnsCol)).as(Seq("turn_idx", "t")))
+      .select(col(idCol), col("t.role").as("role"), col("t.content").as("content"))
+      .where(col("role").isNotNull && col("content").isNotNull)
+      .groupBy(col(idCol))
+      .agg(sum(length(piece(col("role"), col("content")))).cast("long")
+        .as("rendered_len"))
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .transform(graft.plans.CheckpointAudit.local)
+    val sums = flat.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        while (it.hasNext) { s += it.next().getLong(1) }
+        Iterator.single((pid, s))
+      }.collect().sortBy(_._1).map(_._2) // bounded: `parts` longs
+    val offsets = spark.sparkContext.broadcast(sums.scanLeft(0L)(_ + _))
+    val offRows = flat.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = offsets.value(pid)
+      it.map { r =>
+        val out = Row(r.get(0), pos)
+        pos += r.getLong(1)
+        out
+      }
+    }
+    val doff = spark.createDataFrame(offRows,
+      new org.apache.spark.sql.types.StructType()
+        .add(flat.schema.fields(0)).add("_doff", LongType, nullable = false))
+    maskSpans(conv, idCol, turnsCol)
+      .where(col("content_end") > col("content_start"))
+      .join(doff, Seq(idCol))
+      .withColumn("_gs", col("_doff") + col("content_start"))
+      .withColumn("_ge", col("_doff") + col("content_end"))
+      .withColumn("seq_idx", explode(sequence(
+        expr(s"_gs div ${seqLen}L"), expr(s"(_ge - 1) div ${seqLen}L"))))
+      .select(col("seq_idx"), col(idCol), col("turn_idx"), col("role"),
+        (greatest(col("_gs"), col("seq_idx") * seqLen)
+          - col("seq_idx") * seqLen).as("frag_start"),
+        (least(col("_ge"), (col("seq_idx") + 1) * seqLen)
+          - col("seq_idx") * seqLen).as("frag_end"))
+  }
+
   /** Structural validation — the quarantine report: per transcript,
     * booleans for the four SFT-data contracts (openers may be system or
     * user; roles must alternate after an optional leading system turn;

@@ -73,6 +73,40 @@ class ChatSpec extends SparkTestBase {
     assert(got(6L) == ((true, false, true, true, false)), "mid-stream system breaks alternation")
   }
 
+  test("packSpans: fragments slice the packed stream back to the original contents") {
+    // seqLen 20 with multi-turn transcripts forces spans to straddle
+    // block boundaries; the invariant: concatenating each span's
+    // fragment slices of the packed stream reproduces the turn content
+    val df = toDf(Seq(
+      conv(1L, ("user", "alpha beta gamma"), ("assistant", "delta epsilon zeta eta")),
+      conv(2L, ("user", "one"), ("assistant", "two three four five six seven")),
+      conv(3L, ("system", "s"), ("user", "u"), ("assistant", "final answer text"))))
+    val L = 20
+    val stream = Chat.flatten(df).collect()
+      .sortBy(_.getLong(0)).map(_.getAs[String]("rendered")).mkString
+    val frags = Chat.packSpans(df, seqLen = L.toLong).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    // per (doc, turn): fragments in seq order concatenate to the content
+    val byTurn = frags.groupBy(f => (f._2, f._3))
+    val orig = Map((1L, 0L) -> "alpha beta gamma",
+      (1L, 1L) -> "delta epsilon zeta eta",
+      (2L, 0L) -> "one", (2L, 1L) -> "two three four five six seven",
+      (3L, 0L) -> "s", (3L, 1L) -> "u", (3L, 2L) -> "final answer text")
+    for (((id, ti), fs) <- byTurn) {
+      val got = fs.sortBy(_._1).map { case (k, _, _, _, s, e) =>
+        stream.substring((k * L + s).toInt, (k * L + e).toInt)
+      }.mkString
+      assert(got == orig((id, ti)), s"doc $id turn $ti: '$got'")
+      // fragment coordinates stay inside their block
+      fs.foreach { case (_, _, _, _, s, e) =>
+        assert(s >= 0 && e <= L && s < e) }
+    }
+    assert(byTurn.keySet == orig.keySet)
+    // at least one span genuinely split (multi-fragment)
+    assert(byTurn.values.exists(_.length > 1), "fixture must exercise a boundary split")
+  }
+
   test("NULL role/content turns drop from flatten and maskSpans, flagged by validate") {
     val df = Seq((1L, Seq(("user", "q"), (null, "x"), ("assistant", null), ("assistant", "a"))))
       .toDF("doc_id", "_t")
