@@ -142,6 +142,52 @@ class VideoDedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)))
   }
 
+  test("MP4/ISO-BMFF: a leading non-video trak does not shadow the video sample tables") {
+    // real muxes very often carry the audio trak FIRST; the box walk
+    // must select the first 'vide'-handler trak, not the first trak.
+    // Build the variant by splicing: moov' = mvhd + trak[soun] + trak[vide]
+    val ppms = Seq(1L, 2L, 3L).map(s => Codecs.encodePpm(10, 9, framePx(s)))
+    val mp4 = Codecs.encodeMp4(10, 9, 25, ppms)
+    def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    def kids(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+      var o = start
+      val out = Seq.newBuilder[(String, Int, Int)]
+      while (o < end) {
+        val sz = be32(b, o)
+        out += ((new String(b, o + 4, 4, "US-ASCII"), o, o + sz))
+        o += sz
+      }
+      out.result()
+    }
+    val top = kids(mp4, 0, mp4.length)
+    val (_, moovS, moovE) = top.find(_._1 == "moov").get
+    val moovKids = kids(mp4, moovS + 8, moovE)
+    val mvhd = mp4.slice(moovKids.find(_._1 == "mvhd").get._2,
+      moovKids.find(_._1 == "mvhd").get._3)
+    val trak = mp4.slice(moovKids.find(_._1 == "trak").get._2,
+      moovKids.find(_._1 == "trak").get._3)
+    // a decoy trak whose hdlr says 'soun' and whose stsz would slice
+    // garbage if wrongly selected
+    val decoy = trak.clone()
+    val h = decoy.sliding(4).indexWhere(_.sameElements("vide".getBytes))
+    System.arraycopy("soun".getBytes, 0, decoy, h, 4)
+    val body = mvhd ++ decoy ++ trak
+    val moov2 = Array[Byte](((body.length + 8) >>> 24).toByte,
+      ((body.length + 8) >>> 16).toByte, ((body.length + 8) >>> 8).toByte,
+      (body.length + 8).toByte, 'm', 'o', 'o', 'v') ++ body
+    val spliced = mp4.slice(0, moovS) ++ moov2
+    val back = Codecs.mp4Frames(spliced).get
+    assert(back.length == 3 && back.zip(ppms).forall { case (a, b) => a.sameElements(b) })
+    // and a file with ONLY the decoy trak has no video: None
+    val body2 = mvhd ++ decoy
+    val moov3 = Array[Byte](((body2.length + 8) >>> 24).toByte,
+      ((body2.length + 8) >>> 16).toByte, ((body2.length + 8) >>> 8).toByte,
+      (body2.length + 8).toByte, 'm', 'o', 'o', 'v') ++ body2
+    assert(Codecs.mp4Frames(mp4.slice(0, moovS) ++ moov3).isEmpty)
+  }
+
   test("MP4/ISO-BMFF: truncation and garbage reject as None, never throw") {
     val ppms = Seq(1L, 2L, 3L).map(s => Codecs.encodePpm(10, 9, framePx(s)))
     val mp4 = Codecs.encodeMp4(10, 9, 25, ppms)
