@@ -466,6 +466,32 @@ object ScaleSmoke {
     assert(nBots == expectBots,
       s"bot flagging drifted: $nBots flagged, expected $expectBots")
     reg.unpersist(false)
+    // --- SFT chat preparation at corpus size ---
+    // n transcripts of 2-5 turns (the q167 synthesis over the smoke
+    // corpus text); flatten + packed loss-mask spans. The packing's
+    // global-offset discipline is the scale claim under test: two
+    // bounded passes, no global window, fragment rows ~ spans + splits.
+    t0 = System.nanoTime()
+    val tkSmoke = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    def roleAt(i: Int) = when(pmod(col("doc_id") + i, lit(2)) === 0, "user")
+      .otherwise("assistant")
+    val turns5 = array((0 until 5).map(i => struct(roleAt(i).as("role"),
+      concat_ws(" ", slice(tkSmoke, i * 20 + 1, 20)).as("content"))): _*)
+    val convSmoke = docs.select(col("doc_id"),
+      slice(turns5, lit(1), (pmod(col("doc_id"), lit(4)) + 2).cast("int")).as("turns"))
+    val flatN = ops.Chat.flatten(convSmoke).count()
+    val spans = ops.Chat.packSpans(convSmoke, seqLen = 2048L).persist()
+    val nFrags = spans.count()
+    val nSplit = spans.groupBy(col("doc_id"), col("turn_idx"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).count()
+    println(f"chatFlatten+packSpans($n transcripts): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      s"$flatN rendered, $nFrags mask fragments ($nSplit boundary-split spans)")
+    assert(flatN == docs.count(), "every transcript must render")
+    assert(nSplit > 0, "fixture must exercise boundary splits")
+    // fragments never leave their block and are non-empty
+    assert(spans.where(col("frag_start") < 0 || col("frag_end") > 2048L ||
+      col("frag_start") >= col("frag_end")).count() == 0)
+    spans.unpersist(false)
     spark.stop()
   }
 }
