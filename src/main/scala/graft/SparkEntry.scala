@@ -1147,6 +1147,21 @@ object SparkEntry {
     "q158_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapMatrix(
         Tables.documents(s, d).where(col("doc_id") < 300))),
+    // script-mix report (TextAnalysis.scriptMix): the code-switching /
+    // encoding-mixup signal lang-id can't express — per-doc ppm of the
+    // Latin/digit/Cyrillic/CJK character classes over non-space chars,
+    // plus the mixed-script flag; Cyrillic and CJK runs planted in-plan
+    // (%13 / %17) so both scripts and the flag fire; literal character
+    // ranges, so both engines' regex count the identical classes
+    "q171_script_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" привет мир")))
+        .when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(col("text"), lit(" 你好 世界")))
+        .otherwise(col("text"))
+      TextAnalysis.scriptMix(docs.select(col("doc_id"), planted.as("text")))
+    }),
     // SFT chat-template rendering (Chat.flatten): in-plan synthesized
     // multi-turn transcripts (optional system opener, alternating
     // user/assistant, planted malformed classes) rendered to the fixed
@@ -2904,6 +2919,34 @@ object SparkEntry {
          |FROM ps JOIN tot ta ON ps.source_a = ta.source
          |        JOIN tot tb ON ps.source_b = tb.source
          |GROUP BY 1, 2, ta.n_docs, tb.n_docs""".stripMargin,
+    "q171_script_mix" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' привет мир'
+        |         WHEN doc_id % 17 = 0 THEN text || ' 你好 世界'
+        |         ELSE text END x
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(length(x) AS BIGINT) n_chars,
+        |    CAST(length(x) - length(regexp_replace(x, '[A-Za-z]', '', 'g'))
+        |      AS BIGINT) lat,
+        |    CAST(length(x) - length(regexp_replace(x, '[0-9]', '', 'g'))
+        |      AS BIGINT) dig,
+        |    CAST(length(x) - length(regexp_replace(x, '[Ѐ-ӿ]', '', 'g'))
+        |      AS BIGINT) cyr,
+        |    CAST(length(x) - length(regexp_replace(x, '[一-鿿]', '', 'g'))
+        |      AS BIGINT) cjk,
+        |    CAST(length(x) - length(regexp_replace(x, '\s', '', 'g'))
+        |      AS BIGINT) sp
+        |  FROM t),
+        |n AS (SELECT *, GREATEST(n_chars - sp, 1) nb FROM c)
+        |SELECT doc_id, n_chars,
+        |  CAST((1000000 * lat) // nb AS BIGINT) latin_ppm,
+        |  CAST((1000000 * dig) // nb AS BIGINT) digit_ppm,
+        |  CAST((1000000 * cyr) // nb AS BIGINT) cyrillic_ppm,
+        |  CAST((1000000 * cjk) // nb AS BIGINT) cjk_ppm,
+        |  CAST((1000000 * (n_chars - sp - lat - dig - cyr - cjk)) // nb
+        |    AS BIGINT) other_ppm,
+        |  (cyr > 0 OR cjk > 0) AND lat > 0 mixed_script
+        |FROM n""".stripMargin,
     "q170_chat_pack" ->
       ("WITH " + chatCte + """,
         |fl AS (SELECT doc_id, CAST(SUM(length(piece)) AS BIGINT) rlen

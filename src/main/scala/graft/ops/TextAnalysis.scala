@@ -521,4 +521,39 @@ object TextAnalysis {
           .when(col("n_moji") > 0, "suspect")
           .otherwise("clean"))
   }
+
+  /** Script-mix report — the code-switching / encoding-mixup signal a
+    * language-ID pass cannot express (lang-id answers "which language
+    * wins"; curation also needs "is more than one SCRIPT present" —
+    * mixed-script docs are where mislabeled crawl segments, injected
+    * spam, and mojibake concentrate). Per doc: character counts of the
+    * Latin / digit / Cyrillic / CJK classes plus the remainder, each as
+    * ppm of NON-SPACE characters, and a `mixed_script` flag when a
+    * non-Latin script co-occurs with Latin. Counting is
+    * length-minus-replaced over literal character-class regexes — one
+    * scan, per-row string work, zero shuffles (the q116/q142 shape),
+    * and both engines count CHARACTERS, so the oracle replays every
+    * ppm. */
+  def scriptMix(documents: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    def cnt(cls: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), cls, ""))).cast("long")
+    documents.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        cnt("[A-Za-z]").as("_lat"), cnt("[0-9]").as("_dig"),
+        cnt("[Ѐ-ӿ]").as("_cyr"),
+        cnt("[一-鿿]").as("_cjk"),
+        cnt("\\s").as("_sp"))
+      .withColumn("_nb", greatest(col("n_chars") - col("_sp"), lit(1L)))
+      .select(col(idCol), col("n_chars"),
+        expr("(1000000 * _lat) div _nb").as("latin_ppm"),
+        expr("(1000000 * _dig) div _nb").as("digit_ppm"),
+        expr("(1000000 * _cyr) div _nb").as("cyrillic_ppm"),
+        expr("(1000000 * _cjk) div _nb").as("cjk_ppm"),
+        expr("(1000000 * (n_chars - _sp - _lat - _dig - _cyr - _cjk))" +
+          " div _nb").as("other_ppm"),
+        ((col("_cyr") > 0 || col("_cjk") > 0) && col("_lat") > 0)
+          .as("mixed_script"))
+  }
 }

@@ -213,6 +213,49 @@ class PropertySpec extends SparkTestBase {
     assert(keep.head.isEmpty && keep.last.size >= 2999) // rate 0 / rate 1
   }
 
+  test("property: binary parsers never throw on fuzzed bytes (tar/mp4/avi/gvid/image/wav)") {
+    // random bytes, random prefixes of valid containers, and valid
+    // containers with random single-byte corruptions: every parser must
+    // return None/empty, never throw — a 100 TB media scan WILL see all
+    // of these
+    val rnd = new scala.util.Random(20260814L)
+    val ppm = graft.ops.Codecs.encodePpm(9, 8, (x, y) => (x, y, x + y))
+    val valid: Seq[Array[Byte]] = Seq(
+      graft.ops.Codecs.encodeVideo(Seq(ppm)),
+      graft.ops.Codecs.encodeAvi(9, 8, 25, Seq(ppm)),
+      graft.ops.Codecs.encodeMp4(9, 8, 25, Seq(ppm)),
+      graft.sources.WebDataset.tarBytes(Seq("k.img" -> ppm)),
+      graft.ops.Codecs.encodeWav(16000, Array[Short](5, -5, 7)),
+      ppm)
+    val cases = Seq.newBuilder[Array[Byte]]
+    for (_ <- 0 until 300) {
+      val b = new Array[Byte](rnd.nextInt(2000))
+      rnd.nextBytes(b)
+      cases += b
+    }
+    for (v <- valid; _ <- 0 until 50) {
+      cases += java.util.Arrays.copyOf(v, rnd.nextInt(v.length + 1))
+      val c = v.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      cases += c
+    }
+    // magic-bearing garbage: right prefix, random tail
+    for (magic <- Seq("GVID", "RIFF1234AVI ", "????ftyp", "RIFF1234WAVE"); _ <- 0 until 30) {
+      val tail = new Array[Byte](rnd.nextInt(1500))
+      rnd.nextBytes(tail)
+      cases += (magic.getBytes("US-ASCII") ++ tail)
+    }
+    cases.result().foreach { b =>
+      graft.ops.Codecs.videoFrames(b)       // gvid + avi + mp4 dispatch
+      graft.ops.Codecs.videoShingles(b, 2)
+      graft.ops.Codecs.dhash64(b)
+      graft.ops.Codecs.decodeWav(b)
+      graft.ops.Codecs.decodePixels(b)
+      graft.ops.Codecs.sniffFormat(b)
+      graft.sources.WebDataset.tarEntries(b)
+    }
+  }
+
   private implicit class Inspect(s: String) {
     def inspect: String = s.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString
   }

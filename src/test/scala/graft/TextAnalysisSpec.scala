@@ -319,4 +319,22 @@ class TextAnalysisSpec extends SparkTestBase {
     val r2 = TextAnalysis.vocabularyGrowth(sat, topK = 10).head()
     assert(r2.getLong(2) == 0L && r2.getLong(5) == r2.getLong(0))
   }
+
+  test("scriptMix: hand-computed ppm per class; mixed flag fires both ways") {
+    // "ab1 \u043f\u0440 \u4e2d": chars=8, space=2, nb=6 ->
+    // lat 2/6, dig 1/6, cyr 2/6, cjk 1/6, other 0
+    val docs = Seq(
+      (1L, "ab1 \u043f\u0440 \u4e2d"),
+      (2L, "only latin words"),
+      (3L, "\u043f\u0440\u0438\u0432"),   // pure cyrillic: no mix
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.scriptMix(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(m(1L) == ((8L, 333333L, 166666L, 333333L, 166666L, 0L, true)))
+    assert(m(2L)._2 == 1000000L && !m(2L)._7) // 16 chars, 2 spaces -> nb=14, all Latin
+    assert(m(3L) == ((4L, 0L, 0L, 1000000L, 0L, 0L, false)))
+    assert(m(4L) == ((0L, 0L, 0L, 0L, 0L, 0L, false))) // nb floored to 1
+  }
 }
