@@ -228,20 +228,39 @@ object Quality {
     driftFromEdges(base, edges, ps.length, driftPpm, groupCol)
   }
 
-  private def driftFromEdges(base: DataFrame, edges: DataFrame, nEdges: Int,
-                             driftPpm: Long, groupCol: String): DataFrame = {
-    val bucket = (0 until nEdges)
-      .map(i => when(col("x") > element_at(col("es"), i + 1), 1L)
-        .otherwise(0L))
+  /** [[quantileDrift]] against CALLER-SUPPLIED fixed edges — the
+    * calibrated-monitoring form: edges are fit once (exact or GK, the
+    * fitCurationModel discipline) and applied unchanged to every shard
+    * or micro-batch, so drift numbers stay comparable over time and a
+    * stream cannot make bucket membership depend on batch boundaries.
+    * [[graft.streaming.StreamDrift]] is its resident twin. */
+  def quantileDriftWithEdges(df: DataFrame, groupCol: String,
+                             valueCol: String, edges: Seq[Double],
+                             driftPpm: Long = 100000L): DataFrame = {
+    val base = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("x"))
+    driftFromCounts(bucketCounts(base, edges), driftPpm, groupCol)
+  }
+
+  /** Per-(group, bucket) counts of `base` (g, x) against fixed edges —
+    * one map-side-combined shuffle; the ADDITIVE drift state a
+    * streaming ledger accumulates. */
+  private[graft] def bucketCounts(base: DataFrame,
+                                  edges: Seq[Double]): DataFrame = {
+    val bucket = edges
+      .map(e => when(col("x") > lit(e), 1L).otherwise(0L))
       .reduce(_ + _)
-    // (group, bucket) counts feed four consumers (grid, gb, ns, ng);
-    // persisted so the corpus is scanned exactly TWICE — once for the
-    // edges, once for the bucketing (the honest minimum for
-    // quantile-then-bucket) — instead of once per consumer
-    val sb = base.crossJoin(broadcast(edges))
-      .groupBy(col("g"), bucket.as("bucket"))
+    base.groupBy(col("g"), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
+  }
+
+  /** The drift report's tail over a (g, bucket, cnt) frame — shared by
+    * the in-plan forms and the streaming ledger fold. */
+  private[graft] def driftFromCounts(counts: DataFrame, driftPpm: Long,
+                                     groupCol: String): DataFrame = {
+    val sb = counts.persist()
     val gb = sb.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt_g"))
     val ns = sb.groupBy(col("g")).agg(sum(col("cnt")).as("n_s"))
     val ng = gb.agg(sum(col("cnt_g")).as("n_g"))
@@ -258,6 +277,21 @@ object Quality {
       .select(col("g").as(groupCol), col("n_s").as("n_rows"),
         expr("_s div 2").as("tvd_ppm"))
       .withColumn("drifted", col("tvd_ppm") >= driftPpm)
+  }
+
+  private def driftFromEdges(base: DataFrame, edges: DataFrame, nEdges: Int,
+                             driftPpm: Long, groupCol: String): DataFrame = {
+    val bucket = (0 until nEdges)
+      .map(i => when(col("x") > element_at(col("es"), i + 1), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    // (group, bucket) counts feed four consumers (via driftFromCounts'
+    // persist), so the corpus is scanned exactly TWICE — once for the
+    // edges, once for the bucketing (the quantile-then-bucket floor)
+    val sb = base.crossJoin(broadcast(edges))
+      .groupBy(col("g"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    driftFromCounts(sb, driftPpm, groupCol)
   }
 
   /** Gopher-style QUALITY signals (Rae et al. 2021 table A1's
