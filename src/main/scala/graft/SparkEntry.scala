@@ -1147,6 +1147,15 @@ object SparkEntry {
     "q158_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapMatrix(
         Tables.documents(s, d).where(col("doc_id") < 300))),
+    // CALIBRATED drift (Quality.quantileDriftWithEdges): the q166
+    // report against FIXED edges (fit once, applied unchanged — the
+    // monitoring form StreamDrift runs per batch); literal edges
+    // 200/300/400 sit inside the doc-length distribution so every
+    // bucket is populated; the oracle replays the constant-edge
+    // buckets, the dense grid, and the integer TVD
+    "q172_calibrated_drift" -> ((s, d) =>
+      Quality.quantileDriftWithEdges(Tables.documents(s, d),
+        "source", "n_chars", edges = Seq(200.0, 300.0, 400.0))),
     // script-mix report (TextAnalysis.scriptMix): the code-switching /
     // encoding-mixup signal lang-id can't express — per-doc ppm of the
     // Latin/digit/Cyrillic/CJK character classes over non-space chars,
@@ -2919,6 +2928,32 @@ object SparkEntry {
          |FROM ps JOIN tot ta ON ps.source_a = ta.source
          |        JOIN tot tb ON ps.source_b = tb.source
          |GROUP BY 1, 2, ta.n_docs, tb.n_docs""".stripMargin,
+    "q172_calibrated_drift" ->
+      """WITH base AS (SELECT CAST(source AS VARCHAR) g,
+        |    CAST(n_chars AS DOUBLE) x
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |b AS (SELECT g,
+        |    (CASE WHEN x > 200.0 THEN 1 ELSE 0 END
+        |   + CASE WHEN x > 300.0 THEN 1 ELSE 0 END
+        |   + CASE WHEN x > 400.0 THEN 1 ELSE 0 END) bucket
+        |  FROM base),
+        |sb AS (SELECT g, bucket, CAST(COUNT(*) AS BIGINT) cnt
+        |       FROM b GROUP BY 1, 2),
+        |gb AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) cnt_g
+        |       FROM sb GROUP BY 1),
+        |ns AS (SELECT g, CAST(SUM(cnt) AS BIGINT) n_s FROM sb GROUP BY 1),
+        |ng AS (SELECT CAST(SUM(cnt_g) AS BIGINT) n_g FROM gb),
+        |grid AS (SELECT ns.g, ns.n_s, gb.bucket, gb.cnt_g,
+        |    CAST(COALESCE(sb.cnt, 0) AS BIGINT) cnt
+        |  FROM ns CROSS JOIN gb
+        |  LEFT JOIN sb ON sb.g = ns.g AND sb.bucket = gb.bucket),
+        |d AS (SELECT g, n_s, CAST(SUM(ABS(
+        |    (1000000 * cnt) // n_s - (1000000 * cnt_g) // n_g))
+        |    AS BIGINT) s
+        |  FROM grid CROSS JOIN ng GROUP BY 1, 2)
+        |SELECT g source, n_s n_rows, CAST(s // 2 AS BIGINT) tvd_ppm,
+        |  s // 2 >= 100000 drifted
+        |FROM d""".stripMargin,
     "q171_script_mix" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN doc_id % 13 = 0 THEN text || ' привет мир'
