@@ -257,25 +257,39 @@ object Quality {
   }
 
   /** The drift report's tail over a (g, bucket, cnt) frame — shared by
-    * the in-plan forms and the streaming ledger fold. */
+    * the in-plan forms and the streaming ledger fold.
+    *
+    * Single-consumer formulation (round-10 advice): the dense
+    * groups × buckets grid is never materialized. A source MISSING a
+    * bucket contributes exactly that bucket's global ppm mass to its
+    * TVD sum (|0 − ppm_g| = ppm_g), so
+    *   Σ_dense |ppm_s − ppm_g|
+    *     = Σ_present (|ppm_s − ppm_g| − ppm_g) + Σ_buckets ppm_g
+    * — per-group sums over the PRESENT pairs plus one global constant,
+    * integer-exact. Everything reads `counts` once through window
+    * functions, so there is no multi-consumer reuse point and nothing
+    * to persist (the prior version pinned a cached frame per call for
+    * the session lifetime). The global windows run on the
+    * post-aggregation counts frame — groups × buckets rows, bounded at
+    * any corpus size. */
   private[graft] def driftFromCounts(counts: DataFrame, driftPpm: Long,
                                      groupCol: String): DataFrame = {
-    val sb = counts.persist()
-    val gb = sb.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt_g"))
-    val ns = sb.groupBy(col("g")).agg(sum(col("cnt")).as("n_s"))
-    val ng = gb.agg(sum(col("cnt_g")).as("n_g"))
-    // dense groups × buckets grid: a source MISSING a bucket still
-    // contributes that bucket's full global mass to its drift
-    ns.crossJoin(broadcast(gb))
-      .join(sb, Seq("g", "bucket"), "left")
-      .na.fill(0L, Seq("cnt"))
-      .crossJoin(broadcast(ng))
-      .withColumn("_d", abs(
-        expr("(1000000 * cnt) div n_s") - expr("(1000000 * cnt_g) div n_g")))
-      .groupBy(col("g"), col("n_s"))
-      .agg(sum(col("_d")).as("_s"))
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("bucket"))
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("cnt_g", sum(col("cnt")).over(wB))
+      .withColumn("n_s", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      .withColumn("n_g", sum(col("cnt")).over(wAll))
+      .withColumn("_ppm_s", expr("(1000000 * cnt) div n_s"))
+      .withColumn("_ppm_g", expr("(1000000 * cnt_g) div n_g"))
+      .withColumn("_bn", row_number().over(wB.orderBy(col("g"))))
+      // Σ_buckets ppm_g: each distinct bucket counted once
+      .withColumn("_t", sum(when(col("_bn") === 1, col("_ppm_g"))).over(wAll))
+      .groupBy(col("g"), col("n_s"), col("_t"))
+      .agg(sum(abs(col("_ppm_s") - col("_ppm_g")) - col("_ppm_g")).as("_p"))
       .select(col("g").as(groupCol), col("n_s").as("n_rows"),
-        expr("_s div 2").as("tvd_ppm"))
+        expr("(_p + _t) div 2").as("tvd_ppm"))
       .withColumn("drifted", col("tvd_ppm") >= driftPpm)
   }
 
@@ -286,8 +300,8 @@ object Quality {
         .otherwise(0L))
       .reduce(_ + _)
     // (group, bucket) counts feed four consumers (via driftFromCounts'
-    // persist), so the corpus is scanned exactly TWICE — once for the
-    // edges, once for the bucketing (the quantile-then-bucket floor)
+    // lazy checkpoint), so the corpus is scanned exactly TWICE — once
+    // for the edges, once for the bucketing (quantile-then-bucket floor)
     val sb = base.crossJoin(broadcast(edges))
       .groupBy(col("g"), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))

@@ -83,7 +83,7 @@ object StreamDrift {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val counts =
       if (fs.exists(path))
-        spark.read.parquet(ledgerDir)
+        Ledger.live(spark, ledgerDir)
           .groupBy(col("g"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
       else {
         import spark.implicits._
@@ -91,4 +91,16 @@ object StreamDrift {
       }
     Quality.driftFromCounts(counts, driftPpm, groupCol)
   }
+
+  /** Collapse committed batches ≤ `upTo` into one per-(source, bucket)
+    * count partition (the [[Ledger]] negative-watermark discipline).
+    * Exact: counts are associative, so the summed partition folds into
+    * every future report identically — and a duplicated partition would
+    * double-count, which is exactly what the Ledger's reader-side
+    * watermark rule prevents across a crashed cleanup. Only
+    * checkpoint-committed batch ids may be passed. */
+  def compact(spark: SparkSession, ledgerDir: String, upTo: Long): Unit =
+    Ledger.writeCompacted(spark, ledgerDir, upTo,
+      Ledger.live(spark, ledgerDir, upTo)
+        .groupBy(col("g"), col("bucket")).agg(sum(col("cnt")).as("cnt")))
 }

@@ -54,17 +54,22 @@ object StreamGk {
       }
       .start()
 
-  /** Lifetime summary: all per-batch summaries folded in batch order.
-    * BOUNDED collect — #batches × O((1/ε)·log(εn)) tuple rows, never
-    * data values. Before any batch lands the summary is empty (NaN
-    * quantiles), not an error. */
+  /** Lifetime summary: live per-batch summaries folded in batch order
+    * (a compacted partition sorts first — it IS the fold prefix).
+    * BOUNDED collect — #live batches × O((1/ε)·log(εn)) tuple rows,
+    * never data values. Before any batch lands the summary is empty
+    * (NaN quantiles), not an error. */
   def lifetimeSummary(spark: SparkSession, ledgerDir: String,
-                      eps: Double): Gk.Summary = {
+                      eps: Double): Gk.Summary =
+    foldThrough(spark, ledgerDir, eps, Long.MaxValue)
+
+  private def foldThrough(spark: SparkSession, ledgerDir: String,
+                          eps: Double, upTo: Long): Gk.Summary = {
     val path = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return new Gk.Summary(eps)
-    val rows = spark.read.parquet(ledgerDir)
-      .select(col("_batch").cast("long"), col("tuple_idx").cast("int"),
+    val rows = Ledger.live(spark, ledgerDir, upTo)
+      .select(col("_batch"), col("tuple_idx").cast("int"),
         col("v"), col("g"), col("d"))
       .collect() // bounded: ledger tuples, never data (see doc)
     val byBatch = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
@@ -72,6 +77,25 @@ object StreamGk {
       acc.mergeWith(Gk.fromTuples(eps,
         rs.sortBy(_.getInt(1)).map(r => (r.getDouble(2), r.getLong(3), r.getLong(4))).toSeq))
     }
+  }
+
+  /** Collapse committed batches ≤ `upTo` into ONE summary partition
+    * (the [[Ledger]] negative-watermark discipline). Value-exact: the
+    * compacted summary is the same left fold [[lifetimeSummary]] would
+    * compute over those batches, and GK's compress is idempotent at
+    * fixed n, so re-merging the compacted summary into an empty one
+    * reproduces it tuple-for-tuple — the post-compaction lifetime fold
+    * equals the pre-compaction one value for value (spec-pinned). Only
+    * checkpoint-committed batch ids may be passed (the replay rule in
+    * the Ledger doc). */
+  def compact(spark: SparkSession, ledgerDir: String, upTo: Long,
+              eps: Double): Unit = {
+    import spark.implicits._
+    val s = foldThrough(spark, ledgerDir, eps, upTo)
+    s.flush()
+    val tuples = (0 until s.size).map(i => (i, s.vs(i), s.gs(i), s.ds(i)))
+    Ledger.writeCompacted(spark, ledgerDir, upTo,
+      tuples.toDF("tuple_idx", "v", "g", "d"))
   }
 
   /** Lifetime quantiles as (p, q) rows. */

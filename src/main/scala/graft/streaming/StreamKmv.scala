@@ -54,13 +54,25 @@ object StreamKmv {
     val path = new org.apache.hadoop.fs.Path(sketchDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all =
-      if (fs.exists(path)) spark.read.parquet(sketchDir)
+      if (fs.exists(path)) Ledger.live(spark, sketchDir)
       else {
         import spark.implicits._
         Seq.empty[Long].toDF("v")
       }
     all.select(col("v")).distinct().orderBy(col("v")).limit(k)
   }
+
+  /** Collapse committed batches ≤ `upTo` into one k-minima partition
+    * (the [[Ledger]] negative-watermark discipline). Exact: a value
+    * dropped here is above the k-th minimum of the compacted subset, so
+    * k values below it survive into every future union — it could never
+    * have been among the lifetime k minima. Only checkpoint-committed
+    * batch ids may be passed (the replay rule in the Ledger doc). */
+  def compact(spark: SparkSession, sketchDir: String, upTo: Long,
+              k: Int): Unit =
+    Ledger.writeCompacted(spark, sketchDir, upTo,
+      Ledger.live(spark, sketchDir, upTo)
+        .select(col("v")).distinct().orderBy(col("v")).limit(k))
 
   /** Lifetime estimate: one row of the q154 fields. */
   def estimate(spark: SparkSession, sketchDir: String, k: Int): DataFrame =
