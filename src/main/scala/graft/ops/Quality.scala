@@ -299,9 +299,10 @@ object Quality {
       .map(i => when(col("x") > element_at(col("es"), i + 1), 1L)
         .otherwise(0L))
       .reduce(_ + _)
-    // (group, bucket) counts feed four consumers (via driftFromCounts'
-    // lazy checkpoint), so the corpus is scanned exactly TWICE — once
-    // for the edges, once for the bucketing (quantile-then-bucket floor)
+    // the (group, bucket) counts aggregate here, and driftFromCounts
+    // consumes it ONCE (window form), so the corpus is scanned exactly
+    // TWICE — once for the edges, once for the bucketing (the
+    // quantile-then-bucket floor)
     val sb = base.crossJoin(broadcast(edges))
       .groupBy(col("g"), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))

@@ -49,8 +49,12 @@ object WebDataset {
     var sum = 0L
     var i = 0
     while (i < 512) { sum += h(i) & 0xff; i += 1 }
-    val cs = octal(sum, 7) // 6 digits + NUL, then a space
-    System.arraycopy(cs, 0, h, 148, 7)
+    // POSIX terminator: six octal digits, NUL, space (sum < 512·255 so
+    // six digits always suffice); GNU tar accepts either form but strict
+    // readers require the NUL (round-10 advice)
+    val cs = java.lang.Long.toOctalString(sum)
+    System.arraycopy(("0" * (6 - cs.length) + cs).getBytes("US-ASCII"), 0, h, 148, 6)
+    h(154) = 0
     h(155) = ' '
     val padded = (bytes.length + 511) / 512 * 512
     val out = new Array[Byte](512 + padded)
@@ -125,63 +129,154 @@ object WebDataset {
     * shard. Shard assignment is `id div perShard` over the RANK of the
     * id (dense, so shards are uniformly full regardless of id gaps) —
     * deterministic, re-runnable (same input → identical shard bytes:
-    * no timestamps, fixed metadata). String parts are written UTF-8. */
+    * no timestamps, fixed metadata). String parts are written UTF-8.
+    * Ids must be NON-NULL and UNIQUE (a NULL would silently rank as 0
+    * and a duplicate would emit colliding `<key>.<ext>` entry names);
+    * both are rejected with an error, not mis-shared.
+    *
+    * Scale shape: ranks come from a metadata-only two-pass over the ID
+    * COLUMN ALONE (the q109/packSpans partition-offset discipline:
+    * range-partition ids, per-partition counts — a bounded `idParts`-
+    * long collect — broadcast back as base offsets), which also yields
+    * the ids at ranks 0, perShard, 2·perShard, … — one boundary id per
+    * shard, #shards longs. Media rows then take their shard from a
+    * broadcast binary search against those boundaries and shuffle
+    * EXACTLY ONCE (the `repartition(_shard)`); nothing media-sized ever
+    * passes through a global window (the previous version serialized
+    * the whole corpus through one row_number task) and the writer
+    * streams each partition's sorted rows as group-runs — one open
+    * shard at a time, O(entry) memory, never a whole shard
+    * materialized. */
   def writeShards(assets: DataFrame, dir: String, perShard: Int,
                   idCol: String = "asset_id",
-                  parts: Seq[(String, String)] = Seq("media" -> "img")): Unit = {
+                  parts: Seq[(String, String)] = Seq("media" -> "img"),
+                  idParts: Int = 64): Unit = {
     require(perShard > 0)
-    import org.apache.spark.sql.expressions.Window
     val spark = assets.sparkSession
     val cols = parts.map { case (c, _) => col(c) }
-    // dense rank via the q109 two-pass discipline would avoid the global
-    // window; shard layout is typically a once-per-corpus export and the
-    // window is over (id, lengths), never media — acceptable here, and
-    // the per-shard grouping below is the part that must scale
-    val ranked = assets
-      .select((col(idCol).cast("long").as("_id") +: cols): _*)
-      .withColumn("_rk", row_number().over(Window.orderBy(col("_id"))) - 1)
-      .withColumn("_shard", expr(s"_rk div $perShard"))
-    val partNames = parts.map(_._1)
-    val exts = parts.map(_._2)
+    // pass 1+2 over ids only: per-partition counts -> rank offsets ->
+    // boundary ids (with the NULL/duplicate guard — sorted range
+    // partitions make every duplicate adjacent)
+    val ids = assets
+      .select(col(idCol).cast("long").as("_id"))
+      .repartitionByRange(idParts, col("_id"))
+      .sortWithinPartitions(col("_id"))
+      .localCheckpoint(true) // two bounded passes below read it
+    val counts = ids.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator.single((pid, n))
+      }.collect().sortBy(_._1).map(_._2) // bounded: idParts longs
+    val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val per = perShard.toLong
+    val boundaries = ids.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var rk = offsets.value(pid)
+        var prev = Long.MinValue
+        var first = true
+        it.flatMap { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"writeShards: NULL id (rank would silently collapse to one key)")
+          val id = r.getLong(0)
+          if (!first && id == prev) throw new IllegalArgumentException(
+            s"writeShards: duplicate id $id (entry names would collide)")
+          first = false; prev = id
+          val out = if (rk % per == 0L) Iterator.single(id) else Iterator.empty
+          rk += 1
+          out
+        }
+      }.collect().sorted // bounded: one long per shard
+    val boundsB = spark.sparkContext.broadcast(boundaries)
+    val partNames = parts.map(_._1).toArray
+    val exts = parts.map(_._2).toArray
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    ranked
+    val withShard = assets
+      .select((col(idCol).cast("long").as("_id") +: cols): _*)
+      .mapPartitions { it =>
+        val bs = boundsB.value
+        it.map { r =>
+          // shard s holds ids in [bs(s), bs(s+1)): binary search
+          val i = java.util.Arrays.binarySearch(bs, r.getLong(0))
+          val shard = if (i >= 0) i else -i - 2
+          org.apache.spark.sql.Row.fromSeq(shard.toLong +: r.toSeq)
+        }
+      }(org.apache.spark.sql.Encoders.row(StructType(
+        StructField("_shard", LongType, nullable = false) +:
+          StructField("_id", LongType, nullable = false) +:
+          parts.map { case (c, _) =>
+            StructField(c, assets.schema(c).dataType, nullable = true) })))
       .repartition(col("_shard"))
       .sortWithinPartitions(col("_shard"), col("_id"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val groups = it.toSeq.groupBy(_.getAs[Long]("_shard"))
-        groups.foreach { case (shard, rows) =>
-          val entries = rows.sortBy(_.getAs[Long]("_id")).flatMap { r =>
-            val id = r.getAs[Long]("_id")
-            partNames.zip(exts).flatMap { case (c, ext) =>
-              Option(r.getAs[Any](c)).map {
-                case b: Array[Byte] => (f"$id%012d.$ext", b)
-                case s: String => (f"$id%012d.$ext", s.getBytes("UTF-8"))
-                case other => throw new IllegalArgumentException(
-                  s"unsupported part type for $c: ${other.getClass}")
-              }
-            }
-          }
-          val path = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%06d.tar")
-          val fs = path.getFileSystem(conf.value)
-          val out = fs.create(path, true)
-          try out.write(tarBytes(entries)) finally out.close()
-        }
+    withShard.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      var cur = Long.MinValue
+      var out: org.apache.hadoop.fs.FSDataOutputStream = null
+      def close(): Unit = if (out != null) {
+        out.write(new Array[Byte](1024)) // the two terminating zero blocks
+        out.close(); out = null
       }
+      try {
+        it.foreach { r =>
+          val shard = r.getLong(0)
+          if (shard != cur) {
+            close()
+            val path = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%06d.tar")
+            out = path.getFileSystem(conf.value).create(path, true)
+            cur = shard
+          }
+          val id = r.getLong(1)
+          var c = 0
+          while (c < partNames.length) {
+            r.get(2 + c) match {
+              case null => ()
+              case b: Array[Byte] => out.write(tarEntry(f"$id%012d.${exts(c)}", b))
+              case s: String => out.write(tarEntry(f"$id%012d.${exts(c)}", s.getBytes("UTF-8")))
+              case other => throw new IllegalArgumentException(
+                s"unsupported part type for ${partNames(c)}: ${other.getClass}")
+            }
+            c += 1
+          }
+        }
+      } finally close()
+    }
   }
 
   /** Read shards back as one row per entry: (shard, key, ext, data).
     * Each shard is one `binaryFile` row — the sequential whole-shard
     * read the format is designed for; corrupt shards yield zero rows
     * (strict parse), never an exception. */
-  def readShards(spark: SparkSession, dir: String): DataFrame = {
+  def readShards(spark: SparkSession, dir: String): DataFrame =
+    explodeShards(spark.read.format("binaryFile").load(s"$dir/*.tar"))
+
+  /** [[readShards]] as a STREAMING source — shards are the ingest unit
+    * multimodal corpora actually arrive in (a crawler drops whole tar
+    * files, not individual samples), so the resident dedup/curation
+    * gates consume this: each micro-batch is `maxFilesPerTrigger`
+    * whole shards exploded to entry rows. File-source semantics give
+    * the exactly-once half for free (a shard is processed when its
+    * FILE is committed to the source log; a replayed batch re-reads
+    * the same files), and the strict parse drops a corrupt shard as
+    * zero rows instead of poisoning the stream. */
+  def streamShards(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Int = 4): DataFrame =
+    explodeShards(spark.readStream.format("binaryFile")
+      // streaming file sources require the schema up front; binaryFile's
+      // is fixed by the format
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(s"$dir/*.tar"))
+
+  private def explodeShards(files: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("shard", StringType, nullable = false),
       StructField("key", StringType, nullable = false),
       StructField("ext", StringType, nullable = false),
       StructField("data", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    spark.read.format("binaryFile").load(s"$dir/*.tar")
+    files
       .select(col("path"), col("content"))
       .flatMap { r =>
         val shard = r.getString(0).split("/").last

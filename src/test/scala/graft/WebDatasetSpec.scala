@@ -26,6 +26,8 @@ class WebDatasetSpec extends SparkTestBase {
     for (i <- 0 until 512) sum += (if (i >= 148 && i < 156) ' '.toByte else tar(i)) & 0xff
     val cs = new String(tar, 148, 8, "US-ASCII").takeWhile(c => c >= '0' && c <= '7')
     assert(java.lang.Long.parseLong(cs, 8) == sum)
+    // POSIX ustar checksum terminator: six digits, NUL, space
+    assert(cs.length == 6 && tar(154) == 0 && tar(155) == ' '.toByte)
     // data + zero padding
     assert(new String(tar, 512, data.length, "US-ASCII") == "hello world")
     assert(tar.slice(512 + data.length, 1024).forall(_ == 0))
@@ -33,6 +35,24 @@ class WebDatasetSpec extends SparkTestBase {
     val back = WebDataset.tarEntries(tar).get
     assert(back.map(_._1) == Seq("000000000007.txt"))
     assert(back.head._2.sameElements(data))
+  }
+
+  test("system tar lists the archive (external-reader acceptance)") {
+    val tarBin = Seq("/bin/tar", "/usr/bin/tar")
+      .find(p => new java.io.File(p).exists())
+    assume(tarBin.isDefined, "no system tar in this container")
+    val f = Files.createTempFile("wds_ext", ".tar")
+    Files.write(f, WebDataset.tarBytes(Seq(
+      "000000000001.txt" -> "hello".getBytes("UTF-8"),
+      "000000000001.img" -> Array.fill[Byte](600)(7))))
+    val out = new StringBuilder
+    val p = new ProcessBuilder(tarBin.get, "-tf", f.toString)
+      .redirectErrorStream(true).start()
+    scala.io.Source.fromInputStream(p.getInputStream).getLines()
+      .foreach(l => out.append(l).append('\n'))
+    assert(p.waitFor() == 0, s"tar rejected the shard: $out")
+    assert(out.toString.linesIterator.toSeq ==
+      Seq("000000000001.txt", "000000000001.img"))
   }
 
   test("strict parse: truncation, corrupt checksum, missing terminator reject") {
@@ -87,6 +107,36 @@ class WebDatasetSpec extends SparkTestBase {
       .select("content").collect()
       .map(r => java.util.Arrays.hashCode(r.getAs[Array[Byte]](0))).sorted.toSeq
     assert(after == before, "re-write must be byte-identical")
+  }
+
+  test("shard bytes invariant to input partitioning; NULL/duplicate ids rejected") {
+    val base = Multimodal.syntheticDhashAssets((0L until 37L).toDF("doc_id"))
+      .withColumn("caption", concat(lit("c"), col("asset_id")))
+    def bytesOf(dir: String): Seq[Int] =
+      spark.read.format("binaryFile").load(s"$dir/*.tar")
+        .select("content").collect()
+        .map(r => java.util.Arrays.hashCode(r.getAs[Array[Byte]](0))).sorted.toSeq
+    val d1 = Files.createTempDirectory("wdsp1").toString
+    val d2 = Files.createTempDirectory("wdsp2").toString
+    WebDataset.writeShards(base.repartition(7), d1, perShard = 8,
+      parts = Seq("media" -> "img", "caption" -> "txt"))
+    WebDataset.writeShards(base.repartition(3), d2, perShard = 8,
+      parts = Seq("media" -> "img", "caption" -> "txt"))
+    assert(bytesOf(d1) == bytesOf(d2),
+      "shard bytes must not depend on input partitioning")
+    // NULL id: rejected loudly (getAs[Long] would silently rank it as 0)
+    val withNull = base.withColumn("asset_id",
+      when(col("asset_id") === 5, lit(null)).otherwise(col("asset_id")))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      WebDataset.writeShards(withNull, Files.createTempDirectory("wdsn").toString, 8)
+    }
+    assert(e1.getMessage.contains("NULL id"))
+    // duplicate ids: rejected loudly (entry names would collide)
+    val withDup = base.withColumn("asset_id", col("asset_id") % 10)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      WebDataset.writeShards(withDup, Files.createTempDirectory("wdsd").toString, 8)
+    }
+    assert(e2.getMessage.contains("duplicate id"))
   }
 
   test("NULL parts skip their entry; dedup stack runs straight off shard rows") {
