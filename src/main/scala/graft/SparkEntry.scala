@@ -75,15 +75,20 @@ object SparkEntry {
   /** In-plan SFT transcript synthesis for q167–q169 (the planted-class
     * discipline): doc_id % 4 + 2 turns whose contents are 4-token
     * slices of the doc text; doc_id % 3 == 0 opens with a system turn,
-    * the rest alternate user/assistant; doc_id % 7 == 0 collapses every
-    * role to "user" (alternation + ends-with-assistant violations);
-    * doc_id % 11 == 0 (and not % 7) empties turn 1 (non-empty-turn
-    * violation). Pure column arithmetic — any engine replays it. */
+    * the rest alternate user/assistant; doc_id % 19 == 0 NULLs turn 1's
+    * role (the NULL-role contract class — render/mask/pack drop the
+    * turn, validate flags it on BOTH engines, round-10 advice);
+    * doc_id % 7 == 0 collapses every role to "user" (alternation +
+    * ends-with-assistant violations); doc_id % 11 == 0 (and not % 7)
+    * empties turn 1 (non-empty-turn violation). Pure column
+    * arithmetic — any engine replays it. */
   private def chatConv(docs: DataFrame): DataFrame = {
     val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
     def role(i: Int): Column = {
       val sys = pmod(col("doc_id"), lit(3)) === 0
-      when(pmod(col("doc_id"), lit(7)) === 0, lit("user"))
+      when(pmod(col("doc_id"), lit(19)) === 0 && lit(i) === 1,
+          lit(null).cast("string"))
+        .when(pmod(col("doc_id"), lit(7)) === 0, lit("user"))
         .when(sys && lit(i) === 0, lit("system"))
         .when(pmod(lit(i) - when(sys, 1).otherwise(0), lit(2)) === 0, lit("user"))
         .otherwise(lit("assistant"))
@@ -1787,13 +1792,16 @@ object SparkEntry {
     * q152 (curriculum packing staged by the same verdicts). */
   /** The q167–q169 transcript synthesis + template pieces as DuckDB
     * CTEs (mirrors [[chatConv]] and Chat's template exactly; chr(10)
-    * keeps the newline out of the SQL literal). */
+    * keeps the newline out of the SQL literal). `cp` keeps only
+    * renderable turns — the same `role IS NOT NULL` filter Chat's
+    * render/mask/pack apply (the %19 NULL-role class). */
   private val chatCte: String =
     """tkc AS (SELECT doc_id,
       |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
       |  FROM documents),
       |ct AS (SELECT doc_id, CAST(i AS BIGINT) turn_idx,
-      |    CASE WHEN doc_id % 7 = 0 THEN 'user'
+      |    CASE WHEN doc_id % 19 = 0 AND i = 1 THEN NULL
+      |         WHEN doc_id % 7 = 0 THEN 'user'
       |         WHEN doc_id % 3 = 0 AND i = 0 THEN 'system'
       |         WHEN (i - CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) % 2 = 0
       |           THEN 'user'
@@ -1806,7 +1814,7 @@ object SparkEntry {
       |cp AS (SELECT doc_id, turn_idx, role, content,
       |    '<|' || role || '|>' || chr(10) || content || chr(10)
       |      || '<|end|>' || chr(10) piece
-      |  FROM ct)""".stripMargin
+      |  FROM ct WHERE role IS NOT NULL AND content IS NOT NULL)""".stripMargin
 
   private val entropyCte: String =
     """d AS (SELECT doc_id, CASE
@@ -3028,24 +3036,35 @@ object SparkEntry {
         |        ORDER BY turn_idx
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) ps
         |      FROM cp)""".stripMargin),
+    // NULL-role pinning (round-10 advice): every flag's operand is
+    // COALESCE'd to FALSE so bool_and cannot silently SKIP a NULL
+    // (Spark's min(when) counts it as a violation); ends_assistant
+    // tests the max-turn_idx row explicitly so a NULL closing role
+    // reads "not the assistant" on both engines
     "q169_chat_validate" ->
       ("WITH " + chatCte + """
         |SELECT doc_id,
-        |  bool_and(turn_idx > 0 OR role IN ('system', 'user')) opener_ok,
-        |  bool_and(prev_role IS NULL
-        |    OR (role <> prev_role AND role <> 'system')) alternation_ok,
+        |  bool_and(turn_idx > 0
+        |    OR COALESCE(role IN ('system', 'user'), FALSE)) opener_ok,
+        |  bool_and(COALESCE(role IS NOT NULL AND (prev_role IS NULL
+        |    OR (role <> prev_role AND role <> 'system')), FALSE))
+        |    alternation_ok,
         |  bool_and(role IS NOT NULL AND content IS NOT NULL
         |    AND length(content) > 0) turns_ok,
-        |  arg_max(role, turn_idx) = 'assistant' ends_assistant,
-        |  (bool_and(turn_idx > 0 OR role IN ('system', 'user'))
-        |   AND bool_and(prev_role IS NULL
-        |     OR (role <> prev_role AND role <> 'system'))
+        |  bool_or(COALESCE(turn_idx = last_idx AND role = 'assistant',
+        |    FALSE)) ends_assistant,
+        |  (bool_and(turn_idx > 0
+        |     OR COALESCE(role IN ('system', 'user'), FALSE))
+        |   AND bool_and(COALESCE(role IS NOT NULL AND (prev_role IS NULL
+        |     OR (role <> prev_role AND role <> 'system')), FALSE))
         |   AND bool_and(role IS NOT NULL AND content IS NOT NULL
         |     AND length(content) > 0)
-        |   AND arg_max(role, turn_idx) = 'assistant') ok
+        |   AND bool_or(COALESCE(turn_idx = last_idx AND role = 'assistant',
+        |     FALSE))) ok
         |FROM (SELECT doc_id, turn_idx, role, content,
         |      lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx)
-        |        prev_role FROM ct)
+        |        prev_role,
+        |      max(turn_idx) OVER (PARTITION BY doc_id) last_idx FROM ct)
         |GROUP BY doc_id""".stripMargin),
     "q166_quantile_drift" ->
       """WITH base AS (SELECT CAST(source AS VARCHAR) g,

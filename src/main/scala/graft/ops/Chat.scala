@@ -161,7 +161,16 @@ object Chat {
     * user; roles must alternate after an optional leading system turn;
     * no empty/NULL turn; the last turn is the assistant's — a
     * transcript cut mid-user-turn trains the model to stop asking).
-    * `ok` is their conjunction; empty transcripts fail all. */
+    * `ok` is their conjunction; empty transcripts fail all.
+    *
+    * NULL-role semantics are PINNED, not inherited (round-10 advice):
+    * every per-turn flag is an explicit three-valued-logic-free boolean
+    * (a NULL role fails opener/alternation/turn and is never the
+    * assistant), because the unguarded forms diverge across engines —
+    * Spark's `min(when(p,1).otherwise(0))` counts a NULL predicate as
+    * a violation while SQL `bool_and` silently skips NULL inputs. The
+    * oracle carries matching COALESCE guards, and the %19 planted
+    * fixture class exercises the case both ways. */
   def validate(conv: DataFrame, idCol: String = "doc_id",
                turnsCol: String = "turns"): DataFrame = {
     val t = conv.select(col(idCol),
@@ -177,13 +186,14 @@ object Chat {
       .withColumn("_prev_role", lag(col("role"), 1).over(w))
       .withColumn("_opener_ok",
         col("turn_idx") > 0 ||
-          col("role").isin("system", "user"))
+          coalesce(col("role").isin("system", "user"), lit(false)))
       // alternation: consecutive equal roles are the violation; a
       // leading system turn followed by user is fine, but system
-      // anywhere else is not
+      // anywhere else is not; a NULL role is a violation outright
       .withColumn("_alt_ok",
-        col("_prev_role").isNull ||
-          (col("role") =!= col("_prev_role") && col("role") =!= "system"))
+        col("role").isNotNull &&
+          (col("_prev_role").isNull ||
+            (col("role") =!= col("_prev_role") && col("role") =!= "system")))
       .withColumn("_turn_ok",
         col("role").isNotNull && col("content").isNotNull &&
           length(col("content")) > 0)
@@ -191,8 +201,12 @@ object Chat {
       .withColumn("opener_ok", min(when(col("_opener_ok"), 1).otherwise(0)).over(wAll) === 1)
       .withColumn("alternation_ok", min(when(col("_alt_ok"), 1).otherwise(0)).over(wAll) === 1)
       .withColumn("turns_ok", min(when(col("_turn_ok"), 1).otherwise(0)).over(wAll) === 1)
-      .withColumn("_last_role", last(col("role")).over(wAll))
-      .withColumn("ends_assistant", col("_last_role") === "assistant")
+      // the closing turn by its INDEX, not `last(role)` — a NULL last
+      // role must read as "not the assistant", never as NULL
+      .withColumn("_last_idx", max(col("turn_idx")).over(wAll))
+      .withColumn("ends_assistant",
+        max(when(col("turn_idx") === col("_last_idx") &&
+          col("role") === "assistant", 1).otherwise(0)).over(wAll) === 1)
       .withColumn("_rn", row_number().over(rn))
       .where(col("_rn") === 1)
       .select(col(idCol), col("opener_ok"), col("alternation_ok"),
