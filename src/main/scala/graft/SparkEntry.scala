@@ -1205,6 +1205,15 @@ object SparkEntry {
     // boundary
     "q170_chat_pack" -> ((s, d) =>
       Chat.packSpans(chatConv(Tables.documents(s, d)), seqLen = 200L)),
+    // TOKEN-space packed loss-mask spans (Chat.packSpansTokens): q170's
+    // pipeline with every length measured in q34 BPE pre-tokens — the
+    // unit real context budgets are denominated in; template junctions
+    // are all '\n' (never inside a token), so segment token counts add
+    // exactly and the oracle replays header/content/piece token counts
+    // with the q34 regex plus the same cumsum/block arithmetic; 16-token
+    // blocks sit inside the ~14-token pieces so boundary splits fire
+    "q173_chat_pack_tokens" -> ((s, d) =>
+      Chat.packSpansTokens(chatConv(Tables.documents(s, d)), seqLen = 16L)),
     // per-source quantile-bucket drift (Quality.quantileDrift): the q89
     // TVD over GLOBAL quartile edges of document length — quantile
     // buckets stay calibrated as distributions move (the q163 GK
@@ -1214,6 +1223,29 @@ object SparkEntry {
     // integer TVD
     "q166_quantile_drift" -> ((s, d) =>
       Quality.quantileDrift(Tables.documents(s, d), "source", "n_chars")),
+    // sketch-edge drift CERTIFICATE (Quality.quantileDriftSketchCertified):
+    // the q166 exact report plus an in-plan bound check that the GK-edge
+    // twin (quantileDriftSketch, the 100 TB production path whose edges
+    // never cross engines) landed within the rank-bound's TVD envelope —
+    // E·(min(εN, n_s)/n_s + ε) per source, doubled slack; the oracle
+    // replays the exact report and pins ok TRUE (the q45/q163 discipline)
+    "q174_drift_sketch_cert" -> ((s, d) =>
+      Quality.quantileDriftSketchCertified(Tables.documents(s, d),
+        "source", "n_chars")),
+    // per-(source, day) windowed GK quantiles (Gk.
+    // groupedQuantilesCertifiedByRank): q163's keyed sketch composed
+    // with q161's event-time axis — the drift dashboard's real
+    // dimension, one bounded summary per (event_type, day) cell; small
+    // windows make the interpolated value-window certificate fragile,
+    // so `ok` counts the sketch answer's TRUE rank interval against
+    // r ± (2εn+2) exactly; NULL-propagating concat key (concat_ws
+    // would silently drop a NULL day — engine-divergent)
+    "q175_gk_windowed" -> ((s, d) =>
+      Gk.groupedQuantilesCertifiedByRank(
+        Tables.events(s, d).withColumn("src_day",
+          concat(col("event_type"), lit("|"),
+            to_date(col("ts")).cast("string"))),
+        "src_day", "value")),
     // video container metadata (Exprs.mediaFormat + videoFrameCount +
     // videoShingles): the corpus-composition report a 100 TB media scan
     // runs FIRST — container by magic, frame count by container parse
@@ -3013,6 +3045,33 @@ object SparkEntry {
         |FROM (SELECT doc_id, turn_idx, role, gs, ge,
         |      unnest(range(CAST(gs // 200 AS BIGINT),
         |        CAST((ge - 1) // 200 + 1 AS BIGINT))) k FROM g)""".stripMargin),
+    "q173_chat_pack_tokens" ->
+      ("WITH " + chatCte + """,
+        |tl AS (SELECT doc_id, turn_idx, role,
+        |    LEN(regexp_extract_all(piece, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) pl,
+        |    LEN(regexp_extract_all('<|' || role || '|>',
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) hl,
+        |    LEN(regexp_extract_all(content, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) cl
+        |  FROM cp),
+        |fl AS (SELECT doc_id, CAST(SUM(pl) AS BIGINT) rlen
+        |       FROM tl GROUP BY doc_id),
+        |offs AS (SELECT doc_id, COALESCE(SUM(rlen) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) doff
+        |  FROM fl),
+        |sp AS (SELECT doc_id, turn_idx, role, ps + hl cs, ps + hl + cl ce
+        |  FROM (SELECT doc_id, turn_idx, role, hl, cl,
+        |        COALESCE(SUM(pl) OVER (PARTITION BY doc_id
+        |          ORDER BY turn_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) ps
+        |        FROM tl)),
+        |g AS (SELECT sp.doc_id, turn_idx, role, doff + cs gs, doff + ce ge
+        |      FROM sp JOIN offs USING (doc_id) WHERE ce > cs)
+        |SELECT CAST(k AS BIGINT) seq_idx, doc_id, turn_idx, role,
+        |  CAST(GREATEST(gs, k * 16) - k * 16 AS BIGINT) frag_start,
+        |  CAST(LEAST(ge, (k + 1) * 16) - k * 16 AS BIGINT) frag_end
+        |FROM (SELECT doc_id, turn_idx, role, gs, ge,
+        |      unnest(range(CAST(gs // 16 AS BIGINT),
+        |        CAST((ge - 1) // 16 + 1 AS BIGINT))) k FROM g)""".stripMargin),
     "q167_chat_render" ->
       ("WITH " + chatCte + """
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_turns,
@@ -3066,6 +3125,48 @@ object SparkEntry {
         |        prev_role,
         |      max(turn_idx) OVER (PARTITION BY doc_id) last_idx FROM ct)
         |GROUP BY doc_id""".stripMargin),
+    "q174_drift_sketch_cert" ->
+      """WITH base AS (SELECT CAST(source AS VARCHAR) g,
+        |    CAST(n_chars AS DOUBLE) x
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |e AS (SELECT quantile_cont(x, 0.25) e1, quantile_cont(x, 0.5) e2,
+        |    quantile_cont(x, 0.75) e3 FROM base),
+        |b AS (SELECT g,
+        |    (CASE WHEN x > e1 THEN 1 ELSE 0 END
+        |   + CASE WHEN x > e2 THEN 1 ELSE 0 END
+        |   + CASE WHEN x > e3 THEN 1 ELSE 0 END) bucket
+        |  FROM base CROSS JOIN e),
+        |sb AS (SELECT g, bucket, CAST(COUNT(*) AS BIGINT) cnt
+        |       FROM b GROUP BY 1, 2),
+        |gb AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) cnt_g
+        |       FROM sb GROUP BY 1),
+        |ns AS (SELECT g, CAST(SUM(cnt) AS BIGINT) n_s FROM sb GROUP BY 1),
+        |ng AS (SELECT CAST(SUM(cnt_g) AS BIGINT) n_g FROM gb),
+        |grid AS (SELECT ns.g, ns.n_s, gb.bucket, gb.cnt_g,
+        |    CAST(COALESCE(sb.cnt, 0) AS BIGINT) cnt
+        |  FROM ns CROSS JOIN gb
+        |  LEFT JOIN sb ON sb.g = ns.g AND sb.bucket = gb.bucket),
+        |d AS (SELECT g, n_s, CAST(SUM(ABS(
+        |    (1000000 * cnt) // n_s - (1000000 * cnt_g) // n_g))
+        |    AS BIGINT) s
+        |  FROM grid CROSS JOIN ng GROUP BY 1, 2)
+        |SELECT g source, n_s n_rows, CAST(s // 2 AS BIGINT) tvd_ppm,
+        |  s // 2 >= 100000 drifted, TRUE ok
+        |FROM d""".stripMargin,
+    "q175_gk_windowed" -> Seq(0.25, 0.5, 0.75, 0.95).zipWithIndex.map {
+      case (p, i) =>
+        s"""SELECT event_type || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)
+           |    src_day,
+           |  CAST($i AS BIGINT) pos,
+           |  CAST($p AS DOUBLE) p,
+           |  FLOOR(quantile_cont(CAST(value AS DOUBLE), $p) * 100 + 0.5)
+           |    / 100.0 q,
+           |  TRUE ok
+           |FROM events
+           |WHERE value IS NOT NULL AND event_type IS NOT NULL
+           |  AND ts IS NOT NULL
+           |GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "q166_quantile_drift" ->
       """WITH base AS (SELECT CAST(source AS VARCHAR) g,
         |    CAST(n_chars AS DOUBLE) x

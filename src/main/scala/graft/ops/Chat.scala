@@ -37,26 +37,68 @@ object Chat {
   private def piece(role: Column, content: Column): Column =
     concat(lit("<|"), role, lit("|>\n"), content, lit("\n<|end|>\n"))
 
+  /** A span MEASURE: how long a template segment is, in some unit.
+    * [[Chars]] counts characters (both engines' `length`); [[Toks]]
+    * counts q34's BPE pre-tokens (the regex proven cross-engine) — the
+    * unit real packing budgets are denominated in. Tokenization
+    * respects segment boundaries for free: every segment junction in
+    * the template is a `\n`, which the pre-token regex never includes
+    * in a token, so tokens(piece) = tokens(header) ++ tokens(content)
+    * ++ tokens(footer) and the offset arithmetic below is exact in
+    * token space too. */
+  private sealed trait Measure {
+    def pieceLen(role: Column, content: Column): Column
+    /** Offset of the content within its piece. */
+    def headerLen(role: Column): Column
+    def contentLen(content: Column): Column
+  }
+  private object Chars extends Measure {
+    def pieceLen(role: Column, content: Column): Column =
+      length(piece(role, content)).cast("long")
+    def headerLen(role: Column): Column = // "<|" + role + "|>\n"
+      length(role).cast("long") + 5L
+    def contentLen(content: Column): Column = length(content).cast("long")
+  }
+  private object Toks extends Measure {
+    private def ntok(c: Column): Column =
+      size(regexp_extract_all(c, lit(TextAnalysis.bpePattern), lit(0)))
+        .cast("long")
+    def pieceLen(role: Column, content: Column): Column =
+      ntok(piece(role, content))
+    def headerLen(role: Column): Column =
+      ntok(concat(lit("<|"), role, lit("|>")))
+    def contentLen(content: Column): Column = ntok(content)
+  }
+
   /** Per-turn rows with template offsets: (doc_id, turn_idx, role,
     * content_start, content_end) — content_end exclusive; the
     * assistant-role rows ARE the loss mask. Turns with NULL role or
     * content are dropped (they cannot be rendered; [[validate]] reports
     * them). `turnsCol` is array<struct<role: string, content: string>>. */
   def maskSpans(conv: DataFrame, idCol: String = "doc_id",
-                turnsCol: String = "turns"): DataFrame = {
+                turnsCol: String = "turns"): DataFrame =
+    maskSpansBy(conv, idCol, turnsCol, Chars)
+
+  /** [[maskSpans]] in TOKEN units (q34 BPE pre-tokens): offsets into
+    * the tokenized template stream instead of its character stream. */
+  def maskSpansTokens(conv: DataFrame, idCol: String = "doc_id",
+                      turnsCol: String = "turns"): DataFrame =
+    maskSpansBy(conv, idCol, turnsCol, Toks)
+
+  private def maskSpansBy(conv: DataFrame, idCol: String,
+                          turnsCol: String, m: Measure): DataFrame = {
     val t = conv.select(col(idCol),
         posexplode(col(turnsCol)).as(Seq("turn_idx", "t")))
       .select(col(idCol), col("turn_idx").cast("long").as("turn_idx"),
         col("t.role").as("role"), col("t.content").as("content"))
       .where(col("role").isNotNull && col("content").isNotNull)
-      .withColumn("_plen", length(piece(col("role"), col("content"))).cast("long"))
+      .withColumn("_plen", m.pieceLen(col("role"), col("content")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("turn_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)
     t.withColumn("_pstart", coalesce(sum(col("_plen")).over(w), lit(0L)))
-      .withColumn("content_start",
-        col("_pstart") + length(col("role")).cast("long") + 5L)
+      .withColumn("content_start", col("_pstart") + m.headerLen(col("role")))
       .withColumn("content_end",
-        col("content_start") + length(col("content")).cast("long"))
+        col("content_start") + m.contentLen(col("content")))
       .select(col(idCol), col("turn_idx"), col("role"),
         col("content_start"), col("content_end"))
   }
@@ -110,7 +152,25 @@ object Chat {
     * single-partition global window. Everything else is per-row integer
     * arithmetic both engines replay. */
   def packSpans(conv: DataFrame, seqLen: Long, idCol: String = "doc_id",
-                turnsCol: String = "turns", parts: Int = 64): DataFrame = {
+                turnsCol: String = "turns", parts: Int = 64): DataFrame =
+    packSpansBy(conv, seqLen, idCol, turnsCol, parts, Chars)
+
+  /** [[packSpans]] in TOKEN units — the form a training pipeline
+    * actually budgets: `seqLen` is a TOKEN count (the model's context
+    * length), the global stream is the concatenation of tokenized
+    * rendered transcripts, and every fragment is a token range within
+    * its block. Token counts are q34's BPE pre-tokens (regex, proven
+    * cross-engine), so the oracle replays every offset exactly; a real
+    * subword tokenizer slots in by swapping the measure — the
+    * boundary-split discipline is unit-agnostic. */
+  def packSpansTokens(conv: DataFrame, seqLen: Long,
+                      idCol: String = "doc_id", turnsCol: String = "turns",
+                      parts: Int = 64): DataFrame =
+    packSpansBy(conv, seqLen, idCol, turnsCol, parts, Toks)
+
+  private def packSpansBy(conv: DataFrame, seqLen: Long, idCol: String,
+                          turnsCol: String, parts: Int,
+                          m: Measure): DataFrame = {
     require(seqLen > 0, s"sequence length must be positive: $seqLen")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
@@ -120,7 +180,7 @@ object Chat {
       .select(col(idCol), col("t.role").as("role"), col("t.content").as("content"))
       .where(col("role").isNotNull && col("content").isNotNull)
       .groupBy(col(idCol))
-      .agg(sum(length(piece(col("role"), col("content")))).cast("long")
+      .agg(sum(m.pieceLen(col("role"), col("content")))
         .as("rendered_len"))
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(col(idCol))
@@ -142,7 +202,7 @@ object Chat {
     val doff = spark.createDataFrame(offRows,
       new org.apache.spark.sql.types.StructType()
         .add(flat.schema.fields(0)).add("_doff", LongType, nullable = false))
-    maskSpans(conv, idCol, turnsCol)
+    maskSpansBy(conv, idCol, turnsCol, m)
       .where(col("content_end") > col("content_start"))
       .join(doff, Seq(idCol))
       .withColumn("_gs", col("_doff") + col("content_start"))

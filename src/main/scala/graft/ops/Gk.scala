@@ -248,4 +248,56 @@ object Gk {
       .select(col(groupCol), col("p"), col("q"),
         (col("gk_q") >= col("_lo") && col("gk_q") <= col("_hi")).as("ok"))
   }
+
+  /** [[groupedQuantilesCertified]] with a RANK-COUNTED certificate —
+    * the form that stays provably true for arbitrarily SMALL groups
+    * (per-window quantiles: a (source, day) cell can hold tens of
+    * rows, where the interpolated p±2ε value window can sit strictly
+    * between adjacent order statistics and fail spuriously). Here the
+    * sketch's answer is joined back to the data and its TRUE rank
+    * interval [#{x < q}+1, #{x ≤ q}] is counted per group; `ok`
+    * asserts it intersects [r − a, r + a] for target rank
+    * r = max(1, ⌈p·n⌉) and allowance a = ⌊2εn⌋ + 2 — the GK guarantee
+    * (εn) doubled plus the flush/merge off-by-ones, exact integer
+    * arithmetic throughout. The oracle replays the exact quantiles and
+    * pins `ok` TRUE; cost over the plain sketch is one extra counting
+    * pass (broadcast of groups × ps sketch answers), which is the
+    * price of certification, not of production use. */
+  def groupedQuantilesCertifiedByRank(df: DataFrame, groupCol: String,
+                                      valueCol: String,
+                                      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                                      eps: Double = 0.005): DataFrame = {
+    val k = ps.length
+    val base = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as(groupCol),
+        col(valueCol).cast("double").as("x"))
+    val exact = base
+      .groupBy(col(groupCol))
+      .agg(percentile(col("x"), array(ps.map(lit): _*)).as("ex"),
+        count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"),
+        explode(sequence(lit(0), lit(k - 1))).as("pos"), col("ex"))
+      .select(col(groupCol), col("n"), col("pos").cast("long").as("pos"),
+        element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+        (floor(element_at(col("ex"), col("pos") + 1) * 100 + 0.5) / 100.0)
+          .as("q"))
+    val sk = groupedQuantiles(df, groupCol, valueCol, ps, eps)
+    val ranks = base
+      .join(broadcast(sk), Seq(groupCol))
+      .groupBy(col(groupCol), col("p"), col("gk_q"))
+      .agg(sum(when(col("x") < col("gk_q"), 1L).otherwise(0L)).as("_lt"),
+        sum(when(col("x") <= col("gk_q"), 1L).otherwise(0L)).as("_le"))
+    // `pos` (p's integer index) rides along so row identity is carried
+    // by non-float columns — float columns are excluded from the
+    // driver's row-alignment sort, and four same-group rows would
+    // otherwise align arbitrarily
+    exact
+      .join(ranks, Seq(groupCol, "p"))
+      .withColumn("_r", greatest(lit(1L), ceil(col("p") * col("n"))))
+      .withColumn("_a", floor(lit(2.0 * eps) * col("n")) + 2L)
+      .select(col(groupCol), col("pos"), col("p"), col("q"),
+        (col("_lt") + 1L <= col("_r") + col("_a") &&
+          col("_le") >= col("_r") - col("_a")).as("ok"))
+  }
 }

@@ -228,6 +228,36 @@ object Quality {
     driftFromEdges(base, edges, ps.length, driftPpm, groupCol)
   }
 
+  /** Certification of [[quantileDriftSketch]] (the q45/q163
+    * discipline): the EXACT drift report plus a per-source boolean
+    * asserting the sketch-edge report's TVD landed within the GK rank
+    * bound. Each of the E sketch edges sits within ε·N ranks of its
+    * exact counterpart, so per edge at most min(ε·N, n_s) rows of
+    * source s change bucket (and at most ε·N of the pool), moving the
+    * TVD by at most E·(min(ε·N, n_s)/n_s + ε); the certificate doubles
+    * that slack (flush/interpolation off-by-ones at rank boundaries)
+    * and adds a ppm-floor cushion. The oracle replays the exact report
+    * and pins `ok` TRUE; the sketch's edges are engine-specific data
+    * elements and never cross engines. */
+  def quantileDriftSketchCertified(df: DataFrame, groupCol: String,
+                                   valueCol: String,
+                                   ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                                   eps: Double = 0.005,
+                                   driftPpm: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = quantileDrift(df, groupCol, valueCol, ps, driftPpm)
+    val sk = quantileDriftSketch(df, groupCol, valueCol, ps, eps, driftPpm)
+      .select(col(groupCol), col("tvd_ppm").as("_tvd_sk"))
+    val e = ps.length
+    exact.join(sk, Seq(groupCol))
+      .withColumn("_N", sum(col("n_rows")).over(Window.partitionBy()))
+      .withColumn("_bound",
+        lit(2.0 * e) * (least(lit(eps) * col("_N"), col("n_rows"))
+          / col("n_rows") + lit(eps)) * lit(1e6) + lit(4L * e))
+      .select(col(groupCol), col("n_rows"), col("tvd_ppm"), col("drifted"),
+        (abs(col("tvd_ppm") - col("_tvd_sk")) <= col("_bound")).as("ok"))
+  }
+
   /** [[quantileDrift]] against CALLER-SUPPLIED fixed edges — the
     * calibrated-monitoring form: edges are fit once (exact or GK, the
     * fitCurationModel discipline) and applied unchanged to every shard

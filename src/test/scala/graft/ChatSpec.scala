@@ -107,6 +107,46 @@ class ChatSpec extends SparkTestBase {
     assert(byTurn.values.exists(_.length > 1), "fixture must exercise a boundary split")
   }
 
+  test("packSpansTokens: fragments slice the packed TOKEN stream back to the content tokens") {
+    // the token-space twin of the packSpans invariant: tokenize every
+    // rendered transcript with the q34 pre-token regex, concatenate in
+    // doc order, chunk into 7-token blocks — each span's fragment
+    // slices must reproduce exactly its content's token sequence
+    val tok = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val df = toDf(Seq(
+      conv(1L, ("user", "alpha beta gamma"), ("assistant", "delta epsilon zeta eta")),
+      conv(2L, ("user", "one"), ("assistant", "two, three; four 42 five")),
+      conv(3L, ("system", "s"), ("user", "u"), ("assistant", "final answer text"))))
+    val L = 7
+    val stream = Chat.flatten(df).collect()
+      .sortBy(_.getLong(0)).map(_.getAs[String]("rendered")).mkString
+    val toks = tok.findAllIn(stream).toVector
+    val frags = Chat.packSpansTokens(df, seqLen = L.toLong).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    val byTurn = frags.groupBy(f => (f._2, f._3))
+    val orig = Map((1L, 0L) -> "alpha beta gamma",
+      (1L, 1L) -> "delta epsilon zeta eta",
+      (2L, 0L) -> "one", (2L, 1L) -> "two, three; four 42 five",
+      (3L, 0L) -> "s", (3L, 1L) -> "u", (3L, 2L) -> "final answer text")
+    for (((id, ti), fs) <- byTurn) {
+      val got = fs.sortBy(_._1).flatMap { case (k, _, _, _, s, e) =>
+        toks.slice((k * L + s).toInt, (k * L + e).toInt)
+      }.toVector
+      assert(got == tok.findAllIn(orig((id, ti))).toVector,
+        s"doc $id turn $ti: $got")
+      fs.foreach { case (_, _, _, _, s, e) =>
+        assert(s >= 0 && e <= L && s < e) }
+    }
+    assert(byTurn.keySet == orig.keySet)
+    assert(byTurn.values.exists(_.length > 1), "fixture must exercise a boundary split")
+    // token streams concatenate exactly: global stream tokenization ==
+    // per-segment tokenization (the '\n'-junction argument)
+    val perDoc = Chat.flatten(df).collect().sortBy(_.getLong(0))
+      .map(r => tok.findAllIn(r.getAs[String]("rendered")).length).sum
+    assert(perDoc == toks.length)
+  }
+
   test("NULL role/content turns drop from flatten and maskSpans, flagged by validate") {
     val df = Seq((1L, Seq(("user", "q"), (null, "x"), ("assistant", null), ("assistant", "a"))))
       .toDF("doc_id", "_t")

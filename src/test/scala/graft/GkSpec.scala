@@ -108,4 +108,25 @@ class GkSpec extends SparkTestBase {
     val got = out.find(r => r.getString(0) == "s1" && r.getDouble(1) == 0.5).get.getDouble(2)
     assert(got == exp)
   }
+
+  test("groupedQuantilesCertifiedByRank: TRUE for arbitrarily small windows") {
+    // per-window groups of 3..80 rows — the regime where the
+    // interpolated p±2eps value window can sit strictly between
+    // adjacent order statistics; the rank-counted certificate must
+    // hold for every (n, p) combination
+    val rows = (0 until 2000).flatMap { i =>
+      val g = s"w${i % 37}" // 37 windows, ~54 rows each
+      Seq((g, (i * 193 % 997).toDouble))
+    } ++ (0 until 3).map(i => ("tiny", i.toDouble)) // a 3-row window
+    val out = Gk.groupedQuantilesCertifiedByRank(
+      rows.toDF("src_day", "x"), "src_day", "x").collect()
+    assert(out.length == 38 * 4)
+    assert(out.forall(_.getBoolean(4)), "a rank certificate failed: " +
+      out.filterNot(_.getBoolean(4)).mkString(", "))
+    // duplicate-heavy window: rank interval is wide, still certified
+    val dup = (0 until 50).map(_ => ("d", 7.0)) ++ Seq(("d", 1.0), ("d", 9.0))
+    val out2 = Gk.groupedQuantilesCertifiedByRank(
+      dup.toDF("src_day", "x"), "src_day", "x").collect()
+    assert(out2.forall(_.getBoolean(4)))
+  }
 }

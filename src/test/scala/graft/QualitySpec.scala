@@ -201,6 +201,29 @@ class QualitySpec extends SparkTestBase {
     assert(sketch == exact, s"sketch $sketch != exact $exact")
   }
 
+  test("quantileDriftSketchCertified: exact columns == quantileDrift; bound holds") {
+    // skewed continuous values WITHOUT protective bands — the regime
+    // where sketch edges genuinely wobble within +/- eps*N ranks; the
+    // certificate's TVD envelope must absorb the wobble
+    val rows = (0 until 4000).map { i =>
+      val g = if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else "c"
+      val v = if (g == "a") (i * 37 % 1000) + 800.0 else (i * 37 % 1000).toDouble
+      (g, v)
+    }.toDF("src", "x")
+    val cert = Quality.quantileDriftSketchCertified(rows, "src", "x")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val exact = Quality.quantileDrift(rows, "src", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(cert.keySet == exact.keySet)
+    for ((g, (n, tvd, drifted, ok)) <- cert) {
+      assert((n, tvd, drifted) == exact(g), s"exact columns diverged for $g")
+      assert(ok, s"sketch-vs-exact TVD bound failed for $g")
+    }
+  }
+
   test("kAnonymity: class sizes and verdicts; kAnonymize suppresses violators") {
     val rows = Seq(
       ("us", "A", 1L), ("us", "A", 2L), ("us", "A", 3L),
