@@ -1246,6 +1246,25 @@ object SparkEntry {
           concat(col("event_type"), lit("|"),
             to_date(col("ts")).cast("string"))),
         "src_day", "value")),
+    // phrase-blocklist report (Curate.blocklistReport): the bad-word
+    // pass c4Filter leaves to site policy — distinct word-boundary
+    // phrase hits per doc over case-blind whitespace-normalized text.
+    // Spam phrases planted in-plan (%13 / %17, mid-text so boundaries
+    // are interior; %17 also plants "pillsbury", which must NOT fire
+    // the "pills" entry — the boundary rule's negative control); the
+    // oracle replays normalization and each phrase regex; the AC
+    // automaton twin (blocklistReportAC) is spec-pinned equal
+    "q176_blocklist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" buy cheap pills online now")))
+        .when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(lit("casino bonus spins! pillsbury dough: "), col("text")))
+        .otherwise(col("text"))
+      Curate.blocklistReport(
+        docs.select(col("doc_id"), planted.as("text")),
+        Seq("cheap pills", "casino bonus", "pills", "winnings"))
+    }),
     // video container metadata (Exprs.mediaFormat + videoFrameCount +
     // videoShingles): the corpus-composition report a 100 TB media scan
     // runs FIRST — container by magic, frame count by container parse
@@ -3125,6 +3144,27 @@ object SparkEntry {
         |        prev_role,
         |      max(turn_idx) OVER (PARTITION BY doc_id) last_idx FROM ct)
         |GROUP BY doc_id""".stripMargin),
+    "q176_blocklist" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |           THEN text || ' buy cheap pills online now'
+        |         WHEN doc_id % 17 = 0
+        |           THEN 'casino bonus spins! pillsbury dough: ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '\s+', ' ', 'g') t FROM d),
+        |h AS (SELECT doc_id, CAST(
+        |    CASE WHEN regexp_matches(t,
+        |      '(^|[^a-z0-9])cheap pills([^a-z0-9]|$)') THEN 1 ELSE 0 END
+        |  + CASE WHEN regexp_matches(t,
+        |      '(^|[^a-z0-9])casino bonus([^a-z0-9]|$)') THEN 1 ELSE 0 END
+        |  + CASE WHEN regexp_matches(t,
+        |      '(^|[^a-z0-9])pills([^a-z0-9]|$)') THEN 1 ELSE 0 END
+        |  + CASE WHEN regexp_matches(t,
+        |      '(^|[^a-z0-9])winnings([^a-z0-9]|$)') THEN 1 ELSE 0 END
+        |  AS BIGINT) n_hits FROM n)
+        |SELECT doc_id, n_hits, n_hits > 0 blocked FROM h""".stripMargin,
     "q174_drift_sketch_cert" ->
       """WITH base AS (SELECT CAST(source AS VARCHAR) g,
         |    CAST(n_chars AS DOUBLE) x

@@ -543,4 +543,45 @@ class CurateSpec extends SparkTestBase {
     assert(high("a") == ((true, 200L, 2000L)))
     assert(high("b") == ((true, 800L, 2000L)))
   }
+
+  test("blocklist: AC automaton == unrolled rlike on adversarial fixtures") {
+    // nested phrases, shared prefixes, boundary adjacency, start/end
+    // placement, case and whitespace normalization, and negative
+    // controls ("pillsbury", "assassin" vs "ass")
+    val phrases = Seq("pills", "cheap pills", "ass", "bonus spins",
+      "lorem ipsum", "x9")
+    val docs = Seq(
+      (1L, "Buy CHEAP\n pills here"),         // cheap pills + pills (ws norm)
+      (2L, "pillsbury dough assassin"),        // nothing (boundary rule)
+      (3L, "pills"),                           // whole-text match
+      (4L, "an ass; bonus spins!"),            // punctuation boundaries
+      (5L, "lorem   ipsum lorem ipsum"),       // distinct counted once
+      (6L, "x9x9 and x9."),                    // self-adjacent: only bounded hit
+      (7L, ""),                                // empty
+      (8L, null.asInstanceOf[String]))         // NULL text
+    val df = docs.toDF("doc_id", "text")
+    def collectRep(rep: org.apache.spark.sql.DataFrame) =
+      rep.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val unrolled = collectRep(Curate.blocklistReport(df, phrases))
+    val ac = collectRep(Curate.blocklistReportAC(df, phrases))
+    assert(ac == unrolled, s"AC $ac != unrolled $unrolled")
+    assert(unrolled(1L) == ((2L, true)))
+    assert(unrolled(2L) == ((0L, false)))
+    assert(unrolled(3L) == ((1L, true)))
+    assert(unrolled(4L) == ((2L, true)))
+    assert(unrolled(5L) == ((1L, true)))
+    assert(unrolled(6L) == ((1L, true)))
+    assert(unrolled(7L) == ((0L, false)))
+    // randomized cross-check: 300 docs of random token soup over a
+    // vocabulary overlapping the phrase set
+    val vocab = Vector("pills", "cheap", "bonus", "spins", "pillsbury",
+      "ass", "assassin", "lorem", "ipsum", "x9", "dough", "now")
+    val rng = new scala.util.Random(7)
+    val rand = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")))
+    val rdf = rand.toDF("doc_id", "text")
+    assert(collectRep(Curate.blocklistReportAC(rdf, phrases)) ==
+      collectRep(Curate.blocklistReport(rdf, phrases)))
+  }
 }
