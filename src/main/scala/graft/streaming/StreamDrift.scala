@@ -62,15 +62,20 @@ object StreamDrift {
       counts.withColumn("_batch", lit(batchId)), ledgerDir)
   }
 
-  /** Start the resident monitor over a streaming frame. */
+  /** Start the resident monitor over a streaming frame. `compactEvery`
+    * > 0 folds the ledger every that-many batches (the [[StreamGk]]
+    * contract: through b−1, which is committed before b starts). */
   def start(stream: DataFrame, groupCol: String, valueCol: String,
             edgesDir: String, ledgerDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         countBatch(batch, batchId, groupCol, valueCol, edgesDir, ledgerDir)
+        if (compactEvery > 0 && batchId >= 2 &&
+          batchId % compactEvery == 0)
+          compact(batch.sparkSession, ledgerDir, batchId - 1)
       }
       .start()
 
@@ -99,8 +104,10 @@ object StreamDrift {
     * double-count, which is exactly what the Ledger's reader-side
     * watermark rule prevents across a crashed cleanup. Only
     * checkpoint-committed batch ids may be passed. */
-  def compact(spark: SparkSession, ledgerDir: String, upTo: Long): Unit =
+  def compact(spark: SparkSession, ledgerDir: String, upTo: Long): Unit = {
+    if (Ledger.labels(spark, ledgerDir).isEmpty) return // nothing landed yet
     Ledger.writeCompacted(spark, ledgerDir, upTo,
       Ledger.live(spark, ledgerDir, upTo)
         .groupBy(col("g"), col("bucket")).agg(sum(col("cnt")).as("cnt")))
+  }
 }

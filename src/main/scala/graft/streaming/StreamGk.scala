@@ -43,14 +43,23 @@ object StreamGk {
       rows.withColumn("_batch", lit(batchId)), ledgerDir)
   }
 
-  /** Start the resident tracker over a streaming frame. */
+  /** Start the resident tracker over a streaming frame.
+    * `compactEvery` > 0 folds the ledger every that-many batches
+    * (through batch b−1 while processing batch b — b−1 is
+    * checkpoint-committed before b starts, so the [[Ledger]] replay
+    * rule holds; a replay of b just re-runs the same idempotent
+    * compaction). 0 leaves compaction to the caller. */
   def start(stream: DataFrame, colName: String, eps: Double,
-            ledgerDir: String, checkpointDir: String): StreamingQuery =
+            ledgerDir: String, checkpointDir: String,
+            compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         summaryBatch(batch, batchId, colName, eps, ledgerDir)
+        if (compactEvery > 0 && batchId >= 2 &&
+          batchId % compactEvery == 0)
+          compact(batch.sparkSession, ledgerDir, batchId - 1, eps)
       }
       .start()
 

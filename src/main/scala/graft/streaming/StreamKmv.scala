@@ -33,14 +33,19 @@ object StreamKmv {
       sk.withColumn("_batch", lit(batchId)), sketchDir)
   }
 
-  /** Start the resident tracker over a streaming frame. */
+  /** Start the resident tracker over a streaming frame. `compactEvery`
+    * > 0 folds the ledger every that-many batches (the [[StreamGk]]
+    * contract: through b−1, which is committed before b starts). */
   def start(stream: DataFrame, colName: String, k: Int, sketchDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         sketchBatch(batch, batchId, colName, k, sketchDir)
+        if (compactEvery > 0 && batchId >= 2 &&
+          batchId % compactEvery == 0)
+          compact(batch.sparkSession, sketchDir, batchId - 1, k)
       }
       .start()
 
@@ -69,10 +74,12 @@ object StreamKmv {
     * have been among the lifetime k minima. Only checkpoint-committed
     * batch ids may be passed (the replay rule in the Ledger doc). */
   def compact(spark: SparkSession, sketchDir: String, upTo: Long,
-              k: Int): Unit =
+              k: Int): Unit = {
+    if (Ledger.labels(spark, sketchDir).isEmpty) return // nothing landed yet
     Ledger.writeCompacted(spark, sketchDir, upTo,
       Ledger.live(spark, sketchDir, upTo)
         .select(col("v")).distinct().orderBy(col("v")).limit(k))
+  }
 
   /** Lifetime estimate: one row of the q154 fields. */
   def estimate(spark: SparkSession, sketchDir: String, k: Int): DataFrame =

@@ -103,6 +103,32 @@ class LedgerCompactSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() <= 8)
   }
 
+  test("auto-compaction inside the resident stream: bounded ledger, exact results") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("lca").toString + "/sk"
+    val ckpt = Files.createTempDirectory("lca_ckpt").toString
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = StreamKmv.start(input.toDF().toDF("x"), "x", 32, dir, ckpt,
+      compactEvery = 2)
+    try {
+      for (b <- 0 until 6) {
+        input.addData((b * 100L) until (b * 100L + 150L): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stream compacted through batch 3 (at batch 4); labels are the
+    // watermark partition plus the uncompacted tail
+    assert(Ledger.watermark(spark, dir) == 3L)
+    assert(labels(dir) == Set(-3L, 4L, 5L))
+    // exact: same sketch as the uncompacted one-shot
+    val got = StreamKmv.lifetimeSketch(spark, dir, 32)
+      .as[Long].collect().sorted.toSeq
+    val direct = graft.ops.Kmv.sketch((0L until 650L).toDF("x"), "x", 32)
+      .as[Long].collect().sorted.toSeq
+    assert(got == direct)
+  }
+
   test("compacting below the existing watermark is rejected") {
     val dir = Files.createTempDirectory("lcw").toString + "/sk"
     StreamKmv.sketchBatch((1L to 50L).toDF("x"), 0L, "x", 16, dir)
