@@ -161,7 +161,11 @@ object WebDataset {
       .select(col(idCol).cast("long").as("_id"))
       .repartitionByRange(idParts, col("_id"))
       .sortWithinPartitions(col("_id"))
-      .localCheckpoint(true) // two bounded passes below read it
+      // materialized once (8 B/row id column only — GBs at corpus
+      // scale, spilling to disk; never media) so the counts pass and
+      // the boundary pass read the same range shuffle instead of
+      // recomputing it
+      .localCheckpoint(true)
     val counts = ids.rdd.mapPartitionsWithIndex { (pid, it) =>
         var n = 0L
         while (it.hasNext) { it.next(); n += 1 }
