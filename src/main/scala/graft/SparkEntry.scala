@@ -1246,6 +1246,22 @@ object SparkEntry {
           concat(col("event_type"), lit("|"),
             to_date(col("ts")).cast("string"))),
         "src_day", "value")),
+    // length-grouped batching (Curate.lengthGroupedBatches): the
+    // padding-efficiency layout for unpacked fine-tuning — docs sorted
+    // by BPE pre-token count into 32-doc batches, each padding only to
+    // its own max; global rank via the q109 two-pass partition-offset
+    // discipline (16 B/row metadata pass, never text, no global
+    // window); the oracle replays the token counts, the (len, id)
+    // rank, and the per-batch max
+    "q177_length_batches" -> ((s, d) =>
+      Curate.lengthGroupedBatches(Tables.documents(s, d), batchSize = 32)),
+    // fill-in-middle transformation (Curate.fimTransform, Bavarian '22):
+    // PSM-order infilling rewrite with md5-derived deterministic cut
+    // points (the q154 48-bit hash discipline); both engines' substring
+    // is 1-based so the oracle replays every slice char-for-char;
+    // under-length docs pass through with fim_ok false
+    "q178_fim" -> ((s, d) =>
+      Curate.fimTransform(Tables.documents(s, d))),
     // phrase-blocklist report (Curate.blocklistReport): the bad-word
     // pass c4Filter leaves to site policy — distinct word-boundary
     // phrase hits per doc over case-blind whitespace-normalized text.
@@ -3144,6 +3160,48 @@ object SparkEntry {
         |        prev_role,
         |      max(turn_idx) OVER (PARTITION BY doc_id) last_idx FROM ct)
         |GROUP BY doc_id""".stripMargin),
+    "q177_length_batches" ->
+      """WITH t AS (SELECT doc_id, CAST(LEN(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 rk FROM t),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CAST(rk // 32 AS BIGINT) batch_idx FROM r)
+        |SELECT doc_id, n_tokens, batch_idx,
+        |  CAST(MAX(n_tokens) OVER (PARTITION BY batch_idx) AS BIGINT)
+        |    pad_to,
+        |  CAST(MAX(n_tokens) OVER (PARTITION BY batch_idx) - n_tokens
+        |    AS BIGINT) pad_tokens
+        |FROM b""".stripMargin,
+    "q178_fim" ->
+      """WITH hx AS (SELECT doc_id, text, length(text) L,
+        |    md5(CAST(doc_id AS VARCHAR) || 'fima') ha,
+        |    md5(CAST(doc_id AS VARCHAR) || 'fimb') hb
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(ha, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) va,
+        |    CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(hb, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) vb
+        |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+        |  GROUP BY doc_id),
+        |s AS (SELECT hx.doc_id, text, L,
+        |    LEAST(1 + (va % NULLIF(L - 1, 0)), 1 + (vb % NULLIF(L - 1, 0))) lo,
+        |    GREATEST(1 + (va % NULLIF(L - 1, 0)), 1 + (vb % NULLIF(L - 1, 0))) hi
+        |  FROM hx JOIN g USING (doc_id))
+        |SELECT doc_id, L >= 20 fim_ok,
+        |  CAST(CASE WHEN L >= 20 THEN lo ELSE L END AS BIGINT) prefix_len,
+        |  CAST(CASE WHEN L >= 20 THEN hi - lo ELSE 0 END AS BIGINT)
+        |    middle_len,
+        |  CAST(CASE WHEN L >= 20 THEN L - hi ELSE 0 END AS BIGINT)
+        |    suffix_len,
+        |  CASE WHEN L >= 20 THEN '<fim_prefix>' || substr(text, 1, lo)
+        |    || '<fim_suffix>' || substr(text, hi + 1, L - hi)
+        |    || '<fim_middle>' || substr(text, lo + 1, hi - lo)
+        |  ELSE text END fim_text
+        |FROM s""".stripMargin,
     "q176_blocklist" ->
       """WITH d AS (SELECT doc_id,
         |    CASE WHEN doc_id % 13 = 0

@@ -488,6 +488,101 @@ object Curate {
     }
   }
 
+  // ------------------------------------------ length-grouped batching
+
+  /** Length-grouped batching — the padding-efficiency layout for
+    * UNPACKED fine-tuning: documents sorted by token length and cut
+    * into fixed-count batches, so each batch pads only to ITS OWN
+    * maximum instead of the corpus maximum (random batching wastes
+    * ~(max − mean) tokens per row; sorted batching wastes only the
+    * within-batch spread). Per doc: its batch index, the batch's pad
+    * target, and the tokens of padding it will carry. Token counts are
+    * q34 BPE pre-tokens (the budget unit); ties break on id so the
+    * layout is deterministic and replayable.
+    *
+    * Scale shape: the global sort-rank uses the q109/packSpans
+    * two-pass partition-offset discipline over the (len, id) pairs
+    * alone — 16 B/row, never text; ranks assign per-partition against
+    * broadcast base offsets (no single-partition window), and the
+    * pad-to window partitions by batch_idx (bounded by `batchSize`
+    * rows per group). */
+  def lengthGroupedBatches(documents: DataFrame, batchSize: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           parts: Int = 64): DataFrame = {
+    require(batchSize > 0)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = documents.sparkSession
+    val lens = documents
+      .select(col(idCol).cast("long").as(idCol),
+        size(regexp_extract_all(col(textCol),
+          lit(TextAnalysis.bpePattern), lit(0))).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("n_tokens"), col(idCol))
+      .sortWithinPartitions(col("n_tokens"), col(idCol))
+      .transform(graft.plans.CheckpointAudit.local)
+    val counts = lens.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator.single((pid, n))
+      }.collect().sortBy(_._1).map(_._2) // bounded: `parts` longs
+    val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val b = batchSize.toLong
+    val ranked = lens.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rk = offsets.value(pid)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), rk / b)
+        rk += 1
+        out
+      }
+    }
+    val df = spark.createDataFrame(ranked, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("batch_idx", LongType, nullable = false))))
+    val wB = Window.partitionBy(col("batch_idx"))
+    df.withColumn("pad_to", max(col("n_tokens")).over(wB))
+      .withColumn("pad_tokens", col("pad_to") - col("n_tokens"))
+  }
+
+  // --------------------------------------------------- fill-in-middle
+
+  /** Fill-in-middle (FIM) transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle") —
+    * the pretraining rewrite that teaches infilling: split each
+    * document at two deterministic points and emit PSM order
+    * (prefix / suffix / middle behind sentinel tags) so the model
+    * learns to generate the middle given both sides. Cut points derive
+    * from the q154 48-bit md5 hash of (id ‖ salt) — deterministic,
+    * partition-independent, oracle-replayable integer arithmetic; both
+    * engines' `substring` is 1-based, so every slice matches
+    * character-for-character. Documents under `minChars` pass through
+    * unsplit with `fim_ok = false` (splitting a 5-char doc teaches
+    * nothing). Pure scan-side column math — zero shuffles. */
+  def fimTransform(documents: DataFrame, minChars: Int = 20,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   salt: String = "fim"): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("long")
+    def cut(sub: String) = lit(1L) + pmod(
+      Kmv.hash48(concat(col(idCol).cast("string"), lit(salt + sub))),
+      len - 1L)
+    val lo = least(cut("a"), cut("b"))
+    val hi = greatest(cut("a"), cut("b"))
+    val eligible = len >= minChars.toLong
+    val prefix = t.substr(lit(1), lo.cast("int"))
+    val middle = t.substr((lo + 1L).cast("int"), (hi - lo).cast("int"))
+    val suffix = t.substr((hi + 1L).cast("int"), (len - hi).cast("int"))
+    documents.select(col(idCol),
+      eligible.as("fim_ok"),
+      when(eligible, lo).otherwise(len).as("prefix_len"),
+      when(eligible, hi - lo).otherwise(0L).as("middle_len"),
+      when(eligible, len - hi).otherwise(0L).as("suffix_len"),
+      when(eligible, concat(lit("<fim_prefix>"), prefix,
+        lit("<fim_suffix>"), suffix, lit("<fim_middle>"), middle))
+        .otherwise(t).as("fim_text"))
+  }
+
   // -------------------------------------------------- text normalization
 
   /** Unicode + whitespace normalization (graft.expr.NormalizeText, one

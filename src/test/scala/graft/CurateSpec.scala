@@ -584,4 +584,55 @@ class CurateSpec extends SparkTestBase {
     assert(collectRep(Curate.blocklistReportAC(rdf, phrases)) ==
       collectRep(Curate.blocklistReport(rdf, phrases)))
   }
+
+  test("lengthGroupedBatches: sorted batches, own-max padding, partitioning-invariant") {
+    // 10 docs with token counts 1..10 (k 'w' words), batchSize 4:
+    // batches {1,2,3,4} pad_to 4, {5,6,7,8} pad_to 8, {9,10} pad_to 10
+    val docs = (1 to 10).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+    val out = Curate.lengthGroupedBatches(docs.toDF("doc_id", "text"), 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (i <- 1 to 10) {
+      val (n, b, padTo, pad) = out(i.toLong)
+      assert(n == i.toLong)
+      assert(b == (i - 1) / 4, s"doc $i batch $b")
+      val expPad = Seq(4L, 8L, 10L)((i - 1) / 4)
+      assert(padTo == expPad && pad == expPad - i, s"doc $i pad $padTo/$pad")
+    }
+    // invariant to input partitioning (the two-pass rank is global)
+    val scrambled = Curate.lengthGroupedBatches(
+      docs.toDF("doc_id", "text").repartition(7), 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(scrambled == out)
+  }
+
+  test("fimTransform: PSM slices reassemble the original text exactly") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the bank."),
+      (2L, "short"), // under minChars: passthrough
+      (3L, "a" * 20)) // exactly at the threshold
+    val out = Curate.fimTransform(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val orig = docs.toMap
+    for ((id, r) <- out) {
+      val (ok, pl, ml, sl, fim) = (r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))
+      val text = orig(id)
+      assert(pl + ml + sl == text.length.toLong, s"doc $id lens")
+      if (!ok) assert(fim == text && ml == 0 && sl == 0)
+      else {
+        // parse the PSM tags and reassemble in original order
+        val pfx = "<fim_prefix>"; val sfx = "<fim_suffix>"; val mid = "<fim_middle>"
+        assert(fim.startsWith(pfx))
+        val p = fim.substring(pfx.length, fim.indexOf(sfx))
+        val sSeg = fim.substring(fim.indexOf(sfx) + sfx.length, fim.indexOf(mid))
+        val m = fim.substring(fim.indexOf(mid) + mid.length)
+        assert(p.length == pl && m.length == ml && sSeg.length == sl)
+        assert(p + m + sSeg == text, s"doc $id reassembly")
+        assert(pl >= 1 && pl + ml <= text.length - 0, s"doc $id cut range")
+      }
+    }
+    assert(!out(2L).getBoolean(1) && out(1L).getBoolean(1) && out(3L).getBoolean(1))
+  }
 }
