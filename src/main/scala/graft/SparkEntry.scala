@@ -1246,6 +1246,21 @@ object SparkEntry {
           concat(col("event_type"), lit("|"),
             to_date(col("ts")).cast("string"))),
         "src_day", "value")),
+    // hard-negative mining (Retrieval.hardNegatives, DPR/ICT): the
+    // q143 query set in the self-supervised form — the positive IS the
+    // query's source doc, so the mined negatives are the lexically
+    // closest OTHER documents, with the false-negative audit flag
+    // (negative outscoring the gold); the oracle replays the bm25
+    // chain at k+1, the positive drop, the re-rank, and the flag
+    "q179_hard_negatives" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0), 3, 4), " ").as("text"))
+      Retrieval.hardNegatives(docs, qs,
+        qs.select(col("query_id"), col("query_id").as("pos_id")), k = 5)
+    }),
     // length-grouped batching (Curate.lengthGroupedBatches): the
     // padding-efficiency layout for unpacked fine-tuning — docs sorted
     // by BPE pre-token count into 32-doc batches, each padding only to
@@ -3160,6 +3175,20 @@ object SparkEntry {
         |        prev_role,
         |      max(turn_idx) OVER (PARTITION BY doc_id) last_idx FROM ct)
         |GROUP BY doc_id""".stripMargin),
+    "q179_hard_negatives" ->
+      ("WITH " + bm25Cte + """,
+        |cand AS (SELECT query_id, doc_id, score_fx FROM r WHERE rk <= 6),
+        |ps AS (SELECT query_id, score_fx pos_fx FROM cand
+        |       WHERE doc_id = query_id),
+        |neg AS (SELECT c.query_id, c.doc_id, c.score_fx,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY c.score_fx DESC, c.doc_id ASC) rk2
+        |  FROM cand c WHERE c.doc_id <> c.query_id)
+        |SELECT n.query_id, CAST(rk2 AS BIGINT) rank, n.doc_id,
+        |  CAST(n.score_fx AS BIGINT) score_fx,
+        |  COALESCE(n.score_fx >= ps.pos_fx, FALSE) above_positive
+        |FROM neg n LEFT JOIN ps USING (query_id)
+        |WHERE rk2 <= 5""".stripMargin),
     "q177_length_batches" ->
       """WITH t AS (SELECT doc_id, CAST(LEN(regexp_extract_all(text,
         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) n_tokens

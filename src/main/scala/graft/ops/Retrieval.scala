@@ -146,6 +146,46 @@ object Retrieval {
            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     bm25Search(bm25Postings(documents, idCol, textCol), queries, k)
 
+  /** Hard-negative mining for retrieval/embedding training data — the
+    * contrastive-training staple (DPR, Karpukhin et al. 2020; ICT's
+    * self-supervised form when the positive IS the query's source
+    * doc): per query, the top-k BM25 candidates EXCLUDING its positive
+    * are exactly the lexically-confusable negatives a bi-encoder must
+    * learn to push away. Fetches k+1 candidates (removing the positive
+    * from a top-k may leave k−1), drops the positive, re-ranks, and
+    * flags `above_positive` — a mined negative that outscores the gold
+    * document is the classic false-negative risk a training set should
+    * audit (flag computable only when the positive itself reached the
+    * candidate list; absent ⇒ false, the conservative read).
+    *
+    * Scale shape: all heavy lifting is [[bm25Search]]'s (df-filtered
+    * postings, broadcast stats, salted two-level top-k); everything
+    * here operates on the ≤ (k+1)·|queries| candidate rows, and the
+    * re-rank window holds ≤ k+1 rows per query. `positives` is one
+    * (queryIdCol, posIdCol) row per query. */
+  def hardNegatives(documents: DataFrame, queries: DataFrame,
+                    positives: DataFrame, k: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    queryIdCol: String = "query_id",
+                    posIdCol: String = "pos_id"): DataFrame = {
+    val cands = bm25(documents, queries, k + 1, idCol, textCol)
+      .select(col("query_id"), col("doc_id"), col("score_fx"))
+    val pos = positives.select(col(queryIdCol).as("query_id"),
+      col(posIdCol).as("_pos_id"))
+    val c = cands.join(pos, Seq("query_id"), "left")
+    val posScore = c.where(col("doc_id") === col("_pos_id"))
+      .select(col("query_id"), col("score_fx").as("_pos_fx"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fx").desc, col("doc_id").asc)
+    c.where(col("_pos_id").isNull || col("doc_id") =!= col("_pos_id"))
+      .join(posScore, Seq("query_id"), "left")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_fx"),
+        coalesce(col("score_fx") >= col("_pos_fx"), lit(false))
+          .as("above_positive"))
+  }
+
   /** Two-stage eval-contamination triage: BM25 shortlist, then exact
     * n-gram verification of ONLY the shortlisted pairs. The corpus-wide
     * gram pass of [[Curate.overlapReport]] (q132) is the ground-truth

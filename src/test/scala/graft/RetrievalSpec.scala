@@ -139,4 +139,31 @@ class RetrievalSpec extends SparkTestBase {
     assert(nodes.exists(_.contains("BroadcastHashJoin")),
       s"query-term filter must broadcast, not shuffle the postings:\n${nodes.mkString(", ")}")
   }
+
+  test("hardNegatives: positive dropped, re-ranked, above_positive audits false negatives") {
+    // corpus: docs about apples; query "apple pie"; the POSITIVE is the
+    // weak doc 4 (one term), so the stronger lexical matches 1..3 mine
+    // as negatives ABOVE it -> flag true; doc 5 is off-topic
+    val docs = Seq(
+      (1L, "apple pie apple pie recipe"),
+      (2L, "apple pie baking"),
+      (3L, "apple orchard pie"),
+      (4L, "green apple"),
+      (5L, "quantum chromodynamics lattice")).toDF("doc_id", "text")
+    val qs = Seq((100L, "apple pie")).toDF("query_id", "text")
+    val pos = Seq((100L, 4L)).toDF("query_id", "pos_id")
+    val out = Retrieval.hardNegatives(docs, qs, pos, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .sortBy(_._1)
+    // positive (4) excluded; ranks are contiguous over the survivors
+    assert(!out.map(_._2).contains(4L))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // every mined negative here outscores the one-term positive
+    assert(out.forall(_._3), s"above_positive should fire: ${out.toSeq}")
+    // positive not in the candidate list at all -> conservative false
+    val posFar = Seq((100L, 5L)).toDF("query_id", "pos_id")
+    val out2 = Retrieval.hardNegatives(docs, qs, posFar, k = 3).collect()
+    assert(out2.forall(!_.getBoolean(4)))
+    assert(!out2.map(_.getLong(2)).contains(5L), "positive must be dropped")
+  }
 }
