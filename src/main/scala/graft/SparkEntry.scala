@@ -1246,6 +1246,34 @@ object SparkEntry {
           concat(col("event_type"), lit("|"),
             to_date(col("ts")).cast("string"))),
         "src_day", "value")),
+    // preference-pair (DPO/RLHF) validation (Chat.preferencePairs):
+    // the third training-data leg — (chosen, rejected) pairs
+    // synthesized in-plan from the chat transcripts: rejected = chosen
+    // with the final response TRUNCATED to half (the valid class),
+    // %29 mutates a PREFIX turn (prefix violation), %23 leaves the
+    // pair identical (tie violation); the %7/%19 transcript classes
+    // flow through as ends/NULL-role failures. The oracle replays the
+    // synthesis relationally (no list construction) and every flag
+    "q180_preference_pairs" -> ((s, d) => {
+      val conv = chatConv(Tables.documents(s, d))
+      val lastIdx = size(col("turns")) - 1
+      def role(t: Column) = t.getField("role")
+      def content(t: Column) = t.getField("content")
+      val rejected =
+        when(pmod(col("doc_id"), lit(29)) === 0,
+          transform(col("turns"), (t, i) =>
+            struct(role(t).as("role"),
+              when(i === 0, concat(content(t), lit("!")))
+                .otherwise(content(t)).as("content"))))
+        .when(pmod(col("doc_id"), lit(23)) === 0, col("turns"))
+        .otherwise(transform(col("turns"), (t, i) =>
+          struct(role(t).as("role"),
+            when(i === lastIdx, content(t).substr(lit(1),
+              floor(length(content(t)) / 2).cast("int")))
+              .otherwise(content(t)).as("content"))))
+      Chat.preferencePairs(conv.select(col("doc_id").as("pair_id"),
+        col("turns").as("chosen"), rejected.as("rejected")))
+    }),
     // hard-negative mining (Retrieval.hardNegatives, DPR/ICT): the
     // q143 query set in the self-supervised form — the positive IS the
     // query's source doc, so the mined negatives are the lexically
@@ -3175,6 +3203,41 @@ object SparkEntry {
         |        prev_role,
         |      max(turn_idx) OVER (PARTITION BY doc_id) last_idx FROM ct)
         |GROUP BY doc_id""".stripMargin),
+    "q180_preference_pairs" ->
+      ("WITH " + chatCte + """,
+        |rej AS (SELECT doc_id, turn_idx, role,
+        |    CASE WHEN doc_id % 29 = 0 AND turn_idx = 0 THEN content || '!'
+        |         WHEN doc_id % 23 = 0 AND doc_id % 29 <> 0 THEN content
+        |         WHEN doc_id % 29 <> 0 AND doc_id % 23 <> 0
+        |              AND turn_idx = doc_id % 4 + 1
+        |           THEN substr(content, 1, length(content) // 2)
+        |         ELSE content END AS content
+        |  FROM ct),
+        |nc AS (SELECT doc_id, MAX(turn_idx) + 1 n FROM ct GROUP BY doc_id),
+        |j AS (SELECT c.doc_id, c.turn_idx i, c.role cr, c.content cc,
+        |        r.role rr, r.content rc, n
+        |      FROM ct c JOIN rej r USING (doc_id, turn_idx)
+        |        JOIN nc USING (doc_id)),
+        |a AS (SELECT doc_id,
+        |    MIN(CASE WHEN i < n - 1 THEN
+        |      CASE WHEN cr IS NOT DISTINCT FROM rr
+        |        AND cc IS NOT DISTINCT FROM rc THEN 1 ELSE 0 END END) pfx,
+        |    MAX(CASE WHEN i = n - 1 AND cr = 'assistant'
+        |      AND rr = 'assistant' THEN 1 ELSE 0 END) ends,
+        |    MAX(CASE WHEN i = n - 1 AND cc IS DISTINCT FROM rc
+        |      THEN 1 ELSE 0 END) dv,
+        |    SUM(CASE WHEN i = n - 1 THEN length(cc) END) ccs,
+        |    SUM(CASE WHEN i = n - 1 THEN length(rc) END) rcs
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id pair_id,
+        |  COALESCE(pfx, 1) = 1 prefix_ok,
+        |  COALESCE(ends, 0) = 1 ends_ok,
+        |  COALESCE(dv, 0) = 1 divergent_ok,
+        |  CAST(COALESCE(ccs, 0) AS BIGINT) chosen_chars,
+        |  CAST(COALESCE(rcs, 0) AS BIGINT) rejected_chars,
+        |  (COALESCE(pfx, 1) = 1 AND COALESCE(ends, 0) = 1
+        |   AND COALESCE(dv, 0) = 1) ok
+        |FROM a""".stripMargin),
     "q179_hard_negatives" ->
       ("WITH " + bm25Cte + """,
         |cand AS (SELECT query_id, doc_id, score_fx FROM r WHERE rk <= 6),

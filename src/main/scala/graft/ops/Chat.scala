@@ -216,6 +216,63 @@ object Chat {
           - col("seq_idx") * seqLen).as("frag_end"))
   }
 
+  /** Preference-pair (DPO/RLHF) data validation — the third leg of the
+    * training-data pipeline after pretraining documents and SFT
+    * transcripts: (chosen, rejected) transcript pairs must share their
+    * prompt PREFIX exactly (the preference signal is about the final
+    * response, so a prefix divergence means the pair compares apples to
+    * oranges), both must END with an assistant turn (that is the turn
+    * being preferred), and the final responses must actually DIFFER (a
+    * tie teaches the reward/DPO objective nothing). Per pair:
+    * `prefix_ok` (equal turn counts and position-wise identical
+    * (role, content) through n−2, NULL-safe), `ends_ok`,
+    * `divergent_ok`, the final-response lengths (the length-bias audit
+    * every preference set needs — reward models notoriously learn
+    * "longer is better"), and `ok`.
+    *
+    * Shape at scale: two posexplodes joined position-wise per pair
+    * (rows = total turns, each carrying one turn), one per-pair
+    * aggregation — no whole-transcript comparison materializes a
+    * concatenated string. Pairs with an empty side fail `ends_ok`/
+    * `divergent_ok` (nothing to prefer), not silently vanish. */
+  def preferencePairs(pairs: DataFrame, idCol: String = "pair_id",
+                      chosenCol: String = "chosen",
+                      rejectedCol: String = "rejected"): DataFrame = {
+    val base = pairs.select(col(idCol),
+      size(col(chosenCol)).cast("long").as("_nc"),
+      size(col(rejectedCol)).cast("long").as("_nr"))
+    def side(c: String, rl: String, ct: String) =
+      pairs.select(col(idCol), posexplode(col(c)).as(Seq("i", "t")))
+        .select(col(idCol), col("i"),
+          col("t.role").as(rl), col("t.content").as(ct))
+    val j = side(chosenCol, "_cr", "_cc")
+      .join(side(rejectedCol, "_rr", "_rc"), Seq(idCol, "i"), "full_outer")
+      .join(base.select(col(idCol), col("_nc")), Seq(idCol))
+    val agg = j.groupBy(col(idCol)).agg(
+      min(when(col("i") < col("_nc") - 1L,
+        when(col("_cr") <=> col("_rr") && col("_cc") <=> col("_rc"), 1)
+          .otherwise(0))).as("_pfx"),
+      max(when(col("i") === col("_nc") - 1L &&
+        col("_cr") === "assistant" && col("_rr") === "assistant", 1)
+        .otherwise(0)).as("_ends"),
+      max(when(col("i") === col("_nc") - 1L &&
+        !(col("_cc") <=> col("_rc")), 1).otherwise(0)).as("_div"),
+      sum(when(col("i") === col("_nc") - 1L,
+        length(col("_cc")).cast("long"))).as("_ccs"),
+      sum(when(col("i") === col("_nc") - 1L,
+        length(col("_rc")).cast("long"))).as("_rcs"))
+    base.join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        (col("_nc") === col("_nr") &&
+          coalesce(col("_pfx"), lit(1)) === 1).as("prefix_ok"),
+        (coalesce(col("_ends"), lit(0)) === 1).as("ends_ok"),
+        (coalesce(col("_div"), lit(0)) === 1).as("divergent_ok"),
+        coalesce(col("_ccs"), lit(0L)).as("chosen_chars"),
+        coalesce(col("_rcs"), lit(0L)).as("rejected_chars"))
+      .withColumn("ok",
+        col("prefix_ok") && col("ends_ok") && col("divergent_ok"))
+  }
+
   /** Structural validation — the quarantine report: per transcript,
     * booleans for the four SFT-data contracts (openers may be system or
     * user; roles must alternate after an optional leading system turn;

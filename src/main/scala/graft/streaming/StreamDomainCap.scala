@@ -44,9 +44,16 @@ object StreamDomainCap {
     // prior admitted counts; existence-checked, never exception-guessed
     // (the StreamNearDedup round-6 lesson: a catch-all would treat any
     // storage error as "no ledger" and over-admit past the cap)
+    // Ledger.live (not a bare `_batch < batchId` filter): after a
+    // compaction, liveness must resolve through the watermark rule or a
+    // crash-leftover positive partition at/below the watermark would be
+    // double-counted into the budget; live() also REJECTS a replay of a
+    // batch at or below the watermark loudly (such a batch was
+    // committed, so the contract says it can never replay — silence
+    // there would mean budget corruption)
     val admitted =
       if (fs.exists(ledgerPath))
-        spark.read.parquet(ledgerDir).where(col("_batch") < batchId)
+        Ledger.live(spark, ledgerDir, batchId - 1)
           .groupBy(col(domainCol))
           .agg(sum(col("admitted")).as("_prior"))
       else
@@ -78,17 +85,37 @@ object StreamDomainCap {
     }
   }
 
-  /** Start the resident admission gate over a streaming doc frame. */
+  /** Start the resident admission gate over a streaming doc frame.
+    * `compactEvery` > 0 folds the budget ledger every that-many batches
+    * (the [[StreamGk]] contract: through b−1, committed before b). */
   def start(docs: DataFrame, outDir: String, ledgerDir: String,
             checkpointDir: String, domainCol: String = "source",
-            idCol: String = "doc_id", k: Int = 1000): StreamingQuery =
+            idCol: String = "doc_id", k: Int = 1000,
+            compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         capBatch(batch, batchId, outDir, ledgerDir, domainCol, idCol, k)
+        if (compactEvery > 0 && batchId >= 2 &&
+          batchId % compactEvery == 0)
+          compact(batch.sparkSession, ledgerDir, batchId - 1, domainCol)
       }
       .start()
+
+  /** Collapse committed ledger batches ≤ `upTo` into one per-domain
+    * count partition (the [[Ledger]] negative-watermark discipline).
+    * Exact: admitted counts are additive, so every future batch's
+    * budget read folds the summed partition identically — and the
+    * reader-side watermark rule keeps a crashed cleanup from ever
+    * double-counting a batch into the lifetime budget. */
+  def compact(spark: SparkSession, ledgerDir: String, upTo: Long,
+              domainCol: String = "source"): Unit = {
+    if (Ledger.labels(spark, ledgerDir).isEmpty) return // nothing landed yet
+    Ledger.writeCompacted(spark, ledgerDir, upTo,
+      Ledger.live(spark, ledgerDir, upTo)
+        .groupBy(col(domainCol)).agg(sum(col("admitted")).as("admitted")))
+  }
 
   /** Read the admitted stream (internal batch column dropped). */
   def admitted(spark: SparkSession, outDir: String): DataFrame =

@@ -158,4 +158,33 @@ class ChatSpec extends SparkTestBase {
     val v = Chat.validate(df).head()
     assert(!v.getAs[Boolean]("turns_ok") && !v.getAs[Boolean]("ok"))
   }
+
+  test("preferencePairs: each contract flips exactly its flag; edge shapes covered") {
+    def pair(id: Long, c: Seq[(String, String)], r: Seq[(String, String)]) = (id, c, r)
+    val rows = Seq(
+      pair(1L, Seq("user" -> "q", "assistant" -> "long answer"),
+        Seq("user" -> "q", "assistant" -> "short")),            // clean
+      pair(2L, Seq("user" -> "q", "assistant" -> "a"),
+        Seq("user" -> "DIFFERENT", "assistant" -> "b")),        // prefix diverges
+      pair(3L, Seq("user" -> "q", "assistant" -> "a"),
+        Seq("user" -> "q", "assistant" -> "a")),                // tie
+      pair(4L, Seq("user" -> "q", "assistant" -> "a"),
+        Seq("user" -> "q", "user" -> "b")),                     // rejected not assistant-final
+      pair(5L, Seq("user" -> "q", "assistant" -> "a"),
+        Seq("user" -> "q")),                                    // turn-count mismatch
+      pair(6L, Seq.empty[(String, String)], Seq.empty[(String, String)])) // empty pair
+    val df = rows.toDF("pair_id", "_c", "_r").select(col("pair_id"),
+      expr("transform(_c, x -> struct(x._1 as role, x._2 as content))").as("chosen"),
+      expr("transform(_r, x -> struct(x._1 as role, x._2 as content))").as("rejected"))
+    val out = Chat.preferencePairs(df).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((true, true, true, 11L, 5L, true)))
+    assert(out(2L) == ((false, true, true, 1L, 1L, false)))
+    assert(out(3L) == ((true, true, false, 1L, 1L, false)))
+    assert(out(4L)._1 && !out(4L)._2 && !out(4L)._6)
+    assert(!out(5L)._1 && !out(5L)._6) // count mismatch fails prefix
+    assert(out(6L) == ((true, false, false, 0L, 0L, false))) // empty: nothing to prefer
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "no pair may vanish")
+  }
 }

@@ -129,6 +129,43 @@ class LedgerCompactSpec extends SparkTestBase {
     assert(got == direct)
   }
 
+  test("domain-cap budget ledger: compaction preserves admissions exactly; below-watermark replay rejected") {
+    import graft.streaming.StreamDomainCap
+    def docs(ids: Range) = ids.map(i =>
+      (i.toLong, if (i % 2 == 0) "mega" else "tail")).toDF("doc_id", "source")
+    // twin runs: identical batches, one ledger compacted mid-stream
+    val a = Files.createTempDirectory("lcd_a").toString
+    val c = Files.createTempDirectory("lcd_c").toString
+    for (root <- Seq(a, c)) {
+      StreamDomainCap.capBatch(docs(0 until 40), 0L, s"$root/out", s"$root/led",
+        "source", "doc_id", k = 25)
+      StreamDomainCap.capBatch(docs(40 until 80), 1L, s"$root/out", s"$root/led",
+        "source", "doc_id", k = 25)
+    }
+    StreamDomainCap.compact(spark, s"$c/led", upTo = 1L)
+    assert(labels(s"$c/led") == Set(-1L))
+    // the next batch must admit the IDENTICAL set against either ledger
+    for (root <- Seq(a, c))
+      StreamDomainCap.capBatch(docs(80 until 120), 2L, s"$root/out", s"$root/led",
+        "source", "doc_id", k = 25)
+    def admitted(root: String) = StreamDomainCap.admitted(spark, s"$root/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted(c) == admitted(a), "compaction changed admissions")
+    // lifetime cap held: exactly 25 per domain
+    val perDomain = StreamDomainCap.admitted(spark, s"$c/out")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDomain == Map("mega" -> 25L, "tail" -> 25L))
+    // a replay of a batch AT/BELOW the watermark is rejected loudly —
+    // it was committed (that is what made it compactable), so the
+    // replay contract says it can never run again; silence would mean
+    // double-spent budget
+    intercept[IllegalArgumentException] {
+      StreamDomainCap.capBatch(docs(40 until 80), 1L, s"$c/out", s"$c/led",
+        "source", "doc_id", k = 25)
+    }
+  }
+
   test("compacting below the existing watermark is rejected") {
     val dir = Files.createTempDirectory("lcw").toString + "/sk"
     StreamKmv.sketchBatch((1L to 50L).toDF("x"), 0L, "x", 16, dir)
