@@ -1246,6 +1246,36 @@ object SparkEntry {
           concat(col("event_type"), lit("|"),
             to_date(col("ts")).cast("string"))),
         "src_day", "value")),
+    // inter-rater agreement (Quality.cohenKappa): the preference-data
+    // QA metric — chance-corrected agreement in exact ppm fixed point;
+    // raters synthesized from n_chars quintile labels with a planted
+    // 1-in-7 disagreement class; the sign factors out of the final
+    // division so `div`-vs-`//` negative semantics never meet
+    "q181_cohen_kappa" -> ((s, d) => {
+      val a = pmod(expr("n_chars div 50"), lit(5))
+      val b = when(pmod(col("doc_id"), lit(7)) === 0, pmod(a + 1, lit(5)))
+        .otherwise(a)
+      Quality.cohenKappa(
+        Tables.documents(s, d).select(a.as("ra"), b.as("rb")), "ra", "rb")
+    }),
+    // calibration report + ECE (Quality.calibrationReport, Naeini '15):
+    // reliability of a model-confidence score before it gates a corpus
+    // — hash-derived scores with labels drawn AT the score rate (well
+    // calibrated in expectation) except the %13 class forced negative
+    // (a planted overconfidence everywhere); integer ppm end to end,
+    // the oracle replays both 48-bit hashes, buckets, and the
+    // n-weighted ECE
+    "q182_calibration" -> ((s, d) => {
+      val score = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("cal"))), lit(1000001L))
+      val label = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("lab"))), lit(1000000L)) < score
+      val planted = when(pmod(col("doc_id"), lit(13)) === 0, lit(false))
+        .otherwise(label)
+      Quality.calibrationReport(
+        Tables.documents(s, d).select(score.as("score_ppm"),
+          planted.as("label")), "score_ppm", "label", 10)
+    }),
     // preference-pair (DPO/RLHF) validation (Chat.preferencePairs):
     // the third training-data leg — (chosen, rejected) pairs
     // synthesized in-plan from the chat transcripts: rejected = chosen
@@ -3203,6 +3233,58 @@ object SparkEntry {
         |        prev_role,
         |      max(turn_idx) OVER (PARTITION BY doc_id) last_idx FROM ct)
         |GROUP BY doc_id""".stripMargin),
+    "q181_cohen_kappa" ->
+      """WITH r AS (SELECT CAST((n_chars // 50) % 5 AS VARCHAR) a,
+        |    CAST(CASE WHEN doc_id % 7 = 0
+        |      THEN ((n_chars // 50) % 5 + 1) % 5
+        |      ELSE (n_chars // 50) % 5 END AS VARCHAR) b
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) n,
+        |    COUNT(*) FILTER (WHERE a = b) agree FROM r),
+        |na AS (SELECT a k, COUNT(*) na FROM r GROUP BY 1),
+        |nb AS (SELECT b k, COUNT(*) nb FROM r GROUP BY 1),
+        |pe AS (SELECT COALESCE(SUM(na * nb), 0) pe_num
+        |       FROM na JOIN nb USING (k)),
+        |f AS (SELECT CAST(n AS BIGINT) n_items,
+        |    CAST((1000000 * agree) // n AS BIGINT) po_ppm,
+        |    CAST((1000000 * pe_num) // (n * n) AS BIGINT) pe_ppm
+        |  FROM tot CROSS JOIN pe)
+        |SELECT n_items, po_ppm, pe_ppm,
+        |  CAST(CASE WHEN 1000000 - pe_ppm = 0 THEN NULL
+        |    ELSE (CASE WHEN po_ppm < pe_ppm THEN -1 ELSE 1 END)
+        |      * ((1000000 * ABS(po_ppm - pe_ppm)) // (1000000 - pe_ppm))
+        |    END AS BIGINT) kappa_ppm
+        |FROM f""".stripMargin,
+    "q182_calibration" ->
+      """WITH hx AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || 'cal') hc,
+        |    md5(CAST(doc_id AS VARCHAR) || 'lab') hl
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(hc, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) vc,
+        |    CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(hl, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) vl
+        |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+        |  GROUP BY doc_id),
+        |sl AS (SELECT doc_id, vc % 1000001 s,
+        |    CASE WHEN doc_id % 13 = 0 THEN FALSE
+        |         ELSE vl % 1000000 < vc % 1000001 END y
+        |  FROM g),
+        |b AS (SELECT LEAST((s * 10) // 1000000, 9) bucket, s,
+        |    CASE WHEN y THEN 1 ELSE 0 END y FROM sl),
+        |a AS (SELECT bucket, COUNT(*) n, SUM(s) ss, SUM(y) pos
+        |      FROM b GROUP BY 1),
+        |f AS (SELECT CAST(bucket AS BIGINT) bucket, CAST(n AS BIGINT) n,
+        |    CAST(ss // n AS BIGINT) mean_score_ppm,
+        |    CAST((1000000 * pos) // n AS BIGINT) pos_ppm FROM a),
+        |gp AS (SELECT bucket, n, mean_score_ppm, pos_ppm,
+        |    CAST(ABS(mean_score_ppm - pos_ppm) AS BIGINT) gap_ppm FROM f)
+        |SELECT bucket, n, mean_score_ppm, pos_ppm, gap_ppm,
+        |  CAST((SUM(n * gap_ppm) OVER ()) // (SUM(n) OVER ()) AS BIGINT)
+        |    ece_ppm
+        |FROM gp""".stripMargin,
     "q180_preference_pairs" ->
       ("WITH " + chatCte + """,
         |rej AS (SELECT doc_id, turn_idx, role,

@@ -650,4 +650,78 @@ object Quality {
     val cond = qiCols.map(c => df(c) <=> col(s"_b_$c")).reduce(_ && _)
     df.join(bad, cond, "left_anti")
   }
+
+  /** Cohen's kappa — inter-rater agreement on labeled data, the QA
+    * metric preference/RLHF datasets publish (two raters labeling the
+    * same items; raw agreement is inflated by chance, kappa corrects:
+    * κ = (p_o − p_e)/(1 − p_e) with p_e the agreement two INDEPENDENT
+    * raters with these marginals would reach). Exact ppm fixed point
+    * (the tCloseness discipline): p_o and p_e quantize to ppm FIRST;
+    * the final division keeps both operands POSITIVE — `div` truncates
+    * toward zero in Spark but floors in SQL `//`, and they differ on
+    * negatives — so κ's sign is factored out and reapplied after the
+    * division. One row: (n_items, po_ppm, pe_ppm, kappa_ppm);
+    * kappa_ppm is NULL when p_e = 1 (both raters constant — κ is
+    * undefined, not zero). Rows where either label is NULL are
+    * excluded (unrated items carry no agreement evidence).
+    *
+    * Shape at scale: one map-side-combined pair-count aggregation plus
+    * two label-marginal aggregations joined on label — every frame
+    * after the first pass is bounded by the label-alphabet size. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+    val counts = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+    val na = counts.groupBy(col("a").as("k")).agg(sum(col("c")).as("na"))
+    val nb = counts.groupBy(col("b").as("k")).agg(sum(col("c")).as("nb"))
+    val peNum = na.join(nb, Seq("k"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    totals.crossJoin(peNum)
+      .select(col("n").as("n_items"),
+        expr("(1000000 * agree) div n").as("po_ppm"),
+        expr("(1000000 * pe_num) div (n * n)").as("pe_ppm"))
+      .withColumn("kappa_ppm", {
+        val num = col("po_ppm") - col("pe_ppm")
+        val den = lit(1000000L) - col("pe_ppm")
+        when(den === 0L, lit(null).cast("long"))
+          .otherwise(when(num < 0L, -1L).otherwise(1L) *
+            expr("(1000000 * abs(po_ppm - pe_ppm)) div (1000000 - pe_ppm)"))
+      })
+  }
+
+  /** Calibration report — per-bucket reliability of a [0, 1e6]-ppm
+    * confidence score against boolean labels, plus the expected
+    * calibration error (Naeini et al. 2015's ECE, the metric
+    * model-scored quality filters should publish before their scores
+    * gate a corpus): scores bucket uniformly, each bucket reports its
+    * mean score vs its empirical positive rate, and ECE is the
+    * n-weighted mean absolute gap. Exact ppm integer arithmetic
+    * end-to-end; no product exceeds n·1e6. The per-bucket frame is
+    * bounded by `buckets`, so the ECE window is audit-sized. */
+  def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
+                        buckets: Int = 10): DataFrame = {
+    require(buckets > 0)
+    import org.apache.spark.sql.expressions.Window
+    val b = least(expr(s"($scoreCol * $buckets) div 1000000"),
+      lit(buckets - 1L)).as("bucket")
+    val base = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(b, col(scoreCol).cast("long").as("s"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+    val wAll = Window.partitionBy()
+    base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("_ss"),
+        sum(col("y")).as("_pos"))
+      .select(col("bucket"), col("n"),
+        expr("_ss div n").as("mean_score_ppm"),
+        expr("(1000000 * _pos) div n").as("pos_ppm"))
+      .withColumn("gap_ppm", abs(col("mean_score_ppm") - col("pos_ppm")))
+      .withColumn("_wsum", sum(col("n") * col("gap_ppm")).over(wAll))
+      .withColumn("_nsum", sum(col("n")).over(wAll))
+      .withColumn("ece_ppm", expr("_wsum div _nsum"))
+      .drop("_wsum", "_nsum")
+  }
 }

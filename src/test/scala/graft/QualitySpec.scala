@@ -224,6 +224,55 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("cohenKappa: hand-computed values; negative kappa; constant raters -> NULL") {
+    // 10 items, labels {x, y}: 6 agreements (4 xx + 2 yy);
+    // marginals a: 6x/4y, b: 6x/4y -> pe = (36+16)/100 = 0.52
+    // po = 0.6 -> kappa = 0.08/0.48 = 166666 ppm
+    val rows = Seq.fill(4)(("x", "x")) ++ Seq.fill(2)(("y", "y")) ++
+      Seq.fill(2)(("x", "y")) ++ Seq.fill(2)(("y", "x"))
+    val r = Quality.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getLong(0) == 10L)
+    assert(r.getLong(1) == 600000L && r.getLong(2) == 520000L)
+    assert(r.getLong(3) == 166666L)
+    // systematic DISagreement: po < pe -> negative kappa, exact sign
+    val anti = Seq.fill(5)(("x", "y")) ++ Seq.fill(5)(("y", "x"))
+    val r2 = Quality.cohenKappa(anti.toDF("a", "b"), "a", "b").head()
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 500000L)
+    assert(r2.getLong(3) == -1000000L)
+    // both raters constant: pe = 1, kappa undefined (NULL, not 0)
+    val const = Seq.fill(5)(("x", "x"))
+    val r3 = Quality.cohenKappa(const.toDF("a", "b"), "a", "b").head()
+    assert(r3.getLong(1) == 1000000L && r3.getLong(2) == 1000000L)
+    assert(r3.isNullAt(3))
+    // NULL labels excluded
+    val withNull = rows ++ Seq((null, "x"), ("x", null))
+    assert(Quality.cohenKappa(withNull.toDF("a", "b"), "a", "b")
+      .head().getLong(0) == 10L)
+  }
+
+  test("calibrationReport: hand-computed buckets and ECE; top edge clamps") {
+    // scores in ppm; labels: bucket 0 perfectly calibrated at 0,
+    // bucket 9 overconfident (score ~0.9, zero positives)
+    val rows = Seq(
+      (50000L, false), (50000L, false),            // bucket 0
+      (500000L, true), (500000L, false),           // bucket 5: mean 500000, pos 500000
+      (900000L, false), (900000L, false),          // bucket 9
+      (1000000L, false))                           // top edge -> clamps to 9
+    val out = Quality.calibrationReport(rows.toDF("score_ppm", "label"),
+      "score_ppm", "label", 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set(0L, 5L, 9L))
+    assert(out(0L) == ((2L, 50000L, 0L, 50000L, out(0L)._5)))
+    assert(out(5L)._2 == 500000L && out(5L)._3 == 500000L && out(5L)._4 == 0L)
+    assert(out(9L)._1 == 3L) // 1000000 clamped into bucket 9
+    assert(out(9L)._2 == (900000L + 900000L + 1000000L) / 3)
+    assert(out(9L)._4 == out(9L)._2) // zero positives: gap == mean score
+    // ECE = (2*50000 + 2*0 + 3*933333) / 7
+    val ece = (2L * 50000L + 3L * 933333L) / 7L
+    assert(out.values.forall(_._5 == ece), s"ece ${out.values.map(_._5)} != $ece")
+  }
+
   test("kAnonymity: class sizes and verdicts; kAnonymize suppresses violators") {
     val rows = Seq(
       ("us", "A", 1L), ("us", "A", 2L), ("us", "A", 3L),
