@@ -1286,21 +1286,27 @@ object SparkEntry {
     // synthesis relationally (no list construction) and every flag
     "q180_preference_pairs" -> ((s, d) => {
       val conv = chatConv(Tables.documents(s, d))
-      val lastIdx = size(col("turns")) - 1
+      // slice + concat, NOT an indexed transform: an `i === size(turns)-1`
+      // test inside a lambda would capture the whole turns-construction
+      // expression (split included) per element — the PlanGuardSpec
+      // lambda-cost class; here size() stays row-level
       def role(t: Column) = t.getField("role")
       def content(t: Column) = t.getField("content")
+      val n = size(col("turns"))
+      val first = element_at(col("turns"), 1)
+      val last = element_at(col("turns"), -1)
       val rejected =
         when(pmod(col("doc_id"), lit(29)) === 0,
-          transform(col("turns"), (t, i) =>
-            struct(role(t).as("role"),
-              when(i === 0, concat(content(t), lit("!")))
-                .otherwise(content(t)).as("content"))))
+          concat(
+            array(struct(role(first).as("role"),
+              concat(content(first), lit("!")).as("content"))),
+            slice(col("turns"), lit(2), n - 1)))
         .when(pmod(col("doc_id"), lit(23)) === 0, col("turns"))
-        .otherwise(transform(col("turns"), (t, i) =>
-          struct(role(t).as("role"),
-            when(i === lastIdx, content(t).substr(lit(1),
-              floor(length(content(t)) / 2).cast("int")))
-              .otherwise(content(t)).as("content"))))
+        .otherwise(concat(
+          slice(col("turns"), lit(1), n - 1),
+          array(struct(role(last).as("role"),
+            content(last).substr(lit(1),
+              floor(length(content(last)) / 2).cast("int")).as("content")))))
       Chat.preferencePairs(conv.select(col("doc_id").as("pair_id"),
         col("turns").as("chosen"), rejected.as("rejected")))
     }),
