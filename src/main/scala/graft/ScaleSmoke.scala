@@ -492,6 +492,44 @@ object ScaleSmoke {
     assert(spans.where(col("frag_start") < 0 || col("frag_end") > 2048L ||
       col("frag_start") >= col("frag_end")).count() == 0)
     spans.unpersist(false)
+    // --- thousand-phrase blocklist at corpus size (round 11) ---
+    // 1000 planted single-token phrases (doc k's 60th token hits exactly
+    // the docs carrying that token) + multi-word phrases; the AC
+    // automaton's one-pass claim is the scale story — the unrolled
+    // rlike form would be 1000 regex passes over the corpus, so it runs
+    // only on a 2k-doc sample as the equality witness.
+    t0 = System.nanoTime()
+    val phrases = (0 until 1000).map(k =>
+      s"tok${(k * 131 + 60 * 7) % 1000003}_60") ++
+      Seq("tok138_1 tok145_2", "never matches anything")
+    val acRep = ops.Curate.blocklistReportAC(docs, phrases).persist()
+    val acHits = acRep.where(col("blocked")).count()
+    println(f"blocklistAC($n docs, ${phrases.size} phrases): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, $acHits docs hit")
+    assert(acHits >= 900, s"planted phrases must fire: $acHits")
+    val sample = docs.where(col("doc_id") < 2000)
+    val acS = ops.Curate.blocklistReportAC(sample, phrases)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val unS = ops.Curate.blocklistReport(sample, phrases)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(acS == unS, "AC != unrolled on the sample")
+    acRep.unpersist(false)
+    // --- length-grouped batching at corpus size (round 11) ---
+    // the two-pass metadata rank discipline: #batches exact, per-batch
+    // pad targets nondecreasing in batch order (sorted layout), zero
+    // negative padding.
+    t0 = System.nanoTime()
+    val lgb = ops.Curate.lengthGroupedBatches(docs, batchSize = 256).persist()
+    val nb = lgb.select(col("batch_idx")).distinct().count()
+    val pads = lgb.groupBy(col("batch_idx")).agg(max(col("pad_to")).as("p"))
+      .orderBy(col("batch_idx")).collect().map(_.getLong(1)) // bounded: #batches
+    println(f"lengthGroupedBatches($n docs, 256/batch): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, $nb batches")
+    assert(nb == (docs.count() + 255) / 256)
+    assert(pads.zip(pads.tail).forall { case (a, b) => a <= b },
+      "sorted batching must give nondecreasing pad targets")
+    assert(lgb.where(col("pad_tokens") < 0).count() == 0)
+    lgb.unpersist(false)
     spark.stop()
   }
 }

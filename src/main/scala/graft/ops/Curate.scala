@@ -370,7 +370,15 @@ object Curate {
       when(norm.rlike(s"(^|[^a-z0-9])$quoted([^a-z0-9]|$$)"), 1L)
         .otherwise(0L)
     }
-    df.select(col(idCol), hit.reduce(_ + _).as("n_hits"))
+    // balanced Add tree, not reduce(_ + _): a thousand-phrase list
+    // left-folds into a 1000-deep expression that overflows the
+    // analyzer's stack (and defeats codegen splitting); log-depth is
+    // also the honest signal that past policy-list size you want the
+    // AC twin below
+    def bal(cs: Seq[Column]): Column =
+      if (cs.length == 1) cs.head
+      else bal(cs.grouped(2).map(_.reduce(_ + _)).toSeq)
+    df.select(col(idCol), bal(hit).as("n_hits"))
       .withColumn("blocked", col("n_hits") > 0L)
   }
 
