@@ -1246,6 +1246,14 @@ object SparkEntry {
           concat(col("event_type"), lit("|"),
             to_date(col("ts")).cast("string"))),
         "src_day", "value")),
+    // span corruption (Curate.spanCorrupt, T5 §3.1.4): the denoising
+    // objective's rewrite — deterministic equal-char segments, segment
+    // k masked iff hash48(id‖'sc'‖k) < 15%, sentinel-numbered input +
+    // sentinel-keyed target with the closing sentinel; the oracle
+    // replays the segment boundaries, all eight hashes, the sentinel
+    // cumsum, and both ordered reassemblies
+    "q183_span_corrupt" -> ((s, d) =>
+      Curate.spanCorrupt(Tables.documents(s, d))),
     // inter-rater agreement (Quality.cohenKappa): the preference-data
     // QA metric — chance-corrected agreement in exact ppm fixed point;
     // raters synthesized from n_chars quintile labels with a planted
@@ -3239,6 +3247,45 @@ object SparkEntry {
         |        prev_role,
         |      max(turn_idx) OVER (PARTITION BY doc_id) last_idx FROM ct)
         |GROUP BY doc_id""".stripMargin),
+    "q183_span_corrupt" ->
+      """WITH d AS (SELECT doc_id, text, length(text) L FROM documents),
+        |s AS (SELECT doc_id, text, L, CAST(k AS BIGINT) k
+        |      FROM d CROSS JOIN generate_series(0, 7) t(k)
+        |      WHERE L >= 8),
+        |hx AS (SELECT doc_id, k,
+        |    md5(CAST(doc_id AS VARCHAR) || 'sc' || CAST(k AS VARCHAR)) h
+        |  FROM s),
+        |g AS (SELECT doc_id, k, CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM hx CROSS JOIN generate_series(1, 12) u(i)
+        |  GROUP BY doc_id, k),
+        |f AS (SELECT s.doc_id, s.k,
+        |    substr(text, CAST((L*k)//8 + 1 AS BIGINT),
+        |      CAST((L*(k+1))//8 - (L*k)//8 AS BIGINT)) seg,
+        |    (g.v % 1000000) < 150000 flag
+        |  FROM s JOIN g USING (doc_id, k)),
+        |jx AS (SELECT doc_id, k, seg, flag, COALESCE(SUM(
+        |      CASE WHEN flag THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+        |      ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) j
+        |  FROM f),
+        |agg AS (SELECT doc_id,
+        |    SUM(CASE WHEN flag THEN 1 ELSE 0 END) nc,
+        |    string_agg(CASE WHEN flag
+        |        THEN '<extra_id_' || CAST(j AS VARCHAR) || '>'
+        |        ELSE seg END, '' ORDER BY k) input_t,
+        |    string_agg(CASE WHEN flag
+        |        THEN '<extra_id_' || CAST(j AS VARCHAR) || '>' || seg
+        |        END, '' ORDER BY k) target_t
+        |  FROM jx GROUP BY doc_id)
+        |SELECT d.doc_id, d.L >= 8 corrupt_ok,
+        |  CAST(COALESCE(nc, 0) AS BIGINT) n_corrupted,
+        |  CASE WHEN d.L >= 8 THEN input_t ELSE d.text END input_text,
+        |  CASE WHEN COALESCE(nc, 0) > 0
+        |    THEN target_t || '<extra_id_' || CAST(nc AS VARCHAR) || '>'
+        |    ELSE '' END target_text
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q181_cohen_kappa" ->
       """WITH r AS (SELECT CAST((n_chars // 50) % 5 AS VARCHAR) a,
         |    CAST(CASE WHEN doc_id % 7 = 0

@@ -591,6 +591,70 @@ object Curate {
         .otherwise(t).as("fim_text"))
   }
 
+  // ------------------------------------------------- span corruption
+
+  /** T5-style span-corruption rewrite (Raffel et al. 2020 §3.1.4) —
+    * the denoising objective's data prep, completing the objective
+    * family next to CLM packing (q109/q152) and FIM (q178): masked
+    * stretches of each document are replaced by numbered sentinels in
+    * the input, and the target lists sentinel + original content per
+    * mask plus a closing sentinel. Deterministic deviation from the
+    * paper (which samples random spans): the document splits into
+    * `segments` equal character segments and segment k corrupts iff
+    * hash48(id ‖ salt ‖ k) lands under `ratePpm` — partition-
+    * independent, replayable, and adjacent corrupted segments keep
+    * separate sentinels (a documented simplification; the objective's
+    * shape — bidirectional context, sentinel-keyed targets — is
+    * preserved). Documents shorter than `segments` chars pass through
+    * with `corrupt_ok = false`.
+    *
+    * Shape at scale: one explode to (doc × segments) rows each
+    * carrying ONE substring (never the whole doc per segment — the
+    * Chat.maskSpans argument), a per-doc cumsum window bounded by
+    * `segments`, one ordered per-doc reassembly. */
+  def spanCorrupt(documents: DataFrame, segments: Int = 8,
+                  ratePpm: Long = 150000L, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  salt: String = "sc"): DataFrame = {
+    require(segments > 0 && ratePpm >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val base = documents.select(col(idCol), col(textCol).as("_t"),
+      length(col(textCol)).cast("long").as("_L"))
+    val seg = base.where(col("_L") >= segments.toLong)
+      .select(col(idCol), col("_t"), col("_L"),
+        explode(sequence(lit(0), lit(segments - 1))).as("k"))
+      .withColumn("_b0", expr(s"(_L * k) div $segments"))
+      .withColumn("_b1", expr(s"(_L * (k + 1)) div $segments"))
+      .withColumn("seg", col("_t").substr((col("_b0") + 1L).cast("int"),
+        (col("_b1") - col("_b0")).cast("int")))
+      .withColumn("flag", pmod(Kmv.hash48(concat(col(idCol).cast("string"),
+        lit(salt), col("k").cast("string"))), lit(1000000L)) < ratePpm)
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pieces = seg
+      .withColumn("j", coalesce(
+        sum(when(col("flag"), 1L)).over(wPrev), lit(0L)))
+      .withColumn("_sent",
+        concat(lit("<extra_id_"), col("j").cast("string"), lit(">")))
+      .withColumn("_in", when(col("flag"), col("_sent")).otherwise(col("seg")))
+      .withColumn("_tgt", when(col("flag"), concat(col("_sent"), col("seg"))))
+    def joined(c: String) = array_join(transform(
+      array_sort(collect_list(struct(col("k"), col(c).as("v")))),
+      s => s.getField("v")), "")
+    val agg = pieces.groupBy(col(idCol)).agg(
+      sum(when(col("flag"), 1L).otherwise(0L)).as("_nc"),
+      joined("_in").as("_input"), joined("_tgt").as("_target"))
+    base.join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        (col("_L") >= segments.toLong).as("corrupt_ok"),
+        coalesce(col("_nc"), lit(0L)).as("n_corrupted"),
+        coalesce(col("_input"), col("_t")).as("input_text"),
+        when(coalesce(col("_nc"), lit(0L)) > 0L,
+          concat(col("_target"), lit("<extra_id_"),
+            col("_nc").cast("string"), lit(">")))
+          .otherwise(lit("")).as("target_text"))
+  }
+
   // -------------------------------------------------- text normalization
 
   /** Unicode + whitespace normalization (graft.expr.NormalizeText, one

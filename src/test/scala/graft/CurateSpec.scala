@@ -635,4 +635,40 @@ class CurateSpec extends SparkTestBase {
     }
     assert(!out(2L).getBoolean(1) && out(1L).getBoolean(1) && out(3L).getBoolean(1))
   }
+
+  test("spanCorrupt: sentinel substitution reconstructs the original text") {
+    // deterministic hash flags: reconstruct by splicing each target
+    // span back over its sentinel; also pin the closing sentinel and
+    // the under-length passthrough
+    val docs = (0L until 60L).map(i =>
+      (i, ("w%03d ".format(i) * 20).trim)) ++ Seq((999L, "tiny"))
+    val out = Curate.spanCorrupt(docs.toDF("doc_id", "text"), segments = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    val orig = docs.toMap
+    val sent = "<extra_id_(\\d+)>".r
+    var sawMask = false
+    for ((id, (ok, nc, in, tgt)) <- out) {
+      if (!ok) {
+        assert(id == 999L && in == orig(id) && nc == 0 && tgt == "")
+      } else if (nc == 0) {
+        assert(in == orig(id) && tgt == "")
+      } else {
+        sawMask = true
+        // target = <id_0>span0<id_1>span1...<id_nc>; split spans out
+        val ids = sent.findAllMatchIn(tgt).map(_.group(1).toInt).toSeq
+        assert(ids == (0 to nc.toInt), s"doc $id sentinel order $ids")
+        val spans = sent.split(tgt).drop(1) // text between sentinels
+        assert(spans.length == nc.toInt)
+        var rebuilt = in
+        spans.zipWithIndex.foreach { case (sp, j) =>
+          rebuilt = rebuilt.replace(s"<extra_id_$j>", sp) }
+        assert(rebuilt == orig(id), s"doc $id reconstruction")
+        // input sentinels are exactly 0..nc-1 in order
+        assert(sent.findAllMatchIn(in).map(_.group(1).toInt).toSeq ==
+          (0 until nc.toInt), s"doc $id input sentinels")
+      }
+    }
+    assert(sawMask, "fixture must exercise masking")
+  }
 }
