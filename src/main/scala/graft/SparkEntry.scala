@@ -3384,7 +3384,7 @@ object SparkEntry {
         |  FROM cand c WHERE c.doc_id <> c.query_id)
         |SELECT n.query_id, CAST(rk2 AS BIGINT) rank, n.doc_id,
         |  CAST(n.score_fx AS BIGINT) score_fx,
-        |  COALESCE(n.score_fx >= ps.pos_fx, FALSE) above_positive
+        |  COALESCE(n.score_fx > ps.pos_fx, FALSE) above_positive
         |FROM neg n LEFT JOIN ps USING (query_id)
         |WHERE rk2 <= 5""".stripMargin),
     "q177_length_batches" ->

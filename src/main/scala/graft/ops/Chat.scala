@@ -262,8 +262,12 @@ object Chat {
       sum(when(col("i") === col("_nc") - 1L,
         length(col("_rc")).cast("long"))).as("_rcs"))
     base.join(agg, Seq(idCol), "left")
+      // coalesce the count equality: size(NULL array) is NULL, and a
+      // NULL flag would vanish from BOTH sides of a where(ok) /
+      // where(!ok) corpus/quarantine split (the validate lesson) — a
+      // NULL-sided pair must read as a plain failure
       .select(col(idCol),
-        (col("_nc") === col("_nr") &&
+        (coalesce(col("_nc") === col("_nr"), lit(false)) &&
           coalesce(col("_pfx"), lit(1)) === 1).as("prefix_ok"),
         (coalesce(col("_ends"), lit(0)) === 1).as("ends_ok"),
         (coalesce(col("_div"), lit(0)) === 1).as("divergent_ok"),
@@ -278,7 +282,11 @@ object Chat {
     * user; roles must alternate after an optional leading system turn;
     * no empty/NULL turn; the last turn is the assistant's — a
     * transcript cut mid-user-turn trains the model to stop asking).
-    * `ok` is their conjunction; empty transcripts fail all.
+    * `ok` is their conjunction; a transcript whose turns array is
+    * EMPTY or NULL emits one all-false row (posexplode_outer, round-11
+    * advice) — the most malformed inputs must reach the quarantine
+    * report, not vanish from both sides of a corpus/quarantine split
+    * ([[graft.streaming.StreamChat]]'s contract).
     *
     * NULL-role semantics are PINNED, not inherited (round-10 advice):
     * every per-turn flag is an explicit three-valued-logic-free boolean
@@ -291,7 +299,7 @@ object Chat {
   def validate(conv: DataFrame, idCol: String = "doc_id",
                turnsCol: String = "turns"): DataFrame = {
     val t = conv.select(col(idCol),
-        posexplode(col(turnsCol)).as(Seq("turn_idx", "t")))
+        posexplode_outer(col(turnsCol)).as(Seq("turn_idx", "t")))
       .select(col(idCol), col("turn_idx"),
         col("t.role").as("role"), col("t.content").as("content"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("turn_idx"))

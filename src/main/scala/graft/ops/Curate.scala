@@ -539,6 +539,15 @@ object Curate {
     val ranked = lens.rdd.mapPartitionsWithIndex { (pid, it) =>
       var rk = offsets.value(pid)
       it.map { r =>
+        // the writeShards id discipline (round-11 advice): a NULL or
+        // non-numeric id casts to NULL and Row.getLong would silently
+        // read it as 0, colliding ids/ranks — reject loudly instead.
+        // Same for a NULL token count (NULL text).
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          "lengthGroupedBatches: NULL id (rank would silently collapse to one key)")
+        if (r.isNullAt(1) || r.getLong(1) < 0L)
+          throw new IllegalArgumentException(
+            s"lengthGroupedBatches: NULL/negative token count for id ${r.getLong(0)} (NULL text)")
         val out = org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), rk / b)
         rk += 1
         out
@@ -570,6 +579,10 @@ object Curate {
   def fimTransform(documents: DataFrame, minChars: Int = 20,
                    idCol: String = "doc_id", textCol: String = "text",
                    salt: String = "fim"): DataFrame = {
+    // the cut points are pmod(hash, len - 1): with minChars < 2 a
+    // 1-char doc would be "eligible" and divide by zero into NULL
+    // fim_text while fim_ok still read true (round-11 advice)
+    require(minChars >= 2, s"minChars must be >= 2: $minChars")
     val t = col(textCol)
     val len = length(t).cast("long")
     def cut(sub: String) = lit(1L) + pmod(

@@ -665,6 +665,13 @@ object Quality {
     * undefined, not zero). Rows where either label is NULL are
     * excluded (unrated items carry no agreement evidence).
     *
+    * Overflow discipline (round-11 advice): pe's numerator is
+    * Σ na·nb ≤ n², so 10^6·pe_num overflows int64 once n passes ~3e6
+    * — both the marginal-product sum and the ppm scaling route through
+    * decimal(38,0), keeping the arithmetic exact to n ~ 3e15 items
+    * (beyond any rated corpus) instead of silently wrapping under
+    * non-ANSI semantics. po's scaling gets the same treatment.
+    *
     * Shape at scale: one map-side-combined pair-count aggregation plus
     * two label-marginal aggregations joined on label — every frame
     * after the first pass is bounded by the label-alphabet size. */
@@ -678,11 +685,14 @@ object Quality {
     val na = counts.groupBy(col("a").as("k")).agg(sum(col("c")).as("na"))
     val nb = counts.groupBy(col("b").as("k")).agg(sum(col("c")).as("nb"))
     val peNum = na.join(nb, Seq("k"))
-      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+      .agg(coalesce(sum(col("na").cast("decimal(38,0)") * col("nb")),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
     totals.crossJoin(peNum)
       .select(col("n").as("n_items"),
-        expr("(1000000 * agree) div n").as("po_ppm"),
-        expr("(1000000 * pe_num) div (n * n)").as("pe_ppm"))
+        expr("cast((1000000 * cast(agree as decimal(38,0))) div n as bigint)")
+          .as("po_ppm"),
+        expr("cast((1000000 * pe_num) div (cast(n as decimal(38,0)) * n) as bigint)")
+          .as("pe_ppm"))
       .withColumn("kappa_ppm", {
         val num = col("po_ppm") - col("pe_ppm")
         val den = lit(1000000L) - col("pe_ppm")

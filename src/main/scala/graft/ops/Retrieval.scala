@@ -153,10 +153,12 @@ object Retrieval {
     * are exactly the lexically-confusable negatives a bi-encoder must
     * learn to push away. Fetches k+1 candidates (removing the positive
     * from a top-k may leave k−1), drops the positive, re-ranks, and
-    * flags `above_positive` — a mined negative that outscores the gold
-    * document is the classic false-negative risk a training set should
-    * audit (flag computable only when the positive itself reached the
-    * candidate list; absent ⇒ false, the conservative read).
+    * flags `above_positive` — a mined negative that STRICTLY outscores
+    * the gold document is the classic false-negative risk a training
+    * set should audit (an exact fixed-point tie is not an outscore —
+    * round-11 advice pinned the comparison to `>`; flag computable
+    * only when the positive itself reached the candidate list; absent
+    * ⇒ false, the conservative read).
     *
     * Scale shape: all heavy lifting is [[bm25Search]]'s (df-filtered
     * postings, broadcast stats, salted two-level top-k); everything
@@ -182,7 +184,7 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_fx"),
-        coalesce(col("score_fx") >= col("_pos_fx"), lit(false))
+        coalesce(col("score_fx") > col("_pos_fx"), lit(false))
           .as("above_positive"))
   }
 
