@@ -1357,17 +1357,16 @@ object SparkEntry {
     // the "pills" entry — the boundary rule's negative control); the
     // oracle replays normalization and each phrase regex; the AC
     // automaton twin (blocklistReportAC) is spec-pinned equal
-    "q176_blocklist" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val planted = when(pmod(col("doc_id"), lit(13)) === 0,
-          concat(col("text"), lit(" buy cheap pills online now")))
-        .when(pmod(col("doc_id"), lit(17)) === 0,
-          concat(lit("casino bonus spins! pillsbury dough: "), col("text")))
-        .otherwise(col("text"))
-      Curate.blocklistReport(
-        docs.select(col("doc_id"), planted.as("text")),
-        Seq("cheap pills", "casino bonus", "pills", "winnings"))
-    }),
+    "q176_blocklist" -> ((s, d) =>
+      Curate.blocklistReport(blocklistFixture(s, d), blocklistPhrases)),
+    // the Aho-Corasick twin DRIVER-GATED against the same oracle
+    // (round-11 verdict): blocklistReportAC is the form that actually
+    // runs on thousand-phrase policy lists at 100 TB — one broadcast
+    // automaton pass per doc instead of N regex scans — so it carries
+    // the same hash-match evidence as the unrolled form, not just the
+    // ScalaTest equality pin
+    "q176b_blocklist_ac" -> ((s, d) =>
+      Curate.blocklistReportAC(blocklistFixture(s, d), blocklistPhrases)),
     // video container metadata (Exprs.mediaFormat + videoFrameCount +
     // videoShingles): the corpus-composition report a 100 TB media scan
     // runs FIRST — container by magic, frame count by container parse
@@ -1944,6 +1943,46 @@ object SparkEntry {
     * classes -> token counts -> integer floor-log2 surprisal -> permille
     * normalization in `v`); shared by q142 (the verdict report) and
     * q152 (curriculum packing staged by the same verdicts). */
+  /** The q176/q176b blocklist fixture: spam phrases planted mid-text
+    * (%13 / %17; %17 also plants "pillsbury", the boundary rule's
+    * negative control — it must NOT fire the "pills" entry). */
+  private val blocklistPhrases =
+    Seq("cheap pills", "casino bonus", "pills", "winnings")
+  private def blocklistFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val planted = when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(col("text"), lit(" buy cheap pills online now")))
+      .when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(lit("casino bonus spins! pillsbury dough: "), col("text")))
+      .otherwise(col("text"))
+    docs.select(col("doc_id"), planted.as("text"))
+  }
+
+  /** One oracle for both blocklist forms (q176 unrolled rlike, q176b
+    * Aho-Corasick): normalization + one word-boundary regex per
+    * phrase. */
+  private val blocklistOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0
+      |           THEN text || ' buy cheap pills online now'
+      |         WHEN doc_id % 17 = 0
+      |           THEN 'casino bonus spins! pillsbury dough: ' || text
+      |         ELSE text END AS text
+      |  FROM documents),
+      |n AS (SELECT doc_id,
+      |    regexp_replace(lower(text), '\s+', ' ', 'g') t FROM d),
+      |h AS (SELECT doc_id, CAST(
+      |    CASE WHEN regexp_matches(t,
+      |      '(^|[^a-z0-9])cheap pills([^a-z0-9]|$)') THEN 1 ELSE 0 END
+      |  + CASE WHEN regexp_matches(t,
+      |      '(^|[^a-z0-9])casino bonus([^a-z0-9]|$)') THEN 1 ELSE 0 END
+      |  + CASE WHEN regexp_matches(t,
+      |      '(^|[^a-z0-9])pills([^a-z0-9]|$)') THEN 1 ELSE 0 END
+      |  + CASE WHEN regexp_matches(t,
+      |      '(^|[^a-z0-9])winnings([^a-z0-9]|$)') THEN 1 ELSE 0 END
+      |  AS BIGINT) n_hits FROM n)
+      |SELECT doc_id, n_hits, n_hits > 0 blocked FROM h""".stripMargin
+
   /** The q167–q169 transcript synthesis + template pieces as DuckDB
     * CTEs (mirrors [[chatConv]] and Chat's template exactly; chr(10)
     * keeps the newline out of the SQL literal). `cp` keeps only
@@ -3429,27 +3468,10 @@ object SparkEntry {
         |    || '<fim_middle>' || substr(text, lo + 1, hi - lo)
         |  ELSE text END fim_text
         |FROM s""".stripMargin,
-    "q176_blocklist" ->
-      """WITH d AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 13 = 0
-        |           THEN text || ' buy cheap pills online now'
-        |         WHEN doc_id % 17 = 0
-        |           THEN 'casino bonus spins! pillsbury dough: ' || text
-        |         ELSE text END AS text
-        |  FROM documents),
-        |n AS (SELECT doc_id,
-        |    regexp_replace(lower(text), '\s+', ' ', 'g') t FROM d),
-        |h AS (SELECT doc_id, CAST(
-        |    CASE WHEN regexp_matches(t,
-        |      '(^|[^a-z0-9])cheap pills([^a-z0-9]|$)') THEN 1 ELSE 0 END
-        |  + CASE WHEN regexp_matches(t,
-        |      '(^|[^a-z0-9])casino bonus([^a-z0-9]|$)') THEN 1 ELSE 0 END
-        |  + CASE WHEN regexp_matches(t,
-        |      '(^|[^a-z0-9])pills([^a-z0-9]|$)') THEN 1 ELSE 0 END
-        |  + CASE WHEN regexp_matches(t,
-        |      '(^|[^a-z0-9])winnings([^a-z0-9]|$)') THEN 1 ELSE 0 END
-        |  AS BIGINT) n_hits FROM n)
-        |SELECT doc_id, n_hits, n_hits > 0 blocked FROM h""".stripMargin,
+    "q176_blocklist" -> blocklistOracleSql,
+    // same report, same planted phrases — the automaton must land on
+    // the identical hash
+    "q176b_blocklist_ac" -> blocklistOracleSql,
     "q174_drift_sketch_cert" ->
       """WITH base AS (SELECT CAST(source AS VARCHAR) g,
         |    CAST(n_chars AS DOUBLE) x
