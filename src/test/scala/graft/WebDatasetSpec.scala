@@ -158,4 +158,88 @@ class WebDatasetSpec extends SparkTestBase {
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((10L, 13L)) && got.contains((10L, 16L)))
   }
+
+  /** Skewed-size fixture for the byte-budget path: every 9th sample is
+    * ~50 KB (3+ budget multiples at 16 KiB), the rest ~40-600 B, plus a
+    * sometimes-NULL caption — the 4-orders-of-magnitude variance the
+    * byte contract exists for. */
+  private def skewedAssets = (0L until 80L).toDF("asset_id")
+    .withColumn("_n", when(col("asset_id") % 9 === 0,
+        lit(50000L) + col("asset_id") * 31L)
+      .otherwise(lit(40L) + col("asset_id") * 7L))
+    .withColumn("media", expr("cast(repeat('x', cast(_n as int)) as binary)"))
+    .withColumn("caption",
+      when(col("asset_id") % 3 === 0, concat(lit("cap "), col("asset_id"))))
+    .drop("_n")
+
+  test("byte-budget shards: assignment matches the prefix rule; spread bounded; roundtrip") {
+    val budget = 16384L
+    val dir = Files.createTempDirectory("wdsb").toString
+    WebDataset.writeShardsBytes(skewedAssets, dir, budget,
+      parts = Seq("media" -> "img", "caption" -> "txt"))
+    // replicate the documented rule independently: sample s lands in the
+    // shard of its start offset in the id-ordered concatenation, bins
+    // renumbered densely in first-seen order
+    def entryCost(n: Long): Long = 512L + (n + 511L) / 512L * 512L
+    val rows = skewedAssets.select("asset_id", "media", "caption").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1),
+        Option(r.getString(2)))).sortBy(_._1)
+    var pos = 0L
+    val rawBin = rows.map { case (id, m, c) =>
+      val start = pos
+      pos += entryCost(m.length) + c.map(s =>
+        entryCost(s.getBytes("UTF-8").length.toLong)).getOrElse(0L)
+      id -> start / budget
+    }
+    val dense = rawBin.map(_._2).distinct.sorted.zipWithIndex.toMap
+    val expected = rawBin.map { case (id, b) => id -> dense(b).toLong }.toMap
+    val back = WebDataset.readShards(spark, dir)
+      .select(col("shard"), col("key").cast("long").as("id"), col("ext"), col("data"))
+      .collect()
+    val gotShard = back.map(r =>
+      r.getLong(1) -> r.getString(0).stripPrefix("shard-").stripSuffix(".tar").toLong)
+      .toMap
+    assert(gotShard == expected, "shard assignment must match the prefix rule")
+    // spread: no shard exceeds budget + one sample's footprint (a
+    // straddling sample stays in the earlier shard — bounded overshoot)
+    val maxSample = rows.map { case (_, m, c) =>
+      entryCost(m.length) + c.map(s =>
+        entryCost(s.getBytes("UTF-8").length.toLong)).getOrElse(0L) }.max
+    val shardDataBytes = back.groupBy(r => r.getString(0)).view.mapValues(
+      _.map(r => entryCost(r.getAs[Array[Byte]](3).length.toLong)).sum).toMap
+    assert(shardDataBytes.size > 3, s"budget must split: $shardDataBytes")
+    shardDataBytes.foreach { case (s, n) =>
+      assert(n <= budget + maxSample, s"shard $s overshoots: $n") }
+    // bit-exact media roundtrip
+    val media = rows.map { case (id, m, _) => id -> m }.toMap
+    back.filter(_.getString(2) == "img").foreach { r =>
+      assert(r.getAs[Array[Byte]](3).sameElements(media(r.getLong(1)))) }
+    assert(back.count(_.getString(2) == "txt") == rows.count(_._3.isDefined))
+  }
+
+  test("byte-budget shards: bytes invariant to input partitioning; NULL id rejected") {
+    def bytesOf(dir: String): Seq[Int] =
+      spark.read.format("binaryFile").load(s"$dir/*.tar")
+        .select("content").collect()
+        .map(r => java.util.Arrays.hashCode(r.getAs[Array[Byte]](0))).sorted.toSeq
+    val d1 = Files.createTempDirectory("wdsb1").toString
+    val d2 = Files.createTempDirectory("wdsb2").toString
+    WebDataset.writeShardsBytes(skewedAssets.repartition(7), d1, 16384L,
+      parts = Seq("media" -> "img", "caption" -> "txt"))
+    WebDataset.writeShardsBytes(skewedAssets.repartition(3), d2, 16384L,
+      parts = Seq("media" -> "img", "caption" -> "txt"))
+    assert(bytesOf(d1) == bytesOf(d2),
+      "shard bytes must not depend on input partitioning")
+    // determinism: re-write in place is byte-identical
+    WebDataset.writeShardsBytes(skewedAssets, d1, 16384L,
+      parts = Seq("media" -> "img", "caption" -> "txt"))
+    assert(bytesOf(d1) == bytesOf(d2), "re-write must be byte-identical")
+    val withNull = skewedAssets.withColumn("asset_id",
+      when(col("asset_id") === 5, lit(null)).otherwise(col("asset_id")))
+    val e = intercept[org.apache.spark.SparkException] {
+      WebDataset.writeShardsBytes(withNull,
+        Files.createTempDirectory("wdsbn").toString, 16384L)
+    }
+    assert(e.getMessage.contains("NULL id"))
+  }
 }
