@@ -1196,6 +1196,25 @@ object SparkEntry {
     // turn) classes make every flag fire both ways
     "q169_chat_validate" -> ((s, d) =>
       Chat.validate(chatConv(Tables.documents(s, d)))),
+    // validate's EMPTY/NULL-transcript contract (round-11 advice,
+    // driver-gated): %5==0 docs get a NULL turns array, %5==1 an empty
+    // one — both must emit one all-false row (posexplode_outer), never
+    // vanish from a corpus/quarantine split; the rest are clean 2-turn
+    // transcripts except where a short doc empties the second content
+    // slice (turns_ok fires both ways)
+    "q186_chat_validate_outer" -> ((s, d) => {
+      val turnsType = "array<struct<role:string,content:string>>"
+      val turns = when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(null).cast(turnsType))
+        .when(pmod(col("doc_id"), lit(5)) === 1, array().cast(turnsType))
+        .otherwise(array(
+          struct(lit("user").as("role"),
+            substring(col("text"), 1, 20).as("content")),
+          struct(lit("assistant").as("role"),
+            substring(col("text"), 21, 20).as("content"))))
+      Chat.validate(Tables.documents(s, d)
+        .select(col("doc_id"), turns.as("turns")))
+    }),
     // packed loss-mask spans (Chat.packSpans): the q167/q168 transcripts
     // packed into 200-char training sequences with every assistant/user
     // span remapped to (seq_idx, in-sequence range) fragments — spans
@@ -3286,6 +3305,20 @@ object SparkEntry {
         |        prev_role,
         |      max(turn_idx) OVER (PARTITION BY doc_id) last_idx FROM ct)
         |GROUP BY doc_id""".stripMargin),
+    // the outer contract: empty/NULL transcripts appear as all-false
+    // rows (a plain unnest would drop them — the UNION ALL leg is the
+    // outer join's relational replay)
+    "q186_chat_validate_outer" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 20) c0,
+        |    substr(text, 21, 20) c1 FROM documents),
+        |v AS (SELECT doc_id,
+        |    (length(c0) > 0 AND length(c1) > 0) tok
+        |  FROM t WHERE doc_id % 5 NOT IN (0, 1))
+        |SELECT doc_id, TRUE opener_ok, TRUE alternation_ok,
+        |  tok turns_ok, TRUE ends_assistant, tok ok FROM v
+        |UNION ALL
+        |SELECT doc_id, FALSE, FALSE, FALSE, FALSE, FALSE
+        |FROM documents WHERE doc_id % 5 IN (0, 1)""".stripMargin,
     "q183_span_corrupt" ->
       """WITH d AS (SELECT doc_id, text, length(text) L FROM documents),
         |s AS (SELECT doc_id, text, L, CAST(k AS BIGINT) k

@@ -71,6 +71,27 @@ class StreamChatSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/c").select("_batch").distinct().count() == 2)
   }
 
+  test("zero-turn and NULL-turns transcripts land in quarantine, not limbo") {
+    val root = Files.createTempDirectory("schat_z").toString
+    val base = toConv(Seq(
+      7L -> Seq.empty[(String, String)],
+      8L -> Seq("user" -> "q", "assistant" -> "a")))
+    val withNull = base.unionByName(
+      Seq(9L).toDF("doc_id").select(col("doc_id"),
+        lit(null).cast(base.schema("turns").dataType).as("turns")))
+    StreamChat.gateBatch(withNull, 0L, s"$root/c", s"$root/q")
+    assert(StreamChat.corpus(spark, s"$root/c").collect()
+      .map(_.getLong(0)).toSet == Set(8L))
+    val quar = StreamChat.quarantine(spark, s"$root/q").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    // the gate's contract: every input id is in exactly one side —
+    // the most malformed transcripts must not vanish (round-11 advice)
+    assert(quar.keySet == Set(7L, 9L))
+    assert(quar.values.toSet == Set((false, false, false, false)))
+  }
+
   test("empty batch: no partitions written") {
     val root = Files.createTempDirectory("schat_e").toString
     StreamChat.gateBatch(toConv(wave1), 0L, s"$root/c", s"$root/q")
