@@ -1233,6 +1233,20 @@ object SparkEntry {
     // blocks sit inside the ~14-token pieces so boundary splits fire
     "q173_chat_pack_tokens" -> ((s, d) =>
       Chat.packSpansTokens(chatConv(Tables.documents(s, d)), seqLen = 16L)),
+    // SUBWORD-space packed loss-mask spans (Chat.packSpansSubword):
+    // q173's pipeline measured in REAL BPE tokens under a fixed
+    // 16-merge table (a pure literal both engines share — training is
+    // engine-specific, so the trained-merges composition is gated by
+    // ChatSpec's round-trip instead). The oracle REPLAYS THE TOKENIZER:
+    // a recursive CTE runs the lowest-rank-first merge loop per
+    // distinct pre-token (replace-all of the min-rank pair is
+    // equivalent because a merge's output only feeds LATER-rank
+    // merges), then q173's cumsum/block/fragment arithmetic in subword
+    // units; 32-token blocks sit inside typical ~25-token pieces so
+    // boundary splits fire
+    "q184_chat_pack_subword" -> ((s, d) =>
+      Chat.packSpansSubword(chatConv(Tables.documents(s, d)),
+        seqLen = 32L, subwordMerges)),
     // per-source quantile-bucket drift (Quality.quantileDrift): the q89
     // TVD over GLOBAL quartile edges of document length — quantile
     // buckets stay calibrated as distributions move (the q163 GK
@@ -1962,6 +1976,18 @@ object SparkEntry {
     * classes -> token counts -> integer floor-log2 surprisal -> permille
     * normalization in `v`); shared by q142 (the verdict report) and
     * q152 (curriculum packing staged by the same verdicts). */
+  /** The q184 merge table — a FIXED, BPE-valid artifact (every merge's
+    * output appears as an input only in later-rank merges, the
+    * invariant trained tables satisfy and the oracle's replace-all
+    * simulation relies on). Fixed rather than trained because the
+    * oracle must hold the same literal; the trained-table composition
+    * is ChatSpec's round-trip. */
+  private val subwordMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t", "e" -> "n",
+    "a" -> "t", "o" -> "r", "e" -> "s", "a" -> "l", "o" -> "u",
+    "in" -> "g")
+
   /** The q176/q176b blocklist fixture: spam phrases planted mid-text
     * (%13 / %17; %17 also plants "pillsbury", the boundary rule's
     * negative control — it must NOT fire the "pills" entry). */
@@ -3252,6 +3278,67 @@ object SparkEntry {
         |FROM (SELECT doc_id, turn_idx, role, gs, ge,
         |      unnest(range(CAST(gs // 16 AS BIGINT),
         |        CAST((ge - 1) // 16 + 1 AS BIGINT))) k FROM g)""".stripMargin),
+    // the oracle replays the TOKENIZER itself: a recursive CTE runs
+    // the lowest-rank-first merge loop per distinct pre-token ('§' is
+    // provably absent from the corpus alphabet; replace-all of the
+    // min-rank pair is equivalent to one-at-a-time merging because a
+    // merge's output only feeds later-rank merges), then the q173
+    // cumsum/block/fragment arithmetic in subword units
+    "q184_chat_pack_subword" ->
+      ("WITH RECURSIVE " + chatCte + ",\n        mg(rk, a, b) AS (VALUES " +
+        subwordMerges.zipWithIndex
+          .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ") +
+        """),
+        |wset AS (SELECT DISTINCT w FROM (
+        |    SELECT unnest(regexp_extract_all(content,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM cp
+        |    UNION SELECT role FROM cp
+        |    UNION SELECT unnest(['<', '|', '>', 'end']))),
+        |enc AS (
+        |  SELECT w, '§' || regexp_replace(w, '(.)', '\1§', 'g') st FROM wset
+        |  UNION ALL
+        |  SELECT e.w, replace(e.st, '§' || m.a || '§' || m.b || '§',
+        |      '§' || m.a || m.b || '§')
+        |  FROM (SELECT w, st, (SELECT min(rk) FROM mg
+        |          WHERE contains(st, '§' || a || '§' || b || '§')) mr
+        |        FROM enc) e
+        |  JOIN mg m ON m.rk = e.mr),
+        |wc AS (SELECT w,
+        |    CAST(length(st) - length(replace(st, '§', '')) - 1 AS BIGINT) nt
+        |  FROM enc WHERE NOT EXISTS (SELECT 1 FROM mg
+        |    WHERE contains(st, '§' || a || '§' || b || '§'))),
+        |cw AS (SELECT doc_id, turn_idx,
+        |    unnest(regexp_extract_all(content,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w
+        |  FROM cp),
+        |cls AS (SELECT doc_id, turn_idx, SUM(nt) cl
+        |  FROM cw JOIN wc USING (w) GROUP BY 1, 2),
+        |tl AS (SELECT cp.doc_id, cp.turn_idx, cp.role,
+        |    4 + rw.nt hl, COALESCE(cls.cl, 0) cl,
+        |    8 + rw.nt + COALESCE(cls.cl, 0)
+        |      + (SELECT nt FROM wc WHERE w = 'end') pl
+        |  FROM cp JOIN wc rw ON rw.w = cp.role
+        |    LEFT JOIN cls ON cls.doc_id = cp.doc_id
+        |      AND cls.turn_idx = cp.turn_idx),
+        |fl AS (SELECT doc_id, CAST(SUM(pl) AS BIGINT) rlen
+        |       FROM tl GROUP BY doc_id),
+        |offs AS (SELECT doc_id, COALESCE(SUM(rlen) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) doff
+        |  FROM fl),
+        |sp AS (SELECT doc_id, turn_idx, role, ps + hl cs, ps + hl + cl ce
+        |  FROM (SELECT doc_id, turn_idx, role, hl, cl,
+        |        COALESCE(SUM(pl) OVER (PARTITION BY doc_id
+        |          ORDER BY turn_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) ps
+        |        FROM tl)),
+        |g AS (SELECT sp.doc_id, turn_idx, role, doff + cs gs, doff + ce ge
+        |      FROM sp JOIN offs USING (doc_id) WHERE ce > cs)
+        |SELECT CAST(k AS BIGINT) seq_idx, doc_id, turn_idx, role,
+        |  CAST(GREATEST(gs, k * 32) - k * 32 AS BIGINT) frag_start,
+        |  CAST(LEAST(ge, (k + 1) * 32) - k * 32 AS BIGINT) frag_end
+        |FROM (SELECT doc_id, turn_idx, role, gs, ge,
+        |      unnest(range(CAST(gs // 32 AS BIGINT),
+        |        CAST((ge - 1) // 32 + 1 AS BIGINT))) k FROM g)""".stripMargin),
     "q167_chat_render" ->
       ("WITH " + chatCte + """
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_turns,

@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -113,6 +113,33 @@ object Bpe {
       }
     }
     units
+  }
+
+  /** Subword token count as a COLUMN function — the measure
+    * [[Chat.packSpansSubword]] threads through the SFT packing path so
+    * context budgets are true subword counts, not pre-token counts:
+    * pre-tokenize with the q34 regex, encode each pre-token with the
+    * broadcast rank table, sum the lengths. Per-token-boundary
+    * additivity (the property the packing arithmetic relies on) holds
+    * by construction: merges apply WITHIN one pre-token, so
+    * ntok(a ++ "\n" ++ b) = ntok(a) + ntok(b) — '\n' never joins a
+    * pre-token and contributes zero tokens. NULL-safe (0). The
+    * [[applyMerges]] corpus pass keeps its per-partition Zipf memo;
+    * this column form is for length bookkeeping over short segments
+    * where the memo's win is marginal. */
+  def ntokCol(documents: DataFrame, merges: Seq[(String, String)]): Column => Column = {
+    val rankB = documents.sparkSession.sparkContext
+      .broadcast(merges.zipWithIndex.toMap)
+    val f = udf { (s: String) =>
+      if (s == null) 0L
+      else {
+        val rank = rankB.value
+        var n = 0L
+        wordRe.findAllIn(s).foreach(w => n += encodeWord(w, rank).length)
+        n
+      }
+    }
+    (c: Column) => f(c)
   }
 
   /** Apply a trained merge table corpus-wide. Output per doc: the

@@ -168,6 +168,34 @@ object Chat {
                       parts: Int = 64): DataFrame =
     packSpansBy(conv, seqLen, idCol, turnsCol, parts, Toks)
 
+  /** [[packSpansTokens]] under a TRAINED SUBWORD tokenizer — the final
+    * composition the token-space path was built for (round-11
+    * verdict): `seqLen` is a budget in REAL BPE tokens from `merges`
+    * (the [[Bpe]] trainer's artifact), not pre-token counts. The
+    * boundary-split arithmetic is unit-agnostic; what a subword
+    * measure must preserve is segment ADDITIVITY at the template's
+    * `\n` junctions, and [[Bpe.ntokCol]] has it by construction
+    * (merges never cross a pre-token, pre-tokens never contain `\n`),
+    * so tokens(piece) = tokens(header) + tokens(content) +
+    * tokens(footer) holds and every offset below is exact in subword
+    * space. The merge table broadcasts once; the measure is one
+    * deterministic scalar per short segment. */
+  def packSpansSubword(conv: DataFrame, seqLen: Long,
+                       merges: Seq[(String, String)],
+                       idCol: String = "doc_id", turnsCol: String = "turns",
+                       parts: Int = 64): DataFrame = {
+    val ntok = Bpe.ntokCol(conv, merges)
+    packSpansBy(conv, seqLen, idCol, turnsCol, parts, new SubwordToks(ntok))
+  }
+
+  private final class SubwordToks(ntok: Column => Column) extends Measure {
+    def pieceLen(role: Column, content: Column): Column =
+      ntok(piece(role, content))
+    def headerLen(role: Column): Column =
+      ntok(concat(lit("<|"), role, lit("|>")))
+    def contentLen(content: Column): Column = ntok(content)
+  }
+
   private def packSpansBy(conv: DataFrame, seqLen: Long, idCol: String,
                           turnsCol: String, parts: Int,
                           m: Measure): DataFrame = {

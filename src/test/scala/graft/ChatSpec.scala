@@ -147,6 +147,59 @@ class ChatSpec extends SparkTestBase {
     assert(perDoc == toks.length)
   }
 
+  test("packSpansSubword: fragments slice the packed SUBWORD stream under TRAINED merges") {
+    // the end-to-end composition the token-space path exists for: a
+    // real trained BPE table as the packing measure — tokenize every
+    // rendered transcript word-by-word with encodeWord, concatenate in
+    // doc order, chunk into 9-subword blocks; each span's fragments
+    // must slice out exactly its content's subword sequence
+    val tok = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val trainDocs = Seq(
+      (1L, "the thermal threads weather the weathering theme"),
+      (2L, "answer the anthem and then another thesis"),
+      (3L, "final theory texts anchor the gathering")).toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.trainMerges(trainDocs, nMerges = 24, sampleDocs = 8)
+    assert(merges.nonEmpty)
+    val rank = merges.zipWithIndex.toMap
+    def subtok(s: String): Vector[String] = tok.findAllIn(s).toVector
+      .flatMap(w => graft.ops.Bpe.encodeWord(w, rank))
+    val df = toDf(Seq(
+      conv(1L, ("user", "the anthem"), ("assistant", "another thermal theme weather")),
+      conv(2L, ("user", "then"), ("assistant", "gathering texts, the thesis; 42")),
+      conv(3L, ("system", "s"), ("user", "u"), ("assistant", "final answer theory"))))
+    val L = 9
+    val stream = Chat.flatten(df).collect()
+      .sortBy(_.getLong(0)).map(_.getAs[String]("rendered")).mkString
+    val toks = subtok(stream)
+    val frags = Chat.packSpansSubword(df, seqLen = L.toLong, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    val byTurn = frags.groupBy(f => (f._2, f._3))
+    val orig = Map((1L, 0L) -> "the anthem",
+      (1L, 1L) -> "another thermal theme weather",
+      (2L, 0L) -> "then", (2L, 1L) -> "gathering texts, the thesis; 42",
+      (3L, 0L) -> "s", (3L, 1L) -> "u", (3L, 2L) -> "final answer theory")
+    for (((id, ti), fs) <- byTurn) {
+      val got = fs.sortBy(_._1).flatMap { case (k, _, _, _, s, e) =>
+        toks.slice((k * L + s).toInt, (k * L + e).toInt)
+      }.toVector
+      assert(got == subtok(orig((id, ti))), s"doc $id turn $ti: $got")
+      fs.foreach { case (_, _, _, _, s, e) =>
+        assert(s >= 0 && e <= L && s < e) }
+    }
+    assert(byTurn.keySet == orig.keySet)
+    assert(byTurn.values.exists(_.length > 1), "fixture must exercise a boundary split")
+    // the additivity the measure must preserve: subword counts add
+    // across segments and documents (merges never cross '\n')
+    val perDoc = Chat.flatten(df).collect().sortBy(_.getLong(0))
+      .map(r => subtok(r.getAs[String]("rendered")).length).sum
+    assert(perDoc == toks.length)
+    // the trained table actually merges something (a no-op table would
+    // make this test the q173 twin, not the subword one)
+    assert(subtok("the thermal weather").length <
+      tok.findAllIn("the thermal weather").flatMap(_.map(_.toString)).length)
+  }
+
   test("NULL role/content turns drop from flatten and maskSpans, flagged by validate") {
     val df = Seq((1L, Seq(("user", "q"), (null, "x"), ("assistant", null), ("assistant", "a"))))
       .toDF("doc_id", "_t")
