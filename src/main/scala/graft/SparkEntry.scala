@@ -1351,6 +1351,24 @@ object SparkEntry {
       Chat.preferencePairs(conv.select(col("doc_id").as("pair_id"),
         col("turns").as("chosen"), rejected.as("rejected")))
     }),
+    // rejection-sampling / best-of-n prep (Chat.bestOfN, the WebGPT/
+    // Llama-2 recipe): per prompt (4 candidates each), keep the
+    // argmax-reward candidate with deterministic ties — rewards are
+    // hash-derived ppm; prompt %11 forces a four-way tie (lowest
+    // cand_id must win), doc %23 NULLs single scores (audited, can't
+    // win), prompt %13 unscores the whole prompt (row kept, pick_ok
+    // false); the oracle replays the hash and the row_number argmax
+    "q185_best_of_n" -> ((s, d) => {
+      val prompt = expr("doc_id div 4")
+      val raw = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("bon"))), lit(1000000L))
+      val reward = when(pmod(prompt, lit(13)) === 0, lit(null).cast("long"))
+        .when(pmod(col("doc_id"), lit(23)) === 0, lit(null).cast("long"))
+        .when(pmod(prompt, lit(11)) === 0, lit(500000L))
+        .otherwise(raw)
+      Chat.bestOfN(Tables.documents(s, d).select(prompt.as("prompt_id"),
+        col("doc_id").as("cand_id"), reward.as("reward")))
+    }),
     // hard-negative mining (Retrieval.hardNegatives, DPR/ICT): the
     // q143 query set in the self-supervised form — the positive IS the
     // query's source doc, so the mined negatives are the lexically
@@ -3532,6 +3550,29 @@ object SparkEntry {
         |  (COALESCE(pfx, 1) = 1 AND COALESCE(ends, 0) = 1
         |   AND COALESCE(dv, 0) = 1) ok
         |FROM a""".stripMargin),
+    "q185_best_of_n" ->
+      """WITH hx AS (SELECT doc_id, doc_id // 4 prompt_id,
+        |    md5(CAST(doc_id AS VARCHAR) || 'bon') h FROM documents),
+        |g AS (SELECT doc_id, prompt_id, CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+        |  GROUP BY doc_id, prompt_id),
+        |c AS (SELECT prompt_id, doc_id cand_id,
+        |    CASE WHEN prompt_id % 13 = 0 THEN NULL
+        |         WHEN doc_id % 23 = 0 THEN NULL
+        |         WHEN prompt_id % 11 = 0 THEN 500000
+        |         ELSE v % 1000000 END reward
+        |  FROM g),
+        |a AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) n_candidates,
+        |    CAST(COUNT(reward) AS BIGINT) n_scored FROM c GROUP BY 1),
+        |w AS (SELECT prompt_id, cand_id, CAST(reward AS BIGINT) reward,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY reward DESC, cand_id ASC) rk
+        |  FROM c WHERE reward IS NOT NULL)
+        |SELECT a.prompt_id, w.cand_id, w.reward,
+        |  a.n_candidates, a.n_scored, a.n_scored > 0 pick_ok
+        |FROM a LEFT JOIN w ON w.prompt_id = a.prompt_id AND rk = 1""".stripMargin,
     "q179_hard_negatives" ->
       ("WITH " + bm25Cte + """,
         |cand AS (SELECT query_id, doc_id, score_fx FROM r WHERE rk <= 6),

@@ -305,6 +305,45 @@ object Chat {
         col("prefix_ok") && col("ends_ok") && col("divergent_ok"))
   }
 
+  /** Rejection-sampling / best-of-n data prep (the WebGPT/Llama-2
+    * recipe: sample n candidate responses per prompt, keep the one the
+    * reward model scores highest — the selected set becomes SFT data) —
+    * the RLHF data-shaping op that completes the preference leg next to
+    * [[preferencePairs]]: per prompt, the argmax-reward candidate with
+    * DETERMINISTIC ties (highest reward, then lowest candidate id —
+    * the q117 resolveDuplicates rule, so reruns and engines agree) and
+    * the per-prompt audit every curated set should carry: how many
+    * candidates arrived, how many carried a score. NULL-reward
+    * candidates can't win but still count as candidates; a prompt
+    * whose every candidate is unscored keeps its row with NULL winner
+    * columns and `pick_ok` false (the validate lesson: malformed
+    * groups must surface, not vanish).
+    *
+    * Shape at scale: two map-side-combined aggregations over one scan
+    * (audit counts; argmax over the scored rows via min(struct(-r,
+    * id)) — no per-prompt sort window), joined on the prompt key —
+    * every post-scan frame is bounded by the prompt count. */
+  def bestOfN(cands: DataFrame, promptCol: String = "prompt_id",
+              candCol: String = "cand_id",
+              rewardCol: String = "reward"): DataFrame = {
+    val base = cands.select(col(promptCol), col(candCol),
+      col(rewardCol).as("_rw"))
+    val audit = base.groupBy(col(promptCol)).agg(
+      count(lit(1)).as("n_candidates"),
+      count(col("_rw")).as("n_scored"))
+    // NULL rewards are filtered BEFORE the argmax: a NULL struct field
+    // sorts first under min() and would wrongly beat every real score
+    val win = base.where(col("_rw").isNotNull)
+      .groupBy(col(promptCol))
+      .agg(min(struct((-col("_rw")).as("ns"), col(candCol).as("id"))).as("m"))
+      .select(col(promptCol), col("m.id").as(candCol),
+        (-col("m.ns")).as(rewardCol))
+    audit.join(win, Seq(promptCol), "left")
+      .select(col(promptCol), col(candCol), col(rewardCol),
+        col("n_candidates"), col("n_scored"),
+        (col("n_scored") > 0L).as("pick_ok"))
+  }
+
   /** Structural validation — the quarantine report: per transcript,
     * booleans for the four SFT-data contracts (openers may be system or
     * user; roles must alternate after an optional leading system turn;

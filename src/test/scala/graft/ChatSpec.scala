@@ -54,6 +54,28 @@ class ChatSpec extends SparkTestBase {
     assert(spans.count(_.getString(2) == "assistant") == 3)
   }
 
+  test("bestOfN: argmax per prompt, lowest-id ties, NULL scores audited not picked") {
+    val cands = Seq(
+      // p1: plain argmax
+      (1L, 10L, Some(30L)), (1L, 11L, Some(70L)), (1L, 12L, Some(50L)),
+      // p2: two-way tie at 40 -> lowest cand_id 20 wins
+      (2L, 21L, Some(40L)), (2L, 20L, Some(40L)), (2L, 22L, Some(10L)),
+      // p3: NULL reward can't win even though another is lower
+      (3L, 30L, None), (3L, 31L, Some(5L)),
+      // p4: every candidate unscored -> row survives, pick_ok false
+      (4L, 40L, None), (4L, 41L, None))
+      .toDF("prompt_id", "cand_id", "reward")
+    val got = Chat.bestOfN(cands).collect().map(r => r.getLong(0) ->
+      ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((Some(11L), Some(70L), 3L, 3L, true)))
+    assert(got(2L) == ((Some(20L), Some(40L), 3L, 3L, true)))
+    assert(got(3L) == ((Some(31L), Some(5L), 2L, 1L, true)))
+    assert(got(4L) == ((None, None, 2L, 0L, false)))
+  }
+
   test("validate: each contract violation flips exactly its flag") {
     val df = toDf(Seq(
       conv(1L, ("user", "q"), ("assistant", "a")),                    // clean
