@@ -1215,6 +1215,40 @@ object SparkEntry {
       Chat.validate(Tables.documents(s, d)
         .select(col("doc_id"), turns.as("turns")))
     }),
+    // Bradley–Terry preference strengths (Chat.bradleyTerry, Hunter '04
+    // MM algorithm): 8 pseudo-policies play hash-scheduled games —
+    // a = doc_id%8 vs b = (doc_id div 8)%8 (self-games dropped), the
+    // winner by the replayable rule "a wins iff hash48 mod (a+b+2)
+    // <= b" (P = (b+1)/(a+b+2), so LOWER indices are genuinely
+    // stronger and the fitted ordering is a real signal); 8 MM rounds
+    // in decimal-routed ppm fixed point with the MAP ghost-game prior;
+    // the oracle replays the hash, the schedule, and all 8 updates as
+    // chained CTEs (the unrolled-iteration discipline)
+    "q187_bradley_terry" -> ((s, d) => {
+      val a = pmod(col("doc_id"), lit(8L))
+      val b = pmod(expr("doc_id div 8"), lit(8L))
+      val h = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("bt"))), a + b + lit(2L))
+      val g = Tables.documents(s, d)
+        .select(a.as("a"), b.as("b"), h.as("h"))
+        .where(col("a") =!= col("b"))
+        .select(
+          when(col("h") <= col("b"), col("a")).otherwise(col("b")).as("winner"),
+          when(col("h") <= col("b"), col("b")).otherwise(col("a")).as("loser"))
+      Chat.bradleyTerry(g, iters = 8)
+    }),
+    // unigram-LM (SentencePiece-family) tokenizer (Unigram, Kudo '18):
+    // the second tokenizer next to BPE — vocab = top-512 substrings
+    // (len 1..4) of the md5-ordered 256-doc sample with EXACT integer
+    // log2-prob scores (the Perplexity ilog2 device), segmentation by
+    // Viterbi with the pinned cand*8+k tie key; the oracle replays
+    // BOTH halves: training as a substring-enumeration aggregation,
+    // the DP as a recursive CTE carrying the last 4 (best, count)
+    // columns and advancing one character per step
+    "q188_unigram_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Unigram.segment(docs, Unigram.trainVocab(docs))
+    }),
     // packed loss-mask spans (Chat.packSpans): the q167/q168 transcripts
     // packed into 200-char training sequences with every assistant/user
     // span remapped to (seq_idx, in-sequence range) fragments — spans
@@ -3424,6 +3458,125 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, FALSE, FALSE, FALSE, FALSE, FALSE
         |FROM documents WHERE doc_id % 5 IN (0, 1)""".stripMargin,
+    // Hunter '04 MM replay: the hash schedule, then 8 unrolled update
+    // CTEs — every division has positive operands, so DuckDB's
+    // flooring // equals Spark's truncating div step for step
+    "q187_bradley_terry" -> {
+      val iterCtes = (1 to 8).map { t =>
+        val p = t - 1
+        s"""d$t AS MATERIALIZED (SELECT item, CAST(SUM(term) AS BIGINT) dsum FROM (
+           |    SELECT pr.a item, (pr.n * 1000000000000) // (sa.s + sb.s) term
+           |      FROM pr JOIN s$p sa ON sa.item = pr.a
+           |        JOIN s$p sb ON sb.item = pr.b
+           |    UNION ALL
+           |    SELECT pr.b item, (pr.n * 1000000000000) // (sa.s + sb.s) term
+           |      FROM pr JOIN s$p sa ON sa.item = pr.a
+           |        JOIN s$p sb ON sb.item = pr.b
+           |  ) GROUP BY item),
+           |r$t AS MATERIALIZED (SELECT it.item,
+           |    CAST(((it.wins + 1) * 1000000000000) //
+           |      (COALESCE(d$t.dsum, 0) + 2000000000000 // (s$p.s + 1000000))
+           |      AS BIGINT) raw
+           |  FROM it JOIN s$p ON s$p.item = it.item
+           |    LEFT JOIN d$t ON d$t.item = it.item),
+           |s$t AS MATERIALIZED (SELECT item, CAST((raw * (SELECT COUNT(*) FROM it) * 1000000)
+           |    // (SELECT CAST(SUM(raw) AS BIGINT) FROM r$t) AS BIGINT) s FROM r$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH hx AS (SELECT doc_id, doc_id % 8 a, (doc_id // 8) % 8 b,
+         |    md5(CAST(doc_id AS VARCHAR) || 'bt') h FROM documents),
+         |g0 AS (SELECT doc_id, a, b, CAST(SUM(
+         |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+         |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+         |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+         |  GROUP BY doc_id, a, b),
+         |gm AS MATERIALIZED (SELECT
+         |    CASE WHEN v % (a + b + 2) <= b THEN a ELSE b END winner,
+         |    CASE WHEN v % (a + b + 2) <= b THEN b ELSE a END loser
+         |  FROM g0 WHERE a <> b),
+         |pr AS MATERIALIZED (SELECT LEAST(winner, loser) a, GREATEST(winner, loser) b,
+         |    COUNT(*) n FROM gm GROUP BY 1, 2),
+         |wn AS MATERIALIZED (SELECT winner item, COUNT(*) wins FROM gm GROUP BY 1),
+         |it AS MATERIALIZED (SELECT item, CAST(COUNT(*) AS BIGINT) games,
+         |    CAST(COALESCE(MAX(wins), 0) AS BIGINT) wins
+         |  FROM (SELECT winner item FROM gm UNION ALL SELECT loser FROM gm)
+         |    LEFT JOIN wn USING (item) GROUP BY item),
+         |s0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) s FROM it),
+         |$iterCtes
+         |SELECT it.item, it.wins, it.games, s8.s strength_ppm
+         |FROM it JOIN s8 USING (item)""".stripMargin
+    },
+    // the oracle replays the TOKENIZER end to end: vocab training as a
+    // substring-count aggregation over the same md5-ordered sample
+    // (score = length(bin(p*2^30 div total)) - 31, the Perplexity
+    // ilog2 device), then the Viterbi DP as a recursive CTE over
+    // DISTINCT corpus words whose state carries the last four
+    // (best, npieces) pairs — one character per step, ties by the
+    // cand*8+k key (all candidate keys are distinct mod 8, so the
+    // CASE dispatch is unambiguous); -2^62 is the "invalid
+    // candidate" sentinel, unreachable by any real key
+    "q188_unigram_segment" ->
+      """WITH RECURSIVE
+        |smp AS (SELECT text FROM documents
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR) || 'uni') LIMIT 256),
+        |sw AS (SELECT unnest(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM smp),
+        |sub AS MATERIALIZED (SELECT substr(w, i, k) piece
+        |  FROM (SELECT w, k, unnest(range(1, length(w) - k + 2)) i
+        |        FROM (SELECT w, unnest([1, 2, 3, 4]) k FROM sw)
+        |        WHERE length(w) >= k)),
+        |cnt AS MATERIALIZED (SELECT piece, COUNT(*) c FROM sub GROUP BY 1),
+        |tot AS (SELECT SUM(c) s FROM cnt),
+        |voc AS MATERIALIZED (SELECT piece,
+        |    CAST(length(bin((c * 1073741824) // s)) - 31 AS BIGINT) score
+        |  FROM cnt, tot ORDER BY c DESC, piece LIMIT 512),
+        |dw AS MATERIALIZED (SELECT doc_id, w, COUNT(*) m
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM documents)
+        |  GROUP BY 1, 2),
+        |uw AS MATERIALIZED (SELECT DISTINCT w FROM dw),
+        |vt(w, pos, b1, n1, b2, n2, b3, n3, b4, n4) AS (
+        |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM uw
+        |  UNION ALL
+        |  SELECT w, pos + 1,
+        |    CASE WHEN mk = k4 THEN c4 WHEN mk = k3 THEN c3
+        |         WHEN mk = k2 THEN c2 ELSE c1 END,
+        |    CASE WHEN mk = k4 THEN n4 + 1 WHEN mk = k3 THEN n3 + 1
+        |         WHEN mk = k2 THEN n2 + 1 ELSE n1 + 1 END,
+        |    b1, n1, b2, n2, b3, n3
+        |  FROM (SELECT w, pos, b1, n1, b2, n2, b3, n3, n4, c1, c2, c3, c4,
+        |      k1, k2, k3, k4, GREATEST(k1, k2, k3, k4) mk
+        |    FROM (SELECT w, pos, b1, n1, b2, n2, b3, n3, n4, c1, c2, c3, c4,
+        |        c1 * 8 + 1 k1,
+        |        COALESCE(c2 * 8 + 2, -4611686018427387904) k2,
+        |        COALESCE(c3 * 8 + 3, -4611686018427387904) k3,
+        |        COALESCE(c4 * 8 + 4, -4611686018427387904) k4
+        |      FROM (SELECT v.w, v.pos, v.b1, v.n1, v.b2, v.n2, v.b3, v.n3, v.n4,
+        |          v.b1 + COALESCE(v1.score, -40) c1,
+        |          v.b2 + v2.score c2,
+        |          v.b3 + v3.score c3,
+        |          v.b4 + v4.score c4
+        |        FROM vt v
+        |          LEFT JOIN voc v1 ON v1.piece = substr(v.w, v.pos + 1, 1)
+        |          LEFT JOIN voc v2
+        |            ON v.pos >= 1 AND v2.piece = substr(v.w, v.pos, 2)
+        |          LEFT JOIN voc v3
+        |            ON v.pos >= 2 AND v3.piece = substr(v.w, v.pos - 1, 3)
+        |          LEFT JOIN voc v4
+        |            ON v.pos >= 3 AND v4.piece = substr(v.w, v.pos - 2, 4)
+        |        WHERE v.pos < length(v.w))))),
+        |fin AS MATERIALIZED (SELECT w, b1 score, n1 np FROM vt WHERE pos = length(w)),
+        |agg AS (SELECT doc_id, SUM(m) nw, SUM(m * length(w)) nc,
+        |    SUM(m * np) npc, SUM(m * score) sf
+        |  FROM dw JOIN fin USING (w) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(nw, 0) AS BIGINT) n_words,
+        |  CAST(COALESCE(nc, 0) AS BIGINT) n_chars,
+        |  CAST(COALESCE(npc, 0) AS BIGINT) n_pieces,
+        |  CAST(COALESCE(sf, 0) AS BIGINT) score_fx
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q183_span_corrupt" ->
       """WITH d AS (SELECT doc_id, text, length(text) L FROM documents),
         |s AS (SELECT doc_id, text, L, CAST(k AS BIGINT) k

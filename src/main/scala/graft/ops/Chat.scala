@@ -406,4 +406,99 @@ object Chat {
         (col("opener_ok") && col("alternation_ok") && col("turns_ok") &&
           col("ends_assistant")).as("ok"))
   }
+
+  /** Bradley–Terry strength estimation from pairwise preference
+    * outcomes (Bradley & Terry 1952) via Hunter's MM algorithm
+    * ("MM Algorithms for Generalized Bradley–Terry Models", Ann.
+    * Statist. 2004, eq. 1.4): the analysis op a preference corpus
+    * feeds once [[preferencePairs]] has gated it — which policies /
+    * annotator-preferred models are actually stronger, estimated from
+    * win/loss records alone. Reward models ARE Bradley–Terry fits
+    * (the pairwise logistic loss), so this is the exact closed-form
+    * diagnostic for "does the preference data itself rank the
+    * candidates coherently".
+    *
+    * MM update, `iters` fixed rounds from a flat start:
+    *   s_i' = (W_i + 1) / ( Σ_pairs(i,j) n_ij/(s_i + s_j)
+    *                        + 2/(s_i + 1e6) )
+    * then normalized to mean 1e6. The +1 win / +2-virtual-games prior
+    * is the standard MAP regularization (a Gamma(2, ·) prior on s_i;
+    * Caron & Doucet 2012 §2.2, equivalently one virtual win and one
+    * virtual loss against a ghost opponent of fixed strength 1e6):
+    * without it an item with zero recorded wins collapses to exactly
+    * 0 and a disconnected comparison graph never mixes — with it the
+    * iteration is well-defined on ANY game table. Deviation from the
+    * paper, documented: the classical algorithm normalizes by the
+    * geometric mean; the arithmetic mean is used here because it is
+    * exact in integer ppm (a geometric mean needs an n-th root no
+    * integer engine replays digit-for-digit).
+    *
+    * All arithmetic is exact fixed point: strengths are ppm longs,
+    * every product routes through decimal(38,0) BEFORE the `div` (the
+    * [[graft.ops.Quality.cohenKappa]] overflow discipline — n_ij·10^12
+    * wraps int64 once a pair passes ~9M games), and every division has
+    * positive operands so Spark's truncating `div` equals DuckDB's
+    * flooring `//` — the oracle unrolls the same `iters` updates as
+    * chained CTEs and matches by hash.
+    *
+    * Shape at scale: the game table aggregates ONCE into three frames
+    * bounded by the item alphabet (wins per item, games per unordered
+    * pair, the item list) — items are models/policies/annotators, a
+    * frame of thousands at most, checkpointed so the corpus is scanned
+    * exactly once. Each MM round is then two broadcast joins and one
+    * map-side-combined aggregation over the PAIR frame (≤ items²
+    * rows), checkpointed per round (the [[graft.ops.Curate]]
+    * connected-components discipline) so the iterated plan never
+    * nests. Corpus cost is independent of `iters`. */
+  def bradleyTerry(games: DataFrame, winnerCol: String = "winner",
+                   loserCol: String = "loser", iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = games.select(col(winnerCol).cast("long").as("w"),
+      col(loserCol).cast("long").as("l"))
+    val pairs = base
+      .select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .transform(graft.plans.CheckpointAudit.local)
+    val wins = base.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    val items = base.select(col("w").as("item"))
+      .union(base.select(col("l")))
+      .groupBy(col("item")).agg(count(lit(1)).as("games"))
+      .join(wins, Seq("item"), "left")
+      .na.fill(0L, Seq("wins"))
+      .transform(graft.plans.CheckpointAudit.local)
+    val nItems = items.count()
+    var s = items.select(col("item"), lit(1000000L).as("s"))
+    for (_ <- 1 to iters) {
+      val sa = s.select(col("item").as("a"), col("s").as("_sa"))
+      val sb = s.select(col("item").as("b"), col("s").as("_sb"))
+      val terms = pairs
+        .join(broadcast(sa), Seq("a")).join(broadcast(sb), Seq("b"))
+        .withColumn("_t", expr(
+          "(cast(n as decimal(38,0)) * 1000000000000) div (_sa + _sb)"))
+        .select(explode(array(
+          struct(col("a").as("item"), col("_t")),
+          struct(col("b").as("item"), col("_t")))).as("e"))
+        .select(col("e.item").as("item"), col("e._t").as("_t"))
+        .groupBy(col("item"))
+        .agg(sum(col("_t")).as("_dsum"))
+      val raw = items.join(s, Seq("item"))
+        .join(terms, Seq("item"), "left")
+        .withColumn("_denom",
+          coalesce(col("_dsum"), lit(0).cast("decimal(38,0)")) +
+            expr("2000000000000 div (s + 1000000)"))
+        .withColumn("_raw", expr(
+          "(cast(wins + 1 as decimal(38,0)) * 1000000000000) div _denom"))
+        .select(col("item"), col("_raw"))
+      val tot = raw.agg(sum(col("_raw")).as("_rsum"))
+      s = raw.crossJoin(broadcast(tot))
+        .select(col("item"), expr(
+          s"cast((cast(_raw as decimal(38,0)) * $nItems * 1000000) div _rsum as bigint)")
+          .as("s"))
+        .transform(graft.plans.CheckpointAudit.local)
+    }
+    items.join(s, Seq("item"))
+      .select(col("item"), col("wins"), col("games"),
+        col("s").as("strength_ppm"))
+  }
 }

@@ -262,4 +262,56 @@ class ChatSpec extends SparkTestBase {
     assert(out(6L) == ((true, false, false, 0L, 0L, false))) // empty: nothing to prefer
     assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "no pair may vanish")
   }
+
+  /** Driver-side replay of the exact fixed-point MM update
+    * [[Chat.bradleyTerry]] runs — BigInt so the reference itself
+    * cannot overflow. */
+  private def btRef(games: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val items = (games.map(_._1) ++ games.map(_._2)).distinct.sorted
+    val wins = games.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val pairN = games
+      .groupBy(g => (math.min(g._1, g._2), math.max(g._1, g._2)))
+      .map { case (k, v) => k -> v.size.toLong }
+    val T = BigInt("1000000000000")
+    var s = items.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val raw = items.map { i =>
+        val dsum = pairN.collect { case ((a, b), n) if a == i || b == i =>
+          (BigInt(n) * T) / BigInt(s(i) + s(if (a == i) b else a))
+        }.sum
+        val denom = dsum + BigInt(2000000000000L / (s(i) + 1000000L))
+        i -> (BigInt(wins.getOrElse(i, 0L) + 1) * T) / denom
+      }.toMap
+      val rsum = raw.values.sum
+      s = items.map(i =>
+        i -> ((raw(i) * items.size * 1000000) / rsum).toLong).toMap
+    }
+    s
+  }
+
+  test("bradleyTerry: matches the BigInt MM reference, ranks dominance, prior keeps zero-win items alive") {
+    // 1 dominates 2, 2 dominates 3; 4 never wins (plays 1 twice)
+    val games: Seq[(Long, Long)] =
+      Seq.fill(4)((1L, 2L)) ++ Seq((2L, 1L)) ++
+        Seq.fill(3)((2L, 3L)) ++ Seq((3L, 2L)) ++
+        Seq.fill(2)((1L, 3L)) ++ Seq.fill(2)((1L, 4L))
+    val df = games.toDF("winner", "loser")
+    val got = Chat.bradleyTerry(df, iters = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = btRef(games, 8)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    got.foreach { case (i, (_, _, s)) =>
+      assert(s == want(i), s"item $i: got strength $s, reference ${want(i)}")
+    }
+    assert(got(1L)._1 == 8L && got(1L)._2 == 9L)   // wins, games
+    assert(got(4L)._1 == 0L && got(4L)._2 == 2L)
+    assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3,
+      "dominance order must survive the fit")
+    assert(got(4L)._3 > 0L, "the MAP prior keeps zero-win items positive")
+    // repartition invariance: the fit is a pure function of the game set
+    val reGot = Chat.bradleyTerry(df.repartition(7), iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(reGot == got.map { case (k, v) => k -> v._3 })
+  }
 }
