@@ -1249,6 +1249,24 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Unigram.segment(docs, Unigram.trainVocab(docs))
     }),
+    // SEMANTIC benchmark contamination (Similarity.semanticContamination):
+    // the embedding-space sibling of q149's lexical triage — the probe
+    // set plants 8 scaled twins (2*v, exact cos 1.0 with their source;
+    // the q28 IEEE power-of-two argument) and 3 raw copies, so the
+    // drop list provably contains the planted sources plus whatever
+    // natural neighbors clear 0.6; cosines round to 3dp BEFORE the
+    // threshold and the max (the q30 device), so the float hash is
+    // engine-stable
+    "q189_semantic_contamination" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.where(col("vec_id") < 8).select(
+          (col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .unionByName(emb.where(col("vec_id") >= 100 && col("vec_id") < 103)
+          .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+            col("embedding")))
+      Similarity.semanticContamination(emb, probes, minCos = 0.6)
+    }),
     // packed loss-mask spans (Chat.packSpans): the q167/q168 transcripts
     // packed into 200-char training sequences with every assistant/user
     // span remapped to (seq_idx, in-sequence range) fragments — spans
@@ -3577,6 +3595,20 @@ object SparkEntry {
         |  CAST(COALESCE(npc, 0) AS BIGINT) n_pieces,
         |  CAST(COALESCE(sf, 0) AS BIGINT) score_fx
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q189_semantic_contamination" ->
+      """WITH b AS (SELECT vec_id + 1000000 qid,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv
+        |  FROM embeddings WHERE vec_id < 8
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+        |c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv
+        |      FROM embeddings),
+        |s AS (SELECT nid,
+        |    FLOOR(list_cosine_similarity(qv, nv) * 1000 + 0.5) / 1000.0 cos3
+        |  FROM c, b WHERE qid <> nid)
+        |SELECT nid, CAST(COUNT(*) AS BIGINT) n_probes_hit, MAX(cos3) max_cos3
+        |FROM s WHERE cos3 >= 0.6 GROUP BY nid""".stripMargin,
     "q183_span_corrupt" ->
       """WITH d AS (SELECT doc_id, text, length(text) L FROM documents),
         |s AS (SELECT doc_id, text, L, CAST(k AS BIGINT) k

@@ -856,4 +856,40 @@ object Similarity {
         if (residual) cents else Nil).as("codes"))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
   }
+
+  /** SEMANTIC benchmark contamination — the embedding-space sibling of
+    * [[Retrieval.contaminationTriage]]'s lexical BM25 triage (the
+    * second decontamination modality GPT-3/Llama-style audits run:
+    * paraphrased eval items share no n-grams but sit next to their
+    * source in embedding space). Every corpus vector is scored against
+    * the broadcast benchmark probe set; the report is the DROP LIST —
+    * one row per corpus vector some probe matched at or above
+    * `minCos`, with the hit count and the strongest match.
+    *
+    * Cosines are rounded to 3 decimals BEFORE the threshold compare
+    * and the max (the q30 device: both engines run the identical
+    * double rounding, so a last-ulp reduction-order drift can never
+    * flip a flag or the hash).
+    *
+    * Shape at scale: benchmark sets are small (thousands of eval
+    * items) — the probe side broadcasts, the corpus side is ONE scan
+    * feeding a map-side-combined groupBy(nid), no window, no shuffle
+    * of vectors (only the ≥-threshold survivors, a frame bounded by
+    * corpus-hits). This is the EXACT baseline; at 100 TB the same
+    * report runs over [[bqKnn]]/IVF candidates with this as the
+    * rescoring contract. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            minCos: Double = 0.6,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(bench.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .join(q, col("qid") =!= col("nid"))
+      .select(col("nid"),
+        (floor(cosine(col("qvec"), col("nvec")) * 1000 + 0.5) / 1000.0)
+          .as("cos3"))
+      .where(col("cos3") >= minCos)
+      .groupBy(col("nid"))
+      .agg(count(lit(1)).as("n_probes_hit"), max(col("cos3")).as("max_cos3"))
+  }
 }

@@ -200,4 +200,32 @@ class SimilarityAggSpec extends SparkTestBase {
     // user 1 -> 4 events (1,4,7,10); users 0,2 -> 3 each; tie broken by key asc
     assert(got == List(("1", 4L), ("0", 3L)))
   }
+
+  test("semanticContamination: planted matches surface with hit counts, sub-threshold pairs never") {
+    // corpus: 1 and 2 parallel (cos 1), 3 orthogonal to both
+    val corpus = vecs(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)))
+    // probes: 10 hits 1 and 2 exactly; 11 hits only 3; 12 hits nothing
+    val bench = vecs(
+      (10L, Array(3f, 0f, 0f, 0f)),
+      (11L, Array(0f, 5f, 0f, 0f)),
+      (12L, Array(0f, 0f, 1f, 1f)))
+    val got = Similarity.semanticContamination(corpus, bench, minCos = 0.6)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "probe 12 must flag nothing")
+    assert(got(1L) == ((1L, 1.0)) && got(2L) == ((1L, 1.0)))
+    assert(got(3L) == ((1L, 1.0)))
+    // the threshold compares the ROUNDED cosine: 1/sqrt(2) -> 0.707
+    val mid = vecs((20L, Array(1f, 1f, 0f, 0f)))
+    val at07 = Similarity.semanticContamination(corpus, mid, minCos = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(at07 == Set(1L, 2L, 3L),
+      "0.707 clears a 0.7 threshold (the probe is equidistant from e1 and e2)")
+    val at071 = Similarity.semanticContamination(corpus, mid, minCos = 0.71)
+      .collect()
+    assert(at071.isEmpty, "0.707 stays below a 0.71 threshold")
+  }
 }
