@@ -1267,6 +1267,15 @@ object SparkEntry {
             col("embedding")))
       Similarity.semanticContamination(emb, probes, minCos = 0.6)
     }),
+    // memorization-risk / n-gram novelty (Dedup.gramNovelty, the audit
+    // column behind Lee et al. '21): per doc, the ppm of its DISTINCT
+    // 5-gram set shared with at least one OTHER document — df is
+    // doc-set-based (within-doc repeats are repetition, not
+    // memorization evidence), under-n docs surface with NULL dup_ppm;
+    // the oracle replays the q129 gram strings with DISTINCT + a
+    // doc-count df
+    "q190_gram_novelty" -> ((s, d) =>
+      Dedup.gramNovelty(Tables.documents(s, d), n = 5)),
     // packed loss-mask spans (Chat.packSpans): the q167/q168 transcripts
     // packed into 200-char training sequences with every assistant/user
     // span remapped to (seq_idx, in-sequence range) fragments — spans
@@ -3609,6 +3618,24 @@ object SparkEntry {
         |  FROM c, b WHERE qid <> nid)
         |SELECT nid, CAST(COUNT(*) AS BIGINT) n_probes_hit, MAX(cos3) max_cos3
         |FROM s WHERE cos3 >= 0.6 GROUP BY nid""".stripMargin,
+    "q190_gram_novelty" ->
+      """WITH sized AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) n
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, md5(array_to_string(tk[p:p+4], ' ')) h
+        |  FROM (SELECT doc_id, tk, unnest(range(1, n - 5 + 2)) p
+        |        FROM sized WHERE n >= 5)),
+        |df AS (SELECT h, COUNT(*) c FROM g GROUP BY 1),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_grams,
+        |    CAST(COUNT(*) FILTER (WHERE c >= 2) AS BIGINT) dup_grams
+        |  FROM g JOIN df USING (h) GROUP BY 1)
+        |SELECT s.doc_id, COALESCE(n_grams, 0) n_grams,
+        |  COALESCE(dup_grams, 0) dup_grams,
+        |  CASE WHEN COALESCE(n_grams, 0) > 0
+        |    THEN (1000000 * dup_grams) // n_grams END dup_ppm
+        |FROM sized s LEFT JOIN per USING (doc_id)""".stripMargin,
     "q183_span_corrupt" ->
       """WITH d AS (SELECT doc_id, text, length(text) L FROM documents),
         |s AS (SELECT doc_id, text, L, CAST(k AS BIGINT) k

@@ -770,4 +770,52 @@ object Dedup {
       removed.as("n_removed"),
       array_join(kept, " ").as("kept_text")): _*)
   }
+
+  /** Memorization-risk / n-gram novelty report — the per-document
+    * AUDIT column behind the Lee et al. '21 dedup motivation ("Dedup-
+    * licating Training Data Makes Language Models Better": verbatim
+    * memorization tracks duplicated-span exposure): for each document,
+    * how much of its DISTINCT n-gram set also appears in at least one
+    * OTHER document. Mixture designers read `dup_ppm` next to quality
+    * tiers — a high-dup source is a memorization (and eval-leak)
+    * liability even when every individual pair is below near-dup
+    * thresholds.
+    *
+    * Document-frequency is counted over DOCUMENTS (set semantics: the
+    * (doc, gram) frame is deduplicated before the df count) — a doc
+    * repeating its own boilerplate is repetition
+    * ([[graft.ops.Quality.gopherRepetition]]'s signal), not
+    * memorization evidence; [[exactSubstrDedup]] deliberately keeps
+    * occurrence counting instead because a within-doc repeat IS a
+    * removable duplicated span. Documents with fewer than `n` tokens
+    * carry no grams: they surface with zero counts and a NULL
+    * `dup_ppm` (the no-evidence rule), never silently vanish.
+    *
+    * Shape at scale: one scan emits [[graft.expr.Exprs.md5Shingles]]
+    * 128-bit gram keys (32 B/position, gram text never shuffles), the
+    * (doc, gram) distinct and the df count are both map-side-combined
+    * aggregations on the key, the join back is key-co-partitioned
+    * (AQE owns the boilerplate hot keys), and the final per-doc
+    * rollup is one aggregation. `1e6·dup_grams` is bounded by
+    * 1e6·tokens-per-doc — int64-safe for any real document. */
+  def gramNovelty(documents: DataFrame, n: Int = 5,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams = documents
+      .select(col(idCol), explode(Exprs.md5Shingles(col(textCol), n)).as("_h"))
+      .distinct()
+    val dfc = grams.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    val per = grams.join(dfc, Seq("_h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+    documents.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_ppm",
+        when(col("n_grams") > 0L,
+          expr("(1000000 * dup_grams) div n_grams")))
+  }
 }

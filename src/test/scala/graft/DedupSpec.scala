@@ -222,4 +222,25 @@ class DedupSpec extends SparkTestBase {
       ("c4", "cc") -> ((1L, 1L, 3L)),
       ("cc", "cc") -> ((1L, 3L, 3L))))
   }
+
+  test("gramNovelty: doc-set df, within-doc repeats don't count, short docs keep NULL ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y z w v"),        // shares [a b c d e] with 2
+      (2L, "a b c d e q r s t u"),
+      (3L, "a b c d a b c d a b c d"),    // repeats ITS OWN 4+1-grams only
+      (4L, "k l m n o p q1 r1 s1 t1"),    // fully novel
+      (5L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.gramNovelty(docs, n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // docs 1/2: 6 distinct grams each, exactly one shared
+    assert(got(1L) == ((6L, 1L, 166666L)))
+    assert(got(2L) == ((6L, 1L, 166666L)))
+    // doc 3's grams repeat internally but appear in no OTHER doc
+    assert(got(3L)._2 == 0L, "within-doc repeats are not memorization evidence")
+    assert(got(4L) == ((6L, 0L, 0L)))
+    assert(got(5L) == ((0L, 0L, -1L)), "under-n docs surface with NULL ppm")
+  }
 }
