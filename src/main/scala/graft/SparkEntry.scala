@@ -1276,6 +1276,20 @@ object SparkEntry {
     // doc-count df
     "q190_gram_novelty" -> ((s, d) =>
       Dedup.gramNovelty(Tables.documents(s, d), n = 5)),
+    // two-phase anneal mixture (Curate.annealMix, the MiniCPM/Llama-3
+    // decay-phase recipe): eligible = lang-en docs; anneal budget
+    // 20k chars with a 10% per-source share cap — both stages bite on
+    // this corpus (en sources hold ~2.9k chars vs the 2k cap; capped
+    // total ~40k vs the 20k budget); the oracle replays both md5-order
+    // running-cost windows and the phase label
+    "q191_anneal_mix" -> ((s, d) =>
+      Curate.annealMix(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (col("lang") === "en").as("high_q")),
+        idCol = "doc_id", sourceCol = "source", costCol = "n_chars",
+        eligibleCol = "high_q", annealBudget = 20000L,
+        maxSourcePermille = 100, salt = "anl")),
     // packed loss-mask spans (Chat.packSpans): the q167/q168 transcripts
     // packed into 200-char training sequences with every assistant/user
     // span remapped to (seq_idx, in-sequence range) fragments — spans
@@ -3636,6 +3650,23 @@ object SparkEntry {
         |  CASE WHEN COALESCE(n_grams, 0) > 0
         |    THEN (1000000 * dup_grams) // n_grams END dup_ppm
         |FROM sized s LEFT JOIN per USING (doc_id)""".stripMargin,
+    "q191_anneal_mix" ->
+      """WITH el AS (SELECT doc_id, source, n_chars FROM documents
+        |            WHERE lang = 'en' AND n_chars > 0),
+        |s1 AS (SELECT doc_id, source, n_chars FROM (
+        |    SELECT doc_id, source, n_chars,
+        |      SUM(n_chars) OVER (PARTITION BY source
+        |        ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'anl'), 1, 8),
+        |          doc_id ROWS UNBOUNDED PRECEDING) c1
+        |    FROM el) WHERE c1 <= 2000),
+        |adm AS (SELECT doc_id, cum FROM (
+        |    SELECT doc_id, CAST(SUM(n_chars) OVER (
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'anl'), 1, 8),
+        |        doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+        |    FROM s1) WHERE cum <= 20000)
+        |SELECT d.doc_id, d.source, d.n_chars, adm.cum,
+        |  CASE WHEN adm.cum IS NOT NULL THEN 'anneal' ELSE 'stable' END phase
+        |FROM documents d LEFT JOIN adm USING (doc_id)""".stripMargin,
     "q183_span_corrupt" ->
       """WITH d AS (SELECT doc_id, text, length(text) L FROM documents),
         |s AS (SELECT doc_id, text, L, CAST(k AS BIGINT) k

@@ -227,6 +227,58 @@ object Curate {
       .drop("_h", "_b", "_c1")
   }
 
+  /** Two-phase anneal mixture — the modern mid-training recipe (MiniCPM,
+    * Hu et al. '24 §4: the WSD decay phase mixes in high-quality data;
+    * the Llama 3 report and OLMo 2 both anneal on upweighted curated
+    * sources): split a corpus into the `stable` (phase-1) pool and a
+    * budgeted `anneal` (phase-2) pool drawn from quality-gated
+    * candidates, with no source allowed to dominate the anneal mix.
+    *
+    * Admission is a TWO-STAGE deterministic greedy, each stage the
+    * [[budgetPerGroup]] md5-order running-cost rule:
+    *   1. per-source cap: eligible docs survive while their source's
+    *      running cost stays within `annealBudget·maxSourcePermille/1000`
+    *      (no source exceeds that share of the budget);
+    *   2. global budget: stage-1 survivors survive while the GLOBAL
+    *      running cost (same md5 order) stays within `annealBudget`.
+    * The stages compose rather than solve the joint constraint (a
+    * joint greedy is inherently sequential — admission would depend on
+    * every earlier admission across caps); two independent prefix-sum
+    * rules keep each stage a window the oracle replays row-for-row,
+    * and the result still satisfies BOTH invariants: per-source cost ≤
+    * cap AND total anneal cost ≤ budget.
+    *
+    * Every input row survives with a phase label (`anneal` admitted,
+    * `stable` otherwise — including NULL-eligibility and NULL/
+    * non-positive-cost rows, which can never be admitted); `cum` is
+    * the admitted row's inclusive global running cost, NULL on stable
+    * rows. Shape at scale: candidates are one filter; both stages are
+    * the two-level skew-bounded windows of [[budgetPerGroup]] (the
+    * global stage's frame is already budget-bounded by stage 1:
+    * ≤ sources·cap/min-cost rows); the final phase label is one
+    * id-keyed left join. */
+  def annealMix(df: DataFrame, idCol: String, sourceCol: String,
+                costCol: String, eligibleCol: String, annealBudget: Long,
+                maxSourcePermille: Int = 300, salt: String = "anneal",
+                buckets: Int = 16): DataFrame = {
+    require(annealBudget > 0, "annealBudget must be positive")
+    require(maxSourcePermille >= 1 && maxSourcePermille <= 1000,
+      s"maxSourcePermille must be in [1, 1000], got $maxSourcePermille")
+    val srcCap = annealBudget * maxSourcePermille / 1000
+    require(srcCap > 0, "per-source cap rounds to zero; raise maxSourcePermille")
+    val cand = df.where(coalesce(col(eligibleCol), lit(false)))
+      .select(col(idCol), col(sourceCol), col(costCol))
+    val stage1 = budgetPerGroup(cand, sourceCol, idCol, costCol,
+      srcCap, salt, buckets).drop("cum")
+    val admitted = budgetPerGroup(stage1.withColumn("_all", lit(0)),
+      "_all", idCol, costCol, annealBudget, salt, buckets)
+      .select(col(idCol), col("cum"))
+    df.select(col(idCol), col(sourceCol), col(costCol))
+      .join(admitted, Seq(idCol), "left")
+      .withColumn("phase",
+        when(col("cum").isNotNull, lit("anneal")).otherwise(lit("stable")))
+  }
+
   // ------------------------------------------------------------- chunking
 
   /** Split documents into fixed-size overlapping token windows — the unit a

@@ -671,4 +671,33 @@ class CurateSpec extends SparkTestBase {
     }
     assert(sawMask, "fixture must exercise masking")
   }
+
+  test("annealMix: both caps hold, every row surfaces with a phase, ineligible/NULL-cost rows stay stable") {
+    import spark.implicits._
+    // src A: 3 eligible docs of 40; src B: 3 of 40; src C ineligible;
+    // plus a NULL-cost eligible doc. budget 100, 50% share cap -> per
+    // source <= 50 (one 40-char doc each), global <= 100
+    val docs = Seq(
+      (1L, "A", Some(40L), true), (2L, "A", Some(40L), true),
+      (3L, "A", Some(40L), true), (4L, "B", Some(40L), true),
+      (5L, "B", Some(40L), true), (6L, "B", Some(40L), true),
+      (7L, "C", Some(40L), false), (8L, "A", None, true))
+      .toDF("doc_id", "source", "n_chars", "elig")
+    val got = graft.ops.Curate.annealMix(docs, "doc_id", "source",
+      "n_chars", "elig", annealBudget = 100L, maxSourcePermille = 500)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got.size == 8, "every input row must carry a phase")
+    assert(got(7L) == "stable", "ineligible rows can never anneal")
+    assert(got(8L) == "stable", "NULL-cost rows can never anneal")
+    val ann = got.filter(_._2 == "anneal").keySet
+    // per-source cap 50 admits exactly one 40-char doc per source
+    assert(ann.count(Set(1L, 2L, 3L)) <= 1 && ann.count(Set(4L, 5L, 6L)) <= 1)
+    assert(ann.nonEmpty, "the budget must admit something")
+    // determinism: repartitioned input yields the identical phase map
+    val re = graft.ops.Curate.annealMix(docs.repartition(5), "doc_id",
+      "source", "n_chars", "elig", annealBudget = 100L,
+      maxSourcePermille = 500)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(re == got)
+  }
 }
