@@ -1282,6 +1282,15 @@ object SparkEntry {
     // this corpus (en sources hold ~2.9k chars vs the 2k cap; capped
     // total ~40k vs the 20k budget); the oracle replays both md5-order
     // running-cost windows and the phase label
+    // per-source tokenizer fertility (Unigram.fertilityReport): the
+    // q188 segmentation rolled up by source with exact ppm
+    // pieces-per-word / pieces-per-char ratios — the audit a
+    // tokenizer choice ships with; the oracle reuses the full q188
+    // training+Viterbi replay (shared unigramCte) plus one rollup
+    "q192_unigram_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Unigram.fertilityReport(docs, Unigram.trainVocab(docs))
+    }),
     "q191_anneal_mix" -> ((s, d) =>
       Curate.annealMix(
         Tables.documents(s, d)
@@ -2227,6 +2236,68 @@ object SparkEntry {
     * global df/avgdl → fixed-point idf/tf-weight/term floor-then-sum →
     * per-query rank in `r`); shared by q143 (the top-k report) and q147
     * (reciprocal-rank fusion with the cosine ranks). */
+  /** Shared unigram-tokenizer replay (q188/q192): vocabulary training
+    * over the md5-ordered sample, then the Viterbi DP as a recursive
+    * CTE (state = last four (best, npieces) pairs, one character per
+    * step, cand*8+k tie key). Ends with `dw` (per-doc word counts)
+    * and `fin` (per-word Viterbi results); callers must open with
+    * WITH RECURSIVE. */
+  private val unigramCte: String =
+    """smp AS (SELECT text FROM documents
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR) || 'uni') LIMIT 256),
+      |sw AS (SELECT unnest(regexp_extract_all(text,
+      |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM smp),
+      |sub AS MATERIALIZED (SELECT substr(w, i, k) piece
+      |  FROM (SELECT w, k, unnest(range(1, length(w) - k + 2)) i
+      |        FROM (SELECT w, unnest([1, 2, 3, 4]) k FROM sw)
+      |        WHERE length(w) >= k)),
+      |cnt AS MATERIALIZED (SELECT piece, COUNT(*) c FROM sub GROUP BY 1),
+      |tot AS (SELECT SUM(c) s FROM cnt),
+      |voc AS MATERIALIZED (SELECT piece,
+      |    CAST(length(bin((c * 1073741824) // s)) - 31 AS BIGINT) score
+      |  FROM cnt, tot ORDER BY c DESC, piece LIMIT 512),
+      |dw AS MATERIALIZED (SELECT doc_id, w, COUNT(*) m
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM documents)
+      |  GROUP BY 1, 2),
+      |uw AS MATERIALIZED (SELECT DISTINCT w FROM dw),
+      |vt(w, pos, b1, n1, b2, n2, b3, n3, b4, n4) AS (
+      |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM uw
+      |  UNION ALL
+      |  SELECT w, pos + 1,
+      |    CASE WHEN mk = k4 THEN c4 WHEN mk = k3 THEN c3
+      |         WHEN mk = k2 THEN c2 ELSE c1 END,
+      |    CASE WHEN mk = k4 THEN n4 + 1 WHEN mk = k3 THEN n3 + 1
+      |         WHEN mk = k2 THEN n2 + 1 ELSE n1 + 1 END,
+      |    b1, n1, b2, n2, b3, n3
+      |  FROM (SELECT w, pos, b1, n1, b2, n2, b3, n3, n4, c1, c2, c3, c4,
+      |      k1, k2, k3, k4, GREATEST(k1, k2, k3, k4) mk
+      |    FROM (SELECT w, pos, b1, n1, b2, n2, b3, n3, n4, c1, c2, c3, c4,
+      |        c1 * 8 + 1 k1,
+      |        COALESCE(c2 * 8 + 2, -4611686018427387904) k2,
+      |        COALESCE(c3 * 8 + 3, -4611686018427387904) k3,
+      |        COALESCE(c4 * 8 + 4, -4611686018427387904) k4
+      |      FROM (SELECT v.w, v.pos, v.b1, v.n1, v.b2, v.n2, v.b3, v.n3, v.n4,
+      |          v.b1 + COALESCE(v1.score, -40) c1,
+      |          v.b2 + v2.score c2,
+      |          v.b3 + v3.score c3,
+      |          v.b4 + v4.score c4
+      |        FROM vt v
+      |          LEFT JOIN voc v1 ON v1.piece = substr(v.w, v.pos + 1, 1)
+      |          LEFT JOIN voc v2
+      |            ON v.pos >= 1 AND v2.piece = substr(v.w, v.pos, 2)
+      |          LEFT JOIN voc v3
+      |            ON v.pos >= 2 AND v3.piece = substr(v.w, v.pos - 1, 3)
+      |          LEFT JOIN voc v4
+      |            ON v.pos >= 3 AND v4.piece = substr(v.w, v.pos - 2, 4)
+      |        WHERE v.pos < length(v.w))))),
+      |fin AS MATERIALIZED (SELECT w, b1 score, n1 np FROM vt
+      |  WHERE pos = length(w))""".stripMargin
+
   private val bm25Cte: String =
     """tokd AS (SELECT doc_id, list_filter(
       |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
@@ -3556,60 +3627,7 @@ object SparkEntry {
     // CASE dispatch is unambiguous); -2^62 is the "invalid
     // candidate" sentinel, unreachable by any real key
     "q188_unigram_segment" ->
-      """WITH RECURSIVE
-        |smp AS (SELECT text FROM documents
-        |        ORDER BY md5(CAST(doc_id AS VARCHAR) || 'uni') LIMIT 256),
-        |sw AS (SELECT unnest(regexp_extract_all(text,
-        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM smp),
-        |sub AS MATERIALIZED (SELECT substr(w, i, k) piece
-        |  FROM (SELECT w, k, unnest(range(1, length(w) - k + 2)) i
-        |        FROM (SELECT w, unnest([1, 2, 3, 4]) k FROM sw)
-        |        WHERE length(w) >= k)),
-        |cnt AS MATERIALIZED (SELECT piece, COUNT(*) c FROM sub GROUP BY 1),
-        |tot AS (SELECT SUM(c) s FROM cnt),
-        |voc AS MATERIALIZED (SELECT piece,
-        |    CAST(length(bin((c * 1073741824) // s)) - 31 AS BIGINT) score
-        |  FROM cnt, tot ORDER BY c DESC, piece LIMIT 512),
-        |dw AS MATERIALIZED (SELECT doc_id, w, COUNT(*) m
-        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
-        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM documents)
-        |  GROUP BY 1, 2),
-        |uw AS MATERIALIZED (SELECT DISTINCT w FROM dw),
-        |vt(w, pos, b1, n1, b2, n2, b3, n3, b4, n4) AS (
-        |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-        |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-        |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-        |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-        |  FROM uw
-        |  UNION ALL
-        |  SELECT w, pos + 1,
-        |    CASE WHEN mk = k4 THEN c4 WHEN mk = k3 THEN c3
-        |         WHEN mk = k2 THEN c2 ELSE c1 END,
-        |    CASE WHEN mk = k4 THEN n4 + 1 WHEN mk = k3 THEN n3 + 1
-        |         WHEN mk = k2 THEN n2 + 1 ELSE n1 + 1 END,
-        |    b1, n1, b2, n2, b3, n3
-        |  FROM (SELECT w, pos, b1, n1, b2, n2, b3, n3, n4, c1, c2, c3, c4,
-        |      k1, k2, k3, k4, GREATEST(k1, k2, k3, k4) mk
-        |    FROM (SELECT w, pos, b1, n1, b2, n2, b3, n3, n4, c1, c2, c3, c4,
-        |        c1 * 8 + 1 k1,
-        |        COALESCE(c2 * 8 + 2, -4611686018427387904) k2,
-        |        COALESCE(c3 * 8 + 3, -4611686018427387904) k3,
-        |        COALESCE(c4 * 8 + 4, -4611686018427387904) k4
-        |      FROM (SELECT v.w, v.pos, v.b1, v.n1, v.b2, v.n2, v.b3, v.n3, v.n4,
-        |          v.b1 + COALESCE(v1.score, -40) c1,
-        |          v.b2 + v2.score c2,
-        |          v.b3 + v3.score c3,
-        |          v.b4 + v4.score c4
-        |        FROM vt v
-        |          LEFT JOIN voc v1 ON v1.piece = substr(v.w, v.pos + 1, 1)
-        |          LEFT JOIN voc v2
-        |            ON v.pos >= 1 AND v2.piece = substr(v.w, v.pos, 2)
-        |          LEFT JOIN voc v3
-        |            ON v.pos >= 2 AND v3.piece = substr(v.w, v.pos - 1, 3)
-        |          LEFT JOIN voc v4
-        |            ON v.pos >= 3 AND v4.piece = substr(v.w, v.pos - 2, 4)
-        |        WHERE v.pos < length(v.w))))),
-        |fin AS MATERIALIZED (SELECT w, b1 score, n1 np FROM vt WHERE pos = length(w)),
+      ("WITH RECURSIVE " + unigramCte + """,
         |agg AS (SELECT doc_id, SUM(m) nw, SUM(m * length(w)) nc,
         |    SUM(m * np) npc, SUM(m * score) sf
         |  FROM dw JOIN fin USING (w) GROUP BY 1)
@@ -3617,7 +3635,25 @@ object SparkEntry {
         |  CAST(COALESCE(nc, 0) AS BIGINT) n_chars,
         |  CAST(COALESCE(npc, 0) AS BIGINT) n_pieces,
         |  CAST(COALESCE(sf, 0) AS BIGINT) score_fx
-        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin),
+    "q192_unigram_fertility" ->
+      ("WITH RECURSIVE " + unigramCte + """,
+        |agg AS (SELECT doc_id, SUM(m) nw, SUM(m * length(w)) nc,
+        |    SUM(m * np) npc
+        |  FROM dw JOIN fin USING (w) GROUP BY 1),
+        |j AS (SELECT d.source, COALESCE(nw, 0) nw, COALESCE(nc, 0) nc,
+        |    COALESCE(npc, 0) npc
+        |  FROM documents d LEFT JOIN agg USING (doc_id))
+        |SELECT source, CAST(SUM(nw) AS BIGINT) n_words,
+        |  CAST(SUM(nc) AS BIGINT) n_chars,
+        |  CAST(SUM(npc) AS BIGINT) n_pieces,
+        |  CASE WHEN SUM(nw) > 0 THEN
+        |    CAST((1000000 * SUM(npc)) // SUM(nw) AS BIGINT) END
+        |    pieces_per_word_ppm,
+        |  CASE WHEN SUM(nc) > 0 THEN
+        |    CAST((1000000 * SUM(npc)) // SUM(nc) AS BIGINT) END
+        |    pieces_per_char_ppm
+        |FROM j GROUP BY 1""".stripMargin),
     "q189_semantic_contamination" ->
       """WITH b AS (SELECT vec_id + 1000000 qid,
         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv

@@ -203,4 +203,33 @@ object Unigram {
         }
       }(enc)
   }
+
+  /** Per-source tokenizer FERTILITY report — the audit run before a
+    * tokenizer choice ships (fertility = pieces per word, the standard
+    * cross-lingual tokenizer-quality metric; a source whose fertility
+    * runs hot is under-served by the vocabulary and pays its context
+    * budget in fragments): [[segment]]'s per-doc counts rolled up by
+    * source with exact ppm ratios. `1e6·pieces` routes through
+    * decimal(38,0) (the [[graft.ops.Quality.cohenKappa]] overflow
+    * discipline — per-source piece counts pass 9·10^12 on real
+    * corpora); sources with zero words report NULL ratios (the
+    * no-evidence rule). Shape at scale: the [[segment]] scan plus one
+    * map-side-combined groupBy on source — the report frame is bounded
+    * by the source alphabet. */
+  def fertilityReport(documents: DataFrame, vocab: Seq[(String, Long)],
+                      sourceCol: String = "source",
+                      maxPieceLen: Int = 4): DataFrame =
+    segment(documents, vocab, maxPieceLen)
+      .join(documents.select(col("doc_id"), col(sourceCol)), Seq("doc_id"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .select(col(sourceCol), col("n_words"), col("n_chars"), col("n_pieces"),
+        when(col("n_words") > 0L, expr(
+          "cast((1000000 * cast(n_pieces as decimal(38,0))) div n_words as bigint)"))
+          .as("pieces_per_word_ppm"),
+        when(col("n_chars") > 0L, expr(
+          "cast((1000000 * cast(n_pieces as decimal(38,0))) div n_chars as bigint)"))
+          .as("pieces_per_char_ppm"))
 }

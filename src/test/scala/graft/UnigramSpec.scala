@@ -70,6 +70,21 @@ class UnigramSpec extends SparkTestBase {
     assert(got(3L) == ((0L, 0L, 0L, 0L)), "NULL text must not vanish")
   }
 
+  test("fertilityReport: ppm ratios per source, zero-word sources keep NULL ratios") {
+    val docs = Seq(
+      (1L, "aa aa", "s1"),       // 2 words, 4 chars, 2 pieces under {aa}
+      (2L, "aa", "s1"),
+      (3L, "bb", "s2"),          // b|b: 2 pieces from 1 word
+      (4L, "", "s3")).toDF("doc_id", "text", "source")
+    val vocab = Seq("aa" -> -2L, "a" -> -3L, "b" -> -4L)
+    val got = Unigram.fertilityReport(docs, vocab).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got("s1") == ((3L, 6L, 3L, 1000000L)))
+    assert(got("s2") == ((1L, 2L, 2L, 2000000L)), "b|b doubles fertility")
+    assert(got("s3") == ((0L, 0L, 0L, -1L)), "no words -> NULL ratio, row kept")
+  }
+
   test("byte-order tie-break matches binary collation on non-ASCII") {
     assert(Unigram.byteLt("a", "b"))
     assert(Unigram.byteLt("Z", "a"))    // 0x5A < 0x61
