@@ -1291,6 +1291,15 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Unigram.fertilityReport(docs, Unigram.trainVocab(docs))
     }),
+    // SFT transcript exact dedup (Dedup.exact over Chat.flatten's
+    // rendered template): the dedup leg applied to STRUCTURED chat
+    // data — hashing the rendered form means role markup is part of
+    // the identity (a user/assistant swap of identical strings does
+    // NOT collide), and the (md5, length) key keeps transcripts off
+    // the shuffle; survivor = smallest doc_id, the q20 rule
+    "q193_chat_dedup" -> ((s, d) =>
+      Dedup.exact(Chat.flatten(chatConv(Tables.documents(s, d)))
+        .select(col("doc_id"), col("rendered").as("text")))),
     "q191_anneal_mix" -> ((s, d) =>
       Curate.annealMix(
         Tables.documents(s, d)
@@ -3654,6 +3663,12 @@ object SparkEntry {
         |    CAST((1000000 * SUM(npc)) // SUM(nc) AS BIGINT) END
         |    pieces_per_char_ppm
         |FROM j GROUP BY 1""".stripMargin),
+    "q193_chat_dedup" ->
+      ("WITH " + chatCte + """,
+        |r AS (SELECT doc_id, string_agg(piece, '' ORDER BY turn_idx)
+        |    rendered FROM cp GROUP BY doc_id)
+        |SELECT MIN(doc_id) doc_id, CAST(COUNT(*) AS BIGINT) dup_cnt
+        |FROM r GROUP BY rendered""".stripMargin),
     "q189_semantic_contamination" ->
       """WITH b AS (SELECT vec_id + 1000000 qid,
         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv

@@ -263,6 +263,18 @@ class ChatSpec extends SparkTestBase {
     assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "no pair may vanish")
   }
 
+  test("transcript dedup: rendered-hash identity includes role markup") {
+    val df = toDf(Seq(
+      conv(1L, ("user", "x"), ("assistant", "y")),
+      conv(2L, ("user", "x"), ("assistant", "y")),   // exact duplicate of 1
+      conv(3L, ("assistant", "x"), ("user", "y")))) // same strings, roles swapped
+    val got = graft.ops.Dedup.exact(
+      Chat.flatten(df).select(col("doc_id"), col("rendered").as("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L),
+      "role swap must not collide; duplicate collapses to the smallest id")
+  }
+
   /** Driver-side replay of the exact fixed-point MM update
     * [[Chat.bradleyTerry]] runs — BigInt so the reference itself
     * cannot overflow. */
