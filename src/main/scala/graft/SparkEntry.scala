@@ -1300,6 +1300,33 @@ object SparkEntry {
     "q193_chat_dedup" -> ((s, d) =>
       Dedup.exact(Chat.flatten(chatConv(Tables.documents(s, d)))
         .select(col("doc_id"), col("rendered").as("text")))),
+    // reward-margin gate (Chat.marginGate, the Llama-2 margin /
+    // Zephyr drop-low-margin discipline): hash-derived ppm rewards
+    // with planted classes — %17 inverts the pair (reward model
+    // disagrees with the label), %13 unscores one side (NULL margin,
+    // never kept, always surfaces), %11 forces an exact tie (margin
+    // 0 < 1000, dropped but not inverted)
+    "q194_margin_gate" -> ((s, d) => {
+      val hc = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("mgc"))), lit(1000000L))
+      val hr = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("mgr"))), lit(1000000L))
+      val cRaw = when(pmod(col("doc_id"), lit(13)) === 0,
+        lit(null).cast("long")).otherwise(hc)
+      val c = when(pmod(col("doc_id"), lit(11)) === 0, hr).otherwise(cRaw)
+      val r = when(pmod(col("doc_id"), lit(17)) === 0, hc + lit(500000L))
+        .otherwise(hr)
+      Chat.marginGate(Tables.documents(s, d)
+        .select(col("doc_id").as("pair_id"), c.as("chosen_reward"),
+          r.as("rejected_reward")), minMargin = 1000L)
+    }),
+    // per-source corpus datasheet (Quality.datasheet, Gebru et al.
+    // '21): volume, exact-duplication exposure (q20 md5 rule — a
+    // cross-source dup shows in BOTH rows), and the modal language
+    // with its share, all in exact ppm; the oracle replays the df
+    // count, the rollups, and the (count desc, lang asc) modal window
+    "q195_datasheet" -> ((s, d) =>
+      Quality.datasheet(Tables.documents(s, d))),
     "q191_anneal_mix" -> ((s, d) =>
       Curate.annealMix(
         Tables.documents(s, d)
@@ -3669,6 +3696,51 @@ object SparkEntry {
         |    rendered FROM cp GROUP BY doc_id)
         |SELECT MIN(doc_id) doc_id, CAST(COUNT(*) AS BIGINT) dup_cnt
         |FROM r GROUP BY rendered""".stripMargin),
+    "q194_margin_gate" ->
+      """WITH hx AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || 'mgc') h1,
+        |    md5(CAST(doc_id AS VARCHAR) || 'mgr') h2 FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(SUM((strpos('0123456789abcdef', substr(h1, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v1,
+        |    CAST(SUM((strpos('0123456789abcdef', substr(h2, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v2
+        |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+        |  GROUP BY doc_id),
+        |p AS (SELECT doc_id pair_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN v2 % 1000000
+        |         WHEN doc_id % 13 = 0 THEN NULL
+        |         ELSE v1 % 1000000 END c,
+        |    CASE WHEN doc_id % 17 = 0 THEN v1 % 1000000 + 500000
+        |         ELSE v2 % 1000000 END r
+        |  FROM g)
+        |SELECT pair_id, c chosen_reward, r rejected_reward,
+        |  c - r margin,
+        |  (c IS NOT NULL AND r IS NOT NULL) scored,
+        |  (c IS NOT NULL AND r IS NOT NULL AND c < r) inverted,
+        |  (c IS NOT NULL AND r IS NOT NULL AND c >= r
+        |   AND c - r >= 1000) keep
+        |FROM p""".stripMargin,
+    "q195_datasheet" ->
+      """WITH b AS (SELECT doc_id, source, COALESCE(lang, '') lang,
+        |    COALESCE(length(text), 0) nc,
+        |    COALESCE(md5(text), 'n:' || CAST(doc_id AS VARCHAR)) h
+        |  FROM documents),
+        |d AS (SELECT h, COUNT(*) c FROM b GROUP BY 1),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+        |    CAST(SUM(nc) AS BIGINT) n_chars,
+        |    CAST(COUNT(*) FILTER (WHERE c >= 2) AS BIGINT) dd
+        |  FROM b JOIN d USING (h) GROUP BY 1),
+        |lc AS (SELECT source, lang, COUNT(*) c FROM b GROUP BY 1, 2),
+        |tl AS (SELECT source, lang top_lang, c tc FROM (
+        |    SELECT source, lang, c, row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, lang ASC) rn FROM lc) WHERE rn = 1)
+        |SELECT a.source, n_docs, n_chars,
+        |  n_chars // n_docs mean_chars,
+        |  (1000000 * dd) // n_docs exact_dup_ppm,
+        |  tl.top_lang,
+        |  CAST((1000000 * tc) // n_docs AS BIGINT) top_lang_ppm
+        |FROM a JOIN tl USING (source)""".stripMargin,
     "q189_semantic_contamination" ->
       """WITH b AS (SELECT vec_id + 1000000 qid,
         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv

@@ -407,6 +407,35 @@ object Chat {
           col("ends_assistant")).as("ok"))
   }
 
+  /** Reward-margin gate over SCORED preference pairs — the filter a
+    * DPO/reward-model corpus runs after [[preferencePairs]]'s
+    * structural contracts and before training (Llama 2 §3.2.2 trains
+    * with an explicit margin term and bins pairs by rater confidence;
+    * Zephyr/dDPO-style pipelines drop low-margin pairs outright): per
+    * pair, the chosen-minus-rejected reward margin, the inverted flag
+    * (`rejected` outscoring `chosen` means the label and the reward
+    * model disagree — route to relabeling, not training), and the
+    * keep verdict `margin >= minMargin` on NON-inverted pairs.
+    *
+    * Margins are exact integer reward units (rewards arrive as
+    * fixed-point longs — the q185 convention); a pair missing either
+    * score has NULL margin, `scored` false, and is NEVER kept (the
+    * no-evidence rule) but always surfaces. One scan, zero shuffles:
+    * the gate is a row-local projection, the 100 TB cost is the read. */
+  def marginGate(pairs: DataFrame, minMargin: Long,
+                 idCol: String = "pair_id",
+                 chosenRewardCol: String = "chosen_reward",
+                 rejectedRewardCol: String = "rejected_reward"): DataFrame = {
+    val c = col(chosenRewardCol).cast("long")
+    val r = col(rejectedRewardCol).cast("long")
+    val scored = c.isNotNull && r.isNotNull
+    pairs.select(col(idCol), c.as(chosenRewardCol), r.as(rejectedRewardCol),
+      (c - r).as("margin"),
+      scored.as("scored"),
+      (scored && c < r).as("inverted"),
+      (scored && c >= r && (c - r) >= minMargin).as("keep"))
+  }
+
   /** Bradley–Terry strength estimation from pairwise preference
     * outcomes (Bradley & Terry 1952) via Hunter's MM algorithm
     * ("MM Algorithms for Generalized Bradley–Terry Models", Ann.

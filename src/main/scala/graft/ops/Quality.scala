@@ -734,4 +734,56 @@ object Quality {
       .withColumn("ece_ppm", expr("_wsum div _nsum"))
       .drop("_wsum", "_nsum")
   }
+
+  /** Per-source corpus DATASHEET — the summary block "Datasheets for
+    * Datasets" (Gebru et al. '21, CACM) asks every published corpus to
+    * carry, as one query: per source, the volume (docs, chars, mean
+    * chars), the exact-duplication exposure (ppm of docs whose text is
+    * byte-identical to at least one other doc ANYWHERE in the corpus —
+    * the q20 (md5, length)-keyed rule, so cross-source duplication
+    * shows up in BOTH sources' rows), and the dominant language with
+    * its share (modal lang, ties to the lexicographically smallest —
+    * NULL langs fold to '' so both engines order them identically).
+    *
+    * Exact ppm fixed point; `1e6·dup_docs` routes through
+    * decimal(38,0) (the [[cohenKappa]] overflow discipline — per-source
+    * doc counts pass 9e12 on web-scale corpora). NULL-text docs hash
+    * to a per-doc sentinel (never spuriously "duplicates" of each
+    * other) and count chars as 0.
+    *
+    * Shape at scale: one scan emits (source, lang, md5, len) — text
+    * never shuffles; the df count and both rollups are map-side-
+    * combined aggregations; the modal-lang window runs over the
+    * source×lang alphabet (audit-sized). */
+  def datasheet(documents: DataFrame, sourceCol: String = "source",
+                langCol: String = "lang", idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val base = documents.select(col(idCol), col(sourceCol),
+      coalesce(col(langCol), lit("")).as("_lang"),
+      coalesce(length(col(textCol)).cast("long"), lit(0L)).as("_nc"),
+      coalesce(md5(col(textCol).cast("binary")),
+        concat(lit("n:"), col(idCol).cast("string"))).as("_h"))
+    val dfc = base.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    val vol = base.join(dfc, Seq("_h"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nc")).as("n_chars"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("_dd"))
+    val lc = base.groupBy(col(sourceCol), col("_lang"))
+      .agg(count(lit(1)).as("_lc"))
+    val wTop = Window.partitionBy(col(sourceCol))
+      .orderBy(col("_lc").desc, col("_lang").asc)
+    val top = lc.withColumn("_rn", row_number().over(wTop))
+      .where(col("_rn") === 1)
+      .select(col(sourceCol), col("_lang").as("top_lang"),
+        col("_lc").as("_tc"))
+    vol.join(top, Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), col("n_chars"),
+        expr("n_chars div n_docs").as("mean_chars"),
+        expr("cast((1000000 * cast(_dd as decimal(38,0))) div n_docs as bigint)")
+          .as("exact_dup_ppm"),
+        col("top_lang"),
+        expr("cast((1000000 * cast(_tc as decimal(38,0))) div n_docs as bigint)")
+          .as("top_lang_ppm"))
+  }
 }

@@ -275,6 +275,28 @@ class ChatSpec extends SparkTestBase {
       "role swap must not collide; duplicate collapses to the smallest id")
   }
 
+  test("marginGate: margin classes — kept, low-margin, tie, inverted, unscored") {
+    val pairs = Seq(
+      (1L, Some(5000L), Some(1000L)),  // margin 4000 >= 2000: keep
+      (2L, Some(3000L), Some(2000L)),  // margin 1000 < 2000: drop, not inverted
+      (3L, Some(2000L), Some(2000L)),  // tie: drop, not inverted
+      (4L, Some(1000L), Some(9000L)),  // inverted: reward model disagrees
+      (5L, None, Some(7000L)),         // unscored: NULL margin, surfaces
+      (6L, Some(7000L), None))
+      .toDF("pair_id", "chosen_reward", "rejected_reward")
+    val got = Chat.marginGate(pairs, minMargin = 2000L).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "every pair surfaces")
+    assert(got(1L) == ((Some(4000L), true, false, true)))
+    assert(got(2L) == ((Some(1000L), true, false, false)))
+    assert(got(3L) == ((Some(0L), true, false, false)))
+    assert(got(4L) == ((Some(-8000L), true, true, false)))
+    assert(got(5L) == ((None, false, false, false)))
+    assert(got(6L) == ((None, false, false, false)))
+  }
+
   /** Driver-side replay of the exact fixed-point MM update
     * [[Chat.bradleyTerry]] runs — BigInt so the reference itself
     * cannot overflow. */

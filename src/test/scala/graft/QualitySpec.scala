@@ -368,4 +368,24 @@ class QualitySpec extends SparkTestBase {
     assert(got("A") == ((2L, 0L, true)))
     assert(got("B") == ((1L, 0L, true)))
   }
+
+  test("datasheet: cross-source dup shows in both rows, modal lang ties break low, NULL text is never a dup") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "same text", "en", "A"),
+      (2L, "same text", "de", "B"),     // cross-source exact dup of 1
+      (3L, "unique a", "en", "A"),
+      (4L, "unique b", "de", "A"),      // A langs: en 2, de 1 -> en
+      (5L, null.asInstanceOf[String], "en", "B"),
+      (6L, null.asInstanceOf[String], "de", "B")) // two NULL texts: NOT dups
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.ops.Quality.datasheet(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6)))).toMap
+    // A: 3 docs, 25 chars, 1 dup-exposed doc, modal en (2/3)
+    assert(got("A") == ((3L, 25L, 8L, 333333L, "en", 666666L)))
+    // B: 3 docs (one real + two NULL texts), dup-exposed only doc 2;
+    // langs en 1 / de 2 -> de
+    assert(got("B") == ((3L, 9L, 3L, 333333L, "de", 666666L)))
+  }
 }
