@@ -530,6 +530,76 @@ object ScaleSmoke {
       "sorted batching must give nondecreasing pad targets")
     assert(lgb.where(col("pad_tokens") < 0).count() == 0)
     lgb.unpersist(false)
+    // --- unigram tokenizer at corpus size (round 12) ---
+    // sample-bounded training + one scan-side segmentation pass; the
+    // invariant n_words <= n_pieces <= n_chars must hold corpus-wide
+    // (every word splits into >= 1 piece of >= 1 char each)
+    t0 = System.nanoTime()
+    val uVocab = ops.Unigram.trainVocab(docs)
+    val uSeg = ops.Unigram.segment(docs, uVocab).persist()
+    val uBad = uSeg.where(col("n_pieces") < col("n_words") ||
+      col("n_pieces") > col("n_chars")).count()
+    val uTotals = uSeg.agg(sum("n_words"), sum("n_pieces")).head()
+    println(f"unigram train+segment($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"${uTotals.getLong(0)} words -> ${uTotals.getLong(1)} pieces")
+    assert(uBad == 0, s"piece-count bound violated on $uBad docs")
+    uSeg.unpersist(false)
+    // --- gram novelty at corpus size (round 12) ---
+    // the planted near-dups (every 10th doc copies doc i-1 with one
+    // token changed) must read as high-dup: all but the ~5 grams
+    // overlapping the changed position are shared with the source
+    t0 = System.nanoTime()
+    val gn = Dedup.gramNovelty(docs, n = 5).persist()
+    val nearDup = gn.where(pmod(col("doc_id"), lit(10)) === 0 &&
+      col("doc_id") >= 10)
+    val nearHigh = nearDup.where(col("dup_ppm") >= 900000L).count()
+    val nearAll = nearDup.count()
+    val zeroCnt = gn.where(col("dup_ppm") === 0L).count()
+    println(f"gramNovelty($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"$nearHigh/$nearAll planted near-dups >= 900k ppm, $zeroCnt fully novel")
+    assert(nearHigh == nearAll, "every planted near-dup must read high-dup")
+    assert(zeroCnt >= (n * 7L) / 10, "the unplanted bulk must read novel")
+    gn.unpersist(false)
+    // --- anneal mixture at corpus size (round 12) ---
+    // both invariants corpus-wide: per-source anneal cost <= share cap,
+    // global anneal cost <= budget; every row carries a phase
+    t0 = System.nanoTime()
+    val aBudget = 1000000L
+    val aDocs = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(20)).cast("string").as("source"),
+      length(col("text")).cast("long").as("n_chars"),
+      (pmod(col("doc_id"), lit(3)) === 0).as("elig"))
+    val am = ops.Curate.annealMix(aDocs, "doc_id", "source", "n_chars",
+      "elig", annealBudget = aBudget, maxSourcePermille = 100).persist()
+    val amTotal = am.count()
+    val annealed = am.where(col("phase") === "anneal")
+    val gSum = annealed.agg(coalesce(sum("n_chars"), lit(0L))).head().getLong(0)
+    val worstSrc = annealed.groupBy("source").agg(sum("n_chars").as("s"))
+      .agg(coalesce(max("s"), lit(0L))).head().getLong(0)
+    println(f"annealMix($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"global $gSum/$aBudget, worst source $worstSrc/${aBudget / 10}")
+    assert(amTotal == n, "phase totality")
+    assert(gSum <= aBudget && worstSrc <= aBudget / 10)
+    am.unpersist(false)
+    // --- Bradley-Terry at 10x corpus rows (round 12) ---
+    // 1M games between 64 players: ONE corpus aggregation, then 8 MM
+    // rounds over the 64-row strength frame — iteration cost must be
+    // corpus-independent (tiny-frame joins only)
+    t0 = System.nanoTime()
+    val g10 = spark.range(10L * n).select(
+      pmod(col("id"), lit(64L)).as("a"),
+      pmod(expr("id div 64"), lit(64L)).as("b"),
+      pmod(xxhash64(col("id")), lit(128L)).as("h"))
+      .where(col("a") =!= col("b"))
+      .select(when(col("h") <= col("b"), col("a")).otherwise(col("b")).as("winner"),
+        when(col("h") <= col("b"), col("b")).otherwise(col("a")).as("loser"))
+    val bt = ops.Chat.bradleyTerry(g10, iters = 8).persist()
+    val btRows = bt.count()
+    val btPos = bt.where(col("strength_ppm") <= 0L).count()
+    println(f"bradleyTerry(${10L * n} games, 64 players): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, $btRows items")
+    assert(btRows == 64L && btPos == 0L)
+    bt.unpersist(false)
     spark.stop()
   }
 }
