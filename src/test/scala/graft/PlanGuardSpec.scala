@@ -164,6 +164,35 @@ class PlanGuardSpec extends SparkTestBase {
       .contains("BroadcastHashJoin"), "q135 lost its broadcast resolution")
   }
 
+  test("round-12 additions hold their plan budgets") {
+    // q188/q194: pure scan-side passes (mapPartitions segmentation /
+    // row-local margin projection) — ZERO shuffles
+    assert(shuffles(q("q188_unigram_segment")) == 0, "q188 grew a shuffle")
+    assert(shuffles(q("q194_margin_gate")) == 0, "q194 grew a shuffle")
+    // q189: bench probes broadcast; the only exchange is the drop-list
+    // groupBy — vectors must never shuffle
+    assert(shuffles(q("q189_semantic_contamination")) <= 1,
+      "q189 grew beyond the drop-list aggregation")
+    assert(broadcasts(q("q189_semantic_contamination")) >= 1,
+      "q189 must broadcast the probe set")
+    // q192: the segment pass (0) + source join + the source rollup
+    assert(shuffles(q("q192_unigram_fertility")) <= 2, "q192 grew extra exchanges")
+    // q193: render agg + the (md5, len) dedup agg
+    assert(shuffles(q("q193_chat_dedup")) <= 2, "q193 grew extra exchanges")
+    // q190: (doc,gram) distinct + df agg + the key join + per-doc rollup
+    assert(shuffles(q("q190_gram_novelty")) <= 4, "q190 grew extra exchanges")
+    // q191: two budgetPerGroup stages (2 windows each at the bucketed
+    // level) — the eligible frame is small enough for AQE to collapse,
+    // budget is the census shape
+    assert(shuffles(q("q191_anneal_mix")) <= 4, "q191 grew extra exchanges")
+    // q195: df agg + volume rollup + lang rollup + modal window
+    assert(shuffles(q("q195_datasheet")) <= 4, "q195 grew extra exchanges")
+    // q187: the iteration shuffles live behind per-round checkpoints
+    // (censused through CheckpointAudit in PLANS.md); the final read
+    // is the item join only
+    assert(shuffles(q("q187_bradley_terry")) <= 4, "q187's final join grew")
+  }
+
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
     // round-6 blind spot: these queries' final plans are a bare
     // Scan ExistingRDD (0 shuffles), so a shuffle regression inside them
