@@ -1327,6 +1327,19 @@ object SparkEntry {
     // count, the rollups, and the (count desc, lang asc) modal window
     "q195_datasheet" -> ((s, d) =>
       Quality.datasheet(Tables.documents(s, d))),
+    // one HARD-EM (Viterbi-EM) vocabulary refinement round
+    // (Unigram.emRound, Kudo '18 §3.2's EM with Viterbi-path counts —
+    // the integer-replayable variant): re-segment the training sample
+    // under the seed vocab, count pieces the chosen paths actually
+    // USE (UNK chars absorbed), prune never-used pieces, re-score by
+    // usage; corpus re-segmented under the refined vocab. The oracle
+    // replays the round end to end — the sample DP carries its chosen
+    // PATH as a string through the recursion, so the usage counts are
+    // the exact Viterbi choices
+    "q196_unigram_em" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Unigram.segment(docs, Unigram.emRound(docs, Unigram.trainVocab(docs)))
+    }),
     "q191_anneal_mix" -> ((s, d) =>
       Curate.annealMix(
         Tables.documents(s, d)
@@ -2272,13 +2285,11 @@ object SparkEntry {
     * global df/avgdl → fixed-point idf/tf-weight/term floor-then-sum →
     * per-query rank in `r`); shared by q143 (the top-k report) and q147
     * (reciprocal-rank fusion with the cosine ranks). */
-  /** Shared unigram-tokenizer replay (q188/q192): vocabulary training
-    * over the md5-ordered sample, then the Viterbi DP as a recursive
-    * CTE (state = last four (best, npieces) pairs, one character per
-    * step, cand*8+k tie key). Ends with `dw` (per-doc word counts)
-    * and `fin` (per-word Viterbi results); callers must open with
-    * WITH RECURSIVE. */
-  private val unigramCte: String =
+  /** Shared unigram-tokenizer training replay (q188/q192/q196):
+    * vocabulary = top-512 sample substrings with ilog2 integer
+    * log2-prob scores. Callers must open with WITH RECURSIVE when they
+    * append a DP CTE. */
+  private val unigramTrainCte: String =
     """smp AS (SELECT text FROM documents
       |        ORDER BY md5(CAST(doc_id AS VARCHAR) || 'uni') LIMIT 256),
       |sw AS (SELECT unnest(regexp_extract_all(text,
@@ -2291,48 +2302,88 @@ object SparkEntry {
       |tot AS (SELECT SUM(c) s FROM cnt),
       |voc AS MATERIALIZED (SELECT piece,
       |    CAST(length(bin((c * 1073741824) // s)) - 31 AS BIGINT) score
-      |  FROM cnt, tot ORDER BY c DESC, piece LIMIT 512),
-      |dw AS MATERIALIZED (SELECT doc_id, w, COUNT(*) m
+      |  FROM cnt, tot ORDER BY c DESC, piece LIMIT 512)""".stripMargin
+
+  /** Per-doc word-count CTEs over the corpus (`dw` + `uw`). */
+  private val unigramCorpusWordsCte: String =
+    """dw AS MATERIALIZED (SELECT doc_id, w, COUNT(*) m
       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
       |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM documents)
       |  GROUP BY 1, 2),
-      |uw AS MATERIALIZED (SELECT DISTINCT w FROM dw),
-      |vt(w, pos, b1, n1, b2, n2, b3, n3, b4, n4) AS (
-      |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-      |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-      |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-      |      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-      |  FROM uw
-      |  UNION ALL
-      |  SELECT w, pos + 1,
-      |    CASE WHEN mk = k4 THEN c4 WHEN mk = k3 THEN c3
-      |         WHEN mk = k2 THEN c2 ELSE c1 END,
-      |    CASE WHEN mk = k4 THEN n4 + 1 WHEN mk = k3 THEN n3 + 1
-      |         WHEN mk = k2 THEN n2 + 1 ELSE n1 + 1 END,
-      |    b1, n1, b2, n2, b3, n3
-      |  FROM (SELECT w, pos, b1, n1, b2, n2, b3, n3, n4, c1, c2, c3, c4,
-      |      k1, k2, k3, k4, GREATEST(k1, k2, k3, k4) mk
-      |    FROM (SELECT w, pos, b1, n1, b2, n2, b3, n3, n4, c1, c2, c3, c4,
-      |        c1 * 8 + 1 k1,
-      |        COALESCE(c2 * 8 + 2, -4611686018427387904) k2,
-      |        COALESCE(c3 * 8 + 3, -4611686018427387904) k3,
-      |        COALESCE(c4 * 8 + 4, -4611686018427387904) k4
-      |      FROM (SELECT v.w, v.pos, v.b1, v.n1, v.b2, v.n2, v.b3, v.n3, v.n4,
-      |          v.b1 + COALESCE(v1.score, -40) c1,
-      |          v.b2 + v2.score c2,
-      |          v.b3 + v3.score c3,
-      |          v.b4 + v4.score c4
-      |        FROM vt v
-      |          LEFT JOIN voc v1 ON v1.piece = substr(v.w, v.pos + 1, 1)
-      |          LEFT JOIN voc v2
-      |            ON v.pos >= 1 AND v2.piece = substr(v.w, v.pos, 2)
-      |          LEFT JOIN voc v3
-      |            ON v.pos >= 2 AND v3.piece = substr(v.w, v.pos - 1, 3)
-      |          LEFT JOIN voc v4
-      |            ON v.pos >= 3 AND v4.piece = substr(v.w, v.pos - 2, 4)
-      |        WHERE v.pos < length(v.w))))),
-      |fin AS MATERIALIZED (SELECT w, b1 score, n1 np FROM vt
-      |  WHERE pos = length(w))""".stripMargin
+      |uw AS MATERIALIZED (SELECT DISTINCT w FROM dw)""".stripMargin
+
+  /** The Viterbi DP as a recursive CTE: state = the last four
+    * (best score, payload) pairs, advancing one character per step,
+    * candidates keyed `cand*8 + k` (all keys distinct mod 8, ties to
+    * the longer piece), -2^62 the invalid-candidate sentinel. Two
+    * payload modes: piece COUNTS (`paths=false` — n_k+1 on extension)
+    * or the chosen piece PATH as a space-joined string (`paths=true` —
+    * words never contain whitespace, so the join is unambiguous).
+    * `name` is the emitted CTE, `voc` the score table, `src` the
+    * distinct-word source (column `w`). */
+  private def unigramDpCte(name: String, voc: String, src: String,
+                           paths: Boolean): String = {
+    val (init, ext, typ) =
+      if (paths) (
+        "''",
+        (k: Int) => s"CASE WHEN g$k = '' THEN p$k ELSE g$k || ' ' || p$k END",
+        "VARCHAR")
+      else (
+        "CAST(0 AS BIGINT)",
+        (k: Int) => s"n$k + 1",
+        "BIGINT")
+    val pay = if (paths) "g" else "n"
+    s"""$name(w, pos, b1, ${pay}1, b2, ${pay}2, b3, ${pay}3, b4, ${pay}4) AS (
+       |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), $init,
+       |      CAST(NULL AS BIGINT), CAST(NULL AS $typ),
+       |      CAST(NULL AS BIGINT), CAST(NULL AS $typ),
+       |      CAST(NULL AS BIGINT), CAST(NULL AS $typ)
+       |  FROM $src
+       |  UNION ALL
+       |  SELECT w, pos + 1,
+       |    CASE WHEN mk = k4 THEN c4 WHEN mk = k3 THEN c3
+       |         WHEN mk = k2 THEN c2 ELSE c1 END,
+       |    CASE WHEN mk = k4 THEN ${ext(4)} WHEN mk = k3 THEN ${ext(3)}
+       |         WHEN mk = k2 THEN ${ext(2)} ELSE ${ext(1)} END,
+       |    b1, ${pay}1, b2, ${pay}2, b3, ${pay}3
+       |  FROM (SELECT w, pos, b1, ${pay}1, b2, ${pay}2, b3, ${pay}3, ${pay}4,
+       |      c1, c2, c3, c4, p1, p2, p3, p4,
+       |      k1, k2, k3, k4, GREATEST(k1, k2, k3, k4) mk
+       |    FROM (SELECT w, pos, b1, ${pay}1, b2, ${pay}2, b3, ${pay}3, ${pay}4,
+       |        c1, c2, c3, c4, p1, p2, p3, p4,
+       |        c1 * 8 + 1 k1,
+       |        COALESCE(c2 * 8 + 2, -4611686018427387904) k2,
+       |        COALESCE(c3 * 8 + 3, -4611686018427387904) k3,
+       |        COALESCE(c4 * 8 + 4, -4611686018427387904) k4
+       |      FROM (SELECT v.w, v.pos, v.b1, v.${pay}1, v.b2, v.${pay}2,
+       |          v.b3, v.${pay}3, v.${pay}4,
+       |          substr(v.w, v.pos + 1, 1) p1, substr(v.w, v.pos, 2) p2,
+       |          substr(v.w, v.pos - 1, 3) p3, substr(v.w, v.pos - 2, 4) p4,
+       |          v.b1 + COALESCE(v1.score, -40) c1,
+       |          v.b2 + v2.score c2,
+       |          v.b3 + v3.score c3,
+       |          v.b4 + v4.score c4
+       |        FROM $name v
+       |          LEFT JOIN $voc v1 ON v1.piece = substr(v.w, v.pos + 1, 1)
+       |          LEFT JOIN $voc v2
+       |            ON v.pos >= 1 AND v2.piece = substr(v.w, v.pos, 2)
+       |          LEFT JOIN $voc v3
+       |            ON v.pos >= 2 AND v3.piece = substr(v.w, v.pos - 1, 3)
+       |          LEFT JOIN $voc v4
+       |            ON v.pos >= 3 AND v4.piece = substr(v.w, v.pos - 2, 4)
+       |        WHERE v.pos < length(v.w)))))""".stripMargin
+  }
+
+  /** The q188-shape per-doc rollup over a finished corpus DP. */
+  private def unigramAggTail(fin: String): String =
+    s"""agg AS (SELECT doc_id, SUM(m) nw, SUM(m * length(w)) nc,
+       |    SUM(m * np) npc, SUM(m * score) sf
+       |  FROM dw JOIN $fin USING (w) GROUP BY 1)
+       |SELECT d.doc_id, CAST(COALESCE(nw, 0) AS BIGINT) n_words,
+       |  CAST(COALESCE(nc, 0) AS BIGINT) n_chars,
+       |  CAST(COALESCE(npc, 0) AS BIGINT) n_pieces,
+       |  CAST(COALESCE(sf, 0) AS BIGINT) score_fx
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
 
   private val bm25Cte: String =
     """tokd AS (SELECT doc_id, list_filter(
@@ -3663,17 +3714,16 @@ object SparkEntry {
     // CASE dispatch is unambiguous); -2^62 is the "invalid
     // candidate" sentinel, unreachable by any real key
     "q188_unigram_segment" ->
-      ("WITH RECURSIVE " + unigramCte + """,
-        |agg AS (SELECT doc_id, SUM(m) nw, SUM(m * length(w)) nc,
-        |    SUM(m * np) npc, SUM(m * score) sf
-        |  FROM dw JOIN fin USING (w) GROUP BY 1)
-        |SELECT d.doc_id, CAST(COALESCE(nw, 0) AS BIGINT) n_words,
-        |  CAST(COALESCE(nc, 0) AS BIGINT) n_chars,
-        |  CAST(COALESCE(npc, 0) AS BIGINT) n_pieces,
-        |  CAST(COALESCE(sf, 0) AS BIGINT) score_fx
-        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin),
+      ("WITH RECURSIVE " + unigramTrainCte + ",\n" + unigramCorpusWordsCte +
+        ",\n" + unigramDpCte("vt", "voc", "uw", paths = false) + """,
+        |fin AS MATERIALIZED (SELECT w, b1 score, n1 np FROM vt
+        |  WHERE pos = length(w)),
+        |""".stripMargin + unigramAggTail("fin")),
     "q192_unigram_fertility" ->
-      ("WITH RECURSIVE " + unigramCte + """,
+      ("WITH RECURSIVE " + unigramTrainCte + ",\n" + unigramCorpusWordsCte +
+        ",\n" + unigramDpCte("vt", "voc", "uw", paths = false) + """,
+        |fin AS MATERIALIZED (SELECT w, b1 score, n1 np FROM vt
+        |  WHERE pos = length(w)),
         |agg AS (SELECT doc_id, SUM(m) nw, SUM(m * length(w)) nc,
         |    SUM(m * np) npc
         |  FROM dw JOIN fin USING (w) GROUP BY 1),
@@ -3690,6 +3740,26 @@ object SparkEntry {
         |    CAST((1000000 * SUM(npc)) // SUM(nc) AS BIGINT) END
         |    pieces_per_char_ppm
         |FROM j GROUP BY 1""".stripMargin),
+    "q196_unigram_em" ->
+      ("WITH RECURSIVE " + unigramTrainCte + """,
+        |swc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) m
+        |  FROM sw GROUP BY 1),
+        |usw AS MATERIALIZED (SELECT w FROM swc),
+        |""".stripMargin + unigramDpCte("vs", "voc", "usw", paths = true) + """,
+        |fins AS MATERIALIZED (SELECT w, g1 seg FROM vs
+        |  WHERE pos = length(w)),
+        |used AS MATERIALIZED (SELECT piece, CAST(SUM(m) AS BIGINT) c
+        |  FROM (SELECT w, unnest(string_split(seg, ' ')) piece FROM fins)
+        |    JOIN swc USING (w) GROUP BY 1),
+        |tot2 AS (SELECT SUM(c) s FROM used),
+        |voc2 AS MATERIALIZED (SELECT piece,
+        |    CAST(length(bin((c * 1073741824) // s)) - 31 AS BIGINT) score
+        |  FROM used, tot2 ORDER BY c DESC, piece LIMIT 512),
+        |""".stripMargin + unigramCorpusWordsCte + ",\n" +
+        unigramDpCte("vt2", "voc2", "uw", paths = false) + """,
+        |fin2 AS MATERIALIZED (SELECT w, b1 score, n1 np FROM vt2
+        |  WHERE pos = length(w)),
+        |""".stripMargin + unigramAggTail("fin2")),
     "q193_chat_dedup" ->
       ("WITH " + chatCte + """,
         |r AS (SELECT doc_id, string_agg(piece, '' ORDER BY turn_idx)

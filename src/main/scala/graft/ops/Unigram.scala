@@ -204,6 +204,60 @@ object Unigram {
       }(enc)
   }
 
+  /** One HARD-EM (Viterbi-EM) refinement round — the deterministic core
+    * of the paper's EM vocabulary optimization (Kudo '18 §3.2 trains
+    * piece probabilities by EM; the hard-EM variant replaces expected
+    * counts with Viterbi-path counts, which makes the round exactly
+    * replayable in integers where soft-EM's float posteriors are not):
+    *
+    *   1. Viterbi-segment every word of the SAME md5-ordered sample
+    *      under the current vocabulary (occurrence-weighted);
+    *   2. count how often each piece is actually USED on the chosen
+    *      paths — single-char UNK fallbacks count too, so characters
+    *      the seed vocabulary missed get absorbed with real scores
+    *      (the paper's always-kept character inventory);
+    *   3. PRUNE pieces the Viterbi paths never use (the EM prune: a
+    *      piece that loses every segmentation contest carries no
+    *      probability mass), cap at `vocabSize` by the same
+    *      (count desc, piece byte-asc) rule, and re-score by exact
+    *      integer log2 of usage probability.
+    *
+    * The returned vocabulary drops dead weight and sharpens scores
+    * toward pieces that win segmentations — one round is the
+    * documented deviation (fixed-point iteration to convergence adds
+    * rounds of the same shape; each is oracle-replayable the same
+    * way). Training stays a bounded driver computation on the sample
+    * (the [[trainVocab]] shape); the q196 oracle replays the round in
+    * SQL — the sample segmentation's CHOSEN PIECES come out of the
+    * recursive-CTE DP by carrying the path string per state. */
+  def emRound(documents: DataFrame, vocab: Seq[(String, Long)],
+              vocabSize: Int = 512, maxPieceLen: Int = 4,
+              sampleDocs: Int = 256, salt: String = "uni"): Seq[(String, Long)] = {
+    val texts = documents
+      .select(col("text"),
+        md5(concat(col("doc_id").cast("string"), lit(salt))).as("_o"))
+      .orderBy(col("_o"))
+      .limit(sampleDocs)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val v0 = vocab.toMap
+    val used = mutable.Map.empty[String, Long]
+    val memo = mutable.Map.empty[String, Vector[String]]
+    texts.foreach(t => wordRe.findAllIn(t).foreach { w =>
+      memo.getOrElseUpdate(w, segmentWord(w, v0, maxPieceLen)._1)
+        .foreach(p => used(p) = used.getOrElse(p, 0L) + 1L)
+    })
+    val total = used.valuesIterator.sum
+    require(total > 0, "empty sample: no pieces used")
+    require(total < Scale,
+      s"sample piece-usage count $total >= 2^30 breaks the score floor")
+    used.toVector
+      .sortWith { case ((pa, ca), (pb, cb)) =>
+        if (ca != cb) ca > cb else byteLt(pa, pb)
+      }
+      .take(vocabSize)
+      .map { case (p, c) => p -> (ilog2(c * Scale / total) - 30L) }
+  }
+
   /** Per-source tokenizer FERTILITY report — the audit run before a
     * tokenizer choice ships (fertility = pieces per word, the standard
     * cross-lingual tokenizer-quality metric; a source whose fertility

@@ -70,6 +70,29 @@ class UnigramSpec extends SparkTestBase {
     assert(got(3L) == ((0L, 0L, 0L, 0L)), "NULL text must not vanish")
   }
 
+  test("emRound: unused pieces pruned, UNK chars absorbed, scores sharpen toward used pieces") {
+    val docs = Seq(
+      (1L, "abab abab zq"),
+      (2L, "abab cd")).toDF("doc_id", "text")
+    // seed vocab: 'ab' wins every segmentation; 'ba' and 'abab' are
+    // trained-in but never on a Viterbi path ('abab' scores worse than
+    // ab+ab here); 'z','q' are NOT in the seed (UNK fallback)
+    val v0 = Seq("ab" -> -2L, "ba" -> -9L, "abab" -> -9L,
+      "a" -> -8L, "b" -> -8L, "c" -> -3L, "d" -> -3L)
+    val v1 = Unigram.emRound(docs, v0, sampleDocs = 8).toMap
+    assert(!v1.contains("ba") && !v1.contains("abab"),
+      "pieces off every Viterbi path must be pruned")
+    assert(v1.contains("z") && v1.contains("q"),
+      "UNK-fallback characters must be absorbed with real scores")
+    assert(v1.contains("ab") && v1("ab") >= -30L && v1("ab") <= 0L)
+    // 'ab' is used 6x of 10 total pieces -> it outscores 'cd'-class
+    // singles (1x each)
+    assert(v1("ab") > v1("c"), "usage-dominant pieces must score higher")
+    // the refined vocab still segments the corpus losslessly
+    val (ps, _) = Unigram.segmentWord("ababzq", v1, 4)
+    assert(ps.mkString == "ababzq")
+  }
+
   test("fertilityReport: ppm ratios per source, zero-word sources keep NULL ratios") {
     val docs = Seq(
       (1L, "aa aa", "s1"),       // 2 words, 4 chars, 2 pieces under {aa}
