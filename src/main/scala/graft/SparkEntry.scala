@@ -1224,18 +1224,16 @@ object SparkEntry {
     // in decimal-routed ppm fixed point with the MAP ghost-game prior;
     // the oracle replays the hash, the schedule, and all 8 updates as
     // chained CTEs (the unrolled-iteration discipline)
-    "q187_bradley_terry" -> ((s, d) => {
-      val a = pmod(col("doc_id"), lit(8L))
-      val b = pmod(expr("doc_id div 8"), lit(8L))
-      val h = pmod(Kmv.hash48(
-        concat(col("doc_id").cast("string"), lit("bt"))), a + b + lit(2L))
-      val g = Tables.documents(s, d)
-        .select(a.as("a"), b.as("b"), h.as("h"))
-        .where(col("a") =!= col("b"))
-        .select(
-          when(col("h") <= col("b"), col("a")).otherwise(col("b")).as("winner"),
-          when(col("h") <= col("b"), col("b")).otherwise(col("a")).as("loser"))
-      Chat.bradleyTerry(g, iters = 8)
+    "q187_bradley_terry" -> ((s, d) =>
+      Chat.bradleyTerry(btGames(s, d), iters = 8)),
+    // BT goodness-of-fit (Chat.btFitReport): per pair, empirical win
+    // rate vs the fitted s_a/(s_a+s_b) probability and the residual —
+    // the coherence triage read next to q187's strengths; same game
+    // schedule, oracle extends the unrolled-MM chain with the pair
+    // rollup and the fit arithmetic
+    "q197_bt_fit" -> ((s, d) => {
+      val g = btGames(s, d)
+      Chat.btFitReport(g, Chat.bradleyTerry(g, iters = 8))
     }),
     // unigram-LM (SentencePiece-family) tokenizer (Unigram, Kudo '18):
     // the second tokenizer next to BPE — vocab = top-512 substrings
@@ -2133,6 +2131,23 @@ object SparkEntry {
     * simulation relies on). Fixed rather than trained because the
     * oracle must hold the same literal; the trained-table composition
     * is ChatSpec's round-trip. */
+  /** The q187/q197 game schedule: 8 pseudo-policies, a = doc_id%8 vs
+    * b = (doc_id div 8)%8, winner by the replayable rule "a wins iff
+    * hash48 mod (a+b+2) <= b" (P = (b+1)/(a+b+2) — lower indices are
+    * genuinely stronger). */
+  private def btGames(s: SparkSession, d: String): DataFrame = {
+    val a = pmod(col("doc_id"), lit(8L))
+    val b = pmod(expr("doc_id div 8"), lit(8L))
+    val h = pmod(Kmv.hash48(
+      concat(col("doc_id").cast("string"), lit("bt"))), a + b + lit(2L))
+    Tables.documents(s, d)
+      .select(a.as("a"), b.as("b"), h.as("h"))
+      .where(col("a") =!= col("b"))
+      .select(
+        when(col("h") <= col("b"), col("a")).otherwise(col("b")).as("winner"),
+        when(col("h") <= col("b"), col("b")).otherwise(col("a")).as("loser"))
+  }
+
   private val subwordMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
     "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t", "e" -> "n",
@@ -2285,6 +2300,54 @@ object SparkEntry {
     * global df/avgdl → fixed-point idf/tf-weight/term floor-then-sum →
     * per-query rank in `r`); shared by q143 (the top-k report) and q147
     * (reciprocal-rank fusion with the cosine ranks). */
+  /** Shared Bradley-Terry replay (q187/q197): the hash game schedule,
+    * the pair/wins/item frames, and all 8 unrolled MM updates as
+    * chained MATERIALIZED CTEs (plain CTEs re-inline exponentially).
+    * Ends with `gm` (games), `it` (items) and `s8` (final strengths). */
+  private val btCtes: String = {
+    val iterCtes = (1 to 8).map { t =>
+      val p = t - 1
+      s"""d$t AS MATERIALIZED (SELECT item, CAST(SUM(term) AS BIGINT) dsum FROM (
+         |    SELECT pr.a item, (pr.n * 1000000000000) // (sa.s + sb.s) term
+         |      FROM pr JOIN s$p sa ON sa.item = pr.a
+         |        JOIN s$p sb ON sb.item = pr.b
+         |    UNION ALL
+         |    SELECT pr.b item, (pr.n * 1000000000000) // (sa.s + sb.s) term
+         |      FROM pr JOIN s$p sa ON sa.item = pr.a
+         |        JOIN s$p sb ON sb.item = pr.b
+         |  ) GROUP BY item),
+         |r$t AS MATERIALIZED (SELECT it.item,
+         |    CAST(((it.wins + 1) * 1000000000000) //
+         |      (COALESCE(d$t.dsum, 0) + 2000000000000 // (s$p.s + 1000000))
+         |      AS BIGINT) raw
+         |  FROM it JOIN s$p ON s$p.item = it.item
+         |    LEFT JOIN d$t ON d$t.item = it.item),
+         |s$t AS MATERIALIZED (SELECT item, CAST((raw * (SELECT COUNT(*) FROM it) * 1000000)
+         |    // (SELECT CAST(SUM(raw) AS BIGINT) FROM r$t) AS BIGINT) s FROM r$t)""".stripMargin
+    }.mkString(",\n")
+    s"""hx AS (SELECT doc_id, doc_id % 8 a, (doc_id // 8) % 8 b,
+       |    md5(CAST(doc_id AS VARCHAR) || 'bt') h FROM documents),
+       |g0 AS (SELECT doc_id, a, b, CAST(SUM(
+       |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+       |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+       |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+       |  GROUP BY doc_id, a, b),
+       |gm AS MATERIALIZED (SELECT
+       |    CASE WHEN v % (a + b + 2) <= b THEN a ELSE b END winner,
+       |    CASE WHEN v % (a + b + 2) <= b THEN b ELSE a END loser
+       |  FROM g0 WHERE a <> b),
+       |pr AS MATERIALIZED (SELECT LEAST(winner, loser) a, GREATEST(winner, loser) b,
+       |    COUNT(*) n FROM gm GROUP BY 1, 2),
+       |wn AS MATERIALIZED (SELECT winner item, COUNT(*) wins FROM gm GROUP BY 1),
+       |it AS MATERIALIZED (SELECT item, CAST(COUNT(*) AS BIGINT) games,
+       |    CAST(COALESCE(MAX(wins), 0) AS BIGINT) wins
+       |  FROM (SELECT winner item FROM gm UNION ALL SELECT loser FROM gm)
+       |    LEFT JOIN wn USING (item) GROUP BY item),
+       |s0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) s FROM it),
+       |$iterCtes"""
+      .stripMargin
+  }
+
   /** Shared unigram-tokenizer training replay (q188/q192/q196):
     * vocabulary = top-512 sample substrings with ilog2 integer
     * log2-prob scores. Callers must open with WITH RECURSIVE when they
@@ -3660,50 +3723,23 @@ object SparkEntry {
     // Hunter '04 MM replay: the hash schedule, then 8 unrolled update
     // CTEs — every division has positive operands, so DuckDB's
     // flooring // equals Spark's truncating div step for step
-    "q187_bradley_terry" -> {
-      val iterCtes = (1 to 8).map { t =>
-        val p = t - 1
-        s"""d$t AS MATERIALIZED (SELECT item, CAST(SUM(term) AS BIGINT) dsum FROM (
-           |    SELECT pr.a item, (pr.n * 1000000000000) // (sa.s + sb.s) term
-           |      FROM pr JOIN s$p sa ON sa.item = pr.a
-           |        JOIN s$p sb ON sb.item = pr.b
-           |    UNION ALL
-           |    SELECT pr.b item, (pr.n * 1000000000000) // (sa.s + sb.s) term
-           |      FROM pr JOIN s$p sa ON sa.item = pr.a
-           |        JOIN s$p sb ON sb.item = pr.b
-           |  ) GROUP BY item),
-           |r$t AS MATERIALIZED (SELECT it.item,
-           |    CAST(((it.wins + 1) * 1000000000000) //
-           |      (COALESCE(d$t.dsum, 0) + 2000000000000 // (s$p.s + 1000000))
-           |      AS BIGINT) raw
-           |  FROM it JOIN s$p ON s$p.item = it.item
-           |    LEFT JOIN d$t ON d$t.item = it.item),
-           |s$t AS MATERIALIZED (SELECT item, CAST((raw * (SELECT COUNT(*) FROM it) * 1000000)
-           |    // (SELECT CAST(SUM(raw) AS BIGINT) FROM r$t) AS BIGINT) s FROM r$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH hx AS (SELECT doc_id, doc_id % 8 a, (doc_id // 8) % 8 b,
-         |    md5(CAST(doc_id AS VARCHAR) || 'bt') h FROM documents),
-         |g0 AS (SELECT doc_id, a, b, CAST(SUM(
-         |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
-         |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
-         |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
-         |  GROUP BY doc_id, a, b),
-         |gm AS MATERIALIZED (SELECT
-         |    CASE WHEN v % (a + b + 2) <= b THEN a ELSE b END winner,
-         |    CASE WHEN v % (a + b + 2) <= b THEN b ELSE a END loser
-         |  FROM g0 WHERE a <> b),
-         |pr AS MATERIALIZED (SELECT LEAST(winner, loser) a, GREATEST(winner, loser) b,
-         |    COUNT(*) n FROM gm GROUP BY 1, 2),
-         |wn AS MATERIALIZED (SELECT winner item, COUNT(*) wins FROM gm GROUP BY 1),
-         |it AS MATERIALIZED (SELECT item, CAST(COUNT(*) AS BIGINT) games,
-         |    CAST(COALESCE(MAX(wins), 0) AS BIGINT) wins
-         |  FROM (SELECT winner item FROM gm UNION ALL SELECT loser FROM gm)
-         |    LEFT JOIN wn USING (item) GROUP BY item),
-         |s0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) s FROM it),
-         |$iterCtes
-         |SELECT it.item, it.wins, it.games, s8.s strength_ppm
-         |FROM it JOIN s8 USING (item)""".stripMargin
-    },
+    "q187_bradley_terry" ->
+      ("WITH " + btCtes + """
+        |SELECT it.item, it.wins, it.games, s8.s strength_ppm
+        |FROM it JOIN s8 USING (item)""".stripMargin),
+    "q197_bt_fit" ->
+      ("WITH " + btCtes + """,
+        |pw AS (SELECT LEAST(winner, loser) a, GREATEST(winner, loser) b,
+        |    CAST(COUNT(*) AS BIGINT) n_games,
+        |    CAST(COUNT(*) FILTER (WHERE winner < loser) AS BIGINT) wins_a
+        |  FROM gm GROUP BY 1, 2)
+        |SELECT pw.a, pw.b, pw.n_games, pw.wins_a,
+        |  (1000000 * wins_a) // n_games emp_a_ppm,
+        |  (1000000 * sa.s) // (sa.s + sb.s) fit_a_ppm,
+        |  (1000000 * wins_a) // n_games
+        |    - (1000000 * sa.s) // (sa.s + sb.s) residual_ppm
+        |FROM pw JOIN s8 sa ON sa.item = pw.a
+        |  JOIN s8 sb ON sb.item = pw.b""".stripMargin),
     // the oracle replays the TOKENIZER end to end: vocab training as a
     // substring-count aggregation over the same md5-ordered sample
     // (score = length(bin(p*2^30 div total)) - 31, the Perplexity

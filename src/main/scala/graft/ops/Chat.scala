@@ -530,4 +530,41 @@ object Chat {
       .select(col("item"), col("wins"), col("games"),
         col("s").as("strength_ppm"))
   }
+
+  /** Bradley–Terry goodness-of-fit report — the audit read next to
+    * [[bradleyTerry]]'s strengths: per unordered item pair, the
+    * EMPIRICAL win rate of the smaller-id item against the model's
+    * FITTED probability `s_a/(s_a+s_b)` (the BT likelihood itself),
+    * and their residual. Pairs whose residuals run large are where the
+    * preference data is NOT coherently pairwise-rankable (cyclic
+    * preferences, annotator populations with different tastes, or a
+    * context-dependent winner) — exactly the pairs a preference-data
+    * owner triages before trusting a scalar reward model.
+    *
+    * Exact ppm fixed point, products decimal(38,0)-routed, every
+    * division's operands positive except the final residual SUBTRACTION
+    * (division-free, so no floor/truncate divergence). Shape at scale:
+    * one map-side-combined pair aggregation over the game table plus
+    * two broadcast joins against the item-bounded strengths frame. */
+  def btFitReport(games: DataFrame, strengths: DataFrame,
+                  winnerCol: String = "winner", loserCol: String = "loser",
+                  itemCol: String = "item",
+                  strengthCol: String = "strength_ppm"): DataFrame = {
+    val base = games.select(col(winnerCol).cast("long").as("w"),
+      col(loserCol).cast("long").as("l"))
+    val pw = base
+      .groupBy(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .agg(count(lit(1)).as("n_games"),
+        sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("wins_a"))
+    val sa = strengths.select(col(itemCol).as("a"), col(strengthCol).as("_sa"))
+    val sb = strengths.select(col(itemCol).as("b"), col(strengthCol).as("_sb"))
+    pw.join(broadcast(sa), Seq("a")).join(broadcast(sb), Seq("b"))
+      .select(col("a"), col("b"), col("n_games"), col("wins_a"),
+        expr("cast((1000000 * cast(wins_a as decimal(38,0))) div n_games as bigint)")
+          .as("emp_a_ppm"),
+        expr("cast((1000000 * cast(_sa as decimal(38,0))) div (_sa + _sb) as bigint)")
+          .as("fit_a_ppm"))
+      .withColumn("residual_ppm", col("emp_a_ppm") - col("fit_a_ppm"))
+  }
 }

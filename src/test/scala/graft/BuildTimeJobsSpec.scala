@@ -46,7 +46,7 @@ class BuildTimeJobsSpec extends SparkTestBase {
     "q152_curriculum_pack", "q156_kmv_setops", "q158_source_overlap",
     "q164_kmv_overlap", "q170_chat_pack", "q173_chat_pack_tokens",
     "q184_chat_pack_subword",
-    "q187_bradley_terry", "q188_unigram_segment",
+    "q187_bradley_terry", "q197_bt_fit", "q188_unigram_segment",
     "q192_unigram_fertility", "q196_unigram_em",
     "q177_length_batches", "q179_hard_negatives",
     "q159_vocab_growth", "q162_kmv_inter3", "q23b_lang_id_ft",

@@ -323,6 +323,22 @@ class ChatSpec extends SparkTestBase {
     s
   }
 
+  test("btFitReport: empirical vs fitted arithmetic, smaller-id orientation") {
+    val games = (Seq.fill(3)((1L, 2L)) ++ Seq((2L, 1L)) ++ Seq((2L, 3L)))
+      .toDF("winner", "loser")
+    val strengths = Seq((1L, 3000000L), (2L, 1000000L), (3L, 1000000L))
+      .toDF("item", "strength_ppm")
+    val got = graft.ops.Chat.btFitReport(games, strengths).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // (1,2): 4 games, a wins 3 -> emp 750000; fit 3e6/(3e6+1e6) = 750000
+    assert(got((1L, 2L)) == ((4L, 3L, 750000L, 750000L, 0L)))
+    // (2,3): 1 game, a (=2) wins -> emp 1e6; fit 500000; residual +5e5
+    assert(got((2L, 3L)) == ((1L, 1L, 1000000L, 500000L, 500000L)))
+    assert(got.keySet == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("bradleyTerry: matches the BigInt MM reference, ranks dominance, prior keeps zero-win items alive") {
     // 1 dominates 2, 2 dominates 3; 4 never wins (plays 1 twice)
     val games: Seq[(Long, Long)] =

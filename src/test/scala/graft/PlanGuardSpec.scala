@@ -168,6 +168,7 @@ class PlanGuardSpec extends SparkTestBase {
     // q188/q194: pure scan-side passes (mapPartitions segmentation /
     // row-local margin projection) — ZERO shuffles
     assert(shuffles(q("q188_unigram_segment")) == 0, "q188 grew a shuffle")
+    assert(shuffles(q("q196_unigram_em")) == 0, "q196 grew a shuffle")
     assert(shuffles(q("q194_margin_gate")) == 0, "q194 grew a shuffle")
     // q189: bench probes broadcast; the only exchange is the drop-list
     // groupBy — vectors must never shuffle
@@ -187,6 +188,9 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(q("q191_anneal_mix")) <= 4, "q191 grew extra exchanges")
     // q195: df agg + volume rollup + lang rollup + modal window
     assert(shuffles(q("q195_datasheet")) <= 4, "q195 grew extra exchanges")
+    // q197: one pair aggregation + two broadcast strength joins on top
+    // of the checkpointed fit
+    assert(shuffles(q("q197_bt_fit")) <= 2, "q197 grew extra exchanges")
     // q187: the iteration shuffles live behind per-round checkpoints
     // (censused through CheckpointAudit in PLANS.md); the final read
     // is the item join only
