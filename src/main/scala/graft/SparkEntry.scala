@@ -1247,6 +1247,21 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Unigram.segment(docs, Unigram.trainVocab(docs))
     }),
+    // sample-trained WordPiece (Wordpiece, Schuster & Nakajima '12): the
+    // third subword trainer next to BPE (q97) and unigram-LM (q188) —
+    // likelihood-scored merges freq(ab)/(freq(a)*freq(b)) over the
+    // md5-ordered 256-doc sample (exact BigInt cross-multiplied argmax),
+    // greedy longest-prefix encode with ## continuation + whole-word
+    // [UNK]; the oracle gates the pre-token stats and the greedy
+    // invariants (non-UNK words reassemble losslessly, n_words <=
+    // n_tokens) as booleans — the q97 discipline; exact token/UNK
+    // counts are pinned by WordpieceSpec on a hand-computed vocabulary
+    "q198_wordpiece" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Wordpiece.applyVocab(docs, Wordpiece.trainVocab(docs, nMerges = 64))
+        .select(col("doc_id"), col("n_words"), col("n_units"),
+          col("lossless_ok"), col("bounded_ok"))
+    }),
     // SEMANTIC benchmark contamination (Similarity.semanticContamination):
     // the embedding-space sibling of q149's lexical triage — the probe
     // set plants 8 scaled twins (2*v, exact cos 1.0 with their source;
@@ -5207,6 +5222,19 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // WordPiece shares q97's oracle shape: the pre-token stats are
+    // vocabulary-independent (same q34 regex), and the greedy-encode
+    // invariants are gated as booleans; exact token/UNK counts are
+    // training-dependent and pinned by WordpieceSpec instead
+    "q198_wordpiece" ->
+      """SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) n_words,
+        |  CAST(LENGTH(array_to_string(
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'), ''))
+        |    AS BIGINT) n_units,
+        |  TRUE lossless_ok, TRUE bounded_ok
+        |FROM documents""".stripMargin,
     "q97_bpe_train_apply" ->
       """SELECT doc_id,
         |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
