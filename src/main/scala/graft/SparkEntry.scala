@@ -1262,6 +1262,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_units"),
           col("lossless_ok"), col("bounded_ok"))
     }),
+    // iteratively TRAINED logistic quality head (QualityModel.logreg*,
+    // the GPT-3/CCNet crawl-classifier shape): features quantize to a
+    // 0..15 grid so the corpus aggregates ONCE into a <=16^3-row frame
+    // and 8 full-batch hard-sigmoid GD rounds run over the frame
+    // EXACTLY (frame gradient == per-doc gradient by construction — the
+    // q187 bounded-iteration discipline); all arithmetic integer ppm,
+    // gradient sums in decimal(38,0), sign-factored update division;
+    // the oracle unrolls the same 8 rounds as MATERIALIZED CTEs and
+    // rescores every doc with the final weights
+    "q199_logreg_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      QualityModel.logregScore(docs,
+        QualityModel.logregTrain(QualityModel.logregFrame(docs)))
+    }),
     // SEMANTIC benchmark contamination (Similarity.semanticContamination):
     // the embedding-space sibling of q149's lexical triage — the probe
     // set plants 8 scaled twins (2*v, exact cos 1.0 with their source;
@@ -2361,6 +2375,48 @@ object SparkEntry {
        |s0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) s FROM it),
        |$iterCtes"""
       .stripMargin
+  }
+
+  /** Shared logistic-head replay (q199): the quantized feature frame,
+    * then 8 unrolled hard-sigmoid gradient-descent updates as chained
+    * MATERIALIZED CTEs (the btCtes discipline — plain CTEs re-inline
+    * exponentially). Every gradient product routes through HUGEINT and
+    * the update divides magnitudes with the sign factored out; the
+    * hard-sigmoid's shifted division is clamp-safe on negatives (Spark
+    * trunc and DuckDB floor differ by at most 1 there, both under the
+    * 0-clamp). Ends with `feat` (per-doc features) and `wr8` (weights). */
+  private val logregCtes: String = {
+    def sig(w: String) =
+      s"least(greatest(($w.w0 + $w.w1*f.x1 + $w.w2*f.x2 + $w.w3*f.x3 + 2000000) // 4, 0), 1000000)"
+    val iterCtes = (1 to 8).map { t =>
+      val p = t - 1
+      def upd(wc: String, sc: String) =
+        s"CAST(w.$wc - (CASE WHEN g.$sc < 0 THEN -1 ELSE 1 END) * " +
+          s"(abs(g.$sc) // (64 * CAST(nt.nn AS HUGEINT))) AS BIGINT) $wc"
+      s"""g$t AS MATERIALIZED (SELECT CAST(SUM(r) AS HUGEINT) s0,
+         |    CAST(SUM(r * x1) AS HUGEINT) s1, CAST(SUM(r * x2) AS HUGEINT) s2,
+         |    CAST(SUM(r * x3) AS HUGEINT) s3 FROM (
+         |    SELECT CAST(f.n AS HUGEINT) * ${sig("w")}
+         |        - CAST(f.npos AS HUGEINT) * 1000000 r, f.x1, f.x2, f.x3
+         |    FROM frame f CROSS JOIN wr$p w)),
+         |wr$t AS MATERIALIZED (SELECT ${upd("w0", "s0")}, ${upd("w1", "s1")},
+         |    ${upd("w2", "s2")}, ${upd("w3", "s3")}
+         |  FROM wr$p w, g$t g, nt)""".stripMargin
+    }.mkString(",\n")
+    s"""feat AS MATERIALIZED (SELECT doc_id,
+       |    least(length(text) // 64, 15) x1,
+       |    least(LEN(regexp_extract_all(text,
+       |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) // 32, 15) x2,
+       |    least((16 * LEN(regexp_extract_all(text, '[^A-Za-z0-9\\s]')))
+       |      // (length(text) + 1), 15) x3,
+       |    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END y
+       |  FROM documents),
+       |frame AS MATERIALIZED (SELECT x1, x2, x3, COUNT(*) n, SUM(y) npos
+       |  FROM feat GROUP BY 1, 2, 3),
+       |nt AS MATERIALIZED (SELECT greatest(SUM(n), 1) nn FROM frame),
+       |wr0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1,
+       |    CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3),
+       |$iterCtes""".stripMargin
   }
 
   /** Shared unigram-tokenizer training replay (q188/q192/q196):
@@ -5222,6 +5278,19 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // logistic-head GD replay: feature frame + 8 unrolled MATERIALIZED
+    // update CTEs, then the corpus rescored with the final weights
+    "q199_logreg_quality" ->
+      ("WITH " + logregCtes + """
+        |SELECT f.doc_id, CAST(f.x1 AS BIGINT) x1, CAST(f.x2 AS BIGINT) x2,
+        |  CAST(f.x3 AS BIGINT) x3, CAST(f.y AS BIGINT) y,
+        |  CAST(least(greatest(
+        |    (w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + 2000000) // 4,
+        |    0), 1000000) AS BIGINT) p_ppm,
+        |  least(greatest(
+        |    (w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + 2000000) // 4,
+        |    0), 1000000) > 500000 pred
+        |FROM feat f CROSS JOIN wr8 w""".stripMargin),
     // WordPiece shares q97's oracle shape: the pre-token stats are
     // vocabulary-independent (same q34 regex), and the greedy-encode
     // invariants are gated as booleans; exact token/UNK counts are

@@ -102,6 +102,107 @@ object QualityModel {
       .select(col(idCol), col("n_feats"), col("score_sum"), col("avg_w"), col("q_tier"))
   }
 
+  // ------------------------------- iteratively trained logistic head
+
+  /** Quantized feature/label frame for [[logregTrain]]: per doc, three
+    * integer features on a 0..15 grid (length bucket, word-count bucket,
+    * punctuation-fraction bucket — each recomputable by the oracle from
+    * the text alone) plus the binary label, aggregated to one row per
+    * DISTINCT feature vector with (n, npos) counts. This is the device
+    * that makes full-batch gradient descent a BOUNDED iteration (the
+    * [[Chat.bradleyTerry]] discipline): the corpus is scanned ONCE to
+    * build a ≤ 16³-row frame, and every GD round after that is exact
+    * arithmetic over the frame — quantizing features first means the
+    * frame-based gradient is IDENTICAL to the per-document gradient,
+    * not an approximation of it. Label: the doc contains " the "
+    * (a stand-in for an upstream labeler; any boolean column works). */
+  def logregFrame(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    logregFeatures(docs, idCol, textCol)
+      .groupBy(col("x1"), col("x2"), col("x3"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+      .transform(graft.plans.CheckpointAudit.local)
+
+  /** Full-batch gradient descent for a logistic quality head, exact in
+    * integer ppm — the TRAINED-classifier leg the GPT-3 / CCNet crawl
+    * filters describe (Brown et al. 2020 appendix A; Wenzek et al. 2020
+    * train linear classifiers over crawl features), next to [[train]]'s
+    * closed-form smoothed-mean head. Runs `iters` rounds of
+    *
+    *   w_j ← w_j − η · Σ_cells (n·σ(z) − npos·10⁶) · x_j / N
+    *
+    * over the quantized frame, with the HARD sigmoid
+    * σ(z) = clamp(z/4 + ½, 0, 1) (Courbariaux et al. 2015's
+    * hard-sigmoid device) in place of the transcendental logistic —
+    * exp(·) has no cross-engine exact replay, the piecewise-linear
+    * surrogate is closed under integer arithmetic, and its clamped
+    * shifted division is engine-stable even where z + 2·10⁶ goes
+    * negative: Spark's truncating `div` and DuckDB's flooring `//`
+    * differ by at most 1 there, and both land below the 0-clamp.
+    * Gradient sums route through decimal(38,0) (n·10⁶·15 per cell wraps
+    * int64 near N ~ 6·10⁸) and the update divides MAGNITUDES with the
+    * sign factored out (the [[Quality.cohenKappa]] rule). Each round is
+    * one broadcast of the 1-row weight frame + one aggregation of the
+    * ≤ 16³-row feature frame, checkpointed so the plan never nests —
+    * iteration cost is corpus-independent. Returns the 1-row
+    * (w0, w1, w2, w3) ppm weight frame. */
+  def logregTrain(frame: DataFrame, iters: Int = 8,
+                  lrNum: Long = 1L, lrDen: Long = 64L): DataFrame = {
+    require(iters >= 1 && lrNum > 0 && lrDen > 0)
+    val spark = frame.sparkSession
+    // bounded scalar read: the corpus size (one long), not data
+    val nTotal = frame.agg(sum(col("n"))).head().getLong(0).max(1L)
+    var w = spark.range(1).select(lit(0L).as("w0"), lit(0L).as("w1"),
+      lit(0L).as("w2"), lit(0L).as("w3"))
+    for (_ <- 1 to iters) {
+      val g = frame.crossJoin(broadcast(w))
+        .withColumn("_z", col("w0") + col("w1") * col("x1") +
+          col("w2") * col("x2") + col("w3") * col("x3"))
+        .withColumn("_p", expr("least(greatest((_z + 2000000) div 4, 0), 1000000)"))
+        .withColumn("_r", expr(
+          "cast(n as decimal(38,0)) * _p - cast(npos as decimal(38,0)) * 1000000"))
+        .agg(sum(col("_r")).as("s0"),
+          sum(col("_r") * col("x1")).as("s1"),
+          sum(col("_r") * col("x2")).as("s2"),
+          sum(col("_r") * col("x3")).as("s3"))
+      def upd(wc: String, sc: String) = expr(
+        s"cast($wc - (case when $sc < 0 then -1 else 1 end) * " +
+          s"(($lrNum * abs($sc)) div (cast($lrDen as decimal(38,0)) * $nTotal)) as bigint)")
+        .as(wc)
+      w = w.crossJoin(broadcast(g))
+        .select(upd("w0", "s0"), upd("w1", "s1"), upd("w2", "s2"), upd("w3", "s3"))
+        .transform(graft.plans.CheckpointAudit.local)
+    }
+    w
+  }
+
+  /** Score a corpus with the trained head: recompute the same quantized
+    * features scan-side, broadcast the 1-row weight frame, emit the
+    * hard-sigmoid probability and the >½ verdict. One scan, one
+    * broadcast nested-loop join against a single row — no shuffle. */
+  def logregScore(docs: DataFrame, weights: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    logregFeatures(docs, idCol, textCol)
+      .crossJoin(broadcast(weights))
+      .withColumn("z_ppm", col("w0") + col("w1") * col("x1") +
+        col("w2") * col("x2") + col("w3") * col("x3"))
+      .withColumn("p_ppm", expr("least(greatest((z_ppm + 2000000) div 4, 0), 1000000)"))
+      .withColumn("pred", col("p_ppm") > 500000L)
+      .select(col(idCol), col("x1"), col("x2"), col("x3"), col("y"),
+        col("p_ppm"), col("pred"))
+
+  /** Per-doc feature/label projection shared by [[logregFrame]] and
+    * [[logregScore]] — defined once so train and score cannot drift. */
+  private[graft] def logregFeatures(docs: DataFrame, idCol: String,
+                                    textCol: String): DataFrame =
+    docs.select(col(idCol),
+      least(expr(s"length($textCol) div 64"), lit(15L)).as("x1"),
+      least(expr(s"size(regexp_extract_all($textCol, '${TextAnalysis.bpePattern.replace("\\", "\\\\")}', 0)) div 32"),
+        lit(15L)).cast("long").as("x2"),
+      least(expr(s"(16 * size(regexp_extract_all($textCol, '[^A-Za-z0-9\\\\s]', 0))) div (length($textCol) + 1)"),
+        lit(15L)).cast("long").as("x3"),
+      when(col(textCol).contains(" the "), 1L).otherwise(0L).as("y"))
+
   // -------------------------------------------- embedding linear probe
 
   /** Per-component fixed-point quantization q(x) = floor(double(x)·qscale
