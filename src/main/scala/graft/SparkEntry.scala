@@ -1262,6 +1262,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_units"),
           col("lossless_ok"), col("bounded_ok"))
     }),
+    // DoReMi-style domain reweighting (Importance.doremiWeights, Xie
+    // et al. '23): per-source excess-loss multiplicative weights —
+    // the (1+eta*excess) MW variant (Arora-Hazan-Kale) in place of
+    // exp (no exact integer replay), loss = the source's mean
+    // type-token ratio as the data-derived hardness proxy; 8 rounds
+    // over the source-alphabet-bounded frame (one corpus scan total),
+    // final AND round-averaged weights (the paper's deliverable);
+    // oracle unrolls the same 8 rounds as MATERIALIZED CTEs
+    "q200_doremi_mix" -> ((s, d) =>
+      Importance.doremiWeights(Tables.documents(s, d))),
     // iteratively TRAINED logistic quality head (QualityModel.logreg*,
     // the GPT-3/CCNet crawl-classifier shape): features quantize to a
     // 0..15 grid so the corpus aggregates ONCE into a <=16^3-row frame
@@ -2416,6 +2426,39 @@ object SparkEntry {
        |nt AS MATERIALIZED (SELECT greatest(SUM(n), 1) nn FROM frame),
        |wr0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1,
        |    CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3),
+       |$iterCtes""".stripMargin
+  }
+
+  /** Shared DoReMi-mixture replay (q200): the per-source loss frame,
+    * then 8 unrolled multiplicative-weights rounds as chained
+    * MATERIALIZED CTEs. Every division has positive operands; products
+    * route through HUGEINT. Ends with `dl` (loss frame) and `da8`. */
+  private val doremiCtes: String = {
+    val iterCtes = (1 to 8).map { t =>
+      val p = t - 1
+      s"""dm$t AS MATERIALIZED (SELECT
+         |    CAST(SUM(CAST(a.alpha AS HUGEINT) * l.loss_ppm) AS HUGEINT)
+         |      // 1000000 mixbar
+         |  FROM da$p a JOIN dl l USING (source)),
+         |dx$t AS MATERIALIZED (SELECT a.source, a.asum,
+         |    CAST(a.alpha AS HUGEINT) * (1000000 +
+         |      16 * greatest(l.loss_ppm - (SELECT mixbar FROM dm$t), 0)) am
+         |  FROM da$p a JOIN dl l USING (source)),
+         |da$t AS MATERIALIZED (SELECT source,
+         |    CAST((1000000 * am) // (SELECT SUM(am) FROM dx$t) AS BIGINT) alpha,
+         |    asum + (1000000 * am) // (SELECT SUM(am) FROM dx$t) asum
+         |  FROM dx$t)""".stripMargin
+    }.mkString(",\n")
+    s"""dfeat AS MATERIALIZED (SELECT source,
+       |    (1000000 * len(list_distinct(tk))) // greatest(len(tk), 1) ttr
+       |  FROM (SELECT source, list_filter(regexp_split_to_array(lower(text),
+       |      '\\s+'), x -> x <> '') tk FROM documents)),
+       |dl AS MATERIALIZED (SELECT source, COUNT(*) n_docs,
+       |    CAST(SUM(ttr) AS HUGEINT) // COUNT(*) loss_ppm
+       |  FROM dfeat GROUP BY 1),
+       |da0 AS MATERIALIZED (SELECT source,
+       |    CAST(1000000 // (SELECT COUNT(*) FROM dl) AS BIGINT) alpha,
+       |    CAST(0 AS HUGEINT) asum FROM dl),
        |$iterCtes""".stripMargin
   }
 
@@ -5278,6 +5321,13 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // DoReMi MW replay: loss frame + 8 unrolled MATERIALIZED rounds
+    "q200_doremi_mix" ->
+      ("WITH " + doremiCtes + """
+        |SELECT l.source, CAST(l.n_docs AS BIGINT) n_docs,
+        |  CAST(l.loss_ppm AS BIGINT) loss_ppm, a.alpha alpha_ppm,
+        |  CAST(a.asum // 8 AS BIGINT) alpha_avg_ppm
+        |FROM dl l JOIN da8 a USING (source)""".stripMargin),
     // logistic-head GD replay: feature frame + 8 unrolled MATERIALIZED
     // update CTEs, then the corpus rescored with the final weights
     "q199_logreg_quality" ->

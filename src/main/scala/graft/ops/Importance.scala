@@ -37,6 +37,75 @@ object Importance {
 
   private val P = 1000000007L
 
+  /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS '23):
+    * iteratively upweight the domains with EXCESS loss over the current
+    * mixture's average, and output the AVERAGE weights across rounds
+    * (the paper's deliverable — the averaged Group-DRO iterate, not the
+    * final one). Deviations, both deliberate and documented:
+    *
+    *   - the exponentiated-gradient update exp(η·excess) is replaced by
+    *     the (1 + η·excess) multiplicative-weights variant (Arora,
+    *     Hazan & Kale, "The Multiplicative Weights Update Method",
+    *     Theory of Computing 2012 — their canonical algorithm IS this
+    *     linearized form): exp(·) has no exact integer cross-engine
+    *     replay, the linear form is closed under ppm arithmetic, and
+    *     for small η·excess they agree to first order;
+    *   - the per-domain loss is a DATA-DERIVED proxy — the source's
+    *     mean type-token ratio in ppm (lexical diversity as hardness;
+    *     the proxy-model/reference-model pair the paper trains is out
+    *     of scope for a data engine) — so the whole dynamic is
+    *     replayable from the corpus alone. Any per-source integer
+    *     loss column can be swapped in.
+    *
+    * Excess clips at 0 (the paper's rectification), every division has
+    * positive operands (floors == truncation), and products route
+    * through decimal(38,0). Shape at scale: ONE corpus scan builds the
+    * per-source (n_docs, loss) frame — bounded by the source alphabet —
+    * and each of the `iters` rounds is one broadcast of the 1-row
+    * mixture average plus arithmetic over that frame, checkpointed so
+    * the plan never nests; iteration cost is corpus-independent.
+    * Output: (source, n_docs, loss_ppm, alpha_ppm, alpha_avg_ppm). */
+  def doremiWeights(docs: DataFrame, sourceCol: String = "source",
+                    textCol: String = "text", iters: Int = 8,
+                    lrNum: Long = 16L): DataFrame = {
+    require(iters >= 1 && lrNum > 0)
+    val loss = docs
+      .select(col(sourceCol).as("source"),
+        expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')").as("_tk"))
+      .select(col("source"), expr(
+        "(1000000 * size(array_distinct(_tk))) div greatest(size(_tk), 1)")
+        .cast("long").as("_ttr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_ttr")).as("_st"))
+      .select(col("source"), col("n_docs"),
+        expr("_st div n_docs").cast("long").as("loss_ppm"))
+      .transform(graft.plans.CheckpointAudit.local)
+    // bounded scalar read: the domain-alphabet size (one long), not data
+    val nS = loss.count().max(1L)
+    var a = loss.select(col("source"),
+      lit(1000000L / nS).as("alpha"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)").as("asum"))
+    for (_ <- 1 to iters) {
+      val withLoss = a.join(loss.select(col("source"), col("loss_ppm")), Seq("source"))
+      val mix = withLoss
+        .agg(expr("sum(cast(alpha as decimal(38,0)) * loss_ppm) div 1000000")
+          .as("mixbar"))
+      val am = withLoss.crossJoin(broadcast(mix))
+        .withColumn("_am", expr(
+          s"cast(alpha as decimal(38,0)) * (1000000 + $lrNum * greatest(loss_ppm - mixbar, 0))"))
+      val tot = am.agg(sum(col("_am")).as("_tot"))
+      a = am.crossJoin(broadcast(tot))
+        .select(col("source"),
+          expr("cast((1000000 * _am) div _tot as bigint)").as("alpha"),
+          expr("cast(asum + (1000000 * _am) div _tot as decimal(38,0))").as("asum"))
+        .transform(graft.plans.CheckpointAudit.local)
+    }
+    loss.join(a, Seq("source"))
+      .select(col("source"), col("n_docs"), col("loss_ppm"), col("alpha").as("alpha_ppm"),
+        expr(s"cast(asum div $iters as bigint)").as("alpha_avg_ppm"))
+  }
+
   /** Hashed word-bigram feature buckets of a text column. Per-token
     * value is [[TextAnalysis.fingerprint]]'s per-token term
     * (`len·131 + first-codepoint`, engine-neutral and non-negative);
