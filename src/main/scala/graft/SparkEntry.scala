@@ -1235,6 +1235,15 @@ object SparkEntry {
       val g = btGames(s, d)
       Chat.btFitReport(g, Chat.bradleyTerry(g, iters = 8))
     }),
+    // pairwise win-rate matrix with Wilson score intervals
+    // (Chat.winRateWilson, Wilson 1927 / Brown-Cai-DasGupta 2001): the
+    // model-free leaderboard read next to q187's BT fit — z pinned to 2
+    // so z^2=4 keeps every term rational, the one sqrt runs on an
+    // integer radicand < 2^52 where floor(sqrt(double)) IS the exact
+    // integer square root on both engines; one-sided significance
+    // verdicts from the bounds vs 1/2
+    "q201_winrate_wilson" -> ((s, d) =>
+      Chat.winRateWilson(btGames(s, d))),
     // unigram-LM (SentencePiece-family) tokenizer (Unigram, Kudo '18):
     // the second tokenizer next to BPE — vocab = top-512 substrings
     // (len 1..4) of the md5-ordered 256-doc sample with EXACT integer
@@ -2343,6 +2352,21 @@ object SparkEntry {
     * the pair/wins/item frames, and all 8 unrolled MM updates as
     * chained MATERIALIZED CTEs (plain CTEs re-inline exponentially).
     * Ends with `gm` (games), `it` (items) and `s8` (final strengths). */
+  /** The hash-derived game schedule alone (shared by btCtes and q201):
+    * ends with `gm` (winner, loser). */
+  private val btScheduleCte: String =
+    """hx AS (SELECT doc_id, doc_id % 8 a, (doc_id // 8) % 8 b,
+      |    md5(CAST(doc_id AS VARCHAR) || 'bt') h FROM documents),
+      |g0 AS (SELECT doc_id, a, b, CAST(SUM(
+      |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+      |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+      |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+      |  GROUP BY doc_id, a, b),
+      |gm AS MATERIALIZED (SELECT
+      |    CASE WHEN v % (a + b + 2) <= b THEN a ELSE b END winner,
+      |    CASE WHEN v % (a + b + 2) <= b THEN b ELSE a END loser
+      |  FROM g0 WHERE a <> b)""".stripMargin
+
   private val btCtes: String = {
     val iterCtes = (1 to 8).map { t =>
       val p = t - 1
@@ -2364,17 +2388,7 @@ object SparkEntry {
          |s$t AS MATERIALIZED (SELECT item, CAST((raw * (SELECT COUNT(*) FROM it) * 1000000)
          |    // (SELECT CAST(SUM(raw) AS BIGINT) FROM r$t) AS BIGINT) s FROM r$t)""".stripMargin
     }.mkString(",\n")
-    s"""hx AS (SELECT doc_id, doc_id % 8 a, (doc_id // 8) % 8 b,
-       |    md5(CAST(doc_id AS VARCHAR) || 'bt') h FROM documents),
-       |g0 AS (SELECT doc_id, a, b, CAST(SUM(
-       |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
-       |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
-       |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
-       |  GROUP BY doc_id, a, b),
-       |gm AS MATERIALIZED (SELECT
-       |    CASE WHEN v % (a + b + 2) <= b THEN a ELSE b END winner,
-       |    CASE WHEN v % (a + b + 2) <= b THEN b ELSE a END loser
-       |  FROM g0 WHERE a <> b),
+    s"""$btScheduleCte,
        |pr AS MATERIALIZED (SELECT LEAST(winner, loser) a, GREATEST(winner, loser) b,
        |    COUNT(*) n FROM gm GROUP BY 1, 2),
        |wn AS MATERIALIZED (SELECT winner item, COUNT(*) wins FROM gm GROUP BY 1),
@@ -5321,6 +5335,29 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // Wilson intervals over the shared game schedule: z=2 rational
+    // form; lateral aliases let the flags reference the bounds
+    "q201_winrate_wilson" ->
+      ("WITH " + btScheduleCte + """,
+        |pw AS (SELECT LEAST(winner, loser) a, GREATEST(winner, loser) b,
+        |    CAST(COUNT(*) AS BIGINT) n_games,
+        |    CAST(COUNT(*) FILTER (WHERE winner < loser) AS BIGINT) wins_a
+        |  FROM gm GROUP BY 1, 2),
+        |wx AS (SELECT a, b, n_games, wins_a,
+        |    (1000000 * wins_a) // n_games phat_ppm FROM pw),
+        |wt AS (SELECT *, CAST(floor(sqrt(CAST(
+        |    (phat_ppm * (1000000 - phat_ppm)) // n_games
+        |      + 1000000000000 // (CAST(n_games AS HUGEINT) * n_games)
+        |    AS DOUBLE))) AS BIGINT) root FROM wx)
+        |SELECT a, b, n_games, wins_a, CAST(phat_ppm AS BIGINT) phat_ppm,
+        |  CAST(greatest(CAST(n_games AS HUGEINT) * phat_ppm + 2000000
+        |      - 2 * CAST(n_games AS HUGEINT) * root, 0)
+        |    // (n_games + 4) AS BIGINT) lb_ppm,
+        |  least(CAST((CAST(n_games AS HUGEINT) * phat_ppm + 2000000
+        |      + 2 * CAST(n_games AS HUGEINT) * root)
+        |    // (n_games + 4) AS BIGINT), 1000000) ub_ppm,
+        |  lb_ppm > 500000 a_better, ub_ppm < 500000 b_better
+        |FROM wt""".stripMargin),
     // DoReMi MW replay: loss frame + 8 unrolled MATERIALIZED rounds
     "q200_doremi_mix" ->
       ("WITH " + doremiCtes + """

@@ -567,4 +567,59 @@ object Chat {
           .as("fit_a_ppm"))
       .withColumn("residual_ppm", col("emp_a_ppm") - col("fit_a_ppm"))
   }
+
+  /** Pairwise win-rate matrix with Wilson score intervals — the
+    * model-free companion to [[bradleyTerry]] (the leaderboard read
+    * arena-style pairwise evaluations publish): per unordered item
+    * pair, the empirical win rate of the smaller-id item and its
+    * Wilson confidence bounds (Wilson 1927; the interval Brown, Cai &
+    * DasGupta 2001 recommend over the normal approximation at small n
+    * and extreme rates), plus the two one-sided significance verdicts
+    * (`a_better` when the LOWER bound clears ½, `b_better` when the
+    * UPPER bound stays below ½).
+    *
+    * Integer-exact deviation, documented: z is pinned to 2 (the ~95.4%
+    * two-sided level) so z² = 4 keeps every term rational, and the one
+    * irrational step — the square root — runs on an integer radicand
+    * bounded by 1.25·10¹² < 2⁵²: at that magnitude a correctly-rounded
+    * IEEE sqrt cannot round across an integer for a non-square
+    * radicand (|rad − k²| ≥ 1 forces |√rad − k| > ulp), so
+    * floor(sqrt(rad)) is the exact integer square root on BOTH engines.
+    * With p̂ in ppm and H = √(p̂(10⁶−p̂)/n + 10¹²/n²) (the Wilson
+    * half-width numerator in ppm, inner divisions floored identically
+    * by both engines):
+    *
+    *   lb_ppm = max(n·p̂ + 2·10⁶ − 2n·H, 0) div (n + 4)
+    *   ub_ppm = min((n·p̂ + 2·10⁶ + 2n·H) div (n + 4), 10⁶)
+    *
+    * The max() runs BEFORE the division so its operand is never
+    * negative (floor == truncate); products route decimal(38,0).
+    * Shape at scale: one map-side-combined pair aggregation, then
+    * scan-side arithmetic over the items²-bounded pair frame. */
+  def winRateWilson(games: DataFrame, winnerCol: String = "winner",
+                    loserCol: String = "loser"): DataFrame = {
+    val base = games.select(col(winnerCol).cast("long").as("w"),
+      col(loserCol).cast("long").as("l"))
+    base
+      .groupBy(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .agg(count(lit(1)).as("n_games"),
+        sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("wins_a"))
+      .withColumn("phat_ppm", expr("(1000000 * wins_a) div n_games"))
+      .withColumn("_rad", expr(
+        "(phat_ppm * (1000000 - phat_ppm)) div n_games + " +
+          "1000000000000 div (cast(n_games as decimal(38,0)) * n_games)"))
+      .withColumn("_root", floor(sqrt(col("_rad").cast("double"))).cast("long"))
+      .withColumn("lb_ppm", expr(
+        "cast(greatest(cast(n_games as decimal(38,0)) * phat_ppm + 2000000 " +
+          "- 2 * cast(n_games as decimal(38,0)) * _root, 0) div (n_games + 4) as bigint)"))
+      .withColumn("ub_ppm", expr(
+        "least(cast((cast(n_games as decimal(38,0)) * phat_ppm + 2000000 " +
+          "+ 2 * cast(n_games as decimal(38,0)) * _root) div (n_games + 4) as bigint), 1000000)"))
+      .withColumn("a_better", col("lb_ppm") > 500000L)
+      .withColumn("b_better", col("ub_ppm") < 500000L)
+      .select(col("a"), col("b"), col("n_games"), col("wins_a"),
+        col("phat_ppm"), col("lb_ppm"), col("ub_ppm"),
+        col("a_better"), col("b_better"))
+  }
 }
