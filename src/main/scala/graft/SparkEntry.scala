@@ -1235,6 +1235,23 @@ object SparkEntry {
       val g = btGames(s, d)
       Chat.btFitReport(g, Chat.bradleyTerry(g, iters = 8))
     }),
+    // margin-based bitext mining (Similarity.bitextMargin, Artetxe &
+    // Schwenk '19): ratio-margin alignment of a bounded source probe
+    // set (evens < 120 plus 8 scaled twins of odd vectors — exact cos
+    // 1.0 with their sources by the q28 IEEE power-of-two argument, so
+    // the mined pairs provably contain the plants) against the odd
+    // half; cosines quantize to milli-units first (the q30 device), so
+    // neighborhood sums and the margin ratio replay as pure integer
+    // arithmetic in DuckDB
+    "q202_bitext_margin" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val x = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") % 2 === 1 && col("vec_id") < 16)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), v => v * lit(2.0f)).as("embedding")))
+      Similarity.bitextMargin(x, emb.where(col("vec_id") % 2 === 1), k = 4)
+    }),
     // pairwise win-rate matrix with Wilson score intervals
     // (Chat.winRateWilson, Wilson 1927 / Brown-Cai-DasGupta 2001): the
     // model-free leaderboard read next to q187's BT fit — z pinned to 2
@@ -5335,6 +5352,37 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // bitext margin replay: milli-quantized cosines, window top-k
+    // neighborhood sums, integer ratio, best-per-source gate
+    "q202_bitext_margin" ->
+      """WITH x AS (SELECT vec_id xid, CAST(embedding AS DOUBLE[]) xv
+        |    FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 120
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |      list_transform(CAST(embedding AS DOUBLE[]), v -> v * 2)
+        |    FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 16),
+        |y AS (SELECT vec_id yid, CAST(embedding AS DOUBLE[]) yv
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |c AS MATERIALIZED (SELECT xid, yid,
+        |    CAST(FLOOR(list_cosine_similarity(xv, yv) * 1000 + 0.5)
+        |      AS BIGINT) cm
+        |  FROM x, y),
+        |sx AS (SELECT xid, CAST(SUM(cm) AS BIGINT) s FROM (
+        |    SELECT xid, cm, row_number() OVER (PARTITION BY xid
+        |      ORDER BY cm DESC, yid ASC) r FROM c)
+        |  WHERE r <= 4 GROUP BY xid),
+        |sy AS (SELECT yid, CAST(SUM(cm) AS BIGINT) s FROM (
+        |    SELECT yid, cm, row_number() OVER (PARTITION BY yid
+        |      ORDER BY cm DESC, xid ASC) r FROM c)
+        |  WHERE r <= 4 GROUP BY yid),
+        |m AS (SELECT c.xid, c.yid, c.cm,
+        |    (1000000 * 8 * c.cm) // greatest(sx.s + sy.s, 1) margin_ppm
+        |  FROM c JOIN sx USING (xid) JOIN sy USING (yid)
+        |  WHERE c.cm > 0),
+        |b AS (SELECT *, row_number() OVER (PARTITION BY xid
+        |    ORDER BY margin_ppm DESC, yid ASC) rb FROM m)
+        |SELECT xid, yid, cm c_mill, margin_ppm
+        |FROM b WHERE rb = 1 AND margin_ppm >= 1000000""".stripMargin,
     // Wilson intervals over the shared game schedule: z=2 rational
     // form; lateral aliases let the flags reference the bounds
     "q201_winrate_wilson" ->

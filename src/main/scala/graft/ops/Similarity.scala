@@ -165,6 +165,66 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), (floor(col("c") * 1000 + 0.5) / 1000.0).as("cos"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL 2019 — the ratio-margin criterion behind CCMatrix/LASER
+    * mining): a source-side sentence x is aligned to the target-side y
+    * maximizing
+    *
+    *   margin(x, y) = cos(x, y) / ( avg_{z∈NNk(x,Y)} cos(x, z)/2
+    *                              + avg_{z∈NNk(y,X)} cos(y, z)/2 )
+    *
+    * — the cosine NORMALIZED by both sides' neighborhood density, which
+    * kills the hubness failure of raw-cosine alignment (a "hub" target
+    * near everything has a dense neighborhood, so its margin deflates).
+    *
+    * Engine-exact form: cosines quantize to milli-units FIRST
+    * (floor(c·1000 + 0.5), the q30 3dp device — both engines compute
+    * the identical integer), so neighborhood sums and the margin ratio
+    * are pure integer arithmetic: margin_ppm = (10⁶·2k·c) div
+    * max(sx + sy, 1) with sx/sy the top-k milli-cosine sums. Candidates
+    * with non-positive cosine are dropped BEFORE the ratio (never
+    * bitext, and it keeps the dividend non-negative — floor ==
+    * truncate); the max() keeps the divisor positive even when a
+    * neighborhood sum goes negative. Per x, the single best y by
+    * (margin desc, id asc) survives the `minMarginPpm` gate —
+    * 10⁶ = "above its neighborhoods' average" (CCMatrix ships ~1.06).
+    *
+    * Shape at scale: the SOURCE side is the bounded probe set (the
+    * [[bruteForceKnn]] broadcast discipline — it ships to every
+    * executor), the target side streams once; both top-k windows
+    * partition by one id over the |X|·|Y| candidate frame. Full-corpus
+    * mining swaps the cartesian candidate stage for [[lshKnn]] buckets
+    * per side, scoring the SAME margin over the union of both
+    * directions' candidates. */
+  def bitextMargin(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                   minMarginPpm: Long = 1000000L,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1)
+    val x = broadcast(src.select(col(idCol).as("xid"), col(vecCol).as("xvec")))
+    val c = tgt.select(col(idCol).as("yid"), col(vecCol).as("yvec"))
+      .join(x)
+      .select(col("xid"), col("yid"),
+        floor(cosine(col("xvec"), col("yvec")) * 1000 + 0.5).cast("long").as("cm"))
+      .persist() // feeds both neighborhood sums and the candidate gate
+    val wx = Window.partitionBy(col("xid")).orderBy(col("cm").desc, col("yid").asc)
+    val wy = Window.partitionBy(col("yid")).orderBy(col("cm").desc, col("xid").asc)
+    val sx = c.withColumn("_r", row_number().over(wx)).where(col("_r") <= k)
+      .groupBy(col("xid")).agg(sum(col("cm")).as("_sx"))
+    val sy = c.withColumn("_r", row_number().over(wy)).where(col("_r") <= k)
+      .groupBy(col("yid")).agg(sum(col("cm")).as("_sy"))
+    val m = c.where(col("cm") > 0L)
+      .join(broadcast(sx), Seq("xid"))
+      .join(sy, Seq("yid"))
+      .withColumn("margin_ppm",
+        expr(s"(1000000 * ${2 * k} * cm) div greatest(_sx + _sy, 1)"))
+    val wb = Window.partitionBy(col("xid"))
+      .orderBy(col("margin_ppm").desc, col("yid").asc)
+    m.withColumn("_rb", row_number().over(wb))
+      .where(col("_rb") === 1 && col("margin_ppm") >= minMarginPpm)
+      .select(col("xid"), col("yid"), col("cm").as("c_mill"), col("margin_ppm"))
+  }
+
   /** SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embeddings with the same bounded-
     * sample coarse quantizer IVF uses ([[fitCentroids]]), then compare
