@@ -1235,6 +1235,25 @@ object SparkEntry {
       val g = btGames(s, d)
       Chat.btFitReport(g, Chat.bradleyTerry(g, iters = 8))
     }),
+    // ROUGE-L instruction dedup (Dedup.rougeLPairs, the Self-Instruct
+    // 0.7 gate): token-level LCS over first-16-token prefixes on a
+    // bounded candidate set, F-measure in exact integer ppm; plants:
+    // 8 verbatim copies (rouge 1e6) and 8 40-char-prefix copies (high
+    // but asymmetric overlap) must surface; the oracle replays the DP
+    // as a recursive CTE advancing one outer token per step with 16
+    // lateral-alias max-chained row cells (the q188 bounded-width
+    // device) — within-row lateral aliases are named d1..d16 so they
+    // can never resolve to the carried c1..c16 columns
+    "q203_rouge_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val all = base.where(col("doc_id") < 80)
+        .unionByName(base.where(col("doc_id") < 8)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(base.where(col("doc_id") >= 8 && col("doc_id") < 16)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            substring(col("text"), 1, 40).as("text")))
+      Dedup.rougeLPairs(all, maxTokens = 16, minRougePpm = 500000L)
+    }),
     // margin-based bitext mining (Similarity.bitextMargin, Artetxe &
     // Schwenk '19): ratio-margin alignment of a bounded source probe
     // set (evens < 120 plus 8 scaled twins of odd vectors — exact cos
@@ -2458,6 +2477,46 @@ object SparkEntry {
        |wr0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1,
        |    CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3),
        |$iterCtes""".stripMargin
+  }
+
+  /** ROUGE-L LCS replay (q203): the anti-diagonal-free row recursion —
+    * one recursive-CTE step per OUTER token, the 16 row cells updated
+    * left-to-right via lateral column aliases (d1..d16, deliberately
+    * NOT named like the carried c1..c16 so DuckDB's resolution order
+    * can never pick the stale table column). Uses the monotone
+    * three-way form dp[i+1][j] = max(up, left_new, diag + eq), which
+    * equals classic LCS because adjacent dp cells differ by at most 1. */
+  private val rougeCtes: String = {
+    val maxT = 16
+    val baseCols = (1 to maxT).map(j => s"0 c$j").mkString(", ")
+    val stepCols = (1 to maxT).map { j =>
+      val eq = s"CASE WHEN p.ta[s.i + 1] = p.tb[$j] THEN 1 ELSE 0 END"
+      if (j == 1) s"greatest(s.c1, $eq) d1"
+      else s"greatest(s.c$j, d${j - 1}, s.c${j - 1} + $eq) d$j"
+    }.mkString(",\n|      ")
+    val cellList = (1 to maxT).map(j => s"s.c$j").mkString(", ")
+    s"""rdoc AS MATERIALIZED (SELECT id, tk[1:$maxT] ta, len(tk[1:$maxT]) la
+       |  FROM (SELECT id, list_filter(regexp_split_to_array(lower(text),
+       |      '\\s+'), x -> x <> '') tk
+       |    FROM (SELECT doc_id id, text FROM documents WHERE doc_id < 80
+       |          UNION ALL
+       |          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 8
+       |          UNION ALL
+       |          SELECT doc_id + 2000000, substr(text, 1, 40)
+       |          FROM documents WHERE doc_id >= 8 AND doc_id < 16))
+       |  WHERE len(tk) >= 1),
+       |rpair AS MATERIALIZED (SELECT a.id ia, b.id ib, a.ta ta, b.ta tb,
+       |    a.la la, b.la lb
+       |  FROM rdoc a JOIN rdoc b ON a.id < b.id),
+       |rst AS (SELECT ia, ib, 0 i, $baseCols FROM rpair
+       |  UNION ALL
+       |  SELECT s.ia, s.ib, s.i + 1,
+       |      $stepCols
+       |  FROM rst s JOIN rpair p ON p.ia = s.ia AND p.ib = s.ib
+       |  WHERE s.i < p.la),
+       |rfin AS (SELECT s.ia, s.ib, p.la, p.lb, [$cellList][p.lb] lcs
+       |  FROM rst s JOIN rpair p ON p.ia = s.ia AND p.ib = s.ib
+       |    AND s.i = p.la)""".stripMargin
   }
 
   /** Shared DoReMi-mixture replay (q200): the per-source loss frame,
@@ -5352,6 +5411,13 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // ROUGE-L LCS replay: recursive row DP (see rougeCtes)
+    "q203_rouge_dedup" ->
+      ("WITH RECURSIVE " + rougeCtes + """
+        |SELECT ia doc_a, ib doc_b, CAST(la AS BIGINT) la,
+        |  CAST(lb AS BIGINT) lb, CAST(lcs AS BIGINT) lcs,
+        |  CAST((2000000 * lcs) // (la + lb) AS BIGINT) rouge_ppm
+        |FROM rfin WHERE (2000000 * lcs) // (la + lb) >= 500000""".stripMargin),
     // bitext margin replay: milli-quantized cosines, window top-k
     // neighborhood sums, integer ratio, best-per-source gate
     "q202_bitext_margin" ->

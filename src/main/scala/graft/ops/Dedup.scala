@@ -818,4 +818,64 @@ object Dedup {
         when(col("n_grams") > 0L,
           expr("(1000000 * dup_grams) div n_grams")))
   }
+
+  /** ROUGE-L near-duplicate pairs — the instruction-dedup gate
+    * Self-Instruct popularized (Wang et al. 2023 §3.2 drop a generated
+    * instruction when its ROUGE-L similarity with any existing one
+    * exceeds 0.7; Alpaca and its descendants ship the same filter):
+    * per candidate pair, the token-level longest common SUBSEQUENCE
+    * (not substring — ROUGE-L credits in-order matches across gaps)
+    * and the F-measure 2·lcs/(la+lb), exact in integer ppm.
+    *
+    * Tokens are the house whitespace rule, capped at the first
+    * `maxTokens` per doc — instructions are short, the cap bounds the
+    * O(la·lb) DP per pair AND keeps the oracle's recursive-CTE replay
+    * (one anti-chained row of lateral-alias maxes per outer token)
+    * bounded at a fixed width. The DP runs in a two-row rolling Scala
+    * kernel inside a deterministic UDF — token pairs are off the
+    * codegen hot path and the per-pair cost is a fixed
+    * maxTokens² ≤ 256 cell sweep.
+    *
+    * Shape at scale: the quadratic pair join here is the ORACLE ground
+    * truth on a bounded candidate set (the [[Similarity.nearDupPairsExact]]
+    * discipline); full-corpus instruction dedup generates candidates
+    * with the df-capped gram postings of [[ngramJaccardPairs]] /
+    * [[gramNovelty]] and verifies ONLY bucket-mates with this kernel —
+    * identical output on any candidate superset, since the
+    * `minRougePpm` gate re-filters exactly. */
+  def rougeLPairs(docs: DataFrame, maxTokens: Int = 16,
+                  minRougePpm: Long = 700000L,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens >= 1)
+    val lcsU = udf { (a: Seq[String], b: Seq[String]) =>
+      val la = a.length; val lb = b.length
+      val dp = new Array[Int](lb + 1)
+      var i = 0
+      while (i < la) {
+        var prevDiag = 0 // dp[i-1][j-1]
+        var j = 0
+        while (j < lb) {
+          val up = dp(j + 1) // dp[i-1][j]
+          dp(j + 1) =
+            if (a(i) == b(j)) prevDiag + 1
+            else math.max(up, dp(j)) // dp(j) is already dp[i][j-1]
+          prevDiag = up
+          j += 1
+        }
+        i += 1
+      }
+      dp(lb).toLong
+    }
+    val t = docs.select(col(idCol).as("id"),
+        expr(s"slice(filter(split(lower($textCol), '\\\\s+'), x -> x <> ''), 1, $maxTokens)")
+          .as("tk"))
+      .where(size(col("tk")) >= 1)
+    t.as("a").join(t.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        size(col("a.tk")).cast("long").as("la"),
+        size(col("b.tk")).cast("long").as("lb"),
+        lcsU(col("a.tk"), col("b.tk")).as("lcs"))
+      .withColumn("rouge_ppm", expr("(2000000 * lcs) div (la + lb)"))
+      .where(col("rouge_ppm") >= minRougePpm)
+  }
 }
