@@ -1244,6 +1244,24 @@ object SparkEntry {
     // lateral-alias max-chained row cells (the q188 bounded-width
     // device) — within-row lateral aliases are named d1..d16 so they
     // can never resolve to the carried c1..c16 columns
+    // Luhn-checksum payment-card audit (Curate.luhnAudit, ISO/IEC
+    // 7812-1): checksum-gated PII detection — injection plants a valid
+    // spaced Visa test number, an invalid 16-digit twin, a doc-varying
+    // 18-digit dashed run (both verdict branches exercised across the
+    // corpus), and a 5-digit ZIP the length gate must reject; the oracle
+    // replays extraction with the SAME regex string and the mod-10 fold
+    // as a list comprehension over generate_series — pure integer
+    // arithmetic, engine-exact
+    "q204_luhn_audit" -> ((s, d) =>
+      Curate.luhnAudit(Curate.injectCards(Tables.documents(s, d)))),
+    // Zipf rank-frequency fit (TextAnalysis.zipfFit, Zipf '49): the
+    // corpus-level power-law shape check next to q195's datasheet —
+    // ranks/frequencies in floor-log2 octaves (the ilog2 device), octave
+    // means in milli-units, least-squares slope/intercept as exact
+    // rationals with the numerator sign factored out of the one
+    // division (div truncates / // floors — the cohenKappa rule)
+    "q205_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d))),
     "q203_rouge_dedup" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val all = base.where(col("doc_id") < 80)
@@ -5411,6 +5429,64 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // Zipf replay: same tokenization, sort-limit head, octave rollup,
+    // integer least squares with sign-factored division; every SUM
+    // routed back to BIGINT (DuckDB SUM(BIGINT) -> HUGEINT)
+    "q205_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) token
+        |  FROM documents),
+        |tfq AS (SELECT token, COUNT(*) tf FROM tok GROUP BY 1
+        |  ORDER BY tf DESC, token ASC LIMIT 256),
+        |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token ASC) rk
+        |  FROM tfq),
+        |o AS (SELECT length(bin(rk)) - 1 AS octave, COUNT(*) n_ranks,
+        |    SUM(length(bin(tf)) - 1) l2tf_sum
+        |  FROM r GROUP BY 1),
+        |oy AS (SELECT octave, n_ranks,
+        |    (1000 * l2tf_sum) // n_ranks AS y_milli FROM o),
+        |s AS (SELECT COUNT(*) n_oct, SUM(octave) sx, SUM(y_milli) sy,
+        |    SUM(octave * y_milli) sxy, SUM(octave * octave) sxx FROM oy),
+        |f AS (SELECT n_oct * sxx - sx * sx AS det,
+        |    n_oct * sxy - sx * sy AS num_s,
+        |    sy * sxx - sx * sxy AS num_i FROM s)
+        |SELECT CAST(octave AS BIGINT) octave, CAST(n_ranks AS BIGINT) n_ranks,
+        |  CAST(y_milli AS BIGINT) y_milli,
+        |  CAST(CASE WHEN det = 0 THEN NULL ELSE
+        |    (CASE WHEN num_s < 0 THEN -1 ELSE 1 END) * (abs(num_s) // det)
+        |  END AS BIGINT) slope_milli,
+        |  CAST(CASE WHEN det = 0 THEN NULL ELSE
+        |    (CASE WHEN num_i < 0 THEN -1 ELSE 1 END) * (abs(num_i) // det)
+        |  END AS BIGINT) intercept_milli
+        |FROM oy CROSS JOIN f""".stripMargin,
+    // Luhn replay: same regex string, translate-strip, length gate,
+    // mod-10 fold as a list comprehension over generate_series
+    "q204_luhn_audit" ->
+      """WITH injected AS (
+        |  SELECT doc_id, concat_ws(' ', substring(text, 1, 30),
+        |    'card 4111 1111 1111 1111 and 4111111111111112 ref',
+        |    concat('55-', lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0'),
+        |      '-', lpad(CAST((doc_id * 7) % 100000000 AS VARCHAR), 8, '0')),
+        |    'zip 12345', substring(text, 31, 1000000)) AS text
+        |  FROM documents),
+        |cands AS (
+        |  SELECT doc_id,
+        |    [d FOR d IN [translate(r, ' -', '') FOR r IN
+        |      regexp_extract_all(text, '[0-9](?:[- ]?[0-9]){12,18}')]
+        |     IF length(d) >= 13 AND length(d) <= 19] AS cs
+        |  FROM injected),
+        |ex AS (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS cand_idx,
+        |  unnest(cs) AS d FROM cands)
+        |SELECT doc_id, CAST(cand_idx AS BIGINT) AS cand_idx,
+        |  CAST(length(d) AS BIGINT) AS n_digits,
+        |  repeat('*', length(d) - 4) || substring(d, length(d) - 3, 4) AS masked,
+        |  (list_sum([CASE WHEN ((length(d) - i) % 2) = 1
+        |     THEN CASE WHEN 2 * (ascii(substring(d, i, 1)) - 48) > 9
+        |       THEN 2 * (ascii(substring(d, i, 1)) - 48) - 9
+        |       ELSE 2 * (ascii(substring(d, i, 1)) - 48) END
+        |     ELSE ascii(substring(d, i, 1)) - 48 END
+        |   FOR i IN generate_series(1, length(d))]) % 10) = 0 AS luhn_valid
+        |FROM ex""".stripMargin,
     // ROUGE-L LCS replay: recursive row DP (see rougeCtes)
     "q203_rouge_dedup" ->
       ("WITH RECURSIVE " + rougeCtes + """

@@ -393,6 +393,74 @@ object Curate {
         concat(lit("contact user"), col("doc_id"), lit("@example.com or call 555-867-5309 now")),
         substring(col("text"), 41, 1000000)).as("text"))
 
+  /** Digit runs with optional single space/dash separators, 13–19 digits —
+    * the payment-card length window (ISO/IEC 7812). No lookaround, so the
+    * same pattern string runs in Java regex and DuckDB's RE2. */
+  val cardRunPattern = "[0-9](?:[- ]?[0-9]){12,18}"
+
+  /** Checksum-validated payment-card audit (Luhn mod-10, ISO/IEC 7812-1)
+    * — the verification pass [[redactPii]]'s pattern scrub deliberately
+    * lacks: a bare digit-run regex flags every invoice number and
+    * timestamp as a "card", so real PII compliance pipelines gate the
+    * match on the Luhn checksum before escalating. Reference scope note:
+    * the reference pipeline (pipeline/app.py) has no PII surface at all;
+    * this extends the mandated training-data compliance leg (q48, q145).
+    *
+    * Shape: one scan-side pass — `regexp_extract_all` pulls the runs
+    * (regex runs ONCE per row, outside any lambda), separator stripping
+    * and the length gate are per-element `translate`/`length` HOFs, and
+    * the checksum folds `aggregate(sequence(1, len), …)` over ≤19 cheap
+    * substring/ascii terms. Zero shuffles; raw digits are DROPPED from
+    * the output (only a last-4 mask leaves the row — an audit that
+    * re-publishes the card number would itself be a leak).
+    *
+    * Per-candidate row: (id, cand_idx, n_digits, masked, luhn_valid).
+    * Documents with no candidate emit nothing (the no-evidence drop rule;
+    * q204 injects candidates so every doc provably exercises the fold). */
+  def luhnAudit(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val runs = regexp_extract_all(col(textCol), lit(cardRunPattern), lit(0))
+    val cands = filter(transform(runs, r => translate(r, " -", "")),
+      d => length(d) >= 13 && length(d) <= 19)
+    // Luhn from the right: with i counting 1..len from the LEFT, the
+    // doubled positions are those with (len - i) odd — substring indexes
+    // from the left on BOTH engines (negative starts diverge: Spark
+    // counts from the end, DuckDB/Postgres do not).
+    val d = col("digits")
+    val digit = (i: Column) =>
+      (ascii(d.substr(i, lit(1))) - lit(48)).cast("long")
+    val luhnSum = aggregate(
+      sequence(lit(1), length(d)),
+      lit(0L),
+      (acc, i) => {
+        val c = digit(i)
+        val doubled = when(c * 2 > 9, c * 2 - 9).otherwise(c * 2)
+        acc + when((length(d) - i) % 2 === 1, doubled).otherwise(c)
+      })
+    df.select(col(idCol), posexplode(cands).as(Seq("cand_idx", "digits")))
+      .select(col(idCol),
+        col("cand_idx").cast("long").as("cand_idx"),
+        length(d).cast("long").as("n_digits"),
+        concat(repeat(lit("*"), length(d) - 4),
+          d.substr(length(d) - 3, lit(4))).as("masked"),
+        (luhnSum % 10 === 0).as("luhn_valid"))
+  }
+
+  /** q204's deterministic candidate injection: a known-valid spaced Visa
+    * test number, a known-invalid 16-digit twin (last digit bumped), a
+    * doc-varying 18-digit dashed run whose Luhn verdict genuinely depends
+    * on doc_id (~10% valid — both checksum branches exercised across the
+    * corpus), and a 5-digit ZIP that must NOT clear the length gate. */
+  def injectCards(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat_ws(" ",
+        substring(col("text"), 1, 30),
+        lit("card 4111 1111 1111 1111 and 4111111111111112 ref"),
+        concat(lit("55-"), lpad((col("doc_id") % 100000000L).cast("string"), 8, "0"),
+          lit("-"), lpad(((col("doc_id") * 7L) % 100000000L).cast("string"), 8, "0")),
+        lit("zip 12345"),
+        substring(col("text"), 31, 1000000)).as("text"))
+
   // ------------------------------------------------- phrase blocklist
 
   /** Word-boundary phrase-blocklist report — the bad-word/spam-phrase

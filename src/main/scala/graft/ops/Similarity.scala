@@ -952,4 +952,116 @@ object Similarity {
       .groupBy(col("nid"))
       .agg(count(lit(1)).as("n_probes_hit"), max(col("cos3")).as("max_cos3"))
   }
+
+  /** Σ of the centered outer product — the Gram/covariance accumulator
+    * behind [[pcaProjection]]. Buffer = the upper triangle (d·(d+1)/2
+    * longs, ~16 KB at d = 64) of Σᵢ cᵢcᵢᵀ over SCALED-centered rows
+    * cⱼ = n·mⱼ − Sⱼ (staying in integers: centering by the exact mean
+    * would divide; scaling every row by n multiplies the covariance by
+    * n² — irrelevant to eigenvectors). Map-side combine reduces every
+    * partition to ONE triangle; the shuffle moves #partitions·16 KB
+    * regardless of corpus size. Long arithmetic is exact while
+    * n·(n·|m|max)² < 2^63 — |m| ≤ ~10³ (unit-ish float embeddings in
+    * milli-units) bounds that at n ≈ 2·10⁶ vectors; beyond, run the
+    * same aggregator per shard and merge the per-shard triangles in
+    * BigInt (the triangle is mergeable by plain addition). */
+  private class GramAgg(n: Long, s: Array[Long])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Array[Long], Array[Long]] {
+    private val d = s.length
+    override def zero: Array[Long] = new Array[Long](d * (d + 1) / 2)
+    override def reduce(buf: Array[Long], m: Seq[Long]): Array[Long] = {
+      val c = new Array[Long](d)
+      var j = 0
+      while (j < d) { c(j) = n * m(j) - s(j); j += 1 }
+      var idx = 0
+      j = 0
+      while (j < d) {
+        var k = j
+        while (k < d) { buf(idx) += c(j) * c(k); idx += 1; k += 1 }
+        j += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Long]]
+  }
+
+  /** Top principal component by power iteration, projected back onto
+    * every vector — the embedding-quality probe a curation pipeline
+    * runs before trusting its vectors (a dominant component carrying
+    * most of the variance is the classic symptom of uncentered /
+    * anisotropic embeddings, Mu & Viswanath '18; the projection is also
+    * the 1-D "cartography" coordinate for diversity-aware sampling).
+    *
+    * Exact integer discipline, end to end replayable in SQL:
+    *   - elements quantize to milli-units FIRST (floor(e·1000 + 0.5) —
+    *     the q30 device), so every later step is integer arithmetic;
+    *   - centering stays integral by scaling rows by n: c = n·m − S;
+    *   - the d×d Gram of the scaled-centered rows accumulates in ONE
+    *     corpus pass ([[GramAgg]]: map-side-combined triangles);
+    *   - `rounds` power-iteration steps run DRIVER-side on the d×d
+    *     matrix in BigInt — bounded work, no data involved — with
+    *     INFINITY-norm normalization to scale 2^20 each round
+    *     (v ← sign(w)·(|w|·2^20 div max|w|)): an L2 norm would need an
+    *     exact integer sqrt of a >2^52 radicand, which SQL cannot
+    *     replay exactly, while max and div replay verbatim (numerators
+    *     sign-factored — the cohenKappa rule);
+    *   - deterministic start v₀ = (2^20, …): no randomness anywhere.
+    *
+    * Returned frame: one lazily-evaluated SCAN over the corpus emitting
+    * (id, proj) with proj = c·v = n·(m·v) − S·v — the n·(m·v) − K form
+    * keeps the per-row work one zip_with dot product against the
+    * broadcast-literal component; zero shuffles in the final plan.
+    * Eager by design (count + 64-long sum collect + the Gram job at
+    * construction — the persisted-index discipline). */
+  def pcaProjection(emb: DataFrame, rounds: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col(idCol),
+      transform(col(vecCol),
+        e => floor(e.cast("double") * 1000 + lit(0.5)).cast("long")).as("m"))
+    // bounded collects: one 64-row sum frame + the scalar count
+    val sumRows = q.select(posexplode(col("m")).as(Seq("j", "v")))
+      .groupBy(col("j")).agg(sum(col("v")).as("sj"))
+      .orderBy(col("j")).collect()
+    require(sumRows.nonEmpty, "pcaProjection: empty corpus")
+    val s = sumRows.map(_.getLong(1))
+    val d = s.length
+    val n = q.count()
+    val tri = q.select(col("m")).as[Seq[Long]]
+      .groupByKey(_ => 0) // one global triangle; partials merge map-side
+      .agg(new GramAgg(n, s).toColumn.name("g")).collect().head._2
+    // unpack the triangle to a full symmetric d×d in BigInt
+    val g = Array.ofDim[BigInt](d, d)
+    var idx = 0
+    for (j <- 0 until d; k <- j until d) {
+      g(j)(k) = BigInt(tri(idx)); g(k)(j) = g(j)(k); idx += 1
+    }
+    val scale = BigInt(1) << 20
+    var v = Array.fill(d)(scale)
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(d)(j =>
+        (0 until d).map(k => g(j)(k) * v(k)).sum)
+      val mx = w.map(_.abs).max
+      v = if (mx == 0) v
+          else w.map(x => (if (x < 0) -1 else 1) * ((x.abs * scale) / mx))
+    }
+    // proj = n·(m·v) − S·v; v and K are bounded driver constants
+    val kConst = (0 until d).map(j => BigInt(s(j)) * v(j)).sum
+    val vLit = array(v.map(x => lit(x.toLong)): _*)
+    q.select(col(idCol),
+      (lit(n) * aggregate(zip_with(col("m"), vLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x) - lit(kConst.toLong)).as("proj"))
+  }
 }

@@ -296,6 +296,70 @@ object TextAnalysis {
     Dedup.materializeAndRelease(report, counts)
   }
 
+  /** Zipf rank-frequency fit — the corpus-statistics check that the
+    * unigram distribution follows the power law natural text obeys
+    * (Zipf 1949: freq ∝ rank^(−s), s ≈ 1): a corpus whose head is too
+    * flat is template/boilerplate-heavy, one too steep is
+    * dominated by a few tokens — both are curation red flags the
+    * per-doc filters (q120/q124) cannot see because they are
+    * CORPUS-level shape defects. Published datasheets report exactly
+    * this fit (e.g. the Pile's appendix); the slope belongs next to
+    * [[vocabularyGrowth]]'s Chao1 in q195's datasheet family.
+    *
+    * Exact integer discipline: ranks and frequencies enter in floor-log2
+    * (the [[Perplexity]] `ilog2` device — `length(bin(x))-1` both
+    * engines), so the log-log cloud collapses onto OCTAVES: per rank
+    * octave j = ilog2(rank), y_j = mean ilog2(tf) in milli-units
+    * (1000·Σ div n). The least-squares slope/intercept over the ≤
+    * ilog2(topK)+1 octave points is an exact rational — numerators and
+    * the always-positive denominator n·Σxx − (Σx)² stay in int64 (x ≤ 9,
+    * y ≤ ~60·10³ milli), and the one division factors the numerator's
+    * sign out first (`div` truncates in Spark, `//` floors in DuckDB —
+    * the cohenKappa rule; the slope is genuinely negative).
+    *
+    * Shape at scale: ONE map-side-combined token shuffle builds the
+    * counts; the top-k is a sort-limit (per-partition partial top-k,
+    * merge on the driver-side take — never a global sort); everything
+    * after operates on ≤ topK rows, and the fit attaches via window
+    * sums OVER the bounded octave frame, keeping the whole query lazy
+    * (no persist/checkpoint). Output: one row per octave with the
+    * shared fit columns — slope_milli ≈ −1000·s. */
+  def zipfFit(documents: DataFrame, topK: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ilog2(x: Column): Column =
+      length(conv(x.cast("string"), 10, 2)).cast("long") - 1L
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc).limit(topK)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("token").asc))
+        .cast("long"))
+    val oct = ranked
+      .groupBy(ilog2(col("rank")).as("octave"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(ilog2(col("tf"))).as("l2tf_sum"))
+      .withColumn("y_milli", expr("(1000 * l2tf_sum) div n_ranks"))
+    val w = Window.partitionBy(lit(1)) // the whole ≤10-row octave frame
+    oct
+      .withColumn("n_oct", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("octave")).over(w))
+      .withColumn("sy", sum(col("y_milli")).over(w))
+      .withColumn("sxy", sum(col("octave") * col("y_milli")).over(w))
+      .withColumn("sxx", sum(col("octave") * col("octave")).over(w))
+      .withColumn("det", col("n_oct") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_milli",
+        when(col("det") === 0L, lit(null).cast("long")).otherwise(
+          when(col("n_oct") * col("sxy") - col("sx") * col("sy") < 0L, -1L)
+            .otherwise(1L) * expr("abs(n_oct * sxy - sx * sy) div det")))
+      .withColumn("intercept_milli",
+        when(col("det") === 0L, lit(null).cast("long")).otherwise(
+          when(col("sy") * col("sxx") - col("sx") * col("sxy") < 0L, -1L)
+            .otherwise(1L) * expr("abs(sy * sxx - sx * sxy) div det")))
+      .select(col("octave"), col("n_ranks"), col("y_milli"),
+        col("slope_milli"), col("intercept_milli"))
+  }
+
   /** Sequence packing — the concat-and-chunk step that turns documents
     * into fixed-length training sequences: conceptually, concatenate each
     * source's token stream in doc_id order and cut every `seqLen` tokens;

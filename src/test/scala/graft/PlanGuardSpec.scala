@@ -195,6 +195,29 @@ class PlanGuardSpec extends SparkTestBase {
     // (censused through CheckpointAudit in PLANS.md); the final read
     // is the item join only
     assert(shuffles(q("q187_bradley_terry")) <= 4, "q187's final join grew")
+    // q198: sample-trained WordPiece — the trainer collects a bounded
+    // 256-doc sample, the encode is a pure scan-side pass: ZERO shuffles
+    assert(shuffles(q("q198_wordpiece")) == 0, "q198 grew a shuffle")
+    // q199/q200: the 8 GD/MW rounds live behind per-round checkpoints;
+    // the final read broadcasts the <=4-long weight row onto one scan
+    assert(shuffles(q("q199_logreg_quality")) == 0, "q199's final scan grew a shuffle")
+    assert(broadcasts(q("q199_logreg_quality")) >= 1, "q199 must broadcast the weights")
+    assert(shuffles(q("q200_doremi_mix")) == 0, "q200's final read grew a shuffle")
+    // q201: the game→pair aggregation + the matrix rollup
+    assert(shuffles(q("q201_winrate_wilson")) <= 2, "q201 grew extra exchanges")
+    // q202: probe-set build + two grouped neighborhood aggs + the mined
+    // join; probe vectors travel broadcast, the corpus side never shuffles
+    assert(shuffles(q("q202_bitext_margin")) <= 4, "q202 grew extra exchanges")
+    assert(broadcasts(q("q202_bitext_margin")) >= 1, "q202 must broadcast the probes")
+    // q203: candidate pairs come back BROADCAST onto the token frame —
+    // the LCS DP is row-local, ZERO shuffles
+    assert(shuffles(q("q203_rouge_dedup")) == 0, "q203 grew a shuffle")
+    assert(broadcasts(q("q203_rouge_dedup")) >= 1, "q203 lost its broadcast pair join")
+    // q204: regex extraction + checksum fold ride the scan — ZERO shuffles
+    assert(shuffles(q("q204_luhn_audit")) == 0, "q204 grew a shuffle")
+    // q205: the token count shuffle + sort-limit head + the bounded
+    // (<=256-row) rank window, octave rollup, and fit window
+    assert(shuffles(q("q205_zipf_fit")) <= 5, "q205 grew extra exchanges")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
