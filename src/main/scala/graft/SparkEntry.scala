@@ -1262,6 +1262,18 @@ object SparkEntry {
     // division (div truncates / // floors — the cohenKappa rule)
     "q205_zipf_fit" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d))),
+    // top principal component by power iteration (Similarity
+    // .pcaProjection, Mu & Viswanath '18 anisotropy probe): elements
+    // milli-quantized (q30 device), centering kept integral by scaling
+    // rows by n (c = n·m − S), the 64×64 Gram in ONE corpus pass via a
+    // map-side-combined triangle Aggregator, 8 driver-side BigInt
+    // power rounds with INFINITY-norm normalization to 2^20 (an L2
+    // norm would need an exact sqrt past 2^52 — max/div replay
+    // verbatim), projections back as a lazy zero-shuffle scan; the
+    // oracle unrolls the same 8 rounds as MATERIALIZED CTEs over a
+    // vec_id self-join Gram
+    "q206_pca_projection" -> ((s, d) =>
+      Similarity.pcaProjection(Tables.embeddings(s, d))),
     "q203_rouge_dedup" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val all = base.where(col("doc_id") < 80)
@@ -2494,6 +2506,37 @@ object SparkEntry {
        |nt AS MATERIALIZED (SELECT greatest(SUM(n), 1) nn FROM frame),
        |wr0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1,
        |    CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3),
+       |$iterCtes""".stripMargin
+  }
+
+  /** PCA power-iteration replay (q206): milli-quantized elements,
+    * n-scaled integer centering, the d×d Gram via a vec_id self-join,
+    * then 8 unrolled MATERIALIZED (w, v) round pairs with
+    * infinity-norm normalization to 2^20 (sign-factored division —
+    * BigInt `/` on the Spark driver truncates; on the nonneg operands
+    * both engines floor). v0 routes through HUGEINT so every product
+    * up the chain stays exact. */
+  private val pcaCtes: String = {
+    val iterCtes = (1 to 8).map { t =>
+      val p = t - 1
+      s"""w$t AS MATERIALIZED (SELECT gj j, SUM(gv * vv) w
+         |  FROM g JOIN v$p ON g.gk = v$p.j GROUP BY 1),
+         |v$t AS MATERIALIZED (SELECT j,
+         |  (CASE WHEN w < 0 THEN -1 ELSE 1 END) *
+         |    ((abs(w) * 1048576) // (SELECT MAX(abs(w)) FROM w$t)) vv
+         |  FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) l FROM embeddings),
+       |nq AS MATERIALIZED (SELECT COUNT(*) n FROM e),
+       |m AS MATERIALIZED (SELECT vec_id, generate_subscripts(l, 1) j,
+       |    CAST(floor(unnest(l) * 1000 + 0.5) AS BIGINT) mv FROM e),
+       |s AS MATERIALIZED (SELECT j, CAST(SUM(mv) AS BIGINT) sj
+       |  FROM m GROUP BY j),
+       |c AS MATERIALIZED (SELECT vec_id, m.j,
+       |    (SELECT n FROM nq) * mv - sj AS cv FROM m JOIN s USING (j)),
+       |g AS MATERIALIZED (SELECT a.j gj, b.j gk, SUM(a.cv * b.cv) gv
+       |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT j, CAST(1048576 AS HUGEINT) vv FROM s),
        |$iterCtes""".stripMargin
   }
 
@@ -5429,6 +5472,12 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // PCA replay: quantize, scale-center, Gram self-join, 8 unrolled
+    // power rounds (see pcaCtes), project with the round-8 component
+    "q206_pca_projection" ->
+      (s"WITH $pcaCtes" + """
+        |SELECT c.vec_id, CAST(SUM(cv * vv) AS BIGINT) proj
+        |FROM c JOIN v8 USING (j) GROUP BY c.vec_id""".stripMargin),
     // Zipf replay: same tokenization, sort-limit head, octave rollup,
     // integer least squares with sign-factored division; every SUM
     // routed back to BIGINT (DuckDB SUM(BIGINT) -> HUGEINT)

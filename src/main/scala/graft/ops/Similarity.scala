@@ -1059,6 +1059,8 @@ object Similarity {
     }
     // proj = n·(m·v) − S·v; v and K are bounded driver constants
     val kConst = (0 until d).map(j => BigInt(s(j)) * v(j)).sum
+    require(kConst.isValidLong,
+      "pcaProjection: S·v exceeds int64 — route proj through decimal at this corpus size")
     val vLit = array(v.map(x => lit(x.toLong)): _*)
     q.select(col(idCol),
       (lit(n) * aggregate(zip_with(col("m"), vLit, (a, b) => a * b),

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Similarity
+
+/** PCA power-iteration projection (q206): exact hand-solvable rank-1
+  * data, the Σproj = 0 centering invariant, and order invariance. */
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // rank-1 data: row_i = t_i · u with u = (0.5, 0.25, -0.25, 0) — every
+  // element an exact binary fraction, so milli-quantization is exact:
+  // m_i = t_i · uq, uq = (500, 250, -250, 0). The Gram is α·uq·uqᵀ, the
+  // iteration locks onto uq after one round (uq·v0 > 0), and the
+  // infinity-norm step divides exactly: v = (2^20, 2^19, -2^19, 0).
+  // proj_i = (n·t_i − Σt) · (uq·v), uq·v = 500·2^20 + 2·250·2^19
+  //        = 786432000.
+  private def rank1(ts: Seq[Long]) =
+    ts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(0.5f * t, 0.25f * t, -0.25f * t, 0.0f))
+    }.toDF("vec_id", "embedding")
+
+  test("rank-1 corpus: exact projections from the closed form") {
+    val ts = Seq(1L, 2L, 3L, 10L) // n=4, T=16 -> n·t−T = -12,-8,-4,24
+    val got = Similarity.pcaProjection(rank1(ts)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k = 786432000L
+    assert(got == Map(0L -> -12L * k, 1L -> -8L * k,
+      2L -> -4L * k, 3L -> 24L * k))
+  }
+
+  test("projections always sum to zero (exact centering)") {
+    val docs = Seq(
+      (1L, Array(0.125f, -0.75f, 0.5f, 1.0f)),
+      (2L, Array(-0.25f, 0.375f, 0.0f, -0.5f)),
+      (3L, Array(1.0f, 0.0f, -1.0f, 0.25f)),
+      (4L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (5L, Array(-0.125f, 0.875f, 0.25f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val projs = Similarity.pcaProjection(docs).collect().map(_.getLong(1))
+    assert(projs.sum == 0L, s"Σproj = ${projs.sum}")
+    assert(projs.exists(_ != 0L), "non-degenerate data must project")
+  }
+
+  test("row order and partitioning do not change the component") {
+    val ts = Seq(5L, -3L, 8L, 1L, 2L, 2L, -7L)
+    val a = Similarity.pcaProjection(rank1(ts)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Similarity.pcaProjection(rank1(ts.reverse).repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same t multiset, ids reversed: projection depends only on t_i
+    val n = ts.length
+    val byT = ts.zipWithIndex.map { case (t, i) => a(i.toLong) -> t }.toMap
+    val byTRev = ts.reverse.zipWithIndex.map { case (t, i) => b(i.toLong) -> t }.toMap
+    assert(byT == byTRev, "projection must be a function of the row alone")
+  }
+
+  test("empty corpus is rejected loudly") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pcaProjection(empty)
+    }
+  }
+}

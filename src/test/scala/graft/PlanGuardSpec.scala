@@ -218,6 +218,9 @@ class PlanGuardSpec extends SparkTestBase {
     // q205: the token count shuffle + sort-limit head + the bounded
     // (<=256-row) rank window, octave rollup, and fit window
     assert(shuffles(q("q205_zipf_fit")) <= 5, "q205 grew extra exchanges")
+    // q206: the Gram/power iteration runs at construction (bounded
+    // collects, eagerByDesign); the returned projection is ONE scan
+    assert(shuffles(q("q206_pca_projection")) == 0, "q206's final scan grew a shuffle")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
