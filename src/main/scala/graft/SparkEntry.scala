@@ -1274,6 +1274,16 @@ object SparkEntry {
     // vec_id self-join Gram
     "q206_pca_projection" -> ((s, d) =>
       Similarity.pcaProjection(Tables.embeddings(s, d))),
+    // distributed Lloyd's k-means (Similarity.kmeansClusters, the
+    // SemDeDup clustering step, Abbas et al. '23): init = k lowest-id
+    // rows, argmin assignment via packed d²·k+cid tie keys (ties to
+    // the lowest cid), sign-factored integer centroid means, empty
+    // clusters keep their centroid; 4 rounds, each ONE corpus scan
+    // with centroids as broadcast literals, only k·d-row updates
+    // collected; the oracle unrolls the rounds as MATERIALIZED
+    // assignment/update CTE pairs
+    "q207_kmeans_clusters" -> ((s, d) =>
+      Similarity.kmeansClusters(Tables.embeddings(s, d))),
     "q203_rouge_dedup" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val all = base.where(col("doc_id") < 80)
@@ -2537,6 +2547,43 @@ object SparkEntry {
        |g AS MATERIALIZED (SELECT a.j gj, b.j gk, SUM(a.cv * b.cv) gv
        |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
        |v0 AS (SELECT j, CAST(1048576 AS HUGEINT) vv FROM s),
+       |$iterCtes""".stripMargin
+  }
+
+  /** k-means replay (q207): milli-quantized elements, init = the k
+    * lowest-id rows with cid = id rank, then `rounds` unrolled
+    * MATERIALIZED (distance, assignment, update) CTE triples. The
+    * update is a LEFT join from the previous centroid frame so empty
+    * clusters COALESCE to their previous centroid — the exact
+    * kmeansClusters rule. Divisions run on abs() with the sign
+    * reapplied (div/floor parity). */
+  private val kmeansCtes: String = {
+    val k = 4
+    val iterCtes = (1 to 4).map { t =>
+      val p = t - 1
+      s"""d$t AS MATERIALIZED (SELECT m.vec_id, c.cid,
+         |    SUM((m.mv - c.cv) * (m.mv - c.cv)) d2
+         |  FROM m JOIN c$p c USING (j) GROUP BY 1, 2),
+         |a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+         |    FROM d$t) WHERE rn = 1),
+         |u$t AS (SELECT a.cid, m.j, SUM(m.mv) sv, COUNT(*) cnt
+         |  FROM a$t a JOIN m USING (vec_id) GROUP BY 1, 2),
+         |c$t AS MATERIALIZED (SELECT p.cid, p.j,
+         |    COALESCE((CASE WHEN u.sv < 0 THEN -1 ELSE 1 END) *
+         |      (abs(u.sv) // u.cnt), p.cv) cv
+         |  FROM c$p p LEFT JOIN u$t u ON p.cid = u.cid AND p.j = u.j)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) l FROM embeddings),
+       |m AS MATERIALIZED (SELECT vec_id, generate_subscripts(l, 1) j,
+       |    CAST(floor(unnest(l) * 1000 + 0.5) AS BIGINT) mv FROM e),
+       |init AS (SELECT vec_id,
+       |    row_number() OVER (ORDER BY vec_id) - 1 cid
+       |  FROM e ORDER BY vec_id LIMIT $k),
+       |c0 AS MATERIALIZED (SELECT init.cid, m.j, m.mv cv
+       |  FROM init JOIN m USING (vec_id)),
        |$iterCtes""".stripMargin
   }
 
@@ -5472,6 +5519,16 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // k-means replay: init from the k lowest ids, 4 unrolled Lloyd
+    // rounds (see kmeansCtes), final assignment under c4
+    "q207_kmeans_clusters" ->
+      (s"WITH $kmeansCtes," + """
+        |fin AS (SELECT m.vec_id, c.cid, SUM((m.mv - c.cv) * (m.mv - c.cv)) d2
+        |  FROM m JOIN c4 c USING (j) GROUP BY 1, 2)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS "cluster", CAST(d2 AS BIGINT) dist2
+        |FROM (SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |  FROM fin) WHERE rn = 1""".stripMargin),
     // PCA replay: quantize, scale-center, Gram self-join, 8 unrolled
     // power rounds (see pcaCtes), project with the round-8 component
     "q206_pca_projection" ->

@@ -995,6 +995,73 @@ object Similarity {
       org.apache.spark.sql.Encoders.kryo[Array[Long]]
   }
 
+  /** Distributed Lloyd's k-means over the FULL corpus, integer-exact —
+    * the clustering step of SemDeDup-style semantic curation (Abbas et
+    * al. '23: cluster, then dedup/sample within clusters) and of
+    * cluster-balanced data selection. [[kmeansLocal]] deliberately
+    * trains on a bounded sample (the FAISS quantizer discipline);
+    * THIS op is the other contract — every vector gets its final
+    * assignment, so the per-round aggregation must be distributed.
+    *
+    * Exact integer discipline (the q206 family):
+    *   - elements milli-quantize first (q30 device);
+    *   - init = the k lowest-id rows (deterministic, no seeding);
+    *   - assignment = argmin of Σ(m−c)² with ties to the LOWEST cid —
+    *     array_min over the packed keys d²·k + cid (the q188 tie-key
+    *     device), decoded by mod/div;
+    *   - centroid update = per-dimension sign-factored integer mean
+    *     (sum div count on abs, sign reapplied — div/floor parity);
+    *     empty clusters keep their previous centroid (the
+    *     [[kmeansLocal]] rule, replayed in SQL as a COALESCE left
+    *     join).
+    *
+    * Shape at scale: each round is ONE corpus scan — centroids ride
+    * along as broadcast literals (k·d longs), the update aggregates
+    * map-side into ≤ k·d rows, and only that bounded frame is
+    * collected (eager by design, the q187 bounded-iteration
+    * discipline). The returned frame is one more lazy zero-shuffle
+    * scan emitting (id, cluster, dist2) under the FINAL centroids. */
+  def kmeansClusters(emb: DataFrame, k: Int = 4, rounds: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    val q = emb.select(col(idCol),
+      transform(col(vecCol),
+        e => floor(e.cast("double") * 1000 + lit(0.5)).cast("long")).as("m"))
+    // bounded collect: the k init rows in id order
+    var cents: Array[Array[Long]] = q.orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(cents.length == k, s"kmeansClusters: corpus smaller than k=$k")
+    // argmin via the q188 tie-key device: key = d2·k + cid, so the min
+    // key IS (smallest d2, ties to lowest cid) — no struct field names
+    // to survive array() type unification
+    def assign: Column = array_min(array(cents.zipWithIndex.map {
+      case (c, i) =>
+        val cl = array(c.map(lit): _*)
+        aggregate(zip_with(col("m"), cl, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x) * k + i.toLong
+    }: _*))
+    for (_ <- 1 to rounds) {
+      // one scan: assign, then per-(cluster, dim) sums — ≤ k·d rows out
+      val sums = q.select((assign % k).as("cid"),
+          posexplode(col("m")).as(Seq("j", "v")))
+        .groupBy(col("cid"), col("j"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .collect() // bounded: k·d rows
+      val upd = cents.map(_.clone)
+      sums.foreach { r =>
+        val cid = r.getLong(0).toInt
+        val sv = r.getLong(2); val cnt = r.getLong(3)
+        upd(cid)(r.getInt(1)) =
+          (if (sv < 0) -1L else 1L) * (math.abs(sv) / cnt)
+      }
+      cents = upd // clusters absent from `sums` keep their centroid
+    }
+    q.select(col(idCol), assign.as("key"))
+      .select(col(idCol), (col("key") % k).as("cluster"),
+        expr(s"key div $k").as("dist2")) // `/` would be double division
+  }
+
   /** Top principal component by power iteration, projected back onto
     * every vector — the embedding-quality probe a curation pipeline
     * runs before trusting its vectors (a dominant component carrying

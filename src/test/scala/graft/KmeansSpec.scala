@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.Similarity
+
+/** Distributed Lloyd's k-means (q207): hand-traced rounds, the
+  * lowest-cid tie rule, truncating (not flooring) negative centroid
+  * means, and empty-cluster retention. */
+class KmeansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(vs: Seq[(Long, Array[Float])], k: Int, rounds: Int) =
+    Similarity.kmeansClusters(vs.toDF("vec_id", "embedding"), k, rounds)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("two separated pairs converge to their means (hand-traced 4 rounds)") {
+    // m = 0, 100, 1000, 1100 (1-D in a 2-dim array); init c = {0, 100}
+    // r1: {0} vs {100,1000,1100} -> c1 = 2200/3 = 733
+    // r2: {0,100} vs {1000,1100} -> c0 = 50, c1 = 1050
+    // r3, r4: stable. Final dist2 = 2500 for every vector.
+    val vs = Seq(
+      0L -> Array(0.0f, 0.0f), 1L -> Array(0.1f, 0.0f),
+      2L -> Array(1.0f, 0.0f), 3L -> Array(1.1f, 0.0f))
+    val got = run(vs, k = 2, rounds = 4)
+    assert(got == Map(
+      0L -> (0L, 2500L), 1L -> (0L, 2500L),
+      2L -> (1L, 2500L), 3L -> (1L, 2500L)))
+  }
+
+  test("equidistant vectors break ties to the lowest cid") {
+    // init c = {0, 1000}; the 500 point is 250000 from both -> cluster 0
+    val vs = Seq(
+      0L -> Array(0.0f, 0.0f), 1L -> Array(1.0f, 0.0f),
+      2L -> Array(0.5f, 0.0f))
+    val got = run(vs, k = 2, rounds = 1)
+    assert(got(2L)._1 == 0L, "tie must go to the lowest cid")
+  }
+
+  test("negative centroid means truncate toward zero (div parity, not floor)") {
+    // k=1: all three in c0; mean of (0, -500, -600) = -1100/3 -> -366
+    // (floor would give -367). Final dist2 against (-366, 0):
+    //   0 -> 366^2 = 133956, -500 -> 134^2 = 17956, -600 -> 234^2 = 54756
+    val vs = Seq(
+      0L -> Array(0.0f, 0.0f), 1L -> Array(-0.5f, 0.0f),
+      2L -> Array(-0.6f, 0.0f))
+    val got = run(vs, k = 1, rounds = 1)
+    assert(got == Map(
+      0L -> (0L, 133956L), 1L -> (0L, 17956L), 2L -> (0L, 54756L)))
+  }
+
+  test("migrating membership stabilizes (hand-traced)") {
+    // m = 0, 100, 200, 900; init c = {0, 100}.
+    // r1: {0} vs {100, 200, 900} -> c0 = 0, c1 = 1200/3 = 400
+    // r2: 200 is 40000 from BOTH (tie -> c0): {0,100,200} vs {900}
+    //     -> c0 = 100, c1 = 900
+    // r3, r4: stable.
+    val vs = Seq(
+      0L -> Array(0.0f, 0.0f), 1L -> Array(0.1f, 0.0f),
+      2L -> Array(0.2f, 0.0f), 3L -> Array(0.9f, 0.0f))
+    val got = run(vs, k = 2, rounds = 4)
+    assert(got == Map(
+      0L -> (0L, 10000L), 1L -> (0L, 0L),
+      2L -> (0L, 10000L), 3L -> (1L, 0L)))
+  }
+
+  test("a cluster that loses every vector keeps its previous centroid") {
+    // duplicate init rows: c0 = c1 = 0, so round 1 ties EVERYTHING to
+    // c0 and c1 is empty -> c1 must stay 0 (not NaN/0-div).
+    // r1: all -> c0; c0 = 300/3 = 100, c1 = 0 (retained)
+    // r2: 0,0 -> c1 (dist 0 beats 10000); 300 -> c0 (40000 vs 90000)
+    //     -> c0 = 300, c1 = 0
+    // final assignment under {300, 0}: ids 0,1 -> c1 d2=0; id 2 -> c0 d2=0
+    val vs = Seq(
+      0L -> Array(0.0f, 0.0f), 1L -> Array(0.0f, 0.0f),
+      2L -> Array(0.3f, 0.0f))
+    val got = run(vs, k = 2, rounds = 2)
+    assert(got == Map(
+      0L -> (1L, 0L), 1L -> (1L, 0L), 2L -> (0L, 0L)))
+  }
+
+  test("corpus smaller than k is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      run(Seq(0L -> Array(0.0f, 0.0f)), k = 2, rounds = 1)
+    }
+  }
+}

@@ -221,6 +221,9 @@ class PlanGuardSpec extends SparkTestBase {
     // q206: the Gram/power iteration runs at construction (bounded
     // collects, eagerByDesign); the returned projection is ONE scan
     assert(shuffles(q("q206_pca_projection")) == 0, "q206's final scan grew a shuffle")
+    // q207: Lloyd rounds run at construction (k·d-row collects); the
+    // returned assignment is ONE scan against literal centroids
+    assert(shuffles(q("q207_kmeans_clusters")) == 0, "q207's final scan grew a shuffle")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
