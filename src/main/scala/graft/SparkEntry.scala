@@ -1284,6 +1284,14 @@ object SparkEntry {
     // assignment/update CTE pairs
     "q207_kmeans_clusters" -> ((s, d) =>
       Similarity.kmeansClusters(Tables.embeddings(s, d))),
+    // per-cluster quality report (Similarity.clusterReport): member
+    // count, inertia (the elbow statistic), the SemDeDup prototype
+    // (nearest-to-centroid member, ties to lowest id — packed
+    // dist²·2^24 + id min keys), and the radius; one map-side-combined
+    // groupBy over the q207 assignment
+    "q208_cluster_report" -> ((s, d) =>
+      Similarity.clusterReport(
+        Similarity.kmeansClusters(Tables.embeddings(s, d)))),
     "q203_rouge_dedup" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val all = base.where(col("doc_id") < 80)
@@ -5519,6 +5527,22 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // cluster-report replay: the q207 assignment + one rollup with
+    // packed min keys for the prototype argmin
+    "q208_cluster_report" ->
+      (s"WITH $kmeansCtes," + """
+        |fin AS (SELECT m.vec_id, c.cid, SUM((m.mv - c.cv) * (m.mv - c.cv)) d2
+        |  FROM m JOIN c4 c USING (j) GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid, CAST(d2 AS BIGINT) d2
+        |  FROM (SELECT vec_id, cid, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |    FROM fin) WHERE rn = 1)
+        |SELECT CAST(cid AS BIGINT) AS "cluster", COUNT(*) n_members,
+        |  CAST(SUM(d2) AS BIGINT) inertia,
+        |  CAST(MIN(d2 * 16777216 + vec_id) % 16777216 AS BIGINT) proto_id,
+        |  CAST(MIN(d2 * 16777216 + vec_id) // 16777216 AS BIGINT) proto_dist2,
+        |  MAX(d2) radius
+        |FROM asg GROUP BY cid""".stripMargin),
     // k-means replay: init from the k lowest ids, 4 unrolled Lloyd
     // rounds (see kmeansCtes), final assignment under c4
     "q207_kmeans_clusters" ->

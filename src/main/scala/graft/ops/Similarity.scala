@@ -1062,6 +1062,32 @@ object Similarity {
         expr(s"key div $k").as("dist2")) // `/` would be double division
   }
 
+  /** Per-cluster quality report over a [[kmeansClusters]] assignment —
+    * the read a curation pipeline actually consumes from a clustering
+    * run: member count, inertia (Σ dist², the k-selection elbow
+    * statistic), the PROTOTYPE (the member nearest its centroid, ties
+    * to the lowest id — SemDeDup keeps prototypes and samples around
+    * them), and the radius (max dist², the dispersion read). One
+    * map-side-combined groupBy over the assignment frame; the argmin /
+    * argmax ride the same aggregation as packed min/max keys (the q188
+    * tie-key device — dist² ≤ 4·10⁹·id-space would overflow a naive
+    * pack, so the key is dist²·2^24 + id, valid while ids < 2^24 per
+    * the documented bound; wider ids pack via struct min instead). */
+  def clusterReport(assign: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val guarded = when(col(idCol) < 0 || col(idCol) >= (1L << 24),
+      raise_error(concat(lit("clusterReport: id outside [0, 2^24): "),
+        col(idCol).cast("string"))).cast("long")).otherwise(col(idCol))
+    val key = col("dist2") * lit(1L << 24) + guarded
+    assign
+      .select(col(idCol), col("cluster"), col("dist2"), key.as("k"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist2")).as("inertia"),
+        (min(col("k")) % (1L << 24)).as("proto_id"),
+        expr("min(k) div 16777216").as("proto_dist2"),
+        max(col("dist2")).as("radius"))
+  }
+
   /** Top principal component by power iteration, projected back onto
     * every vector — the embedding-quality probe a curation pipeline
     * runs before trusting its vectors (a dominant component carrying

@@ -82,4 +82,29 @@ class KmeansSpec extends SparkTestBase {
       run(Seq(0L -> Array(0.0f, 0.0f)), k = 2, rounds = 1)
     }
   }
+
+  test("clusterReport: counts, inertia, prototype argmin with id tie, radius") {
+    // first fixture: clusters {0,1} d2=2500 each and {2,3} d2=2500 each
+    // -> prototype = LOWEST id at the tied min dist
+    val vs = Seq(
+      0L -> Array(0.0f, 0.0f), 1L -> Array(0.1f, 0.0f),
+      2L -> Array(1.0f, 0.0f), 3L -> Array(1.1f, 0.0f))
+    val rep = Similarity.clusterReport(
+      Similarity.kmeansClusters(vs.toDF("vec_id", "embedding"), 2, 4))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rep(0L) == (2L, 5000L, 0L, 2500L, 2500L))
+    assert(rep(1L) == (2L, 5000L, 2L, 2500L, 2500L))
+  }
+
+  test("clusterReport rejects ids outside the packable range loudly") {
+    val bad = Seq((1L << 24, Array(0.0f, 0.0f)), (0L, Array(0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.clusterReport(
+        Similarity.kmeansClusters(bad, 1, 1)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -224,6 +224,8 @@ class PlanGuardSpec extends SparkTestBase {
     // q207: Lloyd rounds run at construction (k·d-row collects); the
     // returned assignment is ONE scan against literal centroids
     assert(shuffles(q("q207_kmeans_clusters")) == 0, "q207's final scan grew a shuffle")
+    // q208: the q207 scan + ONE map-side-combined report rollup
+    assert(shuffles(q("q208_cluster_report")) <= 1, "q208 grew extra exchanges")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
