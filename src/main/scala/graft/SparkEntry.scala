@@ -1262,6 +1262,14 @@ object SparkEntry {
     // division (div truncates / // floors — the cohenKappa rule)
     "q205_zipf_fit" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d))),
+    // Heaps'-law vocabulary-growth fit (TextAnalysis.heapsFit, Heaps
+    // '78): V(n) measured EXACTLY via per-token min (doc_id, pos)
+    // packed keys (map-side combined to vocab size before any join) +
+    // bounded-sort per-doc offsets (cumulativeByValue), octave
+    // cumulative counts = V(2^(j+1)), slope_milli ≈ 1000·β from the
+    // shared integer least-squares device
+    "q209_heaps_fit" -> ((s, d) =>
+      TextAnalysis.heapsFit(Tables.documents(s, d))),
     // top principal component by power iteration (Similarity
     // .pcaProjection, Mu & Viswanath '18 anisotropy probe): elements
     // milli-quantized (q30 device), centering kept integral by scaling
@@ -5527,6 +5535,42 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // Heaps replay: aligned unnest positions, window cumsum offsets
+    // (doc_id unique -> frame-exact), per-token MIN global position,
+    // octave rollup + cumulative + the q205 fit
+    "q209_heaps_fit" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') l
+        |  FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 pos,
+        |    unnest(l) token FROM toks),
+        |cnts AS (SELECT doc_id, len(l) ntok FROM toks WHERE len(l) > 0),
+        |offs AS (SELECT doc_id,
+        |    CAST(SUM(ntok) OVER (ORDER BY doc_id) - ntok AS BIGINT) doff
+        |  FROM cnts),
+        |fst AS (SELECT token, CAST(MIN(o.doff + t.pos) AS BIGINT) g
+        |  FROM tok t JOIN offs o USING (doc_id) GROUP BY token),
+        |o AS (SELECT length(bin(greatest(g, 1))) - 1 octave,
+        |    COUNT(*) n_first FROM fst GROUP BY 1),
+        |c AS (SELECT octave, n_first,
+        |    CAST(SUM(n_first) OVER (ORDER BY octave) AS BIGINT) cum_vocab
+        |  FROM o),
+        |yc AS (SELECT octave, n_first, cum_vocab,
+        |    (length(bin(cum_vocab)) - 1) * 1000 y_milli, octave + 1 x FROM c),
+        |s AS (SELECT COUNT(*) n_oct, SUM(x) sx, SUM(y_milli) sy,
+        |    SUM(x * y_milli) sxy, SUM(x * x) sxx FROM yc),
+        |f AS (SELECT n_oct * sxx - sx * sx AS det,
+        |    n_oct * sxy - sx * sy AS num_s,
+        |    sy * sxx - sx * sxy AS num_i FROM s)
+        |SELECT CAST(octave AS BIGINT) octave, CAST(n_first AS BIGINT) n_first,
+        |  cum_vocab, CAST(y_milli AS BIGINT) y_milli,
+        |  CAST(CASE WHEN det = 0 THEN NULL ELSE
+        |    (CASE WHEN num_s < 0 THEN -1 ELSE 1 END) * (abs(num_s) // det)
+        |  END AS BIGINT) slope_milli,
+        |  CAST(CASE WHEN det = 0 THEN NULL ELSE
+        |    (CASE WHEN num_i < 0 THEN -1 ELSE 1 END) * (abs(num_i) // det)
+        |  END AS BIGINT) intercept_milli
+        |FROM yc CROSS JOIN f""".stripMargin,
     // cluster-report replay: the q207 assignment + one rollup with
     // packed min keys for the prototype argmin
     "q208_cluster_report" ->

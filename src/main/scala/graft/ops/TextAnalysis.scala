@@ -340,13 +340,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ranks"),
         sum(ilog2(col("tf"))).as("l2tf_sum"))
       .withColumn("y_milli", expr("(1000 * l2tf_sum) div n_ranks"))
-    val w = Window.partitionBy(lit(1)) // the whole ≤10-row octave frame
-    oct
+    lsFitMilli(oct, "octave", "y_milli")
+      .select(col("octave"), col("n_ranks"), col("y_milli"),
+        col("slope_milli"), col("intercept_milli"))
+  }
+
+  /** Exact integer least squares over a BOUNDED frame of (x, y_milli)
+    * points — appends `slope_milli`/`intercept_milli` (the same value on
+    * every row; NULL when the points are degenerate, det = 0). The sums
+    * attach via window aggregates OVER the whole frame, so the chain
+    * stays lazy; numerators factor their sign out of the one division
+    * (`div` truncates in Spark, `//` floors in DuckDB — the cohenKappa
+    * rule). Shared by the Zipf (q205) and Heaps (q209) fits; callers
+    * own the bound (octave frames, ≤ ~64 rows). */
+  private[ops] def lsFitMilli(frame: DataFrame, xCol: String,
+                              yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+    frame
       .withColumn("n_oct", count(lit(1)).over(w))
-      .withColumn("sx", sum(col("octave")).over(w))
-      .withColumn("sy", sum(col("y_milli")).over(w))
-      .withColumn("sxy", sum(col("octave") * col("y_milli")).over(w))
-      .withColumn("sxx", sum(col("octave") * col("octave")).over(w))
+      .withColumn("sx", sum(col(xCol)).over(w))
+      .withColumn("sy", sum(col(yCol)).over(w))
+      .withColumn("sxy", sum(col(xCol) * col(yCol)).over(w))
+      .withColumn("sxx", sum(col(xCol) * col(xCol)).over(w))
       .withColumn("det", col("n_oct") * col("sxx") - col("sx") * col("sx"))
       .withColumn("slope_milli",
         when(col("det") === 0L, lit(null).cast("long")).otherwise(
@@ -356,8 +372,62 @@ object TextAnalysis {
         when(col("det") === 0L, lit(null).cast("long")).otherwise(
           when(col("sy") * col("sxx") - col("sx") * col("sxy") < 0L, -1L)
             .otherwise(1L) * expr("abs(sy * sxx - sx * sxy) div det")))
-      .select(col("octave"), col("n_ranks"), col("y_milli"),
-        col("slope_milli"), col("intercept_milli"))
+  }
+
+  /** Heaps'-law vocabulary-growth fit — the companion corpus-shape law
+    * to [[zipfFit]] (Heaps '78: V(n) = K·n^β, β ≈ 0.5 for natural
+    * text): how fast NEW vocabulary accumulates as the token stream
+    * grows. A β near 1 means the "vocabulary" never saturates (ids,
+    * hashes, OCR noise); a tiny β means template text. Complements
+    * [[vocabularyGrowth]]'s Chao1 point estimate with the full growth
+    * CURVE and its fitted exponent.
+    *
+    * V(n) is measured exactly: each distinct token's FIRST global
+    * occurrence position in the doc_id-ordered token stream — the
+    * per-token min of (doc_id, pos) packed keys (map-side combined to
+    * vocab size BEFORE any join), then the vocab-sized frame joins the
+    * per-doc offsets from [[Perplexity.cumulativeByValue]] (every sort
+    * bounded — the epochShuffle discipline, never a global cumsum over
+    * the corpus). First positions collapse onto octaves; cumulative
+    * counts along octaves ARE V(2^(j+1)), and the ilog2 least-squares
+    * line over (j+1, 1000·ilog2 V) estimates β·1000 as `slope_milli`.
+    *
+    * Packing guard: pos must fit 2^20 (docs longer than 1M tokens) and
+    * doc_id must be non-negative — violations raise loudly rather than
+    * corrupt the argmin (the clusterReport rule). */
+  def heapsFit(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ilog2(x: Column): Column =
+      length(conv(x.cast("string"), 10, 2)).cast("long") - 1L
+    val tok = documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val guarded = when(col("pos") >= (1L << 20) || col("doc_id") < 0,
+      raise_error(concat(lit("heapsFit: unpackable (doc_id, pos): "),
+        col("doc_id").cast("string"), lit(","),
+        col("pos").cast("string"))).cast("long"))
+      .otherwise(col("doc_id") * (1L << 20) + col("pos"))
+    val firsts = tok.select(col("token"), guarded.as("k"))
+      .groupBy(col("token")).agg(min(col("k")).as("k"))
+      .select(expr("k div 1048576").as("doc_id"),
+        (col("k") % (1L << 20)).as("pos"))
+    val counts = documents
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntok"))
+      .where(col("ntok") > 0)
+    val offs = Perplexity.cumulativeByValue(counts, "doc_id", "ntok")
+      .select(col("doc_id"), (col("_cum") - col("ntok")).as("off"))
+    val oct = firsts.join(offs, Seq("doc_id"))
+      .select((col("off") + col("pos")).as("gpos"))
+      .groupBy(ilog2(greatest(col("gpos"), lit(1L))).as("octave"))
+      .agg(count(lit(1)).as("n_first"))
+    val cumW = Window.orderBy(col("octave"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = oct
+      .withColumn("cum_vocab", sum(col("n_first")).over(cumW))
+      .withColumn("y_milli", ilog2(col("cum_vocab")) * 1000L)
+      .withColumn("x", col("octave") + 1L)
+    lsFitMilli(curve, "x", "y_milli")
+      .select(col("octave"), col("n_first"), col("cum_vocab"),
+        col("y_milli"), col("slope_milli"), col("intercept_milli"))
   }
 
   /** Sequence packing — the concat-and-chunk step that turns documents

@@ -226,6 +226,10 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(q("q207_kmeans_clusters")) == 0, "q207's final scan grew a shuffle")
     // q208: the q207 scan + ONE map-side-combined report rollup
     assert(shuffles(q("q208_cluster_report")) <= 1, "q208 grew extra exchanges")
+    // q209: token first-occurrence agg + doc-count agg + the bounded
+    // cumulativeByValue machinery (range partition, per-part totals,
+    // offsets) + the vocab-offset join + octave/fit windows
+    assert(shuffles(q("q209_heaps_fit")) <= 10, "q209 grew extra exchanges")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {

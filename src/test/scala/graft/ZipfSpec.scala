@@ -53,4 +53,34 @@ class ZipfSpec extends SparkTestBase {
     assert(row.length == 1 && row.head.isNullAt(3) && row.head.isNullAt(4),
       "det=0 must NULL the fit on both engines")
   }
+
+  test("heapsFit: hand-traced first positions, octave curve, exact fit") {
+    // stream (doc_id order): a b | a c a | d b e  -> offsets 0, 2, 5
+    // firsts: a@0 b@1 c@3 d@5 e@7 -> octaves 0:{a,b} 1:{c} 2:{d,e}
+    // cum V = 2, 3, 5 -> y = 1000, 1000, 2000 at x = 1, 2, 3
+    // n=3 sx=6 sy=4000 sxy=9000 sxx=14 det=6
+    // slope = 3000 div 6 = 500; intercept = 2000 div 6 = 333 (truncated)
+    val docs = Seq(
+      1L -> "a b", 2L -> "a c a", 3L -> "d b e").toDF("doc_id", "text")
+    val got = TextAnalysis.heapsFit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == Map(
+      0L -> (2L, 2L, 1000L, 500L, 333L),
+      1L -> (1L, 3L, 1000L, 500L, 333L),
+      2L -> (2L, 5L, 2000L, 500L, 333L)))
+  }
+
+  test("heapsFit: repartitioned input yields identical first positions") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok$i common")).toDF("doc_id", "text")
+    val a = TextAnalysis.heapsFit(docs).collect().toSet
+    val b = TextAnalysis.heapsFit(docs.repartition(13)).collect().toSet
+    assert(a == b, "bounded-sort offsets must be partitioning-invariant")
+  }
+
+  test("heapsFit rejects negative doc ids loudly (packing guard)") {
+    val bad = Seq(-1L -> "a b", 2L -> "c d").toDF("doc_id", "text")
+    intercept[Exception] { TextAnalysis.heapsFit(bad).collect() }
+  }
 }
