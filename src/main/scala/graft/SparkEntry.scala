@@ -1262,6 +1262,15 @@ object SparkEntry {
     // division (div truncates / // floors — the cohenKappa rule)
     "q205_zipf_fit" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d))),
+    // exact integer waterfilling token-budget allocation (Importance
+    // .waterfillAllocation): the "data recipe" solver — equal shares
+    // capped at availability, freed share redistributed via the exact
+    // waterfill level, mod-remainder tokens to the first unsaturated
+    // sources so Σ alloc == budget EXACTLY; saturation = a window-min
+    // prefix AND over the ascending-avail order, every division on
+    // non-negative operands
+    "q210_waterfill" -> ((s, d) =>
+      Importance.waterfillAllocation(Tables.documents(s, d))),
     // Heaps'-law vocabulary-growth fit (TextAnalysis.heapsFit, Heaps
     // '78): V(n) measured EXACTLY via per-token min (doc_id, pos)
     // packed keys (map-side combined to vocab size before any join) +
@@ -5535,6 +5544,48 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // waterfill replay: per-source token counts, ascending-order
+    // prefix sums, window-min saturation, level + remainder bumps
+    "q210_waterfill" ->
+      """WITH av AS (SELECT source,
+        |    CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> ''))) AS BIGINT) avail
+        |  FROM documents GROUP BY source HAVING avail > 0),
+        |b AS (SELECT COUNT(*) k, CAST(SUM(avail) AS BIGINT) total,
+        |    CAST((SUM(avail) * 500000) // 1000000 AS BIGINT) budget FROM av),
+        |r AS (SELECT source, avail, k, total, budget,
+        |    CAST(row_number() OVER ord AS BIGINT) i,
+        |    CAST(COALESCE(SUM(avail) OVER (ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      pfx
+        |  FROM av CROSS JOIN b
+        |  WINDOW ord AS (ORDER BY avail ASC, source ASC)),
+        |c AS (SELECT *, CASE WHEN avail * (k - i + 1) + pfx <= budget
+        |    THEN 1 ELSE 0 END cond FROM r),
+        |sflag AS (SELECT *, (MIN(cond) OVER (ORDER BY avail ASC, source ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) = 1 sat
+        |  FROM c),
+        |tot AS (SELECT *,
+        |    CAST(SUM(CASE WHEN sat THEN avail ELSE 0 END) OVER () AS BIGINT)
+        |      sat_sum,
+        |    k - CAST(SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS BIGINT)
+        |      n_unsat,
+        |    CAST(SUM(CASE WHEN sat THEN 0 ELSE 1 END) OVER (
+        |      ORDER BY avail ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      rank_unsat
+        |  FROM sflag)
+        |SELECT source, avail avail_tokens,
+        |  CAST(CASE WHEN sat THEN avail ELSE
+        |    (budget - sat_sum) // n_unsat +
+        |    (CASE WHEN rank_unsat <= (budget - sat_sum) % n_unsat
+        |     THEN 1 ELSE 0 END) END AS BIGINT) alloc_tokens,
+        |  sat saturated,
+        |  CAST((CASE WHEN sat THEN avail ELSE
+        |    (budget - sat_sum) // n_unsat +
+        |    (CASE WHEN rank_unsat <= (budget - sat_sum) % n_unsat
+        |     THEN 1 ELSE 0 END) END * 1000000) // avail AS BIGINT) epochs_ppm
+        |FROM tot""".stripMargin,
     // Heaps replay: aligned unnest positions, window cumsum offsets
     // (doc_id unique -> frame-exact), per-token MIN global position,
     // octave rollup + cumulative + the q205 fit

@@ -171,4 +171,67 @@ object Importance {
       .orderBy(col("avg_w").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Exact integer WATERFILLING token-budget allocation — the "data
+    * recipe" solver: given a total training-token budget and what each
+    * source actually has, give every source an equal share EXCEPT that
+    * no source is asked for more than it has; freed-up share
+    * redistributes to the bigger sources (the classic waterfill level,
+    * and the balanced-mixture counterpart to [[doremiWeights]]'
+    * loss-tilted weights — LLaMA-style recipes are exactly such a
+    * table of per-source allocations/epochs).
+    *
+    * Exact in integers, deterministic: sources sort by (avail ASC,
+    * source ASC); a PREFIX of that order saturates (gives all it has)
+    * — row i saturates iff avail_i·(k−i+1) + prefix_{i−1} ≤ budget,
+    * ANDed down the prefix (a window min, no recursion needed since
+    * the order is ascending); the unsaturated rest each get
+    * level = B′ div u, and the B′ mod u remainder goes one token each
+    * to the FIRST r unsaturated sources in the same order, so
+    * Σ alloc == budget EXACTLY (spec-pinned). All divisions on
+    * non-negative operands (div/floor parity is free).
+    *
+    * Shape at scale: ONE map-side-combined per-source token
+    * aggregation; everything after runs on the source-alphabet-bounded
+    * frame (windows over ≤ |sources| rows). */
+  def waterfillAllocation(docs: DataFrame, budgetPpm: Long = 500000L,
+                          sourceCol: String = "source",
+                          textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetPpm >= 0 && budgetPpm <= 1000000L,
+      "budgetPpm is a fraction of the corpus in ppm")
+    val avail = docs
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("avail"))
+      .where(col("avail") > 0)
+    val ord = Window.orderBy(col("avail").asc, col("source").asc)
+    val all = Window.partitionBy(lit(1))
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    avail
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("total", sum(col("avail")).over(all))
+      .withColumn("budget", expr(s"(total * ${budgetPpm}L) div 1000000"))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("prefix", coalesce(sum(col("avail")).over(pre), lit(0L)))
+      .withColumn("cond",
+        when(col("avail") * (col("k") - col("i") + 1L) + col("prefix")
+          <= col("budget"), 1L).otherwise(0L))
+      .withColumn("saturated", min(col("cond")).over(upto) === 1L)
+      .withColumn("sat_sum", sum(when(col("saturated"), col("avail"))
+        .otherwise(0L)).over(all))
+      .withColumn("n_unsat", col("k") -
+        sum(when(col("saturated"), 1L).otherwise(0L)).over(all))
+      .withColumn("rank_unsat",
+        sum(when(col("saturated"), 0L).otherwise(1L)).over(upto))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("avail")).otherwise(
+          expr("(budget - sat_sum) div n_unsat") +
+            when(col("rank_unsat") <= (col("budget") - col("sat_sum"))
+              % col("n_unsat"), 1L).otherwise(0L)))
+      .withColumn("epochs_ppm", expr("(alloc_tokens * 1000000) div avail"))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("alloc_tokens"), col("saturated"), col("epochs_ppm"))
+  }
 }

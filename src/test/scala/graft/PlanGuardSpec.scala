@@ -230,6 +230,9 @@ class PlanGuardSpec extends SparkTestBase {
     // cumulativeByValue machinery (range partition, per-part totals,
     // offsets) + the vocab-offset join + octave/fit windows
     assert(shuffles(q("q209_heaps_fit")) <= 10, "q209 grew extra exchanges")
+    // q210: ONE per-source token aggregation; the waterfill windows run
+    // over the source-alphabet-bounded frame
+    assert(shuffles(q("q210_waterfill")) <= 4, "q210 grew extra exchanges")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
