@@ -1024,26 +1024,31 @@ object Similarity {
   def kmeansClusters(emb: DataFrame, k: Int = 4, rounds: Int = 4,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
-    val q = emb.select(col(idCol),
+    val q = quantized(emb, idCol, vecCol)
+    assignWith(q, kmeansTrain(q, k, rounds, idCol), idCol)
+  }
+
+  /** The milli-quantized frame (id, m: array<long>) every k-means path
+    * shares. */
+  private def quantized(emb: DataFrame, idCol: String,
+                        vecCol: String): DataFrame =
+    emb.select(col(idCol),
       transform(col(vecCol),
         e => floor(e.cast("double") * 1000 + lit(0.5)).cast("long")).as("m"))
+
+  /** Lloyd's rounds over a quantized frame — returns the final
+    * centroids (k arrays of d longs; bounded driver state). See
+    * [[kmeansClusters]] for the contract. */
+  private def kmeansTrain(q: DataFrame, k: Int, rounds: Int,
+                          idCol: String): Array[Array[Long]] = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
     // bounded collect: the k init rows in id order
     var cents: Array[Array[Long]] = q.orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Long](1).toArray)
-    require(cents.length == k, s"kmeansClusters: corpus smaller than k=$k")
-    // argmin via the q188 tie-key device: key = d2·k + cid, so the min
-    // key IS (smallest d2, ties to lowest cid) — no struct field names
-    // to survive array() type unification
-    def assign: Column = array_min(array(cents.zipWithIndex.map {
-      case (c, i) =>
-        val cl = array(c.map(lit): _*)
-        aggregate(zip_with(col("m"), cl, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x) * k + i.toLong
-    }: _*))
+    require(cents.length == k, s"kmeansTrain: corpus smaller than k=$k")
     for (_ <- 1 to rounds) {
       // one scan: assign, then per-(cluster, dim) sums — ≤ k·d rows out
-      val sums = q.select((assign % k).as("cid"),
+      val sums = q.select((assignKey(cents) % k).as("cid"),
           posexplode(col("m")).as(Seq("j", "v")))
         .groupBy(col("cid"), col("j"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
@@ -1057,9 +1062,78 @@ object Similarity {
       }
       cents = upd // clusters absent from `sums` keep their centroid
     }
-    q.select(col(idCol), assign.as("key"))
+    cents
+  }
+
+  /** argmin via the q188 tie-key device: key = d2·k + cid, so the min
+    * key IS (smallest d2, ties to lowest cid) — no struct field names
+    * to survive array() type unification. */
+  private def assignKey(cents: Array[Array[Long]]): Column = {
+    val k = cents.length
+    array_min(array(cents.zipWithIndex.map {
+      case (c, i) =>
+        val cl = array(c.map(lit): _*)
+        aggregate(zip_with(col("m"), cl, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x) * k + i.toLong
+    }: _*))
+  }
+
+  /** One lazy zero-shuffle assignment scan under literal centroids. */
+  private def assignWith(q: DataFrame, cents: Array[Array[Long]],
+                         idCol: String): DataFrame = {
+    val k = cents.length
+    q.select(col(idCol), assignKey(cents).as("key"))
       .select(col(idCol), (col("key") % k).as("cluster"),
         expr(s"key div $k").as("dist2")) // `/` would be double division
+  }
+
+  /** Persist a trained k-means index: centroids, per-cluster training
+    * radius (max dist² any training member reached — the outlier
+    * threshold [[kmeansAssignFromIndex]] flags against), and a meta
+    * row pinning k — the production shape: cluster ONCE, assign every
+    * shard/stream against the saved index (the saveLm / IVF
+    * discipline). */
+  def saveKmeans(emb: DataFrame, path: String, k: Int = 4,
+                 rounds: Int = 4, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantized(emb, idCol, vecCol)
+    val cents = kmeansTrain(q, k, rounds, idCol)
+    cents.zipWithIndex
+      .flatMap { case (c, i) => c.zipWithIndex.map { case (v, j) =>
+        (i.toLong, j.toLong, v) } }.toSeq
+      .toDF("cid", "j", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignWith(q, cents, idCol)
+      .groupBy(col("cluster")).agg(max(col("dist2")).as("radius"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/radii")
+    Seq(k).toDF("k").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/meta")
+  }
+
+  /** Assign a frame against a persisted index and flag outliers —
+    * vectors whose dist² exceeds their cluster's TRAINING radius (the
+    * embedding-stream anomaly read: a point the training corpus never
+    * came near). Reads only the bounded centroid/radius tables; the
+    * corpus side is one zero-shuffle scan with a broadcast radius
+    * join. */
+  def kmeansAssignFromIndex(emb: DataFrame, path: String,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
+    val rows = spark.read.parquet(s"$path/centroids").collect()
+    val d = rows.map(_.getAs[Long]("j")).max.toInt + 1
+    val cents = Array.ofDim[Long](k, d)
+    rows.foreach(r => cents(r.getAs[Long]("cid").toInt)(
+      r.getAs[Long]("j").toInt) = r.getAs[Long]("cv"))
+    val radii = broadcast(spark.read.parquet(s"$path/radii"))
+    assignWith(quantized(emb, idCol, vecCol), cents, idCol)
+      .join(radii, Seq("cluster"), "left")
+      .withColumn("outlier",
+        coalesce(col("dist2") > col("radius"), lit(true)))
+      .select(col(idCol), col("cluster"), col("dist2"), col("outlier"))
   }
 
   /** Per-cluster quality report over a [[kmeansClusters]] assignment —
