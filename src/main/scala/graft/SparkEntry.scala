@@ -1262,6 +1262,13 @@ object SparkEntry {
     // division (div truncates / // floors — the cohenKappa rule)
     "q205_zipf_fit" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d))),
+    // cluster-balanced coreset with waterfilled budgets (Similarity
+    // .clusterCoreset): the selection read the clustering exists for —
+    // q210's exact waterfill over the q207 cluster SIZES sets each
+    // cluster's member quota, then prototype-first picks (nearest to
+    // centroid, ties to lowest id) within a cluster-PARTITIONED window
+    "q211_cluster_coreset" -> ((s, d) =>
+      Similarity.clusterCoreset(Tables.embeddings(s, d))),
     // exact integer waterfilling token-budget allocation (Importance
     // .waterfillAllocation): the "data recipe" solver — equal shares
     // capped at availability, freed share redistributed via the exact
@@ -2574,6 +2581,43 @@ object SparkEntry {
        |v0 AS (SELECT j, CAST(1048576 AS HUGEINT) vv FROM s),
        |$iterCtes""".stripMargin
   }
+
+  /** Waterfill replay chain (q210/q211): expects a CTE `av(source,
+    * avail)` already defined; produces `alloc(source, avail,
+    * alloc_tokens, saturated)` via ascending-order prefix sums,
+    * window-min saturation, the integer level, and remainder bumps —
+    * the exact Importance.waterfillOver algorithm. */
+  private def waterfillCtes(ppm: Long): String =
+    s"""b AS (SELECT COUNT(*) k, CAST(SUM(avail) AS BIGINT) total,
+       |    CAST((SUM(avail) * $ppm) // 1000000 AS BIGINT) budget FROM av),
+       |r AS (SELECT source, avail, k, total, budget,
+       |    CAST(row_number() OVER ord AS BIGINT) i,
+       |    CAST(COALESCE(SUM(avail) OVER (ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      pfx
+       |  FROM av CROSS JOIN b
+       |  WINDOW ord AS (ORDER BY avail ASC, source ASC)),
+       |c AS (SELECT *, CASE WHEN avail * (k - i + 1) + pfx <= budget
+       |    THEN 1 ELSE 0 END cond FROM r),
+       |sflag AS (SELECT *, (MIN(cond) OVER (ORDER BY avail ASC, source ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) = 1 sat
+       |  FROM c),
+       |tot AS (SELECT *,
+       |    CAST(SUM(CASE WHEN sat THEN avail ELSE 0 END) OVER () AS BIGINT)
+       |      sat_sum,
+       |    k - CAST(SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS BIGINT)
+       |      n_unsat,
+       |    CAST(SUM(CASE WHEN sat THEN 0 ELSE 1 END) OVER (
+       |      ORDER BY avail ASC, source ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      rank_unsat
+       |  FROM sflag),
+       |alloc AS (SELECT source, avail, sat saturated,
+       |  CAST(CASE WHEN sat THEN avail ELSE
+       |    (budget - sat_sum) // n_unsat +
+       |    (CASE WHEN rank_unsat <= (budget - sat_sum) % n_unsat
+       |     THEN 1 ELSE 0 END) END AS BIGINT) alloc_tokens
+       |  FROM tot)""".stripMargin
 
   /** k-means replay (q207): milli-quantized elements, init = the k
     * lowest-id rows with cid = id rank, then `rounds` unrolled
@@ -5544,48 +5588,36 @@ object SparkEntry {
          |FROM k a JOIN k b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // coreset replay: the q207 assignment CTEs + cluster sizes through
+    // the shared waterfill chain + prototype-first window picks
+    "q211_cluster_coreset" ->
+      (s"WITH $kmeansCtes," + """
+        |fin AS (SELECT m.vec_id, c.cid, SUM((m.mv - c.cv) * (m.mv - c.cv)) d2
+        |  FROM m JOIN c4 c USING (j) GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, CAST(cid AS BIGINT) cid, CAST(d2 AS BIGINT) d2
+        |  FROM (SELECT vec_id, cid, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |    FROM fin) WHERE rn = 1),
+        |av AS (SELECT cid source, COUNT(*) avail FROM asg GROUP BY 1),
+        |""".stripMargin + waterfillCtes(500000L) + """,
+        |ranked AS (SELECT vec_id, cid, d2,
+        |    CAST(row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id)
+        |      - 1 AS BIGINT) pick_rank
+        |  FROM asg)
+        |SELECT r.vec_id, r.cid AS "cluster", r.d2 dist2, r.pick_rank
+        |FROM ranked r JOIN alloc a ON r.cid = a.source
+        |WHERE r.pick_rank < a.alloc_tokens""".stripMargin),
     // waterfill replay: per-source token counts, ascending-order
     // prefix sums, window-min saturation, level + remainder bumps
     "q210_waterfill" ->
-      """WITH av AS (SELECT source,
+      ("""WITH av AS (SELECT source,
         |    CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
         |      x -> x <> ''))) AS BIGINT) avail
         |  FROM documents GROUP BY source HAVING avail > 0),
-        |b AS (SELECT COUNT(*) k, CAST(SUM(avail) AS BIGINT) total,
-        |    CAST((SUM(avail) * 500000) // 1000000 AS BIGINT) budget FROM av),
-        |r AS (SELECT source, avail, k, total, budget,
-        |    CAST(row_number() OVER ord AS BIGINT) i,
-        |    CAST(COALESCE(SUM(avail) OVER (ord
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      pfx
-        |  FROM av CROSS JOIN b
-        |  WINDOW ord AS (ORDER BY avail ASC, source ASC)),
-        |c AS (SELECT *, CASE WHEN avail * (k - i + 1) + pfx <= budget
-        |    THEN 1 ELSE 0 END cond FROM r),
-        |sflag AS (SELECT *, (MIN(cond) OVER (ORDER BY avail ASC, source ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) = 1 sat
-        |  FROM c),
-        |tot AS (SELECT *,
-        |    CAST(SUM(CASE WHEN sat THEN avail ELSE 0 END) OVER () AS BIGINT)
-        |      sat_sum,
-        |    k - CAST(SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS BIGINT)
-        |      n_unsat,
-        |    CAST(SUM(CASE WHEN sat THEN 0 ELSE 1 END) OVER (
-        |      ORDER BY avail ASC, source ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      rank_unsat
-        |  FROM sflag)
-        |SELECT source, avail avail_tokens,
-        |  CAST(CASE WHEN sat THEN avail ELSE
-        |    (budget - sat_sum) // n_unsat +
-        |    (CASE WHEN rank_unsat <= (budget - sat_sum) % n_unsat
-        |     THEN 1 ELSE 0 END) END AS BIGINT) alloc_tokens,
-        |  sat saturated,
-        |  CAST((CASE WHEN sat THEN avail ELSE
-        |    (budget - sat_sum) // n_unsat +
-        |    (CASE WHEN rank_unsat <= (budget - sat_sum) % n_unsat
-        |     THEN 1 ELSE 0 END) END * 1000000) // avail AS BIGINT) epochs_ppm
-        |FROM tot""".stripMargin,
+        |""".stripMargin + waterfillCtes(500000L) + """
+        |SELECT source, avail avail_tokens, alloc_tokens, saturated,
+        |  CAST((alloc_tokens * 1000000) // avail AS BIGINT) epochs_ppm
+        |FROM alloc""".stripMargin),
     // Heaps replay: aligned unnest positions, window cumsum offsets
     // (doc_id unique -> frame-exact), per-token MIN global position,
     // octave rollup + cumulative + the q205 fit

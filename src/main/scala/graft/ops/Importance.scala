@@ -197,14 +197,23 @@ object Importance {
   def waterfillAllocation(docs: DataFrame, budgetPpm: Long = 500000L,
                           sourceCol: String = "source",
                           textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(budgetPpm >= 0 && budgetPpm <= 1000000L,
-      "budgetPpm is a fraction of the corpus in ppm")
     val avail = docs
       .select(col(sourceCol).as("source"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("t"))
       .groupBy(col("source")).agg(sum(col("t")).as("avail"))
       .where(col("avail") > 0)
+    waterfillOver(avail, budgetPpm)
+  }
+
+  /** The waterfill core over an arbitrary BOUNDED (source, avail) frame
+    * — shared by the token-recipe form ([[waterfillAllocation]]) and
+    * the cluster-budget coreset (q211). See [[waterfillAllocation]] for
+    * the algorithm contract. */
+  private[ops] def waterfillOver(avail: DataFrame,
+                                 budgetPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetPpm >= 0 && budgetPpm <= 1000000L,
+      "budgetPpm is a fraction of the corpus in ppm")
     val ord = Window.orderBy(col("avail").asc, col("source").asc)
     val all = Window.partitionBy(lit(1))
     val pre = ord.rowsBetween(Window.unboundedPreceding, -1)

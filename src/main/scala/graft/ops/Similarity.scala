@@ -1136,6 +1136,39 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("dist2"), col("outlier"))
   }
 
+  /** Cluster-balanced CORESET with waterfilled budgets — the diverse
+    * data-selection read the clustering exists for (SemDeDup/DSIR
+    * family): an equal member budget per cluster (so no cluster
+    * dominates the subset) EXCEPT that small clusters contribute all
+    * they have, with the freed budget redistributed exactly
+    * ([[Importance.waterfillOver]] on the cluster SIZES); within a
+    * cluster, prototype-first selection — the `quota` members nearest
+    * the centroid, ties to the lowest id.
+    *
+    * Shape at scale: the assignment scan runs twice (sizes + final
+    * pick) — both zero-shuffle scans; the waterfill runs on the
+    * ≤k-row size frame; the per-cluster rank is a window PARTITIONED
+    * by cluster (each cluster sorts independently — never a global
+    * sort), and the ≤k-row quota frame joins back broadcast. */
+  def clusterCoreset(emb: DataFrame, budgetPpm: Long = 500000L,
+                     k: Int = 4, rounds: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val assign = kmeansClusters(emb, k, rounds, idCol, vecCol)
+    val sizes = assign.groupBy(col("cluster").as("source"))
+      .agg(count(lit(1)).as("avail"))
+    val quota = Importance.waterfillOver(sizes, budgetPpm)
+      .select(col("source").as("cluster"),
+        col("alloc_tokens").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("dist2").asc, col(idCol).asc)
+    assign.join(broadcast(quota), Seq("cluster"))
+      .withColumn("pick_rank", row_number().over(w).cast("long") - 1L)
+      .where(col("pick_rank") < col("quota"))
+      .select(col(idCol), col("cluster"), col("dist2"), col("pick_rank"))
+  }
+
   /** Per-cluster quality report over a [[kmeansClusters]] assignment —
     * the read a curation pipeline actually consumes from a clustering
     * run: member count, inertia (Σ dist², the k-selection elbow

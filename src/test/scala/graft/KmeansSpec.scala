@@ -98,6 +98,31 @@ class KmeansSpec extends SparkTestBase {
     assert(rep(1L) == (2L, 5000L, 2L, 2500L, 2500L))
   }
 
+  test("clusterCoreset: waterfilled quotas, prototype-first picks, exact size") {
+    // final clusters (see migrating-membership trace): c0 = {0,1,2}
+    // around 100, c1 = {3} at 900. Budget = 50% of 4 = 2. Waterfill
+    // over sizes (3, 1): c1 saturates with 1, c0's quota = 1 ->
+    // prototypes only: id 1 (dist2 0) and id 3 (dist2 0).
+    val vs = Seq(
+      0L -> Array(0.0f, 0.0f), 1L -> Array(0.1f, 0.0f),
+      2L -> Array(0.2f, 0.0f), 3L -> Array(0.9f, 0.0f))
+    val got = Similarity.clusterCoreset(vs.toDF("vec_id", "embedding"),
+      budgetPpm = 500000L, k = 2, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 0L, 0L, 0L), (3L, 1L, 0L, 0L)))
+  }
+
+  test("clusterCoreset size equals the exact integer budget") {
+    val vs = (0L until 60L).map(i =>
+      (i, Array((i % 9) / 10.0f, (i % 5) / 10.0f)))
+    for (ppm <- Seq(250000L, 500000L, 900000L)) {
+      val n = Similarity.clusterCoreset(vs.toDF("vec_id", "embedding"),
+        budgetPpm = ppm, k = 3, rounds = 3).count()
+      assert(n == 60L * ppm / 1000000L, s"ppm=$ppm")
+    }
+  }
+
   test("clusterReport rejects ids outside the packable range loudly") {
     val bad = Seq((1L << 24, Array(0.0f, 0.0f)), (0L, Array(0.5f, 0.0f)))
       .toDF("vec_id", "embedding")

@@ -233,6 +233,10 @@ class PlanGuardSpec extends SparkTestBase {
     // q210: ONE per-source token aggregation; the waterfill windows run
     // over the source-alphabet-bounded frame
     assert(shuffles(q("q210_waterfill")) <= 4, "q210 grew extra exchanges")
+    // q211: size agg + the bounded waterfill windows + the per-cluster
+    // rank window; the quota joins back BROADCAST
+    assert(shuffles(q("q211_cluster_coreset")) <= 7, "q211 grew extra exchanges")
+    assert(broadcasts(q("q211_cluster_coreset")) >= 1, "q211 lost its broadcast quota join")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
