@@ -600,6 +600,71 @@ object ScaleSmoke {
       f"${(System.nanoTime()-t0)/1e9}%.1f s, $btRows items")
     assert(btRows == 64L && btPos == 0L)
     bt.unpersist(false)
+    // --- Luhn audit at corpus size (round 12, second leg) ---
+    // corpus text carries no >=13-digit run (token digits break on _),
+    // so candidates are EXACTLY the 3 injected per doc; plant 0 always
+    // valid, plant 1 never, plant 2 exercises both branches
+    t0 = System.nanoTime()
+    val luhn = ops.Curate.luhnAudit(ops.Curate.injectCards(
+      docs.select(col("doc_id"), col("text")))).persist()
+    val luhnN = luhn.count()
+    val v0 = luhn.where(col("cand_idx") === 0 && col("luhn_valid")).count()
+    val v1 = luhn.where(col("cand_idx") === 1 && col("luhn_valid")).count()
+    val v2 = luhn.where(col("cand_idx") === 2)
+      .agg(sum(when(col("luhn_valid"), 1L).otherwise(0L))).head().getLong(0)
+    println(f"luhnAudit($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"$luhnN candidates, plant2 valid $v2")
+    assert(luhnN == 3L * n && v0 == n && v1 == 0L)
+    assert(v2 > 0 && v2 < n, "the varying plant must hit both branches")
+    luhn.unpersist(false)
+    // --- PCA projection at 100k vectors (round 12, second leg) ---
+    // truncated-mean centering keeps Gram entries O(n·|m|²) — this run
+    // is exactly the size the first (n-scaled) formulation wrapped at
+    t0 = System.nanoTime()
+    val pvecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)), j =>
+        ((pmod(col("id") * 31 + j * 7, lit(2001)) - 1000) / 1000.0)
+          .cast("float")).as("embedding"))
+      .repartition(32).persist()
+    pvecs.count()
+    val proj = ops.Similarity.pcaProjection(pvecs).persist()
+    val projN = proj.count()
+    val projSum = proj.agg(sum(col("proj").cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    println(f"pcaProjection($n vecs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"sum $projSum")
+    assert(projN == n)
+    assert(projSum.abs().longValueExact() < n.toLong * 64L * (1L << 20),
+      "Σproj must sit inside the mean-truncation envelope")
+    proj.unpersist(false)
+    // --- distributed k-means + waterfilled coreset at 100k (round 12) ---
+    t0 = System.nanoTime()
+    val asg = ops.Similarity.kmeansClusters(pvecs, k = 16, rounds = 4).persist()
+    val asgN = asg.count()
+    val kUsed = asg.select(countDistinct(col("cluster"))).head().getLong(0)
+    println(f"kmeansClusters($n vecs, k=16): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"$kUsed clusters populated")
+    assert(asgN == n)
+    t0 = System.nanoTime()
+    val coreN = ops.Similarity.clusterCoreset(pvecs, budgetPpm = 250000L,
+      k = 16, rounds = 4).count()
+    println(f"clusterCoreset($n vecs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"$coreN picked")
+    assert(coreN == n.toLong * 250000L / 1000000L,
+      "coreset size must equal the exact integer budget")
+    asg.unpersist(false); pvecs.unpersist(false)
+    // --- Heaps fit at corpus size (round 12, second leg) ---
+    t0 = System.nanoTime()
+    val heaps = ops.TextAnalysis.heapsFit(
+      docs.select(col("doc_id"), col("text"))).persist()
+    val hRows = heaps.count()
+    val hSlope = heaps.select(max(col("slope_milli"))).head().getLong(0)
+    println(f"heapsFit($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"$hRows octaves, slope $hSlope")
+    assert(hRows > 15, "a 12M-token stream spans >15 octaves")
+    assert(hSlope > 0 && hSlope <= 1000,
+      "Heaps exponent must land in (0, 1] for a growing vocabulary")
+    heaps.unpersist(false)
     spark.stop()
   }
 }

@@ -1288,8 +1288,9 @@ object SparkEntry {
       TextAnalysis.heapsFit(Tables.documents(s, d))),
     // top principal component by power iteration (Similarity
     // .pcaProjection, Mu & Viswanath '18 anisotropy probe): elements
-    // milli-quantized (q30 device), centering kept integral by scaling
-    // rows by n (c = n·m − S), the 64×64 Gram in ONE corpus pass via a
+    // milli-quantized (q30 device), centering by the TRUNCATED integer
+    // mean (c = m − sdiv(S, n) — n-scaled centering grows the Gram as
+    // n³), the 64×64 Gram in ONE corpus pass via a
     // map-side-combined triangle Aggregator, 8 driver-side BigInt
     // power rounds with INFINITY-norm normalization to 2^20 (an L2
     // norm would need an exact sqrt past 2^52 — max/div replay
@@ -2552,9 +2553,10 @@ object SparkEntry {
   }
 
   /** PCA power-iteration replay (q206): milli-quantized elements,
-    * n-scaled integer centering, the d×d Gram via a vec_id self-join,
-    * then 8 unrolled MATERIALIZED (w, v) round pairs with
-    * infinity-norm normalization to 2^20 (sign-factored division —
+    * truncated-integer-mean centering (sign-factored |S| div n — the
+    * n-scaled form would grow Gram entries as n³), the d×d Gram via a
+    * vec_id self-join, then 8 unrolled MATERIALIZED (w, v) round pairs
+    * with infinity-norm normalization to 2^20 (sign-factored division —
     * BigInt `/` on the Spark driver truncates; on the nonneg operands
     * both engines floor). v0 routes through HUGEINT so every product
     * up the chain stays exact. */
@@ -2574,8 +2576,10 @@ object SparkEntry {
        |    CAST(floor(unnest(l) * 1000 + 0.5) AS BIGINT) mv FROM e),
        |s AS MATERIALIZED (SELECT j, CAST(SUM(mv) AS BIGINT) sj
        |  FROM m GROUP BY j),
+       |mu AS (SELECT j, CAST((CASE WHEN sj < 0 THEN -1 ELSE 1 END) *
+       |    (abs(sj) // (SELECT n FROM nq)) AS BIGINT) muj FROM s),
        |c AS MATERIALIZED (SELECT vec_id, m.j,
-       |    (SELECT n FROM nq) * mv - sj AS cv FROM m JOIN s USING (j)),
+       |    mv - muj AS cv FROM m JOIN mu USING (j)),
        |g AS MATERIALIZED (SELECT a.j gj, b.j gk, SUM(a.cv * b.cv) gv
        |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
        |v0 AS (SELECT j, CAST(1048576 AS HUGEINT) vv FROM s),

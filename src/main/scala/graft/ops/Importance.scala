@@ -179,7 +179,12 @@ object Importance {
     * redistributes to the bigger sources (the classic waterfill level,
     * and the balanced-mixture counterpart to [[doremiWeights]]'
     * loss-tilted weights — LLaMA-style recipes are exactly such a
-    * table of per-source allocations/epochs).
+    * table of per-source allocations/epochs). Distinct from
+    * [[Curate.epochAllocate]], the √T-weighted MULTI-epoch planner
+    * (allocations there may exceed availability up to maxEpochs; its
+    * level is a weighted λ and its total is ≤ budget): THIS op is the
+    * single-epoch equal-share form whose remainder rule makes
+    * Σ alloc == budget EXACT — the two ends of the recipe spectrum.
     *
     * Exact in integers, deterministic: sources sort by (avail ASC,
     * source ASC); a PREFIX of that order saturates (gives all it has)

@@ -955,25 +955,25 @@ object Similarity {
 
   /** Σ of the centered outer product — the Gram/covariance accumulator
     * behind [[pcaProjection]]. Buffer = the upper triangle (d·(d+1)/2
-    * longs, ~16 KB at d = 64) of Σᵢ cᵢcᵢᵀ over SCALED-centered rows
-    * cⱼ = n·mⱼ − Sⱼ (staying in integers: centering by the exact mean
-    * would divide; scaling every row by n multiplies the covariance by
-    * n² — irrelevant to eigenvectors). Map-side combine reduces every
-    * partition to ONE triangle; the shuffle moves #partitions·16 KB
-    * regardless of corpus size. Long arithmetic is exact while
-    * n·(n·|m|max)² < 2^63 — |m| ≤ ~10³ (unit-ish float embeddings in
-    * milli-units) bounds that at n ≈ 2·10⁶ vectors; beyond, run the
-    * same aggregator per shard and merge the per-shard triangles in
-    * BigInt (the triangle is mergeable by plain addition). */
-  private class GramAgg(n: Long, s: Array[Long])
+    * longs, ~16 KB at d = 64) of Σᵢ cᵢcᵢᵀ over rows centered by the
+    * TRUNCATED integer mean, cⱼ = mⱼ − μⱼ with μⱼ = sign·(|Sⱼ| div n)
+    * — exact integers both engines replay, and |c| stays O(|m|max)
+    * REGARDLESS of corpus size (the first cut of this op scaled rows
+    * by n to keep the exact mean, which grows Gram entries as n³ and
+    * silently wraps int64 near 2·10⁴ vectors — truncated-mean
+    * centering shifts the data by < 1 milli-unit per dimension and
+    * bounds entries at n·(2|m|max)², exact past 10¹² vectors).
+    * Map-side combine reduces every partition to ONE triangle; the
+    * shuffle moves #partitions·16 KB regardless of corpus size. */
+  private class GramAgg(mu: Array[Long])
       extends org.apache.spark.sql.expressions.Aggregator[
         Seq[Long], Array[Long], Array[Long]] {
-    private val d = s.length
+    private val d = mu.length
     override def zero: Array[Long] = new Array[Long](d * (d + 1) / 2)
     override def reduce(buf: Array[Long], m: Seq[Long]): Array[Long] = {
       val c = new Array[Long](d)
       var j = 0
-      while (j < d) { c(j) = n * m(j) - s(j); j += 1 }
+      while (j < d) { c(j) = m(j) - mu(j); j += 1 }
       var idx = 0
       j = 0
       while (j < d) {
@@ -1066,16 +1066,15 @@ object Similarity {
   }
 
   /** argmin via the q188 tie-key device: key = d2·k + cid, so the min
-    * key IS (smallest d2, ties to lowest cid) — no struct field names
-    * to survive array() type unification. */
+    * key IS (smallest d2, ties to lowest cid). A codegen'd kernel
+    * ([[graft.expr.KmeansKey]]) — the interpreted-HOF form (one
+    * aggregate(zip_with) per centroid) paid per-element interpretation
+    * k·d times per row and took ~180 s at (k=16, 100k rows) where the
+    * kernel takes ~1 s. */
   private def assignKey(cents: Array[Array[Long]]): Column = {
-    val k = cents.length
-    array_min(array(cents.zipWithIndex.map {
-      case (c, i) =>
-        val cl = array(c.map(lit): _*)
-        aggregate(zip_with(col("m"), cl, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x) * k + i.toLong
-    }: _*))
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => CB}
+    CB.column(graft.expr.KmeansKey(
+      CB.expression(col("m")), cents.map(_.toSeq).toSeq))
   }
 
   /** One lazy zero-shuffle assignment scan under literal centroids. */
@@ -1205,8 +1204,12 @@ object Similarity {
     * Exact integer discipline, end to end replayable in SQL:
     *   - elements quantize to milli-units FIRST (floor(e·1000 + 0.5) —
     *     the q30 device), so every later step is integer arithmetic;
-    *   - centering stays integral by scaling rows by n: c = n·m − S;
-    *   - the d×d Gram of the scaled-centered rows accumulates in ONE
+    *   - centering stays integral via the TRUNCATED integer mean:
+    *     c = m − μ, μⱼ = sign·(|Sⱼ| div n) — a < 1-milli-unit shift of
+    *     the data, chosen over exact n-scaled centering because the
+    *     latter grows Gram entries as n³ (int64 wraps near 2·10⁴
+    *     vectors), while |c| here is O(|m|max) at ANY corpus size;
+    *   - the d×d Gram of the centered rows accumulates in ONE
     *     corpus pass ([[GramAgg]]: map-side-combined triangles);
     *   - `rounds` power-iteration steps run DRIVER-side on the d×d
     *     matrix in BigInt — bounded work, no data involved — with
@@ -1218,7 +1221,7 @@ object Similarity {
     *   - deterministic start v₀ = (2^20, …): no randomness anywhere.
     *
     * Returned frame: one lazily-evaluated SCAN over the corpus emitting
-    * (id, proj) with proj = c·v = n·(m·v) − S·v — the n·(m·v) − K form
+    * (id, proj) with proj = (m − μ)·v = m·v − μ·v — the m·v − K form
     * keeps the per-row work one zip_with dot product against the
     * broadcast-literal component; zero shuffles in the final plan.
     * Eager by design (count + 64-long sum collect + the Gram job at
@@ -1239,9 +1242,11 @@ object Similarity {
     val s = sumRows.map(_.getLong(1))
     val d = s.length
     val n = q.count()
+    // truncated integer mean, sign factored (div/floor parity)
+    val mu = s.map(sj => (if (sj < 0) -1L else 1L) * (math.abs(sj) / n))
     val tri = q.select(col("m")).as[Seq[Long]]
       .groupByKey(_ => 0) // one global triangle; partials merge map-side
-      .agg(new GramAgg(n, s).toColumn.name("g")).collect().head._2
+      .agg(new GramAgg(mu).toColumn.name("g")).collect().head._2
     // unpack the triangle to a full symmetric d×d in BigInt
     val g = Array.ofDim[BigInt](d, d)
     var idx = 0
@@ -1257,13 +1262,13 @@ object Similarity {
       v = if (mx == 0) v
           else w.map(x => (if (x < 0) -1 else 1) * ((x.abs * scale) / mx))
     }
-    // proj = n·(m·v) − S·v; v and K are bounded driver constants
-    val kConst = (0 until d).map(j => BigInt(s(j)) * v(j)).sum
+    // proj = (m − μ)·v = m·v − μ·v; v and K are bounded driver constants
+    val kConst = (0 until d).map(j => BigInt(mu(j)) * v(j)).sum
     require(kConst.isValidLong,
-      "pcaProjection: S·v exceeds int64 — route proj through decimal at this corpus size")
+      "pcaProjection: μ·v exceeds int64 — route proj through decimal")
     val vLit = array(v.map(x => lit(x.toLong)): _*)
     q.select(col(idCol),
-      (lit(n) * aggregate(zip_with(col("m"), vLit, (a, b) => a * b),
+      (aggregate(zip_with(col("m"), vLit, (a, b) => a * b),
         lit(0L), (acc, x) => acc + x) - lit(kConst.toLong)).as("proj"))
   }
 }

@@ -9,10 +9,11 @@ class PcaSpec extends SparkTestBase {
 
   // rank-1 data: row_i = t_i · u with u = (0.5, 0.25, -0.25, 0) — every
   // element an exact binary fraction, so milli-quantization is exact:
-  // m_i = t_i · uq, uq = (500, 250, -250, 0). The Gram is α·uq·uqᵀ, the
+  // m_i = t_i · uq, uq = (500, 250, -250, 0). When Σt divides n, the
+  // truncated mean is EXACT (μ = mean(t)·uq), the Gram is α·uq·uqᵀ, the
   // iteration locks onto uq after one round (uq·v0 > 0), and the
   // infinity-norm step divides exactly: v = (2^20, 2^19, -2^19, 0).
-  // proj_i = (n·t_i − Σt) · (uq·v), uq·v = 500·2^20 + 2·250·2^19
+  // proj_i = (t_i − mean(t)) · (uq·v), uq·v = 500·2^20 + 2·250·2^19
   //        = 786432000.
   private def rank1(ts: Seq[Long]) =
     ts.zipWithIndex.map { case (t, i) =>
@@ -20,15 +21,17 @@ class PcaSpec extends SparkTestBase {
     }.toDF("vec_id", "embedding")
 
   test("rank-1 corpus: exact projections from the closed form") {
-    val ts = Seq(1L, 2L, 3L, 10L) // n=4, T=16 -> n·t−T = -12,-8,-4,24
+    val ts = Seq(1L, 2L, 3L, 10L) // n=4, Σt=16, mean 4 -> t−4 = -3,-2,-1,6
     val got = Similarity.pcaProjection(rank1(ts)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val k = 786432000L
-    assert(got == Map(0L -> -12L * k, 1L -> -8L * k,
-      2L -> -4L * k, 3L -> 24L * k))
+    assert(got == Map(0L -> -3L * k, 1L -> -2L * k,
+      2L -> -1L * k, 3L -> 6L * k))
   }
 
-  test("projections always sum to zero (exact centering)") {
+  test("projections center to within the truncation envelope") {
+    // Σ_i c_ij = S_j − n·μ_j, |·| < n by mean truncation, so
+    // |Σ proj| < n · Σ_j |v_j| ≤ n·d·2^20
     val docs = Seq(
       (1L, Array(0.125f, -0.75f, 0.5f, 1.0f)),
       (2L, Array(-0.25f, 0.375f, 0.0f, -0.5f)),
@@ -37,7 +40,8 @@ class PcaSpec extends SparkTestBase {
       (5L, Array(-0.125f, 0.875f, 0.25f, -1.0f))
     ).toDF("vec_id", "embedding")
     val projs = Similarity.pcaProjection(docs).collect().map(_.getLong(1))
-    assert(projs.sum == 0L, s"Σproj = ${projs.sum}")
+    assert(math.abs(projs.sum) < 5L * 4L * (1L << 20),
+      s"Σproj = ${projs.sum} outside the truncation envelope")
     assert(projs.exists(_ != 0L), "non-degenerate data must project")
   }
 
