@@ -1299,6 +1299,13 @@ object SparkEntry {
     // vec_id self-join Gram
     "q206_pca_projection" -> ((s, d) =>
       Similarity.pcaProjection(Tables.embeddings(s, d))),
+    // anisotropy report (Similarity.pcaAnisotropy): the Mu & Viswanath
+    // single-number read — dominant-component variance share as
+    // (1e6·vᵀGv) div (vᵀv·tr G), every operand an exact integer from
+    // the SAME fit q206 uses (BigInt driver / HUGEINT oracle); no
+    // additional corpus scan beyond the fit
+    "q212_pca_anisotropy" -> ((s, d) =>
+      Similarity.pcaAnisotropy(Tables.embeddings(s, d))),
     // distributed Lloyd's k-means (Similarity.kmeansClusters, the
     // SemDeDup clustering step, Abbas et al. '23): init = k lowest-id
     // rows, argmin assignment via packed d²·k+cid tie keys (ties to
@@ -5684,6 +5691,20 @@ object SparkEntry {
         |FROM (SELECT vec_id, cid, d2,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
         |  FROM fin) WHERE rn = 1""".stripMargin),
+    // anisotropy replay: the q206 chain + Rayleigh/trace arithmetic
+    "q212_pca_anisotropy" ->
+      (s"WITH $pcaCtes," + """
+        |ray AS (SELECT SUM(va.vv * g.gv * vb.vv) vgv FROM g
+        |  JOIN v8 va ON g.gj = va.j JOIN v8 vb ON g.gk = vb.j),
+        |nrm AS (SELECT SUM(vv * vv) vtv FROM v8),
+        |tr AS (SELECT SUM(gv) trace FROM g WHERE gj = gk)
+        |SELECT (SELECT n FROM nq) n_vectors,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s) dim,
+        |  CAST(trace AS BIGINT) trace,
+        |  CAST(CASE WHEN vtv = 0 OR trace = 0 THEN NULL
+        |    ELSE (1000000 * vgv) // (vtv * trace) END AS BIGINT)
+        |    anisotropy_ppm
+        |FROM ray CROSS JOIN nrm CROSS JOIN tr""".stripMargin),
     // PCA replay: quantize, scale-center, Gram self-join, 8 unrolled
     // power rounds (see pcaCtes), project with the round-8 component
     "q206_pca_projection" ->

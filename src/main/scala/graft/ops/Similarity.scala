@@ -1229,16 +1229,35 @@ object Similarity {
   def pcaProjection(emb: DataFrame, rounds: Int = 8,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
+    val q = quantized(emb, idCol, vecCol)
+    val fit = pcaFit(q, rounds, idCol)
+    // proj = (m − μ)·v = m·v − μ·v; v and K are bounded driver constants
+    val kConst = (0 until fit.d).map(j => BigInt(fit.mu(j)) * fit.v(j)).sum
+    require(kConst.isValidLong,
+      "pcaProjection: μ·v exceeds int64 — route proj through decimal")
+    val vLit = array(fit.v.map(x => lit(x.toLong)): _*)
+    q.select(col(idCol),
+      (aggregate(zip_with(col("m"), vLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x) - lit(kConst.toLong)).as("proj"))
+  }
+
+  /** Bounded driver state of a PCA fit: truncated means, the packed
+    * Gram triangle, and the converged component (scale 2^20). */
+  private case class PcaFit(n: Long, d: Int, mu: Array[Long],
+                            tri: Array[Long], v: Array[BigInt])
+
+  /** Quantized-frame PCA fit — the eager half [[pcaProjection]] and
+    * [[pcaAnisotropy]] share: sum/count collects, one GramAgg pass,
+    * `rounds` BigInt power rounds (see pcaProjection for the
+    * contract). */
+  private def pcaFit(q: DataFrame, rounds: Int, idCol: String): PcaFit = {
+    val spark = q.sparkSession
     import spark.implicits._
-    val q = emb.select(col(idCol),
-      transform(col(vecCol),
-        e => floor(e.cast("double") * 1000 + lit(0.5)).cast("long")).as("m"))
     // bounded collects: one 64-row sum frame + the scalar count
     val sumRows = q.select(posexplode(col("m")).as(Seq("j", "v")))
       .groupBy(col("j")).agg(sum(col("v")).as("sj"))
       .orderBy(col("j")).collect()
-    require(sumRows.nonEmpty, "pcaProjection: empty corpus")
+    require(sumRows.nonEmpty, "pcaFit: empty corpus")
     val s = sumRows.map(_.getLong(1))
     val d = s.length
     val n = q.count()
@@ -1262,13 +1281,52 @@ object Similarity {
       v = if (mx == 0) v
           else w.map(x => (if (x < 0) -1 else 1) * ((x.abs * scale) / mx))
     }
-    // proj = (m − μ)·v = m·v − μ·v; v and K are bounded driver constants
-    val kConst = (0 until d).map(j => BigInt(mu(j)) * v(j)).sum
-    require(kConst.isValidLong,
-      "pcaProjection: μ·v exceeds int64 — route proj through decimal")
-    val vLit = array(v.map(x => lit(x.toLong)): _*)
-    q.select(col(idCol),
-      (aggregate(zip_with(col("m"), vLit, (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x) - lit(kConst.toLong)).as("proj"))
+    PcaFit(n, d, mu, tri, v)
+  }
+
+  /** Anisotropy report — the single number the Mu & Viswanath '18
+    * probe is run FOR: what share of total variance the dominant
+    * component carries. One row:
+    *
+    *   anisotropy_ppm = 10⁶ · (vᵀGv / vᵀv) / tr(G)
+    *                  = (10⁶ · vᵀGv) div (vᵀv · tr(G))
+    *
+    * with v the [[pcaProjection]] component — the Rayleigh quotient
+    * (≈ λ_max after convergence) over the variance total. Near 1/d·10⁶
+    * = isotropic; large = a rogue dominant direction (uncentered or
+    * collapsed embeddings — the all-representations-look-alike failure
+    * retrieval teams debug). Every operand is an exact integer from
+    * the SAME fit the projection uses (BigInt on the driver, HUGEINT
+    * in the oracle); tr(G) also reports, as the exact total variance
+    * (×n) in milli² units. No additional corpus scan: the report is
+    * pure arithmetic on the collected triangle. */
+  def pcaAnisotropy(emb: DataFrame, rounds: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val fit = pcaFit(quantized(emb, idCol, vecCol), rounds, idCol)
+    val d = fit.d
+    val g = Array.ofDim[BigInt](d, d)
+    var idx = 0
+    for (j <- 0 until d; k <- j until d) {
+      g(j)(k) = BigInt(fit.tri(idx)); g(k)(j) = g(j)(k); idx += 1
+    }
+    val vGv = (for (j <- 0 until d; k <- 0 until d)
+      yield fit.v(j) * g(j)(k) * fit.v(k)).sum
+    val vv = fit.v.map(x => x * x).sum
+    val trace = (0 until d).map(j => g(j)(j)).sum
+    val ppm =
+      if (vv == 0 || trace == 0) null
+      else {
+        // Rayleigh of a PSD Gram is within [0, λ_max] ≤ trace: ratio ≤ 1e6
+        val r = (BigInt(1000000) * vGv) / (vv * trace)
+        java.lang.Long.valueOf(r.toLong)
+      }
+    require(trace.isValidLong,
+      "pcaAnisotropy: trace exceeds int64 — report per shard at this size")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((fit.n, d.toLong, trace.toLong)).toDF("n_vectors", "dim", "trace")
+      .withColumn("anisotropy_ppm",
+        lit(ppm).cast("long"))
   }
 }

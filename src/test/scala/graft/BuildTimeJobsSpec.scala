@@ -56,7 +56,8 @@ class BuildTimeJobsSpec extends SparkTestBase {
     "q91_decontaminate_bloom", "q93_semdedup", "q94_epoch_shuffle",
     "q97_bpe_train_apply", "q98_funnel", "q198_wordpiece",
     "q199_logreg_quality", "q200_doremi_mix", "q206_pca_projection",
-    "q207_kmeans_clusters", "q208_cluster_report", "q211_cluster_coreset")
+    "q207_kmeans_clusters", "q208_cluster_report", "q211_cluster_coreset",
+    "q212_pca_anisotropy")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()

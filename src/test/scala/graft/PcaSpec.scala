@@ -58,6 +58,32 @@ class PcaSpec extends SparkTestBase {
     assert(byT == byTRev, "projection must be a function of the row alone")
   }
 
+  test("anisotropy: rank-1 data carries ALL variance on the component") {
+    // v is exactly proportional to uq, so the Rayleigh quotient equals
+    // λ_max and trace = λ_max (rank 1): the division is exact 10⁶
+    val rep = Similarity.pcaAnisotropy(rank1(Seq(1L, 2L, 3L, 10L)))
+      .collect().head
+    assert(rep.getLong(0) == 4L && rep.getLong(1) == 4L)
+    assert(rep.getLong(3) == 1000000L,
+      s"rank-1 anisotropy must be exactly 1e6, got ${rep.getLong(3)}")
+  }
+
+  test("anisotropy: spread data reads strictly below 1e6") {
+    // NOT the 4-way symmetric identity fixture: there every centered
+    // row sums to 0, so G's row sums vanish and the all-ones start is
+    // EXACTLY the w = 0 fixed point (v stays v0, Rayleigh 0) — a
+    // correct, documented degeneracy, not a bug. Mixed directions:
+    val docs = Seq(
+      (1L, Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, Array(0.1f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.3f)),
+      (4L, Array(0.2f, 0.0f, 0.4f, 1.0f)),
+      (5L, Array(0.9f, 0.1f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val ppm = Similarity.pcaAnisotropy(docs).collect().head.getLong(3)
+    assert(ppm > 0L && ppm < 1000000L, s"spread data read $ppm")
+  }
+
   test("empty corpus is rejected loudly") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

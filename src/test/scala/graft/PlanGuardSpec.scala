@@ -237,6 +237,9 @@ class PlanGuardSpec extends SparkTestBase {
     // rank window; the quota joins back BROADCAST
     assert(shuffles(q("q211_cluster_coreset")) <= 7, "q211 grew extra exchanges")
     assert(broadcasts(q("q211_cluster_coreset")) >= 1, "q211 lost its broadcast quota join")
+    // q212: pure driver arithmetic on the fit — the returned 1-row
+    // frame is a local relation, ZERO shuffles
+    assert(shuffles(q("q212_pca_anisotropy")) == 0, "q212 grew a shuffle")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
