@@ -1306,6 +1306,14 @@ object SparkEntry {
     // additional corpus scan beyond the fit
     "q212_pca_anisotropy" -> ((s, d) =>
       Similarity.pcaAnisotropy(Tables.embeddings(s, d))),
+    // license-marker census (Quality.licenseCensus, The Stack/BigCode
+    // compliance pass): SPDX header id + copyleft/permissive phrase
+    // hits + one verdict by fixed precedence (spdx > copyleft >
+    // permissive > none); lookaround-free (?i) patterns run verbatim
+    // in Java regex and RE2; injection plants all five marker classes
+    // incl. the spdx-over-prose and copyleft-over-permissive cases
+    "q213_license_census" -> ((s, d) =>
+      Quality.licenseCensus(Quality.injectLicenses(Tables.documents(s, d)))),
     // distributed Lloyd's k-means (Similarity.kmeansClusters, the
     // SemDeDup clustering step, Abbas et al. '23): init = k lowest-id
     // rows, argmin assignment via packed d²·k+cid tie keys (ties to
@@ -5691,6 +5699,42 @@ object SparkEntry {
         |FROM (SELECT vec_id, cid, d2,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
         |  FROM fin) WHERE rn = 1""".stripMargin),
+    // license replay: same injection, same regex strings, same
+    // precedence CASE
+    "q213_license_census" ->
+      """WITH injected AS (SELECT doc_id, concat_ws(' ',
+        |    substring(text, 1, 20),
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'SPDX-License-Identifier: MIT (not the GNU General Public License)'
+        |      WHEN 1 THEN 'SPDX-License-Identifier: GPL-3.0-only'
+        |      WHEN 2 THEN 'under the GNU General Public License; MIT License text follows'
+        |      WHEN 3 THEN 'licensed under the Apache License, Version 2.0'
+        |      ELSE '' END,
+        |    substring(text, 21, 1000000)) AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    regexp_extract(text,
+        |      'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1) spdx0,
+        |    regexp_matches(text,
+        |      '(?i)GNU (Affero |Lesser )?General Public License|\b[AL]?GPL-?[0-9]|\bGPL\b|Creative Commons|\bCC-BY')
+        |      has_copyleft,
+        |    regexp_matches(text,
+        |      '(?i)MIT License|Apache License|BSD [0-9]-Clause|\bISC License|\bUnlicense\b')
+        |      has_permissive
+        |  FROM injected)
+        |SELECT doc_id,
+        |  CASE WHEN spdx0 = '' THEN NULL ELSE spdx0 END spdx_id,
+        |  has_copyleft, has_permissive,
+        |  CASE WHEN spdx0 <> '' THEN
+        |      CASE WHEN regexp_matches(upper(spdx0),
+        |          '^(A?GPL|LGPL|CC-BY-SA|EUPL|MPL)') THEN 'copyleft'
+        |        WHEN regexp_matches(upper(spdx0),
+        |          '^(MIT|APACHE|BSD|ISC|UNLICENSE|ZLIB|CC0)') THEN 'permissive'
+        |        ELSE 'other-spdx' END
+        |    WHEN has_copyleft THEN 'copyleft'
+        |    WHEN has_permissive THEN 'permissive'
+        |    ELSE 'none' END license_class
+        |FROM m""".stripMargin,
     // anisotropy replay: the q206 chain + Rayleigh/trace arithmetic
     "q212_pca_anisotropy" ->
       (s"WITH $pcaCtes," + """

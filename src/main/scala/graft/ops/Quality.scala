@@ -786,4 +786,72 @@ object Quality {
         expr("cast((1000000 * cast(_tc as decimal(38,0))) div n_docs as bigint)")
           .as("top_lang_ppm"))
   }
+
+  /** License-marker census — the compliance pass code/web training sets
+    * run before anything else (The Stack v1/v2 keep only
+    * permissively-licensed files; BigCode publishes exactly this
+    * census): per document, the SPDX header identifier if one exists
+    * (`SPDX-License-Identifier: <id>` — the machine-readable form SPDX
+    * specifies), marker-phrase hits for the copyleft and permissive
+    * families, and a single verdict by fixed precedence
+    *
+    *   spdx id (classified by its prefix) > copyleft phrase >
+    *   permissive phrase > 'none'
+    *
+    * — an explicit SPDX declaration outranks prose mentions (a file
+    * may DISCUSS the GPL while being MIT-declared), and copyleft
+    * outranks permissive among prose hits because the conservative
+    * read is the one a compliance gate must take.
+    *
+    * Engine-portable: every pattern is lookaround-free and runs
+    * verbatim in Java regex and RE2; case-insensitivity via `(?i)`,
+    * supported by both. One scan, zero shuffles, regex evaluated once
+    * per row outside any lambda. */
+  def licenseCensus(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val spdx = regexp_extract(t,
+      "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)", 1)
+    val copyleft = t.rlike(
+      "(?i)GNU (Affero |Lesser )?General Public License|\\b[AL]?GPL-?[0-9]|\\bGPL\\b|Creative Commons|\\bCC-BY")
+    val permissive = t.rlike(
+      "(?i)MIT License|Apache License|BSD [0-9]-Clause|\\bISC License|\\bUnlicense\\b")
+    val spdxClass =
+      when(upper(col("spdx_id")).rlike("^(A?GPL|LGPL|CC-BY-SA|EUPL|MPL)"),
+        lit("copyleft"))
+        .when(upper(col("spdx_id")).rlike("^(MIT|APACHE|BSD|ISC|UNLICENSE|ZLIB|CC0)"),
+          lit("permissive"))
+        .otherwise(lit("other-spdx"))
+    df.select(col(idCol), spdx.as("spdx_id"),
+        copyleft.as("has_copyleft"), permissive.as("has_permissive"))
+      .withColumn("license_class",
+        when(col("spdx_id") =!= "", spdxClass)
+          .when(col("has_copyleft"), lit("copyleft"))
+          .when(col("has_permissive"), lit("permissive"))
+          .otherwise(lit("none")))
+      .withColumn("spdx_id",
+        when(col("spdx_id") === "", lit(null)).otherwise(col("spdx_id")))
+  }
+
+  /** q213's deterministic marker injection (the corpus carries no
+    * licenses): by doc_id mod 5 — an SPDX MIT header, an SPDX GPL-3.0
+    * header, a GPL prose phrase, an Apache prose phrase, or nothing.
+    * Doc 2 (mod 5) also mentions MIT prose AFTER the GPL phrase, so
+    * the copyleft-over-permissive precedence is exercised, and doc 0
+    * mentions the GPL in prose under an MIT SPDX header — the
+    * spdx-over-prose rule. */
+  def injectLicenses(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat_ws(" ",
+        substring(col("text"), 1, 20),
+        when(col("doc_id") % 5 === 0,
+          lit("SPDX-License-Identifier: MIT (not the GNU General Public License)"))
+          .when(col("doc_id") % 5 === 1,
+            lit("SPDX-License-Identifier: GPL-3.0-only"))
+          .when(col("doc_id") % 5 === 2,
+            lit("under the GNU General Public License; MIT License text follows"))
+          .when(col("doc_id") % 5 === 3,
+            lit("licensed under the Apache License, Version 2.0"))
+          .otherwise(lit("")),
+        substring(col("text"), 21, 1000000)).as("text"))
 }

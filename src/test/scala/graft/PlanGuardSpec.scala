@@ -240,6 +240,8 @@ class PlanGuardSpec extends SparkTestBase {
     // q212: pure driver arithmetic on the fit — the returned 1-row
     // frame is a local relation, ZERO shuffles
     assert(shuffles(q("q212_pca_anisotropy")) == 0, "q212 grew a shuffle")
+    // q213: regex census rides the scan — ZERO shuffles
+    assert(shuffles(q("q213_license_census")) == 0, "q213 grew a shuffle")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
