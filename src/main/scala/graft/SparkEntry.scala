@@ -1248,7 +1248,7 @@ object SparkEntry {
     // 7812-1): checksum-gated PII detection — injection plants a valid
     // spaced Visa test number, an invalid 16-digit twin, a doc-varying
     // 18-digit dashed run (both verdict branches exercised across the
-    // corpus), and a 5-digit ZIP the length gate must reject; the oracle
+    // corpus), and a 5-digit ZIP the pattern's length floor rejects; the oracle
     // replays extraction with the SAME regex string and the mod-10 fold
     // as a list comprehension over generate_series — pure integer
     // arithmetic, engine-exact
@@ -5785,7 +5785,8 @@ object SparkEntry {
         |    (CASE WHEN num_i < 0 THEN -1 ELSE 1 END) * (abs(num_i) // det)
         |  END AS BIGINT) intercept_milli
         |FROM oy CROSS JOIN f""".stripMargin,
-    // Luhn replay: same regex string, translate-strip, length gate,
+    // Luhn replay: same regex string (which itself enforces 13-19
+    // digits), translate-strip,
     // mod-10 fold as a list comprehension over generate_series
     "q204_luhn_audit" ->
       """WITH injected AS (
@@ -5797,9 +5798,8 @@ object SparkEntry {
         |  FROM documents),
         |cands AS (
         |  SELECT doc_id,
-        |    [d FOR d IN [translate(r, ' -', '') FOR r IN
-        |      regexp_extract_all(text, '[0-9](?:[- ]?[0-9]){12,18}')]
-        |     IF length(d) >= 13 AND length(d) <= 19] AS cs
+        |    [translate(r, ' -', '') FOR r IN
+        |      regexp_extract_all(text, '[0-9](?:[- ]?[0-9]){12,18}')] AS cs
         |  FROM injected),
         |ex AS (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS cand_idx,
         |  unnest(cs) AS d FROM cands)

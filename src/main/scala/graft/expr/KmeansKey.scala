@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   * interpretation overhead — k·d·rounds evals per row took ~180 s for
   * k=16, d=64 at 100k rows where this tight loop takes ~1 s. NULL for
   * null vectors and for dimension mismatches (a caller bug surfaced as
-  * a droppable row, not a crash mid-job); null elements read as 0. */
+  * a droppable row, not a crash mid-job); null ELEMENTS contribute no
+  * term — SQL SUM skips NULL addends, so reading them as 0 would make
+  * the oracle's (mv−cv)² replay diverge by cv² per null dimension. */
 case class KmeansKey(child: Expression, cents: Seq[Seq[Long]])
   extends UnaryExpression {
   require(cents.nonEmpty, "centroids must be non-empty")
@@ -42,9 +44,10 @@ case class KmeansKey(child: Expression, cents: Seq[Seq[Long]])
       var d2 = 0L
       var j = 0
       while (j < d) {
-        val v = if (arr.isNullAt(j)) 0L else arr.getLong(j)
-        val t = v - ci(j)
-        d2 += t * t
+        if (!arr.isNullAt(j)) { // SUM-skip: null dims carry no term
+          val t = arr.getLong(j) - ci(j)
+          d2 += t * t
+        }
         j += 1
       }
       val key = d2 * k + i

@@ -408,7 +408,8 @@ object Curate {
     *
     * Shape: one scan-side pass — `regexp_extract_all` pulls the runs
     * (regex runs ONCE per row, outside any lambda), separator stripping
-    * and the length gate are per-element `translate`/`length` HOFs, and
+    * is the only per-element HOF (the regex pattern itself enforces the
+    * 13–19 digit window — one digit per repetition), and
     * the checksum folds `aggregate(sequence(1, len), …)` over ≤19 cheap
     * substring/ascii terms. Zero shuffles; raw digits are DROPPED from
     * the output (only a last-4 mask leaves the row — an audit that
@@ -419,9 +420,11 @@ object Curate {
     * q204 injects candidates so every doc provably exercises the fold). */
   def luhnAudit(df: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
+    // the regex itself enforces the 13–19 digit window (one digit per
+    // repetition of the {12,18} group), so separator stripping is the
+    // only per-candidate transform — no redundant length re-filter
     val runs = regexp_extract_all(col(textCol), lit(cardRunPattern), lit(0))
-    val cands = filter(transform(runs, r => translate(r, " -", "")),
-      d => length(d) >= 13 && length(d) <= 19)
+    val cands = transform(runs, r => translate(r, " -", ""))
     // Luhn from the right: with i counting 1..len from the LEFT, the
     // doubled positions are those with (len - i) odd — substring indexes
     // from the left on BOTH engines (negative starts diverge: Spark
@@ -450,7 +453,7 @@ object Curate {
     * test number, a known-invalid 16-digit twin (last digit bumped), a
     * doc-varying 18-digit dashed run whose Luhn verdict genuinely depends
     * on doc_id (~10% valid — both checksum branches exercised across the
-    * corpus), and a 5-digit ZIP that must NOT clear the length gate. */
+    * corpus), and a 5-digit ZIP the pattern's length floor must reject. */
   def injectCards(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
       concat_ws(" ",

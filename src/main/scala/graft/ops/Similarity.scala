@@ -1111,29 +1111,47 @@ object Similarity {
       .parquet(s"$path/meta")
   }
 
-  /** Assign a frame against a persisted index and flag outliers —
-    * vectors whose dist² exceeds their cluster's TRAINING radius (the
-    * embedding-stream anomaly read: a point the training corpus never
-    * came near). Reads only the bounded centroid/radius tables; the
-    * corpus side is one zero-shuffle scan with a broadcast radius
-    * join. */
-  def kmeansAssignFromIndex(emb: DataFrame, path: String,
-                            idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
+  /** Bounded, immutable in-memory image of a persisted k-means index —
+    * load ONCE per process/stream (the index cannot change while a
+    * resident query runs; re-reading it per micro-batch pays parquet
+    * jobs + a driver collect for nothing). */
+  case class KmeansIndex(cents: Array[Array[Long]], radii: Map[Long, Long])
+
+  /** Read a [[saveKmeans]] index into driver memory (k·d longs). */
+  def loadKmeansIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): KmeansIndex = {
     val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
     val rows = spark.read.parquet(s"$path/centroids").collect()
     val d = rows.map(_.getAs[Long]("j")).max.toInt + 1
     val cents = Array.ofDim[Long](k, d)
     rows.foreach(r => cents(r.getAs[Long]("cid").toInt)(
       r.getAs[Long]("j").toInt) = r.getAs[Long]("cv"))
-    val radii = broadcast(spark.read.parquet(s"$path/radii"))
-    assignWith(quantized(emb, idCol, vecCol), cents, idCol)
-      .join(radii, Seq("cluster"), "left")
-      .withColumn("outlier",
-        coalesce(col("dist2") > col("radius"), lit(true)))
-      .select(col(idCol), col("cluster"), col("dist2"), col("outlier"))
+    val radii = spark.read.parquet(s"$path/radii").collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("radius")).toMap
+    KmeansIndex(cents, radii)
   }
+
+  /** Assign a frame against a LOADED index and flag outliers — vectors
+    * whose dist² exceeds their cluster's TRAINING radius (the
+    * embedding-stream anomaly read: a point the training corpus never
+    * came near). One zero-shuffle scan: centroids ride the KmeansKey
+    * kernel, radii ride an in-plan map literal; a cluster with no
+    * recorded radius flags true (no training evidence). */
+  def assignAgainstIndex(emb: DataFrame, idx: KmeansIndex,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    assignWith(quantized(emb, idCol, vecCol), idx.cents, idCol)
+      .withColumn("outlier", coalesce(
+        col("dist2") > element_at(typedLit(idx.radii), col("cluster")),
+        lit(true)))
+      .select(col(idCol), col("cluster"), col("dist2"), col("outlier"))
+
+  /** [[assignAgainstIndex]] with a one-shot load — batch callers. */
+  def kmeansAssignFromIndex(emb: DataFrame, path: String,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame =
+    assignAgainstIndex(emb, loadKmeansIndex(emb.sparkSession, path),
+      idCol, vecCol)
 
   /** Cluster-balanced CORESET with waterfilled budgets — the diverse
     * data-selection read the clustering exists for (SemDeDup/DSIR
@@ -1183,7 +1201,13 @@ object Similarity {
     val guarded = when(col(idCol) < 0 || col(idCol) >= (1L << 24),
       raise_error(concat(lit("clusterReport: id outside [0, 2^24): "),
         col(idCol).cast("string"))).cast("long")).otherwise(col(idCol))
-    val key = col("dist2") * lit(1L << 24) + guarded
+    // the OTHER packing bound: dist2·2^24 must stay inside int64 — a
+    // silent wrap here corrupts the argmin with no error (and diverges
+    // from DuckDB, which errors on BIGINT overflow)
+    val guardedD2 = when(col("dist2") >= (1L << 39),
+      raise_error(concat(lit("clusterReport: dist2 outside [0, 2^39): "),
+        col("dist2").cast("string"))).cast("long")).otherwise(col("dist2"))
+    val key = guardedD2 * lit(1L << 24) + guarded
     assign
       .select(col(idCol), col("cluster"), col("dist2"), key.as("k"))
       .groupBy(col("cluster"))
@@ -1246,6 +1270,17 @@ object Similarity {
   private case class PcaFit(n: Long, d: Int, mu: Array[Long],
                             tri: Array[Long], v: Array[BigInt])
 
+  /** Upper-triangle → full symmetric d×d in BigInt (one packing rule,
+    * one unpacker — pcaFit and pcaAnisotropy share it). */
+  private def unpackTriangle(tri: Array[Long], d: Int): Array[Array[BigInt]] = {
+    val g = Array.ofDim[BigInt](d, d)
+    var idx = 0
+    for (j <- 0 until d; k <- j until d) {
+      g(j)(k) = BigInt(tri(idx)); g(k)(j) = g(j)(k); idx += 1
+    }
+    g
+  }
+
   /** Quantized-frame PCA fit — the eager half [[pcaProjection]] and
     * [[pcaAnisotropy]] share: sum/count collects, one GramAgg pass,
     * `rounds` BigInt power rounds (see pcaProjection for the
@@ -1266,12 +1301,7 @@ object Similarity {
     val tri = q.select(col("m")).as[Seq[Long]]
       .groupByKey(_ => 0) // one global triangle; partials merge map-side
       .agg(new GramAgg(mu).toColumn.name("g")).collect().head._2
-    // unpack the triangle to a full symmetric d×d in BigInt
-    val g = Array.ofDim[BigInt](d, d)
-    var idx = 0
-    for (j <- 0 until d; k <- j until d) {
-      g(j)(k) = BigInt(tri(idx)); g(k)(j) = g(j)(k); idx += 1
-    }
+    val g = unpackTriangle(tri, d)
     val scale = BigInt(1) << 20
     var v = Array.fill(d)(scale)
     for (_ <- 1 to rounds) {
@@ -1305,11 +1335,7 @@ object Similarity {
                     vecCol: String = "embedding"): DataFrame = {
     val fit = pcaFit(quantized(emb, idCol, vecCol), rounds, idCol)
     val d = fit.d
-    val g = Array.ofDim[BigInt](d, d)
-    var idx = 0
-    for (j <- 0 until d; k <- j until d) {
-      g(j)(k) = BigInt(fit.tri(idx)); g(k)(j) = g(j)(k); idx += 1
-    }
+    val g = unpackTriangle(fit.tri, d)
     val vGv = (for (j <- 0 until d; k <- 0 until d)
       yield fit.v(j) * g(j)(k) * fit.v(k)).sum
     val vv = fit.v.map(x => x * x).sum

@@ -393,15 +393,19 @@ object TextAnalysis {
     * line over (j+1, 1000·ilog2 V) estimates β·1000 as `slope_milli`.
     *
     * Packing guard: pos must fit 2^20 (docs longer than 1M tokens) and
-    * doc_id must be non-negative — violations raise loudly rather than
-    * corrupt the argmin (the clusterReport rule). */
+    * doc_id must sit in [0, 2^43) (snowflake/hash ids would wrap the
+    * key) — violations raise loudly rather than corrupt the argmin
+    * (the clusterReport rule). */
   def heapsFit(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def ilog2(x: Column): Column =
       length(conv(x.cast("string"), 10, 2)).cast("long") - 1L
     val tok = documents.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "token")))
-    val guarded = when(col("pos") >= (1L << 20) || col("doc_id") < 0,
+    // all three packing bounds enforced: pos < 2^20, doc_id ∈ [0, 2^43)
+    // — a snowflake/hash id would otherwise wrap the key silently
+    val guarded = when(col("pos") >= (1L << 20) || col("doc_id") < 0
+        || col("doc_id") >= (1L << 43),
       raise_error(concat(lit("heapsFit: unpackable (doc_id, pos): "),
         col("doc_id").cast("string"), lit(","),
         col("pos").cast("string"))).cast("long"))

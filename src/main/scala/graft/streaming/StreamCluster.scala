@@ -23,14 +23,16 @@ import graft.ops.Similarity
   * dynamic-overwrite ledger discipline ([[StreamChat]] contract). */
 object StreamCluster {
 
-  /** One micro-batch: assign against the index, split, land both sides. */
-  def gateBatch(batch: DataFrame, batchId: Long, indexPath: String,
-                corpusDir: String, quarantineDir: String,
-                idCol: String = "vec_id",
-                vecCol: String = "embedding"): Unit = {
+  /** One micro-batch against a LOADED index (the resident path — the
+    * index is immutable while the query runs, so it is read once in
+    * [[start]], never per batch). */
+  def gateBatchWith(batch: DataFrame, batchId: Long,
+                    idx: Similarity.KmeansIndex, corpusDir: String,
+                    quarantineDir: String, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
     if (batch.isEmpty) return
     val assigned = Similarity
-      .kmeansAssignFromIndex(batch, indexPath, idCol, vecCol)
+      .assignAgainstIndex(batch, idx, idCol, vecCol)
       .localCheckpoint(true) // read twice below
     StreamMediaDedup.writeDynamic(
       assigned.where(!col("outlier")).drop("outlier")
@@ -40,19 +42,31 @@ object StreamCluster {
         .withColumn("_batch", lit(batchId)), quarantineDir)
   }
 
-  /** Start the resident gate over a streaming embedding frame. */
+  /** One-shot form for batch/replay callers: loads the index first. */
+  def gateBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                corpusDir: String, quarantineDir: String,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): Unit =
+    gateBatchWith(batch, batchId,
+      Similarity.loadKmeansIndex(batch.sparkSession, indexPath),
+      corpusDir, quarantineDir, idCol, vecCol)
+
+  /** Start the resident gate over a streaming embedding frame. The
+    * index loads ONCE here and every micro-batch closes over it. */
   def start(vecs: DataFrame, indexPath: String, corpusDir: String,
             quarantineDir: String, checkpointDir: String,
             idCol: String = "vec_id",
-            vecCol: String = "embedding"): StreamingQuery =
+            vecCol: String = "embedding"): StreamingQuery = {
+    val idx = Similarity.loadKmeansIndex(vecs.sparkSession, indexPath)
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        gateBatch(batch, batchId, indexPath, corpusDir, quarantineDir,
+        gateBatchWith(batch, batchId, idx, corpusDir, quarantineDir,
           idCol, vecCol)
       }
       .start()
+  }
 
   /** Admitted vectors with their cluster coordinates. */
   def corpus(spark: SparkSession, corpusDir: String): DataFrame =

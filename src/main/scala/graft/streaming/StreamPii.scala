@@ -14,9 +14,11 @@ import graft.ops.Curate
   *  - documents carrying a valid card go to QUARANTINE for review —
   *    pattern-redaction is not enough for confirmed card data; the
   *    quarantined text has every card-length digit run replaced by
-  *    `[CARD]` and carries the count plus the last-4 masks, so the
-  *    reviewer sees the evidence without the quarantine table itself
-  *    re-publishing the numbers;
+  *    `[CARD]` AND the ordinary email/phone scrub applied (the
+  *    quarantine table is long-lived — it must not be the one place
+  *    unredacted pattern-PII survives), and carries the count plus
+  *    the last-4 masks, so the reviewer sees the evidence without the
+  *    quarantine table itself re-publishing the numbers;
   *  - clean documents land in the corpus with the ordinary email/phone
   *    scrub ([[Curate.redactPii]]) applied on the way in.
   *
@@ -39,9 +41,13 @@ object StreamPii {
       .agg(count(lit(1)).as("n_valid_cards"),
         array_sort(collect_list(col("masked"))).as("masked_cards"))
       .localCheckpoint(true) // feeds the quarantine AND the anti-join
-    val quarantined = b.join(flagged, Seq(idCol))
+    // quarantine gets the FULL scrub too (card runs -> [CARD] plus the
+    // email/phone redaction): the quarantine table is long-lived and
+    // must not be the one place unredacted pattern-PII survives
+    val quarantined = Curate.redactPii(b.join(flagged, Seq(idCol))
       .withColumn(textCol,
-        regexp_replace(col(textCol), Curate.cardRunPattern, "[CARD]"))
+        regexp_replace(col(textCol), Curate.cardRunPattern, "[CARD]")),
+      textCol)
     val clean = Curate.redactPii(
       b.join(flagged.select(col(idCol)), Seq(idCol), "left_anti"), textCol)
     StreamMediaDedup.writeDynamic(

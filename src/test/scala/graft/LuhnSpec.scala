@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.Curate
 
 /** Luhn payment-card audit (q204): hand-computed checksum verdicts,
-  * the 13–19-digit length gate, separator stripping, masking, and the
+  * the pattern's 13–19-digit window, separator stripping, masking, and the
   * injectCards contract. */
 class LuhnSpec extends SparkTestBase {
   import spark.implicits._
@@ -27,7 +27,7 @@ class LuhnSpec extends SparkTestBase {
     assert(got.size == 3, "exactly one candidate per doc")
   }
 
-  test("length gate: <13 digits never a candidate, 20-digit run truncates to 19") {
+  test("pattern window: <13 digits never a candidate, 20-digit run truncates to 19") {
     val got = audit(
       1L -> "zip 12345 and 123456789012 end",      // 5 and 12 digits
       2L -> "long 12345678901234567890 run")        // 20 digits
