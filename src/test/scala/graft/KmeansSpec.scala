@@ -123,6 +123,25 @@ class KmeansSpec extends SparkTestBase {
     }
   }
 
+  test("KmeansKey kernel: null dims carry no term (SUM-skip), ragged vectors NULL") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => CB}
+    val df = spark.sql(
+      """SELECT m FROM VALUES
+        |  (array(cast(null as bigint), 100L)),
+        |  (array(0L, 100L)),
+        |  (array(0L)) t(m)""".stripMargin)
+    // k=2 centroids (0,0) and (100,100); key = d2*2 + cid
+    val key = CB.column(graft.expr.KmeansKey(
+      CB.expression(col("m")), Seq(Seq(0L, 0L), Seq(100L, 100L))))
+    val got = df.select(key.as("k")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    // (null,100): c0 d2 = 100^2 (null dim skipped), c1 d2 = 0 -> key 1
+    // (0,100):    c0 d2 = 10000 -> key 20000; c1 d2 = 10000 -> key 20001
+    // (0):        dimension mismatch -> NULL
+    assert(got == Seq(Some(1L), Some(20000L), None))
+  }
+
   test("clusterReport rejects ids outside the packable range loudly") {
     val bad = Seq((1L << 24, Array(0.0f, 0.0f)), (0L, Array(0.5f, 0.0f)))
       .toDF("vec_id", "embedding")
