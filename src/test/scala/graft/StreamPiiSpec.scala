@@ -54,6 +54,9 @@ class StreamPiiSpec extends SparkTestBase {
       "quarantined text must not carry the raw number")
     assert(quar(4L)._1 == 2L, "both spaced and dashed forms counted")
     assert(!quar(4L)._3.contains("4111"), "every card run scrubbed")
+    assert(quar(4L)._3.contains("[PHONE]") && !quar(4L)._3.contains("555-867"),
+      "quarantine gets the email/phone scrub too — it must not be the " +
+        "one long-lived table keeping unredacted pattern-PII")
   }
 
   test("batch equivalence: the gate is a pure function of the batch") {
