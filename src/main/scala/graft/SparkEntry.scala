@@ -1306,6 +1306,14 @@ object SparkEntry {
     // additional corpus scan beyond the fit
     "q212_pca_anisotropy" -> ((s, d) =>
       Similarity.pcaAnisotropy(Tables.embeddings(s, d))),
+    // distance-weighted co-occurrence matrix (TextAnalysis
+    // .cooccurrence, Pennington '14 GloVe): ±3-window harmonic weights
+    // in exact integer milli (1000 div d), pairs normalized to
+    // (least, greatest), BOTH ends in the broadcast top-256 vocabulary
+    // — output bounded by topK², never vocab² (the only scale-honest
+    // shape); one doc-partitioned lead window, no self-join
+    "q214_cooccurrence" -> ((s, d) =>
+      TextAnalysis.cooccurrence(Tables.documents(s, d))),
     // license-marker census (Quality.licenseCensus, The Stack/BigCode
     // compliance pass): SPDX header id + copyleft/permissive phrase
     // hits + one verdict by fixed precedence (spdx > copyleft >
@@ -5699,6 +5707,31 @@ object SparkEntry {
         |FROM (SELECT vec_id, cid, d2,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
         |  FROM fin) WHERE rn = 1""".stripMargin),
+    // co-occurrence replay: same tokenization, window leads per doc,
+    // vocab joins, least/greatest normalization, integer weights
+    "q214_cooccurrence" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') l
+        |  FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(l, 1) pos,
+        |    unnest(l) token FROM toks),
+        |v AS (SELECT token FROM (SELECT token, COUNT(*) tf FROM tok
+        |  GROUP BY 1 ORDER BY tf DESC, token ASC LIMIT 256)),
+        |ld AS (SELECT token center,
+        |    lead(token, 1) OVER w c1, lead(token, 2) OVER w c2,
+        |    lead(token, 3) OVER w c3
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |p AS (SELECT center, ctx, d FROM (
+        |    SELECT center, c1 ctx, 1 d FROM ld UNION ALL
+        |    SELECT center, c2, 2 FROM ld UNION ALL
+        |    SELECT center, c3, 3 FROM ld)
+        |  WHERE ctx IS NOT NULL),
+        |f AS (SELECT least(center, ctx) w_a, greatest(center, ctx) w_b,
+        |    1000 // d wt
+        |  FROM p JOIN v a ON p.center = a.token JOIN v b ON p.ctx = b.token)
+        |SELECT w_a, w_b, COUNT(*) n_pairs,
+        |  CAST(SUM(wt) AS BIGINT) weight_milli
+        |FROM f GROUP BY 1, 2""".stripMargin,
     // license replay: same injection, same regex strings, same
     // precedence CASE
     "q213_license_census" ->

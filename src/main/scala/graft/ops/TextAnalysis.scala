@@ -434,6 +434,57 @@ object TextAnalysis {
         col("y_milli"), col("slope_milli"), col("intercept_milli"))
   }
 
+  /** Distance-weighted co-occurrence counts over the top-k vocabulary —
+    * the matrix GloVe-family embedding training consumes (Pennington
+    * '14: X_ab accumulated with 1/d harmonic distance weights over a
+    * ±window context). Weights are exact integer milli-units
+    * (1000 div d — the documented fixed-point deviation from the
+    * paper's rational 1/d; at window ≤ 3 the values 1000/500/333 are
+    * lossless anyway), pairs normalize to (least, greatest) so the
+    * symmetric matrix stores each unordered pair once, and BOTH ends
+    * must sit in the top-`topK` vocabulary — the restriction that
+    * keeps the output bounded by topK² instead of vocab² (the only
+    * scale-honest shape: full-vocab co-occurrence at 100 TB is a
+    * vocab²-cell matrix no one materializes; production GloVe prunes
+    * to a vocabulary first, exactly this).
+    *
+    * Shape at scale: one token-count shuffle + sort-limit head builds
+    * the vocabulary (the [[vocabulary]] discipline); the corpus pass is
+    * ONE doc-partitioned window (lead(j) for j ≤ window — packing-free,
+    * no self-join), both ends filter against the BROADCAST vocab, and
+    * the pair rollup is map-side combined into ≤ topK² rows. */
+  def cooccurrence(documents: DataFrame, window: Int = 3,
+                   topK: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1 && window <= 16, "window must be in [1, 16]")
+    val vocab = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc).limit(topK)
+      .select(col("token"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    // leads first (window stage), THEN the explode (generator stage) —
+    // Spark cannot host a generator and window expressions in one
+    // projection
+    val withLeads = tok.select(col("token").as("center") +:
+      (1 to window).map(j => lead(col("token"), j).over(w).as(s"_c$j")): _*)
+    val pairs = withLeads.select(col("center"),
+      explode(array((1 to window).map(j =>
+        struct(col(s"_c$j").as("ctx"), lit(j.toLong).as("d"))): _*)).as("p"))
+      .select(col("center"), col("p.ctx").as("ctx"), col("p.d").as("d"))
+      .where(col("ctx").isNotNull)
+    pairs
+      .join(broadcast(vocab.select(col("token").as("center"))), Seq("center"))
+      .join(broadcast(vocab.select(col("token").as("ctx"))), Seq("ctx"))
+      .select(least(col("center"), col("ctx")).as("w_a"),
+        greatest(col("center"), col("ctx")).as("w_b"),
+        expr("1000 div d").as("wt"))
+      .groupBy(col("w_a"), col("w_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("wt")).as("weight_milli"))
+  }
+
   /** Sequence packing — the concat-and-chunk step that turns documents
     * into fixed-length training sequences: conceptually, concatenate each
     * source's token stream in doc_id order and cut every `seqLen` tokens;

@@ -242,6 +242,11 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(q("q212_pca_anisotropy")) == 0, "q212 grew a shuffle")
     // q213: regex census rides the scan — ZERO shuffles
     assert(shuffles(q("q213_license_census")) == 0, "q213 grew a shuffle")
+    // q214: vocab count + sort-limit + the doc-partitioned lead window
+    // + the pair rollup; both vocab ends join BROADCAST (ReuseExchange
+    // collapses the two identical vocab broadcasts into one)
+    assert(shuffles(q("q214_cooccurrence")) <= 5, "q214 grew extra exchanges")
+    assert(broadcasts(q("q214_cooccurrence")) >= 1, "q214 lost its broadcast vocab joins")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
