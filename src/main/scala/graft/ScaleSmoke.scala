@@ -665,6 +665,29 @@ object ScaleSmoke {
     assert(hSlope > 0 && hSlope <= 1000,
       "Heaps exponent must land in (0, 1] for a growing vocabulary")
     heaps.unpersist(false)
+    // --- GloVe co-occurrence at corpus size (round 13) ---
+    // evidence for the explode-AFTER-center-restriction ordering: the
+    // generator emits window(=3)x rows only for in-vocab centers, so its
+    // output is 3·|in-vocab tokens| instead of 3·|all tokens| (the
+    // pre-fix shape). On this hash-vocabulary corpus the top-256 vocab
+    // covers a tiny token fraction, so the cut is the worst-case-honest
+    // number, not a friendly one.
+    t0 = System.nanoTime()
+    val co = ops.TextAnalysis.cooccurrence(
+      docs.select(col("doc_id"), col("text"))).persist()
+    val coRows = co.count()
+    val coSecs = (System.nanoTime() - t0) / 1e9
+    val allTok = docs.select(explode(ops.TextAnalysis.tokens(col("text"))).as("token"))
+    val totTok = allTok.count()
+    val vocab256 = allTok.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc).limit(256).select("token")
+    val inVocab = allTok.join(broadcast(vocab256), Seq("token")).count()
+    println(f"cooccurrence($n docs): $coSecs%.1f s, $coRows pairs; " +
+      f"explode input $inVocab in-vocab centers vs $totTok tokens " +
+      f"(pre-fix generator output 3x${totTok}, post-fix 3x${inVocab})")
+    assert(coRows > 0 && coRows <= 256L * 257L / 2,
+      "matrix must stay topK^2-bounded")
+    co.unpersist(false)
     spark.stop()
   }
 }

@@ -1314,6 +1314,13 @@ object SparkEntry {
     // shape); one doc-partitioned lead window, no self-join
     "q214_cooccurrence" -> ((s, d) =>
       TextAnalysis.cooccurrence(Tables.documents(s, d))),
+    // positive PMI over the q214 matrix (TextAnalysis.ppmi, Levy &
+    // Goldberg '14): ratio_ppm = (1e6·X_ab·W) div (X_a·X_b) exact via
+    // decimal(38,0), ppmi_octave = floor(log2 ratio) via the ilog2
+    // device; symmetric marginals (off-diagonal pairs count both ends),
+    // matrix materialized once, topK²-bounded throughout
+    "q215_ppmi" -> ((s, d) =>
+      TextAnalysis.ppmi(TextAnalysis.cooccurrence(Tables.documents(s, d)))),
     // license-marker census (Quality.licenseCensus, The Stack/BigCode
     // compliance pass): SPDX header id + copyleft/permissive phrase
     // hits + one verdict by fixed precedence (spdx > copyleft >
@@ -4236,7 +4243,8 @@ object SparkEntry {
         |   AND c - r >= 1000) keep
         |FROM p""".stripMargin,
     "q195_datasheet" ->
-      """WITH b AS (SELECT doc_id, source, COALESCE(lang, '') lang,
+      """WITH b AS (SELECT doc_id, COALESCE(source, '') source,
+        |    COALESCE(lang, '') lang,
         |    COALESCE(length(text), 0) nc,
         |    COALESCE(md5(text), 'n:' || CAST(doc_id AS VARCHAR)) h
         |  FROM documents),
@@ -5732,6 +5740,48 @@ object SparkEntry {
         |SELECT w_a, w_b, COUNT(*) n_pairs,
         |  CAST(SUM(wt) AS BIGINT) weight_milli
         |FROM f GROUP BY 1, 2""".stripMargin,
+    // PPMI replay: the q214 CTE chain, then symmetric marginals, the
+    // scalar total, the exact ppm ratio through HUGEINT, and the
+    // bin-length octave; all operands non-negative so // == div
+    "q215_ppmi" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') l
+        |  FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(l, 1) pos,
+        |    unnest(l) token FROM toks),
+        |v AS (SELECT token FROM (SELECT token, COUNT(*) tf FROM tok
+        |  GROUP BY 1 ORDER BY tf DESC, token ASC LIMIT 256)),
+        |ld AS (SELECT token center,
+        |    lead(token, 1) OVER w c1, lead(token, 2) OVER w c2,
+        |    lead(token, 3) OVER w c3
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |p AS (SELECT center, ctx, d FROM (
+        |    SELECT center, c1 ctx, 1 d FROM ld UNION ALL
+        |    SELECT center, c2, 2 FROM ld UNION ALL
+        |    SELECT center, c3, 3 FROM ld)
+        |  WHERE ctx IS NOT NULL),
+        |f AS (SELECT least(center, ctx) w_a, greatest(center, ctx) w_b,
+        |    1000 // d wt
+        |  FROM p JOIN v a ON p.center = a.token JOIN v b ON p.ctx = b.token),
+        |co AS MATERIALIZED (SELECT w_a, w_b,
+        |    CAST(SUM(wt) AS BIGINT) weight_milli
+        |  FROM f GROUP BY 1, 2),
+        |ends AS (SELECT w_a t, weight_milli w FROM co
+        |  UNION ALL SELECT w_b, weight_milli FROM co WHERE w_a <> w_b),
+        |marg AS (SELECT t, CAST(SUM(w) AS BIGINT) x_t FROM ends GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(x_t) AS BIGINT) w_total FROM marg),
+        |r AS (SELECT co.w_a, co.w_b, co.weight_milli,
+        |    CAST((1000000 * CAST(co.weight_milli AS HUGEINT)
+        |        * CAST(w_total AS HUGEINT))
+        |      // (CAST(a.x_t AS HUGEINT) * CAST(b.x_t AS HUGEINT))
+        |      AS BIGINT) ratio_ppm
+        |  FROM co JOIN marg a ON co.w_a = a.t JOIN marg b ON co.w_b = b.t
+        |  CROSS JOIN tot)
+        |SELECT w_a, w_b, weight_milli, ratio_ppm,
+        |  CASE WHEN ratio_ppm >= 1000000
+        |    THEN CAST(length(bin(ratio_ppm // 1000000)) - 1 AS BIGINT)
+        |    ELSE 0 END ppmi_octave
+        |FROM r""".stripMargin,
     // license replay: same injection, same regex strings, same
     // precedence CASE
     "q213_license_census" ->

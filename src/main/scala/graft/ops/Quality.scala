@@ -758,7 +758,11 @@ object Quality {
   def datasheet(documents: DataFrame, sourceCol: String = "source",
                 langCol: String = "lang", idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val base = documents.select(col(idCol), col(sourceCol),
+    // NULL source folds to '' like _lang — otherwise the inner join with
+    // the modal-lang frame drops the NULL-source volume row (NULL join
+    // keys never match) and those documents silently vanish.
+    val base = documents.select(col(idCol),
+      coalesce(col(sourceCol), lit("")).as(sourceCol),
       coalesce(col(langCol), lit("")).as("_lang"),
       coalesce(length(col(textCol)).cast("long"), lit(0L)).as("_nc"),
       coalesce(md5(col(textCol).cast("binary")),

@@ -220,9 +220,13 @@ object Similarity {
         expr(s"(1000000 * ${2 * k} * cm) div greatest(_sx + _sy, 1)"))
     val wb = Window.partitionBy(col("xid"))
       .orderBy(col("margin_ppm").desc, col("yid").asc)
-    m.withColumn("_rb", row_number().over(wb))
+    val out = m.withColumn("_rb", row_number().over(wb))
       .where(col("_rb") === 1 && col("margin_ppm") >= minMarginPpm)
       .select(col("xid"), col("yid"), col("cm").as("c_mill"), col("margin_ppm"))
+    // Materialize before returning so the |X|·|Y| candidate cache can be
+    // released here — a lazy return would pin `c` in the CacheManager for
+    // the life of the session (the winnowPairs lifecycle rule).
+    Dedup.materializeAndRelease(out, c)
   }
 
   /** SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
@@ -1050,6 +1054,10 @@ object Similarity {
       // one scan: assign, then per-(cluster, dim) sums — ≤ k·d rows out
       val sums = q.select((assignKey(cents) % k).as("cid"),
           posexplode(col("m")).as(Seq("j", "v")))
+        // a ragged vector (length != centroid dim) yields NULL from the
+        // kernel — KmeansKey's contract says droppable row, not a crash;
+        // without this the NULL-cid group NPEs getLong on the driver
+        .where(col("cid").isNotNull)
         .groupBy(col("cid"), col("j"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
         .collect() // bounded: k·d rows

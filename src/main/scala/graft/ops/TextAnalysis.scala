@@ -451,8 +451,10 @@ object TextAnalysis {
     * Shape at scale: one token-count shuffle + sort-limit head builds
     * the vocabulary (the [[vocabulary]] discipline); the corpus pass is
     * ONE doc-partitioned window (lead(j) for j ≤ window — packing-free,
-    * no self-join), both ends filter against the BROADCAST vocab, and
-    * the pair rollup is map-side combined into ≤ topK² rows. */
+    * no self-join), the CENTER end filters against the broadcast vocab
+    * BEFORE the context explode (the generator emits window× rows only
+    * for in-vocab centers), the context end filters after, and the pair
+    * rollup is map-side combined into ≤ topK² rows. */
   def cooccurrence(documents: DataFrame, window: Int = 3,
                    topK: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -470,19 +472,82 @@ object TextAnalysis {
     // projection
     val withLeads = tok.select(col("token").as("center") +:
       (1 to window).map(j => lead(col("token"), j).over(w).as(s"_c$j")): _*)
-    val pairs = withLeads.select(col("center"),
+    // Center-side vocab restriction BEFORE the explode: the lead windows
+    // above already ran over the full token stream (distances unchanged),
+    // so out-of-vocab centers can drop here — cutting the generator's
+    // output by the center hit-rate instead of exploding window× rows per
+    // token and discarding most of them one join later.
+    val centered = withLeads
+      .join(broadcast(vocab.select(col("token").as("center"))), Seq("center"))
+    val pairs = centered.select(col("center"),
       explode(array((1 to window).map(j =>
         struct(col(s"_c$j").as("ctx"), lit(j.toLong).as("d"))): _*)).as("p"))
       .select(col("center"), col("p.ctx").as("ctx"), col("p.d").as("d"))
       .where(col("ctx").isNotNull)
     pairs
-      .join(broadcast(vocab.select(col("token").as("center"))), Seq("center"))
       .join(broadcast(vocab.select(col("token").as("ctx"))), Seq("ctx"))
       .select(least(col("center"), col("ctx")).as("w_a"),
         greatest(col("center"), col("ctx")).as("w_b"),
         expr("1000 div d").as("wt"))
       .groupBy(col("w_a"), col("w_b"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("wt")).as("weight_milli"))
+  }
+
+  /** Positive PMI transform over a [[cooccurrence]] matrix — the step
+    * that makes the raw counts consumable for embedding training (Levy &
+    * Goldberg '14, "Neural Word Embedding as Implicit Matrix
+    * Factorization": SGNS factorizes exactly the PMI matrix shifted by
+    * log k; the PPMI clamp max(0, ·) is their sparse variant).
+    *
+    * Exact integer fixed point — no floating log anywhere:
+    *
+    *   ratio_ppm   = (10⁶ · X_ab · W) div (X_a · X_b)  — the PMI
+    *                 argument in exact ppm; every product routes through
+    *                 decimal(38,0) (the cohenKappa overflow discipline:
+    *                 marginal products pass int64 on web-scale corpora)
+    *   ppmi_octave = floor(log2 ratio) when ratio >= 1, else 0 — via the
+    *                 established ilog2 device (length(bin(x)) − 1), valid
+    *                 because x and floor(x) share an octave for x >= 1
+    *
+    * Marginals follow the symmetric-matrix convention the (least,
+    * greatest) storage implies: an off-diagonal stored pair contributes
+    * its weight to BOTH endpoints' X_a, a diagonal pair once; W = Σ X_a.
+    * All divisions are over non-negative integers, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree.
+    *
+    * Shape at scale: the input is topK²-bounded by construction, so this
+    * is audit-sized arithmetic — the matrix materializes ONCE (it feeds
+    * the marginal rollup, the scalar total, and the output row; a lazy
+    * plan would recompute the full corpus co-occurrence three times),
+    * the ≤ topK-row marginal frame joins back broadcast, and the scalar
+    * W rides a broadcast 1-row cross join. Cache released before
+    * returning (the materializeAndRelease lifecycle rule). */
+  def ppmi(cooc: DataFrame): DataFrame = {
+    val m = cooc.persist()
+    val ends = m.select(col("w_a").as("t"), col("weight_milli").as("w"))
+      .unionAll(m.where(col("w_a") =!= col("w_b"))
+        .select(col("w_b").as("t"), col("weight_milli").as("w")))
+    val marg = ends.groupBy(col("t")).agg(sum(col("w")).as("x_t"))
+    val total = marg.agg(sum(col("x_t")).as("w_total"))
+    val out = m
+      .join(broadcast(marg.select(col("t").as("w_a"), col("x_t").as("x_a"))),
+        Seq("w_a"))
+      .join(broadcast(marg.select(col("t").as("w_b"), col("x_t").as("x_b"))),
+        Seq("w_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("ratio_ppm",
+        expr("""cast((1000000 * cast(weight_milli as decimal(38,0))
+               |  * cast(w_total as decimal(38,0)))
+               |div (cast(x_a as decimal(38,0)) * cast(x_b as decimal(38,0)))
+               |  as bigint)""".stripMargin))
+      .withColumn("ppmi_octave",
+        when(col("ratio_ppm") >= 1000000L,
+          length(conv(expr("ratio_ppm div 1000000").cast("string"), 10, 2))
+            .cast("long") - 1L)
+          .otherwise(lit(0L)))
+      .select(col("w_a"), col("w_b"), col("weight_milli"),
+        col("ratio_ppm"), col("ppmi_octave"))
+    Dedup.materializeAndRelease(out, m)
   }
 
   /** Sequence packing — the concat-and-chunk step that turns documents

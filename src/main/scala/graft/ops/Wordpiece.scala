@@ -172,7 +172,9 @@ object Wordpiece {
         val memo = mutable.Map.empty[String, Vector[String]] // Zipf cache
         it.map { r =>
           val id = r.getLong(0)
-          val text = r.getString(1)
+          // NULL text = zero counts, nothing vanishes (the Unigram.segment
+          // contract) — findAllIn(null) would NPE the whole job.
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
           var nWords = 0L; var nUnits = 0L; var nTokens = 0L; var nUnk = 0L
           var lossless = true; var bounded = true
           wordRe.findAllIn(text).foreach { w =>

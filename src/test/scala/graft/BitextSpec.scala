@@ -63,4 +63,21 @@ class BitextSpec extends SparkTestBase {
     assert(got(2L) == 10L && got(3L) == 10L, "hub is still x2/x3's best")
     assert(got(1L) == 20L, s"hubness not deflated: aligned ${got(1L)}")
   }
+
+  test("bitextMargin releases its candidate cache before returning") {
+    // the |X|·|Y| candidate frame is persist()ed internally; the result
+    // must come back materialized with that cache RELEASED (the
+    // materializeAndRelease lifecycle rule) — a lazy return would pin it
+    // in the CacheManager for the life of the session. The only persistent
+    // RDD the call may add is the localCheckpoint of its own result.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val src = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bitextMargin(src, tgt, k = 1, minMarginPpm = 0L)
+    assert(out.count() == 1L)
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"leaked cached RDDs beyond the checkpoint: $added")
+  }
 }

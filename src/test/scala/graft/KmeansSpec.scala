@@ -142,6 +142,23 @@ class KmeansSpec extends SparkTestBase {
     assert(got == Seq(Some(1L), Some(20000L), None))
   }
 
+  test("kmeansClusters: ragged vectors drop from training and assign NULL, never crash") {
+    // one 1-d vector among 2-d ones: the KmeansKey contract says a
+    // dimension mismatch is a droppable row, not a crash mid-job —
+    // the training groupBy must skip its NULL cid (getLong on a NULL
+    // group NPE'd on the driver before the fix)
+    val vs = (0L until 12L).map(i =>
+      (i, Array((i % 3).toFloat, (i % 4).toFloat))) :+
+      (99L, Array(1.0f))
+    val got = Similarity.kmeansClusters(vs.toDF("vec_id", "embedding"),
+      k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.size == 13)
+    assert(got(99L).isEmpty, "ragged row assigns NULL cluster")
+    assert((0L until 12L).forall(got(_).isDefined), "clean rows all assigned")
+  }
+
   test("clusterReport rejects ids outside the packable range loudly") {
     val bad = Seq((1L << 24, Array(0.0f, 0.0f)), (0L, Array(0.5f, 0.0f)))
       .toDF("vec_id", "embedding")

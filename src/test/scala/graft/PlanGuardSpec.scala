@@ -206,9 +206,18 @@ class PlanGuardSpec extends SparkTestBase {
     // q201: the game→pair aggregation + the matrix rollup
     assert(shuffles(q("q201_winrate_wilson")) <= 2, "q201 grew extra exchanges")
     // q202: probe-set build + two grouped neighborhood aggs + the mined
-    // join; probe vectors travel broadcast, the corpus side never shuffles
-    assert(shuffles(q("q202_bitext_margin")) <= 4, "q202 grew extra exchanges")
-    assert(broadcasts(q("q202_bitext_margin")) >= 1, "q202 must broadcast the probes")
+    // join; probe vectors travel broadcast, the corpus side never
+    // shuffles. bitextMargin materializes + releases its candidate cache
+    // (round-13 advice), so the final plan is a bare checkpoint scan —
+    // read the TRUE census through CheckpointAudit.
+    graft.plans.CheckpointAudit.start()
+    val bdf = q("q202_bitext_margin")
+    val bplans = (graft.plans.CheckpointAudit.finish() :+ bdf)
+      .map(_.queryExecution.executedPlan)
+    assert(countAll(bplans, _.isInstanceOf[ShuffleExchangeLike]) <= 4,
+      "q202 grew extra exchanges")
+    assert(countAll(bplans, _.isInstanceOf[BroadcastExchangeLike]) >= 1,
+      "q202 must broadcast the probes")
     // q203: candidate pairs come back BROADCAST onto the token frame —
     // the LCS DP is row-local, ZERO shuffles
     assert(shuffles(q("q203_rouge_dedup")) == 0, "q203 grew a shuffle")
@@ -247,6 +256,24 @@ class PlanGuardSpec extends SparkTestBase {
     // collapses the two identical vocab broadcasts into one)
     assert(shuffles(q("q214_cooccurrence")) <= 5, "q214 grew extra exchanges")
     assert(broadcasts(q("q214_cooccurrence")) >= 1, "q214 lost its broadcast vocab joins")
+    // q214 ordering: the center-side vocab restriction must sit BELOW the
+    // context explode — the generator emits window× rows per token, so
+    // restricting first cuts its output by the center hit-rate (the
+    // round-12 verdict's one scale nit). Pin: some broadcast join lives
+    // in the Generate node's subtree.
+    val coPlan = {
+      val df = q("q214_cooccurrence"); df.collect(); df.queryExecution.executedPlan
+    }
+    def findGenerate(p: SparkPlan): Option[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => findGenerate(a.executedPlan)
+      case qs: QueryStageExec => findGenerate(qs.plan)
+      case g: org.apache.spark.sql.execution.GenerateExec => Some(g)
+      case other => other.children.view.flatMap(findGenerate).headOption
+    }
+    val gen = findGenerate(coPlan)
+    assert(gen.isDefined, "q214 lost its context-explode Generate")
+    assert(count(gen.get, _.isInstanceOf[BroadcastExchangeLike]) >= 1,
+      "q214's center vocab restriction slid above the explode again")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {

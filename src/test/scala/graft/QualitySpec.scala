@@ -388,4 +388,19 @@ class QualitySpec extends SparkTestBase {
     // langs en 1 / de 2 -> de
     assert(got("B") == ((3L, 9L, 3L, 333333L, "de", 666666L)))
   }
+
+  test("datasheet: NULL-source docs fold to '' and survive the modal-lang join") {
+    val docs = Seq(
+      (1L, "kept row", "en", null.asInstanceOf[String]),
+      (2L, "other kept", "en", null.asInstanceOf[String]),
+      (3L, "named", "de", "A"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.ops.Quality.datasheet(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(5)))).toMap
+    // the NULL-source volume row must NOT vanish (inner join on a NULL
+    // key would drop it) — it folds to '' like _lang does
+    assert(got.keySet == Set("", "A"))
+    assert(got("") == ((2L, "en")))
+    assert(got("A") == ((1L, "de")))
+  }
 }

@@ -48,6 +48,12 @@ class WordpieceSpec extends SparkTestBase {
     assert(got(1L) == ((1L, 3L, 7L, 4L, 1L, true, true)), got(1L).toString)
     assert(got(2L) == ((2L, 2L, 6L, 2L, 1L, true, true)), got(2L).toString)
     assert(got(3L) == ((3L, 0L, 0L, 0L, 0L, true, true)))
+    // NULL text = zero counts, nothing vanishes, no NPE (the
+    // Unigram.segment contract)
+    val withNull = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nullRow = Wordpiece.applyVocab(withNull, vocab)
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean)].head()
+    assert(nullRow == ((9L, 0L, 0L, 0L, 0L, true, true)))
     // real corpus: deterministic vocabulary, invariants hold everywhere,
     // and 64 merges actually compress vs the char baseline on non-UNK text
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
