@@ -108,6 +108,36 @@ object SparkEntry {
     approx.where(col("rank") === 1)
       .select(col("qid"), (col("nid") === col("qid") - offset).as("top1_ok"))
 
+  /** The q114 URL synthesis, shared by the governance queries: every
+    * canonicalization rule fires, and the four doc_id%4 branches yield
+    * hosts `{s}.example.com`, `{s}.example.com:8443` (non-default port
+    * kept), and `sub.{s}.example.com`. */
+  private def synthUrl: Column =
+    when(col("doc_id") % 4 === 0,
+      concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/A/B/"),
+        col("doc_id").cast("string"), lit("/?utm_source=feed&b=2&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://"), col("source"),
+          lit(".example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("HTTPS://Sub."), col("source"), lit(".Example.com:443/only/Path/")))
+      .otherwise(concat(lit("http://"), col("source"), lit(".example.com/?q="),
+        col("doc_id").cast("string"), lit("&ref=abc")))
+
+  /** Deterministic in-plan opt-out registry over the documents sources:
+    * `{s}.example.com` for the md5-first-hex < '8' half (suffix-governs
+    * every branch host, ports included) plus `sub.{s}.example.com` for
+    * the < '4' quarter — so %4==2 docs of those sources carry TWO
+    * matches and exercise the longest-match attribution. */
+  private def optOutRegistry(docs: DataFrame): DataFrame = {
+    val srcs = docs.select(col("source")).distinct()
+    srcs.where(substring(md5(col("source")), 1, 1) < "8")
+      .select(concat(col("source"), lit(".example.com")).as("domain"))
+      .unionByName(srcs.where(substring(md5(col("source")), 1, 1) < "4")
+        .select(concat(lit("sub."), col("source"), lit(".example.com"))
+          .as("domain")))
+  }
+
   // ------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1321,6 +1351,26 @@ object SparkEntry {
     // matrix materialized once, topK²-bounded throughout
     "q215_ppmi" -> ((s, d) =>
       TextAnalysis.ppmi(TextAnalysis.cooccurrence(Tables.documents(s, d)))),
+    // per-domain opt-out governance verdict (Web.domainOptOut): canonical
+    // hosts vs a broadcast registry under SUFFIX semantics via the
+    // bounded dot-suffix explode (equi-join, never a nested-loop
+    // endswith); longest match wins, ports never govern, unmatched docs
+    // kept — run BEFORE any curation
+    "q216_domain_optout" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Web.domainOptOut(docs.select(col("doc_id"), synthUrl.as("url")),
+        optOutRegistry(docs))
+    }),
+    // registry-side audit (Web.domainOptOutAudit): drops per opt-out
+    // domain under longest-match attribution, zero-hit entries surfaced
+    // (the q145 suppression-report shape)
+    "q217_optout_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reg = optOutRegistry(docs)
+      Web.domainOptOutAudit(
+        Web.domainOptOut(docs.select(col("doc_id"), synthUrl.as("url")), reg),
+        reg)
+    }),
     // license-marker census (Quality.licenseCensus, The Stack/BigCode
     // compliance pass): SPDX header id + copyleft/permissive phrase
     // hits + one verdict by fixed precedence (spdx > copyleft >
@@ -5782,6 +5832,86 @@ object SparkEntry {
         |    THEN CAST(length(bin(ratio_ppm // 1000000)) - 1 AS BIGINT)
         |    ELSE 0 END ppmi_octave
         |FROM r""".stripMargin,
+    // opt-out replay: the q114 url/host derivation, dot-suffix explode
+    // (port stripped first), the md5-gated registry, longest-match by
+    // (length desc, domain asc), left join back so kept docs survive
+    "q216_domain_optout" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/A/B/'
+        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://' || source
+        |      || '.example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m'
+        |    WHEN 2 THEN 'HTTPS://Sub.' || source || '.Example.com:443/only/Path/'
+        |    ELSE 'http://' || source || '.example.com/?q='
+        |      || CAST(doc_id AS VARCHAR) || '&ref=abc'
+        |  END url FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
+        |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |    '^www\.', '') auth FROM u),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END host FROM p),
+        |l AS (SELECT doc_id, host,
+        |  string_split(regexp_replace(host, ':[0-9]+$', ''), '.') lbl FROM h),
+        |s AS (SELECT doc_id, array_to_string(lbl[i:], '.') sfx
+        |  FROM (SELECT doc_id, lbl, unnest(range(1, len(lbl))) i
+        |        FROM l WHERE len(lbl) >= 2)),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |reg AS (SELECT source || '.example.com' "domain" FROM srcs
+        |    WHERE substring(md5(source), 1, 1) < '8'
+        |  UNION ALL
+        |  SELECT 'sub.' || source || '.example.com' FROM srcs
+        |    WHERE substring(md5(source), 1, 1) < '4'),
+        |m AS (SELECT doc_id, "domain" FROM (
+        |    SELECT s.doc_id, r."domain", row_number() OVER (PARTITION BY s.doc_id
+        |      ORDER BY length(r."domain") DESC, r."domain" ASC) rn
+        |    FROM s JOIN reg r ON s.sfx = r."domain") WHERE rn = 1)
+        |SELECT h.doc_id, h.host, m."domain" optout_domain,
+        |  m."domain" IS NULL kept
+        |FROM h LEFT JOIN m USING (doc_id)""".stripMargin,
+    // audit replay: the q216 verdict rolled up per registry domain,
+    // zero-hit entries kept via the left join ("domain" is a DuckDB
+    // reserved word — quoted throughout, like cluster/off)
+    "q217_optout_audit" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/A/B/'
+        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://' || source
+        |      || '.example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m'
+        |    WHEN 2 THEN 'HTTPS://Sub.' || source || '.Example.com:443/only/Path/'
+        |    ELSE 'http://' || source || '.example.com/?q='
+        |      || CAST(doc_id AS VARCHAR) || '&ref=abc'
+        |  END url FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
+        |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |    '^www\.', '') auth FROM u),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END host FROM p),
+        |l AS (SELECT doc_id, host,
+        |  string_split(regexp_replace(host, ':[0-9]+$', ''), '.') lbl FROM h),
+        |s AS (SELECT doc_id, array_to_string(lbl[i:], '.') sfx
+        |  FROM (SELECT doc_id, lbl, unnest(range(1, len(lbl))) i
+        |        FROM l WHERE len(lbl) >= 2)),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |reg AS (SELECT source || '.example.com' "domain" FROM srcs
+        |    WHERE substring(md5(source), 1, 1) < '8'
+        |  UNION ALL
+        |  SELECT 'sub.' || source || '.example.com' FROM srcs
+        |    WHERE substring(md5(source), 1, 1) < '4'),
+        |m AS (SELECT doc_id, "domain" FROM (
+        |    SELECT s.doc_id, r."domain", row_number() OVER (PARTITION BY s.doc_id
+        |      ORDER BY length(r."domain") DESC, r."domain" ASC) rn
+        |    FROM s JOIN reg r ON s.sfx = r."domain") WHERE rn = 1)
+        |SELECT reg."domain", CAST(COALESCE(c.n, 0) AS BIGINT) n_dropped
+        |FROM reg LEFT JOIN (SELECT "domain", COUNT(*) n FROM m GROUP BY 1) c
+        |  USING ("domain")""".stripMargin,
     // license replay: same injection, same regex strings, same
     // precedence CASE
     "q213_license_census" ->

@@ -75,4 +75,70 @@ object Web {
   def canonicalizeUrls(df: DataFrame, urlCol: String = "url"): DataFrame =
     df.withColumn("url_canon", canonicalizeUrl(col(urlCol)))
       .withColumn("host", urlHost(col(urlCol)))
+
+  /** Per-document domain opt-out verdict — the crawl-governance pass a
+    * web corpus runs BEFORE any curation (robots/ai.txt opt-outs,
+    * publisher takedown lists, erasure requests): each document's
+    * canonical host is checked against a bounded opt-out registry with
+    * SUFFIX semantics — opting out `example.com` governs
+    * `a.b.example.com` too — and the most specific hit wins (length
+    * desc, then domain asc: deterministic longest-match attribution).
+    *
+    * The suffix DEVICE is what keeps this an equi-join: each host
+    * explodes into its dot-suffixes with >= 2 labels (bounded by the
+    * label count — a handful at web scale, like the shingle explode),
+    * which equi-joins the BROADCAST registry; a subdomain test written
+    * as a raw `endswith` predicate would be a broadcast nested-loop
+    * over |docs|·|registry| comparisons instead.
+    *
+    * `kept` = no suffix matched. Ports never govern (stripped before
+    * suffix split — an opt-out for `example.com` must cover
+    * `example.com:8443`); a host with fewer than two labels, or an
+    * unparseable URL, has no suffixes, matches nothing, and is KEPT:
+    * governance registries name registrable domains, and dropping
+    * garbage is the quality pass's job, not this one's.
+    *
+    * Shape at scale: the suffix explode and registry join are
+    * scan-side (broadcast, no shuffle); the per-doc longest-match fold
+    * is ONE map-side-combined shuffle whose partial aggregation
+    * collapses each doc's handful of suffix rows before the exchange. */
+  def domainOptOut(docs: DataFrame, optOut: DataFrame,
+                   urlCol: String = "url",
+                   idCol: String = "doc_id"): DataFrame = {
+    val hosts = canonicalizeUrls(docs.select(col(idCol), col(urlCol)), urlCol)
+      .select(col(idCol), col("host"))
+      .withColumn("_lbl",
+        split(regexp_replace(col("host"), ":[0-9]+$", ""), "\\."))
+    val sfx = hosts.select(col(idCol), col("host"),
+      explode_outer(when(size(col("_lbl")) >= 2,
+        transform(sequence(lit(1), size(col("_lbl")) - 1),
+          i => array_join(
+            slice(col("_lbl"), i, size(col("_lbl")) - i + 1), ".")))
+        .otherwise(array().cast("array<string>"))).as("_sfx"))
+    sfx
+      .join(broadcast(optOut.select(col("domain").as("_sfx"), col("domain"))),
+        Seq("_sfx"), "left")
+      // non-matches contribute NULL (SQL MIN skips them), so _m is NULL
+      // exactly when no suffix hit the registry
+      .groupBy(col(idCol), col("host"))
+      .agg(min(when(col("domain").isNotNull,
+        struct((-length(col("domain"))).as("nl"), col("domain").as("d"))))
+        .as("_m"))
+      .select(col(idCol), col("host"),
+        col("_m.d").as("optout_domain"), col("_m").isNull.as("kept"))
+  }
+
+  /** Registry-side audit for [[domainOptOut]]: per opt-out domain, how
+    * many documents it dropped under longest-match attribution — with
+    * ZERO-hit entries surfaced (the "this entry never fired" read a
+    * governance review needs; the q145 suppression-report shape).
+    * Bounded by the registry: the verdict side rolls up map-side into
+    * <= |registry| rows, which join back broadcast. */
+  def domainOptOutAudit(verdict: DataFrame, optOut: DataFrame): DataFrame = {
+    val counts = verdict.where(!col("kept"))
+      .groupBy(col("optout_domain")).agg(count(lit(1)).as("_n"))
+    optOut.select(col("domain"))
+      .join(broadcast(counts), col("domain") === col("optout_domain"), "left")
+      .select(col("domain"), coalesce(col("_n"), lit(0L)).as("n_dropped"))
+  }
 }

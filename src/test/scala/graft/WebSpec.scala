@@ -48,4 +48,33 @@ class WebSpec extends SparkTestBase {
     val row = out.select($"url_canon", $"host").as[(String, String)].head()
     assert(row == ("http://example.com/A?b=2", "example.com"))
   }
+
+  test("domainOptOut: suffix governs subdomains, longest match wins, ports never govern") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "http://a.b.example.com/x"),       // suffix hit on example.com
+      (2L, "https://sub.example.com/y"),      // two hits -> sub.example.com
+      (3L, "http://example.com:8080/z"),      // port stripped -> hit
+      (4L, "http://kept.org/w"),              // no registry entry -> kept
+      (5L, "http://localhost/v"),             // single label -> no suffixes, kept
+      (6L, "https://notexample.com/u")        // no dot-boundary bypass:
+      ).toDF("doc_id", "url")                 //   notexample.com != *.example.com
+    val reg = Seq("example.com", "sub.example.com").toDF("domain")
+    val got = Web.domainOptOut(docs, reg).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(2)), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((Some("example.com"), false)))
+    assert(got(2L) == ((Some("sub.example.com"), false)), "longest match must win")
+    assert(got(3L) == ((Some("example.com"), false)), "opt-out must cover any port")
+    assert(got(4L) == ((None, true)))
+    assert(got(5L) == ((None, true)), "single-label host has no suffixes")
+    assert(got(6L) == ((None, true)),
+      "suffixes split on dots: notexample.com must not match example.com")
+    // audit: longest-match attribution + zero-hit entry surfaced
+    val reg2 = Seq("example.com", "sub.example.com", "never.net").toDF("domain")
+    val audit = Web.domainOptOutAudit(Web.domainOptOut(docs, reg2), reg2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit == Map("example.com" -> 2L, "sub.example.com" -> 1L,
+      "never.net" -> 0L))
+  }
 }
