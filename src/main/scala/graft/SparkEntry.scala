@@ -1361,6 +1361,41 @@ object SparkEntry {
       Web.domainOptOut(docs.select(col("doc_id"), synthUrl.as("url")),
         optOutRegistry(docs))
     }),
+    // late-interaction MaxSim retrieval (Retrieval.maxSim, ColBERT's
+    // scoring rule): multi-vector docs (4 chunk vectors per doc from
+    // the embeddings table), query tokens as scaled chunk copies so
+    // each probe's source doc carries a planted exact-match answer;
+    // milli-quantized cosines before max/sum (q189 flag stability),
+    // two-stage suspects-only (recall gate 150 milli, then exact
+    // MaxSim over candidates)
+    "q218_maxsim" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val chunks = emb.select(expr("vec_id div 4").as("doc_id"),
+        col("embedding"))
+      val qs = emb
+        .where(col("vec_id").isin(20L, 22L, 68L, 70L, 92L, 94L, 126L))
+        .select(expr("vec_id div 4").as("qid"), (col("vec_id") % 4).as("qtok"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Retrieval.maxSim(chunks, qs, k = 5, minCosMilli = 150L)
+    }),
+    // tokenizer compression-ratio report (TextAnalysis
+    // .compressionReport): bytes/token and chars/token per source
+    // under the three subword families — trained unigram (the full
+    // q188 replay), the fixed q184 BPE merge table, and the fixed
+    // WordPiece vocabulary (greedy longest-prefix; trained composition
+    // is WordpieceSpec's round trip). One oracle sharing the q188
+    // training/DP CTEs, the q184 merge-loop CTE, and a greedy-encode
+    // recursive CTE, all over the SAME dw/uw corpus word frames
+    "q219_tokenizer_compression" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.compressionReport(docs, Seq(
+        "bpe" -> Bpe.applyMerges(docs, subwordMerges)
+          .select(col("doc_id"), col("n_tokens")),
+        "unigram" -> Unigram.segment(docs, Unigram.trainVocab(docs))
+          .select(col("doc_id"), col("n_pieces").as("n_tokens")),
+        "wordpiece" -> Wordpiece.applyVocab(docs, wordpieceVocab)
+          .select(col("doc_id"), col("n_tokens"))))
+    }),
     // registry-side audit (Web.domainOptOutAudit): drops per opt-out
     // domain under longest-match attribution, zero-hit entries surfaced
     // (the q145 suppression-report shape)
@@ -2390,6 +2425,19 @@ object SparkEntry {
     "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t", "e" -> "n",
     "a" -> "t", "o" -> "r", "e" -> "s", "a" -> "l", "o" -> "u",
     "in" -> "g")
+
+  /** The q219 WordPiece vocabulary — FIXED like [[subwordMerges]] and
+    * for the same reason (the oracle must hold the same literal; the
+    * trained-table composition is WordpieceSpec's round trip): the
+    * ASCII alphanumeric alphabet in bare + `##` continuation form plus
+    * English merges. Max content length 3, which the oracle's greedy
+    * longest-prefix DP relies on (it probes lengths 3, 2, 1). */
+  private val wordpieceVocab: Vector[String] = {
+    val alpha = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).map(_.toString)
+    (alpha ++ alpha.map("##" + _) ++ Vector(
+      "th", "##th", "the", "an", "##an", "##nd", "##er", "##in", "##on",
+      "##re", "##at", "##es", "##or", "##en", "##ing")).toVector
+  }
 
   /** The q176/q176b blocklist fixture: spam phrases planted mid-text
     * (%13 / %17; %17 also plants "pillsbury", the boundary rule's
@@ -5872,6 +5920,113 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, m."domain" optout_domain,
         |  m."domain" IS NULL kept
         |FROM h LEFT JOIN m USING (doc_id)""".stripMargin,
+    // MaxSim replay: chunk/query synthesis, milli-cosines, the recall
+    // gate, per-(qid,doc,qtok) max over ALL candidate chunks, per-doc
+    // sum, (score desc, doc asc) top-k window
+    "q218_maxsim" ->
+      """WITH c AS (SELECT vec_id // 4 doc_id,
+        |    CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+        |q AS (SELECT vec_id // 4 qid, vec_id % 4 qtok,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv
+        |  FROM embeddings WHERE vec_id IN (20, 22, 68, 70, 92, 94, 126)),
+        |s AS (SELECT qid, qtok, doc_id,
+        |    CAST(FLOOR(list_cosine_similarity(qv, cv) * 1000 + 0.5)
+        |      AS BIGINT) cm
+        |  FROM q, c),
+        |cand AS (SELECT DISTINCT qid, doc_id FROM s WHERE cm >= 150),
+        |mx AS (SELECT s.qid, s.doc_id, s.qtok, MAX(cm) m
+        |  FROM s JOIN cand USING (qid, doc_id) GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, doc_id, CAST(SUM(m) AS BIGINT) maxsim_milli
+        |  FROM mx GROUP BY 1, 2)
+        |SELECT qid, CAST(rn AS BIGINT) rank, doc_id, maxsim_milli FROM (
+        |  SELECT qid, doc_id, maxsim_milli, row_number() OVER (
+        |      PARTITION BY qid ORDER BY maxsim_milli DESC, doc_id ASC) rn
+        |  FROM sc) WHERE rn <= 5""".stripMargin,
+    // compression replay: the q188 unigram training + Viterbi DP, the
+    // q184 merge-loop over the same uw word frame, a greedy
+    // longest-prefix recursive CTE for the fixed WordPiece vocab
+    // (probe lengths 3/2/1 — max content length in the vocab; a stuck
+    // position collapses the word to one [UNK] token), then one
+    // volume rollup per family over the shared dw counts
+    "q219_tokenizer_compression" ->
+      ("WITH RECURSIVE " + unigramTrainCte + ",\n" + unigramCorpusWordsCte +
+        ",\n" + unigramDpCte("vt", "voc", "uw", paths = false) + """,
+        |ufin AS MATERIALIZED (SELECT w, n1 np FROM vt
+        |  WHERE pos = length(w)),
+        |uagg AS (SELECT doc_id, SUM(m * np) nt FROM dw JOIN ufin USING (w)
+        |  GROUP BY 1),
+        |""".stripMargin +
+        "mg(rk, a, b) AS (VALUES " + subwordMerges.zipWithIndex
+          .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ") +
+        """),
+        |enc AS (
+        |  SELECT w, '§' || regexp_replace(w, '(.)', '\1§', 'g') st FROM uw
+        |  UNION ALL
+        |  SELECT e.w, replace(e.st, '§' || m.a || '§' || m.b || '§',
+        |      '§' || m.a || m.b || '§')
+        |  FROM (SELECT w, st, (SELECT min(rk) FROM mg
+        |          WHERE contains(st, '§' || a || '§' || b || '§')) mr
+        |        FROM enc) e
+        |  JOIN mg m ON m.rk = e.mr),
+        |bfin AS MATERIALIZED (SELECT w,
+        |    CAST(length(st) - length(replace(st, '§', '')) - 1 AS BIGINT) nt
+        |  FROM enc WHERE NOT EXISTS (SELECT 1 FROM mg
+        |    WHERE contains(st, '§' || a || '§' || b || '§'))),
+        |bagg AS (SELECT doc_id, SUM(m * nt) nt FROM dw JOIN bfin USING (w)
+        |  GROUP BY 1),
+        |""".stripMargin +
+        "wv(piece) AS (VALUES " + wordpieceVocab.filterNot(_ == "[UNK]")
+          .map(p => s"('$p')").mkString(", ") +
+        """),
+        |wp(w, pos, nt, unk) AS (
+        |  SELECT w, CAST(length(w) AS BIGINT), CAST(1 AS BIGINT), TRUE
+        |  FROM uw WHERE length(w) > 100
+        |  UNION ALL
+        |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE
+        |  FROM uw WHERE length(w) <= 100
+        |  UNION ALL
+        |  SELECT w,
+        |    CASE WHEN m3 THEN pos + 3 WHEN m2 THEN pos + 2
+        |         WHEN m1 THEN pos + 1 ELSE CAST(length(w) AS BIGINT) END,
+        |    CASE WHEN m3 OR m2 OR m1 THEN nt + 1 ELSE CAST(1 AS BIGINT) END,
+        |    NOT (m3 OR m2 OR m1)
+        |  FROM (SELECT v.w, v.pos, v.nt,
+        |      v3.piece IS NOT NULL m3, v2.piece IS NOT NULL m2,
+        |      v1.piece IS NOT NULL m1
+        |    FROM wp v
+        |      LEFT JOIN wv v3 ON v.pos + 3 <= length(v.w) AND v3.piece =
+        |        (CASE WHEN v.pos > 0 THEN '##' ELSE '' END)
+        |          || substr(v.w, v.pos + 1, 3)
+        |      LEFT JOIN wv v2 ON v.pos + 2 <= length(v.w) AND v2.piece =
+        |        (CASE WHEN v.pos > 0 THEN '##' ELSE '' END)
+        |          || substr(v.w, v.pos + 1, 2)
+        |      LEFT JOIN wv v1 ON v1.piece =
+        |        (CASE WHEN v.pos > 0 THEN '##' ELSE '' END)
+        |          || substr(v.w, v.pos + 1, 1)
+        |    WHERE v.pos < length(v.w) AND NOT v.unk)),
+        |wfin AS MATERIALIZED (SELECT w, nt FROM wp WHERE pos = length(w)),
+        |wagg AS (SELECT doc_id, SUM(m * nt) nt FROM dw JOIN wfin USING (w)
+        |  GROUP BY 1),
+        |vol AS (SELECT doc_id, source, COALESCE(length(text), 0) nc,
+        |    COALESCE(strlen(text), 0) nb FROM documents),
+        |fam AS (
+        |  SELECT 'bpe' "family", v.source, COALESCE(b.nt, 0) nt, nc, nb
+        |    FROM vol v LEFT JOIN bagg b USING (doc_id)
+        |  UNION ALL
+        |  SELECT 'unigram', v.source, COALESCE(u.nt, 0), nc, nb
+        |    FROM vol v LEFT JOIN uagg u USING (doc_id)
+        |  UNION ALL
+        |  SELECT 'wordpiece', v.source, COALESCE(w2.nt, 0), nc, nb
+        |    FROM vol v LEFT JOIN wagg w2 USING (doc_id))
+        |SELECT source, "family", CAST(SUM(nt) AS BIGINT) n_tokens,
+        |  CAST(SUM(nc) AS BIGINT) n_chars, CAST(SUM(nb) AS BIGINT) n_bytes,
+        |  CASE WHEN SUM(nt) > 0 THEN
+        |    CAST((1000000 * CAST(SUM(nc) AS HUGEINT)) // SUM(nt) AS BIGINT)
+        |    END chars_per_token_ppm,
+        |  CASE WHEN SUM(nt) > 0 THEN
+        |    CAST((1000000 * CAST(SUM(nb) AS HUGEINT)) // SUM(nt) AS BIGINT)
+        |    END bytes_per_token_ppm
+        |FROM fam GROUP BY 1, 2""".stripMargin),
     // audit replay: the q216 verdict rolled up per registry domain,
     // zero-hit entries kept via the left join ("domain" is a DuckDB
     // reserved word — quoted throughout, like cluster/off)

@@ -268,4 +268,68 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_fx"))
   }
+
+  /** Late-interaction (MaxSim) retrieval — the third tier next to BM25
+    * ([[bm25Search]]) and single-vector dense cosine (Similarity
+    * .bruteForceKnn): ColBERT's scoring rule (Khattab & Zaharia '20),
+    *
+    *   score(q, d) = Σ over query tokens i  max over doc chunks j
+    *                 cos(q_i, d_j)
+    *
+    * over multi-vector docs — chunk vectors from the Curate.chunks
+    * machinery, one embedding per chunk. Cosines quantize to
+    * MILLI-units FIRST (floor(c·1000 + 0.5), the q189 flag-stability
+    * device), so the max, the sum, and every rank comparison are pure
+    * integer arithmetic — a last-ulp float drift can't flip a
+    * candidate gate or a tie.
+    *
+    * Two-stage, suspects-only (the [[contaminationTriage]] / q105
+    * discipline — exact MaxSim against every corpus doc would be an
+    * all-pairs |Q|·|chunks| aggregation no one runs):
+    *
+    *  1. RECALL: the broadcast query-token set sweeps the chunk scan
+    *     once; a doc becomes a candidate when ANY (token, chunk) pair
+    *     reads >= `minCosMilli` (how PLAID prunes — a doc none of
+    *     whose chunks resemble any query token cannot win MaxSim).
+    *     Map-side-combined distinct to the bounded (qid, doc) set.
+    *  2. SCORE: candidate docs' chunks come back via a broadcast
+    *     semi-join, the per-(token, doc) max and per-doc sum are
+    *     map-side-combined aggregations, and the per-query top-k
+    *     window runs over the bounded candidate frame only (the
+    *     rrfFuse safety argument).
+    *
+    * A candidate's score uses ALL its chunks and ALL query tokens —
+    * including pairs below the recall gate (max is over the full chunk
+    * set; the gate bounds WHICH docs score, never HOW they score).
+    * Recall misses docs where no single pair passes the gate — the
+    * documented shortlist trade-off every two-stage retriever makes.
+    * Output: (qid, rank, doc_id, maxsim_milli), rank 1..k by score
+    * desc then doc_id asc. */
+  def maxSim(chunkVecs: DataFrame, queryVecs: DataFrame, k: Int = 5,
+             minCosMilli: Long = 600L,
+             docCol: String = "doc_id", qidCol: String = "qid",
+             qtokCol: String = "qtok",
+             vecCol: String = "embedding"): DataFrame = {
+    val qv = broadcast(queryVecs.select(col(qidCol), col(qtokCol),
+      col(vecCol).as("_qv")))
+    def cm(c: Column): Column =
+      floor(Similarity.cosine(col("_qv"), c) * 1000 + 0.5).cast("long")
+    val cand = chunkVecs.select(col(docCol), col(vecCol).as("_cv"))
+      .join(qv)
+      .where(cm(col("_cv")) >= minCosMilli)
+      .select(col(qidCol), col(docCol)).distinct()
+    val scored = chunkVecs.select(col(docCol), col(vecCol).as("_cv"))
+      .join(broadcast(cand), Seq(docCol))
+      .join(qv, Seq(qidCol))
+      .select(col(qidCol), col(docCol), col(qtokCol), cm(col("_cv")).as("_cm"))
+      .groupBy(col(qidCol), col(docCol), col(qtokCol))
+      .agg(max(col("_cm")).as("_mx"))
+      .groupBy(col(qidCol), col(docCol))
+      .agg(sum(col("_mx")).as("maxsim_milli"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("maxsim_milli").desc, col(docCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(docCol), col("maxsim_milli"))
+  }
 }

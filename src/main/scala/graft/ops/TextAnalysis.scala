@@ -550,6 +550,51 @@ object TextAnalysis {
     Dedup.materializeAndRelease(out, m)
   }
 
+  /** Tokenizer compression-ratio report — the model-selection read the
+    * three subword trainers ([[Bpe]], [[Unigram]], [[Wordpiece]]) exist
+    * to feed: per (source, family), total tokens against the source's
+    * raw text volume, with bytes/token and chars/token in exact ppm.
+    * The denominators are the RAW text sizes (identical across
+    * families), so the ratios compare directly — "family X spends N
+    * tokens per KB of source Y" is the sentence a tokenizer choice is
+    * made on (bytes/token is the standard compression-fertility axis;
+    * cf. the fertility framing in [[Unigram.fertilityReport]]).
+    *
+    * `families` maps a family label to that tokenizer's per-doc counts
+    * frame (doc_id, n_tokens) — the shape Bpe.applyMerges,
+    * Unigram.segment (n_pieces), and Wordpiece.applyVocab all emit.
+    * Docs absent from a counts frame contribute zero tokens but their
+    * volume still counts (a tokenizer that silently skips docs should
+    * look WORSE, not better). Ratios route through decimal(38,0) (the
+    * cohenKappa overflow discipline) and are NULL for token-free
+    * sources; all operands non-negative so Spark div == DuckDB //.
+    *
+    * Shape at scale: one volume scan plus one rollup per family —
+    * each is a map-side-combined aggregation to the source alphabet;
+    * the union is over audit-sized frames. The segmentation passes
+    * themselves are the callers' (one corpus scan per family —
+    * inherent: three tokenizers means tokenizing three times). */
+  def compressionReport(documents: DataFrame,
+                        families: Seq[(String, DataFrame)]): DataFrame = {
+    require(families.nonEmpty, "need at least one tokenizer family")
+    val vol = documents.select(col("doc_id"), col("source"),
+      coalesce(length(col("text")).cast("long"), lit(0L)).as("_nc"),
+      coalesce(octet_length(col("text")).cast("long"), lit(0L)).as("_nb"))
+    families.map { case (fam, counts) =>
+      vol.join(counts.select(col("doc_id"), col("n_tokens")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(sum(coalesce(col("n_tokens"), lit(0L))).as("n_tokens"),
+          sum(col("_nc")).as("n_chars"), sum(col("_nb")).as("n_bytes"))
+        .select(col("source"), lit(fam).as("family"), col("n_tokens"),
+          col("n_chars"), col("n_bytes"))
+    }.reduce(_ unionByName _)
+      .withColumn("chars_per_token_ppm", when(col("n_tokens") > 0,
+        expr("cast((1000000 * cast(n_chars as decimal(38,0))) div n_tokens as bigint)")))
+      .withColumn("bytes_per_token_ppm", when(col("n_tokens") > 0,
+        expr("cast((1000000 * cast(n_bytes as decimal(38,0))) div n_tokens as bigint)")))
+  }
+
   /** Sequence packing — the concat-and-chunk step that turns documents
     * into fixed-length training sequences: conceptually, concatenate each
     * source's token stream in doc_id order and cut every `seqLen` tokens;

@@ -166,4 +166,28 @@ class RetrievalSpec extends SparkTestBase {
     assert(out2.forall(!_.getBoolean(4)))
     assert(!out2.map(_.getLong(2)).contains(5L), "positive must be dropped")
   }
+
+  test("maxSim: planted relevance wins, per-token maxes sum, gate bounds docs not scores") {
+    // doc 1: chunks along axes e0, e1; doc 2: e2, e3; doc 3: a diagonal
+    // chunk cos(q-tok0) = 0.6 plus an opposite one
+    val chunks = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f)), (2L, Seq(0.0f, 0.0f, -1.0f)),
+      (3L, Seq(0.6f, 0.8f, 0.0f)), (3L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("doc_id", "embedding")
+    // query 10: tokens = (scaled) e0 and e1 -> doc 1 is the exact match
+    val qs = Seq(
+      (10L, 0L, Seq(2.0f, 0.0f, 0.0f)), (10L, 1L, Seq(0.0f, 3.0f, 0.0f))
+    ).toDF("qid", "qtok", "embedding")
+    val got = Retrieval.maxSim(chunks, qs, k = 5, minCosMilli = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._2)
+    // doc 1: max per token 1000 + 1000 = 2000 (exact match, rank 1)
+    // doc 3: tok0 max = cos 0.6 vs (0.6,0.8) chunk = 600; tok1 max =
+    //   800 (the SAME chunk; the -e0 chunk never helps) -> 1400. Only
+    //   tok0's 600 passed the gate, yet tok1's 800 still scores: the
+    //   gate bounds WHICH docs, never HOW they score.
+    // doc 2: no pair >= 500 -> not a candidate at all
+    assert(got.toSeq == Seq((10L, 1L, 1L, 2000L), (10L, 2L, 3L, 1400L)))
+  }
 }

@@ -337,4 +337,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(m(3L) == ((4L, 0L, 0L, 1000000L, 0L, 0L, false)))
     assert(m(4L) == ((0L, 0L, 0L, 0L, 0L, 0L, false))) // nb floored to 1
   }
+
+  test("compressionReport: shared volume denominators, per-family tokens, absent docs count volume") {
+    // "héllo" is 5 chars / 6 UTF-8 bytes — bytes and chars must differ
+    val docs = Seq(
+      (1L, "héllo", "A"),
+      (2L, "abcd", "A"),
+      (3L, "xy", "B"),
+      (4L, null.asInstanceOf[String], "B")
+    ).toDF("doc_id", "text", "source")
+    val famX = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("doc_id", "n_tokens")
+    val famY = Seq((1L, 5L)).toDF("doc_id", "n_tokens") // skips docs 2-4
+    val got = TextAnalysis.compressionReport(docs,
+      Seq("x" -> famX, "y" -> famY)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // A: 9 chars, 10 bytes; x: 5 tokens -> 1.8 chars/tok, 2.0 bytes/tok
+    assert(got(("A", "x")) == ((5L, 9L, 10L, 1800000L, 2000000L)))
+    // y skipped doc 2: its volume still counts against y's 5 tokens
+    assert(got(("A", "y")) == ((5L, 9L, 10L, 1800000L, 2000000L)))
+    // B under y: zero tokens -> NULL ratios, volume intact (NULL text = 0)
+    assert(got(("B", "x")) == ((1L, 2L, 2L, 2000000L, 2000000L)))
+    assert(got(("B", "y")) == ((0L, 2L, 2L, -1L, -1L)))
+    assert(got.size == 4)
+  }
 }
