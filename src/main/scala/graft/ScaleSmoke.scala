@@ -688,6 +688,57 @@ object ScaleSmoke {
     assert(coRows > 0 && coRows <= 256L * 257L / 2,
       "matrix must stay topK^2-bounded")
     co.unpersist(false)
+    // --- domain opt-out governance at corpus size (round 13) ---
+    // 100k URLs over 1000 hosts (h0..h999.example.com, every 3rd under a
+    // sub. prefix); registry = the 100 domains h0..h99.example.com.
+    // Expected drops: docs whose host index < 100 — the sub. prefix and
+    // the :8443 port variants must both still match by suffix.
+    t0 = System.nanoTime()
+    val crawl = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("http://"),
+        when(pmod(col("id"), lit(3)) === 0, lit("sub.")).otherwise(lit("")),
+        lit("h"), pmod(col("id"), lit(1000)), lit(".example.com"),
+        when(pmod(col("id"), lit(7)) === 0, lit(":8443")).otherwise(lit("")),
+        lit("/p/"), col("id")).as("url"))
+    val optReg = spark.range(100).select(
+      concat(lit("h"), col("id"), lit(".example.com")).as("domain"))
+    val verdict = ops.Web.domainOptOut(crawl, optReg).persist()
+    val vN = verdict.count()
+    val nDropped = verdict.where(!col("kept")).count()
+    println(f"domainOptOut($n urls, 100-domain registry): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, $nDropped dropped")
+    assert(vN == n, "verdict totality: one row per doc")
+    assert(nDropped == spark.range(n)
+      .where(pmod(col("id"), lit(1000)) < 100).count(),
+      "every host under a registry domain (any prefix/port) must drop")
+    verdict.unpersist(false)
+    // --- MaxSim late-interaction at 100k chunk vectors (round 13) ---
+    // 25k docs x 4 chunks; 8 probes, 2 tokens each = scaled copies of
+    // chunks (4q, 4q+2) -> the source doc must come back at rank 1 with
+    // the exact integer score 2000. Components are xxhash64-derived
+    // (the winnow-fixture lesson: the arithmetic pvecs formula is
+    // periodic mod 2001, so ~50 docs carry IDENTICAL chunks and tie).
+    t0 = System.nanoTime()
+    def hvec(id: C): C = transform(sequence(lit(1), lit(64)), j =>
+      ((pmod(xxhash64(id * 64 + j, lit(9173)), lit(2001)) - 1000) / 1000.0)
+        .cast("float"))
+    val chunks2 = spark.range(n).select(expr("id div 4").as("doc_id"),
+      hvec(col("id")).as("embedding"))
+    val probeIds = (0L until 8L).flatMap(q => Seq(q * 4000, q * 4000 + 2))
+    val qvecs = spark.range(n).where(col("id").isin(probeIds: _*))
+      .select(expr("id div 4").as("qid"), (col("id") % 4).as("qtok"),
+        transform(hvec(col("id")), x => x * lit(2.0f)).as("embedding"))
+    val ms = ops.Retrieval.maxSim(chunks2, qvecs, k = 5, minCosMilli = 600L)
+      .persist()
+    val top1 = ms.where(col("rank") === 1)
+      .select(col("qid"), col("doc_id"), col("maxsim_milli")).collect()
+    println(f"maxSim($n chunks, 8x2-token probes): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, ${ms.count()} ranked rows")
+    assert(top1.length == 8)
+    assert(top1.forall(r => r.getLong(1) == r.getLong(0) &&
+      r.getLong(2) == 2000L),
+      s"planted source doc must win with exact 2000: ${top1.mkString(",")}")
+    ms.unpersist(false)
     spark.stop()
   }
 }

@@ -124,6 +124,28 @@ object SparkEntry {
       .otherwise(concat(lit("http://"), col("source"), lit(".example.com/?q="),
         col("doc_id").cast("string"), lit("&ref=abc")))
 
+  /** Per-source robots.txt fixture for the governance queries: every
+    * parser rule fires — a rule OUTSIDE any group (ignored), a `*`
+    * group whose Disallow flips on md5 hex 1, a comment-bearing Allow,
+    * a blank line, a two-agent run (multi-agent group expansion), and
+    * a second Disallow flip on md5 hex 2. */
+  private def robotsDocs(docs: DataFrame): DataFrame =
+    docs.select(col("source")).distinct().select(
+      concat(col("source"), lit(".example.com")).as("host"),
+      concat_ws("\n",
+        lit("# corpus robots fixture"),
+        lit("Crawl-delay: 1"),
+        lit("User-agent: *"),
+        when(substring(md5(col("source")), 1, 1) < "8", lit("Disallow: /"))
+          .otherwise(lit("Disallow: /private")),
+        lit("Allow: /public # static assets"),
+        lit(""),
+        lit("User-agent: graftbot"),
+        lit("User-agent: extrabot"),
+        when(substring(md5(col("source")), 2, 1) < "8", lit("Disallow: /"))
+          .otherwise(lit("Crawl-delay: 5")),
+        lit("Disallow: /tmp/")).as("text"))
+
   /** Deterministic in-plan opt-out registry over the documents sources:
     * `{s}.example.com` for the md5-first-hex < '8' half (suffix-governs
     * every branch host, ports included) plus `sub.{s}.example.com` for
@@ -1396,6 +1418,49 @@ object SparkEntry {
         "wordpiece" -> Wordpiece.applyVocab(docs, wordpieceVocab)
           .select(col("doc_id"), col("n_tokens"))))
     }),
+    // ranked-retrieval evaluation (Retrieval.rankEval): recall@5 /
+    // precision@5 / reciprocal rank in exact ppm over the q143 BM25
+    // lists, against a planted qrels table (the query's source doc plus
+    // its +1/+3 neighbors — partial recall by construction); queries
+    // that retrieve nothing relevant surface with zeros, never vanish
+    "q220_retrieval_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0), 3, 4), " ").as("text"))
+      val qrels = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array(col("doc_id"), col("doc_id") + 1,
+            col("doc_id") + 3)).as("doc_id"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      Retrieval.rankEval(Retrieval.bm25(docs, qs, k = 5), qrels, k = 5)
+    }),
+    // robots.txt directive parser (Web.robotsRules, RFC 9309): group
+    // runs (consecutive User-agent lines share their rules — one row
+    // per pair), rules outside any group ignored, comments cut,
+    // case-insensitive field names; the fixture fires every branch
+    "q221_robots_rules" -> ((s, d) =>
+      Web.robotsRules(robotsDocs(Tables.documents(s, d)))),
+    // robots-derived opt-out composition: parse the robots corpus,
+    // derive the full-opt-out registry (any *- or graftbot-covering
+    // group with Disallow /), and run the q216 governance verdict
+    // against it — the registry COMES FROM data instead of a curated
+    // list; end-to-end crawl-compliance in one query
+    "q222_robots_optout" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Web.domainOptOut(docs.select(col("doc_id"), synthUrl.as("url")),
+        Web.robotsOptOut(Web.robotsRules(robotsDocs(docs))))
+    }),
+    // unbiased pass@4 (Chat.passAtK, Chen et al. '21 eq. 1): the
+    // HumanEval estimator 1 - C(n-c,4)/C(n,4) in exact ppm over
+    // 25-sample problems (passed = a deterministic length rule);
+    // stepwise binomial products, decimal(38,0) for the scaled ratio
+    "q223_pass_at_k" -> ((s, d) =>
+      Chat.passAtK(Tables.documents(s, d)
+        .select(expr("doc_id div 25").as("problem_id"),
+          (coalesce(length(col("text")), lit(0)) % 3 === 0).as("passed")),
+        k = 4)),
     // registry-side audit (Web.domainOptOutAudit): drops per opt-out
     // domain under longest-match attribution, zero-hit entries surfaced
     // (the q145 suppression-report shape)
@@ -2960,6 +3025,47 @@ object SparkEntry {
        |  CAST(COALESCE(npc, 0) AS BIGINT) n_pieces,
        |  CAST(COALESCE(sf, 0) AS BIGINT) score_fx
        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** The robots fixture + RFC 9309 parse through the `rules` CTE —
+    * shared by q221 (the parse report) and q222 (the derived opt-out
+    * composition). "value"/"domain" quoted: DuckDB reserved words. */
+  private val robotsParseCte: String =
+    """srcs2 AS (SELECT DISTINCT source FROM documents),
+      |rb AS (SELECT source || '.example.com' host,
+      |    '# corpus robots fixture' || chr(10) || 'Crawl-delay: 1'
+      |    || chr(10) || 'User-agent: *' || chr(10) ||
+      |    CASE WHEN substring(md5(source), 1, 1) < '8' THEN 'Disallow: /'
+      |         ELSE 'Disallow: /private' END || chr(10) ||
+      |    'Allow: /public # static assets' || chr(10) || '' || chr(10) ||
+      |    'User-agent: graftbot' || chr(10) || 'User-agent: extrabot'
+      |    || chr(10) ||
+      |    CASE WHEN substring(md5(source), 2, 1) < '8' THEN 'Disallow: /'
+      |         ELSE 'Crawl-delay: 5' END || chr(10) ||
+      |    'Disallow: /tmp/' rtxt
+      |  FROM srcs2),
+      |ln AS (SELECT host, generate_subscripts(lns, 1) - 1 pos,
+      |    unnest(lns) line
+      |  FROM (SELECT host, string_split(rtxt, chr(10)) lns FROM rb)),
+      |pd AS (SELECT host, pos,
+      |    lower(regexp_extract(line, '^\s*([A-Za-z-]+)\s*:', 1)) dname,
+      |    trim(regexp_extract(line, '^\s*[A-Za-z-]+\s*:\s*([^#]*)', 1))
+      |      "value"
+      |  FROM ln),
+      |flt AS (SELECT host, pos, dname, "value" FROM pd
+      |  WHERE dname IN ('user-agent', 'disallow', 'allow', 'crawl-delay')),
+      |grp AS (SELECT host, pos, dname, "value",
+      |    SUM(CASE WHEN dname = 'user-agent'
+      |          AND (prv IS NULL OR prv <> 'user-agent') THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY host ORDER BY pos) run
+      |  FROM (SELECT host, pos, dname, "value",
+      |        lag(dname) OVER (PARTITION BY host ORDER BY pos) prv
+      |        FROM flt)),
+      |ag AS (SELECT host, run, "value" agent FROM grp
+      |  WHERE dname = 'user-agent'),
+      |rules AS (SELECT g.host, ag.agent, g.dname "rule", g."value",
+      |    CAST(g.pos AS BIGINT) pos
+      |  FROM grp g JOIN ag ON ag.host = g.host AND ag.run = g.run
+      |  WHERE g.dname <> 'user-agent')""".stripMargin
 
   private val bm25Cte: String =
     """tokd AS (SELECT doc_id, list_filter(
@@ -5920,6 +6026,89 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, m."domain" optout_domain,
         |  m."domain" IS NULL kept
         |FROM h LEFT JOIN m USING (doc_id)""".stripMargin,
+    // retrieval-eval replay: the q143 BM25 chain cut to rk<=5, the
+    // planted qrels (existing +0/+1/+3 docs), count/min rollups, and
+    // the exact ppm metrics; zero-hit queries survive the left join
+    "q220_retrieval_eval" ->
+      ("WITH " + bm25Cte + """,
+        |rk5 AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= 5),
+        |qr AS (SELECT query_id, rel FROM (
+        |    SELECT doc_id query_id,
+        |      unnest([doc_id, doc_id + 1, doc_id + 3]) rel
+        |    FROM documents WHERE doc_id % 100 = 0)
+        |  WHERE rel IN (SELECT doc_id FROM documents)),
+        |nr AS (SELECT query_id, COUNT(*) n_rel FROM qr GROUP BY 1),
+        |h AS (SELECT r5.query_id, COUNT(*) hh, MIN(rk) fr
+        |  FROM rk5 r5 JOIN qr ON qr.query_id = r5.query_id
+        |    AND qr.rel = r5.doc_id
+        |  GROUP BY 1)
+        |SELECT nr.query_id, CAST(n_rel AS BIGINT) n_rel,
+        |  CAST(COALESCE(hh, 0) AS BIGINT) hits_at_k,
+        |  CAST((1000000 * COALESCE(hh, 0)) // n_rel AS BIGINT) recall_ppm,
+        |  CAST((1000000 * COALESCE(hh, 0)) // 5 AS BIGINT) precision_ppm,
+        |  CAST(COALESCE(1000000 // fr, 0) AS BIGINT) rr_ppm
+        |FROM nr LEFT JOIN h USING (query_id)""".stripMargin),
+    // robots parse replay: fixture synthesis, line split, directive
+    // regexes, lag + conditional running sum for group runs, rules
+    // joined to every agent of their run
+    "q221_robots_rules" ->
+      ("WITH " + robotsParseCte + """
+        |SELECT host, agent, "rule", "value", pos FROM rules""".stripMargin),
+    // robots->opt-out composition replay: the q221 rules, the derived
+    // full-opt-out registry, then the q216 suffix/longest-match
+    // machinery against the synthesized crawl URLs
+    "q222_robots_optout" ->
+      ("WITH " + robotsParseCte + """,
+        |reg AS (SELECT DISTINCT host "domain" FROM rules
+        |  WHERE (agent = '*' OR agent = 'graftbot')
+        |    AND "rule" = 'disallow' AND "value" = '/'),
+        |u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/A/B/'
+        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://' || source
+        |      || '.example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m'
+        |    WHEN 2 THEN 'HTTPS://Sub.' || source || '.Example.com:443/only/Path/'
+        |    ELSE 'http://' || source || '.example.com/?q='
+        |      || CAST(doc_id AS VARCHAR) || '&ref=abc'
+        |  END url FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
+        |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |    '^www\.', '') auth FROM u),
+        |hh AS (SELECT doc_id,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END host FROM p),
+        |lb AS (SELECT doc_id, host,
+        |  string_split(regexp_replace(host, ':[0-9]+$', ''), '.') lbl
+        |  FROM hh),
+        |sx AS (SELECT doc_id, array_to_string(lbl[i:], '.') sfx
+        |  FROM (SELECT doc_id, lbl, unnest(range(1, len(lbl))) i
+        |        FROM lb WHERE len(lbl) >= 2)),
+        |m AS (SELECT doc_id, "domain" FROM (
+        |    SELECT sx.doc_id, r."domain", row_number() OVER (
+        |      PARTITION BY sx.doc_id
+        |      ORDER BY length(r."domain") DESC, r."domain" ASC) rn
+        |    FROM sx JOIN reg r ON sx.sfx = r."domain") WHERE rn = 1)
+        |SELECT hh.doc_id, hh.host, m."domain" optout_domain,
+        |  m."domain" IS NULL kept
+        |FROM hh LEFT JOIN m USING (doc_id)""".stripMargin),
+    // pass@4 replay: per-problem counts, the closed-form C(m,4) with
+    // // 24 (exact for binomials; a zero factor sticks before any
+    // negative one), the scaled ratio through HUGEINT, NULL when n < 4
+    "q223_pass_at_k" ->
+      """WITH s AS (SELECT doc_id // 25 problem_id,
+        |    COALESCE(length(text), 0) % 3 = 0 passed FROM documents),
+        |g AS (SELECT problem_id, COUNT(*) n,
+        |    CAST(COUNT(*) FILTER (WHERE passed) AS BIGINT) c
+        |  FROM s GROUP BY 1)
+        |SELECT problem_id, CAST(n AS BIGINT) n_samples, c n_correct,
+        |  CASE WHEN n >= 4 THEN CAST(1000000 - (1000000 * CAST(
+        |      ((n-c) * (n-c-1) * (n-c-2) * (n-c-3)) // 24 AS HUGEINT))
+        |    // ((n * (n-1) * (n-2) * (n-3)) // 24) AS BIGINT)
+        |  END pass_at_k_ppm
+        |FROM g""".stripMargin,
     // MaxSim replay: chunk/query synthesis, milli-cosines, the recall
     // gate, per-(qid,doc,qtok) max over ALL candidate chunks, per-doc
     // sum, (score desc, doc asc) top-k window

@@ -622,4 +622,44 @@ object Chat {
         col("phat_ppm"), col("lb_ppm"), col("ub_ppm"),
         col("a_better"), col("b_better"))
   }
+
+  /** Unbiased pass@k estimator (Chen et al. '21, "Evaluating Large
+    * Language Models Trained on Code", eq. 1 — the HumanEval metric):
+    * over per-sample outcomes (problem, passed), per problem with n
+    * samples and c passing,
+    *
+    *   pass@k = 1 − C(n−c, k) / C(n, k)
+    *
+    * — the probability at least one of k drawn samples passes, exactly
+    * (the naive 1−(1−c/n)^k is biased; the paper's estimator is this
+    * combinatorial form). Exact integer ppm: binomials build by the
+    * stepwise product C(m,i) = C(m,i−1)·(m−i+1) div i — exact at every
+    * step because each prefix IS a binomial coefficient, and a zero
+    * factor (m < k) sticks at zero before any negative factor can
+    * matter, giving pass@k = 1 when even one all-fail draw is
+    * impossible. The final ratio routes through decimal(38,0) (C(n,k)
+    * reaches 4·10¹⁸ at n = 10⁵, k = 4 — the 10⁶ scaling would wrap
+    * int64). Problems with n < k read NULL — k-of-n can't be drawn, so
+    * the estimator is undefined there, and surfacing NULL beats
+    * silently clamping (the rankEval missing-query rule).
+    *
+    * Scale shape: ONE map-side-combined rollup to the problem alphabet;
+    * the combinatorics are per-row column arithmetic on the bounded
+    * result. */
+  def passAtK(samples: DataFrame, k: Int,
+              problemCol: String = "problem_id",
+              passCol: String = "passed"): DataFrame = {
+    require(k >= 1 && k <= 16, "k must be in [1, 16]")
+    def choose(m: String): String =
+      s"aggregate(sequence(1, $k), cast(1 as bigint), " +
+        s"(acc, i) -> (acc * ($m - i + 1)) div i)"
+    samples.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col(passCol), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("pass_at_k_ppm", when(col("n_samples") >= k,
+        expr(s"cast(1000000 - (1000000 * cast(${choose("n_samples - n_correct")} " +
+          s"as decimal(38,0))) div ${choose("n_samples")} as bigint)")))
+      .select(col(problemCol), col("n_samples"), col("n_correct"),
+        col("pass_at_k_ppm"))
+  }
 }

@@ -269,6 +269,44 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_fx"))
   }
 
+  /** Ranked-retrieval evaluation — the measurement leg the three
+    * retrieval tiers ([[bm25Search]], dense cosine, [[maxSim]]) feed:
+    * per query, hits@k / recall@k / precision@k and the reciprocal
+    * rank, against a relevance table (qrels, TREC's name for exactly
+    * this shape). All metrics are exact integer ppm — counts divide
+    * counts, and RR is `10⁶ div first_relevant_rank` (MRR's summand);
+    * no floats, so engines agree bit-for-bit:
+    *
+    *   recall_ppm    = 10⁶·hits div n_rel
+    *   precision_ppm = 10⁶·hits div k
+    *   rr_ppm        = 10⁶ div (min rank of a relevant doc), 0 if none
+    *
+    * Every query in qrels surfaces — a query whose ranked list missed
+    * every relevant doc (or returned nothing at all) reads zeros, not
+    * an absent row: silently dropping failed queries is how retrieval
+    * evals overreport. Macro averages are one trivial rollup away and
+    * deliberately NOT baked in (micro vs macro is the caller's call).
+    *
+    * Scale shape: ranked lists are top-k (bounded per query), qrels is
+    * the audit-sized judgment table — one broadcast-joinable equi-join
+    * plus two map-side-combined rollups. */
+  def rankEval(ranked: DataFrame, qrels: DataFrame, k: Int,
+               queryCol: String = "query_id", idCol: String = "doc_id",
+               rankCol: String = "rank"): DataFrame = {
+    require(k >= 1)
+    val nrel = qrels.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.where(col(rankCol) <= k)
+      .join(qrels.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("_h"), min(col(rankCol)).as("_fr"))
+    nrel.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("_h"), lit(0L)).as("hits_at_k"),
+        expr(s"(1000000 * coalesce(_h, 0)) div n_rel").as("recall_ppm"),
+        expr(s"(1000000 * coalesce(_h, 0)) div $k").as("precision_ppm"),
+        coalesce(expr("1000000 div _fr"), lit(0L)).as("rr_ppm"))
+  }
+
   /** Late-interaction (MaxSim) retrieval — the third tier next to BM25
     * ([[bm25Search]]) and single-vector dense cosine (Similarity
     * .bruteForceKnn): ColBERT's scoring rule (Khattab & Zaharia '20),

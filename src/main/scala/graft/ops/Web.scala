@@ -128,6 +128,66 @@ object Web {
         col("_m.d").as("optout_domain"), col("_m").isNull.as("kept"))
   }
 
+  /** robots.txt directive parser (RFC 9309) — where a real opt-out
+    * registry COMES FROM: each host's robots document parses into
+    * (host, agent, rule, value) rows, one per (directive, group
+    * member). Semantics implemented:
+    *
+    *  - a GROUP is a maximal run of consecutive `User-agent:` lines
+    *    followed by its rules; a rule after the run belongs to EVERY
+    *    agent of the run (the RFC's multi-agent groups — one output
+    *    row per pair);
+    *  - rules before any User-agent line are ignored (outside a group);
+    *  - `#` starts a comment (value cut there, then trimmed); field
+    *    names are case-insensitive (lowercased on output); blank and
+    *    non-directive lines are skipped;
+    *  - an empty Disallow value survives as a row with value '' — RFC
+    *    semantics ("allow everything") are the consumer's call.
+    *
+    * Kept directives: user-agent groups plus disallow / allow /
+    * crawl-delay rules. All parsing is codegen'd string built-ins; the
+    * group association is ONE per-host window (lag + conditional
+    * running sum — run ids) plus an equi-join of rules to their run's
+    * agents. Per-host robots files are KBs, so the window partition is
+    * tiny; at 100 TB the parse rides the scan and the one shuffle is
+    * by host. */
+  def robotsRules(robots: DataFrame, hostCol: String = "host",
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(hostCol).as("host"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val parsed = lines.select(col("host"), col("pos").cast("long").as("pos"),
+        lower(regexp_extract(col("line"), "^\\s*([A-Za-z-]+)\\s*:", 1))
+          .as("name"),
+        trim(regexp_extract(col("line"),
+          "^\\s*[A-Za-z-]+\\s*:\\s*([^#]*)", 1)).as("value"))
+      .where(col("name")
+        .isin("user-agent", "disallow", "allow", "crawl-delay"))
+    val w = Window.partitionBy(col("host")).orderBy(col("pos"))
+    val g = parsed
+      .withColumn("_prev", lag(col("name"), 1).over(w))
+      .withColumn("run", sum(when(col("name") === "user-agent" &&
+        (col("_prev").isNull || col("_prev") =!= "user-agent"), 1L)
+        .otherwise(0L)).over(w))
+    val agents = g.where(col("name") === "user-agent")
+      .select(col("host"), col("run"), col("value").as("agent"))
+    g.where(col("name") =!= "user-agent")
+      .join(agents, Seq("host", "run"))
+      .select(col("host"), col("agent"), col("name").as("rule"),
+        col("value"), col("pos"))
+  }
+
+  /** Derive a [[domainOptOut]] registry from parsed robots rules: a
+    * host fully opts out of `bot` when any group covering it (`*` or
+    * the bot's own token) carries `Disallow: /` — the RFC's
+    * everything-is-off-limits form and the signal crawl pipelines
+    * honor as a domain-level opt-out. Output: distinct (domain) rows,
+    * broadcast-sized by construction (a subset of crawled hosts). */
+  def robotsOptOut(rules: DataFrame, bot: String = "graftbot"): DataFrame =
+    rules.where((col("agent") === "*" || col("agent") === bot) &&
+        col("rule") === "disallow" && col("value") === "/")
+      .select(col("host").as("domain")).distinct()
+
   /** Registry-side audit for [[domainOptOut]]: per opt-out domain, how
     * many documents it dropped under longest-match attribution — with
     * ZERO-hit entries surfaced (the "this entry never fired" read a

@@ -57,7 +57,13 @@ class BuildTimeJobsSpec extends SparkTestBase {
     "q97_bpe_train_apply", "q98_funnel", "q198_wordpiece",
     "q199_logreg_quality", "q200_doremi_mix", "q206_pca_projection",
     "q207_kmeans_clusters", "q208_cluster_report", "q211_cluster_coreset",
-    "q212_pca_anisotropy")
+    "q212_pca_anisotropy",
+    // round 13: q202 materializes its candidate cache at construction
+    // (the advice fix), q215 materializes the co-occurrence matrix,
+    // q219 trains the unigram vocabulary on its bounded sample
+    "q202_bitext_margin", "q215_ppmi", "q219_tokenizer_compression",
+    // q220 chains the q143 BM25 build (eager corpus stats)
+    "q220_retrieval_eval")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()

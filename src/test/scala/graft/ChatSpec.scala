@@ -364,4 +364,26 @@ class ChatSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(reGot == got.map { case (k, v) => k -> v._3 })
   }
+
+  test("passAtK: hand-computed estimator, boundary cases, n<k reads NULL") {
+    // p1: n=4, c=1, k=2 -> 1 - C(3,2)/C(4,2) = 1 - 3/6 = 0.5
+    // p2: n=3, c=0      -> 0 (no sample passes, any draw fails)
+    // p3: n=2, c=2      -> 1 (every draw contains a pass)
+    // p4: n=1 < k       -> NULL (k-of-n undrawable)
+    val samples = Seq(
+      (1L, true), (1L, false), (1L, false), (1L, false),
+      (2L, false), (2L, false), (2L, false),
+      (3L, true), (3L, true),
+      (4L, true)).toDF("problem_id", "passed")
+    val got = Chat.passAtK(samples, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got(1L) == ((4L, 1L, Some(500000L))))
+    assert(got(2L) == ((3L, 0L, Some(0L))))
+    assert(got(3L) == ((2L, 2L, Some(1000000L))))
+    assert(got(4L) == ((1L, 1L, None)))
+    // the unbiased estimator beats the naive 1-(1-c/n)^k: for p1 the
+    // naive reads 1 - (3/4)^2 = 0.4375 < 0.5 — the documented bias
+    assert(got(1L)._3.get > 437500L)
+  }
 }

@@ -276,6 +276,51 @@ class PlanGuardSpec extends SparkTestBase {
       "q214's center vocab restriction slid above the explode again")
   }
 
+  test("round-13 additions hold their plan budgets") {
+    // q215: the q214 matrix (<=5) + the marginal rollup + the scalar
+    // total, all behind the materialize checkpoint; marginals and W
+    // join back broadcast. True census via CheckpointAudit, cached
+    // build plans descended once.
+    graft.plans.CheckpointAudit.start()
+    val pdf = q("q215_ppmi")
+    val pplans = (graft.plans.CheckpointAudit.finish() :+ pdf)
+      .map(_.queryExecution.executedPlan)
+    val psh = countAll(pplans, _.isInstanceOf[ShuffleExchangeLike])
+    assert(psh <= 8, s"q215 grew extra exchanges ($psh)")
+    assert(countAll(pplans, _.isInstanceOf[BroadcastExchangeLike]) >= 2,
+      "q215 must broadcast the marginals and the scalar total")
+    // q216: registry distincts + ONE per-doc longest-match fold; the
+    // registry joins BROADCAST against the scan-side suffix explode
+    assert(shuffles(q("q216_domain_optout")) <= 3, "q216 grew extra exchanges")
+    assert(broadcasts(q("q216_domain_optout")) >= 1,
+      "q216 lost its broadcast registry join")
+    // q217: the q216 verdict + the audit rollup; counts join back broadcast
+    assert(shuffles(q("q217_optout_audit")) <= 6, "q217 grew extra exchanges")
+    assert(broadcasts(q("q217_optout_audit")) >= 2,
+      "q217 lost its broadcast joins")
+    // q218: recall distinct + per-token max + per-doc sum + the top-k
+    // window over candidates; query tokens and candidates broadcast
+    assert(shuffles(q("q218_maxsim")) <= 4, "q218 grew extra exchanges")
+    assert(broadcasts(q("q218_maxsim")) >= 2,
+      "q218 lost its broadcast query-token/candidate joins")
+    // q219: three scan-side segmentation passes + one rollup each —
+    // the segmentations themselves never shuffle
+    assert(shuffles(q("q219_tokenizer_compression")) <= 3,
+      "q219 grew extra exchanges")
+    // q220: the q143 BM25 chain + qrels build + two metric rollups
+    assert(shuffles(q("q220_retrieval_eval")) <= 8, "q220 grew extra exchanges")
+    // q221: ONE per-host window + the rules-to-agents equi-join
+    assert(shuffles(q("q221_robots_rules")) <= 4, "q221 grew extra exchanges")
+    // q222: the q221 parse + registry distinct + the q216 verdict fold;
+    // the derived registry still joins BROADCAST
+    assert(shuffles(q("q222_robots_optout")) <= 7, "q222 grew extra exchanges")
+    assert(broadcasts(q("q222_robots_optout")) >= 1,
+      "q222 lost its broadcast registry join")
+    // q223: ONE map-side-combined rollup; the combinatorics are
+    // per-row arithmetic on the bounded problem frame
+    assert(shuffles(q("q223_pass_at_k")) <= 1, "q223 grew extra exchanges")
+  }
+
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
     // round-6 blind spot: these queries' final plans are a bare
     // Scan ExistingRDD (0 shuffles), so a shuffle regression inside them

@@ -190,4 +190,22 @@ class RetrievalSpec extends SparkTestBase {
     // doc 2: no pair >= 500 -> not a candidate at all
     assert(got.toSeq == Seq((10L, 1L, 1L, 2000L), (10L, 2L, 3L, 1400L)))
   }
+
+  test("rankEval: hand-computed metrics; zero-hit queries surface as zeros") {
+    val ranked = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),   // q1: rel at ranks 2, 3
+      (2L, 1L, 20L), (2L, 2L, 21L)                   // q2: nothing relevant
+    ).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 11L), (1L, 12L), (1L, 99L), // 99 never retrieved
+      (2L, 77L), (3L, 5L)).toDF("query_id", "doc_id")
+    val got = Retrieval.rankEval(ranked, qrels, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // q1: 2/3 recall, 2/3 precision@3, first relevant at rank 2
+    assert(got(1L) == ((3L, 2L, 666666L, 666666L, 500000L)))
+    // q2: judged but nothing relevant retrieved -> zeros, not absent
+    assert(got(2L) == ((1L, 0L, 0L, 0L, 0L)))
+    // q3: judged, never even queried -> zeros too
+    assert(got(3L) == ((1L, 0L, 0L, 0L, 0L)))
+  }
 }

@@ -77,4 +77,34 @@ class WebSpec extends SparkTestBase {
     assert(audit == Map("example.com" -> 2L, "sub.example.com" -> 1L,
       "never.net" -> 0L))
   }
+
+  test("robotsRules: group runs, outside-group drop, comments, case-insensitive fields") {
+    import org.apache.spark.sql.functions.col
+    val robots = Seq(("site.com", Seq(
+      "Disallow: /orphan",          // before any group -> ignored
+      "user-AGENT: *",              // case-insensitive field name
+      "Disallow: /private # hidden",// comment cut, value trimmed
+      "Noindex: /x",                // unknown directive -> skipped
+      "",
+      "User-agent: abot",
+      "User-agent: bbot",           // consecutive run: rules fan out to both
+      "Allow: /ok",
+      "Crawl-delay: 5",
+      "User-agent: cbot",           // NEW run (previous line was a rule)
+      "Disallow: /"
+    ).mkString("\n"))).toDF("host", "text")
+    val got = Web.robotsRules(robots).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("*", "disallow", "/private"),
+      ("abot", "allow", "/ok"), ("bbot", "allow", "/ok"),
+      ("abot", "crawl-delay", "5"), ("bbot", "crawl-delay", "5"),
+      ("cbot", "disallow", "/")))
+    // opt-out derivation: only cbot's full disallow counts for cbot;
+    // '*' has no full disallow here -> graftbot not opted out
+    assert(Web.robotsOptOut(Web.robotsRules(robots), bot = "cbot")
+      .collect().map(_.getString(0)).toSeq == Seq("site.com"))
+    assert(Web.robotsOptOut(Web.robotsRules(robots), bot = "graftbot")
+      .isEmpty)
+  }
 }
