@@ -1489,6 +1489,15 @@ object SparkEntry {
     // assignment/update CTE pairs
     "q207_kmeans_clusters" -> ((s, d) =>
       Similarity.kmeansClusters(Tables.embeddings(s, d))),
+    // farthest-point-seeded k-means (Similarity.kmeansClustersKcenter,
+    // Gonzalez '85 k-center traversal — the deterministic sibling of
+    // kmeans++, whose D² sampling has no exact integer replay): seed1
+    // = lowest id, each later seed = argmax running min-d² (ties to
+    // lowest id; the KmeansKey kernel supplies min-d² in one scan),
+    // then the SAME Lloyd rounds as q207; the oracle swaps only the
+    // init CTE under the shared kmeansCtesWith body
+    "q224_kmeans_kcenter" -> ((s, d) =>
+      Similarity.kmeansClustersKcenter(Tables.embeddings(s, d))),
     // per-cluster quality report (Similarity.clusterReport): member
     // count, inertia (the elbow statistic), the SemDeDup prototype
     // (nearest-to-centroid member, ties to lowest id — packed
@@ -2823,8 +2832,10 @@ object SparkEntry {
     * clusters COALESCE to their previous centroid — the exact
     * kmeansClusters rule. Divisions run on abs() with the sign
     * reapplied (div/floor parity). */
-  private val kmeansCtes: String = {
-    val k = 4
+  /** The Lloyd-round replay (q207/q224) with a pluggable `init`
+    * (vec_id, cid) CTE — seeding differs, the iteration body never
+    * does. */
+  private def kmeansCtesWith(initSql: String): String = {
     val iterCtes = (1 to 4).map { t =>
       val p = t - 1
       s"""d$t AS MATERIALIZED (SELECT m.vec_id, c.cid,
@@ -2845,12 +2856,47 @@ object SparkEntry {
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) l FROM embeddings),
        |m AS MATERIALIZED (SELECT vec_id, generate_subscripts(l, 1) j,
        |    CAST(floor(unnest(l) * 1000 + 0.5) AS BIGINT) mv FROM e),
-       |init AS (SELECT vec_id,
-       |    row_number() OVER (ORDER BY vec_id) - 1 cid
-       |  FROM e ORDER BY vec_id LIMIT $k),
+       |$initSql,
        |c0 AS MATERIALIZED (SELECT init.cid, m.j, m.mv cv
        |  FROM init JOIN m USING (vec_id)),
        |$iterCtes""".stripMargin
+  }
+
+  private val kmeansCtes: String = kmeansCtesWith(
+    """init AS (SELECT vec_id,
+      |    row_number() OVER (ORDER BY vec_id) - 1 cid
+      |  FROM e ORDER BY vec_id LIMIT 4)""".stripMargin)
+
+  /** Farthest-point seeding replay (q224): seed1 = lowest id; each
+    * later seed = argmax of the running min d² (LEAST-folded), ties to
+    * the lowest id — exactly [[graft.ops.Similarity]]'s kcenterSeeds. */
+  private val kcenterInitSql: String = {
+    val k = 4
+    def distTo(seed: String): String =
+      s"""(SELECT m.vec_id, SUM((m.mv - c.mv) * (m.mv - c.mv)) d2
+         |   FROM m JOIN m c ON c.j = m.j
+         |     AND c.vec_id = (SELECT vec_id FROM $seed)
+         |   GROUP BY 1)""".stripMargin
+    val rounds = (2 to k).map { j =>
+      val nd =
+        if (j == 2)
+          s"""nd1 AS MATERIALIZED (SELECT x.vec_id, x.d2
+             |  FROM ${distTo("seed1")} x)""".stripMargin
+        else
+          s"""nd${j - 1} AS MATERIALIZED (SELECT p.vec_id,
+             |    LEAST(p.d2, n.d2) d2
+             |  FROM nd${j - 2} p JOIN ${distTo(s"seed${j - 1}")} n
+             |    USING (vec_id))""".stripMargin
+      s"""$nd,
+         |seed$j AS MATERIALIZED (SELECT vec_id FROM nd${j - 1}
+         |  ORDER BY d2 DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val initUnion = (1 to k)
+      .map(j => s"SELECT vec_id, ${j - 1} cid FROM seed$j")
+      .mkString("\n|  UNION ALL ")
+    s"""seed1 AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+       |$rounds,
+       |init AS ($initUnion)""".stripMargin
   }
 
   /** ROUGE-L LCS replay (q203): the anti-diagonal-free row recursion —
@@ -5913,6 +5959,16 @@ object SparkEntry {
     // rounds (see kmeansCtes), final assignment under c4
     "q207_kmeans_clusters" ->
       (s"WITH $kmeansCtes," + """
+        |fin AS (SELECT m.vec_id, c.cid, SUM((m.mv - c.cv) * (m.mv - c.cv)) d2
+        |  FROM m JOIN c4 c USING (j) GROUP BY 1, 2)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS "cluster", CAST(d2 AS BIGINT) dist2
+        |FROM (SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        |  FROM fin) WHERE rn = 1""".stripMargin),
+    // k-center replay: the farthest-point seed CTEs swap in as `init`,
+    // everything after is the q207 Lloyd body verbatim
+    "q224_kmeans_kcenter" ->
+      (s"WITH ${kmeansCtesWith(kcenterInitSql)}," + """
         |fin AS (SELECT m.vec_id, c.cid, SUM((m.mv - c.cv) * (m.mv - c.cv)) d2
         |  FROM m JOIN c4 c USING (j) GROUP BY 1, 2)
         |SELECT vec_id, CAST(cid AS BIGINT) AS "cluster", CAST(d2 AS BIGINT) dist2

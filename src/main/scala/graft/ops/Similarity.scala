@@ -1032,6 +1032,18 @@ object Similarity {
     assignWith(q, kmeansTrain(q, k, rounds, idCol), idCol)
   }
 
+  /** [[kmeansClusters]] with farthest-point (k-center) seeding
+    * ([[kcenterSeeds]], Gonzalez '85) instead of id-order
+    * initialization — the quality option when the first k ids may sit
+    * in one region; costs k−1 extra one-scan argmax rounds before the
+    * same Lloyd iterations. Seed pick order IS the cluster id. */
+  def kmeansClustersKcenter(emb: DataFrame, k: Int = 4, rounds: Int = 4,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val q = quantized(emb, idCol, vecCol)
+    assignWith(q, lloydRounds(q, kcenterSeeds(q, k, idCol), rounds), idCol)
+  }
+
   /** The milli-quantized frame (id, m: array<long>) every k-means path
     * shares. */
   private def quantized(emb: DataFrame, idCol: String,
@@ -1045,11 +1057,55 @@ object Similarity {
     * [[kmeansClusters]] for the contract. */
   private def kmeansTrain(q: DataFrame, k: Int, rounds: Int,
                           idCol: String): Array[Array[Long]] = {
-    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    require(k >= 1, "k must be positive")
     // bounded collect: the k init rows in id order
-    var cents: Array[Array[Long]] = q.orderBy(col(idCol)).limit(k).collect()
+    val init: Array[Array[Long]] = q.orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Long](1).toArray)
-    require(cents.length == k, s"kmeansTrain: corpus smaller than k=$k")
+    require(init.length == k, s"kmeansTrain: corpus smaller than k=$k")
+    lloydRounds(q, init, rounds)
+  }
+
+  /** Farthest-point (k-center) seeds over a quantized frame —
+    * Gonzalez '85's 2-approximation traversal, the deterministic
+    * sibling of kmeans++ (whose D²-SAMPLING has no exact integer
+    * replay; the farthest-point rule is its argmax limit and replays
+    * verbatim): start from the lowest-id row, then k−1 times add the
+    * row maximizing the min squared distance to the seeds so far
+    * (ties to the lowest id). Spread-out seeds avoid Lloyd's
+    * empty/merged-cluster pathologies that id-order initialization
+    * hits when the first k rows share a region.
+    *
+    * Each round is ONE corpus scan — min-dist² comes from the same
+    * codegen'd [[graft.expr.KmeansKey]] kernel assignment uses
+    * (key div |seeds| IS the min d²), and only the single argmax row
+    * is collected (orderBy+limit(1) = a bounded TakeOrdered, the
+    * kmeansTrain discipline). Ragged vectors (NULL key) never seed. */
+  private def kcenterSeeds(q: DataFrame, k: Int,
+                           idCol: String): Array[Array[Long]] = {
+    require(k >= 1, "k must be positive")
+    val first = q.orderBy(col(idCol)).limit(1).collect()
+    require(first.nonEmpty, "kcenterSeeds: empty corpus")
+    var seeds = Vector(first(0).getSeq[Long](1).toArray)
+    while (seeds.length < k) {
+      val kk = seeds.length
+      val next = q.select(col(idCol), col("m"),
+          assignKey(seeds.toArray).as("_key"))
+        .where(col("_key").isNotNull)
+        .select(col(idCol), col("m"), expr(s"_key div $kk").as("_d2"))
+        .orderBy(col("_d2").desc, col(idCol).asc)
+        .limit(1).collect() // bounded: the one farthest row
+      require(next.nonEmpty, s"kcenterSeeds: corpus smaller than k=$k")
+      seeds = seeds :+ next(0).getSeq[Long](1).toArray
+    }
+    seeds.toArray
+  }
+
+  /** The Lloyd iteration body shared by both initializations. */
+  private def lloydRounds(q: DataFrame, init: Array[Array[Long]],
+                          rounds: Int): Array[Array[Long]] = {
+    require(rounds >= 1, "rounds must be positive")
+    val k = init.length
+    var cents = init
     for (_ <- 1 to rounds) {
       // one scan: assign, then per-(cluster, dim) sums — ≤ k·d rows out
       val sums = q.select((assignKey(cents) % k).as("cid"),

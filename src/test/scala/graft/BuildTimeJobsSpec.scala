@@ -62,8 +62,9 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // (the advice fix), q215 materializes the co-occurrence matrix,
     // q219 trains the unigram vocabulary on its bounded sample
     "q202_bitext_margin", "q215_ppmi", "q219_tokenizer_compression",
-    // q220 chains the q143 BM25 build (eager corpus stats)
-    "q220_retrieval_eval")
+    // q220 chains the q143 BM25 build (eager corpus stats); q224 runs
+    // its seed argmax rounds + Lloyd collects at construction
+    "q220_retrieval_eval", "q224_kmeans_kcenter")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()

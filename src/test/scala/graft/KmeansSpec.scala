@@ -142,6 +142,26 @@ class KmeansSpec extends SparkTestBase {
     assert(got == Seq(Some(1L), Some(20000L), None))
   }
 
+  test("kmeansClustersKcenter: farthest-point traversal seeds, then Lloyd's groups") {
+    // seed walk: id 0 (lowest), then 2 (farthest from 0), then 4
+    // (max min-dist to {0, 2}: 25 vs id 3's 1 and id 1's 0.01)
+    val vs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)),
+      (2L, Array(10.0f, 10.0f)), (3L, Array(10.0f, 9.0f)),
+      (4L, Array(0.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansClustersKcenter(vs, k = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster id IS the seed pick order: 0 -> origin, 1 -> (10,10),
+    // 2 -> (0,5); after Lloyd: {0,1} origin, {2,3} top, {4} alone
+    assert(got(0L) == 0L && got(1L) == 0L)
+    assert(got(2L) == 1L && got(3L) == 1L)
+    assert(got(4L) == 2L)
+    // id-order seeding on the same data starts all three seeds in the
+    // origin region — the pathology k-center exists to avoid; both
+    // still assign every row
+    assert(Similarity.kmeansClusters(vs, k = 3, rounds = 2).count() == 5)
+  }
+
   test("kmeansClusters: ragged vectors drop from training and assign NULL, never crash") {
     // one 1-d vector among 2-d ones: the KmeansKey contract says a
     // dimension mismatch is a droppable row, not a crash mid-job —

@@ -319,6 +319,11 @@ class PlanGuardSpec extends SparkTestBase {
     // q223: ONE map-side-combined rollup; the combinatorics are
     // per-row arithmetic on the bounded problem frame
     assert(shuffles(q("q223_pass_at_k")) <= 1, "q223 grew extra exchanges")
+    // q224: seeding + Lloyd run at construction (bounded collects); the
+    // returned assignment is ONE scan against literal centroids — the
+    // q207 contract
+    assert(shuffles(q("q224_kmeans_kcenter")) == 0,
+      "q224's final scan grew a shuffle")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
