@@ -1498,6 +1498,24 @@ object SparkEntry {
     // init CTE under the shared kmeansCtesWith body
     "q224_kmeans_kcenter" -> ((s, d) =>
       Similarity.kmeansClustersKcenter(Tables.embeddings(s, d))),
+    // Matryoshka truncation-recall audit (rankEval over the two exact
+    // retrievers, the Kusupati '22 evaluation): ranked = q121's
+    // 16-dim-prefix top-5, qrels = the FULL-dim brute-force top-5
+    // ground truth — recall@5 / RR measure exactly what retrieval
+    // quality the first 16 dims keep; the self-eval composition every
+    // ANN deployment runs before trusting a cheaper tier
+    "q225_matryoshka_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val t16 = Similarity.truncateDims(emb, dims = 16)
+      val ranked = Similarity
+        .bruteForceKnn(t16.where(col("vec_id") < 8), t16, k = 5)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("nid").as("doc_id"))
+      val qrels = Similarity
+        .bruteForceKnn(emb.where(col("vec_id") < 8), emb, k = 5)
+        .select(col("qid").as("query_id"), col("nid").as("doc_id"))
+      Retrieval.rankEval(ranked, qrels, k = 5)
+    }),
     // per-cluster quality report (Similarity.clusterReport): member
     // count, inertia (the elbow statistic), the SemDeDup prototype
     // (nearest-to-centroid member, ties to lowest id — packed
@@ -5965,6 +5983,36 @@ object SparkEntry {
         |FROM (SELECT vec_id, cid, d2,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
         |  FROM fin) WHERE rn = 1""".stripMargin),
+    // Matryoshka-recall replay: both exact retrievers as q27-style
+    // CTEs (prefix-sliced and full), then the q220 metric rollups
+    "q225_matryoshka_recall" ->
+      """WITH q16 AS (SELECT vec_id qid, CAST(embedding[1:16] AS DOUBLE[]) qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c16 AS (SELECT vec_id nid, CAST(embedding[1:16] AS DOUBLE[]) nv
+        |  FROM embeddings),
+        |s16 AS (SELECT qid, nid, list_cosine_similarity(qv, nv) sim
+        |  FROM q16, c16 WHERE qid != nid),
+        |r16 AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, nid ASC) rk FROM s16),
+        |qf AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |cf AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv
+        |  FROM embeddings),
+        |sf AS (SELECT qid, nid, list_cosine_similarity(qv, nv) sim
+        |  FROM qf, cf WHERE qid != nid),
+        |rf AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, nid ASC) rk FROM sf),
+        |qr AS (SELECT qid query_id, nid rel FROM rf WHERE rk <= 5),
+        |nr AS (SELECT query_id, COUNT(*) n_rel FROM qr GROUP BY 1),
+        |h AS (SELECT r.qid query_id, COUNT(*) hh, MIN(r.rk) fr
+        |  FROM r16 r JOIN qr ON qr.query_id = r.qid AND qr.rel = r.nid
+        |  WHERE r.rk <= 5 GROUP BY 1)
+        |SELECT nr.query_id, CAST(n_rel AS BIGINT) n_rel,
+        |  CAST(COALESCE(hh, 0) AS BIGINT) hits_at_k,
+        |  CAST((1000000 * COALESCE(hh, 0)) // n_rel AS BIGINT) recall_ppm,
+        |  CAST((1000000 * COALESCE(hh, 0)) // 5 AS BIGINT) precision_ppm,
+        |  CAST(COALESCE(1000000 // fr, 0) AS BIGINT) rr_ppm
+        |FROM nr LEFT JOIN h USING (query_id)""".stripMargin,
     // k-center replay: the farthest-point seed CTEs swap in as `init`,
     // everything after is the q207 Lloyd body verbatim
     "q224_kmeans_kcenter" ->

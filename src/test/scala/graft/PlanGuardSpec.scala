@@ -324,6 +324,12 @@ class PlanGuardSpec extends SparkTestBase {
     // q207 contract
     assert(shuffles(q("q224_kmeans_kcenter")) == 0,
       "q224's final scan grew a shuffle")
+    // q225: two probe-broadcast brute retrievers (per-query windows
+    // over bounded candidate frames) + the q220 metric rollups
+    assert(shuffles(q("q225_matryoshka_recall")) <= 7,
+      "q225 grew extra exchanges")
+    assert(broadcasts(q("q225_matryoshka_recall")) >= 2,
+      "q225 lost its broadcast probe frames")
   }
 
   test("checkpointed pipelines: CheckpointAudit exposes the true shuffle census") {
