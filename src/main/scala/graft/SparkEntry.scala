@@ -1373,6 +1373,13 @@ object SparkEntry {
     // matrix materialized once, topK²-bounded throughout
     "q215_ppmi" -> ((s, d) =>
       TextAnalysis.ppmi(TextAnalysis.cooccurrence(Tables.documents(s, d)))),
+    // dominant spectral direction of the positive-PPMI token graph
+    // (TextAnalysis.spectralTokens): the q214→q215 chain capped by 8
+    // BigInt power rounds on the topK²-bounded matrix — the 1-D
+    // embedding coordinate SGNS factorization recovers (Levy &
+    // Goldberg '14); non-negative throughout by Perron–Frobenius
+    "q226_spectral_tokens" -> ((s, d) =>
+      TextAnalysis.spectralTokens(Tables.documents(s, d))),
     // per-domain opt-out governance verdict (Web.domainOptOut): canonical
     // hosts vs a broadcast registry under SUFFIX semantics via the
     // bounded dot-suffix explode (equi-join, never a nested-loop
@@ -3089,6 +3096,68 @@ object SparkEntry {
        |  CAST(COALESCE(npc, 0) AS BIGINT) n_pieces,
        |  CAST(COALESCE(sf, 0) AS BIGINT) score_fx
        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** The q214 co-occurrence + q215 PPMI chain through the `r` CTE
+    * (w_a, w_b, weight_milli, ratio_ppm) — shared by q215 and q226's
+    * spectral iteration. */
+  private val ppmiCtes: String =
+    """toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') l
+        |  FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(l, 1) pos,
+        |    unnest(l) token FROM toks),
+        |v AS (SELECT token FROM (SELECT token, COUNT(*) tf FROM tok
+        |  GROUP BY 1 ORDER BY tf DESC, token ASC LIMIT 256)),
+        |ld AS (SELECT token center,
+        |    lead(token, 1) OVER w c1, lead(token, 2) OVER w c2,
+        |    lead(token, 3) OVER w c3
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |p AS (SELECT center, ctx, d FROM (
+        |    SELECT center, c1 ctx, 1 d FROM ld UNION ALL
+        |    SELECT center, c2, 2 FROM ld UNION ALL
+        |    SELECT center, c3, 3 FROM ld)
+        |  WHERE ctx IS NOT NULL),
+        |f AS (SELECT least(center, ctx) w_a, greatest(center, ctx) w_b,
+        |    1000 // d wt
+        |  FROM p JOIN v a ON p.center = a.token JOIN v b ON p.ctx = b.token),
+        |co AS MATERIALIZED (SELECT w_a, w_b,
+        |    CAST(SUM(wt) AS BIGINT) weight_milli
+        |  FROM f GROUP BY 1, 2),
+        |ends AS (SELECT w_a t, weight_milli w FROM co
+        |  UNION ALL SELECT w_b, weight_milli FROM co WHERE w_a <> w_b),
+        |marg AS (SELECT t, CAST(SUM(w) AS BIGINT) x_t FROM ends GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(x_t) AS BIGINT) w_total FROM marg),
+        |r AS (SELECT co.w_a, co.w_b, co.weight_milli,
+        |    CAST((1000000 * CAST(co.weight_milli AS HUGEINT)
+        |        * CAST(w_total AS HUGEINT))
+        |      // (CAST(a.x_t AS HUGEINT) * CAST(b.x_t AS HUGEINT))
+        |      AS BIGINT) ratio_ppm
+        |  FROM co JOIN marg a ON co.w_a = a.t JOIN marg b ON co.w_b = b.t
+        |  CROSS JOIN tot)""".stripMargin
+
+  /** The q226 spectral replay: positive-octave matrix from the ppmi
+    * `r` CTE, symmetric edge expansion, then 8 unrolled power rounds
+    * (the pcaCtes device — infinity-norm normalization to 2^20; no
+    * sign factor: every operand is non-negative by Perron–Frobenius,
+    * see TextAnalysis.spectralTokens). Names prefixed `s` — the ppmi
+    * chain already owns `v`/`p`/`w`-adjacent CTE names. */
+  private val spectralCtes: String = {
+    val iterCtes = (1 to 8).map { t =>
+      val p = t - 1
+      s"""sw$t AS MATERIALIZED (SELECT e.t, SUM(e.oct * sv$p.vv) w
+         |  FROM edges e JOIN sv$p ON e.u = sv$p.t GROUP BY 1),
+         |sv$t AS MATERIALIZED (SELECT t,
+         |  (w * 1048576) // greatest((SELECT MAX(w) FROM sw$t), 1) vv
+         |  FROM sw$t)""".stripMargin
+    }.mkString(",\n")
+    s"""mat AS MATERIALIZED (SELECT w_a, w_b,
+       |    CAST(length(bin(ratio_ppm // 1000000)) - 1 AS HUGEINT) oct
+       |  FROM r WHERE ratio_ppm >= 2000000),
+       |edges AS MATERIALIZED (SELECT w_a t, w_b u, oct FROM mat
+       |  UNION ALL SELECT w_b, w_a, oct FROM mat WHERE w_a <> w_b),
+       |sv0 AS (SELECT DISTINCT t, CAST(1048576 AS HUGEINT) vv FROM edges),
+       |$iterCtes""".stripMargin
+  }
 
   /** The robots fixture + RFC 9309 parse through the `rules` CTE —
     * shared by q221 (the parse report) and q222 (the derived opt-out
@@ -6052,44 +6121,22 @@ object SparkEntry {
     // scalar total, the exact ppm ratio through HUGEINT, and the
     // bin-length octave; all operands non-negative so // == div
     "q215_ppmi" ->
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') l
-        |  FROM documents),
-        |tok AS (SELECT doc_id, generate_subscripts(l, 1) pos,
-        |    unnest(l) token FROM toks),
-        |v AS (SELECT token FROM (SELECT token, COUNT(*) tf FROM tok
-        |  GROUP BY 1 ORDER BY tf DESC, token ASC LIMIT 256)),
-        |ld AS (SELECT token center,
-        |    lead(token, 1) OVER w c1, lead(token, 2) OVER w c2,
-        |    lead(token, 3) OVER w c3
-        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |p AS (SELECT center, ctx, d FROM (
-        |    SELECT center, c1 ctx, 1 d FROM ld UNION ALL
-        |    SELECT center, c2, 2 FROM ld UNION ALL
-        |    SELECT center, c3, 3 FROM ld)
-        |  WHERE ctx IS NOT NULL),
-        |f AS (SELECT least(center, ctx) w_a, greatest(center, ctx) w_b,
-        |    1000 // d wt
-        |  FROM p JOIN v a ON p.center = a.token JOIN v b ON p.ctx = b.token),
-        |co AS MATERIALIZED (SELECT w_a, w_b,
-        |    CAST(SUM(wt) AS BIGINT) weight_milli
-        |  FROM f GROUP BY 1, 2),
-        |ends AS (SELECT w_a t, weight_milli w FROM co
-        |  UNION ALL SELECT w_b, weight_milli FROM co WHERE w_a <> w_b),
-        |marg AS (SELECT t, CAST(SUM(w) AS BIGINT) x_t FROM ends GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(x_t) AS BIGINT) w_total FROM marg),
-        |r AS (SELECT co.w_a, co.w_b, co.weight_milli,
-        |    CAST((1000000 * CAST(co.weight_milli AS HUGEINT)
-        |        * CAST(w_total AS HUGEINT))
-        |      // (CAST(a.x_t AS HUGEINT) * CAST(b.x_t AS HUGEINT))
-        |      AS BIGINT) ratio_ppm
-        |  FROM co JOIN marg a ON co.w_a = a.t JOIN marg b ON co.w_b = b.t
-        |  CROSS JOIN tot)
+      ("WITH " + ppmiCtes + """
         |SELECT w_a, w_b, weight_milli, ratio_ppm,
         |  CASE WHEN ratio_ppm >= 1000000
         |    THEN CAST(length(bin(ratio_ppm // 1000000)) - 1 AS BIGINT)
         |    ELSE 0 END ppmi_octave
-        |FROM r""".stripMargin,
+        |FROM r""".stripMargin),
+    // spectral replay: the full ppmi chain, positive-octave matrix,
+    // symmetric edges, 8 unrolled HUGEINT power rounds (spectralCtes);
+    // every operand non-negative so // == div with no sign factor
+    "q226_spectral_tokens" ->
+      ("WITH " + ppmiCtes + ",\n" + spectralCtes + """,
+        |deg AS (SELECT t, CAST(COUNT(*) AS BIGINT) n_edges,
+        |  CAST(SUM(oct) AS BIGINT) strength FROM edges GROUP BY 1)
+        |SELECT deg.t token, deg.n_edges, deg.strength,
+        |  CAST(sv8.vv AS BIGINT) spec_q20
+        |FROM deg JOIN sv8 ON deg.t = sv8.t""".stripMargin),
     // opt-out replay: the q114 url/host derivation, dot-suffix explode
     // (port stripped first), the md5-gated registry, longest-match by
     // (length desc, domain asc), left join back so kept docs survive

@@ -550,6 +550,81 @@ object TextAnalysis {
     Dedup.materializeAndRelease(out, m)
   }
 
+  /** Dominant spectral direction of the positive-PPMI token graph —
+    * the first embedding coordinate implicit-matrix-factorization
+    * training recovers (Levy & Goldberg '14: SGNS factorizes the
+    * shifted PMI matrix, so its top eigenvector IS the leading
+    * 1-D embedding; spectral token scores are also the classic
+    * connectivity read on a co-occurrence graph). Composes the full
+    * round-12/13 chain: [[cooccurrence]] → [[ppmi]] → power iteration.
+    *
+    * Matrix entries are the exact integer `ppmi_octave` values (the
+    * PPMI clamp max(0, ⌊log2 ratio⌋) — pairs at octave 0 drop, the
+    * sparsity PPMI exists to create), symmetric by the (least,
+    * greatest) storage convention: off-diagonal stored pairs expand to
+    * both directions, diagonals stay single. All entries are POSITIVE,
+    * and the deterministic start v₀ = (2^20, …) is positive, so by
+    * Perron–Frobenius the iterate stays non-negative throughout — no
+    * sign factor is ever needed (unlike [[Similarity.pcaProjection]],
+    * whose Gram is merely symmetric) and the dominant eigenvector is
+    * unique up to scale on each connected component.
+    *
+    * Iteration (exactly the pcaFit device, replayed verbatim in SQL):
+    * `rounds` steps of w ← A·v, v ← (w·2^20) div max(max(w), 1) —
+    * infinity-norm normalization to scale 2^20, integer division only
+    * (all operands non-negative, so Spark div == DuckDB //). The
+    * max(·, 1) guard covers the all-isolated degenerate matrix.
+    *
+    * Shape at scale: the matrix is topK²-bounded BY CONSTRUCTION
+    * (cooccurrence restricts both ends to the top-k vocab), so the
+    * collect here is a bounded model table — ≤ topK² rows independent
+    * of corpus size, the same boundedness argument as pcaFit's d×d
+    * triangle — and the power rounds are driver-side BigInt on that
+    * model, no corpus involvement. The ONE corpus cost is the ppmi
+    * chain itself (checkpointed by [[ppmi]], so the collect does not
+    * rescan). Output: one row per token participating in the positive
+    * matrix — (token, n_edges, strength, spec_q20) where strength is
+    * the summed incident octave mass (the graph-degree audit column)
+    * and spec_q20 the converged component at scale 2^20. */
+  def spectralTokens(documents: DataFrame, window: Int = 3,
+                     topK: Int = 256, rounds: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mat = ppmi(cooccurrence(documents, window, topK))
+      .where(col("ppmi_octave") > 0)
+      .select(col("w_a"), col("w_b"), col("ppmi_octave"))
+      // bounded model collect: ≤ topK² rows by construction (the vocab
+      // restriction in cooccurrence), corpus-size-independent; the ppmi
+      // frame is already checkpointed, so no corpus rescan
+      .collect()
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    mat.foreach { r =>
+      val (a, b, o) = (r.getString(0), r.getString(1), r.getLong(2))
+      edges += ((a, b, o))
+      if (a != b) edges += ((b, a, o))
+    }
+    if (edges.isEmpty) {
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("token", "n_edges", "strength", "spec_q20")
+    } else {
+      val byT = edges.groupBy(_._1)
+      val nodes = byT.keys.toArray.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val scale = BigInt(1) << 20
+      var v = Array.fill(nodes.length)(scale)
+      for (_ <- 1 to rounds) {
+        val w = Array.fill(nodes.length)(BigInt(0))
+        edges.foreach { case (t, u, o) => w(idx(t)) += BigInt(o) * v(idx(u)) }
+        val mx = w.max.max(BigInt(1))
+        v = w.map(x => (x * scale) / mx)
+      }
+      nodes.map { t =>
+        val inc = byT(t)
+        (t, inc.size.toLong, inc.map(_._3).sum, v(idx(t)).toLong)
+      }.toSeq.toDF("token", "n_edges", "strength", "spec_q20")
+    }
+  }
+
   /** Tokenizer compression-ratio report — the model-selection read the
     * three subword trainers ([[Bpe]], [[Unigram]], [[Wordpiece]]) exist
     * to feed: per (source, family), total tokens against the source's

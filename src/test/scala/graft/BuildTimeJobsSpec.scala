@@ -63,8 +63,9 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // q219 trains the unigram vocabulary on its bounded sample
     "q202_bitext_margin", "q215_ppmi", "q219_tokenizer_compression",
     // q220 chains the q143 BM25 build (eager corpus stats); q224 runs
-    // its seed argmax rounds + Lloyd collects at construction
-    "q220_retrieval_eval", "q224_kmeans_kcenter")
+    // its seed argmax rounds + Lloyd collects at construction; q226
+    // collects the topK²-bounded PPMI matrix for its power rounds
+    "q220_retrieval_eval", "q224_kmeans_kcenter", "q226_spectral_tokens")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
