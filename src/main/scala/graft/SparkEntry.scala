@@ -1380,6 +1380,41 @@ object SparkEntry {
     // Goldberg '14); non-negative throughout by Perron–Frobenius
     "q226_spectral_tokens" -> ((s, d) =>
       TextAnalysis.spectralTokens(Tables.documents(s, d))),
+    // length-bias (verbosity) audit of the preference corpus
+    // (Chat.lengthBias, Singhal et al. '23): the q180 validated pairs
+    // banded by the bit width of the length delta — per band and
+    // globally, how often the CHOSEN side is the longer one; non-ok
+    // pairs surface as the NULL-band row
+    "q227_length_bias" -> ((s, d) =>
+      Chat.lengthBias(prefPairsFrame(s, d))),
+    // distinct-n generation diversity (Chat.distinctNgrams, Li et al.
+    // '16): 4 candidates per prompt (the q185 grouping), %7 doubles
+    // its text (repetition halves distinct mass), %101 NULLs it (the
+    // candidate still counts); unigrams pool across candidates,
+    // bigrams stay within one
+    "q229_distinct_ngrams" -> ((s, d) =>
+      Chat.distinctNgrams(Tables.documents(s, d).select(
+        expr("doc_id div 4").as("prompt_id"),
+        col("doc_id").as("cand_id"),
+        when(pmod(col("doc_id"), lit(101)) === 0,
+          lit(null).cast("string"))
+          .when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text")))),
+    // Flesch reading-ease in exact milli (Quality.readability): the
+    // model-free fluency prior next to the Gopher/C4 counts — planted
+    // terminal punctuation (%4 classes) exercises the sentence run
+    // count, %101 NULLs text (row survives with NULL metrics)
+    "q228_readability" -> ((s, d) => {
+      val planted =
+        when(pmod(col("doc_id"), lit(101)) === 0, lit(null).cast("string"))
+          .otherwise(concat(col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit(" end. more! done?"))
+              .when(pmod(col("doc_id"), lit(4)) === 1, lit(" tail."))
+              .otherwise(lit(""))))
+      Quality.readability(Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("text")))
+    }),
     // per-domain opt-out governance verdict (Web.domainOptOut): canonical
     // hosts vs a broadcast registry under SUFFIX semantics via the
     // bounded dot-suffix explode (equi-join, never a nested-loop
@@ -1827,32 +1862,7 @@ object SparkEntry {
     // pair identical (tie violation); the %7/%19 transcript classes
     // flow through as ends/NULL-role failures. The oracle replays the
     // synthesis relationally (no list construction) and every flag
-    "q180_preference_pairs" -> ((s, d) => {
-      val conv = chatConv(Tables.documents(s, d))
-      // slice + concat, NOT an indexed transform: an `i === size(turns)-1`
-      // test inside a lambda would capture the whole turns-construction
-      // expression (split included) per element — the PlanGuardSpec
-      // lambda-cost class; here size() stays row-level
-      def role(t: Column) = t.getField("role")
-      def content(t: Column) = t.getField("content")
-      val n = size(col("turns"))
-      val first = element_at(col("turns"), 1)
-      val last = element_at(col("turns"), -1)
-      val rejected =
-        when(pmod(col("doc_id"), lit(29)) === 0,
-          concat(
-            array(struct(role(first).as("role"),
-              concat(content(first), lit("!")).as("content"))),
-            slice(col("turns"), lit(2), n - 1)))
-        .when(pmod(col("doc_id"), lit(23)) === 0, col("turns"))
-        .otherwise(concat(
-          slice(col("turns"), lit(1), n - 1),
-          array(struct(role(last).as("role"),
-            content(last).substr(lit(1),
-              floor(length(content(last)) / 2).cast("int")).as("content")))))
-      Chat.preferencePairs(conv.select(col("doc_id").as("pair_id"),
-        col("turns").as("chosen"), rejected.as("rejected")))
-    }),
+    "q180_preference_pairs" -> ((s, d) => prefPairsFrame(s, d)),
     // rejection-sampling / best-of-n prep (Chat.bestOfN, the WebGPT/
     // Llama-2 recipe): per prompt (4 candidates each), keep the
     // argmax-reward candidate with deterministic ties — rewards are
@@ -2506,6 +2516,40 @@ object SparkEntry {
     * b = (doc_id div 8)%8, winner by the replayable rule "a wins iff
     * hash48 mod (a+b+2) <= b" (P = (b+1)/(a+b+2) — lower indices are
     * genuinely stronger). */
+  /** The q180 preference-pair fixture + validation (Chat
+    * .preferencePairs over pairs synthesized in-plan from the chat
+    * transcripts: rejected = chosen with the final response TRUNCATED
+    * to half (the valid class), %29 mutates a PREFIX turn (prefix
+    * violation), %23 leaves the pair identical (tie violation); the
+    * %7/%19 transcript classes flow through as ends/NULL-role
+    * failures) — shared by q180 and q227's length-bias audit.
+    * Slice + concat, NOT an indexed transform: an `i === size(turns)-1`
+    * test inside a lambda would capture the whole turns-construction
+    * expression (split included) per element — the PlanGuardSpec
+    * lambda-cost class; here size() stays row-level. */
+  private def prefPairsFrame(s: SparkSession, d: String): DataFrame = {
+    val conv = chatConv(Tables.documents(s, d))
+    def role(t: Column) = t.getField("role")
+    def content(t: Column) = t.getField("content")
+    val n = size(col("turns"))
+    val first = element_at(col("turns"), 1)
+    val last = element_at(col("turns"), -1)
+    val rejected =
+      when(pmod(col("doc_id"), lit(29)) === 0,
+        concat(
+          array(struct(role(first).as("role"),
+            concat(content(first), lit("!")).as("content"))),
+          slice(col("turns"), lit(2), n - 1)))
+      .when(pmod(col("doc_id"), lit(23)) === 0, col("turns"))
+      .otherwise(concat(
+        slice(col("turns"), lit(1), n - 1),
+        array(struct(role(last).as("role"),
+          content(last).substr(lit(1),
+            floor(length(content(last)) / 2).cast("int")).as("content")))))
+    Chat.preferencePairs(conv.select(col("doc_id").as("pair_id"),
+      col("turns").as("chosen"), rejected.as("rejected")))
+  }
+
   private def btGames(s: SparkSession, d: String): DataFrame = {
     val a = pmod(col("doc_id"), lit(8L))
     val b = pmod(expr("doc_id div 8"), lit(8L))
@@ -3134,6 +3178,45 @@ object SparkEntry {
         |      AS BIGINT) ratio_ppm
         |  FROM co JOIN marg a ON co.w_a = a.t JOIN marg b ON co.w_b = b.t
         |  CROSS JOIN tot)""".stripMargin
+
+  /** The q180 preference-pair synthesis + validation through the `pp`
+    * CTE (pair_id, prefix_ok, ends_ok, divergent_ok, chosen_chars,
+    * rejected_chars, ok) — chains after `chatCte`; shared by q180 and
+    * q227's length-bias audit. */
+  private val prefPairCtes: String =
+    """rej AS (SELECT doc_id, turn_idx, role,
+      |    CASE WHEN doc_id % 29 = 0 AND turn_idx = 0 THEN content || '!'
+      |         WHEN doc_id % 23 = 0 AND doc_id % 29 <> 0 THEN content
+      |         WHEN doc_id % 29 <> 0 AND doc_id % 23 <> 0
+      |              AND turn_idx = doc_id % 4 + 1
+      |           THEN substr(content, 1, length(content) // 2)
+      |         ELSE content END AS content
+      |  FROM ct),
+      |nc AS (SELECT doc_id, MAX(turn_idx) + 1 n FROM ct GROUP BY doc_id),
+      |j AS (SELECT c.doc_id, c.turn_idx i, c.role cr, c.content cc,
+      |        r.role rr, r.content rc, n
+      |      FROM ct c JOIN rej r USING (doc_id, turn_idx)
+      |        JOIN nc USING (doc_id)),
+      |a AS (SELECT doc_id,
+      |    MIN(CASE WHEN i < n - 1 THEN
+      |      CASE WHEN cr IS NOT DISTINCT FROM rr
+      |        AND cc IS NOT DISTINCT FROM rc THEN 1 ELSE 0 END END) pfx,
+      |    MAX(CASE WHEN i = n - 1 AND cr = 'assistant'
+      |      AND rr = 'assistant' THEN 1 ELSE 0 END) ends,
+      |    MAX(CASE WHEN i = n - 1 AND cc IS DISTINCT FROM rc
+      |      THEN 1 ELSE 0 END) dv,
+      |    SUM(CASE WHEN i = n - 1 THEN length(cc) END) ccs,
+      |    SUM(CASE WHEN i = n - 1 THEN length(rc) END) rcs
+      |  FROM j GROUP BY doc_id),
+      |pp AS (SELECT doc_id pair_id,
+      |    COALESCE(pfx, 1) = 1 prefix_ok,
+      |    COALESCE(ends, 0) = 1 ends_ok,
+      |    COALESCE(dv, 0) = 1 divergent_ok,
+      |    CAST(COALESCE(ccs, 0) AS BIGINT) chosen_chars,
+      |    CAST(COALESCE(rcs, 0) AS BIGINT) rejected_chars,
+      |    (COALESCE(pfx, 1) = 1 AND COALESCE(ends, 0) = 1
+      |     AND COALESCE(dv, 0) = 1) ok
+      |  FROM a)""".stripMargin
 
   /** The q226 spectral replay: positive-octave matrix from the ppmi
     * `r` CTE, symmetric edge expansion, then 8 unrolled power rounds
@@ -4741,40 +4824,40 @@ object SparkEntry {
         |    ece_ppm
         |FROM gp""".stripMargin,
     "q180_preference_pairs" ->
-      ("WITH " + chatCte + """,
-        |rej AS (SELECT doc_id, turn_idx, role,
-        |    CASE WHEN doc_id % 29 = 0 AND turn_idx = 0 THEN content || '!'
-        |         WHEN doc_id % 23 = 0 AND doc_id % 29 <> 0 THEN content
-        |         WHEN doc_id % 29 <> 0 AND doc_id % 23 <> 0
-        |              AND turn_idx = doc_id % 4 + 1
-        |           THEN substr(content, 1, length(content) // 2)
-        |         ELSE content END AS content
-        |  FROM ct),
-        |nc AS (SELECT doc_id, MAX(turn_idx) + 1 n FROM ct GROUP BY doc_id),
-        |j AS (SELECT c.doc_id, c.turn_idx i, c.role cr, c.content cc,
-        |        r.role rr, r.content rc, n
-        |      FROM ct c JOIN rej r USING (doc_id, turn_idx)
-        |        JOIN nc USING (doc_id)),
-        |a AS (SELECT doc_id,
-        |    MIN(CASE WHEN i < n - 1 THEN
-        |      CASE WHEN cr IS NOT DISTINCT FROM rr
-        |        AND cc IS NOT DISTINCT FROM rc THEN 1 ELSE 0 END END) pfx,
-        |    MAX(CASE WHEN i = n - 1 AND cr = 'assistant'
-        |      AND rr = 'assistant' THEN 1 ELSE 0 END) ends,
-        |    MAX(CASE WHEN i = n - 1 AND cc IS DISTINCT FROM rc
-        |      THEN 1 ELSE 0 END) dv,
-        |    SUM(CASE WHEN i = n - 1 THEN length(cc) END) ccs,
-        |    SUM(CASE WHEN i = n - 1 THEN length(rc) END) rcs
-        |  FROM j GROUP BY doc_id)
-        |SELECT doc_id pair_id,
-        |  COALESCE(pfx, 1) = 1 prefix_ok,
-        |  COALESCE(ends, 0) = 1 ends_ok,
-        |  COALESCE(dv, 0) = 1 divergent_ok,
-        |  CAST(COALESCE(ccs, 0) AS BIGINT) chosen_chars,
-        |  CAST(COALESCE(rcs, 0) AS BIGINT) rejected_chars,
-        |  (COALESCE(pfx, 1) = 1 AND COALESCE(ends, 0) = 1
-        |   AND COALESCE(dv, 0) = 1) ok
-        |FROM a""".stripMargin),
+      ("WITH " + chatCte + ",\n" + prefPairCtes + """
+        |SELECT pair_id, prefix_ok, ends_ok, divergent_ok,
+        |  chosen_chars, rejected_chars, ok
+        |FROM pp""".stripMargin),
+    // length-bias replay: the q180 pair chain banded by the bit width
+    // of the length delta (length(bin(x)) = floor(log2 x)+1 — the
+    // ilog2 device); non-ok pairs -> the NULL band with zero win
+    // counts, so the window totals see only valid non-tie pairs; all
+    // division operands non-negative so // == div
+    "q227_length_bias" ->
+      ("WITH " + chatCte + ",\n" + prefPairCtes + """,
+        |b AS (SELECT CASE WHEN NOT ok THEN NULL
+        |      WHEN chosen_chars = rejected_chars THEN 0
+        |      ELSE length(bin(abs(chosen_chars - rejected_chars))) END band,
+        |    CASE WHEN ok AND chosen_chars > rejected_chars
+        |      THEN 1 ELSE 0 END cl,
+        |    CASE WHEN ok AND chosen_chars < rejected_chars
+        |      THEN 1 ELSE 0 END rl
+        |  FROM pp),
+        |g AS (SELECT band, CAST(COUNT(*) AS BIGINT) n_pairs,
+        |    CAST(SUM(cl) AS BIGINT) n_chosen_longer,
+        |    CAST(SUM(rl) AS BIGINT) n_rejected_longer
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(band AS BIGINT) band, n_pairs,
+        |  n_chosen_longer, n_rejected_longer,
+        |  CAST(CASE WHEN n_chosen_longer + n_rejected_longer > 0
+        |    THEN (1000000 * n_chosen_longer)
+        |      // (n_chosen_longer + n_rejected_longer) END AS BIGINT)
+        |    band_win_ppm,
+        |  CAST(CASE WHEN SUM(n_chosen_longer + n_rejected_longer) OVER () > 0
+        |    THEN (1000000 * SUM(n_chosen_longer) OVER ())
+        |      // SUM(n_chosen_longer + n_rejected_longer) OVER ()
+        |    END AS BIGINT) longer_win_ppm
+        |FROM g""".stripMargin),
     "q185_best_of_n" ->
       """WITH hx AS (SELECT doc_id, doc_id // 4 prompt_id,
         |    md5(CAST(doc_id AS VARCHAR) || 'bon') h FROM documents),
@@ -6137,6 +6220,86 @@ object SparkEntry {
         |SELECT deg.t token, deg.n_edges, deg.strength,
         |  CAST(sv8.vv AS BIGINT) spec_q20
         |FROM deg JOIN sv8 ON deg.t = sv8.t""".stripMargin),
+    // distinct-n replay: the same planted classes, unigrams from the
+    // unnest, bigrams from a candidate-partitioned lead, then the
+    // (prompt, n, gram) dedup rollup and the per-prompt fold; all
+    // division operands non-negative so // == div
+    "q229_distinct_ngrams" ->
+      """WITH px AS (SELECT doc_id // 4 pid, doc_id cid,
+        |    CASE WHEN doc_id % 101 = 0 THEN NULL
+        |         WHEN doc_id % 7 = 0 THEN text || ' ' || text
+        |         ELSE text END AS "text"
+        |  FROM documents),
+        |base AS (SELECT pid, CAST(COUNT(*) AS BIGINT) n_cands
+        |  FROM px GROUP BY 1),
+        |tk AS (SELECT pid, cid,
+        |    list_filter(regexp_split_to_array("text", '\s+'), x -> x <> '') l
+        |  FROM px WHERE "text" IS NOT NULL),
+        |tok AS (SELECT pid, cid, generate_subscripts(l, 1) pos, unnest(l) g
+        |  FROM tk),
+        |ld AS (SELECT pid, g,
+        |    lead(g, 1) OVER (PARTITION BY pid, cid ORDER BY pos) nx
+        |  FROM tok),
+        |gr AS (SELECT pid, g, 1 n FROM tok
+        |  UNION ALL
+        |  SELECT pid, g || ' ' || nx, 2 FROM ld WHERE nx IS NOT NULL),
+        |pg AS (SELECT pid, n, g, COUNT(*) c FROM gr GROUP BY 1, 2, 3),
+        |wd AS (SELECT pid,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 1 THEN c END), 0) AS BIGINT) t1,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) d1,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN c END), 0) AS BIGINT) t2,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) d2
+        |  FROM pg GROUP BY 1)
+        |SELECT base.pid prompt_id, n_cands,
+        |  COALESCE(t1, 0) total_1, COALESCE(d1, 0) distinct_1,
+        |  COALESCE(t2, 0) total_2, COALESCE(d2, 0) distinct_2,
+        |  CAST(CASE WHEN COALESCE(t1, 0) > 0
+        |    THEN (1000000 * d1) // t1 END AS BIGINT) d1_ppm,
+        |  CAST(CASE WHEN COALESCE(t2, 0) > 0
+        |    THEN (1000000 * d2) // t2 END AS BIGINT) d2_ppm
+        |FROM base LEFT JOIN wd USING (pid)""".stripMargin,
+    // readability replay: planted punctuation/NULL classes, the three
+    // regexp counts, then the integer milli arithmetic — every
+    // division operand non-negative so // == div; NULL-text rows
+    // carry zero counts and NULL metrics
+    "q228_readability" ->
+      """WITH px AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 101 = 0 THEN NULL
+        |         ELSE text ||
+        |           CASE WHEN doc_id % 4 = 0 THEN ' end. more! done?'
+        |                WHEN doc_id % 4 = 1 THEN ' tail.'
+        |                ELSE '' END END AS "text"
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) END nw,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      END ns,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) END ny
+        |  FROM px),
+        |m AS (SELECT doc_id, nw, ns, ny,
+        |    CASE WHEN nw > 0 THEN (1000 * nw) // ns END wps,
+        |    CASE WHEN nw > 0 THEN (1000 * ny) // nw END spw FROM c),
+        |f AS (SELECT doc_id, nw, ns, ny, wps, spw,
+        |    CASE WHEN nw > 0 THEN 206835 - (1015 * wps) // 1000
+        |      - (84600 * spw) // 1000 END fre
+        |  FROM m)
+        |SELECT doc_id, CAST(nw AS BIGINT) n_words,
+        |  CAST(ns AS BIGINT) n_sentences, CAST(ny AS BIGINT) n_syllables,
+        |  CAST(wps AS BIGINT) wps_milli, CAST(spw AS BIGINT) spw_milli,
+        |  CAST(fre AS BIGINT) fre_milli,
+        |  CASE WHEN fre IS NULL THEN NULL
+        |       WHEN fre >= 90000 THEN 'very_easy'
+        |       WHEN fre >= 80000 THEN 'easy'
+        |       WHEN fre >= 70000 THEN 'fairly_easy'
+        |       WHEN fre >= 60000 THEN 'standard'
+        |       WHEN fre >= 50000 THEN 'fairly_difficult'
+        |       WHEN fre >= 30000 THEN 'difficult'
+        |       ELSE 'very_confusing' END fre_band
+        |FROM f""".stripMargin,
     // opt-out replay: the q114 url/host derivation, dot-suffix explode
     // (port stripped first), the md5-gated registry, longest-match by
     // (length desc, domain asc), left join back so kept docs survive

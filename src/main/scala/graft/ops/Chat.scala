@@ -305,6 +305,58 @@ object Chat {
         col("prefix_ok") && col("ends_ok") && col("divergent_ok"))
   }
 
+  /** Length-bias (verbosity) audit over a validated preference set —
+    * the first diagnostic run on any RLHF corpus: reward models
+    * notoriously learn "longer is better" (Singhal et al. '23, "A Long
+    * Way to Go: Investigating Length Correlations in RLHF"), and the
+    * symptom is visible in the DATA as P(chosen is the longer side)
+    * drifting above ½. Consumes [[preferencePairs]] output (pair_id,
+    * chosen_chars, rejected_chars, ok) and reports, per magnitude band
+    * of the length delta (band = number of binary digits of
+    * |chosen_chars − rejected_chars| — the established ilog2 octave
+    * device, so band k covers deltas in [2^(k−1), 2^k); band 0 =
+    * exact-tie), how often the chosen side was the longer one:
+    *
+    *   band_win_ppm = 10⁶ · n_chosen_longer div (non-tie pairs in band)
+    *   longer_win_ppm = the same ratio over ALL non-tie pairs — the
+    *     corpus-level verdict, repeated on every row (the q182 ece_ppm
+    *     window device) so each band reads against the global rate.
+    *
+    * Only `ok` pairs carry preference signal; pairs failing validation
+    * aggregate into a NULL band row (counts only — the validate
+    * lesson: malformed groups must surface, not vanish) and contribute
+    * zero to both win numerators and denominators. All division
+    * operands are non-negative, so Spark `div` == DuckDB `//`.
+    *
+    * Shape at scale: one map-side-combined aggregation over the pair
+    * frame, then window arithmetic over the ≤ ~64-row band alphabet —
+    * the output is bounded by the bit width of the delta, never by the
+    * corpus. */
+  def lengthBias(pairs: DataFrame): DataFrame = {
+    val delta = col("chosen_chars") - col("rejected_chars")
+    val banded = pairs.select(
+      when(!col("ok"), lit(null).cast("long"))
+        .when(delta === 0L, lit(0L))
+        // length(bin(x)) = floor(log2 x)+1 for x >= 1: the bit width
+        .otherwise(length(bin(abs(delta))).cast("long")).as("band"),
+      (col("ok") && delta > 0L).as("_cl"),
+      (col("ok") && delta < 0L).as("_rl"))
+    val agg = banded.groupBy(col("band")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("_cl"), 1L).otherwise(0L)).as("n_chosen_longer"),
+      sum(when(col("_rl"), 1L).otherwise(0L)).as("n_rejected_longer"))
+    agg
+      .withColumn("band_win_ppm", expr(
+        """case when n_chosen_longer + n_rejected_longer > 0
+          |  then (1000000 * n_chosen_longer)
+          |    div (n_chosen_longer + n_rejected_longer) end""".stripMargin))
+      .withColumn("longer_win_ppm", expr(
+        """case when sum(n_chosen_longer + n_rejected_longer) over () > 0
+          |  then (1000000 * sum(n_chosen_longer) over ())
+          |    div sum(n_chosen_longer + n_rejected_longer) over () end"""
+          .stripMargin))
+  }
+
   /** Rejection-sampling / best-of-n data prep (the WebGPT/Llama-2
     * recipe: sample n candidate responses per prompt, keep the one the
     * reward model scores highest — the selected set becomes SFT data) —
@@ -661,5 +713,62 @@ object Chat {
           s"as decimal(38,0))) div ${choose("n_samples")} as bigint)")))
       .select(col(problemCol), col("n_samples"), col("n_correct"),
         col("pass_at_k_ppm"))
+  }
+
+  /** Distinct-n generation diversity (Li et al. '16, "A Diversity-
+    * Promoting Objective Function for Neural Conversation Models" —
+    * the standard mode-collapse read on sampled generations): per
+    * prompt, over its candidate responses,
+    *
+    *   distinct-n = |unique n-grams| / |total n-grams|   (n = 1, 2)
+    *
+    * in exact ppm. Unigrams pool across ALL candidates of the prompt
+    * (cross-candidate repetition is exactly what collapse looks like);
+    * bigrams form WITHIN each candidate only (a candidate boundary is
+    * not a fluent transition). A prompt whose candidates are all empty
+    * or NULL keeps its row with zero totals and NULL ratios — the
+    * malformed-groups-surface rule — and `cand_id` must be unique
+    * within its prompt (it keys the bigram window).
+    *
+    * Shape at scale: tokens via one posexplode (no per-element lambda
+    * indexing — an indexed `transform` would capture the tokenizer
+    * expression per element, the PlanGuard lambda-cost class); bigrams
+    * via ONE candidate-partitioned window lead (the [[TextAnalysis
+    * .cooccurrence]] device); then a (prompt, n, gram) rollup that
+    * dedups map-side before the per-prompt fold. Nothing driver-side;
+    * output is one row per prompt. */
+  def distinctNgrams(cands: DataFrame, promptCol: String = "prompt_id",
+                     candCol: String = "cand_id",
+                     textCol: String = "text"): DataFrame = {
+    val base = cands.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_cands"))
+    val tok = cands.select(col(promptCol), col(candCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "g")))
+    val w = Window.partitionBy(col(promptCol), col(candCol))
+      .orderBy(col("pos"))
+    val uni = tok.select(col(promptCol), col("g"), lit(1L).as("n"))
+    val bi = tok
+      .withColumn("_nx", lead(col("g"), 1).over(w))
+      .where(col("_nx").isNotNull)
+      .select(col(promptCol),
+        concat(col("g"), lit(" "), col("_nx")).as("g"), lit(2L).as("n"))
+    val perGram = uni.unionByName(bi)
+      .groupBy(col(promptCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val wide = perGram.groupBy(col(promptCol)).agg(
+      coalesce(sum(when(col("n") === 1L, col("c"))), lit(0L)).as("_t1"),
+      sum(when(col("n") === 1L, 1L).otherwise(0L)).as("_d1"),
+      coalesce(sum(when(col("n") === 2L, col("c"))), lit(0L)).as("_t2"),
+      sum(when(col("n") === 2L, 1L).otherwise(0L)).as("_d2"))
+    base.join(wide, Seq(promptCol), "left")
+      .select(col(promptCol), col("n_cands"),
+        coalesce(col("_t1"), lit(0L)).as("total_1"),
+        coalesce(col("_d1"), lit(0L)).as("distinct_1"),
+        coalesce(col("_t2"), lit(0L)).as("total_2"),
+        coalesce(col("_d2"), lit(0L)).as("distinct_2"))
+      .withColumn("d1_ppm",
+        expr("case when total_1 > 0 then (1000000 * distinct_1) div total_1 end"))
+      .withColumn("d2_ppm",
+        expr("case when total_2 > 0 then (1000000 * distinct_2) div total_2 end"))
   }
 }

@@ -263,6 +263,61 @@ class ChatSpec extends SparkTestBase {
     assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "no pair may vanish")
   }
 
+  test("lengthBias: octave bands, both delta signs, ties, non-ok surfaced") {
+    val pairs = Seq(
+      (1L, 10L, 9L, true),    // delta +1  -> band 1
+      (2L, 12L, 9L, true),    // delta +3  -> band 2
+      (3L, 9L, 11L, true),    // delta -2  -> band 2 (rejected longer)
+      (4L, 20L, 15L, true),   // delta +5  -> band 3
+      (5L, 10L, 10L, true),   // tie       -> band 0
+      (6L, 100L, 1L, false))  // non-ok    -> NULL band, zero win counts
+      .toDF("pair_id", "chosen_chars", "rejected_chars", "ok")
+    val got = Chat.lengthBias(pairs).collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))).toMap
+    // global: 3 chosen-longer of 4 non-ties = 750000 ppm on every row
+    assert(got == Map(
+      0L -> ((1L, 0L, 0L, -1L, 750000L)),
+      1L -> ((1L, 1L, 0L, 1000000L, 750000L)),
+      2L -> ((2L, 1L, 1L, 500000L, 750000L)),
+      3L -> ((1L, 1L, 0L, 1000000L, 750000L)),
+      -1L -> ((1L, 0L, 0L, -1L, 750000L))))
+  }
+
+  test("lengthBias: all-tie corpus reads NULL global; empty input stays empty") {
+    val ties = Seq((1L, 5L, 5L, true), (2L, 0L, 0L, true))
+      .toDF("pair_id", "chosen_chars", "rejected_chars", "ok")
+    val r = Chat.lengthBias(ties).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 0L && r(0).getLong(1) == 2L)
+    assert(r(0).isNullAt(4) && r(0).isNullAt(5),
+      "no non-tie pair: both ppm columns must read NULL, not 0")
+    val empty = Seq.empty[(Long, Long, Long, Boolean)]
+      .toDF("pair_id", "chosen_chars", "rejected_chars", "ok")
+    assert(Chat.lengthBias(empty).count() == 0L)
+  }
+
+  test("distinctNgrams: pooled unigrams, per-candidate bigrams, empty prompts survive") {
+    val cands = Seq(
+      (1L, 10L, "a b a"),                    // bigrams: "a b", "b a"
+      (1L, 11L, "a b"),                      // bigram: "a b" (repeat)
+      (2L, 20L, null.asInstanceOf[String]),  // counts as candidate, no grams
+      (2L, 21L, ""),
+      (3L, 30L, "x"),                        // single tokens: NO cross-candidate
+      (3L, 31L, "y"))                        //   bigram may form
+      .toDF("prompt_id", "cand_id", "text")
+    val got = Chat.distinctNgrams(cands).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))).toMap
+    // prompt 1: 5 unigrams / 2 distinct; 3 bigrams / 2 distinct
+    assert(got(1L) == ((2L, 5L, 2L, 3L, 2L, Some(400000L), Some(666666L))))
+    assert(got(2L) == ((2L, 0L, 0L, 0L, 0L, None, None)))
+    assert(got(3L) == ((2L, 2L, 2L, 0L, 0L, Some(1000000L), None)),
+      "a candidate boundary must not form a bigram")
+  }
+
   test("transcript dedup: rendered-hash identity includes role markup") {
     val df = toDf(Seq(
       conv(1L, ("user", "x"), ("assistant", "y")),

@@ -403,4 +403,29 @@ class QualitySpec extends SparkTestBase {
     assert(got("") == ((2L, "en")))
     assert(got("A") == ((1L, "de")))
   }
+
+  test("readability: hand-computed FRE milli, NULL/empty/wordless rows survive") {
+    val docs = Seq(
+      (1L, "the cat sat. it ran!"), // 5 words, 2 sentence runs, 5 vowel runs
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),                     // zero words: metrics NULL, row kept
+      (4L, "km"),                   // vowelless single word, no punctuation
+      (5L, "banana bandana"))       // 6 syllables / 2 words: negative FRE
+      .toDF("doc_id", "text")
+    val got = Quality.readability(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        Option(r.getString(7))))).toMap
+    // doc 1: wps = 5000//2 = 2500, spw = 1000;
+    // fre = 206835 - 2537 - 84600 = 119698
+    assert(got(1L) == ((5L, 2L, 5L, Some(119698L), Some("very_easy"))))
+    assert(got(2L) == ((0L, 0L, 0L, None, None)))
+    // empty text: sentence floor applies but zero words means NULL fre
+    assert(got(3L) == ((0L, 1L, 0L, None, None)))
+    // doc 4: wps = 1000, spw = 0 -> fre = 206835 - 1015 = 205820
+    assert(got(4L) == ((1L, 1L, 0L, Some(205820L), Some("very_easy"))))
+    // doc 5: wps = 2000, spw = 3000 ->
+    // fre = 206835 - 2030 - 253800 = -48995 (negative FRE is a value)
+    assert(got(5L) == ((2L, 1L, 6L, Some(-48995L), Some("very_confusing"))))
+  }
 }
