@@ -1387,6 +1387,38 @@ object SparkEntry {
     // pairs surface as the NULL-band row
     "q227_length_bias" -> ((s, d) =>
       Chat.lengthBias(prefPairsFrame(s, d))),
+    // majority-vote self-consistency (Chat.majorityVote, Wang et al.
+    // '22): 8 samples per problem, gold = 'a'||(pid%4), answers
+    // hash-derived (even hash votes gold, odd spreads over 5 values,
+    // %23 abstains with NULL); deterministic modal ties by
+    // (count desc, answer asc)
+    "q230_majority_vote" -> ((s, d) => {
+      val pid = expr("doc_id div 8")
+      val h = Kmv.hash48(concat(col("doc_id").cast("string"), lit("maj")))
+      val gold = concat(lit("a"), pmod(pid, lit(4L)).cast("string"))
+      val answer =
+        when(pmod(col("doc_id"), lit(23)) === 0, lit(null).cast("string"))
+          .when(pmod(h, lit(2L)) === 0, gold)
+          .otherwise(concat(lit("a"), pmod(h, lit(5L)).cast("string")))
+      Chat.majorityVote(Tables.documents(s, d).select(
+        pid.as("problem_id"), answer.as("answer"), gold.as("gold")))
+    }),
+    // exact ROC-AUC of the q182 score/label synthesis (QualityModel
+    // .rocAuc, the Mann-Whitney identity): grouped by score, ordered
+    // alphabet running sum — no pair ever materializes; %13 forces
+    // false labels, %17 NULLs the score (excluded, surfaced)
+    "q231_roc_auc" -> ((s, d) => {
+      val score = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("cal"))), lit(1000001L))
+      val label = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("lab"))), lit(1000000L)) < score
+      val planted = when(pmod(col("doc_id"), lit(13)) === 0, lit(false))
+        .otherwise(label)
+      val nulled = when(pmod(col("doc_id"), lit(17)) === 0,
+        lit(null).cast("long")).otherwise(score)
+      QualityModel.rocAuc(Tables.documents(s, d).select(
+        nulled.as("score_ppm"), planted.as("label")))
+    }),
     // distinct-n generation diversity (Chat.distinctNgrams, Li et al.
     // '16): 4 candidates per prompt (the q185 grouping), %7 doubles
     // its text (repetition halves distinct mass), %101 NULLs it (the
@@ -6220,6 +6252,91 @@ object SparkEntry {
         |SELECT deg.t token, deg.n_edges, deg.strength,
         |  CAST(sv8.vv AS BIGINT) spec_q20
         |FROM deg JOIN sv8 ON deg.t = sv8.t""".stripMargin),
+    // majority-vote replay: the hash48 digit-sum device, the same
+    // answer synthesis, modal by row_number (count desc, answer asc),
+    // the corpus accuracy as a window over the problem frame
+    "q230_majority_vote" ->
+      """WITH hx AS (SELECT doc_id, doc_id // 8 pid,
+        |    md5(CAST(doc_id AS VARCHAR) || 'maj') h FROM documents),
+        |g AS (SELECT doc_id, pid, CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v
+        |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+        |  GROUP BY doc_id, pid),
+        |sm AS (SELECT pid, 'a' || CAST(pid % 4 AS VARCHAR) gold,
+        |    CASE WHEN doc_id % 23 = 0 THEN NULL
+        |         WHEN v % 2 = 0 THEN 'a' || CAST(pid % 4 AS VARCHAR)
+        |         ELSE 'a' || CAST(v % 5 AS VARCHAR) END answer
+        |  FROM g),
+        |base AS (SELECT pid, CAST(COUNT(*) AS BIGINT) n_samples,
+        |    MIN(gold) IS NOT DISTINCT FROM MAX(gold) gold_ok,
+        |    MAX(gold) gld
+        |  FROM sm GROUP BY 1),
+        |v2 AS (SELECT pid, answer, COUNT(*) c FROM sm
+        |  WHERE answer IS NOT NULL GROUP BY 1, 2),
+        |md AS (SELECT pid, answer, CAST(c AS BIGINT) c,
+        |    row_number() OVER (PARTITION BY pid
+        |      ORDER BY c DESC, answer ASC) rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) nda
+        |  FROM v2),
+        |top AS (SELECT pid, answer modal_answer, c modal_count, nda
+        |  FROM md WHERE rk = 1),
+        |j AS (SELECT base.pid problem_id, n_samples, gold_ok,
+        |    COALESCE(nda, 0) n_distinct_answers, modal_answer,
+        |    COALESCE(modal_count, 0) modal_count,
+        |    COALESCE(modal_answer = gld, FALSE) maj_correct
+        |  FROM base LEFT JOIN top ON base.pid = top.pid)
+        |SELECT problem_id, n_samples, gold_ok, n_distinct_answers,
+        |  modal_answer, modal_count, maj_correct,
+        |  CAST((1000000 * SUM(CASE WHEN maj_correct THEN 1 ELSE 0 END)
+        |      OVER ()) // COUNT(*) OVER () AS BIGINT) maj_acc_ppm
+        |FROM j""".stripMargin,
+    // AUC replay: the q182 score/label synthesis with the %17 NULL
+    // class, per-score pos/neg counts, the ascending running negative
+    // sum, then the Mann-Whitney fold — all operands non-negative so
+    // // == div; HUGEINT sums cast back to BIGINT
+    "q231_roc_auc" ->
+      """WITH hx AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || 'cal') hc,
+        |    md5(CAST(doc_id AS VARCHAR) || 'lab') hl
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(hc, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) vc,
+        |    CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(hl, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) vl
+        |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+        |  GROUP BY doc_id),
+        |sl AS (SELECT CASE WHEN doc_id % 17 = 0 THEN NULL
+        |      ELSE vc % 1000001 END s,
+        |    CASE WHEN doc_id % 13 = 0 THEN FALSE
+        |         ELSE vl % 1000000 < vc % 1000001 END y
+        |  FROM g),
+        |gr AS (SELECT CASE WHEN s IS NULL OR y IS NULL THEN NULL
+        |      ELSE s END s,
+        |    SUM(CASE WHEN s IS NOT NULL AND y IS NOT NULL AND y
+        |      THEN 1 ELSE 0 END) np,
+        |    SUM(CASE WHEN s IS NOT NULL AND y IS NOT NULL AND NOT y
+        |      THEN 1 ELSE 0 END) nn,
+        |    SUM(CASE WHEN s IS NULL OR y IS NULL THEN 1 ELSE 0 END) nx
+        |  FROM sl GROUP BY 1),
+        |acc AS (SELECT np, nn, nx,
+        |    COALESCE(SUM(nn) OVER (ORDER BY s ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_nn
+        |  FROM gr),
+        |f AS (SELECT CAST(COALESCE(SUM(np), 0) AS BIGINT) n_pos,
+        |    CAST(COALESCE(SUM(nn), 0) AS BIGINT) n_neg,
+        |    CAST(COALESCE(SUM(nx), 0) AS BIGINT) n_excluded,
+        |    CAST(COALESCE(SUM(np * cum_nn), 0) AS BIGINT) wins,
+        |    CAST(COALESCE(SUM(np * nn), 0) AS BIGINT) AS "ties"
+        |  FROM acc)
+        |SELECT n_pos, n_neg, n_excluded, wins, "ties",
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    (1000000 * (2 * CAST(wins AS HUGEINT) + "ties"))
+        |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT)
+        |    auc_ppm
+        |FROM f""".stripMargin,
     // distinct-n replay: the same planted classes, unigrams from the
     // unnest, bigrams from a candidate-partitioned lead, then the
     // (prompt, n, gram) dedup rollup and the per-prompt fold; all

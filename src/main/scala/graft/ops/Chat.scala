@@ -715,6 +715,51 @@ object Chat {
         col("pass_at_k_ppm"))
   }
 
+  /** Majority-vote self-consistency (Wang et al. '22, "Self-Consistency
+    * Improves Chain of Thought Reasoning" — the maj@k companion to
+    * [[passAtK]]: instead of "any sample passes", the metric is "the
+    * MODAL answer is right", the way reasoning benchmarks are actually
+    * scored): per problem, the most frequent non-NULL answer with
+    * DETERMINISTIC ties (highest count, then lexicographically smallest
+    * answer — the min(struct(-count, answer)) argmax device), compared
+    * against the problem's gold. NULL answers (the model abstained /
+    * extraction failed) count as samples but never vote; a problem
+    * whose every answer is NULL keeps its row with a NULL modal and
+    * `maj_correct` false (no answer cannot be a right answer — the
+    * coalesce is pinned, not incidental). `gold_ok` surfaces problems
+    * whose gold column is inconsistent across samples (min ≠ max) —
+    * scoring against a silently-picked gold is how eval bugs hide.
+    * `maj_acc_ppm` repeats the corpus-level accuracy on every row (the
+    * q182 ece_ppm window device).
+    *
+    * Shape at scale: two map-side-combined aggregations (per-answer
+    * votes, then per-problem argmax) plus the per-problem base rollup —
+    * every post-scan frame is bounded by the problem/answer alphabet;
+    * the window runs over the problem-bounded result. */
+  def majorityVote(samples: DataFrame, problemCol: String = "problem_id",
+                   answerCol: String = "answer",
+                   goldCol: String = "gold"): DataFrame = {
+    val base = samples.groupBy(col(problemCol)).agg(
+      count(lit(1)).as("n_samples"),
+      max(col(goldCol)).as("_gold"),
+      (min(col(goldCol)) <=> max(col(goldCol))).as("gold_ok"))
+    val votes = samples.where(col(answerCol).isNotNull)
+      .groupBy(col(problemCol), col(answerCol).as("_a"))
+      .agg(count(lit(1)).as("_c"))
+    val modal = votes.groupBy(col(problemCol)).agg(
+      count(lit(1)).as("n_distinct_answers"),
+      min(struct((-col("_c")).as("nc"), col("_a").as("a"))).as("_m"))
+    base.join(modal, Seq(problemCol), "left")
+      .select(col(problemCol), col("n_samples"), col("gold_ok"),
+        coalesce(col("n_distinct_answers"), lit(0L)).as("n_distinct_answers"),
+        col("_m.a").as("modal_answer"),
+        coalesce(-col("_m.nc"), lit(0L)).as("modal_count"),
+        coalesce(col("_m.a") === col("_gold"), lit(false)).as("maj_correct"))
+      .withColumn("maj_acc_ppm", expr(
+        """(1000000 * sum(case when maj_correct then 1 else 0 end) over ())
+          |  div count(1) over ()""".stripMargin))
+  }
+
   /** Distinct-n generation diversity (Li et al. '16, "A Diversity-
     * Promoting Objective Function for Neural Conversation Models" —
     * the standard mode-collapse read on sampled generations): per

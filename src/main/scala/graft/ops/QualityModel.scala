@@ -255,4 +255,64 @@ object QualityModel {
       graft.expr.Exprs.quantDot(col(vecCol), weights, qscale).as("score_fx"))
       .where(col("score_fx").isNotNull)
       .withColumn("keep", col("score_fx") > 0L)
+
+  /** Exact ROC-AUC of an integer score against a boolean label — THE
+    * calibration read on every quality/safety classifier this module
+    * trains (is the score actually ranking positives above negatives?).
+    * AUC equals the Mann–Whitney statistic
+    *
+    *   AUC = (#(pos > neg) + ½·#(pos == neg)) / (n_pos · n_neg)
+    *
+    * computed EXACTLY without materializing pairs: group rows by score,
+    * order the score alphabet ascending, and fold
+    *
+    *   wins = Σ_s n_pos(s) · cum_neg(< s),   ties = Σ_s n_pos(s)·n_neg(s)
+    *   auc_ppm = 10⁶·(2·wins + ties) div (2·n_pos·n_neg)
+    *
+    * — every operand non-negative (Spark div == DuckDB //), products
+    * routed through decimal(38,0). Rows with a NULL score or label are
+    * excluded from ranking but surfaced in `n_excluded` (the
+    * malformed-rows rule); a degenerate input (no positives or no
+    * negatives) reads NULL auc, not a fabricated ½.
+    *
+    * Shape at scale: ONE map-side-combined groupBy to the score
+    * alphabet (integer scores — ppm-quantized scores bound this at 10⁶
+    * +1 rows), one alphabet-bounded running-sum window, one final fold
+    * to a single row. The corpus is scanned once; nothing pairwise
+    * ever materializes. The reported `wins`/`ties` audit columns are
+    * BIGINT-bounded (n_pos·n_neg < 2⁶³ — holds to ~3·10⁹ balanced
+    * rows; the ppm ratio itself is computed in decimal and immune). */
+  def rocAuc(scored: DataFrame, scoreCol: String = "score_ppm",
+             labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = scored.select(col(scoreCol).cast("long").as("_s"),
+      col(labelCol).cast("boolean").as("_y"))
+    val bad = col("_s").isNull || col("_y").isNull
+    val g = rows.groupBy(when(bad, lit(null).cast("long"))
+        .otherwise(col("_s")).as("s"))
+      .agg(sum(when(!bad && col("_y"), 1L).otherwise(0L)).as("np"),
+        sum(when(!bad && !col("_y"), 1L).otherwise(0L)).as("nn"),
+        sum(when(bad, 1L).otherwise(0L)).as("nx"))
+    // the NULL-score group carries np = nn = 0, so its window position
+    // contributes nothing to cum_nn and the fold below
+    val w = Window.orderBy(col("s").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("nx")).as("n_excluded"),
+        sum(col("np").cast("decimal(38,0)") * col("cum_nn")).as("_w"),
+        sum(col("np").cast("decimal(38,0)") * col("nn")).as("_t"))
+      .select(
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        coalesce(col("n_excluded"), lit(0L)).as("n_excluded"),
+        coalesce(col("_w"), lit(0)).cast("long").as("wins"),
+        coalesce(col("_t"), lit(0)).cast("long").as("ties"))
+      .withColumn("auc_ppm", expr(
+        """case when n_pos > 0 and n_neg > 0 then
+          |  cast((1000000 * (2 * cast(wins as decimal(38,0)) + ties))
+          |    div (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)
+          |end""".stripMargin))
+  }
 }

@@ -297,6 +297,28 @@ class ChatSpec extends SparkTestBase {
     assert(Chat.lengthBias(empty).count() == 0L)
   }
 
+  test("majorityVote: modal ties break lexicographic, NULLs never vote, gold drift surfaces") {
+    val samples = Seq(
+      (1L, Some("a"), "a"), (1L, Some("a"), "a"), (1L, Some("b"), "a"),
+      (2L, Some("a"), "b"), (2L, Some("b"), "b"),       // 1-1 tie -> 'a' wins
+      (3L, None, "x"), (3L, None, "x"),                 // all abstain
+      (4L, Some("z"), "y"), (4L, Some("z"), "z"))       // inconsistent gold
+      .map { case (p, a, g) => (p, a.orNull, g) }
+      .toDF("problem_id", "answer", "gold")
+    val got = Chat.majorityVote(samples).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3),
+        Option(r.getString(4)), r.getLong(5), r.getBoolean(6),
+        r.getLong(7)))).toMap
+    // corpus accuracy: p1 and p4 correct of 4 -> 500000 ppm everywhere
+    assert(got(1L) == ((3L, true, 2L, Some("a"), 2L, true, 500000L)))
+    assert(got(2L) == ((2L, true, 2L, Some("a"), 1L, false, 500000L)),
+      "a count tie must pick the lexicographically smallest answer")
+    assert(got(3L) == ((2L, true, 0L, None, 0L, false, 500000L)),
+      "an all-abstain problem keeps its row and cannot be correct")
+    assert(got(4L)._2 == false, "gold drift across samples must surface")
+    assert(got(4L)._6 == true, "modal compares against max(gold), pinned")
+  }
+
   test("distinctNgrams: pooled unigrams, per-candidate bigrams, empty prompts survive") {
     val cands = Seq(
       (1L, 10L, "a b a"),                    // bigrams: "a b", "b a"

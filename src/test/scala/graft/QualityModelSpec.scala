@@ -160,4 +160,32 @@ class QualityModelSpec extends SparkTestBase {
     val sd = QualityModel.embeddingProbeScore(d, w).select("score_fx").as[Long].head()
     assert(sf == sd && sf == 3L * 256 - 2L * -512 + 5L * 1024)
   }
+
+  test("rocAuc: hand-computed Mann-Whitney, ties at half credit, NULLs surfaced") {
+    // pos scores {3, 2}, neg {1, 2}: wins (3>1, 3>2, 2>1) = 3, one tie
+    // -> AUC = (2*3 + 1) / (2*2*2) = 7/8
+    val scored = Seq(
+      (Some(3L), Some(true)), (Some(2L), Some(true)),
+      (Some(1L), Some(false)), (Some(2L), Some(false)),
+      (None, Some(true)), (Some(9L), None)) // excluded, surfaced
+      .toDF("score_ppm", "label")
+    val r = QualityModel.rocAuc(scored).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 2L, 2L, 3L, 1L, 875000L)))
+  }
+
+  test("rocAuc: perfect / inverted / degenerate / empty inputs") {
+    val perfect = Seq((10L, true), (9L, true), (1L, false))
+      .toDF("score_ppm", "label")
+    assert(QualityModel.rocAuc(perfect).head().getLong(5) == 1000000L)
+    val inverted = Seq((1L, true), (10L, false)).toDF("score_ppm", "label")
+    assert(QualityModel.rocAuc(inverted).head().getLong(5) == 0L)
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("score_ppm", "label")
+    val d = QualityModel.rocAuc(onlyPos).head()
+    assert(d.getLong(0) == 2L && d.getLong(1) == 0L && d.isNullAt(5),
+      "no negatives: AUC must read NULL, not a fabricated half")
+    val empty = Seq.empty[(Long, Boolean)].toDF("score_ppm", "label")
+    val e = QualityModel.rocAuc(empty).head()
+    assert(e.getLong(0) == 0L && e.getLong(2) == 0L && e.isNullAt(5))
+  }
 }
