@@ -739,6 +739,67 @@ object ScaleSmoke {
       r.getLong(2) == 2000L),
       s"planted source doc must win with exact 2000: ${top1.mkString(",")}")
     ms.unpersist(false)
+    // --- round-13 eval/curation audits at corpus size ---
+    // readability: scan-side regexp counts over the wdocs text corpus
+    t0 = System.nanoTime()
+    val fre = ops.Quality.readability(wdocs)
+    val freBands = fre.groupBy(col("fre_band")).count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    println(f"readability($n docs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"bands=$freBands")
+    assert(freBands.values.sum == n, "one verdict per doc")
+    // distinct-n diversity: n/4 prompts x 4 candidates over wdocs text;
+    // every candidate is hash-unique, so distinct-1 == total_1 for every
+    // prompt (d1_ppm exactly 1e6) — the all-diverse upper bound
+    t0 = System.nanoTime()
+    val dn = ops.Chat.distinctNgrams(wdocs.select(
+      expr("doc_id div 4").as("prompt_id"), col("doc_id").as("cand_id"),
+      col("text")))
+    val dnBad = dn.where(col("d1_ppm") < 990000L).count()
+    println(f"distinctNgrams($n cands, ${n / 4} prompts): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, ${dn.count()} prompts, " +
+      f"$dnBad below 0.99")
+    // rocAuc: n scored rows, scores hash-spread over the ppm alphabet,
+    // labels planted by threshold -> AUC must land at the analytic value
+    // for "label = score > 500k with 10% flips": wins dominated by the
+    // clean mass; assert the exact symmetric-construction bound instead
+    // of an approximation: every label here IS score>500000, so AUC = 1.
+    t0 = System.nanoTime()
+    val aucRows = spark.range(n).select(
+      pmod(xxhash64(col("id"), lit(4099)), lit(1000001L)).as("score_ppm"),
+      (pmod(xxhash64(col("id"), lit(4099)), lit(1000001L)) > 500000L)
+        .as("label"))
+    val auc = ops.QualityModel.rocAuc(aucRows).head()
+    println(f"rocAuc($n rows): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"auc_ppm=${auc.getLong(5)}, pos=${auc.getLong(0)}")
+    assert(auc.getLong(5) == 1000000L,
+      "threshold-consistent labels must read AUC exactly 1")
+    // majorityVote: n samples over n/8 problems; even hashes vote gold
+    // (>= half the votes in expectation), so corpus accuracy stays high
+    t0 = System.nanoTime()
+    val mv = ops.Chat.majorityVote(spark.range(n).select(
+      expr("id div 8").as("problem_id"),
+      when(pmod(xxhash64(col("id"), lit(7717)), lit(2)) === 0,
+        concat(lit("a"), pmod(expr("id div 8"), lit(4)).cast("string")))
+        .otherwise(concat(lit("a"), pmod(xxhash64(col("id"), lit(7717)),
+          lit(5)).cast("string"))).as("answer"),
+      concat(lit("a"), pmod(expr("id div 8"), lit(4)).cast("string"))
+        .as("gold")))
+    val mvAcc = mv.head().getLong(7)
+    println(f"majorityVote($n samples, ${n / 8} problems): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, acc_ppm=$mvAcc")
+    assert(mvAcc > 900000L, "gold majority must dominate")
+    // lengthBias: n validated pairs, deltas hash-spread over both signs
+    t0 = System.nanoTime()
+    val lb = ops.Chat.lengthBias(spark.range(n).select(col("id").as("pair_id"),
+      (lit(1000L) + pmod(xxhash64(col("id"), lit(31)), lit(512L)))
+        .as("chosen_chars"),
+      (lit(1000L) + pmod(xxhash64(col("id"), lit(37)), lit(512L)))
+        .as("rejected_chars"), lit(true).as("ok")))
+    val lbRows = lb.collect()
+    println(f"lengthBias($n pairs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"${lbRows.length} bands, global=${lbRows.head.getLong(5)}")
+    assert(lbRows.length <= 11, "bands bounded by the delta bit width")
     spark.stop()
   }
 }

@@ -1419,6 +1419,32 @@ object SparkEntry {
       QualityModel.rocAuc(Tables.documents(s, d).select(
         nulled.as("score_ppm"), planted.as("label")))
     }),
+    // dup-cluster size spectrum (Curate.clusterSpectrum): the q49
+    // component chain widened with singletons (docs untouched by any
+    // pair anchor octave 0 — a pairs-only spectrum overstates the
+    // tail), then the octave histogram + integer ls power-law fit
+    "q233_dup_spectrum" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 60)
+      val cl = Curate.dupClusters(Dedup.ngramJaccardPairs(
+        docs, n = 2, minJaccard = 0.05))
+      Curate.clusterSpectrum(docs.select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
+    }),
+    // trained-classifier AUC (QualityModel.rocAuc over the q199 head):
+    // train the logistic quality head, score the corpus, then ask the
+    // model-selection question q199 itself cannot answer — does the
+    // learned score actually RANK positives above negatives? The
+    // hard-sigmoid's 0/10^6 clamps collapse score ties across classes,
+    // which is exactly what the tie half-credit term is for
+    "q232_classifier_auc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = QualityModel.logregScore(docs,
+        QualityModel.logregTrain(QualityModel.logregFrame(docs)))
+      QualityModel.rocAuc(scored.select(col("p_ppm").as("score_ppm"),
+        (col("y") === 1L).as("label")))
+    }),
     // distinct-n generation diversity (Chat.distinctNgrams, Li et al.
     // '16): 4 candidates per prompt (the q185 grouping), %7 doubles
     // its text (repetition halves distinct mass), %101 NULLs it (the
@@ -2854,6 +2880,37 @@ object SparkEntry {
        |    CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3),
        |$iterCtes""".stripMargin
   }
+
+  /** The Mann–Whitney AUC fold (q231/q232): expects a CTE `sl(s, y)`
+    * (nullable BIGINT score, nullable BOOLEAN label) already defined;
+    * groups by score, runs the ascending running negative sum, folds
+    * wins/"ties", and SELECTs the single result row. Appended directly
+    * after the upstream chain (it begins with the `gr` CTE). */
+  private val aucFoldSql: String =
+    """gr AS (SELECT CASE WHEN s IS NULL OR y IS NULL THEN NULL
+      |      ELSE s END s,
+      |    SUM(CASE WHEN s IS NOT NULL AND y IS NOT NULL AND y
+      |      THEN 1 ELSE 0 END) np,
+      |    SUM(CASE WHEN s IS NOT NULL AND y IS NOT NULL AND NOT y
+      |      THEN 1 ELSE 0 END) nn,
+      |    SUM(CASE WHEN s IS NULL OR y IS NULL THEN 1 ELSE 0 END) nx
+      |  FROM sl GROUP BY 1),
+      |acc AS (SELECT np, nn, nx,
+      |    COALESCE(SUM(nn) OVER (ORDER BY s ASC NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_nn
+      |  FROM gr),
+      |f AS (SELECT CAST(COALESCE(SUM(np), 0) AS BIGINT) n_pos,
+      |    CAST(COALESCE(SUM(nn), 0) AS BIGINT) n_neg,
+      |    CAST(COALESCE(SUM(nx), 0) AS BIGINT) n_excluded,
+      |    CAST(COALESCE(SUM(np * cum_nn), 0) AS BIGINT) wins,
+      |    CAST(COALESCE(SUM(np * nn), 0) AS BIGINT) AS "ties"
+      |  FROM acc)
+      |SELECT n_pos, n_neg, n_excluded, wins, "ties",
+      |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    (1000000 * (2 * CAST(wins AS HUGEINT) + "ties"))
+      |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT)
+      |    auc_ppm
+      |FROM f""".stripMargin
 
   /** PCA power-iteration replay (q206): milli-quantized elements,
     * truncated-integer-mean centering (sign-factored |S| div n — the
@@ -6296,7 +6353,7 @@ object SparkEntry {
     // sum, then the Mann-Whitney fold — all operands non-negative so
     // // == div; HUGEINT sums cast back to BIGINT
     "q231_roc_auc" ->
-      """WITH hx AS (SELECT doc_id,
+      ("""WITH hx AS (SELECT doc_id,
         |    md5(CAST(doc_id AS VARCHAR) || 'cal') hc,
         |    md5(CAST(doc_id AS VARCHAR) || 'lab') hl
         |  FROM documents),
@@ -6312,31 +6369,51 @@ object SparkEntry {
         |      ELSE vc % 1000001 END s,
         |    CASE WHEN doc_id % 13 = 0 THEN FALSE
         |         ELSE vl % 1000000 < vc % 1000001 END y
-        |  FROM g),
-        |gr AS (SELECT CASE WHEN s IS NULL OR y IS NULL THEN NULL
-        |      ELSE s END s,
-        |    SUM(CASE WHEN s IS NOT NULL AND y IS NOT NULL AND y
-        |      THEN 1 ELSE 0 END) np,
-        |    SUM(CASE WHEN s IS NOT NULL AND y IS NOT NULL AND NOT y
-        |      THEN 1 ELSE 0 END) nn,
-        |    SUM(CASE WHEN s IS NULL OR y IS NULL THEN 1 ELSE 0 END) nx
-        |  FROM sl GROUP BY 1),
-        |acc AS (SELECT np, nn, nx,
-        |    COALESCE(SUM(nn) OVER (ORDER BY s ASC NULLS FIRST
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_nn
-        |  FROM gr),
-        |f AS (SELECT CAST(COALESCE(SUM(np), 0) AS BIGINT) n_pos,
-        |    CAST(COALESCE(SUM(nn), 0) AS BIGINT) n_neg,
-        |    CAST(COALESCE(SUM(nx), 0) AS BIGINT) n_excluded,
-        |    CAST(COALESCE(SUM(np * cum_nn), 0) AS BIGINT) wins,
-        |    CAST(COALESCE(SUM(np * nn), 0) AS BIGINT) AS "ties"
-        |  FROM acc)
-        |SELECT n_pos, n_neg, n_excluded, wins, "ties",
-        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |    (1000000 * (2 * CAST(wins AS HUGEINT) + "ties"))
-        |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT)
-        |    auc_ppm
-        |FROM f""".stripMargin,
+        |  FROM g),""".stripMargin + "\n" + aucFoldSql),
+    // dup-spectrum replay: the q49 recursive component chain, the
+    // singleton left join, octave rollups, and the zipf-fit ls device
+    // (det >= 0 by Cauchy-Schwarz; numerators sign-factored)
+    "q233_dup_spectrum" ->
+      (dupClustersCte + """,
+        |cl AS (SELECT node doc_id, MIN(r) cluster_id FROM reach
+        |  GROUP BY node),
+        |alld AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id)
+        |      cluster_id
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+        |  LEFT JOIN cl USING (doc_id)),
+        |sz AS (SELECT cluster_id, COUNT(*) csize FROM alld GROUP BY 1),
+        |o AS (SELECT length(bin(CAST(csize AS BIGINT))) - 1 octave,
+        |    COUNT(*) n_clusters, CAST(SUM(csize) AS BIGINT) n_docs
+        |  FROM sz GROUP BY 1),
+        |yc AS (SELECT octave, n_clusters, n_docs,
+        |    (length(bin(CAST(n_clusters AS BIGINT))) - 1) * 1000 y_milli,
+        |    octave + 1 x FROM o),
+        |s2 AS (SELECT COUNT(*) n_oct, SUM(x) sx, SUM(y_milli) sy,
+        |    SUM(x * y_milli) sxy, SUM(x * x) sxx FROM yc),
+        |f2 AS (SELECT n_oct * sxx - sx * sx AS det,
+        |    n_oct * sxy - sx * sy AS num_s,
+        |    sy * sxx - sx * sxy AS num_i FROM s2)
+        |SELECT CAST(octave AS BIGINT) octave,
+        |  CAST(n_clusters AS BIGINT) n_clusters, n_docs,
+        |  CAST(y_milli AS BIGINT) y_milli,
+        |  CAST(CASE WHEN det = 0 THEN NULL ELSE
+        |    (CASE WHEN num_s < 0 THEN -1 ELSE 1 END) * (abs(num_s) // det)
+        |  END AS BIGINT) slope_milli,
+        |  CAST(CASE WHEN det = 0 THEN NULL ELSE
+        |    (CASE WHEN num_i < 0 THEN -1 ELSE 1 END) * (abs(num_i) // det)
+        |  END AS BIGINT) intercept_milli
+        |FROM yc CROSS JOIN f2""".stripMargin),
+    // classifier-AUC replay: the full q199 training chain (8 unrolled
+    // GD rounds), the final-weight scoring expression as `sl`, then
+    // the shared Mann-Whitney fold — no NULLs here, n_excluded 0
+    "q232_classifier_auc" ->
+      ("WITH " + logregCtes + """,
+        |sl AS (SELECT CAST(least(greatest(
+        |      (w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + 2000000) // 4,
+        |      0), 1000000) AS BIGINT) s,
+        |    f.y = 1 y
+        |  FROM feat f CROSS JOIN wr8 w),""".stripMargin
+        + "\n" + aucFoldSql),
     // distinct-n replay: the same planted classes, unigrams from the
     // unnest, bigrams from a candidate-partitioned lead, then the
     // (prompt, n, gram) dedup rollup and the per-prompt fold; all

@@ -1236,6 +1236,40 @@ object Curate {
         .select(col("n").as("doc_id"), col("n").as("cluster_id")))
   }
 
+  /** Cluster-size SPECTRUM with a power-law fit — the dedup health
+    * report read off [[dupClusters]] output (or any assignment frame:
+    * k-means, image/video dup components): cluster sizes collapse onto
+    * octaves (size ∈ [2^k, 2^(k+1)) → octave k — the ilog2 device) and
+    * the integer least-squares line over (octave+1, 1000·ilog2
+    * n_clusters) estimates the size-distribution exponent as
+    * `slope_milli`. A steeply negative slope is the healthy long tail
+    * (most docs unique, dup mass in small clusters); a flat or positive
+    * slope means mega-components — the boilerplate/mirror pathology a
+    * dedup owner must look at before trusting survivor counts. Include
+    * singleton clusters (docs untouched by any pair) in the input —
+    * octave 0 anchors the fit; a pairs-only spectrum overstates the
+    * tail (q233 does exactly that composition).
+    *
+    * Shape at scale: one map-side-combined size rollup (bounded by the
+    * cluster count), one octave rollup (≤ 64 rows), and the lsFit
+    * window over that bounded frame. */
+  def clusterSpectrum(clusters: DataFrame,
+                      clusterCol: String = "cluster_id"): DataFrame = {
+    val sz = clusters.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("csize"))
+    val oct = sz
+      .groupBy((length(bin(col("csize"))).cast("long") - 1L).as("octave"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("csize")).cast("long").as("n_docs"))
+    val curve = oct
+      .withColumn("y_milli",
+        (length(bin(col("n_clusters"))).cast("long") - 1L) * 1000L)
+      .withColumn("x", col("octave") + 1L)
+    TextAnalysis.lsFitMilli(curve, "x", "y_milli")
+      .select(col("octave"), col("n_clusters"), col("n_docs"),
+        col("y_milli"), col("slope_milli"), col("intercept_milli"))
+  }
+
   // ------------------------------------------------------- end-to-end
 
   /** The full curation pipeline in one plan — what a user actually runs:

@@ -65,7 +65,10 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // q220 chains the q143 BM25 build (eager corpus stats); q224 runs
     // its seed argmax rounds + Lloyd collects at construction; q226
     // collects the topK²-bounded PPMI matrix for its power rounds
-    "q220_retrieval_eval", "q224_kmeans_kcenter", "q226_spectral_tokens")
+    // q232 runs the q199 training chain (bounded scalar reads per
+    // round); q233 runs the q49 label-propagation loop
+    "q220_retrieval_eval", "q224_kmeans_kcenter", "q226_spectral_tokens",
+    "q232_classifier_auc", "q233_dup_spectrum")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -79,6 +79,33 @@ class CurateSpec extends SparkTestBase {
     assert(got.size == 30 && got.values.forall(_ == 1L))
   }
 
+  test("clusterSpectrum: octave histogram and hand-computed power-law fit") {
+    // sizes: 8 singletons (oct 0), 2+2+3 (oct 1), 5 (oct 2)
+    val assign = (
+      (1 to 8).map(i => (i.toLong, i.toLong)) ++            // singletons
+      Seq(100L -> 10L, 101L -> 10L, 102L -> 11L, 103L -> 11L,
+        104L -> 12L, 105L -> 12L, 106L -> 12L) ++           // 2, 2, 3
+      (110 to 114).map(i => (i.toLong, 20L))                // 5
+    ).toDF("doc_id", "cluster_id")
+    val got = Curate.clusterSpectrum(assign).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // ls over (1, 3000), (2, 1000), (3, 0): det 6, slope -9000/6,
+    // intercept 26000 div 6
+    assert(got == Map(
+      0L -> ((8L, 8L, 3000L, -1500L, 4333L)),
+      1L -> ((3L, 7L, 1000L, -1500L, 4333L)),
+      2L -> ((1L, 5L, 0L, -1500L, 4333L))))
+  }
+
+  test("clusterSpectrum: single-octave input reads NULL fit, not zero") {
+    val assign = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val r = Curate.clusterSpectrum(assign).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 0L && r(0).getLong(1) == 3L)
+    assert(r(0).isNullAt(4) && r(0).isNullAt(5),
+      "a one-point fit is degenerate (det = 0): NULL, never a fabricated 0")
+  }
+
   test("dupClustersStar == dupClusters on random graphs and a deep chain") {
     val rnd = new scala.util.Random(23)
     // random graph: 120 nodes, 90 random edges -> several components
