@@ -1419,6 +1419,39 @@ object SparkEntry {
       QualityModel.rocAuc(Tables.documents(s, d).select(
         nulled.as("score_ppm"), planted.as("label")))
     }),
+    // per-source ROC-AUC (QualityModel.rocAucBy): the q231 synthesis
+    // partitioned by the source column — a classifier can rank well
+    // globally while inverting inside one source; per-group fold,
+    // same NULL/degenerate semantics
+    "q234_auc_by_source" -> ((s, d) => {
+      val score = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("cal"))), lit(1000001L))
+      val label = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("lab"))), lit(1000000L)) < score
+      val planted = when(pmod(col("doc_id"), lit(13)) === 0, lit(false))
+        .otherwise(label)
+      val nulled = when(pmod(col("doc_id"), lit(17)) === 0,
+        lit(null).cast("long")).otherwise(score)
+      QualityModel.rocAucBy(Tables.documents(s, d).select(col("source"),
+        nulled.as("score_ppm"), planted.as("label")), "source")
+    }),
+    // scorer rank agreement (Stats.rankAgreement, Goodman-Kruskal
+    // gamma): does the cheap Flesch heuristic rank documents the way
+    // the trained q199 head does? Both scores quantized to the 16-level
+    // grid (the q199 device) so the histogram theta join stays
+    // alphabet-bounded; gamma over tau-b deliberately — no square root,
+    // exact ppm
+    "q235_score_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fre = Quality.readability(docs)
+        .where(col("fre_milli").isNotNull)
+        .select(col("doc_id"),
+          expr("least(greatest(fre_milli, 0) div 12500, 15)").as("x"))
+      val head = QualityModel.logregScore(docs,
+        QualityModel.logregTrain(QualityModel.logregFrame(docs)))
+        .select(col("doc_id"), expr("least(p_ppm div 62500, 15)").as("y"))
+      Stats.rankAgreement(fre.join(head, Seq("doc_id")))
+    }),
     // dup-cluster size spectrum (Curate.clusterSpectrum): the q49
     // component chain widened with singletons (docs untouched by any
     // pair anchor octave 0 — a pairs-only spectrum overstates the
@@ -6370,6 +6403,94 @@ object SparkEntry {
         |    CASE WHEN doc_id % 13 = 0 THEN FALSE
         |         ELSE vl % 1000000 < vc % 1000001 END y
         |  FROM g),""".stripMargin + "\n" + aucFoldSql),
+    // per-source AUC replay: the q231 synthesis carrying source, the
+    // fold partitioned/grouped by source
+    "q234_auc_by_source" ->
+      """WITH hx AS (SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR) || 'cal') hc,
+        |    md5(CAST(doc_id AS VARCHAR) || 'lab') hl
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(hc, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) vc,
+        |    CAST(SUM(
+        |      (strpos('0123456789abcdef', substr(hl, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) vl
+        |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+        |  GROUP BY doc_id, source),
+        |sl AS (SELECT source, CASE WHEN doc_id % 17 = 0 THEN NULL
+        |      ELSE vc % 1000001 END s,
+        |    CASE WHEN doc_id % 13 = 0 THEN FALSE
+        |         ELSE vl % 1000000 < vc % 1000001 END y
+        |  FROM g),
+        |gr AS (SELECT source, CASE WHEN s IS NULL OR y IS NULL THEN NULL
+        |      ELSE s END s,
+        |    SUM(CASE WHEN s IS NOT NULL AND y IS NOT NULL AND y
+        |      THEN 1 ELSE 0 END) np,
+        |    SUM(CASE WHEN s IS NOT NULL AND y IS NOT NULL AND NOT y
+        |      THEN 1 ELSE 0 END) nn,
+        |    SUM(CASE WHEN s IS NULL OR y IS NULL THEN 1 ELSE 0 END) nx
+        |  FROM sl GROUP BY 1, 2),
+        |acc AS (SELECT source, np, nn, nx,
+        |    COALESCE(SUM(nn) OVER (PARTITION BY source
+        |      ORDER BY s ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_nn
+        |  FROM gr),
+        |f AS (SELECT source, CAST(COALESCE(SUM(np), 0) AS BIGINT) n_pos,
+        |    CAST(COALESCE(SUM(nn), 0) AS BIGINT) n_neg,
+        |    CAST(COALESCE(SUM(nx), 0) AS BIGINT) n_excluded,
+        |    CAST(COALESCE(SUM(np * cum_nn), 0) AS BIGINT) wins,
+        |    CAST(COALESCE(SUM(np * nn), 0) AS BIGINT) AS "ties"
+        |  FROM acc GROUP BY 1)
+        |SELECT source, n_pos, n_neg, n_excluded, wins, "ties",
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    (1000000 * (2 * CAST(wins AS HUGEINT) + "ties"))
+        |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT)
+        |    auc_ppm
+        |FROM f""".stripMargin,
+    // rank-agreement replay: the raw-document readability chain, the
+    // full q199 training chain, both banded to the 16-level grid, the
+    // joint histogram, and the strict-inequality cell-pair fold;
+    // gamma's one division sign-factored (C - D can be negative)
+    "q235_score_agreement" ->
+      ("""WITH rc AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        t2 -> t2 <> '')) END nw,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      END ns,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) END ny
+        |  FROM documents),
+        |fr AS (SELECT doc_id,
+        |    CASE WHEN nw > 0 THEN 206835
+        |      - (1015 * ((1000 * nw) // ns)) // 1000
+        |      - (84600 * ((1000 * ny) // nw)) // 1000 END fre
+        |  FROM rc),
+        |xb AS (SELECT doc_id, least(greatest(fre, 0) // 12500, 15) x
+        |  FROM fr WHERE fre IS NOT NULL),""".stripMargin
+        + "\n" + logregCtes + """,
+        |yb AS (SELECT f.doc_id, least(least(greatest(
+        |      (w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + 2000000) // 4,
+        |      0), 1000000) // 62500, 15) y
+        |  FROM feat f CROSS JOIN wr8 w),
+        |j AS (SELECT xb.x, yb.y FROM xb JOIN yb USING (doc_id)),
+        |h AS (SELECT x, y, COUNT(*) n FROM j GROUP BY 1, 2),
+        |pr AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN a.n * b.n END), 0)
+        |      AS BIGINT) concordant,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN a.n * b.n END), 0)
+        |      AS BIGINT) discordant
+        |  FROM h a JOIN h b ON b.x > a.x AND b.y <> a.y),
+        |tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) n_docs FROM h)
+        |SELECT n_docs, concordant, discordant,
+        |  CAST(CASE WHEN concordant + discordant > 0 THEN
+        |    (CASE WHEN concordant < discordant THEN -1 ELSE 1 END) *
+        |    ((1000000 * abs(concordant - discordant))
+        |      // (concordant + discordant))
+        |  END AS BIGINT) gamma_ppm
+        |FROM tot CROSS JOIN pr""".stripMargin),
     // dup-spectrum replay: the q49 recursive component chain, the
     // singleton left join, octave rollups, and the zipf-fit ls device
     // (det >= 0 by Cauchy-Schwarz; numerators sign-factored)

@@ -315,4 +315,45 @@ object QualityModel {
           |    div (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)
           |end""".stripMargin))
   }
+
+  /** Per-group ROC-AUC — [[rocAuc]] partitioned by a group column (the
+    * per-source calibration read: a classifier can rank well globally
+    * while inverting inside one source, and the mixture weights hide
+    * it). Same Mann–Whitney fold, same NULL/degenerate semantics, one
+    * row per group; a group whose rows are all one class reads NULL
+    * auc with its counts intact, and a NULL group value forms its own
+    * surfaced row. The running-sum window partitions by group, so the
+    * alphabet bound is per group, not global. */
+  def rocAucBy(scored: DataFrame, groupCol: String,
+               scoreCol: String = "score_ppm",
+               labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = scored.select(col(groupCol).as("_g"),
+      col(scoreCol).cast("long").as("_s"),
+      col(labelCol).cast("boolean").as("_y"))
+    val bad = col("_s").isNull || col("_y").isNull
+    val g = rows.groupBy(col("_g"),
+        when(bad, lit(null).cast("long")).otherwise(col("_s")).as("s"))
+      .agg(sum(when(!bad && col("_y"), 1L).otherwise(0L)).as("np"),
+        sum(when(!bad && !col("_y"), 1L).otherwise(0L)).as("nn"),
+        sum(when(bad, 1L).otherwise(0L)).as("nx"))
+    val w = Window.partitionBy(col("_g"))
+      .orderBy(col("s").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("_g").as(groupCol))
+      .agg(
+        coalesce(sum(col("np")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("nx")), lit(0L)).as("n_excluded"),
+        coalesce(sum(col("np").cast("decimal(38,0)") * col("cum_nn")),
+          lit(0)).cast("long").as("wins"),
+        coalesce(sum(col("np").cast("decimal(38,0)") * col("nn")),
+          lit(0)).cast("long").as("ties"))
+      .withColumn("auc_ppm", expr(
+        """case when n_pos > 0 and n_neg > 0 then
+          |  cast((1000000 * (2 * cast(wins as decimal(38,0)) + ties))
+          |    div (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)
+          |end""".stripMargin))
+  }
 }

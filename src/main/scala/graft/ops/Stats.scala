@@ -170,4 +170,57 @@ object Stats {
         (floor(min(x) * 100 + 0.5) / 100.0).as("lo"),
         (floor(max(x) * 100 + 0.5) / 100.0).as("hi"))
   }
+
+  /** Rank agreement between two integer scores as Goodman–Kruskal
+    * GAMMA (Goodman & Kruskal '54) — the curation question "do two
+    * scorers rank documents the same way?" (e.g. a cheap heuristic vs
+    * a trained head: if they agree, the cheap one gates the firehose
+    * and the expensive one audits). Gamma over Kendall's tau-b is a
+    * DELIBERATE choice: tau-b needs a square root (never integer-exact
+    * cross-engine), while gamma = (C − D) / (C + D) over concordant/
+    * discordant pairs is exact ppm arithmetic — ties on either axis
+    * simply don't vote, which is also the right read on coarsely
+    * banded scores.
+    *
+    * Pair counting never touches pairs of ROWS: the joint (x, y)
+    * histogram is built first (ONE map-side-combined rollup), and C/D
+    * fold over histogram-CELL pairs via a strict-inequality theta join
+    * — each unordered cell pair counted once (b.x > a.x), products
+    * routed through decimal(38,0). The caller owns the alphabet bound
+    * (quantize scores to a small grid — the q199 16-level device): the
+    * theta join is quadratic in CELLS, which is the point — 16×16
+    * cells is 65k cell pairs regardless of corpus size.
+    *
+    * Output: one row — n_docs, concordant, discordant, gamma_ppm
+    * (sign-factored division: C − D can be negative and Spark `div`
+    * truncates while DuckDB `//` floors; NULL when no untied pair
+    * exists). */
+  def rankAgreement(df: DataFrame, xCol: String = "x",
+                    yCol: String = "y"): DataFrame = {
+    val h = df.groupBy(col(xCol).as("hx"), col(yCol).as("hy"))
+      .agg(count(lit(1)).as("n"))
+    val a = h.select(col("hx").as("ax"), col("hy").as("ay"),
+      col("n").as("an"))
+    val b = h.select(col("hx").as("bx"), col("hy").as("by"),
+      col("n").as("bn"))
+    // bounded theta join: both sides are the alphabet-bounded histogram
+    val prod = a.join(b,
+      col("bx") > col("ax") && col("by") =!= col("ay"))
+      .agg(
+        coalesce(sum(when(col("by") > col("ay"),
+          col("an").cast("decimal(38,0)") * col("bn"))), lit(0))
+          .cast("long").as("concordant"),
+        coalesce(sum(when(col("by") < col("ay"),
+          col("an").cast("decimal(38,0)") * col("bn"))), lit(0))
+          .cast("long").as("discordant"))
+    val total = h.agg(coalesce(sum(col("n")), lit(0L)).as("n_docs"))
+    total.crossJoin(prod)
+      .withColumn("gamma_ppm", expr(
+        """case when concordant + discordant > 0 then
+          |  (case when concordant < discordant then -1 else 1 end) *
+          |  cast((1000000 * cast(abs(concordant - discordant)
+          |      as decimal(38,0)))
+          |    div (concordant + discordant) as bigint)
+          |end""".stripMargin))
+  }
 }

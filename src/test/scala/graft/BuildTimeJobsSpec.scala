@@ -68,7 +68,9 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // q232 runs the q199 training chain (bounded scalar reads per
     // round); q233 runs the q49 label-propagation loop
     "q220_retrieval_eval", "q224_kmeans_kcenter", "q226_spectral_tokens",
-    "q232_classifier_auc", "q233_dup_spectrum")
+    "q232_classifier_auc", "q233_dup_spectrum",
+    // q235 trains the q199 head for the agreement join
+    "q235_score_agreement")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()

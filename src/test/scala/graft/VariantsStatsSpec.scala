@@ -62,4 +62,37 @@ class VariantsStatsSpec extends SparkTestBase {
     assert(got("x") == ((2L, 1L, -2.5, 1.5)))
     assert(got("y") == ((2L, 1L, 10.0, 20.0)))
   }
+
+  test("rankAgreement: hand-computed gamma, ties abstain, sign and NULL cases") {
+    // hist cells (0,0):2, (1,1):1, (2,0):1 -> C = 2, D = 1,
+    // the (0,0)-(2,0) pair ties on y and abstains
+    val df = Seq((0L, 0L), (0L, 0L), (1L, 1L), (2L, 0L)).toDF("x", "y")
+    val r = Stats.rankAgreement(df).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 1L, 333333L)))
+    // fully inverted: gamma must be exactly -1e6 (sign-factored division)
+    val inv = Stats.rankAgreement(Seq((0L, 1L), (1L, 0L)).toDF("x", "y")).head()
+    assert(inv.getLong(3) == -1000000L)
+    // every pair tied on one axis: no votes -> NULL, never 0
+    val tied = Stats.rankAgreement(Seq((0L, 0L), (1L, 0L)).toDF("x", "y")).head()
+    assert(tied.getLong(0) == 2L && tied.isNullAt(3))
+  }
+
+  test("rocAucBy: per-group fold, one-class group reads NULL, NULL group surfaces") {
+    val df = Seq(
+      (Some("A"), Some(10L), true), (Some("A"), Some(5L), false),  // perfect
+      (Some("B"), Some(1L), true), (Some("B"), Some(2L), true),    // one-class
+      (None, Some(3L), true), (None, Some(1L), false))             // NULL group
+      .map { case (g, s, y) => (g.orNull, s.get, y) }
+      .toDF("source", "score_ppm", "label")
+    val got = graft.ops.QualityModel.rocAucBy(df, "source").collect()
+      .map(r => Option(r.getString(0)).getOrElse("_null") ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(got("A") == ((1L, 1L, Some(1000000L))))
+    assert(got("B") == ((2L, 0L, None)),
+      "a one-class group must read NULL auc with counts intact")
+    assert(got("_null") == ((1L, 1L, Some(1000000L))),
+      "a NULL group value forms its own surfaced row")
+  }
 }
