@@ -1569,6 +1569,29 @@ object SparkEntry {
         .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
       Retrieval.rankEval(Retrieval.bm25(docs, qs, k = 5), qrels, k = 5)
     }),
+    // nDCG@5 with graded relevance (Retrieval.ndcgAtK, Järvelin &
+    // Kekäläinen '02): the q220 BM25 chain with GRADED qrels (source
+    // doc gain 3, +1 gain 2, +3 gain 1) and the pinned integer
+    // discount table — the position-sensitive metric the
+    // recall/precision/MRR triple lacks
+    "q236_ndcg" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0), 3, 4), " ").as("text"))
+      val qrels = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array(
+            struct(col("doc_id").as("doc_id"), lit(3L).as("gain")),
+            struct((col("doc_id") + 1).as("doc_id"), lit(2L).as("gain")),
+            struct((col("doc_id") + 3).as("doc_id"), lit(1L).as("gain"))))
+            .as("p"))
+        .select(col("query_id"), col("p.doc_id").as("doc_id"),
+          col("p.gain").as("gain"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      Retrieval.ndcgAtK(Retrieval.bm25(docs, qs, k = 5), qrels, k = 5)
+    }),
     // robots.txt directive parser (Web.robotsRules, RFC 9309): group
     // runs (consecutive User-agent lines share their rules — one row
     // per pair), rules outside any group ignored, comments cut,
@@ -6677,6 +6700,44 @@ object SparkEntry {
         |  CAST((1000000 * COALESCE(hh, 0)) // 5 AS BIGINT) precision_ppm,
         |  CAST(COALESCE(1000000 // fr, 0) AS BIGINT) rr_ppm
         |FROM nr LEFT JOIN h USING (query_id)""".stripMargin),
+    // nDCG replay: the bm25 chain, graded qrels, the SAME pinned
+    // discount VALUES (generated from one Scala formula on both
+    // sides — no query-time float log anywhere), the ideal ranking by
+    // row_number (gain desc, doc asc), HUGEINT at the final division
+    "q236_ndcg" ->
+      ("WITH " + bm25Cte + s""",
+        |wt(pos, w) AS (VALUES ${Retrieval.ndcgWeightsSqlValues(5)}),"""
+          .stripMargin + """
+        |rk5 AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= 5),
+        |qr AS (SELECT query_id, rel, gain FROM (
+        |    SELECT doc_id query_id,
+        |      unnest([doc_id, doc_id + 1, doc_id + 3]) rel,
+        |      unnest([3, 2, 1]) gain
+        |    FROM documents WHERE doc_id % 100 = 0)
+        |  WHERE rel IN (SELECT doc_id FROM documents)),
+        |nr AS (SELECT query_id, COUNT(*) n_rel FROM qr GROUP BY 1),
+        |dc AS (SELECT r5.query_id,
+        |    CAST(SUM(CAST(qr.gain AS BIGINT) * wt.w) AS BIGINT) dcg
+        |  FROM rk5 r5
+        |    JOIN qr ON qr.query_id = r5.query_id AND qr.rel = r5.doc_id
+        |    JOIN wt ON wt.pos = r5.rk
+        |  GROUP BY 1),
+        |idl AS (SELECT query_id,
+        |    CAST(SUM(CAST(gain AS BIGINT) * w) AS BIGINT) idcg
+        |  FROM (SELECT query_id, gain,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY gain DESC, rel ASC) rn
+        |    FROM qr WHERE gain > 0) i
+        |  JOIN wt ON wt.pos = i.rn
+        |  WHERE rn <= 5 GROUP BY 1)
+        |SELECT nr.query_id, CAST(n_rel AS BIGINT) n_rel,
+        |  CAST(COALESCE(dcg, 0) AS BIGINT) dcg_fx,
+        |  CAST(COALESCE(idcg, 0) AS BIGINT) idcg_fx,
+        |  CAST(CASE WHEN COALESCE(idcg, 0) > 0 THEN
+        |    (1000000 * CAST(COALESCE(dcg, 0) AS HUGEINT)) // idcg
+        |  END AS BIGINT) ndcg_ppm
+        |FROM nr LEFT JOIN idl USING (query_id)
+        |  LEFT JOIN dc USING (query_id)""".stripMargin),
     // robots parse replay: fixture synthesis, line split, directive
     // regexes, lag + conditional running sum for group runs, rules
     // joined to every agent of their run

@@ -307,6 +307,72 @@ object Retrieval {
         coalesce(expr("1000000 div _fr"), lit(0L)).as("rr_ppm"))
   }
 
+  /** The pinned nDCG discount table: w_i = round(10⁹ / log2(i+1)) for
+    * ranks 1..k. Computed ONCE from this formula and embedded as
+    * literals on BOTH engines (the op builds a literal frame; the
+    * oracle embeds the same numbers via [[ndcgWeightsSqlValues]]), so
+    * no cross-engine float log is ever evaluated at query time — the
+    * quantized-discount deviation production rankers make, documented. */
+  def ndcgWeights(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i =>
+      (i.toLong, math.round(1e9 / (math.log(i + 1.0) / math.log(2.0)))))
+
+  /** The same table as a SQL VALUES list, for oracle replay. */
+  def ndcgWeightsSqlValues(k: Int): String =
+    ndcgWeights(k).map { case (i, w) => s"($i, $w)" }.mkString(", ")
+
+  /** nDCG@k with graded relevance (Järvelin & Kekäläinen '02) — the
+    * position-discounted metric [[rankEval]]'s recall/precision/MRR
+    * triple lacks: a hit at rank 1 must count more than one at rank k.
+    *
+    *   DCG  = Σ over retrieved judged docs  gain · w_rank
+    *   IDCG = Σ over the query's top-k gains (desc, doc-id-asc ties
+    *          pinned)  gain · w_position
+    *   ndcg_ppm = 10⁶ · DCG div IDCG
+    *
+    * with the [[ndcgWeights]] integer discount table — all arithmetic
+    * exact integers, products through decimal(38,0) at the final
+    * division. A judged query retrieved without any hit reads ndcg 0
+    * (the rankEval zero rule: dropped failures overreport); a query
+    * whose judgments carry no positive gain reads NULL (no ideal
+    * ranking exists to normalize by). Gains are used linearly — pass
+    * 2^rel − 1 values for the exponential variant.
+    *
+    * Scale shape: the discount table broadcasts (k rows), the hit join
+    * is the rankEval equi-join, and the ideal ranking windows over the
+    * audit-sized qrels only — never over the corpus. */
+  def ndcgAtK(ranked: DataFrame, qrels: DataFrame, k: Int,
+              queryCol: String = "query_id", idCol: String = "doc_id",
+              rankCol: String = "rank", gainCol: String = "gain"): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    val spark = qrels.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(ndcgWeights(k).toDF("_pos", "_w"))
+    val qg = qrels.select(col(queryCol), col(idCol),
+      col(gainCol).cast("long").as("_g"))
+    val nrel = qg.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.where(col(rankCol) <= k)
+      .join(qg, Seq(queryCol, idCol))
+      .join(wDf, col(rankCol) === col("_pos"))
+      .groupBy(col(queryCol))
+      .agg(sum(col("_g") * col("_w")).as("_dcg"))
+    val win = Window.partitionBy(col(queryCol))
+      .orderBy(col("_g").desc, col(idCol).asc)
+    val ideal = qg.withColumn("_rn", row_number().over(win))
+      .where(col("_rn") <= k && col("_g") > 0L)
+      .join(wDf, col("_rn") === col("_pos"))
+      .groupBy(col(queryCol))
+      .agg(sum(col("_g") * col("_w")).as("_idcg"))
+    nrel.join(ideal, Seq(queryCol), "left").join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("_dcg"), lit(0L)).as("dcg_fx"),
+        coalesce(col("_idcg"), lit(0L)).as("idcg_fx"))
+      .withColumn("ndcg_ppm", expr(
+        """case when idcg_fx > 0 then
+          |  cast((1000000 * cast(dcg_fx as decimal(38,0))) div idcg_fx
+          |    as bigint) end""".stripMargin))
+  }
+
   /** Late-interaction (MaxSim) retrieval — the third tier next to BM25
     * ([[bm25Search]]) and single-vector dense cosine (Similarity
     * .bruteForceKnn): ColBERT's scoring rule (Khattab & Zaharia '20),

@@ -69,8 +69,9 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // round); q233 runs the q49 label-propagation loop
     "q220_retrieval_eval", "q224_kmeans_kcenter", "q226_spectral_tokens",
     "q232_classifier_auc", "q233_dup_spectrum",
-    // q235 trains the q199 head for the agreement join
-    "q235_score_agreement")
+    // q235 trains the q199 head for the agreement join; q236 chains
+    // the q143 BM25 build (eager corpus stats) like q220
+    "q235_score_agreement", "q236_ndcg")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()

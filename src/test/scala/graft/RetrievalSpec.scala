@@ -208,4 +208,32 @@ class RetrievalSpec extends SparkTestBase {
     // q3: judged, never even queried -> zeros too
     assert(got(3L) == ((1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("ndcgAtK: hand-computed discounts, ideal ordering, zero/NULL rules") {
+    val w = Retrieval.ndcgWeights(3).map(_._2) // 1e9, 630929754, 5e8
+    assert(w == Seq(1000000000L, 630929754L, 500000000L))
+    val ranked = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L), // gains 0, 1, 3 retrieved
+      (2L, 1L, 20L),                               // judged, no hit
+      (4L, 1L, 40L)                                // hit but gain 0
+    ).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq(
+      (1L, 11L, 1L), (1L, 12L, 3L), (1L, 99L, 2L), // 99 never retrieved
+      (2L, 77L, 1L),
+      (4L, 40L, 0L)                                // judged irrelevant only
+    ).toDF("query_id", "doc_id", "gain")
+    val got = Retrieval.ndcgAtK(ranked, qrels, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    // q1 DCG: gain1 at rank 2 + gain3 at rank 3 = w2 + 3*w3;
+    // ideal: gains (3, 2, 1) at positions 1..3
+    val dcg = w(1) + 3L * w(2)
+    val idcg = 3L * w(0) + 2L * w(1) + 1L * w(2)
+    assert(got(1L) == ((3L, dcg, idcg,
+      Some(1000000L * dcg / idcg))))
+    // q2: judged, retrieved, no hit -> ndcg 0 (surfaced, not dropped)
+    assert(got(2L) == ((1L, 0L, 1000000000L, Some(0L))))
+    // q4: only zero-gain judgments -> no ideal ranking exists -> NULL
+    assert(got(4L) == ((1L, 0L, 0L, None)))
+  }
 }
