@@ -1569,6 +1569,22 @@ object SparkEntry {
         .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
       Retrieval.rankEval(Retrieval.bm25(docs, qs, k = 5), qrels, k = 5)
     }),
+    // average precision at 5 (Retrieval.averagePrecision): the MAP
+    // building block over the same q220 chain — per-term ppm flooring
+    // documented; never-retrieved relevants stay in the denominator
+    "q237_average_precision" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0), 3, 4), " ").as("text"))
+      val qrels = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array(col("doc_id"), col("doc_id") + 1,
+            col("doc_id") + 3)).as("doc_id"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      Retrieval.averagePrecision(Retrieval.bm25(docs, qs, k = 5), qrels, k = 5)
+    }),
     // nDCG@5 with graded relevance (Retrieval.ndcgAtK, Järvelin &
     // Kekäläinen '02): the q220 BM25 chain with GRADED qrels (source
     // doc gain 3, +1 gain 2, +3 gain 1) and the pinned integer
@@ -6700,6 +6716,28 @@ object SparkEntry {
         |  CAST((1000000 * COALESCE(hh, 0)) // 5 AS BIGINT) precision_ppm,
         |  CAST(COALESCE(1000000 // fr, 0) AS BIGINT) rr_ppm
         |FROM nr LEFT JOIN h USING (query_id)""".stripMargin),
+    // AP replay: the q220 chain + a running hit count over each
+    // query's hits, per-term ppm flooring, the final div by n_rel
+    "q237_average_precision" ->
+      ("WITH " + bm25Cte + """,
+        |rk5 AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= 5),
+        |qr AS (SELECT query_id, rel FROM (
+        |    SELECT doc_id query_id,
+        |      unnest([doc_id, doc_id + 1, doc_id + 3]) rel
+        |    FROM documents WHERE doc_id % 100 = 0)
+        |  WHERE rel IN (SELECT doc_id FROM documents)),
+        |nr AS (SELECT query_id, COUNT(*) n_rel FROM qr GROUP BY 1),
+        |h AS (SELECT r5.query_id, r5.rk,
+        |    COUNT(*) OVER (PARTITION BY r5.query_id ORDER BY r5.rk) hthru
+        |  FROM rk5 r5 JOIN qr ON qr.query_id = r5.query_id
+        |    AND qr.rel = r5.doc_id),
+        |a AS (SELECT query_id, COUNT(*) hits,
+        |    CAST(SUM((1000000 * hthru) // rk) AS BIGINT) psum
+        |  FROM h GROUP BY 1)
+        |SELECT nr.query_id, CAST(n_rel AS BIGINT) n_rel,
+        |  CAST(COALESCE(hits, 0) AS BIGINT) hits_at_k,
+        |  CAST(COALESCE(psum, 0) // n_rel AS BIGINT) ap_ppm
+        |FROM nr LEFT JOIN a USING (query_id)""".stripMargin),
     // nDCG replay: the bm25 chain, graded qrels, the SAME pinned
     // discount VALUES (generated from one Scala formula on both
     // sides — no query-time float log anywhere), the ideal ranking by

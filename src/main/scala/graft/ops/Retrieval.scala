@@ -373,6 +373,45 @@ object Retrieval {
           |    as bigint) end""".stripMargin))
   }
 
+  /** Average precision at k — the MAP building block next to
+    * [[rankEval]] and [[ndcgAtK]]: mean over the query's RELEVANT
+    * documents of precision at each hit's rank,
+    *
+    *   AP = (Σ over hits at rank r of  hits_through_r / r) / n_rel
+    *
+    * in exact ppm with a DOCUMENTED per-term truncation: each
+    * precision term floors independently — (10⁶ · hits_through_r)
+    * div r — before the final div by n_rel, so both engines truncate
+    * at the same two points (the sum of true rationals has no common
+    * denominator an integer engine can carry; per-term ppm flooring is
+    * the deterministic quantization, biasing AP down by < k/10⁶).
+    * Relevant docs never retrieved contribute zero terms but stay in
+    * the n_rel denominator (the rankEval zero rule); a judged query
+    * with no hits reads AP 0, not absent.
+    *
+    * Scale shape: identical to rankEval — one equi-join of the top-k
+    * run against the audit-sized qrels, one window over each query's
+    * ≤ k hits, two bounded rollups. */
+  def averagePrecision(ranked: DataFrame, qrels: DataFrame, k: Int,
+                       queryCol: String = "query_id",
+                       idCol: String = "doc_id",
+                       rankCol: String = "rank"): DataFrame = {
+    require(k >= 1)
+    val nrel = qrels.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val win = Window.partitionBy(col(queryCol)).orderBy(col(rankCol))
+    val hits = ranked.where(col(rankCol) <= k)
+      .join(qrels.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+      .withColumn("_h", count(lit(1)).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("hits_at_k"),
+        sum(expr(s"(1000000 * _h) div $rankCol")).as("_psum"))
+    nrel.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        expr("coalesce(_psum, 0) div n_rel").as("ap_ppm"))
+  }
+
   /** Late-interaction (MaxSim) retrieval — the third tier next to BM25
     * ([[bm25Search]]) and single-vector dense cosine (Similarity
     * .bruteForceKnn): ColBERT's scoring rule (Khattab & Zaharia '20),

@@ -71,7 +71,7 @@ class BuildTimeJobsSpec extends SparkTestBase {
     "q232_classifier_auc", "q233_dup_spectrum",
     // q235 trains the q199 head for the agreement join; q236 chains
     // the q143 BM25 build (eager corpus stats) like q220
-    "q235_score_agreement", "q236_ndcg")
+    "q235_score_agreement", "q236_ndcg", "q237_average_precision")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -209,6 +209,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(got(3L) == ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("averagePrecision: per-term flooring, missing relevants stay in the denominator") {
+    val ranked = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L)).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 11L), (1L, 12L), (1L, 99L),
+      (2L, 77L), (3L, 5L)).toDF("query_id", "doc_id")
+    val got = Retrieval.averagePrecision(ranked, qrels, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // q1: hits at ranks 2, 3 -> 500000 + 666666 = 1166666, over 3
+    // judged relevants (99 never retrieved still counts) -> 388888
+    assert(got(1L) == ((3L, 2L, 388888L)))
+    assert(got(2L) == ((1L, 0L, 0L)))
+    assert(got(3L) == ((1L, 0L, 0L)), "never-queried judged query reads 0")
+  }
+
   test("ndcgAtK: hand-computed discounts, ideal ordering, zero/NULL rules") {
     val w = Retrieval.ndcgWeights(3).map(_._2) // 1e9, 630929754, 5e8
     assert(w == Seq(1000000000L, 630929754L, 500000000L))
