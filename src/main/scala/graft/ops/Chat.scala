@@ -791,13 +791,17 @@ object Chat {
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "g")))
     val w = Window.partitionBy(col(promptCol), col(candCol))
       .orderBy(col("pos"))
-    val uni = tok.select(col(promptCol), col("g"), lit(1L).as("n"))
-    val bi = tok
+    // ONE windowed pass emits both gram orders (a union of a plain and
+    // a windowed read would tokenize the corpus twice); the bigram
+    // struct is NULL-keyed at each candidate's last token and filtered
+    val perGram = tok
       .withColumn("_nx", lead(col("g"), 1).over(w))
-      .where(col("_nx").isNotNull)
-      .select(col(promptCol),
-        concat(col("g"), lit(" "), col("_nx")).as("g"), lit(2L).as("n"))
-    val perGram = uni.unionByName(bi)
+      .select(col(promptCol), explode(array(
+        struct(col("g").as("g"), lit(1L).as("n")),
+        struct(concat(col("g"), lit(" "), col("_nx")).as("g"),
+          lit(2L).as("n")))).as("p"))
+      .select(col(promptCol), col("p.g").as("g"), col("p.n").as("n"))
+      .where(col("g").isNotNull)
       .groupBy(col(promptCol), col("n"), col("g"))
       .agg(count(lit(1)).as("c"))
     val wide = perGram.groupBy(col(promptCol)).agg(

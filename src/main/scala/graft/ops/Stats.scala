@@ -197,8 +197,14 @@ object Stats {
     * exists). */
   def rankAgreement(df: DataFrame, xCol: String = "x",
                     yCol: String = "y"): DataFrame = {
+    // persist: the histogram feeds THREE consumers (both theta-join
+    // sides and the total) — unpersisted, each would rescan the input
+    // corpus (the bitextMargin advice-class defect); released via
+    // materializeAndRelease below, so no CacheManager entry outlives
+    // the call
     val h = df.groupBy(col(xCol).as("hx"), col(yCol).as("hy"))
       .agg(count(lit(1)).as("n"))
+      .persist()
     val a = h.select(col("hx").as("ax"), col("hy").as("ay"),
       col("n").as("an"))
     val b = h.select(col("hx").as("bx"), col("hy").as("by"),
@@ -214,7 +220,7 @@ object Stats {
           col("an").cast("decimal(38,0)") * col("bn"))), lit(0))
           .cast("long").as("discordant"))
     val total = h.agg(coalesce(sum(col("n")), lit(0L)).as("n_docs"))
-    total.crossJoin(prod)
+    val out = total.crossJoin(prod)
       .withColumn("gamma_ppm", expr(
         """case when concordant + discordant > 0 then
           |  (case when concordant < discordant then -1 else 1 end) *
@@ -222,5 +228,6 @@ object Stats {
           |      as decimal(38,0)))
           |    div (concordant + discordant) as bigint)
           |end""".stripMargin))
+    Dedup.materializeAndRelease(out, h)
   }
 }
