@@ -256,6 +256,53 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: rocAuc label-flip complement — auc + auc' == 1e6 within flooring") {
+    // flipping every label swaps pos/neg, so wins' = pairs - wins - ties
+    // and the true AUCs sum to exactly 1; the two independent ppm floors
+    // can lose at most 1 ppm between them
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 400).map(_ => (rnd.nextInt(20).toLong, rnd.nextBoolean()))
+    val df = rows.toDF("score_ppm", "label")
+    val flipped = rows.map { case (s, y) => (s, !y) }.toDF("score_ppm", "label")
+    val a = graft.ops.QualityModel.rocAuc(df).head().getLong(5)
+    val b = graft.ops.QualityModel.rocAuc(flipped).head().getLong(5)
+    assert(math.abs(a + b - 1000000L) <= 1L, s"$a + $b")
+  }
+
+  test("property: rocAuc bounded in [0, 1e6]; extremes hit exactly") {
+    val rnd = new scala.util.Random(43)
+    for (seed <- 1 to 5) {
+      val rows = (1 to 100).map(_ =>
+        (rnd.nextInt(8).toLong, rnd.nextBoolean())).toDF("score_ppm", "label")
+      val v = graft.ops.QualityModel.rocAuc(rows).head().getLong(5)
+      assert(v >= 0L && v <= 1000000L)
+    }
+  }
+
+  test("property: readability metric-NULL iff wordless; sentences floored at 1 on text") {
+    val texts = samples(textGen, 150, seed = 11L)
+    val got = graft.ops.Quality.readability(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect()
+    got.foreach { r =>
+      val (nw, ns) = (r.getLong(1), r.getLong(2))
+      assert(r.isNullAt(6) == (nw == 0L), "fre NULL exactly when no words")
+      if (nw > 0L) assert(ns >= 1L, "sentence floor must hold for worded text")
+    }
+  }
+
+  test("property: rankAgreement gamma bounded; monotone relabel reads +1e6") {
+    val rnd = new scala.util.Random(47)
+    val xs = (1 to 200).map(_ => rnd.nextInt(12).toLong)
+    // y = x under any strictly monotone map: every untied pair concordant
+    val mono = xs.map(x => (x, x * 3 + 1)).toDF("x", "y")
+    assert(graft.ops.Stats.rankAgreement(mono).head().getLong(3) == 1000000L)
+    val rand = xs.map(x => (x, rnd.nextInt(12).toLong)).toDF("x", "y")
+    val g = graft.ops.Stats.rankAgreement(rand).head()
+    if (!g.isNullAt(3))
+      assert(math.abs(g.getLong(3)) <= 1000000L)
+  }
+
   private implicit class Inspect(s: String) {
     def inspect: String = s.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString
   }
