@@ -1027,21 +1027,41 @@ object Similarity {
     * scan emitting (id, cluster, dist2) under the FINAL centroids. */
   def kmeansClusters(emb: DataFrame, k: Int = 4, rounds: Int = 4,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     persistCorpus: Boolean = false): DataFrame = {
     val q = quantized(emb, idCol, vecCol)
-    assignWith(q, kmeansTrain(q, k, rounds, idCol), idCol)
+    val t = if (persistCorpus) q.persist() else q
+    val cents = kmeansTrain(t, k, rounds, idCol)
+    if (persistCorpus) t.unpersist(false)
+    // the returned lazy assignment reads the unpersisted projection, so
+    // no CacheManager entry outlives the call
+    assignWith(q, cents, idCol)
   }
 
   /** [[kmeansClusters]] with farthest-point (k-center) seeding
     * ([[kcenterSeeds]], Gonzalez '85) instead of id-order
     * initialization — the quality option when the first k ids may sit
     * in one region; costs k−1 extra one-scan argmax rounds before the
-    * same Lloyd iterations. Seed pick order IS the cluster id. */
+    * same Lloyd iterations. Seed pick order IS the cluster id.
+    *
+    * `persistCorpus` (both trainers, default OFF): cache the quantized
+    * frame across the training scans — k−1 seed argmaxes plus `rounds`
+    * Lloyd scans read the cache instead of rescanning the source, then
+    * the cache releases BEFORE the lazy assignment is returned. Opt-in
+    * because the frame is a scan-side projection of the corpus:
+    * caching 100 TB is its own cost and the default rescan is the
+    * honest choice there, but at index-build scale (the saveKmeans
+    * path trains on bounded samples anyway) the cache converts
+    * (k−1+rounds) scans into one. */
   def kmeansClustersKcenter(emb: DataFrame, k: Int = 4, rounds: Int = 4,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding",
+                            persistCorpus: Boolean = false): DataFrame = {
     val q = quantized(emb, idCol, vecCol)
-    assignWith(q, lloydRounds(q, kcenterSeeds(q, k, idCol), rounds), idCol)
+    val t = if (persistCorpus) q.persist() else q
+    val cents = lloydRounds(t, kcenterSeeds(t, k, idCol), rounds)
+    if (persistCorpus) t.unpersist(false)
+    assignWith(q, cents, idCol)
   }
 
   /** The milli-quantized frame (id, m: array<long>) every k-means path
