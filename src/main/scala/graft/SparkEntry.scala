@@ -1516,6 +1516,22 @@ object SparkEntry {
       Web.domainOptOut(docs.select(col("doc_id"), synthUrl.as("url")),
         optOutRegistry(docs))
     }),
+    // the composed governance sweep (Pipeline.governanceSweep): the
+    // q216 opt-out verdict, q213 license census, PII patterns, and
+    // q228 readability chained with ONE reason-coded precedence —
+    // opted_out > license > pii > unreadable > keep; fixture = the
+    // q216 urls + the q213 license injection + a %11 planted email
+    "q238_governance_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = Quality.injectLicenses(docs)
+        .join(docs.select(col("doc_id"), synthUrl.as("url")), Seq("doc_id"))
+        .select(col("doc_id"), col("url"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(col("text")).as("text"))
+      Pipeline.governanceSweep(base, optOutRegistry(docs))
+    }),
     // late-interaction MaxSim retrieval (Retrieval.maxSim, ColBERT's
     // scoring rule): multi-vector docs (4 chunk vectors per doc from
     // the embeddings table), query tokens as scaled chunk copies so
@@ -6694,6 +6710,115 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, m."domain" optout_domain,
         |  m."domain" IS NULL kept
         |FROM h LEFT JOIN m USING (doc_id)""".stripMargin,
+    // governance-sweep replay: the q216 url/suffix/registry chain, the
+    // q213 census, the q48 PII patterns, and the readability chain all
+    // over ONE injected base, folded by the precedence CASE
+    "q238_governance_pipeline" ->
+      s"""WITH base AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/A/B/'
+        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://' || source
+        |      || '.example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m'
+        |    WHEN 2 THEN 'HTTPS://Sub.' || source || '.Example.com:443/only/Path/'
+        |    ELSE 'http://' || source || '.example.com/?q='
+        |      || CAST(doc_id AS VARCHAR) || '&ref=abc'
+        |  END url,
+        |  concat_ws(' ', substring(text, 1, 20),
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'SPDX-License-Identifier: MIT (not the GNU General Public License)'
+        |      WHEN 1 THEN 'SPDX-License-Identifier: GPL-3.0-only'
+        |      WHEN 2 THEN 'under the GNU General Public License; MIT License text follows'
+        |      WHEN 3 THEN 'licensed under the Apache License, Version 2.0'
+        |      ELSE '' END,
+        |    substring(text, 21, 1000000))
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' contact user'
+        |       || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |     ELSE '' END AS "text"
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
+        |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |    '^www\\.', '') auth FROM base),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+        |       ELSE auth END host FROM p),
+        |l AS (SELECT doc_id, host,
+        |  string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') lbl FROM h),
+        |sfx AS (SELECT doc_id, array_to_string(lbl[i:], '.') sfx
+        |  FROM (SELECT doc_id, lbl, unnest(range(1, len(lbl))) i
+        |        FROM l WHERE len(lbl) >= 2)),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |reg AS (SELECT source || '.example.com' "domain" FROM srcs
+        |    WHERE substring(md5(source), 1, 1) < '8'
+        |  UNION ALL
+        |  SELECT 'sub.' || source || '.example.com' FROM srcs
+        |    WHERE substring(md5(source), 1, 1) < '4'),
+        |m AS (SELECT doc_id, "domain" FROM (
+        |    SELECT sfx.doc_id, r."domain",
+        |      row_number() OVER (PARTITION BY sfx.doc_id
+        |        ORDER BY length(r."domain") DESC, r."domain" ASC) rn
+        |    FROM sfx JOIN reg r ON sfx.sfx = r."domain") WHERE rn = 1),
+        |lc AS (SELECT doc_id,
+        |    regexp_extract("text",
+        |      'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1) spdx0,
+        |    regexp_matches("text",
+        |      '(?i)GNU (Affero |Lesser )?General Public License|\\b[AL]?GPL-?[0-9]|\\bGPL\\b|Creative Commons|\\bCC-BY')
+        |      has_copyleft,
+        |    regexp_matches("text",
+        |      '(?i)MIT License|Apache License|BSD [0-9]-Clause|\\bISC License|\\bUnlicense\\b')
+        |      has_permissive
+        |  FROM base),
+        |lcv AS (SELECT doc_id,
+        |  CASE WHEN spdx0 = '' THEN NULL ELSE spdx0 END spdx_id,
+        |  CASE WHEN spdx0 <> '' THEN
+        |      CASE WHEN regexp_matches(upper(spdx0),
+        |          '^(A?GPL|LGPL|CC-BY-SA|EUPL|MPL)') THEN 'copyleft'
+        |        WHEN regexp_matches(upper(spdx0),
+        |          '^(MIT|APACHE|BSD|ISC|UNLICENSE|ZLIB|CC0)') THEN 'permissive'
+        |        ELSE 'other-spdx' END
+        |    WHEN has_copyleft THEN 'copyleft'
+        |    WHEN has_permissive THEN 'permissive'
+        |    ELSE 'none' END license_class
+        |  FROM lc),
+        |rc AS (SELECT doc_id,
+        |    CASE WHEN "text" IS NULL THEN 0
+        |      ELSE len(list_filter(regexp_split_to_array("text", '\\s+'),
+        |        t2 -> t2 <> '')) END nw,
+        |    CASE WHEN "text" IS NULL THEN 0
+        |      ELSE greatest(len(regexp_extract_all("text", '[.!?]+')), 1)
+        |      END ns,
+        |    CASE WHEN "text" IS NULL THEN 0
+        |      ELSE len(regexp_extract_all("text", '[aeiouyAEIOUY]+')) END ny
+        |  FROM base),
+        |fr AS (SELECT doc_id,
+        |    CASE WHEN nw > 0 THEN 206835
+        |      - (1015 * ((1000 * nw) // ns)) // 1000
+        |      - (84600 * ((1000 * ny) // nw)) // 1000 END fre
+        |  FROM rc),
+        |pii AS (SELECT doc_id,
+        |    len(regexp_extract_all("text", '$emailPat'))
+        |      + len(regexp_extract_all("text", '$phonePat')) > 0 has_pii
+        |  FROM base)
+        |SELECT h.doc_id, h.host, m."domain" optout_domain,
+        |  lcv.spdx_id, lcv.license_class, CAST(fr.fre AS BIGINT) fre_milli,
+        |  pii.has_pii,
+        |  CASE WHEN m."domain" IS NOT NULL THEN 'opted_out'
+        |       WHEN lcv.license_class IN ('copyleft', 'other-spdx')
+        |         THEN 'license'
+        |       WHEN pii.has_pii THEN 'pii'
+        |       WHEN fr.fre IS NULL OR fr.fre < 30000 THEN 'unreadable'
+        |       ELSE 'keep' END verdict,
+        |  CASE WHEN m."domain" IS NOT NULL THEN FALSE
+        |       WHEN lcv.license_class IN ('copyleft', 'other-spdx')
+        |         THEN FALSE
+        |       WHEN pii.has_pii THEN FALSE
+        |       WHEN fr.fre IS NULL OR fr.fre < 30000 THEN FALSE
+        |       ELSE TRUE END kept
+        |FROM h LEFT JOIN m USING (doc_id)
+        |  JOIN lcv USING (doc_id) JOIN fr USING (doc_id)
+        |  JOIN pii USING (doc_id)""".stripMargin,
     // retrieval-eval replay: the q143 BM25 chain cut to rk<=5, the
     // planted qrels (existing +0/+1/+3 docs), count/min rollups, and
     // the exact ppm metrics; zero-hit queries survive the left join

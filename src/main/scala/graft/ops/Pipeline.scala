@@ -163,4 +163,60 @@ object Pipeline {
         .select(col(idCol), col("avg_surprisal"), col("ppl_bucket")),
       Seq(idCol))
   }
+
+  /** The composed GOVERNANCE sweep — the compliance stages a crawl
+    * corpus passes BEFORE any quality curation touches it, chained in
+    * one plan with a single reason-coded verdict (every gate is one of
+    * this library's individually-oracled operators; the composition
+    * exists because the PRECEDENCE is semantics of its own):
+    *
+    *   opted_out  — the host sits under an opt-out registry domain
+    *                ([[Web.domainOptOut]]; legal removal requests
+    *                outrank everything — an opted-out doc must not
+    *                even appear in a license report's retained set);
+    *   license    — copyleft or unrecognized-SPDX declaration
+    *                ([[Quality.licenseCensus]]; `none` passes — web
+    *                text is mostly unlicensed prose, and dropping it
+    *                would empty the corpus; the code-corpus caller
+    *                that wants the Stack rule filters `none` itself);
+    *   pii        — an email/phone pattern hit ([[Curate]] patterns —
+    *                route to the redaction pipeline, not the corpus);
+    *   unreadable — Flesch below `minFreMilli` or unmeasurable
+    *                ([[Quality.readability]]);
+    *   keep       — everything else.
+    *
+    * Scale shape: every gate is zero-shuffle scan-side work; the
+    * composition's only extra cost is the doc-id-keyed joins of the
+    * narrow verdict columns back onto the id frame (the
+    * [[fineWebCurate]] precedent — at 100 TB these are co-partitioned
+    * key joins of per-doc scalars, never text). The registry
+    * broadcasts inside domainOptOut. */
+  def governanceSweep(docs: DataFrame, registry: DataFrame,
+                      minFreMilli: Long = 30000L,
+                      idCol: String = "doc_id", urlCol: String = "url",
+                      textCol: String = "text"): DataFrame = {
+    val opt = Web.domainOptOut(docs.select(col(idCol), col(urlCol)),
+        registry, idCol = idCol, urlCol = urlCol)
+      .select(col(idCol), col("host"), col("optout_domain"))
+    val lic = Quality.licenseCensus(docs, idCol, textCol)
+      .select(col(idCol), col("spdx_id"), col("license_class"))
+    val fre = Quality.readability(docs, idCol, textCol)
+      .select(col(idCol), col("fre_milli"))
+    val pii = docs.select(col(idCol),
+      (regexp_count(col(textCol), lit(Curate.emailPattern)) +
+        regexp_count(col(textCol), lit(Curate.phonePattern)) > 0)
+        .as("has_pii"))
+    docs.select(col(idCol))
+      .join(opt, Seq(idCol)).join(lic, Seq(idCol))
+      .join(fre, Seq(idCol)).join(pii, Seq(idCol))
+      .withColumn("verdict",
+        when(col("optout_domain").isNotNull, lit("opted_out"))
+          .when(col("license_class").isin("copyleft", "other-spdx"),
+            lit("license"))
+          .when(col("has_pii"), lit("pii"))
+          .when(col("fre_milli").isNull || col("fre_milli") < minFreMilli,
+            lit("unreadable"))
+          .otherwise(lit("keep")))
+      .withColumn("kept", col("verdict") === "keep")
+  }
 }

@@ -59,4 +59,32 @@ class PipelineSpec extends SparkTestBase {
     assert(got.length == orig.size)
     got.foreach { case (id, l, s) => assert(orig(id) == ((l, s))) }
   }
+
+  test("governanceSweep: precedence pinned gate by gate, totality holds") {
+    val reg = Seq("banned.example.com").toDF("domain")
+    val readable = "the cat sat here. it ran off! we saw it go."
+    val rows = Seq(
+      // trips EVERY gate: opt-out must win
+      (1L, "http://banned.example.com/a",
+        s"SPDX-License-Identifier: GPL-3.0-only u1@example.com $readable"),
+      // copyleft + pii + readable: license outranks pii
+      (2L, "http://ok.example.com/b",
+        s"SPDX-License-Identifier: GPL-3.0-only u2@example.com $readable"),
+      // pii only
+      (3L, "http://ok.example.com/c", s"mail u3@example.com $readable"),
+      // unreadable only (no sentences, vowel-dense words)
+      (4L, "http://ok.example.com/d", "banana bandana banana bandana"),
+      // clean keep
+      (5L, "http://ok.example.com/e", readable),
+      // unparseable host still gets a verdict row (totality)
+      (6L, "not a url", readable))
+      .toDF("doc_id", "url", "text")
+    val got = Pipeline.governanceSweep(rows, reg).collect()
+      .map(r => r.getLong(0) -> ((r.getString(7), r.getBoolean(8)))).toMap
+    assert(got == Map(
+      1L -> (("opted_out", false)), 2L -> (("license", false)),
+      3L -> (("pii", false)), 4L -> (("unreadable", false)),
+      5L -> (("keep", true)), 6L -> (("keep", true))),
+      s"precedence or totality broke: $got")
+  }
 }
