@@ -87,4 +87,17 @@ class PipelineSpec extends SparkTestBase {
       5L -> (("keep", true)), 6L -> (("keep", true))),
       s"precedence or totality broke: $got")
   }
+
+  test("governanceSweep: NULL-url docs keep their verdict row (totality)") {
+    val reg = Seq("banned.example.com").toDF("domain")
+    val rows = Seq(
+      (1L, null.asInstanceOf[String], "the cat sat here. it ran off!"),
+      (2L, "http://ok.example.com/a", "the cat sat here. it ran off!"))
+      .toDF("doc_id", "url", "text")
+    val got = Pipeline.governanceSweep(rows, reg).collect()
+      .map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(got.keySet == Set(1L, 2L),
+      s"a NULL url must not drop the doc from the sweep: $got")
+    assert(got(1L) == "keep", "no host evidence cannot mean opted_out")
+  }
 }
