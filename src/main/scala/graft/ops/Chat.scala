@@ -689,9 +689,15 @@ object Chat {
     * step because each prefix IS a binomial coefficient, and a zero
     * factor (m < k) sticks at zero before any negative factor can
     * matter, giving pass@k = 1 when even one all-fail draw is
-    * impossible. The final ratio routes through decimal(38,0) (C(n,k)
-    * reaches 4·10¹⁸ at n = 10⁵, k = 4 — the 10⁶ scaling would wrap
-    * int64). Problems with n < k read NULL — k-of-n can't be drawn, so
+    * impossible. The WHOLE stepwise product runs in decimal(38,0), not
+    * bigint: the intermediate acc·(m−i+1) equals C(m,i)·i, which wraps
+    * int64 already inside the documented envelope (n = 10⁵, k = 4 hits
+    * 1.7·10¹⁹) — in decimal the product is exact to ~10³² (the post-
+    * division quotient bound: decimal division re-adjusts to scale 6,
+    * leaving 32 integer digits) and reads NULL beyond instead of a
+    * silently-wrapped wrong ppm. The per-step division is exact (each
+    * prefix IS a binomial), so the decimal HALF_UP rounding never
+    * fires. Problems with n < k read NULL — k-of-n can't be drawn, so
     * the estimator is undefined there, and surfacing NULL beats
     * silently clamping (the rankEval missing-query rule).
     *
@@ -703,14 +709,16 @@ object Chat {
               passCol: String = "passed"): DataFrame = {
     require(k >= 1 && k <= 16, "k must be in [1, 16]")
     def choose(m: String): String =
-      s"aggregate(sequence(1, $k), cast(1 as bigint), " +
-        s"(acc, i) -> (acc * ($m - i + 1)) div i)"
+      s"aggregate(sequence(1, $k), cast(1 as decimal(38,0)), " +
+        s"(acc, i) -> cast((acc * cast($m - i + 1 as decimal(38,0))) / i " +
+        s"as decimal(38,0)))"
     samples.groupBy(col(problemCol))
       .agg(count(lit(1)).as("n_samples"),
         sum(when(col(passCol), 1L).otherwise(0L)).as("n_correct"))
       .withColumn("pass_at_k_ppm", when(col("n_samples") >= k,
-        expr(s"cast(1000000 - (1000000 * cast(${choose("n_samples - n_correct")} " +
-          s"as decimal(38,0))) div ${choose("n_samples")} as bigint)")))
+        expr(s"cast(1000000 - (cast(1000000 as decimal(38,0)) * " +
+          s"${choose("n_samples - n_correct")}) div ${choose("n_samples")} " +
+          s"as bigint)")))
       .select(col(problemCol), col("n_samples"), col("n_correct"),
         col("pass_at_k_ppm"))
   }

@@ -844,6 +844,21 @@ object Quality {
     * the copyleft-over-permissive precedence is exercised, and doc 0
     * mentions the GPL in prose under an MIT SPDX header — the
     * spdx-over-prose rule. */
+  def injectLicenses(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat_ws(" ",
+        substring(col("text"), 1, 20),
+        when(col("doc_id") % 5 === 0,
+          lit("SPDX-License-Identifier: MIT (not the GNU General Public License)"))
+          .when(col("doc_id") % 5 === 1,
+            lit("SPDX-License-Identifier: GPL-3.0-only"))
+          .when(col("doc_id") % 5 === 2,
+            lit("under the GNU General Public License; MIT License text follows"))
+          .when(col("doc_id") % 5 === 3,
+            lit("licensed under the Apache License, Version 2.0"))
+          .otherwise(lit("")),
+        substring(col("text"), 21, 1000000)).as("text"))
+
   /** Flesch reading-ease readability (Flesch '48; the readability
     * heuristic curation recipes bolt on next to the Gopher/C4 counts —
     * a cheap fluency prior that needs no model): per document,
@@ -901,19 +916,4 @@ object Quality {
           .when(col("fre_milli") >= 30000L, lit("difficult"))
           .otherwise(lit("very_confusing")))
   }
-
-  def injectLicenses(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
-      concat_ws(" ",
-        substring(col("text"), 1, 20),
-        when(col("doc_id") % 5 === 0,
-          lit("SPDX-License-Identifier: MIT (not the GNU General Public License)"))
-          .when(col("doc_id") % 5 === 1,
-            lit("SPDX-License-Identifier: GPL-3.0-only"))
-          .when(col("doc_id") % 5 === 2,
-            lit("under the GNU General Public License; MIT License text follows"))
-          .when(col("doc_id") % 5 === 3,
-            lit("licensed under the Apache License, Version 2.0"))
-          .otherwise(lit("")),
-        substring(col("text"), 21, 1000000)).as("text"))
 }

@@ -279,9 +279,12 @@ object QualityModel {
     * alphabet (integer scores — ppm-quantized scores bound this at 10⁶
     * +1 rows), one alphabet-bounded running-sum window, one final fold
     * to a single row. The corpus is scanned once; nothing pairwise
-    * ever materializes. The reported `wins`/`ties` audit columns are
-    * BIGINT-bounded (n_pos·n_neg < 2⁶³ — holds to ~3·10⁹ balanced
-    * rows; the ppm ratio itself is computed in decimal and immune). */
+    * ever materializes. The ppm ratio is derived from the DECIMAL
+    * win/tie sums — never from the long-cast audit columns — so it
+    * stays exact at any scale; the reported `wins`/`ties` columns are
+    * best-effort BIGINT audit values (n_pos·n_neg < 2⁶³ holds to
+    * ~3·10⁹ balanced rows; beyond that they read NULL under non-ANSI
+    * decimal→long overflow while auc_ppm stays correct). */
   def rocAuc(scored: DataFrame, scoreCol: String = "score_ppm",
              labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -307,13 +310,16 @@ object QualityModel {
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         coalesce(col("n_neg"), lit(0L)).as("n_neg"),
         coalesce(col("n_excluded"), lit(0L)).as("n_excluded"),
-        coalesce(col("_w"), lit(0)).cast("long").as("wins"),
-        coalesce(col("_t"), lit(0)).cast("long").as("ties"))
+        coalesce(col("_w"), lit(0)).cast("decimal(38,0)").as("_wd"),
+        coalesce(col("_t"), lit(0)).cast("decimal(38,0)").as("_td"))
       .withColumn("auc_ppm", expr(
         """case when n_pos > 0 and n_neg > 0 then
-          |  cast((1000000 * (2 * cast(wins as decimal(38,0)) + ties))
+          |  cast((1000000 * (2 * _wd + _td))
           |    div (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)
           |end""".stripMargin))
+      .select(col("n_pos"), col("n_neg"), col("n_excluded"),
+        col("_wd").cast("long").as("wins"), col("_td").cast("long").as("ties"),
+        col("auc_ppm"))
   }
 
   /** Per-group ROC-AUC — [[rocAuc]] partitioned by a group column (the
@@ -347,13 +353,16 @@ object QualityModel {
         coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
         coalesce(sum(col("nx")), lit(0L)).as("n_excluded"),
         coalesce(sum(col("np").cast("decimal(38,0)") * col("cum_nn")),
-          lit(0)).cast("long").as("wins"),
+          lit(0)).cast("decimal(38,0)").as("_wd"),
         coalesce(sum(col("np").cast("decimal(38,0)") * col("nn")),
-          lit(0)).cast("long").as("ties"))
+          lit(0)).cast("decimal(38,0)").as("_td"))
       .withColumn("auc_ppm", expr(
         """case when n_pos > 0 and n_neg > 0 then
-          |  cast((1000000 * (2 * cast(wins as decimal(38,0)) + ties))
+          |  cast((1000000 * (2 * _wd + _td))
           |    div (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)
           |end""".stripMargin))
+      .select(col(groupCol), col("n_pos"), col("n_neg"), col("n_excluded"),
+        col("_wd").cast("long").as("wins"), col("_td").cast("long").as("ties"),
+        col("auc_ppm"))
   }
 }

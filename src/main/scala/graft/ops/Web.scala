@@ -181,10 +181,18 @@ object Web {
     * host fully opts out of `bot` when any group covering it (`*` or
     * the bot's own token) carries `Disallow: /` — the RFC's
     * everything-is-off-limits form and the signal crawl pipelines
-    * honor as a domain-level opt-out. Output: distinct (domain) rows,
-    * broadcast-sized by construction (a subset of crawled hosts). */
+    * honor as a domain-level opt-out. RFC 9309 product tokens are
+    * case-INsensitive, so the agent match folds case on both sides
+    * ([[robotsRules]] lowercases field NAMES but preserves values —
+    * `User-agent: GraftBot` must still cover graftbot). Substring
+    * product-token matching (a `FooBot/2.1` group matching the token
+    * `foobot`) is deliberately NOT implemented: the registry derives
+    * from exact tokens or `*` only, the conservative read. Output:
+    * distinct (domain) rows, broadcast-sized by construction (a
+    * subset of crawled hosts). */
   def robotsOptOut(rules: DataFrame, bot: String = "graftbot"): DataFrame =
-    rules.where((col("agent") === "*" || col("agent") === bot) &&
+    rules.where((col("agent") === "*" ||
+        lower(col("agent")) === bot.toLowerCase) &&
         col("rule") === "disallow" && col("value") === "/")
       .select(col("host").as("domain")).distinct()
 

@@ -463,4 +463,20 @@ class ChatSpec extends SparkTestBase {
     // naive reads 1 - (3/4)^2 = 0.4375 < 0.5 — the documented bias
     assert(got(1L)._3.get > 437500L)
   }
+
+  test("passAtK: envelope cases whose intermediates wrap int64 stay exact") {
+    // C(m,i)·i exceeds 2^63 mid-product for all three; the decimal
+    // stepwise product must still read the exact combinatorial ppm
+    // (python: 10**6 - (10**6 * comb(n-c,k)) // comb(n,k))
+    def run(n: Int, c: Int, k: Int): Long = {
+      val samples = spark.range(n.toLong)
+        .selectExpr("1L as problem_id", s"id < $c as passed")
+      val r = Chat.passAtK(samples, k = k).collect().head
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == c.toLong)
+      r.getLong(3)
+    }
+    assert(run(100000, 137, 4) == 5469L)   // C(n,4)·4 = 1.7e19 > 2^63
+    assert(run(200, 11, 16) == 610162L)    // C(200,16) = 1.7e23
+    assert(run(1000, 37, 8) == 261177L)    // C(1000,8) = 2.4e19
+  }
 }

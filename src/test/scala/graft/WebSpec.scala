@@ -107,4 +107,18 @@ class WebSpec extends SparkTestBase {
     assert(Web.robotsOptOut(Web.robotsRules(robots), bot = "graftbot")
       .isEmpty)
   }
+
+  test("robotsOptOut: RFC 9309 product tokens match case-insensitively") {
+    // robotsRules lowercases field NAMES but preserves values — a
+    // 'User-agent: GraftBot' group with 'Disallow: /' must still opt
+    // the host out for the token 'graftbot' (and vice versa)
+    val robots = Seq(("cased.com", "User-agent: GraftBot\nDisallow: /"))
+      .toDF("host", "text")
+    val rules = Web.robotsRules(robots)
+    assert(Web.robotsOptOut(rules, bot = "graftbot")
+      .collect().map(_.getString(0)).toSeq == Seq("cased.com"))
+    assert(Web.robotsOptOut(rules, bot = "GRAFTBOT")
+      .collect().map(_.getString(0)).toSeq == Seq("cased.com"))
+    assert(Web.robotsOptOut(rules, bot = "otherbot").isEmpty)
+  }
 }
