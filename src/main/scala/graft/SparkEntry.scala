@@ -2476,6 +2476,55 @@ object SparkEntry {
         .withColumn("value",
           when(col("event_id") % 7 === 0, col("value") + 1).otherwise(col("value")))
       Quality.snapshotDiff(before, after, "event_id", Seq("event_type", "value"))
+    }),
+    // WARC/WET roundtrip (sources/Warc): a deterministic documents slice
+    // is written as Common-Crawl-shaped WET files (per-record gzip
+    // members, warcinfo leader, strict record grammar) and read back
+    // through the member-walk parser; the oracle computes the same
+    // aggregate straight from parquet, so any drift through the gzip
+    // codec, record framing, header parse, or UTF-8 text decode breaks
+    // the hash (the q113 Avro pattern)
+    "q239_wet_roundtrip" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_wet_q239").getAbsolutePath
+      val slice = Tables.documents(s, d).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+            col("doc_id").cast("string")).as("uri"),
+          concat(lit("2026-01-0"), ((col("doc_id") % 9) + 1).cast("string"),
+            lit("T00:00:00Z")).as("date"),
+          coalesce(col("text"), lit("")).as("text"))
+      sources.Warc.writeWet(slice, dir, perFile = 50)
+      sources.Warc.readWet(s, s"$dir/*.warc.wet.gz")
+        .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          col("target_uri"), col("warc_date"), col("text"))
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(octet_length(col("text"))).as("sum_octets"),
+          min(col("target_uri")).as("first_uri"),
+          max(col("warc_date")).as("last_date"))
+    }),
+    // WET -> URL canonicalization end-to-end (the crawl front door): the
+    // q114 messy-surface-form synthesis rides WARC-Target-URI through
+    // real WET bytes, and the read-back URIs feed Web.canonicalizeUrls;
+    // the oracle re-derives the canonical form from parquet with the
+    // q114 DuckDB chain — bytes-level framing AND string-level
+    // canonicalization must both hold for the hash to match
+    "q240_wet_url_canon" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_wet_q240").getAbsolutePath
+      val docs = Tables.documents(s, d)
+      sources.Warc.writeWet(
+        docs.select(col("doc_id"), synthUrl.as("uri"),
+          lit("2026-01-02T03:04:05Z").as("date"),
+          coalesce(col("text"), lit("")).as("text")),
+        dir, perFile = 100)
+      val back = sources.Warc.readWet(s, s"$dir/*.warc.wet.gz")
+      Web.canonicalizeUrls(back.select(col("target_uri").as("url")))
+        .groupBy(col("url_canon"), col("host"))
+        .agg(count(lit(1)).as("n_docs"), min(col("url")).as("first_url"))
     })
   )
 
@@ -7443,6 +7492,59 @@ object SparkEntry {
         |  (o_orderkey * 2654435761) % 1000003 key_hash,
         |  FLOOR(log10(o_totalprice) * 100 + 0.5) / 100.0 log_price2,
         |  GREATEST(o_totalprice - 100000.0, 0.0) excess
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    // WET roundtrip: the same slice/synthesis straight from parquet —
+    // matching means the gzip members, record framing, header parse,
+    // and UTF-8 decode were all lossless (strlen = BYTE length in
+    // DuckDB, pairing Spark's octet_length)
+    "q239_wet_roundtrip" ->
+      """WITH w AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/doc/'
+        |    || CAST(doc_id AS VARCHAR) uri,
+        |  '2026-01-0' || CAST((doc_id % 9) + 1 AS VARCHAR)
+        |    || 'T00:00:00Z' dt,
+        |  COALESCE(text, '') body
+        | FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id % 10 bucket, COUNT(*) n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) sum_ids,
+        |  CAST(SUM(strlen(body)) AS BIGINT) sum_octets,
+        |  MIN(uri) first_uri, MAX(dt) last_date
+        |FROM w GROUP BY 1""".stripMargin,
+    // WET -> canonicalization: the q114 DuckDB chain, grouped on the
+    // canonical form (branches %4 in {1,2} collapse per source, the
+    // doc_id-bearing branches stay singletons)
+    "q240_wet_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/A/B/'
+        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://' || source
+        |      || '.example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m'
+        |    WHEN 2 THEN 'HTTPS://Sub.' || source || '.Example.com:443/only/Path/'
+        |    ELSE 'http://' || source || '.example.com/?q='
+        |      || CAST(doc_id AS VARCHAR) || '&ref=abc'
+        |  END url FROM documents),
+        |p AS (SELECT url,
+        |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
+        |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |    '^www\.', '') auth,
+        |  regexp_replace(regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+        |    '/+$', '') path,
+        |  regexp_extract(url, '^[^#?]*\?([^#]*)', 1) q
+        | FROM u),
+        |h AS (SELECT url, scheme, path,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END host,
+        |  list_sort(list_filter(string_split(q, '&'), x -> x <> ''
+        |    AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|mc_eid|ref)(=.*)?$'))) ps
+        | FROM p),
+        |c AS (SELECT url, host,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+        |         ELSE '' END url_canon
+        | FROM h)
+        |SELECT url_canon, host, COUNT(*) n_docs, MIN(url) first_url
+        |FROM c GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,356 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC / WET ingestion (ISO 28500; WARC 1.0/1.1) — the exchange format
+  * a crawl-scale LLM pipeline reads BEFORE anything else runs: Common
+  * Crawl ships raw captures as WARC and extracted text as WET, both as
+  * CONCATENATED PER-RECORD GZIP MEMBERS (each record its own gzip
+  * stream, members back to back), so a reader can in principle split a
+  * file at member boundaries without decompressing what came before.
+  *
+  * Decompression is a hand-rolled member walk (RFC 1952 header →
+  * raw-deflate Inflater → CRC32 + ISIZE trailer check), NOT
+  * GZIPInputStream: the JDK stream silently swallows trailing garbage
+  * after the last member and reports no member boundaries, while the
+  * walk yields (a) STRICTNESS — any undecodable byte, bad CRC, wrong
+  * ISIZE, or trailing garbage rejects the whole file (the WebDataset
+  * corrupt-shard discipline: zero rows, never an exception, never a
+  * silently-wrong row) — and (b) the compressed OFFSET of every member,
+  * surfaced per record as `member_offset`, which is exactly the index a
+  * splittable 100 TB reader distributes on (CC's own cdx indexes are
+  * these offsets). In this repo files are the unit of parallelism (CC
+  * ships ~1 GB files in the tens of thousands per crawl — ample for
+  * 1000 executors, the WebDataset shard argument); the per-member walk
+  * inside one file is sequential, as the format requires.
+  *
+  * Record grammar, STRICT (what the spec mandates and CC emits):
+  * `WARC/1.0` or `WARC/1.1` version line, CRLF-terminated `Name: value`
+  * header lines (names case-insensitive, lowercased on output; header
+  * continuation lines are NOT accepted — CC never emits them), one
+  * blank CRLF line, exactly `Content-Length` octets of block, then the
+  * mandatory CRLF CRLF record separator. Anything else — a lone LF, a
+  * colonless header line, a non-numeric length, a block running past
+  * the buffer, garbage between records — rejects the file.
+  */
+object Warc {
+
+  // ------------------------------------------------------------ gzip
+
+  /** One deterministic gzip member (JDK GZIPOutputStream: MTIME=0,
+    * XFL=0, OS=0 — byte-stable across runs, the writeShards rule). */
+  private[graft] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(bytes); gz.finish(); gz.close()
+    bo.toByteArray
+  }
+
+  /** Strict concatenated-member walk: Some(list of (compressed offset,
+    * decompressed bytes)) covering the WHOLE buffer, or None on any
+    * malformation — bad magic, reserved FLG bits, a member that does
+    * not inflate, CRC32/ISIZE trailer mismatch, or trailing garbage.
+    * A single flipped byte anywhere in a member's deflate stream or
+    * trailer is caught by CRC32 (burst coverage ≥ 32 bits). */
+  private[graft] def gzipMembers(
+      bytes: Array[Byte]): Option[Seq[(Long, Array[Byte])]] = {
+    val out = Seq.newBuilder[(Long, Array[Byte])]
+    var o = 0
+    def u8(i: Int): Int = bytes(i) & 0xff
+    while (o < bytes.length) {
+      val start = o
+      if (o + 10 > bytes.length) return None
+      if (u8(o) != 0x1f || u8(o + 1) != 0x8b || u8(o + 2) != 8) return None
+      val flg = u8(o + 3)
+      if ((flg & 0xe0) != 0) return None // reserved FLG bits must be zero
+      o += 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + data
+        if (o + 2 > bytes.length) return None
+        val xlen = u8(o) | (u8(o + 1) << 8)
+        o += 2 + xlen
+        if (o > bytes.length) return None
+      }
+      def skipZeroTerminated(): Boolean = { // FNAME / FCOMMENT
+        while (o < bytes.length && bytes(o) != 0) o += 1
+        if (o >= bytes.length) false else { o += 1; true }
+      }
+      if ((flg & 8) != 0 && !skipZeroTerminated()) return None
+      if ((flg & 16) != 0 && !skipZeroTerminated()) return None
+      if ((flg & 2) != 0) { o += 2; if (o > bytes.length) return None } // FHCRC
+      val inf = new java.util.zip.Inflater(true) // raw deflate
+      try {
+        inf.setInput(bytes, o, bytes.length - o)
+        val bo = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => return None }
+          if (n > 0) bo.write(buf, 0, n)
+          else if (inf.needsInput()) return None // truncated deflate stream
+        }
+        val data = bo.toByteArray
+        o = o + (bytes.length - o - inf.getRemaining)
+        if (o + 8 > bytes.length) return None // trailer: CRC32 + ISIZE
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        def le32(i: Int): Long =
+          (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+            ((u8(i + 3).toLong) << 24)
+        if (le32(o) != crc.getValue) return None
+        if (le32(o + 4) != (data.length.toLong & 0xffffffffL)) return None
+        o += 8
+        out += ((start.toLong, data))
+      } finally inf.end()
+    }
+    Some(out.result())
+  }
+
+  // --------------------------------------------------- record grammar
+
+  private val Crlf = "\r\n".getBytes("US-ASCII")
+
+  /** Serialize one record: version line, headers in given order,
+    * Content-Length appended last, blank line, block, CRLF CRLF. */
+  private[graft] def record(headers: Seq[(String, String)],
+                            block: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def line(s: String): Unit = { bo.write(s.getBytes("UTF-8")); bo.write(Crlf) }
+    line("WARC/1.0")
+    headers.foreach { case (n, v) => line(s"$n: $v") }
+    line(s"Content-Length: ${block.length}")
+    bo.write(Crlf)
+    bo.write(block)
+    bo.write(Crlf); bo.write(Crlf)
+    bo.toByteArray
+  }
+
+  /** Strict record-stream parse: Some(list of (start offset in `bytes`,
+    * lowercased header map, block)) covering the whole buffer, or None
+    * on any grammar violation (doc above). */
+  private[graft] def parseRecords(
+      bytes: Array[Byte]): Option[Seq[(Long, Map[String, String], Array[Byte])]] = {
+    val out = Seq.newBuilder[(Long, Map[String, String], Array[Byte])]
+    var o = 0
+    // next CRLF at-or-after `from`, or -1; a lone LF/CR is NOT a break
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < bytes.length) {
+        if (bytes(i) == '\r' && bytes(i + 1) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+    while (o < bytes.length) {
+      val start = o
+      val ve = lineEnd(o)
+      if (ve < 0) return None
+      val version = new String(bytes, o, ve - o, "UTF-8")
+      if (version != "WARC/1.0" && version != "WARC/1.1") return None
+      o = ve + 2
+      var headers = Map.empty[String, String]
+      var blank = false
+      while (!blank) {
+        val he = lineEnd(o)
+        if (he < 0) return None
+        if (he == o) { blank = true; o += 2 }
+        else {
+          val line = new String(bytes, o, he - o, "UTF-8")
+          val c = line.indexOf(':')
+          if (c <= 0) return None
+          val name = line.substring(0, c).trim.toLowerCase
+          if (name.isEmpty || name.exists(ch => ch <= ' ')) return None
+          headers += name -> line.substring(c + 1).trim
+          o = he + 2
+        }
+      }
+      val lenStr = headers.getOrElse("content-length", return None)
+      if (lenStr.isEmpty || !lenStr.forall(ch => ch >= '0' && ch <= '9') ||
+        lenStr.length > 18) return None
+      val len = lenStr.toLong
+      if (o + len + 4 > bytes.length) return None
+      val block = java.util.Arrays.copyOfRange(bytes, o, (o + len).toInt)
+      o = (o + len).toInt
+      if (bytes(o) != '\r' || bytes(o + 1) != '\n' ||
+        bytes(o + 2) != '\r' || bytes(o + 3) != '\n') return None
+      o += 4
+      out += ((start.toLong, headers, block))
+    }
+    Some(out.result())
+  }
+
+  // ------------------------------------------------------- WET writer
+
+  /** Deterministic record id: a name-based pseudo-UUID from the md5 of
+    * a seed string — re-runs produce identical bytes (no wall clock,
+    * no randomness; the tar-shard determinism rule). */
+  private[graft] def recordId(seed: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    s"<urn:uuid:${h.substring(0, 8)}-${h.substring(8, 12)}-" +
+      s"${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}>"
+  }
+
+  /** Write (id, uri, date, text) rows as Common-Crawl-shaped WET files
+    * under `dir`: `wet-NNNNN.warc.wet.gz`, each file a leading warcinfo
+    * record plus one `conversion` record per document, EVERY record its
+    * own gzip member (the CC convention the reader's member walk
+    * exists for). File assignment is `id div perFile` — deterministic
+    * and rerun-stable; id gaps just yield smaller files, which matches
+    * the format (CC WET files are size-varied). Ids must be non-NULL
+    * (rejected loudly — a NULL would collapse into one file key).
+    *
+    * Scale shape: ONE shuffle (`repartition(_file)`), then each task
+    * streams its sorted group-runs with one open file and one record in
+    * memory at a time — the writeByBoundaries discipline; text never
+    * passes through a global window or the driver. */
+  def writeWet(docs: DataFrame, dir: String, perFile: Int = 1000,
+               idCol: String = "doc_id", uriCol: String = "uri",
+               dateCol: String = "date", textCol: String = "text"): Unit = {
+    require(perFile > 0)
+    val spark = docs.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // overwrite the target dir wholesale (the Avro.write rule): a stale
+    // file from a previous run with a different id range would
+    // otherwise survive and be read back alongside the fresh ones
+    val outPath = new org.apache.hadoop.fs.Path(dir)
+    val fs0 = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs0.exists(outPath)) fs0.delete(outPath, true)
+    fs0.mkdirs(outPath)
+    val rows = docs
+      .select(col(idCol).cast("long").as("_id"),
+        col(uriCol).cast("string").as("_uri"),
+        col(dateCol).cast("string").as("_date"),
+        col(textCol).cast("string").as("_text"))
+      .withColumn("_file", expr("_id div " + perFile))
+      .repartition(col("_file"))
+      .sortWithinPartitions(col("_file"), col("_id"))
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      var cur = Long.MinValue
+      var out: org.apache.hadoop.fs.FSDataOutputStream = null
+      def close(): Unit = if (out != null) { out.close(); out = null }
+      def warcinfo(name: String): Array[Byte] = gzipMember(record(Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "WARC-Filename" -> name,
+        "WARC-Record-ID" -> recordId(s"warcinfo:$name"),
+        "Content-Type" -> "application/warc-fields"),
+        "software: graft\r\nformat: WARC File Format 1.0\r\n"
+          .getBytes("UTF-8")))
+      try {
+        it.foreach { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            "writeWet: NULL id (file assignment would collapse to one key)")
+          val file = r.getLong(4)
+          if (file != cur) {
+            close()
+            val name = f"wet-$file%05d.warc.wet.gz"
+            val path = new org.apache.hadoop.fs.Path(dir, name)
+            out = path.getFileSystem(conf.value).create(path, true)
+            out.write(warcinfo(name))
+            cur = file
+          }
+          val id = r.getLong(0)
+          val uri = if (r.isNullAt(1)) "" else r.getString(1)
+          val date = if (r.isNullAt(2)) "2026-01-01T00:00:00Z" else r.getString(2)
+          val text = if (r.isNullAt(3)) "" else r.getString(3)
+          out.write(gzipMember(record(Seq(
+            "WARC-Type" -> "conversion",
+            "WARC-Target-URI" -> uri,
+            "WARC-Date" -> date,
+            "WARC-Record-ID" -> recordId(s"conversion:$id:$uri"),
+            "Content-Type" -> "text/plain"),
+            text.getBytes("UTF-8"))))
+        }
+      } finally close()
+    }
+  }
+
+  // ------------------------------------------------------------ read
+
+  private val recordSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("member_offset", LongType, nullable = false),
+    StructField("record_id", StringType, nullable = true),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  /** One row per WARC record across `glob` (a `*.warc.wet.gz` pattern
+    * under the corpus dir).
+    * A `.gz` file must be a clean run of gzip members; anything else is
+    * parsed as a raw uncompressed WARC. Any malformation — gzip OR
+    * record grammar — drops the WHOLE file to zero rows (strict: a file
+    * that half-parses is a file you cannot trust). `member_offset` is
+    * the compressed byte offset of the gzip member the record starts
+    * in (0 for raw files) — the CC cdx-style split index. */
+  def read(spark: SparkSession, glob: String): DataFrame =
+    explodeRecords(spark.read.format("binaryFile").load(glob))
+
+  /** WET convenience view: `conversion` records only, block decoded as
+    * UTF-8 `text`, one row per extracted document. */
+  def readWet(spark: SparkSession, glob: String): DataFrame =
+    wetView(read(spark, glob))
+
+  /** [[readWet]] as a STREAMING source — crawls land as whole files, so
+    * resident gates (dedup/curation/governance) consume this: each
+    * micro-batch is `maxFilesPerTrigger` whole WET files exploded to
+    * document rows. File-source semantics give replay idempotency (a
+    * file is the commit unit) and the strict parse drops a corrupt
+    * file as zero rows instead of poisoning the stream. */
+  def streamWet(spark: SparkSession, glob: String,
+                maxFilesPerTrigger: Int = 4): DataFrame =
+    wetView(explodeRecords(spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(glob)))
+
+  private def wetView(records: DataFrame): DataFrame =
+    records.where(col("warc_type") === "conversion")
+      .select(col("file"), col("member_offset"), col("record_id"),
+        col("target_uri"), col("warc_date"),
+        col("content").cast("string").as("text"))
+
+  private def explodeRecords(files: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(recordSchema)
+    files.select(col("path"), col("content")).flatMap { r =>
+      val name = r.getString(0).split("/").last
+      val raw = r.getAs[Array[Byte]](1)
+      val members =
+        if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+          gzipMembers(raw)
+        else Some(Seq((0L, raw)))
+      members.flatMap { ms =>
+        val bo = new java.io.ByteArrayOutputStream()
+        ms.foreach { case (_, d) => bo.write(d) }
+        // decompressed start offset -> compressed member offset
+        val starts = ms.scanLeft(0L) { case (acc, (_, d)) => acc + d.length }
+        parseRecords(bo.toByteArray).map { recs =>
+          recs.map { case (dOff, h, block) =>
+            val mi = {
+              var i = 0
+              while (i + 1 < starts.length && starts(i + 1) <= dOff) i += 1
+              i
+            }
+            org.apache.spark.sql.Row(
+              name, ms(mi)._1, h.get("warc-record-id").orNull,
+              h.get("warc-type").orNull, h.get("warc-target-uri").orNull,
+              h.get("warc-date").orNull, h.get("content-type").orNull,
+              block.length.toLong, block)
+          }
+        }
+      }.getOrElse(Seq.empty).iterator
+    }(enc)
+  }
+}

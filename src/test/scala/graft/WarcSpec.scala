@@ -1,0 +1,227 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+
+/** WARC/WET ingestion: gzip member walk strictness (CRC/ISIZE/trailing
+  * garbage), record grammar pinned by hand, system-gunzip acceptance,
+  * bit-exact document roundtrip through Common-Crawl-shaped files,
+  * single-byte-flip fuzz battery, member offsets, streaming twin. */
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def wetBytes(docs: Seq[(Long, String, String, String)],
+                       perFile: Int = 1000): Array[Byte] = {
+    val dir = Files.createTempDirectory("warc_spec").toString
+    Warc.writeWet(docs.toDF("doc_id", "uri", "date", "text"), dir, perFile)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gz"))
+    assert(f.length == 1)
+    Files.readAllBytes(f.head.toPath)
+  }
+
+  test("record grammar pinned: version line, CRLF headers, length, separator") {
+    val rec = Warc.record(Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "http://x.com/a"), "hello\nworld".getBytes("UTF-8"))
+    val s = new String(rec, "UTF-8")
+    assert(s.startsWith("WARC/1.0\r\n"))
+    assert(s.contains("WARC-Type: conversion\r\n"))
+    assert(s.contains("Content-Length: 11\r\n\r\nhello\nworld\r\n\r\n"))
+    val parsed = Warc.parseRecords(rec).get
+    assert(parsed.size == 1)
+    val (off, h, block) = parsed.head
+    assert(off == 0L && h("warc-type") == "conversion")
+    assert(h("content-length") == "11")
+    assert(new String(block, "UTF-8") == "hello\nworld")
+    // two records back to back parse with correct offsets
+    val two = rec ++ Warc.record(Seq("WARC-Type" -> "x"), Array[Byte]())
+    val p2 = Warc.parseRecords(two).get
+    assert(p2.map(_._1) == Seq(0L, rec.length.toLong))
+  }
+
+  test("strict record parse: LF-only, colonless header, bad length, missing separator, trailing garbage reject") {
+    val ok = Warc.record(Seq("WARC-Type" -> "t"), "abc".getBytes)
+    assert(Warc.parseRecords(ok).isDefined)
+    // lone-LF line endings are not the grammar
+    val lf = new String(ok, "UTF-8").replace("\r\n", "\n").getBytes("UTF-8")
+    assert(Warc.parseRecords(lf).isEmpty)
+    // colonless header line
+    assert(Warc.parseRecords(
+      "WARC/1.0\r\nnocolonhere\r\n\r\n\r\n\r\n".getBytes).isEmpty)
+    // missing Content-Length
+    assert(Warc.parseRecords(
+      "WARC/1.0\r\nWARC-Type: t\r\n\r\n\r\n\r\n".getBytes).isEmpty)
+    // non-numeric / oversized length
+    assert(Warc.parseRecords(
+      "WARC/1.0\r\nContent-Length: 3x\r\n\r\nabc\r\n\r\n".getBytes).isEmpty)
+    // block runs past the buffer
+    assert(Warc.parseRecords(
+      "WARC/1.0\r\nContent-Length: 99\r\n\r\nabc\r\n\r\n".getBytes).isEmpty)
+    // missing the CRLF CRLF separator
+    assert(Warc.parseRecords(
+      "WARC/1.0\r\nContent-Length: 3\r\n\r\nabc".getBytes).isEmpty)
+    // trailing garbage after a valid record
+    assert(Warc.parseRecords(ok ++ "junk".getBytes).isEmpty)
+    // wrong version
+    assert(Warc.parseRecords(
+      "WARC/2.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes).isEmpty)
+    // WARC/1.1 accepted
+    assert(Warc.parseRecords(
+      "WARC/1.1\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes).isDefined)
+  }
+
+  test("gzip member walk: offsets, strict CRC/ISIZE/trailing-garbage rejection") {
+    val a = Warc.gzipMember("alpha".getBytes)
+    val b = Warc.gzipMember("beta-beta".getBytes)
+    val ms = Warc.gzipMembers(a ++ b).get
+    assert(ms.map(_._1) == Seq(0L, a.length.toLong))
+    assert(ms.map(m => new String(m._2)) == Seq("alpha", "beta-beta"))
+    // deterministic bytes (re-runnable writer contract)
+    assert(Warc.gzipMember("alpha".getBytes).sameElements(a))
+    // trailing garbage — exactly what GZIPInputStream would swallow
+    assert(Warc.gzipMembers(a ++ "x".getBytes).isEmpty)
+    // truncation mid-member
+    assert(Warc.gzipMembers(java.util.Arrays.copyOf(a, a.length - 3)).isEmpty)
+    // corrupt stored CRC
+    val badCrc = (a ++ b).clone()
+    badCrc(a.length - 6) = (badCrc(a.length - 6) ^ 0x01).toByte
+    assert(Warc.gzipMembers(badCrc).isEmpty)
+    // not gzip at all
+    assert(Warc.gzipMembers("WARC/1.0".getBytes).isEmpty)
+  }
+
+  test("system gunzip accepts the multi-member file (external-reader acceptance)") {
+    val gzBin = Seq("/bin/gunzip", "/usr/bin/gunzip")
+      .find(p => new java.io.File(p).exists())
+    assume(gzBin.isDefined, "no system gunzip in this container")
+    val bytes = wetBytes(Seq(
+      (1L, "http://a.com/1", "2026-01-01T00:00:00Z", "first doc"),
+      (2L, "http://a.com/2", "2026-01-01T00:00:00Z", "second doc")))
+    val f = Files.createTempFile("warc_ext", ".warc.wet.gz")
+    Files.write(f, bytes)
+    val p = new ProcessBuilder(gzBin.get, "-c", f.toString)
+      .redirectErrorStream(false).start()
+    val out = p.getInputStream.readAllBytes()
+    assert(p.waitFor() == 0, "gunzip rejected the file")
+    // gunzip concatenates the decompressed members; the result is the
+    // same record stream the reader parses
+    val recs = Warc.parseRecords(out).get
+    assert(recs.size == 3) // warcinfo + 2 conversions
+    assert(recs.head._2("warc-type") == "warcinfo")
+    assert(recs.map(_._2("warc-type")).count(_ == "conversion") == 2)
+  }
+
+  test("WET roundtrip bit-exact; warcinfo leader; member offsets strictly increasing") {
+    val docs = (0L until 37L).map(i =>
+      (i * 3, s"https://s$i.example.com/p?x=$i", "2026-02-03T04:05:06Z",
+        s"body $i with unicode é中 and\nnewlines".stripMargin))
+    val dir = Files.createTempDirectory("warc_rt").toString
+    Warc.writeWet(docs.toDF("doc_id", "uri", "date", "text"), dir, perFile = 20)
+    // 37 docs at ids 0,3,..,108; file = id div 20 -> files 0..5
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".warc.wet.gz")) == 6)
+    val all = Warc.read(spark, s"$dir/*.warc.wet.gz")
+    val info = all.where(col("warc_type") === "warcinfo").collect()
+    assert(info.length == 6 && info.forall(_.getLong(1) == 0L))
+    val back = Warc.readWet(spark, s"$dir/*.warc.wet.gz")
+      .select(col("target_uri"), col("warc_date"), col("text"),
+        col("file"), col("member_offset"))
+      .collect()
+    assert(back.length == 37)
+    val got = back.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == docs.map(d => (d._2, d._3, d._4)).toSet)
+    // member offsets strictly increase within a file (per-record members)
+    back.groupBy(_.getString(3)).foreach { case (_, rs) =>
+      val offs = rs.map(_.getLong(4)).sorted
+      assert(offs.distinct.length == offs.length && offs.forall(_ > 0))
+    }
+    // deterministic re-write: identical bytes
+    val before = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gz"))
+      .sortBy(_.getName).map(f => Files.readAllBytes(f.toPath).toSeq).toSeq
+    Warc.writeWet(docs.toDF("doc_id", "uri", "date", "text")
+      .repartition(7), dir, perFile = 20)
+    val after = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gz"))
+      .sortBy(_.getName).map(f => Files.readAllBytes(f.toPath).toSeq).toSeq
+    assert(before == after)
+  }
+
+  test("fuzz battery: every single-byte flip reads either the original rows or zero rows") {
+    val bytes = wetBytes(Seq(
+      (5L, "http://fuzz.com/5", "2026-01-01T00:00:00Z", "fuzz body five"),
+      (6L, "http://fuzz.com/6", "2026-01-01T00:00:00Z", "fuzz body six")))
+    def parse(b: Array[Byte]): Option[Seq[(String, String)]] =
+      Warc.gzipMembers(b).flatMap { ms =>
+        val bo = new java.io.ByteArrayOutputStream()
+        ms.foreach { case (_, d) => bo.write(d) }
+        Warc.parseRecords(bo.toByteArray)
+      }.map(_.collect { case (_, h, blk) if h("warc-type") == "conversion" =>
+        (h("warc-target-uri"), new String(blk, "UTF-8")) })
+    val expected = parse(bytes).get
+    assert(expected == Seq(("http://fuzz.com/5", "fuzz body five"),
+      ("http://fuzz.com/6", "fuzz body six")))
+    // CRC32 catches any flip in the deflate stream or trailer; header
+    // metadata flips either reject or decode identically — a flip must
+    // NEVER yield different surviving content
+    var rejected = 0
+    for (i <- bytes.indices; bit <- Seq(0x01, 0x80)) {
+      val m = bytes.clone(); m(i) = (m(i) ^ bit).toByte
+      parse(m) match {
+        case None => rejected += 1
+        case Some(rows) => assert(rows == expected,
+          s"flip at byte $i bit $bit silently changed content")
+      }
+    }
+    assert(rejected > bytes.length, "most flips must reject") // sanity
+    // truncations at every length: never WRONG content — a cut landing
+    // exactly on a member boundary is indistinguishable from a shorter
+    // file (each record is its own member), so a clean PREFIX of the
+    // records is the only acceptable non-reject outcome
+    for (len <- 0 to bytes.length) {
+      parse(java.util.Arrays.copyOf(bytes, len)).foreach(r =>
+        assert(r == expected.take(r.length),
+          s"truncation at $len yielded non-prefix content"))
+    }
+  }
+
+  test("corrupt file yields zero rows through the reader, never an exception") {
+    val dir = Files.createTempDirectory("warc_bad").toString
+    Warc.writeWet(Seq((1L, "http://ok.com/1", "2026-01-01T00:00:00Z", "ok"))
+      .toDF("doc_id", "uri", "date", "text"), dir, perFile = 10)
+    val good = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gz")).head
+    val corrupt = Files.readAllBytes(good.toPath)
+    corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x10).toByte
+    Files.write(new java.io.File(dir, "wet-00099.warc.wet.gz").toPath, corrupt)
+    // also a raw uncompressed WARC alongside (no .gz framing)
+    Files.write(new java.io.File(dir, "raw-1.warc.wet.gz").toPath,
+      Warc.record(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "http://raw.com/r",
+        "WARC-Date" -> "2026-01-01T00:00:00Z"), "raw text".getBytes))
+    val rows = Warc.readWet(spark, s"$dir/*.warc.wet.gz")
+      .select(col("target_uri"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("http://ok.com/1", "ok"), ("http://raw.com/r", "raw text")))
+  }
+
+  test("streamWet == batch readWet; file-grained micro-batches") {
+    val dir = Files.createTempDirectory("warc_stream").toString
+    val docs = (0L until 30L).map(i =>
+      (i, s"http://st.com/$i", "2026-01-01T00:00:00Z", s"stream doc $i"))
+    Warc.writeWet(docs.toDF("doc_id", "uri", "date", "text"), dir, perFile = 10)
+    val out = Files.createTempDirectory("warc_stream_out").toString
+    val cp = Files.createTempDirectory("warc_stream_cp").toString
+    val q = Warc.streamWet(spark, s"$dir/*.warc.wet.gz", maxFilesPerTrigger = 1)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select(col("target_uri"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = Warc.readWet(spark, s"$dir/*.warc.wet.gz")
+      .select(col("target_uri"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch && batch.size == 30)
+  }
+}
