@@ -146,6 +146,32 @@ object SparkEntry {
           .otherwise(lit("Crawl-delay: 5")),
         lit("Disallow: /tmp/")).as("text"))
 
+  /** Per-source robots fixture for the PER-URL verdict (q241/q242):
+    * every RFC 9309 path-matching rule fires against a [[synthUrl]]
+    * branch — a wildcard/literal LENGTH TIE (disallow `/A/` + star +
+    * slash vs allow `/A/B/`, allow wins), an md5-flipped
+    * allow/disallow wildcard on the query
+    * branch, a `$`-anchored disallow outranking a shorter allow by
+    * length, an empty Disallow (matches nothing), and for the
+    * md5-second-hex < '4' hosts a specific `GraftBot` group
+    * (case-folded token match) that ECLIPSES the `*` group entirely;
+    * the `sub.` branch has no robots host at all (allowed, NULL rule). */
+  private def robotsPathDocs(docs: DataFrame): DataFrame =
+    docs.select(col("source")).distinct().select(
+      concat(col("source"), lit(".example.com")).as("host"),
+      concat_ws("\n",
+        lit("# path-pattern fixture"),
+        lit("User-agent: *"),
+        lit("Disallow: /A/*/"),
+        lit("Allow: /A/B/"),
+        when(substring(md5(col("source")), 1, 1) < "6",
+          lit("Disallow: /x?z=9*")).otherwise(lit("Allow: /x?z=9*")),
+        lit("Disallow: /?q=*&ref=abc$"),
+        lit("Allow: /?q=1*"),
+        when(substring(md5(col("source")), 2, 1) < "4",
+          lit("User-agent: GraftBot\nDisallow:\nDisallow: /A/"))
+          .otherwise(lit("# no specific group"))).as("text"))
+
   /** Deterministic in-plan opt-out registry over the documents sources:
     * `{s}.example.com` for the md5-first-hex < '8' half (suffix-governs
     * every branch host, ports included) plus `sub.{s}.example.com` for
@@ -1531,6 +1557,33 @@ object SparkEntry {
               col("doc_id").cast("string"), lit("@example.com now")))
             .otherwise(col("text")).as("text"))
       Pipeline.governanceSweep(base, optOutRegistry(docs))
+    }),
+    // the governance sweep with the URL-LEVEL robots gate chained in
+    // (q238 + q241): RFC 9309 path verdicts slot between the legal
+    // opt-out registry and the content gates — `robots_blocked` docs
+    // must not reach the license/PII/readability reports
+    "q242_governance_robots" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = Quality.injectLicenses(docs)
+        .join(docs.select(col("doc_id"), synthUrl.as("url")), Seq("doc_id"))
+        .select(col("doc_id"), col("url"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(col("text")).as("text"))
+      Pipeline.governanceSweep(base, optOutRegistry(docs),
+        robotsRules = Some(Web.robotsRules(robotsPathDocs(docs))))
+    }),
+    // per-URL RFC 9309 verdict (Web.robotsUrlVerdict): group selection
+    // (specific bot group eclipses `*`, case-folded token), wildcard/
+    // anchor path patterns compiled to LIKE-with-escape, longest-match
+    // precedence with allow-wins ties — the robots fixture plants a
+    // length tie, a $-anchored disallow over a shorter allow, an empty
+    // Disallow, and a robots-less subdomain branch
+    "q241_robots_url_verdict" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Web.robotsUrlVerdict(docs.select(col("doc_id"), synthUrl.as("url")),
+        Web.robotsRules(robotsPathDocs(docs)))
     }),
     // late-interaction MaxSim retrieval (Retrieval.maxSim, ColBERT's
     // scoring rule): multi-vector docs (4 chunk vectors per doc from
@@ -3468,24 +3521,11 @@ object SparkEntry {
        |$iterCtes""".stripMargin
   }
 
-  /** The robots fixture + RFC 9309 parse through the `rules` CTE —
-    * shared by q221 (the parse report) and q222 (the derived opt-out
-    * composition). "value"/"domain" quoted: DuckDB reserved words. */
-  private val robotsParseCte: String =
-    """srcs2 AS (SELECT DISTINCT source FROM documents),
-      |rb AS (SELECT source || '.example.com' host,
-      |    '# corpus robots fixture' || chr(10) || 'Crawl-delay: 1'
-      |    || chr(10) || 'User-agent: *' || chr(10) ||
-      |    CASE WHEN substring(md5(source), 1, 1) < '8' THEN 'Disallow: /'
-      |         ELSE 'Disallow: /private' END || chr(10) ||
-      |    'Allow: /public # static assets' || chr(10) || '' || chr(10) ||
-      |    'User-agent: graftbot' || chr(10) || 'User-agent: extrabot'
-      |    || chr(10) ||
-      |    CASE WHEN substring(md5(source), 2, 1) < '8' THEN 'Disallow: /'
-      |         ELSE 'Crawl-delay: 5' END || chr(10) ||
-      |    'Disallow: /tmp/' rtxt
-      |  FROM srcs2),
-      |ln AS (SELECT host, generate_subscripts(lns, 1) - 1 pos,
+  /** RFC 9309 parse chain `ln`→`rules` over an `rb(host, rtxt)` CTE the
+    * caller defines first — shared by the q221/q222 fixture and the
+    * q241/q242 path-pattern fixture. */
+  private val robotsChainCte: String =
+    """ln AS (SELECT host, generate_subscripts(lns, 1) - 1 pos,
       |    unnest(lns) line
       |  FROM (SELECT host, string_split(rtxt, chr(10)) lns FROM rb)),
       |pd AS (SELECT host, pos,
@@ -3508,6 +3548,175 @@ object SparkEntry {
       |    CAST(g.pos AS BIGINT) pos
       |  FROM grp g JOIN ag ON ag.host = g.host AND ag.run = g.run
       |  WHERE g.dname <> 'user-agent')""".stripMargin
+
+  /** The q238 governance fixture (urls + licenses + planted PII) and
+    * its gate CTEs `base`..`pii` — shared by q238 and the
+    * robots-chained q242. */
+  private val govSweepCtes: String =
+      s"""base AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/A/B/'
+        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://' || source
+        |      || '.example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m'
+        |    WHEN 2 THEN 'HTTPS://Sub.' || source || '.Example.com:443/only/Path/'
+        |    ELSE 'http://' || source || '.example.com/?q='
+        |      || CAST(doc_id AS VARCHAR) || '&ref=abc'
+        |  END url,
+        |  concat_ws(' ', substring(text, 1, 20),
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'SPDX-License-Identifier: MIT (not the GNU General Public License)'
+        |      WHEN 1 THEN 'SPDX-License-Identifier: GPL-3.0-only'
+        |      WHEN 2 THEN 'under the GNU General Public License; MIT License text follows'
+        |      WHEN 3 THEN 'licensed under the Apache License, Version 2.0'
+        |      ELSE '' END,
+        |    substring(text, 21, 1000000))
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' contact user'
+        |       || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |     ELSE '' END AS "text"
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
+        |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |    '^www\\.', '') auth FROM base),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+        |       ELSE auth END host FROM p),
+        |l AS (SELECT doc_id, host,
+        |  string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') lbl FROM h),
+        |sfx AS (SELECT doc_id, array_to_string(lbl[i:], '.') sfx
+        |  FROM (SELECT doc_id, lbl, unnest(range(1, len(lbl))) i
+        |        FROM l WHERE len(lbl) >= 2)),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |reg AS (SELECT source || '.example.com' "domain" FROM srcs
+        |    WHERE substring(md5(source), 1, 1) < '8'
+        |  UNION ALL
+        |  SELECT 'sub.' || source || '.example.com' FROM srcs
+        |    WHERE substring(md5(source), 1, 1) < '4'),
+        |m AS (SELECT doc_id, "domain" FROM (
+        |    SELECT sfx.doc_id, r."domain",
+        |      row_number() OVER (PARTITION BY sfx.doc_id
+        |        ORDER BY length(r."domain") DESC, r."domain" ASC) rn
+        |    FROM sfx JOIN reg r ON sfx.sfx = r."domain") WHERE rn = 1),
+        |lc AS (SELECT doc_id,
+        |    regexp_extract("text",
+        |      'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1) spdx0,
+        |    regexp_matches("text",
+        |      '(?i)GNU (Affero |Lesser )?General Public License|\\b[AL]?GPL-?[0-9]|\\bGPL\\b|Creative Commons|\\bCC-BY')
+        |      has_copyleft,
+        |    regexp_matches("text",
+        |      '(?i)MIT License|Apache License|BSD [0-9]-Clause|\\bISC License|\\bUnlicense\\b')
+        |      has_permissive
+        |  FROM base),
+        |lcv AS (SELECT doc_id,
+        |  CASE WHEN spdx0 = '' THEN NULL ELSE spdx0 END spdx_id,
+        |  CASE WHEN spdx0 <> '' THEN
+        |      CASE WHEN regexp_matches(upper(spdx0),
+        |          '^(A?GPL|LGPL|CC-BY-SA|EUPL|MPL)') THEN 'copyleft'
+        |        WHEN regexp_matches(upper(spdx0),
+        |          '^(MIT|APACHE|BSD|ISC|UNLICENSE|ZLIB|CC0)') THEN 'permissive'
+        |        ELSE 'other-spdx' END
+        |    WHEN has_copyleft THEN 'copyleft'
+        |    WHEN has_permissive THEN 'permissive'
+        |    ELSE 'none' END license_class
+        |  FROM lc),
+        |rc AS (SELECT doc_id,
+        |    CASE WHEN "text" IS NULL THEN 0
+        |      ELSE len(list_filter(regexp_split_to_array("text", '\\s+'),
+        |        t2 -> t2 <> '')) END nw,
+        |    CASE WHEN "text" IS NULL THEN 0
+        |      ELSE greatest(len(regexp_extract_all("text", '[.!?]+')), 1)
+        |      END ns,
+        |    CASE WHEN "text" IS NULL THEN 0
+        |      ELSE len(regexp_extract_all("text", '[aeiouyAEIOUY]+')) END ny
+        |  FROM base),
+        |fr AS (SELECT doc_id,
+        |    CASE WHEN nw > 0 THEN 206835
+        |      - (1015 * ((1000 * nw) // ns)) // 1000
+        |      - (84600 * ((1000 * ny) // nw)) // 1000 END fre
+        |  FROM rc),
+        |pii AS (SELECT doc_id,
+        |    len(regexp_extract_all("text", '$emailPat'))
+        |      + len(regexp_extract_all("text", '$phonePat')) > 0 has_pii
+        |  FROM base)""".stripMargin
+
+  /** The q221/q222 robots fixture + the parse chain. "value"/"domain"
+    * quoted: DuckDB reserved words. */
+  private val robotsParseCte: String =
+    """srcs2 AS (SELECT DISTINCT source FROM documents),
+      |rb AS (SELECT source || '.example.com' host,
+      |    '# corpus robots fixture' || chr(10) || 'Crawl-delay: 1'
+      |    || chr(10) || 'User-agent: *' || chr(10) ||
+      |    CASE WHEN substring(md5(source), 1, 1) < '8' THEN 'Disallow: /'
+      |         ELSE 'Disallow: /private' END || chr(10) ||
+      |    'Allow: /public # static assets' || chr(10) || '' || chr(10) ||
+      |    'User-agent: graftbot' || chr(10) || 'User-agent: extrabot'
+      |    || chr(10) ||
+      |    CASE WHEN substring(md5(source), 2, 1) < '8' THEN 'Disallow: /'
+      |         ELSE 'Crawl-delay: 5' END || chr(10) ||
+      |    'Disallow: /tmp/' rtxt
+      |  FROM srcs2),
+      |""".stripMargin + robotsChainCte
+
+  /** The q241/q242 path-pattern robots fixture (the [[robotsPathDocs]]
+    * synthesis) + the parse chain + group selection + LIKE-pattern
+    * compilation + the per-URL longest-match fold — everything after
+    * `u(doc_id, url)` that maps a URL to its RFC 9309 verdict row. */
+  private val robotsUrlVerdictCte: String =
+    """srcs2 AS (SELECT DISTINCT source FROM documents),
+      |rb AS (SELECT source || '.example.com' host,
+      |    '# path-pattern fixture' || chr(10) || 'User-agent: *'
+      |    || chr(10) || 'Disallow: /A/*/' || chr(10) || 'Allow: /A/B/'
+      |    || chr(10) ||
+      |    CASE WHEN substring(md5(source), 1, 1) < '6'
+      |         THEN 'Disallow: /x?z=9*' ELSE 'Allow: /x?z=9*' END
+      |    || chr(10) || 'Disallow: /?q=*&ref=abc$' || chr(10) ||
+      |    'Allow: /?q=1*' || chr(10) ||
+      |    CASE WHEN substring(md5(source), 2, 1) < '4'
+      |         THEN 'User-agent: GraftBot' || chr(10) || 'Disallow:'
+      |           || chr(10) || 'Disallow: /A/'
+      |         ELSE '# no specific group' END rtxt
+      |  FROM srcs2),
+      |""".stripMargin + robotsChainCte + """,
+      |ar AS (SELECT host, agent, "rule", "value",
+      |    lower(agent) = 'graftbot' spec FROM rules
+      |  WHERE "rule" IN ('allow', 'disallow')),
+      |hs AS (SELECT host, bool_or(spec) has_spec FROM ar GROUP BY 1),
+      |app AS (SELECT host, "rule", "value",
+      |    replace(regexp_replace(core, '([!%_])', '!\1', 'g'), '*', '%')
+      |      || CASE WHEN anch THEN '' ELSE '%' END pat
+      |  FROM (SELECT ar.host, "rule", "value",
+      |      CASE WHEN "value" LIKE '%$' THEN
+      |        substring("value", 1, length("value") - 1)
+      |        ELSE "value" END core,
+      |      "value" LIKE '%$' anch
+      |    FROM ar JOIN hs USING (host)
+      |    WHERE ((spec AND has_spec) OR (agent = '*' AND NOT has_spec))
+      |      AND "value" <> '')),
+      |du AS (SELECT doc_id,
+      |    lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
+      |    regexp_replace(lower(regexp_extract(url,
+      |      '^[^:/?#]+://([^/?#]*)', 1)), '^www\.', '') auth,
+      |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^#]*)', 1) t
+      |  FROM u),
+      |dv AS (SELECT doc_id,
+      |    regexp_replace(CASE
+      |      WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+      |      WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+      |      ELSE auth END, ':[0-9]+$', '') host,
+      |    CASE WHEN t = '' THEN '/' ELSE t END target
+      |  FROM du),
+      |jm AS (SELECT d.doc_id, d.host, d.target, a."rule", a."value"
+      |  FROM dv d LEFT JOIN app a
+      |    ON a.host = d.host AND d.target LIKE a.pat ESCAPE '!'),
+      |rvd AS (SELECT doc_id, host, target,
+      |    "rule" matched_rule, "value" matched_pattern,
+      |    ("rule" IS NULL OR "rule" = 'allow') allowed
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY ("value" IS NULL) ASC, length("value") DESC,
+      |        "rule" ASC, "value" ASC) rn FROM jm)
+      |  WHERE rn = 1)""".stripMargin
 
   private val bm25Cte: String =
     """tokd AS (SELECT doc_id, list_filter(
@@ -6763,93 +6972,7 @@ object SparkEntry {
     // q213 census, the q48 PII patterns, and the readability chain all
     // over ONE injected base, folded by the precedence CASE
     "q238_governance_pipeline" ->
-      s"""WITH base AS (SELECT doc_id,
-        |  CASE CAST(doc_id % 4 AS INT)
-        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/A/B/'
-        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
-        |    WHEN 1 THEN 'https://' || source
-        |      || '.example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m'
-        |    WHEN 2 THEN 'HTTPS://Sub.' || source || '.Example.com:443/only/Path/'
-        |    ELSE 'http://' || source || '.example.com/?q='
-        |      || CAST(doc_id AS VARCHAR) || '&ref=abc'
-        |  END url,
-        |  concat_ws(' ', substring(text, 1, 20),
-        |    CASE doc_id % 5
-        |      WHEN 0 THEN 'SPDX-License-Identifier: MIT (not the GNU General Public License)'
-        |      WHEN 1 THEN 'SPDX-License-Identifier: GPL-3.0-only'
-        |      WHEN 2 THEN 'under the GNU General Public License; MIT License text follows'
-        |      WHEN 3 THEN 'licensed under the Apache License, Version 2.0'
-        |      ELSE '' END,
-        |    substring(text, 21, 1000000))
-        |  || CASE WHEN doc_id % 11 = 0 THEN ' contact user'
-        |       || CAST(doc_id AS VARCHAR) || '@example.com now'
-        |     ELSE '' END AS "text"
-        |  FROM documents),
-        |p AS (SELECT doc_id,
-        |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
-        |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
-        |    '^www\\.', '') auth FROM base),
-        |h AS (SELECT doc_id,
-        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
-        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
-        |       ELSE auth END host FROM p),
-        |l AS (SELECT doc_id, host,
-        |  string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') lbl FROM h),
-        |sfx AS (SELECT doc_id, array_to_string(lbl[i:], '.') sfx
-        |  FROM (SELECT doc_id, lbl, unnest(range(1, len(lbl))) i
-        |        FROM l WHERE len(lbl) >= 2)),
-        |srcs AS (SELECT DISTINCT source FROM documents),
-        |reg AS (SELECT source || '.example.com' "domain" FROM srcs
-        |    WHERE substring(md5(source), 1, 1) < '8'
-        |  UNION ALL
-        |  SELECT 'sub.' || source || '.example.com' FROM srcs
-        |    WHERE substring(md5(source), 1, 1) < '4'),
-        |m AS (SELECT doc_id, "domain" FROM (
-        |    SELECT sfx.doc_id, r."domain",
-        |      row_number() OVER (PARTITION BY sfx.doc_id
-        |        ORDER BY length(r."domain") DESC, r."domain" ASC) rn
-        |    FROM sfx JOIN reg r ON sfx.sfx = r."domain") WHERE rn = 1),
-        |lc AS (SELECT doc_id,
-        |    regexp_extract("text",
-        |      'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1) spdx0,
-        |    regexp_matches("text",
-        |      '(?i)GNU (Affero |Lesser )?General Public License|\\b[AL]?GPL-?[0-9]|\\bGPL\\b|Creative Commons|\\bCC-BY')
-        |      has_copyleft,
-        |    regexp_matches("text",
-        |      '(?i)MIT License|Apache License|BSD [0-9]-Clause|\\bISC License|\\bUnlicense\\b')
-        |      has_permissive
-        |  FROM base),
-        |lcv AS (SELECT doc_id,
-        |  CASE WHEN spdx0 = '' THEN NULL ELSE spdx0 END spdx_id,
-        |  CASE WHEN spdx0 <> '' THEN
-        |      CASE WHEN regexp_matches(upper(spdx0),
-        |          '^(A?GPL|LGPL|CC-BY-SA|EUPL|MPL)') THEN 'copyleft'
-        |        WHEN regexp_matches(upper(spdx0),
-        |          '^(MIT|APACHE|BSD|ISC|UNLICENSE|ZLIB|CC0)') THEN 'permissive'
-        |        ELSE 'other-spdx' END
-        |    WHEN has_copyleft THEN 'copyleft'
-        |    WHEN has_permissive THEN 'permissive'
-        |    ELSE 'none' END license_class
-        |  FROM lc),
-        |rc AS (SELECT doc_id,
-        |    CASE WHEN "text" IS NULL THEN 0
-        |      ELSE len(list_filter(regexp_split_to_array("text", '\\s+'),
-        |        t2 -> t2 <> '')) END nw,
-        |    CASE WHEN "text" IS NULL THEN 0
-        |      ELSE greatest(len(regexp_extract_all("text", '[.!?]+')), 1)
-        |      END ns,
-        |    CASE WHEN "text" IS NULL THEN 0
-        |      ELSE len(regexp_extract_all("text", '[aeiouyAEIOUY]+')) END ny
-        |  FROM base),
-        |fr AS (SELECT doc_id,
-        |    CASE WHEN nw > 0 THEN 206835
-        |      - (1015 * ((1000 * nw) // ns)) // 1000
-        |      - (84600 * ((1000 * ny) // nw)) // 1000 END fre
-        |  FROM rc),
-        |pii AS (SELECT doc_id,
-        |    len(regexp_extract_all("text", '$emailPat'))
-        |      + len(regexp_extract_all("text", '$phonePat')) > 0 has_pii
-        |  FROM base)
+      ("WITH " + govSweepCtes + """
         |SELECT h.doc_id, h.host, m."domain" optout_domain,
         |  lcv.spdx_id, lcv.license_class, CAST(fr.fre AS BIGINT) fre_milli,
         |  pii.has_pii,
@@ -6867,7 +6990,7 @@ object SparkEntry {
         |       ELSE TRUE END kept
         |FROM h LEFT JOIN m USING (doc_id)
         |  JOIN lcv USING (doc_id) JOIN fr USING (doc_id)
-        |  JOIN pii USING (doc_id)""".stripMargin,
+        |  JOIN pii USING (doc_id)""".stripMargin),
     // retrieval-eval replay: the q143 BM25 chain cut to rk<=5, the
     // planted qrels (existing +0/+1/+3 docs), count/min rollups, and
     // the exact ppm metrics; zero-hit queries survive the left join
@@ -6956,6 +7079,54 @@ object SparkEntry {
     "q221_robots_rules" ->
       ("WITH " + robotsParseCte + """
         |SELECT host, agent, "rule", "value", pos FROM rules""".stripMargin),
+    // robots-chained governance replay: the q238 CTEs, the q241 robots
+    // verdict CTEs riding the same base urls, and the widened
+    // precedence CASE (opted_out > robots_blocked > license > pii >
+    // unreadable > keep)
+    "q242_governance_robots" ->
+      ("WITH " + govSweepCtes + """,
+        |u AS (SELECT doc_id, url FROM base),
+        |""".stripMargin + robotsUrlVerdictCte + """
+        |SELECT h.doc_id, h.host, m."domain" optout_domain,
+        |  lcv.spdx_id, lcv.license_class, CAST(fr.fre AS BIGINT) fre_milli,
+        |  pii.has_pii,
+        |  CASE WHEN m."domain" IS NOT NULL THEN 'opted_out'
+        |       WHEN NOT rvd.allowed THEN 'robots_blocked'
+        |       WHEN lcv.license_class IN ('copyleft', 'other-spdx')
+        |         THEN 'license'
+        |       WHEN pii.has_pii THEN 'pii'
+        |       WHEN fr.fre IS NULL OR fr.fre < 30000 THEN 'unreadable'
+        |       ELSE 'keep' END verdict,
+        |  CASE WHEN m."domain" IS NOT NULL THEN FALSE
+        |       WHEN NOT rvd.allowed THEN FALSE
+        |       WHEN lcv.license_class IN ('copyleft', 'other-spdx')
+        |         THEN FALSE
+        |       WHEN pii.has_pii THEN FALSE
+        |       WHEN fr.fre IS NULL OR fr.fre < 30000 THEN FALSE
+        |       ELSE TRUE END kept
+        |FROM h LEFT JOIN m USING (doc_id)
+        |  JOIN lcv USING (doc_id) JOIN fr USING (doc_id)
+        |  JOIN pii USING (doc_id) JOIN rvd USING (doc_id)""".stripMargin),
+    // per-URL robots verdict replay: the path-pattern fixture, the
+    // parse chain, group selection (bool_or(spec) per host), the same
+    // LIKE-with-escape pattern compile, and the longest-match /
+    // allow-wins fold as a row_number over (NULLs-last, length DESC,
+    // rule ASC, value ASC)
+    "q241_robots_url_verdict" ->
+      ("""WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/A/B/'
+        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://' || source
+        |      || '.example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m'
+        |    WHEN 2 THEN 'HTTPS://Sub.' || source || '.Example.com:443/only/Path/'
+        |    ELSE 'http://' || source || '.example.com/?q='
+        |      || CAST(doc_id AS VARCHAR) || '&ref=abc'
+        |  END url FROM documents),
+        |""".stripMargin + robotsUrlVerdictCte + """
+        |SELECT doc_id, host, target, matched_rule, matched_pattern,
+        |  allowed
+        |FROM rvd""".stripMargin),
     // robots->opt-out composition replay: the q221 rules, the derived
     // full-opt-out registry, then the q216 suffix/longest-match
     // machinery against the synthesized crawl URLs

@@ -174,6 +174,11 @@ object Pipeline {
     *                ([[Web.domainOptOut]]; legal removal requests
     *                outrank everything — an opted-out doc must not
     *                even appear in a license report's retained set);
+    *   robots_blocked — (only when `robotsRules` is given) the URL's
+    *                path is disallowed for `bot` under RFC 9309
+    *                longest-match ([[Web.robotsUrlVerdict]]) — the
+    *                site's own per-path directive, checked after the
+    *                legal registry and before anything content-based;
     *   license    — copyleft or unrecognized-SPDX declaration
     *                ([[Quality.licenseCensus]]; `none` passes — web
     *                text is mostly unlicensed prose, and dropping it
@@ -194,7 +199,9 @@ object Pipeline {
   def governanceSweep(docs: DataFrame, registry: DataFrame,
                       minFreMilli: Long = 30000L,
                       idCol: String = "doc_id", urlCol: String = "url",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      robotsRules: Option[DataFrame] = None,
+                      bot: String = "graftbot"): DataFrame = {
     val opt = Web.domainOptOut(docs.select(col(idCol), col(urlCol)),
         registry, idCol = idCol, urlCol = urlCol)
       .select(col(idCol), col("host"), col("optout_domain"))
@@ -206,11 +213,24 @@ object Pipeline {
       (regexp_count(col(textCol), lit(Curate.emailPattern)) +
         regexp_count(col(textCol), lit(Curate.phonePattern)) > 0)
         .as("has_pii"))
-    docs.select(col(idCol))
-      .join(opt, Seq(idCol)).join(lic, Seq(idCol))
-      .join(fre, Seq(idCol)).join(pii, Seq(idCol))
+    // the optional URL-LEVEL robots gate ([[Web.robotsUrlVerdict]]):
+    // RFC 9309 path patterns sit between the domain registry (a legal
+    // removal outranks a crawl directive) and everything content-based
+    // — a path the site disallowed for this bot must not even be
+    // license-reported
+    val rob = robotsRules.map(rr =>
+      Web.robotsUrlVerdict(docs.select(col(idCol), col(urlCol)), rr,
+          bot, urlCol = urlCol, idCol = idCol)
+        .select(col(idCol), col("allowed").as("_rob_ok")))
+    val joined = rob.foldLeft(
+      docs.select(col(idCol))
+        .join(opt, Seq(idCol)).join(lic, Seq(idCol))
+        .join(fre, Seq(idCol)).join(pii, Seq(idCol)))(_.join(_, Seq(idCol)))
+    joined
       .withColumn("verdict",
         when(col("optout_domain").isNotNull, lit("opted_out"))
+          .when(rob.fold(lit(false))(_ => !col("_rob_ok")),
+            lit("robots_blocked"))
           .when(col("license_class").isin("copyleft", "other-spdx"),
             lit("license"))
           .when(col("has_pii"), lit("pii"))
@@ -218,5 +238,6 @@ object Pipeline {
             lit("unreadable"))
           .otherwise(lit("keep")))
       .withColumn("kept", col("verdict") === "keep")
+      .drop("_rob_ok")
   }
 }

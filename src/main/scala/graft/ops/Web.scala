@@ -196,6 +196,75 @@ object Web {
         col("rule") === "disallow" && col("value") === "/")
       .select(col("host").as("domain")).distinct()
 
+  /** Per-URL RFC 9309 allow/block verdict — the rule robots.txt
+    * actually encodes: [[robotsOptOut]] only honors the domain-level
+    * `Disallow: /` form, but real governance is PER PATH, with
+    * wildcard patterns and longest-match precedence (RFC 9309 §2.2.2):
+    *
+    *  - GROUP SELECTION: if any group names the bot's product token
+    *    (case-insensitive exact match — the conservative read, no
+    *    substring tokens), ALL its rules apply and `*` groups are
+    *    IGNORED; otherwise the `*` groups apply; a host with neither
+    *    (or no robots at all) allows everything;
+    *  - the MATCH TARGET is the raw path + optional `?query` of the
+    *    URI (fragment off, case preserved — robots paths are
+    *    case-significant), `/` when empty;
+    *  - a pattern matches as a PREFIX; `*` matches any char run; a
+    *    TRAILING `$` anchors the end ( `$` elsewhere is literal);
+    *    an empty pattern matches nothing (the RFC's empty-Disallow =
+    *    allow-everything form);
+    *  - among matching rules the LONGEST pattern (octet length as
+    *    written) wins; on a length tie ALLOW wins; no match = allowed.
+    *
+    * The wildcard DEVICE: each pattern compiles to a SQL `LIKE ...
+    * ESCAPE '!'` pattern (`%`/`_`/`!` escaped, `*`→`%`, `%` appended
+    * unless `$`-anchored) — LIKE is codegen'd in Spark and
+    * semantically identical in the DuckDB oracle, so no regex-dialect
+    * drift and no per-row regex compile. Hosts fold to the canonical
+    * port-stripped form for the robots lookup (the [[domainOptOut]]
+    * "ports never govern" pipeline convention).
+    *
+    * Shape at scale: rules compile scan-side after one tiny window
+    * over per-host groups (robots files are KBs); the verdict is one
+    * host-keyed equi-join of the NARROW (id, host, target) frame —
+    * never text — against the compiled rules (broadcast when the
+    * crawl's host census is small, AQE decides), then one map-side-
+    * combined fold per doc over its handful of candidate rules. */
+  def robotsUrlVerdict(urls: DataFrame, rules: DataFrame,
+                       bot: String = "graftbot",
+                       urlCol: String = "url",
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rawTarget = regexp_extract(col(urlCol), "^[^:/?#]+://[^/?#]*([^#]*)", 1)
+    val docs = urls.select(col(idCol),
+      regexp_replace(urlHost(col(urlCol)), ":[0-9]+$", "").as("host"),
+      when(rawTarget === "", lit("/")).otherwise(rawTarget).as("target"))
+    val w = Window.partitionBy(col("host"))
+    val applicable = rules
+      .where(col("rule").isin("allow", "disallow"))
+      .withColumn("_spec", lower(col("agent")) === lit(bot.toLowerCase))
+      .withColumn("_has", max(col("_spec")).over(w))
+      .where(((col("_spec") && col("_has")) ||
+        (col("agent") === "*" && !col("_has"))) && col("value") =!= "")
+      .withColumn("_anch", col("value").endsWith("$"))
+      .withColumn("_core", when(col("_anch"),
+        expr("substring(value, 1, length(value) - 1)")).otherwise(col("value")))
+      .withColumn("_pat", concat(
+        regexp_replace(regexp_replace(col("_core"), "([!%_])", "!$1"),
+          "\\*", "%"),
+        when(col("_anch"), lit("")).otherwise(lit("%"))))
+      .select(col("host"), col("rule"), col("value"), col("_pat"))
+    docs.join(applicable, Seq("host"), "left")
+      .withColumn("_hit", col("rule").isNotNull &&
+        expr("target LIKE _pat ESCAPE '!'"))
+      .groupBy(col(idCol), col("host"), col("target"))
+      .agg(min(when(col("_hit"), struct((-length(col("value"))).as("nl"),
+        col("rule").as("r"), col("value").as("v")))).as("_m"))
+      .select(col(idCol), col("host"), col("target"),
+        col("_m.r").as("matched_rule"), col("_m.v").as("matched_pattern"),
+        (col("_m").isNull || col("_m.r") === "allow").as("allowed"))
+  }
+
   /** Registry-side audit for [[domainOptOut]]: per opt-out domain, how
     * many documents it dropped under longest-match attribution — with
     * ZERO-hit entries surfaced (the "this entry never fired" read a

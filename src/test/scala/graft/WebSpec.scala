@@ -121,4 +121,85 @@ class WebSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq == Seq("cased.com"))
     assert(Web.robotsOptOut(rules, bot = "otherbot").isEmpty)
   }
+
+  private def verdicts(robots: Seq[(String, String)],
+                       urls: Seq[(Long, String)],
+                       bot: String = "graftbot")
+      : Map[Long, (Option[String], Option[String], Boolean)] =
+    Web.robotsUrlVerdict(urls.toDF("doc_id", "url"),
+      Web.robotsRules(robots.toDF("host", "text")), bot)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), Option(r.getString(4)), r.getBoolean(5))))
+      .toMap
+
+  test("robotsUrlVerdict: wildcard, anchor, longest-match, allow-wins tie") {
+    val robots = Seq(("s.com", Seq(
+      "User-agent: *",
+      "Disallow: /a/*/c",     // wildcard prefix
+      "Allow: /a/b/c$",       // anchored, longer -> wins EXACT /a/b/c
+      "Disallow: /fish*.php", // mid-pattern wildcard
+      "Disallow: /dir$",      // anchored: /dir only, not /dir/x
+      "Disallow: /p",         // short prefix
+      "Allow: /pg"            // longer allow overrides for /pg...
+    ).mkString("\n")))
+    def v(path: String) =
+      verdicts(robots, Seq((1L, s"http://s.com$path")))(1L)
+    // wildcard matches any run incl. empty continuation chars
+    assert(v("/a/x/c") == ((Some("disallow"), Some("/a/*/c"), false)))
+    assert(v("/a/x/y/c?q=1") == ((Some("disallow"), Some("/a/*/c"), false)))
+    // exact /a/b/c: both match; the anchored allow is longer as
+    // written (7 octets incl. '$' vs 6) -> allow wins by length
+    assert(v("/a/b/c") == ((Some("allow"), Some("/a/b/c$"), true)))
+    // the anchor forbids continuation: /a/b/cd only matches the disallow
+    assert(v("/a/b/cd") == ((Some("disallow"), Some("/a/*/c"), false)))
+    assert(v("/fish-cake.php") ==
+      ((Some("disallow"), Some("/fish*.php"), false)))
+    // $ anchors: /dir blocked, /dir/x falls through to no match
+    assert(v("/dir") == ((Some("disallow"), Some("/dir$"), false)))
+    assert(v("/dir/x") == ((None, None, true)))
+    // longest-match: /pg hits both /p (2) and /pg (3) -> allow wins
+    assert(v("/pgrave") == ((Some("allow"), Some("/pg"), true)))
+    assert(v("/plain") == ((Some("disallow"), Some("/p"), false)))
+    // equal length tie -> allow wins ('/ab' vs '/ab')
+    val tie = Seq(("t.com", "User-agent: *\nDisallow: /ab\nAllow: /ab"))
+    assert(verdicts(tie, Seq((9L, "http://t.com/abc")))(9L) ==
+      ((Some("allow"), Some("/ab"), true)))
+  }
+
+  test("robotsUrlVerdict: group selection, empty patterns, LIKE metachars, target edges") {
+    // a specific group ECLIPSES '*' entirely (its allow does not leak)
+    val robots = Seq(("g.com", Seq(
+      "User-agent: *", "Allow: /open",
+      "User-agent: GraftBot", "Disallow:", "Disallow: /open/sub"
+    ).mkString("\n")))
+    assert(verdicts(robots, Seq((1L, "http://g.com/open/sub/x")))(1L) ==
+      ((Some("disallow"), Some("/open/sub"), false)))
+    // empty Disallow matches nothing; /open is NOT allowed-by-rule
+    // (star group ignored) but allowed-by-default
+    assert(verdicts(robots, Seq((2L, "http://g.com/open")))(2L) ==
+      ((None, None, true)))
+    // for another bot the star group applies
+    assert(verdicts(robots, Seq((3L, "http://g.com/open/sub/x")),
+      bot = "otherbot")(3L) == ((Some("allow"), Some("/open"), true)))
+    // SQL-LIKE metachars in patterns/targets are literal robots chars:
+    // '%'/'_'/'!' must not act as wildcards or escapes
+    val meta = Seq(("m.com",
+      "User-agent: *\nDisallow: /100%_off!\nDisallow: /u_*id$"))
+    assert(verdicts(meta, Seq((1L, "http://m.com/100%_off!now")))(1L) ==
+      ((Some("disallow"), Some("/100%_off!"), false)))
+    // '_' is literal: /100X_off! must NOT match /100%_off!
+    assert(verdicts(meta, Seq((2L, "http://m.com/100X_off!")))(2L) ==
+      ((None, None, true)))
+    assert(verdicts(meta, Seq((3L, "http://m.com/u_77id")))(3L) ==
+      ((Some("disallow"), Some("/u_*id$"), false)))
+    // target is path+query, '/' when empty; host folds case/www/port;
+    // a host with no robots rows allows everything
+    val root = Seq(("r.com", "User-agent: *\nDisallow: /$"))
+    assert(verdicts(root, Seq((1L, "HTTP://WWW.R.COM:80")))(1L) ==
+      ((Some("disallow"), Some("/$"), false)))
+    assert(verdicts(root, Seq((2L, "http://r.com/?q=1")))(2L) ==
+      ((None, None, true)))
+    assert(verdicts(root, Seq((3L, "http://norules.com/x")))(3L) ==
+      ((None, None, true)))
+  }
 }
