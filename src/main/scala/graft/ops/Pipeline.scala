@@ -240,4 +240,145 @@ object Pipeline {
       .withColumn("kept", col("verdict") === "keep")
       .drop("_rob_ok")
   }
+
+  /** The composed DECONTAMINATION sweep — eval hygiene's q238: the
+    * three contamination legs this library ships separately (lexical
+    * gram overlap, BM25 triage, semantic cosine) chained into ONE
+    * reason-coded per-document verdict, because the precedence is
+    * semantics of its own (a doc must carry its STRONGEST evidence
+    * class, not three overlapping reports):
+    *
+    *   lexical      — the doc shares >= `minOverlapPct`% of some bench
+    *                  item's distinct `n`-grams (verbatim evidence, the
+    *                  GPT-3 appendix-C rule; corpus-WIDE, not the
+    *                  triage's candidates-only cut) — drop;
+    *   semantic     — some bench probe embedding clears `minCos`
+    *                  (3dp-rounded cosine, the q189 flag-stability
+    *                  device) — paraphrase-level evidence — drop;
+    *   bm25_suspect — the doc ranks top-`k` BM25 for some bench query
+    *                  but NEITHER harder leg confirms — route to
+    *                  review, not auto-drop (kept=false here too: a
+    *                  decontamination gate fails closed);
+    *   clean        — everything else (kept).
+    *
+    * Scale shape: the lexical leg winnows corpus grams scan-side
+    * against the BROADCAST bench gram set before anything shuffles
+    * (benches are small by definition — that asymmetry is the whole
+    * design); BM25 rides the existing postings machinery; the semantic
+    * leg broadcasts the probe matrix. The composition adds only
+    * id-keyed left joins of narrow per-doc verdict columns. */
+  def contaminationSweep(docs: DataFrame, bench: DataFrame,
+                         docVecs: DataFrame, benchVecs: DataFrame,
+                         n: Int = 5, minOverlapPct: Long = 20L,
+                         k: Int = 3, minCos: Double = 0.6,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         benchIdCol: String = "bench_id",
+                         vecIdCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val lex = lexicalLeg(docs, bench, n, minOverlapPct, idCol, textCol,
+      benchIdCol)
+    val sus = Retrieval.bm25(docs,
+        bench.select(col(benchIdCol).as("query_id"), col(textCol)),
+        k, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(min(col("rank")).cast("long").as("bm25_rank"))
+      .select(col("doc_id").as(idCol), col("bm25_rank"))
+    val sem = Similarity.semanticContamination(
+        docVecs.select(col(vecIdCol), col(vecCol)), benchVecs,
+        minCos, vecIdCol, vecCol)
+      .select(col("nid").as(idCol), col("n_probes_hit"), col("max_cos3"))
+    docs.select(col(idCol))
+      .join(lex, Seq(idCol), "left")
+      .join(sus, Seq(idCol), "left")
+      .join(sem, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lex_bench"), lit(0L)).as("n_lex_bench"),
+        col("lex_ppm"), col("bm25_rank"),
+        coalesce(col("n_probes_hit"), lit(0L)).as("n_probes_hit"),
+        col("max_cos3"))
+      .withColumn("verdict",
+        when(col("n_lex_bench") > 0, lit("lexical"))
+          .when(col("n_probes_hit") > 0, lit("semantic"))
+          .when(col("bm25_rank").isNotNull, lit("bm25_suspect"))
+          .otherwise(lit("clean")))
+      .withColumn("kept", col("verdict") === "clean")
+  }
+
+  /** The sweep's lexical evidence: per doc the count of bench items
+    * whose distinct-gram overlap clears `minOverlapPct`%, and the
+    * strongest overlap in exact ppm. Corpus grams are winnowed
+    * scan-side against the BROADCAST bench gram set before anything
+    * shuffles. */
+  private[graft] def lexicalLeg(docs: DataFrame, bench: DataFrame,
+                                n: Int, minOverlapPct: Long, idCol: String,
+                                textCol: String,
+                                benchIdCol: String): DataFrame = {
+    val benchSh = bench.select(col(benchIdCol),
+      array_distinct(Dedup.shingles(col(textCol), n)).as("_g"))
+    val benchSizes = benchSh.select(col(benchIdCol),
+      size(col("_g")).cast("long").as("_bg"))
+    val benchGrams = benchSh.select(col(benchIdCol), explode(col("_g")).as("_h"))
+    val benchKeys = benchSh.select(explode(col("_g")).as("_h")).distinct()
+    docs
+      .select(col(idCol),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("_h"))
+      .join(broadcast(benchKeys), Seq("_h"), "left_semi")
+      .join(broadcast(benchGrams), Seq("_h"))
+      .groupBy(col(idCol), col(benchIdCol)).agg(count(lit(1)).as("_ns"))
+      .join(broadcast(benchSizes), Seq(benchIdCol))
+      .where(col("_ns") * 100L >= col("_bg") * minOverlapPct &&
+        col("_bg") > 0L)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lex_bench"),
+        max(expr("_ns * 1000000 div _bg")).as("lex_ppm"))
+  }
+
+  /** The STREAMABLE contamination gate — [[contaminationSweep]]'s
+    * per-batch form: the lexical and semantic legs are already
+    * per-doc-vs-fixed-bench (batch-independent), but live BM25 is not
+    * (df/avgdl/top-k rank quantify over the whole corpus), so the
+    * triage leg scores against a [[Retrieval.bm25Frozen]] REFERENCE
+    * table and flags `score_fx >= minScoreFx` instead of rank<=k — a
+    * threshold a single doc can answer for itself. `docs` carries both
+    * text and the embedding column. Output: one verdict row per doc
+    * (same precedence as the sweep; bm25_score_fx replaces bm25_rank).
+    * Because every leg is per-doc against fixed reference frames, a
+    * stream of batches produces EXACTLY the rows of one batch run on
+    * their union — the stream==batch contract residents are specced
+    * against. */
+  def contaminationGate(docs: DataFrame, bench: DataFrame,
+                        benchVecs: DataFrame, frozen: DataFrame,
+                        minScoreFx: Long,
+                        n: Int = 5, minOverlapPct: Long = 20L,
+                        minCos: Double = 0.6,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        benchIdCol: String = "bench_id",
+                        vecIdCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val lex = lexicalLeg(docs, bench, n, minOverlapPct, idCol, textCol,
+      benchIdCol)
+    val sus = Retrieval.bm25ScoreFrozen(docs, frozen, idCol, textCol)
+      .where(col("score_fx") >= minScoreFx)
+      .groupBy(col(idCol)).agg(max(col("score_fx")).as("bm25_score_fx"))
+    val sem = Similarity.semanticContamination(
+        docs.select(col(idCol), col(vecCol)),
+        benchVecs.select(col(vecIdCol).as(idCol), col(vecCol)),
+        minCos, idCol, vecCol)
+      .select(col("nid").as(idCol), col("n_probes_hit"), col("max_cos3"))
+    docs.select(col(idCol))
+      .join(lex, Seq(idCol), "left")
+      .join(sus, Seq(idCol), "left")
+      .join(sem, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lex_bench"), lit(0L)).as("n_lex_bench"),
+        col("lex_ppm"), col("bm25_score_fx"),
+        coalesce(col("n_probes_hit"), lit(0L)).as("n_probes_hit"),
+        col("max_cos3"))
+      .withColumn("verdict",
+        when(col("n_lex_bench") > 0, lit("lexical"))
+          .when(col("n_probes_hit") > 0, lit("semantic"))
+          .when(col("bm25_score_fx").isNotNull, lit("bm25_suspect"))
+          .otherwise(lit("clean")))
+      .withColumn("kept", col("verdict") === "clean")
+  }
 }

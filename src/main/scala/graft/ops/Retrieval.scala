@@ -140,6 +140,57 @@ object Retrieval {
     (out, matched)
   }
 
+  /** FROZEN BM25 scoring table — the streaming-gate side of BM25: per
+    * (query_id, t) the exact fixed-point idf from a REFERENCE corpus
+    * snapshot, plus the snapshot's avg_fx. A resident gate cannot make
+    * the corpus-global statements live BM25 needs (df, avgdl, top-k
+    * rank all quantify over the whole corpus), so it freezes them the
+    * way [[Perplexity.lmScoreFromIndex]] freezes an LM: derive once
+    * from a snapshot, broadcast to every batch, refresh by restarting
+    * the gate. Query terms ABSENT from the snapshot keep df=0 (maximal
+    * idf — an unseen term is maximally surprising). Output is
+    * |query terms| rows: broadcast-sized by construction. */
+  def bm25Frozen(documents: DataFrame, queries: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 queryIdCol: String = "query_id"): DataFrame = {
+    val postings = bm25Postings(documents, idCol, textCol)
+    val docLens = postings.select(col("doc_id"), col("dl")).distinct()
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .select(col("n_docs"), expr("(total_len * 1000) div n_docs").as("avg_fx"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(toks(col(textCol)))).as("t"))
+    val df = postings
+      .join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
+      .select(col("t"), col("doc_id")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    qterms.join(df, Seq("t"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("t"),
+        expr("((2*n_docs - 2*coalesce(df, 0L) + 1) * 1000000)" +
+          " div (2*coalesce(df, 0L) + 1)").as("idf_fx"),
+        col("avg_fx"))
+  }
+
+  /** Score docs against a [[bm25Frozen]] table: (idCol, query_id,
+    * score_fx), one row per doc×query with at least one term match.
+    * Pure scan-side work plus ONE map-side-combined keyed agg — no
+    * corpus-global pass, so a micro-batch costs only its own postings. */
+  def bm25ScoreFrozen(docs: DataFrame, frozen: DataFrame,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol), toks(col(textCol)).as("_tk"))
+      .select(col(idCol), size(col("_tk")).as("dl"),
+        explode(col("_tk")).as("t"))
+      .groupBy(col(idCol), col("t"), col("dl")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(frozen), Seq("t"))
+      .select(col(idCol), col("query_id"),
+        expr("(idf_fx * ((22 * tf * avg_fx * 1000) div" +
+          " (10*avg_fx*tf + 3*avg_fx + 9000*dl))) div 1000").as("term_fx"))
+      .groupBy(col(idCol), col("query_id"))
+      .agg(sum(col("term_fx")).as("score_fx"))
+  }
+
   /** Index-and-search in one call (the q143 shape; production callers
     * build [[bm25Postings]] once and search many times). */
   def bm25(documents: DataFrame, queries: DataFrame, k: Int = 5,
