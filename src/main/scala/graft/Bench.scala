@@ -4,15 +4,49 @@ object Bench {
 
   /** One query's gated measurement: the timing verdict, how many run
     * attempts were spent (> the trusted-rep quota when the load gate
-    * forced retries), and the highest 1-minute load average sampled
-    * around any attempt. */
+    * forced retries), the highest 1-minute load average sampled around
+    * any attempt, and the highest EXTERNAL load (load minus this JVM's
+    * own tracked CPU — the quantity the gate actually judges). */
   case class Gated(timing: Either[String, Double], attempts: Int,
-                   maxLoadSeen: Double)
+                   maxLoadSeen: Double, maxExtSeen: Double = -1.0)
 
   def systemLoad(): Double =
     try java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
+
+  /** This JVM's own contribution to the 1-minute load average: process
+    * CPU usage (cores busy) folded through the SAME exponential decay
+    * Linux loadavg uses (e^(-dt/60)), so `systemLoad() - ownLoad()` is
+    * an apples-to-apples estimate of CO-TENANT load. The r13 lesson:
+    * gating on raw loadavg self-rejects — a healthy local[32] bench
+    * drives the host average past any sane threshold all by itself, so
+    * every rep burned its retry against the bench's own reflection and
+    * the artifact could never certify a quiet host. */
+  object OwnLoad {
+    private val os = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    private def cpuNs: Long = os match {
+      case s: com.sun.management.OperatingSystemMXBean => s.getProcessCpuTime
+      case _ => -1L
+    }
+    private var lastCpu = cpuNs
+    private var lastT = System.nanoTime()
+    private var ewma = 0.0
+    /** Advance the tracker and return the current own-load estimate. */
+    def sample(): Double = synchronized {
+      val now = System.nanoTime()
+      val cpu = cpuNs
+      val dt = (now - lastT) / 1e9
+      if (cpu >= 0 && lastCpu >= 0 && dt > 0.05) {
+        val cores = (cpu - lastCpu) / 1e9 / dt
+        val a = math.exp(-dt / 60.0)
+        ewma = ewma * a + cores * (1 - a)
+        lastCpu = cpu; lastT = now
+      }
+      ewma
+    }
+  }
 
   /** Fastest successful rep, or Left(first error). A query that throws
     * must NOT surface as a (fast) timing — round-6 advice: a broken query
@@ -24,27 +58,31 @@ object Bench {
 
   /** [[measure]] + a host-load gate (round-8 verdict: contended-host
     * variance leaked into round-closing artifacts; artifacts should be
-    * self-certifying). A successful rep whose surrounding 1-minute load
-    * average (max of before/after samples) exceeds `maxLoad` does not
-    * count toward the trusted-rep quota — the loop spends one of
-    * `maxRetries` extra attempts instead. The over-threshold timing is
-    * KEPT as a fallback (min over all successful reps is still reported
-    * when retries run out: a suspect number labeled with its load beats
-    * a hole), and `attempts`/`maxLoadSeen` land in the artifact so a
+    * self-certifying). A successful rep whose surrounding EXTERNAL load
+    * — 1-minute load average minus `ownLoadFn`'s own-JVM estimate, max
+    * of before/after samples — exceeds `maxLoad` does not count toward
+    * the trusted-rep quota; the loop spends one of `maxRetries` extra
+    * attempts instead. The over-threshold timing is KEPT as a fallback
+    * (min over all successful reps is still reported when retries run
+    * out: a suspect number labeled with its load beats a hole), and
+    * `attempts`/`maxLoadSeen`/`maxExtSeen` land in the artifact so a
     * reader can tell a certified run from a contended one. With the
+    * default `ownLoadFn` (0) the gate judges raw loadavg; with the
     * default gate disabled (MaxValue) this is exactly the old
     * [[measure]]: `reps` attempts, fastest success wins. */
   def measureGated(reps: Int, run: () => Unit,
                    afterRep: () => Unit = () => (),
                    maxLoad: Double = Double.MaxValue, maxRetries: Int = 0,
-                   loadFn: () => Double = () => systemLoad()): Gated = {
+                   loadFn: () => Double = () => systemLoad(),
+                   ownLoadFn: () => Double = () => 0.0): Gated = {
     var err: Option[String] = None
     var times = List.empty[Double]
     var trusted = 0
     var attempts = 0
     var maxSeen = -1.0
+    var maxExt = -1.0
     while (trusted < reps && attempts < reps + maxRetries) {
-      val l0 = loadFn()
+      val l0 = loadFn(); val o0 = ownLoadFn()
       val t0 = System.nanoTime()
       val ok =
         try { run(); true }
@@ -52,18 +90,25 @@ object Bench {
           if (err.isEmpty) err = Some(e.toString.take(200)); false
         }
       val t = (System.nanoTime() - t0) / 1e9
-      val repLoad = math.max(l0, loadFn())
+      val l1 = loadFn(); val o1 = ownLoadFn()
+      val repLoad = math.max(l0, l1)
+      // gate on the EXTERNAL component: loadavg minus this JVM's own
+      // tracked contribution at the same sample instant (max of the
+      // before/after estimates — a co-tenant spiking on either side of
+      // the rep taints it)
+      val repExt = math.max(l0 - o0, l1 - o1)
       if (repLoad > maxSeen) maxSeen = repLoad
+      if (repExt > maxExt) maxExt = repExt
       afterRep()
       attempts += 1
       if (ok) {
         times ::= t
-        if (repLoad <= maxLoad) trusted += 1
+        if (repExt <= maxLoad) trusted += 1
       }
     }
     Gated(
       if (times.nonEmpty) Right(times.min) else Left(err.getOrElse("failed")),
-      attempts, maxSeen)
+      attempts, maxSeen, maxExt)
   }
 
   private def jstr(s: String): String =
@@ -81,11 +126,12 @@ object Bench {
   def renderJson(ok: Seq[(String, Double)], errors: Seq[(String, String)],
                  sfDir: String, reps: Int, cpus: String, load: Double,
                  loadRetries: Int = 0, maxRepLoad: Double = -1.0,
-                 loadGate: Double = -1.0): String = {
+                 loadGate: Double = -1.0, maxRepExt: Double = -1.0,
+                 ownLoad: Double = -1.0): String = {
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_avg_1m":$load,"load_retries":$loadRetries,"max_rep_load":$maxRepLoad,"load_gate":$loadGate}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_avg_1m":$load,"load_retries":$loadRetries,"max_rep_load":$maxRepLoad,"load_gate":$loadGate,"max_rep_ext_load":$maxRepExt,"own_load_1m":$ownLoad}"""
   }
 
   /** Short summary WITHOUT the per-query map — small enough to survive
@@ -118,12 +164,15 @@ object Bench {
     // Steady-state mode: SPARK_GRAFT_BENCH_REPS=N runs each query N times
     // and reports the fastest rep — one-shot Janino codegen (~0.5-2 s per
     // fresh plan) otherwise dominates every sub-second query in a cold JVM.
-    // Default 1 = the driver's cold-ish contract, unchanged.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
-    // Host-load gate: quiet r8 runs sat near 1.3 while contended windows
-    // read 1.8-3.5 and inflated wall-clock 1.2-3x uniformly; 2.5 admits
-    // the bench's own steady-state contribution and rejects co-tenant
-    // noise. One extra attempt per query bounds the gate's cost at 2x.
+    // Default 3 (r13 verdict): the official artifact should be a
+    // steady-state number, not a single-shot upper bound; the env var
+    // still overrides for a deliberately-cold run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Host-load gate on the EXTERNAL load (loadavg minus this JVM's own
+    // EWMA-tracked CPU — see OwnLoad): raw loadavg self-rejects, because
+    // a healthy local[32] bench alone sustains 3-5. 2.5 external cores
+    // rejects genuine co-tenant noise. One extra attempt per query
+    // bounds the gate's cost at (reps+1)/reps.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.5").toDouble
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RETRIES", "1").toInt.max(0)
     // SPARK_GRAFT_BENCH_ONLY=q45_x,q46_y restricts to named queries (dev loop)
@@ -140,20 +189,24 @@ object Bench {
         // reps — each execution pays for, and is measured with, its own
         // caching
         afterRep = () => spark.catalog.clearCache(),
-        maxLoad = maxLoad, maxRetries = maxRetries)
+        maxLoad = maxLoad, maxRetries = maxRetries,
+        ownLoadFn = () => OwnLoad.sample())
       g.timing.left.foreach(m => System.err.println(s"[bench] $name failed: $m"))
       name -> g
     }
-    val ok = results.collect { case (k, Gated(Right(v), _, _)) => k -> v }
-    val errors = results.collect { case (k, Gated(Left(m), _, _)) => k -> m }
+    val ok = results.collect {
+      case (k, g) if g.timing.isRight => k -> g.timing.toOption.get }
+    val errors = results.collect {
+      case (k, g) if g.timing.isLeft => k -> g.timing.swap.toOption.get }
     val loadRetries = results.map { case (_, g) => (g.attempts - reps).max(0) }.sum
     val maxRepLoad = results.map(_._2.maxLoadSeen).foldLeft(-1.0)(math.max)
+    val maxRepExt = results.map(_._2.maxExtSeen).foldLeft(-1.0)(math.max)
     // Host-load context: a contended host inflates wall-clock by 10x+
     // (round-3's driver capture showed q01 at 79s vs 2.6s quiet), so the
     // artifact records the 1-minute load average alongside the numbers.
     val load = systemLoad()
     val line = renderJson(ok, errors, sfDir, reps, cpus, load,
-      loadRetries, maxRepLoad, maxLoad)
+      loadRetries, maxRepLoad, maxLoad, maxRepExt, OwnLoad.sample())
     println(line)
     // The driver captures stdout with a bounded tail; round-3's official
     // total was lost to truncation of this single long line. Persist the

@@ -49,6 +49,35 @@ class BenchSpec extends AnyFunSuite {
     assert(g.maxLoadSeen == 9.9)
   }
 
+  test("measureGated: gate judges EXTERNAL load — own-JVM contribution is subtracted") {
+    // raw loadavg 4.0 on every sample; the JVM itself accounts for 3.6
+    // of it -> external 0.4 is under the 2.5 gate, the rep certifies
+    // without burning a retry (the r13 self-rejection failure mode)
+    var runs = 0
+    val g = Bench.measureGated(reps = 2, run = () => runs += 1,
+      maxLoad = 2.5, maxRetries = 3,
+      loadFn = () => 4.0, ownLoadFn = () => 3.6)
+    assert(runs == 2 && g.attempts == 2, "self-load must not trip the gate")
+    assert(g.maxLoadSeen == 4.0 && math.abs(g.maxExtSeen - 0.4) < 1e-9)
+    // same raw load but a mostly-idle JVM: the 3.5 external cores are
+    // co-tenant noise and every attempt is suspect
+    val h = Bench.measureGated(reps = 1, run = () => (),
+      maxLoad = 2.5, maxRetries = 2,
+      loadFn = () => 4.0, ownLoadFn = () => 0.5)
+    assert(h.attempts == 3 && h.timing.isRight)
+    assert(math.abs(h.maxExtSeen - 3.5) < 1e-9)
+  }
+
+  test("OwnLoad: tracks busy-spin up and decays toward idle") {
+    val before = Bench.OwnLoad.sample()
+    val stop = System.nanoTime() + 400L * 1000 * 1000
+    var x = 0L
+    while (System.nanoTime() < stop) { x += 1 } // ~0.4 s of one busy core
+    val after = Bench.OwnLoad.sample()
+    assert(after > before, s"busy spin must raise own load ($before -> $after, spun $x)")
+    assert(after < 33.0, "own load is bounded by the core count")
+  }
+
   test("measureGated: quiet host is exactly the old measure — reps attempts, no retries") {
     var runs = 0
     val g = Bench.measureGated(reps = 3, run = () => runs += 1,
