@@ -1558,6 +1558,83 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       Pipeline.governanceSweep(base, optOutRegistry(docs))
     }),
+    // the crawl FRONT DOOR end-to-end (q239 bytes + q242 semantics):
+    // the governance fixture is written as real WET files, read back
+    // through the member walk, and the ROBOTS-CHAINED sweep runs on the
+    // roundtripped (record_id, target_uri, text) rows — no parquet in
+    // between; keyed by the deterministic WARC record id (md5-derived,
+    // so the oracle re-derives it)
+    "q246_wet_governance" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_wet_q246").getAbsolutePath
+      val docs = Tables.documents(s, d)
+      val base = Quality.injectLicenses(docs)
+        .join(docs.select(col("doc_id"), synthUrl.as("url")), Seq("doc_id"))
+        .select(col("doc_id"), col("url"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(col("text")).as("text"))
+      sources.Warc.writeWet(base.select(col("doc_id"),
+        col("url").as("uri"), lit("2026-01-02T03:04:05Z").as("date"),
+        col("text")), dir, perFile = 100)
+      val back = sources.Warc.readWet(s, s"$dir/*.warc.wet.gz")
+        .select(col("record_id"), col("target_uri").as("url"), col("text"))
+      Pipeline.governanceSweep(back, optOutRegistry(docs),
+        idCol = "record_id",
+        robotsRules = Some(Web.robotsRules(robotsPathDocs(docs))))
+    }),
+    // per-host crawl-delay politeness census (Web.crawlDelay): RFC 9309
+    // group selection (specific eclipses `*`, no fallback), then the
+    // MAX numeric delay in the selected group — the q221 fixture's
+    // graftbot groups carry 'Crawl-delay: 5' on the md5 flip and no
+    // delay otherwise (NULL: crawl at default pace)
+    "q247_crawl_delay" -> ((s, d) =>
+      Web.crawlDelay(Web.robotsRules(robotsDocs(Tables.documents(s, d))))),
+    // raw-WARC HTTP census (sources/Warc.writeResponses -> read ->
+    // httpResponses): response records with real HTTP/1.1 payloads ride
+    // the member walk, the payload parser splits status line / headers /
+    // body, and the census rolls up by (status, content-type) — framing,
+    // HTTP grammar, ISO-8859-1 header decode, and body octets all
+    // hash-gated against the parquet-derived oracle
+    "q244_warc_http_census" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_warc_q244").getAbsolutePath
+      val slice = Tables.documents(s, d).where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/page/"),
+            col("doc_id").cast("string")).as("uri"),
+          lit("2026-03-04T05:06:07Z").as("date"),
+          (lit(200) + (col("doc_id") % 3) * 102).cast("long").as("status"),
+          when(col("doc_id") % 4 === 0, lit("text/html; charset=utf-8"))
+            .otherwise(lit("text/plain")).as("ctype"),
+          coalesce(col("text"), lit("")).as("text"))
+      sources.Warc.writeResponses(slice, dir, perFile = 64)
+      sources.Warc.httpResponses(sources.Warc.read(s, s"$dir/*.warc.gz"))
+        .groupBy(col("http_status"), col("http_content_type"))
+        .agg(count(lit(1)).as("n_resp"),
+          sum(octet_length(col("body"))).as("sum_octets"),
+          min(col("target_uri")).as("first_uri"),
+          sum(when(col("http_ok"), 1L).otherwise(0L)).as("n_ok"))
+    }),
+    // CDX sidecar derivation (sources/Warc.cdxIndex): the split index a
+    // 100 TB WARC reader distributes on — canonical urlkey (the q114
+    // chain over messy synthUrl surface forms), containing file, block
+    // length; member_offset stays spec-tested (gzip byte offsets are
+    // not DuckDB-derivable)
+    "q245_cdx_index" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_wet_q245").getAbsolutePath
+      val docs = Tables.documents(s, d)
+      sources.Warc.writeWet(
+        docs.select(col("doc_id"), synthUrl.as("uri"),
+          lit("2026-01-02T03:04:05Z").as("date"),
+          coalesce(col("text"), lit("")).as("text")),
+        dir, perFile = 100)
+      sources.Warc.cdxIndex(sources.Warc.read(s, s"$dir/*.warc.wet.gz"))
+        .select(col("urlkey"), col("warc_date"), col("file"),
+          col("content_length"))
+    }),
     // the composed DECONTAMINATION verdict (Pipeline.contaminationSweep):
     // the q132/q149 lexical gram evidence, the q149 BM25 triage, and the
     // q189 semantic cosine folded to ONE reason-coded per-doc verdict
@@ -7111,6 +7188,109 @@ object SparkEntry {
     "q221_robots_rules" ->
       ("WITH " + robotsParseCte + """
         |SELECT host, agent, "rule", "value", pos FROM rules""".stripMargin),
+    // front-door replay: the q242 CTEs keyed through the DETERMINISTIC
+    // WARC record id (md5 of the conversion seed, re-derived in SQL) —
+    // matching proves the governance verdict survives the byte-level
+    // WET roundtrip value-for-value
+    "q246_wet_governance" ->
+      ("WITH " + govSweepCtes + """,
+        |rid AS (SELECT doc_id, '<urn:uuid:' || substr(hh, 1, 8) || '-'
+        |    || substr(hh, 9, 4) || '-' || substr(hh, 13, 4) || '-'
+        |    || substr(hh, 17, 4) || '-' || substr(hh, 21, 12) || '>' record_id
+        |  FROM (SELECT doc_id, md5('conversion:'
+        |    || CAST(doc_id AS VARCHAR) || ':' || url) hh FROM base)),
+        |u AS (SELECT doc_id, url FROM base),
+        |""".stripMargin + robotsUrlVerdictCte + """
+        |SELECT rid.record_id, h.host, m."domain" optout_domain,
+        |  lcv.spdx_id, lcv.license_class, CAST(fr.fre AS BIGINT) fre_milli,
+        |  pii.has_pii,
+        |  CASE WHEN m."domain" IS NOT NULL THEN 'opted_out'
+        |       WHEN NOT rvd.allowed THEN 'robots_blocked'
+        |       WHEN lcv.license_class IN ('copyleft', 'other-spdx')
+        |         THEN 'license'
+        |       WHEN pii.has_pii THEN 'pii'
+        |       WHEN fr.fre IS NULL OR fr.fre < 30000 THEN 'unreadable'
+        |       ELSE 'keep' END verdict,
+        |  CASE WHEN m."domain" IS NOT NULL THEN FALSE
+        |       WHEN NOT rvd.allowed THEN FALSE
+        |       WHEN lcv.license_class IN ('copyleft', 'other-spdx')
+        |         THEN FALSE
+        |       WHEN pii.has_pii THEN FALSE
+        |       WHEN fr.fre IS NULL OR fr.fre < 30000 THEN FALSE
+        |       ELSE TRUE END kept
+        |FROM h LEFT JOIN m USING (doc_id)
+        |  JOIN lcv USING (doc_id) JOIN fr USING (doc_id)
+        |  JOIN pii USING (doc_id) JOIN rvd USING (doc_id)
+        |  JOIN rid USING (doc_id)""".stripMargin),
+    // crawl-delay replay: the q221 parse chain + group selection +
+    // conservative MAX over numeric delays
+    "q247_crawl_delay" ->
+      ("WITH " + robotsParseCte + """,
+        |ar AS (SELECT host, agent, "rule", "value",
+        |    lower(agent) = 'graftbot' spec FROM rules),
+        |hs AS (SELECT host, bool_or(spec) has_spec FROM ar GROUP BY 1)
+        |SELECT ar.host,
+        |  MAX(CASE WHEN "rule" = 'crawl-delay'
+        |        AND regexp_matches("value", '^[0-9]+$')
+        |      THEN CAST("value" AS BIGINT) END) delay_secs,
+        |  CASE WHEN has_spec THEN 'specific' ELSE 'wildcard' END delay_group
+        |FROM ar JOIN hs USING (host)
+        |WHERE (spec AND has_spec) OR (agent = '*' AND NOT has_spec)
+        |GROUP BY 1, 3""".stripMargin),
+    // raw-WARC census replay: the same slice/status/ctype synthesis
+    // straight from parquet — matching means record framing, the HTTP
+    // payload grammar, and the body byte passthrough were all lossless
+    "q244_warc_http_census" ->
+      """WITH w AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/page/'
+        |    || CAST(doc_id AS VARCHAR) uri,
+        |  200 + (doc_id % 3) * 102 st,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'text/html; charset=utf-8'
+        |       ELSE 'text/plain' END ct,
+        |  COALESCE(text, '') body
+        | FROM documents WHERE doc_id % 2 = 0)
+        |SELECT CAST(st AS BIGINT) http_status, ct http_content_type,
+        |  COUNT(*) n_resp, CAST(SUM(strlen(body)) AS BIGINT) sum_octets,
+        |  MIN(uri) first_uri, CAST(COUNT(*) AS BIGINT) n_ok
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // CDX replay: the q240 canonicalization chain per doc, the writer's
+    // deterministic file assignment (id div 100 -> wet-%05d), and the
+    // UTF-8 block length
+    "q245_cdx_index" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/A/B/'
+        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://' || source
+        |      || '.example.com:8443/x?z=9&fbclid=XYZ&y=8&utm_medium=m'
+        |    WHEN 2 THEN 'HTTPS://Sub.' || source || '.Example.com:443/only/Path/'
+        |    ELSE 'http://' || source || '.example.com/?q='
+        |      || CAST(doc_id AS VARCHAR) || '&ref=abc'
+        |  END url,
+        |  strlen(COALESCE(text, '')) blen
+        |  FROM documents),
+        |p AS (SELECT doc_id, blen, url,
+        |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
+        |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |    '^www\.', '') auth,
+        |  regexp_replace(regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+        |    '/+$', '') path,
+        |  regexp_extract(url, '^[^#?]*\?([^#]*)', 1) q
+        | FROM u),
+        |h AS (SELECT doc_id, blen, scheme, path,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END host,
+        |  list_sort(list_filter(string_split(q, '&'), x -> x <> ''
+        |    AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|mc_eid|ref)(=.*)?$'))) ps
+        | FROM p)
+        |SELECT scheme || '://' || host || path ||
+        |    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+        |         ELSE '' END urlkey,
+        |  '2026-01-02T03:04:05Z' warc_date,
+        |  printf('wet-%05d.warc.wet.gz', doc_id // 100) "file",
+        |  CAST(blen AS BIGINT) content_length
+        |FROM h""".stripMargin,
     // decontamination-sweep replay: the q149 bench/BM25/pair-shared
     // CTEs with the gram leg widened corpus-wide, the q189 probe
     // cosines, and the precedence CASE

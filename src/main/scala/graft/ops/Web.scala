@@ -265,6 +265,32 @@ object Web {
         (col("_m").isNull || col("_m.r") === "allow").as("allowed"))
   }
 
+  /** Per-host effective crawl-delay for `bot` — the POLITENESS census
+    * a crawl scheduler derives next to the [[robotsUrlVerdict]] access
+    * rules: RFC 9309 group selection first (a specific-bot group
+    * ECLIPSES `*`, even when the specific group carries no delay — no
+    * fallback), then the MAX numeric `Crawl-delay` among the selected
+    * group's rules (politeness takes the conservative read of a
+    * contradictory file). Non-numeric delay values are ignored; a host
+    * whose selected group has no delay reads NULL (crawl at default
+    * pace); hosts with no applicable group emit no row. One tiny
+    * grouped pass over the parsed rules — audit-sized throughout. */
+  def crawlDelay(rules: DataFrame, bot: String = "graftbot"): DataFrame = {
+    val ar = rules.withColumn("_spec",
+      lower(col("agent")) === lit(bot.toLowerCase))
+    val hs = ar.groupBy(col("host")).agg(max(col("_spec")).as("_has"))
+    ar.join(hs, Seq("host"))
+      .where((col("_spec") && col("_has")) ||
+        (col("agent") === "*" && !col("_has")))
+      .groupBy(col("host"), col("_has"))
+      .agg(max(when(col("rule") === "crawl-delay" &&
+        col("value").rlike("^[0-9]+$"), col("value").cast("long")))
+        .as("delay_secs"))
+      .select(col("host"), col("delay_secs"),
+        when(col("_has"), lit("specific")).otherwise(lit("wildcard"))
+          .as("delay_group"))
+  }
+
   /** Registry-side audit for [[domainOptOut]]: per opt-out domain, how
     * many documents it dropped under longest-match attribution — with
     * ZERO-hit entries surfaced (the "this entry never fired" read a

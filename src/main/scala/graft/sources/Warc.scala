@@ -209,9 +209,34 @@ object Warc {
     * passes through a global window or the driver. */
   def writeWet(docs: DataFrame, dir: String, perFile: Int = 1000,
                idCol: String = "doc_id", uriCol: String = "uri",
-               dateCol: String = "date", textCol: String = "text"): Unit = {
+               dateCol: String = "date", textCol: String = "text"): Unit =
+    writeRecords(docs.select(col(idCol).cast("long").as("_id"),
+        col(uriCol).cast("string").as("_uri"),
+        col(dateCol).cast("string").as("_date"),
+        col(textCol).cast("string").as("_text")),
+      dir, perFile, "wet") { r =>
+      val id = r.getLong(0)
+      val uri = if (r.isNullAt(1)) "" else r.getString(1)
+      val date = if (r.isNullAt(2)) "2026-01-01T00:00:00Z" else r.getString(2)
+      val text = if (r.isNullAt(3)) "" else r.getString(3)
+      gzipMember(record(Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> uri,
+        "WARC-Date" -> date,
+        "WARC-Record-ID" -> recordId(s"conversion:$id:$uri"),
+        "Content-Type" -> "text/plain"),
+        text.getBytes("UTF-8")))
+    }
+
+  /** The shared writer machinery behind [[writeWet]] / [[writeResponses]]:
+    * `rows` must lead with a `_id` long column; `mk` turns one row into
+    * its complete gzip member. File naming is `<kind>-NNNNN.warc.<kind
+    * == "wet" -> .wet>.gz`. */
+  private def writeRecords(rows0: DataFrame, dir: String, perFile: Int,
+                           kind: String)(
+      mk: org.apache.spark.sql.Row => Array[Byte]): Unit = {
     require(perFile > 0)
-    val spark = docs.sparkSession
+    val spark = rows0.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     // overwrite the target dir wholesale (the Avro.write rule): a stale
@@ -221,14 +246,12 @@ object Warc {
     val fs0 = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs0.exists(outPath)) fs0.delete(outPath, true)
     fs0.mkdirs(outPath)
-    val rows = docs
-      .select(col(idCol).cast("long").as("_id"),
-        col(uriCol).cast("string").as("_uri"),
-        col(dateCol).cast("string").as("_date"),
-        col(textCol).cast("string").as("_text"))
+    val suffix = if (kind == "wet") ".warc.wet.gz" else ".warc.gz"
+    val rows = rows0
       .withColumn("_file", expr("_id div " + perFile))
       .repartition(col("_file"))
       .sortWithinPartitions(col("_file"), col("_id"))
+    val fileIdx = rows.schema.fieldIndex("_file")
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       var cur = Long.MinValue
       var out: org.apache.hadoop.fs.FSDataOutputStream = null
@@ -244,27 +267,17 @@ object Warc {
       try {
         it.foreach { r =>
           if (r.isNullAt(0)) throw new IllegalArgumentException(
-            "writeWet: NULL id (file assignment would collapse to one key)")
-          val file = r.getLong(4)
+            "writeRecords: NULL id (file assignment would collapse to one key)")
+          val file = r.getLong(fileIdx)
           if (file != cur) {
             close()
-            val name = f"wet-$file%05d.warc.wet.gz"
+            val name = f"$kind-$file%05d$suffix"
             val path = new org.apache.hadoop.fs.Path(dir, name)
             out = path.getFileSystem(conf.value).create(path, true)
             out.write(warcinfo(name))
             cur = file
           }
-          val id = r.getLong(0)
-          val uri = if (r.isNullAt(1)) "" else r.getString(1)
-          val date = if (r.isNullAt(2)) "2026-01-01T00:00:00Z" else r.getString(2)
-          val text = if (r.isNullAt(3)) "" else r.getString(3)
-          out.write(gzipMember(record(Seq(
-            "WARC-Type" -> "conversion",
-            "WARC-Target-URI" -> uri,
-            "WARC-Date" -> date,
-            "WARC-Record-ID" -> recordId(s"conversion:$id:$uri"),
-            "Content-Type" -> "text/plain"),
-            text.getBytes("UTF-8"))))
+          out.write(mk(r))
         }
       } finally close()
     }
@@ -315,6 +328,130 @@ object Warc {
         StructField("content", BinaryType))))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(glob)))
+
+  // -------------------------------------------- raw WARC (response)
+
+  private val httpSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("member_offset", LongType, nullable = false),
+    StructField("record_id", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("http_ok", BooleanType, nullable = false),
+    StructField("http_status", LongType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = false)))
+
+  /** Parse `response` records' HTTP payload (what raw Common Crawl
+    * WARC blocks hold: `application/http; msgtype=response` — status
+    * line, CRLF header lines, blank CRLF, body). STRICT per record,
+    * LENIENT per file: a block that is not well-formed HTTP/1.x reads
+    * `http_ok = false` with NULL status/content-type and the RAW block
+    * preserved as `body` — a capture you cannot parse is a capture you
+    * quarantine, not one you lose (the record framing already proved
+    * itself via the member walk; only the payload grammar failed).
+    * Headers decode as ISO-8859-1 (the HTTP/1.1 octet rule — a UTF-8
+    * decode would corrupt high-byte header octets); names fold to
+    * lowercase; the FIRST occurrence of a repeated header wins. The
+    * body passes through as raw bytes — charset transcoding is the
+    * text-extraction stage's decision, not ingestion's. Scan-side,
+    * record-at-a-time: no shuffle, bodies never leave their partition. */
+  def httpResponses(records: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(httpSchema)
+    records.where(col("warc_type") === "response")
+      .select(col("file"), col("member_offset"), col("record_id"),
+        col("target_uri"), col("warc_date"), col("content"))
+      .map { r =>
+        val block = r.getAs[Array[Byte]]("content")
+        val parsed = parseHttp(block)
+        org.apache.spark.sql.Row(
+          r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+          r.getString(4), parsed.isDefined,
+          parsed.map(_._1).orNull,
+          parsed.flatMap(_._2.get("content-type")).orNull,
+          parsed.map(_._3).getOrElse(block))
+      }(enc)
+  }
+
+  /** Some((status, lowercased headers, body)) for a well-formed
+    * HTTP/1.x response block, None otherwise. */
+  private[graft] def parseHttp(
+      block: Array[Byte]): Option[(java.lang.Long, Map[String, String], Array[Byte])] = {
+    var sep = -1
+    var i = 0
+    while (sep < 0 && i + 3 < block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' &&
+        block(i + 2) == '\r' && block(i + 3) == '\n') sep = i
+      i += 1
+    }
+    if (sep < 0) return None
+    val head = new String(block, 0, sep, "ISO-8859-1")
+    val lines = head.split("\r\n", -1)
+    val status = "^HTTP/[0-9]\\.[0-9] ([0-9]{3})(?: .*)?$".r
+    lines.head match {
+      case status(code) =>
+        var hs = Map.empty[String, String]
+        lines.tail.foreach { l =>
+          val c = l.indexOf(':')
+          if (c <= 0) return None
+          val name = l.substring(0, c).trim.toLowerCase
+          if (name.isEmpty || name.exists(_ <= ' ')) return None
+          if (!hs.contains(name)) hs += name -> l.substring(c + 1).trim
+        }
+        Some((java.lang.Long.valueOf(code.toLong), hs,
+          java.util.Arrays.copyOfRange(block, sep + 4, block.length)))
+      case _ => None
+    }
+  }
+
+  /** Write (id, uri, date, status, contentType, body-text) rows as raw
+    * WARC response files — the [[writeWet]] disciplines (per-record
+    * members, warcinfo leader, deterministic bytes, one shuffle, id
+    * div `perFile` assignment) with an HTTP/1.1 payload per record. */
+  def writeResponses(docs: DataFrame, dir: String, perFile: Int = 1000,
+                     idCol: String = "doc_id", uriCol: String = "uri",
+                     dateCol: String = "date", statusCol: String = "status",
+                     ctypeCol: String = "ctype",
+                     textCol: String = "text"): Unit =
+    writeRecords(docs.select(col(idCol).cast("long").as("_id"),
+        col(uriCol).cast("string").as("_uri"),
+        col(dateCol).cast("string").as("_date"),
+        col(statusCol).cast("long").as("_status"),
+        col(ctypeCol).cast("string").as("_ctype"),
+        col(textCol).cast("string").as("_text")),
+      dir, perFile, "warc") { r =>
+      val id = r.getLong(0)
+      val uri = if (r.isNullAt(1)) "" else r.getString(1)
+      val date = if (r.isNullAt(2)) "2026-01-01T00:00:00Z" else r.getString(2)
+      val st = if (r.isNullAt(3)) 200L else r.getLong(3)
+      val ct = if (r.isNullAt(4)) "text/plain" else r.getString(4)
+      val body = (if (r.isNullAt(5)) "" else r.getString(5)).getBytes("UTF-8")
+      val http = (s"HTTP/1.1 $st OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+      gzipMember(record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri,
+        "WARC-Date" -> date,
+        "WARC-Record-ID" -> recordId(s"response:$id:$uri"),
+        "Content-Type" -> "application/http; msgtype=response"),
+        http))
+    }
+
+  // -------------------------------------------------------- CDX index
+
+  /** The cdx-style sidecar a splittable 100 TB WARC reader distributes
+    * on (Common Crawl ships exactly this next to every crawl): per
+    * response/conversion record, the CANONICAL url key
+    * ([[graft.ops.Web.canonicalizeUrl]] — the same form URL dedup
+    * keys on), capture date, containing file, the record's compressed
+    * member offset, and the block length. Scan-side projection of
+    * [[read]]'s output — building the index costs one pass over the
+    * corpus and nothing shuffles. */
+  def cdxIndex(records: DataFrame): DataFrame =
+    records.where(col("warc_type").isin("response", "conversion"))
+      .select(graft.ops.Web.canonicalizeUrl(col("target_uri")).as("urlkey"),
+        col("warc_date"), col("file"), col("member_offset"),
+        col("content_length"))
 
   private def wetView(records: DataFrame): DataFrame =
     records.where(col("warc_type") === "conversion")

@@ -71,7 +71,13 @@ class BuildTimeJobsSpec extends SparkTestBase {
     "q232_classifier_auc", "q233_dup_spectrum",
     // q235 trains the q199 head for the agreement join; q236 chains
     // the q143 BM25 build (eager corpus stats) like q220
-    "q235_score_agreement", "q236_ndcg", "q237_average_precision")
+    "q235_score_agreement", "q236_ndcg", "q237_average_precision",
+    // round 14: the WARC queries are write-then-read roundtrips (the
+    // q113 Avro precedent — the foreachPartition WET/response write IS
+    // the operator under test); q243/q246 chain the q143 BM25 build
+    // (eager corpus stats) and q243 checkpoints its verdict legs
+    "q239_wet_roundtrip", "q240_wet_url_canon", "q243_contamination_sweep",
+    "q244_warc_http_census", "q245_cdx_index", "q246_wet_governance")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()

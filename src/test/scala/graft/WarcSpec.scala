@@ -203,6 +203,66 @@ class WarcSpec extends SparkTestBase {
     assert(rows == Set(("http://ok.com/1", "ok"), ("http://raw.com/r", "raw text")))
   }
 
+  test("parseHttp pinned: status line, header case-fold, first-wins, binary body bit-exact") {
+    val body = Array.tabulate(256)(i => i.toByte) // every octet value
+    val head = "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n" +
+      "content-TYPE: text/plain\r\nX-A: 1\r\n\r\n"
+    val parsed = Warc.parseHttp(head.getBytes("ISO-8859-1") ++ body)
+    assert(parsed.isDefined)
+    val (st, hs, b) = parsed.get
+    assert(st == 404L)
+    assert(hs("content-type") == "text/html", "first occurrence wins")
+    assert(hs("x-a") == "1")
+    assert(b.sameElements(body), "body must pass through bit-exact")
+    // status line without a reason phrase is legal
+    assert(Warc.parseHttp("HTTP/1.0 204\r\n\r\n".getBytes).get._1 == 204L)
+    // missing separator / non-HTTP status line / colonless header
+    assert(Warc.parseHttp("HTTP/1.1 200 OK\r\nA: 1".getBytes).isEmpty)
+    assert(Warc.parseHttp("ICY 200 OK\r\n\r\nx".getBytes).isEmpty)
+    assert(Warc.parseHttp(
+      "HTTP/1.1 200 OK\r\nnocolon\r\n\r\nx".getBytes).isEmpty)
+  }
+
+  test("writeResponses -> httpResponses roundtrip; malformed payload quarantines with raw body") {
+    val dir = Files.createTempDirectory("warc_http").toString
+    Warc.writeResponses(Seq(
+      (1L, "http://a.com/1", "2026-01-01T00:00:00Z", 200L,
+        "text/plain", "hello résponse"),
+      (2L, "http://a.com/2", "2026-01-01T00:00:00Z", 404L,
+        "text/html; charset=utf-8", "nope"))
+      .toDF("doc_id", "uri", "date", "status", "ctype", "text"),
+      dir, perFile = 10)
+    // a response record whose payload is NOT HTTP, riding a raw file
+    Files.write(new java.io.File(dir, "bad-1.warc.gz").toPath,
+      Warc.record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://a.com/junk",
+        "WARC-Date" -> "2026-01-01T00:00:00Z"),
+        "this is not http".getBytes("UTF-8")))
+    val got = Warc.httpResponses(Warc.read(spark, s"$dir/*.warc.gz"))
+      .collect().map(r => r.getString(3) ->
+        ((r.getBoolean(5), Option(r.get(6)).map(_.toString.toLong),
+          Option(r.getString(7)),
+          new String(r.getAs[Array[Byte]](8), "UTF-8")))).toMap
+    assert(got("http://a.com/1") ==
+      ((true, Some(200L), Some("text/plain"), "hello résponse")))
+    assert(got("http://a.com/2") ==
+      ((true, Some(404L), Some("text/html; charset=utf-8"), "nope")))
+    assert(got("http://a.com/junk") ==
+      ((false, None, None, "this is not http")),
+      "an unparseable payload must keep its raw block, flagged")
+    // cdx over the same files: canonical urlkey, offsets positive and
+    // strictly increasing within a file (warcinfo occupies offset 0)
+    val cdx = Warc.cdxIndex(Warc.read(spark, s"$dir/*.warc.gz")).collect()
+    assert(cdx.map(_.getString(0)).toSet ==
+      Set("http://a.com/1", "http://a.com/2", "http://a.com/junk"))
+    cdx.groupBy(_.getString(2)).foreach { case (f, rs) =>
+      val offs = rs.map(_.getLong(3))
+      if (f.startsWith("warc-"))
+        assert(offs.forall(_ > 0) && offs.distinct.length == offs.length)
+      else assert(offs.forall(_ == 0L), "raw files carry offset 0")
+    }
+  }
+
   test("streamWet == batch readWet; file-grained micro-batches") {
     val dir = Files.createTempDirectory("warc_stream").toString
     val docs = (0L until 30L).map(i =>

@@ -122,6 +122,26 @@ class WebSpec extends SparkTestBase {
     assert(Web.robotsOptOut(rules, bot = "otherbot").isEmpty)
   }
 
+  test("crawlDelay: group selection without fallback, conservative max, non-numeric ignored") {
+    val robots = Seq(
+      // specific group eclipses * — and carries NO delay: NULL, not 9
+      ("a.com", "User-agent: *\nCrawl-delay: 9\nUser-agent: graftbot\nDisallow: /x"),
+      // star-only host: its delay applies; contradictory values -> max
+      ("b.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /y\nUser-agent: *\nCrawl-delay: 7"),
+      // non-numeric delay ignored -> NULL
+      ("c.com", "User-agent: graftbot\nCrawl-delay: fast\nDisallow: /z"),
+      // no applicable group for graftbot at all -> no row
+      ("d.com", "User-agent: otherbot\nCrawl-delay: 3\nDisallow: /"))
+      .toDF("host", "text")
+    val got = Web.crawlDelay(Web.robotsRules(robots)).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(1)).map(_.toString.toLong), r.getString(2)))).toMap
+    assert(got == Map(
+      "a.com" -> ((None, "specific")),
+      "b.com" -> ((Some(7L), "wildcard")),
+      "c.com" -> ((None, "specific"))))
+  }
+
   private def verdicts(robots: Seq[(String, String)],
                        urls: Seq[(Long, String)],
                        bot: String = "graftbot")
