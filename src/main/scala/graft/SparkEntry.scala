@@ -1558,6 +1558,38 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       Pipeline.governanceSweep(base, optOutRegistry(docs))
     }),
+    // raw WARC -> extracted MAIN CONTENT (q244 bytes + q137 semantics):
+    // the jusText page synthesis rides real HTTP response payloads, the
+    // content-type/status gates filter the captures, and
+    // Boilerplate.mainContent reassembles only the good blocks — the
+    // extraction step a raw-crawl pipeline runs between ingestion and
+    // every text gate (and mainContent's first end-to-end oracle)
+    "q248_warc_main_content" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_warc_q248").getAbsolutePath
+      val docs = Tables.documents(s, d)
+      val page = concat_ws("\n\n",
+        lit("@lnk home @lnk about @lnk contact nav menu"),
+        concat(col("text"), lit(" the of and to in is on the a of and in")),
+        concat(lit("posted "), col("doc_id")),
+        col("text"),
+        lit("@lnk privacy @lnk terms @lnk copyright site"))
+      sources.Warc.writeResponses(docs.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/a/"),
+          col("doc_id").cast("string")).as("uri"),
+        lit("2026-01-03T00:00:00Z").as("date"),
+        lit(200L).as("status"),
+        lit("text/html; charset=utf-8").as("ctype"),
+        page.as("text")), dir, perFile = 100)
+      val resp = sources.Warc
+        .httpResponses(sources.Warc.read(s, s"$dir/*.warc.gz"))
+        .where(col("http_ok") && col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(regexp_extract(col("target_uri"), "/a/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+      Boilerplate.mainContent(resp)
+    }),
     // the crawl FRONT DOOR end-to-end (q239 bytes + q242 semantics):
     // the governance fixture is written as real WET files, read back
     // through the member walk, and the ROBOTS-CHAINED sweep runs on the
@@ -3750,6 +3782,46 @@ object SparkEntry {
         |      + len(regexp_extract_all("text", '$phonePat')) > 0 has_pii
         |  FROM base)""".stripMargin
 
+  /** The q137 jusText chain `x`..`cx` (page synthesis, block split,
+    * context-free classes, IGNORE-NULLS neighbor windows) — shared by
+    * q137 (the block report) and q248 (raw-WARC -> main content). */
+  private val boilerplateCtes: String =
+      """x AS (SELECT doc_id,
+        |    '@lnk home @lnk about @lnk contact nav menu' || chr(10) || chr(10) ||
+        |    text || ' the of and to in is on the a of and in' || chr(10) || chr(10) ||
+        |    'posted ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+        |    text || chr(10) || chr(10) ||
+        |    '@lnk privacy @lnk terms @lnk copyright site' AS text
+        |  FROM documents),
+        |bl AS (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+        |    i -> {'b': i - 1, 'blk': l[i]})) u
+        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) l FROM x)),
+        |b2 AS (SELECT doc_id, u.b bidx, u.blk blk FROM bl),
+        |cn AS (SELECT doc_id, CAST(bidx AS BIGINT) bidx,
+        |    CAST(length(blk) AS BIGINT) n_chars,
+        |    CAST(len(tk) AS BIGINT) n_tokens,
+        |    CAST(len(list_filter(tk, t -> starts_with(t, '@lnk')
+        |        OR regexp_matches(t, '^https?://'))) AS BIGINT) n_links,
+        |    CAST(len(list_filter(tk, t -> list_contains(
+        |        ['the','a','of','and','to','in','is','on'], lower(t)))) AS BIGINT) n_stops
+        |  FROM (SELECT doc_id, bidx, blk,
+        |      list_filter(regexp_split_to_array(blk, '\s+'), t -> t <> '') tk
+        |    FROM b2)),
+        |cf AS (SELECT *, CASE
+        |    WHEN n_links * 3 > n_tokens THEN 'bad'
+        |    WHEN n_chars < 80 THEN 'short'
+        |    WHEN n_stops * 10 >= n_tokens * 3 THEN 'good'
+        |    WHEN n_stops * 20 >= n_tokens * 3 THEN 'near_good'
+        |    ELSE 'bad' END cls FROM cn),
+        |cx AS (SELECT *,
+        |    COALESCE(last_value(CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY bidx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') pv,
+        |    COALESCE(first_value(CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY bidx
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') nx
+        |  FROM cf)""".stripMargin
+
   /** The q221/q222 robots fixture + the parse chain. "value"/"domain"
     * quoted: DuckDB reserved words. */
   private val robotsParseCte: String =
@@ -5898,41 +5970,7 @@ object SparkEntry {
         |       WHEN n_moji > 0 THEN 'suspect' ELSE 'clean' END verdict
         |FROM c""".stripMargin,
     "q137_boilerplate_blocks" ->
-      """WITH x AS (SELECT doc_id,
-        |    '@lnk home @lnk about @lnk contact nav menu' || chr(10) || chr(10) ||
-        |    text || ' the of and to in is on the a of and in' || chr(10) || chr(10) ||
-        |    'posted ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
-        |    text || chr(10) || chr(10) ||
-        |    '@lnk privacy @lnk terms @lnk copyright site' AS text
-        |  FROM documents),
-        |bl AS (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
-        |    i -> {'b': i - 1, 'blk': l[i]})) u
-        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) l FROM x)),
-        |b2 AS (SELECT doc_id, u.b bidx, u.blk blk FROM bl),
-        |cn AS (SELECT doc_id, CAST(bidx AS BIGINT) bidx,
-        |    CAST(length(blk) AS BIGINT) n_chars,
-        |    CAST(len(tk) AS BIGINT) n_tokens,
-        |    CAST(len(list_filter(tk, t -> starts_with(t, '@lnk')
-        |        OR regexp_matches(t, '^https?://'))) AS BIGINT) n_links,
-        |    CAST(len(list_filter(tk, t -> list_contains(
-        |        ['the','a','of','and','to','in','is','on'], lower(t)))) AS BIGINT) n_stops
-        |  FROM (SELECT doc_id, bidx, blk,
-        |      list_filter(regexp_split_to_array(blk, '\s+'), t -> t <> '') tk
-        |    FROM b2)),
-        |cf AS (SELECT *, CASE
-        |    WHEN n_links * 3 > n_tokens THEN 'bad'
-        |    WHEN n_chars < 80 THEN 'short'
-        |    WHEN n_stops * 10 >= n_tokens * 3 THEN 'good'
-        |    WHEN n_stops * 20 >= n_tokens * 3 THEN 'near_good'
-        |    ELSE 'bad' END cls FROM cn),
-        |cx AS (SELECT *,
-        |    COALESCE(last_value(CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
-        |      OVER (PARTITION BY doc_id ORDER BY bidx
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') pv,
-        |    COALESCE(first_value(CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
-        |      OVER (PARTITION BY doc_id ORDER BY bidx
-        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') nx
-        |  FROM cf)
+      ("WITH " + boilerplateCtes + """
         |SELECT doc_id, bidx, n_chars, n_tokens, n_links, n_stops, cls,
         |  CASE WHEN cls = 'good' THEN 'good'
         |       WHEN cls = 'bad' THEN 'bad'
@@ -5940,7 +5978,7 @@ object SparkEntry {
         |         CASE WHEN pv = 'good' OR nx = 'good' THEN 'good' ELSE 'bad' END
         |       ELSE CASE WHEN pv = 'good' AND nx = 'good' THEN 'good' ELSE 'bad' END
         |  END final_cls
-        |FROM cx""".stripMargin,
+        |FROM cx""".stripMargin),
     "q135_image_dedup_resolve" ->
       ("WITH RECURSIVE " + dhashPairsCte + """,
         |pr AS (SELECT ia a, ib2 b FROM hm WHERE d <= 3),
@@ -7188,6 +7226,23 @@ object SparkEntry {
     "q221_robots_rules" ->
       ("WITH " + robotsParseCte + """
         |SELECT host, agent, "rule", "value", pos FROM rules""".stripMargin),
+    // main-content replay: the q137 chain + the good-block reassembly
+    // (string_agg ordered by block index) — matching proves the HTTP
+    // body roundtrip AND the block classification compose losslessly
+    "q248_warc_main_content" ->
+      ("WITH " + boilerplateCtes + """,
+        |fin AS (SELECT doc_id, bidx,
+        |  CASE WHEN cls = 'good' THEN 'good'
+        |       WHEN cls = 'bad' THEN 'bad'
+        |       WHEN cls = 'near_good' THEN
+        |         CASE WHEN pv = 'good' OR nx = 'good' THEN 'good' ELSE 'bad' END
+        |       ELSE CASE WHEN pv = 'good' AND nx = 'good' THEN 'good' ELSE 'bad' END
+        |  END final_cls FROM cx),
+        |gd AS (SELECT doc_id, bidx FROM fin WHERE final_cls = 'good')
+        |SELECT b2.doc_id,
+        |  string_agg(b2.blk, chr(10) || chr(10) ORDER BY b2.bidx) "text"
+        |FROM b2 JOIN gd ON gd.doc_id = b2.doc_id AND gd.bidx = b2.bidx
+        |GROUP BY 1""".stripMargin),
     // front-door replay: the q242 CTEs keyed through the DETERMINISTIC
     // WARC record id (md5 of the conversion seed, re-derived in SQL) —
     // matching proves the governance verdict survives the byte-level

@@ -77,7 +77,8 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // the operator under test); q243/q246 chain the q143 BM25 build
     // (eager corpus stats) and q243 checkpoints its verdict legs
     "q239_wet_roundtrip", "q240_wet_url_canon", "q243_contamination_sweep",
-    "q244_warc_http_census", "q245_cdx_index", "q246_wet_governance")
+    "q244_warc_http_census", "q245_cdx_index", "q246_wet_governance",
+    "q248_warc_main_content")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
