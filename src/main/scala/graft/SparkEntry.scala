@@ -1699,6 +1699,44 @@ object SparkEntry {
       Pipeline.contaminationSweep(docs,
         verbatim.unionByName(partial).unionByName(fresh), emb, probes)
     }),
+    // the STREAMABLE contamination gate, batch-oracled
+    // (Pipeline.contaminationGate): the q243 legs with the BM25 triage
+    // swapped to the frozen-reference threshold form residents run —
+    // frozen stats derive from the corpus itself here, so the oracle
+    // replays idf/avgdl exactly; threshold 11e6 fx sits at the
+    // corpus's ~95th max-score percentile (a planted suspect TIER, not
+    // half the corpus — scores cluster tightly on this synthesis)
+    "q249_contamination_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val verbatim = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val partial = docs.where(pmod(col("doc_id"), lit(50)) === 25)
+        .select((col("doc_id") + 500000L).as("bench_id"),
+          array_join(concat(slice(tk, 1, 40), array(
+            concat(lit("novel"), col("doc_id"), lit("_a")),
+            concat(lit("novel"), col("doc_id"), lit("_b")),
+            concat(lit("novel"), col("doc_id"), lit("_c")),
+            concat(lit("novel"), col("doc_id"), lit("_d")),
+            concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
+      val fresh = s.range(5).select((col("id") + 1000000L).as("bench_id"),
+        concat_ws(" ", (1 to 8).map(j =>
+          concat(lit("benchfresh"), col("id"), lit(s"_$j"))): _*).as("text"))
+      val bench = verbatim.unionByName(partial).unionByName(fresh)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.where(col("vec_id") < 8).select(
+          (col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .unionByName(emb.where(col("vec_id") >= 100 && col("vec_id") < 103)
+          .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+            col("embedding")))
+      Pipeline.contaminationGate(
+        docs.join(emb.select(col("vec_id").as("doc_id"),
+          col("embedding")), Seq("doc_id")),
+        bench, probes,
+        Retrieval.bm25Frozen(docs, bench, queryIdCol = "bench_id"),
+        minScoreFx = 11000000L)
+    }),
     // the governance sweep with the URL-LEVEL robots gate chained in
     // (q238 + q241): RFC 9309 path verdicts slot between the legal
     // opt-out registry and the content gates — `robots_blocked` docs
@@ -7430,6 +7468,92 @@ object SparkEntry {
         |  CASE WHEN COALESCE(n_lex_bench, 0) > 0 THEN FALSE
         |       WHEN COALESCE(n_probes_hit, 0) > 0 THEN FALSE
         |       WHEN bm25_rank IS NOT NULL THEN FALSE
+        |       ELSE TRUE END kept
+        |FROM documents d LEFT JOIN lexd USING (doc_id)
+        |  LEFT JOIN sus USING (doc_id) LEFT JOIN semd USING (doc_id)"""
+        .stripMargin,
+    // frozen-gate replay: the q243 CTEs with the rank cut swapped for
+    // the threshold filter over the SAME fixed-point score chain
+    // (reference == corpus, so the frozen idf/avgdl equal the live ones
+    // and the arithmetic is shared verbatim)
+    "q249_contamination_gate" ->
+      """WITH tokd AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
+        |  FROM documents),
+        |bt AS (
+        |  SELECT doc_id bench_id, tk btk FROM tokd WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, list_concat(tk[1:40], [
+        |      'novel'||doc_id||'_a', 'novel'||doc_id||'_b',
+        |      'novel'||doc_id||'_c', 'novel'||doc_id||'_d',
+        |      'novel'||doc_id||'_e'])
+        |  FROM tokd WHERE doc_id % 50 = 25
+        |  UNION ALL
+        |  SELECT 1000000 + i, list_transform(range(1, 9),
+        |      j -> 'benchfresh'||i||'_'||j)
+        |  FROM range(5) t(i)),
+        |q AS (SELECT bench_id, list_distinct(btk) qt FROM bt),
+        |post AS (SELECT doc_id, len(tk) dl, unnest(tk) t FROM tokd),
+        |pc AS (SELECT t, doc_id, dl, COUNT(*) tf FROM post GROUP BY 1, 2, 3),
+        |docl AS (SELECT DISTINCT doc_id, dl FROM pc),
+        |stats AS (SELECT n_docs, (tot * 1000) // n_docs avg_fx
+        |  FROM (SELECT COUNT(*) n_docs, SUM(dl) tot FROM docl)),
+        |qt AS (SELECT bench_id, unnest(qt) t FROM q),
+        |dfq AS (SELECT t, COUNT(*) df FROM pc
+        |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1),
+        |sc AS (SELECT m.bench_id, m.doc_id, SUM(
+        |    ( (((2*s.n_docs - 2*dfq.df + 1) * 1000000) // (2*dfq.df + 1))
+        |    * ((22 * m.tf * s.avg_fx * 1000)
+        |       // (10*s.avg_fx*m.tf + 3*s.avg_fx + 9000*m.dl)) ) // 1000) score_fx
+        |  FROM (SELECT qt.bench_id, pc.doc_id, pc.tf, pc.dl, pc.t
+        |        FROM pc JOIN qt USING (t)) m
+        |    JOIN dfq USING (t) CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |sus AS (SELECT doc_id, CAST(MAX(score_fx) AS BIGINT) bm25_score_fx
+        |  FROM sc WHERE score_fx >= 11000000 GROUP BY 1),
+        |cg AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(1, len(tk) - 3), i ->
+        |      tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+        |    END)) g
+        |  FROM tokd),
+        |bs AS (SELECT bench_id, list_distinct(
+        |    CASE WHEN len(btk) < 5 THEN [array_to_string(btk, ' ')]
+        |    ELSE list_transform(range(1, len(btk) - 3), i ->
+        |      btk[i]||' '||btk[i+1]||' '||btk[i+2]||' '||btk[i+3]||' '||btk[i+4])
+        |    END) bg FROM bt),
+        |bsz AS (SELECT bench_id, len(bg) bench_grams FROM bs),
+        |bgr AS (SELECT bench_id, unnest(bg) g FROM bs),
+        |ps AS (SELECT bgr.bench_id, cg.doc_id, COUNT(*) ns
+        |  FROM bgr JOIN cg USING (g) GROUP BY 1, 2),
+        |lexd AS (SELECT ps.doc_id, CAST(COUNT(*) AS BIGINT) n_lex_bench,
+        |    CAST(MAX((ns * 1000000) // bench_grams) AS BIGINT) lex_ppm
+        |  FROM ps JOIN bsz USING (bench_id)
+        |  WHERE ns * 100 >= bench_grams * 20 AND bench_grams > 0
+        |  GROUP BY 1),
+        |b2 AS (SELECT vec_id + 1000000 qid,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv
+        |  FROM embeddings WHERE vec_id < 8
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+        |c2 AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv
+        |      FROM embeddings),
+        |s2 AS (SELECT nid,
+        |    FLOOR(list_cosine_similarity(qv, nv) * 1000 + 0.5) / 1000.0 cos3
+        |  FROM c2, b2 WHERE qid <> nid),
+        |semd AS (SELECT nid doc_id, CAST(COUNT(*) AS BIGINT) n_probes_hit,
+        |    MAX(cos3) max_cos3
+        |  FROM s2 WHERE cos3 >= 0.6 GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_lex_bench, 0) n_lex_bench, lex_ppm,
+        |  bm25_score_fx, COALESCE(n_probes_hit, 0) n_probes_hit, max_cos3,
+        |  CASE WHEN COALESCE(n_lex_bench, 0) > 0 THEN 'lexical'
+        |       WHEN COALESCE(n_probes_hit, 0) > 0 THEN 'semantic'
+        |       WHEN bm25_score_fx IS NOT NULL THEN 'bm25_suspect'
+        |       ELSE 'clean' END verdict,
+        |  CASE WHEN COALESCE(n_lex_bench, 0) > 0 THEN FALSE
+        |       WHEN COALESCE(n_probes_hit, 0) > 0 THEN FALSE
+        |       WHEN bm25_score_fx IS NOT NULL THEN FALSE
         |       ELSE TRUE END kept
         |FROM documents d LEFT JOIN lexd USING (doc_id)
         |  LEFT JOIN sus USING (doc_id) LEFT JOIN semd USING (doc_id)"""
