@@ -1699,6 +1699,30 @@ object SparkEntry {
       Pipeline.contaminationSweep(docs,
         verbatim.unionByName(partial).unionByName(fresh), emb, probes)
     }),
+    // bench-side contamination audit (Pipeline.contaminationAudit):
+    // which eval items leaked, how widely, and which are provably
+    // clean — fresh items surface with 0 contaminated docs (the q217
+    // zero-hit discipline), verbatim items read full-corpus-side
+    // overlap, partials read their truncated fraction
+    "q250_contamination_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val verbatim = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val partial = docs.where(pmod(col("doc_id"), lit(50)) === 25)
+        .select((col("doc_id") + 500000L).as("bench_id"),
+          array_join(concat(slice(tk, 1, 40), array(
+            concat(lit("novel"), col("doc_id"), lit("_a")),
+            concat(lit("novel"), col("doc_id"), lit("_b")),
+            concat(lit("novel"), col("doc_id"), lit("_c")),
+            concat(lit("novel"), col("doc_id"), lit("_d")),
+            concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
+      val fresh = s.range(5).select((col("id") + 1000000L).as("bench_id"),
+        concat_ws(" ", (1 to 8).map(j =>
+          concat(lit("benchfresh"), col("id"), lit(s"_$j"))): _*).as("text"))
+      Pipeline.contaminationAudit(docs,
+        verbatim.unionByName(partial).unionByName(fresh))
+    }),
     // the STREAMABLE contamination gate, batch-oracled
     // (Pipeline.contaminationGate): the q243 legs with the BM25 triage
     // swapped to the frozen-reference threshold form residents run —
@@ -7472,6 +7496,47 @@ object SparkEntry {
         |FROM documents d LEFT JOIN lexd USING (doc_id)
         |  LEFT JOIN sus USING (doc_id) LEFT JOIN semd USING (doc_id)"""
         .stripMargin,
+    // audit replay: the q243 pair CTEs folded bench-side, zero-hit
+    // items surfaced through the LEFT JOIN from the full bench frame
+    "q250_contamination_audit" ->
+      """WITH tokd AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
+        |  FROM documents),
+        |bt AS (
+        |  SELECT doc_id bench_id, tk btk FROM tokd WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, list_concat(tk[1:40], [
+        |      'novel'||doc_id||'_a', 'novel'||doc_id||'_b',
+        |      'novel'||doc_id||'_c', 'novel'||doc_id||'_d',
+        |      'novel'||doc_id||'_e'])
+        |  FROM tokd WHERE doc_id % 50 = 25
+        |  UNION ALL
+        |  SELECT 1000000 + i, list_transform(range(1, 9),
+        |      j -> 'benchfresh'||i||'_'||j)
+        |  FROM range(5) t(i)),
+        |cg AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(1, len(tk) - 3), i ->
+        |      tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+        |    END)) g
+        |  FROM tokd),
+        |bs AS (SELECT bench_id, list_distinct(
+        |    CASE WHEN len(btk) < 5 THEN [array_to_string(btk, ' ')]
+        |    ELSE list_transform(range(1, len(btk) - 3), i ->
+        |      btk[i]||' '||btk[i+1]||' '||btk[i+2]||' '||btk[i+3]||' '||btk[i+4])
+        |    END) bg FROM bt),
+        |bsz AS (SELECT bench_id, len(bg) bench_grams FROM bs),
+        |bgr AS (SELECT bench_id, unnest(bg) g FROM bs),
+        |ps AS (SELECT bgr.bench_id, cg.doc_id, COUNT(*) ns
+        |  FROM bgr JOIN cg USING (g) GROUP BY 1, 2),
+        |hits AS (SELECT ps.bench_id, CAST(COUNT(*) AS BIGINT) nd,
+        |    CAST(MAX((ns * 1000000) // bench_grams) AS BIGINT) mp
+        |  FROM ps JOIN bsz USING (bench_id)
+        |  WHERE ns * 100 >= bench_grams * 20 AND bench_grams > 0
+        |  GROUP BY 1)
+        |SELECT bsz.bench_id, CAST(bench_grams AS BIGINT) bench_grams,
+        |  COALESCE(nd, 0) n_contaminated, mp max_overlap_ppm
+        |FROM bsz LEFT JOIN hits USING (bench_id)""".stripMargin,
     // frozen-gate replay: the q243 CTEs with the rank cut swapped for
     // the threshold filter over the SAME fixed-point score chain
     // (reference == corpus, so the frozen idf/avgdl equal the live ones

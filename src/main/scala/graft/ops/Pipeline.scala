@@ -309,10 +309,11 @@ object Pipeline {
     * strongest overlap in exact ppm. Corpus grams are winnowed
     * scan-side against the BROADCAST bench gram set before anything
     * shuffles. */
-  private[graft] def lexicalLeg(docs: DataFrame, bench: DataFrame,
-                                n: Int, minOverlapPct: Long, idCol: String,
-                                textCol: String,
-                                benchIdCol: String): DataFrame = {
+  /** The (doc, bench item) shared-gram pair frame both lexical views
+    * fold: `_ns` shared distinct grams, `_bg` the item's gram count. */
+  private def lexicalPairs(docs: DataFrame, bench: DataFrame, n: Int,
+                           idCol: String, textCol: String,
+                           benchIdCol: String): DataFrame = {
     val benchSh = bench.select(col(benchIdCol),
       array_distinct(Dedup.shingles(col(textCol), n)).as("_g"))
     val benchSizes = benchSh.select(col(benchIdCol),
@@ -326,11 +327,46 @@ object Pipeline {
       .join(broadcast(benchGrams), Seq("_h"))
       .groupBy(col(idCol), col(benchIdCol)).agg(count(lit(1)).as("_ns"))
       .join(broadcast(benchSizes), Seq(benchIdCol))
+  }
+
+  private[graft] def lexicalLeg(docs: DataFrame, bench: DataFrame,
+                                n: Int, minOverlapPct: Long, idCol: String,
+                                textCol: String,
+                                benchIdCol: String): DataFrame =
+    lexicalPairs(docs, bench, n, idCol, textCol, benchIdCol)
       .where(col("_ns") * 100L >= col("_bg") * minOverlapPct &&
         col("_bg") > 0L)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lex_bench"),
         max(expr("_ns * 1000000 div _bg")).as("lex_ppm"))
+
+  /** The BENCH-side audit of the sweep's lexical leg — the question an
+    * eval owner asks after a decontamination run: WHICH items leaked,
+    * how widely, and which are provably unleaked (the q217 zero-hit
+    * discipline: an item with no contaminated doc reads 0, it does not
+    * vanish — "this eval is clean" is a claim the report must be able
+    * to make). Per bench item: contaminated-doc count at the
+    * `minOverlapPct` rule, the widest single-doc overlap in exact ppm,
+    * and the item's gram count (tiny items saturate trivially — the
+    * denominator belongs in the report). Bounded by |bench| rows; the
+    * pair frame folds map-side before the broadcast size join. */
+  def contaminationAudit(docs: DataFrame, bench: DataFrame,
+                         n: Int = 5, minOverlapPct: Long = 20L,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         benchIdCol: String = "bench_id"): DataFrame = {
+    val hits = lexicalPairs(docs, bench, n, idCol, textCol, benchIdCol)
+      .where(col("_ns") * 100L >= col("_bg") * minOverlapPct &&
+        col("_bg") > 0L)
+      .groupBy(col(benchIdCol))
+      .agg(count(lit(1)).as("_nd"),
+        max(expr("_ns * 1000000 div _bg")).as("_mp"))
+    bench.select(col(benchIdCol),
+        size(array_distinct(Dedup.shingles(col(textCol), n))).cast("long")
+          .as("bench_grams"))
+      .join(broadcast(hits), Seq(benchIdCol), "left")
+      .select(col(benchIdCol), col("bench_grams"),
+        coalesce(col("_nd"), lit(0L)).as("n_contaminated"),
+        col("_mp").as("max_overlap_ppm"))
   }
 
   /** The STREAMABLE contamination gate — [[contaminationSweep]]'s
