@@ -146,6 +146,30 @@ object SparkEntry {
           .otherwise(lit("Crawl-delay: 5")),
         lit("Disallow: /tmp/")).as("text"))
 
+  /** The shared contamination BENCH synthesis (q149/q243/q249/q250):
+    * verbatim corpus copies (%50==0), 40-token partials with novel
+    * tails (%50==25, ids +5e5 — high-but-partial overlap), and five
+    * fresh items (ids +1e6 — must read provably clean). One
+    * definition; the matching DuckDB `bt` CTE lives in
+    * [[contamBenchCte]]. */
+  private def contamBench(s: SparkSession, docs: DataFrame): DataFrame = {
+    val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val verbatim = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val partial = docs.where(pmod(col("doc_id"), lit(50)) === 25)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(concat(slice(tk, 1, 40), array(
+          concat(lit("novel"), col("doc_id"), lit("_a")),
+          concat(lit("novel"), col("doc_id"), lit("_b")),
+          concat(lit("novel"), col("doc_id"), lit("_c")),
+          concat(lit("novel"), col("doc_id"), lit("_d")),
+          concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
+    val fresh = s.range(5).select((col("id") + 1000000L).as("bench_id"),
+      concat_ws(" ", (1 to 8).map(j =>
+        concat(lit("benchfresh"), col("id"), lit(s"_$j"))): _*).as("text"))
+    verbatim.unionByName(partial).unionByName(fresh)
+  }
+
   /** Per-source robots fixture for the PER-URL verdict (q241/q242):
     * every RFC 9309 path-matching rule fires against a [[synthUrl]]
     * branch — a wildcard/literal LENGTH TIE (disallow `/A/` + star +
@@ -1103,22 +1127,7 @@ object SparkEntry {
     // hit -> absent, the suspects-only contract)
     "q149_contamination_triage" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-      val verbatim = docs.where(pmod(col("doc_id"), lit(50)) === 0)
-        .select(col("doc_id").as("bench_id"), col("text"))
-      val partial = docs.where(pmod(col("doc_id"), lit(50)) === 25)
-        .select((col("doc_id") + 500000L).as("bench_id"),
-          array_join(concat(slice(tk, 1, 40), array(
-            concat(lit("novel"), col("doc_id"), lit("_a")),
-            concat(lit("novel"), col("doc_id"), lit("_b")),
-            concat(lit("novel"), col("doc_id"), lit("_c")),
-            concat(lit("novel"), col("doc_id"), lit("_d")),
-            concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
-      val fresh = s.range(5).select((col("id") + 1000000L).as("bench_id"),
-        concat_ws(" ", (1 to 8).map(j =>
-          concat(lit("benchfresh"), col("id"), lit(s"_$j"))): _*).as("text"))
-      Retrieval.contaminationTriage(docs,
-        verbatim.unionByName(partial).unionByName(fresh))
+      Retrieval.contaminationTriage(docs, contamBench(s, docs))
     }),
     // homoglyph-spoofed dedup (Dedup.skeletonExact): spam/SEO duplicates
     // swap Cyrillic lookalikes for Latin letters and sprinkle zero-width
@@ -1675,20 +1684,6 @@ object SparkEntry {
     // doc vectors ride the 1:1 vec_id=doc_id embeddings
     "q243_contamination_sweep" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-      val verbatim = docs.where(pmod(col("doc_id"), lit(50)) === 0)
-        .select(col("doc_id").as("bench_id"), col("text"))
-      val partial = docs.where(pmod(col("doc_id"), lit(50)) === 25)
-        .select((col("doc_id") + 500000L).as("bench_id"),
-          array_join(concat(slice(tk, 1, 40), array(
-            concat(lit("novel"), col("doc_id"), lit("_a")),
-            concat(lit("novel"), col("doc_id"), lit("_b")),
-            concat(lit("novel"), col("doc_id"), lit("_c")),
-            concat(lit("novel"), col("doc_id"), lit("_d")),
-            concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
-      val fresh = s.range(5).select((col("id") + 1000000L).as("bench_id"),
-        concat_ws(" ", (1 to 8).map(j =>
-          concat(lit("benchfresh"), col("id"), lit(s"_$j"))): _*).as("text"))
       val emb = Tables.embeddings(s, d)
       val probes = emb.where(col("vec_id") < 8).select(
           (col("vec_id") + lit(1000000L)).as("vec_id"),
@@ -1696,8 +1691,7 @@ object SparkEntry {
         .unionByName(emb.where(col("vec_id") >= 100 && col("vec_id") < 103)
           .select((col("vec_id") + lit(2000000L)).as("vec_id"),
             col("embedding")))
-      Pipeline.contaminationSweep(docs,
-        verbatim.unionByName(partial).unionByName(fresh), emb, probes)
+      Pipeline.contaminationSweep(docs, contamBench(s, docs), emb, probes)
     }),
     // bench-side contamination audit (Pipeline.contaminationAudit):
     // which eval items leaked, how widely, and which are provably
@@ -1706,22 +1700,7 @@ object SparkEntry {
     // overlap, partials read their truncated fraction
     "q250_contamination_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-      val verbatim = docs.where(pmod(col("doc_id"), lit(50)) === 0)
-        .select(col("doc_id").as("bench_id"), col("text"))
-      val partial = docs.where(pmod(col("doc_id"), lit(50)) === 25)
-        .select((col("doc_id") + 500000L).as("bench_id"),
-          array_join(concat(slice(tk, 1, 40), array(
-            concat(lit("novel"), col("doc_id"), lit("_a")),
-            concat(lit("novel"), col("doc_id"), lit("_b")),
-            concat(lit("novel"), col("doc_id"), lit("_c")),
-            concat(lit("novel"), col("doc_id"), lit("_d")),
-            concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
-      val fresh = s.range(5).select((col("id") + 1000000L).as("bench_id"),
-        concat_ws(" ", (1 to 8).map(j =>
-          concat(lit("benchfresh"), col("id"), lit(s"_$j"))): _*).as("text"))
-      Pipeline.contaminationAudit(docs,
-        verbatim.unionByName(partial).unionByName(fresh))
+      Pipeline.contaminationAudit(docs, contamBench(s, docs))
     }),
     // the STREAMABLE contamination gate, batch-oracled
     // (Pipeline.contaminationGate): the q243 legs with the BM25 triage
@@ -1732,21 +1711,7 @@ object SparkEntry {
     // half the corpus — scores cluster tightly on this synthesis)
     "q249_contamination_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-      val verbatim = docs.where(pmod(col("doc_id"), lit(50)) === 0)
-        .select(col("doc_id").as("bench_id"), col("text"))
-      val partial = docs.where(pmod(col("doc_id"), lit(50)) === 25)
-        .select((col("doc_id") + 500000L).as("bench_id"),
-          array_join(concat(slice(tk, 1, 40), array(
-            concat(lit("novel"), col("doc_id"), lit("_a")),
-            concat(lit("novel"), col("doc_id"), lit("_b")),
-            concat(lit("novel"), col("doc_id"), lit("_c")),
-            concat(lit("novel"), col("doc_id"), lit("_d")),
-            concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
-      val fresh = s.range(5).select((col("id") + 1000000L).as("bench_id"),
-        concat_ws(" ", (1 to 8).map(j =>
-          concat(lit("benchfresh"), col("id"), lit(s"_$j"))): _*).as("text"))
-      val bench = verbatim.unionByName(partial).unionByName(fresh)
+      val bench = contamBench(s, docs)
       val emb = Tables.embeddings(s, d)
       val probes = emb.where(col("vec_id") < 8).select(
           (col("vec_id") + lit(1000000L)).as("vec_id"),
@@ -3884,6 +3849,87 @@ object SparkEntry {
         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') nx
         |  FROM cf)""".stripMargin
 
+  /** The q149/q243/q249/q250 shared contamination-bench CTEs — [[contamBench]]'s DuckDB twin (tokd + the bt synthesis). No leading WITH. */
+  private val contamBenchCte: String =
+    """tokd AS (SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
+      |  FROM documents),
+      |bt AS (
+      |  SELECT doc_id bench_id, tk btk FROM tokd WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000, list_concat(tk[1:40], [
+      |      'novel'||doc_id||'_a', 'novel'||doc_id||'_b',
+      |      'novel'||doc_id||'_c', 'novel'||doc_id||'_d',
+      |      'novel'||doc_id||'_e'])
+      |  FROM tokd WHERE doc_id % 50 = 25
+      |  UNION ALL
+      |  SELECT 1000000 + i, list_transform(range(1, 9),
+      |      j -> 'benchfresh'||i||'_'||j)
+      |  FROM range(5) t(i))""".stripMargin
+
+  /** The shared fixed-point BM25 scoring CTEs over (tokd, bt): q..sc. */
+  private val contamScoreCtes: String =
+    """q AS (SELECT bench_id, list_distinct(btk) qt FROM bt),
+      |post AS (SELECT doc_id, len(tk) dl, unnest(tk) t FROM tokd),
+      |pc AS (SELECT t, doc_id, dl, COUNT(*) tf FROM post GROUP BY 1, 2, 3),
+      |docl AS (SELECT DISTINCT doc_id, dl FROM pc),
+      |stats AS (SELECT n_docs, (tot * 1000) // n_docs avg_fx
+      |  FROM (SELECT COUNT(*) n_docs, SUM(dl) tot FROM docl)),
+      |qt AS (SELECT bench_id, unnest(qt) t FROM q),
+      |dfq AS (SELECT t, COUNT(*) df FROM pc
+      |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1),
+      |sc AS (SELECT m.bench_id, m.doc_id, SUM(
+      |    ( (((2*s.n_docs - 2*dfq.df + 1) * 1000000) // (2*dfq.df + 1))
+      |    * ((22 * m.tf * s.avg_fx * 1000)
+      |       // (10*s.avg_fx*m.tf + 3*s.avg_fx + 9000*m.dl)) ) // 1000) score_fx
+      |  FROM (SELECT qt.bench_id, pc.doc_id, pc.tf, pc.dl, pc.t
+      |        FROM pc JOIN qt USING (t)) m
+      |    JOIN dfq USING (t) CROSS JOIN stats s
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** The shared corpus-wide distinct-gram pair CTEs: cg..ps. */
+  private val contamPairCtes: String =
+    """cg AS (SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+      |    ELSE list_transform(range(1, len(tk) - 3), i ->
+      |      tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+      |    END)) g
+      |  FROM tokd),
+      |bs AS (SELECT bench_id, list_distinct(
+      |    CASE WHEN len(btk) < 5 THEN [array_to_string(btk, ' ')]
+      |    ELSE list_transform(range(1, len(btk) - 3), i ->
+      |      btk[i]||' '||btk[i+1]||' '||btk[i+2]||' '||btk[i+3]||' '||btk[i+4])
+      |    END) bg FROM bt),
+      |bsz AS (SELECT bench_id, len(bg) bench_grams FROM bs),
+      |bgr AS (SELECT bench_id, unnest(bg) g FROM bs),
+      |ps AS (SELECT bgr.bench_id, cg.doc_id, COUNT(*) ns
+      |  FROM bgr JOIN cg USING (g) GROUP BY 1, 2)""".stripMargin
+
+  /** The per-doc lexical fold over (ps, bsz). */
+  private val contamLexdCte: String =
+    """lexd AS (SELECT ps.doc_id, CAST(COUNT(*) AS BIGINT) n_lex_bench,
+      |    CAST(MAX((ns * 1000000) // bench_grams) AS BIGINT) lex_ppm
+      |  FROM ps JOIN bsz USING (bench_id)
+      |  WHERE ns * 100 >= bench_grams * 20 AND bench_grams > 0
+      |  GROUP BY 1)""".stripMargin
+
+  /** The q189 probe-cosine CTEs folded per doc: b2..semd. */
+  private val contamSemCtes: String =
+    """b2 AS (SELECT vec_id + 1000000 qid,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv
+      |  FROM embeddings WHERE vec_id < 8
+      |  UNION ALL
+      |  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+      |c2 AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv
+      |      FROM embeddings),
+      |s2 AS (SELECT nid,
+      |    FLOOR(list_cosine_similarity(qv, nv) * 1000 + 0.5) / 1000.0 cos3
+      |  FROM c2, b2 WHERE qid <> nid),
+      |semd AS (SELECT nid doc_id, CAST(COUNT(*) AS BIGINT) n_probes_hit,
+      |    MAX(cos3) max_cos3
+      |  FROM s2 WHERE cos3 >= 0.6 GROUP BY 1)""".stripMargin
+
   /** The q221/q222 robots fixture + the parse chain. "value"/"domain"
     * quoted: DuckDB reserved words. */
   private val robotsParseCte: String =
@@ -3923,8 +3969,7 @@ object SparkEntry {
       |  FROM srcs2),
       |""".stripMargin + robotsChainCte + """,
       |ar AS (SELECT host, agent, "rule", "value",
-      |    lower(agent) = 'graftbot' spec FROM rules
-      |  WHERE "rule" IN ('allow', 'disallow')),
+      |    lower(agent) = 'graftbot' spec FROM rules),
       |hs AS (SELECT host, bool_or(spec) has_spec FROM ar GROUP BY 1),
       |app AS (SELECT host, "rule", "value",
       |    replace(regexp_replace(core, '([!%_])', '!\1', 'g'), '*', '%')
@@ -3935,7 +3980,8 @@ object SparkEntry {
       |        ELSE "value" END core,
       |      "value" LIKE '%$' anch
       |    FROM ar JOIN hs USING (host)
-      |    WHERE ((spec AND has_spec) OR (agent = '*' AND NOT has_spec))
+      |    WHERE "rule" IN ('allow', 'disallow')
+      |      AND ((spec AND has_spec) OR (agent = '*' AND NOT has_spec))
       |      AND "value" <> '')),
       |du AS (SELECT doc_id,
       |    lower(regexp_extract(url, '^([^:/?#]+)://', 1)) scheme,
@@ -3957,7 +4003,7 @@ object SparkEntry {
       |    "rule" matched_rule, "value" matched_pattern,
       |    ("rule" IS NULL OR "rule" = 'allow') allowed
       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-      |      ORDER BY ("value" IS NULL) ASC, length("value") DESC,
+      |      ORDER BY ("value" IS NULL) ASC, strlen("value") DESC,
       |        "rule" ASC, "value" ASC) rn FROM jm)
       |  WHERE rn = 1)""".stripMargin
 
@@ -5895,39 +5941,9 @@ object SparkEntry {
         |  MAX(k <> lt) any_spoofed
         |FROM sk GROUP BY k""".stripMargin,
     "q149_contamination_triage" ->
-      """WITH tokd AS (SELECT doc_id, list_filter(
-        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
-        |  FROM documents),
-        |bt AS (
-        |  SELECT doc_id bench_id, tk btk FROM tokd WHERE doc_id % 50 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 500000, list_concat(tk[1:40], [
-        |      'novel'||doc_id||'_a', 'novel'||doc_id||'_b',
-        |      'novel'||doc_id||'_c', 'novel'||doc_id||'_d',
-        |      'novel'||doc_id||'_e'])
-        |  FROM tokd WHERE doc_id % 50 = 25
-        |  UNION ALL
-        |  SELECT 1000000 + i, list_transform(range(1, 9),
-        |      j -> 'benchfresh'||i||'_'||j)
-        |  FROM range(5) t(i)),
-        |q AS (SELECT bench_id, list_distinct(btk) qt FROM bt),
-        |post AS (SELECT doc_id, len(tk) dl, unnest(tk) t FROM tokd),
-        |pc AS (SELECT t, doc_id, dl, COUNT(*) tf FROM post GROUP BY 1, 2, 3),
-        |docl AS (SELECT DISTINCT doc_id, dl FROM pc),
-        |stats AS (SELECT n_docs, (tot * 1000) // n_docs avg_fx
-        |  FROM (SELECT COUNT(*) n_docs, SUM(dl) tot FROM docl)),
-        |qt AS (SELECT bench_id, unnest(qt) t FROM q),
-        |dfq AS (SELECT t, COUNT(*) df FROM pc
-        |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1),
-        |sc AS (SELECT m.bench_id, m.doc_id, SUM(
-        |    ( (((2*s.n_docs - 2*dfq.df + 1) * 1000000) // (2*dfq.df + 1))
-        |    * ((22 * m.tf * s.avg_fx * 1000)
-        |       // (10*s.avg_fx*m.tf + 3*s.avg_fx + 9000*m.dl)) ) // 1000) score_fx
-        |  FROM (SELECT qt.bench_id, pc.doc_id, pc.tf, pc.dl, pc.t
-        |        FROM pc JOIN qt USING (t)) m
-        |    JOIN dfq USING (t) CROSS JOIN stats s
-        |  GROUP BY 1, 2),
-        |r AS (SELECT bench_id, doc_id, score_fx, row_number() OVER (
+      ("WITH " + contamBenchCte + ",\n" +
+      contamScoreCtes + ",\n" +
+      """r AS (SELECT bench_id, doc_id, score_fx, row_number() OVER (
         |    PARTITION BY bench_id ORDER BY score_fx DESC, doc_id ASC) rk
         |  FROM sc),
         |hits AS (SELECT bench_id, doc_id, score_fx, rk FROM r WHERE rk <= 3),
@@ -5953,7 +5969,7 @@ object SparkEntry {
         |  COALESCE(ps.ns, 0) * 100 >= z.bench_grams * 20
         |    AND z.bench_grams > 0 contaminated
         |FROM hits h JOIN bsz z USING (bench_id)
-        |  LEFT JOIN ps USING (bench_id, doc_id)""".stripMargin,
+        |  LEFT JOIN ps USING (bench_id, doc_id)""".stripMargin),
     "q148_leakage_safe_split" ->
       (dupClustersCte + s""",
         |c AS (SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node),
@@ -7412,78 +7428,17 @@ object SparkEntry {
     // CTEs with the gram leg widened corpus-wide, the q189 probe
     // cosines, and the precedence CASE
     "q243_contamination_sweep" ->
-      """WITH tokd AS (SELECT doc_id, list_filter(
-        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
-        |  FROM documents),
-        |bt AS (
-        |  SELECT doc_id bench_id, tk btk FROM tokd WHERE doc_id % 50 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 500000, list_concat(tk[1:40], [
-        |      'novel'||doc_id||'_a', 'novel'||doc_id||'_b',
-        |      'novel'||doc_id||'_c', 'novel'||doc_id||'_d',
-        |      'novel'||doc_id||'_e'])
-        |  FROM tokd WHERE doc_id % 50 = 25
-        |  UNION ALL
-        |  SELECT 1000000 + i, list_transform(range(1, 9),
-        |      j -> 'benchfresh'||i||'_'||j)
-        |  FROM range(5) t(i)),
-        |q AS (SELECT bench_id, list_distinct(btk) qt FROM bt),
-        |post AS (SELECT doc_id, len(tk) dl, unnest(tk) t FROM tokd),
-        |pc AS (SELECT t, doc_id, dl, COUNT(*) tf FROM post GROUP BY 1, 2, 3),
-        |docl AS (SELECT DISTINCT doc_id, dl FROM pc),
-        |stats AS (SELECT n_docs, (tot * 1000) // n_docs avg_fx
-        |  FROM (SELECT COUNT(*) n_docs, SUM(dl) tot FROM docl)),
-        |qt AS (SELECT bench_id, unnest(qt) t FROM q),
-        |dfq AS (SELECT t, COUNT(*) df FROM pc
-        |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1),
-        |sc AS (SELECT m.bench_id, m.doc_id, SUM(
-        |    ( (((2*s.n_docs - 2*dfq.df + 1) * 1000000) // (2*dfq.df + 1))
-        |    * ((22 * m.tf * s.avg_fx * 1000)
-        |       // (10*s.avg_fx*m.tf + 3*s.avg_fx + 9000*m.dl)) ) // 1000) score_fx
-        |  FROM (SELECT qt.bench_id, pc.doc_id, pc.tf, pc.dl, pc.t
-        |        FROM pc JOIN qt USING (t)) m
-        |    JOIN dfq USING (t) CROSS JOIN stats s
-        |  GROUP BY 1, 2),
-        |r AS (SELECT bench_id, doc_id, score_fx, row_number() OVER (
+      ("WITH " + contamBenchCte + ",\n" +
+      contamScoreCtes + ",\n" +
+      """r AS (SELECT bench_id, doc_id, score_fx, row_number() OVER (
         |    PARTITION BY bench_id ORDER BY score_fx DESC, doc_id ASC) rk
         |  FROM sc),
         |sus AS (SELECT doc_id, CAST(MIN(rk) AS BIGINT) bm25_rank
-        |  FROM r WHERE rk <= 3 GROUP BY 1),
-        |cg AS (SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
-        |    ELSE list_transform(range(1, len(tk) - 3), i ->
-        |      tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
-        |    END)) g
-        |  FROM tokd),
-        |bs AS (SELECT bench_id, list_distinct(
-        |    CASE WHEN len(btk) < 5 THEN [array_to_string(btk, ' ')]
-        |    ELSE list_transform(range(1, len(btk) - 3), i ->
-        |      btk[i]||' '||btk[i+1]||' '||btk[i+2]||' '||btk[i+3]||' '||btk[i+4])
-        |    END) bg FROM bt),
-        |bsz AS (SELECT bench_id, len(bg) bench_grams FROM bs),
-        |bgr AS (SELECT bench_id, unnest(bg) g FROM bs),
-        |ps AS (SELECT bgr.bench_id, cg.doc_id, COUNT(*) ns
-        |  FROM bgr JOIN cg USING (g) GROUP BY 1, 2),
-        |lexd AS (SELECT ps.doc_id, CAST(COUNT(*) AS BIGINT) n_lex_bench,
-        |    CAST(MAX((ns * 1000000) // bench_grams) AS BIGINT) lex_ppm
-        |  FROM ps JOIN bsz USING (bench_id)
-        |  WHERE ns * 100 >= bench_grams * 20 AND bench_grams > 0
-        |  GROUP BY 1),
-        |b2 AS (SELECT vec_id + 1000000 qid,
-        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv
-        |  FROM embeddings WHERE vec_id < 8
-        |  UNION ALL
-        |  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
-        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
-        |c2 AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv
-        |      FROM embeddings),
-        |s2 AS (SELECT nid,
-        |    FLOOR(list_cosine_similarity(qv, nv) * 1000 + 0.5) / 1000.0 cos3
-        |  FROM c2, b2 WHERE qid <> nid),
-        |semd AS (SELECT nid doc_id, CAST(COUNT(*) AS BIGINT) n_probes_hit,
-        |    MAX(cos3) max_cos3
-        |  FROM s2 WHERE cos3 >= 0.6 GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(n_lex_bench, 0) n_lex_bench, lex_ppm,
+        |  FROM r WHERE rk <= 3 GROUP BY 1),""".stripMargin + "\n" +
+      contamPairCtes + ",\n" +
+      contamLexdCte + ",\n" +
+      contamSemCtes + "\n" +
+      """SELECT d.doc_id, COALESCE(n_lex_bench, 0) n_lex_bench, lex_ppm,
         |  bm25_rank, COALESCE(n_probes_hit, 0) n_probes_hit, max_cos3,
         |  CASE WHEN COALESCE(n_lex_bench, 0) > 0 THEN 'lexical'
         |       WHEN COALESCE(n_probes_hit, 0) > 0 THEN 'semantic'
@@ -7494,123 +7449,33 @@ object SparkEntry {
         |       WHEN bm25_rank IS NOT NULL THEN FALSE
         |       ELSE TRUE END kept
         |FROM documents d LEFT JOIN lexd USING (doc_id)
-        |  LEFT JOIN sus USING (doc_id) LEFT JOIN semd USING (doc_id)"""
-        .stripMargin,
+        |  LEFT JOIN sus USING (doc_id) LEFT JOIN semd USING (doc_id)""".stripMargin),
     // audit replay: the q243 pair CTEs folded bench-side, zero-hit
     // items surfaced through the LEFT JOIN from the full bench frame
     "q250_contamination_audit" ->
-      """WITH tokd AS (SELECT doc_id, list_filter(
-        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
-        |  FROM documents),
-        |bt AS (
-        |  SELECT doc_id bench_id, tk btk FROM tokd WHERE doc_id % 50 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 500000, list_concat(tk[1:40], [
-        |      'novel'||doc_id||'_a', 'novel'||doc_id||'_b',
-        |      'novel'||doc_id||'_c', 'novel'||doc_id||'_d',
-        |      'novel'||doc_id||'_e'])
-        |  FROM tokd WHERE doc_id % 50 = 25
-        |  UNION ALL
-        |  SELECT 1000000 + i, list_transform(range(1, 9),
-        |      j -> 'benchfresh'||i||'_'||j)
-        |  FROM range(5) t(i)),
-        |cg AS (SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
-        |    ELSE list_transform(range(1, len(tk) - 3), i ->
-        |      tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
-        |    END)) g
-        |  FROM tokd),
-        |bs AS (SELECT bench_id, list_distinct(
-        |    CASE WHEN len(btk) < 5 THEN [array_to_string(btk, ' ')]
-        |    ELSE list_transform(range(1, len(btk) - 3), i ->
-        |      btk[i]||' '||btk[i+1]||' '||btk[i+2]||' '||btk[i+3]||' '||btk[i+4])
-        |    END) bg FROM bt),
-        |bsz AS (SELECT bench_id, len(bg) bench_grams FROM bs),
-        |bgr AS (SELECT bench_id, unnest(bg) g FROM bs),
-        |ps AS (SELECT bgr.bench_id, cg.doc_id, COUNT(*) ns
-        |  FROM bgr JOIN cg USING (g) GROUP BY 1, 2),
-        |hits AS (SELECT ps.bench_id, CAST(COUNT(*) AS BIGINT) nd,
+      ("WITH " + contamBenchCte + ",\n" +
+      contamPairCtes + ",\n" +
+      """hits AS (SELECT ps.bench_id, CAST(COUNT(*) AS BIGINT) nd,
         |    CAST(MAX((ns * 1000000) // bench_grams) AS BIGINT) mp
         |  FROM ps JOIN bsz USING (bench_id)
         |  WHERE ns * 100 >= bench_grams * 20 AND bench_grams > 0
         |  GROUP BY 1)
         |SELECT bsz.bench_id, CAST(bench_grams AS BIGINT) bench_grams,
         |  COALESCE(nd, 0) n_contaminated, mp max_overlap_ppm
-        |FROM bsz LEFT JOIN hits USING (bench_id)""".stripMargin,
+        |FROM bsz LEFT JOIN hits USING (bench_id)""".stripMargin),
     // frozen-gate replay: the q243 CTEs with the rank cut swapped for
     // the threshold filter over the SAME fixed-point score chain
     // (reference == corpus, so the frozen idf/avgdl equal the live ones
     // and the arithmetic is shared verbatim)
     "q249_contamination_gate" ->
-      """WITH tokd AS (SELECT doc_id, list_filter(
-        |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
-        |  FROM documents),
-        |bt AS (
-        |  SELECT doc_id bench_id, tk btk FROM tokd WHERE doc_id % 50 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 500000, list_concat(tk[1:40], [
-        |      'novel'||doc_id||'_a', 'novel'||doc_id||'_b',
-        |      'novel'||doc_id||'_c', 'novel'||doc_id||'_d',
-        |      'novel'||doc_id||'_e'])
-        |  FROM tokd WHERE doc_id % 50 = 25
-        |  UNION ALL
-        |  SELECT 1000000 + i, list_transform(range(1, 9),
-        |      j -> 'benchfresh'||i||'_'||j)
-        |  FROM range(5) t(i)),
-        |q AS (SELECT bench_id, list_distinct(btk) qt FROM bt),
-        |post AS (SELECT doc_id, len(tk) dl, unnest(tk) t FROM tokd),
-        |pc AS (SELECT t, doc_id, dl, COUNT(*) tf FROM post GROUP BY 1, 2, 3),
-        |docl AS (SELECT DISTINCT doc_id, dl FROM pc),
-        |stats AS (SELECT n_docs, (tot * 1000) // n_docs avg_fx
-        |  FROM (SELECT COUNT(*) n_docs, SUM(dl) tot FROM docl)),
-        |qt AS (SELECT bench_id, unnest(qt) t FROM q),
-        |dfq AS (SELECT t, COUNT(*) df FROM pc
-        |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1),
-        |sc AS (SELECT m.bench_id, m.doc_id, SUM(
-        |    ( (((2*s.n_docs - 2*dfq.df + 1) * 1000000) // (2*dfq.df + 1))
-        |    * ((22 * m.tf * s.avg_fx * 1000)
-        |       // (10*s.avg_fx*m.tf + 3*s.avg_fx + 9000*m.dl)) ) // 1000) score_fx
-        |  FROM (SELECT qt.bench_id, pc.doc_id, pc.tf, pc.dl, pc.t
-        |        FROM pc JOIN qt USING (t)) m
-        |    JOIN dfq USING (t) CROSS JOIN stats s
-        |  GROUP BY 1, 2),
-        |sus AS (SELECT doc_id, CAST(MAX(score_fx) AS BIGINT) bm25_score_fx
-        |  FROM sc WHERE score_fx >= 11000000 GROUP BY 1),
-        |cg AS (SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
-        |    ELSE list_transform(range(1, len(tk) - 3), i ->
-        |      tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
-        |    END)) g
-        |  FROM tokd),
-        |bs AS (SELECT bench_id, list_distinct(
-        |    CASE WHEN len(btk) < 5 THEN [array_to_string(btk, ' ')]
-        |    ELSE list_transform(range(1, len(btk) - 3), i ->
-        |      btk[i]||' '||btk[i+1]||' '||btk[i+2]||' '||btk[i+3]||' '||btk[i+4])
-        |    END) bg FROM bt),
-        |bsz AS (SELECT bench_id, len(bg) bench_grams FROM bs),
-        |bgr AS (SELECT bench_id, unnest(bg) g FROM bs),
-        |ps AS (SELECT bgr.bench_id, cg.doc_id, COUNT(*) ns
-        |  FROM bgr JOIN cg USING (g) GROUP BY 1, 2),
-        |lexd AS (SELECT ps.doc_id, CAST(COUNT(*) AS BIGINT) n_lex_bench,
-        |    CAST(MAX((ns * 1000000) // bench_grams) AS BIGINT) lex_ppm
-        |  FROM ps JOIN bsz USING (bench_id)
-        |  WHERE ns * 100 >= bench_grams * 20 AND bench_grams > 0
-        |  GROUP BY 1),
-        |b2 AS (SELECT vec_id + 1000000 qid,
-        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv
-        |  FROM embeddings WHERE vec_id < 8
-        |  UNION ALL
-        |  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
-        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
-        |c2 AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv
-        |      FROM embeddings),
-        |s2 AS (SELECT nid,
-        |    FLOOR(list_cosine_similarity(qv, nv) * 1000 + 0.5) / 1000.0 cos3
-        |  FROM c2, b2 WHERE qid <> nid),
-        |semd AS (SELECT nid doc_id, CAST(COUNT(*) AS BIGINT) n_probes_hit,
-        |    MAX(cos3) max_cos3
-        |  FROM s2 WHERE cos3 >= 0.6 GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(n_lex_bench, 0) n_lex_bench, lex_ppm,
+      ("WITH " + contamBenchCte + ",\n" +
+      contamScoreCtes + ",\n" +
+      """sus AS (SELECT doc_id, CAST(MAX(score_fx) AS BIGINT) bm25_score_fx
+        |  FROM sc WHERE score_fx >= 11000000 GROUP BY 1),""".stripMargin + "\n" +
+      contamPairCtes + ",\n" +
+      contamLexdCte + ",\n" +
+      contamSemCtes + "\n" +
+      """SELECT d.doc_id, COALESCE(n_lex_bench, 0) n_lex_bench, lex_ppm,
         |  bm25_score_fx, COALESCE(n_probes_hit, 0) n_probes_hit, max_cos3,
         |  CASE WHEN COALESCE(n_lex_bench, 0) > 0 THEN 'lexical'
         |       WHEN COALESCE(n_probes_hit, 0) > 0 THEN 'semantic'
@@ -7621,8 +7486,7 @@ object SparkEntry {
         |       WHEN bm25_score_fx IS NOT NULL THEN FALSE
         |       ELSE TRUE END kept
         |FROM documents d LEFT JOIN lexd USING (doc_id)
-        |  LEFT JOIN sus USING (doc_id) LEFT JOIN semd USING (doc_id)"""
-        .stripMargin,
+        |  LEFT JOIN sus USING (doc_id) LEFT JOIN semd USING (doc_id)""".stripMargin),
     // robots-chained governance replay: the q238 CTEs, the q241 robots
     // verdict CTEs riding the same base urls, and the widened
     // precedence CASE (opted_out > robots_blocked > license > pii >

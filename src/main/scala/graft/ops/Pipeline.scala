@@ -285,7 +285,7 @@ object Pipeline {
       .select(col("doc_id").as(idCol), col("bm25_rank"))
     val sem = Similarity.semanticContamination(
         docVecs.select(col(vecIdCol), col(vecCol)), benchVecs,
-        minCos, vecIdCol, vecCol)
+        minCos, vecIdCol, vecCol, guardSelfPairs = false)
       .select(col("nid").as(idCol), col("n_probes_hit"), col("max_cos3"))
     docs.select(col(idCol))
       .join(lex, Seq(idCol), "left")
@@ -319,11 +319,9 @@ object Pipeline {
     val benchSizes = benchSh.select(col(benchIdCol),
       size(col("_g")).cast("long").as("_bg"))
     val benchGrams = benchSh.select(col(benchIdCol), explode(col("_g")).as("_h"))
-    val benchKeys = benchSh.select(explode(col("_g")).as("_h")).distinct()
     docs
       .select(col(idCol),
         explode(array_distinct(Dedup.shingles(col(textCol), n))).as("_h"))
-      .join(broadcast(benchKeys), Seq("_h"), "left_semi")
       .join(broadcast(benchGrams), Seq("_h"))
       .groupBy(col(idCol), col(benchIdCol)).agg(count(lit(1)).as("_ns"))
       .join(broadcast(benchSizes), Seq(benchIdCol))
@@ -399,7 +397,7 @@ object Pipeline {
     val sem = Similarity.semanticContamination(
         docs.select(col(idCol), col(vecCol)),
         benchVecs.select(col(vecIdCol).as(idCol), col(vecCol)),
-        minCos, idCol, vecCol)
+        minCos, idCol, vecCol, guardSelfPairs = false)
       .select(col("nid").as(idCol), col("n_probes_hit"), col("max_cos3"))
     docs.select(col(idCol))
       .join(lex, Seq(idCol), "left")

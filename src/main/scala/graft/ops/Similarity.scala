@@ -945,10 +945,19 @@ object Similarity {
   def semanticContamination(corpus: DataFrame, bench: DataFrame,
                             minCos: Double = 0.6,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding",
+                            guardSelfPairs: Boolean = true): DataFrame = {
+    // guardSelfPairs=true is the q189 shape (bench drawn FROM the
+    // corpus: a vector must not flag itself; caller remaps probe ids
+    // off the corpus range, the +1e6 convention). When the bench is an
+    // EXTERNAL eval set its ids are an independent namespace — a probe
+    // that happens to share a doc's id is still a legitimate
+    // comparison, so the sweep/gate callers pass false and every
+    // (probe, doc) pair scores.
     val q = broadcast(bench.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
-    corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-      .join(q, col("qid") =!= col("nid"))
+    val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    (if (guardSelfPairs) base.join(q, col("qid") =!= col("nid"))
+     else base.crossJoin(q))
       .select(col("nid"),
         (floor(cosine(col("qvec"), col("nvec")) * 1000 + 0.5) / 1000.0)
           .as("cos3"))

@@ -240,10 +240,14 @@ object Web {
       regexp_replace(urlHost(col(urlCol)), ":[0-9]+$", "").as("host"),
       when(rawTarget === "", lit("/")).otherwise(rawTarget).as("target"))
     val w = Window.partitionBy(col("host"))
+    // group selection sees ALL rules (RFC 9309: a specific-bot group
+    // carrying only a Crawl-delay still ECLIPSES `*` — the review-pass
+    // fix; crawlDelay already computed _has this way); only then does
+    // the path matcher narrow to allow/disallow rows
     val applicable = rules
-      .where(col("rule").isin("allow", "disallow"))
       .withColumn("_spec", lower(col("agent")) === lit(bot.toLowerCase))
       .withColumn("_has", max(col("_spec")).over(w))
+      .where(col("rule").isin("allow", "disallow"))
       .where(((col("_spec") && col("_has")) ||
         (col("agent") === "*" && !col("_has"))) && col("value") =!= "")
       .withColumn("_anch", col("value").endsWith("$"))
@@ -258,7 +262,7 @@ object Web {
       .withColumn("_hit", col("rule").isNotNull &&
         expr("target LIKE _pat ESCAPE '!'"))
       .groupBy(col(idCol), col("host"), col("target"))
-      .agg(min(when(col("_hit"), struct((-length(col("value"))).as("nl"),
+      .agg(min(when(col("_hit"), struct((-octet_length(col("value"))).as("nl"),
         col("rule").as("r"), col("value").as("v")))).as("_m"))
       .select(col(idCol), col("host"), col("target"),
         col("_m.r").as("matched_rule"), col("_m.v").as("matched_pattern"),

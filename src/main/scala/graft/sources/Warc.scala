@@ -404,6 +404,23 @@ object Warc {
     }
   }
 
+  /** The standard reason phrase for a status code (a written capture
+    * claiming `404 OK` is a lie an external reader will notice even if
+    * parsers ignore the phrase — the review-pass fix). */
+  private def reasonPhrase(st: Long): String = st match {
+    case 200 => "OK"
+    case 204 => "No Content"
+    case 301 => "Moved Permanently"
+    case 302 => "Found"
+    case 304 => "Not Modified"
+    case 403 => "Forbidden"
+    case 404 => "Not Found"
+    case 429 => "Too Many Requests"
+    case 500 => "Internal Server Error"
+    case 503 => "Service Unavailable"
+    case _   => "Status"
+  }
+
   /** Write (id, uri, date, status, contentType, body-text) rows as raw
     * WARC response files — the [[writeWet]] disciplines (per-record
     * members, warcinfo leader, deterministic bytes, one shuffle, id
@@ -426,7 +443,7 @@ object Warc {
       val st = if (r.isNullAt(3)) 200L else r.getLong(3)
       val ct = if (r.isNullAt(4)) "text/plain" else r.getString(4)
       val body = (if (r.isNullAt(5)) "" else r.getString(5)).getBytes("UTF-8")
-      val http = (s"HTTP/1.1 $st OK\r\nContent-Type: $ct\r\n" +
+      val http = (s"HTTP/1.1 $st ${reasonPhrase(st)}\r\nContent-Type: $ct\r\n" +
         s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
       gzipMember(record(Seq(
         "WARC-Type" -> "response",

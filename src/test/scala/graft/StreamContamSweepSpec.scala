@@ -86,6 +86,22 @@ class StreamContamSweepSpec extends SparkTestBase {
     assert(gotCorpus == Set(4L, 5L), "every doc lands on exactly one side")
   }
 
+  test("a probe whose id collides with a doc id still flags it (independent namespaces)") {
+    // the review-pass fix: semanticContamination's self-pair guard is
+    // for benches drawn FROM the corpus; an external eval probe that
+    // happens to share doc 7's id is a legitimate comparison, and the
+    // gate must not fail open on it
+    val collidingProbe = Seq((7L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val doc = Seq((7L, "totally innocuous words here",
+      Array(0f, 2f, 0f, 0f))) // cos 1.0 with the probe, same id
+    val v = Pipeline.contaminationGate(docs(doc), bench, collidingProbe,
+      frozen, minScoreFx, minCos = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(v == Map(7L -> "semantic"),
+      "an id collision must not hide a semantic hit")
+  }
+
   test("replayed batch rewrites identical partitions; empty batch is a no-op") {
     val root = Files.createTempDirectory("scsweep_r").toString
     def run(b: Seq[(Long, String, Array[Float])], id: Long) =

@@ -238,6 +238,15 @@ class WarcSpec extends SparkTestBase {
         "WARC-Target-URI" -> "http://a.com/junk",
         "WARC-Date" -> "2026-01-01T00:00:00Z"),
         "this is not http".getBytes("UTF-8")))
+    // the written status lines carry REAL reason phrases (a capture
+    // claiming '404 OK' is a lie an external reader notices)
+    val rawRecords = Warc.read(spark, s"$dir/*.warc.gz")
+      .where(col("warc_type") === "response" &&
+        col("file").startsWith("warc-"))
+      .select(col("content")).collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "ISO-8859-1")
+        .split("\r\n").head).toSet
+    assert(rawRecords == Set("HTTP/1.1 200 OK", "HTTP/1.1 404 Not Found"))
     val got = Warc.httpResponses(Warc.read(spark, s"$dir/*.warc.gz"))
       .collect().map(r => r.getString(3) ->
         ((r.getBoolean(5), Option(r.get(6)).map(_.toString.toLong),

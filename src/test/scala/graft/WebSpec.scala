@@ -201,6 +201,15 @@ class WebSpec extends SparkTestBase {
     // for another bot the star group applies
     assert(verdicts(robots, Seq((3L, "http://g.com/open/sub/x")),
       bot = "otherbot")(3L) == ((Some("allow"), Some("/open"), true)))
+    // group selection sees ALL rules (the review-pass fix): a specific
+    // group carrying ONLY a Crawl-delay still eclipses '*' — graftbot
+    // crawls everything at its own pace, the star Disallow never applies
+    val delayOnly = Seq(("d.com",
+      "User-agent: graftbot\nCrawl-delay: 10\nUser-agent: *\nDisallow: /"))
+    assert(verdicts(delayOnly, Seq((1L, "http://d.com/anything")))(1L) ==
+      ((None, None, true)))
+    assert(verdicts(delayOnly, Seq((2L, "http://d.com/x")),
+      bot = "otherbot")(2L) == ((Some("disallow"), Some("/"), false)))
     // SQL-LIKE metachars in patterns/targets are literal robots chars:
     // '%'/'_'/'!' must not act as wildcards or escapes
     val meta = Seq(("m.com",
