@@ -87,6 +87,39 @@ class WetFrontDoorSpec extends SparkTestBase {
     assert(streamed.size == 4)
   }
 
+  test("streamWet -> StreamNearDedup: a cross-file near-dup collapses to one survivor") {
+    import graft.streaming.StreamNearDedup
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 30).map(i =>
+      if (i == 15) "CHANGED" else s"word$i").mkString(" ")
+    val wetDir = Files.createTempDirectory("wfd3").toString
+    // perFile=10 -> ids 1,2 land in wet-00000, ids 11,12 in wet-00001;
+    // maxFilesPerTrigger=1 makes the near-dup pair CROSS-batch
+    Warc.writeWet(Seq(
+      (1L, "http://x.com/1", "2026-01-01T00:00:00Z", base),
+      (2L, "http://x.com/2", "2026-01-01T00:00:00Z",
+        (1 to 30).map(i => s"other$i").mkString(" ")),
+      (11L, "http://x.com/11", "2026-01-01T00:00:00Z", nearDup),
+      (12L, "http://x.com/12", "2026-01-01T00:00:00Z",
+        (1 to 30).map(i => s"fresh$i").mkString(" ")))
+      .toDF("doc_id", "uri", "date", "text"), wetDir, perFile = 10)
+    val out = Files.createTempDirectory("wfd3_out").toString
+    val q = StreamNearDedup.start(
+      Warc.streamWet(spark, s"$wetDir/*.warc.wet.gz", maxFilesPerTrigger = 1)
+        .select(col("target_uri").as("doc_id"), col("text")),
+      s"$out/c", s"$out/i", s"$out/ck")
+    q.processAllAvailable(); q.stop()
+    val survivors = StreamNearDedup.corpus(spark, s"$out/c")
+      .select(col("doc_id")).collect().map(_.getString(0)).toSet
+    // exactly ONE of the near-dup pair survives (file processing order
+    // is mtime-dependent, so pin the class, not the id); the two
+    // distinct docs always survive
+    assert(survivors.count(Set("http://x.com/1", "http://x.com/11")) == 1,
+      s"near-dup pair must collapse to one survivor, got $survivors")
+    assert(survivors("http://x.com/2") && survivors("http://x.com/12"))
+    assert(survivors.size == 3)
+  }
+
   test("streamWet -> StreamDatasheet: the ledgered census equals the batch datasheet") {
     val wetDir = writeWetDir()
     val out = Files.createTempDirectory("wfd2_out").toString
