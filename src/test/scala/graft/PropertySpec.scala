@@ -303,6 +303,44 @@ class PropertySpec extends SparkTestBase {
       assert(math.abs(g.getLong(3)) <= 1000000L)
   }
 
+  test("property: robots LIKE-pattern compile == reference wildcard matcher") {
+    // adversarial alphabet: LIKE metachars (% _), the escape char (!),
+    // the robots wildcard/anchor (* $), and path punctuation — exactly
+    // the space where an escaping bug would hide
+    val chars = Gen.oneOf('/', 'a', 'b', '%', '_', '!', '*', '$', '.', '?', '=', '&')
+    val patGen = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, chars))
+      .map(_.mkString)
+    val tgtGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, chars))
+      .map(cs => "/" + cs.mkString)
+    def refMatch(pattern: String, target: String): Boolean = {
+      if (pattern.isEmpty) return false // empty pattern matches nothing
+      val anchored = pattern.endsWith("$")
+      val core = if (anchored) pattern.dropRight(1) else pattern
+      val rx = "^" + core.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*") +
+        (if (anchored) "$" else "")
+      java.util.regex.Pattern.compile(rx).matcher(target).find()
+    }
+    val cases = samples(Gen.zip(patGen, tgtGen), 300, seed = 31L).zipWithIndex
+    val urls = cases.map { case ((_, t), i) =>
+      (i.toLong, s"http://h$i.com$t") }.toDF("doc_id", "url")
+    // one synthetic disallow rule per host, fed directly (bypassing the
+    // robots text parser, which trims and cuts at '#': this property
+    // isolates the PATTERN COMPILER)
+    val rules = cases.map { case ((p, _), i) =>
+      (s"h$i.com", "*", "disallow", p, 0L) }
+      .toDF("host", "agent", "rule", "value", "pos")
+    val got = graft.ops.Web.robotsUrlVerdict(urls, rules)
+      .select(col("doc_id"), col("allowed"))
+      .as[(Long, Boolean)].collect().toMap
+    cases.foreach { case ((p, t), i) =>
+      val expectBlocked = refMatch(p, t)
+      assert(got(i.toLong) == !expectBlocked,
+        s"pattern ${p.inspect} vs target ${t.inspect}: " +
+          s"sql allowed=${got(i.toLong)}, reference match=$expectBlocked")
+    }
+  }
+
   private implicit class Inspect(s: String) {
     def inspect: String = s.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString
   }
