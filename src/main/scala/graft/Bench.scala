@@ -33,6 +33,26 @@ object Bench {
     private var lastCpu = cpuNs
     private var lastT = System.nanoTime()
     private var ewma = 0.0
+    private var daemonOn = false
+    /** Background sampler (r14 advice): sample() only advances when
+      * called, so a long gap collapses the kernel's 5 s loadavg cadence
+      * into one coarse decay step and the first gate after JVM start
+      * reads a nearly-cold tracker. A daemon ticking every `periodMs`
+      * keeps the EWMA advancing at the same cadence loadavg itself
+      * does. Note the tracker DELIBERATELY starts at 0: the JVM's
+      * contribution to loadavg also starts at 0 and ramps through the
+      * same e^(-dt/60) — seeding with instantaneous CPU would
+      * overestimate own-load early and under-gate real co-tenant noise. */
+    def startDaemon(periodMs: Long = 5000): Unit = synchronized {
+      if (!daemonOn) {
+        daemonOn = true
+        val t = new Thread(() => {
+          while (true) { Thread.sleep(periodMs); sample() }
+        }, "ownload-sampler")
+        t.setDaemon(true)
+        t.start()
+      }
+    }
     /** Advance the tracker and return the current own-load estimate. */
     def sample(): Double = synchronized {
       val now = System.nanoTime()
@@ -150,6 +170,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Start the own-load tracker FIRST: warmup + session init take long
+    // enough that the EWMA is meaningfully converged before the first
+    // gated rep (the r14-advice cold-start fix).
+    OwnLoad.startDaemon()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

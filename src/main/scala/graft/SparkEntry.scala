@@ -142,9 +142,14 @@ object SparkEntry {
         lit(""),
         lit("User-agent: graftbot"),
         lit("User-agent: extrabot"),
-        when(substring(md5(col("source")), 2, 1) < "8", lit("Disallow: /"))
-          .otherwise(lit("Crawl-delay: 5")),
-        lit("Disallow: /tmp/")).as("text"))
+        // md5(3) < '4': the graftbot group is EMPTY (user-agent lines
+        // only) — RFC 9309 still selects it, eclipsing `*` entirely
+        when(substring(md5(col("source")), 3, 1) < "4",
+          lit("# empty specific group"))
+          .otherwise(concat_ws("\n",
+            when(substring(md5(col("source")), 2, 1) < "8",
+              lit("Disallow: /")).otherwise(lit("Crawl-delay: 5")),
+            lit("Disallow: /tmp/")))).as("text"))
 
   /** The shared contamination BENCH synthesis (q149/q243/q249/q250):
     * verbatim corpus copies (%50==0), 40-token partials with novel
@@ -194,6 +199,9 @@ object SparkEntry {
         lit("Allow: /?q=1*"),
         when(substring(md5(col("source")), 2, 1) < "4",
           lit("User-agent: GraftBot\nDisallow:\nDisallow: /A/"))
+          .when(substring(md5(col("source")), 2, 1) < "8",
+            // EMPTY specific group: still eclipses `*` (allow all)
+            lit("User-agent: GraftBot"))
           .otherwise(lit("# no specific group"))).as("text"))
 
   /** Deterministic in-plan opt-out registry over the documents sources:
@@ -3493,7 +3501,7 @@ object SparkEntry {
     * log2-prob scores. Callers must open with WITH RECURSIVE when they
     * append a DP CTE. */
   private val unigramTrainCte: String =
-    """smp AS (SELECT text FROM documents
+    """smp AS (SELECT substring(text, 1, 262144) "text" FROM documents
       |        ORDER BY md5(CAST(doc_id AS VARCHAR) || 'uni') LIMIT 256),
       |sw AS (SELECT unnest(regexp_extract_all(text,
       |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM smp),
@@ -3715,7 +3723,11 @@ object SparkEntry {
       |rules AS (SELECT g.host, ag.agent, g.dname "rule", g."value",
       |    CAST(g.pos AS BIGINT) pos
       |  FROM grp g JOIN ag ON ag.host = g.host AND ag.run = g.run
-      |  WHERE g.dname <> 'user-agent')""".stripMargin
+      |  WHERE g.dname <> 'user-agent'
+      |  UNION ALL
+      |  SELECT host, "value" agent, 'group' "rule", '' "value",
+      |    CAST(pos AS BIGINT) pos
+      |  FROM grp WHERE dname = 'user-agent')""".stripMargin
 
   /** The q238 governance fixture (urls + licenses + planted PII) and
     * its gate CTEs `base`..`pii` — shared by q238 and the
@@ -3942,9 +3954,11 @@ object SparkEntry {
       |    'Allow: /public # static assets' || chr(10) || '' || chr(10) ||
       |    'User-agent: graftbot' || chr(10) || 'User-agent: extrabot'
       |    || chr(10) ||
-      |    CASE WHEN substring(md5(source), 2, 1) < '8' THEN 'Disallow: /'
-      |         ELSE 'Crawl-delay: 5' END || chr(10) ||
-      |    'Disallow: /tmp/' rtxt
+      |    CASE WHEN substring(md5(source), 3, 1) < '4'
+      |         THEN '# empty specific group'
+      |         ELSE (CASE WHEN substring(md5(source), 2, 1) < '8'
+      |                    THEN 'Disallow: /' ELSE 'Crawl-delay: 5' END)
+      |           || chr(10) || 'Disallow: /tmp/' END rtxt
       |  FROM srcs2),
       |""".stripMargin + robotsChainCte
 
@@ -3965,6 +3979,8 @@ object SparkEntry {
       |    CASE WHEN substring(md5(source), 2, 1) < '4'
       |         THEN 'User-agent: GraftBot' || chr(10) || 'Disallow:'
       |           || chr(10) || 'Disallow: /A/'
+      |         WHEN substring(md5(source), 2, 1) < '8'
+      |         THEN 'User-agent: GraftBot'
       |         ELSE '# no specific group' END rtxt
       |  FROM srcs2),
       |""".stripMargin + robotsChainCte + """,

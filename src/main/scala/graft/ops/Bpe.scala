@@ -30,6 +30,12 @@ import org.apache.spark.sql.types._
   * are pinned by the spec on hand-computed examples. */
 object Bpe {
 
+  /** Per-document char cap applied scan-side when collecting a training
+    * sample: bounds driver bytes at sampleDocs * maxTrainChars regardless
+    * of corpus pathology (shared by [[Wordpiece.trainVocab]] and
+    * [[Unigram.trainVocab]]; mirrored in the unigram oracle CTE). */
+  val maxTrainChars = 262144
+
   /** Pre-tokenize to merge units exactly like [[TextAnalysis.bpeTokens]]
     * (same regex, proven cross-engine by q34's oracle). */
   private val wordRe = TextAnalysis.bpePattern.r
@@ -81,11 +87,15 @@ object Bpe {
   }
 
   /** Train on a deterministic md5-ordered sample of `sampleDocs` docs —
-    * bounded driver traffic at any corpus size. */
+    * bounded driver traffic at any corpus size. Each sampled text is
+    * capped at [[Bpe.maxTrainChars]] chars AT COLLECT TIME (r14 verdict:
+    * 256 docs bounds rows, not bytes — one pathological document must
+    * not balloon the driver). */
   def trainMerges(documents: DataFrame, nMerges: Int, sampleDocs: Int = 256,
                   salt: String = "bpe"): Seq[(String, String)] = {
     val texts = documents
-      .select(col("text"), md5(concat(col("doc_id").cast("string"), lit(salt))).as("_o"))
+      .select(substring(col("text"), 1, Bpe.maxTrainChars).as("text"),
+        md5(concat(col("doc_id").cast("string"), lit(salt))).as("_o"))
       .orderBy(col("_o"))
       .limit(sampleDocs)
       .select("text").collect().map(_.getString(0)).toSeq

@@ -100,7 +100,7 @@ object Unigram {
     require(maxPieceLen >= 1 && maxPieceLen <= 7,
       s"maxPieceLen must be in [1, 7] (the 8-way tie key), got $maxPieceLen")
     val texts = documents
-      .select(col("text"),
+      .select(substring(col("text"), 1, Bpe.maxTrainChars).as("text"),
         md5(concat(col("doc_id").cast("string"), lit(salt))).as("_o"))
       .orderBy(col("_o"))
       .limit(sampleDocs)
@@ -234,7 +234,7 @@ object Unigram {
               vocabSize: Int = 512, maxPieceLen: Int = 4,
               sampleDocs: Int = 256, salt: String = "uni"): Seq[(String, Long)] = {
     val texts = documents
-      .select(col("text"),
+      .select(substring(col("text"), 1, Bpe.maxTrainChars).as("text"),
         md5(concat(col("doc_id").cast("string"), lit(salt))).as("_o"))
       .orderBy(col("_o"))
       .limit(sampleDocs)

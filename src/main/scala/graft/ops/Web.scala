@@ -170,11 +170,22 @@ object Web {
         (col("_prev").isNull || col("_prev") =!= "user-agent"), 1L)
         .otherwise(0L)).over(w))
     val agents = g.where(col("name") === "user-agent")
-      .select(col("host"), col("run"), col("value").as("agent"))
+      .select(col("host"), col("run"), col("value").as("agent"), col("pos"))
+    // One marker row (`rule = 'group'`, empty value) per user-agent line,
+    // so a group with NO rule lines at all still registers: RFC 9309 says
+    // a matched specific group — even an empty one — ECLIPSES `*` (allow
+    // everything). Without markers, [[robotsUrlVerdict]]/[[crawlDelay]]
+    // group selection read `_has = false` for empty groups and fell back
+    // to `*` (the r14-advice divergence). Consumers that only want rules
+    // filter on `rule IN ('allow','disallow',...)` AFTER group selection.
+    val markers = agents.select(col("host"), col("agent"),
+      lit("group").as("rule"), lit("").as("value"), col("pos"))
     g.where(col("name") =!= "user-agent")
-      .join(agents, Seq("host", "run"))
+      .join(agents.select(col("host"), col("run"), col("agent")),
+        Seq("host", "run"))
       .select(col("host"), col("agent"), col("name").as("rule"),
         col("value"), col("pos"))
+      .unionByName(markers)
   }
 
   /** Derive a [[domainOptOut]] registry from parsed robots rules: a

@@ -116,7 +116,8 @@ object Wordpiece {
   def trainVocab(documents: DataFrame, nMerges: Int, sampleDocs: Int = 256,
                  salt: String = "wordpiece"): Vector[String] = {
     val texts = documents
-      .select(col("text"), md5(concat(col("doc_id").cast("string"), lit(salt))).as("_o"))
+      .select(substring(col("text"), 1, Bpe.maxTrainChars).as("text"),
+        md5(concat(col("doc_id").cast("string"), lit(salt))).as("_o"))
       .orderBy(col("_o"))
       .limit(sampleDocs)
       .select("text").collect().map(_.getString(0)).toSeq

@@ -40,7 +40,11 @@ object StreamDatasheet {
       coalesce(col(langCol), lit("")).as("_lang"),
       coalesce(length(col(textCol)).cast("long"), lit(0L)).as("_nc"),
       coalesce(md5(col(textCol).cast("binary")),
-        concat(lit("n:"), col(idCol).cast("string"))).as("_h"))
+        concat(lit("n:"), col(idCol).cast("string")),
+        // NULL text AND NULL id: a per-row unique surrogate, so such
+        // rows can never read as mutual exact-duplicates in the ledger
+        // (r14 advice — concat(NULL) collapsed them into one group)
+        concat(lit("u:"), expr("uuid()"))).as("_h"))
 
   /** One micro-batch: land both partial-count partitions. */
   def countBatch(batch: DataFrame, batchId: Long, volDir: String,

@@ -99,7 +99,11 @@ class WebSpec extends SparkTestBase {
       ("*", "disallow", "/private"),
       ("abot", "allow", "/ok"), ("bbot", "allow", "/ok"),
       ("abot", "crawl-delay", "5"), ("bbot", "crawl-delay", "5"),
-      ("cbot", "disallow", "/")))
+      ("cbot", "disallow", "/"),
+      // one marker row per user-agent line, so EMPTY groups register
+      // with downstream group selection (rule='group', empty value)
+      ("*", "group", ""), ("abot", "group", ""), ("bbot", "group", ""),
+      ("cbot", "group", "")))
     // opt-out derivation: only cbot's full disallow counts for cbot;
     // '*' has no full disallow here -> graftbot not opted out
     assert(Web.robotsOptOut(Web.robotsRules(robots), bot = "cbot")
@@ -140,6 +144,26 @@ class WebSpec extends SparkTestBase {
       "a.com" -> ((None, "specific")),
       "b.com" -> ((Some(7L), "wildcard")),
       "c.com" -> ((None, "specific"))))
+  }
+
+  test("empty specific group still eclipses * (RFC 9309) — verdict and delay") {
+    // graftbot's group carries NO rule lines at all; RFC 9309 group
+    // selection still makes it the matched group (allow everything),
+    // eclipsing the * group's Disallow: / — the r14-advice fix: the
+    // parser emits a marker row per group, so selection can SEE it
+    val robots = Seq(("e.com",
+      "User-agent: *\nDisallow: /\nUser-agent: graftbot"))
+    val v = verdicts(robots, Seq((1L, "https://e.com/x"), (2L, "https://e.com/")))
+    assert(v(1L) == ((None, None, true)))
+    assert(v(2L) == ((None, None, true)))
+    // otherbot is NOT covered by the empty group: * applies, / blocked
+    val vo = verdicts(robots, Seq((3L, "https://e.com/x")), bot = "otherbot")
+    assert(vo(3L) == ((Some("disallow"), Some("/"), false)))
+    // the delay census attributes the (empty) specific group: NULL delay
+    val d = Web.crawlDelay(Web.robotsRules(robots.toDF("host", "text")))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)).map(_.toString.toLong), r.getString(2)))).toMap
+    assert(d == Map("e.com" -> ((None, "specific"))))
   }
 
   private def verdicts(robots: Seq[(String, String)],
