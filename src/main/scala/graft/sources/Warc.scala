@@ -58,54 +58,66 @@ object Warc {
       bytes: Array[Byte]): Option[Seq[(Long, Array[Byte])]] = {
     val out = Seq.newBuilder[(Long, Array[Byte])]
     var o = 0
-    def u8(i: Int): Int = bytes(i) & 0xff
     while (o < bytes.length) {
-      val start = o
-      if (o + 10 > bytes.length) return None
-      if (u8(o) != 0x1f || u8(o + 1) != 0x8b || u8(o + 2) != 8) return None
-      val flg = u8(o + 3)
-      if ((flg & 0xe0) != 0) return None // reserved FLG bits must be zero
-      o += 10
-      if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + data
-        if (o + 2 > bytes.length) return None
-        val xlen = u8(o) | (u8(o + 1) << 8)
-        o += 2 + xlen
-        if (o > bytes.length) return None
+      gzipMemberAt(bytes, o) match {
+        case None => return None
+        case Some((next, data)) => out += ((o.toLong, data)); o = next
       }
-      def skipZeroTerminated(): Boolean = { // FNAME / FCOMMENT
-        while (o < bytes.length && bytes(o) != 0) o += 1
-        if (o >= bytes.length) false else { o += 1; true }
-      }
-      if ((flg & 8) != 0 && !skipZeroTerminated()) return None
-      if ((flg & 16) != 0 && !skipZeroTerminated()) return None
-      if ((flg & 2) != 0) { o += 2; if (o > bytes.length) return None } // FHCRC
-      val inf = new java.util.zip.Inflater(true) // raw deflate
-      try {
-        inf.setInput(bytes, o, bytes.length - o)
-        val bo = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!inf.finished()) {
-          val n =
-            try inf.inflate(buf)
-            catch { case _: java.util.zip.DataFormatException => return None }
-          if (n > 0) bo.write(buf, 0, n)
-          else if (inf.needsInput()) return None // truncated deflate stream
-        }
-        val data = bo.toByteArray
-        o = o + (bytes.length - o - inf.getRemaining)
-        if (o + 8 > bytes.length) return None // trailer: CRC32 + ISIZE
-        val crc = new java.util.zip.CRC32()
-        crc.update(data)
-        def le32(i: Int): Long =
-          (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
-            ((u8(i + 3).toLong) << 24)
-        if (le32(o) != crc.getValue) return None
-        if (le32(o + 4) != (data.length.toLong & 0xffffffffL)) return None
-        o += 8
-        out += ((start.toLong, data))
-      } finally inf.end()
     }
     Some(out.result())
+  }
+
+  /** Parse ONE gzip member starting at `start`: Some((offset just past
+    * the trailer, decompressed bytes)) or None on any malformation —
+    * the single-member unit [[gzipMembers]] and the streaming
+    * [[parseGzFile]] walk share. */
+  private def gzipMemberAt(bytes: Array[Byte],
+                           start: Int): Option[(Int, Array[Byte])] = {
+    var o = start
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (o + 10 > bytes.length) return None
+    if (u8(o) != 0x1f || u8(o + 1) != 0x8b || u8(o + 2) != 8) return None
+    val flg = u8(o + 3)
+    if ((flg & 0xe0) != 0) return None // reserved FLG bits must be zero
+    o += 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + data
+      if (o + 2 > bytes.length) return None
+      val xlen = u8(o) | (u8(o + 1) << 8)
+      o += 2 + xlen
+      if (o > bytes.length) return None
+    }
+    def skipZeroTerminated(): Boolean = { // FNAME / FCOMMENT
+      while (o < bytes.length && bytes(o) != 0) o += 1
+      if (o >= bytes.length) false else { o += 1; true }
+    }
+    if ((flg & 8) != 0 && !skipZeroTerminated()) return None
+    if ((flg & 16) != 0 && !skipZeroTerminated()) return None
+    if ((flg & 2) != 0) { o += 2; if (o > bytes.length) return None } // FHCRC
+    val inf = new java.util.zip.Inflater(true) // raw deflate
+    try {
+      inf.setInput(bytes, o, bytes.length - o)
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n > 0) bo.write(buf, 0, n)
+        else if (inf.needsInput()) return None // truncated deflate stream
+      }
+      val data = bo.toByteArray
+      o = o + (bytes.length - o - inf.getRemaining)
+      if (o + 8 > bytes.length) return None // trailer: CRC32 + ISIZE
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+          ((u8(i + 3).toLong) << 24)
+      if (le32(o) != crc.getValue) return None
+      if (le32(o + 4) != (data.length.toLong & 0xffffffffL)) return None
+      o += 8
+      Some((o, data))
+    } finally inf.end()
   }
 
   // --------------------------------------------------- record grammar
@@ -131,9 +143,26 @@ object Warc {
     * lowercased header map, block)) covering the whole buffer, or None
     * on any grammar violation (doc above). */
   private[graft] def parseRecords(
-      bytes: Array[Byte]): Option[Seq[(Long, Map[String, String], Array[Byte])]] = {
+      bytes: Array[Byte]): Option[Seq[(Long, Map[String, String], Array[Byte])]] =
+    parseRecordsPrefix(bytes) match {
+      // the whole buffer must be a clean run of records — an incomplete
+      // tail (consumed < length) is as fatal as a grammar error
+      case Some((recs, consumed)) if consumed == bytes.length => Some(recs)
+      case _ => None
+    }
+
+  /** Incremental form of [[parseRecords]]: parse complete records from
+    * the FRONT of `bytes`, returning (records, bytes consumed). An
+    * incomplete record at the tail is NOT an error here — the caller
+    * ([[parseGzFile]]) appends the next gzip member and retries — but a
+    * GRAMMAR violation (bad version line, malformed header, missing
+    * Content-Length, bad record terminator) is still None: more bytes
+    * can complete a record, never repair one. */
+  private[graft] def parseRecordsPrefix(bytes: Array[Byte])
+      : Option[(Seq[(Long, Map[String, String], Array[Byte])], Int)] = {
     val out = Seq.newBuilder[(Long, Map[String, String], Array[Byte])]
     var o = 0
+    var consumed = 0
     // next CRLF at-or-after `from`, or -1; a lone LF/CR is NOT a break
     def lineEnd(from: Int): Int = {
       var i = from
@@ -146,7 +175,7 @@ object Warc {
     while (o < bytes.length) {
       val start = o
       val ve = lineEnd(o)
-      if (ve < 0) return None
+      if (ve < 0) return Some((out.result(), consumed)) // incomplete tail
       val version = new String(bytes, o, ve - o, "UTF-8")
       if (version != "WARC/1.0" && version != "WARC/1.1") return None
       o = ve + 2
@@ -154,7 +183,7 @@ object Warc {
       var blank = false
       while (!blank) {
         val he = lineEnd(o)
-        if (he < 0) return None
+        if (he < 0) return Some((out.result(), consumed)) // incomplete tail
         if (he == o) { blank = true; o += 2 }
         else {
           val line = new String(bytes, o, he - o, "UTF-8")
@@ -170,15 +199,16 @@ object Warc {
       if (lenStr.isEmpty || !lenStr.forall(ch => ch >= '0' && ch <= '9') ||
         lenStr.length > 18) return None
       val len = lenStr.toLong
-      if (o + len + 4 > bytes.length) return None
+      if (o + len + 4 > bytes.length) return Some((out.result(), consumed))
       val block = java.util.Arrays.copyOfRange(bytes, o, (o + len).toInt)
       o = (o + len).toInt
       if (bytes(o) != '\r' || bytes(o + 1) != '\n' ||
         bytes(o + 2) != '\r' || bytes(o + 3) != '\n') return None
       o += 4
       out += ((start.toLong, headers, block))
+      consumed = o
     }
-    Some(out.result())
+    Some((out.result(), consumed))
   }
 
   // ------------------------------------------------------- WET writer
@@ -253,8 +283,22 @@ object Warc {
       .sortWithinPartitions(col("_file"), col("_id"))
     val fileIdx = rows.schema.fieldIndex("_file")
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      // Task-commit protocol (r14 advice): write every file to a
+      // task-attempt-scoped temp path under `_tmp/` and RENAME into
+      // place only after the whole partition iterated cleanly. A
+      // retried or speculative attempt therefore never writes the same
+      // final path concurrently, and a killed task leaves only temp
+      // garbage the strict reader's glob (`*.warc*.gz`, non-recursive)
+      // never sees — truncated finals, whose reader failure mode is
+      // silently-zero rows, cannot occur. Contents are deterministic
+      // per file, so when two successful attempts race, the rename
+      // loser just drops its identical temp.
+      val tc = org.apache.spark.TaskContext.get()
+      val attempt = if (tc == null) 0L else tc.taskAttemptId()
       var cur = Long.MinValue
       var out: org.apache.hadoop.fs.FSDataOutputStream = null
+      val pendingFiles = scala.collection.mutable.ArrayBuffer
+        .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]
       def close(): Unit = if (out != null) { out.close(); out = null }
       def warcinfo(name: String): Array[Byte] = gzipMember(record(Seq(
         "WARC-Type" -> "warcinfo",
@@ -272,15 +316,39 @@ object Warc {
           if (file != cur) {
             close()
             val name = f"$kind-$file%05d$suffix"
-            val path = new org.apache.hadoop.fs.Path(dir, name)
-            out = path.getFileSystem(conf.value).create(path, true)
+            val tmp = new org.apache.hadoop.fs.Path(
+              dir, s"_tmp/$name.attempt-$attempt")
+            out = tmp.getFileSystem(conf.value).create(tmp, true)
             out.write(warcinfo(name))
+            pendingFiles += ((tmp, new org.apache.hadoop.fs.Path(dir, name)))
             cur = file
           }
           out.write(mk(r))
         }
+        close()
+        // task commit: move temps into place (atomic per file on HDFS
+        // and local fs; rename-to-existing fails there, handled below)
+        pendingFiles.foreach { case (tmp, fin) =>
+          val fs = tmp.getFileSystem(conf.value)
+          if (!fs.rename(tmp, fin)) {
+            if (fs.exists(fin)) fs.delete(tmp, false) // equivalent attempt won
+            else throw new java.io.IOException(
+              s"writeRecords: commit rename $tmp -> $fin failed")
+          }
+        }
+      } catch {
+        case t: Throwable =>
+          close()
+          pendingFiles.foreach { case (tmp, _) =>
+            try tmp.getFileSystem(conf.value).delete(tmp, false)
+            catch { case _: Throwable => () }
+          }
+          throw t
       } finally close()
     }
+    // all tasks committed: clear any abandoned attempt temps
+    val tmpDir = new org.apache.hadoop.fs.Path(outPath, "_tmp")
+    if (fs0.exists(tmpDir)) fs0.delete(tmpDir, true)
   }
 
   // ------------------------------------------------------------ read
@@ -481,37 +549,83 @@ object Warc {
     files.select(col("path"), col("content")).flatMap { r =>
       val name = r.getString(0).split("/").last
       val raw = r.getAs[Array[Byte]](1)
-      val members =
+      val parsed =
         if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-          gzipMembers(raw)
-        else Some(Seq((0L, raw)))
-      members.flatMap { ms0 =>
-        // arrays + a forward cursor: records come back in decompressed
-        // order, so mapping each to its gzip member is one linear walk
-        // (the first cut re-scanned a List per record — O(records³) per
-        // file, 20x the decode cost at CC-sized member counts)
-        val ms = ms0.toArray
-        val bo = new java.io.ByteArrayOutputStream()
-        val starts = new Array[Long](ms.length + 1)
-        var i = 0
-        var acc = 0L
-        while (i < ms.length) {
-          starts(i) = acc; acc += ms(i)._2.length
-          bo.write(ms(i)._2); i += 1
-        }
-        starts(ms.length) = acc
-        parseRecords(bo.toByteArray).map { recs =>
-          var mi = 0
-          recs.map { case (dOff, h, block) =>
-            while (mi + 1 < ms.length && starts(mi + 1) <= dOff) mi += 1
-            org.apache.spark.sql.Row(
-              name, ms(mi)._1, h.get("warc-record-id").orNull,
-              h.get("warc-type").orNull, h.get("warc-target-uri").orNull,
-              h.get("warc-date").orNull, h.get("content-type").orNull,
-              block.length.toLong, block)
-          }
-        }
-      }.getOrElse(Seq.empty).iterator
+          parseGzFile(raw)
+        else parseRecords(raw).map(_.map { case (_, h, b) => (0L, h, b) })
+      if (parsed.isEmpty && raw.nonEmpty)
+        // the strict reader's failure mode is EMPTY, not an error — at
+        // least make the drop visible in the executor log (r14 advice:
+        // silent corruption reads as zero rows)
+        System.err.println(s"[warc] rejected malformed file: $name (${raw.length} bytes)")
+      parsed.map(_.map { case (mOff, h, block) =>
+        org.apache.spark.sql.Row(
+          name, mOff, h.get("warc-record-id").orNull,
+          h.get("warc-type").orNull, h.get("warc-target-uri").orNull,
+          h.get("warc-date").orNull, h.get("content-type").orNull,
+          block.length.toLong, block)
+      }).getOrElse(Seq.empty).iterator
     }(enc)
+  }
+
+  /** Streaming member walk + prefix record parse for one gz file:
+    * Some(list of (member compressed offset, headers, block)) or None
+    * on ANY malformation (same strictness as [[gzipMembers]] +
+    * [[parseRecords]] composed). Memory shape (r14 advice): the old
+    * path held the member array + the full decompressed concat + the
+    * record blocks — ~3x the decompressed size per task, ~12 GB for a
+    * 1 GB Common-Crawl gz. This walk inflates ONE member at a time and
+    * parses records off the front of a pending buffer (CC writes each
+    * record as its own member, so pending stays one-record-sized;
+    * concatenation only happens when a record genuinely spans members),
+    * leaving the record blocks themselves as the only full-size
+    * resident — the floor, since they ARE the output. */
+  private[graft] def parseGzFile(raw: Array[Byte])
+      : Option[Seq[(Long, Map[String, String], Array[Byte])]] = {
+    val out = Seq.newBuilder[(Long, Map[String, String], Array[Byte])]
+    var pending = Array.emptyByteArray
+    var pendingStart = 0L // decompressed offset of pending(0) in the stream
+    // members overlapping [pendingStart, inf): (compressed offset,
+    // decompressed start) — records attribute to the member their
+    // decompressed start falls in; both sides advance monotonically so
+    // one deque walk covers the whole file
+    val live = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
+    var o = 0
+    var decomp = 0L
+    while (o < raw.length) {
+      gzipMemberAt(raw, o) match {
+        case None => return None
+        case Some((next, data)) =>
+          live.append((o.toLong, decomp))
+          decomp += data.length
+          o = next
+          pending =
+            if (pending.isEmpty) data
+            else {
+              val np = new Array[Byte](pending.length + data.length)
+              System.arraycopy(pending, 0, np, 0, pending.length)
+              System.arraycopy(data, 0, np, pending.length, data.length)
+              np
+            }
+          parseRecordsPrefix(pending) match {
+            case None => return None
+            case Some((recs, consumed)) =>
+              recs.foreach { case (local, h, block) =>
+                val dOff = pendingStart + local
+                while (live.length > 1 && live(1)._2 <= dOff) live.removeHead()
+                out += ((live.head._1, h, block))
+              }
+              if (consumed > 0) {
+                pendingStart += consumed
+                pending = java.util.Arrays.copyOfRange(
+                  pending, consumed, pending.length)
+                while (live.length > 1 && live(1)._2 <= pendingStart)
+                  live.removeHead()
+              }
+          }
+      }
+    }
+    // strict: leftover bytes mean a truncated trailing record
+    if (pending.nonEmpty) None else Some(out.result())
   }
 }

@@ -145,6 +145,73 @@ class WarcSpec extends SparkTestBase {
     assert(before == after)
   }
 
+  test("parseRecordsPrefix: incomplete tail waits, grammar damage is fatal") {
+    val rec = Warc.record(Seq("WARC-Type" -> "conversion"), "abc".getBytes)
+    // whole record + half of a second: prefix yields 1 record, consumed
+    // stops at the boundary; more bytes later can complete the tail
+    val half = rec ++ rec.take(rec.length / 2)
+    val Some((recs, consumed)) = Warc.parseRecordsPrefix(half)
+    assert(recs.size == 1 && consumed == rec.length)
+    // completing the tail yields both
+    val Some((recs2, consumed2)) = Warc.parseRecordsPrefix(
+      half ++ rec.drop(rec.length / 2))
+    assert(recs2.size == 2 && consumed2 == 2 * rec.length)
+    // grammar damage (bad version) is None even with a clean prefix
+    val bad = rec ++ "NOTWARC/9.9\r\n\r\n".getBytes
+    assert(Warc.parseRecordsPrefix(bad).isEmpty)
+  }
+
+  test("parseGzFile: member-spanning record attributes to the member holding its start") {
+    val r1 = Warc.record(Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "http://s.com/1"), "body one".getBytes)
+    val r2 = Warc.record(Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "http://s.com/2"), "body two".getBytes)
+    val r3 = Warc.record(Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "http://s.com/3"), "body three".getBytes)
+    // member A = r1 + first half of r2; member B = rest of r2; C = r3
+    val cut = r2.length / 2
+    val mA = Warc.gzipMember(r1 ++ r2.take(cut))
+    val mB = Warc.gzipMember(r2.drop(cut))
+    val mC = Warc.gzipMember(r3)
+    val got = Warc.parseGzFile(mA ++ mB ++ mC).get
+    assert(got.map(_._2("warc-target-uri")) ==
+      Seq("http://s.com/1", "http://s.com/2", "http://s.com/3"))
+    assert(got.map(t => new String(t._3, "UTF-8")) ==
+      Seq("body one", "body two", "body three"))
+    // r1 and r2 both START in member A (offset 0); r3 starts in C
+    assert(got.map(_._1) ==
+      Seq(0L, 0L, (mA.length + mB.length).toLong))
+    // equivalence with the materialized path on a per-record-member file
+    val perRec = Warc.gzipMember(r1) ++ Warc.gzipMember(r2) ++ Warc.gzipMember(r3)
+    val viaOld = {
+      val ms = Warc.gzipMembers(perRec).get
+      val bo = new java.io.ByteArrayOutputStream()
+      ms.foreach { case (_, d) => bo.write(d) }
+      Warc.parseRecords(bo.toByteArray).get
+    }
+    val viaNew = Warc.parseGzFile(perRec).get
+    assert(viaNew.map(_._2) == viaOld.map(_._2))
+    assert(viaNew.map(_._1) == ms_offsets(perRec, Seq(r1, r2, r3)))
+    // truncated trailing record (half of r2 never completed) -> whole file rejected
+    assert(Warc.parseGzFile(mA).isEmpty)
+  }
+
+  private def ms_offsets(gz: Array[Byte], recs: Seq[Array[Byte]]): Seq[Long] =
+    Warc.gzipMembers(gz).get.map(_._1)
+
+  test("writeWet commit protocol: no _tmp residue, finals only") {
+    val docs = (0L until 9L).map(i =>
+      (i, s"https://c$i.example.com/", "2026-02-03T04:05:06Z", s"doc $i"))
+    val dir = Files.createTempDirectory("warc_commit").toString
+    Warc.writeWet(docs.toDF("doc_id", "uri", "date", "text"), dir, perFile = 4)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains("_tmp"))
+    assert(!names.exists(_.contains(".attempt-")))
+    // only finals (plus Hadoop's hidden .crc sidecars) remain
+    assert(names.filterNot(_.startsWith(".")).forall(_.endsWith(".warc.wet.gz")))
+    assert(Warc.readWet(spark, s"$dir/*.warc.wet.gz").count() == 9L)
+  }
+
   test("fuzz battery: every single-byte flip reads either the original rows or zero rows") {
     val bytes = wetBytes(Seq(
       (5L, "http://fuzz.com/5", "2026-01-01T00:00:00Z", "fuzz body five"),
