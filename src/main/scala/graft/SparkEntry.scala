@@ -124,6 +124,44 @@ object SparkEntry {
       .otherwise(concat(lit("http://"), col("source"), lit(".example.com/?q="),
         col("doc_id").cast("string"), lit("&ref=abc")))
 
+  /** The q251-q253 link-graph fixture: every page's base URL plus an
+    * HTML body whose hrefs exercise each [[graft.ops.LinkGraph]]
+    * resolution branch — absolute with the full canonicalization mess
+    * (case-shifted scheme/host, `www.`, tracking params, fragment),
+    * root-relative with a tracking param, dot-segment relative,
+    * protocol-relative (fires on doc_id%3=0), directory-relative
+    * (doc_id%5=0), a non-http scheme (mailto), and a fragment-only
+    * href. Both engines synthesize the SAME bytes, so extraction,
+    * resolution, and canonicalization all sit inside the hash gate.
+    * Link targets land cross-host by construction ((3d+1)%20 walks the
+    * source alphabet), so the host graph is connected and non-trivial. */
+  private def pageUrl: Column =
+    concat(lit("https://"), col("source"), lit(".example.com/page/"),
+      col("doc_id").cast("string"))
+
+  private def pageHtml: Column = {
+    val d = col("doc_id")
+    def n(c: Column): Column = c.cast("string")
+    concat(
+      lit("<html><head><title>p"), n(d),
+      lit("</title></head><body>\n<p>intro "), n(d), lit("</p>\n"),
+      lit("<a href=\"HTTPS://WWW.src"), n((d * 3 + 1) % 20),
+      lit(".Example.COM/page/"), n((d * 7 + 3) % 500),
+      lit("/?utm_campaign=x&b=2&a=1#frag\">abs</a>\n"),
+      lit("<a href='/page/"), n((d + 11) % 500),
+      lit("?z=9&utm_source=t'>root</a>\n"),
+      lit("<A HREF=\"../page/"), n((d + 1) % 500), lit("#sec\">up</A>\n"),
+      when(d % 3 === 0, concat(lit("<a href=\"//cdn.example.org/lib/v"),
+        n(d % 7), lit(".js\">cdn</a>\n"))).otherwise(lit("")),
+      when(d % 5 === 0, concat(lit("<a href=\"other/"), n(d % 50),
+        lit("\">rel</a>\n"))).otherwise(lit("")),
+      lit("<a href=\"mailto:u"), n(d),
+      lit("@example.com\">m</a>\n<a href=\"#top\">t</a>\n</body></html>"))
+  }
+
+  private def linkPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), pageUrl.as("url"), pageHtml.as("html"))
+
   /** Per-source robots.txt fixture for the governance queries: every
     * parser rule fires — a rule OUTSIDE any group (ignored), a `*`
     * group whose Disallow flips on md5 hex 1, a comment-bearing Allow,
@@ -2754,6 +2792,48 @@ object SparkEntry {
       Web.canonicalizeUrls(back.select(col("target_uri").as("url")))
         .groupBy(col("url_canon"), col("host"))
         .agg(count(lit(1)).as("n_docs"), min(col("url")).as("first_url"))
+    }),
+    // outlink harvest (LinkGraph.outlinks over WARC HTTP bodies): pages
+    // written as real WARC response records, read back through the
+    // member walk + HTTP parser, hrefs extracted / RFC 3986-resolved /
+    // canonicalized — the crawl front door's link-graph leg; the oracle
+    // re-synthesizes the HTML from parquet and replays extraction,
+    // resolution (same bounded dot-segment passes), and the q114 chain
+    "q251_outlinks" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_warc_q251").getAbsolutePath
+      sources.Warc.writeResponses(
+        linkPages(Tables.documents(s, d)).select(
+          col("doc_id"), col("url").as("uri"),
+          lit("2026-05-06T07:08:09Z").as("date"), lit(200L).as("status"),
+          lit("text/html; charset=utf-8").as("ctype"),
+          col("html").as("text")),
+        dir, perFile = 64)
+      val back = sources.Warc.httpResponses(
+        sources.Warc.read(s, s"$dir/*.warc.gz"))
+      LinkGraph.outlinks(back.select(
+        regexp_extract(col("target_uri"), "/page/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("url"), col("body").cast("string").as("html")))
+    }),
+    // host-graph rollup of the same links: ONE map-side-combined
+    // shuffle, output bounded by the host-pair census (the frame a URL
+    // frontier and a domain-mix report both key on)
+    "q252_host_graph" -> ((s, d) =>
+      LinkGraph.hostGraph(LinkGraph.outlinks(
+        linkPages(Tables.documents(s, d))))),
+    // host-quality prior: integer-exact PageRank (Graph.pageRankFixed)
+    // over cross-host edges + inbound degree — the host-keyed frame a
+    // governance sweep or crawl frontier joins on; oracle = the q102
+    // unrolled-iteration pattern over the link CTE
+    "q253_host_rank" -> ((s, d) => {
+      val links = LinkGraph.outlinks(linkPages(Tables.documents(s, d)))
+      val inb = links.where(col("src_host") =!= col("dst_host"))
+        .groupBy(col("dst_host").as("host"))
+        .agg(count(lit(1)).as("_n"))
+      LinkGraph.hostRank(links).join(inb, Seq("host"), "left")
+        .select(col("host"), col("rank_e6"),
+          coalesce(col("_n"), lit(0L)).as("n_inlinks"))
     })
   )
 
@@ -2782,6 +2862,103 @@ object SparkEntry {
   // and stay non-negative on non-ASCII BMP text with no masking; astral
   // (non-BMP) chars iterate differently (UTF-16 units vs codepoints)
   // and are outside the oracle contract. Pinned by TextAnalysisSpec.
+
+  /** DuckDB twin of [[graft.ops.LinkGraph.resolveUrl]]'s bounded
+    * dot-segment normalization: the SAME number of rounds and the SAME
+    * four global replaces per round — cross-engine equality is exact by
+    * construction, not approximate. */
+  private def dotSegSql(e: String): String =
+    (1 to ops.LinkGraph.dotSegmentPasses).foldLeft(e)((u, _) =>
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(" +
+        u + ", '/\\./', '/', 'g'), '/\\.$', '/', 'g'), " +
+        "'/[^/.][^/]*/\\.\\./', '/', 'g'), '/[^/.][^/]*/\\.\\.$', '/', 'g'), " +
+        "'^/\\.\\./', '/', 'g'), '^/\\.\\.$', '/', 'g')")
+
+  /** Shared q251-q253 oracle chain: re-synthesize the [[pageHtml]]
+    * bytes from parquet, replay href extraction, RFC 3986 resolution
+    * (same CASE branches as LinkGraph.resolveUrl, same [[dotSegSql]]
+    * passes), the http(s) scheme filter, and the q114 canonicalization
+    * for both endpoint hosts. Ends with a `links(doc_id, src_host,
+    * dst_url, dst_host)` CTE. */
+  private def outlinkCteSql: String =
+    """pages AS (SELECT doc_id,
+      |    'https://' || source || '.example.com/page/'
+      |      || CAST(doc_id AS VARCHAR) AS url,
+      |    '<html><head><title>p' || CAST(doc_id AS VARCHAR)
+      |      || '</title></head><body>' || chr(10)
+      |      || '<p>intro ' || CAST(doc_id AS VARCHAR) || '</p>' || chr(10)
+      |      || '<a href="HTTPS://WWW.src' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR)
+      |      || '.Example.COM/page/' || CAST((doc_id * 7 + 3) % 500 AS VARCHAR)
+      |      || '/?utm_campaign=x&b=2&a=1#frag">abs</a>' || chr(10)
+      |      || '<a href=''/page/' || CAST((doc_id + 11) % 500 AS VARCHAR)
+      |      || '?z=9&utm_source=t''>root</a>' || chr(10)
+      |      || '<A HREF="../page/' || CAST((doc_id + 1) % 500 AS VARCHAR)
+      |      || '#sec">up</A>' || chr(10)
+      |      || CASE WHEN doc_id % 3 = 0 THEN '<a href="//cdn.example.org/lib/v'
+      |           || CAST(doc_id % 7 AS VARCHAR) || '.js">cdn</a>' || chr(10)
+      |         ELSE '' END
+      |      || CASE WHEN doc_id % 5 = 0 THEN '<a href="other/'
+      |           || CAST(doc_id % 50 AS VARCHAR) || '">rel</a>' || chr(10)
+      |         ELSE '' END
+      |      || '<a href="mailto:u' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com">m</a>' || chr(10)
+      |      || '<a href="#top">t</a>' || chr(10) || '</body></html>' AS html
+      |  FROM documents),
+      |hrf AS (SELECT doc_id, url, unnest(regexp_extract_all(html,
+      |    '(?i)href\s*=\s*["'']([^"''>]*)["'']', 1)) href FROM pages),
+      |rs0 AS (SELECT doc_id, url, regexp_replace(href, '#.*$', '') h FROM hrf),
+      |rs1 AS (SELECT doc_id, url,
+      |    CASE WHEN h = '' THEN NULL
+      |         WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
+      |         WHEN h LIKE '//%' THEN
+      |           lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || ':' || h
+      |         WHEN h LIKE '/%' THEN
+      |           lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
+      |           || regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) || h
+      |         ELSE lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
+      |           || regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)
+      |           || CASE WHEN contains(regexp_extract(url,
+      |                '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/')
+      |              THEN regexp_extract(regexp_extract(url,
+      |                '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '^(.*/)', 1)
+      |              ELSE '/' END || h
+      |    END raw FROM rs0),
+      |rs2 AS (SELECT doc_id, url,
+      |    regexp_extract(raw, '^([^:/?#]+://[^/?#]*)', 1) ||
+      |    """.stripMargin +
+      dotSegSql("regexp_replace(raw, '^[^:/?#]+://[^/?#]*', '')") + """ dst
+      |  FROM rs1 WHERE raw IS NOT NULL),
+      |lk0 AS (SELECT doc_id, url, dst FROM rs2
+      |  WHERE lower(regexp_extract(dst, '^([^:/?#]+)://', 1)) IN ('http', 'https')),
+      |cn AS (SELECT doc_id,
+      |    lower(regexp_extract(url, '^([^:/?#]+)://', 1)) s_sch,
+      |    regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+      |      '^www\.', '') s_auth,
+      |    lower(regexp_extract(dst, '^([^:/?#]+)://', 1)) d_sch,
+      |    regexp_replace(lower(regexp_extract(dst, '^[^:/?#]+://([^/?#]*)', 1)),
+      |      '^www\.', '') d_auth,
+      |    regexp_replace(regexp_extract(dst, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+      |      '/+$', '') d_path,
+      |    list_sort(list_filter(string_split(
+      |      regexp_extract(dst, '^[^#?]*\?([^#]*)', 1), '&'), x -> x <> ''
+      |      AND NOT regexp_matches(x,
+      |        '^(utm_[^=]*|fbclid|gclid|mc_eid|ref)(=.*)?$'))) d_ps
+      |  FROM lk0),
+      |links AS (SELECT doc_id,
+      |    CASE WHEN s_sch = 'http' THEN regexp_replace(s_auth, ':80$', '')
+      |         WHEN s_sch = 'https' THEN regexp_replace(s_auth, ':443$', '')
+      |         ELSE s_auth END src_host,
+      |    d_sch || '://'
+      |      || CASE WHEN d_sch = 'http' THEN regexp_replace(d_auth, ':80$', '')
+      |           WHEN d_sch = 'https' THEN regexp_replace(d_auth, ':443$', '')
+      |           ELSE d_auth END || d_path
+      |      || CASE WHEN len(d_ps) > 0 THEN '?' || array_to_string(d_ps, '&')
+      |           ELSE '' END dst_url,
+      |    CASE WHEN d_sch = 'http' THEN regexp_replace(d_auth, ':80$', '')
+      |         WHEN d_sch = 'https' THEN regexp_replace(d_auth, ':443$', '')
+      |         ELSE d_auth END dst_host
+      |  FROM cn)""".stripMargin
 
   /** Mirrors TextAnalysis.winnow stage for stage: per-char polynomial
     * token values, polynomial gram hashes, rightmost window-min via the
@@ -8140,6 +8317,50 @@ object SparkEntry {
         |         ELSE '' END url_canon
         | FROM h)
         |SELECT url_canon, host, COUNT(*) n_docs, MIN(url) first_url
-        |FROM c GROUP BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // outlink replay: pageHtml re-synthesized from parquet, href
+    // extraction + RFC 3986 resolution + q114 canonicalization all
+    // inside the hash gate (outlinkCteSql)
+    "q251_outlinks" ->
+      ("WITH " + outlinkCteSql + """
+        |SELECT doc_id, src_host, dst_url, dst_host,
+        |  src_host = dst_host AS internal FROM links""".stripMargin),
+    "q252_host_graph" ->
+      ("WITH " + outlinkCteSql + """
+        |SELECT src_host, dst_host, COUNT(*) n_links,
+        |  COUNT(DISTINCT doc_id) n_pages
+        |FROM links GROUP BY 1, 2""".stripMargin),
+    // host-rank replay: the q102 unrolled integer-exact iterations over
+    // the cross-host edges of the link CTE, plus inbound degree
+    "q253_host_rank" ->
+      ("WITH " + outlinkCteSql + """,
+        |e AS (SELECT src_host src, dst_host dst FROM links
+        |      WHERE src_host <> dst_host),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src node FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src, COUNT(*) deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) rank_e6 FROM nodes),
+        |c1 AS (SELECT e.dst node, SUM(r0.rank_e6 // d.deg) in_c
+        |       FROM e JOIN r0 ON e.src = r0.node
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |       CAST(150000 + (85 * COALESCE(c1.in_c, 0)) // 100 AS BIGINT) rank_e6
+        |       FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst node, SUM(r1.rank_e6 // d.deg) in_c
+        |       FROM e JOIN r1 ON e.src = r1.node
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |       CAST(150000 + (85 * COALESCE(c2.in_c, 0)) // 100 AS BIGINT) rank_e6
+        |       FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst node, SUM(r2.rank_e6 // d.deg) in_c
+        |       FROM e JOIN r2 ON e.src = r2.node
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |       CAST(150000 + (85 * COALESCE(c3.in_c, 0)) // 100 AS BIGINT) rank_e6
+        |       FROM nodes n LEFT JOIN c3 USING (node)),
+        |inb AS (SELECT dst node, COUNT(*) n FROM e GROUP BY 1)
+        |SELECT r3.node host, r3.rank_e6,
+        |  COALESCE(inb.n, 0) n_inlinks
+        |FROM r3 LEFT JOIN inb USING (node)""".stripMargin)
   )
 }
