@@ -800,6 +800,38 @@ object ScaleSmoke {
     println(f"lengthBias($n pairs): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
       f"${lbRows.length} bands, global=${lbRows.head.getLong(5)}")
     assert(lbRows.length <= 11, "bands bounded by the delta bit width")
+    // --- link graph at corpus scale: extraction rides the page scan
+    // (bodies never shuffle), the host rollup is ONE map-side-combined
+    // exchange, and PageRank iterates over a host census ~1000x smaller
+    // than the page count. Every page carries three links: the hub
+    // (h0 — must rank first), a formula-spread cross-host link, and an
+    // internal ../-relative link (resolution exercised at volume).
+    val nLgHosts = math.max(n / 1000, 16)
+    t0 = System.nanoTime()
+    val pages = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("https://h"), pmod(col("id"), lit(nLgHosts)).cast("string"),
+        lit(".example.com/p/"), col("id").cast("string")).as("url"),
+      concat(
+        lit("<html><body><a href=\"https://h0.example.com/\">hub</a>"),
+        lit("<a href=\"//h"), pmod(col("id") * 7 + 1, lit(nLgHosts)).cast("string"),
+        lit(".example.com/p/"), pmod(col("id") * 13 + 5, lit(n)).cast("string"),
+        lit("?utm_source=x&a=1\">x</a>"),
+        lit("<a href='../p/"), pmod(col("id") + 1, lit(n)).cast("string"),
+        lit("'>n</a></body></html>")).as("html"))
+    val pageLinks = ops.LinkGraph.outlinks(pages)
+    val nLinks = pageLinks.count()
+    println(f"outlinks($n pages): ${(System.nanoTime()-t0)/1e9}%.1f s, $nLinks links")
+    assert(nLinks == 3L * n, "every page contributes exactly 3 edges")
+    t0 = System.nanoTime()
+    val nHostPairs = ops.LinkGraph.hostGraph(pageLinks).count()
+    println(f"hostGraph: ${(System.nanoTime()-t0)/1e9}%.1f s, $nHostPairs host pairs")
+    t0 = System.nanoTime()
+    val topHost = ops.LinkGraph.hostRank(pageLinks)
+      .orderBy(col("rank_e6").desc, col("host")).head()
+    println(f"hostRank($nLgHosts hosts): ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"top=${topHost.getString(0)} rank_e6=${topHost.getLong(1)}")
+    assert(topHost.getString(0) == "h0.example.com",
+      "the universally-linked hub must rank first")
     spark.stop()
   }
 }

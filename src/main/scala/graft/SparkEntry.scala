@@ -162,6 +162,41 @@ object SparkEntry {
   private def linkPages(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), pageUrl.as("url"), pageHtml.as("html"))
 
+  /** 64 consecutive Han chars (U+4E00..U+4E3F) — the planted CJK
+    * alphabet shared by the byte-BPE and script-segmentation fixtures.
+    * Generated, not typed, so both engines index the SAME codepoints
+    * (the DuckDB oracles embed this exact literal). */
+  private[graft] val han64: String = (0x4E00 until 0x4E40).map(_.toChar).mkString
+
+  private def hanAt(ix: Column): Column =
+    lit(han64).substr((ix + 1).cast("int"), lit(1))
+
+  /** q255 fixture: every 7th doc's text goes multi-byte (accented
+    * Latin + three [[han64]] Han chars) so byte-level merges cross
+    * codepoint boundaries; other docs keep their ASCII word-soup.
+    * BMP-only by construction — the oracle contract (DuckDB iterates
+    * codepoints, the JVM iterates UTF-16 units; astral chars diverge). */
+  private def byteDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("héllo wörld thé "),
+          hanAt(pmod(col("doc_id"), lit(64))),
+          hanAt(pmod(col("doc_id") * 3, lit(64))),
+          hanAt(pmod(col("doc_id") * 5, lit(64)))))
+        .otherwise(col("text")).as("text"))
+
+  /** Fixed byte-level merge table (the [[subwordMerges]] discipline:
+    * the oracle must hold the same literal; trained-table composition
+    * is ByteBpeSpec's job). ASCII pairs reuse the q184 English merges
+    * (printable bytes self-map, so they read the same); the last three
+    * cross MULTI-BYTE char boundaries — Ã© / Ã¶ are the mapped UTF-8
+    * byte pairs of é / ö, ä¸ the lead byte pair of the U+4E00..U+4E3F
+    * Han block. */
+  private val byteMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "in" -> "g",
+    "Ã" -> "©", "Ã" -> "¶", "ä" -> "¸")
+
   /** Per-source robots.txt fixture for the governance queries: every
     * parser rule fires — a rule OUTSIDE any group (ignored), a `*`
     * group whose Disallow flips on md5 hex 1, a comment-bearing Allow,
@@ -2834,7 +2869,14 @@ object SparkEntry {
       LinkGraph.hostRank(links).join(inb, Seq("host"), "left")
         .select(col("host"), col("rank_e6"),
           coalesce(col("_n"), lit(0L)).as("n_inlinks"))
-    })
+    }),
+    // byte-level BPE (ByteBpe.applyMerges, the GPT-2 family): UTF-8
+    // byte decomposition + the 256-char bijection + merges that cross
+    // codepoint boundaries, exact token counts replayed by the oracle's
+    // recursive merge CTE over the byte-mapped word set; roundtrip_ok
+    // certifies losslessness corpus-wide (encode is TOTAL — no UNK)
+    "q255_byte_bpe" -> ((s, d) =>
+      ByteBpe.applyMerges(byteDocs(Tables.documents(s, d)), byteMerges))
   )
 
   // ------------------------------------------------------------ oracles
@@ -2862,6 +2904,31 @@ object SparkEntry {
   // and stay non-negative on non-ASCII BMP text with no masking; astral
   // (non-BMP) chars iterate differently (UTF-16 units vs codepoints)
   // and are outside the oracle contract. Pinned by TextAnalysisSpec.
+
+  private def sqlQ(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The [[graft.ops.ByteBpe.byteToChar]] bijection as a 256-row
+    * VALUES table — every mapped char is either printable ASCII/Latin-1
+    * (quote-doubled where needed) or >= U+0100, so the literals are
+    * safe in standard SQL strings. */
+  private val byteMapValuesSql: String =
+    (0 until 256).map(b =>
+      "(" + b + ", " + sqlQ(ops.ByteBpe.byteToChar(b).toString) + ")")
+      .mkString(", ")
+
+  private val byteMergesValuesSql: String =
+    byteMerges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${sqlQ(a)}, ${sqlQ(b)})" }
+      .mkString(", ")
+
+  /** The q255 byteDocs fixture as SQL (same [[han64]] literal). */
+  private def byteDocsCteSql: String =
+    "bdocs AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+      "THEN 'héllo wörld thé ' " +
+      "|| substr(" + sqlQ(han64) + ", CAST(doc_id % 64 AS INT) + 1, 1) " +
+      "|| substr(" + sqlQ(han64) + ", CAST((doc_id * 3) % 64 AS INT) + 1, 1) " +
+      "|| substr(" + sqlQ(han64) + ", CAST((doc_id * 5) % 64 AS INT) + 1, 1) " +
+      "ELSE text END AS text FROM documents)"
 
   /** DuckDB twin of [[graft.ops.LinkGraph.resolveUrl]]'s bounded
     * dot-segment normalization: the SAME number of rounds and the SAME
@@ -8361,6 +8428,63 @@ object SparkEntry {
         |inb AS (SELECT dst node, COUNT(*) n FROM e GROUP BY 1)
         |SELECT r3.node host, r3.rank_e6,
         |  COALESCE(inb.n, 0) n_inlinks
-        |FROM r3 LEFT JOIN inb USING (node)""".stripMargin)
+        |FROM r3 LEFT JOIN inb USING (node)""".stripMargin),
+    // byte-BPE replay: the byteDocs fixture, the 256-row byte map, the
+    // arithmetic UTF-8 decomposition of each distinct pre-token, and
+    // the q184 recursive merge-loop device over the MAPPED word —
+    // exact token/byte counts inside the hash gate; the invariant
+    // flags read TRUE like q97's
+    "q255_byte_bpe" ->
+      ("WITH RECURSIVE " + byteDocsCteSql + ",\n" +
+        "mg(rk, a, b) AS (VALUES " + byteMergesValuesSql + "),\n" +
+        "bmap(b, c) AS (VALUES " + byteMapValuesSql + "),\n" +
+        """wset AS (SELECT DISTINCT unnest(regexp_extract_all(text,
+          |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM bdocs),
+          |chs AS (SELECT w, unnest(range(1, length(w) + 1)) i FROM wset),
+          |cps AS (SELECT w, i, unicode(substr(w, CAST(i AS INT), 1)) cp FROM chs),
+          |bsq AS (SELECT w, i,
+          |    CASE WHEN cp < 128 THEN cp
+          |         WHEN cp < 2048 THEN 192 + cp // 64
+          |         WHEN cp < 65536 THEN 224 + cp // 4096
+          |         ELSE 240 + cp // 262144 END b1,
+          |    CASE WHEN cp < 128 THEN NULL
+          |         WHEN cp < 2048 THEN 128 + cp % 64
+          |         WHEN cp < 65536 THEN 128 + (cp // 64) % 64
+          |         ELSE 128 + (cp // 4096) % 64 END b2,
+          |    CASE WHEN cp < 2048 THEN NULL
+          |         WHEN cp < 65536 THEN 128 + cp % 64
+          |         ELSE 128 + (cp // 64) % 64 END b3,
+          |    CASE WHEN cp < 65536 THEN NULL ELSE 128 + cp % 64 END b4
+          |  FROM cps),
+          |cmp AS (SELECT w, i, m1.c || COALESCE(m2.c, '') || COALESCE(m3.c, '')
+          |      || COALESCE(m4.c, '') s
+          |  FROM bsq LEFT JOIN bmap m1 ON m1.b = bsq.b1
+          |    LEFT JOIN bmap m2 ON m2.b = bsq.b2
+          |    LEFT JOIN bmap m3 ON m3.b = bsq.b3
+          |    LEFT JOIN bmap m4 ON m4.b = bsq.b4),
+          |mwd AS (SELECT w, string_agg(s, '' ORDER BY i) mw FROM cmp GROUP BY w),
+          |enc AS (
+          |  SELECT w, 'Ϩ' || regexp_replace(mw, '(.)', '\1Ϩ', 'g') st FROM mwd
+          |  UNION ALL
+          |  SELECT e.w, replace(e.st, 'Ϩ' || m.a || 'Ϩ' || m.b || 'Ϩ',
+          |      'Ϩ' || m.a || m.b || 'Ϩ')
+          |  FROM (SELECT w, st, (SELECT min(rk) FROM mg
+          |          WHERE contains(st, 'Ϩ' || a || 'Ϩ' || b || 'Ϩ')) mr
+          |        FROM enc) e
+          |  JOIN mg m ON m.rk = e.mr),
+          |wc AS (SELECT w,
+          |    CAST(length(st) - length(replace(st, 'Ϩ', '')) - 1 AS BIGINT) nt,
+          |    CAST(length(replace(st, 'Ϩ', '')) AS BIGINT) nb
+          |  FROM enc WHERE NOT EXISTS (SELECT 1 FROM mg
+          |    WHERE contains(st, 'Ϩ' || a || 'Ϩ' || b || 'Ϩ'))),
+          |dw AS (SELECT doc_id, unnest(regexp_extract_all(text,
+          |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM bdocs),
+          |agg AS (SELECT doc_id, COUNT(*) nw, SUM(nb) nby, SUM(nt) ntk
+          |  FROM dw JOIN wc USING (w) GROUP BY 1)
+          |SELECT d.doc_id, CAST(COALESCE(nw, 0) AS BIGINT) n_words,
+          |  CAST(COALESCE(nby, 0) AS BIGINT) n_bytes,
+          |  CAST(COALESCE(ntk, 0) AS BIGINT) n_tokens,
+          |  TRUE roundtrip_ok, TRUE bounded_ok
+          |FROM bdocs d LEFT JOIN agg USING (doc_id)""".stripMargin)
   )
 }

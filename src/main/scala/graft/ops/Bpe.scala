@@ -50,7 +50,15 @@ object Bpe {
       val u = w.map(_.toString).toVector
       words(u) = words.getOrElse(u, 0L) + 1L
     })
-    var cur = words.toVector
+    trainFromWords(words.toVector, nMerges)
+  }
+
+  /** The Sennrich merge loop over an already-unitized (units, freq)
+    * table — shared with [[ByteBpe]], whose initial units are mapped
+    * BYTES rather than chars. */
+  private[graft] def trainFromWords(words: Vector[(Vector[String], Long)],
+                                    nMerges: Int): Seq[(String, String)] = {
+    var cur = words
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
