@@ -185,6 +185,31 @@ object SparkEntry {
           hanAt(pmod(col("doc_id") * 5, lit(64)))))
         .otherwise(col("text")).as("text"))
 
+  /** 32 Katakana chars (U+30A2..U+30C1) — the kana leg of the planted
+    * no-space-script fixture. */
+  private[graft] val kana32: String = (0x30A2 until 0x30C2).map(_.toChar).mkString
+
+  private def kanaAt(ix: Column): Column =
+    lit(kana32).substr((ix + 1).cast("int"), lit(1))
+
+  /** q254/q256/q257 fixture: every 3rd doc becomes a pure Han run
+    * (20 + doc_id%5 chars, NO spaces — the text whitespace tokens read
+    * as ONE token), every 3k+1 doc mixes Latin words with a 6-char
+    * Katakana run, the rest keep their ASCII word-soup. Both engines
+    * synthesize the same codepoints from [[han64]]/[[kana32]]. */
+  private def cjkDocs(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val hanRun = array_join(transform(
+      sequence(lit(0), lit(19) + pmod(d, lit(5))),
+      i => hanAt(pmod(d * 7 + i * 13, lit(64)))), "")
+    val kanaRun = array_join(transform(sequence(lit(0), lit(5)),
+      i => kanaAt(pmod(d * 11 + i * 5, lit(32)))), "")
+    docs.select(d, col("source"),
+      when(d % 3 === 0, hanRun)
+        .when(d % 3 === 1, concat(lit("mix "), kanaRun, lit(" tail")))
+        .otherwise(col("text")).as("text"))
+  }
+
   /** Fixed byte-level merge table (the [[subwordMerges]] discipline:
     * the oracle must hold the same literal; trained-table composition
     * is ByteBpeSpec's job). ASCII pairs reuse the q184 English merges

@@ -385,17 +385,35 @@ object Dedup {
     require(blocks > 0 && 64 % blocks == 0, "blocks must divide 64")
     // candidate RECALL is only guaranteed for maxHamming < blocks; the
     // legacy simhash surface allows larger maxHamming as best-effort
-    // (callers that need the guarantee — dhashPairs — require it)
-    val keys = sig.select(col("doc_id"),
+    // (callers that need the guarantee — dhashPairs — require it).
+    //
+    // The 8-byte sig rides THROUGH the bucket shuffle (8 bytes more per
+    // bucket entry) instead of equi-joining back onto the candidate
+    // pairs afterwards. The join form cost two extra shuffles AND was a
+    // planner hazard: the candidate frame's size is hidden behind a
+    // post-shuffle explode, so runtime stats misread it as small and
+    // AQE broadcast ~30M candidate rows — 2.5 GB of driver-collected
+    // results — at the 1M-image smoke (round 15). With the sig inline,
+    // Hamming verifies inside the bucket and the <= maxHamming filter
+    // runs BEFORE the dedup-across-bands distinct, so the distinct
+    // processes verified pairs only (thousands), not raw candidates
+    // (tens of millions).
+    val keyed = sig.select(col("doc_id"), col("sig"),
       explode(sigBandKeys(col("sig"), blocks)).as("bucket_key"))
-    val pairs = bucketPairs(keys, maxBucket)
-    val s = sig.select(col("doc_id"), col("sig"))
-    pairs
-      .join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
-      .join(s.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val members = array_sort(collect_list(struct(col("doc_id"), col("sig"))))
+    keyed
+      .groupBy(col("bucket_key"))
+      .agg(members.as("ms"))
+      .where(size(col("ms")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
+          b => struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            bit_count(a.getField("sig").bitwiseXOR(b.getField("sig")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Near-duplicate pairs by SimHash: [[hammingPairs]] over the

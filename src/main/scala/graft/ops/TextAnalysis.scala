@@ -32,6 +32,55 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  // ---- no-space-script (CJK/Thai) segmentation fallback --------------
+  // Whitespace tokens read a Chinese/Japanese/Thai document as ~one
+  // token per LINE, silently corrupting every token-denominated op
+  // (budgets, packing, vocab growth). The fallback below is the
+  // char-BIGRAM proxy (average CJK word length ~2 chars — the standard
+  // zero-resource approximation): runs of no-space-script chars break
+  // off the surrounding text at script boundaries and then split into
+  // non-overlapping bigrams (odd run -> trailing single). scriptMix
+  // (q171) is the dispatcher that DETECTS these scripts; consumers opt
+  // in per call via the `scriptAware` flags / `tokensSegmented`.
+  // Pure codegen'd regexp_replace passes — identical pattern text runs
+  // in the DuckDB oracle (RE2 and java.util.regex both read \x{...}
+  // classes), so segmented counts sit inside the hash gate.
+
+  private val nsRanges =
+    "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}" + // Han (Ext-A + URO)
+      "\\x{3040}-\\x{30FF}" +                  // Hiragana + Katakana
+      "\\x{0E00}-\\x{0E7F}"                    // Thai
+
+  /** One no-space-script char (exported for oracle SQL generation). */
+  val noSpaceScriptClass = s"[$nsRanges]"
+
+  /** One char that is neither no-space-script nor whitespace. */
+  val nonNoSpaceClass = s"[^\\s$nsRanges]"
+
+  /** The three global replaces, shared verbatim by the Column form,
+    * the JVM-local form, and (textually) the DuckDB oracles. */
+  val segmentPasses: Seq[(String, String, String)] = Seq(
+    (s"($nonNoSpaceClass)($noSpaceScriptClass)", "$1 $2", "\\1 \\2"),
+    (s"($noSpaceScriptClass)($nonNoSpaceClass)", "$1 $2", "\\1 \\2"),
+    (s"($noSpaceScriptClass{2})", "$1 ", "\\1 "))
+
+  /** Insert segmentation spaces around/within no-space-script runs. */
+  def segmentScripts(text: Column): Column =
+    segmentPasses.foldLeft(text) { case (t, (pat, rep, _)) =>
+      regexp_replace(t, pat, rep) }
+
+  /** JVM twin of [[segmentScripts]] for row-at-a-time operators
+    * (Unigram's scriptAware path) — same patterns, same order. */
+  def segmentScriptsLocal(text: String): String =
+    segmentPasses.foldLeft(text) { case (t, (pat, rep, _)) =>
+      t.replaceAll(pat, rep) }
+
+  /** Script-aware tokens: whitespace words elsewhere, char bigrams
+    * inside no-space-script runs. */
+  def tokensSegmented(text: Column): Column = tokens(segmentScripts(text))
+
+  def tokenCountSegmented(text: Column): Column = size(tokensSegmented(text))
+
   /** Per-document token statistics. */
   def tokenStats(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

@@ -173,8 +173,14 @@ object Unigram {
     * (pieces-per-word compression, per-source score drift). One
     * scan-side pass, no shuffle; NULL text rows surface with zero
     * counts (the validate lesson: nothing vanishes). */
+  /** `scriptAware = true` switches the WORD definition from the q34
+    * pre-token regex to [[TextAnalysis.segmentScriptsLocal]]-spaced
+    * whitespace tokens — no-space-script (CJK/Thai) runs become char
+    * BIGRAMS instead of whatever the regex makes of them, so fertility
+    * denominators read linguistically plausible word units (the q257
+    * contract). Default false: byte-for-byte the historical behavior. */
   def segment(documents: DataFrame, vocab: Seq[(String, Long)],
-              maxPieceLen: Int = 4): DataFrame = {
+              maxPieceLen: Int = 4, scriptAware: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     val vocabB = spark.sparkContext.broadcast(vocab.toMap)
     val outSchema = StructType(Seq(
@@ -192,7 +198,13 @@ object Unigram {
           val id = r.getLong(0)
           val text = if (r.isNullAt(1)) null else r.getString(1)
           var nWords = 0L; var nChars = 0L; var nPieces = 0L; var score = 0L
-          if (text != null) wordRe.findAllIn(text).foreach { w =>
+          val words: Iterator[String] =
+            if (text == null) Iterator.empty
+            else if (scriptAware)
+              TextAnalysis.segmentScriptsLocal(text)
+                .split("\\s+").iterator.filter(_.nonEmpty)
+            else wordRe.findAllIn(text)
+          words.foreach { w =>
             val (np, sc) = memo.getOrElseUpdate(w, {
               val (ps, s) = segmentWord(w, v, maxPieceLen)
               (ps.length, s)
@@ -272,8 +284,9 @@ object Unigram {
     * by the source alphabet. */
   def fertilityReport(documents: DataFrame, vocab: Seq[(String, Long)],
                       sourceCol: String = "source",
-                      maxPieceLen: Int = 4): DataFrame =
-    segment(documents, vocab, maxPieceLen)
+                      maxPieceLen: Int = 4,
+                      scriptAware: Boolean = false): DataFrame =
+    segment(documents, vocab, maxPieceLen, scriptAware)
       .join(documents.select(col("doc_id"), col(sourceCol)), Seq("doc_id"))
       .groupBy(col(sourceCol))
       .agg(sum(col("n_words")).as("n_words"),
