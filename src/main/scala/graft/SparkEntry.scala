@@ -2901,7 +2901,40 @@ object SparkEntry {
     // recursive merge CTE over the byte-mapped word set; roundtrip_ok
     // certifies losslessness corpus-wide (encode is TOTAL — no UNK)
     "q255_byte_bpe" -> ((s, d) =>
-      ByteBpe.applyMerges(byteDocs(Tables.documents(s, d)), byteMerges))
+      ByteBpe.applyMerges(byteDocs(Tables.documents(s, d)), byteMerges)),
+    // no-space-script segmentation (TextAnalysis.tokensSegmented): the
+    // planted Han docs read as ONE whitespace token but n/2-ish char
+    // bigrams under the script-aware fallback — both counts plus the
+    // script evidence in one scan-side pass, oracle-replayed
+    "q254_cjk_segment" -> ((s, d) =>
+      cjkDocs(Tables.documents(s, d)).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextAnalysis.tokenCountSegmented(col("text")).cast("long")
+          .as("n_seg_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          TextAnalysis.noSpaceScriptClass, ""))).cast("long")
+          .as("n_ns_chars"))),
+    // token-budget sampling DENOMINATED in script-aware tokens (the
+    // q119 two-level prefix-sum with tokensSegmented as the cost): a
+    // CJK doc now pays its real token cost instead of reading as ~1
+    "q256_cjk_budget" -> ((s, d) =>
+      Curate.budgetPerGroup(
+        cjkDocs(Tables.documents(s, d)).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountSegmented(col("text")).cast("long")
+            .as("n_toks")),
+        groupCol = "source", idCol = "doc_id", costCol = "n_toks",
+        budget = 200L, salt = "cjk")),
+    // tokenizer fertility with the scriptAware word definition
+    // (Unigram.fertilityReport): words = segmentScripts-spaced
+    // whitespace tokens, so Han runs contribute char bigrams as word
+    // units and pieces/word reads linguistically plausible; the oracle
+    // replays training (q188 CTEs over the planted corpus), the
+    // Viterbi DP, and the segmented word stream
+    "q257_cjk_fertility" -> ((s, d) => {
+      val docs = cjkDocs(Tables.documents(s, d))
+      Unigram.fertilityReport(docs, Unigram.trainVocab(docs),
+        scriptAware = true)
+    })
   )
 
   // ------------------------------------------------------------ oracles
@@ -2953,6 +2986,29 @@ object SparkEntry {
       "|| substr(" + sqlQ(han64) + ", CAST(doc_id % 64 AS INT) + 1, 1) " +
       "|| substr(" + sqlQ(han64) + ", CAST((doc_id * 3) % 64 AS INT) + 1, 1) " +
       "|| substr(" + sqlQ(han64) + ", CAST((doc_id * 5) % 64 AS INT) + 1, 1) " +
+      "ELSE text END AS text FROM documents)"
+
+  /** DuckDB twin of [[graft.ops.TextAnalysis.segmentScripts]]: the same
+    * three global replaces, same order, \1-style backrefs. */
+  private def segSql(e: String): String =
+    ops.TextAnalysis.segmentPasses.foldLeft(e) { case (u, (pat, _, rep)) =>
+      s"regexp_replace($u, ${sqlQ(pat)}, ${sqlQ(rep)}, 'g')" }
+
+  /** Segmented whitespace-token count (the tokensSegmented twin). */
+  private def segTokSql(e: String): String =
+    "LEN(list_filter(regexp_split_to_array(" + segSql(e) +
+      ", '\\s+'), x -> x <> ''))"
+
+  /** The q254/q256/q257 cjkDocs fixture as SQL (same [[han64]] /
+    * [[kana32]] literals, same index arithmetic). */
+  private def cjkDocsCteSql: String =
+    "cjkd AS (SELECT doc_id, source, CASE " +
+      "WHEN doc_id % 3 = 0 THEN array_to_string(list_transform(" +
+      "range(20 + doc_id % 5), i -> substr(" + sqlQ(han64) +
+      ", CAST((doc_id * 7 + i * 13) % 64 AS INT) + 1, 1)), '') " +
+      "WHEN doc_id % 3 = 1 THEN 'mix ' || array_to_string(list_transform(" +
+      "range(6), i -> substr(" + sqlQ(kana32) +
+      ", CAST((doc_id * 11 + i * 5) % 32 AS INT) + 1, 1)), '') || ' tail' " +
       "ELSE text END AS text FROM documents)"
 
   /** DuckDB twin of [[graft.ops.LinkGraph.resolveUrl]]'s bounded
@@ -8510,6 +8566,62 @@ object SparkEntry {
           |  CAST(COALESCE(nby, 0) AS BIGINT) n_bytes,
           |  CAST(COALESCE(ntk, 0) AS BIGINT) n_tokens,
           |  TRUE roundtrip_ok, TRUE bounded_ok
-          |FROM bdocs d LEFT JOIN agg USING (doc_id)""".stripMargin)
+          |FROM bdocs d LEFT JOIN agg USING (doc_id)""".stripMargin),
+    // script-segmentation replay: planted cjk fixture, whitespace vs
+    // segmented token counts, no-space-script char evidence
+    "q254_cjk_segment" ->
+      ("WITH " + cjkDocsCteSql + """
+        |SELECT doc_id,
+        |  CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS BIGINT) n_ws_tokens,
+        |  CAST(""".stripMargin + segTokSql("text") + """ AS BIGINT) n_seg_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, """.stripMargin +
+        sqlQ(ops.TextAnalysis.noSpaceScriptClass) + """, '', 'g')) AS BIGINT)
+        |    n_ns_chars
+        |FROM cjkd""".stripMargin),
+    // the q119 window replay with the segmented-token cost
+    "q256_cjk_budget" ->
+      ("WITH " + cjkDocsCteSql + """,
+        |t AS (SELECT doc_id, source,
+        |  CAST(""".stripMargin + segTokSql("text") + """ AS BIGINT) n_toks
+        |  FROM cjkd)
+        |SELECT doc_id, source, n_toks, cum FROM (
+        |  SELECT doc_id, source, n_toks,
+        |    CAST(SUM(n_toks) OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'cjk'), 1, 8), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+        |  FROM t WHERE n_toks > 0)
+        |WHERE cum <= 200""".stripMargin),
+    // fertility replay under the scriptAware word definition: q188
+    // training over the PLANTED corpus (FROM documents -> FROM cjkd),
+    // the q192 Viterbi DP, and a SEGMENTED whitespace word stream
+    "q257_cjk_fertility" ->
+      ("WITH RECURSIVE " + cjkDocsCteSql + ",\n" +
+        unigramTrainCte.replace("FROM documents", "FROM cjkd") + ",\n" +
+        """dw AS MATERIALIZED (SELECT doc_id, w, COUNT(*) m
+          |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+          |      """.stripMargin + segSql("text") + """, '\s+'),
+          |      x -> x <> '')) w FROM cjkd)
+          |  GROUP BY 1, 2),
+          |uw AS MATERIALIZED (SELECT DISTINCT w FROM dw),
+          |""".stripMargin + unigramDpCte("vt", "voc", "uw", paths = false) + """,
+        |fin AS MATERIALIZED (SELECT w, b1 score, n1 np FROM vt
+        |  WHERE pos = length(w)),
+        |agg AS (SELECT doc_id, SUM(m) nw, SUM(m * length(w)) nc,
+        |    SUM(m * np) npc
+        |  FROM dw JOIN fin USING (w) GROUP BY 1),
+        |j AS (SELECT d.source, COALESCE(nw, 0) nw, COALESCE(nc, 0) nc,
+        |    COALESCE(npc, 0) npc
+        |  FROM cjkd d LEFT JOIN agg USING (doc_id))
+        |SELECT source, CAST(SUM(nw) AS BIGINT) n_words,
+        |  CAST(SUM(nc) AS BIGINT) n_chars,
+        |  CAST(SUM(npc) AS BIGINT) n_pieces,
+        |  CASE WHEN SUM(nw) > 0 THEN
+        |    CAST((1000000 * SUM(npc)) // SUM(nw) AS BIGINT) END
+        |    pieces_per_word_ppm,
+        |  CASE WHEN SUM(nc) > 0 THEN
+        |    CAST((1000000 * SUM(npc)) // SUM(nc) AS BIGINT) END
+        |    pieces_per_char_ppm
+        |FROM j GROUP BY 1""".stripMargin)
   )
 }

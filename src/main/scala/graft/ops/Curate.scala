@@ -194,37 +194,54 @@ object Curate {
     * (inclusive) is ≤ budget; same md5 keying as every sampler here, so
     * the kept set is retry/engine-stable.
     *
-    * Skew: a prefix-sum can't be computed per-bucket independently, but
-    * bucket-local prefix ≤ global prefix along the same total order, so
-    * "bucket-local cumsum ≤ budget" is a NECESSARY survival condition.
-    * Level 1 therefore filters within (group, salt-bucket) — bounding
-    * every sort at ~|group|/buckets rows — and level 2 runs the exact
-    * per-group cumsum over the ≤ buckets·budget/min-cost survivors.
-    * Result is row-identical to the plain per-group window (the q119
-    * oracle asserts it). Rows with NULL/non-positive cost are dropped
-    * (they'd make the running total ambiguous across engines).
+    * Skew: the group-wide cumsum decomposes across RANGE-ALIGNED
+    * buckets — the bucket is a monotone function of the md5 order
+    * key's leading 16 bits, so bucket order == key order within each
+    * group and `cum = (per-bucket running sum) + (sum of earlier
+    * buckets' totals)`, exactly. Each (group, bucket) sort holds
+    * ~|group|/buckets rows (md5 is uniform); the offset frame is
+    * |groups|·buckets rows — census-sized, broadcast back. Nothing is
+    * filtered until the exact cum exists, so the result is
+    * row-identical to the plain per-group window by CONSTRUCTION (the
+    * q119 oracle asserts it). The earlier hash-bucketed form filtered
+    * over-budget rows between two windows, which silently removed
+    * their cost from later rows' running totals — a row past the true
+    * budget horizon could sneak back under it (caught by the q256
+    * planted fixture: small budget, fat docs; row 352's true cum 274
+    * read 195 after a 79-cost predecessor was dropped). Rows with
+    * NULL/non-positive cost are dropped (they'd make the running total
+    * ambiguous across engines).
     *
     * Output: kept rows + `cum` (the inclusive running total, ≤ budget). */
   def budgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
                      costCol: String, budget: Long, salt: String = "graft",
                      buckets: Int = 16): DataFrame = {
-    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    require(budget > 0 && buckets > 0 && buckets <= 65536,
+      "budget must be positive and buckets in [1, 65536]")
     import org.apache.spark.sql.expressions.Window
     val h = md5Prefix(col(idCol), salt)
-    val bucket = pmod(xxhash64(col(idCol)), lit(buckets.toLong))
-    val lvl1 = Window.partitionBy(col(groupCol), col("_b"))
+    // leading 16 bits of the hex key, scaled to [0, buckets): monotone
+    // in _h (65536 is a power of two, so the double division is exact)
+    val bucket = floor(conv(substring(col("_h"), 1, 4), 16, 10)
+      .cast("long") * buckets / lit(65536.0)).cast("int")
+    val w1 = Window.partitionBy(col(groupCol), col("_b"))
       .orderBy(col("_h").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lvl2 = Window.partitionBy(col(groupCol))
-      .orderBy(col("_h").asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.where(col(costCol) > 0)
+    val withC1 = df.where(col(costCol) > 0)
       .withColumn("_h", h).withColumn("_b", bucket)
-      .withColumn("_c1", sum(col(costCol)).over(lvl1))
-      .where(col("_c1") <= budget)
-      .withColumn("cum", sum(col(costCol)).over(lvl2).cast("long"))
+      .withColumn("_c1", sum(col(costCol)).over(w1))
+    val offs = withC1.groupBy(col(groupCol), col("_b"))
+      .agg(max(col("_c1")).as("_bt"))
+      .withColumn("_off", coalesce(sum(col("_bt")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("_b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("_b"), col("_off"))
+    withC1.join(broadcast(offs), Seq(groupCol, "_b"))
+      .withColumn("cum", (col("_off") + col("_c1")).cast("long"))
       .where(col("cum") <= budget)
-      .drop("_h", "_b", "_c1")
+      // the USING join moved the keys to the front — restore the
+      // caller's column order (consumers pattern-match positionally)
+      .select((df.columns.map(col) :+ col("cum")).toIndexedSeq: _*)
   }
 
   /** Two-phase anneal mixture — the modern mid-training recipe (MiniCPM,

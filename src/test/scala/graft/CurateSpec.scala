@@ -337,6 +337,23 @@ class CurateSpec extends SparkTestBase {
       "doc_id", "source", "cost"))
     assert(Curate.budgetPerGroup(withBad, "source", "doc_id", "cost", 100L, "s7b")
       .as[(Long, String, Long, Long)].collect().toSet == direct)
+    // the round-15 regression shape: a FAT doc whose bucket-local prefix
+    // overshoots the budget while later thin docs' true cum also
+    // overshoots — the old two-window form dropped the fat doc's cost
+    // between windows and let later rows sneak back under budget
+    val fat = (0L until 40L).map(i =>
+      (i, "g", if (i % 5 == 0) 79L else 5L)).toDF("doc_id", "source", "cost")
+    val wf = Window.partitionBy($"source")
+      .orderBy(substring(md5(concat($"doc_id".cast("string"), lit("cjk"))
+        .cast("binary")), 1, 8), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val directFat = fat.withColumn("cum", sum($"cost").over(wf).cast("long"))
+      .where($"cum" <= 200L).as[(Long, String, Long, Long)].collect().toSet
+    for (buckets <- Seq(1, 2, 16, 64))
+      assert(Curate.budgetPerGroup(fat, "source", "doc_id", "cost",
+        budget = 200L, salt = "cjk", buckets = buckets)
+        .as[(Long, String, Long, Long)].collect().toSet == directFat,
+        s"fat-doc shape diverged at buckets=$buckets")
   }
 
   test("dedupLines: first occurrence survives corpus-wide, order kept, empty docs vanish") {

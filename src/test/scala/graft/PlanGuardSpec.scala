@@ -102,8 +102,12 @@ class PlanGuardSpec extends SparkTestBase {
     // a fourth exchange means the first-occurrence shape regressed (e.g.
     // to a per-line window)
     assert(shuffles(q("q118_line_dedup")) <= 3, "q118 grew beyond three exchanges")
-    // q119: the two prefix-sum windows, nothing else
-    assert(shuffles(q("q119_token_budget")) <= 2, "q119 grew beyond two windows")
+    // q119: ONE data exchange (the range-bucketed prefix window; the
+    // offset branch reuses it under AQE) + up to two CENSUS-SIZED
+    // exchanges (|groups|·buckets rows: the bucket-offset rollup and
+    // its per-group window) — the round-15 sound rewrite; the old form
+    // shuffled the full data twice
+    assert(shuffles(q("q119_token_budget")) <= 3, "q119 grew extra exchanges")
   }
 
   test("round-8 additions hold their plan budgets") {
@@ -182,10 +186,10 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(q("q193_chat_dedup")) <= 2, "q193 grew extra exchanges")
     // q190: (doc,gram) distinct + df agg + the key join + per-doc rollup
     assert(shuffles(q("q190_gram_novelty")) <= 4, "q190 grew extra exchanges")
-    // q191: two budgetPerGroup stages (2 windows each at the bucketed
-    // level) — the eligible frame is small enough for AQE to collapse,
-    // budget is the census shape
-    assert(shuffles(q("q191_anneal_mix")) <= 4, "q191 grew extra exchanges")
+    // q191: two budgetPerGroup stages, each ONE data exchange + up to
+    // two census-sized offset exchanges (see the q119 note) — the
+    // eligible frame is small enough for AQE to collapse
+    assert(shuffles(q("q191_anneal_mix")) <= 6, "q191 grew extra exchanges")
     // q195: df agg + volume rollup + lang rollup + modal window
     assert(shuffles(q("q195_datasheet")) <= 4, "q195 grew extra exchanges")
     // q197: one pair aggregation + two broadcast strength joins on top
