@@ -210,6 +210,41 @@ object SparkEntry {
         .otherwise(col("text")).as("text"))
   }
 
+  /** q258/q259 sitemap fixture: per source host an `<urlset>` doc —
+    * four url blocks exercising trim (padded loc), junk lastmod/
+    * priority, a missing-loc block and a whitespace-loc block (both
+    * dropped), plus an md5-gated extra block — and a `<sitemapindex>`
+    * doc. The locs land on the [[robotsPathDocs]] pattern battery so
+    * the q259 frontier report exercises the verdict branches. */
+  private def sitemapDocs(docs: DataFrame): DataFrame = {
+    val srcs = docs.select(col("source")).distinct()
+    val host = concat(col("source"), lit(".example.com"))
+    val k = substring(md5(col("source")), 1, 2)
+    val urlset = srcs.select(host.as("host"), concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      lit("<url>\n  <loc>  https://"), col("source"),
+      lit(".example.com/A/B/"), k,
+      lit("/ </loc>\n  <lastmod>2026-01-15</lastmod>\n  <priority>0.8</priority>\n</url>\n"),
+      lit("<url><loc>https://"), col("source"), lit(".example.com/A/x/page"),
+      k, lit("</loc><changefreq>daily</changefreq></url>\n"),
+      lit("<url><loc>https://www."), col("source"),
+      lit(".example.com/misc?q=1</loc><lastmod>not-a-date</lastmod><priority>high</priority></url>\n"),
+      when(substring(md5(col("source")), 3, 1) < "8",
+        concat(lit("<url>\n<loc>https://"), col("source"),
+          lit(".example.com/only/Path/</loc>\n<lastmod>2026-03-02</lastmod>\n<priority>0.5</priority>\n</url>\n")))
+        .otherwise(lit("")),
+      lit("<url><lastmod>2026-02-02</lastmod></url>\n<url><loc>   </loc></url>\n</urlset>"))
+      .as("text"))
+    val index = srcs.select(host.as("host"), concat(
+      lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n<sitemap><loc>https://"),
+      col("source"),
+      lit(".example.com/sitemap-a.xml</loc><lastmod>2026-03-01</lastmod></sitemap>\n"),
+      lit("<sitemap>\n  <loc>https://"), col("source"),
+      lit(".example.com/sitemap-b.xml</loc>\n</sitemap>\n</sitemapindex>"))
+      .as("text"))
+    urlset.unionByName(index)
+  }
+
   /** Fixed byte-level merge table (the [[subwordMerges]] discipline:
     * the oracle must hold the same literal; trained-table composition
     * is ByteBpeSpec's job). ASCII pairs reuse the q184 English merges
@@ -2934,6 +2969,19 @@ object SparkEntry {
       val docs = cjkDocs(Tables.documents(s, d))
       Unigram.fertilityReport(docs, Unigram.trainVocab(docs),
         scriptAware = true)
+    }),
+    // sitemap.xml parsing (Web.sitemapEntries): urlset + sitemapindex
+    // blocks, trim/junk/missing-loc rules, try-cast date and priority —
+    // the crawl-frontier companion of the robots battery
+    "q258_sitemap" -> ((s, d) =>
+      Web.sitemapEntries(sitemapDocs(Tables.documents(s, d)))),
+    // frontier report (Web.sitemapFrontier): sitemap URLs gated by the
+    // q241 robots verdict and rolled up per host — URL volume, robots-
+    // permitted share, strongest permitted priority, freshest lastmod
+    "q259_sitemap_frontier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Web.sitemapFrontier(Web.sitemapEntries(sitemapDocs(docs)),
+        Web.robotsRules(robotsPathDocs(docs)))
     })
   )
 
@@ -3010,6 +3058,61 @@ object SparkEntry {
       "range(6), i -> substr(" + sqlQ(kana32) +
       ", CAST((doc_id * 11 + i * 5) % 32 AS INT) + 1, 1)), '') || ' tail' " +
       "ELSE text END AS text FROM documents)"
+
+  /** The [[sitemapDocs]] fixture + the sitemapEntries parse chain as
+    * SQL, ending in `sm(host, kind, loc, lastmod, lastmod_date,
+    * changefreq, priority)`. */
+  private def sitemapCteSql: String =
+    """smdocs AS (
+      |  SELECT source || '.example.com' host,
+      |    '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+      |    || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10)
+      |    || '<url>' || chr(10) || '  <loc>  https://' || source
+      |    || '.example.com/A/B/' || substring(md5(source), 1, 2)
+      |    || '/ </loc>' || chr(10) || '  <lastmod>2026-01-15</lastmod>'
+      |    || chr(10) || '  <priority>0.8</priority>' || chr(10) || '</url>' || chr(10)
+      |    || '<url><loc>https://' || source || '.example.com/A/x/page'
+      |    || substring(md5(source), 1, 2)
+      |    || '</loc><changefreq>daily</changefreq></url>' || chr(10)
+      |    || '<url><loc>https://www.' || source
+      |    || '.example.com/misc?q=1</loc><lastmod>not-a-date</lastmod><priority>high</priority></url>' || chr(10)
+      |    || CASE WHEN substring(md5(source), 3, 1) < '8'
+      |       THEN '<url>' || chr(10) || '<loc>https://' || source
+      |         || '.example.com/only/Path/</loc>' || chr(10)
+      |         || '<lastmod>2026-03-02</lastmod>' || chr(10)
+      |         || '<priority>0.5</priority>' || chr(10) || '</url>' || chr(10)
+      |       ELSE '' END
+      |    || '<url><lastmod>2026-02-02</lastmod></url>' || chr(10)
+      |    || '<url><loc>   </loc></url>' || chr(10) || '</urlset>' AS text
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |  UNION ALL
+      |  SELECT source || '.example.com',
+      |    '<?xml version="1.0"?>' || chr(10) || '<sitemapindex>' || chr(10)
+      |    || '<sitemap><loc>https://' || source
+      |    || '.example.com/sitemap-a.xml</loc><lastmod>2026-03-01</lastmod></sitemap>' || chr(10)
+      |    || '<sitemap>' || chr(10) || '  <loc>https://' || source
+      |    || '.example.com/sitemap-b.xml</loc>' || chr(10) || '</sitemap>'
+      |    || chr(10) || '</sitemapindex>'
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |sblk AS (
+      |  SELECT host, 'url' kind, unnest(regexp_extract_all(text,
+      |    '(?s)<url>(.*?)</url>', 1)) b FROM smdocs
+      |  UNION ALL
+      |  SELECT host, 'sitemap', unnest(regexp_extract_all(text,
+      |    '(?s)<sitemap>(.*?)</sitemap>', 1)) FROM smdocs),
+      |sfld AS (SELECT host, kind,
+      |    trim(regexp_extract(b, '(?s)<loc>([^<]*)</loc>', 1)) loc,
+      |    trim(regexp_extract(b, '(?s)<lastmod>([^<]*)</lastmod>', 1)) lastmod,
+      |    trim(regexp_extract(b, '(?s)<changefreq>([^<]*)</changefreq>', 1)) changefreq,
+      |    trim(regexp_extract(b, '(?s)<priority>([^<]*)</priority>', 1)) pr
+      |  FROM sblk),
+      |sm AS (SELECT host, kind, loc,
+      |    CASE WHEN lastmod = '' THEN NULL ELSE lastmod END lastmod,
+      |    TRY_CAST(CASE WHEN lastmod = '' THEN NULL ELSE lastmod END AS DATE)
+      |      lastmod_date,
+      |    CASE WHEN changefreq = '' THEN NULL ELSE changefreq END changefreq,
+      |    TRY_CAST(CASE WHEN pr = '' THEN NULL ELSE pr END AS DOUBLE) priority
+      |  FROM sfld WHERE loc <> '')""".stripMargin
 
   /** DuckDB twin of [[graft.ops.LinkGraph.resolveUrl]]'s bounded
     * dot-segment normalization: the SAME number of rounds and the SAME
@@ -8622,6 +8725,27 @@ object SparkEntry {
         |  CASE WHEN SUM(nc) > 0 THEN
         |    CAST((1000000 * SUM(npc)) // SUM(nc) AS BIGINT) END
         |    pieces_per_char_ppm
-        |FROM j GROUP BY 1""".stripMargin)
+        |FROM j GROUP BY 1""".stripMargin),
+    // sitemap parse replay: fixture XML re-synthesized from parquet,
+    // block extraction + field trim + try-casts all inside the gate
+    "q258_sitemap" ->
+      ("WITH " + sitemapCteSql + """
+        |SELECT host, kind, loc, lastmod, lastmod_date, changefreq,
+        |  priority
+        |FROM sm""".stripMargin),
+    // frontier replay: the sitemap chain's url rows as the verdict
+    // input (doc_id = loc), the q241 robots CTE, one per-host rollup
+    "q259_sitemap_frontier" ->
+      ("WITH " + sitemapCteSql + """,
+        |u AS (SELECT loc doc_id, loc url FROM sm WHERE kind = 'url'),
+        |""".stripMargin + robotsUrlVerdictCte + """
+        |SELECT v.host, CAST(COUNT(*) AS BIGINT) n_urls,
+        |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_allowed,
+        |  MAX(CASE WHEN allowed THEN priority END) max_allowed_priority,
+        |  MAX(lastmod_date) latest_lastmod
+        |FROM sm JOIN rvd v ON sm.loc = v.doc_id
+        |WHERE sm.kind = 'url'
+        |GROUP BY 1""".stripMargin)
   )
 }

@@ -306,6 +306,76 @@ object Web {
           .as("delay_group"))
   }
 
+  /** sitemap.xml parsing (the sitemaps.org protocol) — robots.txt's
+    * crawl-frontier companion: where robots says what a crawler MAY
+    * fetch, the sitemap says what the site WANTS fetched, with
+    * freshness (`lastmod`) and weight (`priority`) hints a frontier
+    * scheduler ranks by. Both document kinds parse in one pass:
+    *
+    *  - `<urlset>` documents yield `kind='url'` rows, one per
+    *    `<url>` block;
+    *  - `<sitemapindex>` documents yield `kind='sitemap'` rows, one
+    *    per `<sitemap>` block (the nested-sitemap fan-out a fetcher
+    *    follows);
+    *  - a block without a non-empty `<loc>` carries nothing fetchable
+    *    and is dropped; values are whitespace-trimmed; `lastmod`
+    *    surfaces raw AND date-cast (`try`-semantics: junk -> NULL on
+    *    both engines), `priority` as a double (junk -> NULL).
+    *
+    * Contract bounds (documented, fuzz-pinned in SitemapSpec): tags
+    * are lowercase per the protocol's own examples; CDATA sections,
+    * XML comments that SPAN block boundaries, and namespace-prefixed
+    * tags are out of contract — real-world sitemaps are
+    * machine-generated and overwhelmingly canonical. All parsing is
+    * codegen'd regex over the raw text: scan-side, zero shuffles,
+    * bounded by blocks/doc (the protocol caps urlset at 50k URLs). */
+  def sitemapEntries(sitemaps: DataFrame, hostCol: String = "host",
+                     textCol: String = "text"): DataFrame = {
+    def blocks(kind: String, tag: String): DataFrame =
+      sitemaps.select(col(hostCol).as("host"), lit(kind).as("kind"),
+        explode(regexp_extract_all(col(textCol),
+          lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1))).as("_b"))
+    def field(tag: String): Column =
+      trim(regexp_extract(col("_b"), s"(?s)<$tag>([^<]*)</$tag>", 1))
+    def nullIfEmpty(c: Column): Column =
+      when(c === "", lit(null).cast("string")).otherwise(c)
+    blocks("url", "url").unionByName(blocks("sitemap", "sitemap"))
+      .select(col("host"), col("kind"), field("loc").as("loc"),
+        nullIfEmpty(field("lastmod")).as("lastmod"),
+        nullIfEmpty(field("changefreq")).as("changefreq"),
+        nullIfEmpty(field("priority")).as("_pr"))
+      .where(col("loc") =!= "")
+      .select(col("host"), col("kind"), col("loc"), col("lastmod"),
+        col("lastmod").cast("date").as("lastmod_date"),
+        col("changefreq"),
+        col("_pr").cast("double").as("priority"))
+  }
+
+  /** Frontier report: [[sitemapEntries]] URL rows gated by the
+    * [[robotsUrlVerdict]] access rules for `bot`, rolled up per host —
+    * the "what should we fetch next from this site" census a crawl
+    * scheduler consumes (URL volume, how much of it robots actually
+    * permits, the strongest priority hint among PERMITTED urls, and
+    * the freshest lastmod). The verdict leg is the one host-keyed
+    * equi-join robots costs anywhere; the rollup is map-side combined
+    * and bounded by the host census. */
+  def sitemapFrontier(entries: DataFrame, rules: DataFrame,
+                      bot: String = "graftbot"): DataFrame = {
+    val urls = entries.where(col("kind") === "url")
+      .select(col("loc"), col("priority"), col("lastmod_date"))
+    val v = robotsUrlVerdict(
+      urls.select(col("loc").as("doc_id"), col("loc").as("url")),
+      rules, bot)
+    urls.join(v.select(col("doc_id").as("loc"), col("host"),
+        col("allowed")), Seq("loc"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+        max(when(col("allowed"), col("priority")))
+          .as("max_allowed_priority"),
+        max(col("lastmod_date")).as("latest_lastmod"))
+  }
+
   /** Registry-side audit for [[domainOptOut]]: per opt-out domain, how
     * many documents it dropped under longest-match attribution — with
     * ZERO-hit entries surfaced (the "this entry never fired" read a
