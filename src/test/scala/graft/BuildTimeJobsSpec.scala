@@ -78,7 +78,13 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // (eager corpus stats) and q243 checkpoints its verdict legs
     "q239_wet_roundtrip", "q240_wet_url_canon", "q243_contamination_sweep",
     "q244_warc_http_census", "q245_cdx_index", "q246_wet_governance",
-    "q248_warc_main_content")
+    "q248_warc_main_content",
+    // round 15: q251 is a WARC write-then-read roundtrip (the q244
+    // precedent); q253 materializes PageRank's loop-invariant frames
+    // (eager localCheckpoint, the q102 discipline — q102 itself is
+    // grandfathered above); q257 trains the unigram vocabulary on its
+    // bounded sample (the q219 precedent)
+    "q251_outlinks", "q253_host_rank", "q257_cjk_fertility")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
