@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * just wall-clock. Anything the operators cap (salted domain cap,
   * bucket caps, BM25 k) is logged next to the numbers.
   *
-  * Corpus: the ScaleSmoke formula family (~120-token docs over a ~1M
-  * token alphabet — Zipf-ish posting lists, so BM25 stays honest
+  * Corpus: the ScaleSmoke formula family (48-token docs over a ~1M
+  * alphabet — 10M docs at 120 tokens overran the host's 80 GB of
+  * shuffle-spill disk mid-fineWebCurate; 48 tokens keeps the DOC
+  * count at the verdict's 10M while the gram volume fits the box;
+  * posting lists stay Zipf-ish so BM25 stays honest
   * rather than word-soup-degenerate), every 10th doc a near-dup,
   * every 50th an exact dup, 80% lang=en, 50 sources.
   */
@@ -49,15 +52,15 @@ object PipelineSmoke {
 
     val docs = spark.range(n).select(col("id").as("doc_id"),
         when(pmod(col("id"), lit(10)) === 0 && col("id") >= 10,
-          concat_ws(" ", transform(sequence(lit(1), lit(120)),
+          concat_ws(" ", transform(sequence(lit(1), lit(48)),
             j => concat(lit("tok"), pmod((col("id") - 1) * 131 + j * 7,
               lit(1000003)), lit("_"),
-              when(j === 60, lit("CHANGED")).otherwise(j.cast("string"))))))
+              when(j === 24, lit("CHANGED")).otherwise(j.cast("string"))))))
           .when(pmod(col("id"), lit(50)) === 0 && col("id") >= 50,
-            concat_ws(" ", transform(sequence(lit(1), lit(120)),
+            concat_ws(" ", transform(sequence(lit(1), lit(48)),
               j => concat(lit("tok"), pmod((col("id") - 2) * 131 + j * 7,
                 lit(1000003)), lit("_"), j))))
-          .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(120)),
+          .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(48)),
             j => concat(lit("tok"), pmod(col("id") * 131 + j * 7,
               lit(1000003)), lit("_"), j)))).as("text"),
         when(pmod(col("id"), lit(10)) < 8, "en").otherwise("de").as("lang"),

@@ -124,139 +124,6 @@ object SparkEntry {
       .otherwise(concat(lit("http://"), col("source"), lit(".example.com/?q="),
         col("doc_id").cast("string"), lit("&ref=abc")))
 
-  /** The q251-q253 link-graph fixture: every page's base URL plus an
-    * HTML body whose hrefs exercise each [[graft.ops.LinkGraph]]
-    * resolution branch — absolute with the full canonicalization mess
-    * (case-shifted scheme/host, `www.`, tracking params, fragment),
-    * root-relative with a tracking param, dot-segment relative,
-    * protocol-relative (fires on doc_id%3=0), directory-relative
-    * (doc_id%5=0), a non-http scheme (mailto), and a fragment-only
-    * href. Both engines synthesize the SAME bytes, so extraction,
-    * resolution, and canonicalization all sit inside the hash gate.
-    * Link targets land cross-host by construction ((3d+1)%20 walks the
-    * source alphabet), so the host graph is connected and non-trivial. */
-  private def pageUrl: Column =
-    concat(lit("https://"), col("source"), lit(".example.com/page/"),
-      col("doc_id").cast("string"))
-
-  private def pageHtml: Column = {
-    val d = col("doc_id")
-    def n(c: Column): Column = c.cast("string")
-    concat(
-      lit("<html><head><title>p"), n(d),
-      lit("</title></head><body>\n<p>intro "), n(d), lit("</p>\n"),
-      lit("<a href=\"HTTPS://WWW.src"), n((d * 3 + 1) % 20),
-      lit(".Example.COM/page/"), n((d * 7 + 3) % 500),
-      lit("/?utm_campaign=x&b=2&a=1#frag\">abs</a>\n"),
-      lit("<a href='/page/"), n((d + 11) % 500),
-      lit("?z=9&utm_source=t'>root</a>\n"),
-      lit("<A HREF=\"../page/"), n((d + 1) % 500), lit("#sec\">up</A>\n"),
-      when(d % 3 === 0, concat(lit("<a href=\"//cdn.example.org/lib/v"),
-        n(d % 7), lit(".js\">cdn</a>\n"))).otherwise(lit("")),
-      when(d % 5 === 0, concat(lit("<a href=\"other/"), n(d % 50),
-        lit("\">rel</a>\n"))).otherwise(lit("")),
-      lit("<a href=\"mailto:u"), n(d),
-      lit("@example.com\">m</a>\n<a href=\"#top\">t</a>\n</body></html>"))
-  }
-
-  private def linkPages(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), pageUrl.as("url"), pageHtml.as("html"))
-
-  /** 64 consecutive Han chars (U+4E00..U+4E3F) — the planted CJK
-    * alphabet shared by the byte-BPE and script-segmentation fixtures.
-    * Generated, not typed, so both engines index the SAME codepoints
-    * (the DuckDB oracles embed this exact literal). */
-  private[graft] val han64: String = (0x4E00 until 0x4E40).map(_.toChar).mkString
-
-  private def hanAt(ix: Column): Column =
-    lit(han64).substr((ix + 1).cast("int"), lit(1))
-
-  /** q255 fixture: every 7th doc's text goes multi-byte (accented
-    * Latin + three [[han64]] Han chars) so byte-level merges cross
-    * codepoint boundaries; other docs keep their ASCII word-soup.
-    * BMP-only by construction — the oracle contract (DuckDB iterates
-    * codepoints, the JVM iterates UTF-16 units; astral chars diverge). */
-  private def byteDocs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      when(col("doc_id") % 7 === 0,
-        concat(lit("héllo wörld thé "),
-          hanAt(pmod(col("doc_id"), lit(64))),
-          hanAt(pmod(col("doc_id") * 3, lit(64))),
-          hanAt(pmod(col("doc_id") * 5, lit(64)))))
-        .otherwise(col("text")).as("text"))
-
-  /** 32 Katakana chars (U+30A2..U+30C1) — the kana leg of the planted
-    * no-space-script fixture. */
-  private[graft] val kana32: String = (0x30A2 until 0x30C2).map(_.toChar).mkString
-
-  private def kanaAt(ix: Column): Column =
-    lit(kana32).substr((ix + 1).cast("int"), lit(1))
-
-  /** q254/q256/q257 fixture: every 3rd doc becomes a pure Han run
-    * (20 + doc_id%5 chars, NO spaces — the text whitespace tokens read
-    * as ONE token), every 3k+1 doc mixes Latin words with a 6-char
-    * Katakana run, the rest keep their ASCII word-soup. Both engines
-    * synthesize the same codepoints from [[han64]]/[[kana32]]. */
-  private def cjkDocs(docs: DataFrame): DataFrame = {
-    val d = col("doc_id")
-    val hanRun = array_join(transform(
-      sequence(lit(0), lit(19) + pmod(d, lit(5))),
-      i => hanAt(pmod(d * 7 + i * 13, lit(64)))), "")
-    val kanaRun = array_join(transform(sequence(lit(0), lit(5)),
-      i => kanaAt(pmod(d * 11 + i * 5, lit(32)))), "")
-    docs.select(d, col("source"),
-      when(d % 3 === 0, hanRun)
-        .when(d % 3 === 1, concat(lit("mix "), kanaRun, lit(" tail")))
-        .otherwise(col("text")).as("text"))
-  }
-
-  /** q258/q259 sitemap fixture: per source host an `<urlset>` doc —
-    * four url blocks exercising trim (padded loc), junk lastmod/
-    * priority, a missing-loc block and a whitespace-loc block (both
-    * dropped), plus an md5-gated extra block — and a `<sitemapindex>`
-    * doc. The locs land on the [[robotsPathDocs]] pattern battery so
-    * the q259 frontier report exercises the verdict branches. */
-  private def sitemapDocs(docs: DataFrame): DataFrame = {
-    val srcs = docs.select(col("source")).distinct()
-    val host = concat(col("source"), lit(".example.com"))
-    val k = substring(md5(col("source")), 1, 2)
-    val urlset = srcs.select(host.as("host"), concat(
-      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
-      lit("<url>\n  <loc>  https://"), col("source"),
-      lit(".example.com/A/B/"), k,
-      lit("/ </loc>\n  <lastmod>2026-01-15</lastmod>\n  <priority>0.8</priority>\n</url>\n"),
-      lit("<url><loc>https://"), col("source"), lit(".example.com/A/x/page"),
-      k, lit("</loc><changefreq>daily</changefreq></url>\n"),
-      lit("<url><loc>https://www."), col("source"),
-      lit(".example.com/misc?q=1</loc><lastmod>not-a-date</lastmod><priority>high</priority></url>\n"),
-      when(substring(md5(col("source")), 3, 1) < "8",
-        concat(lit("<url>\n<loc>https://"), col("source"),
-          lit(".example.com/only/Path/</loc>\n<lastmod>2026-03-02</lastmod>\n<priority>0.5</priority>\n</url>\n")))
-        .otherwise(lit("")),
-      lit("<url><lastmod>2026-02-02</lastmod></url>\n<url><loc>   </loc></url>\n</urlset>"))
-      .as("text"))
-    val index = srcs.select(host.as("host"), concat(
-      lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n<sitemap><loc>https://"),
-      col("source"),
-      lit(".example.com/sitemap-a.xml</loc><lastmod>2026-03-01</lastmod></sitemap>\n"),
-      lit("<sitemap>\n  <loc>https://"), col("source"),
-      lit(".example.com/sitemap-b.xml</loc>\n</sitemap>\n</sitemapindex>"))
-      .as("text"))
-    urlset.unionByName(index)
-  }
-
-  /** Fixed byte-level merge table (the [[subwordMerges]] discipline:
-    * the oracle must hold the same literal; trained-table composition
-    * is ByteBpeSpec's job). ASCII pairs reuse the q184 English merges
-    * (printable bytes self-map, so they read the same); the last three
-    * cross MULTI-BYTE char boundaries — Ã© / Ã¶ are the mapped UTF-8
-    * byte pairs of é / ö, ä¸ the lead byte pair of the U+4E00..U+4E3F
-    * Han block. */
-  private val byteMerges: Seq[(String, String)] = Seq(
-    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
-    "e" -> "r", "o" -> "n", "r" -> "e", "in" -> "g",
-    "Ã" -> "©", "Ã" -> "¶", "ä" -> "¸")
-
   /** Per-source robots.txt fixture for the governance queries: every
     * parser rule fires — a rule OUTSIDE any group (ignored), a `*`
     * group whose Disallow flips on md5 hex 1, a comment-bearing Allow,
@@ -318,7 +185,7 @@ object SparkEntry {
     * md5-second-hex < '4' hosts a specific `GraftBot` group
     * (case-folded token match) that ECLIPSES the `*` group entirely;
     * the `sub.` branch has no robots host at all (allowed, NULL rule). */
-  private def robotsPathDocs(docs: DataFrame): DataFrame =
+  private[graft] def robotsPathDocs(docs: DataFrame): DataFrame =
     docs.select(col("source")).distinct().select(
       concat(col("source"), lit(".example.com")).as("host"),
       concat_ws("\n",
@@ -353,7 +220,11 @@ object SparkEntry {
 
   // ------------------------------------------------------------ queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ registry.CrawlRegistry.queries ++
+      registry.TokenScriptRegistry.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity (SURVEY.md §2) ---
     "q01_cdc_parse" -> ((s, d) => cdcQuery(s, d)),
     "q02_enrich" -> ((s, d) => enrichQuery(s, d)),
@@ -2887,101 +2758,6 @@ object SparkEntry {
       Web.canonicalizeUrls(back.select(col("target_uri").as("url")))
         .groupBy(col("url_canon"), col("host"))
         .agg(count(lit(1)).as("n_docs"), min(col("url")).as("first_url"))
-    }),
-    // outlink harvest (LinkGraph.outlinks over WARC HTTP bodies): pages
-    // written as real WARC response records, read back through the
-    // member walk + HTTP parser, hrefs extracted / RFC 3986-resolved /
-    // canonicalized — the crawl front door's link-graph leg; the oracle
-    // re-synthesizes the HTML from parquet and replays extraction,
-    // resolution (same bounded dot-segment passes), and the q114 chain
-    "q251_outlinks" -> ((s, d) => {
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_warc_q251").getAbsolutePath
-      sources.Warc.writeResponses(
-        linkPages(Tables.documents(s, d)).select(
-          col("doc_id"), col("url").as("uri"),
-          lit("2026-05-06T07:08:09Z").as("date"), lit(200L).as("status"),
-          lit("text/html; charset=utf-8").as("ctype"),
-          col("html").as("text")),
-        dir, perFile = 64)
-      val back = sources.Warc.httpResponses(
-        sources.Warc.read(s, s"$dir/*.warc.gz"))
-      LinkGraph.outlinks(back.select(
-        regexp_extract(col("target_uri"), "/page/([0-9]+)$", 1)
-          .cast("long").as("doc_id"),
-        col("target_uri").as("url"), col("body").cast("string").as("html")))
-    }),
-    // host-graph rollup of the same links: ONE map-side-combined
-    // shuffle, output bounded by the host-pair census (the frame a URL
-    // frontier and a domain-mix report both key on)
-    "q252_host_graph" -> ((s, d) =>
-      LinkGraph.hostGraph(LinkGraph.outlinks(
-        linkPages(Tables.documents(s, d))))),
-    // host-quality prior: integer-exact PageRank (Graph.pageRankFixed)
-    // over cross-host edges + inbound degree — the host-keyed frame a
-    // governance sweep or crawl frontier joins on; oracle = the q102
-    // unrolled-iteration pattern over the link CTE
-    "q253_host_rank" -> ((s, d) => {
-      val links = LinkGraph.outlinks(linkPages(Tables.documents(s, d)))
-      val inb = links.where(col("src_host") =!= col("dst_host"))
-        .groupBy(col("dst_host").as("host"))
-        .agg(count(lit(1)).as("_n"))
-      LinkGraph.hostRank(links).join(inb, Seq("host"), "left")
-        .select(col("host"), col("rank_e6"),
-          coalesce(col("_n"), lit(0L)).as("n_inlinks"))
-    }),
-    // byte-level BPE (ByteBpe.applyMerges, the GPT-2 family): UTF-8
-    // byte decomposition + the 256-char bijection + merges that cross
-    // codepoint boundaries, exact token counts replayed by the oracle's
-    // recursive merge CTE over the byte-mapped word set; roundtrip_ok
-    // certifies losslessness corpus-wide (encode is TOTAL — no UNK)
-    "q255_byte_bpe" -> ((s, d) =>
-      ByteBpe.applyMerges(byteDocs(Tables.documents(s, d)), byteMerges)),
-    // no-space-script segmentation (TextAnalysis.tokensSegmented): the
-    // planted Han docs read as ONE whitespace token but n/2-ish char
-    // bigrams under the script-aware fallback — both counts plus the
-    // script evidence in one scan-side pass, oracle-replayed
-    "q254_cjk_segment" -> ((s, d) =>
-      cjkDocs(Tables.documents(s, d)).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
-        TextAnalysis.tokenCountSegmented(col("text")).cast("long")
-          .as("n_seg_tokens"),
-        (length(col("text")) - length(regexp_replace(col("text"),
-          TextAnalysis.noSpaceScriptClass, ""))).cast("long")
-          .as("n_ns_chars"))),
-    // token-budget sampling DENOMINATED in script-aware tokens (the
-    // q119 two-level prefix-sum with tokensSegmented as the cost): a
-    // CJK doc now pays its real token cost instead of reading as ~1
-    "q256_cjk_budget" -> ((s, d) =>
-      Curate.budgetPerGroup(
-        cjkDocs(Tables.documents(s, d)).select(col("doc_id"), col("source"),
-          TextAnalysis.tokenCountSegmented(col("text")).cast("long")
-            .as("n_toks")),
-        groupCol = "source", idCol = "doc_id", costCol = "n_toks",
-        budget = 200L, salt = "cjk")),
-    // tokenizer fertility with the scriptAware word definition
-    // (Unigram.fertilityReport): words = segmentScripts-spaced
-    // whitespace tokens, so Han runs contribute char bigrams as word
-    // units and pieces/word reads linguistically plausible; the oracle
-    // replays training (q188 CTEs over the planted corpus), the
-    // Viterbi DP, and the segmented word stream
-    "q257_cjk_fertility" -> ((s, d) => {
-      val docs = cjkDocs(Tables.documents(s, d))
-      Unigram.fertilityReport(docs, Unigram.trainVocab(docs),
-        scriptAware = true)
-    }),
-    // sitemap.xml parsing (Web.sitemapEntries): urlset + sitemapindex
-    // blocks, trim/junk/missing-loc rules, try-cast date and priority —
-    // the crawl-frontier companion of the robots battery
-    "q258_sitemap" -> ((s, d) =>
-      Web.sitemapEntries(sitemapDocs(Tables.documents(s, d)))),
-    // frontier report (Web.sitemapFrontier): sitemap URLs gated by the
-    // q241 robots verdict and rolled up per host — URL volume, robots-
-    // permitted share, strongest permitted priority, freshest lastmod
-    "q259_sitemap_frontier" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Web.sitemapFrontier(Web.sitemapEntries(sitemapDocs(docs)),
-        Web.robotsRules(robotsPathDocs(docs)))
     })
   )
 
@@ -3010,206 +2786,6 @@ object SparkEntry {
   // and stay non-negative on non-ASCII BMP text with no masking; astral
   // (non-BMP) chars iterate differently (UTF-16 units vs codepoints)
   // and are outside the oracle contract. Pinned by TextAnalysisSpec.
-
-  private def sqlQ(s: String): String = "'" + s.replace("'", "''") + "'"
-
-  /** The [[graft.ops.ByteBpe.byteToChar]] bijection as a 256-row
-    * VALUES table — every mapped char is either printable ASCII/Latin-1
-    * (quote-doubled where needed) or >= U+0100, so the literals are
-    * safe in standard SQL strings. */
-  private val byteMapValuesSql: String =
-    (0 until 256).map(b =>
-      "(" + b + ", " + sqlQ(ops.ByteBpe.byteToChar(b).toString) + ")")
-      .mkString(", ")
-
-  private val byteMergesValuesSql: String =
-    byteMerges.zipWithIndex
-      .map { case ((a, b), i) => s"($i, ${sqlQ(a)}, ${sqlQ(b)})" }
-      .mkString(", ")
-
-  /** The q255 byteDocs fixture as SQL (same [[han64]] literal). */
-  private def byteDocsCteSql: String =
-    "bdocs AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
-      "THEN 'héllo wörld thé ' " +
-      "|| substr(" + sqlQ(han64) + ", CAST(doc_id % 64 AS INT) + 1, 1) " +
-      "|| substr(" + sqlQ(han64) + ", CAST((doc_id * 3) % 64 AS INT) + 1, 1) " +
-      "|| substr(" + sqlQ(han64) + ", CAST((doc_id * 5) % 64 AS INT) + 1, 1) " +
-      "ELSE text END AS text FROM documents)"
-
-  /** DuckDB twin of [[graft.ops.TextAnalysis.segmentScripts]]: the same
-    * three global replaces, same order, \1-style backrefs. */
-  private def segSql(e: String): String =
-    ops.TextAnalysis.segmentPasses.foldLeft(e) { case (u, (pat, _, rep)) =>
-      s"regexp_replace($u, ${sqlQ(pat)}, ${sqlQ(rep)}, 'g')" }
-
-  /** Segmented whitespace-token count (the tokensSegmented twin). */
-  private def segTokSql(e: String): String =
-    "LEN(list_filter(regexp_split_to_array(" + segSql(e) +
-      ", '\\s+'), x -> x <> ''))"
-
-  /** The q254/q256/q257 cjkDocs fixture as SQL (same [[han64]] /
-    * [[kana32]] literals, same index arithmetic). */
-  private def cjkDocsCteSql: String =
-    "cjkd AS (SELECT doc_id, source, CASE " +
-      "WHEN doc_id % 3 = 0 THEN array_to_string(list_transform(" +
-      "range(20 + doc_id % 5), i -> substr(" + sqlQ(han64) +
-      ", CAST((doc_id * 7 + i * 13) % 64 AS INT) + 1, 1)), '') " +
-      "WHEN doc_id % 3 = 1 THEN 'mix ' || array_to_string(list_transform(" +
-      "range(6), i -> substr(" + sqlQ(kana32) +
-      ", CAST((doc_id * 11 + i * 5) % 32 AS INT) + 1, 1)), '') || ' tail' " +
-      "ELSE text END AS text FROM documents)"
-
-  /** The [[sitemapDocs]] fixture + the sitemapEntries parse chain as
-    * SQL, ending in `sm(host, kind, loc, lastmod, lastmod_date,
-    * changefreq, priority)`. */
-  private def sitemapCteSql: String =
-    """smdocs AS (
-      |  SELECT source || '.example.com' host,
-      |    '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
-      |    || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10)
-      |    || '<url>' || chr(10) || '  <loc>  https://' || source
-      |    || '.example.com/A/B/' || substring(md5(source), 1, 2)
-      |    || '/ </loc>' || chr(10) || '  <lastmod>2026-01-15</lastmod>'
-      |    || chr(10) || '  <priority>0.8</priority>' || chr(10) || '</url>' || chr(10)
-      |    || '<url><loc>https://' || source || '.example.com/A/x/page'
-      |    || substring(md5(source), 1, 2)
-      |    || '</loc><changefreq>daily</changefreq></url>' || chr(10)
-      |    || '<url><loc>https://www.' || source
-      |    || '.example.com/misc?q=1</loc><lastmod>not-a-date</lastmod><priority>high</priority></url>' || chr(10)
-      |    || CASE WHEN substring(md5(source), 3, 1) < '8'
-      |       THEN '<url>' || chr(10) || '<loc>https://' || source
-      |         || '.example.com/only/Path/</loc>' || chr(10)
-      |         || '<lastmod>2026-03-02</lastmod>' || chr(10)
-      |         || '<priority>0.5</priority>' || chr(10) || '</url>' || chr(10)
-      |       ELSE '' END
-      |    || '<url><lastmod>2026-02-02</lastmod></url>' || chr(10)
-      |    || '<url><loc>   </loc></url>' || chr(10) || '</urlset>' AS text
-      |  FROM (SELECT DISTINCT source FROM documents)
-      |  UNION ALL
-      |  SELECT source || '.example.com',
-      |    '<?xml version="1.0"?>' || chr(10) || '<sitemapindex>' || chr(10)
-      |    || '<sitemap><loc>https://' || source
-      |    || '.example.com/sitemap-a.xml</loc><lastmod>2026-03-01</lastmod></sitemap>' || chr(10)
-      |    || '<sitemap>' || chr(10) || '  <loc>https://' || source
-      |    || '.example.com/sitemap-b.xml</loc>' || chr(10) || '</sitemap>'
-      |    || chr(10) || '</sitemapindex>'
-      |  FROM (SELECT DISTINCT source FROM documents)),
-      |sblk AS (
-      |  SELECT host, 'url' kind, unnest(regexp_extract_all(text,
-      |    '(?s)<url>(.*?)</url>', 1)) b FROM smdocs
-      |  UNION ALL
-      |  SELECT host, 'sitemap', unnest(regexp_extract_all(text,
-      |    '(?s)<sitemap>(.*?)</sitemap>', 1)) FROM smdocs),
-      |sfld AS (SELECT host, kind,
-      |    trim(regexp_extract(b, '(?s)<loc>([^<]*)</loc>', 1)) loc,
-      |    trim(regexp_extract(b, '(?s)<lastmod>([^<]*)</lastmod>', 1)) lastmod,
-      |    trim(regexp_extract(b, '(?s)<changefreq>([^<]*)</changefreq>', 1)) changefreq,
-      |    trim(regexp_extract(b, '(?s)<priority>([^<]*)</priority>', 1)) pr
-      |  FROM sblk),
-      |sm AS (SELECT host, kind, loc,
-      |    CASE WHEN lastmod = '' THEN NULL ELSE lastmod END lastmod,
-      |    TRY_CAST(CASE WHEN lastmod = '' THEN NULL ELSE lastmod END AS DATE)
-      |      lastmod_date,
-      |    CASE WHEN changefreq = '' THEN NULL ELSE changefreq END changefreq,
-      |    TRY_CAST(CASE WHEN pr = '' THEN NULL ELSE pr END AS DOUBLE) priority
-      |  FROM sfld WHERE loc <> '')""".stripMargin
-
-  /** DuckDB twin of [[graft.ops.LinkGraph.resolveUrl]]'s bounded
-    * dot-segment normalization: the SAME number of rounds and the SAME
-    * four global replaces per round — cross-engine equality is exact by
-    * construction, not approximate. */
-  private def dotSegSql(e: String): String =
-    (1 to ops.LinkGraph.dotSegmentPasses).foldLeft(e)((u, _) =>
-      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-        "regexp_replace(regexp_replace(" +
-        u + ", '/\\./', '/', 'g'), '/\\.$', '/', 'g'), " +
-        "'/[^/.][^/]*/\\.\\./', '/', 'g'), '/[^/.][^/]*/\\.\\.$', '/', 'g'), " +
-        "'^/\\.\\./', '/', 'g'), '^/\\.\\.$', '/', 'g')")
-
-  /** Shared q251-q253 oracle chain: re-synthesize the [[pageHtml]]
-    * bytes from parquet, replay href extraction, RFC 3986 resolution
-    * (same CASE branches as LinkGraph.resolveUrl, same [[dotSegSql]]
-    * passes), the http(s) scheme filter, and the q114 canonicalization
-    * for both endpoint hosts. Ends with a `links(doc_id, src_host,
-    * dst_url, dst_host)` CTE. */
-  private def outlinkCteSql: String =
-    """pages AS (SELECT doc_id,
-      |    'https://' || source || '.example.com/page/'
-      |      || CAST(doc_id AS VARCHAR) AS url,
-      |    '<html><head><title>p' || CAST(doc_id AS VARCHAR)
-      |      || '</title></head><body>' || chr(10)
-      |      || '<p>intro ' || CAST(doc_id AS VARCHAR) || '</p>' || chr(10)
-      |      || '<a href="HTTPS://WWW.src' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR)
-      |      || '.Example.COM/page/' || CAST((doc_id * 7 + 3) % 500 AS VARCHAR)
-      |      || '/?utm_campaign=x&b=2&a=1#frag">abs</a>' || chr(10)
-      |      || '<a href=''/page/' || CAST((doc_id + 11) % 500 AS VARCHAR)
-      |      || '?z=9&utm_source=t''>root</a>' || chr(10)
-      |      || '<A HREF="../page/' || CAST((doc_id + 1) % 500 AS VARCHAR)
-      |      || '#sec">up</A>' || chr(10)
-      |      || CASE WHEN doc_id % 3 = 0 THEN '<a href="//cdn.example.org/lib/v'
-      |           || CAST(doc_id % 7 AS VARCHAR) || '.js">cdn</a>' || chr(10)
-      |         ELSE '' END
-      |      || CASE WHEN doc_id % 5 = 0 THEN '<a href="other/'
-      |           || CAST(doc_id % 50 AS VARCHAR) || '">rel</a>' || chr(10)
-      |         ELSE '' END
-      |      || '<a href="mailto:u' || CAST(doc_id AS VARCHAR)
-      |      || '@example.com">m</a>' || chr(10)
-      |      || '<a href="#top">t</a>' || chr(10) || '</body></html>' AS html
-      |  FROM documents),
-      |hrf AS (SELECT doc_id, url, unnest(regexp_extract_all(html,
-      |    '(?i)href\s*=\s*["'']([^"''>]*)["'']', 1)) href FROM pages),
-      |rs0 AS (SELECT doc_id, url, regexp_replace(href, '#.*$', '') h FROM hrf),
-      |rs1 AS (SELECT doc_id, url,
-      |    CASE WHEN h = '' THEN NULL
-      |         WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
-      |         WHEN h LIKE '//%' THEN
-      |           lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || ':' || h
-      |         WHEN h LIKE '/%' THEN
-      |           lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
-      |           || regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) || h
-      |         ELSE lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
-      |           || regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)
-      |           || CASE WHEN contains(regexp_extract(url,
-      |                '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/')
-      |              THEN regexp_extract(regexp_extract(url,
-      |                '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '^(.*/)', 1)
-      |              ELSE '/' END || h
-      |    END raw FROM rs0),
-      |rs2 AS (SELECT doc_id, url,
-      |    regexp_extract(raw, '^([^:/?#]+://[^/?#]*)', 1) ||
-      |    """.stripMargin +
-      dotSegSql("regexp_replace(raw, '^[^:/?#]+://[^/?#]*', '')") + """ dst
-      |  FROM rs1 WHERE raw IS NOT NULL),
-      |lk0 AS (SELECT doc_id, url, dst FROM rs2
-      |  WHERE lower(regexp_extract(dst, '^([^:/?#]+)://', 1)) IN ('http', 'https')),
-      |cn AS (SELECT doc_id,
-      |    lower(regexp_extract(url, '^([^:/?#]+)://', 1)) s_sch,
-      |    regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
-      |      '^www\.', '') s_auth,
-      |    lower(regexp_extract(dst, '^([^:/?#]+)://', 1)) d_sch,
-      |    regexp_replace(lower(regexp_extract(dst, '^[^:/?#]+://([^/?#]*)', 1)),
-      |      '^www\.', '') d_auth,
-      |    regexp_replace(regexp_extract(dst, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
-      |      '/+$', '') d_path,
-      |    list_sort(list_filter(string_split(
-      |      regexp_extract(dst, '^[^#?]*\?([^#]*)', 1), '&'), x -> x <> ''
-      |      AND NOT regexp_matches(x,
-      |        '^(utm_[^=]*|fbclid|gclid|mc_eid|ref)(=.*)?$'))) d_ps
-      |  FROM lk0),
-      |links AS (SELECT doc_id,
-      |    CASE WHEN s_sch = 'http' THEN regexp_replace(s_auth, ':80$', '')
-      |         WHEN s_sch = 'https' THEN regexp_replace(s_auth, ':443$', '')
-      |         ELSE s_auth END src_host,
-      |    d_sch || '://'
-      |      || CASE WHEN d_sch = 'http' THEN regexp_replace(d_auth, ':80$', '')
-      |           WHEN d_sch = 'https' THEN regexp_replace(d_auth, ':443$', '')
-      |           ELSE d_auth END || d_path
-      |      || CASE WHEN len(d_ps) > 0 THEN '?' || array_to_string(d_ps, '&')
-      |           ELSE '' END dst_url,
-      |    CASE WHEN d_sch = 'http' THEN regexp_replace(d_auth, ':80$', '')
-      |         WHEN d_sch = 'https' THEN regexp_replace(d_auth, ':443$', '')
-      |         ELSE d_auth END dst_host
-      |  FROM cn)""".stripMargin
 
   /** Mirrors TextAnalysis.winnow stage for stage: per-char polynomial
     * token values, polynomial gram hashes, rightmost window-min via the
@@ -3928,7 +3504,7 @@ object SparkEntry {
     * vocabulary = top-512 sample substrings with ilog2 integer
     * log2-prob scores. Callers must open with WITH RECURSIVE when they
     * append a DP CTE. */
-  private val unigramTrainCte: String =
+  private[graft] val unigramTrainCte: String =
     """smp AS (SELECT substring(text, 1, 262144) "text" FROM documents
       |        ORDER BY md5(CAST(doc_id AS VARCHAR) || 'uni') LIMIT 256),
       |sw AS (SELECT unnest(regexp_extract_all(text,
@@ -3960,7 +3536,7 @@ object SparkEntry {
     * words never contain whitespace, so the join is unambiguous).
     * `name` is the emitted CTE, `voc` the score table, `src` the
     * distinct-word source (column `w`). */
-  private def unigramDpCte(name: String, voc: String, src: String,
+  private[graft] def unigramDpCte(name: String, voc: String, src: String,
                            paths: Boolean): String = {
     val (init, ext, typ) =
       if (paths) (
@@ -4394,7 +3970,7 @@ object SparkEntry {
     * synthesis) + the parse chain + group selection + LIKE-pattern
     * compilation + the per-URL longest-match fold — everything after
     * `u(doc_id, url)` that maps a URL to its RFC 9309 verdict row. */
-  private val robotsUrlVerdictCte: String =
+  private[graft] val robotsUrlVerdictCte: String =
     """srcs2 AS (SELECT DISTINCT source FROM documents),
       |rb AS (SELECT source || '.example.com' host,
       |    '# path-pattern fixture' || chr(10) || 'User-agent: *'
@@ -4523,7 +4099,11 @@ object SparkEntry {
       |  valid_to IS NULL is_current
       |FROM v WHERE op <> 'd'""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ registry.CrawlRegistry.oracleSql ++
+      registry.TokenScriptRegistry.oracleSql
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q01_cdc_parse" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) content_id,
         |  CAST(event_id % 97 AS VARCHAR) user_id, event_type,
@@ -8568,184 +8148,6 @@ object SparkEntry {
         |         ELSE '' END url_canon
         | FROM h)
         |SELECT url_canon, host, COUNT(*) n_docs, MIN(url) first_url
-        |FROM c GROUP BY 1, 2""".stripMargin,
-    // outlink replay: pageHtml re-synthesized from parquet, href
-    // extraction + RFC 3986 resolution + q114 canonicalization all
-    // inside the hash gate (outlinkCteSql)
-    "q251_outlinks" ->
-      ("WITH " + outlinkCteSql + """
-        |SELECT doc_id, src_host, dst_url, dst_host,
-        |  src_host = dst_host AS internal FROM links""".stripMargin),
-    "q252_host_graph" ->
-      ("WITH " + outlinkCteSql + """
-        |SELECT src_host, dst_host, COUNT(*) n_links,
-        |  COUNT(DISTINCT doc_id) n_pages
-        |FROM links GROUP BY 1, 2""".stripMargin),
-    // host-rank replay: the q102 unrolled integer-exact iterations over
-    // the cross-host edges of the link CTE, plus inbound degree
-    "q253_host_rank" ->
-      ("WITH " + outlinkCteSql + """,
-        |e AS (SELECT src_host src, dst_host dst FROM links
-        |      WHERE src_host <> dst_host),
-        |nodes AS (SELECT DISTINCT node FROM
-        |  (SELECT src node FROM e UNION ALL SELECT dst FROM e)),
-        |deg AS (SELECT src, COUNT(*) deg FROM e GROUP BY 1),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) rank_e6 FROM nodes),
-        |c1 AS (SELECT e.dst node, SUM(r0.rank_e6 // d.deg) in_c
-        |       FROM e JOIN r0 ON e.src = r0.node
-        |       JOIN deg d ON e.src = d.src GROUP BY 1),
-        |r1 AS (SELECT n.node,
-        |       CAST(150000 + (85 * COALESCE(c1.in_c, 0)) // 100 AS BIGINT) rank_e6
-        |       FROM nodes n LEFT JOIN c1 USING (node)),
-        |c2 AS (SELECT e.dst node, SUM(r1.rank_e6 // d.deg) in_c
-        |       FROM e JOIN r1 ON e.src = r1.node
-        |       JOIN deg d ON e.src = d.src GROUP BY 1),
-        |r2 AS (SELECT n.node,
-        |       CAST(150000 + (85 * COALESCE(c2.in_c, 0)) // 100 AS BIGINT) rank_e6
-        |       FROM nodes n LEFT JOIN c2 USING (node)),
-        |c3 AS (SELECT e.dst node, SUM(r2.rank_e6 // d.deg) in_c
-        |       FROM e JOIN r2 ON e.src = r2.node
-        |       JOIN deg d ON e.src = d.src GROUP BY 1),
-        |r3 AS (SELECT n.node,
-        |       CAST(150000 + (85 * COALESCE(c3.in_c, 0)) // 100 AS BIGINT) rank_e6
-        |       FROM nodes n LEFT JOIN c3 USING (node)),
-        |inb AS (SELECT dst node, COUNT(*) n FROM e GROUP BY 1)
-        |SELECT r3.node host, r3.rank_e6,
-        |  COALESCE(inb.n, 0) n_inlinks
-        |FROM r3 LEFT JOIN inb USING (node)""".stripMargin),
-    // byte-BPE replay: the byteDocs fixture, the 256-row byte map, the
-    // arithmetic UTF-8 decomposition of each distinct pre-token, and
-    // the q184 recursive merge-loop device over the MAPPED word —
-    // exact token/byte counts inside the hash gate; the invariant
-    // flags read TRUE like q97's
-    "q255_byte_bpe" ->
-      ("WITH RECURSIVE " + byteDocsCteSql + ",\n" +
-        "mg(rk, a, b) AS (VALUES " + byteMergesValuesSql + "),\n" +
-        "bmap(b, c) AS (VALUES " + byteMapValuesSql + "),\n" +
-        """wset AS (SELECT DISTINCT unnest(regexp_extract_all(text,
-          |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM bdocs),
-          |chs AS (SELECT w, unnest(range(1, length(w) + 1)) i FROM wset),
-          |cps AS (SELECT w, i, unicode(substr(w, CAST(i AS INT), 1)) cp FROM chs),
-          |bsq AS (SELECT w, i,
-          |    CASE WHEN cp < 128 THEN cp
-          |         WHEN cp < 2048 THEN 192 + cp // 64
-          |         WHEN cp < 65536 THEN 224 + cp // 4096
-          |         ELSE 240 + cp // 262144 END b1,
-          |    CASE WHEN cp < 128 THEN NULL
-          |         WHEN cp < 2048 THEN 128 + cp % 64
-          |         WHEN cp < 65536 THEN 128 + (cp // 64) % 64
-          |         ELSE 128 + (cp // 4096) % 64 END b2,
-          |    CASE WHEN cp < 2048 THEN NULL
-          |         WHEN cp < 65536 THEN 128 + cp % 64
-          |         ELSE 128 + (cp // 64) % 64 END b3,
-          |    CASE WHEN cp < 65536 THEN NULL ELSE 128 + cp % 64 END b4
-          |  FROM cps),
-          |cmp AS (SELECT w, i, m1.c || COALESCE(m2.c, '') || COALESCE(m3.c, '')
-          |      || COALESCE(m4.c, '') s
-          |  FROM bsq LEFT JOIN bmap m1 ON m1.b = bsq.b1
-          |    LEFT JOIN bmap m2 ON m2.b = bsq.b2
-          |    LEFT JOIN bmap m3 ON m3.b = bsq.b3
-          |    LEFT JOIN bmap m4 ON m4.b = bsq.b4),
-          |mwd AS (SELECT w, string_agg(s, '' ORDER BY i) mw FROM cmp GROUP BY w),
-          |enc AS (
-          |  SELECT w, 'Ϩ' || regexp_replace(mw, '(.)', '\1Ϩ', 'g') st FROM mwd
-          |  UNION ALL
-          |  SELECT e.w, replace(e.st, 'Ϩ' || m.a || 'Ϩ' || m.b || 'Ϩ',
-          |      'Ϩ' || m.a || m.b || 'Ϩ')
-          |  FROM (SELECT w, st, (SELECT min(rk) FROM mg
-          |          WHERE contains(st, 'Ϩ' || a || 'Ϩ' || b || 'Ϩ')) mr
-          |        FROM enc) e
-          |  JOIN mg m ON m.rk = e.mr),
-          |wc AS (SELECT w,
-          |    CAST(length(st) - length(replace(st, 'Ϩ', '')) - 1 AS BIGINT) nt,
-          |    CAST(length(replace(st, 'Ϩ', '')) AS BIGINT) nb
-          |  FROM enc WHERE NOT EXISTS (SELECT 1 FROM mg
-          |    WHERE contains(st, 'Ϩ' || a || 'Ϩ' || b || 'Ϩ'))),
-          |dw AS (SELECT doc_id, unnest(regexp_extract_all(text,
-          |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) w FROM bdocs),
-          |agg AS (SELECT doc_id, COUNT(*) nw, SUM(nb) nby, SUM(nt) ntk
-          |  FROM dw JOIN wc USING (w) GROUP BY 1)
-          |SELECT d.doc_id, CAST(COALESCE(nw, 0) AS BIGINT) n_words,
-          |  CAST(COALESCE(nby, 0) AS BIGINT) n_bytes,
-          |  CAST(COALESCE(ntk, 0) AS BIGINT) n_tokens,
-          |  TRUE roundtrip_ok, TRUE bounded_ok
-          |FROM bdocs d LEFT JOIN agg USING (doc_id)""".stripMargin),
-    // script-segmentation replay: planted cjk fixture, whitespace vs
-    // segmented token counts, no-space-script char evidence
-    "q254_cjk_segment" ->
-      ("WITH " + cjkDocsCteSql + """
-        |SELECT doc_id,
-        |  CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'),
-        |    x -> x <> '')) AS BIGINT) n_ws_tokens,
-        |  CAST(""".stripMargin + segTokSql("text") + """ AS BIGINT) n_seg_tokens,
-        |  CAST(length(text) - length(regexp_replace(text, """.stripMargin +
-        sqlQ(ops.TextAnalysis.noSpaceScriptClass) + """, '', 'g')) AS BIGINT)
-        |    n_ns_chars
-        |FROM cjkd""".stripMargin),
-    // the q119 window replay with the segmented-token cost
-    "q256_cjk_budget" ->
-      ("WITH " + cjkDocsCteSql + """,
-        |t AS (SELECT doc_id, source,
-        |  CAST(""".stripMargin + segTokSql("text") + """ AS BIGINT) n_toks
-        |  FROM cjkd)
-        |SELECT doc_id, source, n_toks, cum FROM (
-        |  SELECT doc_id, source, n_toks,
-        |    CAST(SUM(n_toks) OVER (PARTITION BY source
-        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'cjk'), 1, 8), doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
-        |  FROM t WHERE n_toks > 0)
-        |WHERE cum <= 200""".stripMargin),
-    // fertility replay under the scriptAware word definition: q188
-    // training over the PLANTED corpus (FROM documents -> FROM cjkd),
-    // the q192 Viterbi DP, and a SEGMENTED whitespace word stream
-    "q257_cjk_fertility" ->
-      ("WITH RECURSIVE " + cjkDocsCteSql + ",\n" +
-        unigramTrainCte.replace("FROM documents", "FROM cjkd") + ",\n" +
-        """dw AS MATERIALIZED (SELECT doc_id, w, COUNT(*) m
-          |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
-          |      """.stripMargin + segSql("text") + """, '\s+'),
-          |      x -> x <> '')) w FROM cjkd)
-          |  GROUP BY 1, 2),
-          |uw AS MATERIALIZED (SELECT DISTINCT w FROM dw),
-          |""".stripMargin + unigramDpCte("vt", "voc", "uw", paths = false) + """,
-        |fin AS MATERIALIZED (SELECT w, b1 score, n1 np FROM vt
-        |  WHERE pos = length(w)),
-        |agg AS (SELECT doc_id, SUM(m) nw, SUM(m * length(w)) nc,
-        |    SUM(m * np) npc
-        |  FROM dw JOIN fin USING (w) GROUP BY 1),
-        |j AS (SELECT d.source, COALESCE(nw, 0) nw, COALESCE(nc, 0) nc,
-        |    COALESCE(npc, 0) npc
-        |  FROM cjkd d LEFT JOIN agg USING (doc_id))
-        |SELECT source, CAST(SUM(nw) AS BIGINT) n_words,
-        |  CAST(SUM(nc) AS BIGINT) n_chars,
-        |  CAST(SUM(npc) AS BIGINT) n_pieces,
-        |  CASE WHEN SUM(nw) > 0 THEN
-        |    CAST((1000000 * SUM(npc)) // SUM(nw) AS BIGINT) END
-        |    pieces_per_word_ppm,
-        |  CASE WHEN SUM(nc) > 0 THEN
-        |    CAST((1000000 * SUM(npc)) // SUM(nc) AS BIGINT) END
-        |    pieces_per_char_ppm
-        |FROM j GROUP BY 1""".stripMargin),
-    // sitemap parse replay: fixture XML re-synthesized from parquet,
-    // block extraction + field trim + try-casts all inside the gate
-    "q258_sitemap" ->
-      ("WITH " + sitemapCteSql + """
-        |SELECT host, kind, loc, lastmod, lastmod_date, changefreq,
-        |  priority
-        |FROM sm""".stripMargin),
-    // frontier replay: the sitemap chain's url rows as the verdict
-    // input (doc_id = loc), the q241 robots CTE, one per-host rollup
-    "q259_sitemap_frontier" ->
-      ("WITH " + sitemapCteSql + """,
-        |u AS (SELECT loc doc_id, loc url FROM sm WHERE kind = 'url'),
-        |""".stripMargin + robotsUrlVerdictCte + """
-        |SELECT v.host, CAST(COUNT(*) AS BIGINT) n_urls,
-        |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
-        |    n_allowed,
-        |  MAX(CASE WHEN allowed THEN priority END) max_allowed_priority,
-        |  MAX(lastmod_date) latest_lastmod
-        |FROM sm JOIN rvd v ON sm.loc = v.doc_id
-        |WHERE sm.kind = 'url'
-        |GROUP BY 1""".stripMargin)
+        |FROM c GROUP BY 1, 2""".stripMargin
   )
 }
