@@ -12,14 +12,15 @@ import org.apache.spark.sql.functions._
   * just wall-clock. Anything the operators cap (salted domain cap,
   * bucket caps, BM25 k) is logged next to the numbers.
   *
-  * Corpus: the ScaleSmoke formula family (48-token docs over a ~1M
-  * alphabet — a composed plan holds ALL its stage shuffle files at
-  * once, and 10M docs at 120 (then 48) tokens overran the host's
-  * 80 GB of shuffle disk mid-fineWebCurate; 32 tokens keeps the DOC
-  * count at the verdict's 10M while the cumulative shuffle fits;
-  * posting lists stay Zipf-ish so BM25 stays honest
-  * rather than word-soup-degenerate), every 10th doc a near-dup,
-  * every 50th an exact dup, 80% lang=en, 50 sources.
+  * Corpus: 32-token docs over a ~1M token alphabet (posting lists
+  * stay spread so BM25 stays honest), every 10th doc a near-dup,
+  * every 50th an exact dup, 80% lang=en, 50 sources. Token values mix
+  * through xxhash64: the raw (id*131 + j*7) mod 1000003 form ALIASES
+  * once ids pass the modulus — doc id and id+1000003 were
+  * byte-identical, so beyond 1M docs span-dedup rightly consumed the
+  * whole corpus (kept_text collapsed to nothing) and its postings
+  * exchanges exploded (two ENOSPC kills on this box's 80 GB of
+  * shuffle disk — a composed plan holds every stage's files at once).
   */
 object PipelineSmoke {
 
@@ -54,15 +55,15 @@ object PipelineSmoke {
     val docs = spark.range(n).select(col("id").as("doc_id"),
         when(pmod(col("id"), lit(10)) === 0 && col("id") >= 10,
           concat_ws(" ", transform(sequence(lit(1), lit(32)),
-            j => concat(lit("tok"), pmod((col("id") - 1) * 131 + j * 7,
+            j => concat(lit("tok"), pmod(xxhash64((col("id") - 1) * 131 + j * 7),
               lit(1000003)), lit("_"),
               when(j === 16, lit("CHANGED")).otherwise(j.cast("string"))))))
           .when(pmod(col("id"), lit(50)) === 0 && col("id") >= 50,
             concat_ws(" ", transform(sequence(lit(1), lit(32)),
-              j => concat(lit("tok"), pmod((col("id") - 2) * 131 + j * 7,
+              j => concat(lit("tok"), pmod(xxhash64((col("id") - 2) * 131 + j * 7),
                 lit(1000003)), lit("_"), j))))
           .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(32)),
-            j => concat(lit("tok"), pmod(col("id") * 131 + j * 7,
+            j => concat(lit("tok"), pmod(xxhash64(col("id") * 131 + j * 7),
               lit(1000003)), lit("_"), j)))).as("text"),
         when(pmod(col("id"), lit(10)) < 8, "en").otherwise("de").as("lang"),
         concat(lit("src"), pmod(col("id"), lit(50))).as("source"))
@@ -72,14 +73,14 @@ object PipelineSmoke {
     // --- q131 composition: fineWebCurate. q131's capPerSource=12 is
     // sized for the 500-doc testdata; here a 100k cap keeps the
     // salted-cap stage non-degenerate while still binding per source.
-    // DISK BOUND, measured: the composed plan holds every stage's
-    // shuffle files simultaneously (one action, ~23 exchanges), and on
-    // this box's 80 GB of shuffle disk the composition overran at 10M
-    // docs for 120-, 48-, AND 32-token documents (ENOSPC mid-span-dedup
-    // each time — the gram exchanges dominate). The fineweb phase
-    // therefore runs at the disk-bound 4M docs with the volumes printed
-    // below as the extrapolation basis; the contamination phase, whose
-    // legs broadcast or stay narrow, runs at the full n. ---
+    // DISK BOUND, measured: one action holds every exchange's shuffle
+    // files at once, and the composed fineweb pass at 10M x 32-token
+    // docs consumed >78 GB of shuffle before ENOSPC even with the
+    // alias-free corpus (the 4M pass lands ~37 GB written) — this box
+    // tops out between 4M and 10M docs for THIS composition, so the
+    // fineweb phase runs at 4M and prints the volumes as the
+    // extrapolation basis; the contamination phase, whose legs
+    // broadcast or stay narrow, runs at the full n. ---
     val nFw = math.min(n, 4000000)
     val fwDocs = docs.where(col("doc_id") < nFw)
     var s0 = meter.snapshot
