@@ -148,6 +148,23 @@ private[graft] object CrawlRegistry {
       val docs = Tables.documents(s, d)
       Web.sitemapFrontier(Web.sitemapEntries(sitemapDocs(docs)),
         Web.robotsRules(graft.SparkEntry.robotsPathDocs(docs)))
+    }),
+    // the composed CRAWL SCHEDULE — the round-14 verdict's "host prior
+    // joinable" landing end-to-end: the q259 frontier (what each site
+    // offers and robots permits) joined with the q253 PageRank prior
+    // (how the web values the host), one host-keyed frame a scheduler
+    // sorts by; politeness (q247) joins the same key. Hosts without
+    // link evidence read rank 0 (nothing links them — crawl last)
+    "q260_crawl_schedule" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val frontier = Web.sitemapFrontier(
+        Web.sitemapEntries(sitemapDocs(docs)),
+        Web.robotsRules(graft.SparkEntry.robotsPathDocs(docs)))
+      val rank = LinkGraph.hostRank(LinkGraph.outlinks(linkPages(docs)))
+      frontier.join(rank, Seq("host"), "left")
+        .select(col("host"), col("n_urls"), col("n_allowed"),
+          col("max_allowed_priority"),
+          coalesce(col("rank_e6"), lit(0L)).as("rank_e6"))
     }))
 
   // ------------------------------------------------------------ oracles
@@ -249,6 +266,36 @@ private[graft] object CrawlRegistry {
       |         ELSE d_auth END dst_host
       |  FROM cn)""".stripMargin
 
+  /** The q102-pattern unrolled 3-iteration integer-exact PageRank over
+    * the link CTE's cross-host edges, ending in `r3(node, rank_e6)` +
+    * `inb(node, n)` — shared by the q253 and q260 oracles. */
+  private def hostRankCtesSql: String =
+    """e AS (SELECT src_host src, dst_host dst FROM links
+      |      WHERE src_host <> dst_host),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src node FROM e UNION ALL SELECT dst FROM e)),
+      |deg AS (SELECT src, COUNT(*) deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) rank_e6 FROM nodes),
+      |c1 AS (SELECT e.dst node, SUM(r0.rank_e6 // d.deg) in_c
+      |       FROM e JOIN r0 ON e.src = r0.node
+      |       JOIN deg d ON e.src = d.src GROUP BY 1),
+      |r1 AS (SELECT n.node,
+      |       CAST(150000 + (85 * COALESCE(c1.in_c, 0)) // 100 AS BIGINT) rank_e6
+      |       FROM nodes n LEFT JOIN c1 USING (node)),
+      |c2 AS (SELECT e.dst node, SUM(r1.rank_e6 // d.deg) in_c
+      |       FROM e JOIN r1 ON e.src = r1.node
+      |       JOIN deg d ON e.src = d.src GROUP BY 1),
+      |r2 AS (SELECT n.node,
+      |       CAST(150000 + (85 * COALESCE(c2.in_c, 0)) // 100 AS BIGINT) rank_e6
+      |       FROM nodes n LEFT JOIN c2 USING (node)),
+      |c3 AS (SELECT e.dst node, SUM(r2.rank_e6 // d.deg) in_c
+      |       FROM e JOIN r2 ON e.src = r2.node
+      |       JOIN deg d ON e.src = d.src GROUP BY 1),
+      |r3 AS (SELECT n.node,
+      |       CAST(150000 + (85 * COALESCE(c3.in_c, 0)) // 100 AS BIGINT) rank_e6
+      |       FROM nodes n LEFT JOIN c3 USING (node)),
+      |inb AS (SELECT dst node, COUNT(*) n FROM e GROUP BY 1)""".stripMargin
+
   /** The [[sitemapDocs]] fixture + the sitemapEntries parse chain as
     * SQL, ending in `sm(host, kind, loc, lastmod, lastmod_date,
     * changefreq, priority)`. */
@@ -320,32 +367,7 @@ private[graft] object CrawlRegistry {
     // host-rank replay: the q102 unrolled integer-exact iterations over
     // the cross-host edges of the link CTE, plus inbound degree
     "q253_host_rank" ->
-      ("WITH " + outlinkCteSql + """,
-        |e AS (SELECT src_host src, dst_host dst FROM links
-        |      WHERE src_host <> dst_host),
-        |nodes AS (SELECT DISTINCT node FROM
-        |  (SELECT src node FROM e UNION ALL SELECT dst FROM e)),
-        |deg AS (SELECT src, COUNT(*) deg FROM e GROUP BY 1),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) rank_e6 FROM nodes),
-        |c1 AS (SELECT e.dst node, SUM(r0.rank_e6 // d.deg) in_c
-        |       FROM e JOIN r0 ON e.src = r0.node
-        |       JOIN deg d ON e.src = d.src GROUP BY 1),
-        |r1 AS (SELECT n.node,
-        |       CAST(150000 + (85 * COALESCE(c1.in_c, 0)) // 100 AS BIGINT) rank_e6
-        |       FROM nodes n LEFT JOIN c1 USING (node)),
-        |c2 AS (SELECT e.dst node, SUM(r1.rank_e6 // d.deg) in_c
-        |       FROM e JOIN r1 ON e.src = r1.node
-        |       JOIN deg d ON e.src = d.src GROUP BY 1),
-        |r2 AS (SELECT n.node,
-        |       CAST(150000 + (85 * COALESCE(c2.in_c, 0)) // 100 AS BIGINT) rank_e6
-        |       FROM nodes n LEFT JOIN c2 USING (node)),
-        |c3 AS (SELECT e.dst node, SUM(r2.rank_e6 // d.deg) in_c
-        |       FROM e JOIN r2 ON e.src = r2.node
-        |       JOIN deg d ON e.src = d.src GROUP BY 1),
-        |r3 AS (SELECT n.node,
-        |       CAST(150000 + (85 * COALESCE(c3.in_c, 0)) // 100 AS BIGINT) rank_e6
-        |       FROM nodes n LEFT JOIN c3 USING (node)),
-        |inb AS (SELECT dst node, COUNT(*) n FROM e GROUP BY 1)
+      ("WITH " + outlinkCteSql + ",\n" + hostRankCtesSql + """
         |SELECT r3.node host, r3.rank_e6,
         |  COALESCE(inb.n, 0) n_inlinks
         |FROM r3 LEFT JOIN inb USING (node)""".stripMargin),
@@ -369,5 +391,24 @@ private[graft] object CrawlRegistry {
         |  MAX(lastmod_date) latest_lastmod
         |FROM sm JOIN rvd v ON sm.loc = v.doc_id
         |WHERE sm.kind = 'url'
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin),
+    // crawl-schedule replay: the q259 frontier rollup joined with the
+    // q253 rank chain — every CTE family in one WITH (outlink pages,
+    // PageRank, sitemap parse, the q241 robots verdict); rank coalesces
+    // to 0 for never-linked hosts exactly like the Spark side
+    "q260_crawl_schedule" ->
+      ("WITH " + outlinkCteSql + ",\n" + hostRankCtesSql + ",\n" +
+        sitemapCteSql + """,
+        |u AS (SELECT loc doc_id, loc url FROM sm WHERE kind = 'url'),
+        |""".stripMargin + graft.SparkEntry.robotsUrlVerdictCte + """,
+        |fr AS (SELECT v.host, CAST(COUNT(*) AS BIGINT) n_urls,
+        |    CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |      n_allowed,
+        |    MAX(CASE WHEN allowed THEN priority END) max_allowed_priority
+        |  FROM sm JOIN rvd v ON sm.loc = v.doc_id
+        |  WHERE sm.kind = 'url'
+        |  GROUP BY 1)
+        |SELECT fr.host, fr.n_urls, fr.n_allowed, fr.max_allowed_priority,
+        |  COALESCE(r3.rank_e6, 0) rank_e6
+        |FROM fr LEFT JOIN r3 ON fr.host = r3.node""".stripMargin))
 }

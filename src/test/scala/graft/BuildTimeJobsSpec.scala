@@ -84,7 +84,8 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // (eager localCheckpoint, the q102 discipline — q102 itself is
     // grandfathered above); q257 trains the unigram vocabulary on its
     // bounded sample (the q219 precedent)
-    "q251_outlinks", "q253_host_rank", "q257_cjk_fertility")
+    "q251_outlinks", "q253_host_rank", "q257_cjk_fertility",
+    "q260_crawl_schedule")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
