@@ -335,8 +335,13 @@ object Web {
       sitemaps.select(col(hostCol).as("host"), lit(kind).as("kind"),
         explode(regexp_extract_all(col(textCol),
           lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1))).as("_b"))
+    // FULL whitespace trim, not SQL trim (which strips spaces only —
+    // a <loc> on its own line would keep its newlines); the regex form
+    // is identical on both engines
+    def wsTrim(c: Column): Column =
+      regexp_replace(regexp_replace(c, "^\\s+", ""), "\\s+$", "")
     def field(tag: String): Column =
-      trim(regexp_extract(col("_b"), s"(?s)<$tag>([^<]*)</$tag>", 1))
+      wsTrim(regexp_extract(col("_b"), s"(?s)<$tag>([^<]*)</$tag>", 1))
     def nullIfEmpty(c: Column): Column =
       when(c === "", lit(null).cast("string")).otherwise(c)
     blocks("url", "url").unionByName(blocks("sitemap", "sitemap"))

@@ -338,10 +338,14 @@ private[graft] object CrawlRegistry {
       |  SELECT host, 'sitemap', unnest(regexp_extract_all(text,
       |    '(?s)<sitemap>(.*?)</sitemap>', 1)) FROM smdocs),
       |sfld AS (SELECT host, kind,
-      |    trim(regexp_extract(b, '(?s)<loc>([^<]*)</loc>', 1)) loc,
-      |    trim(regexp_extract(b, '(?s)<lastmod>([^<]*)</lastmod>', 1)) lastmod,
-      |    trim(regexp_extract(b, '(?s)<changefreq>([^<]*)</changefreq>', 1)) changefreq,
-      |    trim(regexp_extract(b, '(?s)<priority>([^<]*)</priority>', 1)) pr
+      |    regexp_replace(regexp_replace(regexp_extract(b,
+      |      '(?s)<loc>([^<]*)</loc>', 1), '^\s+', ''), '\s+$', '') loc,
+      |    regexp_replace(regexp_replace(regexp_extract(b,
+      |      '(?s)<lastmod>([^<]*)</lastmod>', 1), '^\s+', ''), '\s+$', '') lastmod,
+      |    regexp_replace(regexp_replace(regexp_extract(b,
+      |      '(?s)<changefreq>([^<]*)</changefreq>', 1), '^\s+', ''), '\s+$', '') changefreq,
+      |    regexp_replace(regexp_replace(regexp_extract(b,
+      |      '(?s)<priority>([^<]*)</priority>', 1), '^\s+', ''), '\s+$', '') pr
       |  FROM sblk),
       |sm AS (SELECT host, kind, loc,
       |    CASE WHEN lastmod = '' THEN NULL ELSE lastmod END lastmod,

@@ -27,7 +27,8 @@ class SitemapSpec extends SparkTestBase {
       """<?xml version="1.0"?>
         |<urlset xmlns="x">
         |<url>
-        |  <loc>  https://a.com/p1 </loc>
+        |  <loc>
+        |  https://a.com/p1 </loc>
         |  <lastmod>2026-01-15</lastmod>
         |  <priority>0.8</priority>
         |</url>
@@ -102,8 +103,9 @@ class SitemapSpec extends SparkTestBase {
       val from = s + tag.length + 2
       val e = block.indexOf('<', from)
       val raw = if (e < 0) "" else block.substring(from, e)
-      // trim strips SPACES only (the SQL trim rule)
-      raw.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      // FULL whitespace trim (the op's contract — a loc on its own
+      // line must not keep its newlines)
+      raw.replaceAll("^\\s+", "").replaceAll("\\s+$", "")
     }
   }
 
@@ -119,8 +121,9 @@ class SitemapSpec extends SparkTestBase {
   test("fuzz: 300 generated documents match the reference scanner") {
     val rng = new scala.util.Random(4242)
     val locs = Seq("https://f.com/a", "https://f.com/b?q=1", "  https://f.com/pad  ",
-      "", "   ", "relative/p")
-    val dates = Seq("2026-01-15", "junk", "", "2026-02-30", " 2026-03-01 ")
+      "", "   ", "relative/p", "\n  https://f.com/nl\n", "\t\nhttps://f.com/tab")
+    val dates = Seq("2026-01-15", "junk", "", "2026-02-30", " 2026-03-01 ",
+      "\n2026-04-01\n")
     val freqs = Seq("daily", "never", "", "sometimes")
     val prios = Seq("0.5", "1.0", "high", "", "0.85")
     val junk = Seq("", "\n", "<!-- c -->", "<meta>x</meta>", "stray text", "<lastmod>orphan</lastmod>")
