@@ -69,6 +69,10 @@ object LinkGraph {
       .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
       .when(h.startsWith("//"), concat(scheme, lit(":"), h))
       .when(h.startsWith("/"), concat(root, h))
+      // ?query-only reference: keep the base PATH, replace the query
+      // (RFC 3986 §5.3 — the merge-with-directory rule below would
+      // wrongly resolve against the parent directory)
+      .when(h.startsWith("?"), concat(root, basePath, h))
       .otherwise(concat(root, baseDir, h))
     // Normalize dot segments in the PATH-AND-AFTER portion only: the
     // authority contains dots (`/b.com/../` would otherwise match and

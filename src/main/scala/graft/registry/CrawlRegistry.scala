@@ -222,6 +222,10 @@ private[graft] object CrawlRegistry {
       |         WHEN h LIKE '/%' THEN
       |           lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
       |           || regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) || h
+      |         WHEN h LIKE '?%' THEN
+      |           lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
+      |           || regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)
+      |           || regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) || h
       |         ELSE lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
       |           || regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)
       |           || CASE WHEN contains(regexp_extract(url,

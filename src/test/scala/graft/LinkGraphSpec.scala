@@ -51,6 +51,57 @@ class LinkGraphSpec extends SparkTestBase {
       .contains("https://h.com/a/x"))
   }
 
+  test("fuzz: resolution matches java.net.URI (the JDK's RFC 3986 resolver) within contract") {
+    val rng = new scala.util.Random(77)
+    val bases = Seq(
+      "https://a.example.com/dir/page.html",
+      "https://b.com/a/b/c/page",
+      "http://c.com/",
+      "http://d.com",
+      "https://e.com/x/y/?q=1",
+      "HTTP://F.com/Mixed/Case/p")
+    val segs = Vector("x", "y2", "img.png", "a-b_c", ".")
+    def randRef(): String = rng.nextInt(12) match {
+      case 0 => "https://other.com/" + segs(rng.nextInt(4))
+      case 1 => "//cdn.net/" + segs(rng.nextInt(4))
+      case 2 | 3 => "/" + (0 to rng.nextInt(3)).map(_ => segs(rng.nextInt(4))).mkString("/")
+      case 4 => "?k=" + rng.nextInt(10)
+      case 5 => "../" + (0 to rng.nextInt(2)).map(_ => segs(rng.nextInt(4))).mkString("/")
+      case _ => (0 to rng.nextInt(3)).map(_ => segs(rng.nextInt(segs.size))).mkString("/")
+    }
+    def lcScheme(u: String): String =
+      u.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:",
+        u.takeWhile(_ != ':').toLowerCase + ":")
+    val pairs = (1 to 400).map(_ => (bases(rng.nextInt(bases.size)), randRef()))
+    var checked = 0
+    pairs.foreach { case (b, h) =>
+      val want = scala.util.Try(new java.net.URI(b).resolve(h).toString).toOption
+      // contract: depth-bounded dot segments; pairs whose REFERENCE
+      // result escapes the root (java keeps excess ..) are out of it.
+      // ?query-only refs are EXCLUDED from the java battery: java.net
+      // .URI resolves them against the parent directory, while RFC
+      // 3986 §5.3 keeps the FULL base path when the ref path is empty
+      // and a query is defined — this resolver follows the RFC (the
+      // dedicated test below pins it)
+      want match {
+        case Some(w) if !w.contains("/../") && !w.contains("/..?") &&
+            !w.endsWith("/..") && !h.startsWith("?") =>
+          val got = resolve(b, h)
+          assert(got.map(lcScheme).contains(lcScheme(w)),
+            s"resolve drift: base=<$b> href=<$h> got=<$got> want=<$w>")
+          checked += 1
+        case _ => () // out of contract or unparseable — skipped
+      }
+    }
+    assert(checked >= 300, s"battery too thin: $checked checked")
+  }
+
+  test("?query-only reference keeps the base path, replaces the query") {
+    assert(resolve("https://e.com/x/y?q=1", "?k=2")
+      .contains("https://e.com/x/y?k=2"))
+    assert(resolve("http://d.com", "?k=1").contains("http://d.com?k=1"))
+  }
+
   test("extractHrefs: case-insensitive name, both quote styles, > fence") {
     val html = """<a HREF="/one">1</a><a href='two.html'>2</a>""" +
       """<area href="#f"><link hREf='//c.com/s.css'>""" +
