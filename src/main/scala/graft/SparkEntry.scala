@@ -222,7 +222,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ registry.CrawlRegistry.queries ++
-      registry.TokenScriptRegistry.queries ++ registry.WarcRegistry.queries
+      registry.TokenScriptRegistry.queries ++ registry.WarcRegistry.queries ++
+      registry.GraphAnnRegistry.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity (SURVEY.md §2) ---
@@ -4008,7 +4009,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ registry.CrawlRegistry.oracleSql ++
-      registry.TokenScriptRegistry.oracleSql ++ registry.WarcRegistry.oracleSql
+      registry.TokenScriptRegistry.oracleSql ++ registry.WarcRegistry.oracleSql ++
+      registry.GraphAnnRegistry.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_cdc_parse" ->

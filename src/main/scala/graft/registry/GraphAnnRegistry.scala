@@ -1,0 +1,87 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.GraphAnn
+
+/** Graph-ANN domain registry (q261/q262): the NSW/HNSW-family search
+  * in [[graft.ops.GraphAnn]], certified with the repo's planted-probe
+  * discipline (q28/q36 lineage — engine-internal hashes and graph
+  * structure are not oracle-able, provable end-to-end outcomes are).
+  *
+  * Fixture: for each source vector v (`vec_id < 5`, the corpus-minimum
+  * ids) plant a twin t = 2v at id+1,000,000 INTO the indexed corpus and
+  * probe with q = 4v at id+2,000,000. Power-of-two scaling is exact in
+  * IEEE arithmetic, so q, t and v share bit-identical hyperplane signs
+  * and pairwise cosine values that compute to the SAME double
+  * (products of floats are exact in double and rounding commutes with
+  * power-of-two scales) — every tie resolves by `nid` ascending, and v
+  * carries the minimum id.
+  *
+  * q261 (traversal): the entry set is PINNED to {t} alone, so the
+  * search can only reach v by walking the graph. The edge t→v is
+  * provably present — candidate generation pairs bucket-mates (t and v
+  * share signs; the bucket cap is set above the corpus size so
+  * truncation cannot fire at test SFs), sim(t,v) ties the maximum, and
+  * NN-descent trims never evict a rank-1 edge. cos(q,v) == cos(q,t)
+  * with v's id smaller → top-1 MUST be v. A false row means candidate
+  * generation, edge trimming, hop expansion, scoring or the tie-break
+  * broke.
+  *
+  * q262 (routing): LSH-routed entry (no pin) — q's bucket-mates
+  * include v, cosine ~1.0 keeps it atop every beam trim, top-1 is v:
+  * the q28 contract carried through the graph machinery.
+  */
+private[graft] object GraphAnnRegistry {
+
+  private val twinOff = 1000000L
+  private val probeOff = 2000000L
+
+  private def scaled(df: DataFrame, factor: Float, off: Long): DataFrame =
+    df.where(col("vec_id") < 5).select(
+      (col("vec_id") + lit(off)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(factor)).as("embedding"))
+
+  /** Source vectors ∪ planted twins — the corpus the graph indexes. */
+  private def corpusWithTwins(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .unionByName(scaled(emb, 2.0f, twinOff))
+
+  // maxBucket is a degenerate-corpus guard; the certificates rely on t
+  // and v sharing an untruncated bucket, so it sits above any test-SF
+  // corpus size (2005 nodes at sf0.1) and provably never fires here.
+  private def graph(corpus: DataFrame): DataFrame =
+    GraphAnn.knnGraph(corpus, degree = 8, planes = 6,
+      maxBucket = 65536, refineRounds = 1)
+
+  private def top1(res: DataFrame, okCol: String): DataFrame =
+    res.where(col("rank") === 1)
+      .select(col("qid"),
+        (col("nid") === col("qid") - lit(probeOff)).as(okCol))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_graph_ann_hop" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = corpusWithTwins(emb)
+      val probes = scaled(emb, 4.0f, probeOff)
+      val entries = probes.select(col("vec_id").as("qid"),
+        (col("vec_id") - lit(probeOff) + lit(twinOff)).as("nid"))
+      top1(GraphAnn.beamSearch(probes, corpus, graph(corpus),
+        entries = Some(entries), k = 5, beam = 16, hops = 2), "hop_ok")
+    }),
+    "q262_graph_ann_routed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = corpusWithTwins(emb)
+      val probes = scaled(emb, 4.0f, probeOff)
+      top1(GraphAnn.beamSearch(probes, corpus, graph(corpus),
+        entries = None, k = 5, beam = 16, hops = 2, planes = 6), "routed_ok")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q261_graph_ann_hop" ->
+      "SELECT vec_id + 2000000 qid, TRUE hop_ok FROM embeddings WHERE vec_id < 5",
+    "q262_graph_ann_routed" ->
+      "SELECT vec_id + 2000000 qid, TRUE routed_ok FROM embeddings WHERE vec_id < 5")
+}

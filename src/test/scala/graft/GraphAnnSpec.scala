@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{GraphAnn, Similarity}
+
+class GraphAnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Array[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  /** Deterministic pseudo-random corpus (hash-mixed, no Random). */
+  private def mixedCorpus(n: Int, dim: Int) = {
+    def mix(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L
+      h ^= h >>> 32; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 29
+      h
+    }
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim) { j =>
+        ((mix(i.toLong * 131 + j) >>> 11).toDouble / (1L << 53).toDouble * 2 - 1).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("knnGraph planes=0: exact top-degree graph on a hand corpus") {
+    // 2D, cosines hand-orderable from the angle to the x-axis
+    val d = vecs(
+      (0L, Array(1f, 0f)),        // 0 deg
+      (1L, Array(1f, 0.2f)),      // ~11 deg
+      (2L, Array(1f, 1f)),        // 45 deg
+      (3L, Array(0f, 1f)))        // 90 deg
+    val edges = GraphAnn.knnGraph(d, degree = 2, planes = 0, refineRounds = 0)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    // nearest two by angle: 0->{1,2}, 1->{0,2}, 2->{1,3? no: 2 is 45deg;
+    // |45-11|=34 < |90-45|=45 and |45-0|=45 ties |45-90| -> cos(2,0)=cos(2,3),
+    // tie breaks dst asc -> 0}, 3->{2,1}
+    assert(edges == Set((0L, 1L), (0L, 2L), (1L, 0L), (1L, 2L),
+      (2L, 1L), (2L, 0L), (3L, 2L), (3L, 1L)))
+  }
+
+  test("knnGraph: refinement rounds weakly improve every node's edge sims") {
+    val d = mixedCorpus(120, 8)
+    def simsByRank(rounds: Int): Map[(Long, Int), Double] =
+      GraphAnn.knnGraph(d, degree = 4, planes = 4, refineRounds = rounds)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)))
+        .select(col("src"), col("rk"), col("sim"))
+        .as[(Long, Int, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val r0 = simsByRank(0)
+    val r1 = simsByRank(1)
+    assert(r1.nonEmpty)
+    // a round's candidate set contains the previous edges, so the j-th
+    // best kept sim can only rise (or a missing slot get filled)
+    for (((src, rk), s1) <- r1; s0 <- r0.get((src, rk)))
+      assert(s1 >= s0 - 1e-12, s"node $src rank $rk regressed: $s0 -> $s1")
+    // and on a fragmented-bucket corpus at least one node must improve
+    val improved = r1.exists { case (key, s1) =>
+      r0.get(key).exists(s0 => s1 > s0 + 1e-12) } ||
+      r1.keySet.diff(r0.keySet).nonEmpty
+    assert(improved, "NN-descent round changed nothing on a fragmented corpus")
+  }
+
+  test("beamSearch planes=0 routing: equals brute-force exact top-k") {
+    val d = mixedCorpus(60, 8)
+    val probes = d.where(col("vec_id") < 4).select(
+      (col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val g = GraphAnn.knnGraph(d, degree = 4, planes = 0, refineRounds = 0)
+    val got = GraphAnn.beamSearch(probes, d, g, k = 3, beam = 60,
+        hops = 0, planes = 0)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceKnn(probes, d, k = 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("beamSearch pinned entry: traversal reaches the optimum via graph hops") {
+    // chain in angle space: entry node 3 is 90deg from the query; each
+    // hop's nearest step moves toward the true top-1 at node 0
+    val d = vecs(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 0.5f)),
+      (2L, Array(0.5f, 1f)),
+      (3L, Array(0f, 1f)))
+    val probes = vecs((100L, Array(1f, 0.01f)))
+    val g = GraphAnn.knnGraph(d, degree = 1, planes = 0, refineRounds = 0)
+    // degree=1 graph: angle diffs give 0->1, 1->0, 2->3 (26.6 < 36.9),
+    // 3->2 — TWO components {0,1} and {2,3}; entry at 2 can never reach
+    // node 0, so the search caps at the component's best for this query
+    // (node 2 at ~63deg beats node 3 at 90deg)
+    val entries2 = probes.select(lit(100L).as("qid"), lit(2L).as("nid"))
+    val stuck = GraphAnn.beamSearch(probes, d, g, Some(entries2),
+        k = 1, beam = 4, hops = 4)
+      .select("nid").as[Long].collect()
+    assert(stuck.sameElements(Array(2L)),
+      s"disconnected component must cap at its local optimum 2, got ${stuck.mkString}")
+    // degree=2 graph connects the chain; entry at 3 walks to 0
+    val g2 = GraphAnn.knnGraph(d, degree = 2, planes = 0, refineRounds = 0)
+    val entries3 = probes.select(lit(100L).as("qid"), lit(3L).as("nid"))
+    val found = GraphAnn.beamSearch(probes, d, g2, Some(entries3),
+        k = 1, beam = 2, hops = 3)
+      .select("nid").as[Long].collect()
+    assert(found.sameElements(Array(0L)), s"expected 0, got ${found.mkString}")
+  }
+
+  test("knnGraph maxBucket: identical-vector corpus stays bounded") {
+    val d = (0L until 40L).map(i => (i, Array(1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val edges = GraphAnn.knnGraph(d, degree = 3, planes = 1,
+        maxBucket = 8, refineRounds = 1)
+      .groupBy("src").count().as[(Long, Long)].collect()
+    assert(edges.forall(_._2 <= 3), "degree cap violated")
+    // only capped bucket members pair up in the seed; refinement can
+    // widen reach but never past degree
+    assert(edges.length <= 40)
+  }
+
+  test("planted twin certificate: pinned-entry search must cross the twin edge") {
+    val d = mixedCorpus(80, 8)
+    val twins = d.where(col("vec_id") < 3).select(
+      (col("vec_id") + 1000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = d.unionByName(twins)
+    val probes = d.where(col("vec_id") < 3).select(
+      (col("vec_id") + 2000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+    val g = GraphAnn.knnGraph(corpus, degree = 4, planes = 4,
+      maxBucket = 4096, refineRounds = 1)
+    val entries = probes.select(col("vec_id").as("qid"),
+      (col("vec_id") - 1000L).as("nid"))
+    val top1 = GraphAnn.beamSearch(probes, corpus, g, Some(entries),
+        k = 2, beam = 8, hops = 2)
+      .where(col("rank") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(top1 == Map(2000L -> 0L, 2001L -> 1L, 2002L -> 2L),
+      s"traversal certificate failed: $top1")
+  }
+}
