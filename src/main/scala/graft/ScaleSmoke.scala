@@ -836,6 +836,59 @@ object ScaleSmoke {
       f"top=${topHost.getString(0)} rank_e6=${topHost.getLong(1)}")
     assert(topHost.getString(0) == "h0.example.com",
       "the universally-linked hub must rank first")
+    // --- graph ANN at corpus size (round 15): NN-descent build + beam
+    // search. planes sizes to the corpus (bucket ~ n / 2^planes; the
+    // candidate volume is n * bucket * tables, so planes ~ log2(n)-4
+    // keeps it ~16n scored pairs at ANY n — the 100 TB sizing rule).
+    // degree 4 bounds the NN-descent round at n * (2*degree)^2 = 64n
+    // candidate pairs. 16 planted twins (2v at id+n) + probes (4v at
+    // id+2n) certify BOTH search legs at scale: entry pinned to the
+    // twin forces a real hop across the provably-present twin edge;
+    // LSH routing must find the source among bucket-mates.
+    t0 = System.nanoTime()
+    def gvec(id: C): C = transform(sequence(lit(1), lit(32)), j =>
+      ((pmod(xxhash64(id * 32 + j, lit(5581)), lit(2001)) - 1000) / 1000.0)
+        .cast("float"))
+    val gplanes = math.max(6, (math.log(n.toDouble) / math.log(2)).ceil.toInt - 4)
+    val gSrcIds = (0 until 16).map(i => i.toLong * (n / 16)).toArray
+    val gBase = spark.range(n).select(col("id").as("vec_id"),
+      gvec(col("id")).as("embedding"))
+    val gTwins = spark.range(n).where(col("id").isin(gSrcIds: _*))
+      .select((col("id") + n).as("vec_id"),
+        transform(gvec(col("id")), x => x * lit(2.0f)).as("embedding"))
+    val gCorpus = gBase.unionByName(gTwins).persist()
+    val gEdges = ops.GraphAnn.knnGraph(gCorpus, degree = 4, planes = gplanes,
+      maxBucket = 1024, refineRounds = 1).persist()
+    val nEdges = gEdges.count()
+    println(f"knnGraph($n vecs, planes=$gplanes): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, $nEdges edges")
+    assert(nEdges <= 4L * (n + 16), "degree cap violated")
+    val gProbes = spark.range(n).where(col("id").isin(gSrcIds: _*))
+      .select((col("id") + 2L * n).as("vec_id"),
+        transform(gvec(col("id")), x => x * lit(4.0f)).as("embedding"))
+    t0 = System.nanoTime()
+    val gEntries = gProbes.select(col("vec_id").as("qid"),
+      (col("vec_id") - n).as("nid"))
+    val hopTop1 = ops.GraphAnn.beamSearch(gProbes, gCorpus, gEdges,
+        Some(gEntries), k = 3, beam = 16, hops = 2)
+      .where(col("rank") === 1)
+      .select(col("qid"), col("nid")).collect()
+    println(f"beamSearch pinned-entry (16 probes): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s")
+    assert(hopTop1.length == 16 &&
+      hopTop1.forall(r => r.getLong(1) == r.getLong(0) - 2L * n),
+      s"hop certificate failed at scale: ${hopTop1.mkString(",")}")
+    t0 = System.nanoTime()
+    val routedTop1 = ops.GraphAnn.beamSearch(gProbes, gCorpus, gEdges,
+        None, k = 3, beam = 16, hops = 2, planes = gplanes)
+      .where(col("rank") === 1)
+      .select(col("qid"), col("nid")).collect()
+    println(f"beamSearch LSH-routed (16 probes): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s")
+    assert(routedTop1.length == 16 &&
+      routedTop1.forall(r => r.getLong(1) == r.getLong(0) - 2L * n),
+      s"routed certificate failed at scale: ${routedTop1.mkString(",")}")
+    gEdges.unpersist(false); gCorpus.unpersist(false)
     spark.stop()
   }
 }

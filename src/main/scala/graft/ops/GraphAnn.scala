@@ -102,31 +102,44 @@ object GraphAnn {
         row_number().over(
           Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("id"))))
       .where(col("_rn") <= maxBucket).drop("_rn")
+    // score in the join projection, dedupe AFTER: a pair co-bucketed in
+    // two tables computes its cosine twice (a few %), but the dedupe
+    // shuffle then carries bare (long, long, double) rows instead of two
+    // vectors per row
     val seeded = trimEdges(
       capped.as("a").join(capped.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
             col("a.id") =!= col("b.id"))
         .select(col("a.id").as("src"), col("b.id").as("dst"),
-          col("a.v").as("_sv"), col("b.v").as("_dv"))
-        .dropDuplicates("src", "dst") // a pair may co-bucket in several tables
-        .select(col("src"), col("dst"), cos(col("_sv"), col("_dv")).as("sim")),
+          cos(col("a.v"), col("b.v")).as("sim"))
+        .dropDuplicates("src", "dst"), // a pair may co-bucket in several tables
       degree)
-    val vv = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    (0 until refineRounds).foldLeft(seeded) { (edges, _) =>
-      // cosine is symmetric, so reverse edges reuse the forward sim
-      val und = edges.unionByName(
-          edges.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
-        .dropDuplicates("src", "dst")
-      val fresh = und.as("e1").join(und.as("e2"), col("e1.dst") === col("e2.src"))
-        .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
-        .where(col("src") =!= col("dst"))
-        .dropDuplicates("src", "dst")
-        .join(und.select("src", "dst"), Seq("src", "dst"), "left_anti")
-      val scored = fresh
-        .join(vv.select(col("id").as("src"), col("v").as("_sv")), "src")
-        .join(vv.select(col("id").as("dst"), col("v").as("_dv")), "dst")
-        .select(col("src"), col("dst"), cos(col("_sv"), col("_dv")).as("sim"))
-      trimEdges(und.unionByName(scored), degree)
+    if (refineRounds == 0) seeded
+    else {
+      // Each round references the previous edge frame four times (both
+      // sides of the neighbours-of-neighbours self-join, the anti-join,
+      // the union) — the q102 loop-invariant situation; without the
+      // eager checkpoint every reference replays the whole seed DAG
+      // (measured 5x the seed cost at 100k vectors).
+      val vv = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      (0 until refineRounds).foldLeft(
+        seeded.transform(graft.plans.CheckpointAudit.local)) { (edges, _) =>
+        // cosine is symmetric, so reverse edges reuse the forward sim
+        val und = edges.unionByName(
+            edges.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+          .dropDuplicates("src", "dst")
+        val fresh = und.as("e1").join(und.as("e2"), col("e1.dst") === col("e2.src"))
+          .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+          .where(col("src") =!= col("dst"))
+          .dropDuplicates("src", "dst")
+          .join(und.select("src", "dst"), Seq("src", "dst"), "left_anti")
+        val scored = fresh
+          .join(vv.select(col("id").as("src"), col("v").as("_sv")), "src")
+          .join(vv.select(col("id").as("dst"), col("v").as("_dv")), "dst")
+          .select(col("src"), col("dst"), cos(col("_sv"), col("_dv")).as("sim"))
+        trimEdges(und.unionByName(scored), degree)
+          .transform(graft.plans.CheckpointAudit.local)
+      }
     }
   }
 
