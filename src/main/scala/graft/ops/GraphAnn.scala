@@ -193,4 +193,103 @@ object GraphAnn {
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)))
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
+
+  // ------------------------------------------------------------- index
+
+  /** Persist a searchable graph index (the [[Similarity.buildIvfIndex]]
+    * discipline carried to the graph family):
+    *
+    *   - `path/meta` — one row `(planes, degree, tables)`; search and
+    *     append read it so the three sides can never disagree on the
+    *     hash geometry.
+    *   - `path/vectors` — `(nid, nvec)` partitioned by `b0`, the
+    *     table-0 (identity-view) bucket: entry routing and append both
+    *     select by `b0`, so the scan prunes to the touched bucket
+    *     directories.
+    *   - `path/edges` — `(src, dst, sim)` partitioned by
+    *     `shard = pmod(src, 64)`: appends touch only the shards their
+    *     sources hash to.
+    */
+  def buildGraphIndex(corpus: DataFrame, path: String, degree: Int = 8,
+                      planes: Int = 6, maxBucket: Int = 512,
+                      refineRounds: Int = 1, tables: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((planes, degree, tables)).toDF("planes", "degree", "tables")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        bucketOf(col(vecCol), planes).as("b0"))
+      .write.mode("overwrite").partitionBy("b0").parquet(s"$path/vectors")
+    knnGraph(corpus, degree, planes, maxBucket, refineRounds, tables,
+        idCol, vecCol)
+      .withColumn("shard", pmod(col("src"), lit(64L)).cast("int"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
+  }
+
+  private def loadMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getAs[Int]("planes"), r.getAs[Int]("degree"), r.getAs[Int]("tables"))
+  }
+
+  /** Incremental insert — the HNSW-insert analog, LSM-style: new nodes
+    * link to their table-0 bucket-mates (existing AND same-batch), and
+    * each touched mate gains back-edges to its best new arrivals, all
+    * as APPENDED files. Old edge files are never rewritten, so a mate's
+    * effective degree drifts up by at most `degree` per append until a
+    * [[buildGraphIndex]] compaction re-trims — breadth cost during
+    * search, never a correctness one. Per-batch reads: the batch, the
+    * meta row, and ONLY the touched `b0` vector directories. */
+  def appendToGraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batch: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val (planes, degree, _) = loadMeta(spark, path)
+    val bv = batch.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      bucketOf(col(vecCol), planes).as("b0"))
+    // existing mates: the broadcast bucket join prunes the vectors scan
+    // to the batch's bucket directories (partition column filter)
+    val mates = spark.read.parquet(s"$path/vectors")
+      .join(broadcast(bv.select(col("b0")).distinct()), Seq("b0"))
+    val newToOld = bv.as("b").join(mates.as("m"), Seq("b0"))
+      .select(col("b.nid").as("src"), col("m.nid").as("dst"),
+        cos(col("b.nvec"), col("m.nvec")).as("sim"))
+    val newToNew = bv.as("x").join(bv.as("y"),
+        col("x.b0") === col("y.b0") && col("x.nid") =!= col("y.nid"))
+      .select(col("x.nid").as("src"), col("y.nid").as("dst"),
+        cos(col("x.nvec"), col("y.nvec")).as("sim"))
+    val fwd = trimEdges(newToOld.unionByName(newToNew), degree)
+    // back-edges: each touched mate links to its best new arrivals
+    val back = trimEdges(newToOld.select(col("dst").as("src"),
+      col("src").as("dst"), col("sim")), degree)
+    fwd.unionByName(back)
+      .withColumn("shard", pmod(col("src"), lit(64L)).cast("int"))
+      .write.mode("append").partitionBy("shard").parquet(s"$path/edges")
+    bv.write.mode("append").partitionBy("b0").parquet(s"$path/vectors")
+  }
+
+  /** Search a persisted graph index: entry candidates come from the
+    * query's `b0` bucket directory (pruned scan, zero bucket recompute
+    * on the corpus side), then [[beamSearch]] walks the stored edges.
+    * Appended duplicates of an (src, dst) edge are harmless — the
+    * frontier dedupes per hop. */
+  def searchGraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int = 5, beam: Int = 16,
+                       hops: Int = 2, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val (planes, _, _) = loadMeta(spark, path)
+    val corpus = spark.read.parquet(s"$path/vectors")
+      .select(col("nid").as(idCol), col("nvec").as(vecCol))
+    // beamSearch walks (src, dst) only — it re-scores every frontier
+    // against the query, so stored sims never need to load
+    val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
+    val qb = broadcast(queries.select(col(idCol).as("qid"),
+      bucketOf(col(vecCol), planes).as("b0")))
+    val entries = spark.read.parquet(s"$path/vectors")
+      .join(qb, Seq("b0"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    beamSearch(queries, corpus, edges, Some(entries), k, beam, hops, planes,
+      idCol, vecCol)
+  }
 }
