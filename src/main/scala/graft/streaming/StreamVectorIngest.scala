@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ops.GraphAnn
+
+/** Streaming vector ingest into the persisted graph-ANN index —
+  * [[GraphAnn.appendToGraphIndex]] as a resident query: embedding rows
+  * arrive on a stream and each micro-batch LSM-appends into the index
+  * built once by [[GraphAnn.buildGraphIndex]] (the
+  * [[graft.ops.Similarity.appendToIvfIndex]] ingest path carried to
+  * the graph family).
+  *
+  * Semantics and their limits, stated plainly:
+  *   - Append is NOT replay-idempotent at the storage layer: a batch
+  *     re-delivered after a checkpoint rollback appends its vector and
+  *     edge files twice. Duplicate (src, dst) edges are harmless —
+  *     [[GraphAnn.beamSearch]] dedupes every frontier — and duplicate
+  *     vector rows of the SAME (id, vector) only widen scoring joins;
+  *     they never change a top-k (equal sims tie-break to the same
+  *     nid). Exact-once storage would need the `_batch`
+  *     dynamic-overwrite ledger, which conflicts with the index's
+  *     directory layout; the spec pins the search-result invariance
+  *     instead.
+  *   - Stream == batch by construction: appendToGraphIndex is a pure
+  *     function of (index state, batch), so N micro-batches land the
+  *     same edges as the same rows appended in N driver-side calls —
+  *     the spec asserts identical search results, not file layouts.
+  *   - Effective degree drifts up per append until a rebuild compacts
+  *     (the LSM discipline documented on appendToGraphIndex).
+  */
+object StreamVectorIngest {
+
+  /** One micro-batch: LSM-append into the index at `indexPath`. */
+  def ingestBatch(batch: DataFrame, indexPath: String,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    if (batch.isEmpty) return
+    GraphAnn.appendToGraphIndex(batch.sparkSession, indexPath, batch,
+      idCol, vecCol)
+  }
+
+  /** Start the resident ingester over a streaming embedding frame. */
+  def start(vectors: DataFrame, indexPath: String, checkpointDir: String,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        ingestBatch(batch, indexPath, idCol, vecCol)
+      }
+      .start()
+
+  /** Search the live index (any prefix of the stream is searchable). */
+  def search(spark: SparkSession, indexPath: String, queries: DataFrame,
+             k: Int = 5, beam: Int = 16, hops: Int = 2): DataFrame =
+    GraphAnn.searchGraphIndex(spark, indexPath, queries, k, beam, hops)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.GraphAnn
+import graft.streaming.StreamVectorIngest
+
+/** Streaming vector ingest: search over the live index == search over
+  * the same rows appended batch-side, any stream prefix searchable,
+  * duplicate re-delivery leaves every top-k unchanged, empty-batch
+  * no-op. */
+class StreamVectorIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vrow(id: Long, scale: Float): (Long, Array[Float]) =
+    id -> Array.tabulate(8) { j =>
+      val h = (id * 8 + j) * 0x9E3779B97F4A7C15L
+      (((h >>> 11).toDouble / (1L << 53).toDouble * 2 - 1) * scale).toFloat
+    }
+
+  private val base = (0L until 40L).map(vrow(_, 1.0f))
+  private val wave1 = (100L until 110L).map(vrow(_, 1.0f))
+  // wave 2 plants exact twins of base vectors 0..2 at id+1000
+  private val wave2 = (0L until 3L).map(i =>
+    (i + 1000L) -> vrow(i, 2.0f)._2)
+
+  private def vdf(rows: Seq[(Long, Array[Float])]): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private def top1(res: DataFrame): Map[Long, Long] =
+    res.where(col("rank") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+
+  test("stream ingest == batch append; planted twins searchable at each prefix") {
+    val root = Files.createTempDirectory("svi").toString
+    GraphAnn.buildGraphIndex(vdf(base), s"$root/stream", degree = 4,
+      planes = 4, refineRounds = 0)
+    GraphAnn.buildGraphIndex(vdf(base), s"$root/batch", degree = 4,
+      planes = 4, refineRounds = 0)
+    // probes: 4x of base 0..2 -> source (rank 1) then its wave-2 twin
+    val probes = vdf((0L until 3L).map(i => (i + 2000L) -> vrow(i, 4.0f)._2))
+
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamVectorIngest.start(
+      input.toDF().toDF("vec_id", "embedding"), s"$root/stream", s"$root/ck")
+    try {
+      input.addData(wave1: _*); q.processAllAvailable()
+      // prefix searchable: sources still win after an unrelated wave
+      assert(top1(StreamVectorIngest.search(spark, s"$root/stream", probes,
+        k = 2, hops = 1)) == Map(2000L -> 0L, 2001L -> 1L, 2002L -> 2L))
+      input.addData(wave2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    GraphAnn.appendToGraphIndex(spark, s"$root/batch", vdf(wave1))
+    GraphAnn.appendToGraphIndex(spark, s"$root/batch", vdf(wave2))
+    def top2(path: String): Map[Long, List[Long]] =
+      StreamVectorIngest.search(spark, path, probes, k = 2, hops = 1)
+        .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+        .groupBy(_._1).map { case (qid, rs) =>
+          qid -> rs.sortBy(_._3).map(_._2).toList }
+    val streamed = top2(s"$root/stream")
+    assert(streamed == top2(s"$root/batch"), "stream and batch diverged")
+    // the appended twin ranks right behind its source (cos ties at 1.0,
+    // id tie-break): proves wave-2 rows entered the live index
+    assert(streamed == Map(2000L -> List(0L, 1000L),
+      2001L -> List(1L, 1001L), 2002L -> List(2L, 1002L)), s"$streamed")
+  }
+
+  test("duplicate re-delivery leaves search results unchanged") {
+    val root = Files.createTempDirectory("svi2").toString
+    GraphAnn.buildGraphIndex(vdf(base), s"$root/ix", degree = 4,
+      planes = 4, refineRounds = 0)
+    StreamVectorIngest.ingestBatch(vdf(wave2), s"$root/ix")
+    val probes = vdf((0L until 3L).map(i => (i + 2000L) -> vrow(i, 4.0f)._2))
+    val before = top1(StreamVectorIngest.search(spark, s"$root/ix", probes,
+      k = 2, hops = 1))
+    // replayed batch: same (id, vector) rows appended again
+    StreamVectorIngest.ingestBatch(vdf(wave2), s"$root/ix")
+    val after = top1(StreamVectorIngest.search(spark, s"$root/ix", probes,
+      k = 2, hops = 1))
+    assert(before == after && before == Map(2000L -> 0L, 2001L -> 1L,
+      2002L -> 2L), s"replay changed results: $before -> $after")
+  }
+
+  test("empty batch is a no-op") {
+    val root = Files.createTempDirectory("svi3").toString
+    GraphAnn.buildGraphIndex(vdf(base), s"$root/ix", degree = 4,
+      planes = 4, refineRounds = 0)
+    val filesBefore = new java.io.File(s"$root/ix/vectors").listFiles().length
+    StreamVectorIngest.ingestBatch(vdf(base).where(lit(false)), s"$root/ix")
+    assert(new java.io.File(s"$root/ix/vectors").listFiles().length ==
+      filesBefore, "empty batch must not touch the index")
+  }
+}
