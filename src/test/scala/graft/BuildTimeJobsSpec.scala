@@ -85,7 +85,12 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // grandfathered above); q257 trains the unigram vocabulary on its
     // bounded sample (the q219 precedent)
     "q251_outlinks", "q253_host_rank", "q257_cjk_fertility",
-    "q260_crawl_schedule")
+    "q260_crawl_schedule",
+    // round 15 second wave: both graph-ANN certificates build the k-NN
+    // graph with an NN-descent round, which eagerly checkpoints the
+    // seed edge frame (the q102/q253 loop-invariant discipline — each
+    // round references it four times)
+    "q261_graph_ann_hop", "q262_graph_ann_routed")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
