@@ -152,10 +152,21 @@ object GraphAnn {
     * trimmed to `beam` like every subsequent frontier. Queries are
     * a bounded probe batch (broadcast twice per hop); the corpus
     * side only ever moves through id-keyed joins.
+    *
+    * `allowed` restricts the RESULT to a predicate population (one
+    * `(nid)` column — "search within label", the q87 filtered-ANN
+    * contract) while the walk still traverses every node: filtering
+    * the graph itself would disconnect it exactly when the predicate
+    * is selective, which is when filtered search matters. The beam
+    * stays unfiltered; only the final top-k semi-joins the allow
+    * list, so `k` of the last beam must survive the filter — raise
+    * `beam` for very selective predicates (the standard HNSW
+    * post-filter guidance).
     */
   def beamSearch(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
                  entries: Option[DataFrame] = None,
                  k: Int = 5, beam: Int = 16, hops: Int = 2, planes: Int = 6,
+                 allowed: Option[DataFrame] = None,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && beam >= k && hops >= 0 && planes >= 0)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -188,7 +199,13 @@ object GraphAnn {
         .join(bm.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
       trim(bm.unionByName(score(expand)), beam)
     }
-    trim(fin, k)
+    val result = allowed match {
+      case Some(a) => fin.join(
+        a.select(a.columns.head).toDF("nid").dropDuplicates("nid"),
+        Seq("nid"), "left_semi")
+      case None => fin
+    }
+    trim(result, k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)))
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
@@ -290,6 +307,6 @@ object GraphAnn {
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
     beamSearch(queries, corpus, edges, Some(entries), k, beam, hops, planes,
-      idCol, vecCol)
+      idCol = idCol, vecCol = vecCol)
   }
 }

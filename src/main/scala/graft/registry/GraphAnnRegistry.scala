@@ -77,11 +77,34 @@ private[graft] object GraphAnnRegistry {
       val probes = scaled(emb, 4.0f, probeOff)
       top1(GraphAnn.beamSearch(probes, corpus, graph(corpus),
         entries = None, k = 5, beam = 16, hops = 2, planes = 6), "routed_ok")
+    }),
+    // filtered ANN through the graph (the q87 "search within label"
+    // contract as a post-filter on the walk): the allow list keeps
+    // ONLY the planted twins, so the source v — cos 1.0 and the id
+    // tie-break winner in q262 — is excluded and the top-1 MUST flip
+    // to the twin t. A false row means the filter leaked v through,
+    // dropped t, or filtered the TRAVERSAL (disconnecting t's bucket
+    // from scoring would surface here too).
+    "q263_graph_ann_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = corpusWithTwins(emb)
+      val probes = scaled(emb, 4.0f, probeOff)
+      val twinsOnly = corpus.where(col("vec_id") >= lit(twinOff))
+        .select(col("vec_id").as("nid"))
+      GraphAnn.beamSearch(probes, corpus, graph(corpus),
+          entries = None, k = 5, beam = 16, hops = 2, planes = 6,
+          allowed = Some(twinsOnly))
+        .where(col("rank") === 1)
+        .select(col("qid"),
+          (col("nid") === col("qid") - lit(probeOff) + lit(twinOff))
+            .as("filtered_ok"))
     }))
 
   val oracleSql: Map[String, String] = Map(
     "q261_graph_ann_hop" ->
       "SELECT vec_id + 2000000 qid, TRUE hop_ok FROM embeddings WHERE vec_id < 5",
     "q262_graph_ann_routed" ->
-      "SELECT vec_id + 2000000 qid, TRUE routed_ok FROM embeddings WHERE vec_id < 5")
+      "SELECT vec_id + 2000000 qid, TRUE routed_ok FROM embeddings WHERE vec_id < 5",
+    "q263_graph_ann_filtered" ->
+      "SELECT vec_id + 2000000 qid, TRUE filtered_ok FROM embeddings WHERE vec_id < 5")
 }

@@ -105,6 +105,44 @@ class GraphAnnSpec extends SparkTestBase {
     assert(found.sameElements(Array(0L)), s"expected 0, got ${found.mkString}")
   }
 
+  test("beamSearch allowed filter: equals brute force on the filtered corpus; flips a planted winner") {
+    val d = mixedCorpus(60, 8)
+    val probes = d.where(col("vec_id") < 3).select(
+      (col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val g = GraphAnn.knnGraph(d, degree = 4, planes = 0, refineRounds = 0)
+    val allow = d.where(col("vec_id") % 3 === 1).select(col("vec_id").as("nid"))
+    // exhaustive mode + full beam + post-filter == brute force over the
+    // pre-filtered corpus (the filter is semantically a restriction of
+    // the candidate population when nothing is pruned)
+    val got = GraphAnn.beamSearch(probes, d, g, k = 3, beam = 60, hops = 0,
+        planes = 0, allowed = Some(allow))
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceKnn(probes,
+        d.where(col("vec_id") % 3 === 1), k = 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+    // planted flip: twin excluded from the allow list loses its slot
+    val twins = d.where(col("vec_id") < 1).select(
+      (col("vec_id") + 1000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = d.unionByName(twins)
+    val g2 = GraphAnn.knnGraph(corpus, degree = 4, planes = 0, refineRounds = 0)
+    val probe0 = corpus.where(col("vec_id") === 1000L).select(
+      lit(2000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val unfiltered = GraphAnn.beamSearch(probe0, corpus, g2, k = 1,
+        beam = 8, hops = 1, planes = 0)
+      .select("nid").as[Long].collect()
+    assert(unfiltered.sameElements(Array(0L)), "id tie-break picks the source")
+    val onlyTwins = corpus.where(col("vec_id") >= 1000L)
+      .select(col("vec_id").as("nid"))
+    val filtered = GraphAnn.beamSearch(probe0, corpus, g2, k = 1,
+        beam = 8, hops = 1, planes = 0, allowed = Some(onlyTwins))
+      .select("nid").as[Long].collect()
+    assert(filtered.sameElements(Array(1000L)),
+      s"filter must flip the winner to the twin: ${filtered.mkString}")
+  }
+
   test("knnGraph maxBucket: identical-vector corpus stays bounded") {
     val d = (0L until 40L).map(i => (i, Array(1f, 1f, 1f))).toDF("vec_id", "embedding")
     val edges = GraphAnn.knnGraph(d, degree = 3, planes = 1,
