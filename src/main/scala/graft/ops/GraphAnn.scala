@@ -153,6 +153,13 @@ object GraphAnn {
     * a bounded probe batch (broadcast twice per hop); the corpus
     * side only ever moves through id-keyed joins.
     *
+    * Id-space contract (the [[Similarity.bruteForceKnn]]/lshKnn
+    * convention): query and corpus ids share ONE space — a corpus
+    * node with a query's id is treated as the query itself and
+    * self-excluded from routing and every frontier. Probes that are
+    * not corpus members must carry ids outside the corpus range
+    * (every in-repo caller offsets by +1e6/+2n).
+    *
     * `allowed` restricts the RESULT to a predicate population (one
     * `(nid)` column — "search within label", the q87 filtered-ANN
     * contract) while the walk still traverses every node: filtering
@@ -205,9 +212,12 @@ object GraphAnn {
         Seq("nid"), "left_semi")
       case None => fin
     }
-    trim(result, k)
-      .withColumn("rank", row_number().over(
+    // one window does both the final cut and the rank (a trim-then-rank
+    // pair re-sorts every qid partition a second time — the filter
+    // between them blocks CollapseWindow)
+    result.withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)))
+      .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
@@ -266,8 +276,11 @@ object GraphAnn {
       bucketOf(col(vecCol), planes).as("b0"))
     // existing mates: the broadcast bucket join prunes the vectors scan
     // to the batch's bucket directories (partition column filter)
+    // dropDuplicates: a previously replayed append may have duplicated
+    // a mate row; scoring it twice would waste degree slots in the trim
     val mates = spark.read.parquet(s"$path/vectors")
       .join(broadcast(bv.select(col("b0")).distinct()), Seq("b0"))
+      .dropDuplicates("nid")
     val newToOld = bv.as("b").join(mates.as("m"), Seq("b0"))
       .select(col("b.nid").as("src"), col("m.nid").as("dst"),
         cos(col("b.nvec"), col("m.nvec")).as("sim"))
@@ -295,8 +308,13 @@ object GraphAnn {
                        hops: Int = 2, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val (planes, _, _) = loadMeta(spark, path)
+    // a replayed append (see StreamVectorIngest) can land the same
+    // (nid, nvec) row twice; without this dedupe a duplicated unique
+    // nearest neighbour would occupy TWO top-k ranks and evict the
+    // true second neighbour
     val corpus = spark.read.parquet(s"$path/vectors")
       .select(col("nid").as(idCol), col("nvec").as(vecCol))
+      .dropDuplicates(idCol)
     // beamSearch walks (src, dst) only — it re-scores every frontier
     // against the query, so stored sims never need to load
     val edges = spark.read.parquet(s"$path/edges").select("src", "dst")

@@ -85,6 +85,26 @@ class StreamVectorIngestSpec extends SparkTestBase {
       2002L -> 2L), s"replay changed results: $before -> $after")
   }
 
+  test("replayed UNIQUE nearest neighbor occupies one rank, not two") {
+    // the review scenario the twin test can't catch: the re-delivered
+    // node is a query's unique nearest neighbor (no base twin), so a
+    // duplicate corpus row would take ranks 1 AND 2 and evict the true
+    // second neighbor
+    val root = Files.createTempDirectory("svi4").toString
+    GraphAnn.buildGraphIndex(vdf(base), s"$root/ix", degree = 4,
+      planes = 4, refineRounds = 0)
+    val solo = Seq(vrow(500L, 1.0f))
+    StreamVectorIngest.ingestBatch(vdf(solo), s"$root/ix")
+    StreamVectorIngest.ingestBatch(vdf(solo), s"$root/ix") // re-delivery
+    val probe = vdf(Seq((2500L, vrow(500L, 2.0f)._2)))
+    val top2 = StreamVectorIngest.search(spark, s"$root/ix", probe,
+        k = 2, hops = 1)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+      .sortBy(_._3)
+    assert(top2.length == 2 && top2(0)._2 == 500L && top2(1)._2 != 500L,
+      s"duplicate row must not occupy two ranks: ${top2.mkString(",")}")
+  }
+
   test("empty batch is a no-op") {
     val root = Files.createTempDirectory("svi3").toString
     GraphAnn.buildGraphIndex(vdf(base), s"$root/ix", degree = 4,
