@@ -221,6 +221,36 @@ object GraphAnn {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** Embedding near-duplicate removal via the k-NN graph — the third
+    * scale path next to [[Similarity.nearDupPairsExact]] (all-pairs,
+    * slice-bounded) and [[Similarity.semDedup]] (within-IVF-cluster
+    * pairs): threshold the graph's edges at `tau`, resolve connected
+    * components ([[Curate.dupClusters]] min-label propagation), keep
+    * each component's minimum id — the semDedup survivor rule, so the
+    * two operators are drop-in comparable.
+    *
+    * Approximation contract, stated plainly: a true near-dup pair that
+    * shares NO hash-table bucket and no neighbours-of-neighbours path
+    * is missed (survives) — the LSH-candidate trade every graph build
+    * makes. Exact copies always share every bucket, so identical-twin
+    * certificates are provable. A node with more than `degree`
+    * near-identical twins keeps only `degree` edges, but components
+    * still close transitively through the twins' own mutual edges. */
+  def nearDupSurvivors(embeddings: DataFrame, tau: Double = 0.99,
+                       degree: Int = 8, planes: Int = 6, maxBucket: Int = 512,
+                       refineRounds: Int = 1, tables: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val edges = knnGraph(embeddings, degree, planes, maxBucket,
+        refineRounds, tables, idCol, vecCol)
+      .where(col("sim") >= tau)
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val dropped = Curate.dupClusters(edges)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    embeddings.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- index
 
   /** Persist a searchable graph index (the [[Similarity.buildIvfIndex]]

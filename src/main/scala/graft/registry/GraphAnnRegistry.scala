@@ -98,6 +98,22 @@ private[graft] object GraphAnnRegistry {
         .select(col("qid"),
           (col("nid") === col("qid") - lit(probeOff) + lit(twinOff))
             .as("filtered_ok"))
+    }),
+    // graph-based near-dup removal (the q93 semDedup certificate shape
+    // over the k-NN-graph path): every 10th vector gets an IDENTICAL
+    // twin at +1e6 — identical vectors share every hash-table bucket,
+    // the sim-1.0 edge is each side's rank-1 edge (trim-proof), the
+    // component resolves to the source's lower id — so the survivor
+    // set is EXACTLY the original corpus. A missing row means the
+    // graph lost a twin edge; an extra row means a false near-dup
+    // crossed tau.
+    "q264_graph_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val twins = emb.where(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(twinOff))
+      GraphAnn.nearDupSurvivors(emb.unionByName(twins), tau = 0.99,
+          degree = 4, planes = 6, maxBucket = 65536, refineRounds = 1)
+        .select(col("vec_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -106,5 +122,7 @@ private[graft] object GraphAnnRegistry {
     "q262_graph_ann_routed" ->
       "SELECT vec_id + 2000000 qid, TRUE routed_ok FROM embeddings WHERE vec_id < 5",
     "q263_graph_ann_filtered" ->
-      "SELECT vec_id + 2000000 qid, TRUE filtered_ok FROM embeddings WHERE vec_id < 5")
+      "SELECT vec_id + 2000000 qid, TRUE filtered_ok FROM embeddings WHERE vec_id < 5",
+    "q264_graph_neardup" ->
+      "SELECT vec_id FROM embeddings")
 }

@@ -90,7 +90,10 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // graph with an NN-descent round, which eagerly checkpoints the
     // seed edge frame (the q102/q253 loop-invariant discipline — each
     // round references it four times)
-    "q261_graph_ann_hop", "q262_graph_ann_routed", "q263_graph_ann_filtered")
+    "q261_graph_ann_hop", "q262_graph_ann_routed", "q263_graph_ann_filtered",
+    // q264 chains the eager graph build into dupClusters' label-
+    // propagation loop (the q49/q93 class)
+    "q264_graph_neardup")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -154,6 +154,27 @@ class GraphAnnSpec extends SparkTestBase {
     assert(edges.length <= 40)
   }
 
+  test("nearDupSurvivors: identical twins drop, chain components resolve to the min id") {
+    val d = mixedCorpus(50, 8)
+    val twins = d.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val got = GraphAnn.nearDupSurvivors(d.unionByName(twins), tau = 0.99,
+        degree = 4, planes = 4, refineRounds = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == (0L until 50L).toSet,
+      s"survivors must be exactly the original corpus: ${got.diff((0L until 50L).toSet)}")
+    // transitive chain: v, 2v, 4v are pairwise cos 1.0 — one component,
+    // min id survives even though 4v's direct edge to v may lose the
+    // degree trim to 2v
+    val chain = vecs(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(2f, 0f, 0f)),
+      (2L, Array(4f, 0f, 0f)), (3L, Array(0f, 1f, 0f)))
+    val got2 = GraphAnn.nearDupSurvivors(chain, tau = 0.99, degree = 1,
+        planes = 0, refineRounds = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got2 == Set(0L, 3L), s"chain must collapse to its min id: $got2")
+  }
+
   test("planted twin certificate: pinned-entry search must cross the twin edge") {
     val d = mixedCorpus(80, 8)
     val twins = d.where(col("vec_id") < 3).select(
