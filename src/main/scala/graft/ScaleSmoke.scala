@@ -888,6 +888,20 @@ object ScaleSmoke {
     assert(routedTop1.length == 16 &&
       routedTop1.forall(r => r.getLong(1) == r.getLong(0) - 2L * n),
       s"routed certificate failed at scale: ${routedTop1.mkString(",")}")
+    // near-dup resolve over the SAME graph: tau-thresholded edges ->
+    // components -> exactly the 16 planted twins drop (random dim-32
+    // hash vectors concentrate at |cos| ~ 0.18/sqrt(1), so a false
+    // 0.99-pair among ~16n scored candidates is ~impossible)
+    t0 = System.nanoTime()
+    val gDropped = ops.Curate.dupClusters(
+        gEdges.where(col("sim") >= 0.99)
+          .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id").as[Long].collect().toSet
+    println(f"graph nearDup resolve($n+16 vecs): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, ${gDropped.size} dropped")
+    assert(gDropped == gSrcIds.map(_ + n).toSet,
+      s"exactly the planted twins must drop: ${gDropped.take(5)}...")
     gEdges.unpersist(false); gCorpus.unpersist(false)
     spark.stop()
   }
