@@ -224,7 +224,8 @@ object SparkEntry {
       registry.EvalRegistry.queries ++ registry.SketchRegistry.queries ++
       registry.ClusterRegistry.queries ++ registry.RelationalRegistry.queries ++
       registry.GovernanceRegistry.queries ++ registry.ChatRegistry.queries ++
-      registry.MediaRegistry.queries ++ registry.DedupRegistry.queries
+      registry.MediaRegistry.queries ++ registry.DedupRegistry.queries ++
+      registry.QualityRegistry.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity (SURVEY.md §2) ---
@@ -238,8 +239,6 @@ object SparkEntry {
       Aggregate.recent(Tables.events(s, d), "ts", 5)),
     "q21_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))),
-    "q22_quality" -> ((s, d) =>
-      TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q23_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))),
     "q24_fingerprint" -> ((s, d) =>
@@ -527,28 +526,6 @@ object SparkEntry {
           min(col("o_orderdate")).as("first_dt"),
           max(col("o_orderdate")).as("last_dt"))
     }),
-    // Gopher repetition filters — the single-pass codegen'd variant
-    // (Quality.gopherRepetitionFast, zero shuffles); the oracle below
-    // re-derives the relational definition (explode grams, count, argmax
-    // with cnt DESC / gram ASC ties) independently, so the oracle match
-    // doubles as the fast==exact equivalence proof at SF scale
-    "q116_gopher_rep" -> ((s, d) =>
-      Quality.gopherRepetitionFast(Tables.documents(s, d))),
-    // Gopher quality battery (Quality.gopherQuality): word stats, symbol
-    // ratio, bullet/ellipsis line fractions, alpha-word fraction — lines
-    // and symbols planted in-plan so every rule fires
-    "q120_gopher_quality" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val lined = docs.select(col("doc_id"), concat_ws("\n",
-        concat(lit("BOILER "), col("source"),
-          when(col("doc_id") % 3 === 0, lit(" #tag")).otherwise(lit(""))),
-        concat(when(col("doc_id") % 5 === 0, lit("- ")).otherwise(lit("")),
-          lit("SEG "), (col("doc_id") % 50).cast("string")),
-        concat(col("text"),
-          when(col("doc_id") % 7 === 0, lit(" ...")).otherwise(lit(""))))
-        .as("text"))
-      Quality.gopherQuality(lined, minWords = 10, maxWords = 500)
-    }),
     // BQ + rescore (Similarity.bqKnn): 1-bit sign quantization, XOR/POPCNT
     // Hamming shortlist, exact cosine rescoring. Planted-probe
     // DSIR importance resampling (ops/Importance, Xie et al. NeurIPS '23):
@@ -560,43 +537,6 @@ object SparkEntry {
     "q123_dsir" -> ((s, d) =>
       Importance.dsirResample(Tables.documents(s, d),
         Tables.documents(s, d).where(col("lang") === "en"), k = 100)),
-    // C4 line-level quality pass (Curate.c4Filter, Raffel et al. '20
-    // §2.2). Multi-line fixture synthesized in-plan (q118 discipline):
-    // a terminal-punct body line, a too-short line, a no-punct line, a
-    // javascript line, and per-id-class lorem-ipsum / curly-brace poison
-    // docs; the oracle re-derives every rule from the same fixture
-    "q124_c4_filter" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val lined = docs.select(col("doc_id"),
-        concat_ws("\n",
-          concat(col("text"), lit(".")),
-          lit("too short."),
-          lit("this line has no terminal punctuation at all"),
-          lit("Please enable javascript to continue reading this."),
-          when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet."))
-            .otherwise(concat(lit("SEG "), (col("doc_id") % 7).cast("string"),
-              lit(" closing words to keep here."))),
-          when(col("doc_id") % 17 === 0, lit("function f() { return 1; }"))
-            .otherwise(lit("Another good sentence stays right here."))).as("text"))
-      Curate.c4Filter(lined)
-    }),
-    // The Stack / StarCoder structural code filters
-    // (Quality.stackCodeFilters): fixture plants an auto-generated
-    // header (id%13), a symbol-soup low-alnum body (id%17), and a
-    // 1200-char minified line (id%11) so every cut fires
-    "q125_stack_filters" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val coded = docs.select(col("doc_id"),
-        concat_ws("\n",
-          when(col("doc_id") % 13 === 0,
-            lit("// Auto-Generated by graft-gen; do not edit"))
-            .otherwise(concat(lit("// module m"), (col("doc_id") % 5).cast("string"))),
-          when(col("doc_id") % 17 === 0, repeat(lit("+++ --- "), 40))
-            .otherwise(col("text")),
-          when(col("doc_id") % 11 === 0, repeat(lit("x"), 1200))
-            .otherwise(lit("return 0;"))).as("text"))
-      Quality.stackCodeFilters(coded)
-    }),
     // temperature-flattened mixture resampling (Curate.temperatureSample,
     // τ pinned at 1/2 so the keep-rate sqrt(n_min/n_s) is IEEE-exact in
     // both engines); the 7/2/1 source skew is q82's synthetic mixture
@@ -613,15 +553,6 @@ object SparkEntry {
     // the boundary rule, and the prefix-count chunk ids
     "q128_content_chunks" -> ((s, d) =>
       Curate.contentChunks(Tables.documents(s, d))),
-    // CCNet perplexity tiers (Perplexity.perplexityBuckets, Wenzek et
-    // al. '20 §4): hashed-bigram add-one LM on the lang='en' target,
-    // integer surprisal ratios + exact integer log2 (binary-length),
-    // value-threshold head/middle/tail tertiles; the oracle re-derives
-    // the model tables, both sums, and the cutoffs independently
-    "q130_ccnet_ppl" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Perplexity.perplexityBuckets(docs, docs.where(col("lang") === "en"))
-    }),
     // fastText-style lang-id (LangId.langIdFasttext, Joulin et al. '16):
     // hashed char 2-/3-gram NB with exact integer log2 weights, trained
     // in-plan on the corpus labels, argmax ties to the smallest lang;
@@ -629,14 +560,6 @@ object SparkEntry {
     // feature fold, the smoothed weight grid, and the argmax
     "q23b_lang_id_ft" -> ((s, d) =>
       LangId.langIdFasttext(Tables.documents(s, d))),
-    // composed FineWeb-style curation (Pipeline.fineWebCurate): span
-    // dedup -> repetition gate on the CLEANED text -> perplexity tiers
-    // with thresholds on the survivor distribution -> per-source cap;
-    // the oracle chains the independently-derived twins of all four
-    // stages, so the composition semantics (stage order, what each
-    // threshold is computed over) are themselves oracled
-    "q131_fineweb_pipeline" -> ((s, d) =>
-      Pipeline.fineWebCurate(Tables.documents(s, d))),
     // eval-contamination report (Curate.overlapReport, GPT-3 appendix C /
     // Lee et al. '21 methodology): benchmark synthesized in-plan as
     // 30-token corpus prefixes + novel suffixes, so hit fractions and
@@ -653,22 +576,6 @@ object SparkEntry {
           concat(lit("novel"), col("doc_id"), lit("_d")),
           concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
       Curate.overlapReport(docs, bench, n = 5)
-    }),
-    // unigram-entropy quality gate (Quality.unigramEntropy, the
-    // RefinedWeb/Dolma signal): exact-integer floor-log2 surprisal over
-    // the per-doc token distribution, computed scan-side (zero shuffles);
-    // repetitive (40x one token) and doubled-text classes planted
-    // in-plan so every verdict occurs; the oracle replays token counts,
-    // the N-div-c ratios, length(bin())-1 log2s, and the permille
-    // normalization exactly
-    "q142_unigram_entropy" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val planted = when(pmod(col("doc_id"), lit(7)) === 0,
-          array_join(array_repeat(lit("spam"), 40), " "))
-        .when(pmod(col("doc_id"), lit(7)) === 3,
-          concat_ws(" ", col("text"), col("text")))
-        .otherwise(col("text"))
-      Quality.unigramEntropy(docs.select(col("doc_id"), planted.as("text")))
     }),
     // BM25 inverted-index retrieval (Retrieval.bm25): queries synthesized
     // in-plan (tokens 3..6 of every 100th doc), scored in exact
@@ -752,29 +659,6 @@ object SparkEntry {
     // exact ppm; one persisted token-count frame feeds both
     "q159_vocab_growth" -> ((s, d) =>
       TextAnalysis.vocabularyGrowth(Tables.documents(s, d))),
-    // script-mix report (TextAnalysis.scriptMix): the code-switching /
-    // encoding-mixup signal lang-id can't express — per-doc ppm of the
-    // Latin/digit/Cyrillic/CJK character classes over non-space chars,
-    // plus the mixed-script flag; Cyrillic and CJK runs planted in-plan
-    // (%13 / %17) so both scripts and the flag fire; literal character
-    // ranges, so both engines' regex count the identical classes
-    "q171_script_mix" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val planted = when(pmod(col("doc_id"), lit(13)) === 0,
-          concat(col("text"), lit(" привет мир")))
-        .when(pmod(col("doc_id"), lit(17)) === 0,
-          concat(col("text"), lit(" 你好 世界")))
-        .otherwise(col("text"))
-      TextAnalysis.scriptMix(docs.select(col("doc_id"), planted.as("text")))
-    }),
-    // Zipf rank-frequency fit (TextAnalysis.zipfFit, Zipf '49): the
-    // corpus-level power-law shape check next to q195's datasheet —
-    // ranks/frequencies in floor-log2 octaves (the ilog2 device), octave
-    // means in milli-units, least-squares slope/intercept as exact
-    // rationals with the numerator sign factored out of the one
-    // division (div truncates / // floors — the cohenKappa rule)
-    "q205_zipf_fit" -> ((s, d) =>
-      TextAnalysis.zipfFit(Tables.documents(s, d))),
     // exact integer waterfilling token-budget allocation (Importance
     // .waterfillAllocation): the "data recipe" solver — equal shares
     // capped at availability, freed share redistributed via the exact
@@ -784,14 +668,6 @@ object SparkEntry {
     // non-negative operands
     "q210_waterfill" -> ((s, d) =>
       Importance.waterfillAllocation(Tables.documents(s, d))),
-    // Heaps'-law vocabulary-growth fit (TextAnalysis.heapsFit, Heaps
-    // '78): V(n) measured EXACTLY via per-token min (doc_id, pos)
-    // packed keys (map-side combined to vocab size before any join) +
-    // bounded-sort per-doc offsets (cumulativeByValue), octave
-    // cumulative counts = V(2^(j+1)), slope_milli ≈ 1000·β from the
-    // shared integer least-squares device
-    "q209_heaps_fit" -> ((s, d) =>
-      TextAnalysis.heapsFit(Tables.documents(s, d))),
     // distance-weighted co-occurrence matrix (TextAnalysis
     // .cooccurrence, Pennington '14 GloVe): ±3-window harmonic weights
     // in exact integer milli (1000 div d), pairs normalized to
@@ -814,20 +690,6 @@ object SparkEntry {
     // Goldberg '14); non-negative throughout by Perron–Frobenius
     "q226_spectral_tokens" -> ((s, d) =>
       TextAnalysis.spectralTokens(Tables.documents(s, d))),
-    // Flesch reading-ease in exact milli (Quality.readability): the
-    // model-free fluency prior next to the Gopher/C4 counts — planted
-    // terminal punctuation (%4 classes) exercises the sentence run
-    // count, %101 NULLs text (row survives with NULL metrics)
-    "q228_readability" -> ((s, d) => {
-      val planted =
-        when(pmod(col("doc_id"), lit(101)) === 0, lit(null).cast("string"))
-          .otherwise(concat(col("text"),
-            when(pmod(col("doc_id"), lit(4)) === 0, lit(" end. more! done?"))
-              .when(pmod(col("doc_id"), lit(4)) === 1, lit(" tail."))
-              .otherwise(lit(""))))
-      Quality.readability(Tables.documents(s, d)
-        .select(col("doc_id"), planted.as("text")))
-    }),
     // raw WARC -> extracted MAIN CONTENT (q244 bytes + q137 semantics):
     // the jusText page synthesis rides real HTTP response payloads, the
     // content-type/status gates filter the captures, and
@@ -1015,20 +877,6 @@ object SparkEntry {
     // oracle unrolls the same 8 rounds as MATERIALIZED CTEs
     "q200_doremi_mix" -> ((s, d) =>
       Importance.doremiWeights(Tables.documents(s, d))),
-    // iteratively TRAINED logistic quality head (QualityModel.logreg*,
-    // the GPT-3/CCNet crawl-classifier shape): features quantize to a
-    // 0..15 grid so the corpus aggregates ONCE into a <=16^3-row frame
-    // and 8 full-batch hard-sigmoid GD rounds run over the frame
-    // EXACTLY (frame gradient == per-doc gradient by construction — the
-    // q187 bounded-iteration discipline); all arithmetic integer ppm,
-    // gradient sums in decimal(38,0), sign-factored update division;
-    // the oracle unrolls the same 8 rounds as MATERIALIZED CTEs and
-    // rescores every doc with the final weights
-    "q199_logreg_quality" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      QualityModel.logregScore(docs,
-        QualityModel.logregTrain(QualityModel.logregFrame(docs)))
-    }),
     // SEMANTIC benchmark contamination (Similarity.semanticContamination):
     // the embedding-space sibling of q149's lexical triage — the probe
     // set plants 8 scaled twins (2*v, exact cos 1.0 with their source;
@@ -1193,22 +1041,6 @@ object SparkEntry {
         lit("@lnk privacy @lnk terms @lnk copyright site"))
       Boilerplate.classifyBlocks(docs.select(col("doc_id"), page.as("text")))
     }),
-    "q134_quality_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val hiMark = " excellent wikipedia prose exposition thorough"
-      val loMark = " buy click spam casino nowin"
-      val labeled = docs.where(col("doc_id") % 5 === 0)
-        .select(when(col("doc_id") % 2 === 0, 5L).otherwise(0L).as("label"),
-          concat(col("text"),
-            when(col("doc_id") % 2 === 0, lit(hiMark)).otherwise(lit(loMark)))
-            .as("text"))
-      val corpus = docs.select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0, lit(hiMark))
-            .when(col("doc_id") % 3 === 1, lit(loMark))
-            .otherwise(lit(""))).as("text"))
-      QualityModel.qualityTiers(corpus, labeled)
-    }),
     // T5 span corruption (TextAnalysis.spanCorrupt): deterministic
     // md5-coin masking at rate 0.15, adjacent hits merge into sentinel
     // spans; the oracle replays the coin, the run-merge, and both
@@ -1319,9 +1151,6 @@ object SparkEntry {
       Curate.decontaminate(docs.where(col("doc_id") < 400),
         docs.where(col("doc_id") >= 400), n = 5, maxSharedRatio = 0.2)
     }),
-    // Gopher-style repetition quality rule: repeated-3-gram ratio per doc
-    "q69_repetition" -> ((s, d) =>
-      Curate.repetitionScore(Tables.documents(s, d), n = 3)),
     // time-series gap fill: calendar grid (sequence/generate_series) LEFT
     // JOIN counts, zeros for silent days — resample at grid size cost
     "q67_resample" -> ((s, d) => {
@@ -1558,7 +1387,7 @@ object SparkEntry {
       |      || '<|end|>' || chr(10) piece
       |  FROM ct WHERE role IS NOT NULL AND content IS NOT NULL)""".stripMargin
 
-  private val entropyCte: String =
+  private[graft] val entropyCte: String =
     """d AS (SELECT doc_id, CASE
       |    WHEN doc_id % 7 = 0 THEN repeat('spam ', 39) || 'spam'
       |    WHEN doc_id % 7 = 3 THEN text || ' ' || text
@@ -2378,7 +2207,8 @@ object SparkEntry {
       registry.EvalRegistry.oracleSql ++ registry.SketchRegistry.oracleSql ++
       registry.ClusterRegistry.oracleSql ++ registry.RelationalRegistry.oracleSql ++
       registry.GovernanceRegistry.oracleSql ++ registry.ChatRegistry.oracleSql ++
-      registry.MediaRegistry.oracleSql ++ registry.DedupRegistry.oracleSql
+      registry.MediaRegistry.oracleSql ++ registry.DedupRegistry.oracleSql ++
+      registry.QualityRegistry.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_cdc_parse" ->
@@ -2422,16 +2252,6 @@ object SparkEntry {
          |  CAST(list_sum(list_transform($toks, t -> LEN(t))) AS DOUBLE)
          |    / GREATEST(LEN($toks), 1) avg_token_len
          |FROM documents""".stripMargin,
-    "q22_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, $toks tk FROM documents)
-         |SELECT doc_id, LEN(tk) n_tokens,
-         |  LEN(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) stop_hits,
-         |  CAST(LEN(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE)
-         |    / GREATEST(LEN(tk), 1) stop_ratio,
-         |  LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) n_digits,
-         |  CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-         |    / GREATEST(LENGTH(text), 1) alpha_ratio
-         |FROM t""".stripMargin,
     "q23_lang_id" ->
       """WITH t AS (SELECT doc_id,
         |  LEN(regexp_extract_all(text, '\b(the|a|of|and)\b')) en_hits,
@@ -2530,33 +2350,6 @@ object SparkEntry {
          |  regexp_replace(regexp_replace("text", '$emailPat', '[EMAIL]', 'g'),
          |    '$phonePat', '[PHONE]', 'g') AS "text"
          |FROM r""".stripMargin,
-    "q120_gopher_quality" ->
-      """WITH x AS (SELECT doc_id,
-        |    'BOILER ' || source ||
-        |      CASE WHEN doc_id % 3 = 0 THEN ' #tag' ELSE '' END || chr(10) ||
-        |    CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END || 'SEG ' ||
-        |      CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
-        |    text || CASE WHEN doc_id % 7 = 0 THEN ' ...' ELSE '' END AS text
-        |  FROM documents),
-        |t AS (SELECT doc_id, text,
-        |    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') tk,
-        |    string_split(text, chr(10)) ls,
-        |    length(regexp_replace(text, '\s', '', 'g')) nonws,
-        |    length(text) - length(replace(text, '#', '')) nhash,
-        |    (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 nell
-        |  FROM x)
-        |SELECT doc_id,
-        |  CAST(len(tk) AS BIGINT) n_words,
-        |  CAST(nonws AS DOUBLE) / greatest(len(tk), 1) mean_word_len,
-        |  CAST(nhash + nell AS DOUBLE) / greatest(len(tk), 1) symbol_word_ratio,
-        |  CAST(len(list_filter(ls, l -> l LIKE '- %')) AS DOUBLE)
-        |    / greatest(len(ls), 1) bullet_line_frac,
-        |  CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)
-        |    / greatest(len(ls), 1) ellipsis_line_frac,
-        |  CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-        |    / greatest(len(tk), 1) alpha_word_frac,
-        |  len(tk) BETWEEN 10 AND 500 length_ok
-        |FROM t""".stripMargin,
     "q123_dsir" ->
       """WITH tok AS (SELECT doc_id, lang,
         |    list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
@@ -2573,66 +2366,6 @@ object SparkEntry {
         |  FROM f JOIN w USING (bucket) GROUP BY 1)
         |SELECT doc_id, n_bigrams, score, score // n_bigrams avg_w
         |FROM s ORDER BY avg_w DESC, doc_id LIMIT 100""".stripMargin,
-    "q124_c4_filter" ->
-      """WITH x AS (SELECT doc_id,
-        |    text || '.' || chr(10) ||
-        |    'too short.' || chr(10) ||
-        |    'this line has no terminal punctuation at all' || chr(10) ||
-        |    'Please enable javascript to continue reading this.' || chr(10) ||
-        |    CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.'
-        |         ELSE 'SEG ' || CAST(doc_id % 7 AS VARCHAR) ||
-        |              ' closing words to keep here.' END || chr(10) ||
-        |    CASE WHEN doc_id % 17 = 0 THEN 'function f() { return 1; }'
-        |         ELSE 'Another good sentence stays right here.' END AS text
-        |  FROM documents),
-        |g AS (SELECT doc_id, text FROM x
-        |  WHERE NOT contains(lower(text), 'lorem ipsum')
-        |    AND NOT contains(text, '{')),
-        |k AS (SELECT doc_id,
-        |    list_filter(string_split(text, chr(10)), l ->
-        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
-        |         OR ends_with(l, '"'))
-        |      AND len(list_filter(regexp_split_to_array(l, '\s+'),
-        |            w -> w <> '')) >= 5
-        |      AND NOT contains(lower(l), 'javascript')) kl
-        |  FROM g),
-        |r AS (SELECT doc_id, array_to_string(kl, chr(10)) AS text,
-        |    CAST(len(kl) AS BIGINT) n_lines FROM k)
-        |SELECT doc_id, text, n_lines,
-        |  CAST(length(text) - length(translate(text, '.!?', '')) AS BIGINT)
-        |    n_sentences
-        |FROM r
-        |WHERE length(text) - length(translate(text, '.!?', '')) >= 3""".stripMargin,
-    "q125_stack_filters" ->
-      """WITH x AS (SELECT doc_id,
-        |    (CASE WHEN doc_id % 13 = 0
-        |          THEN '// Auto-Generated by graft-gen; do not edit'
-        |          ELSE '// module m' || CAST(doc_id % 5 AS VARCHAR) END)
-        |      || chr(10) ||
-        |    (CASE WHEN doc_id % 17 = 0 THEN repeat('+++ --- ', 40)
-        |          ELSE text END) || chr(10) ||
-        |    (CASE WHEN doc_id % 11 = 0 THEN repeat('x', 1200)
-        |          ELSE 'return 0;' END) AS text
-        |  FROM documents),
-        |l AS (SELECT doc_id, text, string_split(text, chr(10)) ls FROM x),
-        |s AS (SELECT doc_id,
-        |    CAST(list_aggregate(list_transform(ls, x ->
-        |      CAST(length(x) AS BIGINT)), 'max') AS BIGINT) max_line_len,
-        |    CAST(list_aggregate(list_transform(ls, x ->
-        |      CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE)
-        |      / greatest(len(ls), 1) avg_line_len,
-        |    CAST(length(text) -
-        |      length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
-        |      / greatest(length(text), 1) alnum_frac,
-        |    (contains(lower(array_to_string(ls[1:5], chr(10))), 'auto-generated')
-        |     OR contains(lower(array_to_string(ls[1:5], chr(10))), 'autogenerated')
-        |     OR contains(lower(array_to_string(ls[1:5], chr(10))), 'generated by'))
-        |      autogen
-        |  FROM l)
-        |SELECT doc_id, max_line_len, avg_line_len, alnum_frac, autogen,
-        |  (max_line_len <= 1000 AND avg_line_len <= 100
-        |   AND alnum_frac >= 0.25 AND NOT autogen) AS keep
-        |FROM s""".stripMargin,
     "q128_content_chunks" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk,
@@ -2658,40 +2391,6 @@ object SparkEntry {
         |  string_agg(tok, ' ' ORDER BY pos) chunk_text,
         |  CAST(COUNT(*) AS BIGINT) n_chunk_tokens
         |FROM k GROUP BY doc_id, chunk_id""".stripMargin,
-    "q130_ccnet_ppl" ->
-      """WITH tok AS (SELECT doc_id, lang,
-        |    list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
-        |      t -> (CAST(LEN(t) AS BIGINT) * 131 + ascii(substr(t, 1, 1))) % 1000000007) tv
-        |  FROM documents),
-        |pf AS (SELECT doc_id, lang,
-        |    unnest(list_transform(range(1, len(tv)), i -> tv[i] % 4096)) ua,
-        |    unnest(list_transform(range(1, len(tv)),
-        |      i -> ((tv[i] * 31 + tv[i+1]) % 1000000007) % 4096)) bb
-        |  FROM tok),
-        |uni AS (SELECT v % 4096 ua, COUNT(*) cu
-        |  FROM (SELECT unnest(tv) v FROM tok WHERE lang = 'en') GROUP BY 1),
-        |big AS (SELECT bb, COUNT(*) cb FROM pf WHERE lang = 'en' GROUP BY 1),
-        |s AS (SELECT p.doc_id, COUNT(*) n_bigrams,
-        |    CAST(SUM((10000 * (COALESCE(u.cu, 0) + 4096))
-        |      // (COALESCE(b.cb, 0) + 1)) AS BIGINT) surprisal_sum,
-        |    CAST(SUM(length(bin((10000 * (COALESCE(u.cu, 0) + 4096))
-        |      // (COALESCE(b.cb, 0) + 1))) - 1) AS BIGINT) log2_sum
-        |  FROM pf p LEFT JOIN uni u USING (ua) LEFT JOIN big b USING (bb)
-        |  GROUP BY 1),
-        |sc AS (SELECT doc_id, n_bigrams, surprisal_sum, log2_sum,
-        |    surprisal_sum // n_bigrams avg_surprisal FROM s),
-        |d AS (SELECT avg_surprisal, COUNT(*) c FROM sc GROUP BY 1),
-        |cum AS (SELECT avg_surprisal,
-        |    SUM(c) OVER (ORDER BY avg_surprisal) cum FROM d),
-        |nn AS (SELECT COUNT(*) n FROM sc),
-        |th AS (SELECT
-        |    (SELECT MIN(avg_surprisal) FROM cum, nn WHERE cum >= (n + 2) // 3) t1,
-        |    (SELECT MIN(avg_surprisal) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) t2)
-        |SELECT sc.doc_id, CAST(n_bigrams AS BIGINT) n_bigrams,
-        |  surprisal_sum, log2_sum, CAST(avg_surprisal AS BIGINT) avg_surprisal,
-        |  CASE WHEN avg_surprisal <= t1 THEN 'head'
-        |    WHEN avg_surprisal <= t2 THEN 'middle' ELSE 'tail' END ppl_bucket
-        |FROM sc, th""".stripMargin,
     "q23b_lang_id_ft" ->
       """WITH t AS (SELECT doc_id, lang, lower(text) lt FROM documents),
         |cps AS (SELECT doc_id, lang,
@@ -2722,103 +2421,6 @@ object SparkEntry {
         |  FROM s)
         |SELECT d.doc_id, d.lang, p.lang lang_pred, CAST(p.score AS BIGINT) score
         |FROM p JOIN documents d USING (doc_id) WHERE p.rn = 1""".stripMargin,
-    "q131_fineweb_pipeline" ->
-      """WITH base AS (SELECT doc_id, lang, source,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
-        |  FROM documents),
-        |sized AS (SELECT doc_id, lang, source, tk, len(tk) n FROM base),
-        |occ AS (SELECT doc_id, unnest(range(1, n - 5 + 2)) p, tk
-        |  FROM sized WHERE n >= 5),
-        |g AS (SELECT doc_id, p, md5(array_to_string(tk[p:p+4], ' ')) h FROM occ),
-        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
-        |hits AS (SELECT doc_id, p FROM g WHERE h IN (SELECT h FROM dup)),
-        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) i FROM hits),
-        |toks AS (SELECT doc_id, unnest(tk) tok,
-        |    unnest(range(1, len(tk) + 1)) i FROM sized),
-        |keptagg AS (SELECT t.doc_id,
-        |    COALESCE(string_agg(t.tok, ' ' ORDER BY t.i)
-        |      FILTER (WHERE c.i IS NULL), '') kept_text,
-        |    COUNT(*) FILTER (WHERE c.i IS NOT NULL) n_removed
-        |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
-        |  GROUP BY 1),
-        |cleaned AS (SELECT s.doc_id, s.lang, s.source,
-        |    CAST(s.n AS BIGINT) n_tokens,
-        |    CAST(COALESCE(k.n_removed, 0) AS BIGINT) n_removed,
-        |    COALESCE(k.kept_text, '') kept_text
-        |  FROM sized s LEFT JOIN keptagg k USING (doc_id)),
-        |b2 AS (SELECT doc_id, lang, source, n_tokens, n_removed, kept_text,
-        |    greatest(length(kept_text), 1) chars,
-        |    list_filter(regexp_split_to_array(lower(kept_text), '\s+'),
-        |      x -> x <> '') tk2
-        |  FROM cleaned),
-        |g2 AS (SELECT doc_id,
-        |    unnest(CASE WHEN len(tk2) < 2 THEN [array_to_string(tk2, ' ')]
-        |      ELSE list_transform(range(1, len(tk2)),
-        |        i -> tk2[i] || ' ' || tk2[i+1]) END) gg
-        |  FROM b2),
-        |c2 AS (SELECT doc_id, gg, COUNT(*) cnt FROM g2 GROUP BY 1, 2),
-        |t2 AS (SELECT doc_id, cnt, gg FROM (SELECT doc_id, gg, cnt,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY cnt DESC, gg ASC) rn FROM c2) WHERE rn = 1),
-        |g3 AS (SELECT doc_id,
-        |    unnest(CASE WHEN len(tk2) < 3 THEN [array_to_string(tk2, ' ')]
-        |      ELSE list_transform(range(1, len(tk2) - 1),
-        |        i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]) END) gg
-        |  FROM b2),
-        |c3 AS (SELECT doc_id, gg, COUNT(*) cnt FROM g3 GROUP BY 1, 2),
-        |d3 AS (SELECT doc_id,
-        |    COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gg) END), 0) dup3
-        |  FROM c3 GROUP BY 1),
-        |rep AS (SELECT b.doc_id, b.lang, b.source, b.n_tokens, b.n_removed,
-        |    b.kept_text
-        |  FROM b2 b JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
-        |  WHERE CAST(len(tk2) - len(list_distinct(tk2)) AS DOUBLE)
-        |      / greatest(len(tk2), 1) <= 0.6
-        |    AND CAST(t2.cnt * length(t2.gg) AS DOUBLE) / b.chars <= 0.2
-        |    AND CAST(COALESCE(d3.dup3, 0) AS DOUBLE) / b.chars <= 0.2),
-        |tokv AS (SELECT doc_id, lang,
-        |    list_transform(list_filter(regexp_split_to_array(kept_text, '\s+'),
-        |        x -> x <> ''),
-        |      t -> (CAST(LEN(t) AS BIGINT) * 131 + ascii(substr(t, 1, 1)))
-        |        % 1000000007) tv
-        |  FROM rep),
-        |pf AS (SELECT doc_id, lang,
-        |    unnest(list_transform(range(1, len(tv)), i -> tv[i] % 4096)) ua,
-        |    unnest(list_transform(range(1, len(tv)),
-        |      i -> ((tv[i] * 31 + tv[i+1]) % 1000000007) % 4096)) bb
-        |  FROM tokv),
-        |uni AS (SELECT v % 4096 ua, COUNT(*) cu
-        |  FROM (SELECT unnest(tv) v FROM tokv WHERE lang = 'en') GROUP BY 1),
-        |big AS (SELECT bb, COUNT(*) cb FROM pf WHERE lang = 'en' GROUP BY 1),
-        |sc AS (SELECT p.doc_id, COUNT(*) nb,
-        |    CAST(SUM((10000 * (COALESCE(u.cu, 0) + 4096))
-        |      // (COALESCE(b.cb, 0) + 1)) AS BIGINT)
-        |      // COUNT(*) avg_surprisal
-        |  FROM pf p LEFT JOIN uni u USING (ua) LEFT JOIN big b USING (bb)
-        |  GROUP BY 1),
-        |dd AS (SELECT avg_surprisal, COUNT(*) c FROM sc GROUP BY 1),
-        |cum AS (SELECT avg_surprisal,
-        |    SUM(c) OVER (ORDER BY avg_surprisal) cum FROM dd),
-        |nn AS (SELECT COUNT(*) n FROM sc),
-        |th AS (SELECT
-        |    (SELECT MIN(avg_surprisal) FROM cum, nn WHERE cum >= (n + 2) // 3) t1,
-        |    (SELECT MIN(avg_surprisal) FROM cum, nn
-        |      WHERE cum >= (2 * n + 2) // 3) t2),
-        |tier AS (SELECT sc.doc_id,
-        |    CAST(sc.avg_surprisal AS BIGINT) avg_surprisal,
-        |    CASE WHEN avg_surprisal <= t1 THEN 'head'
-        |      WHEN avg_surprisal <= t2 THEN 'middle' ELSE 'tail' END ppl_bucket
-        |  FROM sc, th),
-        |surv AS (SELECT r.doc_id, r.lang, r.source, r.n_tokens, r.n_removed,
-        |    t.avg_surprisal, t.ppl_bucket
-        |  FROM rep r JOIN tier t USING (doc_id) WHERE t.ppl_bucket <> 'tail'),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY source
-        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'fw8'), 1, 8),
-        |      doc_id) rk
-        |  FROM surv)
-        |SELECT doc_id, lang, source, n_tokens, n_removed, avg_surprisal,
-        |  ppl_bucket, CAST(rk AS BIGINT) rk
-        |FROM ranked WHERE rk <= 12""".stripMargin,
     "q132_overlap_report" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
@@ -2855,14 +2457,6 @@ object SparkEntry {
         |  COALESCE(a.n_hit * 100 > 20 * a.n_grams, FALSE) contaminated
         |FROM bench b LEFT JOIN agg a USING (doc_id)
         |  LEFT JOIN runs r USING (doc_id)""".stripMargin,
-    "q142_unigram_entropy" ->
-      ("WITH " + entropyCte + """
-        |SELECT doc_id, CAST(nt AS BIGINT) n_tokens,
-        |  CAST(nd AS BIGINT) n_distinct, CAST(surp AS BIGINT) surprisal_sum,
-        |  CAST(nm AS BIGINT) norm_milli,
-        |  CASE WHEN nt < 2 THEN 'short' WHEN nm < 300 THEN 'repetitive'
-        |       WHEN nm < 700 THEN 'mixed' ELSE 'diverse' END verdict
-        |FROM v""".stripMargin),
     "q143_bm25_topk" ->
       ("WITH " + bm25Cte + """
         |SELECT query_id, CAST(rk AS BIGINT) rank, doc_id,
@@ -2961,34 +2555,6 @@ object SparkEntry {
         |  CAST((top_tf * 1000000) // GREATEST(n_tokens, 1) AS BIGINT)
         |    coverage_ppm
         |FROM spec CROSS JOIN top""".stripMargin,
-    "q171_script_mix" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 13 = 0 THEN text || ' привет мир'
-        |         WHEN doc_id % 17 = 0 THEN text || ' 你好 世界'
-        |         ELSE text END x
-        |  FROM documents),
-        |c AS (SELECT doc_id, CAST(length(x) AS BIGINT) n_chars,
-        |    CAST(length(x) - length(regexp_replace(x, '[A-Za-z]', '', 'g'))
-        |      AS BIGINT) lat,
-        |    CAST(length(x) - length(regexp_replace(x, '[0-9]', '', 'g'))
-        |      AS BIGINT) dig,
-        |    CAST(length(x) - length(regexp_replace(x, '[Ѐ-ӿ]', '', 'g'))
-        |      AS BIGINT) cyr,
-        |    CAST(length(x) - length(regexp_replace(x, '[一-鿿]', '', 'g'))
-        |      AS BIGINT) cjk,
-        |    CAST(length(x) - length(regexp_replace(x, '\s', '', 'g'))
-        |      AS BIGINT) sp
-        |  FROM t),
-        |n AS (SELECT *, GREATEST(n_chars - sp, 1) nb FROM c)
-        |SELECT doc_id, n_chars,
-        |  CAST((1000000 * lat) // nb AS BIGINT) latin_ppm,
-        |  CAST((1000000 * dig) // nb AS BIGINT) digit_ppm,
-        |  CAST((1000000 * cyr) // nb AS BIGINT) cyrillic_ppm,
-        |  CAST((1000000 * cjk) // nb AS BIGINT) cjk_ppm,
-        |  CAST((1000000 * (n_chars - sp - lat - dig - cyr - cjk)) // nb
-        |    AS BIGINT) other_ppm,
-        |  (cyr > 0 OR cjk > 0) AND lat > 0 mixed_script
-        |FROM n""".stripMargin,
     // the oracle replays the TOKENIZER end to end: vocab training as a
     // substring-count aggregation over the same md5-ordered sample
     // (score = length(bin(p*2^30 div total)) - 31, the Perplexity
@@ -3260,59 +2826,6 @@ object SparkEntry {
         |       ELSE CASE WHEN pv = 'good' AND nx = 'good' THEN 'good' ELSE 'bad' END
         |  END final_cls
         |FROM cx""".stripMargin),
-    "q134_quality_score" ->
-      """WITH lab AS (SELECT
-        |    CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 0 END lbl,
-        |    lower(text || CASE WHEN doc_id % 2 = 0
-        |      THEN ' excellent wikipedia prose exposition thorough'
-        |      ELSE ' buy click spam casino nowin' END) lt
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |corp AS (SELECT doc_id,
-        |    lower(text || CASE WHEN doc_id % 3 = 0
-        |      THEN ' excellent wikipedia prose exposition thorough'
-        |      WHEN doc_id % 3 = 1 THEN ' buy click spam casino nowin'
-        |      ELSE '' END) lt
-        |  FROM documents),
-        |lcp AS (SELECT lbl, list_transform(range(1, length(lt) + 1),
-        |    i -> CAST(ascii(substr(lt, i, 1)) AS BIGINT)) cp FROM lab),
-        |lg AS (SELECT lbl, unnest(list_concat(
-        |    list_transform(range(1, len(cp)),
-        |      i -> ((cp[i]*131 + cp[i+1]) % 1000000007) % 2048),
-        |    list_transform(range(1, len(cp) - 1),
-        |      i -> ((((cp[i]*131 + cp[i+1]) % 1000000007) * 131 + cp[i+2])
-        |        % 1000000007) % 2048))) bucket
-        |  FROM lcp),
-        |agg AS (SELECT bucket, SUM(lbl) ls, COUNT(*) c FROM lg GROUP BY 1),
-        |gl AS (SELECT SUM(ls) gls, SUM(c) gc FROM agg),
-        |w AS (SELECT gs.bucket,
-        |    (10000 * (COALESCE(a.ls, 0) + (g.gls // g.gc)))
-        |      // (COALESCE(a.c, 0) + 1) w
-        |  FROM (SELECT unnest(range(0, 2048)) bucket) gs
-        |  CROSS JOIN gl g LEFT JOIN agg a ON a.bucket = gs.bucket),
-        |ccp AS (SELECT doc_id, list_transform(range(1, length(lt) + 1),
-        |    i -> CAST(ascii(substr(lt, i, 1)) AS BIGINT)) cp FROM corp),
-        |cg AS (SELECT doc_id, unnest(list_concat(
-        |    list_transform(range(1, len(cp)),
-        |      i -> ((cp[i]*131 + cp[i+1]) % 1000000007) % 2048),
-        |    list_transform(range(1, len(cp) - 1),
-        |      i -> ((((cp[i]*131 + cp[i+1]) % 1000000007) * 131 + cp[i+2])
-        |        % 1000000007) % 2048))) bucket
-        |  FROM ccp),
-        |sc AS (SELECT doc_id, COUNT(*) n_feats, SUM(w.w) score_sum
-        |  FROM cg JOIN w USING (bucket) GROUP BY 1),
-        |sa AS (SELECT doc_id, n_feats, score_sum,
-        |    score_sum // n_feats avg_w FROM sc),
-        |d AS (SELECT avg_w, COUNT(*) c FROM sa GROUP BY 1),
-        |cum AS (SELECT avg_w, SUM(c) OVER (ORDER BY avg_w) cum FROM d),
-        |nn AS (SELECT COUNT(*) n FROM sa),
-        |th AS (SELECT
-        |    (SELECT MIN(avg_w) FROM cum, nn WHERE cum >= (n + 2) // 3) t1,
-        |    (SELECT MIN(avg_w) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) t2)
-        |SELECT sa.doc_id, CAST(n_feats AS BIGINT) n_feats,
-        |  CAST(score_sum AS BIGINT) score_sum, CAST(avg_w AS BIGINT) avg_w,
-        |  CASE WHEN avg_w <= t1 THEN 'low' WHEN avg_w <= t2 THEN 'medium'
-        |    ELSE 'high' END q_tier
-        |FROM sa, th""".stripMargin,
     "q127_span_corrupt" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
@@ -3721,33 +3234,6 @@ object SparkEntry {
         |  MIN(o_orderdate) first_dt, MAX(o_orderdate) last_dt
         |FROM orders WHERE o_orderkey % 20 = 0
         |GROUP BY 1""".stripMargin,
-    "q116_gopher_rep" ->
-      """WITH base AS (SELECT doc_id, length(text) chars,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') tk
-        |  FROM documents),
-        |g2 AS (SELECT doc_id,
-        |    unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
-        |      ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) g
-        |  FROM base),
-        |c2 AS (SELECT doc_id, g, COUNT(*) cnt FROM g2 GROUP BY 1, 2),
-        |t2 AS (SELECT doc_id, cnt, g FROM (SELECT doc_id, g, cnt,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) rn
-        |  FROM c2) WHERE rn = 1),
-        |g3 AS (SELECT doc_id,
-        |    unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |      ELSE list_transform(range(1, len(tk) - 1),
-        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) g
-        |  FROM base),
-        |c3 AS (SELECT doc_id, g, COUNT(*) cnt FROM g3 GROUP BY 1, 2),
-        |d3 AS (SELECT doc_id,
-        |    COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(g) END), 0) dup3_chars
-        |  FROM c3 GROUP BY 1)
-        |SELECT b.doc_id, CAST(t2.cnt AS BIGINT) top2_cnt, t2.g top2_gram,
-        |  CAST(t2.cnt * length(t2.g) AS DOUBLE) / greatest(b.chars, 1) top2_frac,
-        |  CAST(d3.dup3_chars AS DOUBLE) / greatest(b.chars, 1) dup3_frac,
-        |  CAST(len(b.tk) - len(list_distinct(b.tk)) AS DOUBLE)
-        |    / greatest(len(b.tk), 1) dup_word_frac
-        |FROM base b JOIN t2 USING (doc_id) JOIN d3 USING (doc_id)""".stripMargin,
     // waterfill replay: per-source token counts, ascending-order
     // prefix sums, window-min saturation, level + remainder bumps
     "q210_waterfill" ->
@@ -3759,42 +3245,6 @@ object SparkEntry {
         |SELECT source, avail avail_tokens, alloc_tokens, saturated,
         |  CAST((alloc_tokens * 1000000) // avail AS BIGINT) epochs_ppm
         |FROM alloc""".stripMargin),
-    // Heaps replay: aligned unnest positions, window cumsum offsets
-    // (doc_id unique -> frame-exact), per-token MIN global position,
-    // octave rollup + cumulative + the q205 fit
-    "q209_heaps_fit" ->
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') l
-        |  FROM documents),
-        |tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 pos,
-        |    unnest(l) token FROM toks),
-        |cnts AS (SELECT doc_id, len(l) ntok FROM toks WHERE len(l) > 0),
-        |offs AS (SELECT doc_id,
-        |    CAST(SUM(ntok) OVER (ORDER BY doc_id) - ntok AS BIGINT) doff
-        |  FROM cnts),
-        |fst AS (SELECT token, CAST(MIN(o.doff + t.pos) AS BIGINT) g
-        |  FROM tok t JOIN offs o USING (doc_id) GROUP BY token),
-        |o AS (SELECT length(bin(greatest(g, 1))) - 1 octave,
-        |    COUNT(*) n_first FROM fst GROUP BY 1),
-        |c AS (SELECT octave, n_first,
-        |    CAST(SUM(n_first) OVER (ORDER BY octave) AS BIGINT) cum_vocab
-        |  FROM o),
-        |yc AS (SELECT octave, n_first, cum_vocab,
-        |    (length(bin(cum_vocab)) - 1) * 1000 y_milli, octave + 1 x FROM c),
-        |s AS (SELECT COUNT(*) n_oct, SUM(x) sx, SUM(y_milli) sy,
-        |    SUM(x * y_milli) sxy, SUM(x * x) sxx FROM yc),
-        |f AS (SELECT n_oct * sxx - sx * sx AS det,
-        |    n_oct * sxy - sx * sy AS num_s,
-        |    sy * sxx - sx * sxy AS num_i FROM s)
-        |SELECT CAST(octave AS BIGINT) octave, CAST(n_first AS BIGINT) n_first,
-        |  cum_vocab, CAST(y_milli AS BIGINT) y_milli,
-        |  CAST(CASE WHEN det = 0 THEN NULL ELSE
-        |    (CASE WHEN num_s < 0 THEN -1 ELSE 1 END) * (abs(num_s) // det)
-        |  END AS BIGINT) slope_milli,
-        |  CAST(CASE WHEN det = 0 THEN NULL ELSE
-        |    (CASE WHEN num_i < 0 THEN -1 ELSE 1 END) * (abs(num_i) // det)
-        |  END AS BIGINT) intercept_milli
-        |FROM yc CROSS JOIN f""".stripMargin,
     // co-occurrence replay: same tokenization, window leads per doc,
     // vocab joins, least/greatest normalization, integer weights
     "q214_cooccurrence" ->
@@ -3840,48 +3290,6 @@ object SparkEntry {
         |SELECT deg.t token, deg.n_edges, deg.strength,
         |  CAST(sv8.vv AS BIGINT) spec_q20
         |FROM deg JOIN sv8 ON deg.t = sv8.t""".stripMargin),
-    // readability replay: planted punctuation/NULL classes, the three
-    // regexp counts, then the integer milli arithmetic — every
-    // division operand non-negative so // == div; NULL-text rows
-    // carry zero counts and NULL metrics
-    "q228_readability" ->
-      """WITH px AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 101 = 0 THEN NULL
-        |         ELSE text ||
-        |           CASE WHEN doc_id % 4 = 0 THEN ' end. more! done?'
-        |                WHEN doc_id % 4 = 1 THEN ' tail.'
-        |                ELSE '' END END AS "text"
-        |  FROM documents),
-        |c AS (SELECT doc_id,
-        |    CASE WHEN text IS NULL THEN 0
-        |      ELSE len(list_filter(regexp_split_to_array(text, '\s+'),
-        |        x -> x <> '')) END nw,
-        |    CASE WHEN text IS NULL THEN 0
-        |      ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
-        |      END ns,
-        |    CASE WHEN text IS NULL THEN 0
-        |      ELSE len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) END ny
-        |  FROM px),
-        |m AS (SELECT doc_id, nw, ns, ny,
-        |    CASE WHEN nw > 0 THEN (1000 * nw) // ns END wps,
-        |    CASE WHEN nw > 0 THEN (1000 * ny) // nw END spw FROM c),
-        |f AS (SELECT doc_id, nw, ns, ny, wps, spw,
-        |    CASE WHEN nw > 0 THEN 206835 - (1015 * wps) // 1000
-        |      - (84600 * spw) // 1000 END fre
-        |  FROM m)
-        |SELECT doc_id, CAST(nw AS BIGINT) n_words,
-        |  CAST(ns AS BIGINT) n_sentences, CAST(ny AS BIGINT) n_syllables,
-        |  CAST(wps AS BIGINT) wps_milli, CAST(spw AS BIGINT) spw_milli,
-        |  CAST(fre AS BIGINT) fre_milli,
-        |  CASE WHEN fre IS NULL THEN NULL
-        |       WHEN fre >= 90000 THEN 'very_easy'
-        |       WHEN fre >= 80000 THEN 'easy'
-        |       WHEN fre >= 70000 THEN 'fairly_easy'
-        |       WHEN fre >= 60000 THEN 'standard'
-        |       WHEN fre >= 50000 THEN 'fairly_difficult'
-        |       WHEN fre >= 30000 THEN 'difficult'
-        |       ELSE 'very_confusing' END fre_band
-        |FROM f""".stripMargin,
     // main-content replay: the q137 chain + the good-block reassembly
     // (string_agg ordered by block index) — matching proves the HTTP
     // body roundtrip AND the block classification compose losslessly
@@ -4096,36 +3504,6 @@ object SparkEntry {
         |    CAST((1000000 * CAST(SUM(nb) AS HUGEINT)) // SUM(nt) AS BIGINT)
         |    END bytes_per_token_ppm
         |FROM fam GROUP BY 1, 2""".stripMargin),
-    // Zipf replay: same tokenization, sort-limit head, octave rollup,
-    // integer least squares with sign-factored division; every SUM
-    // routed back to BIGINT (DuckDB SUM(BIGINT) -> HUGEINT)
-    "q205_zipf_fit" ->
-      """WITH tok AS (SELECT unnest(list_filter(
-        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) token
-        |  FROM documents),
-        |tfq AS (SELECT token, COUNT(*) tf FROM tok GROUP BY 1
-        |  ORDER BY tf DESC, token ASC LIMIT 256),
-        |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token ASC) rk
-        |  FROM tfq),
-        |o AS (SELECT length(bin(rk)) - 1 AS octave, COUNT(*) n_ranks,
-        |    SUM(length(bin(tf)) - 1) l2tf_sum
-        |  FROM r GROUP BY 1),
-        |oy AS (SELECT octave, n_ranks,
-        |    (1000 * l2tf_sum) // n_ranks AS y_milli FROM o),
-        |s AS (SELECT COUNT(*) n_oct, SUM(octave) sx, SUM(y_milli) sy,
-        |    SUM(octave * y_milli) sxy, SUM(octave * octave) sxx FROM oy),
-        |f AS (SELECT n_oct * sxx - sx * sx AS det,
-        |    n_oct * sxy - sx * sy AS num_s,
-        |    sy * sxx - sx * sxy AS num_i FROM s)
-        |SELECT CAST(octave AS BIGINT) octave, CAST(n_ranks AS BIGINT) n_ranks,
-        |  CAST(y_milli AS BIGINT) y_milli,
-        |  CAST(CASE WHEN det = 0 THEN NULL ELSE
-        |    (CASE WHEN num_s < 0 THEN -1 ELSE 1 END) * (abs(num_s) // det)
-        |  END AS BIGINT) slope_milli,
-        |  CAST(CASE WHEN det = 0 THEN NULL ELSE
-        |    (CASE WHEN num_i < 0 THEN -1 ELSE 1 END) * (abs(num_i) // det)
-        |  END AS BIGINT) intercept_milli
-        |FROM oy CROSS JOIN f""".stripMargin,
     // bitext margin replay: milli-quantized cosines, window top-k
     // neighborhood sums, integer ratio, best-per-source gate
     "q202_bitext_margin" ->
@@ -4164,19 +3542,6 @@ object SparkEntry {
         |  CAST(l.loss_ppm AS BIGINT) loss_ppm, a.alpha alpha_ppm,
         |  CAST(a.asum // 8 AS BIGINT) alpha_avg_ppm
         |FROM dl l JOIN da8 a USING (source)""".stripMargin),
-    // logistic-head GD replay: feature frame + 8 unrolled MATERIALIZED
-    // update CTEs, then the corpus rescored with the final weights
-    "q199_logreg_quality" ->
-      ("WITH " + logregCtes + """
-        |SELECT f.doc_id, CAST(f.x1 AS BIGINT) x1, CAST(f.x2 AS BIGINT) x2,
-        |  CAST(f.x3 AS BIGINT) x3, CAST(f.y AS BIGINT) y,
-        |  CAST(least(greatest(
-        |    (w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + 2000000) // 4,
-        |    0), 1000000) AS BIGINT) p_ppm,
-        |  least(greatest(
-        |    (w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + 2000000) // 4,
-        |    0), 1000000) > 500000 pred
-        |FROM feat f CROSS JOIN wr8 w""".stripMargin),
     // WordPiece shares q97's oracle shape: the pre-token stats are
     // vocabulary-independent (same q34 regex), and the greedy-encode
     // invariants are gated as booleans; exact token/UNK counts are
@@ -4213,19 +3578,6 @@ object SparkEntry {
         |    COUNT(*) OVER (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) n_w
         |  FROM base)
         |SELECT "day", cnt, sum_w, n_w, cnt * n_w > 2 * sum_w spike FROM w""".stripMargin,
-    "q69_repetition" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |         ELSE list_transform(range(1, len(tk) - 1), i ->
-        |           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END sh
-        |  FROM (SELECT doc_id,
-        |        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') tk
-        |        FROM documents))
-        |SELECT doc_id, CAST(len(sh) AS BIGINT) n_ngrams,
-        |  CAST(len(list_distinct(sh)) AS BIGINT) n_distinct,
-        |  CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
-        |    / greatest(len(sh), 1) rep_ratio
-        |FROM t""".stripMargin,
     "q67_resample" ->
       """WITH days AS (SELECT CAST(unnest(generate_series(
         |    DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) "day"),
