@@ -62,15 +62,24 @@ object GraphAnn {
   }
 
   /** Deterministic hash-table view `t`: cyclic shift of the vector by
-    * `t` components. A shift is a permutation, so view 0 (identity)
-    * keeps the raw hyperplane signs while every other view sees an
-    * effectively independent plane set — the multi-table trick that
-    * lets NN-descent bridge buckets (seed edges from ONE table confine
-    * neighbours-of-neighbours to that table's bucket closure; a second
-    * table's edges cross it). */
-  private def view(vec: Column, t: Int): Column =
+    * `t mod dim` components. A shift is a permutation, so view 0
+    * (identity) keeps the raw hyperplane signs while every other view
+    * sees an effectively independent plane set — the multi-table trick
+    * that lets NN-descent bridge buckets (seed edges from ONE table
+    * confine neighbours-of-neighbours to that table's bucket closure;
+    * a second table's edges cross it). The shift wraps modulo the
+    * vector length (r15 advice: a literal shift past the end sliced to
+    * empty + full array — the IDENTITY view — so every table beyond
+    * the dimension silently duplicated table 0). Shifts that wrap to
+    * exactly 0 (t a multiple of dim) are still the identity — cyclic
+    * shifts have only dim distinct values — so `tables` should stay
+    * small relative to the embedding dimension. */
+  private[graft] def view(vec: Column, t: Int): Column =
     if (t == 0) vec
-    else concat(slice(vec, lit(t + 1), size(vec)), slice(vec, lit(1), lit(t)))
+    else {
+      val sh = pmod(lit(t.toLong), size(vec).cast("long")).cast("int")
+      concat(slice(vec, sh + lit(1), size(vec) - sh), slice(vec, lit(1), sh))
+    }
 
   /** Build a directed k-NN graph: edges `(src, dst, sim)`, at most
     * `degree` per `src`, highest-cosine first.
@@ -143,13 +152,36 @@ object GraphAnn {
     }
   }
 
+  /** Entry-routing recall floor (r15 advice): a query whose LSH bucket
+    * holds no corpus mates would otherwise enter NOWHERE and silently
+    * return zero rows — a recall cliff for out-of-distribution probes.
+    * Such queries fall back to a deterministic global entry sample,
+    * the `beam` lowest-id corpus nodes (stable across runs,
+    * partitionings and cluster sizes — the repo's tie-break rule), and
+    * the normal beam walk proceeds from there. Queries WITH bucket
+    * mates are untouched, so in-distribution results cannot change.
+    * The sample is a TakeOrdered over the id column only (column-
+    * pruned; the persisted-index path keeps a prebuilt sample next to
+    * its meta so no full scan happens per search). */
+  private def entryFallback(routed: DataFrame, qids: DataFrame,
+                            nids: DataFrame, beam: Int): DataFrame = {
+    val lonely = broadcast(
+      qids.join(routed.select("qid"), Seq("qid"), "left_anti"))
+    val seeds = nids.select(col("nid")).orderBy(col("nid").asc).limit(beam)
+    routed.unionByName(
+      lonely.crossJoin(seeds).where(col("qid") =!= col("nid"))
+        .select("qid", "nid"))
+  }
+
   /** Batched beam search over a prebuilt graph. Returns
     * `(qid, nid, rank, sim)`, `rank <= k`.
     *
     * `entries` pins the per-query entry set (`(qid, nid)` rows —
     * index resume, cross-shard search, or a traversal certificate);
     * `None` routes each query to its LSH bucket-mates, scored and
-    * trimmed to `beam` like every subsequent frontier. Queries are
+    * trimmed to `beam` like every subsequent frontier; a query whose
+    * bucket has no mates routes to the global fallback sample instead
+    * of returning empty (see [[entryFallback]]). Queries are
     * a bounded probe batch (broadcast twice per hop); the corpus
     * side only ever moves through id-keyed joins.
     *
@@ -191,10 +223,13 @@ object GraphAnn {
       case None =>
         val qb = broadcast(q.withColumn("bucket",
           bucketOf(col("qv"), planes)).select("qid", "bucket"))
-        c.withColumn("bucket", bucketOf(col("nv"), planes))
+        val routed = c.withColumn("bucket", bucketOf(col("nv"), planes))
           .join(qb, Seq("bucket"))
           .where(col("qid") =!= col("nid"))
           .select("qid", "nid")
+        // q, not qb: qb carries a broadcast hint, which a left-anti
+        // join cannot honor on its left side (warn noise)
+        entryFallback(routed, q.select("qid"), c.select("nid"), beam)
     }
     val beam0 = trim(score(entry0.dropDuplicates("qid", "nid")), beam)
     val fin = (0 until hops).foldLeft(beam0) { (bm, _) =>
@@ -266,6 +301,12 @@ object GraphAnn {
     *   - `path/edges` — `(src, dst, sim)` partitioned by
     *     `shard = pmod(src, 64)`: appends touch only the shards their
     *     sources hash to.
+    *   - `path/entrysample` — the 64 lowest-id `(nid)` rows: the
+    *     routing fallback for a query whose `b0` bucket is empty (see
+    *     [[entryFallback]]) reads this tiny sidecar instead of
+    *     scan-sampling billions of vector rows per search batch. Any
+    *     fixed node set is a valid entry set, so appends never need to
+    *     refresh it; [[compactGraphIndex]] does anyway.
     */
   def buildGraphIndex(corpus: DataFrame, path: String, degree: Int = 8,
                       planes: Int = 6, maxBucket: Int = 512,
@@ -278,11 +319,18 @@ object GraphAnn {
     corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
         bucketOf(col(vecCol), planes).as("b0"))
       .write.mode("overwrite").partitionBy("b0").parquet(s"$path/vectors")
+    writeEntrySample(spark, path)
     knnGraph(corpus, degree, planes, maxBucket, refineRounds, tables,
         idCol, vecCol)
       .withColumn("shard", pmod(col("src"), lit(64L)).cast("int"))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
   }
+
+  private def writeEntrySample(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Unit =
+    spark.read.parquet(s"$path/vectors")
+      .select(col("nid")).orderBy(col("nid").asc).limit(64)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/entrysample")
 
   private def loadMeta(spark: org.apache.spark.sql.SparkSession,
                        path: String): (Int, Int, Int) = {
@@ -294,10 +342,19 @@ object GraphAnn {
     * link to their table-0 bucket-mates (existing AND same-batch), and
     * each touched mate gains back-edges to its best new arrivals, all
     * as APPENDED files. Old edge files are never rewritten, so a mate's
-    * effective degree drifts up by at most `degree` per append until a
-    * [[buildGraphIndex]] compaction re-trims — breadth cost during
-    * search, never a correctness one. Per-batch reads: the batch, the
-    * meta row, and ONLY the touched `b0` vector directories. */
+    * effective degree drifts up by at most `degree` per append until
+    * [[compactGraphIndex]] re-trims — breadth cost during search,
+    * never a correctness one. Per-batch reads: the batch, the meta
+    * row, and ONLY the touched `b0` vector directories.
+    *
+    * Id contract (r15 advice, stated plainly): index ids are
+    * IMMUTABLE. Re-appending an (id, vector) pair identical to one
+    * already present is safe (replay — readers dedupe), but appending
+    * an EXISTING id with DIFFERENT contents is an update this LSM has
+    * no version column to resolve; readers then keep the survivor
+    * with the lexicographically smallest vector ([[searchGraphIndex]]
+    * / [[compactGraphIndex]]) — deterministic, but NOT last-write-wins.
+    * Route updates through delete + rebuild, not append. */
   def appendToGraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          batch: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit = {
@@ -332,29 +389,82 @@ object GraphAnn {
     * query's `b0` bucket directory (pruned scan, zero bucket recompute
     * on the corpus side), then [[beamSearch]] walks the stored edges.
     * Appended duplicates of an (src, dst) edge are harmless — the
-    * frontier dedupes per hop. */
+    * frontier dedupes per hop. A query whose `b0` bucket directory is
+    * empty enters at the index's persisted `entrysample` nodes instead
+    * of returning zero rows (the [[entryFallback]] recall floor,
+    * without scanning the vector store). */
   def searchGraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int = 5, beam: Int = 16,
                        hops: Int = 2, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val (planes, _, _) = loadMeta(spark, path)
     // a replayed append (see StreamVectorIngest) can land the same
-    // (nid, nvec) row twice; without this dedupe a duplicated unique
-    // nearest neighbour would occupy TWO top-k ranks and evict the
-    // true second neighbour
+    // (nid, nvec) row twice — and a contract-violating id reuse can
+    // land two DIFFERENT vectors under one id. One deterministic
+    // survivor per id: the lexicographically smallest vector (min over
+    // the array ordering — partial-aggregable, unlike a window), so a
+    // duplicated unique nearest neighbour can never occupy two top-k
+    // ranks and results are stable across partitionings (r15 advice:
+    // dropDuplicates picked an arbitrary row).
     val corpus = spark.read.parquet(s"$path/vectors")
+      .groupBy(col("nid")).agg(min(col("nvec")).as("nvec"))
       .select(col("nid").as(idCol), col("nvec").as(vecCol))
-      .dropDuplicates(idCol)
     // beamSearch walks (src, dst) only — it re-scores every frontier
     // against the query, so stored sims never need to load
     val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
     val qb = broadcast(queries.select(col(idCol).as("qid"),
       bucketOf(col(vecCol), planes).as("b0")))
-    val entries = spark.read.parquet(s"$path/vectors")
+    val routed = spark.read.parquet(s"$path/vectors")
       .join(qb, Seq("b0"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
+    val entries = entryFallback(routed,
+      queries.select(col(idCol).as("qid")), entrySample(spark, path), beam)
     beamSearch(queries, corpus, edges, Some(entries), k, beam, hops, planes,
       idCol = idCol, vecCol = vecCol)
+  }
+
+  /** The persisted routing-fallback sample; an index written before the
+    * sidecar existed falls back to the id-ordered head of the vector
+    * store (same rows, one column-pruned TakeOrdered). */
+  private def entrySample(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/entrysample")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/entrysample")
+    else spark.read.parquet(s"$path/vectors")
+      .select(col("nid")).orderBy(col("nid").asc).limit(64)
+  }
+
+  /** Re-trim a persisted index to its meta `degree` — the compaction
+    * [[appendToGraphIndex]]'s LSM discipline defers to. Folds every
+    * replayed (src, dst) edge duplicate (copies carry the same
+    * deterministic sim), re-trims each source to `degree` under the
+    * `(sim desc, dst asc)` order, dedupes vector rows to the one
+    * deterministic survivor per id [[searchGraphIndex]] already
+    * resolves at read time (so compaction can never change what
+    * search sees), and refreshes the entry sample. Both frames are
+    * materialized via eager local checkpoint BEFORE the overwrite
+    * touches their source directories — the [[graft.streaming.Ledger]]
+    * writeCompacted rule. Ownership: run offline, like
+    * [[buildGraphIndex]] — the directory overwrite is job-commit
+    * atomic, not concurrent-reader safe. */
+  def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val (planes, degree, _) = loadMeta(spark, path)
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .groupBy(col("nid")).agg(min(col("nvec")).as("nvec"))
+      .select(col("nid"), col("nvec"), bucketOf(col("nvec"), planes).as("b0"))
+      .localCheckpoint(true)
+    val edges = trimEdges(
+        spark.read.parquet(s"$path/edges")
+          .select(col("src"), col("dst"), col("sim"))
+          .dropDuplicates("src", "dst"),
+        degree)
+      .withColumn("shard", pmod(col("src"), lit(64L)).cast("int"))
+      .localCheckpoint(true)
+    edges.write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
+    vecs.write.mode("overwrite").partitionBy("b0").parquet(s"$path/vectors")
+    writeEntrySample(spark, path)
   }
 }

@@ -87,6 +87,91 @@ class GraphAnnIndexSpec extends SparkTestBase {
       s"back-edge traversal failed: $viaHop")
   }
 
+  test("searchGraphIndex: empty-bucket probe enters at the persisted sample, not zero rows") {
+    // one-direction corpus -> one b0 bucket; the negated probe's bucket
+    // directory does not exist, so pre-fix the entry join was empty and
+    // the search silently returned nothing
+    val d = (0L until 10L).map(i => (i, Array((i + 1).toFloat, 0f)))
+      .toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft-gann").toString
+    GraphAnn.buildGraphIndex(d, path, degree = 2, planes = 4, refineRounds = 0)
+    assert(new java.io.File(s"$path/entrysample").exists,
+      "build must persist the routing-fallback sample")
+    val probe = Seq((100L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val got = GraphAnn.searchGraphIndex(spark, path, probe, k = 3,
+        beam = 4, hops = 1)
+      .select("rank", "nid").as[(Int, Long)].collect().sorted
+    assert(got.toSeq == Seq((1, 0L), (2, 1L), (3, 2L)),
+      s"index fallback routing failed: ${got.toSeq}")
+  }
+
+  test("searchGraphIndex: id reuse resolves to the lexicographically-min vector, deterministically") {
+    val d = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft-gann").toString
+    GraphAnn.buildGraphIndex(d, path, degree = 2, planes = 0, refineRounds = 0)
+    // contract violation on purpose: id 1 re-appended with DIFFERENT
+    // contents; the survivor must be the lexicographic minimum
+    // ([0,1] < [1,0.1] on the first component), not an arbitrary row
+    val reuse = Seq((1L, Array(1f, 0.1f))).toDF("vec_id", "embedding")
+    GraphAnn.appendToGraphIndex(spark, path, reuse)
+    val probe = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val sims = GraphAnn.searchGraphIndex(spark, path, probe, k = 2,
+        beam = 4, hops = 2)
+      .select("nid", "sim").as[(Long, Double)].collect().toMap
+    assert(sims.get(1L).exists(_ < 0.1),
+      s"id 1 must score as its min-vector survivor [0,1] (cos 0): $sims")
+  }
+
+  test("compactGraphIndex: search-invariant, degree re-trimmed, vectors deduped, files bounded") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("graft-gann").toString
+    GraphAnn.buildGraphIndex(emb, path, degree = 4, planes = 5,
+      refineRounds = 0)
+    val batch = emb.where(col("vec_id") < 3).select(
+      (col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    // two identical appends = a replayed micro-batch: duplicated vector
+    // rows, duplicated forward and back edges, drifted effective degree
+    GraphAnn.appendToGraphIndex(spark, path, batch)
+    GraphAnn.appendToGraphIndex(spark, path, batch)
+    val probes = emb.where(col("vec_id") < 3).select(
+      (col("vec_id") + 2000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+    def results() = GraphAnn.searchGraphIndex(spark, path, probes, k = 2,
+        beam = 8, hops = 1)
+      .select("qid", "nid", "rank", "sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    def edgeFiles() = {
+      val fs = new java.io.File(s"$path/edges")
+      fs.listFiles().filter(_.isDirectory)
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
+    val before = results()
+    val filesBefore = edgeFiles()
+    GraphAnn.compactGraphIndex(spark, path)
+    assert(results() == before,
+      "compaction must not change what search sees")
+    // folded duplicates + re-trim: per-src degree bound restored
+    val perSrc = spark.read.parquet(s"$path/edges")
+      .groupBy("src").count().agg(max("count")).as[Long].head()
+    assert(perSrc <= 4, s"max effective degree after compact: $perSrc")
+    val perNid = spark.read.parquet(s"$path/vectors")
+      .groupBy("nid").count().agg(max("count")).as[Long].head()
+    assert(perNid == 1, s"vector rows must dedupe to one per id: $perNid")
+    assert(edgeFiles() <= filesBefore,
+      s"compaction must bound edge file counts: $filesBefore -> ${edgeFiles()}")
+  }
+
+  test("registry memo: one built graph serves repeated certificate calls") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val g1 = registry.GraphAnnRegistry.graph(emb, "memo-test-a")
+    val g2 = registry.GraphAnnRegistry.graph(emb, "memo-test-a")
+    assert(g1 eq g2, "same (app, sf) key must return the memoized frame")
+    val g3 = registry.GraphAnnRegistry.graph(emb, "memo-test-b")
+    assert(!(g3 eq g1), "a different sf key must rebuild")
+  }
+
   test("meta round-trip: search uses stored planes, not caller defaults") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val path = Files.createTempDirectory("graft-gann").toString

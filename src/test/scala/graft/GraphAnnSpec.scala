@@ -175,6 +175,44 @@ class GraphAnnSpec extends SparkTestBase {
     assert(got2 == Set(0L, 3L), s"chain must collapse to its min id: $got2")
   }
 
+  test("view: shift wraps modulo the vector length") {
+    val d = vecs((0L, Array(1f, 2f)))
+    val r = d.select(
+      GraphAnn.view(col("embedding"), 3).as("w3"),
+      GraphAnn.view(col("embedding"), 1).as("w1"),
+      GraphAnn.view(col("embedding"), 2).as("w2"))
+      .as[(Array[Float], Array[Float], Array[Float])].head()
+    // t=3 on a 2-dim vector wraps to shift 1 (the r15-advice fix: the
+    // literal slice degenerated to the identity view past the end)
+    assert(r._1.toSeq == Seq(2f, 1f) && r._2.toSeq == Seq(2f, 1f),
+      s"t=3 must equal t=1 on dim 2: ${r._1.toSeq} vs ${r._2.toSeq}")
+    // t a multiple of dim is inherently the identity (cyclic shift)
+    assert(r._3.toSeq == Seq(1f, 2f))
+  }
+
+  test("routing fallback: a probe with an empty bucket still returns k results") {
+    // positive scaling preserves hyperplane signs, so the whole corpus
+    // shares ONE bucket; the negated probe flips every sign and lands
+    // in a bucket with zero mates — pre-fix this returned ZERO rows
+    val d = (0L until 12L).map(i => (i, Array((i + 1).toFloat, 0f)))
+      .toDF("vec_id", "embedding")
+    val probe = vecs((100L, Array(-1f, 0f)))
+    val g = GraphAnn.knnGraph(d, degree = 2, planes = 4, refineRounds = 0)
+    val got = GraphAnn.beamSearch(probe, d, g, entries = None,
+        k = 3, beam = 4, hops = 1, planes = 4)
+      .select("rank", "nid").as[(Int, Long)].collect().sorted
+    // every corpus node ties at cosine -1; the deterministic fallback
+    // enters at the lowest-id nodes and ties resolve nid ascending
+    assert(got.toSeq == Seq((1, 0L), (2, 1L), (3, 2L)),
+      s"fallback routing failed: ${got.toSeq}")
+    // a probe WITH bucket mates is untouched by the fallback
+    val inDist = vecs((200L, Array(5f, 0f)))
+    val top1 = GraphAnn.beamSearch(inDist, d, g, entries = None,
+        k = 1, beam = 4, hops = 0, planes = 4)
+      .select("nid").as[Long].collect()
+    assert(top1.sameElements(Array(0L)), s"in-dist probe changed: ${top1.toSeq}")
+  }
+
   test("planted twin certificate: pinned-entry search must cross the twin edge") {
     val d = mixedCorpus(80, 8)
     val twins = d.where(col("vec_id") < 3).select(
