@@ -148,30 +148,6 @@ object SparkEntry {
               lit("Disallow: /")).otherwise(lit("Crawl-delay: 5")),
             lit("Disallow: /tmp/")))).as("text"))
 
-  /** The shared contamination BENCH synthesis (q149/q243/q249/q250):
-    * verbatim corpus copies (%50==0), 40-token partials with novel
-    * tails (%50==25, ids +5e5 — high-but-partial overlap), and five
-    * fresh items (ids +1e6 — must read provably clean). One
-    * definition; the matching DuckDB `bt` CTE lives in
-    * [[contamBenchCte]]. */
-  private def contamBench(s: SparkSession, docs: DataFrame): DataFrame = {
-    val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val verbatim = docs.where(pmod(col("doc_id"), lit(50)) === 0)
-      .select(col("doc_id").as("bench_id"), col("text"))
-    val partial = docs.where(pmod(col("doc_id"), lit(50)) === 25)
-      .select((col("doc_id") + 500000L).as("bench_id"),
-        array_join(concat(slice(tk, 1, 40), array(
-          concat(lit("novel"), col("doc_id"), lit("_a")),
-          concat(lit("novel"), col("doc_id"), lit("_b")),
-          concat(lit("novel"), col("doc_id"), lit("_c")),
-          concat(lit("novel"), col("doc_id"), lit("_d")),
-          concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
-    val fresh = s.range(5).select((col("id") + 1000000L).as("bench_id"),
-      concat_ws(" ", (1 to 8).map(j =>
-        concat(lit("benchfresh"), col("id"), lit(s"_$j"))): _*).as("text"))
-    verbatim.unionByName(partial).unionByName(fresh)
-  }
-
   /** Per-source robots fixture for the PER-URL verdict (q241/q242):
     * every RFC 9309 path-matching rule fires against a [[synthUrl]]
     * branch — a wildcard/literal LENGTH TIE (disallow `/A/` + star +
@@ -225,7 +201,8 @@ object SparkEntry {
       registry.ClusterRegistry.queries ++ registry.RelationalRegistry.queries ++
       registry.GovernanceRegistry.queries ++ registry.ChatRegistry.queries ++
       registry.MediaRegistry.queries ++ registry.DedupRegistry.queries ++
-      registry.QualityRegistry.queries ++ registry.TokenizerRegistry.queries
+      registry.QualityRegistry.queries ++ registry.TokenizerRegistry.queries ++
+      registry.ContaminationRegistry.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity (SURVEY.md §2) ---
@@ -527,23 +504,6 @@ object SparkEntry {
     // feature fold, the smoothed weight grid, and the argmax
     "q23b_lang_id_ft" -> ((s, d) =>
       LangId.langIdFasttext(Tables.documents(s, d))),
-    // eval-contamination report (Curate.overlapReport, GPT-3 appendix C /
-    // Lee et al. '21 methodology): benchmark synthesized in-plan as
-    // 30-token corpus prefixes + novel suffixes, so hit fractions and
-    // longest verbatim runs are nontrivial; the oracle re-derives gram
-    // keys, hit marking, and the consecutive-run islands
-    "q132_overlap_report" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tk = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-      val bench = docs.where(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), array_join(concat(slice(tk, 1, 30), array(
-          concat(lit("novel"), col("doc_id"), lit("_a")),
-          concat(lit("novel"), col("doc_id"), lit("_b")),
-          concat(lit("novel"), col("doc_id"), lit("_c")),
-          concat(lit("novel"), col("doc_id"), lit("_d")),
-          concat(lit("novel"), col("doc_id"), lit("_e")))), " ").as("text"))
-      Curate.overlapReport(docs, bench, n = 5)
-    }),
     // BM25 inverted-index retrieval (Retrieval.bm25): queries synthesized
     // in-plan (tokens 3..6 of every 100th doc), scored in exact
     // fixed-point integers (ratio idf in millionths, tf-weight in
@@ -580,28 +540,6 @@ object SparkEntry {
           emb.where(pmod(col("vec_id"), lit(100)) === 0), emb, k = 10)
         .select(col("qid").as("query_id"), col("nid").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(bm, cos), k = 10)
-    }),
-    // leakage-safe split (Curate.leakageSafeSplit): near-duplicates must
-    // land in the SAME split — the split hash keys by the q49 near-dup
-    // CLUSTER label (singletons by their own id), so an eval doc can
-    // never have a train-side near-twin. Oracle chains the q49
-    // recursive-CTE component resolution into the q100 md5 split rule
-    "q148_leakage_safe_split" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(
-        docs.where(col("doc_id") < 60), n = 2, minJaccard = 0.05)
-      Curate.leakageSafeSplit(docs, pairs)
-    }),
-    // two-stage contamination triage (Retrieval.contaminationTriage):
-    // BM25 shortlists suspects through the postings index, exact 5-gram
-    // overlap verifies ONLY shortlisted pairs — the scale alternative to
-    // q132's corpus-wide gram pass. Bench classes planted in-plan:
-    // verbatim copies (top-1 self, full overlap), 40-token partials with
-    // novel tails (high-but-partial overlap), fresh items (no lexical
-    // hit -> absent, the suspects-only contract)
-    "q149_contamination_triage" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Retrieval.contaminationTriage(docs, contamBench(s, docs))
     }),
     // data-constrained epoch allocation (Curate.epochAllocate,
     // Muennighoff '23): sources remapped to the q82 70/20/10 skew, then
@@ -694,56 +632,6 @@ object SparkEntry {
     // delay otherwise (NULL: crawl at default pace)
     "q247_crawl_delay" -> ((s, d) =>
       Web.crawlDelay(Web.robotsRules(robotsDocs(Tables.documents(s, d))))),
-    // the composed DECONTAMINATION verdict (Pipeline.contaminationSweep):
-    // the q132/q149 lexical gram evidence, the q149 BM25 triage, and the
-    // q189 semantic cosine folded to ONE reason-coded per-doc verdict
-    // (lexical > semantic > bm25_suspect > clean); fixture = the q149
-    // bench synthesis (verbatim/partial/fresh) + the q189 probe set,
-    // doc vectors ride the 1:1 vec_id=doc_id embeddings
-    "q243_contamination_sweep" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val emb = Tables.embeddings(s, d)
-      val probes = emb.where(col("vec_id") < 8).select(
-          (col("vec_id") + lit(1000000L)).as("vec_id"),
-          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-        .unionByName(emb.where(col("vec_id") >= 100 && col("vec_id") < 103)
-          .select((col("vec_id") + lit(2000000L)).as("vec_id"),
-            col("embedding")))
-      Pipeline.contaminationSweep(docs, contamBench(s, docs), emb, probes)
-    }),
-    // bench-side contamination audit (Pipeline.contaminationAudit):
-    // which eval items leaked, how widely, and which are provably
-    // clean — fresh items surface with 0 contaminated docs (the q217
-    // zero-hit discipline), verbatim items read full-corpus-side
-    // overlap, partials read their truncated fraction
-    "q250_contamination_audit" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Pipeline.contaminationAudit(docs, contamBench(s, docs))
-    }),
-    // the STREAMABLE contamination gate, batch-oracled
-    // (Pipeline.contaminationGate): the q243 legs with the BM25 triage
-    // swapped to the frozen-reference threshold form residents run —
-    // frozen stats derive from the corpus itself here, so the oracle
-    // replays idf/avgdl exactly; threshold 11e6 fx sits at the
-    // corpus's ~95th max-score percentile (a planted suspect TIER, not
-    // half the corpus — scores cluster tightly on this synthesis)
-    "q249_contamination_gate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bench = contamBench(s, docs)
-      val emb = Tables.embeddings(s, d)
-      val probes = emb.where(col("vec_id") < 8).select(
-          (col("vec_id") + lit(1000000L)).as("vec_id"),
-          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-        .unionByName(emb.where(col("vec_id") >= 100 && col("vec_id") < 103)
-          .select((col("vec_id") + lit(2000000L)).as("vec_id"),
-            col("embedding")))
-      Pipeline.contaminationGate(
-        docs.join(emb.select(col("vec_id").as("doc_id"),
-          col("embedding")), Seq("doc_id")),
-        bench, probes,
-        Retrieval.bm25Frozen(docs, bench, queryIdCol = "bench_id"),
-        minScoreFx = 11000000L)
-    }),
     // margin-based bitext mining (Similarity.bitextMargin, Artetxe &
     // Schwenk '19): ratio-margin alignment of a bounded source probe
     // set (evens < 120 plus 8 scaled twins of odd vectors — exact cos
@@ -771,24 +659,6 @@ object SparkEntry {
     // oracle unrolls the same 8 rounds as MATERIALIZED CTEs
     "q200_doremi_mix" -> ((s, d) =>
       Importance.doremiWeights(Tables.documents(s, d))),
-    // SEMANTIC benchmark contamination (Similarity.semanticContamination):
-    // the embedding-space sibling of q149's lexical triage — the probe
-    // set plants 8 scaled twins (2*v, exact cos 1.0 with their source;
-    // the q28 IEEE power-of-two argument) and 3 raw copies, so the
-    // drop list provably contains the planted sources plus whatever
-    // natural neighbors clear 0.6; cosines round to 3dp BEFORE the
-    // threshold and the max (the q30 device), so the float hash is
-    // engine-stable
-    "q189_semantic_contamination" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val probes = emb.where(col("vec_id") < 8).select(
-          (col("vec_id") + lit(1000000L)).as("vec_id"),
-          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-        .unionByName(emb.where(col("vec_id") >= 100 && col("vec_id") < 103)
-          .select((col("vec_id") + lit(2000000L)).as("vec_id"),
-            col("embedding")))
-      Similarity.semanticContamination(emb, probes, minCos = 0.6)
-    }),
     // reward-margin gate (Chat.marginGate, the Llama-2 margin /
     // Zephyr drop-low-margin discipline): hash-derived ppm rewards
     // with planted classes — %17 inverts the pair (reward model
@@ -936,14 +806,6 @@ object SparkEntry {
               .otherwise(lit(1)))).as("_rep"))
       Quality.rollingSpikes(o, "o_orderdate")
     }),
-    // q68's decontamination through the bloom prefilter (the benchmark-
-    // too-big-to-broadcast scale path) — false negatives are impossible,
-    // so the output is bit-identical to q68 and shares its oracle form
-    "q91_decontaminate_bloom" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Curate.decontaminateBloom(docs.where(col("doc_id") < 400),
-        docs.where(col("doc_id") >= 400), n = 5, maxSharedRatio = 0.2)
-    }),
     // string-column ANALYZE stats (binary-collation min/max)
     "q72_string_stats" -> ((s, d) =>
       Stats.stringColumnStats(Tables.customer(s, d), Seq("c_name", "c_mktsegment"))),
@@ -971,13 +833,6 @@ object SparkEntry {
     "q70_group_centroids" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id").as("vec_id"), col("lang"))
       Similarity.groupCentroids(Tables.embeddings(s, d).join(docs, "vec_id"), "lang")
-    }),
-    // benchmark decontamination: 5-gram overlap of corpus docs against a
-    // held-out benchmark split — the pre-training eval-leak check
-    "q68_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Curate.decontaminate(docs.where(col("doc_id") < 400),
-        docs.where(col("doc_id") >= 400), n = 5, maxSharedRatio = 0.2)
     }),
     // time-series gap fill: calendar grid (sequence/generate_series) LEFT
     // JOIN counts, zeros for silent days — resample at grid size cost
@@ -1716,87 +1571,6 @@ object SparkEntry {
         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') nx
         |  FROM cf)""".stripMargin
 
-  /** The q149/q243/q249/q250 shared contamination-bench CTEs — [[contamBench]]'s DuckDB twin (tokd + the bt synthesis). No leading WITH. */
-  private val contamBenchCte: String =
-    """tokd AS (SELECT doc_id, list_filter(
-      |    regexp_split_to_array(lower(text), '\s+'), t -> t <> '') tk
-      |  FROM documents),
-      |bt AS (
-      |  SELECT doc_id bench_id, tk btk FROM tokd WHERE doc_id % 50 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 500000, list_concat(tk[1:40], [
-      |      'novel'||doc_id||'_a', 'novel'||doc_id||'_b',
-      |      'novel'||doc_id||'_c', 'novel'||doc_id||'_d',
-      |      'novel'||doc_id||'_e'])
-      |  FROM tokd WHERE doc_id % 50 = 25
-      |  UNION ALL
-      |  SELECT 1000000 + i, list_transform(range(1, 9),
-      |      j -> 'benchfresh'||i||'_'||j)
-      |  FROM range(5) t(i))""".stripMargin
-
-  /** The shared fixed-point BM25 scoring CTEs over (tokd, bt): q..sc. */
-  private val contamScoreCtes: String =
-    """q AS (SELECT bench_id, list_distinct(btk) qt FROM bt),
-      |post AS (SELECT doc_id, len(tk) dl, unnest(tk) t FROM tokd),
-      |pc AS (SELECT t, doc_id, dl, COUNT(*) tf FROM post GROUP BY 1, 2, 3),
-      |docl AS (SELECT DISTINCT doc_id, dl FROM pc),
-      |stats AS (SELECT n_docs, (tot * 1000) // n_docs avg_fx
-      |  FROM (SELECT COUNT(*) n_docs, SUM(dl) tot FROM docl)),
-      |qt AS (SELECT bench_id, unnest(qt) t FROM q),
-      |dfq AS (SELECT t, COUNT(*) df FROM pc
-      |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1),
-      |sc AS (SELECT m.bench_id, m.doc_id, SUM(
-      |    ( (((2*s.n_docs - 2*dfq.df + 1) * 1000000) // (2*dfq.df + 1))
-      |    * ((22 * m.tf * s.avg_fx * 1000)
-      |       // (10*s.avg_fx*m.tf + 3*s.avg_fx + 9000*m.dl)) ) // 1000) score_fx
-      |  FROM (SELECT qt.bench_id, pc.doc_id, pc.tf, pc.dl, pc.t
-      |        FROM pc JOIN qt USING (t)) m
-      |    JOIN dfq USING (t) CROSS JOIN stats s
-      |  GROUP BY 1, 2)""".stripMargin
-
-  /** The shared corpus-wide distinct-gram pair CTEs: cg..ps. */
-  private val contamPairCtes: String =
-    """cg AS (SELECT doc_id, unnest(list_distinct(
-      |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
-      |    ELSE list_transform(range(1, len(tk) - 3), i ->
-      |      tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
-      |    END)) g
-      |  FROM tokd),
-      |bs AS (SELECT bench_id, list_distinct(
-      |    CASE WHEN len(btk) < 5 THEN [array_to_string(btk, ' ')]
-      |    ELSE list_transform(range(1, len(btk) - 3), i ->
-      |      btk[i]||' '||btk[i+1]||' '||btk[i+2]||' '||btk[i+3]||' '||btk[i+4])
-      |    END) bg FROM bt),
-      |bsz AS (SELECT bench_id, len(bg) bench_grams FROM bs),
-      |bgr AS (SELECT bench_id, unnest(bg) g FROM bs),
-      |ps AS (SELECT bgr.bench_id, cg.doc_id, COUNT(*) ns
-      |  FROM bgr JOIN cg USING (g) GROUP BY 1, 2)""".stripMargin
-
-  /** The per-doc lexical fold over (ps, bsz). */
-  private val contamLexdCte: String =
-    """lexd AS (SELECT ps.doc_id, CAST(COUNT(*) AS BIGINT) n_lex_bench,
-      |    CAST(MAX((ns * 1000000) // bench_grams) AS BIGINT) lex_ppm
-      |  FROM ps JOIN bsz USING (bench_id)
-      |  WHERE ns * 100 >= bench_grams * 20 AND bench_grams > 0
-      |  GROUP BY 1)""".stripMargin
-
-  /** The q189 probe-cosine CTEs folded per doc: b2..semd. */
-  private val contamSemCtes: String =
-    """b2 AS (SELECT vec_id + 1000000 qid,
-      |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv
-      |  FROM embeddings WHERE vec_id < 8
-      |  UNION ALL
-      |  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
-      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
-      |c2 AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv
-      |      FROM embeddings),
-      |s2 AS (SELECT nid,
-      |    FLOOR(list_cosine_similarity(qv, nv) * 1000 + 0.5) / 1000.0 cos3
-      |  FROM c2, b2 WHERE qid <> nid),
-      |semd AS (SELECT nid doc_id, CAST(COUNT(*) AS BIGINT) n_probes_hit,
-      |    MAX(cos3) max_cos3
-      |  FROM s2 WHERE cos3 >= 0.6 GROUP BY 1)""".stripMargin
-
   /** The q221/q222 robots fixture + the parse chain. "value"/"domain"
     * quoted: DuckDB reserved words. */
   private[graft] val robotsParseCte: String =
@@ -1905,25 +1679,6 @@ object SparkEntry {
       |  FROM sc)""".stripMargin
 
 
-  /** Shared by q68 (exact decontamination) and q91 (bloom-prefiltered) —
-    * the bloom path guarantees zero false negatives, so both forms must
-    * hash-match the same oracle rows. */
-  private val decontaminateOracleSql: String =
-    """WITH t AS (SELECT doc_id, list_distinct(
-      |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
-      |         ELSE list_transform(range(1, len(tk) - 3), i ->
-      |           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
-      |           tk[i+3] || ' ' || tk[i+4]) END) sh
-      |  FROM (SELECT doc_id,
-      |        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') tk
-      |        FROM documents)),
-      |bench AS (SELECT DISTINCT unnest(sh) s FROM t WHERE doc_id >= 400),
-      |corp AS (SELECT doc_id, unnest(sh) s FROM t WHERE doc_id < 400),
-      |agg AS (SELECT c.doc_id, COUNT(*) n_shingles, COUNT(b.s) n_shared
-      |        FROM corp c LEFT JOIN bench b ON c.s = b.s GROUP BY 1)
-      |SELECT doc_id, n_shingles, n_shared,
-      |  n_shared * 100 > 20 * n_shingles contaminated FROM agg""".stripMargin
-
   /** Shared by q95 (full-log SCD2 rebuild) and q101 (incremental merge of
     * the second half into the first half's history) — the merge contract
     * is exact equivalence with the rebuild. */
@@ -1947,7 +1702,8 @@ object SparkEntry {
       registry.ClusterRegistry.oracleSql ++ registry.RelationalRegistry.oracleSql ++
       registry.GovernanceRegistry.oracleSql ++ registry.ChatRegistry.oracleSql ++
       registry.MediaRegistry.oracleSql ++ registry.DedupRegistry.oracleSql ++
-      registry.QualityRegistry.oracleSql ++ registry.TokenizerRegistry.oracleSql
+      registry.QualityRegistry.oracleSql ++ registry.TokenizerRegistry.oracleSql ++
+      registry.ContaminationRegistry.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_cdc_parse" ->
@@ -2146,42 +1902,6 @@ object SparkEntry {
         |  FROM s)
         |SELECT d.doc_id, d.lang, p.lang lang_pred, CAST(p.score AS BIGINT) score
         |FROM p JOIN documents d USING (doc_id) WHERE p.rn = 1""".stripMargin,
-    "q132_overlap_report" ->
-      """WITH tok AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
-        |  FROM documents),
-        |bench AS (SELECT doc_id, list_concat(tk[1:30],
-        |    ['novel' || doc_id || '_a', 'novel' || doc_id || '_b',
-        |     'novel' || doc_id || '_c', 'novel' || doc_id || '_d',
-        |     'novel' || doc_id || '_e']) btk
-        |  FROM tok WHERE doc_id % 10 = 0),
-        |bpos AS (SELECT doc_id, unnest(range(1, len(btk) - 5 + 2)) p, btk
-        |  FROM bench WHERE len(btk) >= 5),
-        |bg AS (SELECT doc_id, p,
-        |    md5(array_to_string(btk[p:p+4], ' ')) h FROM bpos),
-        |cg AS (SELECT DISTINCT md5(array_to_string(tk[p:p+4], ' ')) h
-        |  FROM (SELECT doc_id, unnest(range(1, len(tk) - 5 + 2)) p, tk
-        |    FROM tok WHERE len(tk) >= 5)),
-        |hits AS (SELECT bg.doc_id, bg.p,
-        |    CASE WHEN cg.h IS NOT NULL THEN 1 END hit
-        |  FROM bg LEFT JOIN cg ON bg.h = cg.h),
-        |runs AS (SELECT doc_id, MAX(run) longest FROM (
-        |    SELECT doc_id, COUNT(*) run FROM (
-        |      SELECT doc_id, p,
-        |        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) grp
-        |      FROM hits WHERE hit = 1)
-        |    GROUP BY doc_id, grp)
-        |  GROUP BY doc_id),
-        |agg AS (SELECT h.doc_id, COUNT(*) n_grams, COUNT(h.hit) n_hit
-        |  FROM hits h GROUP BY 1)
-        |SELECT b.doc_id,
-        |  CAST(COALESCE(a.n_grams, 0) AS BIGINT) n_grams,
-        |  CAST(COALESCE(a.n_hit, 0) AS BIGINT) n_hit,
-        |  COALESCE(CAST(a.n_hit AS DOUBLE) / a.n_grams, 0.0) overlap_frac,
-        |  CAST(COALESCE(r.longest, 0) AS BIGINT) longest_run,
-        |  COALESCE(a.n_hit * 100 > 20 * a.n_grams, FALSE) contaminated
-        |FROM bench b LEFT JOIN agg a USING (doc_id)
-        |  LEFT JOIN runs r USING (doc_id)""".stripMargin,
     "q143_bm25_topk" ->
       ("WITH " + bm25Cte + """
         |SELECT query_id, CAST(rk AS BIGINT) rank, doc_id,
@@ -2291,20 +2011,6 @@ object SparkEntry {
         |  tl.top_lang,
         |  CAST((1000000 * tc) // n_docs AS BIGINT) top_lang_ppm
         |FROM a JOIN tl USING (source)""".stripMargin,
-    "q189_semantic_contamination" ->
-      """WITH b AS (SELECT vec_id + 1000000 qid,
-        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) qv
-        |  FROM embeddings WHERE vec_id < 8
-        |  UNION ALL
-        |  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
-        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
-        |c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv
-        |      FROM embeddings),
-        |s AS (SELECT nid,
-        |    FLOOR(list_cosine_similarity(qv, nv) * 1000 + 0.5) / 1000.0 cos3
-        |  FROM c, b WHERE qid <> nid)
-        |SELECT nid, CAST(COUNT(*) AS BIGINT) n_probes_hit, MAX(cos3) max_cos3
-        |FROM s WHERE cos3 >= 0.6 GROUP BY nid""".stripMargin,
     "q191_anneal_mix" ->
       """WITH el AS (SELECT doc_id, source, n_chars FROM documents
         |            WHERE lang = 'en' AND n_chars > 0),
@@ -2408,48 +2114,6 @@ object SparkEntry {
         |          // (m.n_gaps * GREATEST(m.mean_gap_s, 1)) <= 100000)
         |         bot_like
         |FROM m JOIN a ON m.user_id = a.user_id""".stripMargin,
-    "q149_contamination_triage" ->
-      ("WITH " + contamBenchCte + ",\n" +
-      contamScoreCtes + ",\n" +
-      """r AS (SELECT bench_id, doc_id, score_fx, row_number() OVER (
-        |    PARTITION BY bench_id ORDER BY score_fx DESC, doc_id ASC) rk
-        |  FROM sc),
-        |hits AS (SELECT bench_id, doc_id, score_fx, rk FROM r WHERE rk <= 3),
-        |cg AS (SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
-        |    ELSE list_transform(range(1, len(tk) - 3), i ->
-        |      tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
-        |    END)) g
-        |  FROM tokd WHERE doc_id IN (SELECT DISTINCT doc_id FROM hits)),
-        |bs AS (SELECT bench_id, list_distinct(
-        |    CASE WHEN len(btk) < 5 THEN [array_to_string(btk, ' ')]
-        |    ELSE list_transform(range(1, len(btk) - 3), i ->
-        |      btk[i]||' '||btk[i+1]||' '||btk[i+2]||' '||btk[i+3]||' '||btk[i+4])
-        |    END) bg FROM bt),
-        |bsz AS (SELECT bench_id, len(bg) bench_grams FROM bs),
-        |bgr AS (SELECT bench_id, unnest(bg) g FROM bs),
-        |ps AS (SELECT bgr.bench_id, cg.doc_id, COUNT(*) ns
-        |  FROM bgr JOIN cg USING (g) GROUP BY 1, 2)
-        |SELECT h.bench_id, CAST(h.rk AS BIGINT) rank, h.doc_id,
-        |  CAST(h.score_fx AS BIGINT) score_fx,
-        |  CAST(z.bench_grams AS BIGINT) bench_grams,
-        |  CAST(COALESCE(ps.ns, 0) AS BIGINT) n_shared,
-        |  COALESCE(ps.ns, 0) * 100 >= z.bench_grams * 20
-        |    AND z.bench_grams > 0 contaminated
-        |FROM hits h JOIN bsz z USING (bench_id)
-        |  LEFT JOIN ps USING (bench_id, doc_id)""".stripMargin),
-    "q148_leakage_safe_split" ->
-      (dupClustersCte + s""",
-        |c AS (SELECT node doc_id, MIN(r) cluster_id FROM reach GROUP BY node),
-        |k AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) split_key
-        |  FROM documents d LEFT JOIN c USING (doc_id))
-        |SELECT doc_id, split_key,
-        |  CASE WHEN substr(md5(CAST(split_key AS VARCHAR) || 'graft'), 1, 8)
-        |         < '${ops.Curate.hashSampleThreshold(0.8)}' THEN 'train'
-        |       WHEN substr(md5(CAST(split_key AS VARCHAR) || 'graft'), 1, 8)
-        |         < '${ops.Curate.hashSampleThreshold(0.8 + 0.1)}' THEN 'val'
-        |       ELSE 'test' END split
-        |FROM k""".stripMargin),
     "q137_boilerplate_blocks" ->
       ("WITH " + boilerplateCtes + """
         |SELECT doc_id, bidx, n_chars, n_tokens, n_links, n_stops, cls,
@@ -2710,9 +2374,6 @@ object SparkEntry {
         |  CAST(SUM(drift_num) OVER () AS DOUBLE)
         |    / (CAST(2 AS DOUBLE) * tb * ta) tvd
         |FROM m""".stripMargin,
-    "q68_decontaminate" -> decontaminateOracleSql,
-    // bloom prefilter provably changes nothing: same oracle as q68
-    "q91_decontaminate_bloom" -> decontaminateOracleSql,
     "q94_epoch_shuffle" ->
       """SELECT doc_id, lang,
         |  CAST(row_number() OVER (
@@ -2863,69 +2524,6 @@ object SparkEntry {
         |FROM ar JOIN hs USING (host)
         |WHERE (spec AND has_spec) OR (agent = '*' AND NOT has_spec)
         |GROUP BY 1, 3""".stripMargin),
-    // decontamination-sweep replay: the q149 bench/BM25/pair-shared
-    // CTEs with the gram leg widened corpus-wide, the q189 probe
-    // cosines, and the precedence CASE
-    "q243_contamination_sweep" ->
-      ("WITH " + contamBenchCte + ",\n" +
-      contamScoreCtes + ",\n" +
-      """r AS (SELECT bench_id, doc_id, score_fx, row_number() OVER (
-        |    PARTITION BY bench_id ORDER BY score_fx DESC, doc_id ASC) rk
-        |  FROM sc),
-        |sus AS (SELECT doc_id, CAST(MIN(rk) AS BIGINT) bm25_rank
-        |  FROM r WHERE rk <= 3 GROUP BY 1),""".stripMargin + "\n" +
-      contamPairCtes + ",\n" +
-      contamLexdCte + ",\n" +
-      contamSemCtes + "\n" +
-      """SELECT d.doc_id, COALESCE(n_lex_bench, 0) n_lex_bench, lex_ppm,
-        |  bm25_rank, COALESCE(n_probes_hit, 0) n_probes_hit, max_cos3,
-        |  CASE WHEN COALESCE(n_lex_bench, 0) > 0 THEN 'lexical'
-        |       WHEN COALESCE(n_probes_hit, 0) > 0 THEN 'semantic'
-        |       WHEN bm25_rank IS NOT NULL THEN 'bm25_suspect'
-        |       ELSE 'clean' END verdict,
-        |  CASE WHEN COALESCE(n_lex_bench, 0) > 0 THEN FALSE
-        |       WHEN COALESCE(n_probes_hit, 0) > 0 THEN FALSE
-        |       WHEN bm25_rank IS NOT NULL THEN FALSE
-        |       ELSE TRUE END kept
-        |FROM documents d LEFT JOIN lexd USING (doc_id)
-        |  LEFT JOIN sus USING (doc_id) LEFT JOIN semd USING (doc_id)""".stripMargin),
-    // audit replay: the q243 pair CTEs folded bench-side, zero-hit
-    // items surfaced through the LEFT JOIN from the full bench frame
-    "q250_contamination_audit" ->
-      ("WITH " + contamBenchCte + ",\n" +
-      contamPairCtes + ",\n" +
-      """hits AS (SELECT ps.bench_id, CAST(COUNT(*) AS BIGINT) nd,
-        |    CAST(MAX((ns * 1000000) // bench_grams) AS BIGINT) mp
-        |  FROM ps JOIN bsz USING (bench_id)
-        |  WHERE ns * 100 >= bench_grams * 20 AND bench_grams > 0
-        |  GROUP BY 1)
-        |SELECT bsz.bench_id, CAST(bench_grams AS BIGINT) bench_grams,
-        |  COALESCE(nd, 0) n_contaminated, mp max_overlap_ppm
-        |FROM bsz LEFT JOIN hits USING (bench_id)""".stripMargin),
-    // frozen-gate replay: the q243 CTEs with the rank cut swapped for
-    // the threshold filter over the SAME fixed-point score chain
-    // (reference == corpus, so the frozen idf/avgdl equal the live ones
-    // and the arithmetic is shared verbatim)
-    "q249_contamination_gate" ->
-      ("WITH " + contamBenchCte + ",\n" +
-      contamScoreCtes + ",\n" +
-      """sus AS (SELECT doc_id, CAST(MAX(score_fx) AS BIGINT) bm25_score_fx
-        |  FROM sc WHERE score_fx >= 11000000 GROUP BY 1),""".stripMargin + "\n" +
-      contamPairCtes + ",\n" +
-      contamLexdCte + ",\n" +
-      contamSemCtes + "\n" +
-      """SELECT d.doc_id, COALESCE(n_lex_bench, 0) n_lex_bench, lex_ppm,
-        |  bm25_score_fx, COALESCE(n_probes_hit, 0) n_probes_hit, max_cos3,
-        |  CASE WHEN COALESCE(n_lex_bench, 0) > 0 THEN 'lexical'
-        |       WHEN COALESCE(n_probes_hit, 0) > 0 THEN 'semantic'
-        |       WHEN bm25_score_fx IS NOT NULL THEN 'bm25_suspect'
-        |       ELSE 'clean' END verdict,
-        |  CASE WHEN COALESCE(n_lex_bench, 0) > 0 THEN FALSE
-        |       WHEN COALESCE(n_probes_hit, 0) > 0 THEN FALSE
-        |       WHEN bm25_score_fx IS NOT NULL THEN FALSE
-        |       ELSE TRUE END kept
-        |FROM documents d LEFT JOIN lexd USING (doc_id)
-        |  LEFT JOIN sus USING (doc_id) LEFT JOIN semd USING (doc_id)""".stripMargin),
     // bitext margin replay: milli-quantized cosines, window top-k
     // neighborhood sums, integer ratio, best-per-source gate
     "q202_bitext_margin" ->
