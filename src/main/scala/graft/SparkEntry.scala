@@ -213,164 +213,7 @@ object SparkEntry {
     "q04_leaderboard" -> ((s, d) =>
       Aggregate.leaderboard(Tables.events(s, d), "user_id", 10)),
     "q05_recent" -> ((s, d) =>
-      Aggregate.recent(Tables.events(s, d), "ts", 5)),
-    // BM25 inverted-index retrieval (Retrieval.bm25): queries synthesized
-    // in-plan (tokens 3..6 of every 100th doc), scored in exact
-    // fixed-point integers (ratio idf in millionths, tf-weight in
-    // thousandths, per-term floor THEN sum — float Σ is addition-order-
-    // dependent across engines) over a real postings build; the oracle
-    // replays tokenization, postings, global df/avgdl, both fixed-point
-    // formulas, and the deterministic rank order
-    "q143_bm25_topk" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val qs = docs.where(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          array_join(slice(filter(split(lower(col("text")), "\\s+"),
-            t => length(t) > 0), 3, 4), " ").as("text"))
-      Retrieval.bm25(docs, qs, k = 5)
-    }),
-    // hybrid retrieval with reciprocal-rank fusion (Retrieval.rrfFuse,
-    // Cormack '09): the q143 BM25 ranks and the q27 brute-force cosine
-    // ranks (same seed ids: every 100th doc/vector) fuse by exact
-    // fixed-point 1e6 div (60 + rank) — RRF uses RANKS, so no
-    // incommensurable-score arithmetic and no floats. The lexical side
-    // includes the seed doc (it matches its own tokens); the vector
-    // side excludes self (bruteForceKnn contract) — both deterministic,
-    // both replayed by the oracle
-    "q147_hybrid_rrf" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val emb = Tables.embeddings(s, d)
-      val qsText = docs.where(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          array_join(slice(filter(split(lower(col("text")), "\\s+"),
-            t => length(t) > 0), 3, 4), " ").as("text"))
-      val bm = Retrieval.bm25(docs, qsText, k = 10)
-        .select(col("query_id"), col("doc_id"), col("rank"))
-      val cos = Similarity.bruteForceKnn(
-          emb.where(pmod(col("vec_id"), lit(100)) === 0), emb, k = 10)
-        .select(col("qid").as("query_id"), col("nid").as("doc_id"), col("rank"))
-      Retrieval.rrfFuse(Seq(bm, cos), k = 10)
-    }),
-    // raw WARC -> extracted MAIN CONTENT (q244 bytes + q137 semantics):
-    // the jusText page synthesis rides real HTTP response payloads, the
-    // content-type/status gates filter the captures, and
-    // Boilerplate.mainContent reassembles only the good blocks — the
-    // extraction step a raw-crawl pipeline runs between ingestion and
-    // every text gate (and mainContent's first end-to-end oracle)
-    "q248_warc_main_content" -> ((s, d) => {
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_warc_q248").getAbsolutePath
-      val docs = Tables.documents(s, d)
-      val page = concat_ws("\n\n",
-        lit("@lnk home @lnk about @lnk contact nav menu"),
-        concat(col("text"), lit(" the of and to in is on the a of and in")),
-        concat(lit("posted "), col("doc_id")),
-        col("text"),
-        lit("@lnk privacy @lnk terms @lnk copyright site"))
-      sources.Warc.writeResponses(docs.select(col("doc_id"),
-        concat(lit("https://"), col("source"), lit(".example.com/a/"),
-          col("doc_id").cast("string")).as("uri"),
-        lit("2026-01-03T00:00:00Z").as("date"),
-        lit(200L).as("status"),
-        lit("text/html; charset=utf-8").as("ctype"),
-        page.as("text")), dir, perFile = 100)
-      val resp = sources.Warc
-        .httpResponses(sources.Warc.read(s, s"$dir/*.warc.gz"))
-        .where(col("http_ok") && col("http_status") === 200 &&
-          col("http_content_type").startsWith("text/html"))
-        .select(regexp_extract(col("target_uri"), "/a/([0-9]+)$", 1)
-          .cast("long").as("doc_id"),
-          col("body").cast("string").as("text"))
-      Boilerplate.mainContent(resp)
-    }),
-    // the crawl FRONT DOOR end-to-end (q239 bytes + q242 semantics):
-    // the governance fixture is written as real WET files, read back
-    // through the member walk, and the ROBOTS-CHAINED sweep runs on the
-    // roundtripped (record_id, target_uri, text) rows — no parquet in
-    // between; keyed by the deterministic WARC record id (md5-derived,
-    // so the oracle re-derives it)
-    "q246_wet_governance" -> ((s, d) => {
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_wet_q246").getAbsolutePath
-      val docs = Tables.documents(s, d)
-      val base = Quality.injectLicenses(docs)
-        .join(docs.select(col("doc_id"), synthUrl.as("url")), Seq("doc_id"))
-        .select(col("doc_id"), col("url"),
-          when(pmod(col("doc_id"), lit(11)) === 0,
-            concat(col("text"), lit(" contact user"),
-              col("doc_id").cast("string"), lit("@example.com now")))
-            .otherwise(col("text")).as("text"))
-      sources.Warc.writeWet(base.select(col("doc_id"),
-        col("url").as("uri"), lit("2026-01-02T03:04:05Z").as("date"),
-        col("text")), dir, perFile = 100)
-      val back = sources.Warc.readWet(s, s"$dir/*.warc.wet.gz")
-        .select(col("record_id"), col("target_uri").as("url"), col("text"))
-      Pipeline.governanceSweep(back, optOutRegistry(docs),
-        idCol = "record_id",
-        robotsRules = Some(Web.robotsRules(robotsPathDocs(docs))))
-    }),
-    // per-host crawl-delay politeness census (Web.crawlDelay): RFC 9309
-    // group selection (specific eclipses `*`, no fallback), then the
-    // MAX numeric delay in the selected group — the q221 fixture's
-    // graftbot groups carry 'Crawl-delay: 5' on the md5 flip and no
-    // delay otherwise (NULL: crawl at default pace)
-    "q247_crawl_delay" -> ((s, d) =>
-      Web.crawlDelay(Web.robotsRules(robotsDocs(Tables.documents(s, d))))),
-    // margin-based bitext mining (Similarity.bitextMargin, Artetxe &
-    // Schwenk '19): ratio-margin alignment of a bounded source probe
-    // set (evens < 120 plus 8 scaled twins of odd vectors — exact cos
-    // 1.0 with their sources by the q28 IEEE power-of-two argument, so
-    // the mined pairs provably contain the plants) against the odd
-    // half; cosines quantize to milli-units first (the q30 device), so
-    // neighborhood sums and the margin ratio replay as pure integer
-    // arithmetic in DuckDB
-    "q202_bitext_margin" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val x = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 120)
-        .select(col("vec_id"), col("embedding"))
-        .unionByName(emb.where(col("vec_id") % 2 === 1 && col("vec_id") < 16)
-          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
-            transform(col("embedding"), v => v * lit(2.0f)).as("embedding")))
-      Similarity.bitextMargin(x, emb.where(col("vec_id") % 2 === 1), k = 4)
-    }),
-    // reward-margin gate (Chat.marginGate, the Llama-2 margin /
-    // Zephyr drop-low-margin discipline): hash-derived ppm rewards
-    // with planted classes — %17 inverts the pair (reward model
-    // disagrees with the label), %13 unscores one side (NULL margin,
-    // never kept, always surfaces), %11 forces an exact tie (margin
-    // 0 < 1000, dropped but not inverted)
-    "q194_margin_gate" -> ((s, d) => {
-      val hc = pmod(Kmv.hash48(
-        concat(col("doc_id").cast("string"), lit("mgc"))), lit(1000000L))
-      val hr = pmod(Kmv.hash48(
-        concat(col("doc_id").cast("string"), lit("mgr"))), lit(1000000L))
-      val cRaw = when(pmod(col("doc_id"), lit(13)) === 0,
-        lit(null).cast("long")).otherwise(hc)
-      val c = when(pmod(col("doc_id"), lit(11)) === 0, hr).otherwise(cRaw)
-      val r = when(pmod(col("doc_id"), lit(17)) === 0, hc + lit(500000L))
-        .otherwise(hr)
-      Chat.marginGate(Tables.documents(s, d)
-        .select(col("doc_id").as("pair_id"), c.as("chosen_reward"),
-          r.as("rejected_reward")), minMargin = 1000L)
-    }),
-    // bot-traffic detection by inter-arrival regularity (Analytics
-    // .timingRegularity): users on user_id % 7 == 2 are re-timed in-plan
-    // onto an exact 60 s grid (timer-scripted actors), the rest keep
-    // organic bursty gaps — integer-seconds MAD/mean dispersion in ppm
-    // separates them with zero float variance; the oracle replays the
-    // planting, the lag window, and both bounded aggs
-    "q157_bot_regularity" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-      val rn = row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
-      Analytics.timingRegularity(
-        ev.withColumn("_rn", rn)
-          .withColumn("ts", when(pmod(col("user_id"), lit(7)) === 2,
-            timestamp_micros(lit(1700000000000000L) + col("_rn") * 60000000L))
-            .otherwise(col("ts")))
-          .drop("_rn"))
-    })
+      Aggregate.recent(Tables.events(s, d), "ts", 5))
   )
 
   // ------------------------------------------------------------ oracles
@@ -1195,183 +1038,6 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY cnt DESC, content_id ASC LIMIT 10""".stripMargin,
     "q05_recent" ->
       """SELECT event_id, date_trunc('millisecond', ts) ts_ms, event_type, value
-        |FROM events ORDER BY ts_ms DESC, event_id ASC LIMIT 5""".stripMargin,
-    "q143_bm25_topk" ->
-      ("WITH " + bm25Cte + """
-        |SELECT query_id, CAST(rk AS BIGINT) rank, doc_id,
-        |  CAST(score_fx AS BIGINT) score_fx
-        |FROM r WHERE rk <= 5""".stripMargin),
-    "q147_hybrid_rrf" ->
-      ("WITH " + bm25Cte + """,
-        |rb AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= 10),
-        |qv AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qvv
-        |  FROM embeddings WHERE vec_id % 100 = 0),
-        |cv AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nvv
-        |  FROM embeddings),
-        |cs AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
-        |    ORDER BY list_cosine_similarity(qvv, nvv) DESC, nid ASC) rk
-        |  FROM qv, cv WHERE qid != nid),
-        |rc AS (SELECT qid query_id, nid doc_id, rk FROM cs WHERE rk <= 10),
-        |u AS (SELECT query_id, doc_id, 1000000 // (60 + rk) c FROM rb
-        |  UNION ALL SELECT query_id, doc_id, 1000000 // (60 + rk) FROM rc),
-        |f AS (SELECT query_id, doc_id, SUM(c) rrf_fx FROM u GROUP BY 1, 2),
-        |fr AS (SELECT query_id, doc_id, rrf_fx, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY rrf_fx DESC, doc_id ASC) rk2
-        |  FROM f)
-        |SELECT query_id, CAST(rk2 AS BIGINT) rank, doc_id,
-        |  CAST(rrf_fx AS BIGINT) rrf_fx
-        |FROM fr WHERE rk2 <= 10""".stripMargin),
-    "q194_margin_gate" ->
-      """WITH hx AS (SELECT doc_id,
-        |    md5(CAST(doc_id AS VARCHAR) || 'mgc') h1,
-        |    md5(CAST(doc_id AS VARCHAR) || 'mgr') h2 FROM documents),
-        |g AS (SELECT doc_id,
-        |    CAST(SUM((strpos('0123456789abcdef', substr(h1, i, 1)) - 1)
-        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v1,
-        |    CAST(SUM((strpos('0123456789abcdef', substr(h2, i, 1)) - 1)
-        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v2
-        |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
-        |  GROUP BY doc_id),
-        |p AS (SELECT doc_id pair_id,
-        |    CASE WHEN doc_id % 11 = 0 THEN v2 % 1000000
-        |         WHEN doc_id % 13 = 0 THEN NULL
-        |         ELSE v1 % 1000000 END c,
-        |    CASE WHEN doc_id % 17 = 0 THEN v1 % 1000000 + 500000
-        |         ELSE v2 % 1000000 END r
-        |  FROM g)
-        |SELECT pair_id, c chosen_reward, r rejected_reward,
-        |  c - r margin,
-        |  (c IS NOT NULL AND r IS NOT NULL) scored,
-        |  (c IS NOT NULL AND r IS NOT NULL AND c < r) inverted,
-        |  (c IS NOT NULL AND r IS NOT NULL AND c >= r
-        |   AND c - r >= 1000) keep
-        |FROM p""".stripMargin,
-    "q157_bot_regularity" ->
-      """WITH rn AS (SELECT user_id, event_id, ts,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
-        |  FROM events),
-        |p AS (SELECT user_id, event_id,
-        |    CASE WHEN user_id % 7 = 2
-        |         THEN make_timestamp(1700000000000000 + rn * 60000000)
-        |         ELSE ts END ts2 FROM rn),
-        |d AS (SELECT user_id,
-        |    (epoch_us(ts2) - LAG(epoch_us(ts2)) OVER (
-        |       PARTITION BY user_id ORDER BY ts2, event_id)) // 1000000 gap_s
-        |  FROM p),
-        |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) n_gaps,
-        |             CAST(SUM(gap_s) AS BIGINT) sum_s
-        |      FROM d WHERE gap_s IS NOT NULL GROUP BY 1),
-        |m AS (SELECT user_id, n_gaps,
-        |             CAST(sum_s // n_gaps AS BIGINT) mean_gap_s FROM g),
-        |a AS (SELECT d.user_id,
-        |             CAST(SUM(ABS(d.gap_s - m.mean_gap_s)) AS BIGINT) adev
-        |      FROM d JOIN m ON d.user_id = m.user_id
-        |      WHERE d.gap_s IS NOT NULL GROUP BY 1)
-        |SELECT m.user_id, m.n_gaps, m.mean_gap_s,
-        |       CAST((a.adev * 1000000)
-        |            // (m.n_gaps * GREATEST(m.mean_gap_s, 1)) AS BIGINT)
-        |         mad_ppm,
-        |       (m.n_gaps >= 9 AND
-        |        (a.adev * 1000000)
-        |          // (m.n_gaps * GREATEST(m.mean_gap_s, 1)) <= 100000)
-        |         bot_like
-        |FROM m JOIN a ON m.user_id = a.user_id""".stripMargin,
-    // main-content replay: the q137 chain + the good-block reassembly
-    // (string_agg ordered by block index) — matching proves the HTTP
-    // body roundtrip AND the block classification compose losslessly
-    "q248_warc_main_content" ->
-      ("WITH " + boilerplateCtes + """,
-        |fin AS (SELECT doc_id, bidx,
-        |  CASE WHEN cls = 'good' THEN 'good'
-        |       WHEN cls = 'bad' THEN 'bad'
-        |       WHEN cls = 'near_good' THEN
-        |         CASE WHEN pv = 'good' OR nx = 'good' THEN 'good' ELSE 'bad' END
-        |       ELSE CASE WHEN pv = 'good' AND nx = 'good' THEN 'good' ELSE 'bad' END
-        |  END final_cls FROM cx),
-        |gd AS (SELECT doc_id, bidx FROM fin WHERE final_cls = 'good')
-        |SELECT b2.doc_id,
-        |  string_agg(b2.blk, chr(10) || chr(10) ORDER BY b2.bidx) "text"
-        |FROM b2 JOIN gd ON gd.doc_id = b2.doc_id AND gd.bidx = b2.bidx
-        |GROUP BY 1""".stripMargin),
-    // front-door replay: the q242 CTEs keyed through the DETERMINISTIC
-    // WARC record id (md5 of the conversion seed, re-derived in SQL) —
-    // matching proves the governance verdict survives the byte-level
-    // WET roundtrip value-for-value
-    "q246_wet_governance" ->
-      ("WITH " + govSweepCtes + """,
-        |rid AS (SELECT doc_id, '<urn:uuid:' || substr(hh, 1, 8) || '-'
-        |    || substr(hh, 9, 4) || '-' || substr(hh, 13, 4) || '-'
-        |    || substr(hh, 17, 4) || '-' || substr(hh, 21, 12) || '>' record_id
-        |  FROM (SELECT doc_id, md5('conversion:'
-        |    || CAST(doc_id AS VARCHAR) || ':' || url) hh FROM base)),
-        |u AS (SELECT doc_id, url FROM base),
-        |""".stripMargin + robotsUrlVerdictCte + """
-        |SELECT rid.record_id, h.host, m."domain" optout_domain,
-        |  lcv.spdx_id, lcv.license_class, CAST(fr.fre AS BIGINT) fre_milli,
-        |  pii.has_pii,
-        |  CASE WHEN m."domain" IS NOT NULL THEN 'opted_out'
-        |       WHEN NOT rvd.allowed THEN 'robots_blocked'
-        |       WHEN lcv.license_class IN ('copyleft', 'other-spdx')
-        |         THEN 'license'
-        |       WHEN pii.has_pii THEN 'pii'
-        |       WHEN fr.fre IS NULL OR fr.fre < 30000 THEN 'unreadable'
-        |       ELSE 'keep' END verdict,
-        |  CASE WHEN m."domain" IS NOT NULL THEN FALSE
-        |       WHEN NOT rvd.allowed THEN FALSE
-        |       WHEN lcv.license_class IN ('copyleft', 'other-spdx')
-        |         THEN FALSE
-        |       WHEN pii.has_pii THEN FALSE
-        |       WHEN fr.fre IS NULL OR fr.fre < 30000 THEN FALSE
-        |       ELSE TRUE END kept
-        |FROM h LEFT JOIN m USING (doc_id)
-        |  JOIN lcv USING (doc_id) JOIN fr USING (doc_id)
-        |  JOIN pii USING (doc_id) JOIN rvd USING (doc_id)
-        |  JOIN rid USING (doc_id)""".stripMargin),
-    // crawl-delay replay: the q221 parse chain + group selection +
-    // conservative MAX over numeric delays
-    "q247_crawl_delay" ->
-      ("WITH " + robotsParseCte + """,
-        |ar AS (SELECT host, agent, "rule", "value",
-        |    lower(agent) = 'graftbot' spec FROM rules),
-        |hs AS (SELECT host, bool_or(spec) has_spec FROM ar GROUP BY 1)
-        |SELECT ar.host,
-        |  MAX(CASE WHEN "rule" = 'crawl-delay'
-        |        AND regexp_matches("value", '^[0-9]+$')
-        |      THEN CAST("value" AS BIGINT) END) delay_secs,
-        |  CASE WHEN has_spec THEN 'specific' ELSE 'wildcard' END delay_group
-        |FROM ar JOIN hs USING (host)
-        |WHERE (spec AND has_spec) OR (agent = '*' AND NOT has_spec)
-        |GROUP BY 1, 3""".stripMargin),
-    // bitext margin replay: milli-quantized cosines, window top-k
-    // neighborhood sums, integer ratio, best-per-source gate
-    "q202_bitext_margin" ->
-      """WITH x AS (SELECT vec_id xid, CAST(embedding AS DOUBLE[]) xv
-        |    FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 120
-        |  UNION ALL
-        |  SELECT vec_id + 1000000,
-        |      list_transform(CAST(embedding AS DOUBLE[]), v -> v * 2)
-        |    FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 16),
-        |y AS (SELECT vec_id yid, CAST(embedding AS DOUBLE[]) yv
-        |  FROM embeddings WHERE vec_id % 2 = 1),
-        |c AS MATERIALIZED (SELECT xid, yid,
-        |    CAST(FLOOR(list_cosine_similarity(xv, yv) * 1000 + 0.5)
-        |      AS BIGINT) cm
-        |  FROM x, y),
-        |sx AS (SELECT xid, CAST(SUM(cm) AS BIGINT) s FROM (
-        |    SELECT xid, cm, row_number() OVER (PARTITION BY xid
-        |      ORDER BY cm DESC, yid ASC) r FROM c)
-        |  WHERE r <= 4 GROUP BY xid),
-        |sy AS (SELECT yid, CAST(SUM(cm) AS BIGINT) s FROM (
-        |    SELECT yid, cm, row_number() OVER (PARTITION BY yid
-        |      ORDER BY cm DESC, xid ASC) r FROM c)
-        |  WHERE r <= 4 GROUP BY yid),
-        |m AS (SELECT c.xid, c.yid, c.cm,
-        |    (1000000 * 8 * c.cm) // greatest(sx.s + sy.s, 1) margin_ppm
-        |  FROM c JOIN sx USING (xid) JOIN sy USING (yid)
-        |  WHERE c.cm > 0),
-        |b AS (SELECT *, row_number() OVER (PARTITION BY xid
-        |    ORDER BY margin_ppm DESC, yid ASC) rb FROM m)
-        |SELECT xid, yid, cm c_mill, margin_ppm
-        |FROM b WHERE rb = 1 AND margin_ppm >= 1000000""".stripMargin
+        |FROM events ORDER BY ts_ms DESC, event_id ASC LIMIT 5""".stripMargin
   )
 }

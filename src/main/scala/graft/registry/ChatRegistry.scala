@@ -202,7 +202,27 @@ private[graft] object ChatRegistry {
           lit(null).cast("string"))
           .when(pmod(col("doc_id"), lit(7)) === 0,
             concat(col("text"), lit(" "), col("text")))
-          .otherwise(col("text")).as("text")))))
+          .otherwise(col("text")).as("text")))),
+    // reward-margin gate (Chat.marginGate, the Llama-2 margin /
+    // Zephyr drop-low-margin discipline): hash-derived ppm rewards
+    // with planted classes — %17 inverts the pair (reward model
+    // disagrees with the label), %13 unscores one side (NULL margin,
+    // never kept, always surfaces), %11 forces an exact tie (margin
+    // 0 < 1000, dropped but not inverted)
+    "q194_margin_gate" -> ((s, d) => {
+      val hc = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("mgc"))), lit(1000000L))
+      val hr = pmod(Kmv.hash48(
+        concat(col("doc_id").cast("string"), lit("mgr"))), lit(1000000L))
+      val cRaw = when(pmod(col("doc_id"), lit(13)) === 0,
+        lit(null).cast("long")).otherwise(hc)
+      val c = when(pmod(col("doc_id"), lit(11)) === 0, hr).otherwise(cRaw)
+      val r = when(pmod(col("doc_id"), lit(17)) === 0, hc + lit(500000L))
+        .otherwise(hr)
+      Chat.marginGate(Tables.documents(s, d)
+        .select(col("doc_id").as("pair_id"), c.as("chosen_reward"),
+          r.as("rejected_reward")), minMargin = 1000L)
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q167_chat_render" ->
@@ -569,5 +589,30 @@ private[graft] object ChatRegistry {
         |    THEN (1000000 * d1) // t1 END AS BIGINT) d1_ppm,
         |  CAST(CASE WHEN COALESCE(t2, 0) > 0
         |    THEN (1000000 * d2) // t2 END AS BIGINT) d2_ppm
-        |FROM base LEFT JOIN wd USING (pid)""".stripMargin)
+        |FROM base LEFT JOIN wd USING (pid)""".stripMargin,
+    "q194_margin_gate" ->
+      """WITH hx AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || 'mgc') h1,
+        |    md5(CAST(doc_id AS VARCHAR) || 'mgr') h2 FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(SUM((strpos('0123456789abcdef', substr(h1, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v1,
+        |    CAST(SUM((strpos('0123456789abcdef', substr(h2, i, 1)) - 1)
+        |      * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) v2
+        |  FROM hx CROSS JOIN generate_series(1, 12) t(i)
+        |  GROUP BY doc_id),
+        |p AS (SELECT doc_id pair_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN v2 % 1000000
+        |         WHEN doc_id % 13 = 0 THEN NULL
+        |         ELSE v1 % 1000000 END c,
+        |    CASE WHEN doc_id % 17 = 0 THEN v1 % 1000000 + 500000
+        |         ELSE v2 % 1000000 END r
+        |  FROM g)
+        |SELECT pair_id, c chosen_reward, r rejected_reward,
+        |  c - r margin,
+        |  (c IS NOT NULL AND r IS NOT NULL) scored,
+        |  (c IS NOT NULL AND r IS NOT NULL AND c < r) inverted,
+        |  (c IS NOT NULL AND r IS NOT NULL AND c >= r
+        |   AND c - r >= 1000) keep
+        |FROM p""".stripMargin)
 }

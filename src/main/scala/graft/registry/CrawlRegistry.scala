@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{LinkGraph, Web}
+import graft.ops.{Analytics, Boilerplate, LinkGraph, Pipeline, Quality, Web}
 import graft.sources
+import graft.SparkEntry.{boilerplateCtes, govSweepCtes, optOutRegistry,
+  robotsDocs, robotsParseCte, robotsPathDocs, robotsUrlVerdictCte, synthUrl}
 
 /** Crawl-frontier domain registry: the link-graph leg (q251–q253) and
   * sitemap ingestion + frontier report (q258–q259), each query next to
@@ -165,6 +167,89 @@ private[graft] object CrawlRegistry {
         .select(col("host"), col("n_urls"), col("n_allowed"),
           col("max_allowed_priority"),
           coalesce(col("rank_e6"), lit(0L)).as("rank_e6"))
+    }),
+    // bot-traffic detection by inter-arrival regularity (Analytics
+    // .timingRegularity): users on user_id % 7 == 2 are re-timed in-plan
+    // onto an exact 60 s grid (timer-scripted actors), the rest keep
+    // organic bursty gaps — integer-seconds MAD/mean dispersion in ppm
+    // separates them with zero float variance; the oracle replays the
+    // planting, the lag window, and both bounded aggs
+    "q157_bot_regularity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val rn = row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+      Analytics.timingRegularity(
+        ev.withColumn("_rn", rn)
+          .withColumn("ts", when(pmod(col("user_id"), lit(7)) === 2,
+            timestamp_micros(lit(1700000000000000L) + col("_rn") * 60000000L))
+            .otherwise(col("ts")))
+          .drop("_rn"))
+    }),
+    // the crawl FRONT DOOR end-to-end (q239 bytes + q242 semantics):
+    // the governance fixture is written as real WET files, read back
+    // through the member walk, and the ROBOTS-CHAINED sweep runs on the
+    // roundtripped (record_id, target_uri, text) rows — no parquet in
+    // between; keyed by the deterministic WARC record id (md5-derived,
+    // so the oracle re-derives it)
+    "q246_wet_governance" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_wet_q246").getAbsolutePath
+      val docs = Tables.documents(s, d)
+      val base = Quality.injectLicenses(docs)
+        .join(docs.select(col("doc_id"), synthUrl.as("url")), Seq("doc_id"))
+        .select(col("doc_id"), col("url"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(col("text")).as("text"))
+      sources.Warc.writeWet(base.select(col("doc_id"),
+        col("url").as("uri"), lit("2026-01-02T03:04:05Z").as("date"),
+        col("text")), dir, perFile = 100)
+      val back = sources.Warc.readWet(s, s"$dir/*.warc.wet.gz")
+        .select(col("record_id"), col("target_uri").as("url"), col("text"))
+      Pipeline.governanceSweep(back, optOutRegistry(docs),
+        idCol = "record_id",
+        robotsRules = Some(Web.robotsRules(robotsPathDocs(docs))))
+    }),
+    // per-host crawl-delay politeness census (Web.crawlDelay): RFC 9309
+    // group selection (specific eclipses `*`, no fallback), then the
+    // MAX numeric delay in the selected group — the q221 fixture's
+    // graftbot groups carry 'Crawl-delay: 5' on the md5 flip and no
+    // delay otherwise (NULL: crawl at default pace)
+    "q247_crawl_delay" -> ((s, d) =>
+      Web.crawlDelay(Web.robotsRules(robotsDocs(Tables.documents(s, d))))),
+    // raw WARC -> extracted MAIN CONTENT (q244 bytes + q137 semantics):
+    // the jusText page synthesis rides real HTTP response payloads, the
+    // content-type/status gates filter the captures, and
+    // Boilerplate.mainContent reassembles only the good blocks — the
+    // extraction step a raw-crawl pipeline runs between ingestion and
+    // every text gate (and mainContent's first end-to-end oracle)
+    "q248_warc_main_content" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_warc_q248").getAbsolutePath
+      val docs = Tables.documents(s, d)
+      val page = concat_ws("\n\n",
+        lit("@lnk home @lnk about @lnk contact nav menu"),
+        concat(col("text"), lit(" the of and to in is on the a of and in")),
+        concat(lit("posted "), col("doc_id")),
+        col("text"),
+        lit("@lnk privacy @lnk terms @lnk copyright site"))
+      sources.Warc.writeResponses(docs.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/a/"),
+          col("doc_id").cast("string")).as("uri"),
+        lit("2026-01-03T00:00:00Z").as("date"),
+        lit(200L).as("status"),
+        lit("text/html; charset=utf-8").as("ctype"),
+        page.as("text")), dir, perFile = 100)
+      val resp = sources.Warc
+        .httpResponses(sources.Warc.read(s, s"$dir/*.warc.gz"))
+        .where(col("http_ok") && col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(regexp_extract(col("target_uri"), "/a/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+      Boilerplate.mainContent(resp)
     }))
 
   // ------------------------------------------------------------ oracles
@@ -418,5 +503,101 @@ private[graft] object CrawlRegistry {
         |  GROUP BY 1)
         |SELECT fr.host, fr.n_urls, fr.n_allowed, fr.max_allowed_priority,
         |  COALESCE(r3.rank_e6, 0) rank_e6
-        |FROM fr LEFT JOIN r3 ON fr.host = r3.node""".stripMargin))
+        |FROM fr LEFT JOIN r3 ON fr.host = r3.node""".stripMargin),
+    "q157_bot_regularity" ->
+      """WITH rn AS (SELECT user_id, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+        |  FROM events),
+        |p AS (SELECT user_id, event_id,
+        |    CASE WHEN user_id % 7 = 2
+        |         THEN make_timestamp(1700000000000000 + rn * 60000000)
+        |         ELSE ts END ts2 FROM rn),
+        |d AS (SELECT user_id,
+        |    (epoch_us(ts2) - LAG(epoch_us(ts2)) OVER (
+        |       PARTITION BY user_id ORDER BY ts2, event_id)) // 1000000 gap_s
+        |  FROM p),
+        |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) n_gaps,
+        |             CAST(SUM(gap_s) AS BIGINT) sum_s
+        |      FROM d WHERE gap_s IS NOT NULL GROUP BY 1),
+        |m AS (SELECT user_id, n_gaps,
+        |             CAST(sum_s // n_gaps AS BIGINT) mean_gap_s FROM g),
+        |a AS (SELECT d.user_id,
+        |             CAST(SUM(ABS(d.gap_s - m.mean_gap_s)) AS BIGINT) adev
+        |      FROM d JOIN m ON d.user_id = m.user_id
+        |      WHERE d.gap_s IS NOT NULL GROUP BY 1)
+        |SELECT m.user_id, m.n_gaps, m.mean_gap_s,
+        |       CAST((a.adev * 1000000)
+        |            // (m.n_gaps * GREATEST(m.mean_gap_s, 1)) AS BIGINT)
+        |         mad_ppm,
+        |       (m.n_gaps >= 9 AND
+        |        (a.adev * 1000000)
+        |          // (m.n_gaps * GREATEST(m.mean_gap_s, 1)) <= 100000)
+        |         bot_like
+        |FROM m JOIN a ON m.user_id = a.user_id""".stripMargin,
+    // front-door replay: the q242 CTEs keyed through the DETERMINISTIC
+    // WARC record id (md5 of the conversion seed, re-derived in SQL) —
+    // matching proves the governance verdict survives the byte-level
+    // WET roundtrip value-for-value
+    "q246_wet_governance" ->
+      ("WITH " + govSweepCtes + """,
+        |rid AS (SELECT doc_id, '<urn:uuid:' || substr(hh, 1, 8) || '-'
+        |    || substr(hh, 9, 4) || '-' || substr(hh, 13, 4) || '-'
+        |    || substr(hh, 17, 4) || '-' || substr(hh, 21, 12) || '>' record_id
+        |  FROM (SELECT doc_id, md5('conversion:'
+        |    || CAST(doc_id AS VARCHAR) || ':' || url) hh FROM base)),
+        |u AS (SELECT doc_id, url FROM base),
+        |""".stripMargin + robotsUrlVerdictCte + """
+        |SELECT rid.record_id, h.host, m."domain" optout_domain,
+        |  lcv.spdx_id, lcv.license_class, CAST(fr.fre AS BIGINT) fre_milli,
+        |  pii.has_pii,
+        |  CASE WHEN m."domain" IS NOT NULL THEN 'opted_out'
+        |       WHEN NOT rvd.allowed THEN 'robots_blocked'
+        |       WHEN lcv.license_class IN ('copyleft', 'other-spdx')
+        |         THEN 'license'
+        |       WHEN pii.has_pii THEN 'pii'
+        |       WHEN fr.fre IS NULL OR fr.fre < 30000 THEN 'unreadable'
+        |       ELSE 'keep' END verdict,
+        |  CASE WHEN m."domain" IS NOT NULL THEN FALSE
+        |       WHEN NOT rvd.allowed THEN FALSE
+        |       WHEN lcv.license_class IN ('copyleft', 'other-spdx')
+        |         THEN FALSE
+        |       WHEN pii.has_pii THEN FALSE
+        |       WHEN fr.fre IS NULL OR fr.fre < 30000 THEN FALSE
+        |       ELSE TRUE END kept
+        |FROM h LEFT JOIN m USING (doc_id)
+        |  JOIN lcv USING (doc_id) JOIN fr USING (doc_id)
+        |  JOIN pii USING (doc_id) JOIN rvd USING (doc_id)
+        |  JOIN rid USING (doc_id)""".stripMargin),
+    // crawl-delay replay: the q221 parse chain + group selection +
+    // conservative MAX over numeric delays
+    "q247_crawl_delay" ->
+      ("WITH " + robotsParseCte + """,
+        |ar AS (SELECT host, agent, "rule", "value",
+        |    lower(agent) = 'graftbot' spec FROM rules),
+        |hs AS (SELECT host, bool_or(spec) has_spec FROM ar GROUP BY 1)
+        |SELECT ar.host,
+        |  MAX(CASE WHEN "rule" = 'crawl-delay'
+        |        AND regexp_matches("value", '^[0-9]+$')
+        |      THEN CAST("value" AS BIGINT) END) delay_secs,
+        |  CASE WHEN has_spec THEN 'specific' ELSE 'wildcard' END delay_group
+        |FROM ar JOIN hs USING (host)
+        |WHERE (spec AND has_spec) OR (agent = '*' AND NOT has_spec)
+        |GROUP BY 1, 3""".stripMargin),
+    // main-content replay: the q137 chain + the good-block reassembly
+    // (string_agg ordered by block index) — matching proves the HTTP
+    // body roundtrip AND the block classification compose losslessly
+    "q248_warc_main_content" ->
+      ("WITH " + boilerplateCtes + """,
+        |fin AS (SELECT doc_id, bidx,
+        |  CASE WHEN cls = 'good' THEN 'good'
+        |       WHEN cls = 'bad' THEN 'bad'
+        |       WHEN cls = 'near_good' THEN
+        |         CASE WHEN pv = 'good' OR nx = 'good' THEN 'good' ELSE 'bad' END
+        |       ELSE CASE WHEN pv = 'good' AND nx = 'good' THEN 'good' ELSE 'bad' END
+        |  END final_cls FROM cx),
+        |gd AS (SELECT doc_id, bidx FROM fin WHERE final_cls = 'good')
+        |SELECT b2.doc_id,
+        |  string_agg(b2.blk, chr(10) || chr(10) ORDER BY b2.bidx) "text"
+        |FROM b2 JOIN gd ON gd.doc_id = b2.doc_id AND gd.bidx = b2.bidx
+        |GROUP BY 1""".stripMargin))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.{aucFoldSql, bm25Cte, logregCtes}
 import graft.model.Tables
-import graft.ops.{Chat, Kmv, Quality, QualityModel, Retrieval, Stats}
+import graft.ops.{Chat, Kmv, Quality, QualityModel, Retrieval, Similarity, Stats}
 
 /** Evaluation-metrics domain registry (round-15 split tranche 3):
   * agreement (q181 kappa, q235 gamma), calibration (q182, ECE),
@@ -193,6 +193,60 @@ private[graft] object EvalRegistry {
             col("doc_id") + 3)).as("doc_id"))
         .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
       Retrieval.averagePrecision(Retrieval.bm25(docs, qs, k = 5), qrels, k = 5)
+    }),
+    // BM25 inverted-index retrieval (Retrieval.bm25): queries synthesized
+    // in-plan (tokens 3..6 of every 100th doc), scored in exact
+    // fixed-point integers (ratio idf in millionths, tf-weight in
+    // thousandths, per-term floor THEN sum — float Σ is addition-order-
+    // dependent across engines) over a real postings build; the oracle
+    // replays tokenization, postings, global df/avgdl, both fixed-point
+    // formulas, and the deterministic rank order
+    "q143_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0), 3, 4), " ").as("text"))
+      Retrieval.bm25(docs, qs, k = 5)
+    }),
+    // hybrid retrieval with reciprocal-rank fusion (Retrieval.rrfFuse,
+    // Cormack '09): the q143 BM25 ranks and the q27 brute-force cosine
+    // ranks (same seed ids: every 100th doc/vector) fuse by exact
+    // fixed-point 1e6 div (60 + rank) — RRF uses RANKS, so no
+    // incommensurable-score arithmetic and no floats. The lexical side
+    // includes the seed doc (it matches its own tokens); the vector
+    // side excludes self (bruteForceKnn contract) — both deterministic,
+    // both replayed by the oracle
+    "q147_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qsText = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0), 3, 4), " ").as("text"))
+      val bm = Retrieval.bm25(docs, qsText, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val cos = Similarity.bruteForceKnn(
+          emb.where(pmod(col("vec_id"), lit(100)) === 0), emb, k = 10)
+        .select(col("qid").as("query_id"), col("nid").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, cos), k = 10)
+    }),
+    // margin-based bitext mining (Similarity.bitextMargin, Artetxe &
+    // Schwenk '19): ratio-margin alignment of a bounded source probe
+    // set (evens < 120 plus 8 scaled twins of odd vectors — exact cos
+    // 1.0 with their sources by the q28 IEEE power-of-two argument, so
+    // the mined pairs provably contain the plants) against the odd
+    // half; cosines quantize to milli-units first (the q30 device), so
+    // neighborhood sums and the margin ratio replay as pure integer
+    // arithmetic in DuckDB
+    "q202_bitext_margin" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val x = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") % 2 === 1 && col("vec_id") < 16)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), v => v * lit(2.0f)).as("embedding")))
+      Similarity.bitextMargin(x, emb.where(col("vec_id") % 2 === 1), k = 4)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -504,5 +558,61 @@ private[graft] object EvalRegistry {
         |SELECT nr.query_id, CAST(n_rel AS BIGINT) n_rel,
         |  CAST(COALESCE(hits, 0) AS BIGINT) hits_at_k,
         |  CAST(COALESCE(psum, 0) // n_rel AS BIGINT) ap_ppm
-        |FROM nr LEFT JOIN a USING (query_id)""".stripMargin))
+        |FROM nr LEFT JOIN a USING (query_id)""".stripMargin),
+    "q143_bm25_topk" ->
+      ("WITH " + bm25Cte + """
+        |SELECT query_id, CAST(rk AS BIGINT) rank, doc_id,
+        |  CAST(score_fx AS BIGINT) score_fx
+        |FROM r WHERE rk <= 5""".stripMargin),
+    "q147_hybrid_rrf" ->
+      ("WITH " + bm25Cte + """,
+        |rb AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= 10),
+        |qv AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qvv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |cv AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nvv
+        |  FROM embeddings),
+        |cs AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(qvv, nvv) DESC, nid ASC) rk
+        |  FROM qv, cv WHERE qid != nid),
+        |rc AS (SELECT qid query_id, nid doc_id, rk FROM cs WHERE rk <= 10),
+        |u AS (SELECT query_id, doc_id, 1000000 // (60 + rk) c FROM rb
+        |  UNION ALL SELECT query_id, doc_id, 1000000 // (60 + rk) FROM rc),
+        |f AS (SELECT query_id, doc_id, SUM(c) rrf_fx FROM u GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_fx, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_fx DESC, doc_id ASC) rk2
+        |  FROM f)
+        |SELECT query_id, CAST(rk2 AS BIGINT) rank, doc_id,
+        |  CAST(rrf_fx AS BIGINT) rrf_fx
+        |FROM fr WHERE rk2 <= 10""".stripMargin),
+    // bitext margin replay: milli-quantized cosines, window top-k
+    // neighborhood sums, integer ratio, best-per-source gate
+    "q202_bitext_margin" ->
+      """WITH x AS (SELECT vec_id xid, CAST(embedding AS DOUBLE[]) xv
+        |    FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 120
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |      list_transform(CAST(embedding AS DOUBLE[]), v -> v * 2)
+        |    FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 16),
+        |y AS (SELECT vec_id yid, CAST(embedding AS DOUBLE[]) yv
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |c AS MATERIALIZED (SELECT xid, yid,
+        |    CAST(FLOOR(list_cosine_similarity(xv, yv) * 1000 + 0.5)
+        |      AS BIGINT) cm
+        |  FROM x, y),
+        |sx AS (SELECT xid, CAST(SUM(cm) AS BIGINT) s FROM (
+        |    SELECT xid, cm, row_number() OVER (PARTITION BY xid
+        |      ORDER BY cm DESC, yid ASC) r FROM c)
+        |  WHERE r <= 4 GROUP BY xid),
+        |sy AS (SELECT yid, CAST(SUM(cm) AS BIGINT) s FROM (
+        |    SELECT yid, cm, row_number() OVER (PARTITION BY yid
+        |      ORDER BY cm DESC, xid ASC) r FROM c)
+        |  WHERE r <= 4 GROUP BY yid),
+        |m AS (SELECT c.xid, c.yid, c.cm,
+        |    (1000000 * 8 * c.cm) // greatest(sx.s + sy.s, 1) margin_ppm
+        |  FROM c JOIN sx USING (xid) JOIN sy USING (yid)
+        |  WHERE c.cm > 0),
+        |b AS (SELECT *, row_number() OVER (PARTITION BY xid
+        |    ORDER BY margin_ppm DESC, yid ASC) rb FROM m)
+        |SELECT xid, yid, cm c_mill, margin_ppm
+        |FROM b WHERE rb = 1 AND margin_ppm >= 1000000""".stripMargin)
 }
