@@ -68,6 +68,10 @@ private[graft] object GraphAnnRegistry {
   private val graphSlot =
     new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
 
+  /** Test hook: clear the memo so a spec can pin which certificate
+    * pays the build regardless of what ran earlier in the JVM. */
+  private[graft] def resetGraphSlot(): Unit = graphSlot.set(null)
+
   private[graft] def graph(corpus: DataFrame, sfDir: String): DataFrame = {
     val key = corpus.sparkSession.sparkContext.applicationId + ":" + sfDir
     val cur = graphSlot.get()

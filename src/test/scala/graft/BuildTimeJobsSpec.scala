@@ -89,8 +89,11 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // round 15 second wave: both graph-ANN certificates build the k-NN
     // graph with an NN-descent round, which eagerly checkpoints the
     // seed edge frame (the q102/q253 loop-invariant discipline — each
-    // round references it four times)
-    "q261_graph_ann_hop", "q262_graph_ann_routed", "q263_graph_ann_filtered",
+    // round references it four times). Only q261 pays it: the
+    // certificates share one memoized graph (r16), and this spec
+    // resets the memo so the alphabetically-first build is the eager
+    // one — q262/q263 construct job-free off the memo
+    "q261_graph_ann_hop",
     // q264 chains the eager graph build into dupClusters' label-
     // propagation loop (the q49/q93 class)
     "q264_graph_neardup")
@@ -107,6 +110,7 @@ class BuildTimeJobsSpec extends SparkTestBase {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    registry.GraphAnnRegistry.resetGraphSlot()
     try {
       val offenders = scala.collection.mutable.ArrayBuffer.empty[(String, List[String])]
       val eagerRan = scala.collection.mutable.Set.empty[String]
