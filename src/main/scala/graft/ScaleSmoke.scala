@@ -902,6 +902,51 @@ object ScaleSmoke {
       f"${(System.nanoTime()-t0)/1e9}%.1f s, ${gDropped.size} dropped")
     assert(gDropped == gSrcIds.map(_ + n).toSet,
       s"exactly the planted twins must drop: ${gDropped.take(5)}...")
+    // persisted-index leg (round 16): build -> REPLAYED append ->
+    // compact. Compaction must be search-invariant while restoring the
+    // degree bound and folding replay duplicates — the LSM contract
+    // exercised at corpus size, not just spec size. The ingest batch
+    // (8v at id+3n) ties cos 1.0 with source and twin, so each probe's
+    // deterministic top-3 is (v, 2v at id+n, 8v at id+3n) — the
+    // appended node MUST appear, proving the append indexed it.
+    t0 = System.nanoTime()
+    val gPath = java.nio.file.Files
+      .createTempDirectory("graft-smoke-gann").toString
+    ops.GraphAnn.buildGraphIndex(gCorpus, gPath, degree = 4,
+      planes = gplanes, maxBucket = 1024, refineRounds = 0)
+    println(f"buildGraphIndex($n+16 vecs): ${(System.nanoTime()-t0)/1e9}%.1f s")
+    val gBatch = spark.range(n).where(col("id").isin(gSrcIds: _*))
+      .select((col("id") + 3L * n).as("vec_id"),
+        transform(gvec(col("id")), x => x * lit(8.0f)).as("embedding"))
+    t0 = System.nanoTime()
+    ops.GraphAnn.appendToGraphIndex(spark, gPath, gBatch)
+    ops.GraphAnn.appendToGraphIndex(spark, gPath, gBatch) // crash replay
+    println(f"appendToGraphIndex x2 (16 vecs): ${(System.nanoTime()-t0)/1e9}%.1f s")
+    def idxSearch(): Set[(Long, Long, Int)] =
+      ops.GraphAnn.searchGraphIndex(spark, gPath, gProbes,
+          k = 3, beam = 16, hops = 2)
+        .select(col("qid"), col("nid"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    t0 = System.nanoTime()
+    val preCompact = idxSearch()
+    println(f"searchGraphIndex pre-compact (16 probes): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s")
+    assert(preCompact.count(_._3 == 1) == 16 &&
+      preCompact.filter(_._3 == 1).forall(r => r._2 == r._1 - 2L * n) &&
+      preCompact.filter(_._3 == 3).forall(r => r._2 == r._1 + n),
+      s"index certificate failed at scale: ${preCompact.take(5)}...")
+    t0 = System.nanoTime()
+    ops.GraphAnn.compactGraphIndex(spark, gPath)
+    println(f"compactGraphIndex: ${(System.nanoTime()-t0)/1e9}%.1f s")
+    t0 = System.nanoTime()
+    val postCompact = idxSearch()
+    println(f"searchGraphIndex post-compact (16 probes): " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s")
+    assert(postCompact == preCompact,
+      "compaction changed search results at corpus size")
+    val maxDeg = spark.read.parquet(s"$gPath/edges")
+      .groupBy(col("src")).count().agg(max(col("count"))).as[Long].head()
+    assert(maxDeg <= 4, s"degree bound after compact: $maxDeg")
     gEdges.unpersist(false); gCorpus.unpersist(false)
     spark.stop()
   }

@@ -294,10 +294,18 @@ object GraphAnn {
     *   - `path/meta` — one row `(planes, degree, tables)`; search and
     *     append read it so the three sides can never disagree on the
     *     hash geometry.
-    *   - `path/vectors` — `(nid, nvec)` partitioned by `b0`, the
-    *     table-0 (identity-view) bucket: entry routing and append both
-    *     select by `b0`, so the scan prunes to the touched bucket
-    *     directories.
+    *   - `path/vectors` — `(nid, nvec, b0)` partitioned by
+    *     `vb = b0 mod 256`, the BOUNDED bucket-group: entry routing
+    *     and append select by `(vb, b0)`, so partition pruning cuts
+    *     255/256 of the store and the row-group b0 min/max (files are
+    *     sorted by b0 within each group) prunes the rest. Partitioning
+    *     by raw `b0` — one directory per bucket — was the round-16
+    *     smoke finding: planes sizes to log2(n)-4, so a 100k corpus
+    *     already meant 8k directories (build 188 s, a 16-probe search
+    *     63 s, all file-metadata bound) and a 1B corpus would need
+    *     67M — a fixed 256-way group keeps directory counts flat at
+    *     ANY corpus size (measured at 100k: build 188 -> 25 s, a
+    *     16-probe search 63 -> 7 s, compaction 199 -> 8 s).
     *   - `path/edges` — `(src, dst, sim)` partitioned by
     *     `shard = pmod(src, 64)`: appends touch only the shards their
     *     sources hash to.
@@ -308,6 +316,13 @@ object GraphAnn {
     *     fixed node set is a valid entry set, so appends never need to
     *     refresh it; [[compactGraphIndex]] does anyway.
     */
+  /** Directory fan-out of the vector store — fixed, so metadata cost
+    * never scales with `planes` (doc above). */
+  private val VbGroups = 256L
+
+  private def withVb(df: DataFrame): DataFrame =
+    df.withColumn("vb", pmod(col("b0"), lit(VbGroups)).cast("int"))
+
   def buildGraphIndex(corpus: DataFrame, path: String, degree: Int = 8,
                       planes: Int = 6, maxBucket: Int = 512,
                       refineRounds: Int = 1, tables: Int = 2,
@@ -316,9 +331,11 @@ object GraphAnn {
     import spark.implicits._
     Seq((planes, degree, tables)).toDF("planes", "degree", "tables")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-        bucketOf(col(vecCol), planes).as("b0"))
-      .write.mode("overwrite").partitionBy("b0").parquet(s"$path/vectors")
+    withVb(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        bucketOf(col(vecCol), planes).as("b0")))
+      .repartition(col("vb"))
+      .sortWithinPartitions(col("vb"), col("b0"))
+      .write.mode("overwrite").partitionBy("vb").parquet(s"$path/vectors")
     writeEntrySample(spark, path)
     knnGraph(corpus, degree, planes, maxBucket, refineRounds, tables,
         idCol, vecCol)
@@ -345,7 +362,7 @@ object GraphAnn {
     * effective degree drifts up by at most `degree` per append until
     * [[compactGraphIndex]] re-trims — breadth cost during search,
     * never a correctness one. Per-batch reads: the batch, the meta
-    * row, and ONLY the touched `b0` vector directories.
+    * row, and ONLY the touched bucket-group vector directories.
     *
     * Id contract (r15 advice, stated plainly): index ids are
     * IMMUTABLE. Re-appending an (id, vector) pair identical to one
@@ -359,14 +376,16 @@ object GraphAnn {
                          batch: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit = {
     val (planes, degree, _) = loadMeta(spark, path)
-    val bv = batch.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      bucketOf(col(vecCol), planes).as("b0"))
-    // existing mates: the broadcast bucket join prunes the vectors scan
-    // to the batch's bucket directories (partition column filter)
+    val bv = withVb(batch.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      bucketOf(col(vecCol), planes).as("b0")))
+    // existing mates: the broadcast (vb, b0) join prunes the vectors
+    // scan to the batch's bucket-group directories (vb is the
+    // partition column; b0 then prunes row groups).
     // dropDuplicates: a previously replayed append may have duplicated
     // a mate row; scoring it twice would waste degree slots in the trim
     val mates = spark.read.parquet(s"$path/vectors")
-      .join(broadcast(bv.select(col("b0")).distinct()), Seq("b0"))
+      .join(broadcast(bv.select(col("vb"), col("b0")).distinct()),
+        Seq("vb", "b0"))
       .dropDuplicates("nid")
     val newToOld = bv.as("b").join(mates.as("m"), Seq("b0"))
       .select(col("b.nid").as("src"), col("m.nid").as("dst"),
@@ -382,15 +401,16 @@ object GraphAnn {
     fwd.unionByName(back)
       .withColumn("shard", pmod(col("src"), lit(64L)).cast("int"))
       .write.mode("append").partitionBy("shard").parquet(s"$path/edges")
-    bv.write.mode("append").partitionBy("b0").parquet(s"$path/vectors")
+    bv.write.mode("append").partitionBy("vb").parquet(s"$path/vectors")
   }
 
   /** Search a persisted graph index: entry candidates come from the
-    * query's `b0` bucket directory (pruned scan, zero bucket recompute
-    * on the corpus side), then [[beamSearch]] walks the stored edges.
+    * query's `(vb, b0)` bucket group (pruned scan, zero bucket
+    * recompute on the corpus side), then [[beamSearch]] walks the
+    * stored edges.
     * Appended duplicates of an (src, dst) edge are harmless — the
-    * frontier dedupes per hop. A query whose `b0` bucket directory is
-    * empty enters at the index's persisted `entrysample` nodes instead
+    * frontier dedupes per hop. A query whose `b0` bucket is empty
+    * enters at the index's persisted `entrysample` nodes instead
     * of returning zero rows (the [[entryFallback]] recall floor,
     * without scanning the vector store). */
   def searchGraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -412,10 +432,10 @@ object GraphAnn {
     // beamSearch walks (src, dst) only — it re-scores every frontier
     // against the query, so stored sims never need to load
     val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
-    val qb = broadcast(queries.select(col(idCol).as("qid"),
-      bucketOf(col(vecCol), planes).as("b0")))
+    val qb = broadcast(withVb(queries.select(col(idCol).as("qid"),
+      bucketOf(col(vecCol), planes).as("b0"))))
     val routed = spark.read.parquet(s"$path/vectors")
-      .join(qb, Seq("b0"))
+      .join(qb, Seq("vb", "b0"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
     val entries = entryFallback(routed,
@@ -452,9 +472,12 @@ object GraphAnn {
   def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
     val (planes, degree, _) = loadMeta(spark, path)
-    val vecs = spark.read.parquet(s"$path/vectors")
-      .groupBy(col("nid")).agg(min(col("nvec")).as("nvec"))
-      .select(col("nid"), col("nvec"), bucketOf(col("nvec"), planes).as("b0"))
+    val vecs = withVb(spark.read.parquet(s"$path/vectors")
+        .groupBy(col("nid")).agg(min(col("nvec")).as("nvec"))
+        .select(col("nid"), col("nvec"),
+          bucketOf(col("nvec"), planes).as("b0")))
+      .repartition(col("vb"))
+      .sortWithinPartitions(col("vb"), col("b0"))
       .localCheckpoint(true)
     val edges = trimEdges(
         spark.read.parquet(s"$path/edges")
@@ -464,7 +487,7 @@ object GraphAnn {
       .withColumn("shard", pmod(col("src"), lit(64L)).cast("int"))
       .localCheckpoint(true)
     edges.write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
-    vecs.write.mode("overwrite").partitionBy("b0").parquet(s"$path/vectors")
+    vecs.write.mode("overwrite").partitionBy("vb").parquet(s"$path/vectors")
     writeEntrySample(spark, path)
   }
 }

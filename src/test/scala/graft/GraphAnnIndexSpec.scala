@@ -39,18 +39,18 @@ class GraphAnnIndexSpec extends SparkTestBase {
     GraphAnn.buildGraphIndex(emb, path, degree = 4, planes = 5,
       refineRounds = 0)
     val before = new java.io.File(s"$path/vectors").listFiles()
-      .filter(_.getName.startsWith("b0=")).map(f =>
+      .filter(_.getName.startsWith("vb=")).map(f =>
         f.getName -> f.listFiles().length).toMap
     // batch: exact twins of sources 0..2 at +1000 (same b0 as source)
     val batch = emb.where(col("vec_id") < 3).select(
       (col("vec_id") + 1000L).as("vec_id"), col("embedding"))
     GraphAnn.appendToGraphIndex(spark, path, batch)
     val after = new java.io.File(s"$path/vectors").listFiles()
-      .filter(_.getName.startsWith("b0=")).map(f =>
+      .filter(_.getName.startsWith("vb=")).map(f =>
         f.getName -> f.listFiles().length).toMap
     val touched = after.filter { case (d, n) => before.getOrElse(d, 0) < n }
     assert(touched.nonEmpty && touched.size <= 3,
-      s"appends must touch only the batch's bucket dirs: $touched")
+      s"appends must touch only the batch's bucket-group dirs: $touched")
     assert(before.forall { case (d, n) =>
       touched.contains(d) || after(d) == n },
       "untouched bucket dirs must keep their file count")
