@@ -25,6 +25,29 @@ object GraphAnnProbe {
         maxBucket = 1024, refineRounds = r).count()
       println(f"knnGraph(n=$n, refine=$r): ${(System.nanoTime()-t0)/1e9}%.1f s, $e edges")
     }
+    // persisted-index LSM leg at the same n (round 16: the 256-way
+    // bucket-group layout must stay flat as n grows — directory count
+    // is the thing being probed, so timings here ARE the evidence)
+    var t0 = System.nanoTime()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-gann-probe").toString
+    ops.GraphAnn.buildGraphIndex(corpus, path, degree = 4, planes = planes,
+      maxBucket = 1024, refineRounds = 0)
+    println(f"buildGraphIndex(n=$n): ${(System.nanoTime()-t0)/1e9}%.1f s")
+    val batch = spark.range(16).select((col("id") + n).as("vec_id"),
+      gvec(col("id") * 101 + 7).as("embedding"))
+    t0 = System.nanoTime()
+    ops.GraphAnn.appendToGraphIndex(spark, path, batch)
+    println(f"appendToGraphIndex(16 vecs): ${(System.nanoTime()-t0)/1e9}%.1f s")
+    val probes = spark.range(8).select((col("id") + 2L * n).as("vec_id"),
+      transform(gvec(col("id") * 4096), x => x * lit(2.0f)).as("embedding"))
+    t0 = System.nanoTime()
+    val hits = ops.GraphAnn.searchGraphIndex(spark, path, probes,
+      k = 3, beam = 16, hops = 2).count()
+    println(f"searchGraphIndex(8 probes): ${(System.nanoTime()-t0)/1e9}%.1f s, $hits rows")
+    t0 = System.nanoTime()
+    ops.GraphAnn.compactGraphIndex(spark, path)
+    println(f"compactGraphIndex: ${(System.nanoTime()-t0)/1e9}%.1f s")
     spark.stop()
   }
 }
