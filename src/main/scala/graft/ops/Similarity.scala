@@ -468,6 +468,15 @@ object Similarity {
     val scored = lists.join(q, Seq("list_id"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("sim"))
+      // a replayed appendToIvfIndex lands the same (nid, nvec) row
+      // twice in its frozen list — without ONE survivor per (qid, nid)
+      // a duplicated unique nearest neighbour occupies TWO top-k ranks
+      // and evicts the true k-th (the searchGraphIndex r15 rule,
+      // carried to the IVF family). min(sim) also pins a deterministic
+      // worst-score survivor if an id was ever reused with different
+      // contents across lists; identical replays collapse losslessly.
+      // Partial-aggregable: duplicates fold map-side before the shuffle.
+      .groupBy(col("qid"), col("nid")).agg(min(col("sim")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -875,6 +884,10 @@ object Similarity {
       .select(col("qid"), col("nid"),
         Exprs.pqAdc(col("codes"), col("lut"), ksub).as("adist"))
       .where(col("adist").isNotNull)
+      // replayed-append dedupe, the searchIvfIndex rule: one survivor
+      // per (qid, nid); max(adist) = the deterministic worst-distance
+      // survivor under id reuse, lossless for identical replays
+      .groupBy(col("qid"), col("nid")).agg(max(col("adist")).as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

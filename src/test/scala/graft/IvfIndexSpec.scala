@@ -61,6 +61,27 @@ class IvfIndexSpec extends SparkTestBase {
       s"before=$filesBefore after=$filesAfter")
   }
 
+  test("replayed append: duplicated neighbour holds ONE top-k rank, not two") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("graft-ivf4").toString
+    Similarity.buildIvfIndex(emb, path, nlist = 8)
+    // the same ingest batch lands TWICE — the crash-replay shape; the
+    // twin of vector 3 is then duplicated in its frozen list, and
+    // pre-fix it occupied ranks 1 AND 2, evicting the true second
+    // neighbour (the source itself at cos 1.0)
+    val batch = emb.where(col("vec_id") === 3L)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(spark, path, batch)
+    Similarity.appendToIvfIndex(spark, path, batch)
+    val probes = emb.where(col("vec_id") === 3L)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+    val top2 = Similarity.searchIvfIndex(spark, path, probes, k = 2, nprobe = 1)
+      .orderBy(col("rank")).select("nid").as[Long].collect().toList
+    assert(top2 == List(3L, 5000003L),
+      s"replayed twin must hold one rank (ties break nid asc): $top2")
+  }
+
   test("index survives a fresh reader: top-1 self-hit on an identical probe") {
     val sf = "/root/testdata/sf0.001"
     val emb = graft.model.Tables.embeddings(spark, sf)

@@ -103,6 +103,23 @@ class PqSpec extends SparkTestBase {
       s"appended twin not at minimal ADC: ${rows.mkString(",")}")
   }
 
+  test("replayed PQ append: duplicated code row holds one rank per (qid, nid)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-rp").toString
+    Similarity.buildIvfPqIndex(corpus, path, nlist = 4, m = 4, ksub = 8)
+    val twin = corpus.where(col("vec_id") === 3)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    // the same batch lands twice — the crash-replay shape; pre-fix the
+    // duplicated (nid, codes) row produced TWO ranked rows for nid 5003
+    Similarity.appendToIvfPqIndex(spark, path, twin)
+    Similarity.appendToIvfPqIndex(spark, path, twin)
+    val probe = corpus.where(col("vec_id") === 3)
+    val rows = Similarity.searchIvfPqIndex(spark, path, probe, k = 20, nprobe = 1)
+      .select("nid").as[Long].collect()
+    assert(rows.length == rows.distinct.length,
+      s"each nid must hold exactly one rank: ${rows.mkString(",")}")
+    assert(rows.contains(5003L), "appended twin still searchable")
+  }
+
   test("ivfPqKnn + rerankExact: exact-copy probes come back strict top-1") {
     val cents = Similarity.fitCentroids(corpus, nlist = 4, maxIter = 5)
     val books = Similarity.pqTrain(corpus, m = 4, ksub = 8)
