@@ -581,7 +581,19 @@ object Warc {
     * leaving the record blocks themselves as the only full-size
     * resident — the floor, since they ARE the output. */
   private[graft] def parseGzFile(raw: Array[Byte])
-      : Option[Seq[(Long, Map[String, String], Array[Byte])]] = {
+      : Option[Seq[(Long, Map[String, String], Array[Byte])]] =
+    parseGzFileWithStats(raw).map(_._1)
+
+  /** [[parseGzFile]] plus the walk's peak pending-buffer size — the
+    * quantity the bounded-memory claim above is ABOUT, surfaced so the
+    * spec can pin it: for per-record-member files (the CC shape) the
+    * peak must stay one-record-sized however many members the file
+    * holds, and for a deliberately member-spanning record it may reach
+    * that record's size plus one member — never the decompressed file
+    * size the pre-r15 path materialized. */
+  private[graft] def parseGzFileWithStats(raw: Array[Byte])
+      : Option[(Seq[(Long, Map[String, String], Array[Byte])], Int)] = {
+    var maxPending = 0
     val out = Seq.newBuilder[(Long, Map[String, String], Array[Byte])]
     var pending = Array.emptyByteArray
     var pendingStart = 0L // decompressed offset of pending(0) in the stream
@@ -607,6 +619,7 @@ object Warc {
               System.arraycopy(data, 0, np, pending.length, data.length)
               np
             }
+          if (pending.length > maxPending) maxPending = pending.length
           parseRecordsPrefix(pending) match {
             case None => return None
             case Some((recs, consumed)) =>
@@ -626,6 +639,6 @@ object Warc {
       }
     }
     // strict: leftover bytes mean a truncated trailing record
-    if (pending.nonEmpty) None else Some(out.result())
+    if (pending.nonEmpty) None else Some((out.result(), maxPending))
   }
 }

@@ -196,6 +196,37 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.parseGzFile(mA).isEmpty)
   }
 
+  test("parseGzFile: pending buffer stays one-record-sized, not file-sized") {
+    // 2000 per-record members: the streaming walk's peak pending buffer
+    // must track the LARGEST single record, never the decompressed file
+    // (the r15 memory rewrite's contract — ~3x file size pre-fix)
+    val recs = (0 until 2000).map { i =>
+      Warc.record(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> s"http://s.com/$i"),
+        ("body " + ("x" * 100) + i).getBytes)
+    }
+    val gz = recs.map(Warc.gzipMember).reduce(_ ++ _)
+    val Some((got, maxPending)) = Warc.parseGzFileWithStats(gz)
+    assert(got.size == 2000)
+    val largest = recs.map(_.length).max
+    val total = recs.map(_.length).sum
+    assert(maxPending <= largest,
+      s"peak pending $maxPending must stay <= one record ($largest), " +
+        s"file holds $total decompressed bytes")
+    // a member-spanning record may hold that record plus one member's
+    // overshoot — still record-scale, never file-scale
+    val big = Warc.record(Seq("WARC-Type" -> "conversion"),
+      Array.fill[Byte](5000)('b'))
+    val cut = big.length / 2
+    val spanned = Warc.gzipMember(big.take(cut)) ++
+      Warc.gzipMember(big.drop(cut)) ++ gz
+    val Some((got2, maxPending2)) = Warc.parseGzFileWithStats(spanned)
+    assert(got2.size == 2001)
+    assert(maxPending2 <= big.length + largest,
+      s"spanning peak $maxPending2 must stay record-scale " +
+        s"(record ${big.length} + one member <= ${big.length + largest})")
+  }
+
   private def ms_offsets(gz: Array[Byte], recs: Seq[Array[Byte]]): Seq[Long] =
     Warc.gzipMembers(gz).get.map(_._1)
 
