@@ -380,6 +380,39 @@ object Warc {
   def readWet(spark: SparkSession, glob: String): DataFrame =
     wetView(read(spark, glob))
 
+  /** Per-file ingest health census — the QUERYABLE form of the strict
+    * reader's reject behavior (r15 verdict: the failure mode of
+    * [[read]] is silently-zero rows, so corruption must be visible
+    * somewhere a pipeline can ALERT on, not only in executor logs).
+    * One row per file under `glob`: its size, whether the strict
+    * gzip-member + record-grammar parse accepts it, and how many
+    * records it carries (0 for rejected files). An ingest job runs
+    * this next to [[read]] and gates on `SUM(NOT ok)` — a truncated
+    * final from a crashed pre-commit-protocol writer, a flipped byte,
+    * or trailing garbage all surface as an `ok = false` row instead
+    * of invisible loss. Scan-side, one pass, no shuffle; the census
+    * reads the same binaryFile frame the reader does. */
+  def rejectCensus(spark: SparkSession, glob: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("n_records", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .map { r =>
+        val name = r.getString(0).split("/").last
+        val raw = r.getAs[Array[Byte]](1)
+        val parsed =
+          if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+            (raw(1) & 0xff) == 0x8b) parseGzFile(raw)
+          else parseRecords(raw).map(_.map { case (_, h, b) => (0L, h, b) })
+        org.apache.spark.sql.Row(name, raw.length.toLong,
+          parsed.isDefined, parsed.map(_.size.toLong).getOrElse(0L))
+      }(enc)
+  }
+
   /** [[readWet]] as a STREAMING source — crawls land as whole files, so
     * resident gates (dedup/curation/governance) consume this: each
     * micro-batch is `maxFilesPerTrigger` whole WET files exploded to

@@ -227,6 +227,36 @@ class WarcSpec extends SparkTestBase {
         s"(record ${big.length} + one member <= ${big.length + largest})")
   }
 
+  test("rejectCensus: a truncated file reads ok=false while the reader drops it silently") {
+    val dir = Files.createTempDirectory("graft-warc-census").toString
+    val docs = (0L until 40L)
+      .map(i => (i, s"http://s.com/$i", "2026-01-01T00:00:00Z", s"body $i"))
+      .toDF("doc_id", "uri", "date", "text")
+    Warc.writeWet(docs, dir, perFile = 10) // 4 files
+    // simulate the crash the commit protocol guards against: truncate
+    // one FINAL file mid-member (a pre-protocol writer could leave this)
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz")).minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.write(victim.toPath,
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2))
+    // drop the local-fs checksum sidecar: a production truncation
+    // (crashed writer on HDFS/S3) carries no stale client-side CRC
+    new java.io.File(victim.getParent, s".${victim.getName}.crc").delete()
+    // the strict reader: 3 healthy files' rows only, no error — the
+    // invisible-loss failure mode the census exists to surface
+    assert(Warc.readWet(spark, s"$dir/*.warc.wet.gz").count() == 30L)
+    val census = Warc.rejectCensus(spark, s"$dir/*.warc.wet.gz")
+      .select("file", "ok", "n_records")
+      .as[(String, Boolean, Long)].collect()
+      .map { case (f, o, n) => f -> ((o, n)) }.toMap
+    assert(census.size == 4)
+    assert(census(victim.getName) == ((false, 0L)),
+      s"truncated file must read ok=false: $census")
+    assert(census.count { case (_, (ok, n)) => ok && n == 11 } == 3,
+      s"healthy files carry warcinfo + 10 docs: $census")
+  }
+
   private def ms_offsets(gz: Array[Byte], recs: Seq[Array[Byte]]): Seq[Long] =
     Warc.gzipMembers(gz).get.map(_._1)
 
