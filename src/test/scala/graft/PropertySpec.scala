@@ -110,6 +110,26 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: GraphAnn.view is the cyclic shift by t mod dim for any (vec, t)") {
+    val vecGen = for {
+      dim <- Gen.choose(1, 9)
+      vs <- Gen.listOfN(dim, Gen.choose(-100, 100).map(_.toFloat / 7f))
+    } yield vs.toArray
+    val rows = samples(vecGen, 40, 20260816L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    for (t <- Seq(1, 2, 3, 7, 31)) {
+      val got = df.select(col("vec_id"), graft.ops.GraphAnn.view(col("embedding"), t))
+        .as[(Long, Array[Float])].collect().toMap
+      rows.foreach { case (id, v) =>
+        val sh = t % v.length
+        val want = (v.drop(sh) ++ v.take(sh)).toSeq
+        assert(got(id).toSeq == want,
+          s"view(t=$t) on dim ${v.length}: got ${got(id).toSeq}, want $want")
+      }
+    }
+  }
+
   test("property: cosine similarity bounded in [-1, 1] for arbitrary vectors") {
     val vecGen = Gen.chooseNum(1, 24).flatMap(d =>
       Gen.listOfN(d, Gen.chooseNum(-1000, 1000).map(_ / 7.0f)))
