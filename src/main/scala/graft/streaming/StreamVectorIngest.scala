@@ -40,15 +40,29 @@ object StreamVectorIngest {
       idCol, vecCol)
   }
 
-  /** Start the resident ingester over a streaming embedding frame. */
+  /** Start the resident ingester over a streaming embedding frame.
+    *
+    * `compactEvery` > 0 runs [[GraphAnn.compactGraphIndex]] after every
+    * N-th micro-batch (by batchId, so the cadence survives restarts) —
+    * the [[StreamGk]] ledger discipline carried to the index: without
+    * it a 5 s trigger appends ~17k edge/vector file waves a day and
+    * effective degree drifts unboundedly between manual compactions.
+    * foreachBatch is the index's sole writer, so the in-line compaction
+    * is writer-serialized and safe; a batch REPLAYED after a crash
+    * re-runs its compaction, which is harmless (compaction is a
+    * deterministic full rewrite of whatever state it reads). 0 keeps
+    * the r16 behavior: append-only, compact offline. */
   def start(vectors: DataFrame, indexPath: String, checkpointDir: String,
             idCol: String = "vec_id",
-            vecCol: String = "embedding"): StreamingQuery =
+            vecCol: String = "embedding",
+            compactEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         ingestBatch(batch, indexPath, idCol, vecCol)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          GraphAnn.compactGraphIndex(batch.sparkSession, indexPath)
       }
       .start()
 

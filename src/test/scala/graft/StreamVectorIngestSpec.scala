@@ -105,6 +105,62 @@ class StreamVectorIngestSpec extends SparkTestBase {
       s"duplicate row must not occupy two ranks: ${top2.mkString(",")}")
   }
 
+  test("compactEvery bounds index file counts across cycles; per-prefix search equality holds") {
+    val root = Files.createTempDirectory("svi5").toString
+    GraphAnn.buildGraphIndex(vdf(base), s"$root/stream", degree = 4,
+      planes = 4, refineRounds = 0)
+    GraphAnn.buildGraphIndex(vdf(base), s"$root/batch", degree = 4,
+      planes = 4, refineRounds = 0)
+    val probes = vdf((0L until 3L).map(i => (i + 2000L) -> vrow(i, 4.0f)._2))
+    def results(path: String): Set[(Long, Long, Int)] =
+      StreamVectorIngest.search(spark, path, probes, k = 2, hops = 1)
+        .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    def edgeFiles(path: String): Int = {
+      val fs = new java.io.File(s"$path/edges")
+      fs.listFiles().filter(_.isDirectory)
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
+    // six waves, compaction every 2nd micro-batch = 3 cycles; wave 6
+    // re-plants the twins so the final certificate still resolves
+    val waves: Seq[Seq[(Long, Array[Float])]] =
+      (0 until 5).map(w => ((200L + w * 10) until (210L + w * 10))
+        .map(vrow(_, 1.0f))) :+ wave2
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamVectorIngest.start(
+      input.toDF().toDF("vec_id", "embedding"), s"$root/stream",
+      s"$root/ck", compactEvery = 2)
+    val postCompactFiles = scala.collection.mutable.ArrayBuffer[Int]()
+    try {
+      waves.zipWithIndex.foreach { case (w, i) =>
+        input.addData(w: _*); q.processAllAvailable()
+        // batch twin at the same cadence
+        GraphAnn.appendToGraphIndex(spark, s"$root/batch", vdf(w))
+        if ((i + 1) % 2 == 0) {
+          GraphAnn.compactGraphIndex(spark, s"$root/batch")
+          postCompactFiles += edgeFiles(s"$root/stream")
+        }
+        // per-prefix equality: the live compacting stream sees exactly
+        // what the batch-side twin sees after every wave
+        assert(results(s"$root/stream") == results(s"$root/batch"),
+          s"stream and batch diverged after wave $i")
+      }
+    } finally q.stop()
+    assert(postCompactFiles.size == 3, s"expected 3 cycles: $postCompactFiles")
+    // bounded: a compaction rewrite lands one file per non-empty src
+    // shard — <= 64 at ANY wave count (the StreamGk discipline); an
+    // uncompacted run grows by O(files per append) per wave instead
+    assert(postCompactFiles.forall(_ <= 64),
+      s"post-compact edge files must stay shard-bounded: $postCompactFiles")
+    // degree bound restored by the in-stream compaction
+    val perSrc = spark.read.parquet(s"$root/stream/edges")
+      .groupBy("src").count().agg(max("count")).as[Long].head()
+    assert(perSrc <= 2 * 4, s"degree drift unbounded under cadence: $perSrc")
+    // and the planted-twin certificate resolves on the live index
+    assert(top1(StreamVectorIngest.search(spark, s"$root/stream", probes,
+      k = 2, hops = 1)) == Map(2000L -> 0L, 2001L -> 1L, 2002L -> 2L))
+  }
+
   test("empty batch is a no-op") {
     val root = Files.createTempDirectory("svi3").toString
     GraphAnn.buildGraphIndex(vdf(base), s"$root/ix", degree = 4,
