@@ -589,45 +589,41 @@ object GraphAnn {
     *      SIDECAR (DPP-pruned, ids only); empty-bucket queries seed
     *      from the persisted `entrysample` (capped at meta `samplen`)
     *      instead of returning zero rows.
-    *   2. entry scoring — [[fetchVectors]] pulls ONLY the entry
-    *      candidates' rows (shard + id-range pruned), the per-id
-    *      dedupe shuffles entry-set-sized, and the scored entries trim
-    *      to `beam` per query.
-    *   3. reachability — `hops` slim passes over the edge store
-    *      (shard + id-range pruned, semi-joined to the frontier)
-    *      compute the walk's id closure: ≤ `beam * degreeᶜʰᵒᵖˢ` ids
-    *      per query, independent of corpus size. The final pass's
-    *      edges are exactly the adjacency the walk needs.
-    *   4. the walk — [[beamWalk]] over the closure-fetched vectors
-    *      and the frontier-restricted edges; every shuffle is
-    *      frontier-sized.
+    *   2. reachability — `hops` slim passes over the edge store
+    *      (shard + id-range pruned, semi-joined to the growing
+    *      closure) compute every id the walk can touch:
+    *      ≤ `|entries| * (degree+1)ᶜʰᵒᵖˢ` ids, independent of corpus
+    *      size. The closure deliberately expands the UNTRIMMED entry
+    *      set — a superset of every beam any trim can keep, so
+    *      results are byte-identical to walking the full store while
+    *      the whole walk stays ONE lazy Catalyst plan (trimming first
+    *      would need an extra eager scoring stage and a second store
+    *      fetch — measured slower at 1M than the superset fetch).
+    *      The final pass's edges are exactly the adjacency the walk
+    *      needs.
+    *   3. the walk — [[beamSearch]] over the closure-fetched vectors
+    *      ([[fetchVectors]]: shard + id-range pruned scan, per-id
+    *      dedupe shuffles closure-sized) and the closure-restricted
+    *      edges; every shuffle is frontier-sized and the store's
+    *      vector column is scanned at most once per search batch.
     *
-    * Each stage materializes via eager local checkpoint — the search
-    * is a terminal batch operation, and the hop loop needs the
+    * The closure stages materialize via eager local checkpoint — the
+    * search is a terminal batch operation, and the hop loop needs the
     * frontier's actual ids to prune the next scan (the q102
-    * loop-invariant rule). Results are byte-identical to walking the
-    * full store: the closure is a superset of every id any trim can
-    * keep, and [[fetchVectors]] resolves duplicates exactly as the
-    * full-store dedupe did. */
+    * loop-invariant rule). */
   def searchGraphIndex(spark: SparkSession, path: String,
                        queries: DataFrame, k: Int = 5, beam: Int = 16,
                        hops: Int = 2, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && beam >= k && hops >= 0)
     val m = loadMeta(spark, path)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val entries = entryFallback(
         routingCandidates(spark, path, queries, m.planes, idCol, vecCol),
-        q.select("qid"),
+        queries.select(col(idCol).as("qid")),
         spark.read.parquet(s"$path/entrysample"), beam)
       .dropDuplicates("qid", "nid")
       .localCheckpoint(true)
-    val entryVecs = fetchVectors(spark, path, entries.select(col("nid")))
-      .select(col("nid"), col("nvec").as("nv"))
-    val beam0 = trimPerQuery(scoreCand(entries, entryVecs, q), beam)
-      .localCheckpoint(true)
-    var reach = beam0.select(col("nid")).dropDuplicates("nid")
-      .localCheckpoint(true)
+    var reach = entries.select(col("nid")).dropDuplicates("nid")
     var hopEdges = emptyEdges(spark)
     for (_ <- 0 until hops) {
       hopEdges = idEnvelope(reach, "nid") match {
@@ -638,15 +634,18 @@ object GraphAnn {
             .join(reach.withColumnRenamed("nid", "src"), Seq("src"), "left_semi")
             .localCheckpoint(true)
       }
+      // reach stays lazy: its lineage is unions over checkpointed hop
+      // frames, and the next envelope aggregate is its own action
       reach = reach.unionByName(hopEdges.select(col("dst").as("nid")))
-        .dropDuplicates("nid").localCheckpoint(true)
+        .dropDuplicates("nid")
     }
     // the last pass's edges have src ∈ the full pre-final closure —
     // a superset of every frontier any walk hop expands
     val corpus = fetchVectors(spark, path, reach)
-      .select(col("nid"), col("nvec").as("nv"))
+      .select(col("nid").as(idCol), col("nvec").as(vecCol))
       .localCheckpoint(true)
-    beamWalk(q, corpus, hopEdges, beam0, k, beam, hops, None)
+    beamSearch(queries, corpus, hopEdges, Some(entries), k, beam, hops,
+      m.planes, idCol = idCol, vecCol = vecCol)
   }
 
   /** Re-trim a persisted index to its meta `degree` — the compaction

@@ -48,6 +48,51 @@ object GraphAnnProbe {
     t0 = System.nanoTime()
     ops.GraphAnn.compactGraphIndex(spark, path)
     println(f"compactGraphIndex: ${(System.nanoTime()-t0)/1e9}%.1f s")
+    // recall grid on CLUSTERED vectors (r16 verdict: certificates prove
+    // traversal correctness, not recall on natural data). Points
+    // scatter around n/1000 deterministic centers; ground truth is
+    // brute-force top-10 for 32 held-out probes.
+    def cvec(id: org.apache.spark.sql.Column, nClusters: Int) =
+      org.apache.spark.sql.functions.zip_with(
+        transform(sequence(lit(1), lit(32)), j =>
+          ((pmod(xxhash64(pmod(id, lit(nClusters)) * 32 + j, lit(977)),
+            lit(2001)) - 1000) / 1000.0).cast("float")),
+        transform(sequence(lit(1), lit(32)), j =>
+          ((pmod(xxhash64(id * 32 + j, lit(5581)), lit(2001)) - 1000)
+            / 1000.0 * 0.3).cast("float")),
+        (a, b) => a + b)
+    val nc = math.max(16, n / 1000)
+    val cCorpus = spark.range(n).select(col("id").as("vec_id"),
+      cvec(col("id"), nc).as("embedding")).persist()
+    cCorpus.count()
+    val cProbes = spark.range(32).select((col("id") + 2L * n).as("vec_id"),
+      cvec(col("id") + 2L * n, nc).as("embedding"))
+    val truth = ops.Similarity.bruteForceKnn(cProbes, cCorpus, k = 10)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cEdges = ops.GraphAnn.knnGraph(cCorpus, degree = 8, planes = planes,
+      maxBucket = 1024, refineRounds = 1).persist()
+    cEdges.count()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(truth).size.toDouble / truth.size
+    for (beam <- Seq(16, 32, 64); hops <- Seq(1, 2, 3)) {
+      val t = System.nanoTime()
+      val r = recallOf(ops.GraphAnn.beamSearch(cProbes, cCorpus, cEdges,
+        k = 10, beam = beam, hops = hops, planes = planes))
+      println(f"recall@10(n=$n, clusters=$nc, beam=$beam, hops=$hops): " +
+        f"$r%.3f (${(System.nanoTime()-t)/1e9}%.1f s)")
+    }
+    val cPath = java.nio.file.Files
+      .createTempDirectory("graft-gann-recall").toString
+    ops.GraphAnn.buildGraphIndex(cCorpus, cPath, degree = 8, planes = planes,
+      maxBucket = 1024, refineRounds = 1)
+    t0 = System.nanoTime()
+    val ri = recallOf(ops.GraphAnn.searchGraphIndex(spark, cPath, cProbes,
+      k = 10, beam = 32, hops = 2))
+    println(f"recall@10 persisted(n=$n, beam=32, hops=2): $ri%.3f " +
+      f"(${(System.nanoTime()-t0)/1e9}%.1f s)")
     spark.stop()
   }
 }

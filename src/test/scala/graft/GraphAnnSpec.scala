@@ -213,6 +213,61 @@ class GraphAnnSpec extends SparkTestBase {
     assert(top1.sameElements(Array(0L)), s"in-dist probe changed: ${top1.toSeq}")
   }
 
+  /** Clustered corpus — the NATURAL-data shape the planted-twin
+    * certificates cannot probe (r16 verdict: certificates prove
+    * traversal/tie-break correctness, not recall). Points scatter
+    * around `nClusters` deterministic unit-ish centers, so true
+    * nearest neighbours are overwhelmingly cluster-mates and
+    * recall@k against brute force is a meaningful number. */
+  private def clusteredCorpus(n: Int, dim: Int, nClusters: Int,
+                              spread: Float, idBase: Long = 0L) = {
+    def mix(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L
+      h ^= h >>> 32; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 29
+      h
+    }
+    def unit(seed: Long, j: Int): Float =
+      ((mix(seed * 977 + j) >>> 11).toDouble / (1L << 53).toDouble * 2 - 1).toFloat
+    (0 until n).map { i =>
+      val id = idBase + i
+      val c = (i % nClusters).toLong
+      (id, Array.tabulate(dim) { j =>
+        unit(c, j) + spread * unit(id + 1000000L, j) })
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("recall floor on clustered data: routed beamSearch and the persisted index vs brute force") {
+    val n = 6000
+    val corpus = clusteredCorpus(n, dim = 16, nClusters = 64, spread = 0.3f)
+    // probes: fresh points of clusters 0..23, ids outside the corpus
+    val probes = clusteredCorpus(24, dim = 16, nClusters = 64,
+      spread = 0.3f, idBase = 1000000L)
+    val truth = Similarity.bruteForceKnn(probes, corpus, k = 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select("qid", "nid").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val g = GraphAnn.knnGraph(corpus, degree = 8, planes = 6,
+      refineRounds = 1, tables = 2)
+    val routed = recallOf(GraphAnn.beamSearch(probes, corpus, g,
+      k = 10, beam = 32, hops = 2, planes = 6))
+    assert(routed >= 0.85,
+      s"routed beamSearch recall@10 fell below the pinned floor: $routed")
+    val path = java.nio.file.Files.createTempDirectory("graft-gann").toString
+    GraphAnn.buildGraphIndex(corpus, path, degree = 8, planes = 6,
+      refineRounds = 1, tables = 2)
+    val persisted = recallOf(GraphAnn.searchGraphIndex(spark, path, probes,
+      k = 10, beam = 32, hops = 2))
+    assert(persisted >= 0.85,
+      s"persisted-index recall@10 fell below the pinned floor: $persisted")
+    // the persisted walk must match the in-memory walk on the same
+    // geometry (routing reads stored b0; search re-derives it — same
+    // hash), so the two recalls can only differ via the graphs' builds
+    assert(math.abs(persisted - routed) <= 0.15,
+      s"persisted vs in-memory recall diverged: $persisted vs $routed")
+  }
+
   test("planted twin certificate: pinned-entry search must cross the twin edge") {
     val d = mixedCorpus(80, 8)
     val twins = d.where(col("vec_id") < 3).select(
