@@ -328,15 +328,19 @@ object GraphAnn {
     *     routing but made every id-keyed read a full scan — the r16
     *     verdict's one MEDIUM: at 10⁹ rows each search batch paid a
     *     corpus-wide dedupe shuffle.
-    *   - `path/buckets` — slim `(b0, nid)` routing sidecar (two longs
-    *     a row — no vectors) partitioned by `vb = b0 mod 256`, files
-    *     sorted by `b0`: entry routing joins it broadcast on
-    *     `(vb, b0)`, so dynamic partition pruning cuts 255/256 of the
-    *     sidecar and the b0 sort prunes row groups. The fixed 256-way
-    *     group keeps directory counts flat at ANY corpus size (the
-    *     r16 finding: one directory per raw b0 was O(n) directories).
-    *     Routing reads ids only; the matching vectors come from the
-    *     id-pruned store fetch.
+    *   - `path/buckets` — `(b0, nid, nvec)` bucket store partitioned
+    *     by `vb = b0 mod 256`, files sorted by `b0`: entry routing
+    *     and append-time mate lookup join it broadcast on `(vb, b0)`,
+    *     so dynamic partition pruning cuts 255/256 of it and the b0
+    *     sort prunes row groups. The fixed 256-way group keeps
+    *     directory counts flat at ANY corpus size (the r16 finding:
+    *     one directory per raw b0 was O(n) directories). It carries
+    *     the vector payload REDUNDANTLY — the IVF-list discipline:
+    *     bucket-keyed readers (append mates) stay partition-pruned
+    *     instead of paying an id-keyed store scan per micro-batch,
+    *     at ~2x vector bytes (for an embedding table that is well
+    *     under 1% of the corpus it indexes). Routing itself selects
+    *     ids only, so its scan column-prunes the payload away.
     *   - `path/edges` — `(src, dst, sim)` partitioned by
     *     `shard = src mod 64`, files sorted by `src` at build/compact:
     *     appends touch only the shards their sources hash to; search
@@ -366,9 +370,9 @@ object GraphAnn {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("nid"))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/vectors")
-    withVb(base.select(col("b0"), col("nid")))
+    withVb(base.select(col("b0"), col("nid"), col("nvec")))
       .repartition(col("vb"))
-      .sortWithinPartitions(col("vb"), col("b0"))
+      .sortWithinPartitions(col("vb"), col("b0"), col("nid"))
       .write.mode("overwrite").partitionBy("vb").parquet(s"$path/buckets")
     writeEntrySample(base.select(col("nid")), path)
     knnGraph(corpus, degree, planes, maxBucket, refineRounds, tables,
@@ -502,8 +506,8 @@ object GraphAnn {
     * effective degree drifts up by at most `degree` per append until
     * [[compactGraphIndex]] re-trims — breadth cost during search,
     * never a correctness one. Per-batch reads: the batch, the meta
-    * row, the sidecar's touched `(vb, b0)` groups (ids only), and the
-    * id-pruned vector rows of the capped mates.
+    * row, and the bucket store's touched `(vb, b0)` groups — vectors
+    * included, so no id-keyed store scan happens per micro-batch.
     *
     * Both candidate legs carry [[knnGraph]]'s deterministic skew cap
     * (r16 verdict): existing mates AND the within-batch join side are
@@ -541,18 +545,17 @@ object GraphAnn {
         row_number().over(
           Window.partitionBy(col("b0")).orderBy(col("nid").asc)))
       .where(col("_rn") <= m.maxBucket).drop("_rn")
-    // existing mates: DPP-pruned sidecar read (ids only), deduped
-    // against replayed sidecar rows, capped, THEN the vector fetch —
-    // so the store read is bounded by nBuckets * maxBucket ids
-    val mateIds = capPerBucket(
-        spark.read.parquet(s"$path/buckets")
-          .join(broadcast(bv.select(col("vb"), col("b0")).distinct()),
-            Seq("vb", "b0"))
-          .dropDuplicates("b0", "nid"))
-      .localCheckpoint(true)
-    val mates = mateIds
-      .join(fetchVectors(spark, path, mateIds.select(col("nid"))), Seq("nid"))
-      .select(col("b0"), col("nid"), col("nvec"))
+    // existing mates: DPP-pruned bucket-store read — vectors ride the
+    // sidecar (layout doc), so the per-batch read is the touched
+    // bucket groups, never an id-keyed store scan. The min(nvec)
+    // aggregate folds replayed sidecar rows (and resolves a
+    // contract-violating id reuse deterministically per bucket); the
+    // cap then bounds the mate set at maxBucket lowest ids per bucket
+    val mates = capPerBucket(
+      spark.read.parquet(s"$path/buckets")
+        .join(broadcast(bv.select(col("vb"), col("b0")).distinct()),
+          Seq("vb", "b0"))
+        .groupBy(col("b0"), col("nid")).agg(min(col("nvec")).as("nvec")))
     val newToOld = bv.as("b").join(mates.as("m"), Seq("b0"))
       .where(col("b.nid") =!= col("m.nid")) // replay: the batch is its own mate
       .select(col("b.nid").as("src"), col("m.nid").as("dst"),
@@ -577,8 +580,8 @@ object GraphAnn {
       .withColumn("shard", shardOf(col("nid")))
       .sortWithinPartitions(col("shard"), col("nid"))
       .write.mode("append").partitionBy("shard").parquet(s"$path/vectors")
-    bv.select(col("vb"), col("b0"), col("nid"))
-      .sortWithinPartitions(col("vb"), col("b0"))
+    bv.select(col("vb"), col("b0"), col("nid"), col("nvec"))
+      .sortWithinPartitions(col("vb"), col("b0"), col("nid"))
       .write.mode("append").partitionBy("vb").parquet(s"$path/buckets")
   }
 
@@ -675,9 +678,9 @@ object GraphAnn {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("nid"))
       .localCheckpoint(true)
-    val bkt = withVb(vecs.select(col("b0"), col("nid")))
+    val bkt = withVb(vecs.select(col("b0"), col("nid"), col("nvec")))
       .repartition(col("vb"))
-      .sortWithinPartitions(col("vb"), col("b0"))
+      .sortWithinPartitions(col("vb"), col("b0"), col("nid"))
       .localCheckpoint(true)
     val edges = trimEdges(
         spark.read.parquet(s"$path/edges")
