@@ -483,6 +483,46 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** Re-fold a persisted IVF index's lists to ONE row per
+    * `(list_id, nid)` — the compaction [[appendToIvfIndex]]'s LSM
+    * discipline defers to (the [[GraphAnn.compactGraphIndex]] rule
+    * carried to this family): every replayed append's duplicate row
+    * folds away (copies are identical, so search results cannot
+    * change — spec-pinned) and per-list file counts reset to one file
+    * per list however many append waves landed, so a streaming ingest
+    * ([[graft.streaming.StreamIvfIngest]]) stays file-bounded. A
+    * contract-violating id REUSE inside one list folds to the
+    * lexicographically-min payload — deterministic on any
+    * partitioning; ids reused across DIFFERENT probed lists keep one
+    * row per list, and [[searchIvfIndex]]'s per-(qid, nid) `min(sim)`
+    * guard resolves them at read time exactly as before. Eager local
+    * checkpoint BEFORE the overwrite (the Ledger writeCompacted
+    * rule); run offline or from the index's single writer — the
+    * directory overwrite is job-commit atomic, not concurrent-reader
+    * safe. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit =
+    compactListsBy(spark, path, "nvec")
+
+  /** [[compactIvfIndex]] for the IVF-PQ layout: the per-list payload
+    * is the PQ code array, which folds under the same lexicographic
+    * min. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit =
+    compactListsBy(spark, path, "codes")
+
+  private def compactListsBy(spark: org.apache.spark.sql.SparkSession,
+                             path: String, payload: String): Unit = {
+    val lists = spark.read.parquet(s"$path/lists")
+      .groupBy(col("list_id"), col("nid"))
+      .agg(min(col(payload)).as(payload))
+      .select(col("nid"), col(payload), col("list_id"))
+      .repartition(col("list_id"))
+      .sortWithinPartitions(col("list_id"), col("nid"))
+      .localCheckpoint(true)
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
   /** Self-certifying recall gate for an ANN result: join the approximate
     * top-k (qid, nid, ...) against the exact top-k computed in the same
     * plan and emit one row per query id with `recall_ok` — whether the ANN

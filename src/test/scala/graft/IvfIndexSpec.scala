@@ -82,6 +82,37 @@ class IvfIndexSpec extends SparkTestBase {
       s"replayed twin must hold one rank (ties break nid asc): $top2")
   }
 
+  test("compactIvfIndex: search-invariant, lists fold to one row per (list_id, nid), files bounded") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("graft-ivf5").toString
+    Similarity.buildIvfIndex(emb, path, nlist = 8)
+    val batch = emb.where(col("vec_id").isin(3L, 11L))
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    // three identical appends = two crash replays: duplicated rows and
+    // three file waves in the touched lists
+    Similarity.appendToIvfIndex(spark, path, batch)
+    Similarity.appendToIvfIndex(spark, path, batch)
+    Similarity.appendToIvfIndex(spark, path, batch)
+    val probes = emb.where(col("vec_id").isin(3L, 11L))
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+    def results() = Similarity.searchIvfIndex(spark, path, probes,
+        k = 3, nprobe = 2)
+      .select("qid", "nid", "rank", "sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    def listFiles() = Files.walk(java.nio.file.Paths.get(s"$path/lists"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = results()
+    val filesBefore = listFiles()
+    Similarity.compactIvfIndex(spark, path)
+    assert(results() == before, "compaction must not change what search sees")
+    val perKey = spark.read.parquet(s"$path/lists")
+      .groupBy("list_id", "nid").count().agg(max("count")).as[Long].head()
+    assert(perKey == 1, s"lists must fold to one row per (list_id, nid): $perKey")
+    assert(listFiles() < filesBefore,
+      s"compaction must bound list file counts: $filesBefore -> ${listFiles()}")
+  }
+
   test("index survives a fresh reader: top-1 self-hit on an identical probe") {
     val sf = "/root/testdata/sf0.001"
     val emb = graft.model.Tables.embeddings(spark, sf)

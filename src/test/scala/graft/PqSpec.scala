@@ -113,11 +113,21 @@ class PqSpec extends SparkTestBase {
     Similarity.appendToIvfPqIndex(spark, path, twin)
     Similarity.appendToIvfPqIndex(spark, path, twin)
     val probe = corpus.where(col("vec_id") === 3)
-    val rows = Similarity.searchIvfPqIndex(spark, path, probe, k = 20, nprobe = 1)
-      .select("nid").as[Long].collect()
+    def results() = Similarity.searchIvfPqIndex(spark, path, probe,
+        k = 20, nprobe = 1)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val rows = results().toSeq.map(_._2)
     assert(rows.length == rows.distinct.length,
       s"each nid must hold exactly one rank: ${rows.mkString(",")}")
     assert(rows.contains(5003L), "appended twin still searchable")
+    // compaction folds the replay duplicates without changing what
+    // search sees, and resets the lists to one row per (list_id, nid)
+    val before = results()
+    Similarity.compactIvfPqIndex(spark, path)
+    assert(results() == before, "PQ compaction changed search results")
+    val perKey = spark.read.parquet(s"$path/lists")
+      .groupBy("list_id", "nid").count().agg(max("count")).as[Long].head()
+    assert(perKey == 1, s"lists must fold to one row per (list_id, nid): $perKey")
   }
 
   test("ivfPqKnn + rerankExact: exact-copy probes come back strict top-1") {
