@@ -3,10 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for knnGraph stage costs (not a test). */
+/** Scratch profiler for knnGraph stage costs (not a test).
+  * args: [n] [mode] — mode `all` (default) runs the knnGraph profile,
+  * the persisted-index LSM leg and the recall grid; `lsm` runs ONLY
+  * the LSM leg (build/append/search/compact timings — the growth-curve
+  * datapoints at ns where the full grid would dominate the run). */
 object GraphAnnProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val mode = args.lift(1).getOrElse("all")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -19,7 +24,7 @@ object GraphAnnProbe {
       gvec(col("id")).as("embedding")).persist()
     corpus.count()
     val planes = math.max(6, (math.log(n.toDouble) / math.log(2)).ceil.toInt - 4)
-    for (r <- Seq(0, 0, 1)) {
+    for (r <- (if (mode == "lsm") Seq.empty[Int] else Seq(0, 0, 1))) {
       val t0 = System.nanoTime()
       val e = ops.GraphAnn.knnGraph(corpus, degree = 4, planes = planes,
         maxBucket = 1024, refineRounds = r).count()
@@ -48,6 +53,7 @@ object GraphAnnProbe {
     t0 = System.nanoTime()
     ops.GraphAnn.compactGraphIndex(spark, path)
     println(f"compactGraphIndex: ${(System.nanoTime()-t0)/1e9}%.1f s")
+    if (mode == "lsm") { spark.stop(); return }
     // recall grid on CLUSTERED vectors (r16 verdict: certificates prove
     // traversal correctness, not recall on natural data). Points
     // scatter around n/1000 deterministic centers; ground truth is
