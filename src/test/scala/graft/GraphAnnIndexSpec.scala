@@ -221,6 +221,31 @@ class GraphAnnIndexSpec extends SparkTestBase {
     assert(got == Set(0L, 1L, 2L), s"hot-bucket index must stay searchable: $got")
   }
 
+  test("fetchVectors: subset-exact under shard+range pruning, min survivor, empty-safe") {
+    // ids 0, 1, 66, 130: shards 0, 1, 2, 2 — the requested subset spans
+    // shard dirs and id ranges, so both pruning legs are on the hook
+    val d = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (66L, Array(0.5f, 0.5f)), (130L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft-gann").toString
+    GraphAnn.buildGraphIndex(d, path, degree = 2, planes = 0, refineRounds = 0)
+    // contract-violating reuse: id 1 re-appended with different contents
+    GraphAnn.appendToGraphIndex(spark, path,
+      Seq((1L, Array(1f, 0.1f))).toDF("vec_id", "embedding"))
+    val ids = Seq(1L, 130L, 999L).toDF("nid") // 999 absent from the store
+    val got = GraphAnn.fetchVectors(spark, path, ids)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(got.keySet == Set(1L, 130L),
+      s"fetch must return exactly the present requested ids: ${got.keySet}")
+    assert(got(1L).toSeq == Seq(0f, 1f),
+      s"id reuse must resolve to the lexicographic-min vector: ${got(1L).toSeq}")
+    assert(got(130L).toSeq == Seq(0.1f, 0.9f))
+    // empty id frame: no driver collect surprises, right schema
+    val empty = GraphAnn.fetchVectors(spark, path,
+      ids.where(org.apache.spark.sql.functions.lit(false)))
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("nid", "nvec"))
+  }
+
   test("registry memo: one built graph serves repeated certificate calls") {
     val emb = graft.model.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))
