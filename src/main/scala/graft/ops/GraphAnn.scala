@@ -364,6 +364,8 @@ object GraphAnn {
     Seq((planes, degree, tables, maxBucket, SampleN, LayoutVersion))
       .toDF("planes", "degree", "tables", "max_bucket", "samplen", "layout")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    metaCache.put(path,
+      GraphMeta(planes, degree, tables, maxBucket, SampleN))
     val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       bucketOf(col(vecCol), planes).as("b0"))
     base.withColumn("shard", shardOf(col("nid")))
@@ -412,7 +414,19 @@ object GraphAnn {
   private[graft] case class GraphMeta(planes: Int, degree: Int, tables: Int,
                                       maxBucket: Int, samplen: Int)
 
+  /** Meta is immutable for an index's lifetime (append and compact
+    * never rewrite it), so a resident stream ingester — ~17k
+    * micro-batches a day at a 5 s trigger — should not pay a parquet
+    * read per batch. [[buildGraphIndex]] refreshes the entry (a
+    * rebuild may change geometry). Per-JVM: a rebuild by ANOTHER
+    * process is invisible here, which matches the index's
+    * single-writer ownership rule. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GraphMeta]()
+
   private def loadMeta(spark: SparkSession, path: String): GraphMeta = {
+    val hit = metaCache.get(path)
+    if (hit != null) return hit
     val df = spark.read.parquet(s"$path/meta")
     if (!df.columns.contains("layout"))
       throw new IllegalStateException(
@@ -424,9 +438,11 @@ object GraphAnn {
       throw new IllegalStateException(
         s"graph index at $path is layout v$got; this build reads " +
           s"v$LayoutVersion — rebuild it with GraphAnn.buildGraphIndex")
-    GraphMeta(r.getAs[Int]("planes"), r.getAs[Int]("degree"),
+    val m = GraphMeta(r.getAs[Int]("planes"), r.getAs[Int]("degree"),
       r.getAs[Int]("tables"), r.getAs[Int]("max_bucket"),
       r.getAs[Int]("samplen"))
+    metaCache.put(path, m)
+    m
   }
 
   /** One driver-sized aggregate over a materialized id frame: the

@@ -423,6 +423,7 @@ object Similarity {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    centroidCache.put(path, cents) // a rebuild may retrain the quantizer
     corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .withColumn("list_id", Exprs.nearestCentroids(col("nvec"), cents, 1).getItem(0))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
@@ -432,11 +433,20 @@ object Similarity {
     * list_id — the invariant BOTH search (probe-list selection) and
     * append (partition assignment) depend on; one loader on purpose so
     * the two sides can never disagree. nlist is small: driver-safe. */
+  /** Per-JVM memo: the quantizer is frozen for an index's lifetime
+    * (append/compact never retrain), so a resident stream ingester or
+    * a search loop should not pay a parquet read per batch; the build
+    * functions refresh the entry. A rebuild by another process is
+    * invisible here — the index's single-writer ownership rule. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                             path: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$path/centroids")
-      .orderBy("list_id").select("centroid").collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
+    centroidCache.computeIfAbsent(path, _ =>
+      spark.read.parquet(s"$path/centroids")
+        .orderBy("list_id").select("centroid").collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq)
 
   /** Incremental IVF maintenance: assign NEW vectors to their nearest
     * existing centroid and APPEND to the persisted lists — only the
@@ -871,6 +881,8 @@ object Similarity {
       book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq, residual) }
     }.toSeq.toDF("sub", "code", "centroid", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    centroidCache.put(path, cents) // a rebuild may retrain both models
+    codebookCache.put(path, (books, residual))
     corpus.select(
       Exprs.nearestCentroids(col(vecCol), cents, 1).getItem(0).as("list_id"),
       col(idCol).as("nid"),
@@ -879,12 +891,21 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
 
-  /** Codebooks of a persisted IVF-PQ index, ordered so [sub][code] match
-    * the stored rows — the encode/search shared loader, same discipline
-    * as [[loadCentroids]]. m*ksub rows: driver-safe. */
-  /** Codebooks + pinned encoding mode. Legacy indexes (no `residual`
-    * column) load as plain-PQ — the shape they were built with. */
+  /** [[centroidCache]]'s codebook twin — same frozen-quantizer rule. */
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Array[Double]]], Boolean)]()
+
+  /** Codebooks of a persisted IVF-PQ index plus the pinned encoding
+    * mode, ordered so [sub][code] match the stored rows — the
+    * encode/search shared loader, same discipline as
+    * [[loadCentroids]]. m*ksub rows: driver-safe. Legacy indexes (no
+    * `residual` column) load as plain-PQ — the shape they were built
+    * with. */
   private def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Array[Array[Array[Double]]], Boolean) =
+    codebookCache.computeIfAbsent(path, _ => loadCodebooksUncached(spark, path))
+
+  private def loadCodebooksUncached(spark: org.apache.spark.sql.SparkSession,
                             path: String): (Array[Array[Array[Double]]], Boolean) = {
     val df = spark.read.parquet(s"$path/codebooks")
     val rows = df.orderBy("sub", "code").collect()
