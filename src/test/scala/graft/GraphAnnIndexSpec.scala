@@ -221,6 +221,49 @@ class GraphAnnIndexSpec extends SparkTestBase {
     assert(got == Set(0L, 1L, 2L), s"hot-bucket index must stay searchable: $got")
   }
 
+  test("closure superset property: searchGraphIndex == full-store beamSearch on random data") {
+    // the frontier-bounded search promises BYTE-identical results to
+    // walking the whole store; certificates pin planted cases, this
+    // pins arbitrary geometry (random vectors, in- and out-of-
+    // distribution probes, fallback seeding included)
+    def mix(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L
+      h ^= h >>> 32; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 29
+      h
+    }
+    def vec(seed: Long) = Array.tabulate(12) { j =>
+      ((mix(seed * 131 + j) >>> 11).toDouble / (1L << 53).toDouble * 2 - 1).toFloat }
+    val d = (0L until 3000L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft-gann").toString
+    GraphAnn.buildGraphIndex(d, path, degree = 4, planes = 6, refineRounds = 1)
+    val probes = (0L until 24L).map(i => (i + 10000L, vec(i + 777000L)))
+      .toDF("vec_id", "embedding")
+    val got = GraphAnn.searchGraphIndex(spark, path, probes, k = 5,
+        beam = 12, hops = 2)
+      .select("qid", "nid", "rank", "sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // reference: the identical walk over the FULL persisted store
+    val corpus = spark.read.parquet(s"$path/vectors")
+      .groupBy("nid").agg(min("nvec").as("nvec"))
+      .select(col("nid").as("vec_id"), col("nvec").as("embedding"))
+    val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
+    val routed = GraphAnn.routingCandidates(spark, path, probes, planes = 6)
+    val lonely = probes.select(col("vec_id").as("qid"))
+      .join(routed.select("qid"), Seq("qid"), "left_anti")
+    val seeds = spark.read.parquet(s"$path/entrysample")
+      .orderBy(col("nid").asc).limit(12)
+    val entries = routed.unionByName(
+      lonely.crossJoin(seeds).where(col("qid") =!= col("nid"))
+        .select("qid", "nid"))
+    val want = GraphAnn.beamSearch(probes, corpus, edges, Some(entries),
+        k = 5, beam = 12, hops = 2, planes = 6)
+      .select("qid", "nid", "rank", "sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == want && got.nonEmpty,
+      s"closure-bounded search diverged from the full-store walk: " +
+        s"${(got -- want).take(3)} / ${(want -- got).take(3)}")
+  }
+
   test("fetchVectors: subset-exact under shard+range pruning, min survivor, empty-safe") {
     // ids 0, 1, 66, 130: shards 0, 1, 2, 2 — the requested subset spans
     // shard dirs and id ranges, so both pruning legs are on the hook
