@@ -188,12 +188,34 @@ object GraphAnn {
       .where(col("_rn") <= n).drop("_rn")
   }
 
+  /** The build/append skew discipline carried to the READ path (r17
+    * verdict): truncate each query's routed entry set to the
+    * `maxBucket` LOWEST nids — deterministic and recall-bounded by
+    * exactly the argument that justifies the write-side cap (capped
+    * mates are the ones edges fan out from, so they are also the
+    * best-connected entries). Without this a hot LSH bucket —
+    * near-identical vectors, the dedup-ingest workload — makes ONE
+    * query's entry set, entry-scoring join and reachability closure
+    * O(bucket occupancy) with no bound: the documented closure bound
+    * `<= |entries| * (degree+1)^hops` only means something when
+    * |entries| is bounded. The cap window shuffles only the slim
+    * `(qid, nid)` routed frame; what it bounds is everything
+    * downstream of it (vector fetch, scoring, closure). */
+  private def capEntriesPerQuery(routed: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("nid").asc)
+    routed.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxBucket).drop("_rn")
+  }
+
   /** Batched beam search over a prebuilt graph. Returns
     * `(qid, nid, rank, sim)`, `rank <= k`.
     *
     * `entries` pins the per-query entry set (`(qid, nid)` rows —
     * index resume, cross-shard search, or a traversal certificate);
-    * `None` routes each query to its LSH bucket-mates, scored and
+    * `None` routes each query to its LSH bucket-mates — truncated to
+    * the `maxBucket` lowest nids per query BEFORE scoring (see
+    * [[capEntriesPerQuery]]; pass the graph's build-time cap so the
+    * read and write sides agree) — scored and
     * trimmed to `beam` like every subsequent frontier; a query whose
     * bucket has no mates routes to the global fallback sample instead
     * of returning empty (see [[entryFallback]]). Queries are
@@ -220,9 +242,9 @@ object GraphAnn {
   def beamSearch(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
                  entries: Option[DataFrame] = None,
                  k: Int = 5, beam: Int = 16, hops: Int = 2, planes: Int = 6,
-                 allowed: Option[DataFrame] = None,
+                 allowed: Option[DataFrame] = None, maxBucket: Int = 512,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k > 0 && beam >= k && hops >= 0 && planes >= 0)
+    require(k > 0 && beam >= k && hops >= 0 && planes >= 0 && maxBucket > 0)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val entry0 = entries match {
@@ -230,12 +252,16 @@ object GraphAnn {
       case None =>
         val qb = broadcast(q.withColumn("bucket",
           bucketOf(col("qv"), planes)).select("qid", "bucket"))
-        val routed = c.withColumn("bucket", bucketOf(col("nv"), planes))
-          .join(qb, Seq("bucket"))
-          .where(col("qid") =!= col("nid"))
-          .select("qid", "nid")
+        val routed = capEntriesPerQuery(
+          c.withColumn("bucket", bucketOf(col("nv"), planes))
+            .join(qb, Seq("bucket"))
+            .where(col("qid") =!= col("nid"))
+            .select("qid", "nid"),
+          maxBucket)
         // q, not qb: qb carries a broadcast hint, which a left-anti
-        // join cannot honor on its left side (warn noise)
+        // join cannot honor on its left side (warn noise). The cap
+        // cannot empty a non-empty entry set (it keeps the lowest
+        // nids), so fallback detection is unaffected by it.
         entryFallback(routed, q.select("qid"), c.select("nid"), beam)
     }
     val beam0 = trimPerQuery(scoreCand(entry0.dropDuplicates("qid", "nid"), c, q), beam)
@@ -505,14 +531,17 @@ object GraphAnn {
     * `vb`, the layout's whole point. */
   private[graft] def routingCandidates(spark: SparkSession, path: String,
                                        queries: DataFrame, planes: Int,
+                                       maxBucket: Int = 512,
                                        idCol: String = "vec_id",
                                        vecCol: String = "embedding"): DataFrame = {
     val qb = broadcast(withVb(queries.select(col(idCol).as("qid"),
       bucketOf(col(vecCol), planes).as("b0"))))
-    spark.read.parquet(s"$path/buckets")
-      .join(qb, Seq("vb", "b0"))
-      .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"))
+    capEntriesPerQuery(
+      spark.read.parquet(s"$path/buckets")
+        .join(qb, Seq("vb", "b0"))
+        .where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid")),
+      maxBucket)
   }
 
   /** Incremental insert — the HNSW-insert analog, LSM-style: new nodes
@@ -637,11 +666,32 @@ object GraphAnn {
     require(k > 0 && beam >= k && hops >= 0)
     val m = loadMeta(spark, path)
     val entries = entryFallback(
-        routingCandidates(spark, path, queries, m.planes, idCol, vecCol),
+        routingCandidates(spark, path, queries, m.planes, m.maxBucket,
+          idCol, vecCol),
         queries.select(col(idCol).as("qid")),
         spark.read.parquet(s"$path/entrysample"), beam)
       .dropDuplicates("qid", "nid")
       .localCheckpoint(true)
+    val (reach, hopEdges) = reachClosure(spark, path, entries, hops)
+    // the last pass's edges have src ∈ the full pre-final closure —
+    // a superset of every frontier any walk hop expands
+    val corpus = fetchVectors(spark, path, reach)
+      .select(col("nid").as(idCol), col("nvec").as(vecCol))
+      .localCheckpoint(true)
+    beamSearch(queries, corpus, hopEdges, Some(entries), k, beam, hops,
+      m.planes, idCol = idCol, vecCol = vecCol)
+  }
+
+  /** The reachability-closure stage of [[searchGraphIndex]], factored
+    * so its size bound — `<= |distinct entry nids| * (degree+1)^hops`
+    * rows, corpus-size-independent once entries are capped — is
+    * directly spec-pinnable. Returns `(reach, hopEdges)`: every id any
+    * walk of `hops` hops from `entries` can touch, and the final
+    * pass's edge rows (src ∈ the pre-final closure — a superset of
+    * every frontier the beam walk expands). */
+  private[graft] def reachClosure(spark: SparkSession, path: String,
+                                  entries: DataFrame,
+                                  hops: Int): (DataFrame, DataFrame) = {
     var reach = entries.select(col("nid")).dropDuplicates("nid")
     var hopEdges = emptyEdges(spark)
     for (_ <- 0 until hops) {
@@ -658,13 +708,7 @@ object GraphAnn {
       reach = reach.unionByName(hopEdges.select(col("dst").as("nid")))
         .dropDuplicates("nid")
     }
-    // the last pass's edges have src ∈ the full pre-final closure —
-    // a superset of every frontier any walk hop expands
-    val corpus = fetchVectors(spark, path, reach)
-      .select(col("nid").as(idCol), col("nvec").as(vecCol))
-      .localCheckpoint(true)
-    beamSearch(queries, corpus, hopEdges, Some(entries), k, beam, hops,
-      m.planes, idCol = idCol, vecCol = vecCol)
+    (reach, hopEdges)
   }
 
   /** Re-trim a persisted index to its meta `degree` — the compaction

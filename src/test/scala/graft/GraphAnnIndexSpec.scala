@@ -221,6 +221,45 @@ class GraphAnnIndexSpec extends SparkTestBase {
     assert(got == Set(0L, 1L, 2L), s"hot-bucket index must stay searchable: $got")
   }
 
+  test("entry routing is capped at meta max_bucket: hot-bucket closure stays bounded") {
+    // 300 identical vectors -> ONE hot bucket (the dedup-ingest
+    // workload). Pre-r18 a routed probe's entry set was the WHOLE
+    // bucket: entry join, scoring and reachability closure all
+    // O(occupancy). The cap carries the build/append skew discipline
+    // to the read path: maxBucket lowest nids per query.
+    val d = (0L until 300L).map(i => (i, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft-gann").toString
+    GraphAnn.buildGraphIndex(d, path, degree = 2, planes = 4,
+      maxBucket = 16, refineRounds = 0)
+    val probe = Seq((9999L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val routed = GraphAnn.routingCandidates(spark, path, probe,
+        planes = 4, maxBucket = 16)
+      .select("nid").as[Long].collect()
+    assert(routed.length == 16 && routed.toSet == (0L until 16L).toSet,
+      s"routing must keep exactly the maxBucket lowest nids: " +
+        s"${routed.sorted.take(20).toSeq}")
+    // closure bound: <= |entries| * (degree+1)^hops, corpus-independent
+    val entries = probe.select(lit(9999L).as("qid"))
+      .crossJoin(routed.toSeq.toDF("nid"))
+    val (reach, _) = GraphAnn.reachClosure(spark, path, entries, hops = 2)
+    val closure = reach.count()
+    assert(closure <= 16L * 9L && closure < 300L,
+      s"hot-bucket closure must stay entry-bounded: $closure")
+    // and the search itself is still correct: ties at cos 1.0 resolve
+    // nid-ascending, so top-3 is the three lowest ids
+    val got = GraphAnn.searchGraphIndex(spark, path, probe, k = 3,
+        beam = 8, hops = 2)
+      .select("nid").as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 2L), s"capped hot-bucket search: $got")
+    // in-memory twin: beamSearch's own routing under the same cap
+    val edges = spark.read.parquet(s"$path/edges").select("src", "dst", "sim")
+    val inMem = GraphAnn.beamSearch(probe, d, edges, k = 3, beam = 8,
+        hops = 2, planes = 4, maxBucket = 16)
+      .select("nid").as[Long].collect().toSet
+    assert(inMem == Set(0L, 1L, 2L), s"in-memory capped routing: $inMem")
+  }
+
   test("closure superset property: searchGraphIndex == full-store beamSearch on random data") {
     // the frontier-bounded search promises BYTE-identical results to
     // walking the whole store; certificates pin planted cases, this
