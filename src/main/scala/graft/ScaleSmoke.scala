@@ -944,7 +944,7 @@ object ScaleSmoke {
       f"${(System.nanoTime()-t0)/1e9}%.1f s")
     assert(postCompact == preCompact,
       "compaction changed search results at corpus size")
-    val maxDeg = spark.read.parquet(s"$gPath/edges")
+    val maxDeg = spark.read.parquet(s"${ops.GraphAnn.indexRoot(spark, gPath)}/edges")
       .groupBy(col("src")).count().agg(max(col("count"))).as[Long].head()
     assert(maxDeg <= 4, s"degree bound after compact: $maxDeg")
     gEdges.unpersist(false); gCorpus.unpersist(false)

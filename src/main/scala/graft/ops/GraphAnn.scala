@@ -243,20 +243,31 @@ object GraphAnn {
                  entries: Option[DataFrame] = None,
                  k: Int = 5, beam: Int = 16, hops: Int = 2, planes: Int = 6,
                  allowed: Option[DataFrame] = None, maxBucket: Int = 512,
+                 tables: Int = 1,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k > 0 && beam >= k && hops >= 0 && planes >= 0 && maxBucket > 0)
+    require(k > 0 && beam >= k && hops >= 0 && planes >= 0 &&
+      maxBucket > 0 && tables >= 1)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val entry0 = entries match {
       case Some(e) => e.select(col("qid"), col("nid"))
       case None =>
-        val qb = broadcast(q.withColumn("bucket",
-          bucketOf(col("qv"), planes)).select("qid", "bucket"))
+        // multi-view routing parity with the persisted sidecar: mates
+        // of the query's bucket in ANY of `tables` shifted views,
+        // unioned, deduped, capped. tables = 1 is the identity view
+        // alone (the pre-r18 behavior).
+        val nT = if (planes == 0) 1 else tables
+        def tb(v: Column) = explode(array((0 until nT).map(t =>
+          struct(lit(t).as("t"), bucketOf(view(v, t), planes).as("b"))): _*))
+        val qb = broadcast(q.select(col("qid"), tb(col("qv")).as("tb"))
+          .select(col("qid"), col("tb.t").as("t"), col("tb.b").as("b")))
         val routed = capEntriesPerQuery(
-          c.withColumn("bucket", bucketOf(col("nv"), planes))
-            .join(qb, Seq("bucket"))
+          c.select(col("nid"), tb(col("nv")).as("tb"))
+            .select(col("nid"), col("tb.t").as("t"), col("tb.b").as("b"))
+            .join(qb, Seq("t", "b"))
             .where(col("qid") =!= col("nid"))
-            .select("qid", "nid"),
+            .select("qid", "nid")
+            .dropDuplicates("qid", "nid"),
           maxBucket)
         // q, not qb: qb carries a broadcast hint, which a left-anti
         // join cannot honor on its left side (warn noise). The cap
@@ -334,52 +345,58 @@ object GraphAnn {
   // ------------------------------------------------------------- index
 
   /** Persist a searchable graph index (the [[Similarity.buildIvfIndex]]
-    * discipline carried to the graph family). Layout v3 — every store
-    * is keyed for the joins that read it:
+    * discipline carried to the graph family). Layout v4 — every store
+    * keyed for the joins that read it, inside crash-atomic epoch
+    * directories ([[graft.plans.EpochStore]]): build, rebuild and
+    * compaction each write a complete `path/state-NNNNNN/` and flip
+    * the commit marker LAST, so a crash mid-write can never damage
+    * the live index and readers never see a half-written state (the
+    * r17-advice fix for mode("overwrite") compaction). Within the
+    * current epoch root:
     *
-    *   - `path/meta` — one row `(planes, degree, tables, max_bucket,
+    *   - `meta` — one row `(planes, degree, tables, max_bucket,
     *     samplen, layout)`; search, append and compact read it so the
     *     sides can never disagree on hash geometry or caps. `layout`
     *     gates readers: an index written under an older layout fails
     *     fast with a rebuild message instead of a confusing
-    *     AnalysisException deep inside a join (r16 advice — the old
-    *     code documented a fallback that was unreachable).
-    *   - `path/vectors` — `(nid, nvec, b0)` partitioned by
+    *     AnalysisException deep inside a join. Meta lives INSIDE the
+    *     epoch, so the per-JVM memo keyed on the epoch root can never
+    *     serve a rebuilt index's old geometry — cross-process cache
+    *     invalidation by construction.
+    *   - `vectors` — `(nid, nvec)` partitioned by
     *     `shard = nid mod 64`, files sorted by `nid`: every consumer
-    *     of this store joins BY ID (search scoring, append mate
-    *     fetch), so the layout lets [[fetchVectors]] prune to the
-    *     frontier's shard directories plus the frontier's id range
-    *     (row-group min/max) instead of scanning the corpus. The r16
-    *     layout partitioned by bucket-group, which served entry
-    *     routing but made every id-keyed read a full scan — the r16
-    *     verdict's one MEDIUM: at 10⁹ rows each search batch paid a
-    *     corpus-wide dedupe shuffle.
-    *   - `path/buckets` — `(b0, nid, nvec)` bucket store partitioned
-    *     by `vb = b0 mod 256`, files sorted by `b0`: entry routing
-    *     and append-time mate lookup join it broadcast on `(vb, b0)`,
-    *     so dynamic partition pruning cuts 255/256 of it and the b0
-    *     sort prunes row groups. The fixed 256-way group keeps
-    *     directory counts flat at ANY corpus size (the r16 finding:
-    *     one directory per raw b0 was O(n) directories). It carries
-    *     the vector payload REDUNDANTLY — the IVF-list discipline:
-    *     bucket-keyed readers (append mates) stay partition-pruned
-    *     instead of paying an id-keyed store scan per micro-batch,
-    *     at ~2x vector bytes (for an embedding table that is well
-    *     under 1% of the corpus it indexes). Routing itself selects
-    *     ids only, so its scan column-prunes the payload away.
-    *   - `path/edges` — `(src, dst, sim)` partitioned by
+    *     of this store joins BY ID (search scoring), so the layout
+    *     lets [[fetchVectors]] prune to the frontier's shard
+    *     directories plus the frontier's id range (row-group min/max)
+    *     instead of scanning the corpus.
+    *   - `buckets` — `(t, b, nid, nvec)` routing sidecar over ALL
+    *     `tables` hash-table views, partitioned by
+    *     `vb = hash(t, b) mod 256`, files sorted by `(b, nid)`. The
+    *     r17 sidecar stored only view 0's bucket while the graph was
+    *     built from `tables` shifted views, so entry routing saw ONE
+    *     table — the r17 recall grid showed entry diversity was the
+    *     binding constraint at 1M (0.650 at beam 32/hops 2). Routing
+    *     now joins broadcast on `(vb, t, b)` across every view and
+    *     unions the mates (still capped per query at `max_bucket`
+    *     lowest nids), at `tables`x sidecar rows — the sidecar is
+    *     slim relative to the corpus, and the scan stays DPP-pruned
+    *     on `vb` with the payload column pruned away. The vector
+    *     payload rides REDUNDANTLY (IVF-list discipline) so
+    *     append-time mate lookup stays partition-pruned instead of
+    *     paying an id-keyed store scan per micro-batch.
+    *   - `edges` — `(src, dst, sim)` partitioned by
     *     `shard = src mod 64`, files sorted by `src` at build/compact:
     *     appends touch only the shards their sources hash to; search
     *     reads them semi-joined to the frontier under the same
     *     shard + id-range envelope as the vector store.
-    *   - `path/entrysample` — the `samplen` (256) lowest-id `(nid)`
-    *     rows: the routing fallback for a query whose `b0` bucket is
-    *     empty reads this tiny sidecar instead of scan-sampling
-    *     billions of vector rows per search batch. A fallback with
-    *     `beam > samplen` seeds `samplen` entries (documented cap,
-    *     recorded in meta). Any fixed node set is a valid entry set,
-    *     so appends never need to refresh it; [[compactGraphIndex]]
-    *     does anyway.
+    *   - `entrysample` — the `samplen` (256) lowest-id `(nid)`
+    *     rows: the routing fallback for a query whose buckets are
+    *     empty in every view reads this tiny sidecar instead of
+    *     scan-sampling billions of vector rows per search batch. A
+    *     fallback with `beam > samplen` seeds `samplen` entries
+    *     (documented cap, recorded in meta). Any fixed node set is a
+    *     valid entry set, so appends never need to refresh it;
+    *     [[compactGraphIndex]] does anyway.
     */
   def buildGraphIndex(corpus: DataFrame, path: String, degree: Int = 8,
                       planes: Int = 6, maxBucket: Int = 512,
@@ -387,32 +404,60 @@ object GraphAnn {
                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val (epoch, root) = graft.plans.EpochStore.begin(spark, path)
+    val m = GraphMeta(planes, degree, tables, maxBucket, SampleN)
     Seq((planes, degree, tables, maxBucket, SampleN, LayoutVersion))
       .toDF("planes", "degree", "tables", "max_bucket", "samplen", "layout")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    metaCache.put(path,
-      GraphMeta(planes, degree, tables, maxBucket, SampleN))
-    val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      bucketOf(col(vecCol), planes).as("b0"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
     base.withColumn("shard", shardOf(col("nid")))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("nid"))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/vectors")
-    withVb(base.select(col("b0"), col("nid"), col("nvec")))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$root/vectors")
+    viewBuckets(base, m)
       .repartition(col("vb"))
-      .sortWithinPartitions(col("vb"), col("b0"), col("nid"))
-      .write.mode("overwrite").partitionBy("vb").parquet(s"$path/buckets")
-    writeEntrySample(base.select(col("nid")), path)
+      .sortWithinPartitions(col("vb"), col("b"), col("nid"))
+      .write.mode("overwrite").partitionBy("vb").parquet(s"$root/buckets")
+    writeEntrySample(base.select(col("nid")), root)
     knnGraph(corpus, degree, planes, maxBucket, refineRounds, tables,
         idCol, vecCol)
       .withColumn("shard", shardOf(col("src")))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("src"))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$root/edges")
+    graft.plans.EpochStore.commit(spark, path, epoch)
+    metaCache.put(root, m)
+  }
+
+  /** The routing-sidecar rows of a `(nid, nvec)` frame: one row per
+    * (hash-table view, node) with the view's bucket and the fixed
+    * 256-way directory group. `planes = 0` (one global bucket) makes
+    * every view identical, so only view 0 is materialized — the
+    * [[knnGraph]] degenerate-case rule. */
+  private def viewBuckets(base: DataFrame, m: GraphMeta): DataFrame = {
+    val nT = if (m.planes == 0) 1 else m.tables
+    base.select(col("nid"), col("nvec"),
+        explode(array((0 until nT).map(t => struct(lit(t).as("t"),
+          bucketOf(view(col("nvec"), t), m.planes).as("b"))): _*)).as("tb"))
+      .select(vbOf(col("tb.t"), col("tb.b")).as("vb"),
+        col("tb.t").as("t"), col("tb.b").as("b"), col("nid"), col("nvec"))
+  }
+
+  /** The query-side twin of [[viewBuckets]]: `(qid, vb, t, b)` rows
+    * for every view, to broadcast against the sidecar. */
+  private def queryViewBuckets(queries: DataFrame, m: GraphMeta,
+                               idCol: String, vecCol: String): DataFrame = {
+    val nT = if (m.planes == 0) 1 else m.tables
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"),
+        explode(array((0 until nT).map(t => struct(lit(t).as("t"),
+          bucketOf(view(col("qv"), t), m.planes).as("b"))): _*)).as("tb"))
+      .select(col("qid"), vbOf(col("tb.t"), col("tb.b")).as("vb"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
   }
 
   /** Directory fan-out of the routing sidecar — fixed, so metadata cost
-    * never scales with `planes` (layout doc above). */
+    * never scales with `planes` or `tables` (layout doc above). */
   private val VbGroups = 256L
 
   /** Directory fan-out of the id-keyed stores (vectors, edges). */
@@ -422,54 +467,67 @@ object GraphAnn {
   private val SampleN = 256
 
   /** Bumped whenever the on-disk layout changes shape; readers reject
-    * other versions with a rebuild message. v3: id-sharded vectors +
-    * bucket sidecar (r17); v2 was vb-partitioned vectors (r16), v1
-    * one directory per raw b0. */
-  private val LayoutVersion = 3
+    * other versions with a rebuild message. v4: epoch-manifest state
+    * dirs + all-view routing sidecar (r18); v3 was id-sharded vectors
+    * + single-view sidecar at the top level (r17), v2 vb-partitioned
+    * vectors (r16), v1 one directory per raw b0. */
+  private val LayoutVersion = 4
 
-  private def withVb(df: DataFrame): DataFrame =
-    df.withColumn("vb", pmod(col("b0"), lit(VbGroups)).cast("int"))
+  /** Sidecar directory group of a (view, bucket) pair: a seeded hash
+    * so all views spread uniformly over the fixed fan-out, and
+    * deterministic across sessions (xxhash64's seed is fixed). */
+  private def vbOf(t: Column, b: Column): Column =
+    pmod(xxhash64(t, b), lit(VbGroups)).cast("int")
 
   private def shardOf(id: Column): Column =
     pmod(id, lit(IdShards)).cast("int")
 
-  private def writeEntrySample(nids: DataFrame, path: String): Unit =
+  private def writeEntrySample(nids: DataFrame, root: String): Unit =
     nids.select(col("nid")).orderBy(col("nid").asc).limit(SampleN)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/entrysample")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/entrysample")
 
   private[graft] case class GraphMeta(planes: Int, degree: Int, tables: Int,
                                       maxBucket: Int, samplen: Int)
 
-  /** Meta is immutable for an index's lifetime (append and compact
-    * never rewrite it), so a resident stream ingester — ~17k
-    * micro-batches a day at a 5 s trigger — should not pay a parquet
-    * read per batch. [[buildGraphIndex]] refreshes the entry (a
-    * rebuild may change geometry). Per-JVM: a rebuild by ANOTHER
-    * process is invisible here, which matches the index's
-    * single-writer ownership rule. */
-  private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, GraphMeta]()
+  /** Resolve the current committed epoch root of an index — one FS
+    * listing per call (cheap enough per micro-batch / search batch).
+    * Fails fast with a rebuild message on a pre-epoch (v3 or older)
+    * layout, and with a build message when nothing is there. */
+  private[graft] def indexRoot(spark: SparkSession, path: String): String =
+    graft.plans.EpochStore.resolve(spark, path).getOrElse {
+      if (graft.plans.EpochStore.hasLegacyLayout(spark, path,
+          Seq("meta", "vectors", "edges")))
+        throw new IllegalStateException(
+          s"graph index at $path predates layout v$LayoutVersion (no " +
+            "committed state-NNNNNN epoch); rebuild it with " +
+            "GraphAnn.buildGraphIndex")
+      throw new IllegalStateException(
+        s"no committed graph index at $path; build it with " +
+          "GraphAnn.buildGraphIndex")
+    }
 
-  private def loadMeta(spark: SparkSession, path: String): GraphMeta = {
-    val hit = metaCache.get(path)
-    if (hit != null) return hit
-    val df = spark.read.parquet(s"$path/meta")
-    if (!df.columns.contains("layout"))
-      throw new IllegalStateException(
-        s"graph index at $path predates layout v$LayoutVersion (meta has " +
-          "no layout column); rebuild it with GraphAnn.buildGraphIndex")
-    val r = df.head()
-    val got = r.getAs[Int]("layout")
-    if (got != LayoutVersion)
-      throw new IllegalStateException(
-        s"graph index at $path is layout v$got; this build reads " +
-          s"v$LayoutVersion — rebuild it with GraphAnn.buildGraphIndex")
-    val m = GraphMeta(r.getAs[Int]("planes"), r.getAs[Int]("degree"),
-      r.getAs[Int]("tables"), r.getAs[Int]("max_bucket"),
-      r.getAs[Int]("samplen"))
-    metaCache.put(path, m)
-    m
-  }
+  /** Meta is immutable for an EPOCH's lifetime (appends never rewrite
+    * it; compaction/rebuild write a new epoch), so a resident stream
+    * ingester — ~17k micro-batches a day at a 5 s trigger — should
+    * not pay a parquet read per batch: the memo keys on the epoch
+    * root, which changes exactly when the stored parameters can
+    * (cross-process safe — another process's rebuild bumps the
+    * epoch), and the bounded LRU ages out dead epochs' entries. */
+  private val metaCache = new graft.plans.Memo[GraphMeta](256)
+
+  private def loadMeta(spark: SparkSession, root: String): GraphMeta =
+    metaCache.getOrElseUpdate(root) {
+      val df = spark.read.parquet(s"$root/meta")
+      val r = df.head()
+      val got = r.getAs[Int]("layout")
+      if (got != LayoutVersion)
+        throw new IllegalStateException(
+          s"graph index state at $root is layout v$got; this build reads " +
+            s"v$LayoutVersion — rebuild it with GraphAnn.buildGraphIndex")
+      GraphMeta(r.getAs[Int]("planes"), r.getAs[Int]("degree"),
+        r.getAs[Int]("tables"), r.getAs[Int]("max_bucket"),
+        r.getAs[Int]("samplen"))
+    }
 
   /** One driver-sized aggregate over a materialized id frame: the
     * distinct shard directories its ids hash to plus the global id
@@ -479,9 +537,13 @@ object GraphAnn {
   private def idEnvelope(ids: DataFrame, c: String): Option[(Seq[Any], Long, Long)] = {
     val rows = ids.groupBy(shardOf(col(c)).as("s"))
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi")).collect()
+    // getAs[Number]: an index built over IntegerType ids stores int
+    // min/max here (r17 advice — getAs[Long] threw ClassCastException
+    // on a corpus shape the pmod sharding itself handles fine)
     if (rows.isEmpty) None
     else Some((rows.map(_.getAs[Any]("s")).toSeq,
-      rows.map(_.getAs[Long]("lo")).min, rows.map(_.getAs[Long]("hi")).max))
+      rows.map(_.getAs[Number]("lo").longValue).min,
+      rows.map(_.getAs[Number]("hi").longValue).max))
   }
 
   /** Prune a shard-partitioned store scan to an id envelope: `shard IN`
@@ -510,7 +572,7 @@ object GraphAnn {
     * dedupe shuffle carries only the fetched rows, never the corpus —
     * the r16 verdict's MEDIUM was exactly this aggregate running over
     * ALL rows per search batch. */
-  private[graft] def fetchVectors(spark: SparkSession, path: String,
+  private[graft] def fetchVectors(spark: SparkSession, root: String,
                                   ids: DataFrame): DataFrame = {
     val idsM = ids.select(col(ids.columns.head).as("nid"))
       .dropDuplicates("nid").localCheckpoint(true)
@@ -519,29 +581,39 @@ object GraphAnn {
         spark.range(0).select(col("id").as("nid"),
           array().cast("array<float>").as("nvec"))
       case Some(env) =>
-        prunedScan(spark.read.parquet(s"$path/vectors"), "nid", env)
+        prunedScan(spark.read.parquet(s"$root/vectors"), "nid", env)
           .join(idsM, Seq("nid"), "left_semi")
           .groupBy(col("nid")).agg(min(col("nvec")).as("nvec"))
     }
   }
 
-  /** The entry-routing leg alone — broadcast `(vb, b0)` join of the
-    * query batch against the slim bucket sidecar. Exposed for plan
-    * tests: the sidecar scan must carry dynamic partition pruning on
-    * `vb`, the layout's whole point. */
+  /** The entry-routing leg alone — broadcast `(vb, t, b)` join of the
+    * query batch's ALL-view buckets against the slim sidecar, mates
+    * unioned across views (deduped) and capped per query at the meta
+    * `max_bucket` lowest nids. Exposed for plan tests: the sidecar
+    * scan must carry dynamic partition pruning on `vb`, the layout's
+    * whole point. Geometry (planes, tables, cap) comes from the
+    * index's own meta so routing can never disagree with the build. */
   private[graft] def routingCandidates(spark: SparkSession, path: String,
-                                       queries: DataFrame, planes: Int,
-                                       maxBucket: Int = 512,
+                                       queries: DataFrame,
                                        idCol: String = "vec_id",
                                        vecCol: String = "embedding"): DataFrame = {
-    val qb = broadcast(withVb(queries.select(col(idCol).as("qid"),
-      bucketOf(col(vecCol), planes).as("b0"))))
+    val root = indexRoot(spark, path)
+    routingCandidatesAt(spark, root, loadMeta(spark, root), queries,
+      idCol, vecCol)
+  }
+
+  private def routingCandidatesAt(spark: SparkSession, root: String,
+                                  m: GraphMeta, queries: DataFrame,
+                                  idCol: String, vecCol: String): DataFrame = {
+    val qb = broadcast(queryViewBuckets(queries, m, idCol, vecCol))
     capEntriesPerQuery(
-      spark.read.parquet(s"$path/buckets")
-        .join(qb, Seq("vb", "b0"))
+      spark.read.parquet(s"$root/buckets")
+        .join(qb, Seq("vb", "t", "b"))
         .where(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid")),
-      maxBucket)
+        .select(col("qid"), col("nid"))
+        .dropDuplicates("qid", "nid"), // a mate may share several views
+      m.maxBucket)
   }
 
   /** Incremental insert — the HNSW-insert analog, LSM-style: new nodes
@@ -551,8 +623,9 @@ object GraphAnn {
     * effective degree drifts up by at most `degree` per append until
     * [[compactGraphIndex]] re-trims — breadth cost during search,
     * never a correctness one. Per-batch reads: the batch, the meta
-    * row, and the bucket store's touched `(vb, b0)` groups — vectors
-    * included, so no id-keyed store scan happens per micro-batch.
+    * row, and the bucket store's touched `(vb, t, b)` groups across
+    * all hash-table views — vectors included, so no id-keyed store
+    * scan happens per micro-batch.
     *
     * Both candidate legs carry [[knnGraph]]'s deterministic skew cap
     * (r16 verdict): existing mates AND the within-batch join side are
@@ -581,32 +654,39 @@ object GraphAnn {
   def appendToGraphIndex(spark: SparkSession, path: String,
                          batch: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit = {
-    val m = loadMeta(spark, path)
-    // materialized once: the batch frame feeds five plans below
-    val bv = withVb(batch.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-        bucketOf(col(vecCol), m.planes).as("b0")))
+    val root = indexRoot(spark, path)
+    val m = loadMeta(spark, root)
+    // materialized once: the batch's per-view bucket frame feeds the
+    // mate lookup, both candidate legs and all three store writes
+    val bv = viewBuckets(
+        batch.select(col(idCol).as("nid"), col(vecCol).as("nvec")), m)
       .localCheckpoint(true)
+    // the knnGraph skew discipline, per (view, bucket)
     val capPerBucket = (df: DataFrame) => df.withColumn("_rn",
         row_number().over(
-          Window.partitionBy(col("b0")).orderBy(col("nid").asc)))
+          Window.partitionBy(col("t"), col("b")).orderBy(col("nid").asc)))
       .where(col("_rn") <= m.maxBucket).drop("_rn")
     // existing mates: DPP-pruned bucket-store read — vectors ride the
     // sidecar (layout doc), so the per-batch read is the touched
-    // bucket groups, never an id-keyed store scan. The min(nvec)
-    // aggregate folds replayed sidecar rows (and resolves a
+    // (view, bucket) groups, never an id-keyed store scan. The
+    // min(nvec) aggregate folds replayed sidecar rows (and resolves a
     // contract-violating id reuse deterministically per bucket); the
     // cap then bounds the mate set at maxBucket lowest ids per bucket
     val mates = capPerBucket(
-      spark.read.parquet(s"$path/buckets")
-        .join(broadcast(bv.select(col("vb"), col("b0")).distinct()),
-          Seq("vb", "b0"))
-        .groupBy(col("b0"), col("nid")).agg(min(col("nvec")).as("nvec")))
-    val newToOld = bv.as("b").join(mates.as("m"), Seq("b0"))
+      spark.read.parquet(s"$root/buckets")
+        .join(broadcast(bv.select(col("vb"), col("t"), col("b")).distinct()),
+          Seq("vb", "t", "b"))
+        .groupBy(col("t"), col("b"), col("nid")).agg(min(col("nvec")).as("nvec")))
+    val newToOld = bv.as("b").join(mates.as("m"), Seq("t", "b"))
       .where(col("b.nid") =!= col("m.nid")) // replay: the batch is its own mate
       .select(col("b.nid").as("src"), col("m.nid").as("dst"),
         cos(col("b.nvec"), col("m.nvec")).as("sim"))
+      // a pair may meet in several views with the same deterministic
+      // sim; fold before trims and before the back-edge leg
+      .dropDuplicates("src", "dst")
     val newToNew = bv.as("x").join(capPerBucket(bv).as("y"),
-        col("x.b0") === col("y.b0") && col("x.nid") =!= col("y.nid"))
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.nid") =!= col("y.nid"))
       .select(col("x.nid").as("src"), col("y.nid").as("dst"),
         cos(col("x.nvec"), col("y.nvec")).as("sim"))
     // dedupe before the trim: on replay the same batch↔batch pair
@@ -620,14 +700,14 @@ object GraphAnn {
     fwd.unionByName(back)
       .withColumn("shard", shardOf(col("src")))
       .sortWithinPartitions(col("shard"), col("src"))
-      .write.mode("append").partitionBy("shard").parquet(s"$path/edges")
-    bv.select(col("nid"), col("nvec"), col("b0"))
+      .write.mode("append").partitionBy("shard").parquet(s"$root/edges")
+    bv.where(col("t") === 0).select(col("nid"), col("nvec"))
       .withColumn("shard", shardOf(col("nid")))
       .sortWithinPartitions(col("shard"), col("nid"))
-      .write.mode("append").partitionBy("shard").parquet(s"$path/vectors")
-    bv.select(col("vb"), col("b0"), col("nid"), col("nvec"))
-      .sortWithinPartitions(col("vb"), col("b0"), col("nid"))
-      .write.mode("append").partitionBy("vb").parquet(s"$path/buckets")
+      .write.mode("append").partitionBy("shard").parquet(s"$root/vectors")
+    bv.select(col("vb"), col("t"), col("b"), col("nid"), col("nvec"))
+      .sortWithinPartitions(col("vb"), col("b"), col("nid"))
+      .write.mode("append").partitionBy("vb").parquet(s"$root/buckets")
   }
 
   /** Search a persisted graph index. Every leg is frontier-bounded
@@ -664,18 +744,22 @@ object GraphAnn {
                        hops: Int = 2, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && beam >= k && hops >= 0)
-    val m = loadMeta(spark, path)
+    // the epoch root is resolved ONCE per search batch: every store
+    // read below sees one consistent committed state even if the
+    // writer commits a compaction epoch mid-search (the old epoch
+    // outlives one full compaction cycle — EpochStore's grace rule)
+    val root = indexRoot(spark, path)
+    val m = loadMeta(spark, root)
     val entries = entryFallback(
-        routingCandidates(spark, path, queries, m.planes, m.maxBucket,
-          idCol, vecCol),
+        routingCandidatesAt(spark, root, m, queries, idCol, vecCol),
         queries.select(col(idCol).as("qid")),
-        spark.read.parquet(s"$path/entrysample"), beam)
+        spark.read.parquet(s"$root/entrysample"), beam)
       .dropDuplicates("qid", "nid")
       .localCheckpoint(true)
-    val (reach, hopEdges) = reachClosure(spark, path, entries, hops)
+    val (reach, hopEdges) = reachClosure(spark, root, entries, hops)
     // the last pass's edges have src ∈ the full pre-final closure —
     // a superset of every frontier any walk hop expands
-    val corpus = fetchVectors(spark, path, reach)
+    val corpus = fetchVectors(spark, root, reach)
       .select(col("nid").as(idCol), col("nvec").as(vecCol))
       .localCheckpoint(true)
     beamSearch(queries, corpus, hopEdges, Some(entries), k, beam, hops,
@@ -689,7 +773,7 @@ object GraphAnn {
     * walk of `hops` hops from `entries` can touch, and the final
     * pass's edge rows (src ∈ the pre-final closure — a superset of
     * every frontier the beam walk expands). */
-  private[graft] def reachClosure(spark: SparkSession, path: String,
+  private[graft] def reachClosure(spark: SparkSession, root: String,
                                   entries: DataFrame,
                                   hops: Int): (DataFrame, DataFrame) = {
     var reach = entries.select(col("nid")).dropDuplicates("nid")
@@ -698,7 +782,7 @@ object GraphAnn {
       hopEdges = idEnvelope(reach, "nid") match {
         case None => emptyEdges(spark)
         case Some(env) =>
-          prunedScan(spark.read.parquet(s"$path/edges"), "src", env)
+          prunedScan(spark.read.parquet(s"$root/edges"), "src", env)
             .select(col("src"), col("dst"))
             .join(reach.withColumnRenamed("nid", "src"), Seq("src"), "left_semi")
             .localCheckpoint(true)
@@ -721,29 +805,37 @@ object GraphAnn {
     * re-trims each source to `degree` under the `(sim desc, dst asc)`
     * order, dedupes vector rows to the one survivor per id that
     * [[fetchVectors]] already resolves at read time (so compaction can
-    * never change what search sees), rebuilds the routing sidecar from
-    * the surviving vectors, and refreshes the entry sample. Every
-    * frame is materialized via eager local checkpoint BEFORE the
-    * overwrite touches its source directories — the
-    * [[graft.streaming.Ledger]] writeCompacted rule. Ownership: run
-    * offline or from the index's single writer ([[buildGraphIndex]] /
-    * the StreamVectorIngest foreachBatch) — the directory overwrite is
-    * job-commit atomic, not concurrent-reader safe. */
+    * never change what search sees), rebuilds the all-view routing
+    * sidecar from the surviving vectors, and refreshes the entry
+    * sample — all into a NEW epoch directory whose commit marker
+    * lands only after every store file ([[graft.plans.EpochStore]]).
+    * A crash at ANY point leaves the old epoch fully intact (the
+    * r17-advice fix: the in-place overwrite deleted the live store
+    * before job commit), and a reader that resolved the old epoch
+    * just before the swap keeps a complete state for one more
+    * compaction cycle. Ownership: run offline or from the index's
+    * single writer ([[buildGraphIndex]] / the StreamVectorIngest
+    * foreachBatch). */
   def compactGraphIndex(spark: SparkSession, path: String): Unit = {
-    val m = loadMeta(spark, path)
-    val vecs = spark.read.parquet(s"$path/vectors")
+    import spark.implicits._
+    val root = indexRoot(spark, path)
+    val m = loadMeta(spark, root)
+    // eager checkpoints: vecs feeds three writes below, edges one —
+    // and both must be fully derived from the OLD epoch before any
+    // new files land (cheap insurance; atomicity itself now comes
+    // from the epoch swap, not from materialization order)
+    val vecs = spark.read.parquet(s"$root/vectors")
       .groupBy(col("nid")).agg(min(col("nvec")).as("nvec"))
-      .select(col("nid"), col("nvec"), bucketOf(col("nvec"), m.planes).as("b0"))
       .withColumn("shard", shardOf(col("nid")))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("nid"))
       .localCheckpoint(true)
-    val bkt = withVb(vecs.select(col("b0"), col("nid"), col("nvec")))
+    val bkt = viewBuckets(vecs.select(col("nid"), col("nvec")), m)
       .repartition(col("vb"))
-      .sortWithinPartitions(col("vb"), col("b0"), col("nid"))
+      .sortWithinPartitions(col("vb"), col("b"), col("nid"))
       .localCheckpoint(true)
     val edges = trimEdges(
-        spark.read.parquet(s"$path/edges")
+        spark.read.parquet(s"$root/edges")
           .select(col("src"), col("dst"), col("sim"))
           .where(col("src") =!= col("dst"))
           .groupBy(col("src"), col("dst")).agg(min(col("sim")).as("sim")),
@@ -752,9 +844,15 @@ object GraphAnn {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("src"))
       .localCheckpoint(true)
-    edges.write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
-    vecs.write.mode("overwrite").partitionBy("shard").parquet(s"$path/vectors")
-    bkt.write.mode("overwrite").partitionBy("vb").parquet(s"$path/buckets")
-    writeEntrySample(vecs.select(col("nid")), path)
+    val (epoch, newRoot) = graft.plans.EpochStore.begin(spark, path)
+    Seq((m.planes, m.degree, m.tables, m.maxBucket, m.samplen, LayoutVersion))
+      .toDF("planes", "degree", "tables", "max_bucket", "samplen", "layout")
+      .coalesce(1).write.mode("overwrite").parquet(s"$newRoot/meta")
+    edges.write.mode("overwrite").partitionBy("shard").parquet(s"$newRoot/edges")
+    vecs.write.mode("overwrite").partitionBy("shard").parquet(s"$newRoot/vectors")
+    bkt.write.mode("overwrite").partitionBy("vb").parquet(s"$newRoot/buckets")
+    writeEntrySample(vecs.select(col("nid")), newRoot)
+    graft.plans.EpochStore.commit(spark, path, epoch)
+    metaCache.put(newRoot, m)
   }
 }

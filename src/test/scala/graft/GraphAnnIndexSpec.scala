@@ -9,6 +9,9 @@ class GraphAnnIndexSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Current committed epoch root — stores live under it in layout v4. */
+  private def root(path: String): String = GraphAnn.indexRoot(spark, path)
+
   test("persisted graph index: routed search finds the planted source top-1") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val path = Files.createTempDirectory("graft-gann").toString
@@ -29,7 +32,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
     // bucket sidecar -> its scan must carry a dynamic pruning filter
     // (the search result itself is checkpoint-materialized stagewise,
     // so the routing leg's plan is asserted directly)
-    val plan = GraphAnn.routingCandidates(spark, path, probes, planes = 5)
+    val plan = GraphAnn.routingCandidates(spark, path, probes)
       .queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected dynamic partition pruning on vb:\n${plan.take(3000)}")
@@ -41,7 +44,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
     GraphAnn.buildGraphIndex(emb, path, degree = 4, planes = 5,
       refineRounds = 0)
     def dirFiles(sub: String, prefix: String): Map[String, Int] =
-      new java.io.File(s"$path/$sub").listFiles()
+      new java.io.File(s"${root(path)}/$sub").listFiles()
         .filter(_.getName.startsWith(prefix)).map(f =>
           f.getName -> f.listFiles().length).toMap
     val vecBefore = dirFiles("vectors", "shard=")
@@ -51,7 +54,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
       (col("vec_id") + 1000L).as("vec_id"), col("embedding"))
     GraphAnn.appendToGraphIndex(spark, path, batch)
     // vectors are id-sharded: ids 1000..1002 hash to shards 40..42;
-    // the routing sidecar is bucket-grouped: <=3 distinct b0 groups
+    // the routing sidecar is bucket-grouped: <=6 distinct (t, b) groups
     val vecTouched = dirFiles("vectors", "shard=").filter { case (d, n) =>
       vecBefore.getOrElse(d, 0) < n }
     assert(vecTouched.nonEmpty && vecTouched.size <= 3 &&
@@ -62,8 +65,8 @@ class GraphAnnIndexSpec extends SparkTestBase {
       "untouched vector shards must keep their file count")
     val bktTouched = dirFiles("buckets", "vb=").filter { case (d, n) =>
       bktBefore.getOrElse(d, 0) < n }
-    assert(bktTouched.nonEmpty && bktTouched.size <= 3,
-      s"appends must touch only the batch's bucket groups: $bktTouched")
+    assert(bktTouched.nonEmpty && bktTouched.size <= 6,
+      s"appends must touch only the batch's bucket groups (3 ids x 2 views): $bktTouched")
     // routed search for a 2x probe of an APPENDED twin must return it:
     // probe 4*v shares b0 with twin 2*v and source v; cos ties at 1.0
     // resolve to the SOURCE (lower id) — so assert the twin is in the
@@ -86,9 +89,9 @@ class GraphAnnIndexSpec extends SparkTestBase {
     // the back-edge leg wrote and the walk crosses it
     val entries = probes.select(col("vec_id").as("qid"),
       (col("vec_id") - 2000L).as("nid"))
-    val corpus = spark.read.parquet(s"$path/vectors")
+    val corpus = spark.read.parquet(s"${root(path)}/vectors")
       .select(col("nid").as("vec_id"), col("nvec").as("embedding"))
-    val edges = spark.read.parquet(s"$path/edges")
+    val edges = spark.read.parquet(s"${root(path)}/edges")
     val viaHop = GraphAnn.beamSearch(probes, corpus, edges, Some(entries),
         k = 2, beam = 8, hops = 1)
       .where(col("rank") === 2)
@@ -105,7 +108,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     val path = Files.createTempDirectory("graft-gann").toString
     GraphAnn.buildGraphIndex(d, path, degree = 2, planes = 4, refineRounds = 0)
-    assert(new java.io.File(s"$path/entrysample").exists,
+    assert(new java.io.File(s"${root(path)}/entrysample").exists,
       "build must persist the routing-fallback sample")
     val probe = Seq((100L, Array(-1f, 0f))).toDF("vec_id", "embedding")
     val got = GraphAnn.searchGraphIndex(spark, path, probe, k = 3,
@@ -152,7 +155,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
       .select("qid", "nid", "rank", "sim")
       .as[(Long, Long, Int, Double)].collect().toSet
     def edgeFiles() = {
-      val fs = new java.io.File(s"$path/edges")
+      val fs = new java.io.File(s"${root(path)}/edges")
       fs.listFiles().filter(_.isDirectory)
         .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
     }
@@ -162,10 +165,10 @@ class GraphAnnIndexSpec extends SparkTestBase {
     assert(results() == before,
       "compaction must not change what search sees")
     // folded duplicates + re-trim: per-src degree bound restored
-    val perSrc = spark.read.parquet(s"$path/edges")
+    val perSrc = spark.read.parquet(s"${root(path)}/edges")
       .groupBy("src").count().agg(max("count")).as[Long].head()
     assert(perSrc <= 4, s"max effective degree after compact: $perSrc")
-    val perNid = spark.read.parquet(s"$path/vectors")
+    val perNid = spark.read.parquet(s"${root(path)}/vectors")
       .groupBy("nid").count().agg(max("count")).as[Long].head()
     assert(perNid == 1, s"vector rows must dedupe to one per id: $perNid")
     assert(edgeFiles() <= filesBefore,
@@ -197,7 +200,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     GraphAnn.appendToGraphIndex(spark, path, batch)
     GraphAnn.appendToGraphIndex(spark, path, batch) // crash replay
-    val edges = spark.read.parquet(s"$path/edges")
+    val edges = spark.read.parquet(s"${root(path)}/edges")
     assert(edges.where(col("src") === col("dst")).count() == 0,
       "replayed appends must not write self-loop edges")
     // pair volume pinned: each append scores <= |batch| * 2*maxBucket
@@ -233,8 +236,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
     GraphAnn.buildGraphIndex(d, path, degree = 2, planes = 4,
       maxBucket = 16, refineRounds = 0)
     val probe = Seq((9999L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
-    val routed = GraphAnn.routingCandidates(spark, path, probe,
-        planes = 4, maxBucket = 16)
+    val routed = GraphAnn.routingCandidates(spark, path, probe)
       .select("nid").as[Long].collect()
     assert(routed.length == 16 && routed.toSet == (0L until 16L).toSet,
       s"routing must keep exactly the maxBucket lowest nids: " +
@@ -242,7 +244,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
     // closure bound: <= |entries| * (degree+1)^hops, corpus-independent
     val entries = probe.select(lit(9999L).as("qid"))
       .crossJoin(routed.toSeq.toDF("nid"))
-    val (reach, _) = GraphAnn.reachClosure(spark, path, entries, hops = 2)
+    val (reach, _) = GraphAnn.reachClosure(spark, root(path), entries, hops = 2)
     val closure = reach.count()
     assert(closure <= 16L * 9L && closure < 300L,
       s"hot-bucket closure must stay entry-bounded: $closure")
@@ -253,7 +255,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
       .select("nid").as[Long].collect().toSet
     assert(got == Set(0L, 1L, 2L), s"capped hot-bucket search: $got")
     // in-memory twin: beamSearch's own routing under the same cap
-    val edges = spark.read.parquet(s"$path/edges").select("src", "dst", "sim")
+    val edges = spark.read.parquet(s"${root(path)}/edges").select("src", "dst", "sim")
     val inMem = GraphAnn.beamSearch(probe, d, edges, k = 3, beam = 8,
         hops = 2, planes = 4, maxBucket = 16)
       .select("nid").as[Long].collect().toSet
@@ -282,14 +284,14 @@ class GraphAnnIndexSpec extends SparkTestBase {
       .select("qid", "nid", "rank", "sim")
       .as[(Long, Long, Int, Double)].collect().toSet
     // reference: the identical walk over the FULL persisted store
-    val corpus = spark.read.parquet(s"$path/vectors")
+    val corpus = spark.read.parquet(s"${root(path)}/vectors")
       .groupBy("nid").agg(min("nvec").as("nvec"))
       .select(col("nid").as("vec_id"), col("nvec").as("embedding"))
-    val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
-    val routed = GraphAnn.routingCandidates(spark, path, probes, planes = 6)
+    val edges = spark.read.parquet(s"${root(path)}/edges").select("src", "dst")
+    val routed = GraphAnn.routingCandidates(spark, path, probes)
     val lonely = probes.select(col("vec_id").as("qid"))
       .join(routed.select("qid"), Seq("qid"), "left_anti")
-    val seeds = spark.read.parquet(s"$path/entrysample")
+    val seeds = spark.read.parquet(s"${root(path)}/entrysample")
       .orderBy(col("nid").asc).limit(12)
     val entries = routed.unionByName(
       lonely.crossJoin(seeds).where(col("qid") =!= col("nid"))
@@ -315,7 +317,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
     GraphAnn.appendToGraphIndex(spark, path,
       Seq((1L, Array(1f, 0.1f))).toDF("vec_id", "embedding"))
     val ids = Seq(1L, 130L, 999L).toDF("nid") // 999 absent from the store
-    val got = GraphAnn.fetchVectors(spark, path, ids)
+    val got = GraphAnn.fetchVectors(spark, root(path), ids)
       .as[(Long, Array[Float])].collect().toMap
     assert(got.keySet == Set(1L, 130L),
       s"fetch must return exactly the present requested ids: ${got.keySet}")
@@ -323,7 +325,7 @@ class GraphAnnIndexSpec extends SparkTestBase {
       s"id reuse must resolve to the lexicographic-min vector: ${got(1L).toSeq}")
     assert(got(130L).toSeq == Seq(0.1f, 0.9f))
     // empty id frame: no driver collect surprises, right schema
-    val empty = GraphAnn.fetchVectors(spark, path,
+    val empty = GraphAnn.fetchVectors(spark, root(path),
       ids.where(org.apache.spark.sql.functions.lit(false)))
     assert(empty.isEmpty && empty.columns.toSeq == Seq("nid", "nvec"))
   }
@@ -353,5 +355,87 @@ class GraphAnnIndexSpec extends SparkTestBase {
         beam = 4, hops = 0)
       .select("qid", "nid").as[(Long, Long)].collect().toMap
     assert(top1 == Map(1000L -> 0L, 1001L -> 1L), s"meta planes ignored: $top1")
+  }
+
+  test("epoch store: readers ignore an uncommitted (crashed) epoch; compaction keeps the predecessor") {
+    val d = (0L until 20L).map(i => (i, Array((i + 1).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft-gann").toString
+    GraphAnn.buildGraphIndex(d, path, degree = 2, planes = 4, refineRounds = 0)
+    val r0 = root(path)
+    assert(r0.endsWith("state-000000"), s"first build must commit epoch 0: $r0")
+    val probe = Seq((100L, Array(5f, 1f))).toDF("vec_id", "embedding")
+    def results() = GraphAnn.searchGraphIndex(spark, path, probe, k = 3,
+        beam = 8, hops = 1)
+      .select("nid", "rank").as[(Long, Int)].collect().toSet
+    val before = results()
+    // crash simulation: a compaction died mid-write — a state dir with
+    // partial junk and NO commit marker. Readers must not see it.
+    val crashed = new java.io.File(s"$path/state-000001/edges")
+    assert(crashed.mkdirs())
+    assert(root(path) == r0, "an uncommitted epoch must be invisible")
+    assert(results() == before,
+      "search through a crash-debris epoch must be unchanged")
+    // the next writer cycle clears the debris and commits epoch 2
+    GraphAnn.compactGraphIndex(spark, path)
+    val r2 = root(path)
+    assert(r2.endsWith("state-000002"),
+      s"compaction must skip past the debris epoch number: $r2")
+    assert(!new java.io.File(s"$path/state-000001").exists,
+      "begin() must delete the single writer's crash debris")
+    assert(new java.io.File(s"$path/state-000000/_COMMITTED").exists,
+      "the immediate predecessor epoch must survive for reader grace")
+    assert(results() == before, "compaction must not change search results")
+    // a second compaction prunes epoch 0 (two-epoch retention)
+    GraphAnn.compactGraphIndex(spark, path)
+    assert(root(path).endsWith("state-000003"))
+    assert(!new java.io.File(s"$path/state-000000").exists,
+      "epochs older than the predecessor must be pruned")
+    assert(results() == before)
+  }
+
+  test("layout v4: IntegerType ids build, append and search (r17 advice)") {
+    // pre-fix idEnvelope read shard min/max with getAs[Long] and threw
+    // ClassCastException the moment the store held int ids
+    val d = (0 until 30).map(i => (i, Array((i + 1).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+    val path = Files.createTempDirectory("graft-gann").toString
+    GraphAnn.buildGraphIndex(d, path, degree = 2, planes = 4, refineRounds = 0)
+    GraphAnn.appendToGraphIndex(spark, path,
+      Seq((1000, Array(31f, 1f))).toDF("vec_id", "embedding")
+        .select(col("vec_id").cast("int").as("vec_id"), col("embedding")))
+    val probe = Seq((5000, Array(40f, 1f))).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+    val got = GraphAnn.searchGraphIndex(spark, path, probe, k = 1,
+        beam = 8, hops = 1)
+      .select("nid").collect().map(_.getAs[Number]("nid").longValue).toSeq
+    assert(got == Seq(1000L),
+      s"int-id index must search end to end (append included): $got")
+  }
+
+  test("rebuild with new geometry is a new epoch: stale cached meta can never route a search") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("graft-gann").toString
+    GraphAnn.buildGraphIndex(emb, path, degree = 4, planes = 5,
+      refineRounds = 0)
+    val r0 = root(path)
+    GraphAnn.searchGraphIndex(spark, path,
+      emb.where(col("vec_id") < 1).select((col("vec_id") + 1000L).as("vec_id"),
+        col("embedding")), k = 1, beam = 4, hops = 0).collect()
+    // rebuild with DIFFERENT geometry (planes=9): a reader holding the
+    // old meta by path would hash probes into the wrong buckets; the
+    // epoch-keyed memo makes that structurally impossible
+    GraphAnn.buildGraphIndex(emb, path, degree = 4, planes = 9,
+      refineRounds = 0)
+    assert(root(path) != r0, "a rebuild must commit a NEW epoch")
+    val probes = emb.where(col("vec_id") < 2).select(
+      (col("vec_id") + 1000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val top1 = GraphAnn.searchGraphIndex(spark, path, probes, k = 1,
+        beam = 4, hops = 0)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(top1 == Map(1000L -> 0L, 1001L -> 1L),
+      s"post-rebuild search must use the new epoch's geometry: $top1")
   }
 }

@@ -116,7 +116,7 @@ class StreamVectorIngestSpec extends SparkTestBase {
       StreamVectorIngest.search(spark, path, probes, k = 2, hops = 1)
         .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
     def edgeFiles(path: String): Int = {
-      val fs = new java.io.File(s"$path/edges")
+      val fs = new java.io.File(s"${GraphAnn.indexRoot(spark, path)}/edges")
       fs.listFiles().filter(_.isDirectory)
         .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
     }
@@ -153,7 +153,8 @@ class StreamVectorIngestSpec extends SparkTestBase {
     assert(postCompactFiles.forall(_ <= 64),
       s"post-compact edge files must stay shard-bounded: $postCompactFiles")
     // degree bound restored by the in-stream compaction
-    val perSrc = spark.read.parquet(s"$root/stream/edges")
+    val perSrc = spark.read.parquet(
+        s"${GraphAnn.indexRoot(spark, s"$root/stream")}/edges")
       .groupBy("src").count().agg(max("count")).as[Long].head()
     assert(perSrc <= 2 * 4, s"degree drift unbounded under cadence: $perSrc")
     // and the planted-twin certificate resolves on the live index
@@ -165,9 +166,10 @@ class StreamVectorIngestSpec extends SparkTestBase {
     val root = Files.createTempDirectory("svi3").toString
     GraphAnn.buildGraphIndex(vdf(base), s"$root/ix", degree = 4,
       planes = 4, refineRounds = 0)
-    val filesBefore = new java.io.File(s"$root/ix/vectors").listFiles().length
+    def vecFiles(): Int = new java.io.File(
+      s"${GraphAnn.indexRoot(spark, s"$root/ix")}/vectors").listFiles().length
+    val filesBefore = vecFiles()
     StreamVectorIngest.ingestBatch(vdf(base).where(lit(false)), s"$root/ix")
-    assert(new java.io.File(s"$root/ix/vectors").listFiles().length ==
-      filesBefore, "empty batch must not touch the index")
+    assert(vecFiles() == filesBefore, "empty batch must not touch the index")
   }
 }
