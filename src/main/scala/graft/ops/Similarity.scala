@@ -407,11 +407,14 @@ object Similarity {
 
   /** Persisted IVF index — the production workflow: assignment is a full
     * corpus scan, so it is computed ONCE at build time and saved; query
-    * batches then read only the probed inverted lists. On disk:
-    * `<path>/centroids` (list_id, centroid) and `<path>/lists` — the
-    * corpus with its list_id, PARTITIONED BY list_id so a search with
-    * nprobe lists triggers partition pruning and touches nprobe/nlist of
-    * the files (the on-disk analog of FAISS's inverted lists). */
+    * batches then read only the probed inverted lists. On disk (epoch
+    * layout, [[graft.plans.EpochStore]] — build/rebuild/compaction each
+    * write a complete `<path>/state-NNNNNN/` and flip the commit marker
+    * last, so a crash can never damage the live index): `centroids`
+    * (list_id, centroid) and `lists` — the corpus with its list_id,
+    * PARTITIONED BY list_id so a search with nprobe lists triggers
+    * partition pruning and touches nprobe/nlist of the files (the
+    * on-disk analog of FAISS's inverted lists). */
   def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     seed: Long = 42L): Unit = {
@@ -419,34 +422,57 @@ object Similarity {
     val cents = centroids.map(_.toSeq).toSeq
     val spark = corpus.sparkSession
     import spark.implicits._
+    val (epoch, root) = graft.plans.EpochStore.begin(spark, path)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    centroidCache.put(path, cents) // a rebuild may retrain the quantizer
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
     corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .withColumn("list_id", Exprs.nearestCentroids(col("nvec"), cents, 1).getItem(0))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$root/lists")
+    graft.plans.EpochStore.commit(spark, path, epoch)
+    centroidCache.put(root, cents)
   }
+
+  /** Current committed epoch root of a persisted IVF / IVF-PQ index —
+    * one FS listing per call; fails fast with a rebuild message on a
+    * pre-epoch (r17 or older) layout. Sidecar caches key on this
+    * root, so a rebuild by another process (new quantizer, new epoch)
+    * can never serve stale cached parameters — the same
+    * cross-process-invalidation rule as the graph index. */
+  private[graft] def ivfRoot(spark: org.apache.spark.sql.SparkSession,
+                             path: String): String =
+    graft.plans.EpochStore.resolve(spark, path).getOrElse {
+      if (graft.plans.EpochStore.hasLegacyLayout(spark, path,
+          Seq("lists", "centroids")))
+        throw new IllegalStateException(
+          s"IVF index at $path predates the epoch layout (no committed " +
+            "state-NNNNNN directory); rebuild it with " +
+            "Similarity.buildIvfIndex / buildIvfPqIndex")
+      throw new IllegalStateException(
+        s"no committed IVF index at $path; build it with " +
+          "Similarity.buildIvfIndex / buildIvfPqIndex")
+    }
 
   /** Centroids of a persisted IVF index, ordered so array index ==
     * list_id — the invariant BOTH search (probe-list selection) and
     * append (partition assignment) depend on; one loader on purpose so
     * the two sides can never disagree. nlist is small: driver-safe. */
-  /** Per-JVM memo: the quantizer is frozen for an index's lifetime
-    * (append/compact never retrain), so a resident stream ingester or
-    * a search loop should not pay a parquet read per batch; the build
-    * functions refresh the entry. A rebuild by another process is
-    * invisible here — the index's single-writer ownership rule. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  /** Per-JVM memo: the quantizer is frozen for an EPOCH's lifetime
+    * (append never retrains; compact/rebuild write a new epoch), so a
+    * resident stream ingester or a search loop should not pay a
+    * parquet read per batch. Keyed by the resolved epoch root —
+    * cross-process safe (another process's rebuild bumps the epoch) —
+    * and bounded so dead epochs' entries age out (r17 advice). */
+  private val centroidCache = new graft.plans.Memo[Seq[Seq[Double]]](256)
 
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Seq[Seq[Double]] =
-    centroidCache.computeIfAbsent(path, _ =>
-      spark.read.parquet(s"$path/centroids")
+                            root: String): Seq[Seq[Double]] =
+    centroidCache.getOrElseUpdate(root) {
+      spark.read.parquet(s"$root/centroids")
         .orderBy("list_id").select("centroid").collect()
-        .map(_.getSeq[Double](0).toSeq).toSeq)
+        .map(_.getSeq[Double](0).toSeq).toSeq
+    }
 
   /** Incremental IVF maintenance: assign NEW vectors to their nearest
     * existing centroid and APPEND to the persisted lists — only the
@@ -459,10 +485,11 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        batch: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
-    val cents = loadCentroids(spark, path)
+    val root = ivfRoot(spark, path)
+    val cents = loadCentroids(spark, root)
     batch.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .withColumn("list_id", Exprs.nearestCentroids(col("nvec"), cents, 1).getItem(0))
-      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+      .write.mode("append").partitionBy("list_id").parquet(s"$root/lists")
   }
 
   /** Search a persisted IVF index. Probe-list filtering happens via an
@@ -471,8 +498,11 @@ object Similarity {
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int = 5, nprobe: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = loadCentroids(spark, path)
-    val lists = spark.read.parquet(s"$path/lists")
+    // one root per search batch: centroids and lists always come from
+    // the same committed epoch even if a compaction commits mid-search
+    val root = ivfRoot(spark, path)
+    val cents = loadCentroids(spark, root)
+    val lists = spark.read.parquet(s"$root/lists")
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("list_id", explode(Exprs.nearestCentroids(col("qvec"), cents, nprobe))))
     val scored = lists.join(q, Seq("list_id"))
@@ -505,11 +535,15 @@ object Similarity {
     * lexicographically-min payload — deterministic on any
     * partitioning; ids reused across DIFFERENT probed lists keep one
     * row per list, and [[searchIvfIndex]]'s per-(qid, nid) `min(sim)`
-    * guard resolves them at read time exactly as before. Eager local
-    * checkpoint BEFORE the overwrite (the Ledger writeCompacted
-    * rule); run offline or from the index's single writer — the
-    * directory overwrite is job-commit atomic, not concurrent-reader
-    * safe. */
+    * guard resolves them at read time exactly as before. The folded
+    * lists (plus a verbatim copy of the frozen sidecars) land in a
+    * NEW epoch whose commit marker flips only after every file
+    * ([[graft.plans.EpochStore]]): a crash mid-compaction leaves the
+    * old epoch fully intact, and a reader that resolved it just
+    * before the swap keeps a complete state for one more compaction
+    * cycle — the r17-advice fix for the in-place overwrite, which
+    * deleted the live lists before job commit. Run from the index's
+    * single writer (e.g. the StreamIvfIngest foreachBatch). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit =
     compactListsBy(spark, path, "nvec")
@@ -523,14 +557,24 @@ object Similarity {
 
   private def compactListsBy(spark: org.apache.spark.sql.SparkSession,
                              path: String, payload: String): Unit = {
-    val lists = spark.read.parquet(s"$path/lists")
+    val root = ivfRoot(spark, path)
+    // derived fully from the OLD epoch before any new files land
+    val lists = spark.read.parquet(s"$root/lists")
       .groupBy(col("list_id"), col("nid"))
       .agg(min(col(payload)).as(payload))
       .select(col("nid"), col(payload), col("list_id"))
       .repartition(col("list_id"))
       .sortWithinPartitions(col("list_id"), col("nid"))
       .localCheckpoint(true)
-    lists.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    val (epoch, newRoot) = graft.plans.EpochStore.begin(spark, path)
+    // the frozen sidecars copy verbatim (tiny: nlist + m*ksub rows)
+    spark.read.parquet(s"$root/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$newRoot/centroids")
+    if (graft.plans.EpochStore.subdirExists(spark, root, "codebooks"))
+      spark.read.parquet(s"$root/codebooks")
+        .coalesce(1).write.mode("overwrite").parquet(s"$newRoot/codebooks")
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(s"$newRoot/lists")
+    graft.plans.EpochStore.commit(spark, path, epoch)
   }
 
   /** Self-certifying recall gate for an ANN result: join the approximate
@@ -870,30 +914,33 @@ object Similarity {
     val cents = centroids.map(_.toSeq).toSeq
     val spark = corpus.sparkSession
     import spark.implicits._
+    val (epoch, root) = graft.plans.EpochStore.begin(spark, path)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
     // the encoding mode is PINNED with the codebooks (minhashIndex's
     // params discipline): a residual index searched with plain-PQ LUTs
     // would return silently wrong distances, never an error
     books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq, residual) }
     }.toSeq.toDF("sub", "code", "centroid", "residual")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    centroidCache.put(path, cents) // a rebuild may retrain both models
-    codebookCache.put(path, (books, residual))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
     corpus.select(
       Exprs.nearestCentroids(col(vecCol), cents, 1).getItem(0).as("list_id"),
       col(idCol).as("nid"),
       Exprs.pqCodes(col(vecCol), booksAsSeq(books),
         if (residual) cents else Nil).as("codes"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$root/lists")
+    graft.plans.EpochStore.commit(spark, path, epoch)
+    centroidCache.put(root, cents)
+    codebookCache.put(root, (books, residual))
   }
 
-  /** [[centroidCache]]'s codebook twin — same frozen-quantizer rule. */
-  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[Array[Array[Double]]], Boolean)]()
+  /** [[centroidCache]]'s codebook twin — same frozen-quantizer,
+    * epoch-keyed, bounded rule. */
+  private val codebookCache =
+    new graft.plans.Memo[(Array[Array[Array[Double]]], Boolean)](256)
 
   /** Codebooks of a persisted IVF-PQ index plus the pinned encoding
     * mode, ordered so [sub][code] match the stored rows — the
@@ -902,12 +949,12 @@ object Similarity {
     * `residual` column) load as plain-PQ — the shape they were built
     * with. */
   private def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
-                            path: String): (Array[Array[Array[Double]]], Boolean) =
-    codebookCache.computeIfAbsent(path, _ => loadCodebooksUncached(spark, path))
+                            root: String): (Array[Array[Array[Double]]], Boolean) =
+    codebookCache.getOrElseUpdate(root)(loadCodebooksUncached(spark, root))
 
   private def loadCodebooksUncached(spark: org.apache.spark.sql.SparkSession,
-                            path: String): (Array[Array[Array[Double]]], Boolean) = {
-    val df = spark.read.parquet(s"$path/codebooks")
+                            root: String): (Array[Array[Array[Double]]], Boolean) = {
+    val df = spark.read.parquet(s"$root/codebooks")
     val rows = df.orderBy("sub", "code").collect()
     val books = rows
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
@@ -927,10 +974,11 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    val cents = loadCentroids(spark, path)
-    val (books, residual) = loadCodebooks(spark, path)
+    val root = ivfRoot(spark, path)
+    val cents = loadCentroids(spark, root)
+    val (books, residual) = loadCodebooks(spark, root)
     val ksub = books(0).length
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read.parquet(s"$root/lists")
     val q =
       if (residual) broadcast(
         residualLutRows(queries, books, cents.map(_.toArray).toArray,
@@ -985,14 +1033,15 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          batch: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit = {
-    val cents = loadCentroids(spark, path)
-    val (books, residual) = loadCodebooks(spark, path)
+    val root = ivfRoot(spark, path)
+    val cents = loadCentroids(spark, root)
+    val (books, residual) = loadCodebooks(spark, root)
     batch.select(
       Exprs.nearestCentroids(col(vecCol), cents, 1).getItem(0).as("list_id"),
       col(idCol).as("nid"),
       Exprs.pqCodes(col(vecCol), booksAsSeq(books),
         if (residual) cents else Nil).as("codes"))
-      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+      .write.mode("append").partitionBy("list_id").parquet(s"$root/lists")
   }
 
   /** SEMANTIC benchmark contamination — the embedding-space sibling of

@@ -110,10 +110,12 @@ private[graft] object EpochStore {
     * pre-epoch index layout the caller should reject with a rebuild
     * message rather than a confusing missing-path error. */
   def hasLegacyLayout(spark: SparkSession, path: String,
-                      legacySubdirs: Seq[String]): Boolean = {
-    val fs = fileSystem(spark, path)
-    legacySubdirs.exists(s => fs.exists(new Path(s"$path/$s")))
-  }
+                      legacySubdirs: Seq[String]): Boolean =
+    legacySubdirs.exists(s => subdirExists(spark, path, s))
+
+  /** Plain existence check for an optional store inside a state dir. */
+  def subdirExists(spark: SparkSession, dir: String, sub: String): Boolean =
+    fileSystem(spark, dir).exists(new Path(s"$dir/$sub"))
 }
 
 /** Tiny synchronized LRU memo for driver-side sidecar parameters

@@ -125,7 +125,7 @@ class PqSpec extends SparkTestBase {
     val before = results()
     Similarity.compactIvfPqIndex(spark, path)
     assert(results() == before, "PQ compaction changed search results")
-    val perKey = spark.read.parquet(s"$path/lists")
+    val perKey = spark.read.parquet(s"${Similarity.ivfRoot(spark, path)}/lists")
       .groupBy("list_id", "nid").count().agg(max("count")).as[Long].head()
     assert(perKey == 1, s"lists must fold to one row per (list_id, nid): $perKey")
   }

@@ -35,7 +35,7 @@ class StreamIvfIngestSpec extends SparkTestBase {
       StreamIvfIngest.search(spark, path, probes, k = 2, nprobe = 2)
         .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
     def listFiles(path: String): Long =
-      Files.walk(java.nio.file.Paths.get(s"$path/lists"))
+      Files.walk(java.nio.file.Paths.get(s"${Similarity.ivfRoot(spark, path)}/lists"))
         .filter(p => p.toString.endsWith(".parquet")).count()
     // wave 4 plants exact twins of base 0..2 at id+1000
     val waves: Seq[Seq[(Long, Array[Float])]] =
@@ -88,10 +88,10 @@ class StreamIvfIngestSpec extends SparkTestBase {
   test("empty batch is a no-op") {
     val root = Files.createTempDirectory("sivf3").toString
     Similarity.buildIvfIndex(vdf(base), s"$root/ix", nlist = 4)
-    val before = Files.walk(java.nio.file.Paths.get(s"$root/ix/lists"))
+    val before = Files.walk(java.nio.file.Paths.get(s"${Similarity.ivfRoot(spark, s"$root/ix")}/lists"))
       .filter(p => p.toString.endsWith(".parquet")).count()
     StreamIvfIngest.ingestBatch(vdf(base).where(lit(false)), s"$root/ix")
-    val after = Files.walk(java.nio.file.Paths.get(s"$root/ix/lists"))
+    val after = Files.walk(java.nio.file.Paths.get(s"${Similarity.ivfRoot(spark, s"$root/ix")}/lists"))
       .filter(p => p.toString.endsWith(".parquet")).count()
     assert(after == before, "empty batch must not touch the index")
   }
