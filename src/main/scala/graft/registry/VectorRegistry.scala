@@ -206,6 +206,21 @@ private[graft] object VectorRegistry {
         .withColumn("vec_id", col("vec_id") + 1000000L)
       Similarity.semDedup(emb.unionByName(twins), nlist = 16)
         .select(col("vec_id"))
+    }),
+    // quantizer-drift monitor (Similarity.assignmentDrift, the r17
+    // "rebuild when assignment distances creep" trigger made a
+    // watchable number): frozen centroids stand in as the 4 lowest-id
+    // embeddings (deterministic, SQL-replayable — a real deployment
+    // passes the index's own centroid sidecar via ivfDriftStats),
+    // batches keyed vec_id mod 8 as ingest-window stand-ins.
+    // Milli-quantized distances + integer ppm mean + DISCRETE p90, so
+    // both engines aggregate identical integers
+    "q265_ivf_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      Similarity.assignmentDrift(emb, cents, pmod(col("vec_id"), lit(8)).as("batch"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -267,6 +282,27 @@ private[graft] object VectorRegistry {
     // the planted twins (and ONLY they) are dropped, so the survivor set
     // is the original corpus verbatim
     "q93_semdedup" -> "SELECT vec_id FROM embeddings",
+    // drift replay: same milli-quantization before any aggregate, `//`
+    // floor division == Spark's `div` on these nonnegative integers,
+    // discrete p90 at rank ceil(0.9 n) = (9n + 9) // 10
+    "q265_ivf_drift" ->
+      """WITH c AS (SELECT CAST(embedding AS DOUBLE[]) cv
+        |  FROM embeddings WHERE vec_id < 4),
+        |d AS (SELECT e.vec_id % 8 batch,
+        |    CAST(FLOOR((1 - MAX(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.cv))) * 1000 + 0.5)
+        |      AS BIGINT) d_milli
+        |  FROM embeddings e, c GROUP BY e.vec_id),
+        |a AS (SELECT batch, COUNT(*) n_vecs, SUM(d_milli) s,
+        |    MAX(d_milli) max_milli FROM d GROUP BY 1),
+        |r AS (SELECT batch, d_milli, row_number() OVER (
+        |    PARTITION BY batch ORDER BY d_milli ASC) rn FROM d),
+        |p AS (SELECT r.batch, r.d_milli p90_milli
+        |  FROM r JOIN a USING (batch) WHERE rn = (9 * n_vecs + 9) // 10)
+        |SELECT a.batch, CAST(n_vecs AS BIGINT) n_vecs,
+        |  CAST((s * 1000) // n_vecs AS BIGINT) mean_ppm,
+        |  p90_milli, CAST(max_milli AS BIGINT) max_milli
+        |FROM a JOIN p USING (batch)""".stripMargin,
     // Matryoshka-recall replay: both exact retrievers as q27-style
     // CTEs (prefix-sliced and full), then the q220 metric rollups
     "q225_matryoshka_recall" ->

@@ -41,11 +41,17 @@ object StreamIvfIngest {
       idCol, vecCol)
   }
 
-  /** Start the resident ingester over a streaming embedding frame. */
+  /** [[StreamVectorIngest.DefaultCompactEvery]]'s IVF twin — same
+    * rationale, same crash-atomic epoch foundation. */
+  val DefaultCompactEvery = 64
+
+  /** Start the resident ingester over a streaming embedding frame.
+    * Pass `compactEvery = 0` explicitly for append-only ingest with
+    * offline compaction. */
   def start(vectors: DataFrame, indexPath: String, checkpointDir: String,
             idCol: String = "vec_id",
             vecCol: String = "embedding",
-            compactEvery: Int = 0): StreamingQuery =
+            compactEvery: Int = DefaultCompactEvery): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

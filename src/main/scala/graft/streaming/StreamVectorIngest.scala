@@ -40,6 +40,16 @@ object StreamVectorIngest {
       idCol, vecCol)
   }
 
+  /** Default compaction cadence: every 64th micro-batch. Nonzero ON
+    * PURPOSE (r17 verdict item 7): a resident ingester at a 5 s
+    * trigger is exactly the caller that must not be able to forget
+    * compaction — append-only forever means unbounded file-count and
+    * effective-degree drift. Defaulting it became safe once
+    * compaction moved to crash-atomic epoch states: a crash
+    * mid-compaction leaves the old epoch intact, and a concurrent
+    * reader keeps a complete state for a full cycle. */
+  val DefaultCompactEvery = 64
+
   /** Start the resident ingester over a streaming embedding frame.
     *
     * `compactEvery` > 0 runs [[GraphAnn.compactGraphIndex]] after every
@@ -48,14 +58,14 @@ object StreamVectorIngest {
     * it a 5 s trigger appends ~17k edge/vector file waves a day and
     * effective degree drifts unboundedly between manual compactions.
     * foreachBatch is the index's sole writer, so the in-line compaction
-    * is writer-serialized and safe; a batch REPLAYED after a crash
-    * re-runs its compaction, which is harmless (compaction is a
-    * deterministic full rewrite of whatever state it reads). 0 keeps
-    * the r16 behavior: append-only, compact offline. */
+    * is writer-serialized; a batch REPLAYED after a crash re-runs its
+    * compaction, which is harmless (a deterministic fold of whatever
+    * state it reads, committed as a fresh epoch). Pass 0 explicitly
+    * for append-only ingest with offline compaction. */
   def start(vectors: DataFrame, indexPath: String, checkpointDir: String,
             idCol: String = "vec_id",
             vecCol: String = "embedding",
-            compactEvery: Int = 0): StreamingQuery =
+            compactEvery: Int = DefaultCompactEvery): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

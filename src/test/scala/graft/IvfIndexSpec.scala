@@ -126,6 +126,30 @@ class IvfIndexSpec extends SparkTestBase {
     assert(hit.toList == List(7L))
   }
 
+  test("ivfDriftStats: a drifted ingest window reads higher than the build-time baseline") {
+    // build on x-axis-ish vectors; window 0 = in-distribution, window 1
+    // = orthogonal drift. The monitor must separate them numerically —
+    // the retrain trigger as a number, not a vibe
+    val base = (0L until 60L).map(i =>
+      (i, Array(10f, (i % 5).toFloat, 0f))).toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft-ivf-drift").toString
+    Similarity.buildIvfIndex(base, path, nlist = 2)
+    val windows = ((100L until 120L).map(i => (i, Array(10f, (i % 5).toFloat, 0f))) ++
+      (200L until 220L).map(i => (i, Array(0f, (i % 5).toFloat, 10f))))
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.ivfDriftStats(spark, path, windows,
+        expr("vec_id div 100").as("batch"))
+      .select("batch", "n_vecs", "mean_ppm", "p90_milli", "max_milli")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats.keySet == Set(1L, 2L) && stats(1L)._2 == 20L &&
+      stats(2L)._2 == 20L, s"one row per window: $stats")
+    assert(stats(2L)._3 > stats(1L)._3 + 100000L,
+      s"drifted window must read clearly higher mean_ppm: $stats")
+    assert(stats(2L)._4 >= stats(1L)._4 && stats(2L)._5 >= stats(1L)._5,
+      s"p90/max must not contradict the mean: $stats")
+  }
+
   test("epoch store: uncommitted (crashed) compaction is invisible; predecessor retained then pruned") {
     val d = (0L until 50L).map(i => (i, Array((i % 7).toFloat, (i % 5).toFloat, 1f)))
       .toDF("vec_id", "embedding")

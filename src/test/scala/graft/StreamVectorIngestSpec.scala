@@ -162,6 +162,16 @@ class StreamVectorIngestSpec extends SparkTestBase {
       k = 2, hops = 1)) == Map(2000L -> 0L, 2001L -> 1L, 2002L -> 2L))
   }
 
+  test("compaction cadence is the default, not an opt-in (r17 verdict item 7)") {
+    // the bounded-files-across-cycles mechanism is pinned above at
+    // cadence 2; this pins that a caller who forgets compactEvery
+    // still gets it
+    assert(StreamVectorIngest.DefaultCompactEvery > 0,
+      "graph ingest must compact by default")
+    assert(graft.streaming.StreamIvfIngest.DefaultCompactEvery > 0,
+      "IVF ingest must compact by default")
+  }
+
   test("empty batch is a no-op") {
     val root = Files.createTempDirectory("svi3").toString
     GraphAnn.buildGraphIndex(vdf(base), s"$root/ix", degree = 4,
