@@ -96,7 +96,12 @@ class BuildTimeJobsSpec extends SparkTestBase {
     "q261_graph_ann_hop",
     // q264 chains the eager graph build into dupClusters' label-
     // propagation loop (the q49/q93 class)
-    "q264_graph_neardup")
+    "q264_graph_neardup",
+    // round 18 (inherited from the interrupted round): q265 collects
+    // its 4-row frozen centroid set at construction — the bounded
+    // centroid-collect class (q36/q104 precedent); the drift monitor's
+    // design point IS scoring against centroids frozen as literals
+    "q265_ivf_drift")
 
   test("query construction launches zero data jobs (eager-by-design excepted)") {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
