@@ -277,9 +277,13 @@ object Pipeline {
                          vecCol: String = "embedding"): DataFrame = {
     val lex = lexicalLeg(docs, bench, n, minOverlapPct, idCol, textCol,
       benchIdCol)
-    val sus = Retrieval.bm25(docs,
-        bench.select(col(benchIdCol).as("query_id"), col(textCol)),
-        k, idCol, textCol)
+    // index path, not the fused Retrieval.bm25 (r18 probe): bench items
+    // are document-sized, their term set covers most of the vocabulary,
+    // and the persisted matched frame keeps the exploding scoring stage
+    // fast — see the contaminationTriage note
+    val sus = Retrieval.bm25Search(
+        Retrieval.bm25Postings(docs, idCol, textCol),
+        bench.select(col(benchIdCol).as("query_id"), col(textCol)), k)
       .groupBy(col("doc_id"))
       .agg(min(col("rank")).cast("long").as("bm25_rank"))
       .select(col("doc_id").as(idCol), col("bm25_rank"))

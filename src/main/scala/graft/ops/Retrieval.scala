@@ -103,10 +103,39 @@ object Retrieval {
     // side is still the GLOBAL df (the filter is by term)
     val matched = postings.join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
       .persist()
-    val df = matched.select(col("t"), col("doc_id")).distinct()
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val scored = matched
-      .join(broadcast(df), Seq("t"))
+    (scoreTopK(matched, stats, qterms, k, dfViaWindow = false), matched)
+  }
+
+  /** The scoring + ranking stage shared by the index path
+    * ([[bm25SearchPlan]]) and the fused corpus path ([[bm25]]):
+    * `matched` is the postings frame already restricted to query terms
+    * (t, doc_id, dl, tf), `stats` the one-row (n_docs, avg_fx) frame,
+    * `qterms` the exploded (query_id, t) pairs.
+    *
+    * `dfViaWindow` picks how the global df per term reaches the score:
+    * the index path keeps the broadcast-aggregate form (matched is
+    * persisted there, so the second read is a cache hit); the fused
+    * path computes df as `count(*) over (partition by t)` — matched is
+    * one row per (t, doc), so the window count IS df — because a
+    * broadcast df subtree would re-derive matched from the scan with a
+    * narrower projection (different Exchange, no AQE reuse) and the
+    * un-persisted corpus leg would be computed twice (r18 measured:
+    * that recompute is what kept q149/q243 slow). One term-keyed
+    * exchange of the already-tiny matched frame replaces a second
+    * corpus pass. */
+  private def scoreTopK(matched: DataFrame, stats: DataFrame,
+                        qterms: DataFrame, k: Int,
+                        dfViaWindow: Boolean): DataFrame = {
+    val withDf =
+      if (dfViaWindow)
+        matched.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("t"))))
+      else {
+        val df = matched.select(col("t"), col("doc_id")).distinct()
+          .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        matched.join(broadcast(df), Seq("t"))
+      }
+    val scored = withDf
       .join(broadcast(qterms), Seq("t"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
@@ -131,13 +160,12 @@ object Retrieval {
       .orderBy(col("score_fx").desc, col("doc_id").asc)
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("score_fx").desc, col("doc_id").asc)
-    val out = scored
+    scored
       .withColumn("_r1", row_number().over(w1))
       .where(col("_r1") <= k)
       .withColumn("rank", row_number().over(w2).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_fx"))
-    (out, matched)
   }
 
   /** FROZEN BM25 scoring table — the streaming-gate side of BM25: per
@@ -153,16 +181,22 @@ object Retrieval {
   def bm25Frozen(documents: DataFrame, queries: DataFrame,
                  idCol: String = "doc_id", textCol: String = "text",
                  queryIdCol: String = "query_id"): DataFrame = {
-    val postings = bm25Postings(documents, idCol, textCol)
-    val docLens = postings.select(col("doc_id"), col("dl")).distinct()
-    val stats = docLens.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    // FUSED (r18, guide §2.3): the frozen table needs only the QUERY
+    // terms' df — per-doc distinct terms come from array_distinct
+    // before the explode (no (t, doc) distinct shuffle), the stream is
+    // filtered by the broadcast term set before the one small count
+    // agg, and corpus stats are a tokenize-only scan-side aggregate.
+    // The old full bm25Postings build (corpus-wide token shuffle +
+    // doc-length distinct) never reaches any output column here.
+    val stats = documents
+      .select(size(toks(col(textCol))).as("_dl")).where(col("_dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("total_len"))
       .select(col("n_docs"), expr("(total_len * 1000) div n_docs").as("avg_fx"))
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(toks(col(textCol)))).as("t"))
-    val df = postings
+    val df = documents
+      .select(explode(array_distinct(toks(col(textCol)))).as("t"))
       .join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
-      .select(col("t"), col("doc_id")).distinct()
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
     qterms.join(df, Seq("t"), "left")
       .crossJoin(broadcast(stats))
@@ -192,10 +226,42 @@ object Retrieval {
   }
 
   /** Index-and-search in one call (the q143 shape; production callers
-    * build [[bm25Postings]] once and search many times). */
+    * build [[bm25Postings]] once and search many times).
+    *
+    * FUSED (r18, guide §2.3/§2.4): a one-shot search has no reason to
+    * aggregate the corpus's full (token, doc) matrix the way the
+    * persisted index must — the exploded token stream is filtered by
+    * the BROADCAST query-term set BEFORE the postings groupBy, so the
+    * only token shuffle carries matched terms (bounded by the query
+    * vocabulary), never the corpus vocabulary. Corpus stats (n_docs,
+    * avg dl) come from a tokenize-only scan-side aggregate — no
+    * explode, ZERO shuffle — replacing the full-postings distinct.
+    * tf/df/dl computed on the term-filtered stream are identical to
+    * the index path's (the filter key is the grouping key), so output
+    * is bit-identical (oracle-gated on q143/q147/q149/q179/q220/q236/
+    * q237/q243). The old plan's full-token exchange + persist +
+    * eager-checkpoint barrier are gone: the fused form is one lazy
+    * plan — matched's single small exchange is shared by df and the
+    * scoring join through AQE exchange reuse. */
   def bm25(documents: DataFrame, queries: DataFrame, k: Int = 5,
-           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    bm25Search(bm25Postings(documents, idCol, textCol), queries, k)
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(toks(col("text")))).as("t"))
+    val matched = documents
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_tk"))
+      .select(col("doc_id"), size(col("_tk")).as("dl"), explode(col("_tk")).as("t"))
+      .join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
+      .groupBy(col("t"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // same n_docs/total_len as bm25Postings' doc-length view: docs with
+    // zero tokens have no postings there and fail dl > 0 here
+    val stats = documents
+      .select(size(toks(col(textCol))).as("_dl")).where(col("_dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("total_len"))
+      .select(col("n_docs"),
+        expr("(total_len * 1000) div n_docs").as("avg_fx"))
+    scoreTopK(matched, stats, qterms, k, dfViaWindow = true)
+  }
 
   /** Hard-negative mining for retrieval/embedding training data — the
     * contrastive-training staple (DPR, Karpukhin et al. 2020; ICT's
@@ -221,8 +287,13 @@ object Retrieval {
                     idCol: String = "doc_id", textCol: String = "text",
                     queryIdCol: String = "query_id",
                     posIdCol: String = "pos_id"): DataFrame = {
+    // the candidate list is read twice (positive-score extraction + the
+    // re-rank) — materialize the ≤ (k+1)·|queries| rows once so the
+    // corpus-scanning BM25 leg is not executed per consumer (r18; the
+    // fused bm25 is lazy, unlike the old checkpointing bm25Search)
     val cands = bm25(documents, queries, k + 1, idCol, textCol)
       .select(col("query_id"), col("doc_id"), col("score_fx"))
+      .transform(graft.plans.CheckpointAudit.local)
     val pos = positives.select(col(queryIdCol).as("query_id"),
       col(posIdCol).as("_pos_id"))
     val c = cands.join(pos, Seq("query_id"), "left")
@@ -258,8 +329,17 @@ object Retrieval {
                           n: Int = 5, minOverlapPct: Long = 20L,
                           idCol: String = "doc_id", textCol: String = "text",
                           benchIdCol: String = "bench_id"): DataFrame = {
-    val hits = bm25(corpus,
-      bench.select(col(benchIdCol).as("query_id"), col(textCol)), k, idCol, textCol)
+    // the INDEX path deliberately, not the fused [[bm25]] (r18 probe):
+    // a contamination bench is document-sized text, so its term set
+    // covers most of the corpus vocabulary — the fused term-filter
+    // saves nothing here, and the persisted matched frame is what keeps
+    // the heavily-exploding (term × bench-item) scoring stage fast
+    // (measured 3.9 s vs 6.4+ s lazy at sf0.1). bm25Search's eager
+    // checkpoint also means `hits` is materialized once for its two
+    // consumers below. At 100 TB this is the documented design anyway:
+    // triage touches the corpus only through the postings index.
+    val hits = bm25Search(bm25Postings(corpus, idCol, textCol),
+      bench.select(col(benchIdCol).as("query_id"), col(textCol)), k)
       .select(col("query_id").as(benchIdCol), col("rank"), col("doc_id"),
         col("score_fx"))
     val candIds = hits.select(col("doc_id")).distinct()

@@ -40,8 +40,8 @@ class BuildTimeJobsSpec extends SparkTestBase {
     "q113_avro_roundtrip", "q117_dedup_resolve", "q133_image_dhash_pairs",
     "q134_quality_score", "q135_image_dedup_resolve",
     "q136_audio_ahash_pairs", "q138_softdedup_weights",
-    "q140_crossmodal_dedup", "q141_video_dedup_pairs", "q143_bm25_topk",
-    "q144_video_dedup_resolve", "q146_embedding_probe", "q147_hybrid_rrf",
+    "q140_crossmodal_dedup", "q141_video_dedup_pairs",
+    "q144_video_dedup_resolve", "q146_embedding_probe",
     "q148_leakage_safe_split", "q149_contamination_triage",
     "q152_curriculum_pack", "q156_kmv_setops", "q158_source_overlap",
     "q164_kmv_overlap", "q170_chat_pack", "q173_chat_pack_tokens",
@@ -62,16 +62,16 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // (the advice fix), q215 materializes the co-occurrence matrix,
     // q219 trains the unigram vocabulary on its bounded sample
     "q202_bitext_margin", "q215_ppmi", "q219_tokenizer_compression",
-    // q220 chains the q143 BM25 build (eager corpus stats); q224 runs
-    // its seed argmax rounds + Lloyd collects at construction; q226
-    // collects the topK²-bounded PPMI matrix for its power rounds
-    // q232 runs the q199 training chain (bounded scalar reads per
-    // round); q233 runs the q49 label-propagation loop
-    "q220_retrieval_eval", "q224_kmeans_kcenter", "q226_spectral_tokens",
+    // q224 runs its seed argmax rounds + Lloyd collects at
+    // construction; q226 collects the topK²-bounded PPMI matrix for
+    // its power rounds; q232 runs the q199 training chain (bounded
+    // scalar reads per round); q233 runs the q49 label-propagation
+    // loop. (r18: q143/q147/q220/q236/q237 left this set — the fused
+    // lazy bm25 no longer checkpoints at construction.)
+    "q224_kmeans_kcenter", "q226_spectral_tokens",
     "q232_classifier_auc", "q233_dup_spectrum",
-    // q235 trains the q199 head for the agreement join; q236 chains
-    // the q143 BM25 build (eager corpus stats) like q220
-    "q235_score_agreement", "q236_ndcg", "q237_average_precision",
+    // q235 trains the q199 head for the agreement join
+    "q235_score_agreement",
     // round 14: the WARC queries are write-then-read roundtrips (the
     // q113 Avro precedent — the foreachPartition WET/response write IS
     // the operator under test); q243/q246 chain the q143 BM25 build
