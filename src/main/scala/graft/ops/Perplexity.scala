@@ -110,13 +110,14 @@ object Perplexity {
     * same broadcast-join scoring pass as [[lmScore]]. */
   def lmScoreFromIndex(corpus: DataFrame, path: String,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       keep: Seq[String] = Nil): DataFrame = {
     val spark = corpus.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
     val buckets = meta.getAs[Int]("buckets")
     val scale = meta.getAs[Long]("scale")
     scoreWith(corpus, spark.read.parquet(s"$path/uni"),
-      spark.read.parquet(s"$path/big"), buckets, scale, idCol, textCol)
+      spark.read.parquet(s"$path/big"), buckets, scale, idCol, textCol, keep)
   }
 
   /** Per-document LM scores against the target: `surprisal_sum` (Σ of
@@ -125,23 +126,31 @@ object Perplexity {
     * buckets on), `n_bigrams`, and `avg_surprisal` = sum div count. */
   def lmScore(corpus: DataFrame, target: DataFrame, buckets: Int = 4096,
               scale: Long = 10000L, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text", keep: Seq[String] = Nil): DataFrame = {
     val (uni, big) = lmCounts(target, buckets, textCol)
-    scoreWith(corpus, uni, big, buckets, scale, idCol, textCol)
+    scoreWith(corpus, uni, big, buckets, scale, idCol, textCol, keep)
   }
 
+  /** `keep`: extra per-document columns carried THROUGH the scoring
+    * aggregation (grouped alongside the id they are functionally
+    * dependent on — they ride the same shuffle for free). Lets a
+    * composed pipeline (q131) keep its doc metadata on the scored
+    * frame instead of joining back to an expensive upstream subtree
+    * (r18, guide §2.4: that join re-derived the whole span-dedup
+    * stage). */
   private def scoreWith(corpus: DataFrame, uni: DataFrame, big: DataFrame,
                         buckets: Int, scale: Long, idCol: String,
-                        textCol: String): DataFrame = {
+                        textCol: String, keep: Seq[String] = Nil): DataFrame = {
     val r = expr(
       s"($scale * (coalesce(cu, 0) + $buckets)) DIV (coalesce(cb, 0) + 1)")
       .cast("long")
-    corpus.select(col(idCol), explode(pairFeatures(col(textCol), buckets)).as("f"))
-      .select(col(idCol), col("f.ua").as("ua"), col("f.bb").as("bb"))
+    val keyCols = col(idCol) +: keep.map(col)
+    corpus.select(keyCols :+ explode(pairFeatures(col(textCol), buckets)).as("f"): _*)
+      .select(keyCols ++ Seq(col("f.ua").as("ua"), col("f.bb").as("bb")): _*)
       .join(broadcast(uni), Seq("ua"), "left")
       .join(broadcast(big), Seq("bb"), "left")
-      .select(col(idCol), r.as("r"))
-      .groupBy(col(idCol))
+      .select(keyCols :+ r.as("r"): _*)
+      .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("r")).as("surprisal_sum"),
         sum(ilog2(col("r"))).as("log2_sum"))
@@ -188,16 +197,19 @@ object Perplexity {
   def perplexityBuckets(corpus: DataFrame, target: DataFrame,
                         buckets: Int = 4096, scale: Long = 10000L,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        keep: Seq[String] = Nil): DataFrame = {
     // scored is read by the histogram chain AND the final assignment —
     // persist the narrow (id + 4 longs) frame so the corpus text is
     // scanned and the LM join paid ONCE (Verify/Bench clear the cache
     // between queries; long-lived callers own the unpersist, the
     // Dedup.minhashIndex discipline)
-    val scored = lmScore(corpus, target, buckets, scale, idCol, textCol).persist()
+    val scored = lmScore(corpus, target, buckets, scale, idCol, textCol, keep)
+      .persist()
     valueTertiles(scored, "avg_surprisal", "ppl_bucket", "head", "middle", "tail")
-      .select(col(idCol), col("n_bigrams"), col("surprisal_sum"),
-        col("log2_sum"), col("avg_surprisal"), col("ppl_bucket"))
+      .select(col(idCol) +: keep.map(col) ++: Seq(col("n_bigrams"),
+        col("surprisal_sum"), col("log2_sum"), col("avg_surprisal"),
+        col("ppl_bucket")): _*)
   }
 
   /** VALUE-threshold tertile tagging (the CCNet cutoff rule, shared with

@@ -79,21 +79,27 @@ object Pipeline {
                     domainCol: String = "source"): DataFrame = {
     val rep = cleanAndGate(docs, minLen, maxDupWordFrac, maxTop2Frac,
       maxDup3Frac, idCol, textCol, langCol, domainCol)
-    // rep is read three times (LM corpus, LM target, the tier join) but
-    // NOT persisted: AQE's ReusedExchange already dedups the shared
-    // span-dedup subtree within the one job, and a measured persist
-    // attempt (round 8) cost 5.1 -> 7.3 s at sf0.1 — cache-store
-    // overhead on a text-bearing frame beat the reuse it bought
+    // rep is read twice (LM corpus, LM target) but NOT persisted: AQE's
+    // ReusedExchange already dedups the shared span-dedup subtree within
+    // the one job, and a measured persist attempt (round 8) cost
+    // 5.1 -> 7.3 s at sf0.1 — cache-store overhead on a text-bearing
+    // frame beat the reuse it bought
 
     // 3. perplexity tiers on the survivors; thresholds are computed on
-    // THIS distribution (CCNet computes cutoffs on what it scores)
+    // THIS distribution (CCNet computes cutoffs on what it scores).
+    // The doc metadata rides the scoring aggregation's own shuffle
+    // (`keep` — grouped with the id it is functionally dependent on),
+    // so no join back to the span-dedup subtree is needed; the old
+    // doc-id tier join re-derived the whole stage-1/2 plan a second
+    // time (r18, guide §2.4). Inner-join semantics preserved: lmScore
+    // drops no-bigram docs, and tail rows drop below.
     val tiers = Perplexity.perplexityBuckets(rep,
       rep.where(col(langCol) === targetLang),
-      idCol = idCol, textCol = "kept_text")
-    val tiered = rep.join(
-      tiers.where(col("ppl_bucket") =!= "tail")
-        .select(col(idCol), col("avg_surprisal"), col("ppl_bucket")),
-      Seq(idCol))
+      idCol = idCol, textCol = "kept_text",
+      keep = Seq(langCol, domainCol, "n_tokens", "n_removed"))
+    val tiered = tiers.where(col("ppl_bucket") =!= "tail")
+      .select(col(idCol), col(langCol), col(domainCol), col("n_tokens"),
+        col("n_removed"), col("avg_surprisal"), col("ppl_bucket"))
 
     // 4. per-source cap (salted two-level rank, deterministic)
     Curate.capPerDomain(tiered, domainCol, idCol, capPerSource, salt)
@@ -154,14 +160,17 @@ object Pipeline {
   private[graft] def tierFromModel(rep: DataFrame, modelDir: String,
                                    idCol: String): DataFrame = {
     val spark = rep.sparkSession
-    val scored = Perplexity.lmScoreFromIndex(rep, modelDir, idCol, "kept_text")
+    // metadata rides the scoring aggregation (the fineWebCurate keep
+    // discipline) — no join back to the span-dedup subtree
+    val keep = rep.columns.filter(c => c != idCol && c != "kept_text").toSeq
+    val scored = Perplexity.lmScoreFromIndex(rep, modelDir, idCol,
+      "kept_text", keep)
     val tagged = Perplexity.tagTertiles(scored,
       spark.read.parquet(s"$modelDir/thresholds"), "avg_surprisal",
       "ppl_bucket", "head", "middle", "tail")
-    rep.join(
-      tagged.where(col("ppl_bucket") =!= "tail")
-        .select(col(idCol), col("avg_surprisal"), col("ppl_bucket")),
-      Seq(idCol))
+    tagged.where(col("ppl_bucket") =!= "tail")
+      .select((col(idCol) +: keep.map(col)) ++
+        Seq(col("avg_surprisal"), col("ppl_bucket")): _*)
   }
 
   /** The composed GOVERNANCE sweep — the compliance stages a crawl
