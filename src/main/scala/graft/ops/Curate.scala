@@ -1156,14 +1156,22 @@ object Curate {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // the self-loop row (a, a) carries a's OWN current label through
+      // the same join that gathers neighbour labels, so the round's
+      // aggregate emits (new label, previous label) side by side and
+      // convergence is a filter over the checkpointed round output —
+      // no second shuffle join of next against labels per round (r18;
+      // guide §2.4: the check was a full equi-join of two label frames
+      // every iteration)
       val next = edges
         .join(labels.select(col("node").as("b"), col("label").as("nbl")), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min(col("nbl")).as("label"))
+        .groupBy(col("a"))
+        .agg(min(col("nbl")).as("label"),
+          min(when(col("b") === col("a"), col("nbl"))).as("_prev"))
+        .select(col("a").as("node"), col("label"), col("_prev"))
         .transform(graft.plans.CheckpointAudit.local)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .where(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.where(col("label") =!= col("_prev")).isEmpty
+      labels = next.select(col("node"), col("label"))
       it += 1
     }
     edges.unpersist(false)
