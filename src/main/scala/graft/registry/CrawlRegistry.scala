@@ -130,7 +130,13 @@ private[graft] object CrawlRegistry {
     // governance sweep or crawl frontier joins on; oracle = the q102
     // unrolled-iteration pattern over the link CTE
     "q253_host_rank" -> ((s, d) => {
+      // the host columns materialize ONCE: the regexp-heavy href
+      // extraction + URL resolution otherwise runs twice — once inside
+      // hostRank's edge checkpoint and once for the inbound-degree leg
+      // (r18; the page HTML never leaves the scan either way)
       val links = LinkGraph.outlinks(linkPages(Tables.documents(s, d)))
+        .select(col("src_host"), col("dst_host"))
+        .transform(graft.plans.CheckpointAudit.local)
       val inb = links.where(col("src_host") =!= col("dst_host"))
         .groupBy(col("dst_host").as("host"))
         .agg(count(lit(1)).as("_n"))
