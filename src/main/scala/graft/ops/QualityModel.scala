@@ -150,30 +150,42 @@ object QualityModel {
                   lrNum: Long = 1L, lrDen: Long = 64L): DataFrame = {
     require(iters >= 1 && lrNum > 0 && lrDen > 0)
     val spark = frame.sparkSession
-    // bounded scalar read: the corpus size (one long), not data
-    val nTotal = frame.agg(sum(col("n"))).head().getLong(0).max(1L)
-    var w = spark.range(1).select(lit(0L).as("w0"), lit(0L).as("w1"),
-      lit(0L).as("w2"), lit(0L).as("w3"))
+    // r18: the quantized frame is BOUNDED at 16^3 rows by construction
+    // (each feature is clamped to 0..15), so the whole descent runs on
+    // the driver over one bounded collect — the IVF-centroid /
+    // embeddingProbeWeights discipline — instead of 8 checkpointed
+    // rounds of (broadcast weight ⋈ frame → aggregate → broadcast
+    // gradient → checkpoint), which cost 8 jobs + 16 broadcasts per
+    // training call with corpus-independent but fixed overhead. The
+    // arithmetic below replays the relational form EXACTLY: BigInt
+    // carries the decimal(38,0) gradient sums (order-independent exact
+    // addition), `/` on a non-negative numerator is the same integral
+    // division `div` performs, and the hard-sigmoid's truncating
+    // division on negatives lands under the 0-clamp on both paths (the
+    // class doc's cross-engine argument, unchanged).
+    val cells = frame.select(col("x1"), col("x2"), col("x3"),
+      col("n"), col("npos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nTotal = BigInt(cells.map(_._4).sum.max(1L))
+    val den = BigInt(lrDen) * nTotal
+    val w = Array(0L, 0L, 0L, 0L)
     for (_ <- 1 to iters) {
-      val g = frame.crossJoin(broadcast(w))
-        .withColumn("_z", col("w0") + col("w1") * col("x1") +
-          col("w2") * col("x2") + col("w3") * col("x3"))
-        .withColumn("_p", expr("least(greatest((_z + 2000000) div 4, 0), 1000000)"))
-        .withColumn("_r", expr(
-          "cast(n as decimal(38,0)) * _p - cast(npos as decimal(38,0)) * 1000000"))
-        .agg(sum(col("_r")).as("s0"),
-          sum(col("_r") * col("x1")).as("s1"),
-          sum(col("_r") * col("x2")).as("s2"),
-          sum(col("_r") * col("x3")).as("s3"))
-      def upd(wc: String, sc: String) = expr(
-        s"cast($wc - (case when $sc < 0 then -1 else 1 end) * " +
-          s"(($lrNum * abs($sc)) div (cast($lrDen as decimal(38,0)) * $nTotal)) as bigint)")
-        .as(wc)
-      w = w.crossJoin(broadcast(g))
-        .select(upd("w0", "s0"), upd("w1", "s1"), upd("w2", "s2"), upd("w3", "s3"))
-        .transform(graft.plans.CheckpointAudit.local)
+      val s = Array(BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+      cells.foreach { case (x1, x2, x3, n, npos) =>
+        val z = w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3
+        // Long `/` truncates toward zero, exactly Spark's `div`
+        val p = math.min(math.max((z + 2000000L) / 4L, 0L), 1000000L)
+        val r = BigInt(n) * p - BigInt(npos) * 1000000L
+        s(0) += r; s(1) += r * x1; s(2) += r * x2; s(3) += r * x3
+      }
+      for (j <- 0 to 3) {
+        val step = (BigInt(lrNum) * s(j).abs) / den
+        w(j) = w(j) - s(j).signum * step.toLong
+      }
     }
-    w
+    spark.range(1).select(lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+      lit(w(2)).as("w2"), lit(w(3)).as("w3"))
   }
 
   /** Score a corpus with the trained head: recompute the same quantized
