@@ -548,39 +548,46 @@ object Chat {
       .join(wins, Seq("item"), "left")
       .na.fill(0L, Seq("wins"))
       .transform(graft.plans.CheckpointAudit.local)
-    val nItems = items.count()
-    var s = items.select(col("item"), lit(1000000L).as("s"))
+    // r18: the corpus aggregates ONCE into the two checkpointed frames
+    // above, both bounded by the item alphabet (items; pairs ≤ items²)
+    // — models/policies/annotators, thousands at most — so the MM
+    // rounds themselves run on the driver over one bounded collect (the
+    // logregTrain / IVF-centroid discipline) instead of 8 checkpointed
+    // rounds of broadcast-join-aggregate (~2 jobs + 3 broadcasts each).
+    // Driver arithmetic replays the relational form exactly: BigInt for
+    // every decimal(38,0) product/sum (order-independent exact
+    // addition), truncating `/` on positive operands == `div`.
+    val pairRows = pairs.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val itemRows = items.select(col("item"), col("wins"), col("games"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nItems = itemRows.length.toLong
+    val E12 = BigInt("1000000000000")
+    val sMap = scala.collection.mutable.LinkedHashMap(
+      itemRows.map(t => t._1 -> 1000000L): _*)
     for (_ <- 1 to iters) {
-      val sa = s.select(col("item").as("a"), col("s").as("_sa"))
-      val sb = s.select(col("item").as("b"), col("s").as("_sb"))
-      val terms = pairs
-        .join(broadcast(sa), Seq("a")).join(broadcast(sb), Seq("b"))
-        .withColumn("_t", expr(
-          "(cast(n as decimal(38,0)) * 1000000000000) div (_sa + _sb)"))
-        .select(explode(array(
-          struct(col("a").as("item"), col("_t")),
-          struct(col("b").as("item"), col("_t")))).as("e"))
-        .select(col("e.item").as("item"), col("e._t").as("_t"))
-        .groupBy(col("item"))
-        .agg(sum(col("_t")).as("_dsum"))
-      val raw = items.join(s, Seq("item"))
-        .join(terms, Seq("item"), "left")
-        .withColumn("_denom",
-          coalesce(col("_dsum"), lit(0).cast("decimal(38,0)")) +
-            expr("2000000000000 div (s + 1000000)"))
-        .withColumn("_raw", expr(
-          "(cast(wins + 1 as decimal(38,0)) * 1000000000000) div _denom"))
-        .select(col("item"), col("_raw"))
-      val tot = raw.agg(sum(col("_raw")).as("_rsum"))
-      s = raw.crossJoin(broadcast(tot))
-        .select(col("item"), expr(
-          s"cast((cast(_raw as decimal(38,0)) * $nItems * 1000000) div _rsum as bigint)")
-          .as("s"))
-        .transform(graft.plans.CheckpointAudit.local)
+      val dsum = scala.collection.mutable.HashMap.empty[Long, BigInt]
+      pairRows.foreach { case (a, b, n) =>
+        val t = (BigInt(n) * E12) / BigInt(sMap(a) + sMap(b))
+        dsum(a) = dsum.getOrElse(a, BigInt(0)) + t
+        dsum(b) = dsum.getOrElse(b, BigInt(0)) + t
+      }
+      val raws = itemRows.map { case (item, wins, _) =>
+        val denom = dsum.getOrElse(item, BigInt(0)) +
+          (E12 * 2) / BigInt(sMap(item) + 1000000L)
+        item -> (BigInt(wins + 1) * E12) / denom
+      }
+      val rsum = raws.map(_._2).sum
+      raws.foreach { case (item, raw) =>
+        sMap(item) = ((raw * nItems * 1000000L) / rsum).toLong
+      }
     }
-    items.join(s, Seq("item"))
-      .select(col("item"), col("wins"), col("games"),
-        col("s").as("strength_ppm"))
+    val spark = games.sparkSession
+    import spark.implicits._
+    val strengths = itemRows.map { case (item, wins, g) =>
+      (item, wins, g, sMap(item)) }.toSeq
+      .toDF("item", "wins", "games", "strength_ppm")
+    strengths
   }
 
   /** Bradley–Terry goodness-of-fit report — the audit read next to
