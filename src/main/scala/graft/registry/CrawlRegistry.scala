@@ -212,8 +212,13 @@ private[graft] object CrawlRegistry {
       sources.Warc.writeWet(base.select(col("doc_id"),
         col("url").as("uri"), lit("2026-01-02T03:04:05Z").as("date"),
         col("text")), dir, perFile = 100)
+      // materialize the roundtripped rows ONCE (r18): governanceSweep
+      // derives six per-doc legs from its input frame, and an
+      // un-checkpointed WET read re-runs the gunzip + record walk per
+      // leg — six full WARC parses for one sweep
       val back = sources.Warc.readWet(s, s"$dir/*.warc.wet.gz")
         .select(col("record_id"), col("target_uri").as("url"), col("text"))
+        .transform(graft.plans.CheckpointAudit.local)
       Pipeline.governanceSweep(back, optOutRegistry(docs),
         idCol = "record_id",
         robotsRules = Some(Web.robotsRules(robotsPathDocs(docs))))
