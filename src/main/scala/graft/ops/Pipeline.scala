@@ -199,42 +199,56 @@ object Pipeline {
     *                ([[Quality.readability]]);
     *   keep       — everything else.
     *
-    * Scale shape: every gate is zero-shuffle scan-side work; the
-    * composition's only extra cost is the doc-id-keyed joins of the
-    * narrow verdict columns back onto the id frame (the
-    * [[fineWebCurate]] precedent — at 100 TB these are co-partitioned
-    * key joins of per-doc scalars, never text). The registry
-    * broadcasts inside domainOptOut. */
+    * Scale shape: every content gate is zero-shuffle scan-side work,
+    * computed as COLUMNS of one corpus projection that ride
+    * domainOptOut's longest-match aggregation as extra grouping keys
+    * (the [[fineWebCurate]] metadata-through-aggregation device) — the
+    * whole sweep is ONE pass over the corpus plus one map-side-combined
+    * shuffle of narrow per-doc scalars, never text. The registry
+    * broadcasts inside domainOptOut; only the optional robots gate adds
+    * a second doc pass and one id-keyed join (it aggregates the same
+    * rows under a different key). */
   def governanceSweep(docs: DataFrame, registry: DataFrame,
                       minFreMilli: Long = 30000L,
                       idCol: String = "doc_id", urlCol: String = "url",
                       textCol: String = "text",
                       robotsRules: Option[DataFrame] = None,
                       bot: String = "graftbot"): DataFrame = {
-    val opt = Web.domainOptOut(docs.select(col(idCol), col(urlCol)),
-        registry, idCol = idCol, urlCol = urlCol)
-      .select(col(idCol), col("host"), col("optout_domain"))
-    val lic = Quality.licenseCensus(docs, idCol, textCol)
-      .select(col(idCol), col("spdx_id"), col("license_class"))
-    val fre = Quality.readability(docs, idCol, textCol)
-      .select(col(idCol), col("fre_milli"))
-    val pii = docs.select(col(idCol),
-      (regexp_count(col(textCol), lit(Curate.emailPattern)) +
-        regexp_count(col(textCol), lit(Curate.phonePattern)) > 0)
-        .as("has_pii"))
+    // ONE corpus projection (r19, guide §2.4): the license, readability
+    // and PII gates are pure scan-side expressions, so they compute as
+    // COLUMNS of a single pass over `docs` and ride domainOptOut's
+    // longest-match aggregation as extra grouping keys (functionally
+    // dependent on idCol — the fineWebCurate metadata-through-
+    // aggregation device). The old form projected each gate separately
+    // and equi-joined four narrow frames back onto the id frame: 4
+    // corpus scans + 4 doc-id joins for the same rows.
+    val meta = Quality.withLicenseCols(
+        Quality.withReadabilityCols(
+          docs.select(col(idCol), col(urlCol), col(textCol)), textCol),
+        textCol)
+      .withColumn("has_pii",
+        regexp_count(col(textCol), lit(Curate.emailPattern)) +
+          regexp_count(col(textCol), lit(Curate.phonePattern)) > 0)
+      .select(col(idCol), col(urlCol), col("spdx_id"),
+        col("license_class"), col("fre_milli"), col("has_pii"))
+    val opt = Web.domainOptOut(meta, registry,
+      idCol = idCol, urlCol = urlCol,
+      keep = Seq("spdx_id", "license_class", "fre_milli", "has_pii"))
     // the optional URL-LEVEL robots gate ([[Web.robotsUrlVerdict]]):
     // RFC 9309 path patterns sit between the domain registry (a legal
     // removal outranks a crawl directive) and everything content-based
     // — a path the site disallowed for this bot must not even be
-    // license-reported
+    // license-reported. Its verdict is a DIFFERENT aggregation of the
+    // same doc rows (host-keyed rule match, then a per-doc fold), so it
+    // stays the composition's one id-keyed join.
     val rob = robotsRules.map(rr =>
       Web.robotsUrlVerdict(docs.select(col(idCol), col(urlCol)), rr,
           bot, urlCol = urlCol, idCol = idCol)
         .select(col(idCol), col("allowed").as("_rob_ok")))
     val joined = rob.foldLeft(
-      docs.select(col(idCol))
-        .join(opt, Seq(idCol)).join(lic, Seq(idCol))
-        .join(fre, Seq(idCol)).join(pii, Seq(idCol)))(_.join(_, Seq(idCol)))
+      opt.select(col(idCol), col("host"), col("optout_domain"),
+        col("spdx_id"), col("license_class"), col("fre_milli"),
+        col("has_pii")))(_.join(_, Seq(idCol)))
     joined
       .withColumn("verdict",
         when(col("optout_domain").isNotNull, lit("opted_out"))

@@ -812,7 +812,18 @@ object Quality {
     * supported by both. One scan, zero shuffles, regex evaluated once
     * per row outside any lambda. */
   def licenseCensus(df: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    withLicenseCols(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("spdx_id"), col("has_copyleft"),
+        col("has_permissive"), col("license_class"))
+
+  /** [[licenseCensus]]'s verdict columns APPENDED to `df` (spdx_id,
+    * has_copyleft, has_permissive, license_class) — the scan-side form
+    * a composed sweep ([[graft.ops.Pipeline.governanceSweep]]) fuses
+    * into ONE corpus projection instead of an id-keyed join of the
+    * projected census. Same expressions as [[licenseCensus]], which is
+    * implemented on top of this. */
+  def withLicenseCols(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val spdx = regexp_extract(t,
       "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)", 1)
@@ -826,8 +837,9 @@ object Quality {
         .when(upper(col("spdx_id")).rlike("^(MIT|APACHE|BSD|ISC|UNLICENSE|ZLIB|CC0)"),
           lit("permissive"))
         .otherwise(lit("other-spdx"))
-    df.select(col(idCol), spdx.as("spdx_id"),
-        copyleft.as("has_copyleft"), permissive.as("has_permissive"))
+    df.withColumn("spdx_id", spdx)
+      .withColumn("has_copyleft", copyleft)
+      .withColumn("has_permissive", permissive)
       .withColumn("license_class",
         when(col("spdx_id") =!= "", spdxClass)
           .when(col("has_copyleft"), lit("copyleft"))
@@ -886,17 +898,26 @@ object Quality {
     * One scan, zero shuffles: three codegen'd regexp counts per row,
     * no lambda, no UDF — at 100 TB this runs at scan speed. */
   def readability(df: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text"): DataFrame =
+    withReadabilityCols(df.select(col(idCol), col(textCol)), textCol)
+      .drop(textCol)
+
+  /** [[readability]]'s metric columns APPENDED to `df` (n_words ..
+    * fre_band) — the scan-side form [[graft.ops.Pipeline
+    * .governanceSweep]] fuses into one corpus projection (the
+    * [[withLicenseCols]] shape). Same expressions as [[readability]],
+    * which is implemented on top of this. */
+  def withReadabilityCols(df: DataFrame,
+                          textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val counted = df.select(col(idCol),
-      when(t.isNull, lit(0L))
-        .otherwise(size(TextAnalysis.tokens(t)).cast("long")).as("n_words"),
-      when(t.isNull, lit(0L))
+    val counted = df
+      .withColumn("n_words", when(t.isNull, lit(0L))
+        .otherwise(size(TextAnalysis.tokens(t)).cast("long")))
+      .withColumn("n_sentences", when(t.isNull, lit(0L))
         .otherwise(greatest(regexp_count(t, lit("[.!?]+")), lit(1))
-          .cast("long")).as("n_sentences"),
-      when(t.isNull, lit(0L))
-        .otherwise(regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("long"))
-        .as("n_syllables"))
+          .cast("long")))
+      .withColumn("n_syllables", when(t.isNull, lit(0L))
+        .otherwise(regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("long")))
     counted
       .withColumn("wps_milli",
         expr("case when n_words > 0 then (1000 * n_words) div n_sentences end"))

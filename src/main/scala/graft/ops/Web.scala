@@ -104,28 +104,36 @@ object Web {
     * collapses each doc's handful of suffix rows before the exchange. */
   def domainOptOut(docs: DataFrame, optOut: DataFrame,
                    urlCol: String = "url",
-                   idCol: String = "doc_id"): DataFrame = {
-    val hosts = canonicalizeUrls(docs.select(col(idCol), col(urlCol)), urlCol)
-      .select(col(idCol), col("host"))
+                   idCol: String = "doc_id",
+                   keep: Seq[String] = Nil): DataFrame = {
+    // `keep`: extra per-doc columns (functionally dependent on idCol)
+    // that ride the suffix explode and the longest-match fold as extra
+    // grouping keys — the metadata-through-aggregation device
+    // (Pipeline.fineWebCurate precedent), so a composed sweep needs no
+    // id-keyed join to re-attach its scan-side verdict columns.
+    val kc = keep.map(col)
+    val hosts = canonicalizeUrls(
+        docs.select(col(idCol) +: col(urlCol) +: kc: _*), urlCol)
+      .select(col(idCol) +: col("host") +: kc: _*)
       .withColumn("_lbl",
         split(regexp_replace(col("host"), ":[0-9]+$", ""), "\\."))
-    val sfx = hosts.select(col(idCol), col("host"),
+    val sfx = hosts.select(col(idCol) +: col("host") +: kc :+
       explode_outer(when(size(col("_lbl")) >= 2,
         transform(sequence(lit(1), size(col("_lbl")) - 1),
           i => array_join(
             slice(col("_lbl"), i, size(col("_lbl")) - i + 1), ".")))
-        .otherwise(array().cast("array<string>"))).as("_sfx"))
+        .otherwise(array().cast("array<string>"))).as("_sfx"): _*)
     sfx
       .join(broadcast(optOut.select(col("domain").as("_sfx"), col("domain"))),
         Seq("_sfx"), "left")
       // non-matches contribute NULL (SQL MIN skips them), so _m is NULL
       // exactly when no suffix hit the registry
-      .groupBy(col(idCol), col("host"))
+      .groupBy(col(idCol) +: col("host") +: kc: _*)
       .agg(min(when(col("domain").isNotNull,
         struct((-length(col("domain"))).as("nl"), col("domain").as("d"))))
         .as("_m"))
-      .select(col(idCol), col("host"),
-        col("_m.d").as("optout_domain"), col("_m").isNull.as("kept"))
+      .select(col(idCol) +: col("host") +: kc :+
+        col("_m.d").as("optout_domain") :+ col("_m").isNull.as("kept"): _*)
   }
 
   /** robots.txt directive parser (RFC 9309) — where a real opt-out
