@@ -122,7 +122,17 @@ object Retrieval {
     * un-persisted corpus leg would be computed twice (r18 measured:
     * that recompute is what kept q149/q243 slow). One term-keyed
     * exchange of the already-tiny matched frame replaces a second
-    * corpus pass. */
+    * corpus pass.
+    *
+    * Skew bound of the window form, documented (r18 advice): the
+    * window partitions by the term alone, so a stopword-ish query term
+    * that matches a large corpus fraction lands its whole postings
+    * list in one partition. Fine when queries are genuinely
+    * query-sized (the fused one-shot path's contract); callers whose
+    * term sets approach the corpus vocabulary belong on the index path
+    * (dfViaWindow = false — a broadcast groupBy(t) aggregate, exactly
+    * how [[bm25SearchPlan]] computes df), which is also the documented
+    * choice of the contamination callers. */
   private def scoreTopK(matched: DataFrame, stats: DataFrame,
                         qterms: DataFrame, k: Int,
                         dfViaWindow: Boolean): DataFrame = {
@@ -135,15 +145,25 @@ object Retrieval {
           .groupBy(col("t")).agg(count(lit(1)).as("df"))
         matched.join(broadcast(df), Seq("t"))
       }
-    val scored = withDf
-      .join(broadcast(qterms), Seq("t"))
+    // term_fx depends on (t, doc) ONLY — never on the query — so it
+    // computes BEFORE the qterms join (r19, guide §1.2 per-task work):
+    // one division chain per matched posting instead of one per
+    // (query, term, doc) triple. For document-sized query sets (the
+    // contamination benches: every term shared by many bench items)
+    // the exploded stream then carries one precomputed long instead of
+    // re-running the fixed-point arithmetic per fan-out row. Same
+    // integers, same rows — the join key and the aggregation are
+    // untouched.
+    val termScores = withDf
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
+      .select(col("t"), col("doc_id"),
         expr("((2*n_docs - 2*df + 1) * 1000000) div (2*df + 1)").as("idf_fx"),
         expr("(22 * tf * avg_fx * 1000) div " +
           "(10*avg_fx*tf + 3*avg_fx + 9000*dl)").as("tfw_fx"))
-      .select(col("query_id"), col("doc_id"),
+      .select(col("t"), col("doc_id"),
         expr("(idf_fx * tfw_fx) div 1000").as("term_fx"))
+    val scored = termScores
+      .join(broadcast(qterms), Seq("t"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_fx")).as("score_fx"))
     // salted two-level top-k (the q42/capPerDomain discipline): a
@@ -177,7 +197,10 @@ object Retrieval {
     * from a snapshot, broadcast to every batch, refresh by restarting
     * the gate. Query terms ABSENT from the snapshot keep df=0 (maximal
     * idf — an unseen term is maximally surprising). Output is
-    * |query terms| rows: broadcast-sized by construction. */
+    * |query terms| rows: broadcast-sized by construction. Same
+    * unique-doc-id input contract as [[bm25]] (df here counts one row
+    * per doc via array_distinct — duplicated ids would double-count
+    * vs the index path's (t, doc) distinct). */
   def bm25Frozen(documents: DataFrame, queries: DataFrame,
                  idCol: String = "doc_id", textCol: String = "text",
                  queryIdCol: String = "query_id"): DataFrame = {
@@ -242,7 +265,17 @@ object Retrieval {
     * q237/q243). The old plan's full-token exchange + persist +
     * eager-checkpoint barrier are gone: the fused form is one lazy
     * plan — matched's single small exchange is shared by df and the
-    * scoring join through AQE exchange reuse. */
+    * scoring join through AQE exchange reuse.
+    *
+    * Input contracts, documented (r18 advice): (1) `documents` must
+    * carry ONE row per doc id — the index path's postings groupBy
+    * collapses exact-duplicate (doc, dl) rows, while the fused stats/
+    * window-df count rows as docs, so duplicated ids diverge from the
+    * index path (and from sane corpus semantics — dedup upstream).
+    * (2) `queries` is a literal (query_id, text) frame; `idCol`/
+    * `textCol` rename DOCUMENT columns only (the [[bm25Search]]
+    * convention — thread queryIdCol through that entry point when the
+    * query frame is shaped differently). */
   def bm25(documents: DataFrame, queries: DataFrame, k: Int = 5,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val qterms = queries.select(col("query_id"),
