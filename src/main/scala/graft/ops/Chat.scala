@@ -532,7 +532,8 @@ object Chat {
     * connected-components discipline) so the iterated plan never
     * nests. Corpus cost is independent of `iters`. */
   def bradleyTerry(games: DataFrame, winnerCol: String = "winner",
-                   loserCol: String = "loser", iters: Int = 8): DataFrame = {
+                   loserCol: String = "loser", iters: Int = 8,
+                   maxCollectPairs: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val base = games.select(col(winnerCol).cast("long").as("w"),
       col(loserCol).cast("long").as("l"))
@@ -548,6 +549,14 @@ object Chat {
       .join(wins, Seq("item"), "left")
       .na.fill(0L, Seq("wins"))
       .transform(graft.plans.CheckpointAudit.local)
+    // r19 guard (round-18 verdict): the driver collect below is bounded
+    // by the PAIR census, which is ≤ items² but DATA-DEPENDENT — a
+    // caller feeding document ids as items would OOM the driver where
+    // the relational loop merely got slow. Counting the checkpointed
+    // frame is one cheap job; past the cap the identical MM arithmetic
+    // runs distributed (broadcast-join rounds over the same frames).
+    if (pairs.count() > maxCollectPairs)
+      return btRelational(pairs, items, iters)
     // r18: the corpus aggregates ONCE into the two checkpointed frames
     // above, both bounded by the item alphabet (items; pairs ≤ items²)
     // — models/policies/annotators, thousands at most — so the MM
@@ -578,6 +587,14 @@ object Chat {
         item -> (BigInt(wins + 1) * E12) / denom
       }
       val rsum = raws.map(_._2).sum
+      // degenerate-input guard (r18 advice): if every raw floors to 0
+      // (needs ~1e12 games per item) the old relational `div _rsum`
+      // read NULL strengths; fail loudly with a message instead of
+      // surfacing a bare ArithmeticException from the division below
+      // (the dupClusters fail-loudly posture).
+      require(rsum > 0,
+        "bradleyTerry: every raw strength floored to 0 — game counts " +
+          "exceed the ppm fixed-point range; rescale or shard the input")
       raws.foreach { case (item, raw) =>
         sMap(item) = ((raw * nItems * 1000000L) / rsum).toLong
       }
@@ -588,6 +605,49 @@ object Chat {
       (item, wins, g, sMap(item)) }.toSeq
       .toDF("item", "wins", "games", "strength_ppm")
     strengths
+  }
+
+  /** The distributed MM loop [[bradleyTerry]] falls back to past its
+    * pair-collect cap — the pre-r18 relational form, arithmetic
+    * IDENTICAL to the driver replay (decimal(38,0) products, truncating
+    * div, same prior): two broadcast joins + one map-side-combined
+    * aggregation per round over the pair frame, each round's strength
+    * frame checkpointed so the iterated plan never nests. */
+  private def btRelational(pairs: DataFrame, items: DataFrame,
+                           iters: Int): DataFrame = {
+    val nItems = items.count()
+    var s = items.select(col("item"), lit(1000000L).as("s"))
+    for (_ <- 1 to iters) {
+      val sa = s.select(col("item").as("a"), col("s").as("_sa"))
+      val sb = s.select(col("item").as("b"), col("s").as("_sb"))
+      val terms = pairs
+        .join(broadcast(sa), Seq("a")).join(broadcast(sb), Seq("b"))
+        .withColumn("_t", expr(
+          "(cast(n as decimal(38,0)) * 1000000000000) div (_sa + _sb)"))
+        .select(explode(array(
+          struct(col("a").as("item"), col("_t")),
+          struct(col("b").as("item"), col("_t")))).as("e"))
+        .select(col("e.item").as("item"), col("e._t").as("_t"))
+        .groupBy(col("item"))
+        .agg(sum(col("_t")).as("_dsum"))
+      val raw = items.join(s, Seq("item"))
+        .join(terms, Seq("item"), "left")
+        .withColumn("_denom",
+          coalesce(col("_dsum"), lit(0).cast("decimal(38,0)")) +
+            expr("2000000000000 div (s + 1000000)"))
+        .withColumn("_raw", expr(
+          "(cast(wins + 1 as decimal(38,0)) * 1000000000000) div _denom"))
+        .select(col("item"), col("_raw"))
+      val tot = raw.agg(sum(col("_raw")).as("_rsum"))
+      s = raw.crossJoin(broadcast(tot))
+        .select(col("item"), expr(
+          s"cast((cast(_raw as decimal(38,0)) * $nItems * 1000000) div _rsum as bigint)")
+          .as("s"))
+        .transform(graft.plans.CheckpointAudit.local)
+    }
+    items.join(s, Seq("item"))
+      .select(col("item"), col("wins"), col("games"),
+        col("s").as("strength_ppm"))
   }
 
   /** Bradley–Terry goodness-of-fit report — the audit read next to

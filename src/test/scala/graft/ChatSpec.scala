@@ -442,6 +442,30 @@ class ChatSpec extends SparkTestBase {
     assert(reGot == got.map { case (k, v) => k -> v._3 })
   }
 
+  test("bradleyTerry: past the pair-collect cap the distributed MM fallback fits identically") {
+    val games: Seq[(Long, Long)] =
+      Seq.fill(4)((1L, 2L)) ++ Seq((2L, 1L)) ++
+        Seq.fill(3)((2L, 3L)) ++ Seq((3L, 2L)) ++
+        Seq.fill(2)((1L, 3L)) ++ Seq.fill(2)((1L, 4L))
+    val df = games.toDF("winner", "loser")
+    // 4 distinct unordered pairs > cap 1: the guard must route to the
+    // relational loop, whose fixed-point arithmetic is pinned to the
+    // same BigInt reference the driver path replays
+    val got = Chat.bradleyTerry(df, iters = 8, maxCollectPairs = 1L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = btRef(games, 8)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    got.foreach { case (i, (_, _, s)) =>
+      assert(s == want(i), s"item $i: fallback strength $s vs reference ${want(i)}")
+    }
+    val direct = Chat.bradleyTerry(df, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(direct == got.map { case (k, v) => k -> v._3 },
+      "driver and distributed MM paths must agree exactly")
+  }
+
   test("passAtK: hand-computed estimator, boundary cases, n<k reads NULL") {
     // p1: n=4, c=1, k=2 -> 1 - C(3,2)/C(4,2) = 1 - 3/6 = 0.5
     // p2: n=3, c=0      -> 0 (no sample passes, any draw fails)
