@@ -38,7 +38,7 @@ object Bpe {
 
   /** Pre-tokenize to merge units exactly like [[TextAnalysis.bpeTokens]]
     * (same regex, proven cross-engine by q34's oracle). */
-  private val wordRe = TextAnalysis.bpePattern.r
+  private[graft] val wordRe = TextAnalysis.bpePattern.r
 
   /** Classic BPE training over an in-memory text sample: count adjacent
     * unit pairs across the (word, freq) table, merge the most frequent
@@ -148,12 +148,20 @@ object Bpe {
   def ntokCol(documents: DataFrame, merges: Seq[(String, String)]): Column => Column = {
     val rankB = documents.sparkSession.sparkContext
       .broadcast(merges.zipWithIndex.toMap)
+    // Per-task Zipf memo after all (r19; the [[applyMerges]] device —
+    // "marginal" was wrong where the measure runs 3 UDF calls per turn
+    // over template-heavy segments: role headers and common words repeat
+    // constantly, and encodeWord is O(len²) rank scans per MISS). The
+    // captured map serializes empty with the closure and each task
+    // deserializes its own copy, so there is no cross-thread sharing.
+    val memo = mutable.Map.empty[String, Long]
     val f = udf { (s: String) =>
       if (s == null) 0L
       else {
         val rank = rankB.value
         var n = 0L
-        wordRe.findAllIn(s).foreach(w => n += encodeWord(w, rank).length)
+        wordRe.findAllIn(s).foreach(w =>
+          n += memo.getOrElseUpdate(w, encodeWord(w, rank).length.toLong))
         n
       }
     }

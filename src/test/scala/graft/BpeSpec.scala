@@ -55,4 +55,26 @@ class BpeSpec extends SparkTestBase {
       .as[(Long, Long)].head()
     assert(toks < units, s"64 merges must compress: $toks tokens vs $units units")
   }
+
+  test("ntokCol: per-task memo returns encodeWord sums on repeat-heavy single partitions") {
+    import org.apache.spark.sql.functions.col
+    val merges = Bpe.trainLocal(Seq("aaab aaab ab"), 3)
+    val rank = merges.zipWithIndex.toMap
+    // heavy word repetition in ONE partition exercises memo HITS on the
+    // same task; rows with nulls and unseen words cover the misses
+    val texts = Seq("aaab ab aaab ab aaab!", "ab ab ab aaab", null,
+      "zzz aaab", "") ++ Seq.fill(20)("aaab ab")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").coalesce(1)
+    val ntok = Bpe.ntokCol(df, merges)
+    val got = df.select(col("doc_id"), ntok(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    def ref(s: String): Long =
+      if (s == null) 0L
+      else Bpe.wordRe.findAllIn(s).map(w =>
+        Bpe.encodeWord(w, rank).length.toLong).sum
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"row $i: ${got(i.toLong)} vs ${ref(t)}")
+    }
+  }
 }
