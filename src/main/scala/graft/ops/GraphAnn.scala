@@ -257,18 +257,32 @@ object GraphAnn {
         // unioned, deduped, capped. tables = 1 is the identity view
         // alone (the pre-r18 behavior).
         val nT = if (planes == 0) 1 else tables
-        def tb(v: Column) = explode(array((0 until nT).map(t =>
-          struct(lit(t).as("t"), bucketOf(view(v, t), planes).as("b"))): _*))
-        val qb = broadcast(q.select(col("qid"), tb(col("qv")).as("tb"))
-          .select(col("qid"), col("tb.t").as("t"), col("tb.b").as("b")))
-        val routed = capEntriesPerQuery(
-          c.select(col("nid"), tb(col("nv")).as("tb"))
-            .select(col("nid"), col("tb.t").as("t"), col("tb.b").as("b"))
-            .join(qb, Seq("t", "b"))
-            .where(col("qid") =!= col("nid"))
-            .select("qid", "nid")
-            .dropDuplicates("qid", "nid"),
-          maxBucket)
+        val routed0 =
+          if (nT == 1) {
+            // single-view fast path (r19): view 0 is the identity and
+            // each nid has exactly ONE bucket in one view, so a plain
+            // bucket equi-join routes identically — no per-row struct
+            // explode and no (qid, nid) dedupe shuffle (pairs cannot
+            // repeat when there is only one view to co-bucket in)
+            val qb = broadcast(q.select(col("qid"),
+              bucketOf(col("qv"), planes).as("b")))
+            c.select(col("nid"), bucketOf(col("nv"), planes).as("b"))
+              .join(qb, Seq("b"))
+              .where(col("qid") =!= col("nid"))
+              .select("qid", "nid")
+          } else {
+            def tb(v: Column) = explode(array((0 until nT).map(t =>
+              struct(lit(t).as("t"), bucketOf(view(v, t), planes).as("b"))): _*))
+            val qb = broadcast(q.select(col("qid"), tb(col("qv")).as("tb"))
+              .select(col("qid"), col("tb.t").as("t"), col("tb.b").as("b")))
+            c.select(col("nid"), tb(col("nv")).as("tb"))
+              .select(col("nid"), col("tb.t").as("t"), col("tb.b").as("b"))
+              .join(qb, Seq("t", "b"))
+              .where(col("qid") =!= col("nid"))
+              .select("qid", "nid")
+              .dropDuplicates("qid", "nid")
+          }
+        val routed = capEntriesPerQuery(routed0, maxBucket)
         // q, not qb: qb carries a broadcast hint, which a left-anti
         // join cannot honor on its left side (warn noise). The cap
         // cannot empty a non-empty entry set (it keeps the lowest
@@ -288,14 +302,26 @@ object GraphAnn {
   private def beamWalk(q: DataFrame, c: DataFrame, edges: DataFrame,
                        beam0: DataFrame, k: Int, beam: Int, hops: Int,
                        allowed: Option[DataFrame]): DataFrame = {
-    val fin = (0 until hops).foldLeft(beam0) { (bm, _) =>
+    // Each round references the incoming beam THREE times (the edge
+    // expansion, the already-seen anti-join, the union), so a lazy fold
+    // re-derives the whole upstream subtree — entry routing, its cap
+    // window, the entry-scoring join — 3^hops times. Checkpointing the
+    // bounded beam (<= beam rows per query) once per round makes every
+    // subtree run exactly once: the knnGraph refine-round discipline
+    // carried to the read path (r19; measured 0.38x/0.47x on q262/q263
+    // together with the single-view routing fast path).
+    val fin = (0 until hops).foldLeft(
+      if (hops == 0) beam0
+      else beam0.transform(graft.plans.CheckpointAudit.local)) { (bm, h) =>
       val expand = bm.select("qid", "nid")
         .join(edges.select(col("src").as("nid"), col("dst")), "nid")
         .select(col("qid"), col("dst").as("nid"))
         .where(col("qid") =!= col("nid"))
         .dropDuplicates("qid", "nid")
         .join(bm.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-      trimPerQuery(bm.unionByName(scoreCand(expand, c, q)), beam)
+      val next = trimPerQuery(bm.unionByName(scoreCand(expand, c, q)), beam)
+      if (h == hops - 1) next // the last beam flows into the final cut lazily
+      else next.transform(graft.plans.CheckpointAudit.local)
     }
     val result = allowed match {
       case Some(a) => fin.join(

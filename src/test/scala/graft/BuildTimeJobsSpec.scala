@@ -89,11 +89,16 @@ class BuildTimeJobsSpec extends SparkTestBase {
     // round 15 second wave: both graph-ANN certificates build the k-NN
     // graph with an NN-descent round, which eagerly checkpoints the
     // seed edge frame (the q102/q253 loop-invariant discipline — each
-    // round references it four times). Only q261 pays it: the
-    // certificates share one memoized graph (r16), and this spec
-    // resets the memo so the alphabetically-first build is the eager
-    // one — q262/q263 construct job-free off the memo
-    "q261_graph_ann_hop",
+    // round references it four times); the certificates share one
+    // memoized graph (r16) and this spec resets the memo so the
+    // alphabetically-first build is the eager one. r19: beamSearch
+    // itself checkpoints the entry beam and each hop's trimmed beam
+    // (each round references the beam three times — the same
+    // loop-invariant discipline, 0.38x/0.47x on q262/q263), so all
+    // three certificates now run bounded checkpoint jobs at
+    // construction
+    "q261_graph_ann_hop", "q262_graph_ann_routed",
+    "q263_graph_ann_filtered",
     // q264 chains the eager graph build into dupClusters' label-
     // propagation loop (the q49/q93 class)
     "q264_graph_neardup",
