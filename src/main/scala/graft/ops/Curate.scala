@@ -1143,15 +1143,23 @@ object Curate {
     // gathers neighbour labels: one join + one groupBy per round instead
     // of join + groupBy + second join (round-trips dominate — the pair
     // set is tiny post-LSH, job overhead is the cost)
-    val nodes = pairs.select(col("doc_a").cast("long").as("a"))
-      .union(pairs.select(col("doc_b").cast("long").as("a"))).distinct()
-    val edges = pairs
+    val und = pairs
       .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
       .union(pairs.select(col("doc_b").cast("long").as("a"), col("doc_a").cast("long").as("b")))
-      .union(nodes.select(col("a"), col("a").as("b"))) // self-loops
+    // ONE eager materialization of the edge frame (r19): the lazy
+    // persist form evaluated the caller's pair-generation subtree ~6
+    // times before the cache warmed — twice deriving the node set for
+    // the initial labels, four times materializing the union on first
+    // use (for q144 the pair engine costs ~0.7 s per evaluation; the
+    // rounds themselves are two 0.3 s jobs). Self-loops come from the
+    // undirected endpoints' distinct, and the initial labels read the
+    // CHECKPOINTED self-loop rows instead of re-deriving pairs.
+    val edges = und
+      .union(und.select(col("a"), col("a").as("b"))) // self-loops
       .distinct()
-      .persist()
-    var labels = nodes.select(col("a").as("node"), col("a").as("label"))
+      .transform(graft.plans.CheckpointAudit.local)
+    var labels = edges.where(col("a") === col("b"))
+      .select(col("a").as("node"), col("a").as("label"))
       .transform(graft.plans.CheckpointAudit.local)
     var converged = false
     var it = 0
@@ -1174,7 +1182,6 @@ object Curate {
       labels = next.select(col("node"), col("label"))
       it += 1
     }
-    edges.unpersist(false)
     // same safety posture as dupClustersStar: an unconverged exit means
     // wrong labels — fail loudly (min-label needs O(diameter) rounds;
     // hitting maxIter suggests a chain graph — use dupClustersStar)
