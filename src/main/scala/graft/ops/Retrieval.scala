@@ -83,14 +83,24 @@ object Retrieval {
     Dedup.materializeAndRelease(out, matched)
   }
 
-  /** The un-materialized search plan plus the persisted postings-match
+  /** The un-materialized search plan plus the persisted postings
     * intermediate — split out so tests can inspect the join strategy
     * ([[bm25Search]] localCheckpoints, which truncates lineage). */
   private[graft] def bm25SearchPlan(postings: DataFrame, queries: DataFrame,
                                     k: Int, queryIdCol: String,
                                     textCol: String): (DataFrame, DataFrame) = {
+    // Persist the POSTINGS, not the matched frame (r19, guide §2.4):
+    // the corpus stats (doc-length distinct) and the matched build BOTH
+    // consume the full postings frame — persisting only matched left
+    // the stats leg re-running the whole corpus token shuffle, a second
+    // postings evaluation per search call. This path's callers are the
+    // contamination benches (document-sized query sets whose terms
+    // cover most of the vocabulary), so matched ≈ postings anyway and
+    // re-filtering it from the cache per consumer (a broadcast-hash
+    // semi-filter over cached rows) is cheaper than materializing both.
+    val p = postings.persist()
     // global corpus stats: one tiny two-agg pass over the doc-length view
-    val docLens = postings.select(col("doc_id"), col("dl")).distinct()
+    val docLens = p.select(col("doc_id"), col("dl")).distinct()
     // `div` (not `/`): Column./ on longs is DOUBLE division, which loses
     // exactness past 2^53 — the whole point of fixed-point scoring
     val stats = docLens.agg(
@@ -101,9 +111,8 @@ object Retrieval {
       .select(col(queryIdCol).as("query_id"), explode(array_distinct(toks(col(textCol)))).as("t"))
     // filter postings to query terms FIRST; df computed on the filtered
     // side is still the GLOBAL df (the filter is by term)
-    val matched = postings.join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
-      .persist()
-    (scoreTopK(matched, stats, qterms, k, dfViaWindow = false), matched)
+    val matched = p.join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
+    (scoreTopK(matched, stats, qterms, k, dfViaWindow = false), p)
   }
 
   /** The scoring + ranking stage shared by the index path
@@ -113,8 +122,9 @@ object Retrieval {
     * `qterms` the exploded (query_id, t) pairs.
     *
     * `dfViaWindow` picks how the global df per term reaches the score:
-    * the index path keeps the broadcast-aggregate form (matched is
-    * persisted there, so the second read is a cache hit); the fused
+    * the index path keeps the broadcast-aggregate form (matched derives
+    * from the persisted postings there, so every read is a filtered
+    * cache hit); the fused
     * path computes df as `count(*) over (partition by t)` — matched is
     * one row per (t, doc), so the window count IS df — because a
     * broadcast df subtree would re-derive matched from the scan with a
@@ -141,8 +151,12 @@ object Retrieval {
         matched.withColumn("df",
           count(lit(1)).over(Window.partitionBy(col("t"))))
       else {
-        val df = matched.select(col("t"), col("doc_id")).distinct()
-          .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        // matched is one row per (t, doc) BY CONSTRUCTION (bm25Postings
+        // ends in groupBy(t, doc, dl) and dl is functionally dependent
+        // on the doc), so df is a plain row count per term — the old
+        // (t, doc) distinct was a redundant corpus-sized shuffle before
+        // the same count (r19; the window path already counts rows).
+        val df = matched.groupBy(col("t")).agg(count(lit(1)).as("df"))
         matched.join(broadcast(df), Seq("t"))
       }
     // term_fx depends on (t, doc) ONLY — never on the query — so it
