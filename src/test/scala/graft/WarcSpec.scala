@@ -273,6 +273,40 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.readWet(spark, s"$dir/*.warc.wet.gz").count() == 9L)
   }
 
+  test("writeWet: task count bounded by shuffle partitions, files multiplexed per task") {
+    // 120 docs at perFile=1 -> 120 output files, but repartition(_file)
+    // hash-distributes file KEYS over spark.sql.shuffle.partitions, so
+    // the writer's task count stays bounded at ANY file count — a
+    // 100 TB writer's parallelism is a config, not a function of file
+    // sizing (the r18-verdict concern was one task per output file;
+    // this pins that each task streams its several files sequentially)
+    val dir = Files.createTempDirectory("warc_taskcount").toString
+    val docs = spark.range(120).select(col("id").as("doc_id"),
+      concat(lit("https://h"), col("id"), lit(".example.com/")).as("uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      concat(lit("text "), col("id")).as("text"))
+    val maxTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (s.stageInfo.name.contains("foreachPartition"))
+          maxTasks.updateAndGet(m => math.max(m, s.stageInfo.numTasks))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Warc.writeWet(docs, dir, perFile = 1)
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz"))
+    assert(files.length == 120, s"expected 120 files, got ${files.length}")
+    val sp = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(maxTasks.get() > 0 && maxTasks.get() <= sp,
+      s"writer ran ${maxTasks.get()} tasks; must be bounded by shuffle " +
+        s"partitions ($sp), not the 120-file count")
+    assert(Warc.readWet(spark, s"$dir/*.warc.wet.gz").count() == 120L)
+  }
+
   test("fuzz battery: every single-byte flip reads either the original rows or zero rows") {
     val bytes = wetBytes(Seq(
       (5L, "http://fuzz.com/5", "2026-01-01T00:00:00Z", "fuzz body five"),
